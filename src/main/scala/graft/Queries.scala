@@ -1,0 +1,410 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The declared query inventory (SURVEY §2.15): q01–q20 reference parity,
+  * q21–q24 north-star extension. Each entry pairs the Spark implementation
+  * with DuckDB oracle SQL over the same parquet tables.
+  *
+  * Determinism conventions (SURVEY §5.1 / FIXTURES.md): total ORDER BY with
+  * tie-break, round(x,4) on derived floats, exact percentiles, UTC, ANSI off.
+  * Large double sums go through DECIMAL(18,4) so Spark's partial-aggregate
+  * summation order can't diverge from DuckDB's serial sum in the 4th decimal.
+  */
+object Queries {
+  final case class QDef(name: String,
+                        fn: (SparkSession, String) => DataFrame,
+                        oracle: Option[String])
+
+  private def T(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.t(s, dir, n)
+
+  /** Exact sum of a double column via decimal, returned as double. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,4)")).cast("double")
+  private val DsumSql = "CAST(sum(CAST(%s AS DECIMAL(18,4))) AS DOUBLE)"
+
+  // ---------------------------------------------------------------- q01–q06
+
+  private val q01 = QDef("q01_scan_project_rename",
+    (s, dir) => T(s, dir, "lineitem").select(
+      col("l_orderkey").as("order_id"),
+      col("l_linenumber").as("line_no"),
+      col("l_returnflag").as("flag"),
+      // string -> numeric coercion round-trip (S5/P2: errors="coerce" -> null)
+      expr("try_cast(CAST(l_quantity AS STRING) AS DOUBLE)").as("quantity"),
+      expr("try_cast(l_returnflag AS DOUBLE)").as("bad_parse"))
+      .orderBy("order_id", "line_no", "flag", "quantity"),
+    Some("""SELECT l_orderkey AS order_id, l_linenumber AS line_no,
+      | l_returnflag AS flag,
+      | TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS quantity,
+      | TRY_CAST(l_returnflag AS DOUBLE) AS bad_parse
+      |FROM lineitem ORDER BY order_id, line_no, flag, quantity""".stripMargin))
+
+  /** region⋈nation⋈customer with the synthetic fixed-width geoid. */
+  private def geoidFrame(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir, "customer"); val n = T(s, dir, "nation"); val r = T(s, dir, "region")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .withColumn("geoid",
+        GeoidOps.buildGeoid(col("r_regionkey"), col("n_nationkey"), col("c_custkey")))
+  }
+  private val GeoidSql =
+    """lpad(CAST(r_regionkey AS VARCHAR),2,'0') || lpad(CAST(n_nationkey AS VARCHAR),3,'0')
+      | || lpad(CAST(c_custkey AS VARCHAR),6,'0')""".stripMargin.replace("\n", "")
+  private val GeoidFromSql =
+    "customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey"
+
+  private val q02 = QDef("q02_build_geoid",
+    (s, dir) => geoidFrame(s, dir).select(
+      col("geoid"), col("r_name").as("region_name"),
+      col("n_name").as("nation_name"), col("c_name").as("customer_name"))
+      .orderBy("geoid"),
+    Some(s"""SELECT $GeoidSql AS geoid, r_name AS region_name,
+      | n_name AS nation_name, c_name AS customer_name
+      |FROM $GeoidFromSql ORDER BY geoid""".stripMargin))
+
+  private val q03 = QDef("q03_parse_geoid",
+    (s, dir) => geoidFrame(s, dir).select(
+      col("geoid"),
+      substring(col("geoid"), 1, 2).as("state"),
+      substring(col("geoid"), 3, 3).as("county"),
+      substring(col("geoid"), 6, 6).as("tract"))
+      .orderBy("geoid"),
+    Some(s"""WITH g AS (SELECT $GeoidSql AS geoid FROM $GeoidFromSql)
+      |SELECT geoid, substr(geoid,1,2) AS state, substr(geoid,3,3) AS county,
+      | substr(geoid,6,6) AS tract
+      |FROM g ORDER BY geoid""".stripMargin))
+
+  private val q04 = QDef("q04_clean_missing",
+    (s, dir) => {
+      // inject a sentinel, then exercise replace (N1), fill (N2), drop (N3)
+      val raw = when(col("l_linenumber") === 1, lit(-666666666d))
+        .otherwise(col("l_quantity"))
+      val clean = Cleaning.sentinelToNull(raw)
+      T(s, dir, "lineitem")
+        .select(col("l_returnflag"), clean.as("qty_clean"),
+          coalesce(clean, lit(0d)).as("qty_filled"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("qty_clean")).as("n_after_drop"),
+          round(dsum(col("qty_filled")), 4).as("sum_filled"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""WITH c AS (
+      | SELECT l_returnflag,
+      |  CASE WHEN (CASE WHEN l_linenumber = 1 THEN -666666666 ELSE l_quantity END)
+      |        IN (-666666666,-999999999,-888888888,-222222222,-333333333) THEN NULL
+      |       ELSE (CASE WHEN l_linenumber = 1 THEN -666666666 ELSE l_quantity END) END AS qty_clean
+      | FROM lineitem)
+      |SELECT l_returnflag, count(*) AS n_rows, count(qty_clean) AS n_after_drop,
+      | round(${DsumSql.format("coalesce(qty_clean, 0)")}, 4) AS sum_filled
+      |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  private val q05 = QDef("q05_rate_zero_handling",
+    (s, dir) => {
+      val li = T(s, dir, "lineitem"); val o = T(s, dir, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(col("o_orderkey").as("order_id"), col("l_linenumber").as("line_no"),
+          round(Derive.rate(col("l_extendedprice"), col("o_totalprice")), 4).as("rate_pct"),
+          round(Derive.rate(col("l_extendedprice"), col("o_totalprice"),
+            handleZero = "zero"), 4).as("rate_pct_zero"))
+        .orderBy("order_id", "line_no", "rate_pct")
+    },
+    Some("""SELECT o_orderkey AS order_id, l_linenumber AS line_no,
+      | round(l_extendedprice / nullif(o_totalprice, 0) * 100, 4) AS rate_pct,
+      | round(CASE WHEN o_totalprice = 0 THEN 0
+      |       ELSE l_extendedprice / nullif(o_totalprice, 0) * 100 END, 4) AS rate_pct_zero
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |ORDER BY order_id, line_no, rate_pct""".stripMargin))
+
+  private val q06 = QDef("q06_derived_bundle",
+    (s, dir) => {
+      val c = T(s, dir, "customer"); val n = T(s, dir, "nation")
+      val byNation = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .agg(count(lit(1)).as("n_cust"), sum("c_acctbal").as("sum_bal"),
+          avg("c_acctbal").as("avg_bal"))
+      val byRegion = byNation.groupBy(col("n_regionkey"))
+        .agg(sum("n_cust").as("region_cust"))
+      byNation.join(broadcast(byRegion), Seq("n_regionkey"))
+        .select(col("n_name").as("nation_name"), col("n_cust"),
+          round(col("n_cust") / col("region_cust") * 100, 4).as("pct_of_region"),
+          round(col("sum_bal") + col("avg_bal") + col("n_cust"), 4).as("combo_sum"))
+        .orderBy("nation_name")
+    },
+    Some("""WITH by_nation AS (
+      | SELECT n_nationkey, n_name, n_regionkey, count(*) AS n_cust,
+      |        sum(c_acctbal) AS sum_bal, avg(c_acctbal) AS avg_bal
+      | FROM customer JOIN nation ON c_nationkey = n_nationkey
+      | GROUP BY 1, 2, 3),
+      |by_region AS (
+      | SELECT n_regionkey, CAST(sum(n_cust) AS BIGINT) AS region_cust
+      | FROM by_nation GROUP BY 1)
+      |SELECT n_name AS nation_name, n_cust,
+      | round(n_cust / region_cust * 100, 4) AS pct_of_region,
+      | round(sum_bal + avg_bal + n_cust, 4) AS combo_sum
+      |FROM by_nation JOIN by_region USING (n_regionkey)
+      |ORDER BY nation_name""".stripMargin))
+
+  // ---------------------------------------------------------------- q07–q12
+
+  private val q07 = QDef("q07_norm_minmax",
+    (s, dir) => Normalize.minMax(
+      T(s, dir, "customer").select("c_custkey", "c_acctbal"), Seq("c_acctbal"))
+      .select(col("c_custkey"), round(col("c_acctbal_norm"), 4).as("acctbal_minmax"))
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey,
+      | round((c_acctbal - mn) / nullif(mx - mn, 0), 4) AS acctbal_minmax
+      |FROM customer, (SELECT min(c_acctbal) AS mn, max(c_acctbal) AS mx FROM customer)
+      |ORDER BY c_custkey""".stripMargin))
+
+  private val q08 = QDef("q08_norm_zscore",
+    (s, dir) => Normalize.zScore(
+      T(s, dir, "customer").select("c_custkey", "c_acctbal"), Seq("c_acctbal"))
+      .select(col("c_custkey"), round(col("c_acctbal_norm"), 4).as("acctbal_z"))
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey,
+      | round((c_acctbal - m) / nullif(sd, 0), 4) AS acctbal_z
+      |FROM customer,
+      | (SELECT avg(c_acctbal) AS m, stddev_samp(c_acctbal) AS sd FROM customer)
+      |ORDER BY c_custkey""".stripMargin))
+
+  private val q09 = QDef("q09_norm_robust",
+    (s, dir) => Normalize.robust(
+      T(s, dir, "customer").select("c_custkey", "c_acctbal"), Seq("c_acctbal"))
+      .select(col("c_custkey"), round(col("c_acctbal_norm"), 4).as("acctbal_robust"))
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey,
+      | round((c_acctbal - med) / nullif(q3 - q1, 0), 4) AS acctbal_robust
+      |FROM customer,
+      | (SELECT median(c_acctbal) AS med, quantile_cont(c_acctbal, 0.75) AS q3,
+      |         quantile_cont(c_acctbal, 0.25) AS q1 FROM customer)
+      |ORDER BY c_custkey""".stripMargin))
+
+  private val q10 = QDef("q10_composite_index",
+    (s, dir) => Derive.compositeIndex(
+      T(s, dir, "part").select("p_partkey", "p_retailprice", "p_size"),
+      weights = Map("p_retailprice" -> 0.6, "p_size" -> 0.4))
+      .select(col("p_partkey"), round(col("composite_index"), 4).as("composite_index"))
+      .orderBy("p_partkey"),
+    Some("""SELECT p_partkey,
+      | round((p_retailprice - mnp) / nullif(mxp - mnp, 0) * 0.6
+      |     + (p_size - mns) / nullif(mxs - mns, 0) * 0.4, 4) AS composite_index
+      |FROM part,
+      | (SELECT min(p_retailprice) AS mnp, max(p_retailprice) AS mxp,
+      |         min(p_size) AS mns, max(p_size) AS mxs FROM part)
+      |ORDER BY p_partkey""".stripMargin))
+
+  private val q11 = QDef("q11_change_selfjoin",
+    (s, dir) => {
+      val o = T(s, dir, "orders")
+      def spendIn(year: Int): DataFrame = o
+        .filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+        .groupBy(col("o_custkey")).agg(sum("o_totalprice").as("spend"))
+      Derive.changeJoin(spendIn(1995), spendIn(1996), "o_custkey", "spend")
+        .select(col("o_custkey").as("custkey"),
+          round(col("spend_t1"), 4).as("spend_t1"),
+          round(col("spend_t2"), 4).as("spend_t2"),
+          round(col("spend_change"), 4).as("change_abs"),
+          round(col("spend_pct_change"), 4).as("change_pct"))
+        .orderBy("custkey")
+    },
+    Some("""WITH t1 AS (
+      | SELECT o_custkey, sum(o_totalprice) AS spend FROM orders
+      | WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+      | GROUP BY 1),
+      |t2 AS (
+      | SELECT o_custkey, sum(o_totalprice) AS spend FROM orders
+      | WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      | GROUP BY 1)
+      |SELECT t1.o_custkey AS custkey, round(t1.spend, 4) AS spend_t1,
+      | round(t2.spend, 4) AS spend_t2,
+      | round(t2.spend - t1.spend, 4) AS change_abs,
+      | round((t2.spend - t1.spend) / nullif(t1.spend, 0) * 100, 4) AS change_pct
+      |FROM t1 JOIN t2 ON t1.o_custkey = t2.o_custkey
+      |ORDER BY custkey""".stripMargin))
+
+  private val q12 = QDef("q12_agg_hierarchy",
+    (s, dir) => geoidFrame(s, dir)
+      .groupBy(GeoidOps.prefix(col("geoid"), 5).as("geoid"))
+      .agg(round(sum("c_acctbal"), 4).as("sum_bal"),
+        round(avg("c_acctbal"), 4).as("avg_bal"),
+        count(lit(1)).as("n"))
+      .orderBy("geoid"),
+    Some(s"""WITH g AS (SELECT $GeoidSql AS geoid, c_acctbal FROM $GeoidFromSql)
+      |SELECT substr(geoid, 1, 5) AS geoid, round(sum(c_acctbal), 4) AS sum_bal,
+      | round(avg(c_acctbal), 4) AS avg_bal, count(*) AS n
+      |FROM g GROUP BY 1 ORDER BY geoid""".stripMargin))
+
+  // ---------------------------------------------------------------- q13–q20
+
+  private val q13 = QDef("q13_right_join_geom",
+    (s, dir) => {
+      val n = T(s, dir, "nation"); val c = T(s, dir, "customer")
+      val boundary = n.filter(col("n_regionkey") <= 2)
+        .select(col("n_nationkey"), concat(lit("WKT:"), col("n_name")).as("geometry"))
+      val data = c.groupBy(col("c_nationkey").as("n_nationkey"))
+        .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 4).as("sum_bal"))
+      Pipeline.joinBoundaries(data, boundary, "n_nationkey")
+        .select("n_nationkey", "geometry", "n_cust", "sum_bal")
+        .orderBy("n_nationkey")
+    },
+    Some("""WITH b AS (
+      | SELECT n_nationkey, 'WKT:' || n_name AS geometry
+      | FROM nation WHERE n_regionkey <= 2),
+      |d AS (
+      | SELECT c_nationkey AS n_nationkey, count(*) AS n_cust,
+      |        round(sum(c_acctbal), 4) AS sum_bal
+      | FROM customer GROUP BY 1)
+      |SELECT d.n_nationkey, b.geometry, d.n_cust, d.sum_bal
+      |FROM b RIGHT JOIN d ON b.n_nationkey = d.n_nationkey
+      |ORDER BY d.n_nationkey""".stripMargin))
+
+  private val q14 = QDef("q14_lookup_map",
+    (s, dir) => {
+      val sup = T(s, dir, "supplier"); val n = T(s, dir, "nation")
+      val lookup = n.filter(col("n_regionkey") =!= 0)
+        .select(col("n_nationkey").as("s_nationkey"), col("n_name").as("nation_name"))
+      sup.join(broadcast(lookup), Seq("s_nationkey"), "left")
+        .select("s_suppkey", "s_name", "nation_name")
+        .orderBy("s_suppkey")
+    },
+    Some("""SELECT s_suppkey, s_name, n_name AS nation_name
+      |FROM supplier LEFT JOIN (SELECT * FROM nation WHERE n_regionkey <> 0) n
+      | ON s_nationkey = n_nationkey
+      |ORDER BY s_suppkey""".stripMargin))
+
+  private val q15 = QDef("q15_union_batch",
+    (s, dir) => {
+      val c = T(s, dir, "customer"); val n = T(s, dir, "nation")
+      val cn = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .select(col("n_regionkey"), col("c_custkey"), col("c_acctbal"))
+      val slices = (0 to 4).map(r => () => cn.filter(col("n_regionkey") === r))
+      Pipeline.batchUnion(slices)
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 4).as("checksum"))
+        .orderBy("n_regionkey")
+    },
+    Some("""SELECT n_regionkey, count(*) AS n, round(sum(c_acctbal), 4) AS checksum
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1 ORDER BY n_regionkey""".stripMargin))
+
+  private val q16 = QDef("q16_group_agg_mixed",
+    (s, dir) => {
+      val c = T(s, dir, "customer"); val n = T(s, dir, "nation"); val r = T(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(round(sum("c_acctbal"), 4).as("sum_bal"),
+          round(median(col("c_acctbal")), 4).as("med_bal"),
+          round(avg("c_acctbal"), 4).as("avg_bal"),
+          count(lit(1)).as("n_cust"))
+        .orderBy(desc("sum_bal"), col("r_name"))
+    },
+    Some("""SELECT r_name, round(sum(c_acctbal), 4) AS sum_bal,
+      | round(median(c_acctbal), 4) AS med_bal,
+      | round(avg(c_acctbal), 4) AS avg_bal, count(*) AS n_cust
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      | JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY sum_bal DESC, r_name""".stripMargin))
+
+  private val q17 = QDef("q17_topk",
+    (s, dir) => T(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(5),
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 5""".stripMargin))
+
+  private val q18 = QDef("q18_global_stats",
+    (s, dir) => T(s, dir, "lineitem").agg(
+      round(dsum(col("l_extendedprice")), 4).as("sum_price"),
+      round(avg("l_extendedprice"), 4).as("avg_price"),
+      round(median(col("l_extendedprice")), 4).as("med_price"),
+      round(min("l_extendedprice"), 4).as("min_price"),
+      round(max("l_extendedprice"), 4).as("max_price")),
+    Some(s"""SELECT round(${DsumSql.format("l_extendedprice")}, 4) AS sum_price,
+      | round(avg(l_extendedprice), 4) AS avg_price,
+      | round(median(l_extendedprice), 4) AS med_price,
+      | round(min(l_extendedprice), 4) AS min_price,
+      | round(max(l_extendedprice), 4) AS max_price
+      |FROM lineitem""".stripMargin))
+
+  private val q19 = QDef("q19_search_filter",
+    (s, dir) => T(s, dir, "documents")
+      .filter(lower(col("text")).contains("spark"))
+      .select("doc_id", "n_chars")
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, n_chars FROM documents
+      |WHERE lower(text) LIKE '%spark%' ORDER BY doc_id""".stripMargin))
+
+  private val q20 = QDef("q20_export_roundtrip",
+    (s, dir) => {
+      val result = q16.fn(s, dir)
+      val base = s"/root/repo/target/roundtrip/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      Pipeline.export(result, s"$base/parquet", "parquet")
+      Pipeline.export(result, s"$base/csv", "csv")
+      s.read.parquet(s"$base/parquet").orderBy(desc("sum_bal"), col("r_name"))
+    },
+    q16.oracle)
+
+  // ------------------------------------------------------ extensions q21–q24
+
+  private val q21 = QDef("q21_dedup_exact",
+    (s, dir) => {
+      val d = T(s, dir, "documents")
+      Dedup.exact(d, col("text"), col("doc_id"))
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .orderBy("source")
+    },
+    Some("""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+      |SELECT source, count(*) AS n_docs FROM documents JOIN keep USING (doc_id)
+      |GROUP BY source ORDER BY source""".stripMargin))
+
+  private val q22 = QDef("q22_text_tokens",
+    (s, dir) => T(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("token"))
+      .limit(20),
+    Some("""SELECT token, count(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin))
+
+  private val q23 = QDef("q23_event_windows",
+    (s, dir) => T(s, dir, "events")
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .orderBy("hour_ts", "event_type"),
+    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+      | event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin))
+
+  private val q24 = QDef("q24_similarity_cosine",
+    (s, dir) => {
+      val e = T(s, dir, "embeddings").filter(col("label") === 0)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val q = e.orderBy("vec_id").limit(1).select(col("emb").as("qemb"))
+      e.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(Similarity.cosine(col("emb"), col("qemb")), 4).as("cos_sim"))
+        .orderBy(desc("cos_sim"), col("vec_id"))
+        .limit(10)
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      |        FROM embeddings WHERE label = 0),
+      |q AS (SELECT emb AS qemb FROM e ORDER BY vec_id LIMIT 1)
+      |SELECT vec_id, round(list_cosine_similarity(emb, qemb), 4) AS cos_sim
+      |FROM e, q ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin))
+
+  val parity: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20)
+
+  val extension: Seq[QDef] = Seq(q21, q22, q23, q24)
+
+  def all: Seq[QDef] = parity ++ extension ++ ExtQueries.all
+}

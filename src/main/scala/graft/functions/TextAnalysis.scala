@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting.
+  *
+  * All pure `Column` expression trees (whole-stage-codegen friendly, no
+  * UDFs) and deliberately restricted to constructs with identical semantics
+  * in DuckDB so every operator stays oracle-checkable.
+  */
+object TextAnalysis {
+  /** Tiny per-language stopword lists for the n-gram/stopword heuristic
+    * language identifier. Chosen to be discriminative among the fixture
+    * languages; a production list would be much larger — the *shape*
+    * (array_intersect against a broadcast literal list) is what scales. */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "with", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "por", "con"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "pour", "dans", "avec"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "für", "ein", "zu"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不", "这", "也"))
+
+  private def toks(text: Column): Column = split(text, " ")
+
+  /** Language-ID: per-language stopword hit-rate; argmax with deterministic
+    * tie-break on language code; "und" (undetermined) when nothing matches. */
+  def langId(text: Column): Column = {
+    val t = toks(text)
+    // build (lang, score) pairs ordered so max_by is deterministic:
+    // score desc, then lang asc — encode as struct(score, negLang) and use array_max
+    val scored = Stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val hits = size(array_intersect(array_distinct(t),
+        array(words.map(lit): _*))).cast("double")
+      struct((hits / size(array_distinct(t))).as("score"), lit(lang).as("lang"))
+    }
+    // array_max on struct: compares score first, then lang lexically — ties
+    // resolve to the lexically greatest lang; make deterministic + stable
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality score in [0,1]: blend of length band, mean token length band,
+    * type-token ratio, and stopword presence — the standard cheap heuristics
+    * (length/punct/stopword ratios) used for pretraining-data filtering. */
+  def qualityScore(text: Column): Column = {
+    val t = toks(text)
+    val nTok = size(t).cast("double")
+    val nChar = length(text).cast("double")
+    val meanTokLen = (nChar - (nTok - 1)) / nTok // chars minus separators
+    val ttr = size(array_distinct(t)).cast("double") / nTok
+    val allStop = array(Stopwords.values.flatten.toSeq.distinct.sorted.map(lit): _*)
+    val stopRatio = size(array_intersect(array_distinct(t), allStop)).cast("double") /
+      size(array_distinct(t))
+    val lenOk = when(nTok >= 10 && nTok <= 1000, lit(1d))
+      .otherwise(least(nTok / 10, lit(1d)))
+    val tokLenOk = when(meanTokLen >= 2 && meanTokLen <= 12, lit(1d)).otherwise(lit(0.5))
+    lenOk * 0.3 + tokLenOk * 0.2 + least(ttr * 2, lit(1d)) * 0.3 +
+      least(stopRatio * 5, lit(1d)) * 0.2
+  }
+
+  /** Token counts: whitespace tokens and a BPE-ish segmentation
+    * (letter runs / digit runs / single other chars), via regexp counting —
+    * identical regex semantics in DuckDB's RE2 for these simple classes. */
+  def whitespaceTokenCount(text: Column): Column = size(toks(text))
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+
+  /** Document fingerprint: order-sensitive rolling hash over tokens.
+    * Token value = ascii(first) * 131^2 + ascii(last) * 131 + length;
+    * fold acc = (acc * 31 + tokval) mod 1e9+7. Equivalent DuckDB spelling
+    * uses list_reduce — both engines fold left-to-right. */
+  def fingerprint(text: Column): Column = {
+    val tokVal = (t: Column) =>
+      ascii(t.substr(lit(1), lit(1))) * lit(17161L) +
+        ascii(t.substr(length(t), lit(1))) * lit(131L) + length(t)
+    aggregate(toks(text), lit(0L),
+      (acc, t) => pmod(acc * 31L + tokVal(t), lit(1000000007L)))
+  }
+}
