@@ -1,9 +1,257 @@
 package graft
 
-/** Extension query inventory beyond q21–q24: dedup (MinHash/SimHash/Jaccard/
-  * embedding), ANN, text analysis, multimodal plumbing, windows, rollup,
-  * streaming. Populated incrementally; every entry keeps the same oracle
-  * conventions as Queries. */
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Queries.QDef
+
+/** Extension query inventory beyond q21–q24: LSH dedup family, ANN, text
+  * analysis, multimodal plumbing, window functions, rollup, JSON, streaming.
+  * Same oracle conventions as [[Queries]]; the MinHash/SimHash oracles are
+  * generated programmatically so both engines evaluate the identical
+  * integer-exact hash pipeline.
+  */
 object ExtQueries {
-  def all: Seq[Queries.QDef] = Seq()
+  private def T(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Tables.t(s, dir, n)
+
+  /** DuckDB twin of Dedup.hash28/hash60. */
+  private def hashSql(expr: String, hexLen: Int) =
+    s"('0x' || substr(md5($expr), 1, $hexLen))::BIGINT"
+
+  // ------------------------------------------------------------ dedup family
+
+  private val minhashSigSql = Dedup.minhashParams(16)
+    .map { case (a, b) => s"list_min(list_transform(hh, x -> (x*$a + $b) % ${Dedup.MinhashPrime}))" }
+    .mkString("[", ", ", "]")
+
+  private val q25 = QDef("q25_dedup_minhash",
+    (s, dir) => Dedup.minhashCandidates(T(s, dir, "documents"),
+      col("text"), col("doc_id"), shingleSize = 3, numPerm = 16, bands = 4)
+      .orderBy("id_a", "id_b"),
+    Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(0, len(t) - 2),
+      |         i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+      |       FROM toks WHERE len(t) >= 3),
+      |hs AS (SELECT doc_id, list_transform(shingles, s -> ${hashSql("s", 7)}) AS hh
+      |       FROM sh WHERE len(shingles) > 0),
+      |sig AS (SELECT doc_id, $minhashSigSql AS sig FROM hs),
+      |bands AS (SELECT doc_id, b, list_slice(sig, 4*b + 1, 4*b + 4) AS bucket
+      |          FROM sig, range(0, 4) AS r(b)),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |          FROM bands a JOIN bands b
+      |          ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, count(*) AS n_shared_bands
+      |FROM pairs GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin))
+
+  private val simhashBitsSql = (0 until 60).map { j =>
+    s"(CASE WHEN list_sum(list_transform(hh, x -> CASE WHEN ((x >> $j) & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END)"
+  }.mkString(" + ")
+
+  private val q26 = QDef("q26_dedup_simhash",
+    (s, dir) => Dedup.simhashNearDup(T(s, dir, "documents"),
+      col("text"), col("doc_id"), col("source"), maxDist = 12)
+      .orderBy("id_a", "id_b"),
+    Some(s"""WITH hs AS (SELECT doc_id, source,
+      |  list_transform(string_split(text, ' '), s -> ${hashSql("s", 15)}) AS hh
+      | FROM documents),
+      |sig AS (SELECT doc_id, source, CAST($simhashBitsSql AS BIGINT) AS sig FROM hs)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  bit_count(xor(a.sig, b.sig)) AS hamming
+      |FROM sig a JOIN sig b ON a.source = b.source AND a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sig, b.sig)) <= 12
+      |ORDER BY id_a, id_b""".stripMargin))
+
+  private val q27 = QDef("q27_dedup_ngram_jaccard",
+    // unigram token sets: bigram+ jaccard is so discriminative on this corpus
+    // that near-dup pairs vanish (probed: 1 pair at any threshold)
+    (s, dir) => Dedup.ngramJaccardPairs(T(s, dir, "documents"),
+      col("text"), col("doc_id"), col("source"), n = 1, minJ = 0.6)
+      .withColumn("jaccard", round(col("jaccard"), 4))
+      .orderBy("id_a", "id_b"),
+    Some("""WITH g AS (SELECT doc_id, source,
+      |        list_distinct(string_split(text, ' ')) AS grams FROM documents),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  len(list_intersect(a.grams, b.grams)) * 1.0
+      |    / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS j
+      | FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, round(j, 4) AS jaccard FROM p WHERE j >= 0.6
+      |ORDER BY id_a, id_b""".stripMargin))
+
+  private val q28 = QDef("q28_dedup_embedding",
+    (s, dir) => Dedup.embeddingNearDup(T(s, dir, "embeddings"),
+      col("embedding"), col("vec_id"), col("label"), minCos = 0.35)
+      .orderBy("id_a", "id_b"),
+    Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |        round(list_cosine_similarity(a.emb, b.emb), 4) AS cos_sim
+      |      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.35
+      |ORDER BY id_a, id_b""".stripMargin))
+
+  /** ANN via random-hyperplane LSH; hyperplanes are JVM-hash-seeded, so not
+    * SQL-expressible -> rows-only check. Recall vs brute force is asserted in
+    * the unit suite instead. */
+  private val q29 = QDef("q29_ann_lsh",
+    (s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val q = e.orderBy("vec_id").limit(1)
+      Similarity.lshTopK(e, col("embedding"), col("vec_id"),
+        q, col("embedding"), k = 20)
+        .select(col("id"), round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy(desc("cos_sim"), col("id"))
+    },
+    None)
+
+  // ------------------------------------------------------------ text family
+
+  private def stopListSql(words: Seq[String]) =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val langScoreSql = TextAnalysis.Stopwords.toSeq.sortBy(_._1)
+    .map { case (lang, words) =>
+      s"len(list_intersect(toks, ${stopListSql(words)})) * 1.0 / len(toks) AS s_$lang"
+    }.mkString(",\n  ")
+
+  private val q30 = QDef("q30_text_langid",
+    (s, dir) => T(s, dir, "documents")
+      .select(col("lang"), TextAnalysis.langId(col("text")).as("pred_lang"))
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang"),
+    Some(s"""WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+      |        FROM documents),
+      |sc AS (SELECT doc_id, lang,
+      |  $langScoreSql
+      | FROM t)
+      |SELECT lang, CASE
+      |  WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de AND s_zh > 0 THEN 'zh'
+      |  WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de AND s_fr > 0 THEN 'fr'
+      |  WHEN s_es >= s_en AND s_es >= s_de AND s_es > 0 THEN 'es'
+      |  WHEN s_en >= s_de AND s_en > 0 THEN 'en'
+      |  WHEN s_de > 0 THEN 'de'
+      |  ELSE 'und' END AS pred_lang, count(*) AS n
+      |FROM sc GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin))
+
+  private val allStopSql = stopListSql(
+    TextAnalysis.Stopwords.values.flatten.toSeq.distinct.sorted)
+
+  private val q31 = QDef("q31_text_quality",
+    (s, dir) => T(s, dir, "documents")
+      .select(col("doc_id"), round(TextAnalysis.qualityScore(col("text")), 4).as("quality"))
+      .orderBy("doc_id"),
+    Some(s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk,
+      |         list_distinct(string_split(text, ' ')) AS dtk FROM documents),
+      |m AS (SELECT doc_id,
+      |  CAST(len(tk) AS DOUBLE) AS n_tok,
+      |  CAST(length(text) AS DOUBLE) AS n_char,
+      |  CAST(len(dtk) AS DOUBLE) / len(tk) AS ttr,
+      |  CAST(len(list_intersect(dtk, $allStopSql)) AS DOUBLE) / len(dtk) AS stop_ratio
+      | FROM t),
+      |f AS (SELECT doc_id,
+      |  (CASE WHEN n_tok >= 10 AND n_tok <= 1000 THEN 1.0 ELSE least(n_tok / 10, 1.0) END) AS len_ok,
+      |  (CASE WHEN (n_char - (n_tok - 1)) / n_tok >= 2 AND (n_char - (n_tok - 1)) / n_tok <= 12
+      |        THEN 1.0 ELSE 0.5 END) AS tok_len_ok,
+      |  ttr, stop_ratio
+      | FROM m)
+      |SELECT doc_id, round(len_ok * 0.3 + tok_len_ok * 0.2
+      |  + least(ttr * 2, 1.0) * 0.3 + least(stop_ratio * 5, 1.0) * 0.2, 4) AS quality
+      |FROM f ORDER BY doc_id""".stripMargin))
+
+  private val q32 = QDef("q32_text_token_counts",
+    (s, dir) => T(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.whitespaceTokenCount(col("text")).as("n_ws_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish_tokens"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+      | CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+      | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_bpeish_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin))
+
+  private val q33 = QDef("q33_text_fingerprint",
+    (s, dir) => T(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id"),
+    Some("""WITH tv AS (SELECT doc_id,
+      |  list_transform(string_split(text, ' '),
+      |    t -> CAST(ascii(substr(t, 1, 1)) * 17161 + ascii(substr(t, length(t), 1)) * 131
+      |         + length(t) AS BIGINT)) AS vals
+      | FROM documents)
+      |SELECT doc_id,
+      | list_reduce(list_prepend(CAST(0 AS BIGINT), vals),
+      |   (acc, v) -> (acc * 31 + v) % 1000000007) AS fingerprint
+      |FROM tv ORDER BY doc_id""".stripMargin))
+
+  // ------------------------------------------- multimodal / json / windows
+
+  private val q34 = QDef("q34_multimodal_features",
+    (s, dir) => {
+      val m = Multimodal.mediaFrame(T(s, dir, "documents"))
+      m.select(Seq(col("doc_id"), col("meta.format").as("format"),
+        col("meta.width").as("width"), col("meta.height").as("height")) ++
+        Multimodal.featureColumns(col("media")): _*)
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+      | CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
+      | CAST(doc_id % 640 + 16 AS INTEGER) AS width,
+      | CAST(doc_id % 480 + 16 AS INTEGER) AS height,
+      | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      | ('0x' || substr(md5(text), 1, 15))::BIGINT AS content_hash
+      |FROM documents ORDER BY doc_id""".stripMargin))
+
+  private val q35 = QDef("q35_events_json",
+    (s, dir) => T(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"), col("value"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(avg("k"), 4).as("avg_k"),
+        round(sum("value"), 4).as("sum_value"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type, count(*) AS n,
+      | round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+      | round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin))
+
+  private val q36 = QDef("q36_window_topn_share",
+    (s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(desc("c_acctbal"), col("c_custkey"))
+      val ws = Window.partitionBy(col("c_nationkey"))
+      T(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("share", round(col("c_acctbal") / sum("c_acctbal").over(ws) * 100, 4))
+        .where(col("rn") <= 2)
+        .orderBy("c_nationkey", "rn")
+    },
+    Some("""SELECT * FROM (
+      | SELECT c_custkey, c_nationkey, c_acctbal,
+      |  row_number() OVER (PARTITION BY c_nationkey
+      |                     ORDER BY c_acctbal DESC, c_custkey) AS rn,
+      |  round(c_acctbal / sum(c_acctbal) OVER (PARTITION BY c_nationkey) * 100, 4) AS share
+      | FROM customer) q WHERE rn <= 2 ORDER BY c_nationkey, rn""".stripMargin))
+
+  private val q37 = QDef("q37_rollup_hierarchy",
+    (s, dir) => {
+      val c = T(s, dir, "customer"); val n = T(s, dir, "nation"); val r = T(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(round(sum("c_acctbal"), 4).as("sum_bal"), count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+    },
+    Some("""SELECT r_name, n_name, round(sum(c_acctbal), 4) AS sum_bal, count(*) AS n
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      | JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin))
+
+  private val q38 = QDef("q38_stream_event_windows",
+    (s, dir) => EventStreams.runHourly(s, dir),
+    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+      | event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin))
+
+  def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
+    q35, q36, q37, q38)
 }

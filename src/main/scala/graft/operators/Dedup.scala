@@ -18,6 +18,12 @@ object Dedup {
   def hash60(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
+  /** 28-bit variant for MinHash permutations: (a*x + b) stays far below
+    * 2^63, so Spark (wrapping) and DuckDB (overflow-raising) compute the
+    * identical value. */
+  def hash28(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 7), 16, 10).cast("long")
+
   /** Exact dedup: keep the min-id row per distinct content hash.
     * Deterministic (dropDuplicates keeps an arbitrary row — useless under an
     * oracle). Two hash-aggregations + a semi join, all on the same key, so
@@ -33,17 +39,19 @@ object Dedup {
   /** Word shingles of size k from a whitespace-tokenized text column. */
   def shingles(text: Column, k: Int): Column = {
     val toks = split(text, " ")
-    // sliding window via transform over start indices; [] when < k tokens
-    array_distinct(filter(
-      transform(sequence(lit(0), greatest(size(toks) - k, lit(0)) - 1),
-        i => concat_ws(" ", slice(toks, i + 1, lit(k)))),
-      s => s.isNotNull))
+    // sliding window over start indices; [] for docs shorter than k tokens
+    // (guard matters: sequence(0, n-k) runs DESCENDING when n < k)
+    array_distinct(when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+      .otherwise(array().cast("array<string>")))
   }
 
   /** MinHash signature: for permutation i, h_i(x) = (a_i*x + b_i) mod p over
-    * hash60 shingle values; signature element = min over shingles. Emitted as
-    * array<long> of length `numPerm`. */
-  val MinhashPrime: Long = 2305843009213693951L // 2^61 - 1
+    * hash28 shingle values; signature element = min over shingles. Emitted as
+    * array<long> of length `numPerm`. p = 2^31-1; x < 2^28 and a <= 2n+1 keep
+    * a*x+b well inside int64 for both engines. */
+  val MinhashPrime: Long = 2147483647L // 2^31 - 1
   def minhashParams(numPerm: Int): Seq[(Long, Long)] =
     (1 to numPerm).map(i => (2L * i + 1L, 7919L * i))
 
@@ -67,7 +75,7 @@ object Dedup {
     val rowsPerBand = numPerm / bands
     val sig = df
       .select(id.as("__id"),
-        minhashSignature(transform(shingles(text, shingleSize), hash60 _), numPerm).as("__sig"))
+        minhashSignature(transform(shingles(text, shingleSize), hash28 _), numPerm).as("__sig"))
       .where(size(col("__sig")) > 0)
     val banded = sig.select(col("__id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -131,7 +139,9 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Embedding-cosine near-dup pairs within a blocking key. */
+  /** Embedding-cosine near-dup pairs within a blocking key. The threshold is
+    * applied to the ROUNDED similarity (4 dp) so engines whose raw floating
+    * sums differ in the last ulps agree on the boundary set. */
   def embeddingNearDup(df: DataFrame, emb: Column, id: Column, block: Column,
                        minCos: Double): DataFrame = {
     val t = df.select(id.as("__id"), block.as("__blk"), emb.cast("array<double>").as("__e"))
@@ -139,7 +149,7 @@ object Dedup {
     val b = t.select(col("__blk"), col("__id").as("id_b"), col("__e").as("e_b"))
     a.join(b, Seq("__blk"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", Similarity.cosine(col("e_a"), col("e_b")))
+      .withColumn("cos_sim", round(Similarity.cosine(col("e_a"), col("e_b")), 4))
       .where(col("cos_sim") >= minCos)
       .select("id_a", "id_b", "cos_sim")
   }

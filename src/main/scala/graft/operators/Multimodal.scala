@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video travel as opaque `binary`
+  * columns plus a typed metadata struct; decode / feature-extraction runs
+  * per-partition over the binary payloads.
+  *
+  * The decode step itself is a STUB (no media codecs in this environment):
+  * deterministic fake features derived from the raw bytes. Everything
+  * Spark-side — schema, partition-batched execution, feature signature —
+  * is real and tested; a production decoder only swaps the body of
+  * [[decodeStub]].
+  */
+object Multimodal {
+  /** Synthesize a media table from the documents fixture: payload = UTF-8
+    * bytes of the text (an opaque blob as far as the pipeline is concerned),
+    * metadata derived deterministically from doc_id. */
+  def mediaFrame(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      col("text").cast("binary").as("media"),
+      struct(
+        (col("doc_id") % 640 + 16).cast("int").as("width"),
+        (col("doc_id") % 480 + 16).cast("int").as("height"),
+        element_at(array(lit("jpeg"), lit("png"), lit("webp")),
+          (col("doc_id") % 3 + 1).cast("int")).as("format")).as("meta"))
+
+  /** Expression-path features over the binary column (codegen'd, oracle-
+    * checkable): byte length + content hash. */
+  def featureColumns(media: Column): Seq[Column] = Seq(
+    octet_length(media).cast("long").as("n_bytes"),
+    Dedup.hash60(media).as("content_hash"))
+
+  // ---- per-partition decode path (the mapInPandas-equivalent seam) ----
+
+  case class MediaRow(doc_id: Long, media: Array[Byte],
+                      width: Int, height: Int, format: String)
+  case class MediaFeatures(doc_id: Long, n_bytes: Long, content_hash: Long,
+                           mean_byte: Double)
+
+  /** Flatten [[mediaFrame]] output into the typed row shape. */
+  def mediaRows(docs: DataFrame): Dataset[MediaRow] =
+    mediaFrame(docs).select(col("doc_id"), col("media"),
+      col("meta.width").as("width"), col("meta.height").as("height"),
+      col("meta.format").as("format"))
+      .as[MediaRow](Encoders.product[MediaRow])
+
+  /** JVM twin of [[Dedup.hash60]] (md5 hex prefix -> long). */
+  def hash60Jvm(bytes: Array[Byte]): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** STUB decoder: a real implementation would hand `r.media` to an image/
+    * audio codec here (one partition = one batch, so codec state amortizes
+    * across rows exactly like a pandas-UDF batch). The fake features are
+    * deterministic functions of the bytes so the plumbing is testable. */
+  private def decodeStub(r: MediaRow): MediaFeatures = {
+    val sum = r.media.foldLeft(0L)((a, b) => a + (b & 0xff))
+    MediaFeatures(r.doc_id, r.media.length.toLong, hash60Jvm(r.media),
+      if (r.media.isEmpty) 0d else sum.toDouble / r.media.length)
+  }
+
+  /** Per-partition feature extraction. Narrow transform — no shuffle; at
+    * 100 TB the only knob that matters is input partition sizing
+    * (maxPartitionBytes) so each decode batch fits executor memory. */
+  def decodeFeatures(ds: Dataset[MediaRow]): Dataset[MediaFeatures] =
+    ds.mapPartitions(it => it.map(decodeStub))(Encoders.product[MediaFeatures])
+}

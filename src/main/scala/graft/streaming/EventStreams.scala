@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table (extension beyond reference
+  * parity — the reference has no streaming surface, SURVEY §2.13).
+  *
+  * The batch q23 hourly aggregation upgraded to a stream: file source ->
+  * event-time tumbling window + watermark -> sink. Locally the stream is
+  * driven to completion with Trigger.AvailableNow, which is also the
+  * production backfill story; a live deployment only changes the trigger.
+  */
+object EventStreams {
+  /** events.parquet schema with ts as raw nanos (see Tables.t). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // file-stream sources require a directory: point at the sf dir and
+    // glob-filter to the events table
+    spark.readStream.schema(eventSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  /** Event-time tumbling 1-hour window aggregation with a 1-hour watermark.
+    * State is keyed by (window, event_type) — bounded by the watermark, so
+    * it holds at any scale; the shuffle key matches the aggregation key. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+
+  /** Drive the stream over the bounded fixture and return the final result
+    * as a batch DataFrame (memory sink, complete mode). */
+  def runHourly(spark: SparkSession, dir: String,
+                name: String = "graft_stream_hourly"): DataFrame = {
+    spark.catalog.dropTempView(name)
+    val q = hourlyAgg(readEventStream(spark, dir))
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).select(
+      date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+      col("event_type"), col("n"), round(col("sum_value"), 4).as("sum_value"))
+      .orderBy("hour_ts", "event_type")
+  }
+}
