@@ -56,7 +56,7 @@ object ExtQueries {
       | FROM documents),
       |sig AS (SELECT doc_id, source, CAST($simhashBitsSql AS BIGINT) AS sig FROM hs)
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |  bit_count(xor(a.sig, b.sig)) AS hamming
+      |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
       |FROM sig a JOIN sig b ON a.source = b.source AND a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.sig, b.sig)) <= 12
       |ORDER BY id_a, id_b""".stripMargin))

@@ -28,8 +28,11 @@ object Pipeline {
     * `E->M` code named `<name>_moe` (reference `src/census_pipeline.py:141-148`).
     * Name-level manipulation only — runs on the driver before the plan. */
   def withMoe(varDict: Map[String, String]): Map[String, String] =
-    varDict ++ varDict.collect { case (code, name) if code.endsWith("E") =>
-      (code.dropRight(1) + "M") -> s"${name}_moe"
+    varDict ++ varDict.collect {
+      // only genuine estimate codes (e.g. B01003_001E) — a bare endsWith("E")
+      // would also mangle non-variable columns like NAME
+      case (code, name) if code.matches("^[A-Z]\\w*_\\d+E$") =>
+        (code.dropRight(1) + "M") -> s"${name}_moe"
     }
 
   /** S5 — API response (list-of-lists, header row first) -> DataFrame with

@@ -112,7 +112,7 @@ object Dedup {
     val b = sigs.select(col("__blk"), col("__id").as("id_b"), col("__sig").as("sig_b"))
     a.join(b, Seq("__blk"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
       .where(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")
   }

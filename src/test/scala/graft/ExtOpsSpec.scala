@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class ExtOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Dedup.exact keeps the min-id row per duplicate text") {
+    val df = Seq((3L, "same text", "s1"), (1L, "same text", "s2"), (2L, "other", "s3"))
+      .toDF("doc_id", "text", "source")
+    val got = rows(Dedup.exact(df, col("text"), col("doc_id")).orderBy("doc_id"))
+    assert(got.map(_.getLong(0)) === Seq(1L, 2L))
+  }
+
+  test("shingles: sliding windows, short docs -> empty (no descending-sequence bug)") {
+    val df = Seq("a b c d", "a b", "a").toDF("t")
+    val got = rows(df.select(Dedup.shingles(col("t"), 3).as("s")))
+    assert(got.head.getSeq[String](0).toSet === Set("a b c", "b c d"))
+    assert(got(1).getSeq[String](0).isEmpty)
+    assert(got(2).getSeq[String](0).isEmpty)
+  }
+
+  test("minhash: identical docs share full signature; disjoint docs don't") {
+    val df = Seq((1L, "w1 w2 w3 w4 w5"), (2L, "w1 w2 w3 w4 w5"), (3L, "x1 x2 x3 x4 x5"))
+      .toDF("id", "t")
+    val cand = rows(Dedup.minhashCandidates(df, col("t"), col("id"), 3, 16, 4)
+      .orderBy("id_a", "id_b"))
+    assert(cand.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) === Seq((1L, 2L, 4L)))
+  }
+
+  test("simhash: identical -> hamming 0; pairs beyond maxDist filtered") {
+    val df = Seq((1L, "alpha beta gamma delta", "s"), (2L, "alpha beta gamma delta", "s"),
+      (3L, "zz yy xx ww vv uu", "s")).toDF("id", "t", "src")
+    val got = rows(Dedup.simhashNearDup(df, col("t"), col("id"), col("src"), maxDist = 0))
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) === Seq((1L, 2L, 0L)))
+  }
+
+  test("jaccard known value") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    assert(rows(df.select(Dedup.jaccard(col("x"), col("y")))).head.getDouble(0) === 0.5)
+  }
+
+  test("cosine known value + bruteForceTopK ranks self-match first") {
+    val df = Seq((Seq(1.0, 0.0), Seq(1.0, 0.0)), (Seq(1.0, 0.0), Seq(0.0, 1.0)))
+      .toDF("a", "b")
+    val cos = rows(df.select(Similarity.cosine(col("a"), col("b")))).map(_.getDouble(0))
+    assert(cos === Seq(1.0, 0.0))
+    val e = Tables.t(spark, sf, "embeddings")
+    val q = e.orderBy("vec_id").limit(1)
+    val top = rows(Similarity.bruteForceTopK(e, col("embedding"), col("vec_id"),
+      q, col("embedding"), 5))
+    assert(top.head.getLong(0) === rows(q.select("vec_id")).head.getLong(0))
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
+    assert(top.map(_.getDouble(1)).sliding(2).forall(p => p.head >= p.last)) // desc
+  }
+
+  test("lshTopK: approximate results are a subset of plausible matches incl. self") {
+    val e = Tables.t(spark, sf, "embeddings")
+    val q = e.orderBy("vec_id").limit(1)
+    val got = rows(Similarity.lshTopK(e, col("embedding"), col("vec_id"),
+      q, col("embedding"), 10))
+    assert(got.nonEmpty)
+    assert(got.head.getLong(0) === rows(q.select("vec_id")).head.getLong(0)) // self in own bucket
+  }
+
+  test("langId: clear stopword signals win; no signal -> und") {
+    val df = Seq("the cat and the dog in a house", "la casa es un lugar por el sol",
+      "qqq www zzz").toDF("text")
+    val got = rows(df.select(TextAnalysis.langId(col("text")))).map(_.getString(0))
+    assert(got === Seq("en", "es", "und"))
+  }
+
+  test("quality score is bounded and penalizes degenerate docs") {
+    val df = Seq("the quick brown fox jumps over the lazy dog again and again today",
+      "x x x x").toDF("text")
+    val got = rows(df.select(TextAnalysis.qualityScore(col("text")))).map(_.getDouble(0))
+    assert(got.forall(v => v >= 0 && v <= 1))
+    assert(got.head > got(1))
+  }
+
+  test("fingerprint: deterministic and order-sensitive") {
+    val df = Seq("a b c", "a b c", "c b a").toDF("text")
+    val got = rows(df.select(TextAnalysis.fingerprint(col("text")))).map(_.getLong(0))
+    assert(got(0) === got(1))
+    assert(got(0) !== got(2))
+  }
+
+  test("multimodal: per-partition decode path agrees with expression path") {
+    val docs = Tables.t(spark, sf, "documents").limit(50)
+    val exprPath = rows(Multimodal.mediaFrame(docs)
+      .select(Seq(col("doc_id")) ++ Multimodal.featureColumns(col("media")): _*)
+      .orderBy("doc_id"))
+    val mpPath = rows(Multimodal.decodeFeatures(Multimodal.mediaRows(docs))
+      .toDF().select("doc_id", "n_bytes", "content_hash").orderBy("doc_id"))
+    assert(exprPath.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) ===
+      mpPath.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+  }
+
+  test("streaming hourly agg equals batch hourly agg") {
+    val streamed = rows(EventStreams.runHourly(spark, sf, "graft_stream_spec"))
+    val batch = rows(Tables.t(spark, sf, "events")
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .orderBy("hour_ts", "event_type"))
+    assert(streamed === batch)
+  }
+}

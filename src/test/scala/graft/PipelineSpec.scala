@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.CensusApi
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("parseApiResponse: header->schema, rename, numeric coercion (S5/P1/P2)") {
+    val payload = Seq(
+      Seq("B01003_001E", "NAME", "state"),
+      Seq("1234", "Alabama", "01"),
+      Seq("oops", "Alaska", "02"))
+    val df = Pipeline.parseApiResponse(spark, payload, Map("B01003_001E" -> "total_population"))
+    assert(df.columns.toSeq === Seq("total_population", "NAME", "state"))
+    val got = rows(df.orderBy("state"))
+    assert(got.head.getDouble(0) === 1234.0)
+    assert(got(1).isNullAt(0)) // errors="coerce" -> null
+  }
+
+  test("withMoe expands *E codes to *M with _moe suffix (P5)") {
+    val m = Pipeline.withMoe(Map("B01003_001E" -> "pop", "NAME" -> "name"))
+    assert(m === Map("B01003_001E" -> "pop", "NAME" -> "name", "B01003_001M" -> "pop_moe"))
+  }
+
+  test("withGeoid builds from available geography columns (E1)") {
+    val df = Seq(("06", "037")).toDF("state", "county")
+    assert(rows(Pipeline.withGeoid(df).select("GEOID")).head.getString(0) === "06037")
+  }
+
+  test("batchUnion: failure tolerance + unionByName null-fill (U1/X1)") {
+    val good1 = () => Seq((1, "a")).toDF("k", "x")
+    val good2 = () => Seq((2, 9.9)).toDF("k", "y") // different columns
+    val bad = () => throw new RuntimeException("source down")
+    val out = Pipeline.batchUnion(Seq(good1, bad, good2))
+    assert(out.count() === 2 && out.columns.toSet === Set("k", "x", "y"))
+    assertThrows[IllegalArgumentException](Pipeline.batchUnion(Seq(bad)))
+  }
+
+  test("joinBoundaries keeps all data rows, null geometry for unmatched (J1)") {
+    val data = Seq(("06037", 1.0), ("99999", 2.0)).toDF("GEOID", "v")
+    val bounds = Seq(("06037", "WKT:poly")).toDF("GEOID", "geometry")
+    val got = rows(Pipeline.joinBoundaries(data, bounds).orderBy("GEOID"))
+    assert(got.size === 2)
+    assert(got.head.getString(1) === "WKT:poly")
+    assert(got(1).isNullAt(1))
+  }
+
+  test("export: csv drops geometry, geo formats require it, unknown format throws (S9-S14)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_export").toString
+    val df = Seq(("a", "WKT:x", 1.0)).toDF("k", "geometry", "v")
+    Pipeline.export(df, s"$tmp/csv", "csv")
+    val back = spark.read.option("header", "true").csv(s"$tmp/csv")
+    assert(back.columns.toSeq === Seq("k", "v"))
+    assertThrows[IllegalArgumentException](
+      Pipeline.export(df.drop("geometry"), s"$tmp/gj", "geojson"))
+    Pipeline.export(df, s"$tmp/gj", "geojson") // has geometry -> ok
+    assertThrows[IllegalArgumentException](Pipeline.export(df, s"$tmp/x", "xlsx"))
+  }
+
+  test("jdbcWriter maps if_exists to SaveMode; unknown throws (S15)") {
+    val df = Seq(1).toDF("v")
+    Pipeline.jdbcWriter(df, "replace") // configures; no live DB to write to
+    assertThrows[IllegalArgumentException](Pipeline.jdbcWriter(df, "sideways"))
+  }
+
+  test("CensusApi: state key normalization FIPS/name/abbrev + errors (E9)") {
+    assert(CensusApi.normalizeStateKey("6") === "06")
+    assert(CensusApi.normalizeStateKey("CA") === "06")
+    assert(CensusApi.normalizeStateKey("California") === "06")
+    assertThrows[IllegalArgumentException](CensusApi.normalizeStateKey("Atlantis"))
+    assertThrows[IllegalArgumentException](CensusApi.normalizeStateKey("03"))
+  }
+
+  test("CensusApi: endpoint routing + decennial year validation (S1-S4)") {
+    assert(CensusApi.endpoint("acs5", 2022).endsWith("/2022/acs/acs5"))
+    assert(CensusApi.endpoint("decennial", 2020).endsWith("/dec/dhc"))
+    assert(CensusApi.endpoint("decennial", 2010).endsWith("/dec/sf1"))
+    assertThrows[IllegalArgumentException](CensusApi.endpoint("decennial", 2015))
+    assertThrows[IllegalArgumentException](CensusApi.endpoint("mystery", 2022))
+  }
+
+  test("CensusApi: geography clause construction + unknown geography (P7)") {
+    assert(CensusApi.geographyClause("state", Some("06"), None) === Map("for" -> "state:06"))
+    assert(CensusApi.geographyClause("tract", Some("06"), Some("037")) ===
+      Map("for" -> "tract:*", "in" -> "state:06 county:037"))
+    assertThrows[IllegalArgumentException](CensusApi.geographyClause("hexgrid", None, None))
+    val p = CensusApi.buildParams(Seq("B01003_001E"), "county", Some("06"), apiKey = Some("k"))
+    assert(p("get") === "B01003_001E" && p("key") === "k" && p("in") === "state:06")
+  }
+
+  test("aggregateToGeography: per-column named aggs + property sum(state)==sum(county) (A1)") {
+    val df = Seq(("06037111111", 1.0), ("06037222222", 2.0), ("06038111111", 4.0))
+      .toDF("GEOID", "v")
+    val county = Agg.aggregateToGeography(df, "county", Map("v" -> "sum"))
+    val state = Agg.aggregateToGeography(df, "state", Map("v" -> "sum"))
+    assert(rows(county.orderBy("GEOID")).map(_.getDouble(1)) === Seq(3.0, 4.0))
+    assert(rows(state).head.getDouble(1) ===
+      rows(county).map(_.getDouble(1)).sum) // additive-measure invariant
+    assertThrows[IllegalArgumentException](
+      Agg.aggregateToGeography(df, "county", Map("v" -> "mode")))
+  }
+}
