@@ -48,73 +48,90 @@ object Dedup {
   }
 
   /** MinHash signature: for permutation i, h_i(x) = (a_i*x + b_i) mod p over
-    * hash28 shingle values; signature element = min over shingles. Emitted as
-    * array<long> of length `numPerm`. p = 2^31-1; x < 2^28 and a <= 2n+1 keep
-    * a*x+b well inside int64 for both engines. */
+    * hash28 shingle values; signature element = min over shingles.
+    * p = 2^31-1; x < 2^28 and a <= 2n+1 keep a*x+b well inside int64 for
+    * both engines. */
   val MinhashPrime: Long = 2147483647L // 2^31 - 1
   def minhashParams(numPerm: Int): Seq[(Long, Long)] =
     (1 to numPerm).map(i => (2L * i + 1L, 7919L * i))
 
-  def minhashSignature(shingleHashes: Column, numPerm: Int): Column = {
-    val perms = minhashParams(numPerm)
-    array(perms.map { case (a, b) =>
-      array_min(transform(shingleHashes,
-        x => pmod(x * lit(a) + lit(b), lit(MinhashPrime))))
-    }: _*)
+  /** Per-doc MinHash signature as (__id, __sig array<long>). Shaped for
+    * scale: explode to one row per (doc, shingle) so md5 runs exactly once
+    * per shingle, then ONE hash-aggregate with numPerm cheap min() columns —
+    * map-side partial aggregation shrinks the shuffle to numPerm longs per
+    * doc per partition. (An array-expression formulation inlines the hashed
+    * shingle array into every array_min, recomputing md5 numPerm times.) */
+  def minhashSignatures(df: DataFrame, text: Column, id: Column,
+                        shingleSize: Int, numPerm: Int): DataFrame = {
+    val hashed = df
+      .select(id.as("__id"), explode(shingles(text, shingleSize)).as("__sh"))
+      .select(col("__id"), hash28(col("__sh")).as("__x"))
+    val aggs = minhashParams(numPerm).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("__x") * lit(a) + lit(b), lit(MinhashPrime))).as(s"__m$i")
+    }
+    hashed.groupBy(col("__id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("__id"),
+        array((0 until numPerm).map(i => col(s"__m$i")): _*).as("__sig"))
   }
 
   /** MinHash+LSH near-dup candidate pairs: signature is cut into `bands`
     * bands of `rowsPerBand`; documents sharing any band hash become a
     * candidate pair (the classic banding scheme). Join key = (band index,
-    * band content) so comparisons stay within buckets. Returns
+    * band content) so comparisons stay within buckets. The self-join keeps
+    * BOTH sides the identical plan (aliases applied only after the join) so
+    * Spark's ReuseExchange evaluates the signature pipeline once. Returns
     * (id_a, id_b, n_shared_bands) with id_a < id_b. */
   def minhashCandidates(df: DataFrame, text: Column, id: Column,
                         shingleSize: Int = 3, numPerm: Int = 16,
                         bands: Int = 4): DataFrame = {
     require(numPerm % bands == 0, "numPerm must divide into bands")
     val rowsPerBand = numPerm / bands
-    val sig = df
-      .select(id.as("__id"),
-        minhashSignature(transform(shingles(text, shingleSize), hash28 _), numPerm).as("__sig"))
-      .where(size(col("__sig")) > 0)
+    val sig = minhashSignatures(df, text, id, shingleSize, numPerm)
     val banded = sig.select(col("__id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
       .select(col("__id"), col("pos").as("__band"), col("col").cast("string").as("__bucket"))
-    val a = banded.select(col("__band"), col("__bucket"), col("__id").as("id_a"))
-    val b = banded.select(col("__band"), col("__bucket"), col("__id").as("id_b"))
-    a.join(b, Seq("__band", "__bucket"))
-      .where(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
+    banded.as("a").join(banded.as("b"),
+        col("a.__band") === col("b.__band") && col("a.__bucket") === col("b.__bucket"))
+      .where(col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
-  /** SimHash: 64-bit signature where bit j is set iff the sum over tokens of
-    * sign(bit j of token-hash) is positive. Near-dups = pairs with small
-    * Hamming distance. Pure expression fold over 64 bit positions. */
-  def simhash(text: Column): Column = {
-    val tokHashes = transform(split(text, " "), hash60 _)
-    val bitCols = (0 until 60).map { j =>
-      val votes = aggregate(tokHashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
-      when(votes > 0, lit(1L << j)).otherwise(lit(0L))
+  /** Per-doc 60-bit SimHash signature as (__id, __blk, __sig): bit j is set
+    * iff the sum over tokens of sign(bit j of token-hash) is positive.
+    * Shaped for scale like [[minhashSignatures]]: explode tokens, md5 once
+    * per token, then ONE hash-aggregate with 60 cheap sum() vote columns
+    * (partial agg = 60 longs/doc on the shuffle). An expression formulation
+    * (aggregate() per bit) inlines the token-hash array 60 times. */
+  def simhashSignatures(df: DataFrame, text: Column, id: Column,
+                        block: Column): DataFrame = {
+    val toks = df
+      .select(id.as("__id"), block.as("__blk"), explode(split(text, " ")).as("__t"))
+      .select(col("__id"), col("__blk"), hash60(col("__t")).as("__h"))
+    val votes = (0 until 60).map { j =>
+      sum(when(shiftright(col("__h"), j).bitwiseAND(lit(1L)) === 1L, lit(1L))
+        .otherwise(lit(-1L))).as(s"__v$j")
     }
-    bitCols.reduce(_.bitwiseOR(_))
+    toks.groupBy(col("__id"), col("__blk")).agg(votes.head, votes.tail: _*)
+      .select(col("__id"), col("__blk"),
+        (0 until 60).map(j =>
+          when(col(s"__v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("__sig"))
   }
 
   /** SimHash near-dup pairs within a blocking key (e.g. source), keeping
     * pairs with Hamming distance <= maxDist. Blocking bounds the quadratic
-    * comparison; at scale, block on bit-prefix of the signature instead. */
+    * comparison; at scale, block on bit-prefix of the signature instead.
+    * Identical-plan self-join -> ReuseExchange computes signatures once. */
   def simhashNearDup(df: DataFrame, text: Column, id: Column, block: Column,
                      maxDist: Int = 8): DataFrame = {
-    val sigs = df.select(id.as("__id"), block.as("__blk"), simhash(text).as("__sig"))
-    val a = sigs.select(col("__blk"), col("__id").as("id_a"), col("__sig").as("sig_a"))
-    val b = sigs.select(col("__blk"), col("__id").as("id_b"), col("__sig").as("sig_b"))
-    a.join(b, Seq("__blk"))
-      .where(col("id_a") < col("id_b"))
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+    val sigs = simhashSignatures(df, text, id, block)
+    sigs.as("a").join(sigs.as("b"), col("a.__blk") === col("b.__blk"))
+      .where(col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        bit_count(col("a.__sig").bitwiseXOR(col("b.__sig"))).cast("long").as("hamming"))
       .where(col("hamming") <= maxDist)
-      .select("id_a", "id_b", "hamming")
   }
 
   /** Token-set (n-gram) Jaccard similarity between two token-array columns. */
@@ -130,13 +147,11 @@ object Dedup {
                         n: Int = 1, minJ: Double = 0.6): DataFrame = {
     val grams = if (n == 1) array_distinct(split(text, " ")) else shingles(text, n)
     val t = df.select(id.as("__id"), block.as("__blk"), grams.as("__g"))
-    val a = t.select(col("__blk"), col("__id").as("id_a"), col("__g").as("g_a"))
-    val b = t.select(col("__blk"), col("__id").as("id_b"), col("__g").as("g_b"))
-    a.join(b, Seq("__blk"))
-      .where(col("id_a") < col("id_b"))
-      .withColumn("jaccard", jaccard(col("g_a"), col("g_b")))
+    t.as("a").join(t.as("b"), col("a.__blk") === col("b.__blk"))
+      .where(col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        jaccard(col("a.__g"), col("b.__g")).as("jaccard"))
       .where(col("jaccard") >= minJ)
-      .select("id_a", "id_b", "jaccard")
   }
 
   /** Embedding-cosine near-dup pairs within a blocking key. The threshold is
@@ -144,13 +159,17 @@ object Dedup {
     * sums differ in the last ulps agree on the boundary set. */
   def embeddingNearDup(df: DataFrame, emb: Column, id: Column, block: Column,
                        minCos: Double): DataFrame = {
-    val t = df.select(id.as("__id"), block.as("__blk"), emb.cast("array<double>").as("__e"))
-    val a = t.select(col("__blk"), col("__id").as("id_a"), col("__e").as("e_a"))
-    val b = t.select(col("__blk"), col("__id").as("id_b"), col("__e").as("e_b"))
-    a.join(b, Seq("__blk"))
-      .where(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", round(Similarity.cosine(col("e_a"), col("e_b")), 4))
+    // L2 norm precomputed per side (once per vector), not per pair; the
+    // dot/(n_a*n_b) association matches cosine()'s exactly, so rounded
+    // values are bit-identical to the naive per-pair form.
+    val t = df
+      .select(id.as("__id"), block.as("__blk"), emb.cast("array<double>").as("__e"))
+      .select(col("__id"), col("__blk"), col("__e"), Similarity.l2(col("__e")).as("__n"))
+    t.as("a").join(t.as("b"), col("a.__blk") === col("b.__blk"))
+      .where(col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        round(Similarity.dot(col("a.__e"), col("b.__e")) / (col("a.__n") * col("b.__n")), 4)
+          .as("cos_sim"))
       .where(col("cos_sim") >= minCos)
-      .select("id_a", "id_b", "cos_sim")
   }
 }
