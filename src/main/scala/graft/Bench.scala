@@ -11,11 +11,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: JIT/codegen/shuffle machinery + parquet reader paths,
-    // so the first timed query isn't charged for JVM session startup.
-    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Untimed warmup: run every query once at sf0.001. Whole-stage codegen
+    // classes depend on expression shape, not data, so this compiles the
+    // exact generated code the timed pass reuses — the timed numbers then
+    // measure data-scale work, not Janino compilation and JIT.
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    val selected = if (args.nonEmpty) SparkEntry.queries.filter(kv => args.contains(kv._1))
+                   else SparkEntry.queries
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink forces full evaluation of every output column (count()
       // would let Catalyst prune the computed columns out of the plan).

@@ -64,6 +64,12 @@ object ExtQueries {
   private val q27 = QDef("q27_dedup_ngram_jaccard",
     // unigram token sets: bigram+ jaccard is so discriminative on this corpus
     // that near-dup pairs vanish (probed: 1 pair at any threshold)
+    // quadratic-within-block form: this corpus is near-dup-heavy (57% of
+    // in-block pairs qualify at sf0.1), which is the worst case for the
+    // prefix-filtered variant's candidate join; with bounded blocks the
+    // direct form is both faster and simpler. ngramJaccardPairsPrefix is
+    // the web-scale path (huge blocks, low dup rate) — equivalence is
+    // pinned in ExtOpsSpec.
     (s, dir) => Dedup.ngramJaccardPairs(T(s, dir, "documents"),
       col("text"), col("doc_id"), col("source"), n = 1, minJ = 0.6)
       .withColumn("jaccard", round(col("jaccard"), 4))

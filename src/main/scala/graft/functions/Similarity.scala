@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   * distance only runs inside buckets.
   */
 object Similarity {
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, x) => acc + x)
+  /** Dot product via the native codegen expression ([[org.apache.spark.sql.graft.VectorExprs.dot]]):
+    * identical values (same ascending-index summation) to the
+    * aggregate(zip_with(...)) composition, but it stays inside whole-stage
+    * codegen instead of interpreted per-element lambdas. */
+  def dot(a: Column, b: Column): Column = org.apache.spark.sql.graft.VectorExprs.dot(a, b)
 
-  def l2(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0d), (acc, x) => acc + x))
+  def l2(a: Column): Column = sqrt(org.apache.spark.sql.graft.VectorExprs.dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2(a) * l2(b))
 

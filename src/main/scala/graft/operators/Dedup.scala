@@ -134,11 +134,17 @@ object Dedup {
       .where(col("hamming") <= maxDist)
   }
 
-  /** Token-set (n-gram) Jaccard similarity between two token-array columns. */
-  def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - inter)
-  }
+  /** Token-set (n-gram) Jaccard similarity between two token-array columns.
+    * The intersection size is bound through a one-element transform() lambda
+    * so array_intersect — the expensive part — is evaluated ONCE per pair
+    * even though the formula uses it twice; writing `i / (|a|+|b|-i)` with
+    * two size(array_intersect) calls doubles the dominant cost (and doubles
+    * again when Catalyst pushes the >= threshold into a join condition). */
+  def jaccard(a: Column, b: Column): Column =
+    element_at(
+      transform(array(size(array_intersect(a, b)).cast("double")),
+        i => i / (size(a) + size(b) - i)),
+      1)
 
   /** n-gram Jaccard near-dup pairs within a blocking key, threshold >= minJ.
     * Distinct word n-grams as the set; blocking (not all-pairs) is the
@@ -147,10 +153,53 @@ object Dedup {
                         n: Int = 1, minJ: Double = 0.6): DataFrame = {
     val grams = if (n == 1) array_distinct(split(text, " ")) else shingles(text, n)
     val t = df.select(id.as("__id"), block.as("__blk"), grams.as("__g"))
-    t.as("a").join(t.as("b"), col("a.__blk") === col("b.__blk"))
+    // Probe side hash-repartitioned by id (explicit count so AQE cannot
+    // coalesce the tiny shuffle back to one task): a small doc table often
+    // arrives as ONE file split, and the pair-generating broadcast join
+    // would otherwise run serially — the work is in the pairs generated
+    // downstream of the scan, not in the scan rows themselves.
+    val parallelism = df.sparkSession.sessionState.conf.numShufflePartitions
+    t.repartition(parallelism, col("__id")).as("a")
+      .join(t.as("b"), col("a.__blk") === col("b.__blk"))
       .where(col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
         jaccard(col("a.__g"), col("b.__g")).as("jaccard"))
+      .where(col("jaccard") >= minJ)
+  }
+
+  /** Prefix-filtered n-gram Jaccard (PPJoin-style): lossless scale variant
+    * of [[ngramJaccardPairs]]. Tokens get a per-block total order (ascending
+    * document frequency, token tie-break); any pair with J >= minJ must
+    * share a token inside each side's first floor((1-minJ)*|A|)+1 tokens of
+    * that order, so candidates come from an equi-join on (block, prefix
+    * token) instead of the within-block cross product, and exact Jaccard
+    * runs on candidates only. Identical output to the quadratic form; at
+    * scale the candidate count tracks true near-dups, not block-size². */
+  def ngramJaccardPairsPrefix(df: DataFrame, text: Column, id: Column, block: Column,
+                              n: Int = 1, minJ: Double = 0.6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = if (n == 1) array_distinct(split(text, " ")) else shingles(text, n)
+    // intersect 60-bit token hashes, not strings: same set sizes (collision
+    // odds ~1e-9 at corpus scale), far cheaper per-pair comparison
+    val t = df.select(id.as("__id"), block.as("__blk"),
+      array_distinct(transform(grams, hash60 _)).as("__g"))
+    val tok = t.select(col("__id"), col("__blk"), explode(col("__g")).as("__t"))
+    val freq = tok.groupBy("__blk", "__t").agg(count(lit(1)).as("__df"))
+    val prefix = tok.join(freq, Seq("__blk", "__t"))
+      .withColumn("__rank", row_number().over(
+        Window.partitionBy("__blk", "__id").orderBy(col("__df"), col("__t"))))
+      .withColumn("__sz", count(lit(1)).over(Window.partitionBy("__blk", "__id")))
+      .where(col("__rank") <= floor((lit(1.0) - lit(minJ)) * col("__sz")) + 1)
+      .select(col("__blk"), col("__t"), col("__id"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.__blk") === col("b.__blk") && col("a.__t") === col("b.__t") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b")).distinct()
+    cand
+      .join(t.select(col("__id").as("id_a"), col("__g").as("g_a")), Seq("id_a"))
+      .join(t.select(col("__id").as("id_b"), col("__g").as("g_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("g_a"), col("g_b")).as("jaccard"))
       .where(col("jaccard") >= minJ)
   }
 
@@ -165,7 +214,11 @@ object Dedup {
     val t = df
       .select(id.as("__id"), block.as("__blk"), emb.cast("array<double>").as("__e"))
       .select(col("__id"), col("__blk"), col("__e"), Similarity.l2(col("__e")).as("__n"))
-    t.as("a").join(t.as("b"), col("a.__blk") === col("b.__blk"))
+    // same probe-side spread as ngramJaccardPairs: pair generation must not
+    // be serialized by a single input split
+    val parallelism = df.sparkSession.sessionState.conf.numShufflePartitions
+    t.repartition(parallelism, col("__id")).as("a")
+      .join(t.as("b"), col("a.__blk") === col("b.__blk"))
       .where(col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
         round(Similarity.dot(col("a.__e"), col("b.__e")) / (col("a.__n") * col("b.__n")), 4)

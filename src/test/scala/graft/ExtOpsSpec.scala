@@ -35,6 +35,19 @@ class ExtOpsSpec extends SparkSpec {
     assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) === Seq((1L, 2L, 0L)))
   }
 
+  test("prefix-filtered jaccard matches the quadratic form exactly (lossless)") {
+    val docs = Tables.t(spark, sf, "documents").limit(200)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      rows(df.withColumn("jaccard", round(col("jaccard"), 4)).orderBy("id_a", "id_b"))
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val quad = canon(Dedup.ngramJaccardPairs(
+      docs, col("text"), col("doc_id"), col("source"), n = 1, minJ = 0.6))
+    val pref = canon(Dedup.ngramJaccardPairsPrefix(
+      docs, col("text"), col("doc_id"), col("source"), n = 1, minJ = 0.6))
+    assert(pref === quad)
+    assert(quad.nonEmpty) // fixture actually exercises the comparison
+  }
+
   test("jaccard known value") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
     assert(rows(df.select(Dedup.jaccard(col("x"), col("y")))).head.getDouble(0) === 0.5)
