@@ -16,9 +16,12 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * in the engine; `doGenCode` emits a primitive `double` loop that stays
   * inside the generated code of the surrounding join/projection stage.
   *
-  * Summation order is ascending index, exactly like the aggregate() form
-  * and DuckDB's `list_cosine_similarity`, so oracle values stay
-  * bit-identical.
+  * Semantics match the aggregate(zip_with) composition exactly, including
+  * on malformed input: unequal-length arrays and null elements both yield
+  * NULL (zip_with pads the shorter side with null, the product is null, and
+  * a null term nulls the whole sum). Summation order is ascending index,
+  * exactly like the aggregate() form and DuckDB's
+  * `list_cosine_similarity`, so oracle values stay bit-identical.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -26,14 +29,22 @@ case class DotProduct(left: Expression, right: Expression)
     Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
+  // Nullable even over non-null children: length mismatch / null elements
+  // produce NULL.
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -43,12 +54,17 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

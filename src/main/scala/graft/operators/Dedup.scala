@@ -173,8 +173,11 @@ object Dedup {
     * share a token inside each side's first floor((1-minJ)*|A|)+1 tokens of
     * that order, so candidates come from an equi-join on (block, prefix
     * token) instead of the within-block cross product, and exact Jaccard
-    * runs on candidates only. Identical output to the quadratic form; at
-    * scale the candidate count tracks true near-dups, not block-size². */
+    * runs on candidates only. Identical output to the quadratic form modulo
+    * 60-bit token-hash collisions (the final Jaccard here compares hashed
+    * token sets, ~1e-9 per pair at corpus scale; the quadratic form compares
+    * raw strings); at scale the candidate count tracks true near-dups, not
+    * block-size². */
   def ngramJaccardPairsPrefix(df: DataFrame, text: Column, id: Column, block: Column,
                               n: Int = 1, minJ: Double = 0.6): DataFrame = {
     import org.apache.spark.sql.expressions.Window
