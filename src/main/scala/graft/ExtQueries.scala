@@ -94,9 +94,18 @@ object ExtQueries {
       |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.35
       |ORDER BY id_a, id_b""".stripMargin))
 
-  /** ANN via random-hyperplane LSH; hyperplanes are JVM-hash-seeded, so not
-    * SQL-expressible -> rows-only check. Recall vs brute force is asserted in
-    * the unit suite instead. */
+  /** One LSH table's bucket id in DuckDB SQL: the same Rademacher
+    * hyperplanes [[Similarity.planeComponents]] uses, inlined as literals,
+    * so both engines compute the identical sign-of-dot bucket bits
+    * (ascending-index double summation on both sides). */
+  private def lshBucketSql(embExpr: String, table: Int,
+                           numPlanes: Int, dim: Int): String =
+    (0 until numPlanes).map { p =>
+      val plane = Similarity.planeComponents(table * numPlanes + p, dim)
+        .map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product($embExpr, $plane) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
   private val q29 = QDef("q29_ann_lsh",
     (s, dir) => {
       val e = T(s, dir, "embeddings")
@@ -106,7 +115,18 @@ object ExtQueries {
         .select(col("id"), round(col("cos_sim"), 4).as("cos_sim"))
         .orderBy(desc("cos_sim"), col("id"))
     },
-    None)
+    Some {
+      val buckets = (0 until 4).map(t => lshBucketSql("emb", t, 8, 64))
+        .mkString("[", ", ", "]")
+      val anyShared = (1 to 4).map(i => s"b.bk[$i] = q.qbk[$i]").mkString(" OR ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |b AS (SELECT vec_id, emb, $buckets AS bk FROM e),
+        |q AS (SELECT emb AS qemb, bk AS qbk FROM b ORDER BY vec_id LIMIT 1),
+        |topk AS (SELECT b.vec_id AS id, list_cosine_similarity(b.emb, q.qemb) AS c
+        |         FROM b, q WHERE $anyShared
+        |         ORDER BY c DESC, id LIMIT 20)
+        |SELECT id, round(c, 4) AS cos_sim FROM topk ORDER BY cos_sim DESC, id""".stripMargin
+    })
 
   // ------------------------------------------------------------ text family
 

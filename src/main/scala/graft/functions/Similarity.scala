@@ -33,18 +33,22 @@ object Similarity {
       .orderBy(desc("cos_sim"), col("id"))
       .limit(k)
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * a fixed-seed hash mapped to [-1, 1]. Reproducible across runs/engines. */
-  private def planeComponent(plane: Int, dim: Int): Double = {
-    val h = scala.util.hashing.MurmurHash3.productHash((plane, dim, 42))
-    h.toDouble / Int.MaxValue
-  }
+  /** Deterministic Rademacher (±1) hyperplane for a plane index: one sign
+    * per dimension from a fixed-seed hash. ±1 components (instead of
+    * continuous pseudo-random ones) keep the hyperplane constants small
+    * enough to inline as literals into oracle SQL, so the LSH bucketing is
+    * reproducible across engines — and sign-of-dot LSH quality is the same
+    * (Achlioptas 2003: database-friendly random projections). */
+  def planeComponents(plane: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { d =>
+      if (scala.util.hashing.MurmurHash3.productHash((plane, d, 42)) >= 0) 1.0 else -1.0
+    }
 
   /** Random-hyperplane LSH bucket id: one sign bit per plane. `planeOffset`
     * selects a disjoint plane range, giving independent hash tables. */
   def lshBucket(emb: Column, numPlanes: Int, dim: Int, planeOffset: Int = 0): Column = {
     val bits = (0 until numPlanes).map { p =>
-      val plane = array((0 until dim).map(d => lit(planeComponent(planeOffset + p, d))): _*)
+      val plane = array(planeComponents(planeOffset + p, dim).map(lit): _*)
       when(dot(emb, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_.bitwiseOR(_))
