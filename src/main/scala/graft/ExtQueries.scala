@@ -278,6 +278,132 @@ object ExtQueries {
       | event_type, count(*) AS n, round(sum(value), 4) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin))
 
+  // -------------------------------------- ANN (IVF), sessions, rich SQL ops
+
+  private val q39 = QDef("q39_ann_ivf",
+    (s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val cents = Similarity.collectCentroids(e, col("embedding"), col("vec_id"), 16)
+      val q = e.orderBy("vec_id").limit(1)
+      Similarity.ivfTopK(e, col("embedding"), col("vec_id"), q, col("embedding"),
+        k = 10, centroids = cents, nProbe = 4)
+        .select(col("id"), round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy(desc("cos_sim"), col("id"))
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |c AS (SELECT vec_id AS cid, emb AS cemb FROM e ORDER BY vec_id LIMIT 16),
+      |a0 AS (SELECT e.vec_id, e.emb, c.cid,
+      |         row_number() OVER (PARTITION BY e.vec_id
+      |           ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC, c.cid) AS rn
+      |       FROM e, c),
+      |assign AS (SELECT vec_id, emb, cid AS cell FROM a0 WHERE rn = 1),
+      |q AS (SELECT emb AS qemb FROM e ORDER BY vec_id LIMIT 1),
+      |probe AS (SELECT c.cid FROM c, q
+      |          ORDER BY list_cosine_similarity(q.qemb, c.cemb) DESC, c.cid LIMIT 4),
+      |topk AS (SELECT a.vec_id AS id, list_cosine_similarity(a.emb, q.qemb) AS cs
+      |         FROM assign a, q WHERE a.cell IN (SELECT cid FROM probe)
+      |         ORDER BY cs DESC, id LIMIT 10)
+      |SELECT id, round(cs, 4) AS cos_sim FROM topk
+      |ORDER BY cos_sim DESC, id""".stripMargin))
+
+  private val q40 = QDef("q40_sessionize",
+    (s, dir) => Sessionize.userStats(T(s, dir, "events"), "30 minutes")
+      .orderBy("user_id"),
+    Some("""WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      |f AS (SELECT user_id, us, event_id,
+      |        CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+      |             THEN 1 ELSE 0 END AS new_sess
+      |      FROM x WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |se AS (SELECT user_id,
+      |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                             ROWS UNBOUNDED PRECEDING) AS sid
+      |       FROM f),
+      |g AS (SELECT user_id, sid, count(*) AS n_ev FROM se GROUP BY 1, 2)
+      |SELECT user_id, count(*) AS n_sessions, CAST(sum(n_ev) AS BIGINT) AS n_events,
+      |       max(n_ev) AS max_session_events
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin))
+
+  private val q41 = QDef("q41_distinct_agg",
+    (s, dir) => T(s, dir, "events")
+      .groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 4).as("sum_value"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type, count(DISTINCT user_id) AS n_users,
+      | count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin))
+
+  private val q42 = QDef("q42_cube",
+    (s, dir) => {
+      val c = T(s, dir, "customer"); val n = T(s, dir, "nation"); val r = T(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .cube(col("r_name"), col("c_mktsegment"))
+        .agg(round(sum("c_acctbal"), 4).as("sum_bal"), count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("r_name"), asc_nulls_first("c_mktsegment"))
+    },
+    Some("""SELECT r_name, c_mktsegment, round(sum(c_acctbal), 4) AS sum_bal,
+      | count(*) AS n
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      | JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY CUBE(r_name, c_mktsegment)
+      |ORDER BY r_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin))
+
+  private val q43 = QDef("q43_semi_anti_join",
+    (s, dir) => {
+      val c = T(s, dir, "customer"); val o = T(s, dir, "orders")
+      val has = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(lit("has_orders").as("bucket"), col("c_custkey"))
+      val non = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(lit("no_orders").as("bucket"), col("c_custkey"))
+      has.unionByName(non)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), sum("c_custkey").as("key_sum"))
+        .orderBy("bucket")
+    },
+    Some("""WITH b AS (
+      | SELECT 'has_orders' AS bucket, c_custkey FROM customer c
+      | WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      | UNION ALL
+      | SELECT 'no_orders', c_custkey FROM customer c
+      | WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+      |SELECT bucket, count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS key_sum
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin))
+
+  /** View→purchase attribution: for each purchase, the same user's latest
+    * view at/before it (as-of backward join — [[AsofJoin]]). */
+  private val q44 = QDef("q44_asof_join",
+    (s, dir) => {
+      val ev = T(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("view_id"), col("ts").as("view_ts"))
+      AsofJoin.backward(purchases, col("user_id"), col("ts"),
+        views, col("user_id"), col("ts"),
+        rightVals = Seq("view_id", "view_ts"), rightTie = col("view_id"))
+        .select(col("purchase_id"), col("user_id"), col("view_id"),
+          (unix_micros(col("ts")) - unix_micros(col("view_ts"))).as("gap_us"))
+        .orderBy("purchase_id")
+    },
+    Some("""WITH v AS (SELECT user_id AS k, epoch_us(ts) AS us, event_id
+      |           FROM events WHERE event_type = 'view'),
+      |p AS (SELECT user_id AS k, epoch_us(ts) AS us, event_id
+      |      FROM events WHERE event_type = 'purchase'),
+      |u AS (SELECT k, us, 0 AS side, event_id AS vid, us AS vus,
+      |             NULL::BIGINT AS pid FROM v
+      |      UNION ALL
+      |      SELECT k, us, 1, NULL, NULL, event_id FROM p),
+      |c AS (SELECT k, us, side, pid,
+      |        last_value(vid IGNORE NULLS) OVER w AS view_id,
+      |        last_value(vus IGNORE NULLS) OVER w AS view_us
+      |      FROM u WINDOW w AS (PARTITION BY k ORDER BY us, side, vid
+      |                          ROWS UNBOUNDED PRECEDING))
+      |SELECT pid AS purchase_id, k AS user_id, view_id, us - view_us AS gap_us
+      |FROM c WHERE side = 1 ORDER BY purchase_id""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
-    q35, q36, q37, q38)
+    q35, q36, q37, q38, q39, q40, q41, q42, q43, q44)
 }

@@ -54,6 +54,48 @@ object Similarity {
     bits.reduce(_.bitwiseOR(_))
   }
 
+  // ------------------------------------------------------------------- IVF
+
+  /** Collect C coarse centroids driver-side: the C lowest-id embeddings, a
+    * deterministic stand-in for a k-means-trained codebook (training is an
+    * offline job; cell assignment + probe is what the engine serves). The
+    * codebook is small by construction, so it inlines as literal arrays and
+    * cell assignment becomes a narrow per-row expression — no shuffle, no
+    * join, in contrast to a crossJoin-against-centroids formulation. */
+  def collectCentroids(df: DataFrame, emb: Column, id: Column, c: Int): Seq[(Long, Array[Double])] =
+    df.select(id.cast("long").as("id"), emb.cast("array<double>").as("e"))
+      .orderBy("id").limit(c).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+
+  /** The `nProbe` nearest centroid ids to `emb`, best first (cosine
+    * similarity, lower id wins ties). */
+  def nearestCells(emb: Column, centroids: Seq[(Long, Array[Double])], nProbe: Int): Column = {
+    val entries = centroids.map { case (cid, ce) =>
+      struct(cosine(emb, array(ce.map(lit): _*)).as("c"), lit(-cid).as("nid"))
+    }
+    // ascending struct sort = (cos asc, -cid asc); reversed = cos desc, cid asc
+    val best = slice(reverse(array_sort(array(entries: _*))), 1, nProbe)
+    transform(best, e => -e.getField("nid"))
+  }
+
+  /** IVF-flat approximate top-k: every row is assigned to its nearest
+    * centroid cell, the query probes its `nProbe` nearest cells, and exact
+    * cosine runs only inside probed cells. The cell filter is a narrow
+    * predicate against a broadcast single-row query — the big side never
+    * shuffles. */
+  def ivfTopK(df: DataFrame, emb: Column, id: Column,
+              query: DataFrame, queryEmb: Column, k: Int,
+              centroids: Seq[(Long, Array[Double])], nProbe: Int = 4): DataFrame = {
+    val assigned = df.select(id.as("id"), emb.cast("array<double>").as("__e"))
+      .withColumn("__cell", element_at(nearestCells(col("__e"), centroids, 1), 1))
+    val q = query.select(queryEmb.cast("array<double>").as("__q"))
+      .withColumn("__probe", nearestCells(col("__q"), centroids, nProbe))
+    assigned.join(broadcast(q), array_contains(col("__probe"), col("__cell")))
+      .select(col("id"), cosine(col("__e"), col("__q")).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col("id"))
+      .limit(k)
+  }
+
   /** LSH-bucketed approximate top-k: candidates = rows in the query's bucket
     * (across `numTables` independent hash tables to boost recall), exact
     * cosine within candidates only. Bucket ids are tagged with the table

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Sessionization (batch session_window vs flatMapGroupsWithState) and
+  * as-of join semantics on hand-computed frames + the sf0.001 fixture. */
+class SessionAsofSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("sessions: inclusive boundary — new session only when gap > threshold") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L),
+      (1L, ts("2024-01-01 00:29:59"), 2L), // < 30 min after prev -> same
+      (1L, ts("2024-01-01 00:59:59"), 3L), // exactly 30:00 after -> still same
+      (1L, ts("2024-01-01 01:30:00"), 4L), // 30:01 after -> NEW
+      (2L, ts("2024-01-01 12:00:00"), 5L)
+    ).toDF("user_id", "ts", "event_id")
+    val s = Sessionize.sessions(ev, "30 minutes")
+      .orderBy("user_id", "session_start")
+      .select("user_id", "n_events").as[(Long, Long)].collect().toSeq
+    assert(s === Seq((1L, 3L), (1L, 1L), (2L, 1L)))
+  }
+
+  test("userStats matches hand count") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L),
+      (1L, ts("2024-01-01 00:10:00"), 2L),
+      (1L, ts("2024-01-01 02:00:00"), 3L),
+      (2L, ts("2024-01-01 00:00:00"), 4L)
+    ).toDF("user_id", "ts", "event_id")
+    val s = Sessionize.userStats(ev, "30 minutes").orderBy("user_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(s === Seq((1L, 2L, 3L, 2L), (2L, 1L, 1L, 1L)))
+  }
+
+  test("statefulSessions (flatMapGroupsWithState) emits exactly the closed sessions") {
+    implicit val s = spark
+    val ev = Tables.t(spark, sf, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[Sessionize.SessEvent]
+    val streamed = Sessionize.statefulSessions(ev, 1800L * 1000000)
+      .select(col("user_id"), col("start_us"), col("n_events"))
+    // batch truth: all sessions minus each user's last (still open in state)
+    val batch = Sessionize.sessions(Tables.t(spark, sf, "events"), "30 minutes")
+      .select(col("user_id"), unix_micros(col("session_start")).as("start_us"),
+        col("n_events"), col("session_end"))
+    val lastPerUser = batch.groupBy("user_id")
+      .agg(max("session_end").as("session_end"))
+    val closed = batch.join(lastPerUser, Seq("user_id", "session_end"), "left_anti")
+      .drop("session_end")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(closed).isEmpty && closed.exceptAll(streamed).isEmpty)
+  }
+
+  test("asof backward: latest right at/before left ts; ties broken by greatest tie") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "a"),
+                   (1L, ts("2024-01-01 12:00:00"), "b"),
+                   (2L, ts("2024-01-01 10:00:00"), "c"))
+      .toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 100L),
+      (1L, ts("2024-01-01 10:00:00"), 101L), // exactly at left a -> matches a
+      (1L, ts("2024-01-01 10:00:00"), 102L), // same ts, greater id -> wins
+      (1L, ts("2024-01-01 11:00:00"), 103L)  // between a and b
+    ).toDF("k", "ts", "rid")
+    val out = AsofJoin.backward(left, col("k"), col("ts"),
+        right.withColumn("rts", col("ts")), col("k"), col("ts"),
+        rightVals = Seq("rid"), rightTie = col("rid"))
+      .orderBy("tag").select("tag", "rid")
+      .as[(String, Option[Long])].collect().toSeq
+    assert(out === Seq(("a", Some(102L)), ("b", Some(103L)), ("c", None)))
+  }
+
+  test("ivfTopK: self-match first; results subset of brute-force ordering") {
+    val e = Tables.t(spark, sf, "embeddings")
+    val cents = Similarity.collectCentroids(e, col("embedding"), col("vec_id"), 8)
+    val q = e.orderBy("vec_id").limit(1)
+    val ivf = Similarity.ivfTopK(e, col("embedding"), col("vec_id"),
+      q, col("embedding"), k = 10, centroids = cents, nProbe = 3)
+      .as[(Long, Double)].collect().toSeq
+    assert(ivf.head._1 === 0L && math.abs(ivf.head._2 - 1.0) < 1e-9)
+    val brute = Similarity.bruteForceTopK(e, col("embedding"), col("vec_id"),
+      q, col("embedding"), k = 500).as[(Long, Double)].collect().toMap
+    // every ivf hit carries its true cosine
+    ivf.foreach { case (id, c) => assert(math.abs(brute(id) - c) < 1e-9) }
+  }
+}
