@@ -70,8 +70,15 @@ object TextAnalysis {
   /** Document fingerprint: order-sensitive rolling hash over tokens.
     * Token value = ascii(first) * 131^2 + ascii(last) * 131 + length;
     * fold acc = (acc * 31 + tokval) mod 1e9+7. Equivalent DuckDB spelling
-    * uses list_reduce — both engines fold left-to-right. */
-  def fingerprint(text: Column): Column = {
+    * uses list_reduce — both engines fold left-to-right. Backed by the
+    * codegen [[org.apache.spark.sql.graft.Fingerprint]] expression; the
+    * interpreted-lambda spelling survives as [[fingerprintComposed]] and
+    * the unit suite pins the two equal. */
+  def fingerprint(text: Column): Column =
+    org.apache.spark.sql.graft.TextExprs.fingerprint(toks(text))
+
+  /** Reference spelling of [[fingerprint]] via higher-order functions. */
+  def fingerprintComposed(text: Column): Column = {
     val tokVal = (t: Column) =>
       ascii(t.substr(lit(1), lit(1))) * lit(17161L) +
         ascii(t.substr(length(t), lit(1))) * lit(131L) + length(t)

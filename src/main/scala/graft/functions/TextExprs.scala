@@ -1,0 +1,80 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native rolling-hash document fingerprint over a token array.
+  *
+  * Replaces the `aggregate(tokens, 0L, (acc, t) => pmod(acc*31 + tokVal(t),
+  * 1e9+7))` composition: higher-order Catalyst lambdas run interpreted (one
+  * boxed closure call per token, two `substr` allocations inside), which
+  * made the fingerprint the hottest text operator. This expression folds
+  * the same recurrence in one primitive loop that whole-stage codegen
+  * inlines into the surrounding stage.
+  *
+  * Semantics (pinned against the composition in the unit suite, identical
+  * to the DuckDB oracle spelling): token value = cp(first char)*17161 +
+  * cp(last char)*131 + numChars, with cp = code point (DuckDB `ascii`);
+  * empty token contributes 0; fold is left-to-right, acc mod 1_000_000_007.
+  */
+case class Fingerprint(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_fingerprint"
+
+  override def nullSafeEval(a: Any): Any =
+    FingerprintUtil.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"org.apache.spark.sql.graft.FingerprintUtil.compute($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object FingerprintUtil {
+  private val Mod = 1000000007L
+
+  private def codePoint(oneChar: UTF8String): Int = {
+    if (oneChar.numBytes == 0) return 0
+    val b = oneChar.getByte(0)
+    if (b >= 0) b.toInt else oneChar.toString.codePointAt(0)
+  }
+
+  /** Called from generated code (static forwarder of this object). */
+  def compute(arr: ArrayData): Long = {
+    var acc = 0L
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      // Null elements are treated as empty tokens (contribute 0). This
+      // diverges from the lambda form (which nulls the whole fold) but is
+      // unreachable from tokenization: split() never emits null elements.
+      if (s == null) { acc = (acc * 31L) % Mod; i += 1 }
+      else {
+        val nc = s.numChars()
+        val v =
+          if (nc == 0) 0L
+          else codePoint(s.substring(0, 1)) * 17161L +
+            codePoint(s.substring(nc - 1, nc)) * 131L + nc
+        acc = (acc * 31L + v) % Mod
+        i += 1
+      }
+    }
+    acc
+  }
+}
+
+object TextExprs {
+  /** Column-level fingerprint backed by the codegen expression. */
+  def fingerprint(tokens: Column): Column =
+    ExpressionUtils.column(Fingerprint(ExpressionUtils.expression(tokens)))
+}

@@ -98,6 +98,18 @@ class ExtOpsSpec extends SparkSpec {
     assert(got(0) !== got(2))
   }
 
+  test("fingerprint codegen expression equals the lambda composition on the corpus") {
+    val docs = Tables.t(spark, sf, "documents")
+      .union(Seq((-1L, "x", "en", "s", 1L), (-2L, "", "en", "s", 0L),
+        (-3L, "a  b", "en", "s", 4L)) // double space -> empty token
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val diff = docs.select(
+      TextAnalysis.fingerprint(col("text")).as("a"),
+      TextAnalysis.fingerprintComposed(col("text")).as("b"))
+      .where(col("a") =!= col("b") || col("a").isNull =!= col("b").isNull)
+    assert(diff.count() === 0)
+  }
+
   test("multimodal: per-partition decode path agrees with expression path") {
     val docs = Tables.t(spark, sf, "documents").limit(50)
     val exprPath = rows(Multimodal.mediaFrame(docs)
