@@ -24,11 +24,10 @@ object ExtQueries {
     .map { case (a, b) => s"list_min(list_transform(hh, x -> (x*$a + $b) % ${Dedup.MinhashPrime}))" }
     .mkString("[", ", ", "]")
 
-  private val q25 = QDef("q25_dedup_minhash",
-    (s, dir) => Dedup.minhashCandidates(T(s, dir, "documents"),
-      col("text"), col("doc_id"), shingleSize = 3, numPerm = 16, bands = 4)
-      .orderBy("id_a", "id_b"),
-    Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  /** Shared CTE chain producing the raw MinHash band-collision pairs —
+    * used by q25 (pair listing) and q45 (cluster rollup). */
+  private val minhashPairCtes =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (SELECT doc_id, list_distinct(list_transform(range(0, len(t) - 2),
       |         i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
       |       FROM toks WHERE len(t) >= 3),
@@ -37,11 +36,17 @@ object ExtQueries {
       |sig AS (SELECT doc_id, $minhashSigSql AS sig FROM hs),
       |bands AS (SELECT doc_id, b, list_slice(sig, 4*b + 1, 4*b + 4) AS bucket
       |          FROM sig, range(0, 4) AS r(b)),
-      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      |          FROM bands a JOIN bands b
-      |          ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+      |rawpairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |             FROM bands a JOIN bands b
+      |             ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
+
+  private val q25 = QDef("q25_dedup_minhash",
+    (s, dir) => Dedup.minhashCandidates(T(s, dir, "documents"),
+      col("text"), col("doc_id"), shingleSize = 3, numPerm = 16, bands = 4)
+      .orderBy("id_a", "id_b"),
+    Some(s"""WITH $minhashPairCtes
       |SELECT id_a, id_b, count(*) AS n_shared_bands
-      |FROM pairs GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin))
+      |FROM rawpairs GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin))
 
   private val simhashBitsSql = (0 until 60).map { j =>
     s"(CASE WHEN list_sum(list_transform(hh, x -> CASE WHEN ((x >> $j) & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END)"
@@ -404,6 +409,30 @@ object ExtQueries {
       |SELECT pid AS purchase_id, k AS user_id, view_id, us - view_us AS gap_us
       |FROM c WHERE side = 1 ORDER BY purchase_id""".stripMargin))
 
+  /** MinHash pairs -> connected components -> dedup groups: the full
+    * pipeline a dedup pass actually runs (keep min-id doc per cluster). */
+  private val q45 = QDef("q45_dedup_clusters",
+    (s, dir) => {
+      val pairs = Dedup.minhashCandidates(T(s, dir, "documents"),
+        col("text"), col("doc_id"), shingleSize = 3, numPerm = 16, bands = 4)
+        .select("id_a", "id_b")
+      Dedup.connectedComponents(pairs)
+        .groupBy(col("comp").as("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"), max("id").as("max_doc_id"))
+        .orderBy("cluster_id")
+    },
+    Some(s"""WITH RECURSIVE $minhashPairCtes,
+      |mp AS (SELECT DISTINCT id_a, id_b FROM rawpairs),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM mp
+      |          UNION ALL SELECT id_b, id_a FROM mp),
+      |reach(id, comp) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+      |lab AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+      |SELECT comp AS cluster_id, count(*) AS n_docs, max(id) AS max_doc_id
+      |FROM lab GROUP BY comp ORDER BY cluster_id""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
-    q35, q36, q37, q38, q39, q40, q41, q42, q43, q44)
+    q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45)
 }

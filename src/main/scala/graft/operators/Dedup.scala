@@ -228,4 +228,41 @@ object Dedup {
           .as("cos_sim"))
       .where(col("cos_sim") >= minCos)
   }
+
+  /** Connected components over an undirected candidate-pair edge list via
+    * iterative min-label propagation — the clustering step that turns
+    * near-dup PAIRS into dedup GROUPS (keep the min-id doc per component,
+    * drop the rest). Returns (id, comp) for every edge endpoint, where
+    * comp = the smallest doc id reachable from it.
+    *
+    * Scale shape: each iteration is one equi-join plus one min-aggregate,
+    * both shuffle-keyed by node id; converges in O(component diameter)
+    * iterations, and near-dup clusters are shallow (dup stars/chains), so
+    * the cap is generous. Every iteration materializes via localCheckpoint
+    * so the plan doesn't grow with iteration count, and the loop exits
+    * early the first iteration no label improves. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .unionByName(edges
+        .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .localCheckpoint()
+    var comp = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")).localCheckpoint()
+    var i = 0
+    var done = false
+    while (i < maxIter && !done) {
+      val nbr = sym.join(comp, sym("dst") === comp("id"))
+        .groupBy(col("src")).agg(min("comp").as("nbr"))
+      val next = comp.join(nbr, comp("id") === nbr("src"), "left")
+        .select(comp("id"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"),
+          (col("nbr") < col("comp")).as("__improved"))
+        .localCheckpoint()
+      done = next.where(col("__improved")).isEmpty
+      comp = next.drop("__improved")
+      i += 1
+    }
+    comp
+  }
 }

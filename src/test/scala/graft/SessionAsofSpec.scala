@@ -74,6 +74,17 @@ class SessionAsofSpec extends SparkSpec {
     assert(out === Seq(("a", Some(102L)), ("b", Some(103L)), ("c", None)))
   }
 
+  test("connectedComponents: chain, star, and singleton-pair topologies") {
+    // chain 1-2-3-4 (diameter 3), star 10-{11,12,13}, pair 20-21
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("ivfTopK: self-match first; results subset of brute-force ordering") {
     val e = Tables.t(spark, sf, "embeddings")
     val cents = Similarity.collectCentroids(e, col("embedding"), col("vec_id"), 8)
