@@ -85,6 +85,59 @@ class SessionAsofSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("property: connectedComponents == driver-side union-find (random graphs)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val edgeGen = for {
+      a <- Gen.choose(0L, 39L); b <- Gen.choose(0L, 39L) if a != b
+    } yield (math.min(a, b), math.max(a, b))
+    (0 until 3).foreach { round =>
+      val edges = Gen.listOfN(30, edgeGen)
+        .apply(Gen.Parameters.default, Seed(100L + round)).get.distinct
+      // reference: plain union-find over the same edges
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // min-id representative per component
+      val expMin = nodes.groupBy(find).flatMap { case (_, ns) =>
+        val m = ns.min; ns.map(_ -> m)
+      }
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === expMin, s"round $round")
+    }
+  }
+
+  test("property: asof backward == naive per-row max filter (random data)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val rowGen = for {
+      k <- Gen.choose(0L, 4L); t <- Gen.choose(0L, 50L)
+    } yield (k, t)
+    val ls = Gen.listOfN(40, rowGen).apply(Gen.Parameters.default, Seed(7L)).get
+      .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+    val rs = Gen.listOfN(40, rowGen).apply(Gen.Parameters.default, Seed(8L)).get
+      .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+    val left = ls.toDF("k", "ts", "lid")
+    val right = rs.toDF("k", "ts", "rid")
+    val got = AsofJoin.backward(left, col("k"), col("ts"),
+        right, col("k"), col("ts"), rightVals = Seq("rid"), rightTie = col("rid"))
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+    ls.foreach { case (k, t, lid) =>
+      val cand = rs.filter(r => r._1 == k && r._2 <= t)
+      val exp = if (cand.isEmpty) None
+        else Some(cand.maxBy(r => (r._2, r._3))._3) // latest ts, then greatest rid
+      assert(got(lid) === exp, s"left row $lid")
+    }
+  }
+
   test("ivfTopK: self-match first; results subset of brute-force ordering") {
     val e = Tables.t(spark, sf, "embeddings")
     val cents = Similarity.collectCentroids(e, col("embedding"), col("vec_id"), 8)
