@@ -52,4 +52,40 @@ object EventStreams {
       col("event_type"), col("n"), round(col("sum_value"), 4).as("sum_value"))
       .orderBy("hour_ts", "event_type")
   }
+
+  /** Streaming twin of [[Sessionize.sessions]]: session_window aggregation
+    * under a watermark, append mode (session windows don't support complete
+    * — state must be evictable). On a bounded stream only sessions whose
+    * end precedes the final watermark are emitted; the unit suite pins the
+    * emitted set equal to the batch sessions under that cutoff. */
+  def runSessions(spark: SparkSession, dir: String,
+                  gap: String = "30 minutes", watermark: String = "1 hour",
+                  name: String = "graft_stream_sessions"): DataFrame = {
+    spark.catalog.dropTempView(name)
+    val q = readEventStream(spark, dir)
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Streaming exact dedup: watermark-bounded state keyed by the dedup
+    * column — the streaming face of [[Dedup.exact]]'s first stage. */
+  def runDedup(spark: SparkSession, dir: String, keyCols: Seq[String],
+               watermark: String = "1 hour",
+               name: String = "graft_stream_dedup"): DataFrame = {
+    spark.catalog.dropTempView(name)
+    val q = readEventStream(spark, dir)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
 }

@@ -55,6 +55,29 @@ class SessionAsofSpec extends SparkSpec {
     assert(streamed.exceptAll(closed).isEmpty && closed.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming session_window equals batch sessions closed before the watermark") {
+    val streamed = EventStreams.runSessions(spark, sf, name = "graft_sess_spec")
+    val batch = Sessionize.sessions(Tables.t(spark, sf, "events"), "30 minutes")
+    // final watermark = max event time - 1 hour; only sessions whose END is
+    // strictly before it are finalized and emitted in append mode
+    val maxTs = Tables.t(spark, sf, "events").agg(max("ts")).collect().head.getTimestamp(0)
+    val cutoff = new java.sql.Timestamp(maxTs.getTime - 3600 * 1000)
+    val closed = batch.where(col("session_end") < lit(cutoff))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(closed).isEmpty)
+    // every closed batch session is emitted (watermark can only lag behind)
+    assert(closed.exceptAll(streamed).isEmpty)
+  }
+
+  test("streaming dedup emits each key once (equals batch distinct)") {
+    val streamed = EventStreams.runDedup(spark, sf, Seq("user_id", "event_type"),
+      name = "graft_dedup_spec")
+    val batchKeys = Tables.t(spark, sf, "events")
+      .select("user_id", "event_type").distinct().count()
+    assert(streamed.count() === batchKeys)
+    assert(streamed.select("user_id", "event_type").distinct().count() === batchKeys)
+  }
+
   test("asof backward: latest right at/before left ts; ties broken by greatest tie") {
     val left = Seq((1L, ts("2024-01-01 10:00:00"), "a"),
                    (1L, ts("2024-01-01 12:00:00"), "b"),
