@@ -254,15 +254,27 @@ object Dedup {
     while (i < maxIter && !done) {
       val nbr = sym.join(comp, sym("dst") === comp("id"))
         .groupBy(col("src")).agg(min("comp").as("nbr"))
-      val next = comp.join(nbr, comp("id") === nbr("src"), "left")
+      val prop = comp.join(nbr, comp("id") === nbr("src"), "left")
         .select(comp("id"),
           least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"),
           (col("nbr") < col("comp")).as("__improved"))
+      // pointer jumping: comp(v) <- comp(comp(v)) halves label-tree depth,
+      // so rounds scale with log(diameter), not diameter
+      val labels = prop.select(col("id").as("__lid"), col("comp").as("__lcomp"))
+      val next = prop.join(labels, prop("comp") === col("__lid"), "left")
+        .select(prop("id"),
+          coalesce(col("__lcomp"), prop("comp")).as("comp"), col("__improved"))
         .localCheckpoint()
       done = next.where(col("__improved")).isEmpty
+      // superseded labels would otherwise pin executor memory for the rest
+      // of the session (localCheckpoint blocks are not auto-evicted)
+      comp.unpersist(blocking = false)
       comp = next.drop("__improved")
       i += 1
     }
+    // the final comp checkpoint stays alive for downstream consumption;
+    // the edge list is no longer referenced by it
+    sym.unpersist(blocking = false)
     comp
   }
 }
