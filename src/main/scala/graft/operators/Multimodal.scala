@@ -68,4 +68,33 @@ object Multimodal {
     * (maxPartitionBytes) so each decode batch fits executor memory. */
   def decodeFeatures(ds: Dataset[MediaRow]): Dataset[MediaFeatures] =
     ds.mapPartitions(it => it.map(decodeStub))(Encoders.product[MediaFeatures])
+
+  /** STUB resize: a real implementation would decode, rescale, re-encode.
+    * The fake keeps the byte count proportional to the area ratio (stride
+    * sampling of the payload — deterministic), and rewrites the metadata to
+    * the target dimensions. Same narrow per-partition shape as decode. */
+  def resize(ds: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[MediaRow] =
+    ds.mapPartitions(_.map { r =>
+      val ratio = targetW.toDouble * targetH / (r.width.toLong * r.height)
+      val outLen = math.max(1, math.min(r.media.length,
+        math.round(r.media.length * ratio).toInt))
+      val stride = math.max(1.0, r.media.length.toDouble / outLen)
+      val out = Array.tabulate(outLen)(i =>
+        r.media(math.min(r.media.length - 1, (i * stride).toInt)))
+      MediaRow(r.doc_id, out, targetW, targetH, r.format)
+    })(Encoders.product[MediaRow])
+
+  case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Frame sampling for video-shaped payloads: the payload is modeled as a
+    * sequence of fixed-size frames; keep every `every`-th. One input row
+    * fans out to many — a generator (flatMap) shape, still narrow (no
+    * shuffle); at scale the fan-out multiplies row count, not bytes read. */
+  def sampleFrames(ds: Dataset[MediaRow], frameBytes: Int, every: Int): Dataset[Frame] = {
+    require(frameBytes > 0 && every > 0, "frameBytes and every must be positive")
+    ds.flatMap(r =>
+      r.media.grouped(frameBytes).zipWithIndex.collect {
+        case (f, i) if i % every == 0 => Frame(r.doc_id, i, f)
+      })(Encoders.product[Frame])
+  }
 }

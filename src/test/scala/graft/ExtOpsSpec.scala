@@ -121,6 +121,35 @@ class ExtOpsSpec extends SparkSpec {
       mpPath.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
   }
 
+  test("multimodal resize: target dims in metadata, byte count tracks area ratio") {
+    val docs = Tables.t(spark, sf, "documents").limit(20)
+    val in = Multimodal.mediaRows(docs).collect().map(r => r.doc_id -> r).toMap
+    val out = Multimodal.resize(Multimodal.mediaRows(docs), 32, 32).collect()
+    out.foreach { r =>
+      assert(r.width === 32 && r.height === 32)
+      val orig = in(r.doc_id)
+      val expLen = math.max(1, math.min(orig.media.length,
+        math.round(orig.media.length * (32.0 * 32 / (orig.width.toLong * orig.height))).toInt))
+      assert(r.media.length === expLen)
+    }
+  }
+
+  test("multimodal frame sampling: every k-th fixed-size frame, fan-out counted") {
+    val docs = Tables.t(spark, sf, "documents").limit(20)
+    val rowsIn = Multimodal.mediaRows(docs).collect()
+    val frames = Multimodal.sampleFrames(Multimodal.mediaRows(docs), 64, 3).collect()
+    val byDoc = frames.groupBy(_.doc_id)
+    rowsIn.foreach { r =>
+      val nFrames = (r.media.length + 63) / 64
+      val expKept = (0 until nFrames).count(_ % 3 == 0)
+      assert(byDoc.get(r.doc_id).map(_.length).getOrElse(0) === expKept, s"doc ${r.doc_id}")
+      byDoc.getOrElse(r.doc_id, Array.empty[Multimodal.Frame]).foreach { f =>
+        assert(f.frame_idx % 3 === 0)
+        assert(f.frame sameElements r.media.slice(f.frame_idx * 64, f.frame_idx * 64 + 64))
+      }
+    }
+  }
+
   test("streaming hourly agg equals batch hourly agg") {
     val streamed = rows(EventStreams.runHourly(spark, sf, "graft_stream_spec"))
     val batch = rows(Tables.t(spark, sf, "events")
