@@ -320,12 +320,22 @@ object Queries {
       |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 5""".stripMargin))
 
   private val q18 = QDef("q18_global_stats",
-    (s, dir) => T(s, dir, "lineitem").agg(
-      round(dsum(col("l_extendedprice")), 4).as("sum_price"),
-      round(avg("l_extendedprice"), 4).as("avg_price"),
-      round(median(col("l_extendedprice")), 4).as("med_price"),
-      round(min("l_extendedprice"), 4).as("min_price"),
-      round(max("l_extendedprice"), 4).as("max_price")),
+    (s, dir) => {
+      // median/percentile are TypedImperativeAggregates that buffer every
+      // value in the partial phase; a single-split input would build ONE
+      // giant buffer serially. Spreading first parallelizes the partial
+      // phase — on a many-split cluster dataset this repartition is a
+      // no-op cost-wise (same shuffle the buffers pay anyway).
+      val parallelism = s.sessionState.conf.numShufflePartitions
+      T(s, dir, "lineitem").select("l_extendedprice")
+        .repartition(parallelism)
+        .agg(
+          round(dsum(col("l_extendedprice")), 4).as("sum_price"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(median(col("l_extendedprice")), 4).as("med_price"),
+          round(min("l_extendedprice"), 4).as("min_price"),
+          round(max("l_extendedprice"), 4).as("max_price"))
+    },
     Some(s"""SELECT round(${DsumSql.format("l_extendedprice")}, 4) AS sum_price,
       | round(avg(l_extendedprice), 4) AS avg_price,
       | round(median(l_extendedprice), 4) AS med_price,

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale-mechanism specs: bucketed co-located joins (no Exchange) and
+  * salted skew joins (equivalence with the unsalted plan). */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
+    df.collect() // force AQE final plan
+    // AQE wraps materialized shuffles in query stages the TreeNode collect
+    // doesn't descend into — count exchange nodes in the final plan string
+    "(ShuffleQueryStage|Exchange)".r
+      .findAllIn(df.queryExecution.executedPlan.toString).size
+  }
+
+  test("bucketed staging: join on the bucket key plans with zero Exchange") {
+    val c = Tables.t(spark, sf, "customer").select("c_custkey", "c_acctbal")
+      .withColumnRenamed("c_custkey", "custkey")
+    val o = Tables.t(spark, sf, "orders").select("o_custkey", "o_totalprice")
+      .withColumnRenamed("o_custkey", "custkey")
+    Staging.stageBucketed(c, "b_customer", "custkey", 4)
+    Staging.stageBucketed(o, "b_orders", "custkey", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Staging.load(spark, "b_customer")
+        .join(Staging.load(spark, "b_orders"), "custkey")
+      assert(exchanges(joined) === 0,
+        s"expected shuffle-free bucketed join:\n${joined.queryExecution.executedPlan}")
+      // and the same join unbucketed DOES shuffle
+      val plain = c.join(o, "custkey")
+      assert(exchanges(plain) > 0)
+      // results identical
+      assert(joined.orderBy("custkey", "o_totalprice").collect().toSeq ===
+        plain.orderBy("custkey", "o_totalprice").collect().toSeq)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("saltedJoin equals plain inner join; hot key spread across salts") {
+    // skewed big side: one hot key with 2000 rows, tail of 100 keys
+    val big = ((1 to 2000).map(i => (7L, i.toLong)) ++
+      (1 to 100).map(i => (i.toLong % 50, 10000L + i))).toDF("k", "payload")
+    val small = (0L to 60L).map(k => (k, s"dim_$k")).toDF("k", "name")
+    val salted = Skew.saltedJoin(big, small, "k", salts = 8)
+      .orderBy("k", "payload").collect().toSeq
+    val plain = big.join(small, Seq("k"))
+      .orderBy("k", "payload").collect().toSeq
+    assert(salted === plain)
+  }
+
+  test("saltedTwoPhase sum equals direct groupBy sum") {
+    val df = ((1 to 500).map(_ => ("hot", 1L)) ++
+      (1 to 50).map(i => (s"k$i", i.toLong))).toDF("k", "v")
+    val got = Skew.saltedTwoPhase(df, col("k"), col("v"), salts = 4,
+        partial = sum, merge = sum)
+      .as[(String, Long)].collect().toMap
+    val exp = df.groupBy("k").agg(sum("v")).as[(String, Long)].collect().toMap
+    assert(got === exp)
+  }
+}
