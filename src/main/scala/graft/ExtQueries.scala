@@ -433,6 +433,60 @@ object ExtQueries {
       |SELECT comp AS cluster_id, count(*) AS n_docs, max(id) AS max_doc_id
       |FROM lab GROUP BY comp ORDER BY cluster_id""".stripMargin))
 
+  /** Co-located join via bucketed staging tables ([[Staging]]): the join
+    * and aggregation run shuffle-free on the bucket key (plan property
+    * pinned in ScaleSpec); results equal the plain join by construction. */
+  private val q46 = QDef("q46_bucketed_join",
+    (s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val c = T(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_acctbal"))
+      val o = T(s, dir, "orders")
+        .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+      Staging.stageBucketed(c, s"graft_bc_$tag", "custkey", 8)
+      Staging.stageBucketed(o, s"graft_bo_$tag", "custkey", 8)
+      Staging.load(s, s"graft_bc_$tag")
+        .join(Staging.load(s, s"graft_bo_$tag"), "custkey")
+        .groupBy("custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 4).as("sum_spend"),
+          round(max("c_acctbal"), 4).as("acctbal"))
+        .orderBy("custkey")
+    },
+    Some("""SELECT c_custkey AS custkey, count(*) AS n_orders,
+      | round(sum(o_totalprice), 4) AS sum_spend,
+      | round(max(c_acctbal), 4) AS acctbal
+      |FROM customer JOIN orders ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY custkey""".stripMargin))
+
+  /** DuckDB twin of Sampling's hash band: hash60(key || salt) mod 1e6. */
+  private def sampleHashSql(keyExpr: String, salt: String) =
+    s"('0x' || substr(md5(CAST($keyExpr AS VARCHAR) || '$salt'), 1, 15))::BIGINT % 1000000"
+
+  private val q47 = QDef("q47_sample_hash",
+    (s, dir) => Sampling.hashSample(T(s, dir, "documents"), col("doc_id"), 0.25, "s1")
+      .groupBy("source").agg(count(lit(1)).as("n_docs"),
+        round(avg("n_chars"), 4).as("avg_chars"))
+      .orderBy("source"),
+    Some(s"""SELECT source, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+      |FROM documents
+      |WHERE ${sampleHashSql("doc_id", "s1")} < 250000
+      |GROUP BY source ORDER BY source""".stripMargin))
+
+  private val q48 = QDef("q48_split_assign",
+    (s, dir) => T(s, dir, "documents")
+      .withColumn("split", Sampling.splitAssign(col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "sp"))
+      .groupBy("split").agg(count(lit(1)).as("n_docs"),
+        round(avg("n_chars"), 4).as("avg_chars"))
+      .orderBy("split"),
+    Some(s"""WITH h AS (SELECT n_chars,
+      |  ${sampleHashSql("doc_id", "sp")} AS hv FROM documents)
+      |SELECT CASE WHEN hv < 800000 THEN 'train'
+      |            WHEN hv < 900000 THEN 'val' ELSE 'test' END AS split,
+      | count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+      |FROM h GROUP BY 1 ORDER BY split""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
-    q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45)
+    q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48)
 }

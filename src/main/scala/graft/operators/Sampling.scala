@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based sampling and dataset splitting.
+  *
+  * Training pipelines need samples and train/val/test splits that are
+  * REPRODUCIBLE (same rows on every run, every engine, any partitioning)
+  * and STABLE under data growth (a row's assignment never depends on what
+  * other rows exist). `rand()`-based sampling gives neither; hashing a key
+  * column gives both: keep a row iff `hash(key) mod D < frac·D`. The hash
+  * is the same md5-prefix used by [[Dedup.hash60]], so every operator here
+  * is expressible in the DuckDB oracle verbatim.
+  *
+  * Scale shape: pure narrow predicates/projections — no shuffle, no state;
+  * sampling 100 TB costs one scan.
+  */
+object Sampling {
+  private val Denom = 1000000L
+
+  /** Per-mille-precision deterministic sample: keep iff
+    * hash(key ∥ salt) mod 1e6 < frac·1e6. `salt` decorrelates different
+    * samples over the same keys. */
+  def hashSample(df: DataFrame, key: Column, frac: Double, salt: String = ""): DataFrame = {
+    require(frac >= 0 && frac <= 1, s"frac must be in [0,1], got $frac")
+    df.where(pmod(Dedup.hash60(concat(key.cast("string"), lit(salt))), lit(Denom))
+      < (frac * Denom).toLong)
+  }
+
+  /** Train/val/test assignment from cumulative fraction bands of the same
+    * hash — every key lands in exactly one split, independent of all other
+    * rows. `fracs` are (name, fraction) with fractions summing to <= 1;
+    * remainder falls into the last band's name if fractions sum to 1. */
+  def splitAssign(key: Column, fracs: Seq[(String, Double)], salt: String = ""): Column = {
+    require(fracs.nonEmpty && math.abs(fracs.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val h = pmod(Dedup.hash60(concat(key.cast("string"), lit(salt))), lit(Denom))
+    val cuts = fracs.scanLeft(0L) { case (acc, (_, f)) => acc + (f * Denom).toLong }.tail
+    // last band is catch-all so rounding in the cut points can't drop rows
+    fracs.init.zip(cuts.init).foldRight(lit(fracs.last._1): Column) {
+      case (((name, _), cut), other) => when(h < cut, lit(name)).otherwise(other)
+    }
+  }
+}

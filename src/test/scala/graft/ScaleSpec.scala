@@ -50,6 +50,35 @@ class ScaleSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("hashSample: deterministic, nested by fraction, ~frac of rows") {
+    val d = Tables.t(spark, sf, "documents")
+    val s25 = Sampling.hashSample(d, col("doc_id"), 0.25, "t")
+      .select("doc_id").as[Long].collect().toSet
+    val s50 = Sampling.hashSample(d, col("doc_id"), 0.50, "t")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s25.subsetOf(s50), "same-salt samples must be nested")
+    val n = d.count().toDouble
+    assert(math.abs(s25.size / n - 0.25) < 0.1)
+    // rerun -> identical set (determinism)
+    val again = Sampling.hashSample(d, col("doc_id"), 0.25, "t")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === s25)
+  }
+
+  test("splitAssign: total partition, stable under row addition") {
+    val d = Tables.t(spark, sf, "documents")
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val assigned = d.withColumn("split", Sampling.splitAssign(col("doc_id"), fr, "x"))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(assigned.size === d.count())
+    assert(assigned.values.toSet.subsetOf(Set("train", "val", "test")))
+    // assignment of existing keys unchanged when computed over a subset
+    val sub = d.limit(100)
+      .withColumn("split", Sampling.splitAssign(col("doc_id"), fr, "x"))
+      .select("doc_id", "split").as[(Long, String)].collect()
+    sub.foreach { case (id, sp) => assert(assigned(id) === sp) }
+  }
+
   test("saltedTwoPhase sum equals direct groupBy sum") {
     val df = ((1 to 500).map(_ => ("hot", 1L)) ++
       (1 to 50).map(i => (s"k$i", i.toLong))).toDF("k", "v")
