@@ -79,8 +79,9 @@ object ExtQueries {
       col("text"), col("doc_id"), col("source"), n = 1, minJ = 0.6)
       .withColumn("jaccard", round(col("jaccard"), 4))
       .orderBy("id_a", "id_b"),
-    Some("""WITH g AS (SELECT doc_id, source,
-      |        list_distinct(string_split(text, ' ')) AS grams FROM documents),
+    Some(s"""WITH g AS (SELECT doc_id, source,
+      |        list_distinct(list_transform(list_distinct(string_split(text, ' ')),
+      |          s -> ${hashSql("s", 15)})) AS grams FROM documents),
       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |  len(list_intersect(a.grams, b.grams)) * 1.0
       |    / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS j

@@ -148,11 +148,15 @@ object Dedup {
 
   /** n-gram Jaccard near-dup pairs within a blocking key, threshold >= minJ.
     * Distinct word n-grams as the set; blocking (not all-pairs) is the
-    * scale-out story, as with simhash. */
+    * scale-out story, as with simhash. Gram sets are compared as 60-bit
+    * hashes, not strings (identical Jaccard modulo ~1e-9/pair collisions):
+    * the per-pair intersect is the inner loop of a quadratic join, and
+    * long equality beats string equality both in CPU and in allocation. */
   def ngramJaccardPairs(df: DataFrame, text: Column, id: Column, block: Column,
                         n: Int = 1, minJ: Double = 0.6): DataFrame = {
     val grams = if (n == 1) array_distinct(split(text, " ")) else shingles(text, n)
-    val t = df.select(id.as("__id"), block.as("__blk"), grams.as("__g"))
+    val t = df.select(id.as("__id"), block.as("__blk"),
+      array_distinct(transform(grams, hash60 _)).as("__g"))
     // Probe side hash-repartitioned by id (explicit count so AQE cannot
     // coalesce the tiny shuffle back to one task): a small doc table often
     // arrives as ONE file split, and the pair-generating broadcast join
@@ -173,11 +177,9 @@ object Dedup {
     * share a token inside each side's first floor((1-minJ)*|A|)+1 tokens of
     * that order, so candidates come from an equi-join on (block, prefix
     * token) instead of the within-block cross product, and exact Jaccard
-    * runs on candidates only. Identical output to the quadratic form modulo
-    * 60-bit token-hash collisions (the final Jaccard here compares hashed
-    * token sets, ~1e-9 per pair at corpus scale; the quadratic form compares
-    * raw strings); at scale the candidate count tracks true near-dups, not
-    * block-size². */
+    * runs on candidates only. Identical output to the quadratic form (both
+    * compare 60-bit token-hash sets); at scale the candidate count tracks
+    * true near-dups, not block-size². */
   def ngramJaccardPairsPrefix(df: DataFrame, text: Column, id: Column, block: Column,
                               n: Int = 1, minJ: Double = 0.6): DataFrame = {
     import org.apache.spark.sql.expressions.Window
