@@ -46,13 +46,21 @@ object Normalize {
 
   /** N7 — robust: (v - median) / IQR with exact linearly-interpolated
     * percentiles (pandas `quantile` semantics). `percentile_approx` would
-    * silently break oracle parity (SURVEY §7.4.3); at 100 TB swap to a
-    * sketch behind a flag instead. */
-  def robust(df: DataFrame, cols: Seq[String]): DataFrame = {
+    * silently break oracle parity (SURVEY §7.4.3) — so `approx = false` is
+    * the default and the oracle-checked path. `approx = true` is the
+    * 100 TB path: exact percentile buffers EVERY value in the partial
+    * aggregate; the approx sketch (Greenwald-Khanna, `accuracy` controls
+    * the rank error 1/accuracy) is bounded-memory. Closeness of the two
+    * paths is pinned in the unit suite. */
+  def robust(df: DataFrame, cols: Seq[String], approx: Boolean = false,
+             accuracy: Int = 10000): DataFrame = {
+    def pct(c: String, p: Double, alias: String): Column =
+      if (approx) percentile_approx(col(c), lit(p), lit(accuracy)).as(alias)
+      else percentile(col(c), lit(p)).as(alias)
     val stats = cols.flatMap(c => Seq(
-      median(col(c)).as(s"__med_$c"),
-      percentile(col(c), lit(0.75)).as(s"__q3_$c"),
-      percentile(col(c), lit(0.25)).as(s"__q1_$c")))
+      pct(c, 0.5, s"__med_$c"),
+      pct(c, 0.75, s"__q3_$c"),
+      pct(c, 0.25, s"__q1_$c")))
     withStats(df, stats) { j =>
       val out = cols.foldLeft(j)((d, c) => d.withColumn(s"${c}_norm",
         (col(c) - col(s"__med_$c")) / nullif(col(s"__q3_$c") - col(s"__q1_$c"), lit(0))))
