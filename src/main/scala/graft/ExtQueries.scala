@@ -24,10 +24,11 @@ object ExtQueries {
     .map { case (a, b) => s"list_min(list_transform(hh, x -> (x*$a + $b) % ${Dedup.MinhashPrime}))" }
     .mkString("[", ", ", "]")
 
-  /** Shared CTE chain producing the raw MinHash band-collision pairs —
-    * used by q25 (pair listing) and q45 (cluster rollup). */
-  private val minhashPairCtes =
-    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  /** Shared CTE chain producing the raw MinHash band-collision pairs over
+    * relation `src` — used by q25 (pair listing), q45 (cluster rollup) and
+    * q49 (full training-prep pipeline). */
+  private def minhashPairCtesFrom(src: String): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM $src),
       |sh AS (SELECT doc_id, list_distinct(list_transform(range(0, len(t) - 2),
       |         i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
       |       FROM toks WHERE len(t) >= 3),
@@ -39,6 +40,19 @@ object ExtQueries {
       |rawpairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
       |             FROM bands a JOIN bands b
       |             ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
+
+  private val minhashPairCtes = minhashPairCtesFrom("documents")
+
+  /** Recursive-CTE connected components over rawpairs: (id, comp=min id). */
+  private val ccCtes =
+    """mp AS (SELECT DISTINCT id_a, id_b FROM rawpairs),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM mp
+      |          UNION ALL SELECT id_b, id_a FROM mp),
+      |reach(id, comp) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+      |lab AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)""".stripMargin
 
   private val q25 = QDef("q25_dedup_minhash",
     (s, dir) => Dedup.minhashCandidates(T(s, dir, "documents"),
@@ -423,14 +437,7 @@ object ExtQueries {
         .orderBy("cluster_id")
     },
     Some(s"""WITH RECURSIVE $minhashPairCtes,
-      |mp AS (SELECT DISTINCT id_a, id_b FROM rawpairs),
-      |edges AS (SELECT id_a AS src, id_b AS dst FROM mp
-      |          UNION ALL SELECT id_b, id_a FROM mp),
-      |reach(id, comp) AS (
-      |  SELECT src, src FROM edges
-      |  UNION
-      |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
-      |lab AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+      |$ccCtes
       |SELECT comp AS cluster_id, count(*) AS n_docs, max(id) AS max_doc_id
       |FROM lab GROUP BY comp ORDER BY cluster_id""".stripMargin))
 
@@ -488,6 +495,77 @@ object ExtQueries {
       | count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
       |FROM h GROUP BY 1 ORDER BY split""".stripMargin))
 
+  /** The flagship end-to-end training-data prep pipeline, composed from
+    * the operator inventory in ONE lazy plan: language filter -> quality
+    * filter -> exact dedup -> MinHash near-dup clustering (drop non-
+    * representatives) -> deterministic split assignment -> per-split
+    * stats. Every stage is individually oracle-checked (q30, q31, q21,
+    * q25/q45, q48); this query checks their composition. */
+  private val q49 = QDef("q49_training_prep",
+    (s, dir) => {
+      val d = T(s, dir, "documents")
+      val filtered = d.where(TextAnalysis.langId(col("text")) === lit("en") &&
+        round(TextAnalysis.qualityScore(col("text")), 4) >= 0.5)
+      val deduped = Dedup.exact(filtered, col("text"), col("doc_id"))
+      val pairs = Dedup.minhashCandidates(deduped, col("text"), col("doc_id"),
+        shingleSize = 3, numPerm = 16, bands = 4).select("id_a", "id_b")
+      val drop = Dedup.connectedComponents(pairs)
+        .where(col("comp") =!= col("id")).select(col("id").as("doc_id"))
+      deduped.join(drop, Seq("doc_id"), "left_anti")
+        .withColumn("split", Sampling.splitAssign(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "sp"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("n_chars"), 4).as("avg_chars"),
+          min("doc_id").as("min_doc_id"))
+        .orderBy("split")
+    },
+    Some(s"""WITH RECURSIVE tq AS (SELECT doc_id, text, n_chars,
+      |         string_split(text, ' ') AS tk,
+      |         list_distinct(string_split(text, ' ')) AS dtk FROM documents),
+      |sc AS (SELECT doc_id, $langScoreSql
+      |       FROM (SELECT doc_id, dtk AS toks FROM tq)),
+      |lang AS (SELECT doc_id, CASE
+      |  WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de AND s_zh > 0 THEN 'zh'
+      |  WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de AND s_fr > 0 THEN 'fr'
+      |  WHEN s_es >= s_en AND s_es >= s_de AND s_es > 0 THEN 'es'
+      |  WHEN s_en >= s_de AND s_en > 0 THEN 'en'
+      |  WHEN s_de > 0 THEN 'de'
+      |  ELSE 'und' END AS pred FROM sc),
+      |qm AS (SELECT doc_id,
+      |  CAST(len(tk) AS DOUBLE) AS n_tok,
+      |  CAST(length(text) AS DOUBLE) AS n_char,
+      |  CAST(len(dtk) AS DOUBLE) / len(tk) AS ttr,
+      |  CAST(len(list_intersect(dtk, $allStopSql)) AS DOUBLE) / len(dtk) AS stop_ratio
+      | FROM tq),
+      |qf AS (SELECT doc_id,
+      |  (CASE WHEN n_tok >= 10 AND n_tok <= 1000 THEN 1.0 ELSE least(n_tok / 10, 1.0) END) AS len_ok,
+      |  (CASE WHEN (n_char - (n_tok - 1)) / n_tok >= 2 AND (n_char - (n_tok - 1)) / n_tok <= 12
+      |        THEN 1.0 ELSE 0.5 END) AS tok_len_ok,
+      |  ttr, stop_ratio
+      | FROM qm),
+      |qual AS (SELECT doc_id, round(len_ok * 0.3 + tok_len_ok * 0.2
+      |  + least(ttr * 2, 1.0) * 0.3 + least(stop_ratio * 5, 1.0) * 0.2, 4) AS quality
+      | FROM qf),
+      |filtered AS (SELECT t.doc_id, t.text, t.n_chars FROM tq t
+      |  JOIN lang USING (doc_id) JOIN qual USING (doc_id)
+      |  WHERE lang.pred = 'en' AND qual.quality >= 0.5),
+      |dkeep AS (SELECT min(doc_id) AS doc_id FROM filtered GROUP BY md5(text)),
+      |base AS (SELECT f.doc_id, f.text, f.n_chars
+      |         FROM filtered f JOIN dkeep USING (doc_id)),
+      |${minhashPairCtesFrom("base")},
+      |$ccCtes,
+      |kept AS (SELECT b.doc_id, b.n_chars FROM base b
+      |         WHERE NOT EXISTS (SELECT 1 FROM lab
+      |                           WHERE lab.id = b.doc_id AND lab.comp <> lab.id)),
+      |sp AS (SELECT n_chars, doc_id,
+      |         ${sampleHashSql("doc_id", "sp")} AS hv FROM kept)
+      |SELECT CASE WHEN hv < 800000 THEN 'train'
+      |            WHEN hv < 900000 THEN 'val' ELSE 'test' END AS split,
+      | count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+      | min(doc_id) AS min_doc_id
+      |FROM sp GROUP BY 1 ORDER BY split""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
-    q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48)
+    q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49)
 }

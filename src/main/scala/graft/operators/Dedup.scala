@@ -277,6 +277,7 @@ object Dedup {
     // the final comp checkpoint stays alive for downstream consumption;
     // the edge list is no longer referenced by it
     sym.unpersist(blocking = false)
+    System.err.println(s"[cc] converged after $i rounds (maxIter $maxIter)")
     comp
   }
 }
