@@ -89,6 +89,26 @@ class PipelineSpec extends SparkSpec {
     assert(p("get") === "B01003_001E" && p("key") === "k" && p("in") === "state:06")
   }
 
+  test("DataSourceV2 census source: partition-per-state, string schema, composes with coercion (S1-S4/X1)") {
+    graft.sources.CensusPayloads.register("acs5_test",
+      header = Seq("NAME", "B01003_001E", "state"),
+      rowsByState = Map(
+        "06" -> Seq(Seq("Alameda", "1600000", "06"), Seq("Alpine", "bad", "06")),
+        "36" -> Seq(Seq("Albany", "300000", "36"))))
+    val df = spark.read.format("graft.sources.CensusDataSource")
+      .option("payload", "acs5_test").load()
+    assert(df.schema.fields.map(_.dataType).forall(_ ==
+      org.apache.spark.sql.types.StringType))
+    assert(df.rdd.getNumPartitions === 2) // one fetch partition per state
+    assert(df.count() === 3)
+    // downstream coercion projection (P2): invalid numeric -> null
+    val coerced = df.select(col("NAME"),
+      expr("try_cast(B01003_001E AS DOUBLE)").as("total_population"))
+      .orderBy("NAME").collect()
+    assert(coerced.map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1))).toSeq
+      === Seq(Some(1600000d), Some(300000d), None))
+  }
+
   test("aggregateToGeography: per-column named aggs + property sum(state)==sum(county) (A1)") {
     val df = Seq(("06037111111", 1.0), ("06037222222", 2.0), ("06038111111", 4.0))
       .toDF("GEOID", "v")
