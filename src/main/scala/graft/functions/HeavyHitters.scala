@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{Encoder, Encoders, TypedColumn}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Misra-Gries heavy-hitters sketch as a typed `Aggregator` — the
+  * bounded-memory path for "top tokens over 100 TB of text".
+  *
+  * The exact formulation (q22: explode -> groupBy token -> orderBy) keeps
+  * one group per DISTINCT token: fine at fixture scale, unbounded at
+  * corpus scale. Misra-Gries keeps at most `k` counters per partial
+  * buffer, merges associatively, and guarantees: every item with true
+  * frequency > n/k survives, and every reported estimate is within n/k of
+  * the true count (both pinned in the unit suite). Rank/estimate noise is
+  * order-dependent, as with any mergeable sketch — callers re-rank the
+  * candidate set exactly if they need stable output (candidates are ≤ k,
+  * so the exact re-count is a broadcast-filterable second pass).
+  *
+  * The buffer is an immutable Map for encoder simplicity; a production
+  * tuning pass would swap a mutable open-hash buffer behind the same
+  * Aggregator contract.
+  */
+class MisraGries(k: Int) extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+  require(k > 0, "k must be positive")
+
+  override def zero: Map[String, Long] = Map.empty
+
+  override def reduce(b: Map[String, Long], item: String): Map[String, Long] =
+    b.get(item) match {
+      case Some(c) => b.updated(item, c + 1)
+      case None if b.size < k => b.updated(item, 1L)
+      case None => // decrement-all step: drop zeroed counters
+        b.collect { case (t, c) if c > 1 => t -> (c - 1) }
+    }
+
+  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+    val sum = b.foldLeft(a) { case (m, (t, c)) => m.updated(t, m.getOrElse(t, 0L) + c) }
+    if (sum.size <= k) sum
+    else { // keep the k largest, subtract the (k+1)-th weight (standard merge)
+      val cut = sum.values.toSeq.sorted(Ordering[Long].reverse)(k)
+      sum.collect { case (t, c) if c > cut => t -> (c - cut) }
+    }
+  }
+
+  override def finish(reduction: Map[String, Long]): Map[String, Long] = reduction
+  override def bufferEncoder: Encoder[Map[String, Long]] = Encoders.kryo[Map[String, Long]]
+  override def outputEncoder: Encoder[Map[String, Long]] = Encoders.kryo[Map[String, Long]]
+}
+
+object HeavyHitters {
+  /** Typed column aggregating a String column into ≤k (token -> estimate). */
+  def misraGries(k: Int): TypedColumn[String, Map[String, Long]] =
+    new MisraGries(k).toColumn
+}

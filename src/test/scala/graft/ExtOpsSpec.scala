@@ -150,6 +150,28 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  test("Misra-Gries: heavy hitters survive, estimates within n/k (bounded-memory top-k)") {
+    val tokens = Tables.t(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+    val n = tokens.count()
+    val k = 100
+    val exact = tokens.groupBy("token").count()
+      .as[(String, Long)].collect().toMap
+    val sketch = tokens.select(col("token")).as[String]
+      .select(HeavyHitters.misraGries(k)).collect().head
+    assert(sketch.size <= k)
+    // guarantee 1: every true-heavy item (> n/k) is present
+    exact.filter(_._2 > n / k).keys.foreach { t =>
+      assert(sketch.contains(t), s"heavy hitter '$t' missing")
+    }
+    // guarantee 2: estimates never exceed the true count and are within n/k
+    sketch.foreach { case (t, est) =>
+      val truth = exact.getOrElse(t, 0L)
+      assert(est <= truth, s"'$t' overestimated: $est > $truth")
+      assert(truth - est <= n / k, s"'$t' error too large: ${truth - est}")
+    }
+  }
+
   test("streaming hourly agg equals batch hourly agg") {
     val streamed = rows(EventStreams.runHourly(spark, sf, "graft_stream_spec"))
     val batch = rows(Tables.t(spark, sf, "events")
