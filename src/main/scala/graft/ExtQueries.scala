@@ -506,7 +506,10 @@ object ExtQueries {
       val d = T(s, dir, "documents")
       val filtered = d.where(TextAnalysis.langId(col("text")) === lit("en") &&
         round(TextAnalysis.qualityScore(col("text")), 4) >= 0.5)
-      val deduped = Dedup.exact(filtered, col("text"), col("doc_id"))
+      // the clean base is consumed by three branches (minhash signatures,
+      // the banded self-join, the final keep anti-join); materialize it
+      // once instead of re-running the language/quality filter per branch
+      val deduped = Dedup.exact(filtered, col("text"), col("doc_id")).localCheckpoint()
       val pairs = Dedup.minhashCandidates(deduped, col("text"), col("doc_id"),
         shingleSize = 3, numPerm = 16, bands = 4).select("id_a", "id_b")
       val drop = Dedup.connectedComponents(pairs)

@@ -87,10 +87,14 @@ object Dedup {
     require(numPerm % bands == 0, "numPerm must divide into bands")
     val rowsPerBand = numPerm / bands
     val sig = minhashSignatures(df, text, id, shingleSize, numPerm)
+    // materialized: both sides of the band self-join read this frame — an
+    // unmaterialized plan would run the shingle->md5->min-agg signature
+    // pipeline twice (once per join branch)
     val banded = sig.select(col("__id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
       .select(col("__id"), col("pos").as("__band"), col("col").cast("string").as("__bucket"))
+      .localCheckpoint()
     banded.as("a").join(banded.as("b"),
         col("a.__band") === col("b.__band") && col("a.__bucket") === col("b.__bucket"))
       .where(col("a.__id") < col("b.__id"))
