@@ -569,6 +569,45 @@ object ExtQueries {
       | min(doc_id) AS min_doc_id
       |FROM sp GROUP BY 1 ORDER BY split""".stripMargin))
 
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  private val q50 = QDef("q50_pivot_dow",
+    (s, dir) => {
+      val p = T(s, dir, "events")
+        .withColumn("dow", weekday(col("ts")) + 1) // ISO 1=Mon..7=Sun
+        .groupBy("dow").pivot("event_type", EventTypes).agg(count(lit(1)))
+      EventTypes.foldLeft(p)((d, t) =>
+          d.withColumn(t, coalesce(col(t), lit(0L))))
+        .orderBy("dow")
+    },
+    Some(s"""SELECT CAST(isodow(ts) AS INT) AS dow,
+      | ${EventTypes.map(t =>
+            s"CAST(count(*) FILTER (WHERE event_type = '$t') AS BIGINT) AS $t")
+            .mkString(",\n ")}
+      |FROM events GROUP BY 1 ORDER BY dow""".stripMargin))
+
+  private val q51 = QDef("q51_set_ops",
+    (s, dir) => {
+      val c = T(s, dir, "customer")
+      val rich = c.where(col("c_acctbal") > 5000).select("c_custkey")
+      val building = c.where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      rich.intersect(building).withColumn("op", lit("intersect"))
+        .unionByName(rich.except(building).withColumn("op", lit("except")))
+        .groupBy("op")
+        .agg(count(lit(1)).as("n"), sum("c_custkey").as("key_sum"))
+        .orderBy("op")
+    },
+    Some("""WITH a AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+      |b AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+      |u AS (SELECT 'except' AS op, c_custkey
+      |      FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+      |      UNION ALL
+      |      SELECT 'intersect', c_custkey
+      |      FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+      |SELECT op, count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS key_sum
+      |FROM u GROUP BY op ORDER BY op""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
-    q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49)
+    q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
+    q50, q51)
 }
