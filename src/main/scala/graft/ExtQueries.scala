@@ -607,7 +607,28 @@ object ExtQueries {
       |SELECT op, count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS key_sum
       |FROM u GROUP BY op ORDER BY op""".stripMargin))
 
+  /** Signup-to-click conversion window: for each signup event, clicks
+    * (any user) within the following hour — a range join via the bucketed
+    * equi-join technique ([[RangeJoin]]). */
+  private val q52 = QDef("q52_range_join",
+    (s, dir) => {
+      val ev = T(s, dir, "events")
+      RangeJoin.countInWindow(
+        ev.filter(col("event_type") === "signup"), col("event_id"), col("ts"),
+        ev.filter(col("event_type") === "click"), col("ts"),
+        windowSec = 3600, bucketSec = 3600)
+        .select(col("__lid").as("signup_id"), col("n_in_window").as("n_clicks"))
+        .orderBy("signup_id")
+    },
+    Some("""SELECT s.event_id AS signup_id, count(c.event_id) AS n_clicks
+      |FROM events s LEFT JOIN events c
+      |  ON c.event_type = 'click'
+      | AND epoch_us(c.ts) >= epoch_us(s.ts)
+      | AND epoch_us(c.ts) < epoch_us(s.ts) + 3600000000
+      |WHERE s.event_type = 'signup'
+      |GROUP BY s.event_id ORDER BY signup_id""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
-    q50, q51)
+    q50, q51, q52)
 }

@@ -97,6 +97,21 @@ class SessionAsofSpec extends SparkSpec {
     assert(out === Seq(("a", Some(102L)), ("b", Some(103L)), ("c", None)))
   }
 
+  test("RangeJoin.countInWindow: boundary inclusion/exclusion, zero-match rows kept") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 20:00:00")))
+      .toDF("id", "ts")
+    val right = Seq(
+      ts("2024-01-01 10:00:00"), // == left start -> in
+      ts("2024-01-01 10:59:59"), // just inside
+      ts("2024-01-01 11:00:00"), // == start+window -> out
+      ts("2024-01-01 09:59:59")  // before -> out
+    ).toDF("ts")
+    val got = RangeJoin.countInWindow(left, col("id"), col("ts"),
+        right, col("ts"), windowSec = 3600, bucketSec = 600)
+      .orderBy("__lid").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L), (2L, 0L)))
+  }
+
   test("connectedComponents: chain, star, and singleton-pair topologies") {
     // chain 1-2-3-4 (diameter 3), star 10-{11,12,13}, pair 20-21
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
