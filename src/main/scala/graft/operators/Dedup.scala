@@ -55,14 +55,25 @@ object Dedup {
   def minhashParams(numPerm: Int): Seq[(Long, Long)] =
     (1 to numPerm).map(i => (2L * i + 1L, 7919L * i))
 
-  /** Per-doc MinHash signature as (__id, __sig array<long>). Shaped for
-    * scale: explode to one row per (doc, shingle) so md5 runs exactly once
-    * per shingle, then ONE hash-aggregate with numPerm cheap min() columns —
-    * map-side partial aggregation shrinks the shuffle to numPerm longs per
-    * doc per partition. (An array-expression formulation inlines the hashed
-    * shingle array into every array_min, recomputing md5 numPerm times.) */
+  /** Per-doc MinHash signature as (__id, __sig array<long>), via the
+    * native single-pass expression ([[org.apache.spark.sql.graft.MinhashSig]]):
+    * one narrow loop per doc — no explode, no shuffle, md5 exactly once
+    * per shingle. Bit-equal to [[minhashSignaturesAgg]] (pinned in tests). */
   def minhashSignatures(df: DataFrame, text: Column, id: Column,
-                        shingleSize: Int, numPerm: Int): DataFrame = {
+                        shingleSize: Int, numPerm: Int): DataFrame =
+    df.select(id.as("__id"),
+        org.apache.spark.sql.graft.MinhashExprs
+          .signature(text, shingleSize, numPerm).as("__sig"))
+      .where(col("__sig").isNotNull)
+
+  /** Composable-pipeline spelling of [[minhashSignatures]]: explode to one
+    * row per (doc, shingle), md5 once per shingle, then ONE hash-aggregate
+    * with numPerm min() columns (map-side partial aggregation shrinks the
+    * shuffle to numPerm longs per doc per partition). Kept as the
+    * cross-implementation reference the unit suite pins the native
+    * expression against. */
+  def minhashSignaturesAgg(df: DataFrame, text: Column, id: Column,
+                           shingleSize: Int, numPerm: Int): DataFrame = {
     val hashed = df
       .select(id.as("__id"), explode(shingles(text, shingleSize)).as("__sh"))
       .select(col("__id"), hash28(col("__sh")).as("__x"))

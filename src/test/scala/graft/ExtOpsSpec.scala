@@ -150,6 +150,21 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  test("native MinhashSig is bit-equal to the explode+groupBy signature pipeline") {
+    val docs = Tables.t(spark, sf, "documents")
+      .union(Seq((-1L, "a b", "en", "s", 3L), // < k tokens -> dropped
+        (-2L, "x y z x y z", "en", "s", 11L), // duplicate shingles
+        (-3L, "a  b c d", "en", "s", 8L)) // empty token via double space
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val native = Dedup.minhashSignatures(docs, col("text"), col("doc_id"), 3, 16)
+    val agg = Dedup.minhashSignaturesAgg(docs, col("text"), col("doc_id"), 3, 16)
+    assert(native.count() === agg.count())
+    val joined = native.withColumnRenamed("__sig", "n")
+      .join(agg.withColumnRenamed("__sig", "a"), "__id")
+    assert(joined.count() === native.count())
+    assert(joined.where(col("n") =!= col("a")).count() === 0)
+  }
+
   test("Misra-Gries: heavy hitters survive, estimates within n/k (bounded-memory top-k)") {
     val tokens = Tables.t(spark, sf, "documents")
       .select(explode(split(col("text"), " ")).as("token"))
