@@ -115,12 +115,19 @@ object Dedup {
 
   /** Per-doc 60-bit SimHash signature as (__id, __blk, __sig): bit j is set
     * iff the sum over tokens of sign(bit j of token-hash) is positive.
-    * Shaped for scale like [[minhashSignatures]]: explode tokens, md5 once
-    * per token, then ONE hash-aggregate with 60 cheap sum() vote columns
-    * (partial agg = 60 longs/doc on the shuffle). An expression formulation
-    * (aggregate() per bit) inlines the token-hash array 60 times. */
+    * Computed by the native single-pass expression
+    * ([[org.apache.spark.sql.graft.SimhashSig]]) — no explode, no shuffle;
+    * bit-equal to [[simhashSignaturesAgg]] (pinned in tests). */
   def simhashSignatures(df: DataFrame, text: Column, id: Column,
-                        block: Column): DataFrame = {
+                        block: Column): DataFrame =
+    df.select(id.as("__id"), block.as("__blk"),
+      org.apache.spark.sql.graft.SimhashExprs.signature(text).as("__sig"))
+
+  /** Composable-pipeline spelling of [[simhashSignatures]] (explode +
+    * 60-sum-column aggregate) — the cross-implementation reference the
+    * unit suite pins the native expression against. */
+  def simhashSignaturesAgg(df: DataFrame, text: Column, id: Column,
+                           block: Column): DataFrame = {
     val toks = df
       .select(id.as("__id"), block.as("__blk"), explode(split(text, " ")).as("__t"))
       .select(col("__id"), col("__blk"), hash60(col("__t")).as("__h"))

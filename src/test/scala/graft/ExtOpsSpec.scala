@@ -165,6 +165,18 @@ class ExtOpsSpec extends SparkSpec {
     assert(joined.where(col("n") =!= col("a")).count() === 0)
   }
 
+  test("native SimhashSig is bit-equal to the explode+groupBy vote pipeline") {
+    val docs = Tables.t(spark, sf, "documents")
+      .union(Seq((-1L, "", "en", "s", 0L), (-2L, "a  b ", "en", "s", 5L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val native = Dedup.simhashSignatures(docs, col("text"), col("doc_id"), col("source"))
+    val agg = Dedup.simhashSignaturesAgg(docs, col("text"), col("doc_id"), col("source"))
+    val joined = native.withColumnRenamed("__sig", "n")
+      .join(agg.withColumnRenamed("__sig", "a"), Seq("__id", "__blk"))
+    assert(joined.count() === native.count())
+    assert(joined.where(col("n") =!= col("a")).count() === 0)
+  }
+
   test("Misra-Gries: heavy hitters survive, estimates within n/k (bounded-memory top-k)") {
     val tokens = Tables.t(spark, sf, "documents")
       .select(explode(split(col("text"), " ")).as("token"))
