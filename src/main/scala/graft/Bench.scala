@@ -59,9 +59,10 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    // A failed query must not silently deflate the total: count only
-    // successes in per-query detail, but surface failures explicitly.
-    val total = results.map(_._2).sum
+    // A failed query's (short) time-to-throw must not deflate the headline
+    // total: sum successes only; failures are listed in "failed" and keep
+    // their per-query detail for diagnosis.
+    val total = results.collect { case (_, v, true) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }

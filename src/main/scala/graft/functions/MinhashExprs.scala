@@ -51,11 +51,14 @@ case class MinhashSig(child: Expression, shingleSize: Int, numPerm: Int)
 object MinhashUtil {
   /** Same modulus/affine family as graft.Dedup.{MinhashPrime, minhashParams}. */
   val Prime: Long = 2147483647L
-  private def paramsFor(numPerm: Int): (Array[Long], Array[Long]) = {
-    val as = Array.tabulate(numPerm)(i => 2L * (i + 1) + 1L)
-    val bs = Array.tabulate(numPerm)(i => 7919L * (i + 1))
-    (as, bs)
-  }
+  // cached per numPerm: this runs once per ROW in the hot loop — fresh
+  // coefficient arrays per invocation would be pure allocator pressure
+  private val paramsCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  private def paramsFor(numPerm: Int): (Array[Long], Array[Long]) =
+    paramsCache.computeIfAbsent(numPerm, np => (
+      Array.tabulate(np)(i => 2L * (i + 1) + 1L),
+      Array.tabulate(np)(i => 7919L * (i + 1))))
 
   private val tlMd = ThreadLocal.withInitial[MessageDigest](() =>
     MessageDigest.getInstance("MD5"))

@@ -271,8 +271,12 @@ object Dedup {
       .unionByName(edges
         .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
       .localCheckpoint()
-    var comp = sym.select(col("src").as("id")).distinct()
+    // compCk is always the RAW localCheckpoint handle (its plan is the
+    // LogicalRDD leaf) — CheckpointUtils needs it to free blocks; comp is
+    // the projected view iterated on.
+    var compCk = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp")).localCheckpoint()
+    var comp = compCk
     var i = 0
     var done = false
     while (i < maxIter && !done) {
@@ -290,15 +294,17 @@ object Dedup {
           coalesce(col("__lcomp"), prop("comp")).as("comp"), col("__improved"))
         .localCheckpoint()
       done = next.where(col("__improved")).isEmpty
-      // superseded labels would otherwise pin executor memory for the rest
-      // of the session (localCheckpoint blocks are not auto-evicted)
-      comp.unpersist(blocking = false)
+      // free the superseded round's checkpoint blocks deterministically —
+      // Dataset.unpersist is a no-op for localCheckpoint plans, so go
+      // through the underlying RDD (CheckpointUtils)
+      org.apache.spark.sql.graft.CheckpointUtils.unpersistCheckpoint(compCk)
+      compCk = next
       comp = next.drop("__improved")
       i += 1
     }
     // the final comp checkpoint stays alive for downstream consumption;
     // the edge list is no longer referenced by it
-    sym.unpersist(blocking = false)
+    org.apache.spark.sql.graft.CheckpointUtils.unpersistCheckpoint(sym)
     System.err.println(s"[cc] converged after $i rounds (maxIter $maxIter)")
     comp
   }

@@ -21,7 +21,11 @@ import org.apache.spark.sql.functions._
 object RangeJoin {
   /** For each left row, count right rows with `rightTs` in
     * [leftTs, leftTs + windowSec). Left rows with no matches keep count 0.
-    * Timestamps compare at microsecond precision. */
+    * Timestamps compare at microsecond precision.
+    *
+    * Preconditions: `leftId` must be row-unique (rows sharing an id merge
+    * into one count), and left rows with NULL `leftTs` have no window —
+    * they are excluded from the output, not emitted with count 0. */
   def countInWindow(left: DataFrame, leftId: Column, leftTs: Column,
                     right: DataFrame, rightTs: Column,
                     windowSec: Long, bucketSec: Long): DataFrame = {

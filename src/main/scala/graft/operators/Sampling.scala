@@ -30,8 +30,9 @@ object Sampling {
 
   /** Train/val/test assignment from cumulative fraction bands of the same
     * hash — every key lands in exactly one split, independent of all other
-    * rows. `fracs` are (name, fraction) with fractions summing to <= 1;
-    * remainder falls into the last band's name if fractions sum to 1. */
+    * rows. `fracs` are (name, fraction) and must sum to 1; the last band
+    * is the catch-all, so rounding in the cut points can never drop a
+    * row. */
   def splitAssign(key: Column, fracs: Seq[(String, Double)], salt: String = ""): Column = {
     require(fracs.nonEmpty && math.abs(fracs.map(_._2).sum - 1.0) < 1e-9,
       "split fractions must sum to 1")

@@ -92,6 +92,7 @@ object CensusPayloads {
     lookup(id)._2.getOrElse(state, Seq.empty)
 
   private def lookup(id: String) = {
+    require(id != null, "census source requires .option(\"payload\", <id>)")
     val v = reg.get(id)
     require(v != null, s"unknown census payload id: $id (register it first)")
     v

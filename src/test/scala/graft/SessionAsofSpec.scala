@@ -97,6 +97,21 @@ class SessionAsofSpec extends SparkSpec {
     assert(out === Seq(("a", Some(102L)), ("b", Some(103L)), ("c", None)))
   }
 
+  test("asof backward: null fields of the matched row are NOT backfilled from older rows") {
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), "L")).toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), Some(10L), Some(20L)),
+      (1L, ts("2024-01-01 11:00:00"), Option.empty[Long], Some(30L))
+    ).toDF("k", "ts", "a", "b")
+    val out = AsofJoin.backward(left, col("k"), col("ts"),
+        right, col("k"), col("ts"),
+        rightVals = Seq("a", "b"), rightTie = col("b"))
+      .select("a", "b").as[(Option[Long], Option[Long])].collect().head
+    // the matched (latest) right row is (a=null, b=30) — a must stay null,
+    // not be fused with the older row's a=10
+    assert(out === ((None, Some(30L))))
+  }
+
   test("RangeJoin.countInWindow: boundary inclusion/exclusion, zero-match rows kept") {
     val left = Seq((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 20:00:00")))
       .toDF("id", "ts")
