@@ -628,7 +628,56 @@ object ExtQueries {
       |WHERE s.event_type = 'signup'
       |GROUP BY s.event_id ORDER BY signup_id""".stripMargin))
 
+  private def sqlOnViews(s: org.apache.spark.sql.SparkSession, dir: String,
+                         sql: String): org.apache.spark.sql.DataFrame = {
+    Tables.names.foreach(n => Tables.t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(sql)
+  }
+
+  /** Dialect-common SQL (TPC-H Q5 shape): the SAME string is the Spark
+    * query AND the DuckDB oracle — the `spark.sql` front door of the
+    * engine, hash-matched end to end. */
+  private val Q53Sql =
+    """SELECT n_name,
+      | round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+      |                     AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue,
+      | count(*) AS n_items
+      |FROM customer
+      | JOIN orders ON o_custkey = c_custkey
+      | JOIN lineitem ON l_orderkey = o_orderkey
+      | JOIN nation ON c_nationkey = n_nationkey
+      | JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  private val q53 = QDef("q53_sql_interface",
+    (s, dir) => sqlOnViews(s, dir, Q53Sql),
+    Some(Q53Sql))
+
+  /** The engine's native expressions through the SQL front door:
+    * graft_dot as a registered SQL function. */
+  private val q54 = QDef("q54_sql_native_fn",
+    (s, dir) => {
+      org.apache.spark.sql.graft.GraftFunctions.register(s)
+      sqlOnViews(s, dir,
+        """SELECT e.vec_id AS id,
+          | round(graft_dot(CAST(e.embedding AS ARRAY<DOUBLE>),
+          |                 CAST(q.embedding AS ARRAY<DOUBLE>)), 4) AS dot
+          |FROM embeddings e,
+          | (SELECT embedding FROM embeddings ORDER BY vec_id LIMIT 1) q
+          |ORDER BY dot DESC, id LIMIT 15""".stripMargin)
+    },
+    Some("""SELECT e.vec_id AS id,
+      | round(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+      |                        CAST(q.embedding AS DOUBLE[])), 4) AS dot
+      |FROM embeddings e,
+      | (SELECT embedding FROM embeddings ORDER BY vec_id LIMIT 1) q
+      |ORDER BY dot DESC, id LIMIT 15""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
-    q50, q51, q52)
+    q50, q51, q52, q53, q54)
 }
