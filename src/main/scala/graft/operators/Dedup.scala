@@ -156,6 +156,38 @@ object Dedup {
       .where(col("hamming") <= maxDist)
   }
 
+  /** Scale variant of [[simhashNearDup]] via pigeonhole banding: cut the
+    * 60-bit signature into maxDist+1 segments — any pair within hamming
+    * maxDist is identical in at least one segment — and equi-join on
+    * (segment index, segment bits) instead of the within-block cross
+    * product. Exact hamming runs on candidates only; output is identical
+    * to the quadratic form (pinned in tests). Candidate volume tracks true
+    * near-dups, not block-size², so this is the 100 TB path; blocks are
+    * still respected (the block key joins alongside the segment). */
+  def simhashNearDupBanded(df: DataFrame, text: Column, id: Column, block: Column,
+                           maxDist: Int = 8): DataFrame = {
+    require(maxDist >= 0 && maxDist < 60, "maxDist must be in [0, 60)")
+    val nBands = maxDist + 1
+    val bandBits = Array.tabulate(nBands) { b => // spread 60 bits across bands
+      val lo = b * 60 / nBands; val hi = (b + 1) * 60 / nBands
+      (lo, hi - lo)
+    }
+    val sigs = simhashSignatures(df, text, id, block).localCheckpoint()
+    val banded = sigs.select(col("__id"), col("__blk"), col("__sig"),
+      posexplode(array(bandBits.map { case (lo, n) =>
+        shiftright(col("__sig"), lo).bitwiseAND(lit((1L << n) - 1))
+      }: _*)).as(Seq("__band", "__bits")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.__blk") === col("b.__blk") && col("a.__band") === col("b.__band") &&
+          col("a.__bits") === col("b.__bits") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.__sig").as("sig_a"), col("b.__sig").as("sig_b"))
+      .distinct() // a close pair can collide in several bands
+    cand.select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxDist)
+  }
+
   /** Token-set (n-gram) Jaccard similarity between two token-array columns.
     * The intersection size is bound through a one-element transform() lambda
     * so array_intersect — the expensive part — is evaluated ONCE per pair

@@ -165,6 +165,16 @@ class ExtOpsSpec extends SparkSpec {
     assert(joined.where(col("n") =!= col("a")).count() === 0)
   }
 
+  test("banded simhash near-dup equals the quadratic within-block form") {
+    val docs = Tables.t(spark, sf, "documents")
+    val quad = Dedup.simhashNearDup(docs, col("text"), col("doc_id"),
+      col("source"), maxDist = 12).orderBy("id_a", "id_b")
+    val banded = Dedup.simhashNearDupBanded(docs, col("text"), col("doc_id"),
+      col("source"), maxDist = 12).orderBy("id_a", "id_b")
+    assert(quad.collect().toSeq === banded.collect().toSeq)
+    assert(quad.count() > 0) // non-vacuous
+  }
+
   test("native SimhashSig is bit-equal to the explode+groupBy vote pipeline") {
     val docs = Tables.t(spark, sf, "documents")
       .union(Seq((-1L, "", "en", "s", 0L), (-2L, "a  b ", "en", "s", 5L))
