@@ -677,7 +677,41 @@ object ExtQueries {
       | (SELECT embedding FROM embeddings ORDER BY vec_id LIMIT 1) q
       |ORDER BY dot DESC, id LIMIT 15""".stripMargin))
 
+  /** Batch kNN join: top-3 IVF-probed neighbors for every label=1 vector
+    * in one pass ([[Similarity.ivfKnnJoin]]). */
+  private val q55 = QDef("q55_knn_join",
+    (s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val cents = Similarity.collectCentroids(e, col("embedding"), col("vec_id"), 16)
+      Similarity.ivfKnnJoin(e, col("embedding"), col("vec_id"),
+        e.filter(col("label") === 1), col("embedding"), col("vec_id"),
+        k = 3, centroids = cents, nProbe = 4)
+        .select(col("qid"), col("rank"), col("id"),
+          round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy("qid", "rank")
+    },
+    Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |c AS (SELECT vec_id AS cid, emb AS cemb FROM e ORDER BY vec_id LIMIT 16),
+      |a0 AS (SELECT e.vec_id, e.emb, c.cid,
+      |         row_number() OVER (PARTITION BY e.vec_id
+      |           ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC, c.cid) AS rn
+      |       FROM e, c),
+      |assign AS (SELECT vec_id, emb, cid AS cell FROM a0 WHERE rn = 1),
+      |q0 AS (SELECT e.vec_id AS qid, e.emb AS qemb, c.cid AS cell,
+      |         row_number() OVER (PARTITION BY e.vec_id
+      |           ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC, c.cid) AS rn
+      |       FROM e, c WHERE e.label = 1),
+      |q AS (SELECT qid, qemb, cell FROM q0 WHERE rn <= 4),
+      |cand AS (SELECT q.qid, a.vec_id AS id,
+      |           list_cosine_similarity(a.emb, q.qemb) AS cs
+      |         FROM assign a JOIN q ON a.cell = q.cell),
+      |rk AS (SELECT qid, id, cs,
+      |         row_number() OVER (PARTITION BY qid ORDER BY cs DESC, id) AS rank
+      |       FROM cand)
+      |SELECT qid, rank, id, round(cs, 4) AS cos_sim
+      |FROM rk WHERE rank <= 3 ORDER BY qid, rank""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
-    q50, q51, q52, q53, q54)
+    q50, q51, q52, q53, q54, q55)
 }

@@ -96,6 +96,28 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF kNN JOIN: top-k neighbors for EVERY query row at once — the batch
+    * serving shape (single-query top-k is the degenerate case). Queries
+    * replicate nProbe× (one row per probed cell) and equi-join the
+    * cell-assigned corpus on the cell id; exact cosine runs on candidates;
+    * a per-query window keeps k. The corpus side shuffles at most once (by
+    * cell) — and not at all when the query set broadcasts. */
+  def ivfKnnJoin(corpus: DataFrame, cEmb: Column, cId: Column,
+                 queries: DataFrame, qEmb: Column, qId: Column, k: Int,
+                 centroids: Seq[(Long, Array[Double])], nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = corpus.select(cId.as("id"), cEmb.cast("array<double>").as("__e"))
+      .withColumn("__cell", element_at(nearestCells(col("__e"), centroids, 1), 1))
+    val q = queries.select(qId.as("qid"), qEmb.cast("array<double>").as("__q"))
+      .withColumn("__cell", explode(nearestCells(col("__q"), centroids, nProbe)))
+    val w = Window.partitionBy("qid").orderBy(desc("__cos"), col("id"))
+    assigned.join(q, "__cell")
+      .select(col("qid"), col("id"), cosine(col("__e"), col("__q")).as("__cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("__cos").as("cos_sim"))
+  }
+
   /** LSH-bucketed approximate top-k: candidates = rows in the query's bucket
     * (across `numTables` independent hash tables to boost recall), exact
     * cosine within candidates only. Bucket ids are tagged with the table
