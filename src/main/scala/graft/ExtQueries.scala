@@ -711,7 +711,25 @@ object ExtQueries {
       |SELECT qid, rank, id, round(cs, 4) AS cos_sim
       |FROM rk WHERE rank <= 3 ORDER BY qid, rank""".stripMargin))
 
+  /** Corpus balancing: exactly 40 docs per source, hash-ordered
+    * ([[Sampling.stratifiedFixed]]). */
+  private val q56 = QDef("q56_stratified_sample",
+    (s, dir) => Sampling.stratifiedFixed(T(s, dir, "documents"),
+        col("source"), col("doc_id"), n = 40, salt = "st")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"),
+        round(avg("n_chars"), 4).as("avg_chars"))
+      .orderBy("source"),
+    Some(s"""WITH h AS (SELECT source, doc_id, n_chars,
+      |  ${sampleHashSql("doc_id", "st")} AS hv FROM documents),
+      |r AS (SELECT source, doc_id, n_chars,
+      |  row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn
+      | FROM h)
+      |SELECT source, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      | round(avg(n_chars), 4) AS avg_chars
+      |FROM r WHERE rn <= 40 GROUP BY source ORDER BY source""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
-    q50, q51, q52, q53, q54, q55)
+    q50, q51, q52, q53, q54, q55, q56)
 }
