@@ -79,6 +79,18 @@ class ScaleSpec extends SparkSpec {
     sub.foreach { case (id, sp) => assert(assigned(id) === sp) }
   }
 
+  test("stratifiedFixed: exactly n per big group, whole group when smaller, deterministic") {
+    val df = ((1 to 100).map(i => ("big", i.toLong)) ++
+      (1 to 3).map(i => ("small", 1000L + i))).toDF("g", "id")
+    val s1 = Sampling.stratifiedFixed(df, col("g"), col("id"), n = 10)
+      .as[(String, Long)].collect().toSet
+    assert(s1.count(_._1 == "big") === 10)
+    assert(s1.count(_._1 == "small") === 3) // group smaller than n kept whole
+    val s2 = Sampling.stratifiedFixed(df, col("g"), col("id"), n = 10)
+      .as[(String, Long)].collect().toSet
+    assert(s1 === s2)
+  }
+
   test("saltedTwoPhase sum equals direct groupBy sum") {
     val df = ((1 to 500).map(_ => ("hot", 1L)) ++
       (1 to 50).map(i => (s"k$i", i.toLong))).toDF("k", "v")
