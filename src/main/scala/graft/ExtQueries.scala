@@ -729,7 +729,27 @@ object ExtQueries {
       | round(avg(n_chars), 4) AS avg_chars
       |FROM r WHERE rn <= 40 GROUP BY source ORDER BY source""".stripMargin))
 
+  /** Rolling 1-hour per-user value sum via a RANGE window frame (peers by
+    * event-time value, not row position — the time-based rolling-metric
+    * shape q36's row_number frames don't cover). */
+  private val q57 = QDef("q57_rolling_range_window",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-3600000000L + 1, 0)
+      T(s, dir, "events")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+          col("value"))
+        .withColumn("rolling_1h", round(sum("value").over(w), 4))
+        .select("user_id", "event_id", "rolling_1h")
+        .orderBy("user_id", "event_id")
+    },
+    Some("""SELECT user_id, event_id,
+      | round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |   RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW), 4) AS rolling_1h
+      |FROM events ORDER BY user_id, event_id""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
-    q50, q51, q52, q53, q54, q55, q56)
+    q50, q51, q52, q53, q54, q55, q56, q57)
 }

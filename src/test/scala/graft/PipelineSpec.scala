@@ -89,6 +89,10 @@ class PipelineSpec extends SparkSpec {
     assert(p("get") === "B01003_001E" && p("key") === "k" && p("in") === "state:06")
   }
 
+  test("SparkEntry.entry returns rows on the smoke fixture (driver contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("DataSourceV2 census source: partition-per-state, string schema, composes with coercion (S1-S4/X1)") {
     graft.sources.CensusPayloads.register("acs5_test",
       header = Seq("NAME", "B01003_001E", "state"),
