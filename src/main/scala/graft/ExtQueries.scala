@@ -629,8 +629,12 @@ object ExtQueries {
       |GROUP BY s.event_id ORDER BY signup_id""".stripMargin))
 
   private def sqlOnViews(s: org.apache.spark.sql.SparkSession, dir: String,
+                         tables: Seq[String],
                          sql: String): org.apache.spark.sql.DataFrame = {
-    Tables.names.foreach(n => Tables.t(s, dir, n).createOrReplaceTempView(n))
+    // register only the referenced tables: each Tables.t resolves parquet
+    // footers eagerly, so registering all 10 would bill unrelated I/O to
+    // the query under test
+    tables.foreach(n => Tables.t(s, dir, n).createOrReplaceTempView(n))
     s.sql(sql)
   }
 
@@ -654,7 +658,8 @@ object ExtQueries {
       |ORDER BY revenue DESC, n_name""".stripMargin
 
   private val q53 = QDef("q53_sql_interface",
-    (s, dir) => sqlOnViews(s, dir, Q53Sql),
+    (s, dir) => sqlOnViews(s, dir,
+      Seq("customer", "orders", "lineitem", "nation", "region"), Q53Sql),
     Some(Q53Sql))
 
   /** The engine's native expressions through the SQL front door:
@@ -662,7 +667,7 @@ object ExtQueries {
   private val q54 = QDef("q54_sql_native_fn",
     (s, dir) => {
       org.apache.spark.sql.graft.GraftFunctions.register(s)
-      sqlOnViews(s, dir,
+      sqlOnViews(s, dir, Seq("embeddings"),
         """SELECT e.vec_id AS id,
           | round(graft_dot(CAST(e.embedding AS ARRAY<DOUBLE>),
           |                 CAST(q.embedding AS ARRAY<DOUBLE>)), 4) AS dot
@@ -740,13 +745,19 @@ object ExtQueries {
       T(s, dir, "events")
         .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
           col("value"))
-        .withColumn("rolling_1h", round(sum("value").over(w), 4))
+        // decimal sum: Spark re-sums the sliding frame in sort order while
+        // DuckDB merges a segment tree — double association differs, so the
+        // usual DECIMAL(18,4) determinism convention applies to window sums
+        // too
+        .withColumn("rolling_1h",
+          round(sum(col("value").cast("decimal(18,4)")).over(w).cast("double"), 4))
         .select("user_id", "event_id", "rolling_1h")
         .orderBy("user_id", "event_id")
     },
     Some("""SELECT user_id, event_id,
-      | round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
-      |   RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW), 4) AS rolling_1h
+      | round(CAST(sum(CAST(value AS DECIMAL(18,4)))
+      |   OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |   RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS rolling_1h
       |FROM events ORDER BY user_id, event_id""".stripMargin))
 
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,

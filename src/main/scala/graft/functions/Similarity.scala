@@ -106,13 +106,20 @@ object Similarity {
                  queries: DataFrame, qEmb: Column, qId: Column, k: Int,
                  centroids: Seq[(Long, Array[Double])], nProbe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // norms precomputed ONCE per side: a popular cell's corpus rows join
+    // many queries, and dot/(n_a*n_b) associates exactly like cosine()
+    // (same precedent as Dedup.embeddingNearDup), so per-pair work is one
+    // dot product instead of three
     val assigned = corpus.select(cId.as("id"), cEmb.cast("array<double>").as("__e"))
       .withColumn("__cell", element_at(nearestCells(col("__e"), centroids, 1), 1))
+      .withColumn("__n", l2(col("__e")))
     val q = queries.select(qId.as("qid"), qEmb.cast("array<double>").as("__q"))
       .withColumn("__cell", explode(nearestCells(col("__q"), centroids, nProbe)))
+      .withColumn("__qn", l2(col("__q")))
     val w = Window.partitionBy("qid").orderBy(desc("__cos"), col("id"))
     assigned.join(q, "__cell")
-      .select(col("qid"), col("id"), cosine(col("__e"), col("__q")).as("__cos"))
+      .select(col("qid"), col("id"),
+        (dot(col("__e"), col("__q")) / (col("__n") * col("__qn"))).as("__cos"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id"), col("__cos").as("cos_sim"))

@@ -31,15 +31,19 @@ object Sampling {
   /** Deterministic fixed-size per-group sample: the `n` rows of each group
     * whose key hashes smallest (hash order = an arbitrary-but-reproducible
     * shuffle; key tie-break keeps it total). Groups smaller than `n` keep
-    * all rows. One shuffle keyed by the group — the standard "sample k
-    * docs per source/language/domain" pattern for corpus balancing. */
+    * all rows. Null-keyed rows are dropped — consistent with
+    * [[hashSample]], and it keeps the ordering engine-independent (Spark
+    * sorts nulls first, SQL engines default to nulls last). One shuffle
+    * keyed by the group — the standard "sample k docs per source/language/
+    * domain" pattern for corpus balancing. */
   def stratifiedFixed(df: DataFrame, group: Column, key: Column, n: Int,
                       salt: String = ""): DataFrame = {
     require(n > 0, "n must be positive")
     import org.apache.spark.sql.expressions.Window
     val h = pmod(Dedup.hash60(concat(key.cast("string"), lit(salt))), lit(Denom))
     val w = Window.partitionBy(group).orderBy(h, key)
-    df.withColumn("__rn", row_number().over(w))
+    df.where(key.isNotNull)
+      .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= n)
       .drop("__rn")
   }

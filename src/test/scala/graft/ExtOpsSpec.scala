@@ -168,11 +168,11 @@ class ExtOpsSpec extends SparkSpec {
   test("banded simhash near-dup equals the quadratic within-block form") {
     val docs = Tables.t(spark, sf, "documents")
     val quad = Dedup.simhashNearDup(docs, col("text"), col("doc_id"),
-      col("source"), maxDist = 12).orderBy("id_a", "id_b")
+      col("source"), maxDist = 12).orderBy("id_a", "id_b").collect().toSeq
     val banded = Dedup.simhashNearDupBanded(docs, col("text"), col("doc_id"),
-      col("source"), maxDist = 12).orderBy("id_a", "id_b")
-    assert(quad.collect().toSeq === banded.collect().toSeq)
-    assert(quad.count() > 0) // non-vacuous
+      col("source"), maxDist = 12).orderBy("id_a", "id_b").collect().toSeq
+    assert(quad === banded)
+    assert(quad.nonEmpty) // non-vacuous
   }
 
   test("native SimhashSig is bit-equal to the explode+groupBy vote pipeline") {
