@@ -74,6 +74,41 @@ object EventStreams {
     spark.table(name)
   }
 
+  /** Stream-stream interval join: clicks within the hour after each signup
+    * (the streaming twin of the batch range join, q52). Stream-stream
+    * joins REQUIRE an equality predicate, which the same time-bucketing
+    * that makes the batch range join linear provides for free: signups
+    * explode to their window's covered hour buckets, clicks carry their
+    * single bucket, and the join is bucket-equality plus the exact range
+    * condition. Both sides carry watermarks so join state is evictable —
+    * bounded by watermark + interval, not stream length. On the bounded
+    * fixture the inner join emits exactly the batch pair set (watermarks
+    * gate state eviction, not inner-join emission); pinned in the suite. */
+  def runConversionJoin(spark: SparkSession, dir: String,
+                        name: String = "graft_stream_conv"): DataFrame = {
+    spark.catalog.dropTempView(name)
+    val bkt = 3600000000L
+    val signups = readEventStream(spark, dir)
+      .filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "2 hours")
+      .withColumn("bucket", explode(sequence(
+        floor(unix_micros(col("s_ts")) / bkt).cast("long"),
+        floor((unix_micros(col("s_ts")) + bkt - 1) / bkt).cast("long"))))
+    val clicks = readEventStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+      .withColumn("bucket", floor(unix_micros(col("c_ts")) / bkt).cast("long"))
+    val q = signups.join(clicks, Seq("bucket"))
+      .where(expr("c_ts >= s_ts AND c_ts < s_ts + INTERVAL 1 HOUR"))
+      .select("signup_id", "click_id")
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Streaming exact dedup: watermark-bounded state keyed by the dedup
     * column — the streaming face of [[Dedup.exact]]'s first stage. */
   def runDedup(spark: SparkSession, dir: String, keyCols: Seq[String],

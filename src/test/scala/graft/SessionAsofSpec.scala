@@ -69,6 +69,20 @@ class SessionAsofSpec extends SparkSpec {
     assert(closed.exceptAll(streamed).isEmpty)
   }
 
+  test("stream-stream interval join equals the batch range join (q52 twin)") {
+    val streamed = EventStreams.runConversionJoin(spark, sf, "graft_conv_spec")
+      .groupBy("signup_id").agg(count(lit(1)).as("n"))
+    val ev = Tables.t(spark, sf, "events")
+    val batch = RangeJoin.countInWindow(
+        ev.filter(col("event_type") === "signup"), col("event_id"), col("ts"),
+        ev.filter(col("event_type") === "click"), col("ts"),
+        windowSec = 3600, bucketSec = 3600)
+      .select(col("__lid").as("signup_id"), col("n_in_window").as("n"))
+      .where(col("n") > 0) // inner stream join emits matched signups only
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming dedup emits each key once (equals batch distinct)") {
     val streamed = EventStreams.runDedup(spark, sf, Seq("user_id", "event_type"),
       name = "graft_dedup_spec")
