@@ -1,0 +1,30 @@
+package graft
+
+/** Enforces the PLANS.md invariants over the whole query inventory: no
+  * CartesianProduct anywhere, and BroadcastNestedLoopJoin only where a
+  * one-row/tiny broadcast side makes it the right plan (global-stat
+  * cross-joins, single query vectors, IVF probe lists). Catches plan
+  * regressions — e.g. a lost broadcast hint or an accidental cross join —
+  * at test time instead of at 100 TB. */
+class PlanAuditSpec extends SparkSpec {
+  // queries whose plan legitimately contains BroadcastNestedLoopJoin:
+  // the build side is a broadcast single-row aggregate / query vector /
+  // probe-cell list (see PLANS.md invariant 4)
+  private val bnljOk = Set(
+    "q07_norm_minmax", "q08_norm_zscore", "q09_norm_robust",
+    "q10_composite_index", "q24_similarity_cosine", "q29_ann_lsh",
+    "q39_ann_ivf", "q49_training_prep", "q54_sql_native_fn")
+
+  test("no CartesianProduct in any query plan; BNLJ only on whitelisted 1-row builds") {
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan =
+        try fn(spark, sf).queryExecution.executedPlan.toString
+        catch { case e: Throwable => fail(s"$name failed to plan: $e") }
+      val cart = if (plan.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil
+      val bnlj = if (plan.contains("BroadcastNestedLoopJoin") && !bnljOk(name))
+        Seq(s"$name: unexpected BroadcastNestedLoopJoin") else Nil
+      cart ++ bnlj
+    }
+    assert(violations.isEmpty, violations.mkString("\n"))
+  }
+}
