@@ -760,7 +760,23 @@ object ExtQueries {
       |   RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS rolling_1h
       |FROM events ORDER BY user_id, event_id""".stripMargin))
 
+  /** Wide→long reshape (melt): numeric measures to (key, metric, value)
+    * rows — the schema-normalization step feature pipelines run before
+    * per-metric aggregation. */
+  private val q58 = QDef("q58_unpivot",
+    (s, dir) => T(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"),
+        col("c_nationkey").cast("double").as("c_nationkey"))
+      .unpivot(Array(col("c_custkey")), "metric", "value")
+      .withColumn("value", round(col("value"), 4))
+      .orderBy("c_custkey", "metric"),
+    Some("""SELECT c_custkey, 'c_acctbal' AS metric,
+      |       round(c_acctbal, 4) AS value FROM customer
+      |UNION ALL
+      |SELECT c_custkey, 'c_nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+      |ORDER BY c_custkey, metric""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
-    q50, q51, q52, q53, q54, q55, q56, q57)
+    q50, q51, q52, q53, q54, q55, q56, q57, q58)
 }
