@@ -205,6 +205,22 @@ class SessionAsofSpec extends SparkSpec {
     }
   }
 
+  test("empty-input edges: asof with no right rows, CC with no edges, sample fracs 0/1") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "a")).toDF("k", "ts", "tag")
+    val right = Seq.empty[(Long, java.sql.Timestamp, Long)].toDF("k", "ts", "rid")
+    val asof = AsofJoin.backward(left, col("k"), col("ts"),
+        right, col("k"), col("ts"), rightVals = Seq("rid"), rightTie = col("rid"))
+      .select("tag", "rid").as[(String, Option[Long])].collect().toSeq
+    assert(asof === Seq(("a", None)))
+
+    val noEdges = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(noEdges).count() === 0)
+
+    val d = Tables.t(spark, sf, "documents")
+    assert(Sampling.hashSample(d, col("doc_id"), 0.0).count() === 0)
+    assert(Sampling.hashSample(d, col("doc_id"), 1.0).count() === d.count())
+  }
+
   test("ivfTopK: self-match first; results subset of brute-force ordering") {
     val e = Tables.t(spark, sf, "embeddings")
     val cents = Similarity.collectCentroids(e, col("embedding"), col("vec_id"), 8)
