@@ -776,7 +776,44 @@ object ExtQueries {
       |SELECT c_custkey, 'c_nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
       |ORDER BY c_custkey, metric""".stripMargin))
 
+  /** S8's catalog-search shape under the oracle gate: the part table stands
+    * in as a variables-like catalog (variable/label/concept), and the query
+    * is exactly [[Pipeline.searchVariables]] — case-insensitive keyword
+    * containment on label OR concept. "small" hits through BOTH columns
+    * (p_name "small ..." and p_type "SMALL"), so the disjunction is
+    * exercised, not just one branch. */
+  private val q59 = QDef("q59_variable_search",
+    (s, dir) => Pipeline.searchVariables(
+      T(s, dir, "part").select(
+        col("p_partkey").cast("string").as("variable"),
+        col("p_name").as("label"), col("p_type").as("concept")),
+      "small")
+      .orderBy("variable"),
+    Some("""SELECT CAST(p_partkey AS VARCHAR) AS variable, p_name AS label,
+      | p_type AS concept
+      |FROM part
+      |WHERE lower(p_name) LIKE '%small%' OR lower(p_type) LIKE '%small%'
+      |ORDER BY variable""".stripMargin))
+
+  /** q26's 100 TB path under the driver's oracle gate (not just the unit
+    * pin): pigeonhole-banded candidate generation, same oracle SQL — the
+    * outputs are identical by construction ([[Dedup.simhashNearDupBanded]]). */
+  private val q60 = QDef("q60_dedup_simhash_banded",
+    (s, dir) => Dedup.simhashNearDupBanded(T(s, dir, "documents"),
+      col("text"), col("doc_id"), col("source"), maxDist = 12)
+      .orderBy("id_a", "id_b"),
+    q26.oracle)
+
+  /** q27's 100 TB path under the oracle gate: PPJoin prefix-filtered
+    * candidates, same oracle SQL ([[Dedup.ngramJaccardPairsPrefix]]). */
+  private val q61 = QDef("q61_dedup_ngram_prefix",
+    (s, dir) => Dedup.ngramJaccardPairsPrefix(T(s, dir, "documents"),
+      col("text"), col("doc_id"), col("source"), n = 1, minJ = 0.6)
+      .withColumn("jaccard", round(col("jaccard"), 4))
+      .orderBy("id_a", "id_b"),
+    q27.oracle)
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
-    q50, q51, q52, q53, q54, q55, q56, q57, q58)
+    q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61)
 }

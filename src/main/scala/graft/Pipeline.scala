@@ -116,6 +116,53 @@ object Pipeline {
     }
   }
 
+  /** S7 — variable metadata lookup (reference `src/census_pipeline.py:409-423`):
+    * one variable's label/concept/predicateType as a 1-row DataFrame.
+    * Driver-side fetch through the pluggable catalog transport
+    * ([[graft.sources.VariableCatalog]] — zero-egress here; production swaps
+    * the registry lookup for the HTTP GET of `.../variables/{code}.json`).
+    * Unknown code -> IllegalArgumentException (the reference surfaces the
+    * 404 via raise_for_status). */
+  def variableMetadata(spark: SparkSession, code: String,
+                       dataset: String = "acs5_2022"): DataFrame = {
+    import spark.implicits._
+    val hit = graft.sources.VariableCatalog.entries(dataset)
+      .find(_.variable == code)
+      .getOrElse(throw new IllegalArgumentException(
+        s"unknown variable: $code (dataset $dataset)"))
+    Seq(hit).toDF()
+  }
+
+  /** S8 — variable catalog search (reference `src/census_pipeline.py:426-457`):
+    * case-insensitive keyword containment on label OR concept. The catalog
+    * arrives as a DataFrame (registry, file, any source), so the same filter
+    * shape runs on any landed table — oracle-gated as q59. */
+  def searchVariables(catalog: DataFrame, keyword: String): DataFrame = {
+    val kw = keyword.toLowerCase
+    catalog
+      .filter(lower(col("label")).contains(kw) || lower(col("concept")).contains(kw))
+      .select("variable", "label", "concept")
+  }
+
+  /** [[searchVariables]] over a registered catalog dataset — the
+    * reference's exact call shape (`search_variables(keyword, year)`). */
+  def searchVariables(spark: SparkSession, keyword: String,
+                      dataset: String): DataFrame =
+    searchVariables(graft.sources.VariableCatalog.catalogDf(spark, dataset), keyword)
+
+  /** S16 — raw SQL passthrough (reference `src/exporters.py:197-204`): a
+    * driver-side JDBC statement, deliberately NOT a Spark op — DDL/DML
+    * against the warehouse (create index, grant, vacuum) has no distributed
+    * component. Connection-per-call like the reference's engine.connect(). */
+  def executeSql(url: String, sql: String,
+                 props: java.util.Properties = new java.util.Properties): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      try st.execute(sql) finally st.close()
+    } finally conn.close()
+  }
+
   /** S15 — PostGIS/JDBC sink: if_exists ∈ {fail,replace,append} -> SaveMode
     * (reference `src/exporters.py:120-195`). Returns the configured writer so
     * callers supply url/table (no live DB in this environment). */

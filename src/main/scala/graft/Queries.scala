@@ -354,7 +354,11 @@ object Queries {
   private val q20 = QDef("q20_export_roundtrip",
     (s, dir) => {
       val result = q16.fn(s, dir)
-      val base = s"/root/repo/target/roundtrip/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      // fresh temp dir per invocation: repeated runs (warmup, timed passes,
+      // verify) never read a stale export, and nothing accumulates under
+      // the repo's target/ (bench-hygiene note in PLANS.md — the timing
+      // includes the write on purpose; q20 IS the sink operator)
+      val base = java.nio.file.Files.createTempDirectory("graft_roundtrip").toString
       Pipeline.export(result, s"$base/parquet", "parquet")
       Pipeline.export(result, s"$base/csv", "csv")
       s.read.parquet(s"$base/parquet").orderBy(desc("sum_bal"), col("r_name"))

@@ -65,6 +65,20 @@ object CensusApi {
       .getOrElse(throw new IllegalArgumentException(s"unknown state: $s"))
   }
 
+  /** E9 (county variant) — county key -> 3-digit FIPS. Numeric keys
+    * normalize (reference GEOIDs zero-pad county to 3); name lookup needs a
+    * per-state county database the reference also lacks — its
+    * `get_county_fips` raises NotImplementedError unconditionally
+    * (`src/geography.py:138-146`); we keep that contract for names and add
+    * the well-defined numeric normalization. */
+  def normalizeCountyKey(county: String): String = {
+    val t = county.trim
+    if (t.matches("\\d{1,3}")) f"${t.toInt}%03d"
+    else throw new UnsupportedOperationException(
+      s"county FIPS lookup by name ('$county') requires a local FIPS database " +
+        "(reference geography.py:138-146 raises NotImplementedError)")
+  }
+
   /** Endpoint routing (S1–S4): product -> URL path. Decennial year is
     * validated ∈ {2000, 2010, 2020} and routed /dec/dhc (2020) vs /dec/sf1
     * (reference `src/api_client.py:53-119`, `src/census_pipeline.py:215-216`). */

@@ -72,6 +72,53 @@ class PipelineSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](CensusApi.normalizeStateKey("03"))
   }
 
+  test("CensusApi: county key normalization numeric, name raises (E9 county)") {
+    assert(CensusApi.normalizeCountyKey("37") === "037")
+    assert(CensusApi.normalizeCountyKey("037") === "037")
+    assert(CensusApi.normalizeCountyKey("5") === "005")
+    // reference geography.py:138-146 raises NotImplementedError for names
+    assertThrows[UnsupportedOperationException](
+      CensusApi.normalizeCountyKey("Los Angeles"))
+  }
+
+  test("variableMetadata: 1-row frame from registered catalog, unknown throws (S7)") {
+    graft.sources.VariableCatalog.register("acs5_test", Seq(
+      graft.sources.VariableCatalog.VariableInfo(
+        "B01003_001E", "Estimate!!Total", "TOTAL POPULATION", "int"),
+      graft.sources.VariableCatalog.VariableInfo(
+        "B19013_001E", "Estimate!!Median household income", "INCOME", "int")))
+    val md = Pipeline.variableMetadata(spark, "B01003_001E", "acs5_test")
+    assert(md.columns.toSeq === Seq("variable", "label", "concept", "predicateType"))
+    val r = rows(md)
+    assert(r.size === 1 && r.head.getString(1) === "Estimate!!Total")
+    assertThrows[IllegalArgumentException](
+      Pipeline.variableMetadata(spark, "B99999_999E", "acs5_test"))
+    assertThrows[IllegalArgumentException](
+      Pipeline.variableMetadata(spark, "B01003_001E", "never_registered"))
+  }
+
+  test("searchVariables: case-insensitive keyword on label OR concept (S8)") {
+    graft.sources.VariableCatalog.register("acs5_search", Seq(
+      graft.sources.VariableCatalog.VariableInfo("V1", "Total population", "DEMOGRAPHICS", "int"),
+      graft.sources.VariableCatalog.VariableInfo("V2", "Median income", "INCOME", "int"),
+      graft.sources.VariableCatalog.VariableInfo("V3", "Rent burden", "Housing incOme share", "float")))
+    val got = rows(Pipeline.searchVariables(spark, "income", "acs5_search").orderBy("variable"))
+    assert(got.map(_.getString(0)) === Seq("V2", "V3")) // label hit + concept hit
+    assert(rows(Pipeline.searchVariables(spark, "zebra", "acs5_search")).isEmpty)
+  }
+
+  test("executeSql: driver-side JDBC statement executes against Derby (S16)") {
+    val url = "jdbc:derby:memory:graft_s16;create=true"
+    Pipeline.executeSql(url, "CREATE TABLE t16 (k INT)")
+    Pipeline.executeSql(url, "INSERT INTO t16 VALUES (1), (2)")
+    // verify through Spark's JDBC source — the statements really ran
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "t16").load()
+    assert(back.count() === 2)
+    assertThrows[java.sql.SQLException](
+      Pipeline.executeSql(url, "SELECT * FROM no_such_table"))
+  }
+
   test("CensusApi: endpoint routing + decennial year validation (S1-S4)") {
     assert(CensusApi.endpoint("acs5", 2022).endsWith("/2022/acs/acs5"))
     assert(CensusApi.endpoint("decennial", 2020).endsWith("/dec/dhc"))
