@@ -300,18 +300,44 @@ object ExtQueries {
 
   // -------------------------------------- ANN (IVF), sessions, rich SQL ops
 
+  /** DuckDB replay of [[Similarity.kmeansCentroids]] — see its scaladoc for
+    * why every step is integer-exact and therefore engine-identical. The
+    * chain expects an `e(vec_id, emb DOUBLE[])` CTE before it and ends in
+    * the codebook CTE `c(cid, cemb DOUBLE[])`. `dim` is the fixture's
+    * embedding width (64 at every SF). */
+  private def kmeansCtes(c: Int, dim: Int, iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""a$i AS (SELECT vec_id, q, cid FROM (
+         |  SELECT qv.vec_id, qv.q, k.cid,
+         |    row_number() OVER (PARTITION BY qv.vec_id ORDER BY
+         |      list_cosine_similarity(CAST(qv.q AS DOUBLE[]), CAST(k.cq AS DOUBLE[])) DESC,
+         |      k.cid) AS rn
+         |  FROM qv, k${i - 1} k) WHERE rn = 1),
+         |s$i AS (SELECT cid, i, CAST(sum(q[i+1]) AS BIGINT) AS sv
+         |       FROM a$i, range(0, $dim) r(i) GROUP BY 1, 2),
+         |n$i AS (SELECT cid, list(sv ORDER BY i) AS cq FROM s$i GROUP BY cid),
+         |k$i AS (SELECT k.cid, coalesce(n$i.cq, k.cq) AS cq
+         |       FROM k${i - 1} k LEFT JOIN n$i ON k.cid = n$i.cid)""".stripMargin
+    }.mkString(",\n")
+    s"""qv AS (SELECT vec_id, list_transform(emb, x -> CAST(round(x*10000) AS BIGINT)) AS q FROM e),
+       |k0 AS (SELECT vec_id AS cid, q AS cq FROM qv ORDER BY vec_id LIMIT $c),
+       |$steps,
+       |c AS (SELECT cid, CAST(cq AS DOUBLE[]) AS cemb FROM k$iters)""".stripMargin
+  }
+
   private val q39 = QDef("q39_ann_ivf",
     (s, dir) => {
       val e = T(s, dir, "embeddings")
-      val cents = Similarity.collectCentroids(e, col("embedding"), col("vec_id"), 16)
+      val cents = Similarity.kmeansCentroids(e, col("embedding"), col("vec_id"),
+        c = 16, iters = 2)
       val q = e.orderBy("vec_id").limit(1)
       Similarity.ivfTopK(e, col("embedding"), col("vec_id"), q, col("embedding"),
         k = 10, centroids = cents, nProbe = 4)
         .select(col("id"), round(col("cos_sim"), 4).as("cos_sim"))
         .orderBy(desc("cos_sim"), col("id"))
     },
-    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-      |c AS (SELECT vec_id AS cid, emb AS cemb FROM e ORDER BY vec_id LIMIT 16),
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |${kmeansCtes(16, 64, 2)},
       |a0 AS (SELECT e.vec_id, e.emb, c.cid,
       |         row_number() OVER (PARTITION BY e.vec_id
       |           ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC, c.cid) AS rn
@@ -687,7 +713,8 @@ object ExtQueries {
   private val q55 = QDef("q55_knn_join",
     (s, dir) => {
       val e = T(s, dir, "embeddings")
-      val cents = Similarity.collectCentroids(e, col("embedding"), col("vec_id"), 16)
+      val cents = Similarity.kmeansCentroids(e, col("embedding"), col("vec_id"),
+        c = 16, iters = 2)
       Similarity.ivfKnnJoin(e, col("embedding"), col("vec_id"),
         e.filter(col("label") === 1), col("embedding"), col("vec_id"),
         k = 3, centroids = cents, nProbe = 4)
@@ -695,8 +722,8 @@ object ExtQueries {
           round(col("cos_sim"), 4).as("cos_sim"))
         .orderBy("qid", "rank")
     },
-    Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-      |c AS (SELECT vec_id AS cid, emb AS cemb FROM e ORDER BY vec_id LIMIT 16),
+    Some(s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |${kmeansCtes(16, 64, 2)},
       |a0 AS (SELECT e.vec_id, e.emb, c.cid,
       |         row_number() OVER (PARTITION BY e.vec_id
       |           ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC, c.cid) AS rn

@@ -67,6 +67,55 @@ object Similarity {
       .orderBy("id").limit(c).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
 
+  /** Deterministic spherical k-means codebook — the trained replacement for
+    * [[collectCentroids]]'s lowest-id stand-in (recall at scale depends on
+    * centroids that actually cover the data).
+    *
+    * Cross-engine reproducibility is by CONSTRUCTION, not convention:
+    *  - vectors are quantized to integers (`round(x*10000)`), so every
+    *    assignment dot product is a sum of integer products ≤ ~4e12 —
+    *    exactly representable in doubles, hence identical in any summation
+    *    order in both engines;
+    *  - centroids are element-wise integer SUMS of members, never means:
+    *    cosine is scale-invariant, so dividing by the member count adds
+    *    rounding nondeterminism without changing a single assignment
+    *    (sum-direction == mean-direction, i.e. classic spherical k-means);
+    *  - init = the `c` lowest-id vectors, iteration count fixed, ties on
+    *    cosine break to the lower centroid id, and an emptied cell carries
+    *    its previous centroid.
+    * The DuckDB oracle replays the identical chain (ExtQueries.kmeansCtes).
+    *
+    * Scale shape: each iteration is one narrow assignment pass (centroids
+    * inlined as literals — no join, no shuffle of the corpus) plus one
+    * (cell, dim)-keyed partial aggregation; only c×dim summed longs reach
+    * the driver. Iteration count is a constant, so the whole training job
+    * is O(iters) scans. */
+  def kmeansCentroids(df: DataFrame, emb: Column, id: Column, c: Int,
+                      iters: Int = 2): Seq[(Long, Array[Double])] = {
+    val q = df.select(id.cast("long").as("id"),
+        transform(emb.cast("array<double>"), x => round(x * 10000).cast("long")).as("q"))
+      .localCheckpoint() // scanned once per iteration; quantization runs once
+    var cents: Seq[(Long, Array[Double])] = q.orderBy("id").limit(c).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).map(_.toDouble).toArray)).toSeq
+    require(cents.nonEmpty, "kmeansCentroids: empty input")
+    val dim = cents.head._2.length
+    for (_ <- 1 to iters) {
+      val cell = element_at(nearestCells(col("q").cast("array<double>"), cents, 1), 1)
+      // bounded collect: c × dim summed components, independent of data size
+      val sums = q.select(cell.as("__cell"), posexplode(col("q")))
+        .groupBy("__cell", "pos").agg(sum("col").as("s"))
+        .collect()
+      val byCell = sums.groupBy(_.getLong(0)).map { case (cid, rs) =>
+        val arr = new Array[Double](dim)
+        rs.foreach(r => arr(r.getInt(1)) = r.getLong(2).toDouble)
+        cid -> arr
+      }
+      cents = cents.map { case (cid, old) => (cid, byCell.getOrElse(cid, old)) }
+    }
+    org.apache.spark.sql.graft.CheckpointUtils.unpersistCheckpoint(q)
+    cents
+  }
+
   /** The `nProbe` nearest centroid ids to `emb`, best first (cosine
     * similarity, lower id wins ties). */
   def nearestCells(emb: Column, centroids: Seq[(Long, Array[Double])], nProbe: Int): Column = {

@@ -234,4 +234,42 @@ class SessionAsofSpec extends SparkSpec {
     // every ivf hit carries its true cosine
     ivf.foreach { case (id, c) => assert(math.abs(brute(id) - c) < 1e-9) }
   }
+
+  test("kmeansCentroids: training moves centroids and beats the lowest-id codebook on recall") {
+    val e = Tables.t(spark, sf, "embeddings")
+    val trained = Similarity.kmeansCentroids(e, col("embedding"), col("vec_id"),
+      c = 16, iters = 2)
+    val init = Similarity.collectCentroids(e, col("embedding"), col("vec_id"), 16)
+    assert(trained.map(_._1) === init.map(_._1)) // cell ids stay the init vec_ids
+    // training actually iterated: at least one centroid left its init vector
+    // (trained centroids are member SUMS, so compare directions via cosine)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val moved = trained.zip(init).count { case ((_, t), (_, i0)) => cos(t, i0) < 1 - 1e-9 }
+    assert(moved > 0, "no centroid moved — k-means degenerated to init")
+
+    // recall@10 against brute force, averaged over 20 query vectors
+    val brute = Similarity.bruteForceTopK _
+    val qids = (0 until 500 by 25).map(_.toLong)
+    def recall(cents: Seq[(Long, Array[Double])]): Double = {
+      val hits = qids.map { qid =>
+        val q = e.filter(col("vec_id") === qid)
+        val exact = rows(brute(e, col("embedding"), col("vec_id"),
+          q, col("embedding"), 10)).map(_.getLong(0)).toSet
+        val approx = rows(Similarity.ivfTopK(e, col("embedding"), col("vec_id"),
+          q, col("embedding"), k = 10, centroids = cents, nProbe = 4))
+          .map(_.getLong(0)).toSet
+        (exact intersect approx).size / 10.0
+      }
+      hits.sum / hits.size
+    }
+    val rTrained = recall(trained)
+    val rInit = recall(init)
+    info(f"recall@10 trained=$rTrained%.3f lowest-id=$rInit%.3f")
+    assert(rTrained >= 0.5, f"trained recall too low: $rTrained%.3f (0.600 when pinned)")
+    assert(rTrained >= rInit - 1e-9,
+      f"k-means ($rTrained%.3f) should not lose to lowest-id init ($rInit%.3f)")
+  }
 }
