@@ -53,6 +53,26 @@ object EventStreams {
       .orderBy("hour_ts", "event_type")
   }
 
+  /** Live-deployment twin of [[runHourly]]: append mode — a window row is
+    * emitted exactly once, when the watermark passes its end, and its state
+    * is evicted. State and sink growth are bounded by the watermark at any
+    * scale (the complete-mode variant stays as the bounded-backfill shape).
+    * On a bounded AvailableNow run the final watermark is max(ts) - 1 hour,
+    * so the emitted set is precisely the batch hourly aggregation restricted
+    * to windows closed under that cutoff — pinned in the unit suite. */
+  def runHourlyAppend(spark: SparkSession, dir: String,
+                      name: String = "graft_stream_hourly_append"): DataFrame = {
+    spark.catalog.dropTempView(name)
+    val q = hourlyAgg(readEventStream(spark, dir))
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).select(
+      date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+      col("event_type"), col("n"), round(col("sum_value"), 4).as("sum_value"))
+      .orderBy("hour_ts", "event_type")
+  }
+
   /** Streaming twin of [[Sessionize.sessions]]: session_window aggregation
     * under a watermark, append mode (session windows don't support complete
     * — state must be evictable). On a bounded stream only sessions whose

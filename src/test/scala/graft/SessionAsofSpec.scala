@@ -69,6 +69,23 @@ class SessionAsofSpec extends SparkSpec {
     assert(closed.exceptAll(streamed).isEmpty)
   }
 
+  test("append-mode hourly agg equals batch windows closed before the watermark") {
+    val streamed = EventStreams.runHourlyAppend(spark, sf, "graft_hourly_append_spec")
+    val ev = Tables.t(spark, sf, "events")
+    // batch truth: q23's hourly aggregation, restricted to windows whose END
+    // precedes the final watermark (max event time - 1 hour)
+    val maxTs = ev.agg(max("ts")).collect().head.getTimestamp(0)
+    val cutoff = new java.sql.Timestamp(maxTs.getTime - 3600 * 1000)
+    val closed = ev
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .where(col("h") + expr("INTERVAL 1 HOUR") < lit(cutoff))
+      .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+        col("event_type"), col("n"), col("sum_value"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(closed).isEmpty && closed.exceptAll(streamed).isEmpty)
+  }
+
   test("stream-stream interval join equals the batch range join (q52 twin)") {
     val streamed = EventStreams.runConversionJoin(spark, sf, "graft_conv_spec")
       .groupBy("signup_id").agg(count(lit(1)).as("n"))
