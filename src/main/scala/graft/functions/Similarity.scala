@@ -101,15 +101,16 @@ object Similarity {
     val dim = cents.head._2.length
     for (_ <- 1 to iters) {
       val cell = element_at(nearestCells(col("q").cast("array<double>"), cents, 1), 1)
-      // bounded collect: c × dim summed components, independent of data size
-      val sums = q.select(cell.as("__cell"), posexplode(col("q")))
-        .groupBy("__cell", "pos").agg(sum("col").as("s"))
-        .collect()
-      val byCell = sums.groupBy(_.getLong(0)).map { case (cid, rs) =>
-        val arr = new Array[Double](dim)
-        rs.foreach(r => arr(r.getInt(1)) = r.getLong(2).toDouble)
-        cid -> arr
-      }
+      // Per-dimension sum aggregates keyed by the cell expression. NOT a
+      // posexplode over dims: pairing the (large) assignment expression with
+      // a Generate re-evaluates it per exploded element — dim× per row,
+      // outside whole-stage codegen — which profiled ~20× slower than this
+      // shape. Here the assignment runs once per row as the grouping key.
+      // Bounded collect: c rows × dim summed components, data-size free.
+      val aggs = (0 until dim).map(i => sum(element_at(col("q"), i + 1)).as(s"s$i"))
+      val sums = q.groupBy(cell.as("__cell")).agg(aggs.head, aggs.tail: _*).collect()
+      val byCell = sums.map(r =>
+        r.getLong(0) -> Array.tabulate(dim)(i => r.getLong(i + 1).toDouble)).toMap
       cents = cents.map { case (cid, old) => (cid, byCell.getOrElse(cid, old)) }
     }
     org.apache.spark.sql.graft.CheckpointUtils.unpersistCheckpoint(q)
