@@ -60,6 +60,41 @@ object TextAnalysis {
       least(stopRatio * 5, lit(1d)) * 0.2
   }
 
+  /** Gopher-style rule-based quality flags (Rae et al. 2021 §A1.1
+    * heuristics) as 0/1 ints: token-count band, mean-token-length band,
+    * max single-token share and max bigram share (within-document
+    * repetition), and a minimum distinct-stopword count. Band thresholds
+    * are adapted to the fixture corpus's ~50-word vocabulary; production
+    * swaps in Gopher's published numbers — the SHAPE is what scales.
+    *
+    * Pure per-row expression tree: per-doc cost is O(tokens × distinct
+    * tokens) inside whole-stage codegen, no explode, no shuffle — the
+    * filter stays a narrow map at any corpus size (contrast with an
+    * explode+groupBy formulation, which would shuffle corpus-tokens rows
+    * to compute a per-doc statistic). */
+  def gopherRules(text: Column): Column = {
+    val t = toks(text)
+    val nTok = size(t).cast("double")
+    val meanTokLen = (length(text).cast("double") - (nTok - 1)) / nTok
+    val maxTokShare = array_max(transform(array_distinct(t),
+      w => size(filter(t, x => x === w)))).cast("double") / nTok
+    val bi = when(size(t) >= 2,
+      transform(sequence(lit(0), size(t) - 2), i => concat_ws(" ", slice(t, i + 1, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val maxBiShare = when(size(t) >= 2,
+      array_max(transform(array_distinct(bi),
+        w => size(filter(bi, x => x === w)))).cast("double") / (nTok - 1))
+      .otherwise(lit(0d))
+    val allStop = array(Stopwords.values.flatten.toSeq.distinct.sorted.map(lit): _*)
+    val stopHits = size(array_intersect(array_distinct(t), allStop))
+    struct(
+      (nTok >= 20 && nTok <= 90).cast("int").as("len_ok"),
+      (meanTokLen >= 3 && meanTokLen <= 10).cast("int").as("mtl_ok"),
+      (maxTokShare <= 0.15).cast("int").as("rep_tok_ok"),
+      (maxBiShare <= 0.12).cast("int").as("rep_bi_ok"),
+      (stopHits >= 2).cast("int").as("stop_ok"))
+  }
+
   /** Token counts: whitespace tokens and a BPE-ish segmentation
     * (letter runs / digit runs / single other chars), via regexp counting —
     * identical regex semantics in DuckDB's RE2 for these simple classes. */

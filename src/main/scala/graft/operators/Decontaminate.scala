@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination for training corpora: find (and drop)
+  * documents that share a word n-gram with an evaluation/benchmark set —
+  * the standard n-gram-overlap decontamination applied to pretraining
+  * data before model training. Extension beyond the reference surface
+  * (LLM-pipeline ops, SURVEY §2 extension block).
+  *
+  * Scale shape: a benchmark is SMALL by definition (eval suites, not
+  * corpora), so its distinct-gram set builds once and broadcasts; the
+  * corpus side is one narrow shingle+explode pass into a broadcast hash
+  * join — the corpus never shuffles except the final per-doc count,
+  * keyed by doc id. Grams are compared as 60-bit hashes (same trade as
+  * [[Dedup.ngramJaccardPairs]]: long equality beats string equality in
+  * the join probe, identical counts modulo ~1e-9/pair collisions).
+  */
+object Decontaminate {
+  /** Distinct-gram n-gram hash sets per side. */
+  private def gramHashes(text: Column, n: Int): Column =
+    array_distinct(transform(Dedup.shingles(text, n), Dedup.hash60 _))
+
+  /** One row per contaminated document: (doc_id, n_shared) where n_shared
+    * counts the distinct word n-grams the document shares with ANY
+    * benchmark document. Default n = 5: long enough that chance overlap
+    * vanishes and only true (near-)copies of benchmark text match. */
+  def overlaps(df: DataFrame, text: Column, id: Column,
+               bench: DataFrame, benchText: Column, n: Int = 5): DataFrame = {
+    val bg = bench.select(explode(gramHashes(benchText, n)).as("__h")).distinct()
+    df.select(id.as("doc_id"), explode(gramHashes(text, n)).as("__h"))
+      .join(broadcast(bg), "__h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** The corpus minus every document [[overlaps]] flags (left-anti). */
+  def decontaminate(df: DataFrame, text: Column, id: Column,
+                    bench: DataFrame, benchText: Column, n: Int = 5): DataFrame =
+    df.join(overlaps(df, text, id, bench, benchText, n).select(col("doc_id").as("__cid")),
+      id === col("__cid"), "left_anti")
+}

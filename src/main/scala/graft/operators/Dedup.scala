@@ -36,6 +36,26 @@ object Dedup {
     df.join(keep, id === col("__keep_id"), "left_semi")
   }
 
+  /** Exact passage-level dedup (C4-style span/boilerplate detection, one
+    * level below document granularity): split each document into
+    * non-overlapping k-token passages and report every passage that occurs
+    * in more than one document. One explode + one hash-aggregation keyed by
+    * the passage — the exact-dedup shuffle shape, volume linear in corpus
+    * tokens/k. Trailing tokens short of a full passage are ignored (they
+    * can't equal a full passage elsewhere anyway). */
+  def sharedPassages(df: DataFrame, text: Column, id: Column, k: Int = 10): DataFrame = {
+    val t = split(text, " ")
+    val nCh = floor(size(t) / k).cast("int")
+    // same guard as shingles: sequence(0, -1) would run DESCENDING
+    val chunks = when(nCh >= 1,
+      transform(sequence(lit(0), nCh - 1), i => concat_ws(" ", slice(t, i * k + 1, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+    df.select(id.as("__id"), explode(chunks).as("passage"))
+      .groupBy("passage")
+      .agg(countDistinct(col("__id")).as("n_docs"), count(lit(1)).as("n_occ"))
+      .where(col("n_docs") >= 2)
+  }
+
   /** Word shingles of size k from a whitespace-tokenized text column. */
   def shingles(text: Column, k: Int): Column = {
     val toks = split(text, " ")

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for pretraining batches: lay documents end-to-end in a
+  * deterministic order and cut the stream into fixed token-budget chunks
+  * (GPT-style concat-then-split packing). A document belongs to the chunk
+  * where it STARTS; chunk id = floor(tokens-before-this-doc / budget).
+  *
+  * Scale shape: packing runs WITHIN a shard key (source, shard id, date …),
+  * never globally — the window cumsum partitions by shard, so parallelism
+  * is the shard count and there is no global sort. One shuffle, keyed by
+  * shard. Extension beyond the reference surface (LLM-pipeline ops).
+  */
+object Packing {
+  /** Whitespace token count — the same cheap tokenizer the text-analysis
+    * family uses ([[TextAnalysis]]); swap for a BPE count upstream if the
+    * budget must be model-exact. */
+  def tokenCount(text: Column): Column = size(split(text, " "))
+
+  /** Per-document chunk assignment: (shard, id, n_tok, chunk_id). */
+  def assignChunks(df: DataFrame, text: Column, id: Column, shard: Column,
+                   budget: Int): DataFrame = {
+    val w = Window.partitionBy("__shard").orderBy("__id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(shard.as("__shard"), id.as("__id"), tokenCount(text).as("n_tok"))
+      .withColumn("__before", coalesce(sum("n_tok").over(w), lit(0L)))
+      .withColumn("chunk_id", floor(col("__before") / budget))
+      .select(col("__shard").as("shard"), col("__id").as("id"),
+        col("n_tok"), col("chunk_id"))
+  }
+
+  /** Chunk-level rollup: docs and token totals per (shard, chunk). */
+  def packChunks(df: DataFrame, text: Column, id: Column, shard: Column,
+                 budget: Int): DataFrame =
+    assignChunks(df, text, id, shard, budget)
+      .groupBy("shard", "chunk_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        min("id").as("first_id"), max("id").as("last_id"))
+}
