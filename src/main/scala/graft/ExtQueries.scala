@@ -850,7 +850,94 @@ object ExtQueries {
       .orderBy("id_a", "id_b"),
     q27.oracle)
 
+  /** Sequence packing ([[Packing.packChunks]]): documents laid end-to-end
+    * per source shard, cut into 200-token-budget chunks; rollup per chunk.
+    * The window cumsum partitions by shard, so parallelism = shard count. */
+  private val q62 = QDef("q62_pack_chunks",
+    (s, dir) => Packing.packChunks(T(s, dir, "documents"),
+      col("text"), col("doc_id"), col("source"), budget = 200)
+      .orderBy("shard", "chunk_id"),
+    Some("""WITH d AS (SELECT source AS shard, doc_id AS id,
+      |  len(string_split(text, ' ')) AS n_tok FROM documents),
+      |c AS (SELECT shard, id, n_tok,
+      |  CAST(COALESCE(sum(n_tok) OVER (PARTITION BY shard ORDER BY id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bef
+      | FROM d)
+      |SELECT shard, CAST(floor(bef / 200) AS BIGINT) AS chunk_id,
+      | count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      | min(id) AS first_id, max(id) AS last_id
+      |FROM c GROUP BY shard, chunk_id ORDER BY shard, chunk_id""".stripMargin))
+
+  /** Benchmark decontamination ([[Decontaminate.overlaps]]): every 25th doc
+    * stands in as the benchmark set; output = docs sharing a 5-gram with it
+    * (the 20 bench docs themselves + their near-copies in the corpus). */
+  private val q63 = QDef("q63_decontaminate",
+    (s, dir) => {
+      val docs = T(s, dir, "documents")
+      Decontaminate.overlaps(docs, col("text"), col("doc_id"),
+        docs.where(col("doc_id") % 25 === 0), col("text"), n = 5)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |g AS (SELECT doc_id, list_distinct(list_transform(
+      |        list_distinct(list_transform(range(0, len(t) - 4),
+      |          i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5])),
+      |        s -> ${hashSql("s", 15)})) AS hs
+      |     FROM t WHERE len(t) >= 5),
+      |bg AS (SELECT DISTINCT unnest(hs) AS h FROM g WHERE doc_id % 25 = 0),
+      |ex AS (SELECT doc_id, unnest(hs) AS h FROM g)
+      |SELECT ex.doc_id AS doc_id, count(*) AS n_shared
+      |FROM ex JOIN bg USING (h)
+      |GROUP BY ex.doc_id ORDER BY doc_id""".stripMargin))
+
+  /** Passage-level exact dedup ([[Dedup.sharedPassages]]): non-overlapping
+    * 10-token passages occurring in >= 2 documents. */
+  private val q64 = QDef("q64_shared_passages",
+    (s, dir) => Dedup.sharedPassages(T(s, dir, "documents"),
+      col("text"), col("doc_id"), k = 10)
+      .orderBy("passage"),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |c AS (SELECT doc_id, unnest(list_transform(range(0, len(t) // 10),
+      |        i -> array_to_string(list_slice(t, i*10 + 1, i*10 + 10), ' '))) AS passage
+      |      FROM t)
+      |SELECT passage, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+      |FROM c GROUP BY passage HAVING count(DISTINCT doc_id) >= 2
+      |ORDER BY passage""".stripMargin))
+
+  /** Gopher-style rule flags ([[TextAnalysis.gopherRules]]) flattened to
+    * 0/1 columns per document. */
+  private val q65 = QDef("q65_gopher_rules",
+    (s, dir) => T(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.gopherRules(col("text")).as("g"))
+      .select(col("doc_id"), col("g.len_ok").as("len_ok"),
+        col("g.mtl_ok").as("mtl_ok"), col("g.rep_tok_ok").as("rep_tok_ok"),
+        col("g.rep_bi_ok").as("rep_bi_ok"), col("g.stop_ok").as("stop_ok"))
+      .orderBy("doc_id"),
+    Some(s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk,
+      |         list_distinct(string_split(text, ' ')) AS dtk FROM documents),
+      |m AS (SELECT doc_id,
+      |  CAST(len(tk) AS DOUBLE) AS n_tok,
+      |  (CAST(length(text) AS DOUBLE) - (len(tk) - 1)) / len(tk) AS mtl,
+      |  CAST(list_max(list_transform(dtk,
+      |    w -> len(list_filter(tk, x -> x = w)))) AS DOUBLE) / len(tk) AS rep_tok,
+      |  CASE WHEN len(tk) >= 2 THEN
+      |    CAST(list_max(list_transform(
+      |      list_distinct(list_transform(range(0, len(tk) - 1), i -> tk[i+1] || ' ' || tk[i+2])),
+      |      w -> len(list_filter(list_transform(range(0, len(tk) - 1),
+      |             i -> tk[i+1] || ' ' || tk[i+2]), x -> x = w)))) AS DOUBLE) / (len(tk) - 1)
+      |  ELSE 0.0 END AS rep_bi,
+      |  len(list_intersect(dtk, $allStopSql)) AS stop_hits
+      | FROM t)
+      |SELECT doc_id,
+      | CAST(n_tok >= 20 AND n_tok <= 90 AS INTEGER) AS len_ok,
+      | CAST(mtl >= 3 AND mtl <= 10 AS INTEGER) AS mtl_ok,
+      | CAST(rep_tok <= 0.15 AS INTEGER) AS rep_tok_ok,
+      | CAST(rep_bi <= 0.12 AS INTEGER) AS rep_bi_ok,
+      | CAST(stop_hits >= 2 AS INTEGER) AS stop_ok
+      |FROM m ORDER BY doc_id""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
-    q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61)
+    q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
+    q65)
 }

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Unit pins for the LLM-pipeline operators wired as q62–q65: sequence
+  * packing, benchmark decontamination, passage-level dedup, Gopher rules.
+  * Each test crafts inputs where the expected answer is hand-checkable.
+  */
+class LlmOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // -------------------------------------------------------------- packing
+
+  test("Packing.assignChunks: doc starts in chunk floor(tokens-before/budget), per shard") {
+    val docs = Seq(
+      ("a", 1L, "one two three"),          // 3 tok, before 0 -> chunk 0
+      ("a", 2L, "one two three four"),     // 4 tok, before 3 -> chunk 0
+      ("a", 3L, "one two three four five"),// 5 tok, before 7 -> chunk 1
+      ("b", 1L, "x y z w u v q")           // other shard: before 0 -> chunk 0
+    ).toDF("source", "doc_id", "text")
+    val out = Packing.assignChunks(docs, col("text"), col("doc_id"), col("source"), budget = 6)
+      .orderBy("shard", "id")
+      .as[(String, Long, Int, Long)].collect().toSeq
+    assert(out === Seq(("a", 1L, 3, 0L), ("a", 2L, 4, 0L), ("a", 3L, 5, 1L),
+      ("b", 1L, 7, 0L)))
+  }
+
+  test("Packing.packChunks: per-chunk token totals and id ranges") {
+    val docs = (1L to 10L).map(i => ("s", i, ("t " * 4).trim)) // 4 tokens each
+      .toDF("source", "doc_id", "text")
+    val out = Packing.packChunks(docs, col("text"), col("doc_id"), col("source"), budget = 10)
+      .orderBy("chunk_id")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // before = 0,4,8,12,... -> chunks 0,0,0,1,1,2,2,(28->2),3,3
+    // chunk 0: docs 1-3 (12 tok), chunk 1: docs 4-5, chunk 2: docs 6-8, chunk 3: 9-10
+    assert(out === Seq(("s", 0L, 3L, 12L, 1L, 3L), ("s", 1L, 2L, 8L, 4L, 5L),
+      ("s", 2L, 3L, 12L, 6L, 8L), ("s", 3L, 2L, 8L, 9L, 10L)))
+    // invariant: every doc's tokens are counted exactly once
+    assert(out.map(_._4).sum === 40L)
+  }
+
+  // ----------------------------------------------------- decontamination
+
+  test("Decontaminate: doc sharing a benchmark 5-gram is flagged and dropped; clean docs survive") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // contains bench 5-gram
+      (2L, "totally different words in this doc"),   // clean
+      (3L, "unrelated text goes right here now")     // clean
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon"))
+      .toDF("bench_id", "btext")
+    val flagged = Decontaminate.overlaps(corpus, col("text"), col("doc_id"),
+      bench, col("btext"), n = 5).as[(Long, Long)].collect().toMap
+    assert(flagged === Map(1L -> 1L))
+    val kept = Decontaminate.decontaminate(corpus, col("text"), col("doc_id"),
+      bench, col("btext"), n = 5).select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 3L))
+  }
+
+  // --------------------------------------------------------- passages
+
+  test("Dedup.sharedPassages: aligned duplicated span found, short docs ignored") {
+    val docs = Seq(
+      (1L, "a b c d e f"),   // chunks (k=3): "a b c", "d e f"
+      (2L, "a b c x y z"),   // chunks: "a b c", "x y z"
+      (3L, "p q")            // < k tokens: no passage
+    ).toDF("doc_id", "text")
+    val out = Dedup.sharedPassages(docs, col("text"), col("doc_id"), k = 3)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out === Seq(("a b c", 2L, 2L)))
+  }
+
+  // ------------------------------------------------------ gopher rules
+
+  test("TextAnalysis.gopherRules: each rule flags its crafted violation") {
+    def flags(text: String): (Int, Int, Int, Int, Int) =
+      Seq(text).toDF("text")
+        .select(TextAnalysis.gopherRules(col("text")).as("g"))
+        .select("g.len_ok", "g.mtl_ok", "g.rep_tok_ok", "g.rep_bi_ok", "g.stop_ok")
+        .as[(Int, Int, Int, Int, Int)].collect().head
+
+    // a healthy doc: 24 distinct-ish tokens, mean len in band, 2+ stopwords
+    val good = "the quick brown fox jumps over lazy dogs and cats while " +
+      "seven other animals watch from nearby hills during summer evenings"
+    assert(flags(good) === ((1, 1, 1, 1, 1)))
+    // too short (5 tokens) -> len_ok=0
+    assert(flags("the and little red hen")._1 === 0)
+    // one token repeated 6/21 times (~29% > 15%) -> rep_tok_ok=0
+    val repTok = ("spam " * 6) + good.split(" ").take(15).mkString(" ")
+    assert(flags(repTok)._3 === 0)
+    // repeated bigram "very good very good ..." -> rep_bi_ok=0
+    val repBi = ("very good " * 8) + "the and cat sat on that mat"
+    assert(flags(repBi)._4 === 0)
+    // no stopwords at all -> stop_ok=0
+    val noStop = (1 to 25).map(i => s"tok$i").mkString(" ")
+    assert(flags(noStop)._5 === 0)
+  }
+}
