@@ -13,14 +13,16 @@ import org.apache.spark.sql.functions._
   * corpora), so its distinct-gram set builds once and broadcasts; the
   * corpus side is one narrow shingle+explode pass into a broadcast hash
   * join — the corpus never shuffles except the final per-doc count,
-  * keyed by doc id. Grams are compared as 60-bit hashes (same trade as
-  * [[Dedup.ngramJaccardPairs]]: long equality beats string equality in
-  * the join probe, identical counts modulo ~1e-9/pair collisions).
+  * keyed by doc id. Grams are compared as 64-bit xxhash64 values (same
+  * trade as [[Dedup.ngramJaccardPairs]]: long equality beats string
+  * equality in the join probe, identical counts modulo ~1e-10/pair
+  * collisions, and the hash needs no cross-engine twin since only
+  * match COUNTS surface).
   */
 object Decontaminate {
   /** Distinct-gram n-gram hash sets per side. */
   private def gramHashes(text: Column, n: Int): Column =
-    array_distinct(transform(Dedup.shingles(text, n), Dedup.hash60 _))
+    array_distinct(transform(Dedup.shingles(text, n), g => xxhash64(g)))
 
   /** One row per contaminated document: (doc_id, n_shared) where n_shared
     * counts the distinct word n-grams the document shares with ANY

@@ -222,15 +222,17 @@ object Dedup {
 
   /** n-gram Jaccard near-dup pairs within a blocking key, threshold >= minJ.
     * Distinct word n-grams as the set; blocking (not all-pairs) is the
-    * scale-out story, as with simhash. Gram sets are compared as 60-bit
-    * hashes, not strings (identical Jaccard modulo ~1e-9/pair collisions):
-    * the per-pair intersect is the inner loop of a quadratic join, and
-    * long equality beats string equality both in CPU and in allocation. */
+    * scale-out story, as with simhash. Gram sets are compared as 64-bit
+    * xxhash64 values, not strings (identical Jaccard modulo ~1e-10/pair
+    * collisions): the per-pair intersect is the inner loop of a quadratic
+    * join, and long equality beats string equality both in CPU and in
+    * allocation. The hash needs no cross-engine twin — only set SIZES feed
+    * the Jaccard, so the oracle can hash (or not) however it likes. */
   def ngramJaccardPairs(df: DataFrame, text: Column, id: Column, block: Column,
                         n: Int = 1, minJ: Double = 0.6): DataFrame = {
     val grams = if (n == 1) array_distinct(split(text, " ")) else shingles(text, n)
     val t = df.select(id.as("__id"), block.as("__blk"),
-      array_distinct(transform(grams, hash60 _)).as("__g"))
+      array_distinct(transform(grams, g => xxhash64(g))).as("__g"))
     // Probe side hash-repartitioned by id (explicit count so AQE cannot
     // coalesce the tiny shuffle back to one task): a small doc table often
     // arrives as ONE file split, and the pair-generating broadcast join
@@ -251,28 +253,49 @@ object Dedup {
     * share a token inside each side's first floor((1-minJ)*|A|)+1 tokens of
     * that order, so candidates come from an equi-join on (block, prefix
     * token) instead of the within-block cross product, and exact Jaccard
-    * runs on candidates only. Identical output to the quadratic form (both
-    * compare 60-bit token-hash sets); at scale the candidate count tracks
-    * true near-dups, not block-size². */
+    * runs on candidates only. Output matches the quadratic form modulo
+    * 64-bit hash collisions (~1e-10/pair — both forms compare token-hash
+    * sets, so on any given input they agree exactly); at scale the
+    * candidate count tracks true near-dups, not block-size². */
   def ngramJaccardPairsPrefix(df: DataFrame, text: Column, id: Column, block: Column,
                               n: Int = 1, minJ: Double = 0.6): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val grams = if (n == 1) array_distinct(split(text, " ")) else shingles(text, n)
-    // intersect 60-bit token hashes, not strings: same set sizes (collision
-    // odds ~1e-9 at corpus scale), far cheaper per-pair comparison
+    // intersect 64-bit token hashes, not strings: same set sizes (collision
+    // odds ~1e-10 at corpus scale), far cheaper per-pair comparison
     val t = df.select(id.as("__id"), block.as("__blk"),
-      array_distinct(transform(grams, hash60 _)).as("__g"))
-    val tok = t.select(col("__id"), col("__blk"), explode(col("__g")).as("__t"))
+      array_distinct(transform(grams, g => xxhash64(g))).as("__g"))
+    // carry |g| through the explode: the prefix cutoff needs each doc's set
+    // size, and size(__g) is free here — a count(*) window over
+    // (__blk,__id) downstream would re-derive it with a second full pass
+    // over the token table
+    val tok = t.select(col("__id"), col("__blk"), size(col("__g")).as("__sz"),
+      explode(col("__g")).as("__t"))
     val freq = tok.groupBy("__blk", "__t").agg(count(lit(1)).as("__df"))
     val prefix = tok.join(freq, Seq("__blk", "__t"))
       .withColumn("__rank", row_number().over(
         Window.partitionBy("__blk", "__id").orderBy(col("__df"), col("__t"))))
-      .withColumn("__sz", count(lit(1)).over(Window.partitionBy("__blk", "__id")))
       .where(col("__rank") <= floor((lit(1.0) - lit(minJ)) * col("__sz")) + 1)
-      .select(col("__blk"), col("__t"), col("__id"))
+      .select(col("__blk"), col("__t"), col("__id"), col("__sz"), col("__rank"))
+    // PPJoin's two cheap per-emission prunes, applied BEFORE the dedup
+    // shuffle (the candidate join emits one row per shared prefix token —
+    // everything cut here never pays the distinct): (1) length filter,
+    // J >= t forces min|sz| >= t*max|sz|; (2) positional filter, the
+    // overlap still reachable past positions (pa, pb) is
+    // min(szA-pa, szB-pb)+1, which must reach ceil(t/(1+t)*(szA+szB)).
+    // The 1e-9 slack makes float rounding err toward KEEPING a candidate —
+    // the exact Jaccard downstream makes extra candidates harmless, while
+    // a wrongly-dropped one would lose a pair.
+    val eps = 1e-9
+    val reachable = least(col("a.__sz") - col("a.__rank"),
+      col("b.__sz") - col("b.__rank")) + 1
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.__blk") === col("b.__blk") && col("a.__t") === col("b.__t") &&
-          col("a.__id") < col("b.__id"))
+          col("a.__id") < col("b.__id") &&
+          least(col("a.__sz"), col("b.__sz")) + eps >=
+            lit(minJ) * greatest(col("a.__sz"), col("b.__sz")) &&
+          reachable + eps >=
+            lit(minJ / (1.0 + minJ)) * (col("a.__sz") + col("b.__sz")))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b")).distinct()
     cand
       .join(t.select(col("__id").as("id_a"), col("__g").as("g_a")), Seq("id_a"))
