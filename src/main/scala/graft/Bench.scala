@@ -55,7 +55,14 @@ object Bench {
       val (t1, ok1) = p1(name); val (t2, ok2) = p2(name)
       (name, math.min(t1, t2), ok1 && ok2)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // Compact keys + 3-decimal timings: the driver keeps only a fixed-size
+    // TAIL of stdout, and round 3's full-precision 61-query line overflowed
+    // it, decapitating the JSON (BENCH_r03 "parsed": null). "q61" instead of
+    // "q61_dedup_ngram_prefix" and ms resolution (below run-to-run noise
+    // anyway) keep the line ~1 KB at 66+ queries.
+    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def shortKey(k: String): String = k.takeWhile(_ != '_')
+    val qs = results.map { case (k, v, _) => s"\"" + shortKey(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
@@ -63,7 +70,7 @@ object Bench {
     // total: sum successes only; failures are listed in "failed" and keep
     // their per-query detail for diagnosis.
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

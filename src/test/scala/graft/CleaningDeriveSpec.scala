@@ -88,6 +88,20 @@ class CleaningDeriveSpec extends SparkSpec {
     assert(r.getLong(1) === viaColumn)
   }
 
+  test("graft_dot malformed input: unequal lengths and null elements yield NULL, like aggregate(zip_with)") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    // composable reference spelling against the same inputs
+    val q = """SELECT
+      | graft_dot(array(1.0d, 2.0d), array(3.0d)) AS short_native,
+      | aggregate(zip_with(array(1.0d, 2.0d), array(3.0d), (x, y) -> x * y),
+      |   0.0d, (a, x) -> a + x) AS short_composed,
+      | graft_dot(array(1.0d, cast(null as double)), array(3.0d, 4.0d)) AS nul_native,
+      | aggregate(zip_with(array(1.0d, cast(null as double)), array(3.0d, 4.0d),
+      |   (x, y) -> x * y), 0.0d, (a, x) -> a + x) AS nul_composed""".stripMargin
+    val r = spark.sql(q).collect().head
+    assert((0 to 3).forall(r.isNullAt), s"expected all NULL, got $r")
+  }
+
   test("minMax of constant column -> null, not NaN (§7.4.1)") {
     val df = Seq(7.0, 7.0).toDF("v")
     assert(rows(Normalize.minMax(df, Seq("v")).select("v_norm")).forall(_.isNullAt(0)))
