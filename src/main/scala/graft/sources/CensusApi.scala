@@ -17,6 +17,70 @@ object CensusApi {
   val RetryBackoffFactor = 1
   val RetryStatuses: Set[Int] = Set(429, 500, 502, 503, 504)
 
+  /** Minimal HTTP response surface the retry policy needs. */
+  final case class HttpResponse(status: Int, body: String)
+
+  /** Non-retryable or retries-exhausted HTTP failure (the reference's
+    * `CensusAPIError` raised out of `raise_for_status`,
+    * `src/api_client.py:152-165,219-222`). */
+  final class CensusApiError(val status: Int, message: String)
+      extends RuntimeException(message)
+
+  /** The reference's HTTP policy, EXECUTABLE: wraps a bare transport
+    * `(url, params, timeoutSec) => HttpResponse` into a
+    * `(url, params) => body` call that
+    *
+    *  - sleeps the remainder of [[RateLimitDelaySec]] since the previous
+    *    logical request before issuing a new one
+    *    (`src/api_client.py:212-217` `_apply_rate_limit`);
+    *  - retries statuses in [[RetryStatuses]] up to `total` times with
+    *    exponential backoff `backoffFactor * 2^retryIndex` seconds —
+    *    urllib3 2.x `Retry(total=3, backoff_factor=1, status_forcelist=…)`
+    *    semantics (`src/api_client.py:45-51`); the rate-limit clock is set
+    *    once per logical request, matching urllib3's internal retries;
+    *  - fails fast (no retry) on any other >= 400, mirroring
+    *    `raise_for_status`;
+    *  - hands [[RequestTimeoutSec]] to the transport
+    *    (`src/api_client.py:154` `timeout=30`).
+    *
+    * `sleepMs`/`nowMs` are injectable so the policy is unit-testable
+    * without wall-clock sleeps; production uses the defaults. The returned
+    * function serializes requests (the reference's client is one session
+    * with one rate-limit clock). */
+  def withRetry(transport: (String, Map[String, String], Int) => HttpResponse,
+                total: Int = RetryTotal,
+                backoffFactor: Double = RetryBackoffFactor.toDouble,
+                retryStatuses: Set[Int] = RetryStatuses,
+                rateLimitDelaySec: Double = RateLimitDelaySec,
+                timeoutSec: Int = RequestTimeoutSec,
+                sleepMs: Long => Unit = Thread.sleep,
+                nowMs: () => Long = () => System.currentTimeMillis())
+      : (String, Map[String, String]) => String = {
+    val lock = new Object
+    var lastRequestMs = Long.MinValue
+    (url, params) => lock.synchronized {
+      val delayMs = (rateLimitDelaySec * 1000).toLong
+      if (lastRequestMs != Long.MinValue) {
+        val elapsed = nowMs() - lastRequestMs
+        if (elapsed < delayMs) sleepMs(delayMs - elapsed)
+      }
+      lastRequestMs = nowMs()
+      var retryIndex = 0
+      var result: Option[String] = None
+      while (result.isEmpty) {
+        val resp = transport(url, params, timeoutSec)
+        if (resp.status < 400) result = Some(resp.body)
+        else if (retryStatuses(resp.status) && retryIndex < total) {
+          sleepMs((backoffFactor * (1L << retryIndex) * 1000).toLong)
+          retryIndex += 1
+        } else throw new CensusApiError(resp.status,
+          s"census API request failed with ${resp.status} after $retryIndex " +
+            s"retries: $url")
+      }
+      result.get
+    }
+  }
+
   /** State FIPS -> name (reference `src/geography.py:20-34`). */
   val FipsCodes: Map[String, String] = Map(
     "01" -> "Alabama", "02" -> "Alaska", "04" -> "Arizona", "05" -> "Arkansas",

@@ -23,8 +23,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * Transport is pluggable through [[CensusPayloads]]: this environment is
   * zero-egress, so tests register in-memory payloads; a production
   * deployment replaces the registry lookup in [[CensusPartitionReader]]
-  * with the HTTP client call (same retry/rate-limit policy constants as
-  * [[CensusApi]]), keeping every planning/partitioning piece unchanged. */
+  * with an HTTP GET wrapped by [[CensusApi.withRetry]] (the executable
+  * retry/backoff/rate-limit policy), keeping every planning/partitioning
+  * piece unchanged. */
 class CensusDataSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     CensusPayloads.schema(options.get("payload"))

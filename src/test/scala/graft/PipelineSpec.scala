@@ -171,4 +171,56 @@ class PipelineSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       Agg.aggregateToGeography(df, "county", Map("v" -> "mode")))
   }
+
+  // ---------------------------------------------- retry/rate-limit policy
+
+  /** Harness: scripted transport + recorded sleeps + controllable clock. */
+  private class FakeHttp(script: Seq[Int]) {
+    var calls = 0
+    var clockMs = 0L
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val fetch = CensusApi.withRetry(
+      transport = (_, _, timeout) => {
+        assert(timeout === CensusApi.RequestTimeoutSec) // :154 timeout=30
+        val st = script(math.min(calls, script.size - 1)); calls += 1
+        CensusApi.HttpResponse(st, if (st < 400) s"body$calls" else "")
+      },
+      sleepMs = ms => { sleeps += ms; clockMs += ms },
+      nowMs = () => clockMs)
+  }
+
+  test("withRetry: 429 twice then 200 succeeds, with 1s/2s exponential backoff") {
+    val h = new FakeHttp(Seq(429, 429, 200))
+    assert(h.fetch("http://x", Map()) === "body3")
+    assert(h.calls === 3)
+    assert(h.sleeps.toSeq === Seq(1000L, 2000L)) // factor 1: 2^0, 2^1 sec
+  }
+
+  test("withRetry: 404 fails fast without retry") {
+    val h = new FakeHttp(Seq(404))
+    val e = intercept[CensusApi.CensusApiError](h.fetch("http://x", Map()))
+    assert(e.status === 404)
+    assert(h.calls === 1)
+    assert(h.sleeps.isEmpty)
+  }
+
+  test("withRetry: persistent 503 exhausts total=3 retries then raises") {
+    val h = new FakeHttp(Seq(503))
+    val e = intercept[CensusApi.CensusApiError](h.fetch("http://x", Map()))
+    assert(e.status === 503)
+    assert(h.calls === 4) // initial attempt + 3 retries
+    assert(h.sleeps.toSeq === Seq(1000L, 2000L, 4000L))
+  }
+
+  test("withRetry: rate limit sleeps the remainder of 0.5s between requests") {
+    val h = new FakeHttp(Seq(200))
+    h.fetch("http://x", Map())
+    assert(h.sleeps.isEmpty) // no delay before the first request
+    h.clockMs += 100         // 100ms pass; 400ms of the 500ms window remain
+    h.fetch("http://x", Map())
+    assert(h.sleeps.toSeq === Seq(400L))
+    h.clockMs += 600         // beyond the window: no sleep
+    h.fetch("http://x", Map())
+    assert(h.sleeps.toSeq === Seq(400L))
+  }
 }
