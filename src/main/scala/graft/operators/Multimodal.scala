@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
   * columns plus a typed metadata struct; decode / feature-extraction runs
   * per-partition over the binary payloads.
   *
-  * The decode step itself is a STUB (no media codecs in this environment):
-  * deterministic fake features derived from the raw bytes. Everything
-  * Spark-side — schema, partition-batched execution, feature signature —
-  * is real and tested; a production decoder only swaps the body of
-  * [[decodeStub]].
+  * The decode step is REAL for formats the JDK ships codecs for (PNG/JPEG/
+  * GIF/BMP via `javax.imageio` — no external dependency): actual pixel
+  * dimensions and mean luminance. Payloads no installed codec recognizes
+  * (webp here, plus the text-byte fixtures) fall back to [[decodeStub]]'s
+  * deterministic byte-level features, so the pipeline shape is total
+  * either way. Everything Spark-side — schema, partition-batched
+  * execution, feature signature — is identical in both paths.
   */
 object Multimodal {
   /** Synthesize a media table from the documents fixture: payload = UTF-8
@@ -53,21 +55,57 @@ object Multimodal {
     java.lang.Long.parseLong(hex.substring(0, 15), 16)
   }
 
-  /** STUB decoder: a real implementation would hand `r.media` to an image/
-    * audio codec here (one partition = one batch, so codec state amortizes
-    * across rows exactly like a pandas-UDF batch). The fake features are
-    * deterministic functions of the bytes so the plumbing is testable. */
+  /** A really-decoded image: pixel dimensions + mean luminance in [0,255]
+    * (per-pixel gray = (R+G+B)/3, averaged over the raster). */
+  case class DecodedImage(width: Int, height: Int, meanLuma: Double)
+
+  /** Pure-JVM image decode via `javax.imageio` (PNG/JPEG/GIF/BMP readers
+    * ship with the JDK). None when no installed codec recognizes the
+    * payload — callers fall back to the stub features, keeping the decode
+    * pipeline total over arbitrary blobs. */
+  def decodeImage(bytes: Array[Byte]): Option[DecodedImage] =
+    try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        .map { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0.0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+              x += 1
+            }
+            y += 1
+          }
+          DecodedImage(w, h, if (w * h == 0) 0d else sum / (w.toLong * h))
+        }
+    } catch { case _: Exception => None }
+
+  /** Fallback decoder for payloads without an installed codec: deterministic
+    * byte-level features (mean byte value stands in for mean luminance). */
   private def decodeStub(r: MediaRow): MediaFeatures = {
     val sum = r.media.foldLeft(0L)((a, b) => a + (b & 0xff))
     MediaFeatures(r.doc_id, r.media.length.toLong, hash60Jvm(r.media),
       if (r.media.isEmpty) 0d else sum.toDouble / r.media.length)
   }
 
+  /** Real-first decode: `javax.imageio` pixels when a codec matches, byte
+    * stub otherwise (one partition = one batch, so codec state amortizes
+    * across rows exactly like a pandas-UDF batch). */
+  private def decodeOne(r: MediaRow): MediaFeatures =
+    decodeImage(r.media) match {
+      case Some(d) =>
+        MediaFeatures(r.doc_id, r.media.length.toLong, hash60Jvm(r.media), d.meanLuma)
+      case None => decodeStub(r)
+    }
+
   /** Per-partition feature extraction. Narrow transform — no shuffle; at
     * 100 TB the only knob that matters is input partition sizing
     * (maxPartitionBytes) so each decode batch fits executor memory. */
   def decodeFeatures(ds: Dataset[MediaRow]): Dataset[MediaFeatures] =
-    ds.mapPartitions(it => it.map(decodeStub))(Encoders.product[MediaFeatures])
+    ds.mapPartitions(it => it.map(decodeOne))(Encoders.product[MediaFeatures])
 
   /** STUB resize: a real implementation would decode, rescale, re-encode.
     * The fake keeps the byte count proportional to the area ratio (stride

@@ -121,6 +121,37 @@ class ExtOpsSpec extends SparkSpec {
       mpPath.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
   }
 
+  test("multimodal: real javax.imageio decode of a 2x2 PNG (dims + exact mean luma)") {
+    // deterministic 2x2 PNG built with the same JDK codec that reads it
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x000000) // luma 0
+    img.setRGB(1, 0, 0xffffff) // luma 255
+    img.setRGB(0, 1, 0x808080) // luma 128
+    img.setRGB(1, 1, 0x402000) // luma (64+32+0)/3 = 32
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", baos))
+    val png = baos.toByteArray
+
+    val d = Multimodal.decodeImage(png).get
+    assert(d.width === 2 && d.height === 2)
+    assert(d.meanLuma === (0.0 + 255 + 128 + 32) / 4)
+    // non-image bytes -> None (fallback seam)
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+
+    // the Spark decode path uses the real pixels for PNG payloads...
+    val ds = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, png, 2, 2, "png"),
+      Multimodal.MediaRow(2L, "plain text".getBytes, 16, 16, "webp")))(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val feats = Multimodal.decodeFeatures(ds).collect().sortBy(_.doc_id)
+    assert(feats(0).mean_byte === d.meanLuma)
+    assert(feats(0).n_bytes === png.length.toLong)
+    // ...and the stub's mean-byte for undecodable payloads
+    val txt = "plain text".getBytes
+    assert(feats(1).mean_byte === txt.map(_ & 0xff).sum.toDouble / txt.length)
+  }
+
   test("multimodal resize: target dims in metadata, byte count tracks area ratio") {
     val docs = Tables.t(spark, sf, "documents").limit(20)
     val in = Multimodal.mediaRows(docs).collect().map(r => r.doc_id -> r).toMap
