@@ -304,11 +304,20 @@ object ExtQueries {
       |GROUP BY ROLLUP(r_name, n_name)
       |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin))
 
+  /** Append-mode streaming hourly aggregation — the live-deployment shape
+    * (exactly-once emission on watermark passage, state evicted): the
+    * emitted set on a bounded run is the batch aggregation restricted to
+    * windows closed under the final watermark max(ts) - 1h. Complete-mode
+    * [[EventStreams.runHourly]] stays as the bounded-backfill twin, pinned
+    * batch-equal in the unit suite. */
   private val q38 = QDef("q38_stream_event_windows",
-    (s, dir) => EventStreams.runHourly(s, dir),
-    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+    (s, dir) => EventStreams.runHourlyAppend(s, dir),
+    Some("""WITH mx AS (SELECT max(ts) AS mt FROM events)
+      |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
       | event_type, count(*) AS n, round(sum(value), 4) AS sum_value
-      |FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin))
+      |FROM events, mx
+      |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR < mt - INTERVAL 1 HOUR
+      |GROUP BY hour_ts, event_type ORDER BY hour_ts, event_type""".stripMargin))
 
   // -------------------------------------- ANN (IVF), sessions, rich SQL ops
 
@@ -936,8 +945,20 @@ object ExtQueries {
       | CAST(stop_hits >= 2 AS INTEGER) AS stop_ok
       |FROM m ORDER BY doc_id""".stripMargin))
 
+  /** Heavy hitters under the oracle gate: Misra-Gries candidates (k=100 >
+    * the fixture's 31-token vocabulary, so survival is guaranteed for every
+    * token) + exact re-count + top-10 — [[HeavyHitters.topTokensExact]]'s
+    * two-pass pattern, whose output is exactly the plain top-k SQL. */
+  private val q66 = QDef("q66_heavy_hitters",
+    (s, dir) => HeavyHitters.topTokensExact(T(s, dir, "documents"),
+      col("text"), k = 100, m = 10),
+    Some("""WITH t AS (SELECT unnest(string_split(text, ' ')) AS token
+      |        FROM documents)
+      |SELECT token, count(*) AS n FROM t
+      |GROUP BY token ORDER BY n DESC, token LIMIT 10""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
-    q65)
+    q65, q66)
 }

@@ -51,4 +51,24 @@ object HeavyHitters {
   /** Typed column aggregating a String column into ≤k (token -> estimate). */
   def misraGries(k: Int): TypedColumn[String, Map[String, Long]] =
     new MisraGries(k).toColumn
+
+  /** Two-pass exact top-m tokens, sketch-pruned (the production pattern the
+    * class doc describes): pass 1 runs Misra-Gries to a ≤k candidate set
+    * (bounded memory at any corpus size), pass 2 re-counts ONLY the
+    * candidates exactly and takes the top m with a deterministic tie-break.
+    * Exact whenever every true top-m token has frequency > n/k (the MG
+    * survival guarantee); the candidate list is ≤ k entries, so the second
+    * pass's filter is a broadcast-size IN list, and the exact groupBy
+    * shuffles candidate rows only. Oracle-gated as q66. */
+  def topTokensExact(df: org.apache.spark.sql.DataFrame,
+                     text: org.apache.spark.sql.Column,
+                     k: Int, m: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tokens = df.select(explode(split(text, " ")).as("token"))
+    val sketch = tokens.as[String](Encoders.STRING).select(misraGries(k)).head()
+    val cands = sketch.keys.toSeq.sorted
+    tokens.where(col("token").isin(cands: _*))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(m)
+  }
 }
