@@ -1,0 +1,87 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Dedup
+
+/** Dedup scale-path crossover probe (dev tool, not a query).
+  *
+  * The sf0.1 documents fixture is the prefix/banded paths' WORST case:
+  * ~57% of in-block pairs are true near-dups over a 31-word vocabulary, so
+  * candidate pruning can't beat the quadratic form there (VERDICT r3). This
+  * probe synthesizes the regime those paths exist for — large blocks, large
+  * vocabulary, a dup rate ≪ block² — and times quadratic vs. pruned shapes
+  * on identical data, checking they emit the IDENTICAL pair set.
+  *
+  * Corpus: N docs (env SPARK_GRAFT_XOVER_DOCS, default 40000) in
+  * N/2/blocks-sized blocks; doc tokens are drawn per-doc from a V-token
+  * vocabulary via xxhash64, so unrelated docs share ~L²/V ≈ 0 tokens; every
+  * `dupEvery`-th (even, odd) id pair shares all but one token (a planted
+  * near-dup, J = (L-1)/(L+1) ≈ 0.97). All knobs env-overridable. Numbers
+  * land in PLANS.md §crossover.
+  */
+object CrossoverProbe {
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_XOVER_DOCS", "40000").toInt
+    val nBlocks = sys.env.getOrElse("SPARK_GRAFT_XOVER_BLOCKS", "16").toInt
+    val L = 60; val V = 100000; val dupEvery = 10
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val planted = expr("id % 2 = 1 AND (id DIV 2) % " + dupEvery + " = 0")
+    val seed = when(planted, col("id") - 1).otherwise(col("id"))
+    val toks = transform(sequence(lit(0), lit(L - 1)),
+      j => concat(lit("t"), pmod(xxhash64(concat_ws("_", seed, j)), lit(V))))
+    // planted near-dup: drop the last token, append a unique one
+    val toks2 = when(planted,
+      concat(slice(toks, 1, L - 1), array(concat(lit("x"), col("id")))))
+      .otherwise(toks)
+    val docs = spark.range(n).select(
+      col("id").as("doc_id"),
+      expr(s"(id DIV 2) % $nBlocks").cast("string").as("source"),
+      concat_ws(" ", toks2).as("text"))
+      .cache()
+    docs.count()
+    val nPlanted = n / 2 / dupEvery
+    println(s"[xover] corpus: n=$n blocks=$nBlocks (block size ${n / nBlocks}) " +
+      s"L=$L V=$V planted_pairs=$nPlanted " +
+      s"quadratic_pairs=${nBlocks.toLong * (n / nBlocks).toLong * (n / nBlocks - 1) / 2}")
+
+    def time(tag: String)(f: => DataFrame): Long = {
+      // two passes, min: first pass absorbs Janino/JIT for this plan shape
+      def one(): (Double, Long) = {
+        val t0 = System.nanoTime(); val c = f.count()
+        ((System.nanoTime() - t0) / 1e9, c)
+      }
+      val (ta, ca) = one(); val (tb, cb) = one()
+      assert(ca == cb, s"$tag nondeterministic: $ca vs $cb")
+      println(f"[xover] $tag%-28s ${math.min(ta, tb)}%8.2f s   pairs=$ca")
+      ca
+    }
+
+    // jaccard's per-pair cost (60-element intersect) crosses over at far
+    // smaller blocks than simhash's (xor+popcount on a long), so each
+    // family gets its own run config: SPARK_GRAFT_XOVER_WHICH=jaccard|simhash|both
+    val which = sys.env.getOrElse("SPARK_GRAFT_XOVER_WHICH", "both")
+
+    if (which != "simhash") {
+      val jq = time("jaccard quadratic (q27)")(Dedup.ngramJaccardPairs(
+        docs, col("text"), col("doc_id"), col("source"), n = 1, minJ = 0.6))
+      val jp = time("jaccard prefix (q61)")(Dedup.ngramJaccardPairsPrefix(
+        docs, col("text"), col("doc_id"), col("source"), n = 1, minJ = 0.6))
+      assert(jq == jp, s"jaccard paths disagree: $jq vs $jp")
+    }
+    if (which != "jaccard") {
+      val sq = time("simhash quadratic (q26)")(Dedup.simhashNearDup(
+        docs, col("text"), col("doc_id"), col("source"), maxDist = 12))
+      val sb = time("simhash banded (q60)")(Dedup.simhashNearDupBanded(
+        docs, col("text"), col("doc_id"), col("source"), maxDist = 12))
+      assert(sq == sb, s"simhash paths disagree: $sq vs $sb")
+    }
+
+    spark.stop()
+  }
+}
