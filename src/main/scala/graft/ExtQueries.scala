@@ -916,7 +916,11 @@ object ExtQueries {
   /** Gopher-style rule flags ([[TextAnalysis.gopherRules]]) flattened to
     * 0/1 columns per document. */
   private val q65 = QDef("q65_gopher_rules",
+    // repartition first: the fixture parquet is one row group (one task),
+    // and the rule evaluation is interpreted higher-order functions — the
+    // honest per-doc cost is fine, but it must spread across cores
     (s, dir) => T(s, dir, "documents")
+      .repartition(s.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"), TextAnalysis.gopherRules(col("text")).as("g"))
       .select(col("doc_id"), col("g.len_ok").as("len_ok"),
         col("g.mtl_ok").as("mtl_ok"), col("g.rep_tok_ok").as("rep_tok_ok"),
@@ -957,8 +961,77 @@ object ExtQueries {
       |SELECT token, count(*) AS n FROM t
       |GROUP BY token ORDER BY n DESC, token LIMIT 10""".stripMargin))
 
+  /** Deterministic shuffle-shard ([[Sampling.shuffleShards]]): the
+    * training-order writer — reproducible pseudo-random order in fixed
+    * shards, one shuffle keyed by shard, never a global sort. */
+  private val q67 = QDef("q67_shuffle_shard",
+    (s, dir) => Sampling.shuffleShards(T(s, dir, "documents"),
+      col("doc_id"), nShards = 8)
+      .select("shard", "position", "doc_id")
+      .orderBy("shard", "position"),
+    Some("""WITH s AS (SELECT doc_id,
+      |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard,
+      |  ('0x' || substr(md5('$pos' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS ph
+      | FROM documents)
+      |SELECT shard,
+      | row_number() OVER (PARTITION BY shard ORDER BY ph, doc_id) AS position,
+      | doc_id
+      |FROM s ORDER BY shard, position""".stripMargin))
+
+  /** Flagship composition v2 over the round-4 operators, ONE lazy plan:
+    * benchmark decontamination (drop docs sharing a 5-gram with the
+    * held-out eval slice) → Gopher rule gate (length + token-repetition +
+    * stopword rules) → sequence packing into 200-token chunks per source
+    * shard → per-shard packing stats. The DuckDB twin is the same CTE
+    * chain built from the q63/q65/q62 oracle pieces. */
+  private val q68 = QDef("q68_training_prep_pack",
+    (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val bench = docs.where(col("doc_id") % 25 === 0)
+      val clean = Decontaminate.decontaminate(docs, col("text"), col("doc_id"),
+        bench, col("text"), n = 5)
+      val g = TextAnalysis.gopherRules(col("text"))
+      val quality = clean.where(g.getField("len_ok") === 1 &&
+        g.getField("rep_tok_ok") === 1 && g.getField("stop_ok") === 1)
+      Packing.packChunks(quality, col("text"), col("doc_id"), col("source"),
+        budget = 200)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_chunks"), sum("n_docs").as("n_docs"),
+          sum("n_tokens").as("n_tokens"), max("n_tokens").as("max_chunk_tokens"))
+        .orderBy("shard")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |g AS (SELECT doc_id, list_distinct(list_transform(
+      |        list_distinct(list_transform(range(0, len(t) - 4),
+      |          i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5])),
+      |        s -> ${hashSql("s", 15)})) AS hs
+      |     FROM t WHERE len(t) >= 5),
+      |bg AS (SELECT DISTINCT unnest(hs) AS h FROM g WHERE doc_id % 25 = 0),
+      |bad AS (SELECT DISTINCT ex.doc_id FROM
+      |        (SELECT doc_id, unnest(hs) AS h FROM g) ex JOIN bg USING (h)),
+      |clean AS (SELECT d.* FROM documents d
+      |          WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)),
+      |m AS (SELECT doc_id, source, text, string_split(text, ' ') AS tk,
+      |        list_distinct(string_split(text, ' ')) AS dtk FROM clean),
+      |q AS (SELECT doc_id, source, len(tk) AS n_tok FROM m
+      |      WHERE len(tk) BETWEEN 20 AND 90
+      |        AND CAST(list_max(list_transform(dtk,
+      |              w -> len(list_filter(tk, x -> x = w)))) AS DOUBLE) / len(tk) <= 0.15
+      |        AND len(list_intersect(dtk, $allStopSql)) >= 2),
+      |c AS (SELECT source AS shard, doc_id AS id, n_tok,
+      |  CAST(COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bef
+      | FROM q),
+      |ch AS (SELECT shard, CAST(floor(bef / 200) AS BIGINT) AS chunk_id,
+      |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      | FROM c GROUP BY shard, chunk_id)
+      |SELECT shard, count(*) AS n_chunks, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+      | CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      | max(n_tokens) AS max_chunk_tokens
+      |FROM ch GROUP BY shard ORDER BY shard""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
-    q65, q66)
+    q65, q66, q67, q68)
 }

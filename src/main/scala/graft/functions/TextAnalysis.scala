@@ -67,23 +67,30 @@ object TextAnalysis {
     * are adapted to the fixture corpus's ~50-word vocabulary; production
     * swaps in Gopher's published numbers — the SHAPE is what scales.
     *
-    * Pure per-row expression tree: per-doc cost is O(tokens × distinct
-    * tokens) inside whole-stage codegen, no explode, no shuffle — the
-    * filter stays a narrow map at any corpus size (contrast with an
-    * explode+groupBy formulation, which would shuffle corpus-tokens rows
-    * to compute a per-doc statistic). */
+    * Pure per-row expression tree, LINEAR per doc: the repetition maxima
+    * are sort + one-pass max-run-length aggregates, NOT the naive
+    * `transform(distinct(t), w -> size(filter(t, x = w)))` nesting. That
+    * nesting is quadratic AND re-evaluates the inner array expression
+    * (split / bigram construction) once per outer lambda element —
+    * higher-order-function arguments are not cached across lambda
+    * invocations — which cost 172 s on 5,000 single-task rows at sf0.1
+    * before this rewrite (BENCH r4 probe). Here every array is built once
+    * and folded once; no explode, no shuffle — the filter stays a narrow
+    * map at any corpus size. */
   def gopherRules(text: Column): Column = {
     val t = toks(text)
     val nTok = size(t).cast("double")
     val meanTokLen = (length(text).cast("double") - (nTok - 1)) / nTok
-    val maxTokShare = array_max(transform(array_distinct(t),
-      w => size(filter(t, x => x === w)))).cast("double") / nTok
+    val maxTokShare = maxRunCount(t).cast("double") / nTok
+    // zip_with evaluates each slice argument ONCE; the index-lambda form
+    // (transform(sequence(...), i -> slice(t, i+1, 2))) re-evaluates the
+    // whole split() subtree per element
     val bi = when(size(t) >= 2,
-      transform(sequence(lit(0), size(t) - 2), i => concat_ws(" ", slice(t, i + 1, lit(2)))))
+      zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => concat_ws(" ", a, b)))
       .otherwise(array().cast("array<string>"))
     val maxBiShare = when(size(t) >= 2,
-      array_max(transform(array_distinct(bi),
-        w => size(filter(bi, x => x === w)))).cast("double") / (nTok - 1))
+      maxRunCount(bi).cast("double") / (nTok - 1))
       .otherwise(lit(0d))
     val allStop = array(Stopwords.values.flatten.toSeq.distinct.sorted.map(lit): _*)
     val stopHits = size(array_intersect(array_distinct(t), allStop))
@@ -94,6 +101,24 @@ object TextAnalysis {
       (maxBiShare <= 0.12).cast("int").as("rep_bi_ok"),
       (stopHits >= 2).cast("int").as("stop_ok"))
   }
+
+  /** Highest occurrence count of any element in a string array: sort, then
+    * fold once tracking the current and best run length — O(n log n) and
+    * each element visited exactly once (equal to the max of per-distinct-
+    * element counts, without the quadratic nested-lambda spelling). */
+  private def maxRunCount(arr: Column): Column =
+    when(size(arr) > 0,
+      aggregate(
+        array_sort(arr),
+        struct(lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, x) => {
+          val run = when(x <=> acc.getField("prev"), acc.getField("run") + 1)
+            .otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        },
+        acc => acc.getField("best")))
+      .otherwise(lit(0L))
 
   /** Token counts: whitespace tokens and a BPE-ish segmentation
     * (letter runs / digit runs / single other chars), via regexp counting —

@@ -31,7 +31,13 @@ object Decontaminate {
   def overlaps(df: DataFrame, text: Column, id: Column,
                bench: DataFrame, benchText: Column, n: Int = 5): DataFrame = {
     val bg = bench.select(explode(gramHashes(benchText, n)).as("__h")).distinct()
-    df.select(id.as("doc_id"), explode(gramHashes(text, n)).as("__h"))
+    // spread the raw (id, text) rows before shingling: a small corpus often
+    // arrives as one file split, and the shingle+explode+probe work — the
+    // whole cost of this operator — would otherwise run in a single task
+    val parallelism = df.sparkSession.sessionState.conf.numShufflePartitions
+    df.select(id.as("doc_id"), text.as("__txt"))
+      .repartition(parallelism, col("doc_id"))
+      .select(col("doc_id"), explode(gramHashes(col("__txt"), n)).as("__h"))
       .join(broadcast(bg), "__h")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
   }

@@ -63,4 +63,27 @@ object Sampling {
       case (((name, _), cut), other) => when(h < cut, lit(name)).otherwise(other)
     }
   }
+
+  /** Deterministic global shuffle + sharding — the training-order writer.
+    * Training wants examples in a reproducible pseudo-random order, split
+    * into fixed shard files; `ORDER BY rand()` is neither reproducible nor
+    * scalable (one global sort). Instead: shard = hash(key ∥ salt) mod n
+    * (stable under growth, like every assignment here), position = rank of
+    * a SECOND, decorrelated hash within the shard. One shuffle keyed by
+    * shard; the within-shard sort is per-shard local, so parallelism = shard
+    * count and no global sort ever happens. Writers consume (shard,
+    * position) as (file, offset). */
+  def shuffleShards(df: DataFrame, key: Column, nShards: Int,
+                    salt: String = ""): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val shard = pmod(Dedup.hash60(concat(key.cast("string"), lit(salt))), lit(nShards))
+    // "$pos" prefix decorrelates the position hash from the shard hash
+    val posH = pmod(Dedup.hash60(concat(lit("$pos"), key.cast("string"), lit(salt))),
+      lit(Denom))
+    val w = Window.partitionBy(col("__shard")).orderBy(posH, key)
+    df.withColumn("__shard", shard)
+      .withColumn("position", row_number().over(w).cast("long"))
+      .withColumnRenamed("__shard", "shard")
+  }
 }

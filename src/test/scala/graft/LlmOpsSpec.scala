@@ -70,6 +70,33 @@ class LlmOpsSpec extends SparkSpec {
     assert(out === Seq(("a b c", 2L, 2L)))
   }
 
+  // ------------------------------------------------------ shuffle-shard
+
+  test("Sampling.shuffleShards: total cover, contiguous positions, growth-stable shards") {
+    val docs = (0L until 200L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val out = Sampling.shuffleShards(docs, col("doc_id"), nShards = 8)
+      .select("shard", "position", "doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.map(_._3).sorted === (0L until 200L)) // every doc exactly once
+    out.groupBy(_._1).foreach { case (shard, rows) =>
+      assert(shard >= 0 && shard < 8)
+      // positions are 1..n within each shard, no gaps
+      assert(rows.map(_._2).sorted === (1L to rows.size))
+    }
+    // growth-stable: a doc's shard never depends on what other docs exist
+    val half = Sampling.shuffleShards(docs.where(col("doc_id") < 100), col("doc_id"), 8)
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    val full = out.map(r => r._3 -> r._1).toMap
+    half.foreach { case (id, s) => assert(full(id) === s, s"doc $id moved shard") }
+    // within-shard order is also stable under growth (position hash per doc)
+    val halfOrder = Sampling.shuffleShards(docs.where(col("doc_id") < 100), col("doc_id"), 8)
+      .orderBy("shard", "position").select("doc_id").as[Long].collect().toSeq
+    val fullOrderFiltered = Sampling.shuffleShards(docs, col("doc_id"), 8)
+      .orderBy("shard", "position").select("doc_id").as[Long].collect().toSeq
+      .filter(_ < 100)
+    assert(halfOrder === fullOrderFiltered)
+  }
+
   // ------------------------------------------------------ gopher rules
 
   test("TextAnalysis.gopherRules: each rule flags its crafted violation") {
