@@ -1030,8 +1030,26 @@ object ExtQueries {
       | max(n_tokens) AS max_chunk_tokens
       |FROM ch GROUP BY shard ORDER BY shard""".stripMargin))
 
+  /** Int8 embedding quantization ([[Similarity.quantizeInt8]]) in the
+    * oracle-checkable exploded shape — integer outputs, hash-exact. */
+  private val q69 = QDef("q69_embed_quantize",
+    (s, dir) => Similarity.quantizeInt8(T(s, dir, "embeddings"),
+      col("embedding"), col("vec_id"))
+      .orderBy("vec_id", "dim"),
+    Some("""WITH s AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+      |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS sc
+      | FROM embeddings),
+      |x AS (SELECT vec_id, unnest(list_transform(range(1, len(v) + 1), i ->
+      |        {'dim': CAST(i - 1 AS INTEGER),
+      |         'q': CAST(CASE WHEN sc = 0 THEN 0.0
+      |                        ELSE round(v[i] / sc * 127) END AS INTEGER)})) AS u
+      |      FROM s)
+      |SELECT vec_id, u.dim AS dim, u.q AS q FROM x
+      |ORDER BY vec_id, dim""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
-    q65, q66, q67, q68)
+    q65, q66, q67, q68, q69)
 }

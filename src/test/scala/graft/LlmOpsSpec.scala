@@ -97,6 +97,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(halfOrder === fullOrderFiltered)
   }
 
+  // ------------------------------------------------- int8 quantization
+
+  test("Similarity.quantizeInt8: values in [-127,127], dequantization error <= scale/254, zero vector -> zeros") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),    // zero vector
+      (3L, Array(3.0f, -2.0f, 1.5f, 0.1f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(df, col("embedding"), col("vec_id"))
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(q.size === 12)
+    assert(q.forall { case (_, _, v) => v >= -127 && v <= 127 })
+    assert(q.filter(_._1 == 2L).forall(_._3 == 0))
+    val byVec = vecs.map(v => v._1 -> v._2).toMap
+    q.filter(_._1 != 2L).foreach { case (id, dim, qv) =>
+      val x = byVec(id)(dim).toDouble
+      val scale = byVec(id).map(f => math.abs(f.toDouble)).max
+      val err = math.abs(qv.toDouble / 127 * scale - x)
+      assert(err <= scale / 254 + 1e-12, s"vec $id dim $dim err $err")
+    }
+    // max-magnitude component quantizes to exactly ±127
+    assert(q.find(r => r._1 == 3L && r._2 == 0).get._3 === 127)
+    assert(q.find(r => r._1 == 1L && r._2 == 1).get._3 === -127)
+  }
+
   // ------------------------------------------------------ gopher rules
 
   test("TextAnalysis.gopherRules: each rule flags its crafted violation") {
