@@ -105,8 +105,15 @@ object TextAnalysis {
   /** Highest occurrence count of any element in a string array: sort, then
     * fold once tracking the current and best run length — O(n log n) and
     * each element visited exactly once (equal to the max of per-distinct-
-    * element counts, without the quadratic nested-lambda spelling). */
+    * element counts, without the quadratic nested-lambda spelling). Backed
+    * by the codegen [[org.apache.spark.sql.graft.MaxRunCount]] expression;
+    * the interpreted-lambda spelling survives as [[maxRunCountComposed]]
+    * and the unit suite pins the two equal. */
   private def maxRunCount(arr: Column): Column =
+    org.apache.spark.sql.graft.TextExprs.maxRunCount(arr)
+
+  /** Reference spelling of [[maxRunCount]] via higher-order functions. */
+  def maxRunCountComposed(arr: Column): Column =
     when(size(arr) > 0,
       aggregate(
         array_sort(arr),

@@ -73,8 +73,69 @@ object FingerprintUtil {
   }
 }
 
+/** Native max-occurrence count over a string array: sort + one-pass max
+  * run length (equal to the max per-distinct-element count).
+  *
+  * Replaces the `aggregate(array_sort(arr), struct-state fold)` composition
+  * in the Gopher repetition rules: higher-order Catalyst lambdas run
+  * interpreted, allocating a struct row per element; this expression does
+  * the same O(n log n) work in one primitive loop that whole-stage codegen
+  * inlines. Semantics pinned against the composition in the unit suite.
+  * Null elements sort together and count as a run of equals (unreachable
+  * from tokenization — split() never emits nulls). Empty array → 0.
+  */
+case class MaxRunCount(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_max_run_count"
+
+  override def nullSafeEval(a: Any): Any =
+    MaxRunCountUtil.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"org.apache.spark.sql.graft.MaxRunCountUtil.compute($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MaxRunCountUtil {
+  /** Called from generated code (static forwarder of this object). */
+  def compute(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    if (n == 0) return 0L
+    val a = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { a(i) = arr.getUTF8String(i); i += 1 }
+    // nulls first, then UTF8String binary order (comparator only needs a
+    // consistent total order — any order groups equals adjacently)
+    java.util.Arrays.sort(a, (x: UTF8String, y: UTF8String) =>
+      if (x eq y) 0
+      else if (x == null) -1
+      else if (y == null) 1
+      else x.compareTo(y))
+    var best = 1L
+    var run = 1L
+    i = 1
+    while (i < n) {
+      val eq = if (a(i) == null) a(i - 1) == null
+               else a(i - 1) != null && a(i).equals(a(i - 1))
+      run = if (eq) run + 1 else 1L
+      if (run > best) best = run
+      i += 1
+    }
+    best
+  }
+}
+
 object TextExprs {
   /** Column-level fingerprint backed by the codegen expression. */
   def fingerprint(tokens: Column): Column =
     ExpressionUtils.column(Fingerprint(ExpressionUtils.expression(tokens)))
+
+  /** Column-level max-run count backed by the codegen expression. */
+  def maxRunCount(arr: Column): Column =
+    ExpressionUtils.column(MaxRunCount(ExpressionUtils.expression(arr)))
 }

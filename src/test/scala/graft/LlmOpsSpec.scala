@@ -122,6 +122,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(q.find(r => r._1 == 1L && r._2 == 1).get._3 === -127)
   }
 
+  // ---------------------------------------------- native max-run count
+
+  test("MaxRunCount native == composed lambda spelling on corpus tokens, bigrams, and edges") {
+    val docs = Tables.t(spark, sf, "documents")
+    val toks = docs.select(split(col("text"), " ").as("a"))
+    val native = org.apache.spark.sql.graft.TextExprs.maxRunCount _
+    val composed = TextAnalysis.maxRunCountComposed _
+    Seq(
+      toks,
+      // bigrams, and edge arrays: empty, single, all-equal, with duplicates
+      docs.select(slice(split(col("text"), " "), 1, 2).as("a")),
+      Seq(Seq.empty[String], Seq("x"), Seq("x", "x", "x"),
+        Seq("b", "a", "b", "a", "b")).toDF("a")
+    ).foreach { df =>
+      val diff = df.select(native(col("a")).as("n"), composed(col("a")).as("c"))
+        .where(col("n") =!= col("c")).count()
+      assert(diff === 0)
+    }
+    // exact values on a hand-checked case
+    val v = Seq(Seq("b", "a", "b", "a", "b")).toDF("a")
+      .select(native(col("a"))).as[Long].collect().head
+    assert(v === 3L)
+  }
+
   // ------------------------------------------------------ gopher rules
 
   test("TextAnalysis.gopherRules: each rule flags its crafted violation") {
