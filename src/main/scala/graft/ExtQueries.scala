@@ -1048,8 +1048,62 @@ object ExtQueries {
       |SELECT vec_id, u.dim AS dim, u.q AS q FROM x
       |ORDER BY vec_id, dim""".stripMargin))
 
+  /** Salted skew join ([[Skew.saltedJoin]]) under the oracle gate: the
+    * scatter/replicate mechanics must be output-invisible, so the oracle
+    * is the PLAIN join — any salt artifact (dropped/duplicated row) breaks
+    * the hash match. */
+  private val q70 = QDef("q70_salted_join",
+    (s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val ords = T(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      Skew.saltedJoin(li, ords, "l_orderkey", salts = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
+  /** Streaming sessionization under the oracle gate: append-mode
+    * `session_window` emission ([[EventStreams.runSessions]]) vs the batch
+    * gap-session SQL restricted to sessions whose end precedes the final
+    * watermark (max event time - 1h). Session boundary is INCLUSIVE — a
+    * new session only when the gap strictly exceeds 30 min (q40's
+    * convention). */
+  private val q71 = QDef("q71_stream_sessions",
+    (s, dir) => EventStreams.runSessions(s, dir, name = "graft_stream_sessions_q71")
+      .select(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start"),
+    Some("""WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      |mx AS (SELECT max(us) AS m FROM x),
+      |f AS (SELECT user_id, us, event_id,
+      |        CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+      |             THEN 1 ELSE 0 END AS new_sess
+      |      FROM x WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |se AS (SELECT user_id, us,
+      |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                             ROWS UNBOUNDED PRECEDING) AS sid
+      |       FROM f),
+      |g AS (SELECT user_id, sid, min(us) AS s_us, max(us) AS e_us,
+      |        count(*) AS n_events
+      |      FROM se GROUP BY 1, 2)
+      |SELECT user_id,
+      | strftime(make_timestamp(s_us), '%Y-%m-%d %H:%M:%S') AS session_start,
+      | strftime(make_timestamp(e_us + 1800000000), '%Y-%m-%d %H:%M:%S') AS session_end,
+      | n_events
+      |FROM g, mx
+      |WHERE e_us + 1800000000 < m - 3600000000
+      |ORDER BY user_id, session_start""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
-    q65, q66, q67, q68, q69)
+    q65, q66, q67, q68, q69, q70, q71)
 }
