@@ -1102,8 +1102,33 @@ object ExtQueries {
       |WHERE e_us + 1800000000 < m - 3600000000
       |ORDER BY user_id, session_start""".stripMargin))
 
+  /** Quantized-coarse + exact-re-rank ANN ([[Similarity.quantizedTopK]]):
+    * int8 cosine over all vectors, deterministic 50-vector shortlist,
+    * exact cosine for the final 10. */
+  private val q72 = QDef("q72_ann_quantized",
+    (s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val q = e.orderBy("vec_id").limit(1)
+      Similarity.quantizedTopK(e, col("embedding"), col("vec_id"),
+        q, col("embedding"), k = 10, shortlist = 50)
+        .select(col("id"), round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy(desc("cos_sim"), col("id"))
+    },
+    Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |        FROM embeddings),
+      |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS sc FROM e),
+      |z AS (SELECT vec_id, v, CASE WHEN sc = 0 THEN list_transform(v, x -> 0.0)
+      |        ELSE list_transform(v, x -> round(x / sc * 127)) END AS qv FROM s),
+      |q AS (SELECT v AS qorig, qv AS qq FROM z ORDER BY vec_id LIMIT 1),
+      |sl AS (SELECT z.vec_id, z.v FROM z, q
+      |       ORDER BY list_cosine_similarity(z.qv, q.qq) DESC, z.vec_id LIMIT 50),
+      |t AS (SELECT sl.vec_id AS id, list_cosine_similarity(sl.v, q.qorig) AS cs
+      |      FROM sl, q ORDER BY cs DESC, id LIMIT 10)
+      |SELECT id, round(cs, 4) AS cos_sim FROM t
+      |ORDER BY cos_sim DESC, id""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
-    q65, q66, q67, q68, q69, q70, q71)
+    q65, q66, q67, q68, q69, q70, q71, q72)
 }

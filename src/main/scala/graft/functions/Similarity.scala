@@ -203,6 +203,38 @@ object Similarity {
     * only for the oracle-checkable long shape); integer outputs make the
     * gate hash-exact with no float-rounding convention needed. Zero vectors
     * quantize to all-zero. */
+  /** Int8 quantized vector (array form): round(x/scale·127) as doubles
+    * (integer-valued, so every downstream dot/norm is float-exact and
+    * engine-reproducible). Zero vectors quantize to all-zero. */
+  def quantizeVec(v: Column): Column = {
+    val sc = array_max(transform(v, x => abs(x)))
+    when(sc === 0, transform(v, _ => lit(0d)))
+      .otherwise(transform(v, x => round(x / sc * 127)))
+  }
+
+  /** Quantized-coarse + exact-re-rank top-k — the production pattern the
+    * int8 path exists for: score ALL corpus vectors with the cheap
+    * quantized cosine (scales cancel, so it's cosine over the int8 arrays
+    * — at scale this is the 4×-smaller probe table), keep a deterministic
+    * `shortlist` (quantized score desc, id tie-break), then exact cosine
+    * on the original vectors for the final k. Both passes are
+    * TakeOrdered-shaped (k rows per partition before the driver merge),
+    * never a global sort. Oracle-gated as q72; int8-vs-exact recall is
+    * pinned in the unit suite. */
+  def quantizedTopK(df: DataFrame, emb: Column, id: Column,
+                    query: DataFrame, queryEmb: Column,
+                    k: Int = 10, shortlist: Int = 50): DataFrame = {
+    val corpus = df.select(id.as("id"), emb.cast("array<double>").as("__v"))
+      .withColumn("__qv", quantizeVec(col("__v")))
+    val q = query.select(queryEmb.cast("array<double>").as("__qorig"))
+      .withColumn("__qq", quantizeVec(col("__qorig")))
+    val sl = corpus.crossJoin(broadcast(q))
+      .withColumn("__coarse", cosine(col("__qv"), col("__qq")))
+      .orderBy(desc("__coarse"), col("id")).limit(shortlist)
+    sl.select(col("id"), cosine(col("__v"), col("__qorig")).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col("id")).limit(k)
+  }
+
   def quantizeInt8(df: DataFrame, emb: Column, id: Column): DataFrame =
     df.select(id.as("vec_id"), emb.cast("array<double>").as("__v"))
       .select(col("vec_id"), col("__v"),

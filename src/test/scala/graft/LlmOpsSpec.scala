@@ -146,6 +146,19 @@ class LlmOpsSpec extends SparkSpec {
     assert(v === 3L)
   }
 
+  test("quantizedTopK: int8 coarse + exact re-rank recovers the exact top-k on the fixture") {
+    val e = Tables.t(spark, sf, "embeddings")
+    val q = e.orderBy("vec_id").limit(1)
+    val quant = Similarity.quantizedTopK(e, col("embedding"), col("vec_id"),
+      q, col("embedding"), k = 10, shortlist = 50)
+      .select("id").as[Long].collect().toSet
+    val exact = Similarity.bruteForceTopK(e, col("embedding"), col("vec_id"),
+      q, col("embedding"), k = 10)
+      .select("id").as[Long].collect().toSet
+    val recall = (quant & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"int8 recall too low: $recall (got $quant vs $exact)")
+  }
+
   // ------------------------------------------------------ gopher rules
 
   test("TextAnalysis.gopherRules: each rule flags its crafted violation") {
