@@ -159,6 +159,103 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"int8 recall too low: $recall (got $quant vs $exact)")
   }
 
+  // ------------------------------------------- properties (random inputs)
+
+  private def gen[T](g: org.scalacheck.Gen[T], seed: Long): T =
+    g.apply(org.scalacheck.Gen.Parameters.default,
+      org.scalacheck.rng.Seed(seed)).get
+
+  test("property: assignChunks == driver-side cumsum reference (random docs)") {
+    import org.scalacheck.Gen
+    val docGen = for {
+      shard <- Gen.oneOf("a", "b", "c")
+      nTok <- Gen.choose(1, 12)
+    } yield (shard, nTok)
+    (0 until 3).foreach { round =>
+      val docs = gen(Gen.listOfN(40, docGen), 300L + round).zipWithIndex
+        .map { case ((sh, n), i) => (sh, i.toLong, Seq.fill(n)("t").mkString(" ")) }
+      val budget = 10
+      val expected = docs.groupBy(_._1).flatMap { case (sh, ds) =>
+        ds.sortBy(_._2).foldLeft((0L, Seq.empty[(String, Long, Int, Long)])) {
+          case ((before, acc), (_, id, text)) =>
+            val n = text.split(" ").length
+            (before + n, acc :+ ((sh, id, n, before / budget)))
+        }._2
+      }.toSet
+      val got = Packing.assignChunks(docs.toDF("source", "doc_id", "text"),
+        col("text"), col("doc_id"), col("source"), budget)
+        .as[(String, Long, Int, Long)].collect().toSet
+      assert(got === expected, s"round $round")
+    }
+  }
+
+  test("property: Decontaminate.overlaps == driver-side distinct-gram intersection (random corpora)") {
+    import org.scalacheck.Gen
+    val textGen = Gen.choose(3, 15).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e", "f")).map(_.mkString(" ")))
+    (0 until 3).foreach { round =>
+      val corpus = gen(Gen.listOfN(25, textGen), 500L + round).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val bench = gen(Gen.listOfN(3, textGen), 600L + round).zipWithIndex
+        .map { case (t, i) => (100L + i, t) }
+      val n = 3
+      def grams(t: String): Set[String] =
+        t.split(" ").sliding(n).filter(_.size == n).map(_.mkString(" ")).toSet
+      val benchGrams = bench.flatMap(b => grams(b._2)).toSet
+      val expected = corpus
+        .map { case (id, t) => id -> (grams(t) & benchGrams).size.toLong }
+        .filter(_._2 > 0).toMap
+      val got = Decontaminate.overlaps(corpus.toDF("doc_id", "text"),
+        col("text"), col("doc_id"),
+        bench.toDF("bench_id", "btext"), col("btext"), n)
+        .as[(Long, Long)].collect().toMap
+      assert(got === expected, s"round $round")
+    }
+  }
+
+  test("property: sharedPassages == driver-side aligned-chunk reference (random docs)") {
+    import org.scalacheck.Gen
+    val textGen = Gen.choose(1, 14).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("x", "y", "z")).map(_.mkString(" ")))
+    (0 until 3).foreach { round =>
+      val docs = gen(Gen.listOfN(30, textGen), 700L + round).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val k = 4
+      val chunks = docs.flatMap { case (id, t) =>
+        t.split(" ").grouped(k).filter(_.length == k).map(c => (id, c.mkString(" ")))
+      }
+      val expected = chunks.groupBy(_._2)
+        .map { case (p, occ) => (p, occ.map(_._1).distinct.size.toLong, occ.size.toLong) }
+        .filter(_._2 >= 2).toSet
+      val got = Dedup.sharedPassages(docs.toDF("doc_id", "text"),
+        col("text"), col("doc_id"), k)
+        .as[(String, Long, Long)].collect().toSet
+      assert(got === expected, s"round $round")
+    }
+  }
+
+  test("property: quantizeInt8 == driver-side HALF_UP reference (random vectors)") {
+    import org.scalacheck.Gen
+    val vecGen = Gen.listOfN(8, Gen.choose(-4.0f, 4.0f))
+    (0 until 3).foreach { round =>
+      val vecs = gen(Gen.listOfN(15, vecGen), 900L + round).zipWithIndex
+        .map { case (v, i) => (i.toLong, v.toArray) }
+      val expected = vecs.flatMap { case (id, v) =>
+        val sc = v.map(f => math.abs(f.toDouble)).max
+        v.zipWithIndex.map { case (f, d) =>
+          val q = if (sc == 0) 0 else
+            new java.math.BigDecimal(f.toDouble / sc * 127)
+              .setScale(0, java.math.RoundingMode.HALF_UP).intValue
+          (id, d, q)
+        }
+      }.toSet
+      val got = Similarity.quantizeInt8(vecs.toDF("vec_id", "embedding"),
+        col("embedding"), col("vec_id"))
+        .as[(Long, Int, Int)].collect().toSet
+      assert(got === expected, s"round $round")
+    }
+  }
+
   // ------------------------------------------------------ gopher rules
 
   test("TextAnalysis.gopherRules: each rule flags its crafted violation") {
