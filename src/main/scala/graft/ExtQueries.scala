@@ -1127,8 +1127,27 @@ object ExtQueries {
       |SELECT id, round(cs, 4) AS cos_sim FROM t
       |ORDER BY cos_sim DESC, id""".stripMargin))
 
+  /** Passage removal ([[Dedup.removeSharedPassages]]): q64's shared set
+    * scrubbed out of every document, chunks reassembled in order. */
+  private val q73 = QDef("q73_remove_passages",
+    (s, dir) => Dedup.removeSharedPassages(T(s, dir, "documents"),
+      col("text"), col("doc_id"), k = 10)
+      .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |c AS (SELECT doc_id, unnest(list_transform(range(0, len(t) // 10 + 1), i ->
+      |        {'idx': CAST(i AS INTEGER),
+      |         'p': array_to_string(list_slice(t, i*10 + 1, i*10 + 10), ' ')})) AS u
+      |      FROM t),
+      |cc AS (SELECT doc_id, u.idx AS idx, u.p AS p FROM c WHERE u.p <> ''),
+      |full_c AS (SELECT doc_id, array_to_string(list_slice(t, i*10 + 1, i*10 + 10), ' ') AS p
+      |           FROM (SELECT doc_id, t, unnest(range(0, len(t) // 10)) AS i FROM t)),
+      |sh AS (SELECT p FROM full_c GROUP BY p HAVING count(DISTINCT doc_id) >= 2)
+      |SELECT doc_id, string_agg(p, ' ' ORDER BY idx) AS clean_text
+      |FROM cc WHERE p NOT IN (SELECT p FROM sh)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
-    q65, q66, q67, q68, q69, q70, q71, q72)
+    q65, q66, q67, q68, q69, q70, q71, q72, q73)
 }

@@ -56,6 +56,35 @@ object Dedup {
       .where(col("n_docs") >= 2)
   }
 
+  /** C4-style passage REMOVAL: drop every aligned k-token passage that
+    * [[sharedPassages]] finds in >= minDocs documents, and reassemble each
+    * document from its surviving chunks (trailing tokens short of a full
+    * passage always survive — they can't equal a k-token passage). Docs
+    * whose every chunk is removed disappear from the output (no kept rows),
+    * matching the grouped-SQL twin. Same shuffle shape as exact dedup:
+    * explode + one hash-agg for the shared set, an anti join keyed by the
+    * passage, one reassembly agg keyed by doc. */
+  def removeSharedPassages(df: DataFrame, text: Column, id: Column,
+                           k: Int = 10, minDocs: Int = 2): DataFrame = {
+    val t = split(text, " ")
+    val nCh = floor(size(t) / k).cast("int")
+    // chunk idx 0..nCh inclusive: idx nCh is the trailing partial chunk
+    // ("" when size % k == 0 — filtered out below)
+    val chunks = transform(sequence(lit(0), nCh), i =>
+      struct(i.cast("int").as("idx"),
+        concat_ws(" ", slice(t, i * k + 1, lit(k))).as("p")))
+    val cc = df.select(id.as("doc_id"), explode(chunks).as("u"))
+      .select(col("doc_id"), col("u.idx").as("idx"), col("u.p").as("p"))
+      .where(col("p") =!= "")
+    val sh = sharedPassages(df, text, id, k)
+      .where(col("n_docs") >= minDocs).select(col("passage").as("p"))
+    cc.join(sh, Seq("p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("idx"), col("p")))),
+          s => s.getField("p")), " ").as("clean_text"))
+  }
+
   /** Word shingles of size k from a whitespace-tokenized text column. */
   def shingles(text: Column, k: Int): Column = {
     val toks = split(text, " ")

@@ -159,6 +159,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"int8 recall too low: $recall (got $quant vs $exact)")
   }
 
+  test("Dedup.removeSharedPassages: shared chunk scrubbed, tails kept, fully-shared docs vanish") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"), // chunks "a b c","d e f", tail "g h"
+      (2L, "a b c x y z"),     // chunks "a b c","x y z"
+      (3L, "p q"),             // tail only
+      (4L, "a b c")            // single chunk, fully shared
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeSharedPassages(docs, col("text"), col("doc_id"), k = 3)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(out === Seq((1L, "d e f g h"), (2L, "x y z"), (3L, "p q")))
+  }
+
   // ------------------------------------------- properties (random inputs)
 
   private def gen[T](g: org.scalacheck.Gen[T], seed: Long): T =
