@@ -1146,8 +1146,27 @@ object ExtQueries {
       |FROM cc WHERE p NOT IN (SELECT p FROM sh)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** Spark 4 VARIANT ingestion: `parse_json` once into the binary variant
+    * encoding, then typed `variant_get` extraction — the
+    * parse-once/extract-many shape for semi-structured columns at scale
+    * (vs q35's per-path `get_json_object` string re-parse). Same result
+    * contract as q35, so the oracle is the same JSON SQL. */
+  private val q74 = QDef("q74_variant_json",
+    (s, dir) => T(s, dir, "events")
+      .select(col("event_type"), parse_json(col("props")).as("v"), col("value"))
+      .select(col("event_type"),
+        variant_get(col("v"), "$.k", "long").as("k"), col("value"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(avg("k"), 4).as("avg_k"),
+        round(sum("value"), 4).as("sum_value"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type, count(*) AS n,
+      | round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+      | round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
-    q65, q66, q67, q68, q69, q70, q71, q72, q73)
+    q65, q66, q67, q68, q69, q70, q71, q72, q73, q74)
 }

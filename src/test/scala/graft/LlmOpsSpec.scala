@@ -171,6 +171,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(out === Seq((1L, "d e f g h"), (2L, "x y z"), (3L, "p q")))
   }
 
+  test("approx_count_distinct within its rsd bound of exact (q41's 100 TB swap)") {
+    // the HLL++ sketch is the bounded-memory replacement for q41's exact
+    // count_distinct at corpus scale; not oracle-gatable (DuckDB's sketch
+    // differs), so the error contract is pinned here instead
+    val ev = Tables.t(spark, sf, "events")
+    val exact = ev.select(countDistinct(col("user_id"))).as[Long].collect().head
+    val approx = ev.select(approx_count_distinct(col("user_id"), rsd = 0.02))
+      .as[Long].collect().head
+    val relErr = math.abs(approx - exact).toDouble / exact
+    assert(relErr <= 0.06, s"HLL rel err $relErr (exact=$exact approx=$approx)")
+  }
+
   // ------------------------------------------- properties (random inputs)
 
   private def gen[T](g: org.scalacheck.Gen[T], seed: Long): T =
