@@ -1165,8 +1165,100 @@ object ExtQueries {
       | round(sum(value), 4) AS sum_value
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin))
 
+  /** Document-spanning packing ([[Packing.packSpans]]): long docs cross
+    * chunk boundaries, so every chunk but each shard's last holds exactly
+    * the 200-token budget. */
+  private val q75 = QDef("q75_pack_spans",
+    (s, dir) => Packing.packSpans(T(s, dir, "documents"),
+      col("text"), col("doc_id"), col("source"), budget = 200)
+      .orderBy("shard", "chunk_id"),
+    Some("""WITH d AS (SELECT source AS shard, doc_id AS id,
+      |  len(string_split(text, ' ')) AS n_tok FROM documents),
+      |c AS (SELECT shard, id, n_tok,
+      |  CAST(COALESCE(sum(n_tok) OVER (PARTITION BY shard ORDER BY id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bef
+      | FROM d),
+      |x AS (SELECT shard, id, n_tok, bef,
+      |  unnest(range(bef // 200, (bef + n_tok - 1) // 200 + 1)) AS chunk_id
+      | FROM c),
+      |y AS (SELECT shard, chunk_id, id,
+      |  greatest(0, chunk_id * 200 - bef) AS ts,
+      |  least(n_tok, (chunk_id + 1) * 200 - bef) AS te
+      | FROM x)
+      |SELECT shard, chunk_id, count(*) AS n_docs,
+      | CAST(sum(te - ts) AS BIGINT) AS n_tokens,
+      | min(id) AS first_id, max(id) AS last_id
+      |FROM y GROUP BY shard, chunk_id ORDER BY shard, chunk_id""".stripMargin))
+
+  /** Corpus quality report: language-ID, quality score, Gopher pass rate,
+    * and token totals per (source, predicted language) — the one-scan
+    * dashboard a data curation run starts from. Per-doc scores are rounded
+    * then summed through DECIMAL so group averages are engine-exact. */
+  private val q76 = QDef("q76_corpus_report",
+    (s, dir) => {
+      val g = TextAnalysis.gopherRules(col("text"))
+      val pass = (g.getField("len_ok") + g.getField("mtl_ok") +
+        g.getField("rep_tok_ok") + g.getField("rep_bi_ok") +
+        g.getField("stop_ok") === 5).cast("int")
+      T(s, dir, "documents")
+        .repartition(s.sessionState.conf.numShufflePartitions)
+        .select(col("source"), TextAnalysis.langId(col("text")).as("pred_lang"),
+          round(TextAnalysis.qualityScore(col("text")), 4)
+            .cast("decimal(18,4)").as("__q"),
+          pass.as("__pass"),
+          TextAnalysis.whitespaceTokenCount(col("text")).as("__n"))
+        .groupBy("source", "pred_lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("__q")).cast("double") / count(lit(1)), 4).as("avg_quality"),
+          round(sum(col("__pass")).cast("double") / count(lit(1)), 4).as("gopher_pass_rate"),
+          sum(col("__n")).cast("long").as("n_tokens"))
+        .orderBy("source", "pred_lang")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, source, text, string_split(text, ' ') AS tk,
+      |         list_distinct(string_split(text, ' ')) AS dtk,
+      |         list_distinct(string_split(text, ' ')) AS toks FROM documents),
+      |sc AS (SELECT doc_id, source, text, tk, dtk,
+      |  $langScoreSql
+      | FROM t),
+      |p AS (SELECT doc_id, source,
+      |  CASE
+      |   WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de AND s_zh > 0 THEN 'zh'
+      |   WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de AND s_fr > 0 THEN 'fr'
+      |   WHEN s_es >= s_en AND s_es >= s_de AND s_es > 0 THEN 'es'
+      |   WHEN s_en >= s_de AND s_en > 0 THEN 'en'
+      |   WHEN s_de > 0 THEN 'de'
+      |   ELSE 'und' END AS pred_lang,
+      |  round((CASE WHEN len(tk) >= 10 AND len(tk) <= 1000 THEN 1.0
+      |              ELSE least(CAST(len(tk) AS DOUBLE) / 10, 1.0) END) * 0.3
+      |   + (CASE WHEN (CAST(length(text) AS DOUBLE) - (len(tk) - 1)) / len(tk) >= 2
+      |            AND (CAST(length(text) AS DOUBLE) - (len(tk) - 1)) / len(tk) <= 12
+      |           THEN 1.0 ELSE 0.5 END) * 0.2
+      |   + least(CAST(len(dtk) AS DOUBLE) / len(tk) * 2, 1.0) * 0.3
+      |   + least(CAST(len(list_intersect(dtk, $allStopSql)) AS DOUBLE) / len(dtk) * 5, 1.0) * 0.2,
+      |   4) AS q,
+      |  CASE WHEN len(tk) BETWEEN 20 AND 90
+      |    AND (CAST(length(text) AS DOUBLE) - (len(tk) - 1)) / len(tk) >= 3
+      |    AND (CAST(length(text) AS DOUBLE) - (len(tk) - 1)) / len(tk) <= 10
+      |    AND CAST(list_max(list_transform(dtk,
+      |          w -> len(list_filter(tk, x -> x = w)))) AS DOUBLE) / len(tk) <= 0.15
+      |    AND (CASE WHEN len(tk) >= 2 THEN
+      |          CAST(list_max(list_transform(
+      |            list_distinct(list_transform(range(0, len(tk) - 1), i -> tk[i+1] || ' ' || tk[i+2])),
+      |            w -> len(list_filter(list_transform(range(0, len(tk) - 1),
+      |                   i -> tk[i+1] || ' ' || tk[i+2]), x -> x = w)))) AS DOUBLE) / (len(tk) - 1)
+      |         ELSE 0.0 END) <= 0.12
+      |    AND len(list_intersect(dtk, $allStopSql)) >= 2
+      |   THEN 1 ELSE 0 END AS pass,
+      |  len(tk) AS n
+      | FROM sc)
+      |SELECT source, pred_lang, count(*) AS n_docs,
+      | round(CAST(sum(CAST(q AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_quality,
+      | round(CAST(sum(pass) AS DOUBLE) / count(*), 4) AS gopher_pass_rate,
+      | CAST(sum(n) AS BIGINT) AS n_tokens
+      |FROM p GROUP BY source, pred_lang ORDER BY source, pred_lang""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
-    q65, q66, q67, q68, q69, q70, q71, q72, q73, q74)
+    q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76)
 }

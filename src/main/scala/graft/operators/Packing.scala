@@ -39,4 +39,40 @@ object Packing {
       .groupBy("shard", "chunk_id")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
         min("id").as("first_id"), max("id").as("last_id"))
+
+  /** Document-SPANNING packing — the GPT-pretraining flavor where a long
+    * document crosses chunk boundaries instead of bloating the chunk it
+    * starts in: doc spanning tokens [before, before+n) contributes the
+    * sub-range [max(0, c·B − before), min(n, (c+1)·B − before)) to every
+    * chunk c it overlaps. Every chunk except each shard's last holds
+    * EXACTLY `budget` tokens (pinned in the unit suite). One row per
+    * (doc, chunk) overlap — the explode multiplies rows only for docs
+    * longer than the budget; same per-shard window shuffle as
+    * [[assignChunks]]. */
+  def assignSpans(df: DataFrame, text: Column, id: Column, shard: Column,
+                  budget: Int): DataFrame = {
+    val w = Window.partitionBy("__shard").orderBy("__id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(shard.as("__shard"), id.as("__id"), tokenCount(text).as("n_tok"))
+      .withColumn("__before", coalesce(sum("n_tok").over(w), lit(0L)))
+      .withColumn("chunk_id", explode(sequence(
+        floor(col("__before") / budget),
+        floor((col("__before") + col("n_tok") - 1) / budget))))
+      .withColumn("tok_start",
+        greatest(lit(0L), col("chunk_id") * budget - col("__before")))
+      .withColumn("tok_end",
+        least(col("n_tok").cast("long"), (col("chunk_id") + 1) * budget - col("__before")))
+      .select(col("__shard").as("shard"), col("chunk_id"), col("__id").as("id"),
+        col("tok_start"), col("tok_end"))
+  }
+
+  /** Chunk-level rollup of [[assignSpans]]: every chunk but each shard's
+    * last totals exactly `budget` tokens. */
+  def packSpans(df: DataFrame, text: Column, id: Column, shard: Column,
+                budget: Int): DataFrame =
+    assignSpans(df, text, id, shard, budget)
+      .groupBy("shard", "chunk_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok_end") - col("tok_start")).as("n_tokens"),
+        min("id").as("first_id"), max("id").as("last_id"))
 }

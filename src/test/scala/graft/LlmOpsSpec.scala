@@ -39,6 +39,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.map(_._4).sum === 40L)
   }
 
+  test("Packing.assignSpans: docs cross boundaries, every non-final chunk holds exactly the budget") {
+    // doc of 25 tokens with budget 10 spans chunks 0,1,2
+    val docs = Seq(("s", 1L, ("t " * 25).trim), ("s", 2L, ("t " * 7).trim))
+      .toDF("source", "doc_id", "text")
+    val spans = Packing.assignSpans(docs, col("text"), col("doc_id"), col("source"), budget = 10)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq.sortBy(r => (r._2, r._3))
+    // (shard, chunk, id, tok_start, tok_end): doc1 spans [0,10)[10,20)[20,25), doc2 [25,30)[30,32)
+    assert(spans === Seq(
+      ("s", 0L, 1L, 0L, 10L), ("s", 1L, 1L, 10L, 20L), ("s", 2L, 1L, 20L, 25L),
+      ("s", 2L, 2L, 0L, 5L), ("s", 3L, 2L, 5L, 7L)))
+    // rollup invariant: every chunk except the shard-last totals the budget
+    val roll = Packing.packSpans(docs, col("text"), col("doc_id"), col("source"), budget = 10)
+      .orderBy("chunk_id")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(roll.init.forall(_._4 === 10L) && roll.last._4 === 2L)
+    assert(roll.map(_._4).sum === 32L) // all tokens counted exactly once
+  }
+
   // ----------------------------------------------------- decontamination
 
   test("Decontaminate: doc sharing a benchmark 5-gram is flagged and dropped; clean docs survive") {
