@@ -1257,8 +1257,27 @@ object ExtQueries {
       | CAST(sum(n) AS BIGINT) AS n_tokens
       |FROM p GROUP BY source, pred_lang ORDER BY source, pred_lang""".stripMargin))
 
+  /** Incremental near-dedup ([[Dedup.minhashAgainst]]): the ingestion-time
+    * shape — new-batch docs (doc_id >= 250) surviving MinHash-band
+    * collision against the existing corpus (doc_id < 250). */
+  private val q77 = QDef("q77_dedup_incremental",
+    (s, dir) => {
+      val docs = T(s, dir, "documents")
+      Dedup.minhashAgainst(docs.where(col("doc_id") >= 250),
+        docs.where(col("doc_id") < 250), col("text"), col("doc_id"))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $minhashPairCtes,
+      |hits AS (SELECT DISTINCT b.doc_id FROM bands b JOIN bands c
+      |         ON b.b = c.b AND b.bucket = c.bucket
+      |         AND b.doc_id >= 250 AND c.doc_id < 250)
+      |SELECT d.doc_id, d.source FROM documents d
+      |WHERE d.doc_id >= 250 AND d.doc_id NOT IN (SELECT doc_id FROM hits)
+      |ORDER BY doc_id""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
-    q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76)
+    q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77)
 }

@@ -162,6 +162,31 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** Incremental near-dedup — the ingestion-time shape: drop every BATCH
+    * document whose MinHash bands collide with any EXISTING-corpus
+    * document. The corpus (the big side at scale) never self-joins and is
+    * touched once: batch bands semi-join corpus bands keyed by
+    * (band, bucket), then the flagged ids anti-join back. Batch docs too
+    * short to shingle can't collide and always survive. */
+  def minhashAgainst(batch: DataFrame, corpus: DataFrame, text: Column, id: Column,
+                     shingleSize: Int = 3, numPerm: Int = 16,
+                     bands: Int = 4): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must divide into bands")
+    val rowsPerBand = numPerm / bands
+    def banded(df: DataFrame): DataFrame =
+      minhashSignatures(df, text, id, shingleSize, numPerm)
+        .select(col("__id"), posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+        .select(col("__id"), col("pos").as("__band"),
+          col("col").cast("string").as("__bucket"))
+    val hit = banded(batch).as("b")
+      .join(banded(corpus).as("c"),
+        col("b.__band") === col("c.__band") && col("b.__bucket") === col("c.__bucket"),
+        "left_semi")
+      .select(col("__id")).distinct()
+    batch.join(hit.select(col("__id").as("__hit")), id === col("__hit"), "left_anti")
+  }
+
   /** Per-doc 60-bit SimHash signature as (__id, __blk, __sig): bit j is set
     * iff the sum over tokens of sign(bit j of token-hash) is positive.
     * Computed by the native single-pass expression

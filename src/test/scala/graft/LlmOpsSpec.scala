@@ -75,6 +75,19 @@ class LlmOpsSpec extends SparkSpec {
     assert(kept === Set(2L, 3L))
   }
 
+  test("Dedup.minhashAgainst: batch near-dup of a corpus doc dropped, novel and too-short docs survive") {
+    val corpus = Seq((1L, "the quick brown fox jumps over the lazy dog while rain falls"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog while snow falls"), // near-dup
+      (11L, "completely different words about census data pipelines and spark engines"),
+      (12L, "too short")  // < 3 tokens after shingling guard -> no signature
+    ).toDF("doc_id", "text")
+    val kept = Dedup.minhashAgainst(batch, corpus, col("text"), col("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(11L, 12L))
+  }
+
   // --------------------------------------------------------- passages
 
   test("Dedup.sharedPassages: aligned duplicated span found, short docs ignored") {
