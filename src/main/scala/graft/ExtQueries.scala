@@ -1276,8 +1276,26 @@ object ExtQueries {
       |WHERE d.doc_id >= 250 AND d.doc_id NOT IN (SELECT doc_id FROM hits)
       |ORDER BY doc_id""".stripMargin))
 
+  /** Stream-stream interval join under the oracle gate
+    * ([[EventStreams.runConversionJoin]]): clicks within the hour after
+    * each signup. Watermarks gate state EVICTION, not inner-join emission,
+    * so the bounded run emits exactly the batch pair set — the oracle is
+    * the plain interval-join SQL. Its bench time is dominated by
+    * stream-stream state-store machinery (micro-batches + two keyed state
+    * stores), not data volume — the price of exactly-once join semantics;
+    * the batch twin (q52) is the bounded-backfill path. */
+  private val q78 = QDef("q78_stream_conversion_join",
+    (s, dir) => EventStreams.runConversionJoin(s, dir,
+      name = "graft_stream_conv_q78")
+      .orderBy("signup_id", "click_id"),
+    Some("""SELECT s.event_id AS signup_id, c.event_id AS click_id
+      |FROM events s JOIN events c
+      |  ON s.event_type = 'signup' AND c.event_type = 'click'
+      |  AND c.ts >= s.ts AND c.ts < s.ts + INTERVAL 1 HOUR
+      |ORDER BY signup_id, click_id""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
-    q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77)
+    q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78)
 }
