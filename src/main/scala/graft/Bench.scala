@@ -62,6 +62,11 @@ object Bench {
     // anyway) keep the line ~1 KB at 66+ queries.
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def shortKey(k: String): String = k.takeWhile(_ != '_')
+    // Two query names sharing a pre-underscore prefix would collide into one
+    // JSON key and silently drop a timing — fail loudly instead.
+    require(results.map(r => shortKey(r._1)).distinct.size == results.size,
+      "duplicate short bench keys: " +
+        results.map(r => shortKey(r._1)).groupBy(identity).collect { case (k, v) if v.size > 1 => k }.mkString(","))
     val qs = results.map { case (k, v, _) => s"\"" + shortKey(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }

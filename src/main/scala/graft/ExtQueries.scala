@@ -307,7 +307,8 @@ object ExtQueries {
   /** Append-mode streaming hourly aggregation — the live-deployment shape
     * (exactly-once emission on watermark passage, state evicted): the
     * emitted set on a bounded run is the batch aggregation restricted to
-    * windows closed under the final watermark max(ts) - 1h. Complete-mode
+    * windows with end <= the final watermark max(ts) - 1h (Spark emits AT
+    * exact equality — pinned in SessionAsofSpec's boundary test). Complete-mode
     * [[EventStreams.runHourly]] stays as the bounded-backfill twin, pinned
     * batch-equal in the unit suite. */
   private val q38 = QDef("q38_stream_event_windows",
@@ -316,7 +317,7 @@ object ExtQueries {
       |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
       | event_type, count(*) AS n, round(sum(value), 4) AS sum_value
       |FROM events, mx
-      |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR < mt - INTERVAL 1 HOUR
+      |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mt - INTERVAL 1 HOUR
       |GROUP BY hour_ts, event_type ORDER BY hour_ts, event_type""".stripMargin))
 
   // -------------------------------------- ANN (IVF), sessions, rich SQL ops
@@ -1070,8 +1071,9 @@ object ExtQueries {
 
   /** Streaming sessionization under the oracle gate: append-mode
     * `session_window` emission ([[EventStreams.runSessions]]) vs the batch
-    * gap-session SQL restricted to sessions whose end precedes the final
-    * watermark (max event time - 1h). Session boundary is INCLUSIVE — a
+    * gap-session SQL restricted to sessions whose end is at or before the
+    * final watermark (max event time - 1h; Spark emits at exact equality,
+    * pinned in SessionAsofSpec's boundary test). Session boundary is INCLUSIVE — a
     * new session only when the gap strictly exceeds 30 min (q40's
     * convention). */
   private val q71 = QDef("q71_stream_sessions",
@@ -1099,7 +1101,7 @@ object ExtQueries {
       | strftime(make_timestamp(e_us + 1800000000), '%Y-%m-%d %H:%M:%S') AS session_end,
       | n_events
       |FROM g, mx
-      |WHERE e_us + 1800000000 < m - 3600000000
+      |WHERE e_us + 1800000000 <= m - 3600000000
       |ORDER BY user_id, session_start""".stripMargin))
 
   /** Quantized-coarse + exact-re-rank ANN ([[Similarity.quantizedTopK]]):

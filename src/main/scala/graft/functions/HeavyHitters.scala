@@ -65,10 +65,30 @@ object HeavyHitters {
                      k: Int, m: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val tokens = df.select(explode(split(text, " ")).as("token"))
-    val sketch = tokens.as[String](Encoders.STRING).select(misraGries(k)).head()
+    // One pass-1 job computes the sketch AND the two numbers that make the
+    // exactness guarantee checkable at runtime: total token count n (the MG
+    // survival threshold is n/k) and the exact vocabulary size (vocab ≤ k
+    // ⟹ the sketch held every token and no decrement ever fired).
+    val (sketch, n, vocab) = tokens.as[String](Encoders.STRING)
+      .select(misraGries(k),
+        count(col("token")).as[Long](Encoders.scalaLong),
+        count_distinct(col("token")).as[Long](Encoders.scalaLong))
+      .head()
     val cands = sketch.keys.toSeq.sorted
-    tokens.where(col("token").isin(cands: _*))
+    val exact = tokens.where(col("token").isin(cands: _*))
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token")).limit(m)
+    // Detect (instead of silently returning wrong top-m) a k too small for
+    // the corpus: the result is provably exact iff the sketch held the whole
+    // vocabulary, or the m-th candidate's exact count clears the n/k
+    // survival threshold (then every true top-m token must be a candidate).
+    if (vocab > cands.size) {
+      val counts = exact.collect() // ≤ m rows — bounded, not a corpus collect
+      val mth = if (counts.length < m) 0L else counts.last.getLong(1)
+      require(mth > n / k,
+        s"topTokensExact: k=$k too small — m-th candidate count $mth ≤ MG " +
+          s"survival threshold n/k=${n / k} (n=$n, vocab=$vocab); result not provably exact")
+    }
+    exact
   }
 }

@@ -196,13 +196,6 @@ object Similarity {
       .limit(k)
   }
 
-  /** Symmetric per-vector int8 quantization: q_i = round(x_i / scale · 127)
-    * with scale = max|x_i| — the standard 4× memory/bandwidth compression
-    * for embedding storage and ANN probe tables (dequantize ≈ q/127·scale,
-    * max error scale/254 per component). Pure narrow projection (explode
-    * only for the oracle-checkable long shape); integer outputs make the
-    * gate hash-exact with no float-rounding convention needed. Zero vectors
-    * quantize to all-zero. */
   /** Int8 quantized vector (array form): round(x/scale·127) as doubles
     * (integer-valued, so every downstream dot/norm is float-exact and
     * engine-reproducible). Zero vectors quantize to all-zero. */
@@ -235,6 +228,13 @@ object Similarity {
       .orderBy(desc("cos_sim"), col("id")).limit(k)
   }
 
+  /** Symmetric per-vector int8 quantization: q_i = round(x_i / scale · 127)
+    * with scale = max|x_i| — the standard 4× memory/bandwidth compression
+    * for embedding storage and ANN probe tables (dequantize ≈ q/127·scale,
+    * max error scale/254 per component). Pure narrow projection (explode
+    * only for the oracle-checkable long shape); integer outputs make the
+    * gate hash-exact with no float-rounding convention needed. Zero vectors
+    * quantize to all-zero. */
   def quantizeInt8(df: DataFrame, emb: Column, id: Column): DataFrame =
     df.select(id.as("vec_id"), emb.cast("array<double>").as("__v"))
       .select(col("vec_id"), col("__v"),

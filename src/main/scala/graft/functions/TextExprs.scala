@@ -108,7 +108,10 @@ object MaxRunCountUtil {
     if (n == 0) return 0L
     val a = new Array[UTF8String](n)
     var i = 0
-    while (i < n) { a(i) = arr.getUTF8String(i); i += 1 }
+    // isNullAt guard: for UnsafeArrayData a null element is NOT guaranteed
+    // to come back as null from getUTF8String (it can read as empty), so
+    // the documented nulls-sort-together semantics need the explicit check.
+    while (i < n) { a(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i); i += 1 }
     // nulls first, then UTF8String binary order (comparator only needs a
     // consistent total order — any order groups equals adjacently)
     java.util.Arrays.sort(a, (x: UTF8String, y: UTF8String) =>

@@ -59,7 +59,8 @@ object EventStreams {
     * scale (the complete-mode variant stays as the bounded-backfill shape).
     * On a bounded AvailableNow run the final watermark is max(ts) - 1 hour,
     * so the emitted set is precisely the batch hourly aggregation restricted
-    * to windows closed under that cutoff — pinned in the unit suite. */
+    * to windows with end <= that cutoff (emission at exact equality is
+    * pinned in the unit suite's boundary test). */
   def runHourlyAppend(spark: SparkSession, dir: String,
                       name: String = "graft_stream_hourly_append"): DataFrame = {
     spark.catalog.dropTempView(name)
@@ -76,8 +77,8 @@ object EventStreams {
   /** Streaming twin of [[Sessionize.sessions]]: session_window aggregation
     * under a watermark, append mode (session windows don't support complete
     * — state must be evictable). On a bounded stream only sessions whose
-    * end precedes the final watermark are emitted; the unit suite pins the
-    * emitted set equal to the batch sessions under that cutoff. */
+    * end is at or before the final watermark are emitted; the unit suite
+    * pins the emitted set equal to the batch sessions under that cutoff. */
   def runSessions(spark: SparkSession, dir: String,
                   gap: String = "30 minutes", watermark: String = "1 hour",
                   name: String = "graft_stream_sessions"): DataFrame = {

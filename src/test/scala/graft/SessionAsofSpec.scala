@@ -58,11 +58,12 @@ class SessionAsofSpec extends SparkSpec {
   test("streaming session_window equals batch sessions closed before the watermark") {
     val streamed = EventStreams.runSessions(spark, sf, name = "graft_sess_spec")
     val batch = Sessionize.sessions(Tables.t(spark, sf, "events"), "30 minutes")
-    // final watermark = max event time - 1 hour; only sessions whose END is
-    // strictly before it are finalized and emitted in append mode
+    // final watermark = max event time - 1 hour; sessions whose END is at or
+    // before it are finalized and emitted in append mode (Spark emits at
+    // exact equality — see the boundary pin test below)
     val maxTs = Tables.t(spark, sf, "events").agg(max("ts")).collect().head.getTimestamp(0)
     val cutoff = new java.sql.Timestamp(maxTs.getTime - 3600 * 1000)
-    val closed = batch.where(col("session_end") < lit(cutoff))
+    val closed = batch.where(col("session_end") <= lit(cutoff))
     assert(streamed.count() > 0)
     assert(streamed.exceptAll(closed).isEmpty)
     // every closed batch session is emitted (watermark can only lag behind)
@@ -73,13 +74,13 @@ class SessionAsofSpec extends SparkSpec {
     val streamed = EventStreams.runHourlyAppend(spark, sf, "graft_hourly_append_spec")
     val ev = Tables.t(spark, sf, "events")
     // batch truth: q23's hourly aggregation, restricted to windows whose END
-    // precedes the final watermark (max event time - 1 hour)
+    // is at or before the final watermark (max event time - 1 hour)
     val maxTs = ev.agg(max("ts")).collect().head.getTimestamp(0)
     val cutoff = new java.sql.Timestamp(maxTs.getTime - 3600 * 1000)
     val closed = ev
       .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
-      .where(col("h") + expr("INTERVAL 1 HOUR") < lit(cutoff))
+      .where(col("h") + expr("INTERVAL 1 HOUR") <= lit(cutoff))
       .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
         col("event_type"), col("n"), col("sum_value"))
     assert(streamed.count() > 0)
@@ -98,6 +99,42 @@ class SessionAsofSpec extends SparkSpec {
       .where(col("n") > 0) // inner stream join emits matched signups only
     assert(streamed.count() > 0)
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("append emission when final watermark EQUALS a window end (oracle boundary pin)") {
+    // q38/q71's append-mode oracle uses a strict cutoff (window_end < max(ts)
+    // - 1h). The sf fixtures never land max(ts) - 1h exactly on an hour
+    // boundary, so this pins Spark's emission convention at exact equality:
+    // final event at 02:00:00 sharp -> final watermark 01:00:00 == end of the
+    // [00:00, 01:00) window.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wm_boundary").toFile
+    val fixDir = new java.io.File(tmp, "fix"); fixDir.mkdirs()
+    val baseNs = java.time.Instant.parse("2026-01-01T00:00:00Z").toEpochMilli * 1000000L
+    def ns(min: Long): Long = baseNs + min * 60L * 1000000000L
+    val ev = Seq(
+      (1L, ns(10), 1L, "a", 1.0, ""),
+      (2L, ns(20), 1L, "a", 2.0, ""),
+      (3L, ns(90), 1L, "a", 3.0, ""),   // [01:00,02:00) stays open
+      (4L, ns(120), 1L, "b", 4.0, "")   // exactly 02:00:00 -> watermark 01:00:00
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val outDir = new java.io.File(tmp, "out")
+    ev.coalesce(1).write.mode("overwrite").parquet(outDir.getAbsolutePath)
+    val part = outDir.listFiles().find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(fixDir, "events.parquet").toPath)
+    val emitted = EventStreams
+      .runHourlyAppend(spark, fixDir.getAbsolutePath, "graft_wm_boundary_spec")
+      .select("hour_ts").as[String].collect().toSet
+    // Spark append mode emits a window when the watermark reaches its end
+    // INCLUSIVELY: end == watermark is emitted (verified empirically here —
+    // advisor round-4 flagged the convention as unpinned, and the pin
+    // exposed that the original strict-< oracle cutoff was wrong). The
+    // q38/q71 oracles therefore use `window_end <= max(ts) - delay`. Still-
+    // open windows ([01:00,02:00), [02:00,03:00)) must not appear.
+    assert(!emitted.contains("2026-01-01 01:00:00"))
+    assert(!emitted.contains("2026-01-01 02:00:00"))
+    assert(emitted === Set("2026-01-01 00:00:00"),
+      s"emission convention changed: $emitted")
   }
 
   test("streaming dedup emits each key once (equals batch distinct)") {
