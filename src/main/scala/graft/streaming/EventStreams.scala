@@ -14,6 +14,25 @@ import org.apache.spark.sql.types._
   * production backfill story; a live deployment only changes the trigger.
   */
 object EventStreams {
+  /** Runs `body` (which starts + drains a streaming query) with a reduced
+    * `spark.sql.shuffle.partitions`, restoring the session value after.
+    *
+    * Streaming state cost scales with the number of state-store instances:
+    * every micro-batch pays a load/commit per partition per stateful
+    * operator, so 32 partitions × few-MB state is pure overhead on a
+    * bounded local run (the fixture's whole state fits in a handful of
+    * stores). A live large-scale deployment raises this via
+    * SPARK_GRAFT_STREAM_PARTITIONS (state partitioning is fixed at first
+    * start by the checkpoint, so it's a deploy-time choice there).
+    * Shuffle partitions for BATCH queries are untouched — the conf is
+    * session-scoped and restored in the finally. */
+  private def withStreamPartitions[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** events.parquet schema with ts as raw nanos (see Tables.t). */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
@@ -43,10 +62,12 @@ object EventStreams {
   def runHourly(spark: SparkSession, dir: String,
                 name: String = "graft_stream_hourly"): DataFrame = {
     spark.catalog.dropTempView(name)
-    val q = hourlyAgg(readEventStream(spark, dir))
-      .writeStream.outputMode("complete").format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStreamPartitions(spark) {
+      val q = hourlyAgg(readEventStream(spark, dir))
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.table(name).select(
       date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
       col("event_type"), col("n"), round(col("sum_value"), 4).as("sum_value"))
@@ -64,10 +85,12 @@ object EventStreams {
   def runHourlyAppend(spark: SparkSession, dir: String,
                       name: String = "graft_stream_hourly_append"): DataFrame = {
     spark.catalog.dropTempView(name)
-    val q = hourlyAgg(readEventStream(spark, dir))
-      .writeStream.outputMode("append").format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStreamPartitions(spark) {
+      val q = hourlyAgg(readEventStream(spark, dir))
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.table(name).select(
       date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
       col("event_type"), col("n"), round(col("sum_value"), 4).as("sum_value"))
@@ -83,15 +106,17 @@ object EventStreams {
                   gap: String = "30 minutes", watermark: String = "1 hour",
                   name: String = "graft_stream_sessions"): DataFrame = {
     spark.catalog.dropTempView(name)
-    val q = readEventStream(spark, dir)
-      .withWatermark("ts", watermark)
-      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
-      .agg(count(lit(1)).as("n_events"))
-      .select(col("user_id"), col("sw.start").as("session_start"),
-        col("sw.end").as("session_end"), col("n_events"))
-      .writeStream.outputMode("append").format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStreamPartitions(spark) {
+      val q = readEventStream(spark, dir)
+        .withWatermark("ts", watermark)
+        .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n_events"))
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.table(name)
   }
 
@@ -121,12 +146,14 @@ object EventStreams {
       .select(col("event_id").as("click_id"), col("ts").as("c_ts"))
       .withWatermark("c_ts", "2 hours")
       .withColumn("bucket", floor(unix_micros(col("c_ts")) / bkt).cast("long"))
-    val q = signups.join(clicks, Seq("bucket"))
-      .where(expr("c_ts >= s_ts AND c_ts < s_ts + INTERVAL 1 HOUR"))
-      .select("signup_id", "click_id")
-      .writeStream.outputMode("append").format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStreamPartitions(spark) {
+      val q = signups.join(clicks, Seq("bucket"))
+        .where(expr("c_ts >= s_ts AND c_ts < s_ts + INTERVAL 1 HOUR"))
+        .select("signup_id", "click_id")
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.table(name)
   }
 
@@ -136,12 +163,14 @@ object EventStreams {
                watermark: String = "1 hour",
                name: String = "graft_stream_dedup"): DataFrame = {
     spark.catalog.dropTempView(name)
-    val q = readEventStream(spark, dir)
-      .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark(keyCols)
-      .writeStream.outputMode("append").format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStreamPartitions(spark) {
+      val q = readEventStream(spark, dir)
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keyCols)
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.table(name)
   }
 }
