@@ -1296,8 +1296,167 @@ object ExtQueries {
       |  AND c.ts >= s.ts AND c.ts < s.ts + INTERVAL 1 HOUR
       |ORDER BY signup_id, click_id""".stripMargin))
 
+  // ------------------------------------------------------- round-5 curation
+
+  /** Deterministic PII-bearing augmentation of the (PII-free) fixture text:
+    * both engines build the identical string, so the redaction operator is
+    * exercised on real match positions instead of no-ops. */
+  private def piiAugmented = concat(
+    col("text"), lit(" contact user"), col("doc_id").cast("string"),
+    lit("@mail"), (col("doc_id") % 5).cast("string"), lit(".net"),
+    when(col("doc_id") % 2 === 0,
+      concat(lit(" call 415-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .otherwise(lit("")),
+    when(col("doc_id") % 3 === 0,
+      concat(lit(" from 10."), (col("doc_id") % 256).cast("string"), lit(".0."),
+        (col("doc_id") % 100).cast("string")))
+      .otherwise(lit("")))
+
+  // single-line: embedded into an outer stripMargin SQL template, where a
+  // leading "||" would be half-eaten as a margin character
+  private val piiAugSql =
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+      "'@mail' || CAST(doc_id % 5 AS VARCHAR) || '.net' || " +
+      "CASE WHEN doc_id % 2 = 0 THEN ' call 415-555-' || " +
+      "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END || " +
+      "CASE WHEN doc_id % 3 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || " +
+      "'.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END"
+
+  private val q79 = QDef("q79_redact_pii",
+    (s, dir) => T(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.piiCounts(piiAugmented).as("__c"),
+        TextAnalysis.redactPii(piiAugmented).as("redacted"))
+      .select(col("doc_id"),
+        col("__c.n_email").cast("long").as("n_email"),
+        col("__c.n_phone").cast("long").as("n_phone"),
+        col("__c.n_ip").cast("long").as("n_ip"),
+        col("redacted"))
+      .orderBy("doc_id"),
+    Some(s"""WITH aug AS (SELECT doc_id, $piiAugSql AS t FROM documents)
+      |SELECT doc_id,
+      | len(regexp_extract_all(t, '${TextAnalysis.EmailRe}')) AS n_email,
+      | len(regexp_extract_all(t, '${TextAnalysis.PhoneRe}')) AS n_phone,
+      | len(regexp_extract_all(t, '${TextAnalysis.Ipv4Re}')) AS n_ip,
+      | regexp_replace(regexp_replace(regexp_replace(t,
+      |   '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+      |   '${TextAnalysis.PhoneRe}', '<PHONE>', 'g'),
+      |   '${TextAnalysis.Ipv4Re}', '<IP>', 'g') AS redacted
+      |FROM aug ORDER BY doc_id""".stripMargin))
+
+  private val q80 = QDef("q80_tfidf_terms",
+    (s, dir) => Curate.tfidfTopTerms(T(s, dir, "documents"),
+      col("doc_id"), col("text"), k = 3)
+      .orderBy("doc_id", "rank"),
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |        FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |sc AS (SELECT doc_id, term, tf, df,
+      |         round(tf * ln(CAST(n AS DOUBLE) / df), 4) AS tfidf
+      |       FROM tf JOIN dfq USING (term), n),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |        ORDER BY tfidf DESC, term) AS rank FROM sc)
+      |SELECT doc_id, rank, term, tf, df, tfidf FROM r
+      |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin))
+
+  private val q81 = QDef("q81_semdedup",
+    (s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val cents = trainedCodebook(s, dir, c = 16, iters = 2)
+      Dedup.semanticDedup(e, col("embedding"), col("vec_id"), cents, minCos = 0.3)
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |${kmeansCtes(16, 64, 2)},
+      |a0 AS (SELECT e.vec_id, e.emb, c.cid,
+      |         row_number() OVER (PARTITION BY e.vec_id
+      |           ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC, c.cid) AS rn
+      |       FROM e, c),
+      |assign AS (SELECT vec_id, emb, cid AS cluster FROM a0 WHERE rn = 1),
+      |drp AS (SELECT DISTINCT b.vec_id FROM assign a JOIN assign b
+      |        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      |        WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.3)
+      |SELECT s.vec_id, CAST(s.cluster AS BIGINT) AS cluster,
+      |       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+      |FROM assign s LEFT JOIN drp d ON s.vec_id = d.vec_id
+      |ORDER BY s.vec_id""".stripMargin))
+
+  /** Epoch weights for the mixture resampler: srcN → one of five bands
+    * including 0 (source excluded). Binary-exact fractions keep the hash
+    * cut integer-identical across engines. */
+  private val mixWeights: Seq[(String, Double)] =
+    (0 until 20).map(i => s"src$i" -> Seq(0.0, 0.75, 1.0, 1.5, 2.25)(i % 5))
+
+  private val q82 = QDef("q82_mixture_sample",
+    (s, dir) => Sampling.mixtureSample(T(s, dir, "documents"),
+      col("doc_id"), col("source"), mixWeights, "mx")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        max("epoch").as("max_epoch"))
+      .orderBy("source"),
+    Some(s"""WITH w AS (SELECT doc_id, source,
+      |  CASE ${mixWeights.map { case (k, v) => s"WHEN source = '$k' THEN $v" }.mkString(" ")}
+      |       ELSE 0 END AS w FROM documents),
+      |x AS (SELECT doc_id, source,
+      |        CAST(floor(w) AS BIGINT) +
+      |        CASE WHEN ${sampleHashSql("doc_id", "mx")}
+      |               < CAST((w - floor(w)) * 1000000 AS BIGINT)
+      |             THEN 1 ELSE 0 END AS n
+      |      FROM w),
+      |r AS (SELECT doc_id, source, unnest(generate_series(1, n)) AS epoch
+      |      FROM x WHERE n > 0)
+      |SELECT source, count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs,
+      |       max(epoch) AS max_epoch
+      |FROM r GROUP BY source ORDER BY source""".stripMargin))
+
+  private val q83 = QDef("q83_length_curriculum",
+    (s, dir) => Sampling.lengthCurriculum(
+      T(s, dir, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok")),
+      col("doc_id"), col("n_tok"), nBuckets = 8, salt = "cu")
+      .select("doc_id", "n_tok", "bucket", "pos")
+      .orderBy("bucket", "pos"),
+    Some(s"""WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+      |        FROM documents),
+      |c AS (SELECT ${(1 to 7).map(i => s"quantile_cont(n_tok, ${i / 8.0}) AS c$i")
+        .mkString(", ")} FROM d),
+      |b AS (SELECT doc_id, n_tok,
+      |        1 ${(1 to 7).map(i => s"+ (n_tok > c$i)::INT").mkString(" ")} AS bucket
+      |      FROM d, c),
+      |p AS (SELECT doc_id, n_tok, bucket,
+      |        row_number() OVER (PARTITION BY bucket
+      |          ORDER BY ('0x' || substr(md5('$$cur' || CAST(doc_id AS VARCHAR) || 'cu'), 1, 15))::BIGINT % 1000000,
+      |                   doc_id) AS pos
+      |      FROM b)
+      |SELECT doc_id, n_tok, bucket, pos FROM p ORDER BY bucket, pos""".stripMargin))
+
+  private val q84 = QDef("q84_winnowing_pairs",
+    (s, dir) => Dedup.winnowingPairs(T(s, dir, "documents"),
+      col("text"), col("doc_id"), k = 4, w = 4, minShared = 2)
+      .orderBy("id_a", "id_b"),
+    Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |        FROM documents WHERE len(string_split(text, ' ')) >= 4),
+      |g AS (SELECT doc_id, list_transform(range(0, len(t) - 3),
+      |        i -> ${hashSql("t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]", 7)}) AS gh
+      |      FROM toks),
+      |f AS (SELECT doc_id, unnest(list_distinct(
+      |        CASE WHEN len(gh) >= 4
+      |             THEN list_transform(range(0, len(gh) - 3),
+      |                    j -> list_min(list_slice(gh, j + 1, j + 4)))
+      |             ELSE [list_min(gh)] END)) AS fp FROM g),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+      |      FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2)
+      |SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= 2
+      |ORDER BY id_a, id_b""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
-    q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78)
+    q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
+    q80, q81, q82, q83, q84)
 }

@@ -127,6 +127,33 @@ object TextAnalysis {
         acc => acc.getField("best")))
       .otherwise(lit(0L))
 
+  /** PII patterns — restricted to the regex subset with identical semantics
+    * in Java regex (Spark codegen) and RE2 (DuckDB): explicit character
+    * classes, bounded repetition, no lookaround/backreferences. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** Per-category PII match counts (computed on the ORIGINAL text — order
+    * independent, unlike counting after partial redaction). */
+  def piiCounts(text: Column): Column = struct(
+    regexp_count(text, lit(EmailRe)).as("n_email"),
+    regexp_count(text, lit(PhoneRe)).as("n_phone"),
+    regexp_count(text, lit(Ipv4Re)).as("n_ip"))
+
+  /** PII scrubbing for training corpora: replace emails / phone numbers /
+    * IPv4 addresses with typed placeholder tokens. Email first: its local
+    * part may contain digits and dots that the narrower patterns could
+    * otherwise bite into; phone (dashed) and IPv4 (dotted) are disjoint.
+    * Pure per-row `regexp_replace` chain — narrow map, no shuffle, linear
+    * in corpus bytes at any scale. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+
   /** Token counts: whitespace tokens and a BPE-ish segmentation
     * (letter runs / digit runs / single other chars), via regexp counting —
     * identical regex semantics in DuckDB's RE2 for these simple classes. */

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Corpus-statistics curation operators: TF-IDF term scoring and
+  * vocabulary-derived document features. These need corpus-level
+  * aggregates (document frequency), so they are DataFrame operators, not
+  * pure Column trees — but each keeps the scale shape narrow: the term
+  * statistics table is vocabulary-sized (≪ corpus), broadcast back onto
+  * the token stream.
+  */
+object Curate {
+  /** Per-document top-k TF-IDF terms — the classic keyword/salience scorer
+    * (and the standard features for cheap quality classifiers over
+    * pretraining corpora). tf = in-doc term count, idf = ln(N/df).
+    *
+    * Scale shape: ONE shuffle of (doc, term) pairs for tf; df is a
+    * vocabulary-sized aggregate over the tf table, broadcast back (never a
+    * second corpus shuffle); N is a 1-row broadcast; the final top-k is a
+    * per-doc window on the tf table's existing (doc-keyed) distribution.
+    * The tfidf value is rounded to 4 dp BEFORE ranking so both engines
+    * rank identical values (term asc tie-break makes the order total). */
+  def tfidfTopTerms(df: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val tok = df.select(id.as("doc_id"), explode(split(text, " ")).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.select(count(lit(1)).as("__n"))
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("__n").cast("double") / col("df")), 4))
+    val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        col("tfidf"))
+  }
+}

@@ -396,6 +396,86 @@ object Dedup {
       .where(col("cos_sim") >= minCos)
   }
 
+  /** Semantic (embedding-space) dedup — the SemDeDup shape (Abbas et al.
+    * 2023, arXiv:2303.09540): cluster the corpus embeddings (here: assign
+    * to a pre-trained codebook — an offline artifact, exactly as the IVF
+    * index reuses it), then inside each cluster drop every vector whose
+    * cosine to a LOWER-id cluster-mate reaches `minCos` (keep-first rule;
+    * the reference keeps one representative per ε-ball). Output: every
+    * vector with its cluster and a 0/1 `kept` flag.
+    *
+    * Scale shape: assignment is a narrow per-row argmax over c broadcast
+    * centroid literals (no shuffle); the pair join is keyed by cluster, so
+    * candidates are Σ cluster² — c is chosen ∝ √N precisely to keep
+    * clusters small (the paper uses c≈√N k-means cells on embeddings).
+    * Threshold on the ROUNDED cosine like [[embeddingNearDup]]. */
+  def semanticDedup(df: DataFrame, emb: Column, id: Column,
+                    centroids: Seq[(Long, Array[Double])], minCos: Double): DataFrame = {
+    val t = df
+      .select(id.as("vec_id"), emb.cast("array<double>").as("__e"))
+      .withColumn("cluster",
+        element_at(Similarity.nearestCells(col("__e"), centroids, 1), 1))
+      .withColumn("__n", Similarity.l2(col("__e")))
+    val parallelism = df.sparkSession.sessionState.conf.numShufflePartitions
+    val spread = t.repartition(parallelism, col("vec_id"))
+    val dropped = spread.as("a")
+      .join(spread.as("b"), col("a.cluster") === col("b.cluster"))
+      .where(col("a.vec_id") < col("b.vec_id") &&
+        round(Similarity.dot(col("a.__e"), col("b.__e")) / (col("a.__n") * col("b.__n")), 4)
+          >= minCos)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    t.join(dropped.withColumn("__d", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        when(col("__d").isNull, 1).otherwise(0).as("kept"))
+  }
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003): hash every k-token gram, slide a window of w hashes,
+    * keep each window's minimum — any shared run of ≥ w+k−1 tokens between
+    * two docs is GUARANTEED to share a fingerprint, while only ~2/(w+1) of
+    * grams are kept. Docs with fewer than w grams keep their global min
+    * (standard short-doc degenerate case). Returns the distinct
+    * fingerprint set per doc as (`id`, `fp`) rows.
+    *
+    * Scale shape: gram hashing and window minima are per-row array ops
+    * over materialized attribute arrays (built once — lambda bodies only
+    * fold over them, never re-evaluate the split), then one explode; no
+    * shuffle until the consumer aggregates. */
+  def winnowingFingerprints(df: DataFrame, text: Column, id: Column,
+                            k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be positive")
+    val toks = df.select(id.as("id"), split(text, " ").as("__t"))
+      .where(size(col("__t")) >= k)
+    // gram i = tokens [i, i+k): hash the space-joined k-gram with the
+    // shared md5-prefix hash so the DuckDB twin is verbatim
+    val grams = toks.select(col("id"),
+      transform(sequence(lit(0), size(col("__t")) - k),
+        i => hash28(concat_ws(" ",
+          (0 until k).map(j => element_at(col("__t"), i + j + 1)): _*))).as("__g"))
+    val fps = grams.select(col("id"),
+      explode(array_distinct(
+        when(size(col("__g")) >= w,
+          transform(sequence(lit(0), size(col("__g")) - w),
+            j => array_min(slice(col("__g"), j + 1, lit(w)))))
+          .otherwise(array(array_min(col("__g")))))).as("fp"))
+    fps
+  }
+
+  /** Near-dup candidate pairs from winnowing fingerprints: docs sharing at
+    * least `minShared` fingerprints. The self-join is keyed by fingerprint
+    * value — candidate volume tracks true overlap, never block². */
+  def winnowingPairs(df: DataFrame, text: Column, id: Column,
+                     k: Int = 4, w: Int = 4, minShared: Int = 2): DataFrame = {
+    val fps = winnowingFingerprints(df, text, id, k, w)
+    val parallelism = df.sparkSession.sessionState.conf.numShufflePartitions
+    val spread = fps.repartition(parallelism, col("fp"))
+    spread.as("a").join(spread.as("b"), Seq("fp"))
+      .where(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Connected components over an undirected candidate-pair edge list via
     * iterative min-label propagation — the clustering step that turns
     * near-dup PAIRS into dedup GROUPS (keep the min-id doc per component,

@@ -64,6 +64,61 @@ object Sampling {
     }
   }
 
+  /** Source-mixture resampling — the dataset-mixing step of a pretraining
+    * pipeline: each source gets an epoch weight (2.5 ⇒ every doc appears
+    * twice, plus a deterministic 50% hash-sample third copy; 0 ⇒ source
+    * excluded). Output rows carry an `epoch` index (1-based) so downstream
+    * shuffling/packing can decorrelate the copies. Per-row work only —
+    * floor(w) is a literal-map lookup and the fractional copy reuses the
+    * [[hashSample]] band, so mixing 100 TB is one scan; `explode` of a
+    * ≤⌈w⌉-element sequence adds no shuffle. Weights with exact binary
+    * fractions (.0/.25/.5/.75) keep the hash-band cut integer-exact across
+    * engines. */
+  def mixtureSample(df: DataFrame, key: Column, source: Column,
+                    weights: Seq[(String, Double)], salt: String = ""): DataFrame = {
+    require(weights.forall(_._2 >= 0), "weights must be non-negative")
+    val w = weights.foldRight(lit(0.0)) { case ((s, v), other) =>
+      when(source === s, lit(v)).otherwise(other)
+    }
+    val base = floor(w).cast("long")
+    val fracCut = ((w - floor(w)) * Denom).cast("long")
+    val extra = (pmod(Dedup.hash60(concat(key.cast("string"), lit(salt))), lit(Denom))
+      < fracCut).cast("long")
+    val n = base + extra
+    df.withColumn("__n", n).where(col("__n") > 0)
+      .withColumn("epoch", explode(sequence(lit(1L), col("__n"))))
+      .drop("__n")
+  }
+
+  /** Length-curriculum bucketing: assign every doc to one of `nBuckets`
+    * length bands cut at exact interpolated percentiles, with a
+    * deterministic hash-shuffled position within each band (curriculum
+    * training consumes buckets short→long, shuffled within a band; length
+    * bucketing also minimizes padding waste in batch assembly). The cuts
+    * are a 1-row global aggregate broadcast against the corpus (same
+    * narrow-assignment shape as [[splitAssign]]) — NOT a global ntile,
+    * whose single-partition window would serialize at scale. Ties across a
+    * cut land in the lower bucket in both engines (strict `>` on identical
+    * interpolated doubles). */
+  def lengthCurriculum(df: DataFrame, id: Column, lenExpr: Column,
+                       nBuckets: Int, salt: String = ""): DataFrame = {
+    require(nBuckets >= 2, "need at least 2 buckets")
+    import org.apache.spark.sql.expressions.Window
+    val fracs = (1 until nBuckets).map(i => lit(i.toDouble / nBuckets))
+    val cuts = df.select(percentile(lenExpr, array(fracs: _*))
+      .as("__cuts")) // exact interpolated percentile = quantile_cont (q09 parity)
+    val bucket = (1 until nBuckets).foldLeft(lit(1)) { (acc, i) =>
+      acc + (lenExpr > element_at(col("__cuts"), i)).cast("int")
+    }
+    val posH = pmod(Dedup.hash60(concat(lit("$cur"), id.cast("string"), lit(salt))),
+      lit(Denom))
+    val wdw = Window.partitionBy(col("bucket")).orderBy(posH, id)
+    df.crossJoin(broadcast(cuts))
+      .withColumn("bucket", bucket)
+      .withColumn("pos", row_number().over(wdw).cast("long"))
+      .drop("__cuts")
+  }
+
   /** Deterministic global shuffle + sharding — the training-order writer.
     * Training wants examples in a reproducible pseudo-random order, split
     * into fixed shard files; `ORDER BY rand()` is neither reproducible nor
