@@ -25,7 +25,13 @@ object Curate {
   def tfidfTopTerms(df: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
     require(k >= 1, "k must be positive")
     val tok = df.select(id.as("doc_id"), explode(split(text, " ")).as("term"))
+    // materialize tf once: three consumers (the scored rows, the df
+    // aggregate's broadcast build, and nothing else) would otherwise each
+    // replay the corpus explode+shuffle — a broadcast build side never
+    // reuses a shuffle exchange, so without this the corpus is aggregated
+    // TWICE (the dominant cost at scale)
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = df.select(count(lit(1)).as("__n"))
     val scored = tf

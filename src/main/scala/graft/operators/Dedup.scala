@@ -417,8 +417,11 @@ object Dedup {
         element_at(Similarity.nearestCells(col("__e"), centroids, 1), 1))
       .withColumn("__n", Similarity.l2(col("__e")))
     val parallelism = df.sparkSession.sessionState.conf.numShufflePartitions
-    val spread = t.repartition(parallelism, col("vec_id"))
-    val dropped = spread.as("a")
+    // cluster-keyed exchange shared by both pair-join sides (reuse) + merge
+    // hint: a broadcast build would replay the per-row centroid argmax, and
+    // the corpus-sized assignment table can never broadcast at scale
+    val spread = t.repartition(parallelism, col("cluster"))
+    val dropped = spread.as("a").hint("merge")
       .join(spread.as("b"), col("a.cluster") === col("b.cluster"))
       .where(col("a.vec_id") < col("b.vec_id") &&
         round(Similarity.dot(col("a.__e"), col("b.__e")) / (col("a.__n") * col("b.__n")), 4)
@@ -468,8 +471,12 @@ object Dedup {
                      k: Int = 4, w: Int = 4, minShared: Int = 2): DataFrame = {
     val fps = winnowingFingerprints(df, text, id, k, w)
     val parallelism = df.sparkSession.sessionState.conf.numShufflePartitions
+    // both self-join sides hang off ONE fp-keyed exchange (reuse), and the
+    // merge hint keeps the planner from broadcasting a side at test scale —
+    // a broadcast build would replay the whole fingerprint pipeline, and at
+    // corpus scale the fp table can never broadcast anyway
     val spread = fps.repartition(parallelism, col("fp"))
-    spread.as("a").join(spread.as("b"), Seq("fp"))
+    spread.as("a").hint("merge").join(spread.as("b"), Seq("fp"))
       .where(col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
