@@ -1454,9 +1454,23 @@ object ExtQueries {
       |SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= 2
       |ORDER BY id_a, id_b""".stripMargin))
 
+  /** Streaming exact dedup, oracle-gated: the emitted set of
+    * `dropDuplicatesWithinWatermark` on a bounded single-batch run is one
+    * row per distinct key; projecting ONLY the key columns makes the
+    * result independent of which duplicate survived, so the batch
+    * `count(DISTINCT ...)` oracle is exact. */
+  private val q85 = QDef("q85_stream_dedup",
+    (s, dir) => EventStreams.runDedup(s, dir, Seq("user_id", "event_type"),
+      name = "graft_stream_dedup_q85")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type, count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
-    q80, q81, q82, q83, q84)
+    q80, q81, q82, q83, q84, q85)
 }

@@ -35,4 +35,21 @@ object Staging {
   }
 
   def load(spark: SparkSession, table: String): DataFrame = spark.table(table)
+
+  /** Sort-clustered parquet staging — the zone-map/data-skipping layout.
+    *
+    * `repartitionByRange` gives every output file a DISJOINT range of the
+    * cluster key (sampling-based boundaries, exact partitioning) and
+    * `sortWithinPartitions` orders rows inside each file, so parquet
+    * row-group min/max statistics are tight and non-overlapping. A later
+    * scan with a predicate on the cluster key prunes whole files and row
+    * groups from the footer stats alone — at 100 TB this is the difference
+    * between reading the full table and reading one range slice. The
+    * disjoint-range property and content preservation are pinned in the
+    * unit suite ([[graft.ScaleSpec]]). */
+  def stageSorted(df: DataFrame, path: String, nFiles: Int,
+                  keys: org.apache.spark.sql.Column*): Unit =
+    df.repartitionByRange(nFiles, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
 }

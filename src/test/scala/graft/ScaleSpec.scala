@@ -100,4 +100,27 @@ class ScaleSpec extends SparkSpec {
     val exp = df.groupBy("k").agg(sum("v")).as[(String, Long)].collect().toMap
     assert(got === exp)
   }
+
+  test("stageSorted: per-file key ranges disjoint (zone-map layout), content preserved") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val e = Tables.t(spark, sf, "events").select("event_id", "user_id")
+    val path = "target/test_stage_sorted"
+    Staging.stageSorted(e, path, 4, col("user_id"))
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.length > 1, "need multiple files to demonstrate disjoint ranges")
+    val ranges = files.map { f =>
+      spark.read.parquet(f).agg(min("user_id"), max("user_id"))
+        .as[(Long, Long)].head()
+    }
+    ranges.sortBy(_._1).sliding(2).foreach {
+      case Array((_, hiPrev), (loNext, _)) =>
+        assert(hiPrev <= loNext, s"overlapping file ranges: $hiPrev > $loNext")
+      case _ =>
+    }
+    // content preserved exactly (multiset equality)
+    val back = spark.read.parquet(path)
+    assert(back.exceptAll(e).isEmpty && e.exceptAll(back).isEmpty)
+  }
 }
