@@ -1468,9 +1468,25 @@ object ExtQueries {
     Some("""SELECT event_type, count(DISTINCT user_id) AS n_users
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  private val q86 = QDef("q86_chunk_overlap",
+    (s, dir) => Packing.slidingChunks(T(s, dir, "documents"),
+      col("text"), col("doc_id"), size = 40, stride = 30)
+      .orderBy("doc_id", "chunk_idx"),
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |n AS (SELECT doc_id, t,
+      |        greatest(CAST(ceil(CAST(len(t) - 40 AS DOUBLE) / 30) AS BIGINT) + 1,
+      |                 1) AS nc FROM d),
+      |c AS (SELECT doc_id, t, unnest(range(0, nc)) AS chunk_idx FROM n),
+      |x AS (SELECT doc_id, chunk_idx,
+      |        array_to_string(list_slice(t, chunk_idx * 30 + 1, chunk_idx * 30 + 40), ' ') AS chunk_text
+      |      FROM c)
+      |SELECT doc_id, chunk_idx, chunk_text,
+      |       len(string_split(chunk_text, ' ')) AS n_tokens
+      |FROM x ORDER BY doc_id, chunk_idx""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
-    q80, q81, q82, q83, q84, q85)
+    q80, q81, q82, q83, q84, q85, q86)
 }

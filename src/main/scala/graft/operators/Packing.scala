@@ -75,4 +75,29 @@ object Packing {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("tok_end") - col("tok_start")).as("n_tokens"),
         min("id").as("first_id"), max("id").as("last_id"))
+
+  /** Sliding-window chunking with overlap — the context-window splitter
+    * for long-document training/retrieval: each doc yields windows of
+    * `size` tokens advancing by `stride` (< size ⇒ overlap size−stride).
+    * The final window starts at the last multiple of stride strictly
+    * before n, so every token is covered and short docs yield exactly one
+    * (possibly short) chunk. Narrow per-row op: the token array is
+    * materialized once as an attribute and each chunk is a `slice` of it —
+    * one explode, no shuffle; chunking 100 TB is one scan. */
+  def slidingChunks(df: DataFrame, text: Column, id: Column,
+                    size: Int, stride: Int): DataFrame = {
+    require(size >= 1 && stride >= 1 && stride <= size,
+      s"need 1 <= stride <= size, got size=$size stride=$stride")
+    val t = df.select(id.as("doc_id"), split(text, " ").as("__t"))
+    val nChunks = greatest(
+      ceil((org.apache.spark.sql.functions.size(col("__t")) - size)
+        .cast("double") / stride).cast("long") + 1, lit(1L))
+    t.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0L), nChunks - 1),
+          i => array_join(slice(col("__t"), (i * stride + 1).cast("int"), lit(size)), " "))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        col("col").as("chunk_text"),
+        org.apache.spark.sql.functions.size(split(col("col"), " ")).cast("long")
+          .as("n_tokens"))
+  }
 }

@@ -143,6 +143,24 @@ class CurationSpec extends SparkSpec {
     assert(fps.size === 1) // exactly the min of the 2 gram hashes
   }
 
+  // ------------------------------------------------------ sliding chunking
+
+  test("slidingChunks: full coverage, overlap = size-stride, short doc -> one chunk") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tok: starts 0,3,6
+      (2L, "a b c")                                   // short: one 3-token chunk
+    ).toDF("doc_id", "text")
+    val out = Packing.slidingChunks(docs, col("text"), col("doc_id"), size = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(out.filter(_._1 == 1L).map(_._3) === Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10")) // 1-token overlap
+    assert(out.filter(_._1 == 2L) === Seq((2L, 0L, "a b c", 3L)))
+    // every source token appears in some chunk (coverage)
+    val covered = out.filter(_._1 == 1L).flatMap(_._3.split(" ")).toSet
+    assert(covered === (1 to 10).map(i => s"t$i").toSet)
+  }
+
   test("winnowingPairs: density ~2/(w+1) of grams, pairs require minShared") {
     val d = Tables.t(spark, sf, "documents")
     val nGrams = d.select(sum(greatest(size(split(col("text"), " ")) - 3, lit(0))))
