@@ -106,10 +106,12 @@ class CurationSpec extends SparkSpec {
     // monotone: any doc in a higher bucket is at least as long as any doc below
     val byBucket = out.groupBy(_._3).toSeq.sortBy(_._1)
     assert(byBucket.map(_._1) === Seq(1, 2, 3, 4))
+    // cut-based buckets are strictly range-disjoint: bucket b holds values
+    // in (c_{b-1}, c_b], so every doc below is strictly shorter than every
+    // doc above (ties with a cut land in the lower bucket)
     byBucket.sliding(2).foreach {
       case Seq((_, lo), (_, hi)) =>
-        assert(lo.map(_._2).max <= hi.map(_._2).min ||
-          lo.map(_._2).max <= hi.map(_._2).max) // ties stay in the lower bucket
+        assert(lo.map(_._2).max < hi.map(_._2).min)
       case _ =>
     }
     // positions are a contiguous 1..size permutation within each bucket
