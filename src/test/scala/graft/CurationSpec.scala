@@ -174,4 +174,113 @@ class CurationSpec extends SparkSpec {
     assert(nFps < nGrams * 6 / 10 && nFps > nGrams / 10,
       s"fingerprint density out of range: $nFps of $nGrams grams")
   }
+
+  // ------------------------------------------------- property pins (driver-
+  // side references replay the documented algorithm on random inputs)
+
+  private def gen[T](g: org.scalacheck.Gen[T], seed: Long): T =
+    g.apply(org.scalacheck.Gen.Parameters.default,
+      org.scalacheck.rng.Seed(seed)).get
+
+  /** Driver-side twin of Dedup.hash60/hash28: md5 hex prefix -> long. */
+  private def md5PrefixLong(s: String, hexLen: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(hexLen), 16)
+  }
+
+  private val textGen = org.scalacheck.Gen.choose(1, 20).flatMap(n =>
+    org.scalacheck.Gen.listOfN(n,
+      org.scalacheck.Gen.oneOf("a", "b", "c", "d", "e", "f", "g")).map(_.mkString(" ")))
+
+  test("property: winnowingFingerprints == driver-side window-min reference") {
+    val k = 3; val w = 3
+    (0 until 3).foreach { round =>
+      val docs = gen(org.scalacheck.Gen.listOfN(30, textGen), 700L + round)
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val expected = docs.flatMap { case (id, t) =>
+        val toks = t.split(" ")
+        if (toks.length < k) Nil
+        else {
+          val grams = toks.sliding(k).map(g => md5PrefixLong(g.mkString(" "), 7)).toSeq
+          val fps =
+            if (grams.length >= w) grams.sliding(w).map(_.min).toSeq.distinct
+            else Seq(grams.min)
+          fps.map(fp => (id, fp))
+        }
+      }.toSet
+      val got = Dedup.winnowingFingerprints(docs.toDF("doc_id", "text"),
+        col("text"), col("doc_id"), k, w)
+        .as[(Long, Long)].collect().toSet
+      assert(got === expected, s"round $round")
+    }
+  }
+
+  test("property: slidingChunks == driver-side sliding-window reference") {
+    val size = 5; val stride = 3
+    (0 until 3).foreach { round =>
+      val docs = gen(org.scalacheck.Gen.listOfN(30, textGen), 800L + round)
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val expected = docs.flatMap { case (id, t) =>
+        val toks = t.split(" ", -1)
+        val nc = math.max(math.ceil((toks.length - size).toDouble / stride).toLong + 1, 1L)
+        (0L until nc).map { i =>
+          val chunk = toks.slice((i * stride).toInt, (i * stride).toInt + size)
+          (id, i, chunk.mkString(" "), chunk.length.toLong)
+        }
+      }.toSet
+      val got = Packing.slidingChunks(docs.toDF("doc_id", "text"),
+        col("text"), col("doc_id"), size, stride)
+        .as[(Long, Long, String, Long)].collect().toSet
+      assert(got === expected, s"round $round")
+    }
+  }
+
+  test("property: mixtureSample == driver-side floor+hash-band reference") {
+    val weights = Seq("s0" -> 0.0, "s1" -> 0.75, "s2" -> 1.0, "s3" -> 2.25)
+    val wmap = weights.toMap
+    (0 until 3).foreach { round =>
+      val docs = gen(org.scalacheck.Gen.listOfN(60,
+        org.scalacheck.Gen.oneOf("s0", "s1", "s2", "s3")), 900L + round)
+        .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val expected = docs.flatMap { case (id, src) =>
+        val w = wmap(src)
+        val frac = w - math.floor(w)
+        val extra = if (md5PrefixLong(s"${id}mx", 15) % 1000000L <
+          (frac * 1000000L).toLong) 1L else 0L
+        val n = math.floor(w).toLong + extra
+        (1L to n).map(e => (id, src, e))
+      }.toSet
+      val got = Sampling.mixtureSample(docs.toDF("doc_id", "source"),
+        col("doc_id"), col("source"), weights, "mx")
+        .select("doc_id", "source", "epoch")
+        .as[(Long, String, Long)].collect().toSet
+      assert(got === expected, s"round $round")
+    }
+  }
+
+  test("property: tfidfTopTerms == driver-side tf/df/ln reference") {
+    (0 until 3).foreach { round =>
+      val docs = gen(org.scalacheck.Gen.listOfN(25, textGen), 1000L + round)
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val n = docs.size
+      val tf = docs.flatMap { case (id, t) =>
+        t.split(" ").groupBy(identity).map { case (term, g) => (id, term, g.length.toLong) }
+      }
+      val dfreq = tf.groupBy(_._2).map { case (term, g) => term -> g.size.toLong }
+      def score(tfv: Long, dfv: Long): Double =
+        BigDecimal(tfv * math.log(n.toDouble / dfv))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val expected = tf.groupBy(_._1).flatMap { case (id, terms) =>
+        terms.map { case (_, term, tfv) => (term, tfv, dfreq(term), score(tfv, dfreq(term))) }
+          .sortBy { case (term, _, _, sc) => (-sc, term) }
+          .take(3).zipWithIndex
+          .map { case ((term, tfv, dfv, sc), i) => (id, i + 1L, term, tfv, dfv, sc) }
+      }.toSet
+      val got = Curate.tfidfTopTerms(docs.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), k = 3)
+        .as[(Long, Long, String, Long, Long, Double)].collect().toSet
+      assert(got === expected, s"round $round")
+    }
+  }
 }
