@@ -1484,9 +1484,50 @@ object ExtQueries {
       |       len(string_split(chunk_text, ' ')) AS n_tokens
       |FROM x ORDER BY doc_id, chunk_idx""".stripMargin))
 
+  /** DuckDB n-gram list over token list `t` via shifted element access —
+    * the oracle twin of TextAnalysis.dupNgramFraction's zip_with chain. */
+  private def dupFracSql(n: Int): String = {
+    val gram = (1 to n).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    s"""CASE WHEN len(t) >= $n THEN round(
+       |  CAST(len(list_transform(range(0, len(t) - ${n - 1}), i -> $gram))
+       |     - len(list_distinct(list_transform(range(0, len(t) - ${n - 1}), i -> $gram)))
+       |    AS DOUBLE)
+       |  / len(list_transform(range(0, len(t) - ${n - 1}), i -> $gram)), 4)
+       |ELSE 0.0 END""".stripMargin.replace("\n", " ")
+  }
+
+  private val q87 = QDef("q87_dup_ngram_fraction",
+    (s, dir) => T(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.dupNgramFraction(col("text"), 2).as("dup2"),
+        TextAnalysis.dupNgramFraction(col("text"), 3).as("dup3"))
+      .withColumn("rep_ok", (col("dup2") <= 0.9 && col("dup3") <= 0.8).cast("int"))
+      .orderBy("doc_id"),
+    Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |x AS (SELECT doc_id, ${dupFracSql(2)} AS dup2, ${dupFracSql(3)} AS dup3 FROM d)
+      |SELECT doc_id, dup2, dup3,
+      |       CASE WHEN dup2 <= 0.9 AND dup3 <= 0.8 THEN 1 ELSE 0 END AS rep_ok
+      |FROM x ORDER BY doc_id""".stripMargin))
+
+  private val q88 = QDef("q88_vocab_prune",
+    (s, dir) => Curate.vocabPrune(T(s, dir, "documents"),
+      col("doc_id"), col("text"), minDf = 150)
+      .orderBy("doc_id"),
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |tok AS (SELECT doc_id, unnest(l) AS term,
+      |          unnest(range(0, len(l))) AS pos FROM d),
+      |v AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      |r AS (SELECT t.doc_id, t.pos,
+      |        CASE WHEN v.df >= 150 THEN t.term ELSE '<unk>' END AS tok2,
+      |        CASE WHEN v.df >= 150 THEN 0 ELSE 1 END AS oov
+      |      FROM tok t JOIN v USING (term))
+      |SELECT doc_id, string_agg(tok2, ' ' ORDER BY pos) AS pruned,
+      |       round(CAST(sum(oov) AS DOUBLE) / count(*), 4) AS oov_rate
+      |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
-    q80, q81, q82, q83, q84, q85, q86)
+    q80, q81, q82, q83, q84, q85, q86, q87, q88)
 }

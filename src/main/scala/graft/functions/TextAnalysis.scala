@@ -102,6 +102,34 @@ object TextAnalysis {
       (stopHits >= 2).cast("int").as("stop_ok"))
   }
 
+  /** Duplicate n-gram fraction (the RefinedWeb/Gopher repetition-filter
+    * family's remaining member): (total n-grams − distinct n-grams) /
+    * total n-grams. High values flag documents built from repeated
+    * phrases that per-token repetition ([[gopherRules]]' max-share rules)
+    * can miss. Pure per-row array expression — arrays built once from
+    * attributes, no explode, no shuffle. Returns 0 for docs with fewer
+    * than n tokens. */
+  def dupNgramFraction(text: Column, n: Int): Column = {
+    require(n >= 1, "n must be positive")
+    val t = toks(text)
+    // grams via a zip_with chain of shifted slices: zip_with/slice
+    // ARGUMENTS are evaluated once per row — the index-lambda spelling
+    // (transform(sequence(...), i -> element_at(t, i+j))) re-evaluates the
+    // whole split() subtree per element (the q65 quadratic-HOF trap)
+    val grams =
+      if (n == 1) t
+      else (2 to n).foldLeft(slice(t, lit(1), size(t) - (n - 1))) { (acc, j) =>
+        // every slice is the same length size-(n-1), only the start shifts:
+        // zip_with pads the shorter side with nulls, so a longer slice
+        // would fabricate a spurious tail gram
+        zip_with(acc, slice(t, lit(j), size(t) - (n - 1)),
+          (a, b) => concat_ws(" ", a, b))
+      }
+    when(size(t) >= n,
+      round((size(grams) - size(array_distinct(grams))).cast("double") / size(grams), 4))
+      .otherwise(lit(0d))
+  }
+
   /** Highest occurrence count of any element in a string array: sort, then
     * fold once tracking the current and best run length — O(n log n) and
     * each element visited exactly once (equal to the max of per-distinct-

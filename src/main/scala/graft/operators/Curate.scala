@@ -45,4 +45,33 @@ object Curate {
       .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
         col("tfidf"))
   }
+
+  /** Vocabulary pruning with OOV replacement — the fixed-vocab
+    * preprocessing step: every token whose corpus document frequency is
+    * below `minDf` becomes `unk`, documents are reassembled in original
+    * token order, and the per-doc OOV rate is reported.
+    *
+    * Scale shape: the vocabulary table (term → df) is one corpus-token
+    * shuffle keyed by term and is vocabulary-sized afterwards — broadcast
+    * back onto the token stream (in production it's an offline artifact
+    * like the ANN codebook); reassembly is one shuffle keyed by doc. The
+    * token stream is re-derived per consumer (a narrow explode) rather
+    * than materialized — cheaper than checkpointing corpus-scale tokens. */
+  def vocabPrune(df: DataFrame, id: Column, text: Column, minDf: Long,
+                 unk: String = "<unk>"): DataFrame = {
+    require(minDf >= 1, "minDf must be positive")
+    val tok = df.select(id.as("doc_id"),
+      posexplode(split(text, " ")).as(Seq("pos", "term")))
+    val vocab = tok.groupBy("term").agg(count_distinct(col("doc_id")).as("df"))
+    tok.join(broadcast(vocab), "term")
+      .select(col("doc_id"), col("pos"),
+        when(col("df") >= minDf, col("term")).otherwise(lit(unk)).as("tok2"),
+        when(col("df") >= minDf, 0L).otherwise(1L).as("oov"))
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok2")))),
+          x => x.getField("tok2")), " ").as("pruned"),
+        round(sum("oov").cast("double") / count(lit(1)), 4).as("oov_rate"))
+  }
 }

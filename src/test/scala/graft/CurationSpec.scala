@@ -175,6 +175,38 @@ class CurationSpec extends SparkSpec {
       s"fingerprint density out of range: $nFps of $nGrams grams")
   }
 
+  // ------------------------------------------------- dup-ngram / vocab prune
+
+  test("dupNgramFraction: repeated phrase counted, short docs 0, boundary exact") {
+    val docs = Seq(
+      (1L, "a b a b a"),     // bigrams: ab ba ab ba -> 2/4; trigrams: aba bab aba -> 1/3
+      (2L, "x y z"),         // all distinct -> 0
+      (3L, "q w"),           // shorter than n=3 -> 0
+      (4L, "t t t t")        // bigrams: tt tt tt -> 2/3; trigrams: ttt ttt -> 1/2
+    ).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        TextAnalysis.dupNgramFraction(col("text"), 2).as("d2"),
+        TextAnalysis.dupNgramFraction(col("text"), 3).as("d3"))
+      .orderBy("doc_id").as[(Long, Double, Double)].collect().toSeq
+    assert(out === Seq((1L, 0.5, 0.3333), (2L, 0.0, 0.0),
+      (3L, 0.0, 0.0), (4L, 0.6667, 0.5)))
+  }
+
+  test("vocabPrune: rare terms -> <unk>, token order preserved, oov rate exact") {
+    val docs = Seq(
+      (1L, "cat dog cat rare1"),
+      (2L, "cat dog"),
+      (3L, "dog rare2 cat")
+    ).toDF("doc_id", "text")
+    // df: cat=3, dog=3, rare1=1, rare2=1; minDf=2 prunes the rares
+    val out = Curate.vocabPrune(docs, col("doc_id"), col("text"), minDf = 2)
+      .orderBy("doc_id").as[(Long, String, Double)].collect().toSeq
+    assert(out === Seq(
+      (1L, "cat dog cat <unk>", 0.25),
+      (2L, "cat dog", 0.0),
+      (3L, "dog <unk> cat", 0.3333)))
+  }
+
   // ------------------------------------------------- property pins (driver-
   // side references replay the documented algorithm on random inputs)
 
