@@ -109,26 +109,41 @@ object TextAnalysis {
     * can miss. Pure per-row array expression — arrays built once from
     * attributes, no explode, no shuffle. Returns 0 for docs with fewer
     * than n tokens. */
-  def dupNgramFraction(text: Column, n: Int): Column = {
+  /** Word n-grams from a token-array column, as a zip_with chain of
+    * shifted slices: zip_with/slice ARGUMENTS are evaluated once per row —
+    * the index-lambda spelling (transform(sequence(...), i ->
+    * element_at(t, i+j))) re-evaluates the whole token subtree per element
+    * (the q65 quadratic-HOF trap). Every slice is the same length
+    * size−(n−1), only the start shifts: zip_with pads the shorter side
+    * with nulls, so a longer slice would fabricate a spurious tail gram.
+    * Docs with fewer than n tokens yield an empty array. */
+  def ngrams(t: Column, n: Int): Column = {
     require(n >= 1, "n must be positive")
-    val t = toks(text)
-    // grams via a zip_with chain of shifted slices: zip_with/slice
-    // ARGUMENTS are evaluated once per row — the index-lambda spelling
-    // (transform(sequence(...), i -> element_at(t, i+j))) re-evaluates the
-    // whole split() subtree per element (the q65 quadratic-HOF trap)
-    val grams =
-      if (n == 1) t
-      else (2 to n).foldLeft(slice(t, lit(1), size(t) - (n - 1))) { (acc, j) =>
-        // every slice is the same length size-(n-1), only the start shifts:
-        // zip_with pads the shorter side with nulls, so a longer slice
-        // would fabricate a spurious tail gram
+    if (n == 1) t
+    else when(size(t) >= n,
+      (2 to n).foldLeft(slice(t, lit(1), size(t) - (n - 1))) { (acc, j) =>
         zip_with(acc, slice(t, lit(j), size(t) - (n - 1)),
           (a, b) => concat_ws(" ", a, b))
-      }
-    when(size(t) >= n,
-      round((size(grams) - size(array_distinct(grams))).cast("double") / size(grams), 4))
-      .otherwise(lit(0d))
+      }).otherwise(array().cast("array<string>"))
   }
+
+  /** (grams − distinct grams) / grams from a MATERIALIZED gram-array
+    * column; 0 for empty. Interpreted HOF expressions get no
+    * common-subexpression elimination, so callers computing several
+    * fractions should alias [[ngrams]] into attributes first — each gram
+    * chain is then built once per row instead of once per reference. */
+  def dupFractionFromGrams(g: Column): Column =
+    when(size(g) > 0,
+      round((size(g) - size(array_distinct(g))).cast("double") / size(g), 4))
+      .otherwise(lit(0d))
+
+  /** Duplicate n-gram fraction (the RefinedWeb/Gopher repetition-filter
+    * family's remaining member): high values flag documents built from
+    * repeated phrases that per-token repetition ([[gopherRules]]' max-
+    * share rules) can miss. Single-column convenience form; see
+    * [[dupFractionFromGrams]] for the multi-n spelling. */
+  def dupNgramFraction(text: Column, n: Int): Column =
+    dupFractionFromGrams(ngrams(toks(text), n))
 
   /** Highest occurrence count of any element in a string array: sort, then
     * fold once tracking the current and best run length — O(n log n) and
