@@ -1535,9 +1535,45 @@ object ExtQueries {
       |       round(CAST(sum(oov) AS DOUBLE) / count(*), 4) AS oov_rate
       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** The custom-state sessionizer (flatMapGroupsWithState) under the
+    * oracle gate. Run as a BATCH Dataset operation — the same operator
+    * body Spark runs per micro-batch, with each user's whole history as
+    * one group — so the emitted set is deterministic: every session
+    * CLOSED by a later event, i.e. all but each user's last session
+    * (the trailing open session stays in state by design; streaming
+    * equivalence incl. cross-batch state carry is pinned in the unit
+    * suite). One shuffle keyed by user; per-group state is one open
+    * session. */
+  private val q89 = QDef("q89_stateful_sessions",
+    (s, dir) => {
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      import s.implicits._
+      val ev = T(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+        .as[Sessionize.SessEvent]
+      Sessionize.statefulSessions(ev, gapUs = 1800000000L)
+        .toDF()
+        .orderBy("user_id", "start_us")
+    },
+    Some("""WITH x AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+      |f AS (SELECT user_id, us,
+      |        CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+      |             THEN 1 ELSE 0 END AS new_sess
+      |      FROM x WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |se AS (SELECT user_id, us,
+      |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+      |                             ROWS UNBOUNDED PRECEDING) AS sid
+      |       FROM f),
+      |g AS (SELECT user_id, sid, min(us) AS start_us, count(*) AS n_events
+      |      FROM se GROUP BY 1, 2),
+      |lastg AS (SELECT user_id, max(sid) AS msid FROM g GROUP BY 1)
+      |SELECT g.user_id AS user_id, g.start_us, g.n_events
+      |FROM g JOIN lastg ON g.user_id = lastg.user_id AND g.sid <> lastg.msid
+      |ORDER BY g.user_id, g.start_us""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
-    q80, q81, q82, q83, q84, q85, q86, q87, q88)
+    q80, q81, q82, q83, q84, q85, q86, q87, q88, q89)
 }
