@@ -81,6 +81,26 @@ object CrossoverProbe {
         docs, col("text"), col("doc_id"), col("source"), maxDist = 12))
       assert(sq == sb, s"simhash paths disagree: $sq vs $sb")
     }
+    // winnowing as BLOCK-FREE candidate generation + exact verification:
+    // the planted pairs share a 59-token contiguous run >= w+k-1, so the
+    // winnowing guarantee finds every one without any blocking key; chance
+    // fingerprint collisions are removed by the exact Jaccard check, so
+    // the verified set must equal the quadratic within-block answer
+    if (which == "winnow") {
+      val jq = time("jaccard quadratic (q27)")(Dedup.ngramJaccardPairs(
+        docs, col("text"), col("doc_id"), col("source"), n = 1, minJ = 0.6))
+      val tokset = docs.select(col("doc_id"),
+        array_distinct(split(col("text"), " ")).as("__g"))
+      val wv = time("winnow cand + verify (q84)") {
+        Dedup.winnowingPairs(docs, col("text"), col("doc_id"),
+          k = 4, w = 4, minShared = 1)
+          .select("id_a", "id_b")
+          .join(tokset.select(col("doc_id").as("id_a"), col("__g").as("g_a")), Seq("id_a"))
+          .join(tokset.select(col("doc_id").as("id_b"), col("__g").as("g_b")), Seq("id_b"))
+          .where(Dedup.jaccard(col("g_a"), col("g_b")) >= 0.6)
+      }
+      assert(jq == wv, s"winnowing path disagrees: $jq vs $wv")
+    }
 
     spark.stop()
   }
