@@ -1571,9 +1571,49 @@ object ExtQueries {
       |FROM g JOIN lastg ON g.user_id = lastg.user_id AND g.sid <> lastg.msid
       |ORDER BY g.user_id, g.start_us""".stripMargin))
 
+  /** Bloom-pruned incremental decontamination against the existing corpus
+    * ([[Dedup.bloomPassageHits]]). The oracle is Bloom-free — plain exact
+    * passage containment — BECAUSE the operator's result is exact: the
+    * Bloom bitset only prunes which strings reach the verify join. */
+  private val q90 = QDef("q90_bloom_decontaminate",
+    (s, dir) => {
+      val docs = T(s, dir, "documents")
+      Dedup.bloomPassageHits(docs.where(col("doc_id") >= 250),
+        docs.where(col("doc_id") < 250), col("text"), col("doc_id"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |ch AS (SELECT doc_id, array_to_string(tk[(i-1)*10+1:(i-1)*10+10], ' ') AS p
+      |       FROM t, LATERAL unnest(range(1, CAST(floor(len(tk)/10) AS BIGINT)+1)) AS r(i)),
+      |corp AS (SELECT DISTINCT p FROM ch WHERE doc_id < 250),
+      |agg AS (SELECT doc_id, count(*) AS np,
+      |          sum(CASE WHEN p IN (SELECT p FROM corp) THEN 1 ELSE 0 END) AS ns
+      |        FROM ch WHERE doc_id >= 250 GROUP BY 1)
+      |SELECT d.doc_id, CAST(coalesce(a.np, 0) AS BIGINT) AS n_passages,
+      |       CAST(coalesce(a.ns, 0) AS BIGINT) AS n_shared,
+      |       CAST(CASE WHEN coalesce(a.ns, 0) = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_clean
+      |FROM documents d LEFT JOIN agg a USING (doc_id)
+      |WHERE d.doc_id >= 250 ORDER BY doc_id""".stripMargin))
+
+  /** Skew-proof per-source diversity cap ([[Curate.capPerGroup]]): the
+    * oracle is the single-window spelling the two-phase plan provably
+    * equals. */
+  private val q91 = QDef("q91_source_cap",
+    (s, dir) => Curate.capPerGroup(
+      T(s, dir, "documents").select("doc_id", "source", "n_chars"),
+      col("source"), Seq(desc("n_chars"), col("doc_id")), col("doc_id"),
+      n = 10)
+      .orderBy("doc_id"),
+    Some("""WITH r AS (SELECT doc_id, source, n_chars,
+      |        row_number() OVER (PARTITION BY source
+      |          ORDER BY n_chars DESC, doc_id) AS rk
+      |      FROM documents)
+      |SELECT doc_id, source, n_chars, rk FROM r WHERE rk <= 10
+      |ORDER BY doc_id""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
-    q80, q81, q82, q83, q84, q85, q86, q87, q88, q89)
+    q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91)
 }

@@ -74,4 +74,32 @@ object Curate {
           x => x.getField("tok2")), " ").as("pruned"),
         round(sum("oov").cast("double") / count(lit(1)), 4).as("oov_rate"))
   }
+
+  /** Per-group diversity cap (the Common-Crawl "domain cap" curation step):
+    * keep the top `n` rows of each group under a deterministic total order
+    * (`order` must break all ties — end it with a unique id), emitting each
+    * kept row's in-group rank as `rk`.
+    *
+    * Skew shape: a single `row_number` window would sort every hot group on
+    * ONE task — at 100 TB a head domain is billions of rows. Two-phase
+    * instead: phase 1 partitions by (group, salt) with salt = hash(id) mod
+    * `salts`, keeping ≤ n per salt bucket — any row in the true top-n has
+    * < n predecessors globally, hence < n in its bucket, so all true
+    * winners survive. Phase 2 re-ranks the ≤ n·salts survivors per group;
+    * for surviving rows every global predecessor also survived, so the
+    * recomputed rank EQUALS the single-window rank and rows beyond the true
+    * top-n rank > n — output is exactly the one-window answer, but no task
+    * ever sorts more than a bucket (scale `salts` ∝ head-domain size). */
+  def capPerGroup(df: DataFrame, group: Column, order: Seq[Column], id: Column,
+                  n: Int, salts: Int = 8): DataFrame = {
+    require(n >= 1 && salts >= 1, "n and salts must be positive")
+    val w1 = Window.partitionBy(group, pmod(xxhash64(id), lit(salts.toLong)))
+      .orderBy(order: _*)
+    val survivors = df.withColumn("__r1", row_number().over(w1))
+      .where(col("__r1") <= n)
+      .drop("__r1")
+    val w2 = Window.partitionBy(group).orderBy(order: _*)
+    survivors.withColumn("rk", row_number().over(w2).cast("long"))
+      .where(col("rk") <= n)
+  }
 }

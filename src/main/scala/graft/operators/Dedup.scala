@@ -538,4 +538,91 @@ object Dedup {
     System.err.println(s"[cc] converged after $i rounds (maxIter $maxIter)")
     comp
   }
+
+  // ------------------------------------------------------------------ bloom
+
+  /** Deterministic Bloom hash family: k bit positions in [0, mBits) per
+    * 28-bit content hash, via independent affine maps mod [[MinhashPrime]]
+    * (the MinHash permutation trick — (a·h + b) stays < 2^33, overflow-safe
+    * in both engines). Engine-independent, so the same positions can be
+    * recomputed anywhere. */
+  private def bloomPositions(h: Column, mBits: Int, kHash: Int): Seq[Column] =
+    (1 to kHash).map(i =>
+      pmod(h * lit(2L * i + 3L) + lit(104729L * i), lit(MinhashPrime)) % lit(mBits.toLong))
+
+  /** Distributed Bloom-bitset build over a key column: explode each key's k
+    * bit positions (tiny fixed-width rows, the ONLY shuffle), OR per 64-bit
+    * word, collect mBits/64 longs to the driver. That driver array is the
+    * whole point of a Bloom filter — mBits/8 bytes broadcast in place of the
+    * full distinct-key set (at 100 TB: a few GB of bits vs TBs of keys). The
+    * word-keyed build shuffles only SET bits, never per-partition bitset
+    * copies, so sparse corpora pay proportionally less. */
+  def bloomBitset(keys: DataFrame, key: Column, mBits: Int, kHash: Int): Array[Long] = {
+    require(mBits > 0 && mBits % 64 == 0, "mBits must be a positive multiple of 64")
+    val rows = keys.select(hash28(key).as("__h"))
+      .select(explode(array(bloomPositions(col("__h"), mBits, kHash): _*)).as("__p"))
+      .select(shiftright(col("__p"), 6).cast("int").as("__w"),
+        call_function("shiftleft", lit(1L), (col("__p") % 64).cast("int")).as("__m"))
+      .groupBy("__w")
+      .agg(call_function("bit_or", col("__m")).as("__bits"))
+      .collect()
+    val arr = new Array[Long](mBits / 64)
+    rows.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    arr
+  }
+
+  /** Membership predicate against a built bitset — a pure codegen column
+    * tree (element_at on a literal word array + shift/AND per hash), no UDF,
+    * so it rides inside WholeStageCodegen on the probe-side scan. May return
+    * true for absent keys (classic Bloom false positive), never false for
+    * present ones. */
+  def bloomMightContain(bits: Array[Long], key: Column, mBits: Int, kHash: Int): Column = {
+    val words = typedLit(bits.toSeq)
+    bloomPositions(hash28(key), mBits, kHash).map { p =>
+      element_at(words, shiftright(p, 6).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L), (p % 64).cast("int"))) =!= lit(0L)
+    }.reduce(_ && _)
+  }
+
+  /** Bloom-pruned incremental passage decontamination: for each NEW doc,
+    * count its aligned `pk`-token passages that already occur anywhere in
+    * the existing corpus. The corpus's passage set is summarized as a Bloom
+    * bitset (mBits bits broadcast, vs the corpus-sized passage set the exact
+    * [[Decontaminate]] shape would broadcast); new-batch passages that pass
+    * the Bloom test — true hits plus ~(1-e^(-kn/m))^k false positives — are
+    * the only strings that touch the exact-verify join, which removes the
+    * false positives, so the RESULT is exact. Neither side ever shuffles
+    * full text: the corpus is scanned narrow twice (bitset build; verify
+    * semi-join against the broadcast candidate set), the new batch once.
+    * Output per new doc: (doc_id, n_passages, n_shared, is_clean). */
+  def bloomPassageHits(newDocs: DataFrame, corpus: DataFrame, text: Column, id: Column,
+                       pk: Int = 10, mBits: Int = 1 << 17, kHash: Int = 4): DataFrame = {
+    def chunks(t: Column) = {
+      val nCh = floor(size(t) / pk).cast("int")
+      // same guard as shingles: sequence(0, -1) would run DESCENDING
+      when(nCh >= 1,
+        transform(sequence(lit(0), nCh - 1),
+          i => concat_ws(" ", slice(t, i * pk + 1, lit(pk)))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val corpusP = corpus.select(explode(chunks(split(text, " "))).as("__p"))
+    val bits = bloomBitset(corpusP, col("__p"), mBits, kHash)
+    val newP = newDocs.select(id.as("doc_id"), explode(chunks(split(text, " "))).as("__p"))
+      .withColumn("__might", bloomMightContain(bits, col("__p"), mBits, kHash))
+    val cand = newP.where(col("__might")).select(col("__p")).distinct()
+    val confirmed = corpusP.join(broadcast(cand), Seq("__p"), "left_semi")
+      .distinct().withColumn("__hit", lit(1L))
+    val perDoc = newP.join(broadcast(confirmed), Seq("__p"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_passages"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_shared"))
+    // docs too short for a single passage have no contamination surface:
+    // join back from the full new batch so they report (0, 0, clean)
+    newDocs.select(id.as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_passages"), lit(0L)).as("n_passages"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(coalesce(col("n_shared"), lit(0L)) === 0L, 1L).otherwise(0L).as("is_clean"))
+  }
 }

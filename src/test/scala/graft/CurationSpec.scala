@@ -315,4 +315,74 @@ class CurationSpec extends SparkSpec {
       assert(got === expected, s"round $round")
     }
   }
+
+  // ------------------------------------------------------------------ bloom
+
+  test("bloomBitset/bloomMightContain: no false negatives; planted non-members rejected") {
+    val mBits = 1 << 17
+    val members = (1 to 100).map(i => s"member-key-$i")
+    val bits = Dedup.bloomBitset(members.toDF("k"), col("k"), mBits, kHash = 4)
+    val probes = (members.map((_, true)) ++
+      (1 to 50).map(i => (s"absent-key-$i", false))).toDF("k", "is_member")
+    val wrong = probes
+      .where(Dedup.bloomMightContain(bits, col("k"), mBits, 4) =!= col("is_member"))
+      .collect()
+    // members MUST pass (no false negatives); at 100 keys in 2^17 bits the
+    // deterministic hash family happens to reject all 50 planted absentees
+    assert(wrong.isEmpty, s"bloom disagreed on: ${wrong.mkString(", ")}")
+  }
+
+  test("bloomPassageHits: planted contamination counted, short docs clean") {
+    def toks(prefix: String, a: Int, b: Int) = (a until b).map(i => s"$prefix$i").mkString(" ")
+    val corpus = Seq(
+      (1L, toks("c", 0, 20)),          // passages [c0..c9], [c10..c19]
+      (2L, toks("d", 0, 10))           // passage [d0..d9]
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, toks("c", 0, 10) + " " + toks("x", 0, 10)), // shares [c0..c9]
+      (11L, toks("y", 0, 25)),                          // 2 passages, clean
+      (12L, "just three tokens"),                       // no passage surface
+      (13L, toks("c", 10, 20) + " " + toks("d", 0, 10)) // shares both
+    ).toDF("doc_id", "text")
+    val got = Dedup.bloomPassageHits(batch, corpus, col("text"), col("doc_id"))
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (10L, 2L, 1L, 0L),
+      (11L, 2L, 0L, 1L),
+      (12L, 0L, 0L, 1L),
+      (13L, 2L, 2L, 0L)))
+  }
+
+  // ------------------------------------------------------------- domain cap
+
+  test("capPerGroup: equals the single-window answer under heavy skew") {
+    val rnd = new scala.util.Random(7)
+    // hot group with 400 rows + five 7-row groups; duplicate values so the
+    // id tie-break is exercised
+    val rows = (1 to 400).map(i => (s"hot", rnd.nextInt(40).toDouble, i.toLong)) ++
+      (for (g <- 1 to 5; i <- 1 to 7)
+        yield (s"g$g", rnd.nextInt(10).toDouble, (1000 + g * 100 + i).toLong))
+    val df = rows.toDF("grp", "value", "id")
+    val expected = rows.groupBy(_._1).flatMap { case (_, g) =>
+      g.sortBy { case (_, v, id) => (-v, id) }.take(5).zipWithIndex
+        .map { case ((grp, v, id), i) => (grp, v, id, i + 1L) }
+    }.toSet
+    for (salts <- Seq(1, 3, 8)) {
+      val got = Curate.capPerGroup(df, col("grp"),
+        Seq(desc("value"), col("id")), col("id"), n = 5, salts = salts)
+        .select(col("grp"), col("value"), col("id"), col("rk"))
+        .as[(String, Double, Long, Long)].collect().toSet
+      assert(got === expected, s"salts=$salts")
+    }
+  }
+
+  test("capPerGroup: groups smaller than n keep every row with correct ranks") {
+    val df = Seq(("a", 3.0, 1L), ("a", 1.0, 2L), ("b", 9.0, 3L)).toDF("grp", "value", "id")
+    val got = Curate.capPerGroup(df, col("grp"),
+      Seq(desc("value"), col("id")), col("id"), n = 5, salts = 4)
+      .select(col("grp"), col("id"), col("rk"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === Set(("a", 1L, 1L), ("a", 2L, 2L), ("b", 3L, 1L)))
+  }
 }
