@@ -22,11 +22,20 @@ object Bench {
         "first timed queries will absorb codegen/JIT cost")
     val selected = if (args.nonEmpty) SparkEntry.queries.filter(kv => args.contains(kv._1))
                    else SparkEntry.queries
+    // Blocks pinned by finished queries (localCheckpoints whose final
+    // handle is never unpersisted — CC results, the tf materialization)
+    // accumulate across a 90-query suite and turn into GC pressure that
+    // inflates LATER heavy queries: q61 measured 7.0 s in-suite vs 3.5 s
+    // standalone before this hygiene. Each query is self-contained, so
+    // dropping every persistent RDD between queries is always safe.
+    def dropLeftoverBlocks(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     selected.foreach { case (name, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $name failed: $e")
       }
+      dropLeftoverBlocks()
     }
     // Two full timed passes, min per query: single-shot timings on a
     // 32-thread box carry ±3s GC/scheduler noise on the heavy queries;
@@ -47,7 +56,9 @@ object Bench {
             e.printStackTrace()
             false
           }
-        name -> ((System.nanoTime() - t0) / 1e9, ok)
+        val dt = (System.nanoTime() - t0) / 1e9
+        dropLeftoverBlocks() // untimed: next query starts with a clean block manager
+        name -> (dt, ok)
       }.toMap
     val p1 = timedPass()
     val p2 = timedPass()
