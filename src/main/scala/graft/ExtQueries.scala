@@ -1611,9 +1611,78 @@ object ExtQueries {
       |SELECT doc_id, source, n_chars, rk FROM r WHERE rk <= 10
       |ORDER BY doc_id""".stripMargin))
 
+  /** BM25 top-k terms ([[Curate.bm25TopTerms]]); multiplication/division
+    * association mirrored exactly between engines so rounded scores
+    * agree. */
+  private val q92 = QDef("q92_bm25_terms",
+    (s, dir) => Curate.bm25TopTerms(T(s, dir, "documents"),
+      col("doc_id"), col("text"), k = 3)
+      .orderBy("doc_id", "rank"),
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |tok AS (SELECT doc_id, len(l) AS dl, unnest(l) AS term FROM d),
+      |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM tok GROUP BY 1, 2, 3),
+      |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |st AS (SELECT count(*) AS n, CAST(sum(len(l)) AS DOUBLE) / count(*) AS avgdl
+      |       FROM d),
+      |sc AS (SELECT doc_id, term, tf, df, dl,
+      |         round(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2
+      |           / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS bm25
+      |       FROM tf JOIN dfq USING (term), st),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |        ORDER BY bm25 DESC, term) AS rank FROM sc)
+      |SELECT doc_id, rank, term, tf, df, dl, bm25 FROM r
+      |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin))
+
+  /** Latest-wins snapshot dedup ([[Dedup.latestSnapshot]]): one hash agg
+    * with map-side partial reduction — never a window sort. */
+  private val q93 = QDef("q93_latest_snapshot",
+    (s, dir) => Dedup.latestSnapshot(
+      T(s, dir, "events").select(col("user_id"), col("event_type"),
+        col("event_id"), unix_micros(col("ts")).as("ts_us"), col("value")),
+      keys = Seq("user_id", "event_type"), version = "ts_us", tieBreak = "event_id")
+      .orderBy("user_id", "event_type"),
+    Some("""WITH x AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+      |        value, row_number() OVER (PARTITION BY user_id, event_type
+      |          ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      |      FROM events)
+      |SELECT user_id, event_type, ts_us, event_id, value FROM x WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin))
+
+  /** Weighted sampling without replacement ([[Sampling.weightedSample]],
+    * Efraimidis–Spirakis): ln over the shared md5-prefix hash, identical
+    * arithmetic order in both engines, rank on the rounded priority. */
+  private val q94 = QDef("q94_weighted_sample",
+    (s, dir) => Sampling.weightedSample(
+      T(s, dir, "documents").select("doc_id", "source", "n_chars"),
+      col("doc_id"), col("n_chars"), n = 25)
+      .orderBy("priority", "doc_id"),
+    Some(s"""WITH p AS (SELECT doc_id, source, n_chars,
+      |        round(-ln((${hashSql("CAST(doc_id AS VARCHAR)", 15)} + 1)
+      |            / 1152921504606846976.0) * 1000000.0 / n_chars, 4) AS priority
+      |      FROM documents)
+      |SELECT doc_id, source, n_chars, priority FROM p
+      |ORDER BY priority, doc_id LIMIT 25""".stripMargin))
+
+  /** Stream-static enrichment join ([[EventStreams.runStaticEnrich]]):
+    * stateless per-micro-batch broadcast join, append emission = batch
+    * join, aggregated after the drain like q85. */
+  private val q95 = QDef("q95_stream_enrich",
+    (s, dir) => EventStreams.runStaticEnrich(s, dir,
+      name = "graft_stream_enrich_q95")
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum("value"), 4).as("sum_value"))
+      .orderBy("segment"),
+    Some("""SELECT c.c_mktsegment AS segment, count(*) AS n_events,
+      |  count(DISTINCT e.user_id) AS n_users, round(sum(e.value), 4) AS sum_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
-    q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91)
+    q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
+    q95)
 }

@@ -75,6 +75,50 @@ object Curate {
         round(sum("oov").cast("double") / count(lit(1)), 4).as("oov_rate"))
   }
 
+  /** Per-document top-k BM25 terms (Robertson/Okapi, the Lucene-form
+    * positive idf): the standard relevance/salience scorer — TF-IDF's
+    * production sibling with tf saturation (k1) and doc-length
+    * normalization (b).
+    *   idf   = ln(1 + (N - df + 0.5)/(df + 0.5))
+    *   score = idf · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+    *
+    * Same scale shape as [[tfidfTopTerms]]: ONE corpus shuffle for tf
+    * (materialized once — three consumers), per-doc length derived from the
+    * tf table (second agg over tf, doc-keyed), vocabulary-sized df table
+    * and the 1-row (N, avgdl) broadcast back. dl and avgdl come from exact
+    * integer sums, so both engines divide identical values; the score is
+    * rounded to 4 dp BEFORE ranking (term asc tie-break → total order). */
+  def bm25TopTerms(df: DataFrame, id: Column, text: Column, k: Int,
+                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, "k must be positive")
+    // dl (token count) rides the tokenization as a narrow column and joins
+    // the tf group key (functionally dependent on doc_id — zero extra
+    // cardinality), so no second doc-keyed shuffle is ever needed for it
+    val tok = df.select(id.as("doc_id"), split(text, " ").as("__t"))
+      .select(col("doc_id"), size(col("__t")).cast("long").as("dl"),
+        explode(col("__t")).as("term"))
+    val tf = tok.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // N and avgdl from exact integer sums on a second NARROW source scan
+    // (cheap) — both engines then divide identical values
+    val stats = df.agg(count(lit(1)).as("__n"),
+      (sum(size(split(text, " "))).cast("double") / count(lit(1))).as("__avgdl"))
+    val idf = log(lit(1.0) +
+      (col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val denom = col("tf") + lit(k1) *
+      (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl"))
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("bm25", round(idf * col("tf") * lit(k1 + 1.0) / denom, 4))
+    val w = Window.partitionBy("doc_id").orderBy(desc("bm25"), col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        col("dl"), col("bm25"))
+  }
+
   /** Per-group diversity cap (the Common-Crawl "domain cap" curation step):
     * keep the top `n` rows of each group under a deterministic total order
     * (`order` must break all ties — end it with a unique id), emitting each

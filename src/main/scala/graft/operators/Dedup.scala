@@ -625,4 +625,26 @@ object Dedup {
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
         when(coalesce(col("n_shared"), lit(0L)) === 0L, 1L).otherwise(0L).as("is_clean"))
   }
+
+  /** Latest-wins snapshot dedup: keep, per key, the row with the highest
+    * (version, tieBreak) — the crawl-snapshot consolidation step ("many
+    * fetches of the same page over time; train on the newest"). `tieBreak`
+    * must be unique per key (an event/fetch id) so the winner is
+    * deterministic.
+    *
+    * Scale shape: ONE hash aggregation — every non-key column rides inside
+    * a struct under lexicographic max(), so partial (map-side) aggregation
+    * reduces each partition to one candidate row per key before the
+    * shuffle. Deliberately NOT the row_number window spelling (a sort
+    * exchange with no partial aggregation) and NOT max_by (nondeterministic
+    * under ties). */
+  def latestSnapshot(df: DataFrame, keys: Seq[String], version: String,
+                     tieBreak: String): DataFrame = {
+    require(keys.nonEmpty, "at least one key column")
+    val rest = df.columns.filterNot(c => keys.contains(c) || c == version || c == tieBreak)
+    val ordered = (version +: tieBreak +: rest.toSeq)
+    df.groupBy(keys.map(col): _*)
+      .agg(max(struct(ordered.map(col): _*)).as("__w"))
+      .select(keys.map(col) ++ ordered.map(c => col(s"__w.$c").as(c)): _*)
+  }
 }

@@ -141,4 +141,29 @@ object Sampling {
       .withColumn("position", row_number().over(w).cast("long"))
       .withColumnRenamed("__shard", "shard")
   }
+
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006): each row gets priority −ln(u)/w where u ∈ (0,1] is a
+    * hash-uniform deterministic "random" and w its weight; the n smallest
+    * priorities are exactly a w-proportional sample without replacement.
+    * `rand()`-free, so the same rows are drawn on every run and engine —
+    * the quality-weighted corpus subsampling step.
+    *
+    * u = (hash60(key ∥ salt) + 1) / 2^60 (never 0, so ln is finite). The
+    * priority is scaled ×1e6 and rounded to 4 dp before ranking so both
+    * engines rank identical values (key tie-break → total order).
+    *
+    * Scale shape: the priority is a narrow per-row expression; the global
+    * top-n compiles to TakeOrderedAndProject — per-partition heap top-n +
+    * driver merge of n·partitions rows, never a global sort. */
+  def weightedSample(df: DataFrame, key: Column, weight: Column, n: Int,
+                     salt: String = ""): DataFrame = {
+    require(n > 0, "n must be positive")
+    val u = (Dedup.hash60(concat(key.cast("string"), lit(salt))) + lit(1L))
+      .cast("double") / lit(1152921504606846976.0) // 2^60
+    val priority = round(-log(u) * lit(1000000.0) / weight, 4)
+    df.withColumn("priority", priority)
+      .orderBy(col("priority"), key)
+      .limit(n)
+  }
 }

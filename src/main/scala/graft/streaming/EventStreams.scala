@@ -173,4 +173,29 @@ object EventStreams {
     }
     spark.table(name)
   }
+
+  /** Stream-static enrichment join: the event stream joined per
+    * micro-batch against a BATCH dimension table (the standard streaming
+    * enrichment — no state, no watermark; the static side is re-resolved
+    * each micro-batch, broadcast-hashed because dimensions are small).
+    * Emits one enriched row per event in append mode, so a bounded run's
+    * emitted set is exactly the batch join — the oracle is plain join SQL.
+    * Inner join: fixture user ids all resolve; production would left-join
+    * a late-arriving dimension. */
+  def runStaticEnrich(spark: SparkSession, dir: String,
+                      name: String = "graft_stream_enrich"): DataFrame = {
+    spark.catalog.dropTempView(name)
+    val dim = Tables.t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    withStreamPartitions(spark) {
+      val q = readEventStream(spark, dir)
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("user_id"),
+          col("c_mktsegment").as("segment"), col("value"))
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    spark.table(name)
+  }
 }

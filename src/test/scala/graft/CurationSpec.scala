@@ -385,4 +385,82 @@ class CurationSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSet
     assert(got === Set(("a", 1L, 1L), ("a", 2L, 2L), ("b", 3L, 1L)))
   }
+
+  // ------------------------------------------------------------------- BM25
+
+  test("property: bm25TopTerms == driver-side Okapi reference") {
+    val k1 = 1.2; val b = 0.75
+    (0 until 3).foreach { round =>
+      val docs = gen(org.scalacheck.Gen.listOfN(25, textGen), 900L + round)
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val n = docs.size
+      val toks = docs.map { case (id, t) => (id, t.split(" ").toSeq) }
+      val avgdl = toks.map(_._2.size).sum.toDouble / n
+      val tf = toks.flatMap { case (id, ts) =>
+        ts.groupBy(identity).map { case (term, g) =>
+          (id, term, g.size.toLong, ts.size.toLong) }
+      }
+      val dfreq = tf.groupBy(_._2).map { case (term, g) => term -> g.size.toLong }
+      def score(tfv: Long, dfv: Long, dl: Long): Double = {
+        val idf = math.log(1.0 + (n - dfv + 0.5) / (dfv + 0.5))
+        val raw = idf * tfv * (k1 + 1.0) / (tfv + k1 * (1.0 - b + b * dl / avgdl))
+        BigDecimal(raw).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val expected = tf.groupBy(_._1).flatMap { case (id, terms) =>
+        terms.map { case (_, term, tfv, dl) =>
+          (term, tfv, dfreq(term), dl, score(tfv, dfreq(term), dl)) }
+          .sortBy { case (term, _, _, _, sc) => (-sc, term) }
+          .take(3).zipWithIndex
+          .map { case ((term, tfv, dfv, dl, sc), i) => (id, i + 1L, term, tfv, dfv, dl, sc) }
+      }.toSet
+      val got = Curate.bm25TopTerms(docs.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), k = 3)
+        .as[(Long, Long, String, Long, Long, Long, Double)].collect().toSet
+      assert(got === expected, s"round $round")
+    }
+  }
+
+  // -------------------------------------------------------- latest snapshot
+
+  test("latestSnapshot: max version wins, tieBreak decides equal versions, payload rides") {
+    val df = Seq(
+      (1L, "page", 10L, 100L, "v1"),
+      (1L, "page", 30L, 101L, "v3"),   // winner: highest version
+      (1L, "page", 30L, 99L, "stale"), // same version, lower tiebreak
+      (1L, "api", 5L, 50L, "only"),
+      (2L, "page", 7L, 70L, "solo")
+    ).toDF("uid", "kind", "ver", "fetch_id", "body")
+    val got = Dedup.latestSnapshot(df, keys = Seq("uid", "kind"),
+      version = "ver", tieBreak = "fetch_id")
+      .select("uid", "kind", "ver", "fetch_id", "body")
+      .as[(Long, String, Long, Long, String)].collect().toSet
+    assert(got === Set(
+      (1L, "page", 30L, 101L, "v3"),
+      (1L, "api", 5L, 50L, "only"),
+      (2L, "page", 7L, 70L, "solo")))
+  }
+
+  // -------------------------------------------------------- weighted sample
+
+  test("weightedSample: matches driver-side Efraimidis-Spirakis reference") {
+    val rows = (1L to 200L).map(i => (i, 10L + (i * 7) % 90)) // weights 10..99
+    val df = rows.toDF("id", "w")
+    def priority(id: Long, w: Long): Double = {
+      val u = (md5PrefixLong(id.toString, 15) + 1).toDouble / 1152921504606846976.0
+      BigDecimal(-math.log(u) * 1000000.0 / w)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = rows.map { case (id, w) => (id, w, priority(id, w)) }
+      .sortBy { case (id, _, p) => (p, id) }.take(20)
+    val got = Sampling.weightedSample(df, col("id"), col("w"), n = 20)
+      .orderBy("priority", "id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === expected)
+    // higher weight must never hurt: doubling every weight halves priorities
+    // monotonically, so the same hash draw keeps relative order
+    val doubled = Sampling.weightedSample(
+      df.withColumn("w", col("w") * 2), col("id"), col("w"), n = 20)
+      .orderBy("priority", "id").select("id").as[Long].collect().toSeq
+    assert(doubled === expected.map(_._1))
+  }
 }

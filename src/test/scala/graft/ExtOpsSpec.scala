@@ -249,4 +249,15 @@ class ExtOpsSpec extends SparkSpec {
       .orderBy("hour_ts", "event_type"))
     assert(streamed === batch)
   }
+
+  test("stream-static enrichment join equals the batch join") {
+    val streamed = rows(EventStreams.runStaticEnrich(spark, sf, "graft_enrich_spec")
+      .orderBy("event_id"))
+    val batch = rows(Tables.t(spark, sf, "events")
+      .join(Tables.t(spark, sf, "customer"), col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"),
+        col("c_mktsegment").as("segment"), col("value"))
+      .orderBy("event_id"))
+    assert(streamed === batch)
+  }
 }

@@ -14,7 +14,8 @@ class PlanAuditSpec extends SparkSpec {
     "q07_norm_minmax", "q08_norm_zscore", "q09_norm_robust",
     "q10_composite_index", "q24_similarity_cosine", "q29_ann_lsh",
     "q39_ann_ivf", "q49_training_prep", "q54_sql_native_fn",
-    "q72_ann_quantized", "q80_tfidf_terms", "q83_length_curriculum")
+    "q72_ann_quantized", "q80_tfidf_terms", "q83_length_curriculum",
+    "q92_bm25_terms") // (N, avgdl) one-row stats broadcast, like q80's N
 
   test("no CartesianProduct in any query plan; BNLJ only on whitelisted 1-row builds") {
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
