@@ -1679,10 +1679,71 @@ object ExtQueries {
       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** SCD-2 validity intervals ([[Sessionize.scdIntervals]]): half-open
+    * [from, next-from) per key observation, latest flagged current. */
+  private val q96 = QDef("q96_scd_intervals",
+    (s, dir) => Sessionize.scdIntervals(
+      T(s, dir, "events").select(col("user_id"), col("event_type"),
+        col("event_id"), unix_micros(col("ts")).as("ts_us")),
+      keys = Seq(col("user_id"), col("event_type")),
+      version = col("ts_us"), tieBreak = col("event_id"))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("valid_from").as("valid_from_us"), col("valid_to").as("valid_to_us"),
+        col("is_current"))
+      .orderBy("user_id", "event_type", "valid_from_us", "event_id"),
+    Some("""WITH x AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS vf,
+      |        lead(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+      |          ORDER BY epoch_us(ts), event_id) AS vt
+      |      FROM events)
+      |SELECT user_id, event_type, event_id, vf AS valid_from_us,
+      |       vt AS valid_to_us,
+      |       CAST(CASE WHEN vt IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+      |FROM x ORDER BY user_id, event_type, valid_from_us, event_id""".stripMargin))
+
+  /** TPC-H-Q5-shaped star join: fact⋈fact shuffle on the order key, all
+    * dimensions collapsed into ONE broadcast build (region filter applied
+    * before the broadcast, order-date predicate pushed to the fact scan).
+    * Revenue in integer cents — per-row quantization is engine-identical
+    * and the long sum is order-independent, so no float-sum drift across
+    * 100k-row groups (the one place round(sum(double),4) genuinely can
+    * disagree between engines). */
+  private val q97 = QDef("q97_star_revenue",
+    (s, dir) => {
+      val dims = T(s, dir, "customer")
+        .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(T(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name").isin("ASIA", "EUROPE"))
+        .select(col("c_custkey"), col("n_name").as("nation"))
+      T(s, dir, "lineitem")
+        .join(T(s, dir, "orders").where(col("o_orderdate") >= lit("1997-01-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("nation"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 100, 0).cast("long")).as("revenue_c"),
+          count(lit(1)).as("n_items"))
+        .withColumn("revenue", col("revenue_c").cast("double") / lit(100.0))
+        .orderBy(desc("revenue_c"), col("nation"))
+    },
+    Some("""SELECT n.n_name AS nation,
+      |  CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100, 0)
+      |    AS BIGINT)) AS BIGINT) AS revenue_c,
+      |  count(*) AS n_items,
+      |  CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100, 0)
+      |    AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE r.r_name IN ('ASIA', 'EUROPE')
+      |GROUP BY 1 ORDER BY revenue_c DESC, nation""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
-    q95)
+    q95, q96, q97)
 }

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -48,6 +48,25 @@ object Sessionize {
     * Used where session_window can't express the semantics (e.g. emitting
     * mid-session markers); equivalence with the batch path is pinned in
     * the unit suite. */
+  /** SCD-2 validity intervals from an event/snapshot history: per key, each
+    * observation is valid from its own timestamp until the NEXT
+    * observation's (half-open [from, to)); the latest has valid_to null and
+    * is flagged current. The standard "mutable entity → history table"
+    * builder (page re-crawls, profile updates, price changes).
+    *
+    * Scale shape: one shuffle keyed by the entity key; `lead` is a per-key
+    * sorted window — partitions are entity-sized, never corpus-sized. The
+    * (version, tieBreak) order is total, so intervals are deterministic
+    * under same-timestamp observations. */
+  def scdIntervals(df: DataFrame, keys: Seq[Column], version: Column,
+                   tieBreak: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(version, tieBreak)
+    df.withColumn("valid_from", version)
+      .withColumn("valid_to", lead(version, 1).over(w))
+      .withColumn("is_current", when(col("valid_to").isNull, 1L).otherwise(0L))
+  }
+
   def statefulSessions(events: Dataset[SessEvent], gapUs: Long)(
       implicit spark: SparkSession): Dataset[SessionOut] = {
     import spark.implicits._

@@ -326,4 +326,24 @@ class SessionAsofSpec extends SparkSpec {
     assert(rTrained >= rInit - 1e-9,
       f"k-means ($rTrained%.3f) should not lose to lowest-id init ($rInit%.3f)")
   }
+
+  test("scdIntervals: half-open chain per key, tieBreak orders equal versions, latest current") {
+    val df = Seq(
+      (1L, "price", 100L, 10L),
+      (1L, "price", 105L, 11L), // same version later tiebreak -> second
+      (1L, "price", 105L, 9L),  // same version lower tiebreak -> first of the tie
+      (1L, "stock", 50L, 20L),
+      (2L, "price", 7L, 30L)
+    ).toDF("ent", "attr", "ver", "obs_id")
+    val got = Sessionize.scdIntervals(df, Seq(col("ent"), col("attr")),
+      col("ver"), col("obs_id"))
+      .select("ent", "attr", "obs_id", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, Long, Long, Option[Long], Long)].collect().toSet
+    assert(got === Set(
+      (1L, "price", 10L, 100L, Some(105L), 0L),
+      (1L, "price", 9L, 105L, Some(105L), 0L), // tie: 9 precedes 11
+      (1L, "price", 11L, 105L, None, 1L),
+      (1L, "stock", 20L, 50L, None, 1L),
+      (2L, "price", 30L, 7L, None, 1L)))
+  }
 }
