@@ -1740,10 +1740,47 @@ object ExtQueries {
       |WHERE r.r_name IN ('ASIA', 'EUROPE')
       |GROUP BY 1 ORDER BY revenue_c DESC, nation""".stripMargin))
 
+  /** Data-quality validation report ([[Expectations]]): four row-level
+    * checks in ONE scan + uniqueness + referential integrity; the domain
+    * check deliberately fires on 'error' events so the report exercises a
+    * failing row. */
+  private val q98 = QDef("q98_quality_report",
+    (s, dir) => {
+      val ev = T(s, dir, "events")
+      import Expectations.Check
+      val rowLevel = Expectations.rowChecks(ev, Seq(
+        Check("props_not_null", col("props").isNull),
+        Check("type_in_domain",
+          !col("event_type").isin("click", "view", "purchase", "signup")),
+        Check("value_le_100", col("value") > 100),
+        Check("value_nonnegative", col("value") < 0)))
+      Expectations.report(rowLevel,
+        Expectations.uniqueCheck(ev, "event_id_unique", col("event_id")),
+        Expectations.refIntegrityCheck(ev, "user_fk_valid", col("user_id"),
+          T(s, dir, "customer"), col("c_custkey")))
+        .orderBy("check_name")
+    },
+    Some("""WITH rowc AS (
+      |  SELECT 'props_not_null' AS check_name,
+      |         count(*) FILTER (props IS NULL) AS n_violations FROM events
+      |  UNION ALL SELECT 'type_in_domain', count(*) FILTER
+      |    (event_type NOT IN ('click', 'view', 'purchase', 'signup')) FROM events
+      |  UNION ALL SELECT 'value_le_100', count(*) FILTER (value > 100) FROM events
+      |  UNION ALL SELECT 'value_nonnegative', count(*) FILTER (value < 0) FROM events
+      |  UNION ALL SELECT 'event_id_unique',
+      |    (SELECT count(*) FROM (SELECT event_id FROM events
+      |      GROUP BY 1 HAVING count(*) > 1))
+      |  UNION ALL SELECT 'user_fk_valid',
+      |    (SELECT count(*) FROM events e WHERE NOT EXISTS
+      |      (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)))
+      |SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
+      |       CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+      |FROM rowc ORDER BY check_name""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
-    q95, q96, q97)
+    q95, q96, q97, q98)
 }

@@ -463,4 +463,36 @@ class CurationSpec extends SparkSpec {
       .orderBy("priority", "id").select("id").as[Long].collect().toSeq
     assert(doubled === expected.map(_._1))
   }
+
+  // ------------------------------------------------------------ expectations
+
+  test("Expectations: row checks in one scan, uniqueness and RI counted exactly") {
+    import Expectations.Check
+    val rows = Seq(
+      (1L, "ok", Some(5.0)),
+      (2L, "ok", None),        // null value
+      (2L, "bad", Some(-1.0)), // dup id + out-of-domain + negative
+      (3L, "ok", Some(7.0))
+    ).toDF("id", "kind", "v")
+    val ref = Seq(1L, 2L).toDF("pk") // id 3 violates RI
+    val got = Expectations.report(
+      Expectations.rowChecks(rows, Seq(
+        Check("v_not_null", col("v").isNull),
+        Check("kind_in_domain", !col("kind").isin("ok")),
+        Check("v_nonnegative", col("v") < 0))),
+      Expectations.uniqueCheck(rows, "id_unique", col("id")),
+      Expectations.refIntegrityCheck(rows, "fk_valid", col("id"), ref, col("pk")))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("v_not_null", 1L, 0L),
+      ("kind_in_domain", 1L, 0L),
+      ("v_nonnegative", 1L, 0L),
+      ("id_unique", 1L, 0L),   // one offending KEY (id=2), not two rows
+      ("fk_valid", 1L, 0L)))
+    // a clean table passes everything
+    val clean = Expectations.rowChecks(rows.where(col("id") === 1L),
+      Seq(Check("v_not_null", col("v").isNull)))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(clean === Seq(("v_not_null", 0L, 1L)))
+  }
 }
