@@ -1777,10 +1777,27 @@ object ExtQueries {
       |       CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
       |FROM rowc ORDER BY check_name""".stripMargin))
 
+  /** GROUPING SETS through the shared SQL front door (completes the
+    * rollup/cube/grouping-sets trio — one SQL text, both engines).
+    * l_quantity is an integral double in the fixture, so the per-row
+    * BIGINT cast is engine-identical and the sum order-independent. */
+  private val Q99Sql =
+    """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+      | coalesce(l_linestatus, 'ALL') AS status,
+      | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      | count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY flag, status""".stripMargin
+
+  private val q99 = QDef("q99_grouping_sets",
+    (s, dir) => sqlOnViews(s, dir, Seq("lineitem"), Q99Sql),
+    Some(Q99Sql))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
-    q95, q96, q97, q98)
+    q95, q96, q97, q98, q99)
 }
