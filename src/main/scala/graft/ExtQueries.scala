@@ -1794,10 +1794,43 @@ object ExtQueries {
     (s, dir) => sqlOnViews(s, dir, Seq("lineitem"), Q99Sql),
     Some(Q99Sql))
 
+  /** JL random projection over int8-quantized embeddings
+    * ([[Similarity.randomProjection]]): integral inputs make every partial
+    * sum float-exact in any order; outDim 16 → exact /4 scale. Exploded to
+    * scalars for the gate like q69. */
+  private val q100 = QDef("q100_random_projection",
+    (s, dir) => T(s, dir, "embeddings")
+      // spread the single-split scan, and materialize the quantized array
+      // as an ATTRIBUTE before the projection lambdas reference it —
+      // interpreted HOFs get no CSE, so the inline spelling re-runs the
+      // whole quantize tree per element_at (the q87 lesson; measured 209 s
+      // vs 14 s for this query at sf0.01)
+      .repartition(s.sessionState.conf.numShufflePartitions)
+      .select(col("vec_id"),
+        Similarity.quantizeVec(col("embedding").cast("array<double>")).as("__q"))
+      .select(col("vec_id"),
+        posexplode(Similarity.randomProjection(col("__q"), outDim = 16, inDim = 64)))
+      .select(col("vec_id"), col("pos").as("k"), col("col").as("p"))
+      .orderBy("vec_id", "k"),
+    Some(s"""WITH s AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+      |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS sc
+      | FROM embeddings),
+      |q AS (SELECT vec_id, CASE WHEN sc = 0 THEN list_transform(v, x -> 0.0)
+      |        ELSE list_transform(v, x -> round(x / sc * 127)) END AS qv FROM s),
+      |m AS (SELECT k, d, CASE WHEN
+      |        ${hashSql("CAST(k AS VARCHAR) || '_' || CAST(d AS VARCHAR)", 7)} % 2 = 0
+      |        THEN 1.0 ELSE -1.0 END AS sgn
+      |      FROM range(0, 16) r1(k), range(0, 64) r2(d)),
+      |x AS (SELECT vec_id, m.k, sum(m.sgn * qv[m.d + 1]) / 4.0 AS p
+      |      FROM q, m GROUP BY 1, 2)
+      |SELECT vec_id, CAST(k AS INTEGER) AS k, p FROM x
+      |ORDER BY vec_id, k""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
-    q95, q96, q97, q98, q99)
+    q95, q96, q97, q98, q99, q100)
 }

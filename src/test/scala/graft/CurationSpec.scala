@@ -464,6 +464,34 @@ class CurationSpec extends SparkSpec {
     assert(doubled === expected.map(_._1))
   }
 
+  // -------------------------------------------------------- random projection
+
+  test("randomProjection: equals the driver-side sign-matrix fold; JL distances sane") {
+    val rnd = new scala.util.Random(11)
+    val dim = 32; val out = 16
+    val vecs = (1L to 40L).map(i =>
+      (i, Array.fill(dim)(rnd.nextInt(255) - 127).map(_.toDouble)))
+    def sign(k: Int, d: Int): Double =
+      if (md5PrefixLong(s"${k}_$d", 7) % 2 == 0) 1.0 else -1.0
+    def proj(v: Array[Double]): Array[Double] =
+      Array.tabulate(out)(k => v.indices.map(d => sign(k, d) * v(d)).sum / 4.0)
+    val expected = vecs.map { case (id, v) => (id, proj(v).toSeq) }.toSet
+    val got = vecs.toDF("id", "v")
+      .select(col("id"), Similarity.randomProjection(col("v"), out, dim).as("p"))
+      .as[(Long, Seq[Double])].collect().toSet
+    assert(got === expected)
+    // JL sanity on this draw: projected pairwise distances within a loose
+    // multiplicative band of the originals (no flake margin needed — data
+    // and matrix are deterministic; measured [0.56, 1.51] on this seed)
+    def dist(a: Array[Double], b: Array[Double]) =
+      math.sqrt(a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum)
+    val ratios = for {
+      i <- vecs.indices; j <- (i + 1) until vecs.size
+    } yield dist(proj(vecs(i)._2), proj(vecs(j)._2)) / dist(vecs(i)._2, vecs(j)._2)
+    assert(ratios.forall(r => r > 0.3 && r < 2.0),
+      f"distortion out of band: min=${ratios.min}%.3f max=${ratios.max}%.3f")
+  }
+
   // ------------------------------------------------------------ expectations
 
   test("Expectations: row checks in one scan, uniqueness and RI counted exactly") {
