@@ -1827,10 +1827,78 @@ object ExtQueries {
       |SELECT vec_id, CAST(k AS INTEGER) AS k, p FROM x
       |ORDER BY vec_id, k""".stripMargin))
 
+  /** Hive-partitioned staging roundtrip ([[Staging.stagePartitioned]]):
+    * like q20 this IS the sink operator, side effects included — stage
+    * events partitioned by event_type, read back through the partition
+    * filter (directory pruning, pinned in the unit suite), aggregate.
+    * Oracle: the same aggregate on the original table. */
+  private val q101 = QDef("q101_partitioned_stage",
+    (s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_part_q101").toString
+      Staging.stagePartitioned(
+        T(s, dir, "events").select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")),
+        path, "event_type")
+      s.read.parquet(path)
+        .where(col("event_type") === "click")
+        .groupBy(date_format(date_trunc("hour", col("ts")),
+          "yyyy-MM-dd HH:mm:ss").as("hour_ts"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy("hour_ts")
+    },
+    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+      |  count(*) AS n, count(DISTINCT user_id) AS n_users
+      |FROM events WHERE event_type = 'click'
+      |GROUP BY 1 ORDER BY hour_ts""".stripMargin))
+
+  /** Ranking-function suite: ntile/percent_rank/cume_dist under a TOTAL
+    * order (unique tie-break makes ntile deterministic; percent_rank and
+    * cume_dist are exact rationals of identical ints in both engines). */
+  private val q102 = QDef("q102_window_ranks",
+    (s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      T(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 4).as("pct_rank"),
+          round(cume_dist().over(w), 4).as("cume"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_mktsegment, c_acctbal,
+      |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+      |  round(percent_rank() OVER w, 4) AS pct_rank,
+      |  round(cume_dist() OVER w, 4) AS cume
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_custkey""".stripMargin))
+
+  /** Dedup-grade normalization ([[TextAnalysis.normalizeForDedup]]) +
+    * canonical-group stats keyed on the normalized form. */
+  private val q103 = QDef("q103_normalize_dedup",
+    (s, dir) => {
+      val n = T(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.normalizeForDedup(col("text")).as("__nt"))
+      val w = Window.partitionBy(col("__nt"))
+      n.select(col("doc_id"),
+          length(col("__nt")).cast("long").as("norm_len"),
+          count(lit(1)).over(w).as("n_same"),
+          (min(col("doc_id")).over(w) === col("doc_id")).cast("long").as("is_canonical"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+      |          lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS nt
+      |      FROM documents)
+      |SELECT doc_id, CAST(len(nt) AS BIGINT) AS norm_len,
+      |  CAST(count(*) OVER (PARTITION BY nt) AS BIGINT) AS n_same,
+      |  CAST(CASE WHEN min(doc_id) OVER (PARTITION BY nt) = doc_id
+      |       THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+      |FROM n ORDER BY doc_id""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
-    q95, q96, q97, q98, q99, q100)
+    q95, q96, q97, q98, q99, q100, q101, q102, q103)
 }

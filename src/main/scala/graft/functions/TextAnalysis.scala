@@ -173,6 +173,16 @@ object TextAnalysis {
   /** PII patterns — restricted to the regex subset with identical semantics
     * in Java regex (Spark codegen) and RE2 (DuckDB): explicit character
     * classes, bounded repetition, no lookaround/backreferences. */
+  /** Dedup-grade text normalization: lowercase, strip everything outside
+    * [a-z0-9 ], collapse whitespace runs, trim — the canonical form exact
+    * dedup should key on so case/punctuation variants of the same content
+    * collapse (the standard pre-dedup normalize in web-corpus pipelines).
+    * Pure narrow codegen expression chain; mirror in SQL with the same
+    * regexes (global-flag replace). */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
   val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
   val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"

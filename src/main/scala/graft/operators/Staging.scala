@@ -52,4 +52,17 @@ object Staging {
     df.repartitionByRange(nFiles, keys: _*)
       .sortWithinPartitions(keys: _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Hive-style partitioned parquet staging — the directory-pruning
+    * layout (`path/col=value/...`). A later scan with an equality/IN
+    * predicate on the partition column never LISTS the other directories
+    * (`PartitionFilters` in the plan, vs `PushedFilters` row-group
+    * pruning): at 100 TB a per-day/per-source layout turns a full-table
+    * scan into reading one partition's files. Choose LOW-cardinality
+    * columns — each distinct value is a directory, and tiny partitions
+    * make many tiny files (the small-files problem); high-cardinality
+    * pruning belongs to [[stageSorted]] zone maps instead. Pruning is
+    * pinned in the unit suite and exercised by q101. */
+  def stagePartitioned(df: DataFrame, path: String, cols: String*): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
 }

@@ -123,4 +123,28 @@ class ScaleSpec extends SparkSpec {
     val back = spark.read.parquet(path)
     assert(back.exceptAll(e).isEmpty && e.exceptAll(back).isEmpty)
   }
+
+  test("stagePartitioned: directory layout, partition filter prunes, content preserved") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.t(spark, sf, "events")
+      .select("event_id", "user_id", "event_type")
+    val path = "target/test_stage_partitioned"
+    Staging.stagePartitioned(e, path, "event_type")
+    // hive layout: one directory per distinct partition value
+    val dirs = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs === Set("event_type=click", "event_type=view",
+      "event_type=purchase", "event_type=signup", "event_type=error"))
+    // the equality predicate must land in PartitionFilters (directory
+    // pruning), NOT survive as a post-scan Filter
+    val q = spark.read.parquet(path).where(col("event_type") === "click")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_type"),
+      s"partition filter not pushed:\n$plan")
+    // pruned read returns exactly the clicks
+    assert(q.count() === e.where(col("event_type") === "click").count())
+    // full-path read preserves content (partition column restored)
+    val back = spark.read.parquet(path).select("event_id", "user_id", "event_type")
+    assert(back.exceptAll(e).isEmpty && e.exceptAll(back).isEmpty)
+  }
 }
