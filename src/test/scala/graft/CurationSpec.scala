@@ -464,6 +464,67 @@ class CurationSpec extends SparkSpec {
     assert(doubled === expected.map(_._1))
   }
 
+  // ---------------------------------------- property pins, round-5 operators
+
+  test("property: bloomPassageHits == driver-side exact passage containment") {
+    val pk = 3
+    (0 until 3).foreach { round =>
+      val corpus = gen(org.scalacheck.Gen.listOfN(15, textGen), 1100L + round)
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val batch = gen(org.scalacheck.Gen.listOfN(15, textGen), 1200L + round)
+        .zipWithIndex.map { case (t, i) => (100L + i, t) }
+      def passages(t: String): Seq[String] =
+        t.split(" ").grouped(pk).filter(_.length == pk).map(_.mkString(" ")).toSeq
+      val corpusSet = corpus.flatMap(c => passages(c._2)).toSet
+      val expected = batch.map { case (id, t) =>
+        val ps = passages(t)
+        val hits = ps.count(corpusSet.contains)
+        (id, ps.size.toLong, hits.toLong, if (hits == 0) 1L else 0L)
+      }.toSet
+      val got = Dedup.bloomPassageHits(batch.toDF("doc_id", "text"),
+        corpus.toDF("doc_id", "text"), col("text"), col("doc_id"), pk = pk)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got === expected, s"round $round")
+    }
+  }
+
+  test("property: latestSnapshot == driver-side (version, tiebreak) argmax") {
+    (0 until 3).foreach { round =>
+      val rnd = new scala.util.Random(1300 + round)
+      val rows = (1 to 120).map(i =>
+        (rnd.nextInt(8).toLong, rnd.nextInt(3).toLong, rnd.nextInt(5).toLong,
+          i.toLong, rnd.nextInt(100).toDouble))
+      val expected = rows.groupBy(r => (r._1, r._2)).values.map(g =>
+        g.maxBy(r => (r._3, r._4))).toSet
+      val got = Dedup.latestSnapshot(
+        rows.toDF("k1", "k2", "ver", "obs", "payload"),
+        keys = Seq("k1", "k2"), version = "ver", tieBreak = "obs")
+        .select("k1", "k2", "ver", "obs", "payload")
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      assert(got === expected, s"round $round")
+    }
+  }
+
+  test("property: scdIntervals == driver-side sorted-lead reference") {
+    (0 until 3).foreach { round =>
+      val rnd = new scala.util.Random(1400 + round)
+      val rows = (1 to 100).map(i =>
+        (rnd.nextInt(6).toLong, rnd.nextInt(40).toLong, i.toLong))
+      val expected = rows.groupBy(_._1).values.flatMap { g =>
+        val sorted = g.sortBy(r => (r._2, r._3))
+        sorted.zipWithIndex.map { case ((k, v, id), i) =>
+          val next = if (i + 1 < sorted.size) Some(sorted(i + 1)._2) else None
+          (k, id, v, next, if (next.isEmpty) 1L else 0L)
+        }
+      }.toSet
+      val got = Sessionize.scdIntervals(rows.toDF("k", "ver", "obs"),
+        Seq(col("k")), col("ver"), col("obs"))
+        .select("k", "obs", "valid_from", "valid_to", "is_current")
+        .as[(Long, Long, Long, Option[Long], Long)].collect().toSet
+      assert(got === expected, s"round $round")
+    }
+  }
+
   // -------------------------------------------------------- random projection
 
   test("randomProjection: equals the driver-side sign-matrix fold; JL distances sane") {
