@@ -1895,10 +1895,53 @@ object ExtQueries {
       |       THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
       |FROM n ORDER BY doc_id""".stripMargin))
 
+  /** Correlated LATERAL subquery (Spark 4 SQL surface): per-customer
+    * top-2 orders through the shared SQL front door. The inner ORDER
+    * BY/LIMIT has a unique tie-break, so the emitted set is total. */
+  private val Q104Sql =
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+
+  private val q104 = QDef("q104_lateral_topk",
+    (s, dir) => sqlOnViews(s, dir, Seq("customer", "orders"), Q104Sql),
+    Some(Q104Sql))
+
+  /** Recursive CTE (Spark 4 SQL surface): walk each customer's order
+    * chain through precomputed `lead` successor pointers — recursion over
+    * a linked list is acyclic and exact under UNION ALL (Spark does not
+    * yet support UNION-distinct recursion, so cyclic closures like the
+    * q45 oracle's stay on the DataFrame CC loop). Depth = max orders per
+    * customer (25 at both gate SFs, under the 100-level default). One
+    * shared SQL text, both engines. */
+  private val Q105Sql =
+    """WITH RECURSIVE nxt AS (
+      |  SELECT o_custkey, o_orderkey,
+      |    lead(o_orderkey) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS next_key,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS rn
+      |  FROM orders),
+      |chain(o_custkey, o_orderkey, next_key, rnk) AS (
+      |  SELECT o_custkey, o_orderkey, next_key, CAST(1 AS BIGINT) FROM nxt
+      |  WHERE rn = 1
+      |  UNION ALL
+      |  SELECT n.o_custkey, n.o_orderkey, n.next_key, c.rnk + 1
+      |  FROM chain c JOIN nxt n ON n.o_orderkey = c.next_key)
+      |SELECT o_custkey, o_orderkey, rnk FROM chain
+      |ORDER BY o_custkey, rnk""".stripMargin
+
+  private val q105 = QDef("q105_recursive_chain",
+    (s, dir) => sqlOnViews(s, dir, Seq("orders"), Q105Sql),
+    Some(Q105Sql))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
-    q95, q96, q97, q98, q99, q100, q101, q102, q103)
+    q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105)
 }
