@@ -1938,10 +1938,47 @@ object ExtQueries {
     (s, dir) => sqlOnViews(s, dir, Seq("orders"), Q105Sql),
     Some(Q105Sql))
 
+  /** Round-5 curation tranche composed end-to-end: normalize → canonical
+    * exact dedup (keep min id per normalized form) → skew-proof per-source
+    * cap → Efraimidis–Spirakis weighted draw. One lazy plan; every stage's
+    * scale shape documented on its operator. */
+  private val q106 = QDef("q106_curation_pipeline",
+    (s, dir) => {
+      val norm = T(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          TextAnalysis.normalizeForDedup(col("text")).as("__nt"))
+      val canon = norm
+        .withColumn("__kid", min(col("doc_id")).over(Window.partitionBy(col("__nt"))))
+        .where(col("doc_id") === col("__kid"))
+        .select("doc_id", "source", "n_chars")
+      val capped = Curate.capPerGroup(canon, col("source"),
+        Seq(desc("n_chars"), col("doc_id")), col("doc_id"), n = 10)
+        .drop("rk")
+      Sampling.weightedSample(capped, col("doc_id"), col("n_chars"), n = 50)
+        .orderBy("priority", "doc_id")
+    },
+    Some(s"""WITH n AS (SELECT doc_id, source, n_chars,
+      |        trim(regexp_replace(regexp_replace(lower(text),
+      |          '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS nt
+      |      FROM documents),
+      |canon AS (SELECT doc_id, source, n_chars FROM (
+      |        SELECT *, min(doc_id) OVER (PARTITION BY nt) AS kid FROM n)
+      |      WHERE doc_id = kid),
+      |capped AS (SELECT doc_id, source, n_chars FROM (
+      |        SELECT *, row_number() OVER (PARTITION BY source
+      |          ORDER BY n_chars DESC, doc_id) AS rk FROM canon)
+      |      WHERE rk <= 10),
+      |p AS (SELECT doc_id, source, n_chars,
+      |        round(-ln((${hashSql("CAST(doc_id AS VARCHAR)", 15)} + 1)
+      |            / 1152921504606846976.0) * 1000000.0 / n_chars, 4) AS priority
+      |      FROM capped)
+      |SELECT doc_id, source, n_chars, priority FROM p
+      |ORDER BY priority, doc_id LIMIT 50""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
-    q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105)
+    q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106)
 }
