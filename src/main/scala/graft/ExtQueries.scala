@@ -1910,13 +1910,16 @@ object ExtQueries {
     (s, dir) => sqlOnViews(s, dir, Seq("customer", "orders"), Q104Sql),
     Some(Q104Sql))
 
-  /** Recursive CTE (Spark 4 SQL surface): walk each customer's order
-    * chain through precomputed `lead` successor pointers — recursion over
-    * a linked list is acyclic and exact under UNION ALL (Spark does not
-    * yet support UNION-distinct recursion, so cyclic closures like the
-    * q45 oracle's stay on the DataFrame CC loop). Depth = max orders per
-    * customer (25 at both gate SFs, under the 100-level default). One
-    * shared SQL text, both engines. */
+  /** Recursive CTE (Spark 4 SQL surface): walk the first 8 hops of each
+    * customer's order chain through precomputed `lead` successor pointers
+    * — recursion over a linked list is acyclic and exact under UNION ALL
+    * (Spark does not yet support UNION-distinct recursion, so cyclic
+    * closures like the q45 oracle's stay on the DataFrame CC loop). The
+    * explicit depth guard is the scale-relevant pattern: each recursion
+    * level is one distributed join (~0.35 s fixed cost on the bounded
+    * fixture), so traversals are bounded BY CONSTRUCTION — never "walk
+    * until done" on a corpus-sized graph. One shared SQL text, both
+    * engines. */
   private val Q105Sql =
     """WITH RECURSIVE nxt AS (
       |  SELECT o_custkey, o_orderkey,
@@ -1930,7 +1933,8 @@ object ExtQueries {
       |  WHERE rn = 1
       |  UNION ALL
       |  SELECT n.o_custkey, n.o_orderkey, n.next_key, c.rnk + 1
-      |  FROM chain c JOIN nxt n ON n.o_orderkey = c.next_key)
+      |  FROM chain c JOIN nxt n ON n.o_orderkey = c.next_key
+      |  WHERE c.rnk < 8)
       |SELECT o_custkey, o_orderkey, rnk FROM chain
       |ORDER BY o_custkey, rnk""".stripMargin
 
