@@ -504,8 +504,15 @@ object Dedup {
     // compCk is always the RAW localCheckpoint handle (its plan is the
     // LogicalRDD leaf) — CheckpointUtils needs it to free blocks; comp is
     // the projected view iterated on.
-    var compCk = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp")).localCheckpoint()
+    // Seed with comp(v) = min(v, min neighbor) — exactly what the first
+    // loop iteration would compute, but as ONE aggregate over the edge
+    // list instead of a join+agg+jump round (node enumeration needed an
+    // aggregate-shaped distinct anyway, so the seed is free and the loop
+    // converges one full iteration earlier).
+    var compCk = sym.groupBy(col("src"))
+      .agg(min(col("dst")).as("__mn"))
+      .select(col("src").as("id"), least(col("src"), col("__mn")).as("comp"))
+      .localCheckpoint()
     var comp = compCk
     var i = 0
     var done = false
