@@ -1979,10 +1979,129 @@ object ExtQueries {
       |SELECT doc_id, source, n_chars, priority FROM p
       |ORDER BY priority, doc_id LIMIT 50""".stripMargin))
 
+  /** KMV bottom-k distinct sketch ([[Sketches.kmvDistinct]]): per-source
+    * vocabulary-size estimate over the token stream. Bounded state per
+    * group (k hashes) vs count_distinct's cardinality-sized state — the
+    * mergeable-sketch path for distinct counts at corpus scale, with an
+    * engine-reproducible estimator (md5 hashes + one integer division)
+    * unlike approx_count_distinct's engine-private HLL. */
+  private val q107 = QDef("q107_kmv_distinct",
+    (s, dir) => {
+      val tok = T(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      Sketches.kmvDistinct(tok, col("source"), col("term"), k = 64)
+        .orderBy("grp")
+    },
+    Some(s"""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term
+      |       FROM documents),
+      |h AS (SELECT DISTINCT source AS grp, ${hashSql("term", 15)} AS hh FROM tok),
+      |r AS (SELECT grp, hh, row_number() OVER (PARTITION BY grp ORDER BY hh) AS rn
+      |      FROM h),
+      |kk AS (SELECT grp, max(CASE WHEN rn = 64 THEN hh END) AS hk,
+      |         count(*) AS n_seen FROM r WHERE rn <= 64 GROUP BY grp)
+      |SELECT grp,
+      |  CASE WHEN hk IS NULL THEN CAST(n_seen AS DOUBLE)
+      |       ELSE round(63.0 * 1152921504606846976.0 / hk, 4) END AS est_distinct,
+      |  CAST(n_seen AS BIGINT) AS n_seen,
+      |  CAST(CASE WHEN hk IS NULL THEN 1 ELSE 0 END AS BIGINT) AS exact
+      |FROM kk ORDER BY grp""".stripMargin))
+
+  /** Unigram-LM quality score ([[LanguageModel.unigramLogprob]]): the
+    * perplexity-proxy pretraining filter. Per-token ln p quantized to
+    * fixed-point longs before the per-doc sum (order-independent). */
+  private val q108 = QDef("q108_unigram_logprob",
+    (s, dir) => LanguageModel.unigramLogprob(T(s, dir, "documents"),
+      col("doc_id"), col("text")).orderBy("doc_id"),
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |       FROM documents),
+      |cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+      |tot AS (SELECT count(*) AS n FROM tok),
+      |lp AS (SELECT doc_id,
+      |         CAST(round(ln(CAST(c AS DOUBLE) / n) * 1000000.0, 0) AS BIGINT) AS lpq
+      |       FROM tok JOIN cnt USING (term) CROSS JOIN tot)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+      |  round(CAST(sum(lpq) AS DOUBLE) / (1000000.0 * count(*)), 4) AS avg_logprob
+      |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  /** PMI collocations ([[LanguageModel.pmiCollocations]]): top adjacent
+    * bigrams by pointwise mutual information — tokenizer merge candidates
+    * / multiword-expression mining. One ln of a ratio of exact integer
+    * products, identical in both engines. */
+  private val q109 = QDef("q109_pmi_collocations",
+    (s, dir) => LanguageModel.pmiCollocations(T(s, dir, "documents"),
+      col("text"), minCount = 5, k = 30),
+    Some("""WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
+      |uni AS (SELECT unnest(tk) AS term FROM t),
+      |cnt AS (SELECT term, count(*) AS c FROM uni GROUP BY term),
+      |nu AS (SELECT count(*) AS n_u FROM uni),
+      |bp AS (SELECT unnest(list_transform(range(1, len(tk)),
+      |         i -> {'ta': tk[i], 'tb': tk[i+1]})) AS p FROM t),
+      |bi AS (SELECT p.ta AS term_a, p.tb AS term_b FROM bp),
+      |bcnt AS (SELECT term_a, term_b, count(*) AS c_ab FROM bi
+      |         GROUP BY 1, 2 HAVING count(*) >= 5),
+      |nb AS (SELECT count(*) AS n_b FROM bi)
+      |SELECT term_a, term_b, c_ab, a.c AS c_a, b.c AS c_b,
+      |  round(ln(CAST(c_ab AS DOUBLE) * n_u * n_u /
+      |    (CAST(n_b AS DOUBLE) * a.c * b.c)), 4) AS pmi
+      |FROM bcnt JOIN cnt a ON a.term = term_a JOIN cnt b ON b.term = term_b
+      |CROSS JOIN nu CROSS JOIN nb
+      |ORDER BY pmi DESC, term_a, term_b LIMIT 30""".stripMargin))
+
+  /** Bounded-iteration HITS ([[Graph.hitsBipartite]]) over the distinct
+    * supplier→part edge list: the join-agg iteration pattern (2 edge
+    * shuffles per round, vertex-sized broadcasts back). The oracle unrolls
+    * the same three fixed-point-quantized iterations as chained CTEs. */
+  private val q110 = QDef("q110_hits_ranking",
+    (s, dir) => Graph.hitsBipartite(T(s, dir, "lineitem"),
+      col("l_suppkey"), col("l_partkey"), iters = 3),
+    Some {
+      // one iteration: hub = max-normalized Σ auth over edges, then auth =
+      // max-normalized Σ hub — fixed-point 1e6 longs after each step
+      def iter(i: Int, prevAuth: String): String =
+        s"""hr$i AS (SELECT s, sum(a) AS hr FROM e JOIN $prevAuth USING (d) GROUP BY s),
+          |h$i AS (SELECT s, CAST(round(CAST(hr AS DOUBLE) * 1000000.0 /
+          |          (SELECT max(hr) FROM hr$i), 0) AS BIGINT) AS h FROM hr$i),
+          |ar$i AS (SELECT d, sum(h) AS ar FROM e JOIN h$i USING (s) GROUP BY d),
+          |a$i AS (SELECT d, CAST(round(CAST(ar AS DOUBLE) * 1000000.0 /
+          |          (SELECT max(ar) FROM ar$i), 0) AS BIGINT) AS a FROM ar$i)""".stripMargin
+      s"""WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS d FROM lineitem),
+        |a0 AS (SELECT DISTINCT d, CAST(1000000 AS BIGINT) AS a FROM e),
+        |${iter(1, "a0")},
+        |${iter(2, "a1")},
+        |${iter(3, "a2")}
+        |SELECT s AS vertex, h AS hub_score FROM h3
+        |ORDER BY hub_score DESC, vertex""".stripMargin
+    })
+
+  /** Deterministic hash-sample quantiles ([[Sketches.sampledQuantiles]]):
+    * p50/p90/p99 of lineitem price per returnflag from a 10% md5-sampled
+    * subset — the bounded-sort path for global quantiles at 100 TB, with
+    * a sample (and hence estimate) both engines reproduce exactly. */
+  private val q111 = QDef("q111_sampled_quantiles",
+    (s, dir) => Sketches.sampledQuantiles(T(s, dir, "lineitem"),
+      col("l_returnflag"),
+      concat(col("l_orderkey").cast("string"), lit("|"),
+        col("l_linenumber").cast("string")),
+      col("l_extendedprice"), rate = 0.1, qs = Seq(0.5, 0.9, 0.99))
+      .orderBy("grp"),
+    Some {
+      val threshold = (0.1 * math.pow(2, 60)).toLong
+      s"""WITH s AS (SELECT l_returnflag AS grp, l_extendedprice AS v
+        |  FROM lineitem
+        |  WHERE ${hashSql("CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)", 15)}
+        |    < $threshold)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n_sampled,
+        |  round(quantile_cont(v, 0.5), 4) AS q50,
+        |  round(quantile_cont(v, 0.9), 4) AS q90,
+        |  round(quantile_cont(v, 0.99), 4) AS q99
+        |FROM s GROUP BY grp ORDER BY grp""".stripMargin
+    })
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
-    q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106)
+    q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106,
+    q107, q108, q109, q110, q111)
 }

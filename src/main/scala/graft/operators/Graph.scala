@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph ranking over an edge list — the join-agg-loop pattern
+  * that complements [[Dedup.connectedComponents]]' label propagation.
+  * HITS on a bipartite graph (hubs = left vertices, authorities = right
+  * vertices) is the shape of "rank suppliers by the importance of the
+  * parts they supply / rank domains by the quality of the documents they
+  * host": each iteration is two distributed join+agg passes over the edge
+  * list, nothing driver-side.
+  */
+object Graph {
+  /** Fixed-iteration HITS (Kleinberg 1999) over the distinct bipartite
+    * edge list (src, dst). Authorities start at 1; each iteration computes
+    * hub(s) = Σ auth(d) over s's edges, then auth(d) = Σ hub(s) over d's
+    * edges, each side max-normalized to fixed-point 1e6 integers.
+    *
+    * Scale shape: per iteration, two shuffles of the edge list keyed by
+    * src resp. dst (map-side combinable sums) plus a 1-row max broadcast —
+    * the score tables are vertex-sized and broadcast onto the edges (at
+    * 100 TB the edge list dwarfs the vertex sets, so edges stay in place
+    * and only vertex scores move). `iters` is bounded BY CONSTRUCTION like
+    * the q105 recursion — HITS converges geometrically, and every extra
+    * iteration is two more corpus-scale shuffles.
+    *
+    * Determinism: scores are re-quantized to longs after every
+    * max-normalization (round(score·1e6/max)), so all cross-row sums are
+    * integer sums — order-independent — and the one division per iteration
+    * divides identical integers in both engines (FIXTURES.md convention).
+    * Emits the hub side: (vertex, score) with score the final fixed-point
+    * hub value, ordered for the gate by score desc, vertex asc. */
+  def hitsBipartite(edges: DataFrame, src: Column, dst: Column,
+                    iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 8,
+      "iters must be in [1, 8]: each iteration is two edge-list shuffles")
+    val e = edges.select(src.as("s"), dst.as("d")).distinct()
+      .localCheckpoint() // one shuffle; every iteration re-reads this
+    // auth_0 = 1e6 for every authority (fixed-point 1.0)
+    var auth = e.select(col("d")).distinct()
+      .select(col("d"), lit(1000000L).as("a"))
+    var hub: DataFrame = null
+    for (_ <- 1 to iters) {
+      val hRaw = e.join(broadcast(auth), "d")
+        .groupBy("s").agg(sum("a").as("hr"))
+      val hMax = hRaw.agg(max("hr").as("__m"))
+      hub = hRaw.crossJoin(broadcast(hMax))
+        .select(col("s"),
+          round(col("hr").cast("double") * lit(1e6) / col("__m"), 0)
+            .cast("long").as("h"))
+      val aRaw = e.join(broadcast(hub), "s")
+        .groupBy("d").agg(sum("h").as("ar"))
+      val aMax = aRaw.agg(max("ar").as("__m"))
+      auth = aRaw.crossJoin(broadcast(aMax))
+        .select(col("d"),
+          round(col("ar").cast("double") * lit(1e6) / col("__m"), 0)
+            .cast("long").as("a"))
+    }
+    hub.select(col("s").as("vertex"), col("h").as("hub_score"))
+      .orderBy(desc("hub_score"), col("vertex"))
+  }
+}

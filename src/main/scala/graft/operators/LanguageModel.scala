@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus language-model statistics: unigram log-probability scoring (the
+  * cheap perplexity proxy used as a pretraining quality filter) and PMI
+  * collocation mining. Both are corpus-aggregate operators with the same
+  * scale shape as [[Curate]]: ONE corpus-token shuffle builds a
+  * vocabulary-sized statistics table that broadcasts back onto the token
+  * stream — never a second corpus-wide shuffle.
+  */
+object LanguageModel {
+  /** Per-document mean unigram log-probability — the standard "perplexity
+    * proxy" quality score: score(d) = (1/|d|) · Σ_t ln p(t), with p(t) the
+    * token's corpus relative frequency. Low scores mark documents made of
+    * rare/garbage tokens; boilerplate scores artificially high — both ends
+    * get clipped in a real curation recipe (the caller filters on the
+    * score; this operator just computes it).
+    *
+    * Scale shape: one (term)-keyed shuffle for corpus counts (map-side
+    * combinable), the vocabulary-sized count table broadcast back onto a
+    * re-derived token stream, one (doc)-keyed shuffle for the per-doc sum.
+    * In production the unigram table is an offline artifact like the ANN
+    * codebook — scoring a new shard is then broadcast-join + one doc agg.
+    *
+    * Determinism: each token's ln p(t) is quantized to a fixed-point long
+    * (round(ln(c/N)·1e6)) BEFORE the per-doc sum, so the aggregate is an
+    * integer sum — order-independent at any document length, per the
+    * integer-cents convention (FIXTURES.md). The final mean divides
+    * identical integers in both engines. */
+  def unigramLogprob(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val tok = df.select(id.as("doc_id"), explode(split(text, " ")).as("term"))
+    val counts = tok.groupBy("term").agg(count(lit(1)).as("c"))
+    val total = tok.agg(count(lit(1)).as("__n"))
+    tok.join(broadcast(counts), "term")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        round(log(col("c").cast("double") / col("__n")) * lit(1e6), 0)
+          .cast("long").as("__lpq"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tok"),
+        round(sum("__lpq").cast("double") / (lit(1e6) * count(lit(1))), 4)
+          .as("avg_logprob"))
+  }
+
+  /** Top-k adjacent-bigram collocations by pointwise mutual information:
+    * PMI(a,b) = ln( p(a,b) / (p(a)·p(b)) ) over ADJACENT token pairs,
+    * restricted to pairs seen at least `minCount` times (PMI is noise at
+    * low counts). The classic collocation detector ("new york"-style
+    * multiword expressions) used to build tokenizer merge candidates and
+    * corpus-drift reports.
+    *
+    *   PMI = ln( (c_ab · N_uni²) / (N_bi · c_a · c_b) )
+    *
+    * computed as one ln of a ratio of exact integer products, so both
+    * engines evaluate the identical double. Scale shape: the bigram count
+    * table is one (pair)-keyed corpus shuffle (map-side combinable); the
+    * unigram table is vocabulary-sized and broadcast onto it twice (left
+    * and right member); the final top-k is a TakeOrdered, never a global
+    * sort. Rounded to 4 dp BEFORE ranking; (term_a, term_b) tie-break
+    * makes the order total. */
+  def pmiCollocations(df: DataFrame, text: Column, minCount: Long,
+                      k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val toks = df.select(split(text, " ").as("__t"))
+    val uni = toks.select(explode(col("__t")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val nUni = toks.select(sum(size(col("__t"))).cast("long").as("__nu"))
+    // adjacent pairs via a 1-shifted zip of the token array: a narrow
+    // per-row transform, so the only corpus shuffle is the pair count
+    val bi = toks.select(explode(zip_with(
+        slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
+        slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0))),
+        (a, b) => struct(a.as("ta"), b.as("tb")))).as("p"))
+      .select(col("p.ta").as("term_a"), col("p.tb").as("term_b"))
+      .groupBy("term_a", "term_b").agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= minCount)
+    val nBi = toks.select(sum(greatest(size(col("__t")) - 1, lit(0)))
+      .cast("long").as("__nb"))
+    bi.join(broadcast(uni.withColumnRenamed("term", "term_a")
+        .withColumnRenamed("c", "c_a")), "term_a")
+      .join(broadcast(uni.withColumnRenamed("term", "term_b")
+        .withColumnRenamed("c", "c_b")), "term_b")
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+      // cast-then-multiply: the products stay exact doubles below 2^53
+      // (ample at fixture scale; a 100 TB deployment moves to the
+      // ln-decomposition ln c_ab + 2 ln N_u − ln N_b − ln c_a − ln c_b
+      // before the exact-product bound breaks) and never overflow the
+      // integer domain the way a long·long·long product would
+      .select(col("term_a"), col("term_b"), col("c_ab"), col("c_a"), col("c_b"),
+        round(log(col("c_ab").cast("double") * col("__nu") * col("__nu") /
+          (col("__nb").cast("double") * col("c_a") * col("c_b"))), 4).as("pmi"))
+      .orderBy(desc("pmi"), col("term_a"), col("term_b"))
+      .limit(k)
+  }
+}

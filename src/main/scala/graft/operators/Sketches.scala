@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Mergeable-sketch operators with engine-reproducible answers: KMV
+  * (k-minimum-values) distinct counting and hash-sample quantiles. Both
+  * replace "exact but unbounded" aggregations (`count_distinct`, exact
+  * `percentile`) with bounded-state estimators whose every intermediate is
+  * an integer or an md5-derived hash — so DuckDB computes the identical
+  * estimate and the correctness gate stays hash-exact, unlike
+  * `approx_count_distinct`/`approx_percentile` whose HLL/GK internals are
+  * engine-private.
+  */
+object Sketches {
+  /** 60-bit uniform hash from the md5 hex prefix — [[Dedup.hash60]], the
+    * shared deterministic uniformizer (DuckDB twin:
+    * ('0x' || substr(md5(v),1,15))::BIGINT). */
+  private def h60(c: Column): Column = Dedup.hash60(c.cast("string"))
+
+  /** KMV distinct-count estimate per group: hash every value to a 60-bit
+    * uniform point, keep each group's k smallest DISTINCT hashes, and
+    * estimate D ≈ (k-1) · 2^60 / h_(k), the classic bottom-k estimator
+    * (Bar-Yossef et al. 2002). Groups with fewer than k distinct values
+    * report their EXACT distinct count (the sketch saw everything).
+    *
+    * Why not `count_distinct` at 100 TB: exact distinct keeps one group
+    * per distinct value alive through the shuffle — memory ∝ cardinality.
+    * KMV's state is k longs per group, mergeable across partitions: the
+    * (group, hash) dedup agg combines map-side, and the per-group top-k
+    * window sorts only the surviving distinct hashes. Emits `est_distinct`
+    * (the estimate), `n_seen` (min(k, true distinct) — the sketch size),
+    * and `exact` (1 when the estimate is provably exact).
+    *
+    * Determinism: md5 hashing, integer comparisons, and one final division
+    * of identical integers rounded to 4 dp — no engine-private state. */
+  def kmvDistinct(df: DataFrame, group: Column, value: Column,
+                  k: Int = 64): DataFrame = {
+    require(k >= 2, "k must be >= 2 (the estimator divides by h_(k))")
+    // distinct (group, hash) pairs: map-side combinable, collapses dup
+    // values BEFORE the per-group sort so the window input is
+    // cardinality-bounded, not row-bounded
+    val hashed = df.select(group.as("grp"), h60(value).as("__h")).distinct()
+    val w = Window.partitionBy("grp").orderBy("__h")
+    val kept = hashed.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+    kept.groupBy("grp").agg(
+        max(when(col("__rn") === k, col("__h"))).as("__hk"),
+        count(lit(1)).cast("long").as("n_seen"))
+      .select(col("grp"),
+        when(col("__hk").isNull, col("n_seen").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) * lit(math.pow(2, 60)) / col("__hk"), 4))
+          .as("est_distinct"),
+        col("n_seen"),
+        col("__hk").isNull.cast("long").as("exact"))
+  }
+
+  /** Quantiles of a deterministic hash-sample: keep rows whose md5-derived
+    * 60-bit hash of `id` falls under `rate` · 2^60 (an exact integer
+    * threshold — both engines admit the identical row set), then exact
+    * percentiles of the sample. The honest scale path for "p50/p90/p99 of
+    * a 100 TB column": exact percentile needs a global sort; a fixed-rate
+    * hash sample bounds the sorted set at rate·N rows while the estimate's
+    * error is the textbook sampling error (±O(1/√(rate·N)) quantile
+    * ranks). Unlike `approx_percentile`, re-runs and engines agree bit-
+    * for-bit because the SAMPLE is deterministic and the percentile over
+    * it is exact. */
+  def sampledQuantiles(df: DataFrame, group: Column, id: Column, value: Column,
+                       rate: Double, qs: Seq[Double]): DataFrame = {
+    require(rate > 0 && rate <= 1, "rate must be in (0, 1]")
+    require(qs.nonEmpty, "need at least one quantile")
+    val threshold = (rate * math.pow(2, 60)).toLong
+    val sample = df.where(h60(id) < threshold)
+      .select(group.as("grp"), value.cast("double").as("__v"))
+    val aggs = qs.map { q =>
+      round(expr(s"percentile(__v, $q)"), 4).as(s"q${(q * 100).round}")
+    }
+    sample.groupBy("grp")
+      .agg(count(lit(1)).cast("long").as("n_sampled"), aggs: _*)
+  }
+}

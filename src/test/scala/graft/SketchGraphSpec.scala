@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Unit pins for the sketch/LM/graph operators wired as q107–q111: KMV
+  * distinct estimation, unigram-LM scoring, PMI collocations, bounded HITS,
+  * hash-sample quantiles. Each test crafts inputs where the expected answer
+  * is hand-checkable or a driver-side reference recomputes it exactly.
+  */
+class SketchGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------ KMV sketch
+
+  test("kmvDistinct: small group is exact; large group estimates within 2/sqrt(k)") {
+    val small = (1 to 10).map(i => ("small", s"v$i"))
+    val big = (1 to 5000).map(i => ("big", s"w$i"))
+    val df = (small ++ big).toDF("g", "v")
+    val out = Sketches.kmvDistinct(df, col("g"), col("v"), k = 64)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    val (smallEst, smallSeen, smallExact) = out("small")
+    assert(smallEst === 10.0 && smallSeen === 10L && smallExact === 1L)
+    val (bigEst, bigSeen, bigExact) = out("big")
+    assert(bigSeen === 64L && bigExact === 0L)
+    // KMV standard error is ~1/sqrt(k-2) ≈ 12.7%; 2σ bound
+    assert(math.abs(bigEst - 5000.0) / 5000.0 < 0.26,
+      s"estimate $bigEst too far from 5000")
+  }
+
+  test("kmvDistinct: duplicate values do not change the estimate") {
+    val once = (1 to 500).map(i => ("g", s"v$i"))
+    val thrice = once ++ once ++ once
+    val a = Sketches.kmvDistinct(once.toDF("g", "v"), col("g"), col("v"), 32)
+      .collect().head
+    val b = Sketches.kmvDistinct(thrice.toDF("g", "v"), col("g"), col("v"), 32)
+      .collect().head
+    assert(a === b)
+  }
+
+  // ------------------------------------------------------- unigram logprob
+
+  test("unigramLogprob matches a driver-side reference on a tiny corpus") {
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "b b c d")).toDF("id", "t")
+    val out = LanguageModel.unigramLogprob(docs, col("id"), col("t"))
+      .orderBy("doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    // corpus: a=3, b=3, c=2, d=1, N=9
+    val p = Map("a" -> 3.0, "b" -> 3.0, "c" -> 2.0, "d" -> 1.0)
+    def ref(toks: Seq[String]): Double = {
+      val s = toks.map(t => math.round(math.log(p(t) / 9.0) * 1e6)).sum
+      BigDecimal(s.toDouble / (1e6 * toks.size))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out === Seq(
+      (1L, 3L, ref(Seq("a", "a", "b"))),
+      (2L, 2L, ref(Seq("a", "c"))),
+      (3L, 4L, ref(Seq("b", "b", "c", "d")))))
+  }
+
+  test("unigramLogprob: all-same-token corpus scores ln(1)=0") {
+    val docs = Seq((1L, "x x x"), (2L, "x")).toDF("id", "t")
+    val out = LanguageModel.unigramLogprob(docs, col("id"), col("t"))
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(out === Seq((1L, 3L, 0.0), (2L, 1L, 0.0)))
+  }
+
+  // ------------------------------------------------------------------- PMI
+
+  test("pmiCollocations: glued pair tops free pairs; minCount filters") {
+    // "new york" always adjacent (8×); filler tokens independent
+    val line = "new york " + (1 to 8).map(i => s"w${i % 3}").mkString(" ")
+    val docs = Seq.tabulate(8)(i => (i.toLong, line)).toDF("id", "t")
+    val out = LanguageModel.pmiCollocations(docs, col("t"), minCount = 5, k = 5)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(out.head._1 === "new" && out.head._2 === "york")
+    assert(out.head._3 === 8L) // c_ab
+    // every emitted pair respects minCount
+    assert(out.forall(_._3 >= 5L))
+    // PMI of the glued pair beats every other pair
+    assert(out.tail.forall(_._6 < out.head._6))
+  }
+
+  // ------------------------------------------------------------------ HITS
+
+  test("hitsBipartite: star hub dominates; scores are fixed-point normalized") {
+    // s1 supplies p1..p4 (star hub), s2 supplies p1 only, s3 supplies p2,p3
+    val edges = Seq((1L, 101L), (1L, 102L), (1L, 103L), (1L, 104L),
+      (2L, 101L), (3L, 102L), (3L, 103L)).toDF("s", "d")
+    val out = Graph.hitsBipartite(edges, col("s"), col("d"), iters = 3)
+      .as[(Long, Long)].collect().toSeq
+    assert(out.map(_._1) === Seq(1L, 3L, 2L)) // hub order: degree-4, 2, 1
+    assert(out.head._2 === 1000000L) // max-normalized fixed point
+    assert(out.forall(x => x._2 > 0L && x._2 <= 1000000L))
+  }
+
+  test("hitsBipartite: duplicate edges are collapsed before iteration") {
+    val once = Seq((1L, 10L), (2L, 10L), (2L, 11L)).toDF("s", "d")
+    val dup = Seq((1L, 10L), (1L, 10L), (1L, 10L), (2L, 10L), (2L, 11L),
+      (2L, 11L)).toDF("s", "d")
+    val a = Graph.hitsBipartite(once, col("s"), col("d"), 2).collect().toSeq
+    val b = Graph.hitsBipartite(dup, col("s"), col("d"), 2).collect().toSeq
+    assert(a === b)
+  }
+
+  // -------------------------------------------------- sampled quantiles
+
+  test("sampledQuantiles: full-rate sample equals exact percentiles") {
+    val df = (1 to 1000).map(i => ("g", i.toLong, i.toDouble)).toDF("g", "id", "v")
+    val out = Sketches.sampledQuantiles(df, col("g"), col("id"), col("v"),
+      rate = 1.0, qs = Seq(0.5, 0.9)).collect().head
+    assert(out.getLong(1) === 1000L)
+    assert(out.getDouble(2) === 500.5) // percentile(1..1000, .5)
+    assert(out.getDouble(3) === 900.1)
+  }
+
+  test("sampledQuantiles: sample is a deterministic subset, estimates near truth") {
+    val df = (1 to 20000).map(i => ("g", i.toLong, i.toDouble)).toDF("g", "id", "v")
+    val r1 = Sketches.sampledQuantiles(df, col("g"), col("id"), col("v"),
+      rate = 0.2, qs = Seq(0.5)).collect().head
+    val r2 = Sketches.sampledQuantiles(df, col("g"), col("id"), col("v"),
+      rate = 0.2, qs = Seq(0.5)).collect().head
+    assert(r1 === r2) // deterministic across runs
+    val n = r1.getLong(1).toDouble
+    assert(math.abs(n - 4000.0) / 4000.0 < 0.1, s"sample size $n far from 20000*0.2")
+    assert(math.abs(r1.getDouble(2) - 10000.5) < 500.0)
+  }
+}
