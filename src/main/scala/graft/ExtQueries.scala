@@ -1985,14 +1985,8 @@ object ExtQueries {
     * mergeable-sketch path for distinct counts at corpus scale, with an
     * engine-reproducible estimator (md5 hashes + one integer division)
     * unlike approx_count_distinct's engine-private HLL. */
-  private val q107 = QDef("q107_kmv_distinct",
-    (s, dir) => {
-      val tok = T(s, dir, "documents")
-        .select(col("source"), explode(split(col("text"), " ")).as("term"))
-      Sketches.kmvDistinct(tok, col("source"), col("term"), k = 64)
-        .orderBy("grp")
-    },
-    Some(s"""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term
+  private val Q107OracleSql =
+    s"""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term
       |       FROM documents),
       |h AS (SELECT DISTINCT source AS grp, ${hashSql("term", 15)} AS hh FROM tok),
       |r AS (SELECT grp, hh, row_number() OVER (PARTITION BY grp ORDER BY hh) AS rn
@@ -2004,7 +1998,16 @@ object ExtQueries {
       |       ELSE round(63.0 * 1152921504606846976.0 / hk, 4) END AS est_distinct,
       |  CAST(n_seen AS BIGINT) AS n_seen,
       |  CAST(CASE WHEN hk IS NULL THEN 1 ELSE 0 END AS BIGINT) AS exact
-      |FROM kk ORDER BY grp""".stripMargin))
+      |FROM kk ORDER BY grp""".stripMargin
+
+  private val q107 = QDef("q107_kmv_distinct",
+    (s, dir) => {
+      val tok = T(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      Sketches.kmvDistinct(tok, col("source"), col("term"), k = 64)
+        .orderBy("grp")
+    },
+    Some(Q107OracleSql))
 
   /** Unigram-LM quality score ([[LanguageModel.unigramLogprob]]): the
     * perplexity-proxy pretraining filter. Per-token ln p quantized to
@@ -2097,11 +2100,24 @@ object ExtQueries {
         |FROM s GROUP BY grp ORDER BY grp""".stripMargin
     })
 
+  /** [[Sketches.KmvAgg]] — the KMV sketch as a mergeable typed Aggregator
+    * (map-side-combining k-longs buffers; the true bounded-shuffle path at
+    * corpus cardinality). Same estimator as q107, so it shares q107's
+    * oracle; path equality is additionally pinned in the unit suite. */
+  private val q112 = QDef("q112_kmv_aggregator",
+    (s, dir) => {
+      val tok = T(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      Sketches.kmvAggDistinct(tok, col("source"), col("term"), k = 64)
+        .orderBy("grp")
+    },
+    Some(Q107OracleSql))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106,
-    q107, q108, q109, q110, q111)
+    q107, q108, q109, q110, q111, q112)
 }

@@ -1,8 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 
 /** Mergeable-sketch operators with engine-reproducible answers: KMV
   * (k-minimum-values) distinct counting and hash-sample quantiles. Both
@@ -13,6 +13,9 @@ import org.apache.spark.sql.expressions.Window
   * `approx_count_distinct`/`approx_percentile` whose HLL/GK internals are
   * engine-private.
   */
+/** Output row of [[Sketches.KmvAgg]]: field names match [[Sketches.kmvDistinct]]. */
+case class KmvResult(est_distinct: Double, n_seen: Long, exact: Long)
+
 object Sketches {
   /** 60-bit uniform hash from the md5 hex prefix — [[Dedup.hash60]], the
     * shared deterministic uniformizer (DuckDB twin:
@@ -55,6 +58,52 @@ object Sketches {
         col("n_seen"),
         col("__hk").isNull.cast("long").as("exact"))
   }
+
+  /** [[kmvDistinct]] as a mergeable typed `Aggregator` — the TRUE
+    * bounded-state path: where the window form shuffles every distinct
+    * (group, hash) pair and sorts per group, this aggregator's partial
+    * buffers hold at most k longs each and combine map-side, so the
+    * shuffle moves k values per (partition, group) no matter the
+    * cardinality — the standard sketch-UDAF shape, also legal inside
+    * streaming aggregations. Result is identical to [[kmvDistinct]]
+    * (the k smallest distinct hashes are order-independent; pinned in
+    * the unit suite), so it shares q107's oracle as q112.
+    *
+    * Buffer is a sorted Seq (≤ k) with O(k) insert — ample for k ≤ 256;
+    * a production tuning pass would swap a primitive max-heap behind the
+    * same Aggregator contract (cf. MisraGries's note). */
+  class KmvAgg(k: Int) extends Aggregator[Long, Seq[Long], KmvResult] {
+    require(k >= 2, "k must be >= 2")
+    override def zero: Seq[Long] = Vector.empty
+    private def insert(b: Seq[Long], h: Long): Seq[Long] =
+      if (b.size == k && h >= b.last) b // above the current k-th min: no-op
+      else if (b.contains(h)) b
+      else {
+        val nb = (b :+ h).sorted
+        if (nb.size > k) nb.take(k) else nb
+      }
+    override def reduce(b: Seq[Long], h: Long): Seq[Long] = insert(b, h)
+    override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+      b.foldLeft(a)(insert)
+    override def finish(r: Seq[Long]): KmvResult =
+      if (r.size < k)
+        KmvResult(r.size.toDouble, r.size.toLong, 1L)
+      else {
+        val est = (k - 1).toDouble * math.pow(2, 60) / r.last
+        KmvResult(BigDecimal(est).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble, k.toLong, 0L)
+      }
+    override def bufferEncoder: Encoder[Seq[Long]] = Encoders.kryo[Seq[Long]]
+    override def outputEncoder: Encoder[KmvResult] = Encoders.product[KmvResult]
+  }
+
+  /** Untyped column form of [[KmvAgg]] over a pre-hashed long column. */
+  def kmvAggDistinct(df: DataFrame, group: Column, value: Column,
+                     k: Int = 64): DataFrame =
+    df.select(group.as("grp"), h60(value).as("__h"))
+      .groupBy("grp")
+      .agg(udaf(new KmvAgg(k), Encoders.scalaLong)(col("__h")).as("r"))
+      .select(col("grp"), col("r.est_distinct"), col("r.n_seen"), col("r.exact"))
 
   /** Quantiles of a deterministic hash-sample: keep rows whose md5-derived
     * 60-bit hash of `id` falls under `rate` · 2^60 (an exact integer

@@ -17,8 +17,7 @@ class PlanAuditSpec extends SparkSpec {
     "q72_ann_quantized", "q80_tfidf_terms", "q83_length_curriculum",
     "q92_bm25_terms", // (N, avgdl) one-row stats broadcast, like q80's N
     "q108_unigram_logprob", // 1-row total-token-count broadcast
-    "q109_pmi_collocations", // 1-row N_uni and N_bi broadcasts
-    "q110_hits_ranking") // 1-row per-iteration max broadcast (normalizer)
+    "q109_pmi_collocations") // 1-row N_uni and N_bi broadcasts
 
   test("no CartesianProduct in any query plan; BNLJ only on whitelisted 1-row builds") {
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

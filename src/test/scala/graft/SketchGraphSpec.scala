@@ -38,6 +38,17 @@ class SketchGraphSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("KmvAgg path equals the window kmvDistinct path (incl. below-k groups)") {
+    val data = (1 to 3000).map(i => (s"g${i % 3}", s"v${i % 997}")) ++
+      (1 to 10).map(i => ("tiny", s"t$i"))
+    val df = data.toDF("g", "v")
+    val a = Sketches.kmvDistinct(df, col("g"), col("v"), 64)
+      .orderBy("grp").collect().toSeq
+    val b = Sketches.kmvAggDistinct(df, col("g"), col("v"), 64)
+      .orderBy("grp").collect().toSeq
+    assert(a === b)
+  }
+
   // ------------------------------------------------------- unigram logprob
 
   test("unigramLogprob matches a driver-side reference on a tiny corpus") {
