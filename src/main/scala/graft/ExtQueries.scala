@@ -2113,11 +2113,34 @@ object ExtQueries {
     },
     Some(Q107OracleSql))
 
+  /** Streaming KMV sketch ([[EventStreams.runKmvDistinct]]): distinct
+    * users per (1h window, event_type) estimated by the mergeable KMV
+    * Aggregator INSIDE a streaming aggregation — bounded sketch state per
+    * group on an unbounded stream. Deterministic md5 bottom-k, so the
+    * batch DuckDB oracle recomputes the identical estimates. */
+  private val q113 = QDef("q113_stream_kmv",
+    (s, dir) => EventStreams.runKmvDistinct(s, dir, k = 32),
+    Some("""WITH ev AS (SELECT strftime(date_trunc('hour', ts),
+      |          '%Y-%m-%d %H:%M:%S') AS hour_ts, event_type,
+      |        ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hh
+      |      FROM events),
+      |h AS (SELECT DISTINCT hour_ts, event_type, hh FROM ev),
+      |r AS (SELECT hour_ts, event_type, hh, row_number()
+      |        OVER (PARTITION BY hour_ts, event_type ORDER BY hh) AS rn FROM h),
+      |kk AS (SELECT hour_ts, event_type, max(CASE WHEN rn = 32 THEN hh END) AS hk,
+      |         count(*) AS n_seen FROM r WHERE rn <= 32 GROUP BY 1, 2)
+      |SELECT hour_ts, event_type,
+      |  CASE WHEN hk IS NULL THEN CAST(n_seen AS DOUBLE)
+      |       ELSE round(31.0 * 1152921504606846976.0 / hk, 4) END AS est_distinct,
+      |  CAST(n_seen AS BIGINT) AS n_seen,
+      |  CAST(CASE WHEN hk IS NULL THEN 1 ELSE 0 END AS BIGINT) AS exact
+      |FROM kk ORDER BY hour_ts, event_type""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106,
-    q107, q108, q109, q110, q111, q112)
+    q107, q108, q109, q110, q111, q112, q113)
 }

@@ -174,6 +174,36 @@ object EventStreams {
     spark.table(name)
   }
 
+  /** Streaming sketch aggregation: KMV distinct-user estimates per
+    * (1h window, event_type) via [[Sketches.KmvAgg]] — a custom mergeable
+    * Aggregator inside a streaming groupBy, the bounded-state answer to
+    * "distinct users per window" on an unbounded stream (exact distinct
+    * state grows with cardinality; the sketch state is ≤ k longs per
+    * group). Complete mode over the bounded fixture — the backfill shape,
+    * like [[runHourly]]; a live deployment adds a watermark and append
+    * emission. The sketch is deterministic (md5 bottom-k), so a batch
+    * DuckDB oracle recomputes the identical estimate (q113). */
+  def runKmvDistinct(spark: SparkSession, dir: String, k: Int = 32,
+                     name: String = "graft_stream_kmv"): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    spark.catalog.dropTempView(name)
+    withStreamPartitions(spark) {
+      val q = readEventStream(spark, dir)
+        .select(window(col("ts"), "1 hour").as("w"), col("event_type"),
+          Dedup.hash60(col("user_id").cast("string")).as("__h"))
+        .groupBy("w", "event_type")
+        .agg(udaf(new Sketches.KmvAgg(k), Encoders.scalaLong)(col("__h")).as("r"))
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    spark.table(name).select(
+      date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+      col("event_type"), col("r.est_distinct").as("est_distinct"),
+      col("r.n_seen").as("n_seen"), col("r.exact").as("exact"))
+      .orderBy("hour_ts", "event_type")
+  }
+
   /** Stream-static enrichment join: the event stream joined per
     * micro-batch against a BATCH dimension table (the standard streaming
     * enrichment — no state, no watermark; the static side is re-resolved

@@ -49,6 +49,22 @@ class SketchGraphSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("streaming KMV equals the batch KMV on windowed events") {
+    val batch = Sketches.kmvDistinct(
+      Tables.t(spark, sf, "events").select(
+        concat(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss"),
+          lit("|"), col("event_type")).as("g"),
+        col("user_id").cast("string").as("v")),
+      col("g"), col("v"), k = 32)
+      .orderBy("grp").collect().toSeq
+    val stream = EventStreams.runKmvDistinct(spark, sf, k = 32,
+      name = "kmv_spec_stream")
+      .select(concat(col("hour_ts"), lit("|"), col("event_type")).as("grp"),
+        col("est_distinct"), col("n_seen"), col("exact"))
+      .orderBy("grp").collect().toSeq
+    assert(stream === batch)
+  }
+
   // ------------------------------------------------------- unigram logprob
 
   test("unigramLogprob matches a driver-side reference on a tiny corpus") {
