@@ -25,13 +25,36 @@ object GraftFunctions {
       Fingerprint(args(0))
     })
 
-  def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier(name),
-      new ExpressionInfo(classOf[GraftFunctions].getName, name),
-      builder)
+  /** (identifier, info, builder) triples — the shape both
+    * `FunctionRegistry.registerFunction` and
+    * `SparkSessionExtensions.injectFunction` consume. */
+  def descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    fns.map { case (name, builder) =>
+      (FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftFunctions].getName, name),
+        builder)
+    }
+
+  def register(spark: SparkSession): Unit = descriptions.foreach {
+    case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
   }
 }
 
 /** Class token for ExpressionInfo's className slot. */
 class GraftFunctions
+
+/** `spark.sql.extensions` entry point — the deployment path for clusters
+  * where the application does NOT own session construction (Thrift
+  * server, notebook platforms, spark-submit with a shared driver):
+  *
+  *   --conf spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions
+  *
+  * injects the same native-function set [[GraftFunctions.register]] adds
+  * to an already-built session; both paths feed the session's
+  * FunctionRegistry (injection pinned in the unit suite via
+  * `Builder.withExtensions` on a fresh session). */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.descriptions.foreach(ext.injectFunction)
+}
