@@ -130,6 +130,33 @@ class SketchGraphSpec extends SparkSpec {
     assert(a === b)
   }
 
+  // ---------------------------------------------------- plan-shape pins
+
+  private def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+    df.collect() // force AQE final plan
+    "(ShuffleQueryStage|ShuffleExchange)".r
+      .findAllIn(df.queryExecution.executedPlan.toString).size
+  }
+
+  test("scale shapes: KmvAgg one shuffle (< window path); LM ops never shuffle-join the corpus") {
+    val docs = Tables.t(spark, sf, "documents")
+    val tok = docs.select(col("source"),
+      explode(split(col("text"), " ")).as("term"))
+    // the Aggregator path's only shuffle is the group agg (k-longs partials);
+    // the window path pays distinct + window on top
+    assert(shuffles(Sketches.kmvAggDistinct(tok, col("source"), col("term"), 16)) === 1)
+    assert(shuffles(Sketches.kmvDistinct(tok, col("source"), col("term"), 16)) >= 2)
+    // LM operators: vocabulary stats broadcast back onto the token stream —
+    // a SortMergeJoin in these plans would mean the corpus itself shuffled
+    // for the join, which must never happen
+    val lp = LanguageModel.unigramLogprob(docs, col("doc_id"), col("text"))
+    lp.collect()
+    assert(!lp.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+    val pmi = LanguageModel.pmiCollocations(docs, col("text"), 2, 10)
+    pmi.collect()
+    assert(!pmi.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+  }
+
   // -------------------------------------------------- sampled quantiles
 
   test("sampledQuantiles: full-rate sample equals exact percentiles") {
