@@ -130,6 +130,128 @@ class SketchGraphSpec extends SparkSpec {
     assert(a === b)
   }
 
+  // -------------------------------------------------- property references
+
+  private def gen[T](g: org.scalacheck.Gen[T], seed: Long): T =
+    g.apply(org.scalacheck.Gen.Parameters.default,
+      org.scalacheck.rng.Seed(seed)).get
+
+  /** Driver-side twin of Dedup.hash60: md5 of UTF-8 bytes, first 15 hex
+    * chars as a long — must stay bit-equal to the Spark column. */
+  private def refHash60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
+  private def roundHalfUp(x: Double, scale: Int): Double =
+    BigDecimal.valueOf(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("property: kmvDistinct == driver-side bottom-k reference (random data)") {
+    import org.scalacheck.Gen
+    val rowGen = for {
+      g <- Gen.oneOf("g1", "g2", "g3")
+      v <- Gen.choose(0, 400)
+    } yield (g, s"v$v")
+    (0 until 3).foreach { round =>
+      val rows = gen(Gen.listOfN(600, rowGen), 900L + round)
+      val k = 16
+      val expected = rows.groupBy(_._1).map { case (g, rs) =>
+        val hs = rs.map(r => refHash60(r._2)).distinct.sorted.take(k)
+        if (hs.size < k) (g, hs.size.toDouble, hs.size.toLong, 1L)
+        else (g, roundHalfUp((k - 1).toDouble * math.pow(2, 60) / hs.last, 4),
+          k.toLong, 0L)
+      }.toSet
+      val got = Sketches.kmvDistinct(rows.toDF("g", "v"), col("g"), col("v"), k)
+        .as[(String, Double, Long, Long)].collect().toSet
+      assert(got === expected, s"round $round")
+    }
+  }
+
+  test("property: unigramLogprob == driver-side fixed-point reference (random corpora)") {
+    import org.scalacheck.Gen
+    val docGen = Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d", "e"))
+      .map(_.mkString(" "))
+    (0 until 3).foreach { round =>
+      val docs = gen(Gen.listOfN(30, docGen), 700L + round).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val toks = docs.flatMap(_._2.split(" "))
+      val cnt = toks.groupBy(identity).view.mapValues(_.size).toMap
+      val n = toks.size
+      val expected = docs.map { case (id, t) =>
+        val tk = t.split(" ").toSeq
+        val s = tk.map { w =>
+          BigDecimal.valueOf(math.log(cnt(w).toDouble / n) * 1e6)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        }.sum
+        (id, tk.size.toLong, roundHalfUp(s.toDouble / (1e6 * tk.size), 4))
+      }.toSet
+      val got = LanguageModel.unigramLogprob(docs.toDF("id", "t"),
+        col("id"), col("t")).as[(Long, Long, Double)].collect().toSet
+      assert(got === expected, s"round $round")
+    }
+  }
+
+  test("property: hitsBipartite == driver-side dense reference (random graphs)") {
+    import org.scalacheck.Gen
+    val edgeGen = for {
+      s <- Gen.choose(1L, 8L)
+      d <- Gen.choose(100L, 112L)
+    } yield (s, d)
+    (0 until 3).foreach { round =>
+      val edges = gen(Gen.listOfN(40, edgeGen), 500L + round).distinct
+      val iters = 1 + round % 3
+      // dense reference: same fixed-point renormalization each half-step
+      var auth = edges.map(_._2).distinct.map(_ -> 1000000L).toMap
+      var hub = Map.empty[Long, Long]
+      def renorm(raw: Map[Long, Long]): Map[Long, Long] = {
+        val m = raw.values.max
+        raw.map { case (v, x) =>
+          v -> BigDecimal.valueOf(x.toDouble * 1e6 / m.toDouble)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        }
+      }
+      (1 to iters).foreach { _ =>
+        hub = renorm(edges.groupBy(_._1).view
+          .mapValues(_.map(e => auth(e._2)).sum).toMap)
+        auth = renorm(edges.groupBy(_._2).view
+          .mapValues(_.map(e => hub(e._1)).sum).toMap)
+      }
+      val got = Graph.hitsBipartite(edges.toDF("s", "d"), col("s"), col("d"),
+        iters).as[(Long, Long)].collect().toSeq
+      assert(got.toMap === hub, s"round $round (iters=$iters)")
+      // emitted order: score desc, vertex asc
+      assert(got === got.sortBy(x => (-x._2, x._1)), s"round $round order")
+    }
+  }
+
+  test("property: pmiCollocations == driver-side reference (random corpora)") {
+    import org.scalacheck.Gen
+    val docGen = Gen.listOfN(6, Gen.oneOf("x", "y", "z", "w"))
+      .map(_.mkString(" "))
+    (0 until 3).foreach { round =>
+      val docs = gen(Gen.listOfN(25, docGen), 1100L + round)
+        .map(Tuple1(_))
+      val toks = docs.map(_._1.split(" ").toSeq)
+      val uni = toks.flatten.groupBy(identity).view.mapValues(_.size).toMap
+      val nu = toks.map(_.size).sum
+      val pairs = toks.flatMap(tk => tk.zip(tk.drop(1)))
+      val nb = pairs.size
+      val minCount = 3
+      val expected = pairs.groupBy(identity).view.mapValues(_.size).toSeq
+        .collect { case ((a, b), cab) if cab >= minCount =>
+          val pmi = roundHalfUp(math.log(
+            cab.toDouble * nu * nu / (nb.toDouble * uni(a) * uni(b))), 4)
+          (a, b, cab.toLong, uni(a).toLong, uni(b).toLong, pmi)
+        }
+        .sortBy(x => (-x._6, x._1, x._2)).take(10)
+      val got = LanguageModel.pmiCollocations(docs.toDF("t"), col("t"),
+        minCount, 10).as[(String, String, Long, Long, Long, Double)]
+        .collect().toSeq
+      assert(got === expected, s"round $round")
+    }
+  }
+
   // ---------------------------------------------------- plan-shape pins
 
   private def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
