@@ -86,7 +86,9 @@ object Bench {
     // total: sum successes only; failures are listed in "failed" and keep
     // their per-query detail for diagnosis.
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // n_queries/sec_per_query: the suite grows every round against a fixed
+    // total target, so the per-query rate is the comparable headline
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"sec_per_query":${fmt(total / math.max(results.size, 1))},"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
