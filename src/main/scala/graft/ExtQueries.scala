@@ -2136,11 +2136,74 @@ object ExtQueries {
       |  CAST(CASE WHEN hk IS NULL THEN 1 ELSE 0 END AS BIGINT) AS exact
       |FROM kk ORDER BY hour_ts, event_type""".stripMargin))
 
+  /** SCD-1 upsert ([[Mutations.upsert]]): a deterministic CDC batch
+    * (every 10th order re-priced +10%, every 100th order re-keyed high =
+    * an insert) applied onto the orders base — changes win, unmatched
+    * base survives, inserts append. One left-anti join on the key (the
+    * base side's shuffle disappears under bucketed staging at scale). */
+  private val q114 = QDef("q114_upsert",
+    (s, dir) => {
+      val base = T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val updates = base.where(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", round(col("o_totalprice") * 1.1, 4))
+      val inserts = base.where(col("o_orderkey") % 100 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      val merged = Mutations.upsert(base, updates.unionByName(inserts),
+        Seq("o_orderkey"))
+      merged.groupBy((col("o_orderkey") % 7).as("key_mod"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("sum_cents"),
+          max("o_orderkey").as("max_key"))
+        .orderBy("key_mod")
+    },
+    Some("""WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+      |chg AS (SELECT o_orderkey, o_custkey, round(o_totalprice * 1.1, 4) AS o_totalprice
+      |        FROM base WHERE o_orderkey % 10 = 0
+      |        UNION ALL
+      |        SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+      |        FROM base WHERE o_orderkey % 100 = 0),
+      |merged AS (SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM chg)
+      |           UNION ALL SELECT * FROM chg)
+      |SELECT o_orderkey % 7 AS key_mod, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  max(o_orderkey) AS max_key
+      |FROM merged GROUP BY 1 ORDER BY key_mod""".stripMargin))
+
+  /** Deterministic negative sampling ([[Sampling.negativeSample]]): 4
+    * contrastive negatives per anchor (every 50th vector) via hash-bucket
+    * draws — no global row index, one corpus shuffle into a B-row minima
+    * table broadcast onto the anchors. */
+  private val q115 = QDef("q115_negative_sample",
+    (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Sampling.negativeSample(emb, col("vec_id"),
+        emb.where(col("vec_id") % 50 === 0), col("vec_id"),
+        k = 4, buckets = 64)
+        .orderBy("anchor_id", "draw")
+    },
+    Some(s"""WITH b AS (SELECT vec_id AS cid,
+      |         ${hashSql("CAST(vec_id AS VARCHAR)", 15)} % 64 AS bk
+      |       FROM embeddings),
+      |m1 AS (SELECT bk, min(cid) AS m1 FROM b GROUP BY bk),
+      |m AS (SELECT bk, min(m1) AS m1,
+      |        min(CASE WHEN cid > m1 THEN cid END) AS m2
+      |      FROM b JOIN m1 USING (bk) GROUP BY bk),
+      |d AS (SELECT vec_id AS anchor_id, j AS draw,
+      |        ${hashSql("CAST(vec_id AS VARCHAR) || '#' || CAST(j AS VARCHAR)", 15)} % 64 AS bk
+      |      FROM embeddings CROSS JOIN range(1, 5) AS r(j)
+      |      WHERE vec_id % 50 = 0)
+      |SELECT anchor_id, draw,
+      |  CASE WHEN m1 <> anchor_id THEN m1 ELSE m2 END AS negative_id
+      |FROM d JOIN m USING (bk)
+      |WHERE CASE WHEN m1 <> anchor_id THEN m1 ELSE m2 END IS NOT NULL
+      |ORDER BY anchor_id, draw""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106,
-    q107, q108, q109, q110, q111, q112, q113)
+    q107, q108, q109, q110, q111, q112, q113, q114, q115)
 }

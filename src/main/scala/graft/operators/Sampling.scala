@@ -166,4 +166,44 @@ object Sampling {
       .orderBy(col("priority"), key)
       .limit(n)
   }
+
+  /** Deterministic negative sampling for contrastive training: for each
+    * anchor row, draw `k` pseudo-random "negative" partners from the
+    * corpus WITHOUT a global index. Corpus rows hash into `buckets`
+    * buckets; draw j of an anchor targets bucket hash(id·"#"·j) mod B and
+    * takes that bucket's smallest id (its second-smallest when the anchor
+    * IS the bucket minimum — self-pairs are never emitted).
+    *
+    * Why this shape at 100 TB: the textbook "pick a random global row
+    * number" needs a total row index — a global sort/zipWithIndex
+    * antipattern. Bucket minima need one corpus shuffle keyed by bucket
+    * into a B-row table that broadcasts onto the anchors' exploded draws;
+    * anchors never shuffle. Draws are hash-deterministic: any engine
+    * recomputes the identical pairs. Collision caveat: draws of one
+    * anchor landing in the same bucket repeat a negative (acceptable for
+    * contrastive loss; raise B to thin it). */
+  def negativeSample(corpus: DataFrame, id: Column, anchors: DataFrame,
+                     anchorId: Column, k: Int, buckets: Int): DataFrame = {
+    require(k >= 1 && buckets >= 2, "need k >= 1 and buckets >= 2")
+    val bucketOf = (c: Column) => pmod(Dedup.hash60(c.cast("string")), lit(buckets.toLong))
+    // smallest two ids per bucket WITHOUT sorting buckets: min, broadcast
+    // it back, then min-above-min — two map-side-combinable aggs, so no
+    // per-bucket sort ever happens (buckets hold N/B rows at scale)
+    val base = corpus.select(id.cast("long").as("__cid"), bucketOf(id).as("__b"))
+    val m1 = base.groupBy("__b").agg(min("__cid").as("__m1"))
+    val mins = base.join(broadcast(m1), "__b")
+      .groupBy("__b")
+      .agg(min("__m1").as("__m1"),
+        min(when(col("__cid") > col("__m1"), col("__cid"))).as("__m2"))
+    val draws = anchors.select(anchorId.as("anchor_id"))
+      .select(col("anchor_id"), explode(sequence(lit(1), lit(k))).as("draw"))
+      .withColumn("__b", pmod(Dedup.hash60(
+        concat(col("anchor_id").cast("string"), lit("#"), col("draw").cast("string"))),
+        lit(buckets.toLong)))
+    draws.join(broadcast(mins), "__b")
+      .select(col("anchor_id"), col("draw").cast("long").as("draw"),
+        when(col("__m1") =!= col("anchor_id"), col("__m1"))
+          .otherwise(col("__m2")).as("negative_id"))
+      .where(col("negative_id").isNotNull)
+  }
 }

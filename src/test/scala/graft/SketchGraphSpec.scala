@@ -130,6 +130,38 @@ class SketchGraphSpec extends SparkSpec {
     assert(a === b)
   }
 
+  // -------------------------------------------------- mutations & negatives
+
+  test("upsert: changes win, unmatched base survives, inserts append; deletes drop") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "v", "x")
+    val changes = Seq((2L, "B", 99.0), (9L, "new", 1.0)).toDF("k", "v", "x")
+    val merged = Mutations.upsert(base, changes, Seq("k"))
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(merged === Seq((1L, "a", 10.0), (2L, "B", 99.0), (3L, "c", 30.0),
+      (9L, "new", 1.0)))
+    val afterDelete = Mutations.applyDeletes(base, Seq(Tuple1(2L)).toDF("k"),
+      Seq("k")).orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(afterDelete === Seq((1L, "a", 10.0), (3L, "c", 30.0)))
+  }
+
+  test("negativeSample: k draws per anchor, no self-pairs, negatives from corpus, deterministic") {
+    val corpus = (1L to 200L).map(Tuple1(_)).toDF("id")
+    val anchors = (1L to 200L by 20).map(Tuple1(_)).toDF("id")
+    val out = Sampling.negativeSample(corpus, col("id"), anchors, col("id"),
+      k = 3, buckets = 16).orderBy("anchor_id", "draw")
+      .as[(Long, Long, Long)].collect().toSeq
+    // every (anchor, draw) emitted exactly once (16 populated buckets, so
+    // every draw resolves), no self-pairs, negatives are corpus ids
+    assert(out.map(x => (x._1, x._2)).toSet ===
+      (1L to 200L by 20).flatMap(a => (1L to 3L).map(a -> _)).toSet)
+    assert(out.forall(x => x._3 != x._1 && x._3 >= 1L && x._3 <= 200L))
+    val again = Sampling.negativeSample(corpus, col("id"), anchors, col("id"),
+      k = 3, buckets = 16).orderBy("anchor_id", "draw")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === again)
+  }
+
   // -------------------------------------------------- property references
 
   private def gen[T](g: org.scalacheck.Gen[T], seed: Long): T =
