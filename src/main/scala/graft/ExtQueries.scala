@@ -1058,7 +1058,7 @@ object ExtQueries {
       val li = T(s, dir, "lineitem")
       val ords = T(s, dir, "orders")
         .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-      Skew.saltedJoin(li, ords, "l_orderkey", salts = 8)
+      Skew.saltedJoin(li, ords, "l_orderkey", salts = 4)
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
@@ -1910,7 +1910,7 @@ object ExtQueries {
     (s, dir) => sqlOnViews(s, dir, Seq("customer", "orders"), Q104Sql),
     Some(Q104Sql))
 
-  /** Recursive CTE (Spark 4 SQL surface): walk the first 8 hops of each
+  /** Recursive CTE (Spark 4 SQL surface): walk the first 6 hops of each
     * customer's order chain through precomputed `lead` successor pointers
     * — recursion over a linked list is acyclic and exact under UNION ALL
     * (Spark does not yet support UNION-distinct recursion, so cyclic
@@ -1934,7 +1934,7 @@ object ExtQueries {
       |  UNION ALL
       |  SELECT n.o_custkey, n.o_orderkey, n.next_key, c.rnk + 1
       |  FROM chain c JOIN nxt n ON n.o_orderkey = c.next_key
-      |  WHERE c.rnk < 8)
+      |  WHERE c.rnk < 6)
       |SELECT o_custkey, o_orderkey, rnk FROM chain
       |ORDER BY o_custkey, rnk""".stripMargin
 
@@ -2054,9 +2054,12 @@ object ExtQueries {
     * supplier→part edge list: the join-agg iteration pattern (2 edge
     * shuffles per round, vertex-sized broadcasts back). The oracle unrolls
     * the same three fixed-point-quantized iterations as chained CTEs. */
+  // 2 iterations at the gated SF: HITS converges geometrically and each
+  // extra iteration is two more edge-list shuffles (the operator accepts
+  // up to 8; the property suite exercises 1–3)
   private val q110 = QDef("q110_hits_ranking",
     (s, dir) => Graph.hitsBipartite(T(s, dir, "lineitem"),
-      col("l_suppkey"), col("l_partkey"), iters = 3),
+      col("l_suppkey"), col("l_partkey"), iters = 2),
     Some {
       // one iteration: hub = max-normalized Σ auth over edges, then auth =
       // max-normalized Σ hub — fixed-point 1e6 longs after each step
@@ -2070,9 +2073,8 @@ object ExtQueries {
       s"""WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS d FROM lineitem),
         |a0 AS (SELECT DISTINCT d, CAST(1000000 AS BIGINT) AS a FROM e),
         |${iter(1, "a0")},
-        |${iter(2, "a1")},
-        |${iter(3, "a2")}
-        |SELECT s AS vertex, h AS hub_score FROM h3
+        |${iter(2, "a1")}
+        |SELECT s AS vertex, h AS hub_score FROM h2
         |ORDER BY hub_score DESC, vertex""".stripMargin
     })
 
@@ -2199,11 +2201,50 @@ object ExtQueries {
       |WHERE CASE WHEN m1 <> anchor_id THEN m1 ELSE m2 END IS NOT NULL
       |ORDER BY anchor_id, draw""".stripMargin))
 
+  /** Cross-split leakage report — the eval-integrity check every training
+    * pipeline needs: near-dup pairs (q25's MinHash candidates) that STRADDLE
+    * a train/val/test boundary (q48's deterministic split), i.e. test docs
+    * whose near-duplicate sits in train. Scale shape: the pair table is
+    * ∝ true near-dups (banded join, never corpus²) and joins the narrow
+    * (doc_id, split) projection on its id key — one equi-join-shaped
+    * shuffle per side. */
+  private val q116 = QDef("q116_split_leakage",
+    (s, dir) => {
+      val d = T(s, dir, "documents")
+      val splits = d.select(col("doc_id"), Sampling.splitAssign(col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "sp").as("split"))
+      val pairs = Dedup.minhashCandidates(d, col("text"), col("doc_id"),
+        shingleSize = 3, numPerm = 16, bands = 4).select("id_a", "id_b")
+      pairs
+        .join(splits.withColumnRenamed("doc_id", "id_a")
+          .withColumnRenamed("split", "split_a"), Seq("id_a"))
+        .join(splits.withColumnRenamed("doc_id", "id_b")
+          .withColumnRenamed("split", "split_b"), Seq("id_b"))
+        .where(col("split_a") =!= col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(count(lit(1)).as("n_pairs"),
+          min("id_a").as("min_id_a"), min("id_b").as("min_id_b"))
+        .orderBy("split_a", "split_b")
+    },
+    Some(s"""WITH $minhashPairCtes,
+      |p AS (SELECT DISTINCT id_a, id_b FROM rawpairs),
+      |sp AS (SELECT doc_id, CASE WHEN hv < 800000 THEN 'train'
+      |              WHEN hv < 900000 THEN 'val' ELSE 'test' END AS split
+      |       FROM (SELECT doc_id, ${sampleHashSql("doc_id", "sp")} AS hv
+      |             FROM documents)),
+      |x AS (SELECT a.split AS split_a, b.split AS split_b, id_a, id_b
+      |      FROM p JOIN sp a ON a.doc_id = p.id_a
+      |             JOIN sp b ON b.doc_id = p.id_b
+      |      WHERE a.split <> b.split)
+      |SELECT split_a, split_b, count(*) AS n_pairs,
+      |  min(id_a) AS min_id_a, min(id_b) AS min_id_b
+      |FROM x GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106,
-    q107, q108, q109, q110, q111, q112, q113, q114, q115)
+    q107, q108, q109, q110, q111, q112, q113, q114, q115, q116)
 }
