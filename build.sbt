@@ -34,4 +34,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 16g default: the dedup pair joins churn enough young-gen that 8g
   // showed multi-second GC variance on the quadratic queries at sf0.1
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // throughput collector: the bench is a batch workload (no latency SLO) —
+  // G1's 200 ms pause target costs ~5-8% wall on the shuffle-heavy
+  // queries and adds run-to-run variance; override via SPARK_GC
+  s"-XX:+Use${sys.env.getOrElse("SPARK_GC", "Parallel")}GC",
 )
