@@ -2240,11 +2240,62 @@ object ExtQueries {
       |  min(id_a) AS min_id_a, min(id_b) AS min_id_b
       |FROM x GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin))
 
+  /** Ordered-funnel analysis (view → click within 1 day → purchase
+    * within 1 day of the click): the CEP-style sequence detector written as three
+    * layered conditional-min windows over ONE user-keyed partition —
+    * never a per-stage self-join (the naive funnel is k-1 self-joins of
+    * the event log). All three windows share the single user_id exchange;
+    * stage timestamps are exact integer micros, so the completion-time
+    * average divides identical integers in both engines. */
+  private val q117 = QDef("q117_funnel",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id")
+      val e = T(s, dir, "events")
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val staged = e
+        .withColumn("tv",
+          min(when(col("event_type") === "view", col("us"))).over(w))
+        .withColumn("tc", min(when(col("event_type") === "click" &&
+          col("us") >= col("tv") &&
+          col("us") < col("tv") + lit(86400000000L), col("us"))).over(w))
+        .withColumn("tp", min(when(col("event_type") === "purchase" &&
+          col("us") >= col("tc") &&
+          col("us") < col("tc") + lit(86400000000L), col("us"))).over(w))
+      staged.groupBy("user_id")
+        .agg(max("tv").as("tv"), max("tc").as("tc"), max("tp").as("tp"))
+        .select(col("tv"), col("tp"),
+          when(col("tp").isNotNull, 3L).when(col("tc").isNotNull, 2L)
+            .when(col("tv").isNotNull, 1L).otherwise(0L).as("stage"))
+        .groupBy("stage")
+        .agg(count(lit(1)).as("n_users"),
+          round(sum(col("tp") - col("tv")).cast("double") /
+            (lit(1000000.0) * count(lit(1))), 4).as("avg_sec_to_purchase"))
+        .orderBy("stage")
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |s1 AS (SELECT user_id, event_type, us, min(CASE WHEN event_type = 'view'
+      |         THEN us END) OVER (PARTITION BY user_id) AS tv FROM e),
+      |s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND us >= tv
+      |         AND us < tv + 86400000000 THEN us END)
+      |         OVER (PARTITION BY user_id) AS tc FROM s1),
+      |s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND us >= tc
+      |         AND us < tc + 86400000000 THEN us END)
+      |         OVER (PARTITION BY user_id) AS tp FROM s2),
+      |u AS (SELECT user_id, max(tv) AS tv, max(tc) AS tc, max(tp) AS tp
+      |      FROM s3 GROUP BY user_id),
+      |st AS (SELECT tv, tp, CASE WHEN tp IS NOT NULL THEN 3
+      |              WHEN tc IS NOT NULL THEN 2
+      |              WHEN tv IS NOT NULL THEN 1 ELSE 0 END AS stage FROM u)
+      |SELECT CAST(stage AS BIGINT) AS stage, CAST(count(*) AS BIGINT) AS n_users,
+      |  round(CAST(sum(tp - tv) AS DOUBLE) / (1000000.0 * count(*)), 4)
+      |    AS avg_sec_to_purchase
+      |FROM st GROUP BY 1 ORDER BY stage""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106,
-    q107, q108, q109, q110, q111, q112, q113, q114, q115, q116)
+    q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117)
 }
