@@ -130,6 +130,36 @@ class SketchGraphSpec extends SparkSpec {
     assert(a === b)
   }
 
+  // ----------------------------------------------------------------- funnel
+
+  test("funnel stages respect order and step windows (crafted event logs)") {
+    import org.apache.spark.sql.expressions.Window
+    val day = 86400000000L
+    // u1: full ordered funnel; u2: click BEFORE view (not counted) -> stage 1;
+    // u3: purchase 2 days after click (outside window) -> stage 2;
+    // u4: no view at all -> stage 0 even though click+purchase exist
+    val events = Seq(
+      (1L, "view", 0L), (1L, "click", 1000L), (1L, "purchase", 2000L),
+      (2L, "click", 0L), (2L, "view", 1000L), (2L, "purchase", day * 3),
+      (3L, "view", 0L), (3L, "click", 500L), (3L, "purchase", 500L + 2 * day),
+      (4L, "click", 0L), (4L, "purchase", 100L)
+    ).toDF("user_id", "event_type", "us")
+    val w = Window.partitionBy("user_id")
+    val staged = events
+      .withColumn("tv", min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("tc", min(when(col("event_type") === "click" &&
+        col("us") >= col("tv") && col("us") < col("tv") + lit(day), col("us"))).over(w))
+      .withColumn("tp", min(when(col("event_type") === "purchase" &&
+        col("us") >= col("tc") && col("us") < col("tc") + lit(day), col("us"))).over(w))
+      .groupBy("user_id")
+      .agg(max("tv").as("tv"), max("tc").as("tc"), max("tp").as("tp"))
+      .select(col("user_id"),
+        when(col("tp").isNotNull, 3L).when(col("tc").isNotNull, 2L)
+          .when(col("tv").isNotNull, 1L).otherwise(0L).as("stage"))
+      .orderBy("user_id").as[(Long, Long)].collect().toSeq
+    assert(staged === Seq((1L, 3L), (2L, 1L), (3L, 2L), (4L, 0L)))
+  }
+
   // -------------------------------------------------- mutations & negatives
 
   test("upsert: changes win, unmatched base survives, inserts append; deletes drop") {
