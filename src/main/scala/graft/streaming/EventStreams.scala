@@ -204,6 +204,51 @@ object EventStreams {
       .orderBy("hour_ts", "event_type")
   }
 
+  /** Streaming CDC apply via `foreachBatch` — the SINK half of the
+    * mutation story ([[Mutations.upsert]] is the operator): each
+    * micro-batch is reduced to latest-wins per key
+    * ([[Dedup.latestSnapshot]]) and upserted into a parquet-backed state
+    * table with write-tmp-then-swap (the batch writer is idempotent per
+    * epoch, so a retried batch just rewrites the same state — the
+    * standard exactly-once recipe for non-transactional sinks; a table
+    * format would replace the swap with a transactional commit).
+    * An existing `statePath` is the bootstrap state (resume semantics —
+    * the caller owns the state lifecycle); absent, the first batch
+    * creates it. Returns the final state table. Unit-pinned: streamed
+    * state over a pre-seeded table equals the batch upsert of the
+    * fixture's latest-wins snapshot onto that seed. */
+  def runCdcApply(spark: SparkSession, dir: String, statePath: String,
+                  name: String = "graft_stream_cdc"): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rm)
+      p.delete(); ()
+    }
+    withStreamPartitions(spark) {
+      val q = readEventStream(spark, dir)
+        .select(col("user_id").as("k"), col("event_id"), col("ts"), col("value"))
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val latest = Dedup.latestSnapshot(batch.toDF(), Seq("k"), "ts", "event_id")
+          val state = new java.io.File(statePath)
+          val merged =
+            if (state.isDirectory)
+              Mutations.upsert(spark.read.parquet(statePath), latest, Seq("k"))
+            else latest
+          // write-tmp-then-swap: the upsert plan READS statePath, so the
+          // new state materializes elsewhere before the old is replaced
+          val tmp = statePath + ".tmp"
+          merged.write.mode("overwrite").parquet(tmp)
+          rm(state)
+          Files.move(Paths.get(tmp), Paths.get(statePath))
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).queryName(name).start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(statePath)
+  }
+
   /** Stream-static enrichment join: the event stream joined per
     * micro-batch against a BATCH dimension table (the standard streaming
     * enrichment — no state, no watermark; the static side is re-resolved

@@ -130,6 +130,32 @@ class SketchGraphSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("runCdcApply: streamed upsert onto pre-seeded state equals batch upsert") {
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_cdc").toString + "/state"
+    // pre-seed: a key the stream never touches (must survive) and a stale
+    // row for a streamed key (must be replaced)
+    val seed = Seq(
+      (-999L, -1L, java.sql.Timestamp.valueOf("1990-01-01 00:00:00"), 1.5),
+      (1L, -1L, java.sql.Timestamp.valueOf("1990-01-01 00:00:00"), -1.0))
+      .toDF("k", "event_id", "ts", "value")
+    seed.write.parquet(statePath)
+    val got = EventStreams.runCdcApply(spark, sf, statePath,
+      name = "cdc_spec_stream")
+      .select("k", "ts", "event_id", "value")
+      .orderBy("k").collect().toSeq
+    val latest = Dedup.latestSnapshot(
+      Tables.t(spark, sf, "events")
+        .select(col("user_id").as("k"), col("event_id"), col("ts"), col("value")),
+      Seq("k"), "ts", "event_id")
+    val expected = Mutations.upsert(seed.select("k", "ts", "event_id", "value"),
+      latest, Seq("k")).orderBy("k").collect().toSeq
+    assert(got.size === expected.size && got === expected)
+    // untouched seed key survived; streamed key was replaced
+    assert(got.exists(_.getLong(0) == -999L))
+    assert(!got.exists(r => r.getLong(0) == 1L && r.getDouble(3) == -1.0))
+  }
+
   // ----------------------------------------------------------------- funnel
 
   test("funnel stages respect order and step windows (crafted event logs)") {
