@@ -2291,11 +2291,40 @@ object ExtQueries {
       |    AS avg_sec_to_purchase
       |FROM st GROUP BY 1 ORDER BY stage""".stripMargin))
 
+  /** Cohort retention matrix: users grouped by first-activity day, counted
+    * as active per whole-week offset from their cohort start. All time
+    * arithmetic is INTEGER division of epoch-micros (`div`/`//`) — no
+    * date_trunc('week') whose week-start convention could differ between
+    * engines. Scale shape: one user-keyed agg for cohort starts (user-count
+    * sized, broadcast back — a shuffle join on user_id at real scale), one
+    * distinct + small group agg. */
+  private val q118 = QDef("q118_cohort_retention",
+    (s, dir) => {
+      val e = T(s, dir, "events")
+        .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      val cohort = e.groupBy("user_id").agg(min("day").as("cohort_day"))
+      e.join(broadcast(cohort), "user_id")
+        .select(col("user_id"), col("cohort_day"),
+          expr("(day - cohort_day) div 7").as("week_offset"))
+        .distinct()
+        .groupBy("cohort_day", "week_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_day", "week_offset")
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day
+      |       FROM events),
+      |cohort AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1),
+      |act AS (SELECT DISTINCT user_id, cohort_day,
+      |          (day - cohort_day) // 7 AS week_offset
+      |        FROM e JOIN cohort USING (user_id))
+      |SELECT cohort_day, week_offset, CAST(count(*) AS BIGINT) AS n_users
+      |FROM act GROUP BY 1, 2 ORDER BY cohort_day, week_offset""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106,
-    q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117)
+    q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118)
 }
