@@ -93,7 +93,11 @@ object Bench {
     val core24 = results.collect {
       case (k, v, true) if k.matches("q(0[1-9]|1[0-9]|2[0-4])_.*") => v
     }.sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","core24":${fmt(core24)},"n_queries":${results.size},"sec_per_query":${fmt(total / math.max(results.size, 1))},"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // rate over SUCCESSES only: total already excludes failures, so
+    // dividing by results.size would deflate the rate exactly when
+    // queries fail
+    val nOk = results.count(_._3)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","core24":${fmt(core24)},"n_queries":${results.size},"sec_per_query":${fmt(total / math.max(nOk, 1))},"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

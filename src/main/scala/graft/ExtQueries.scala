@@ -2053,7 +2053,7 @@ object ExtQueries {
   /** Bounded-iteration HITS ([[Graph.hitsBipartite]]) over the distinct
     * supplier→part edge list: the join-agg iteration pattern (2 edge
     * shuffles per round, vertex-sized broadcasts back). The oracle unrolls
-    * the same three fixed-point-quantized iterations as chained CTEs. */
+    * the same two fixed-point-quantized iterations as chained CTEs. */
   // 2 iterations at the gated SF: HITS converges geometrically and each
   // extra iteration is two more edge-list shuffles (the operator accepts
   // up to 8; the property suite exercises 1–3)

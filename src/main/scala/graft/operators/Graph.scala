@@ -35,8 +35,15 @@ object Graph {
                     iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 8,
       "iters must be in [1, 8]: each iteration is two edge-list shuffles")
-    val e = edges.select(src.as("s"), dst.as("d")).distinct()
+    // null-keyed edges can never match the iteration equi-joins, so drop
+    // them up front; an edge list with nothing left has no defined
+    // max-normalizer — fail loudly instead of NPE on the null max
+    val e = edges.select(src.as("s"), dst.as("d"))
+      .where(col("s").isNotNull && col("d").isNotNull).distinct()
       .localCheckpoint() // one shuffle; every iteration re-reads this
+    require(!e.isEmpty,
+      "hitsBipartite needs a non-empty edge list (the per-iteration " +
+        "max-normalizer is undefined over zero edges)")
     // auth_0 = 1e6 for every authority (fixed-point 1.0)
     var auth = e.select(col("d")).distinct()
       .select(col("d"), lit(1000000L).as("a"))

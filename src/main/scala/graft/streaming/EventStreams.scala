@@ -205,18 +205,25 @@ object EventStreams {
   }
 
   /** Streaming CDC apply via `foreachBatch` — the SINK half of the
-    * mutation story ([[Mutations.upsert]] is the operator): each
-    * micro-batch is reduced to latest-wins per key
-    * ([[Dedup.latestSnapshot]]) and upserted into a parquet-backed state
-    * table with write-tmp-then-swap (the batch writer is idempotent per
-    * epoch, so a retried batch just rewrites the same state — the
-    * standard exactly-once recipe for non-transactional sinks; a table
-    * format would replace the swap with a transactional commit).
+    * mutation story: each micro-batch is merged into a parquet-backed
+    * state table as (ts, event_id)-wins per key — the batch rows are
+    * UNIONED with the current state and reduced by
+    * [[Dedup.latestSnapshot]], so an out-of-order event arriving in a
+    * later micro-batch cannot overwrite newer state (version-wins, not
+    * batch-order-wins). The swap is a crash-safe three-step rename:
+    * write to `.tmp`, rename the live state aside to `.old`, move
+    * `.tmp` in, then drop `.old`. Every crash point is recoverable —
+    * entry (and each batch) first restores `.old` if the live dir is
+    * missing and clears stale `.tmp`/`.old` — and the batch writer is
+    * idempotent per epoch, the standard exactly-once recipe for
+    * non-transactional sinks (a table format would replace the swap
+    * with a transactional commit).
     * An existing `statePath` is the bootstrap state (resume semantics —
     * the caller owns the state lifecycle); absent, the first batch
     * creates it. Returns the final state table. Unit-pinned: streamed
-    * state over a pre-seeded table equals the batch upsert of the
-    * fixture's latest-wins snapshot onto that seed. */
+    * state over a pre-seeded table equals the batch latest-wins merge of
+    * the fixture onto that seed, and a stale seed row newer than every
+    * streamed event survives. */
   def runCdcApply(spark: SparkSession, dir: String, statePath: String,
                   name: String = "graft_stream_cdc"): DataFrame = {
     import java.nio.file.{Files, Paths}
@@ -224,23 +231,41 @@ object EventStreams {
       if (p.isDirectory) p.listFiles().foreach(rm)
       p.delete(); ()
     }
+    val tmpPath = statePath + ".tmp"
+    val oldPath = statePath + ".old"
+    // Recover from a crash mid-swap: a leftover .tmp is an incomplete
+    // write (discard); a leftover .old with no live dir means the crash
+    // hit between rename-aside and move-in (restore); .old alongside a
+    // live dir means the crash hit before the final cleanup (drop it).
+    def recover(): Unit = {
+      val tmp = new java.io.File(tmpPath)
+      val old = new java.io.File(oldPath)
+      if (tmp.exists()) rm(tmp)
+      if (old.exists()) {
+        if (new java.io.File(statePath).exists()) rm(old)
+        else Files.move(Paths.get(oldPath), Paths.get(statePath))
+      }
+      ()
+    }
+    recover()
     withStreamPartitions(spark) {
       val q = readEventStream(spark, dir)
         .select(col("user_id").as("k"), col("event_id"), col("ts"), col("value"))
         .writeStream.outputMode("append")
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          val latest = Dedup.latestSnapshot(batch.toDF(), Seq("k"), "ts", "event_id")
+          recover()
           val state = new java.io.File(statePath)
-          val merged =
+          val merged0 =
             if (state.isDirectory)
-              Mutations.upsert(spark.read.parquet(statePath), latest, Seq("k"))
-            else latest
-          // write-tmp-then-swap: the upsert plan READS statePath, so the
-          // new state materializes elsewhere before the old is replaced
-          val tmp = statePath + ".tmp"
-          merged.write.mode("overwrite").parquet(tmp)
-          rm(state)
-          Files.move(Paths.get(tmp), Paths.get(statePath))
+              spark.read.parquet(statePath).unionByName(batch.toDF())
+            else batch.toDF()
+          val merged = Dedup.latestSnapshot(merged0, Seq("k"), "ts", "event_id")
+          // the merge plan READS statePath, so the new state must
+          // materialize elsewhere before the old is replaced
+          merged.write.mode("overwrite").parquet(tmpPath)
+          if (state.isDirectory) Files.move(Paths.get(statePath), Paths.get(oldPath))
+          Files.move(Paths.get(tmpPath), Paths.get(statePath))
+          rm(new java.io.File(oldPath))
           ()
         }
         .trigger(Trigger.AvailableNow()).queryName(name).start()

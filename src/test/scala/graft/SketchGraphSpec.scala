@@ -121,6 +121,21 @@ class SketchGraphSpec extends SparkSpec {
     assert(out.forall(x => x._2 > 0L && x._2 <= 1000000L))
   }
 
+  test("hitsBipartite: empty / all-null-key edge list is rejected, not NPE") {
+    val empty = Seq.empty[(Long, Long)].toDF("s", "d")
+    val e1 = intercept[IllegalArgumentException] {
+      Graph.hitsBipartite(empty, col("s"), col("d"), 2)
+    }
+    assert(e1.getMessage.contains("non-empty edge list"))
+    // null-keyed edges never match the equi-joins — equally undefined
+    val nulls = Seq((Some(1L), Option.empty[Long]),
+      (Option.empty[Long], Some(10L))).toDF("s", "d")
+    val e2 = intercept[IllegalArgumentException] {
+      Graph.hitsBipartite(nulls, col("s"), col("d"), 2)
+    }
+    assert(e2.getMessage.contains("non-empty edge list"))
+  }
+
   test("hitsBipartite: duplicate edges are collapsed before iteration") {
     val once = Seq((1L, 10L), (2L, 10L), (2L, 11L)).toDF("s", "d")
     val dup = Seq((1L, 10L), (1L, 10L), (1L, 10L), (2L, 10L), (2L, 11L),
@@ -130,30 +145,35 @@ class SketchGraphSpec extends SparkSpec {
     assert(a === b)
   }
 
-  test("runCdcApply: streamed upsert onto pre-seeded state equals batch upsert") {
+  test("runCdcApply: streamed merge onto pre-seeded state is (ts, event_id)-wins") {
     val statePath = java.nio.file.Files
       .createTempDirectory("graft_cdc").toString + "/state"
-    // pre-seed: a key the stream never touches (must survive) and a stale
-    // row for a streamed key (must be replaced)
+    // pre-seed: a key the stream never touches (must survive), a stale row
+    // for a streamed key (must be replaced), and a FUTURE row (newer than
+    // every streamed event — must survive: version-wins, not batch-order)
     val seed = Seq(
       (-999L, -1L, java.sql.Timestamp.valueOf("1990-01-01 00:00:00"), 1.5),
-      (1L, -1L, java.sql.Timestamp.valueOf("1990-01-01 00:00:00"), -1.0))
+      (1L, -1L, java.sql.Timestamp.valueOf("1990-01-01 00:00:00"), -1.0),
+      (2L, -2L, java.sql.Timestamp.valueOf("2099-01-01 00:00:00"), 99.0))
       .toDF("k", "event_id", "ts", "value")
     seed.write.parquet(statePath)
     val got = EventStreams.runCdcApply(spark, sf, statePath,
       name = "cdc_spec_stream")
       .select("k", "ts", "event_id", "value")
       .orderBy("k").collect().toSeq
-    val latest = Dedup.latestSnapshot(
+    // batch reference: latest-wins over the union of seed and all events
+    val expected = Dedup.latestSnapshot(
       Tables.t(spark, sf, "events")
-        .select(col("user_id").as("k"), col("event_id"), col("ts"), col("value")),
+        .select(col("user_id").as("k"), col("event_id"), col("ts"), col("value"))
+        .unionByName(seed),
       Seq("k"), "ts", "event_id")
-    val expected = Mutations.upsert(seed.select("k", "ts", "event_id", "value"),
-      latest, Seq("k")).orderBy("k").collect().toSeq
+      .select("k", "ts", "event_id", "value").orderBy("k").collect().toSeq
     assert(got.size === expected.size && got === expected)
-    // untouched seed key survived; streamed key was replaced
+    // untouched seed key survived; stale streamed key was replaced; the
+    // future-dated seed row beat any streamed event for its key
     assert(got.exists(_.getLong(0) == -999L))
     assert(!got.exists(r => r.getLong(0) == 1L && r.getDouble(3) == -1.0))
+    assert(got.exists(r => r.getLong(0) == 2L && r.getDouble(3) == 99.0))
   }
 
   // ----------------------------------------------------------------- funnel
