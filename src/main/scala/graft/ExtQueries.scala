@@ -2320,11 +2320,230 @@ object ExtQueries {
       |SELECT cohort_day, week_offset, CAST(count(*) AS BIGINT) AS n_users
       |FROM act GROUP BY 1, 2 ORDER BY cohort_day, week_offset""".stripMargin))
 
+  /** Per-event-type OLS drift line ([[Trend.olsTrend]]): integer power
+    * sums over (whole days since the dataset's first day, value cents) —
+    * exact in any partial-agg order; the two slope/intercept divisions are
+    * the only floats. The min-day scalar rides to executors as a literal
+    * (bounded driver collect, the codebook pattern). */
+  private val q119 = QDef("q119_ols_trend",
+    (s, dir) => {
+      val e = T(s, dir, "events").select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+      val minDay = e.agg(min("day")).head.getLong(0)
+      Trend.olsTrend(e, col("event_type"), col("day") - lit(minDay),
+          col("cents"))
+        .select(col("g").as("event_type"), col("n"),
+          col("slope").as("slope_cents_per_day"),
+          col("intercept").as("intercept_cents"))
+        .orderBy("event_type")
+    },
+    Some("""WITH e AS (SELECT event_type,
+      |         epoch_us(ts) // 86400000000 AS day,
+      |         CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+      |m AS (SELECT min(day) AS d0 FROM e),
+      |c AS (SELECT event_type, day - d0 AS x, cents AS y FROM e CROSS JOIN m),
+      |su AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |         CAST(sum(x * y) AS BIGINT) AS sxy,
+      |         CAST(sum(x * x) AS BIGINT) AS sxx
+      |       FROM c GROUP BY 1)
+      |SELECT event_type, n,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |        CAST(n * sxx - sx * sx AS DOUBLE), 4) AS slope_cents_per_day,
+      |  round(CAST(sy * sxx - sx * sxy AS DOUBLE) /
+      |        CAST(n * sxx - sx * sx AS DOUBLE), 4) AS intercept_cents
+      |FROM su ORDER BY event_type""".stripMargin))
+
+  /** First-order Markov transition matrix ([[Sequences.transitions]]) over
+    * per-user event streams: lead() in one user-keyed window (no
+    * self-join), integer counts, one division per cell. */
+  private val q120 = QDef("q120_markov_transitions",
+    (s, dir) => Sequences.transitions(T(s, dir, "events"), col("user_id"),
+        unix_micros(col("ts")), col("event_id"), col("event_type"))
+      .orderBy("from_state", "to_state"),
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+      |         event_id FROM events),
+      |p AS (SELECT event_type AS s, lead(event_type) OVER
+      |        (PARTITION BY user_id ORDER BY us, event_id) AS nxt FROM e),
+      |c AS (SELECT s AS from_state, nxt AS to_state,
+      |        CAST(count(*) AS BIGINT) AS n
+      |      FROM p WHERE nxt IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_state, to_state, n,
+      |  round(CAST(n AS DOUBLE) /
+      |    CAST(sum(n) OVER (PARTITION BY from_state) AS DOUBLE), 4) AS prob
+      |FROM c ORDER BY from_state, to_state""".stripMargin))
+
+  /** Per-document token entropy via the native [[TokenEntropy]] codegen
+    * expression — one row per document end to end, vs the oracle's
+    * explode-to-a-row-per-token spelling (the shape difference IS the
+    * scale argument: no |tokens|-sized shuffle). */
+  private val q121 = QDef("q121_token_entropy",
+    (s, dir) => T(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        round(org.apache.spark.sql.graft.TextExprs
+          .tokenEntropy(split(col("text"), " ")), 4).as("entropy"))
+      .orderBy("doc_id"),
+    Some("""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      |        FROM documents)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  round(entropy(t), 4) AS entropy
+      |FROM tk GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  /** Dictionary-blocked fuzzy name pairs ([[FuzzyJoin.dictionaryPairs]]):
+    * levenshtein runs on the 64-entry distinct-name dictionary (first-char
+    * + length-band blocking), never on the 2 000-row table — integer
+    * distances, no floats anywhere. Cap 3: the fixture vocabulary has no
+    * pairs closer than distance 3. */
+  private val q122 = QDef("q122_fuzzy_names",
+    (s, dir) => FuzzyJoin.dictionaryPairs(T(s, dir, "part"), col("p_name"),
+        maxDist = 3, lenBand = 2)
+      .select(col("name_a"), col("name_b"), col("dist"), col("n_a"), col("n_b"))
+      .orderBy("name_a", "name_b"),
+    Some("""WITH d AS (SELECT p_name AS nm, CAST(count(*) AS BIGINT) AS n,
+      |         substr(p_name, 1, 1) AS blk, length(p_name) AS len
+      |       FROM part GROUP BY 1)
+      |SELECT a.nm AS name_a, b.nm AS name_b,
+      |  CAST(levenshtein(a.nm, b.nm) AS INTEGER) AS dist,
+      |  a.n AS n_a, b.n AS n_b
+      |FROM d a JOIN d b ON a.blk = b.blk AND a.nm < b.nm
+      |  AND abs(a.len - b.len) <= 2
+      |WHERE levenshtein(a.nm, b.nm) <= 3
+      |ORDER BY name_a, name_b""".stripMargin))
+
+  /** Shuffle-key skew diagnostic ([[Skew.keyDistribution]]) for
+    * l_partkey: key-count Gini + top-share in one pass over the key-count
+    * table. The number that tells you whether q70's salting is needed. */
+  private val q123 = QDef("q123_skew_report",
+    (s, dir) => Skew.keyDistribution(T(s, dir, "lineitem"), col("l_partkey")),
+    Some("""WITH c AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS c
+      |        FROM lineitem GROUP BY 1),
+      |r AS (SELECT k, c, row_number() OVER (ORDER BY c, k) AS i,
+      |        CAST(count(*) OVER () AS BIGINT) AS nk FROM c)
+      |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+      |  CAST(sum(c) AS BIGINT) AS n_rows,
+      |  round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4)
+      |    AS max_share,
+      |  round(CAST(sum(CASE WHEN i > nk - 10 THEN c ELSE 0 END) AS DOUBLE) /
+      |        CAST(sum(c) AS DOUBLE), 4) AS top10_share,
+      |  round(CAST(sum((2 * i - nk - 1) * c) AS DOUBLE) /
+      |        CAST(count(*) * sum(c) AS DOUBLE), 4) AS gini
+      |FROM r""".stripMargin))
+
+  /** Equi-depth discretization: ntile(10) over (n_chars, doc_id) — the
+    * quantile-binning step of feature preprocessing. Integer sums per bin;
+    * the bin id itself is position-defined, so the total order under the
+    * window makes it engine-stable. */
+  private val q124 = QDef("q124_ntile_bins",
+    (s, dir) => T(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("bin",
+        ntile(10).over(Window.orderBy(col("n_chars"), col("doc_id"))))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"),
+        round(sum("n_chars").cast("double") / count(lit(1)), 4)
+          .as("avg_chars"))
+      .orderBy("bin"),
+    Some("""WITH b AS (SELECT doc_id, n_chars,
+      |         CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS INTEGER)
+      |           AS bin
+      |       FROM documents)
+      |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+      |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
+      |FROM b GROUP BY 1 ORDER BY bin""".stripMargin))
+
+  /** Exponential time-decay engagement score per user
+    * ([[Trend.decayedScore]], λ = 0.1/day back from the dataset max
+    * timestamp). Genuinely floating point (exp), but per-user groups are
+    * small, so round(,4) seals the association order — the documented
+    * boundary of the convention. */
+  private val q125 = QDef("q125_decayed_engagement",
+    (s, dir) => Trend.decayedScore(T(s, dir, "events"), col("user_id"),
+        col("ts"), col("value"), lambdaPerDay = 0.1)
+      .select(col("k").as("user_id"), col("decayed"), col("n_events"))
+      .orderBy("user_id"),
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+      |m AS (SELECT max(us) AS mu FROM e)
+      |SELECT user_id,
+      |  round(sum(value * exp(-0.1 * CAST(mu - us AS DOUBLE) /
+      |    86400000000.0)), 4) AS decayed,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM e CROSS JOIN m GROUP BY user_id ORDER BY user_id""".stripMargin))
+
+  /** Market-basket pair lift ([[Cooccur.pairLift]]) over order line items:
+    * basket-distinct marginals, pairs emitted once, lift = one
+    * integer-ratio division. Support floor keeps the pair table bounded. */
+  private val q126 = QDef("q126_pair_lift",
+    (s, dir) => Cooccur.pairLift(T(s, dir, "lineitem"), col("l_orderkey"),
+        col("l_partkey"), minSupport = 3L)
+      .select(col("item_a"), col("item_b"), col("c_ab"), col("c_a"),
+        col("c_b"), col("lift"))
+      .orderBy("item_a", "item_b"),
+    Some("""WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS it
+      |        FROM lineitem),
+      |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM bi),
+      |marg AS (SELECT it, CAST(count(*) AS BIGINT) AS c FROM bi GROUP BY 1),
+      |p AS (SELECT a.it AS item_a, b.it AS item_b,
+      |        CAST(count(*) AS BIGINT) AS c_ab
+      |      FROM bi a JOIN bi b ON a.b = b.b AND a.it < b.it
+      |      GROUP BY 1, 2 HAVING count(*) >= 3)
+      |SELECT item_a, item_b, c_ab, ma.c AS c_a, mb.c AS c_b,
+      |  round(CAST(c_ab * nb.n AS DOUBLE) /
+      |        CAST(ma.c * mb.c AS DOUBLE), 4) AS lift
+      |FROM p JOIN marg ma ON ma.it = item_a
+      |       JOIN marg mb ON mb.it = item_b
+      |CROSS JOIN nb
+      |ORDER BY item_a, item_b""".stripMargin))
+
+  /** MAD-based robust outlier report per event type
+    * ([[Trend.madOutliers]]): exact medians both passes; the deviation
+    * comparison runs on bitwise-identical doubles in both engines. */
+  private val q127 = QDef("q127_mad_outliers",
+    (s, dir) => Trend.madOutliers(T(s, dir, "events"), col("event_type"),
+        col("value"), k = 3.0)
+      .select(col("g").as("event_type"), col("median"), col("mad"),
+        col("n_outliers"), col("n"))
+      .orderBy("event_type"),
+    Some("""WITH e AS (SELECT event_type AS g, value AS v FROM events),
+      |med AS (SELECT g, median(v) AS med FROM e GROUP BY 1),
+      |dev AS (SELECT e.g, v, med, abs(v - med) AS d
+      |        FROM e JOIN med USING (g)),
+      |mad AS (SELECT g, median(d) AS mad FROM dev GROUP BY 1)
+      |SELECT dev.g AS event_type, round(min(dev.med), 4) AS median,
+      |  round(min(mad.mad), 4) AS mad,
+      |  CAST(sum(CASE WHEN d > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM dev JOIN mad USING (g) GROUP BY dev.g
+      |ORDER BY event_type""".stripMargin))
+
+  /** Top-20 three-step event paths ([[Sequences.topPaths]]): the lead()
+    * chain in one user-keyed window; integer counts make the
+    * (n desc, path) order engine-stable through the LIMIT. */
+  private val q128 = QDef("q128_event_paths",
+    (s, dir) => Sequences.topPaths(T(s, dir, "events"), col("user_id"),
+      unix_micros(col("ts")), col("event_id"), col("event_type"),
+      steps = 3, k = 20),
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+      |         event_id FROM events),
+      |p AS (SELECT event_type AS s0,
+      |        lead(event_type, 1) OVER w AS s1,
+      |        lead(event_type, 2) OVER w AS s2
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+      |SELECT s0 || '>' || s1 || '>' || s2 AS path,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM p WHERE s2 IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106,
-    q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118)
+    q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
+    q119, q120, q121, q122, q123, q124, q125, q126, q127, q128)
 }

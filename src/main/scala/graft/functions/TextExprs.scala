@@ -133,6 +133,68 @@ object MaxRunCountUtil {
   }
 }
 
+/** Native Shannon entropy (log base 2) of the element distribution of a
+  * string array — the vocabulary-diversity quality signal (low-entropy
+  * documents are boilerplate/repetition; cf. the Gopher repetition family).
+  *
+  * One sort + one run-length pass per row, inlined by whole-stage codegen —
+  * no hash map, no explode-then-groupBy row blowup (the naive Spark
+  * spelling shuffles one row PER TOKEN; this keeps one row per document).
+  * Matches DuckDB's `entropy()` aggregate over the unnested tokens:
+  * H = log2(n) − (Σ c·log2(c)) / n over per-distinct counts c. The
+  * per-run terms are accumulated in sorted-token order (deterministic
+  * across runs; cross-engine agreement is sealed by round(,4) at the
+  * query layer). Empty array → 0.0; null elements group as one token
+  * (unreachable from tokenization — split() never emits nulls).
+  */
+case class TokenEntropy(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "graft_token_entropy"
+
+  override def nullSafeEval(a: Any): Any =
+    TokenEntropyUtil.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"org.apache.spark.sql.graft.TokenEntropyUtil.compute($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TokenEntropyUtil {
+  private val Log2 = math.log(2.0)
+
+  /** Called from generated code (static forwarder of this object). */
+  def compute(arr: ArrayData): Double = {
+    val n = arr.numElements()
+    if (n == 0) return 0.0
+    val a = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { a(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i); i += 1 }
+    java.util.Arrays.sort(a, (x: UTF8String, y: UTF8String) =>
+      if (x eq y) 0
+      else if (x == null) -1
+      else if (y == null) 1
+      else x.compareTo(y))
+    // Σ c·log2(c) over run lengths of the sorted array
+    var sumClogC = 0.0
+    var run = 1L
+    i = 1
+    while (i < n) {
+      val eq = if (a(i) == null) a(i - 1) == null
+               else a(i - 1) != null && a(i).equals(a(i - 1))
+      if (eq) run += 1
+      else { if (run > 1) sumClogC += run * (math.log(run.toDouble) / Log2); run = 1L }
+      i += 1
+    }
+    if (run > 1) sumClogC += run * (math.log(run.toDouble) / Log2)
+    math.log(n.toDouble) / Log2 - sumClogC / n
+  }
+}
+
 object TextExprs {
   /** Column-level fingerprint backed by the codegen expression. */
   def fingerprint(tokens: Column): Column =
@@ -141,4 +203,8 @@ object TextExprs {
   /** Column-level max-run count backed by the codegen expression. */
   def maxRunCount(arr: Column): Column =
     ExpressionUtils.column(MaxRunCount(ExpressionUtils.expression(arr)))
+
+  /** Column-level token entropy backed by the codegen expression. */
+  def tokenEntropy(arr: Column): Column =
+    ExpressionUtils.column(TokenEntropy(ExpressionUtils.expression(arr)))
 }

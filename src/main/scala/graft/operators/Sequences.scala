@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ordered event-sequence mining: Markov transition matrices and frequent
+  * path extraction. The sequence-modeling complement of [[Sessionize]]
+  * (which bounds sequences in time) — both feed behavioral features into
+  * a training-data pipeline (next-event prediction labels, funnel priors).
+  *
+  * Scale shape: everything here is ONE shuffle — the window partition by
+  * the sequence key. Successor extraction is `lead()` inside that window
+  * (no self-join: the naive `e JOIN e ON seq AND idx+1` spelling shuffles
+  * twice and skews on hot keys); the downstream transition/path counts
+  * aggregate tables bounded by |alphabet|^steps, which broadcast.
+  *
+  * Determinism: window order is (ts, tie-break id) — a total order per
+  * key; counts are integers; probabilities are one long/long division
+  * sealed with round(,4) (FIXTURES.md).
+  */
+object Sequences {
+
+  /** First-order Markov transition matrix over `state`, ordered per `key`
+    * by (`ts`, `tieBreak`): (from_state, to_state, n, prob) with prob
+    * normalized per from_state. */
+  def transitions(df: DataFrame, key: Column, ts: Column, tieBreak: Column,
+                  state: Column): DataFrame = {
+    val w = Window.partitionBy("k").orderBy(col("us"), col("tb"))
+    val pairs = df.select(key.as("k"), ts.as("us"), tieBreak.as("tb"),
+        state.as("s"))
+      .withColumn("nxt", lead(col("s"), 1).over(w))
+      .where(col("nxt").isNotNull)
+    val counts = pairs.groupBy(col("s").as("from_state"),
+        col("nxt").as("to_state"))
+      .agg(count(lit(1)).as("n"))
+    val wf = Window.partitionBy("from_state")
+    counts.select(col("from_state"), col("to_state"), col("n"),
+      round(col("n").cast("double") /
+        sum("n").over(wf).cast("double"), 4).as("prob"))
+  }
+
+  /** Top-k most frequent `steps`-long state paths (windowed `lead` chain,
+    * joined into one `sep`-delimited string). Ties broken by path string —
+    * integer counts, so the (count desc, path) order is engine-stable. */
+  def topPaths(df: DataFrame, key: Column, ts: Column, tieBreak: Column,
+               state: Column, steps: Int, k: Int,
+               sep: String = ">"): DataFrame = {
+    require(steps >= 2 && steps <= 8, "steps must be in [2, 8]")
+    val w = Window.partitionBy("k").orderBy(col("us"), col("tb"))
+    val base = df.select(key.as("k"), ts.as("us"), tieBreak.as("tb"),
+      state.as("s0"))
+    val withLeads = (1 until steps).foldLeft(base) { (acc, i) =>
+      acc.withColumn(s"s$i", lead(col("s0"), i).over(w))
+    }
+    withLeads.where(col(s"s${steps - 1}").isNotNull)
+      .select(concat_ws(sep, (0 until steps).map(i => col(s"s$i")): _*)
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("path"))
+      .limit(k)
+  }
+}

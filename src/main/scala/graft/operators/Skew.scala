@@ -42,4 +42,38 @@ object Skew {
       .groupBy(col("__k")).agg(merge(col("__p")).as("__m"))
       .select(col("__k"), col("__m"))
   }
+
+  /** Key-distribution report — the DIAGNOSTIC that decides whether the
+    * remedies above are needed: one row of (n_keys, n_rows, max_share,
+    * top10_share, gini) for a prospective shuffle key.
+    *
+    * Gini over per-key counts c₁ ≤ … ≤ cₙ (ascending, ranked with the key
+    * as tie-break): Σ(2i − n − 1)·cᵢ / (n·Σc) — integer numerator and
+    * denominator, one double division, round(,4) (FIXTURES.md).
+    *
+    * Scale: pass 1 is a map-side-combined count per key; the ranking
+    * window then runs over the KEY-COUNT table (|keys| rows, not |rows|).
+    * That table is single-partition windowed here — fine to ~10⁷ keys; a
+    * 100 TB run with ~10⁹ keys swaps in a two-phase rank (range-partition
+    * by c, then offset per partition) without changing the output. */
+  def keyDistribution(df: DataFrame, key: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(key.as("k")).groupBy("k")
+      .agg(count(lit(1)).as("c"))
+    val ranked = counts
+      .withColumn("i", row_number().over(Window.orderBy(col("c"), col("k"))))
+      .withColumn("nk", count(lit(1)).over(Window.partitionBy()))
+    ranked.agg(count(lit(1)).as("n_keys"), sum("c").as("n_rows"),
+        max("c").as("max_c"),
+        sum(when(col("i") > col("nk") - 10, col("c")).otherwise(0L))
+          .as("top10_c"),
+        sum((lit(2) * col("i") - col("nk") - 1) * col("c")).as("gini_num"))
+      .select(col("n_keys"), col("n_rows"),
+        round(col("max_c").cast("double") / col("n_rows").cast("double"), 4)
+          .as("max_share"),
+        round(col("top10_c").cast("double") / col("n_rows").cast("double"), 4)
+          .as("top10_share"),
+        round(col("gini_num").cast("double") /
+          (col("n_keys") * col("n_rows")).cast("double"), 4).as("gini"))
+  }
 }

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-group statistical trend / robust-outlier operators.
+  *
+  * Mirrors the reference's derived-statistics family (change rates,
+  * composite indices — `census-data-pipeline` derive.py) extended to the
+  * regression/robust-statistics tools a curation pipeline needs: fitting a
+  * drift line to a metric, time-decayed engagement scoring, and
+  * median-absolute-deviation outlier flags.
+  *
+  * Determinism (FIXTURES.md): every fit runs on INTEGER-quantized inputs
+  * (cents, whole days) and integer power sums, so partial-aggregation
+  * order cannot move a bit; the only floating-point steps are single
+  * divisions of two longs, sealed with round(,4) — the same convention as
+  * the money-sum queries.
+  */
+object Trend {
+
+  /** Closed-form per-group OLS fit of `yCents` (integer!) on `x`
+    * (integer!): slope and intercept from the five power sums
+    * n, Σx, Σy, Σxy, Σx².
+    *
+    *   slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *   intercept = (Σy·Σx² − Σx·Σxy) / (n·Σx² − (Σx)²)
+    *
+    * All sums are LONG (exact, order-independent — this is why callers
+    * must center/quantize x and y to small integers first: with x ≤ ~1e3
+    * and y ≤ ~1e6 the cross terms stay far from Long.MaxValue even at
+    * billions of rows per group). One shuffle: the groupBy. Constant
+    * groups (denominator 0, e.g. a single distinct x) yield null slope —
+    * SQL NULL division semantics in both engines.
+    *
+    * At 100 TB this is the map-side-combine-friendly shape: five longs of
+    * partial state per group regardless of group size.
+    */
+  def olsTrend(df: DataFrame, group: Column, x: Column, yCents: Column): DataFrame = {
+    val g = df.select(group.as("g"), x.cast("long").as("x"),
+      yCents.cast("long").as("y"))
+    g.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("g"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 4)
+          .as("slope"),
+        round((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 4)
+          .as("intercept"))
+  }
+
+  /** Median-absolute-deviation outlier report per group: exact median,
+    * exact MAD, and the count of rows with |v − median| > k·MAD.
+    *
+    * Two aggregation passes (median needs the data before deviations can
+    * be taken); the per-group medians table is group-count sized, so the
+    * second pass joins it back broadcast. Exact `percentile` on both
+    * engines per the FIXTURES convention (approx_percentile would be the
+    * 100 TB swap — flagged, not default, because the oracle compares
+    * exact).
+    */
+  def madOutliers(df: DataFrame, group: Column, v: Column,
+                  k: Double = 3.0): DataFrame = {
+    val g = df.select(group.as("g"), v.cast("double").as("v"))
+    val med = g.groupBy("g").agg(percentile(col("v"), lit(0.5)).as("med"))
+    val dev = g.join(broadcast(med), "g")
+      .select(col("g"), col("v"), col("med"),
+        abs(col("v") - col("med")).as("d"))
+    val mad = dev.groupBy("g").agg(percentile(col("d"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), "g")
+      .groupBy("g")
+      .agg(round(min("med"), 4).as("median"), round(min("mad"), 4).as("mad"),
+        sum(when(col("d") > lit(k) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Exponential time-decay score per key: Σ v · exp(−λ · age_days),
+    * with age measured back from the dataset's max timestamp (a scalar —
+    * rides to every task as a literal via a broadcast cross join, the
+    * same bounded-driver-collect pattern as the IVF codebook).
+    *
+    * The weighted terms are genuinely floating point (exp is), so groups
+    * must be small enough for round(,4) to absorb association-order drift
+    * — true for per-user event counts; a 100 TB deployment bins ages to
+    * whole days first (integer weights per bin) if groups grow unbounded.
+    */
+  def decayedScore(df: DataFrame, key: Column, ts: Column, v: Column,
+                   lambdaPerDay: Double): DataFrame = {
+    val us = df.select(key.as("k"), unix_micros(ts).as("us"),
+      v.cast("double").as("v"))
+    val maxUs = us.agg(max("us")).head.getLong(0)
+    us.groupBy("k")
+      .agg(round(sum(col("v") *
+        exp(lit(-lambdaPerDay) * (lit(maxUs) - col("us")).cast("double") /
+          lit(86400e6))), 4).as("decayed"),
+        count(lit(1)).as("n_events"))
+  }
+}
