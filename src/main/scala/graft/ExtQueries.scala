@@ -2538,6 +2538,131 @@ object ExtQueries {
       |FROM p WHERE s2 IS NOT NULL
       |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin))
 
+  /** First-touch attribution: each purchase credits the EARLIEST event of
+    * the same user in the preceding day — min(struct) over a RANGE window
+    * on integer micros (one user-keyed exchange; never a per-purchase
+    * self-join against the event log). Integer struct-min is
+    * engine-stable: (us, event_id) is a total order. */
+  private val q129 = QDef("q129_attribution",
+    (s, dir) => {
+      val e = T(s, dir, "events").select(col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_id"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy("us")
+        .rangeBetween(-86400000000L, 0L)
+      e.withColumn("ft",
+          min(struct(col("us"), col("event_id"), col("event_type"))).over(w))
+        .where(col("event_type") === "purchase")
+        .groupBy(col("ft.event_type").as("first_touch"))
+        .agg(count(lit(1)).as("n_purchases"))
+        .orderBy("first_touch")
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+      |         event_type FROM events),
+      |f AS (SELECT event_type, min(struct_pack(us := us, event_id := event_id,
+      |         event_type := event_type)) OVER
+      |        (PARTITION BY user_id ORDER BY us
+      |         RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) AS ft
+      |      FROM e)
+      |SELECT ft.event_type AS first_touch, CAST(count(*) AS BIGINT)
+      |  AS n_purchases
+      |FROM f WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY first_touch""".stripMargin))
+
+  /** Pearson chi-square independence test of event_type × weekday.
+    * Weekday is pure integer epoch-day arithmetic ((d + 4) % 7 — no
+    * engine dow() convention), observed counts are integers, and the
+    * χ² terms mirror the same (O−E)²/E association order in both
+    * engines before the single round. */
+  private val q130 = QDef("q130_chi_square",
+    (s, dir) => {
+      val e = T(s, dir, "events").select(col("event_type"),
+        expr("(unix_micros(ts) div 86400000000 + 4) % 7").as("wd"))
+      val o = e.groupBy("event_type", "wd").agg(count(lit(1)).as("o"))
+      val rowT = o.groupBy("event_type").agg(sum("o").as("rt"))
+      val colT = o.groupBy("wd").agg(sum("o").as("ct"))
+      val n = e.count()
+      val terms = o.join(broadcast(rowT), "event_type")
+        .join(broadcast(colT), "wd")
+        .select((col("o").cast("double") -
+          (col("rt") * col("ct")).cast("double") / lit(n.toDouble)).as("d"),
+          ((col("rt") * col("ct")).cast("double") / lit(n.toDouble)).as("ex"),
+          col("event_type"), col("wd"))
+      terms.agg(round(sum(col("d") * col("d") / col("ex")), 4).as("chi2"),
+          count(lit(1)).as("n_cells"))
+        .select(col("chi2"), col("n_cells"))
+    },
+    Some("""WITH e AS (SELECT event_type,
+      |         (epoch_us(ts) // 86400000000 + 4) % 7 AS wd FROM events),
+      |o AS (SELECT event_type, wd, CAST(count(*) AS BIGINT) AS o
+      |      FROM e GROUP BY 1, 2),
+      |rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt FROM o GROUP BY 1),
+      |ct AS (SELECT wd, CAST(sum(o) AS BIGINT) AS ct FROM o GROUP BY 1),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+      |t AS (SELECT event_type, wd,
+      |        CAST(o AS DOUBLE) - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE)
+      |          AS d,
+      |        CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE) AS ex
+      |      FROM o JOIN rt USING (event_type) JOIN ct USING (wd) CROSS JOIN nn)
+      |SELECT round(sum(d * d / ex), 4) AS chi2,
+      |  CAST(count(*) AS BIGINT) AS n_cells
+      |FROM t""".stripMargin))
+
+  /** Inter-event gap distribution per event type: consecutive same-type
+    * gaps per user via lag() in one (user, type)-keyed window; exact
+    * median/p90 on integer micros (interpolation arithmetic identical on
+    * identical longs). */
+  private val q131 = QDef("q131_gap_stats",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy("us", "event_id")
+      T(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+        .withColumn("gap", col("us") - lag("us", 1).over(w))
+        .where(col("gap").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          round(percentile(col("gap"), lit(0.5)) / 1e6, 4)
+            .as("median_gap_sec"),
+          round(percentile(col("gap"), lit(0.9)) / 1e6, 4).as("p90_gap_sec"))
+        .orderBy("event_type")
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+      |         event_id FROM events),
+      |g AS (SELECT event_type, us - lag(us) OVER
+      |        (PARTITION BY user_id, event_type ORDER BY us, event_id)
+      |        AS gap FROM e)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+      |  round(quantile_cont(gap, 0.5) / 1e6, 4) AS median_gap_sec,
+      |  round(quantile_cont(gap, 0.9) / 1e6, 4) AS p90_gap_sec
+      |FROM g WHERE gap IS NOT NULL
+      |GROUP BY 1 ORDER BY event_type""".stripMargin))
+
+  /** Rolling 7-day distinct active users per day, by EXPLODING each
+    * (day, user) observation to the 7 windows it serves and counting
+    * distinct per target day — a shuffle-friendly equi-join shape (vs the
+    * broadcast-nested-loop `BETWEEN d-6 AND d` spelling, which is a
+    * non-equi join at any scale). Trailing partial windows included. */
+  private val q132 = QDef("q132_rolling_wau",
+    (s, dir) => {
+      val du = T(s, dir, "events")
+        .select(expr("unix_micros(ts) div 86400000000").as("day"),
+          col("user_id")).distinct()
+      val maxDay = du.agg(max("day")).head.getLong(0)
+      du.select(explode(sequence(col("day"),
+          least(col("day") + 6, lit(maxDay)))).as("d"), col("user_id"))
+        .groupBy("d")
+        .agg(countDistinct("user_id").as("wau"))
+        .orderBy("d")
+    },
+    Some("""WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+      |         user_id FROM events),
+      |m AS (SELECT max(day) AS md FROM du),
+      |x AS (SELECT unnest(generate_series(day, least(day + 6, md))) AS d,
+      |        user_id FROM du CROSS JOIN m)
+      |SELECT d, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+      |FROM x GROUP BY 1 ORDER BY d""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
@@ -2545,5 +2670,6 @@ object ExtQueries {
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106,
     q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
-    q119, q120, q121, q122, q123, q124, q125, q126, q127, q128)
+    q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
+    q129, q130, q131, q132)
 }
