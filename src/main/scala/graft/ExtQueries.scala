@@ -2663,6 +2663,40 @@ object ExtQueries {
       |SELECT d, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
       |FROM x GROUP BY 1 ORDER BY d""".stripMargin))
 
+  /** q132's 100 TB path: rolling 7-day distinct users from MERGED daily
+    * KMV sketches ([[Sketches.kmvRolling]]) — the window stage touches
+    * ≤ 7k sketch hashes per window instead of every raw observation.
+    * Merge is lossless for the bottom-k estimator (unit-pinned), and the
+    * md5 bottom-k is engine-reproducible, so the oracle recomputes the
+    * identical estimates. */
+  private val q133 = QDef("q133_rolling_wau_kmv",
+    (s, dir) => Sketches.kmvRolling(
+        T(s, dir, "events")
+          .select(expr("unix_micros(ts) div 86400000000").as("day"),
+            col("user_id")),
+        col("day"), col("user_id"), span = 7, k = 64)
+      .orderBy("w"),
+    Some(s"""WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS u,
+      |         ${hashSql("CAST(user_id AS VARCHAR)", 15)} AS hh FROM events),
+      |d1 AS (SELECT u, hh, row_number() OVER (PARTITION BY u ORDER BY hh)
+      |         AS rn FROM du),
+      |daily AS (SELECT u, hh FROM d1 WHERE rn <= 64),
+      |m AS (SELECT max(u) AS mu FROM du),
+      |x AS (SELECT DISTINCT w, hh FROM
+      |        (SELECT unnest(generate_series(u, least(u + 6, mu))) AS w, hh
+      |         FROM daily CROSS JOIN m)),
+      |r AS (SELECT w, hh, row_number() OVER (PARTITION BY w ORDER BY hh)
+      |         AS rn FROM x),
+      |kk AS (SELECT w, max(CASE WHEN rn = 64 THEN hh END) AS hk,
+      |         count(*) AS n_seen FROM r WHERE rn <= 64 GROUP BY w)
+      |SELECT w,
+      |  CASE WHEN hk IS NULL THEN CAST(n_seen AS DOUBLE)
+      |       ELSE round(63.0 * 1152921504606846976.0 / hk, 4) END
+      |    AS est_distinct,
+      |  CAST(n_seen AS BIGINT) AS n_seen,
+      |  CAST(CASE WHEN hk IS NULL THEN 1 ELSE 0 END AS BIGINT) AS exact
+      |FROM kk ORDER BY w""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
@@ -2671,5 +2705,5 @@ object ExtQueries {
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106,
     q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
     q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
-    q129, q130, q131, q132)
+    q129, q130, q131, q132, q133)
 }

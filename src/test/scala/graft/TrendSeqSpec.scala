@@ -148,6 +148,38 @@ class TrendSeqSpec extends SparkSpec {
     assert(out === (("g", 12.5, 1.5, 1L, 6L)))
   }
 
+  // ------------------------------------------------------------ KMV rolling
+
+  test("kmvRolling: merged daily sketches equal kmvDistinct over exploded raw") {
+    // 3 units, overlapping values across units, k smaller than cardinality
+    val rows = (for {
+      u <- 0L to 9L
+      v <- 0L until 40L
+    } yield (u, u * 7 + v)).toDF("u", "v") // windows see 40..~80 distinct
+    val rolling = Sketches.kmvRolling(rows, col("u"), col("v"), span = 3,
+        k = 16).orderBy("w")
+      .as[(Long, Double, Long, Long)].collect().toSeq
+    val maxU = 9L
+    val exploded = rows.select(explode(sequence(col("u"),
+        least(col("u") + 2, lit(maxU)))).as("w"), col("v"))
+    val reference = Sketches.kmvDistinct(exploded, col("w"), col("v"), k = 16)
+      .orderBy("grp").as[(Long, Double, Long, Long)].collect().toSeq
+    assert(rolling === reference)
+    assert(rolling.size === 10)
+    // windows with > k distinct report estimates, not exact
+    assert(rolling.forall(_._4 === 0L))
+  }
+
+  test("kmvRolling: below-k windows are exact; trailing windows clipped") {
+    val rows = Seq((0L, 1L), (0L, 2L), (1L, 2L), (1L, 3L), (2L, 9L))
+      .toDF("u", "v")
+    val out = Sketches.kmvRolling(rows, col("u"), col("v"), span = 2, k = 8)
+      .orderBy("w").as[(Long, Double, Long, Long)].collect().toSeq
+    // w0: u0 only {1,2}; w1: u0+u1 {1,2,3}; w2: u1+u2 {2,3,9}
+    assert(out === Seq((0L, 2.0, 2L, 1L), (1L, 3.0, 3L, 1L),
+      (2L, 3.0, 3L, 1L)))
+  }
+
   // ------------------------------------------------------------ decayed sum
 
   test("decayedScore: newest event is unweighted, older decay exponentially") {
