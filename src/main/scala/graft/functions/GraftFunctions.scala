@@ -23,6 +23,14 @@ object GraftFunctions {
     "graft_fingerprint" -> { args =>
       require(args.length == 1, "graft_fingerprint(tokenArray)")
       Fingerprint(args(0))
+    },
+    "graft_max_run_count" -> { args =>
+      require(args.length == 1, "graft_max_run_count(stringArray)")
+      MaxRunCount(args(0))
+    },
+    "graft_token_entropy" -> { args =>
+      require(args.length == 1, "graft_token_entropy(tokenArray)")
+      TokenEntropy(args(0))
     })
 
   /** (identifier, info, builder) triples — the shape both

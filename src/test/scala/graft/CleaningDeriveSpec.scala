@@ -88,6 +88,15 @@ class CleaningDeriveSpec extends SparkSpec {
     assert(r.getLong(1) === viaColumn)
   }
 
+  test("SQL-registered native functions evaluate (graft_max_run_count, graft_token_entropy)") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_max_run_count(split('a a a b', ' ')) AS m, " +
+        "graft_token_entropy(split('a a b c', ' ')) AS e").collect().head
+    assert(r.getLong(0) === 3L)
+    assert(r.getDouble(1) === 1.5)
+  }
+
   test("GraftExtensions injects the same functions via spark.sql.extensions path") {
     import org.apache.spark.sql.SparkSession
     // getOrCreate returns the active session, so release it for the
