@@ -2697,6 +2697,74 @@ object ExtQueries {
       |  CAST(CASE WHEN hk IS NULL THEN 1 ELSE 0 END AS BIGINT) AS exact
       |FROM kk ORDER BY w""".stripMargin))
 
+  /** Zipf-law fit of the corpus unigram distribution: OLS slope of
+    * ln(freq) on ln(rank) — the corpus-health statistic (natural text
+    * ≈ −1; template/boilerplate corpora deviate hard). Both lns are
+    * quantized to millinat fixed-point longs BEFORE the power sums (the
+    * q108 convention), so [[Trend.olsTrend]] runs on exact integers; the
+    * slope is scale-invariant under the shared ×1000. Intercept is NOT
+    * emitted: its Σy·Σx² numerator would overflow longs at corpus vocab
+    * sizes, and Catalyst prunes the unused expression from the plan.
+    * Rank window is over the vocab-sized count table (two-phase rank at
+    * 10⁹ vocab, same note as q123). */
+  private val q134 = QDef("q134_zipf_fit",
+    (s, dir) => {
+      val cnt = T(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c"))
+      val rk = cnt.withColumn("r",
+        row_number().over(Window.orderBy(desc("c"), col("t"))))
+      val q = rk.select(
+        expr("CAST(round(ln(CAST(r AS DOUBLE)) * 1000, 0) AS BIGINT)").as("x"),
+        expr("CAST(round(ln(CAST(c AS DOUBLE)) * 1000, 0) AS BIGINT)").as("y"))
+      Trend.olsTrend(q, lit(1), col("x"), col("y"))
+        .select(col("n").as("n_terms"), col("slope").as("zipf_slope"))
+    },
+    Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t
+      |        FROM documents),
+      |cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+      |rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, t) AS r FROM cnt),
+      |q AS (SELECT CAST(round(ln(CAST(r AS DOUBLE)) * 1000, 0) AS BIGINT) AS x,
+      |        CAST(round(ln(CAST(c AS DOUBLE)) * 1000, 0) AS BIGINT) AS y
+      |      FROM rk),
+      |su AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+      |         CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+      |         CAST(sum(x * x) AS BIGINT) AS sxx FROM q)
+      |SELECT n AS n_terms,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |        CAST(n * sxx - sx * sx AS DOUBLE), 4) AS zipf_slope
+      |FROM su""".stripMargin))
+
+  /** Sessionized bounce rate per day: single-event sessions over total
+    * sessions, on [[Sessionize.sessions]] (session_window) frames keyed
+    * by the session-start epoch day. Integer counts, one division. */
+  private val q135 = QDef("q135_bounce_rate",
+    (s, dir) => Sessionize.sessions(T(s, dir, "events"), "30 minutes")
+      .select(expr("unix_micros(session_start) div 86400000000").as("day"),
+        (col("n_events") === 1).cast("long").as("b"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_sessions"), sum("b").as("n_bounces"),
+        round(sum("b").cast("double") / count(lit(1)), 4).as("bounce_rate"))
+      .orderBy("day"),
+    Some("""WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      |f AS (SELECT user_id, us, event_id,
+      |        CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+      |             THEN 1 ELSE 0 END AS new_sess
+      |      FROM x WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |se AS (SELECT user_id, us,
+      |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                             ROWS UNBOUNDED PRECEDING) AS sid
+      |       FROM f),
+      |g AS (SELECT user_id, sid, min(us) AS start_us, count(*) AS n_ev
+      |      FROM se GROUP BY 1, 2)
+      |SELECT start_us // 86400000000 AS day,
+      |  CAST(count(*) AS BIGINT) AS n_sessions,
+      |  CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_bounces,
+      |  round(CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+      |        count(*), 4) AS bounce_rate
+      |FROM g GROUP BY 1 ORDER BY day""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
@@ -2705,5 +2773,5 @@ object ExtQueries {
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106,
     q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
     q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
-    q129, q130, q131, q132, q133)
+    q129, q130, q131, q132, q133, q134, q135)
 }
