@@ -2765,6 +2765,20 @@ object ExtQueries {
       |        count(*), 4) AS bounce_rate
       |FROM g GROUP BY 1 ORDER BY day""".stripMargin))
 
+  /** Spark 4 `transformWithState` running totals
+    * ([[EventStreams.runRunningTotals]]): typed RocksDB ValueState per
+    * user (three longs — bounded at any stream length), integer-quantized
+    * cents so the running sum is arrival-order-exact; latest emission per
+    * user equals the batch aggregate, which is the oracle. Cross-batch
+    * accumulation is unit-pinned with a two-file fixture. */
+  private val q136 = QDef("q136_stream_running_totals",
+    (s, dir) => EventStreams.runRunningTotals(s, dir),
+    Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents,
+      |  max(epoch_us(ts)) AS max_us
+      |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
@@ -2773,5 +2787,5 @@ object ExtQueries {
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106,
     q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
     q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
-    q129, q130, q131, q132, q133, q134, q135)
+    q129, q130, q131, q132, q133, q134, q135, q136)
 }

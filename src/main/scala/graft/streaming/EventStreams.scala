@@ -13,6 +13,42 @@ import org.apache.spark.sql.types._
   * driven to completion with Trigger.AvailableNow, which is also the
   * production backfill story; a live deployment only changes the trigger.
   */
+/** Final running totals per user, one emission per (user, micro-batch). */
+final case class UserTotals(user_id: Long, n_events: Long, sum_cents: Long,
+                            max_us: Long)
+
+/** Carried state for [[RunningTotalsProcessor]]. */
+final case class RunTotState(n: Long, cents: Long, maxUs: Long)
+
+/** `StatefulProcessor` for [[EventStreams.runRunningTotals]]: one typed
+  * `ValueState[RunTotState]` per user, folded over each batch's rows;
+  * emits the updated running totals once per batch the user appears in.
+  * State is three longs per key — bounded at any stream length. */
+class RunningTotalsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, Long), UserTotals] {
+  import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode => TM,
+    TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var tot: ValueState[RunTotState] = _
+
+  override def init(outputMode: OM, timeMode: TM): Unit =
+    tot = getHandle.getValueState[RunTotState]("tot",
+      Encoders.product[RunTotState], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+                               timerValues: TimerValues): Iterator[UserTotals] = {
+    val prev = if (tot.exists()) tot.get() else RunTotState(0L, 0L, Long.MinValue)
+    var n = prev.n; var c = prev.cents; var m = prev.maxUs
+    rows.foreach { case (_, cents, us) =>
+      n += 1; c += cents; if (us > m) m = us
+    }
+    tot.update(RunTotState(n, c, m))
+    Iterator.single(UserTotals(key, n, c, m))
+  }
+}
+
 object EventStreams {
   /** Runs `body` (which starts + drains a streaming query) with a reduced
     * `spark.sql.shuffle.partitions`, restoring the session value after.
@@ -272,6 +308,61 @@ object EventStreams {
       q.awaitTermination()
     }
     spark.read.parquet(statePath)
+  }
+
+  /** Per-user running totals via Spark 4's `transformWithState` — the
+    * arbitrary-state successor to mapGroupsWithState ([[Sessionize
+    * .statefulSessions]] keeps the legacy API for comparison): typed
+    * `ValueState` per key in the RocksDB state store, one emission per
+    * (user, micro-batch) carrying the running (n_events, sum_cents,
+    * max_us). Cents are integer-quantized so the running sum is exact in
+    * any arrival order (FIXTURES.md money convention).
+    *
+    * On a bounded run the LATEST emission per user (n_events strictly
+    * increases, so max n_events = final) equals the batch per-user
+    * aggregate — the oracle shape. Cross-batch accumulation is pinned in
+    * the unit suite by splitting a crafted fixture into two files with
+    * maxFilesPerTrigger=1. `glob` widens the file filter for such
+    * multi-file test directories. */
+  def runRunningTotals(spark: SparkSession, dir: String,
+                       name: String = "graft_stream_tws",
+                       maxFilesPerTrigger: Option[Int] = None,
+                       glob: String = "events.parquet"): DataFrame = {
+    import spark.implicits._
+    spark.catalog.dropTempView(name)
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    // transformWithState requires the RocksDB provider; session-scoped,
+    // restored after the bounded run
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try withStreamPartitions(spark) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val src0 = spark.readStream.schema(eventSchema)
+        .option("pathGlobFilter", glob)
+      val src = maxFilesPerTrigger.fold(src0)(n =>
+        src0.option("maxFilesPerTrigger", n.toString))
+      val typed = src.parquet(dir)
+        .select(col("user_id"),
+          expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"),
+          expr("ts DIV 1000").as("us"))
+        .as[(Long, Long, Long)]
+      val q = typed.groupByKey(_._1)
+        .transformWithState(new RunningTotalsProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .toDF()
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+    Dedup.latestSnapshot(spark.table(name), Seq("user_id"), "n_events",
+        "sum_cents")
+      .select(col("user_id"), col("n_events"), col("sum_cents"), col("max_us"))
+      .orderBy("user_id")
   }
 
   /** Stream-static enrichment join: the event stream joined per

@@ -180,6 +180,48 @@ class TrendSeqSpec extends SparkSpec {
       (2L, 3.0, 3L, 1L)))
   }
 
+  // --------------------------------------------------- transformWithState
+
+  test("runRunningTotals: ValueState accumulates across micro-batches") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tws").toString
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("ts", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType),
+      StructField("props", StringType)))
+    // the file STREAM source lists plain files, not nested parquet dirs:
+    // stage each mini-fixture, then lift its single part file to
+    // $dir/<n>.parquet
+    def write(n: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+      val stage = s"$dir/_stage_$n"
+      spark.createDataFrame(rows.toDF("event_id", "ts", "user_id",
+        "event_type", "value", "props").rdd, schema)
+        .repartition(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/$n.parquet"))
+      ()
+    }
+    // two files -> two AvailableNow micro-batches (maxFilesPerTrigger=1);
+    // user 1 spans both, user 2 only the first. ts is raw NANOS.
+    write("f1", Seq((1L, 1000000000L, 1L, "view", 1.25, "{}"),
+      (2L, 2000000000L, 2L, "view", 2.0, "{}")))
+    write("f2", Seq((3L, 9000000000L, 1L, "click", 0.75, "{}")))
+    val out = EventStreams.runRunningTotals(spark, dir,
+        name = "tws_spec_stream", maxFilesPerTrigger = Some(1),
+        glob = "*.parquet")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // user 1: 2 events, 125 + 75 cents, max_us = 9000000 (micros)
+    assert(out === Seq((1L, 2L, 200L, 9000000L), (2L, 1L, 200L, 2000000L)))
+    // and the memory sink really saw TWO emissions for user 1 (one per
+    // batch) — proof the state carried across batches rather than one
+    // batch seeing all rows
+    val emissions = spark.table("tws_spec_stream")
+      .where(col("user_id") === 1L).count()
+    assert(emissions === 2L)
+  }
+
   // ------------------------------------------------------------ decayed sum
 
   test("decayedScore: newest event is unweighted, older decay exponentially") {
