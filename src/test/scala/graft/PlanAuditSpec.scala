@@ -19,6 +19,23 @@ class PlanAuditSpec extends SparkSpec {
     "q108_unigram_logprob", // 1-row total-token-count broadcast
     "q109_pmi_collocations") // 1-row N_uni and N_bi broadcasts
 
+  test("rank-filter pattern gets WindowGroupLimit pushdown (per-partition top-k, not full sort)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // the canonical top-k-per-group shape used across the inventory:
+    // row_number over (partition, total order) filtered to <= k. Spark
+    // inserts WindowGroupLimit, which keeps only k rows per group BEFORE
+    // the window sort — the difference between sorting k rows and sorting
+    // the group at 100 TB. Pin that our version/settings deliver it.
+    val df = (1 to 100).map(i => (i % 5, i)).toDF("g", "v")
+    val w = Window.partitionBy("g").orderBy(desc("v"), col("v"))
+    val plan = df.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit in:\n$plan")
+  }
+
   test("no CartesianProduct in any query plan; BNLJ only on whitelisted 1-row builds") {
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan =
