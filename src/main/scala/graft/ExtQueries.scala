@@ -2779,6 +2779,133 @@ object ExtQueries {
       |  max(epoch_us(ts)) AS max_us
       |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin))
 
+  /** TPC-H Q5-shaped local-supplier revenue: customer→orders→lineitem
+    * spine with THREE broadcast dims (region-filtered nation, supplier,
+    * and the nation-name lookup) and the classic s_nationkey =
+    * c_nationkey locality predicate. Two big shuffles (orders⋈customer
+    * on custkey, lineitem⋈ on orderkey) — the join-planning benchmark
+    * classic. Revenue quantized to cents per row before the group sum
+    * (FIXTURES money convention). */
+  private val q137 = QDef("q137_local_supplier_revenue",
+    (s, dir) => {
+      val nr = T(s, dir, "nation")
+        .join(broadcast(T(s, dir, "region").where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val cust = T(s, dir, "customer")
+        .join(broadcast(nr), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+      val ord = T(s, dir, "orders")
+        .where(expr("o_orderdate >= TIMESTAMP '1996-01-01'") &&
+          expr("o_orderdate < TIMESTAMP '1998-01-01'"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+        expr("CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)")
+          .as("cents"))
+      cust.join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(T(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(sum("cents").as("revenue_cents"), count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    },
+    Some("""SELECT n_name,
+      |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+      |    AS BIGINT)) AS BIGINT) AS revenue_cents,
+      |  CAST(count(*) AS BIGINT) AS n_items
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |JOIN orders ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name ORDER BY n_name""".stripMargin))
+
+  /** Temperature-based source mixture (the multilingual/multi-source
+    * rebalancing rule: weight ∝ n^α with α = 0.7): per-source token
+    * counts → pow weights → share of a 1M-token budget. The only floats
+    * are pow/division on identical doubles; the allocation integer is
+    * derived from the ROUNDED share so both engines quantize the same
+    * value. */
+  private val q138 = QDef("q138_temperature_mixture",
+    (s, dir) => {
+      val st = T(s, dir, "documents")
+        .select(col("source"), size(split(col("text"), " ")).cast("long")
+          .as("tk"))
+        .groupBy("source").agg(sum("tk").as("n_tokens"))
+      val tot = st.agg(sum(pow(col("n_tokens").cast("double"), 0.7))
+        .as("tw"))
+      st.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_tokens"),
+          round(pow(col("n_tokens").cast("double"), 0.7) / col("tw"), 4)
+            .as("share"))
+        .withColumn("alloc_tokens",
+          expr("CAST(round(share * 1000000, 0) AS BIGINT)"))
+        .orderBy("source")
+    },
+    Some("""WITH st AS (SELECT source,
+      |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |       FROM documents GROUP BY 1),
+      |tot AS (SELECT sum(pow(CAST(n_tokens AS DOUBLE), 0.7)) AS tw FROM st)
+      |SELECT source, n_tokens,
+      |  round(pow(CAST(n_tokens AS DOUBLE), 0.7) / tw, 4) AS share,
+      |  CAST(round(round(pow(CAST(n_tokens AS DOUBLE), 0.7) / tw, 4)
+      |    * 1000000, 0) AS BIGINT) AS alloc_tokens
+      |FROM st CROSS JOIN tot ORDER BY source""".stripMargin))
+
+  /** Per-source Pearson correlation of document length vs quality score
+    * ([[Trend.pearson]]): both variables integer-quantized (chars;
+    * quality × 10⁴) so the six power sums are exact; the only floats are
+    * the final ratio's cast/√ arithmetic, identical in both engines. */
+  private val q139 = QDef("q139_quality_length_corr",
+    (s, dir) => Trend.pearson(
+        T(s, dir, "documents").select(col("source"), col("n_chars"),
+          round(TextAnalysis.qualityScore(col("text")) * 10000, 0)
+            .cast("long").as("q4")),
+        col("source"), col("n_chars"), col("q4"))
+      .select(col("g").as("source"), col("n"), col("r"))
+      .orderBy("source"),
+    Some(s"""WITH t AS (SELECT source, n_chars, text,
+      |         string_split(text, ' ') AS tk,
+      |         list_distinct(string_split(text, ' ')) AS dtk FROM documents),
+      |m AS (SELECT source, n_chars,
+      |  CAST(len(tk) AS DOUBLE) AS n_tok,
+      |  CAST(length(text) AS DOUBLE) AS n_char,
+      |  CAST(len(dtk) AS DOUBLE) / len(tk) AS ttr,
+      |  CAST(len(list_intersect(dtk, $allStopSql)) AS DOUBLE) / len(dtk)
+      |    AS stop_ratio
+      | FROM t),
+      |f AS (SELECT source, n_chars,
+      |  (CASE WHEN n_tok >= 10 AND n_tok <= 1000 THEN 1.0
+      |        ELSE least(n_tok / 10, 1.0) END) AS len_ok,
+      |  (CASE WHEN (n_char - (n_tok - 1)) / n_tok >= 2
+      |         AND (n_char - (n_tok - 1)) / n_tok <= 12
+      |        THEN 1.0 ELSE 0.5 END) AS tok_len_ok,
+      |  ttr, stop_ratio
+      | FROM m),
+      |q AS (SELECT source, CAST(n_chars AS BIGINT) AS x,
+      |  CAST(round((len_ok * 0.3 + tok_len_ok * 0.2
+      |    + least(ttr * 2, 1.0) * 0.3 + least(stop_ratio * 5, 1.0) * 0.2)
+      |    * 10000, 0) AS BIGINT) AS y
+      | FROM f),
+      |su AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |         CAST(sum(x * y) AS BIGINT) AS sxy,
+      |         CAST(sum(x * x) AS BIGINT) AS sxx,
+      |         CAST(sum(y * y) AS BIGINT) AS syy
+      |       FROM q GROUP BY 1)
+      |SELECT source, n,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |        nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+      |                    CAST(n * syy - sy * sy AS DOUBLE)), 0.0), 4) AS r
+      |FROM su ORDER BY source""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
@@ -2787,5 +2914,5 @@ object ExtQueries {
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106,
     q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
     q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
-    q129, q130, q131, q132, q133, q134, q135, q136)
+    q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139)
 }

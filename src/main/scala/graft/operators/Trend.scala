@@ -51,6 +51,31 @@ object Trend {
           .as("intercept"))
   }
 
+  /** Per-group Pearson correlation of two INTEGER-quantized variables
+    * from the same five-plus-one power sums as [[olsTrend]]:
+    *
+    *   r = (n·Σxy − Σx·Σy) / √((n·Σx² − (Σx)²) · (n·Σy² − (Σy)²))
+    *
+    * The variance factors are cast to double BEFORE multiplying (their
+    * long product would overflow); everything upstream is exact integer
+    * sums. Zero-variance groups yield null (0/0 → SQL NULL via nullif).
+    */
+  def pearson(df: DataFrame, group: Column, x: Column, y: Column): DataFrame = {
+    val g = df.select(group.as("g"), x.cast("long").as("x"),
+      y.cast("long").as("y"))
+    g.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("g"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          nullif(sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy")).cast("double")),
+            lit(0.0)), 4).as("r"))
+  }
+
   /** Median-absolute-deviation outlier report per group: exact median,
     * exact MAD, and the count of rows with |v − median| > k·MAD.
     *

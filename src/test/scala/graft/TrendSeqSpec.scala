@@ -25,6 +25,19 @@ class TrendSeqSpec extends SparkSpec {
     assert(out === Seq(("a", 10L, 7.0, 30.0), ("b", 10L, -2.0, 100.0)))
   }
 
+  test("pearson: perfect, inverse, and zero-variance groups") {
+    val rows = (1L to 10L).map(i => ("up", i, 3 * i + 5)) ++
+      (1L to 10L).map(i => ("down", i, 100 - 2 * i)) ++
+      (1L to 10L).map(i => ("flat", i, 7L))
+    val out = Trend.pearson(rows.toDF("g", "x", "y"), col("g"), col("x"),
+        col("y")).orderBy("g").collect()
+    val byG = out.map(r => r.getString(0) ->
+      (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(byG("up") === Some(1.0))
+    assert(byG("down") === Some(-1.0))
+    assert(byG("flat") === None) // zero y-variance -> null, not NaN
+  }
+
   test("olsTrend: constant x yields null slope (zero denominator)") {
     val rows = Seq(("g", 5L, 1L), ("g", 5L, 2L))
     val out = Trend.olsTrend(rows.toDF("g", "x", "y"), col("g"), col("x"),
