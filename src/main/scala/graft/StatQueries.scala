@@ -1,0 +1,254 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import Queries.QDef
+
+/** Statistics / graph-ranking / data-layout query batch (q140+): PageRank,
+  * quartile RFM segmentation, Z-order layout keys, the TPC-H Q3 join shape,
+  * lag-k autocorrelation and Welch's t-test. Same oracle conventions as
+  * [[Queries]] / [[ExtQueries]] (FIXTURES.md): integer-quantized sums,
+  * round(,4) on derived floats, total ORDER BY.
+  */
+object StatQueries {
+  private def T(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Tables.t(s, dir, n)
+
+  /** One unrolled PageRank iteration as oracle CTEs: quantized per-edge
+    * contributions (round(p/deg) longs), exact integer sum per dst, then
+    * the damped update — the same fixed-point recipe as
+    * [[Graph.pageRank]] and the q110 HITS oracle. */
+  private def prIter(i: Int, prev: String): String =
+    s"""s$i AS (SELECT d, sum(CAST(round(CAST(p AS DOUBLE) / deg, 0) AS BIGINT)) AS sc
+      |       FROM e JOIN deg USING (s) JOIN $prev ON v = s GROUP BY d),
+      |p$i AS (SELECT v, CAST(150000 + CAST(round(0.85 *
+      |          CAST(coalesce(sc, 0) AS DOUBLE), 0) AS BIGINT) AS BIGINT) AS p
+      |       FROM v LEFT JOIN s$i ON d = v)""".stripMargin
+
+  /** [[Graph.pageRank]] over the symmetrized supplier↔part edge list
+    * (prefix-tagged vertices keep the two key spaces disjoint; a
+    * symmetric graph has no dangling vertices, so no rank leaks). Two
+    * iterations: each is one edge shuffle + a vertex-sized broadcast.
+    * The oracle unrolls the same two quantized iterations as CTEs. */
+  private val q140 = QDef("q140_pagerank",
+    (s, dir) => {
+      val base = T(s, dir, "lineitem").select(
+          concat(lit("s"), col("l_suppkey").cast("string")).as("a"),
+          concat(lit("p"), col("l_partkey").cast("string")).as("b"))
+        .distinct()
+      val sym = base.union(base.select(col("b").as("a"), col("a").as("b")))
+      Graph.pageRank(sym, col("a"), col("b"), iters = 2)
+    },
+    Some(s"""WITH b AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS s,
+      |           'p' || CAST(l_partkey AS VARCHAR) AS d FROM lineitem),
+      |e AS (SELECT s, d FROM b UNION ALL SELECT d, s FROM b),
+      |deg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY s),
+      |v AS (SELECT s AS v FROM e UNION SELECT d FROM e),
+      |p0 AS (SELECT v, CAST(1000000 AS BIGINT) AS p FROM v),
+      |${prIter(1, "p0")},
+      |${prIter(2, "p1")}
+      |SELECT v AS vertex, p AS pr_score FROM p2
+      |ORDER BY pr_score DESC, vertex""".stripMargin))
+
+  /** Quartile RFM segmentation: per-customer recency (days since last
+    * order), frequency (order count) and monetary (cents, exact long
+    * sums), bucketed 1–4 by comparison against exact global quartile cut
+    * points, rolled up per 3-digit segment code.
+    *
+    * Scale note: the cut points are ONE 3×3-value row broadcast onto the
+    * customer-sized RFM table — deliberately NOT `ntile()`, whose empty
+    * `partitionBy` would funnel the whole table through a single window
+    * task (the anti-pattern BASELINE.md flags). Exact percentile is the
+    * oracle-comparable choice; the 100 TB swap is approx_percentile. */
+  private val q141 = QDef("q141_rfm_segments",
+    (s, dir) => {
+      val o = T(s, dir, "orders")
+      val maxD = o.agg(max(to_date(col("o_orderdate"))).as("mxd"))
+      val rfm = o.groupBy("o_custkey")
+        .agg(max(to_date(col("o_orderdate"))).as("last_d"),
+          count(lit(1)).as("f"),
+          sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+            .as("m_cents"))
+        .crossJoin(broadcast(maxD))
+        .select(col("o_custkey"), datediff(col("mxd"), col("last_d"))
+          .as("r_days"), col("f"), col("m_cents"))
+      val cuts = rfm.agg(
+        percentile(col("r_days"), lit(0.25)).as("r1"),
+        percentile(col("r_days"), lit(0.5)).as("r2"),
+        percentile(col("r_days"), lit(0.75)).as("r3"),
+        percentile(col("f"), lit(0.25)).as("f1"),
+        percentile(col("f"), lit(0.5)).as("f2"),
+        percentile(col("f"), lit(0.75)).as("f3"),
+        percentile(col("m_cents"), lit(0.25)).as("m1"),
+        percentile(col("m_cents"), lit(0.5)).as("m2"),
+        percentile(col("m_cents"), lit(0.75)).as("m3"))
+      def bucket(v: String, c: String) =
+        lit(1) + (col(v) > col(s"${c}1")).cast("int") +
+          (col(v) > col(s"${c}2")).cast("int") +
+          (col(v) > col(s"${c}3")).cast("int")
+      rfm.crossJoin(broadcast(cuts))
+        .select((bucket("r_days", "r") * 100 + bucket("f", "f") * 10 +
+          bucket("m_cents", "m")).as("segment"), col("m_cents"))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_customers"), sum("m_cents").as("seg_cents"))
+        .orderBy("segment")
+    },
+    Some("""WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS mxd FROM orders),
+      |rfm AS (SELECT o_custkey,
+      |    date_diff('day', max(CAST(o_orderdate AS DATE)), (SELECT mxd FROM mx))
+      |      AS r_days,
+      |    CAST(count(*) AS BIGINT) AS f,
+      |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+      |      AS m_cents
+      |  FROM orders GROUP BY 1),
+      |cuts AS (SELECT
+      |    quantile_cont(r_days, 0.25) AS r1, quantile_cont(r_days, 0.5) AS r2,
+      |    quantile_cont(r_days, 0.75) AS r3,
+      |    quantile_cont(f, 0.25) AS f1, quantile_cont(f, 0.5) AS f2,
+      |    quantile_cont(f, 0.75) AS f3,
+      |    quantile_cont(m_cents, 0.25) AS m1, quantile_cont(m_cents, 0.5) AS m2,
+      |    quantile_cont(m_cents, 0.75) AS m3
+      |  FROM rfm),
+      |seg AS (SELECT
+      |    (1 + CAST(r_days > r1 AS INT) + CAST(r_days > r2 AS INT)
+      |       + CAST(r_days > r3 AS INT)) * 100
+      |  + (1 + CAST(f > f1 AS INT) + CAST(f > f2 AS INT)
+      |       + CAST(f > f3 AS INT)) * 10
+      |  + (1 + CAST(m_cents > m1 AS INT) + CAST(m_cents > m2 AS INT)
+      |       + CAST(m_cents > m3 AS INT)) AS segment,
+      |    m_cents
+      |  FROM rfm CROSS JOIN cuts)
+      |SELECT segment, CAST(count(*) AS BIGINT) AS n_customers,
+      |  CAST(sum(m_cents) AS BIGINT) AS seg_cents
+      |FROM seg GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** [[Layout.zorderKey]] layout audit: Morton-interleave the low 8 bits
+    * of (suppkey, partkey), bucket into 64 contiguous z-ranges, and report
+    * each range's row count and min/max envelope on BOTH dimensions — the
+    * per-file statistics a Z-ordered parquet write would give the scan
+    * planner. Pure integer bit arithmetic in both engines. */
+  private val q142 = QDef("q142_zorder_layout",
+    (s, dir) => T(s, dir, "lineitem")
+      .select(col("l_suppkey").bitwiseAND(lit(255L)).as("x"),
+        col("l_partkey").bitwiseAND(lit(255L)).as("y"),
+        Layout.zorderKey(col("l_suppkey"), col("l_partkey"), 8).as("z"))
+      .select(shiftright(col("z"), 10).as("z_range"), col("x"), col("y"))
+      .groupBy("z_range")
+      .agg(count(lit(1)).as("n_rows"),
+        min("x").as("x_min"), max("x").as("x_max"),
+        min("y").as("y_min"), max("y").as("y_max"))
+      .orderBy("z_range"),
+    Some(s"""WITH z AS (SELECT
+      |    (CAST(l_suppkey AS BIGINT) & 255) AS x,
+      |    (CAST(l_partkey AS BIGINT) & 255) AS y,
+      |    ${Layout.zorderSql("l_suppkey", "l_partkey", 8)} AS z
+      |  FROM lineitem)
+      |SELECT (z >> 10) AS z_range, CAST(count(*) AS BIGINT) AS n_rows,
+      |  min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
+      |FROM z GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** TPC-H Q3 shape (shipping priority, adapted to this schema's
+    * `o_orderpriority`): segment-filtered customers broadcast onto
+    * date-filtered orders, one big shuffle join to the shipdate-filtered
+    * lineitem, top-10 unshipped orders by revenue. Both date filters are
+    * scan-level PushedFilters; revenue in exact cents. */
+  private val q143 = QDef("q143_shipping_priority",
+    (s, dir) => {
+      val cust = T(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val ord = T(s, dir, "orders")
+        .where(expr("o_orderdate < TIMESTAMP '1997-06-30'"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val li = T(s, dir, "lineitem")
+        .where(expr("l_shipdate > TIMESTAMP '1997-06-30'"))
+        .select(col("l_orderkey"),
+          expr("CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)")
+            .as("cents"))
+      ord.join(broadcast(cust), col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum("cents").as("revenue_cents"))
+        .orderBy(desc("revenue_cents"), col("o_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT o_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+      |    AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1997-06-30'
+      |  AND l_shipdate > TIMESTAMP '1997-06-30'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue_cents DESC, o_orderkey LIMIT 10""".stripMargin))
+
+  /** Lag-7 autocorrelation of daily event volume per event_type: the
+    * weekly-seasonality probe. Daily counts (exact longs) self-joined at a
+    * 7-day offset, then [[Trend.pearson]] over the (count_t, count_t−7)
+    * pairs — integer power sums, one rounded ratio. */
+  private val q144 = QDef("q144_autocorr_lag7",
+    (s, dir) => {
+      val daily = T(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val lagged = daily.select(col("event_type"),
+        date_add(col("day"), 7).as("day"), col("c").as("c_prev"))
+      Trend.pearson(daily.join(lagged, Seq("event_type", "day")),
+          col("event_type"), col("c"), col("c_prev"))
+        .select(col("g").as("event_type"), col("n"), col("r"))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |         CAST(count(*) AS BIGINT) AS c
+      |       FROM events GROUP BY 1, 2),
+      |pr AS (SELECT a.event_type, a.c AS x, b.c AS y
+      |       FROM daily a JOIN daily b
+      |       ON a.event_type = b.event_type AND a.day = b.day + 7),
+      |su AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |         CAST(sum(x * y) AS BIGINT) AS sxy,
+      |         CAST(sum(x * x) AS BIGINT) AS sxx,
+      |         CAST(sum(y * y) AS BIGINT) AS syy
+      |       FROM pr GROUP BY 1)
+      |SELECT event_type, n,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |        nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+      |                    CAST(n * syy - sy * sy AS DOUBLE)), 0.0), 4) AS r
+      |FROM su ORDER BY event_type""".stripMargin))
+
+  /** [[Trend.welchTTest]]: is src0's document length distributed like
+    * src1's? One grouped pass of exact long power sums, closed-form t and
+    * Welch–Satterthwaite df mirrored expression-for-expression in the
+    * oracle. */
+  private val q145 = QDef("q145_welch_ttest",
+    (s, dir) => Trend.welchTTest(T(s, dir, "documents"),
+        col("source"), col("n_chars"), "src0", "src1")
+      .orderBy("label_a"),
+    Some("""WITH g AS (SELECT source AS l, CAST(n_chars AS BIGINT) AS v
+      |       FROM documents WHERE source IN ('src0', 'src1')),
+      |su AS (SELECT
+      |    CAST(sum(CASE WHEN l = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN l = 'src0' THEN v ELSE 0 END) AS BIGINT) AS s_a,
+      |    CAST(sum(CASE WHEN l = 'src0' THEN v * v ELSE 0 END) AS BIGINT) AS ss_a,
+      |    CAST(sum(CASE WHEN l = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN l = 'src1' THEN v ELSE 0 END) AS BIGINT) AS s_b,
+      |    CAST(sum(CASE WHEN l = 'src1' THEN v * v ELSE 0 END) AS BIGINT) AS ss_b
+      |  FROM g),
+      |m AS (SELECT n_a, n_b,
+      |    round(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE), 4) AS mean_a,
+      |    round(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE), 4) AS mean_b,
+      |    CAST(n_a * ss_a - s_a * s_a AS DOUBLE)
+      |      / CAST(n_a * (n_a - 1) AS DOUBLE) / CAST(n_a AS DOUBLE) AS vna,
+      |    CAST(n_b * ss_b - s_b * s_b AS DOUBLE)
+      |      / CAST(n_b * (n_b - 1) AS DOUBLE) / CAST(n_b AS DOUBLE) AS vnb
+      |  FROM su)
+      |SELECT 'src0' AS label_a, 'src1' AS label_b, n_a, n_b, mean_a, mean_b,
+      |  round((mean_a - mean_b) / nullif(sqrt(vna + vnb), 0.0), 4) AS t_stat,
+      |  round((vna + vnb) * (vna + vnb) /
+      |    nullif(vna * vna / CAST(n_a - 1 AS DOUBLE)
+      |         + vnb * vnb / CAST(n_b - 1 AS DOUBLE), 0.0), 4) AS df_welch
+      |FROM m ORDER BY label_a""".stripMargin))
+
+  def all: Seq[QDef] = Seq(q140, q141, q142, q143, q144, q145)
+}

@@ -71,4 +71,53 @@ object Graph {
     hub.select(col("s").as("vertex"), col("h").as("hub_score"))
       .orderBy(desc("hub_score"), col("vertex"))
   }
+
+  /** Fixed-iteration PageRank (Brin & Page 1998, unnormalized per-node
+    * form: pr = 0.15 + 0.85·Σ pr(u)/outdeg(u), so scores sum to ≈N not 1)
+    * over the distinct directed edge list (src, dst). Dangling vertices
+    * keep their base 0.15 and contribute nothing — the standard
+    * leak-the-mass simplification; callers wanting the conservative
+    * variant symmetrize the edge list first (as q140 does), which leaves
+    * no dangling vertices at all.
+    *
+    * Scale shape: per iteration ONE shuffle of the edge list keyed by dst
+    * (map-side-combinable long sums); the vertex-sized rank table is
+    * broadcast onto the edges, and the out-degree table is joined once up
+    * front and checkpointed with the edges. At 100 TB the edge list dwarfs
+    * the vertex set, so edges never move after the initial distinct.
+    *
+    * Determinism: ranks are fixed-point 1e6 longs; each edge contribution
+    * is round(pr/outdeg) — one double division of two identical longs per
+    * edge, re-quantized BEFORE the sum — so all cross-row sums are exact
+    * integer sums and no association order can move a bit (FIXTURES.md).
+    */
+  def pageRank(edges: DataFrame, src: Column, dst: Column,
+               iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 8,
+      "iters must be in [1, 8]: each iteration shuffles the edge list")
+    val e = edges.select(src.as("s"), dst.as("d"))
+      .where(col("s").isNotNull && col("d").isNotNull).distinct()
+    // out-degrees ride WITH the edges (joined once, checkpointed) so the
+    // per-iteration work is a single broadcast-join + keyed agg
+    val eDeg = e.join(e.groupBy("s").agg(count(lit(1)).as("deg")), "s")
+      .localCheckpoint()
+    require(!eDeg.isEmpty,
+      "pageRank needs a non-empty edge list after null filtering")
+    val verts = e.select(col("s").as("v"))
+      .union(e.select(col("d"))).distinct().localCheckpoint()
+    var pr = verts.select(col("v"), lit(1000000L).as("p")) // fixed-point 1.0
+    for (_ <- 1 to iters) {
+      val sums = eDeg.join(broadcast(pr), col("s") === col("v"))
+        .select(col("d"),
+          round(col("p").cast("double") / col("deg").cast("double"), 0)
+            .cast("long").as("c"))
+        .groupBy("d").agg(sum("c").as("sc"))
+      pr = verts.join(sums, col("v") === col("d"), "left")
+        .select(col("v"), (lit(150000L) +
+          round(lit(0.85) * coalesce(col("sc"), lit(0L)).cast("double"), 0)
+            .cast("long")).as("p"))
+    }
+    pr.select(col("v").as("vertex"), col("p").as("pr_score"))
+      .orderBy(desc("pr_score"), col("vertex"))
+  }
 }

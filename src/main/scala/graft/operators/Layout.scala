@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Data-layout keys for multi-dimensional clustering — the write-side
+  * complement to the scan-side pruning the plan audit pins: sorting a
+  * 100 TB table by a Z-order (Morton) key before writing parquet gives
+  * every file a tight min/max envelope on BOTH interleaved dimensions, so
+  * range predicates on either column prune files (the technique behind
+  * Delta/Iceberg `ZORDER BY`; cf. Morton 1966).
+  *
+  * The key is a pure bit-shuffle built from `shiftleft`/`shiftright`/`&`/
+  * `|` column ops — whole-stage-codegen'd, no UDF — and [[Layout.zorderSql]]
+  * emits the identical arithmetic as ANSI SQL so the DuckDB oracle computes
+  * the very same longs (FIXTURES.md: integer-only, nothing to round).
+  */
+object Layout {
+
+  /** Interleave the low `bits` bits of `x` (even positions) and `y` (odd
+    * positions) into a single long: bit i of x lands at 2i, bit i of y at
+    * 2i+1. Inputs are masked to `bits` first, so callers bin/modulo into
+    * range beforehand. Unrolled at plan-build time into 2·bits shift/mask
+    * terms OR-ed together — constant-folded where inputs are literals. */
+  def zorderKey(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    val xm = x.cast("long").bitwiseAND(lit((1L << bits) - 1))
+    val ym = y.cast("long").bitwiseAND(lit((1L << bits) - 1))
+    (0 until bits).foldLeft(lit(0L): Column) { (acc, i) =>
+      acc.bitwiseOR(shiftleft(shiftright(xm, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(ym, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+  }
+
+  /** DuckDB twin of [[zorderKey]]: the same unrolled shift/mask arithmetic
+    * over SQL expressions `x` and `y` (already masked here too). */
+  def zorderSql(x: String, y: String, bits: Int): String = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    val mask = (1L << bits) - 1
+    val xm = s"(CAST($x AS BIGINT) & $mask)"
+    val ym = s"(CAST($y AS BIGINT) & $mask)"
+    (0 until bits).map { i =>
+      s"((($xm >> $i) & 1) << ${2 * i}) | ((($ym >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", " | ", ")")
+  }
+}

@@ -102,6 +102,54 @@ object Trend {
         count(lit(1)).as("n"))
   }
 
+  /** Welch's unequal-variance t-test between labels `a` and `b` of an
+    * INTEGER-quantized metric: one grouped pass builds (n, Σv, Σv²) per
+    * label as exact long sums, then the t statistic and Welch–Satterthwaite
+    * degrees of freedom are closed-form double arithmetic on those six
+    * longs — a single row, computed once, so at 100 TB the cost is one
+    * map-side-combinable aggregation over the filtered rows.
+    *
+    *   t  = (m_a − m_b) / √(v_a/n_a + v_b/n_b)
+    *   df = (v_a/n_a + v_b/n_b)² / ((v_a/n_a)²/(n_a−1) + (v_b/n_b)²/(n_b−1))
+    *
+    * with sample variance v = (n·Σv² − (Σv)²) / (n·(n−1)). Determinism:
+    * sums are exact longs; every double step is a fixed expression tree
+    * mirrored verbatim in the oracle SQL, sealed with round(,4). Callers
+    * keep v small enough that n·Σv² stays inside Long (quantize first —
+    * the same contract as [[pearson]]). Degenerate inputs (n ≤ 1 or zero
+    * variance on both sides) yield SQL-NULL t/df via nullif. */
+  def welchTTest(df: DataFrame, label: Column, v: Column,
+                 a: String, b: String): DataFrame = {
+    val g = df.select(label.as("l"), v.cast("long").as("v"))
+      .where(col("l").isin(a, b))
+    def side(lbl: String, suf: String) = Seq(
+      sum(when(col("l") === lbl, 1L).otherwise(0L)).as(s"n_$suf"),
+      sum(when(col("l") === lbl, col("v")).otherwise(0L)).as(s"s_$suf"),
+      sum(when(col("l") === lbl, col("v") * col("v")).otherwise(0L))
+        .as(s"ss_$suf"))
+    val aggs = side(a, "a") ++ side(b, "b")
+    val sums = g.agg(aggs.head, aggs.tail: _*)
+    def meanOf(s: String) =
+      col(s"s_$s").cast("double") / col(s"n_$s").cast("double")
+    def varOverN(s: String) =
+      (col(s"n_$s") * col(s"ss_$s") - col(s"s_$s") * col(s"s_$s"))
+        .cast("double") /
+        (col(s"n_$s") * (col(s"n_$s") - 1)).cast("double") /
+        col(s"n_$s").cast("double")
+    sums.select(lit(a).as("label_a"), lit(b).as("label_b"),
+        col("n_a"), col("n_b"),
+        round(meanOf("a"), 4).as("mean_a"), round(meanOf("b"), 4).as("mean_b"),
+        varOverN("a").as("vna"), varOverN("b").as("vnb"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        col("mean_a"), col("mean_b"),
+        round((col("mean_a") - col("mean_b")) /
+          nullif(sqrt(col("vna") + col("vnb")), lit(0.0)), 4).as("t_stat"),
+        round((col("vna") + col("vnb")) * (col("vna") + col("vnb")) /
+          nullif(col("vna") * col("vna") / (col("n_a") - 1).cast("double") +
+            col("vnb") * col("vnb") / (col("n_b") - 1).cast("double"),
+            lit(0.0)), 4).as("df_welch"))
+  }
+
   /** Exponential time-decay score per key: Σ v · exp(−λ · age_days),
     * with age measured back from the dataset's max timestamp (a scalar —
     * rides to every task as a literal via a broadcast cross join, the

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Unit pins for the q140+ batch: PageRank fixed-point iterations, Z-order
+  * bit interleaving (Scala and SQL twins), and Welch's t-test — all on
+  * crafted inputs with hand-computed answers.
+  */
+class StatOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------- PageRank
+
+  test("pageRank: 2-cycle is a fixed point at 1e6") {
+    val e = Seq(("a", "b"), ("b", "a")).toDF("s", "d")
+    val out = Graph.pageRank(e, col("s"), col("d"), iters = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(out === Seq(("a", 1000000L), ("b", 1000000L)))
+  }
+
+  test("pageRank: out-degree split and dangling vertex, one iteration") {
+    // a -> b, a -> c, b -> a; c is dangling (keeps base 150000 + 0.85*sum)
+    val e = Seq(("a", "b"), ("a", "c"), ("b", "a")).toDF("s", "d")
+    val out = Graph.pageRank(e, col("s"), col("d"), iters = 1)
+      .as[(String, Long)].collect().toSeq
+    // contribs: a sends 500000 to each of b,c; b sends 1000000 to a
+    assert(out === Seq(("a", 1000000L), ("b", 575000L), ("c", 575000L)))
+  }
+
+  test("pageRank: duplicate and null edges are dropped before degrees") {
+    val e = Seq(("a", "b"), ("a", "b"), (null, "b"), ("a", null), ("b", "a"))
+      .toDF("s", "d")
+    val out = Graph.pageRank(e, col("s"), col("d"), iters = 1)
+      .as[(String, Long)].collect().toSeq
+    assert(out === Seq(("a", 1000000L), ("b", 1000000L)))
+  }
+
+  test("pageRank: empty edge list fails loudly") {
+    val e = Seq.empty[(String, String)].toDF("s", "d")
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(e, col("s"), col("d"), iters = 1)
+    }
+  }
+
+  // -------------------------------------------------------------- Z-order
+
+  test("zorderKey: known interleavings") {
+    // x=3 (011), y=5 (101), 3 bits: bits 0,1,2 from x0,y0,x1; bit5 from y2
+    // -> 1 + 2 + 4 + 32 = 39.  (0,0)->0, (7,7)->63 (all six low bits set).
+    val df = Seq((3L, 5L), (0L, 0L), (7L, 7L)).toDF("x", "y")
+    val out = df.select(Layout.zorderKey(col("x"), col("y"), 3).as("z"))
+      .as[Long].collect().toSeq
+    assert(out === Seq(39L, 0L, 63L))
+  }
+
+  test("zorderKey masks inputs beyond `bits`; SQL twin agrees in Spark") {
+    // 259 & 255 = 3, 261 & 255 = 5 -> same as (3, 5)
+    val df = Seq((259L, 261L)).toDF("x", "y")
+    val scalaZ = df.select(Layout.zorderKey(col("x"), col("y"), 3).as("z"))
+      .as[Long].head()
+    assert(scalaZ === 39L)
+    // the generated oracle SQL is ANSI bit arithmetic Spark can parse too
+    val sqlZ = df.select(expr(Layout.zorderSql("x", "y", 3)).cast("long"))
+      .as[Long].head()
+    assert(sqlZ === 39L)
+  }
+
+  test("zorderKey: adjacent z-values stay spatially adjacent (locality)") {
+    // the first 4 z codes in a 2-bit space are the (0,0)(1,0)(0,1)(1,1)
+    // quad — both coordinates within one step of each other
+    val pts = for (x <- 0L to 3L; y <- 0L to 3L) yield (x, y)
+    val z = pts.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zorderKey(col("x"), col("y"), 2).as("z"))
+      .orderBy("z").as[(Long, Long, Long)].collect()
+    assert(z.map(_._3).toSeq === (0L to 15L)) // bijective onto 0..15
+    val quad = z.take(4).map(p => (p._1, p._2)).toSet
+    assert(quad === Set((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L)))
+  }
+
+  // ------------------------------------------------------- Welch's t-test
+
+  test("welchTTest: hand-computed t and Welch-Satterthwaite df") {
+    // a = [10,12,14]: n=3, mean 12, var 4 -> v/n = 4/3
+    // b = [20,22,24,26]: n=4, mean 23, var 20/3 -> v/n = 5/3
+    // t  = -11 / sqrt(3) = -6.3509
+    // df = 9 / ((4/3)^2/2 + (5/3)^2/3) = 243/49 = 4.9592
+    val rows = Seq(("a", 10L), ("a", 12L), ("a", 14L),
+      ("b", 20L), ("b", 22L), ("b", 24L), ("b", 26L))
+    val out = Trend.welchTTest(rows.toDF("l", "v"), col("l"), col("v"),
+      "a", "b").collect().head
+    assert(out.getLong(2) === 3L && out.getLong(3) === 4L)
+    assert(out.getDouble(4) === 12.0 && out.getDouble(5) === 23.0)
+    assert(out.getDouble(6) === -6.3509)
+    assert(out.getDouble(7) === 4.9592)
+  }
+
+  test("welchTTest: zero variance on both sides yields null t/df") {
+    val rows = Seq(("a", 5L), ("a", 5L), ("b", 9L), ("b", 9L))
+    val out = Trend.welchTTest(rows.toDF("l", "v"), col("l"), col("v"),
+      "a", "b").collect().head
+    assert(out.isNullAt(6) && out.isNullAt(7))
+  }
+
+  test("welchTTest ignores labels outside the tested pair") {
+    val rows = Seq(("a", 10L), ("a", 14L), ("b", 20L), ("b", 28L),
+      ("zz", 999999L))
+    val out = Trend.welchTTest(rows.toDF("l", "v"), col("l"), col("v"),
+      "a", "b").collect().head
+    assert(out.getLong(2) === 2L && out.getLong(3) === 2L)
+    assert(out.getDouble(4) === 12.0 && out.getDouble(5) === 24.0)
+  }
+}
