@@ -31,10 +31,10 @@ object StatQueries {
     * The oracle unrolls the same two quantized iterations as CTEs. */
   private val q140 = QDef("q140_pagerank",
     (s, dir) => {
+      // no pre-distinct: pageRank dedups once after the symmetric union
       val base = T(s, dir, "lineitem").select(
-          concat(lit("s"), col("l_suppkey").cast("string")).as("a"),
-          concat(lit("p"), col("l_partkey").cast("string")).as("b"))
-        .distinct()
+        concat(lit("s"), col("l_suppkey").cast("string")).as("a"),
+        concat(lit("p"), col("l_partkey").cast("string")).as("b"))
       val sym = base.union(base.select(col("b").as("a"), col("a").as("b")))
       Graph.pageRank(sym, col("a"), col("b"), iters = 2)
     },
@@ -250,5 +250,161 @@ object StatQueries {
       |         + vnb * vnb / CAST(n_b - 1 AS DOUBLE), 0.0), 4) AS df_welch
       |FROM m ORDER BY label_a""".stripMargin))
 
-  def all: Seq[QDef] = Seq(q140, q141, q142, q143, q144, q145)
+  /** [[LanguageModel.bpePairCounts]]: the corpus' top-30 adjacent
+    * character pairs — a BPE tokenizer's first merge candidates. Narrow
+    * position explode, one pair-keyed count shuffle. */
+  private val q146 = QDef("q146_bpe_pairs",
+    (s, dir) => LanguageModel.bpePairCounts(T(s, dir, "documents"),
+      col("text"), k = 30),
+    Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t
+      |       FROM documents),
+      |f AS (SELECT t FROM tok WHERE len(t) >= 2),
+      |p AS (SELECT unnest(list_transform(range(1, len(t)),
+      |        i -> substr(t, i, 2))) AS pair FROM f)
+      |SELECT pair, CAST(count(*) AS BIGINT) AS c
+      |FROM p GROUP BY 1 ORDER BY c DESC, pair LIMIT 30""".stripMargin))
+
+  /** [[Trend.ksTest]]: distribution drift between two sources — the
+    * Kolmogorov–Smirnov D over document length. The cumulative window
+    * runs on the distinct-VALUE table (pre-aggregated), never the corpus. */
+  private val q147 = QDef("q147_ks_test",
+    (s, dir) => Trend.ksTest(T(s, dir, "documents"),
+        col("source"), col("n_chars"), "src0", "src1")
+      .orderBy("label_a"),
+    Some("""WITH g AS (SELECT source AS l, CAST(n_chars AS BIGINT) AS v
+      |       FROM documents WHERE source IN ('src0', 'src1')),
+      |cnt AS (SELECT v,
+      |    CAST(sum(CASE WHEN l = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(sum(CASE WHEN l = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM g GROUP BY 1),
+      |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+      |               CAST(sum(cb) AS BIGINT) AS n_b FROM cnt),
+      |cum AS (SELECT sum(ca) OVER (ORDER BY v) AS cca,
+      |               sum(cb) OVER (ORDER BY v) AS ccb FROM cnt)
+      |SELECT 'src0' AS label_a, 'src1' AS label_b, n_a, n_b,
+      |  round(max(abs(CAST(cca AS DOUBLE) / CAST(n_a AS DOUBLE) -
+      |                CAST(ccb AS DOUBLE) / CAST(n_b AS DOUBLE))), 4) AS d_stat
+      |FROM cum CROSS JOIN tot
+      |GROUP BY 1, 2, 3, 4 ORDER BY label_a""".stripMargin))
+
+  /** Equi-width 20-bin histogram of lineitem price: global min/max as a
+    * one-row broadcast, bin = least(floor((v − lo)/width), 19) — the same
+    * double arithmetic on both engines, integer counts out. */
+  private val q148 = QDef("q148_price_histogram",
+    (s, dir) => {
+      val g = T(s, dir, "lineitem").select(col("l_extendedprice").as("v"))
+      val mm = g.agg(min("v").as("lo"), max("v").as("hi"))
+      val wdt = (col("hi") - col("lo")) / lit(20.0)
+      g.crossJoin(broadcast(mm))
+        .select(least(floor((col("v") - col("lo")) / wdt), lit(19L))
+          .as("bin"), col("lo"), col("hi"))
+        .groupBy("bin", "lo", "hi").agg(count(lit(1)).as("n_rows"))
+        .select(col("bin"),
+          round(col("lo") + col("bin").cast("double") * wdt, 4).as("bin_lo"),
+          round(col("lo") + (col("bin") + lit(1L)).cast("double") * wdt, 4)
+            .as("bin_hi"),
+          col("n_rows"))
+        .orderBy("bin")
+    },
+    Some("""WITH mm AS (SELECT min(l_extendedprice) AS lo,
+      |               max(l_extendedprice) AS hi FROM lineitem),
+      |b AS (SELECT least(floor((l_extendedprice - lo) / ((hi - lo) / 20.0)),
+      |        19) AS bin, lo, hi
+      |      FROM lineitem CROSS JOIN mm)
+      |SELECT CAST(bin AS BIGINT) AS bin,
+      |  round(lo + CAST(bin AS DOUBLE) * ((hi - lo) / 20.0), 4) AS bin_lo,
+      |  round(lo + CAST(bin + 1 AS DOUBLE) * ((hi - lo) / 20.0), 4) AS bin_hi,
+      |  CAST(count(*) AS BIGINT) AS n_rows
+      |FROM b GROUP BY bin, lo, hi ORDER BY 1""".stripMargin))
+
+  /** percent_rank + cume_dist of suppliers by total revenue — the global
+    * ranking runs on the SUPPLIER-sized aggregate (bounded cardinality),
+    * with the (rev, key) compound order making both window functions
+    * tie-free and deterministic. */
+  private val q149 = QDef("q149_revenue_pct_rank",
+    (s, dir) => {
+      val rev = T(s, dir, "lineitem").groupBy("l_suppkey")
+        .agg(sum(expr(
+          "CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)"))
+          .as("rev_cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("rev_cents", "l_suppkey")
+      rev.select(col("l_suppkey"), col("rev_cents"),
+          round(percent_rank().over(w), 4).as("pct_rank"),
+          round(cume_dist().over(w), 4).as("cume"))
+        .orderBy("l_suppkey")
+    },
+    Some("""WITH rev AS (SELECT l_suppkey,
+      |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+      |      AS BIGINT)) AS BIGINT) AS rev_cents
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_suppkey, rev_cents,
+      |  round(percent_rank() OVER (ORDER BY rev_cents, l_suppkey), 4)
+      |    AS pct_rank,
+      |  round(cume_dist() OVER (ORDER BY rev_cents, l_suppkey), 4) AS cume
+      |FROM rev ORDER BY l_suppkey""".stripMargin))
+
+  /** [[Trend.ewmaDaily]] over daily order revenue (α = 0.3, 14-day
+    * horizon): the integer-weight EWMA — identical literal weight longs
+    * land in both engines, so the smoothing is exact integer sums until
+    * one final division. */
+  private val q150 = QDef("q150_ewma_daily_revenue",
+    (s, dir) => Trend.ewmaDaily(
+      T(s, dir, "orders").groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+          .as("cents")),
+      col("day"), col("cents"), alpha = 0.3, horizon = 13),
+    Some {
+      val weights = Trend.ewmaWeights(0.3, 13)
+        .map { case (d, w) => s"($d, $w)" }.mkString(", ")
+      s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |w(lag_d, wt) AS (VALUES $weights),
+        |t AS (SELECT day + lag_d AS day2, wt * cents AS term, wt
+        |      FROM daily CROSS JOIN w),
+        |a AS (SELECT day2 AS day, CAST(sum(term) AS BIGINT) AS st,
+        |        CAST(sum(wt) AS BIGINT) AS sw
+        |      FROM t GROUP BY 1)
+        |SELECT d.day, d.cents,
+        |  round(CAST(st AS DOUBLE) / CAST(sw AS DOUBLE), 4) AS ewma
+        |FROM daily d JOIN a USING (day) ORDER BY day""".stripMargin
+    })
+
+  /** [[Trend.skewKurtosis]] of order quantity per returnflag: third and
+    * fourth standardized moments from four exact long power sums — one
+    * map-side-combinable aggregation. */
+  private val q151 = QDef("q151_skew_kurtosis",
+    (s, dir) => Trend.skewKurtosis(T(s, dir, "lineitem"),
+        col("l_returnflag"), col("l_quantity"))
+      .select(col("g").as("l_returnflag"), col("n"), col("mean"),
+        col("skewness"), col("kurtosis"))
+      .orderBy("l_returnflag"),
+    Some("""WITH g AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x
+      |       FROM lineitem),
+      |su AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(x) AS BIGINT) AS s1, CAST(sum(x * x) AS BIGINT) AS s2,
+      |         CAST(sum(x * x * x) AS BIGINT) AS s3,
+      |         CAST(sum(x * x * x * x) AS BIGINT) AS s4
+      |       FROM g GROUP BY 1),
+      |m AS (SELECT g, n,
+      |        CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+      |        CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+      |        CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+      |        CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+      |      FROM su),
+      |c AS (SELECT g, n, mu,
+      |        r2 - mu * mu AS m2,
+      |        r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+      |        r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+      |           - 3.0 * mu * mu * mu * mu AS m4
+      |      FROM m)
+      |SELECT g AS l_returnflag, n, round(mu, 4) AS mean,
+      |  round(m3 / nullif(m2 * sqrt(m2), 0.0), 4) AS skewness,
+      |  round(m4 / nullif(m2 * m2, 0.0) - 3.0, 4) AS kurtosis
+      |FROM c ORDER BY l_returnflag""".stripMargin))
+
+  def all: Seq[QDef] = Seq(q140, q141, q142, q143, q144, q145,
+    q146, q147, q148, q149, q150, q151)
 }

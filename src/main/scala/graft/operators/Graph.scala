@@ -95,14 +95,16 @@ object Graph {
                iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 8,
       "iters must be in [1, 8]: each iteration shuffles the edge list")
+    // ONE shuffle dedups the edge list; everything vertex-sized below
+    // (degrees, rank tables, per-iteration sums) is broadcast onto it
     val e = edges.select(src.as("s"), dst.as("d"))
       .where(col("s").isNotNull && col("d").isNotNull).distinct()
-    // out-degrees ride WITH the edges (joined once, checkpointed) so the
-    // per-iteration work is a single broadcast-join + keyed agg
-    val eDeg = e.join(e.groupBy("s").agg(count(lit(1)).as("deg")), "s")
       .localCheckpoint()
-    require(!eDeg.isEmpty,
+    require(!e.isEmpty,
       "pageRank needs a non-empty edge list after null filtering")
+    val eDeg = e.join(
+        broadcast(e.groupBy("s").agg(count(lit(1)).as("deg"))), "s")
+      .localCheckpoint() // read twice per iteration-free: once per iter
     val verts = e.select(col("s").as("v"))
       .union(e.select(col("d"))).distinct().localCheckpoint()
     var pr = verts.select(col("v"), lit(1000000L).as("p")) // fixed-point 1.0
@@ -111,8 +113,8 @@ object Graph {
         .select(col("d"),
           round(col("p").cast("double") / col("deg").cast("double"), 0)
             .cast("long").as("c"))
-        .groupBy("d").agg(sum("c").as("sc"))
-      pr = verts.join(sums, col("v") === col("d"), "left")
+        .groupBy("d").agg(sum("c").as("sc")) // map-side combinable
+      pr = verts.join(broadcast(sums), col("v") === col("d"), "left")
         .select(col("v"), (lit(150000L) +
           round(lit(0.85) * coalesce(col("sc"), lit(0L)).cast("double"), 0)
             .cast("long")).as("p"))

@@ -94,4 +94,24 @@ object LanguageModel {
       .orderBy(desc("pmi"), col("term_a"), col("term_b"))
       .limit(k)
   }
+
+  /** Top adjacent character-pair counts inside whitespace tokens — the
+    * statistic behind a BPE tokenizer's FIRST merge decision (Sennrich
+    * 2016: the most frequent symbol pair becomes the first merge rule).
+    * Tokens shorter than 2 chars carry no pair and are filtered on both
+    * engines before the position explode.
+    *
+    * Scale shape: tokenize → per-token position explode (narrow; output
+    * ≈ corpus character count) → ONE pair-keyed count shuffle (map-side
+    * combinable: the pair alphabet is tiny) → top-k. Pure integer counts,
+    * deterministic tie-break (count desc, pair asc). */
+  def bpePairCounts(df: DataFrame, text: Column, k: Int): DataFrame =
+    df.select(explode(split(text, " ")).as("t"))
+      .where(length(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("pair"))
+      .limit(k)
 }

@@ -150,6 +150,100 @@ object Trend {
             lit(0.0)), 4).as("df_welch"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic D = max |F_a(x) − F_b(x)|
+    * between labels `a` and `b` of an INTEGER-quantized metric.
+    *
+    * Shape: one grouped count per distinct value (the corpus-scale pass,
+    * map-side combinable), then cumulative sums over the DISTINCT-VALUE
+    * table — the deliberately pre-aggregated input that makes the
+    * unpartitioned window safe: its row count is the metric's cardinality
+    * (thousands), not the corpus size. Determinism: cumulative counts are
+    * exact longs; each F is one double division of identical longs; D is
+    * a max over identical doubles, sealed with round(,4). */
+  def ksTest(df: DataFrame, label: Column, v: Column,
+             a: String, b: String): DataFrame = {
+    val g = df.select(label.as("l"), v.cast("long").as("v"))
+      .where(col("l").isin(a, b))
+    val cnt = g.groupBy("v").agg(
+      sum(when(col("l") === a, 1L).otherwise(0L)).as("ca"),
+      sum(when(col("l") === b, 1L).otherwise(0L)).as("cb"))
+    val tot = cnt.agg(sum("ca").as("n_a"), sum("cb").as("n_b"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+    cnt.select(sum("ca").over(w).as("cca"), sum("cb").over(w).as("ccb"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"),
+        abs(col("cca").cast("double") / col("n_a").cast("double") -
+          col("ccb").cast("double") / col("n_b").cast("double")).as("dd"))
+      .groupBy("n_a", "n_b")
+      .agg(round(max("dd"), 4).as("d_stat"))
+      .select(lit(a).as("label_a"), lit(b).as("label_b"),
+        col("n_a"), col("n_b"), col("d_stat"))
+  }
+
+  /** Per-group skewness and excess kurtosis from the first four power
+    * sums (exact longs — callers quantize `v` small enough that n·Σv⁴
+    * stays inside Long): central moments via the raw-moment expansions
+    *
+    *   m2 = r2 − μ², m3 = r3 − 3μr2 + 2μ³, m4 = r4 − 4μr3 + 6μ²r2 − 3μ⁴
+    *   skew = m3 / (m2·√m2),  kurt = m4 / (m2·m2) − 3
+    *
+    * (rk = Σvᵏ/n). m2^1.5 is spelled m2·√m2 on purpose: √ is IEEE
+    * correctly-rounded in both engines, `pow(x, 1.5)` is not guaranteed
+    * to be. Zero-variance groups yield SQL-NULL via nullif. Single
+    * map-side-combinable aggregation — the 100 TB shape. */
+  def skewKurtosis(df: DataFrame, group: Column, v: Column): DataFrame = {
+    val g = df.select(group.as("g"), v.cast("long").as("x"))
+    val x = col("x")
+    val sums = g.groupBy("g").agg(count(lit(1)).as("n"),
+      sum(x).as("s1"), sum(x * x).as("s2"),
+      sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"))
+    def r(k: Int) = col(s"s$k").cast("double") / col("n").cast("double")
+    val mu = r(1)
+    val m2 = r(2) - mu * mu
+    val m3 = r(3) - lit(3.0) * mu * r(2) + lit(2.0) * mu * mu * mu
+    val m4 = r(4) - lit(4.0) * mu * r(3) + lit(6.0) * mu * mu * r(2) -
+      lit(3.0) * mu * mu * mu * mu
+    sums.select(col("g"), col("n"),
+      round(mu, 4).as("mean"),
+      round(m3 / nullif(m2 * sqrt(m2), lit(0.0)), 4).as("skewness"),
+      round(m4 / nullif(m2 * m2, lit(0.0)) - lit(3.0), 4).as("kurtosis"))
+  }
+
+  /** Fixed-horizon EWMA over a (day, value-cents) daily series: for each
+    * present day t, Σ_d w_d·cents(t−d) / Σ_d w_d over the trailing
+    * `horizon` days that EXIST in the series, with integer weights
+    * w_d = round((1−α)^d·1e6) computed ONCE at plan-build time (the same
+    * literal longs land in the oracle SQL, so both engines sum identical
+    * long products — nothing floating-point until the final division).
+    *
+    * Shape: the weight table is `horizon`+1 rows cross-joined broadcast
+    * onto the DAILY aggregate (not the raw corpus), shifted by equi-key
+    * `day + d` — a narrow explode-then-regroup, no range join, no window.
+    */
+  def ewmaDaily(daily: DataFrame, day: Column, vCents: Column,
+                alpha: Double, horizon: Int): DataFrame = {
+    require(horizon >= 1 && horizon <= 64, "horizon must be in [1, 64]")
+    val d = daily.select(day.as("day"), vCents.cast("long").as("cents"))
+    val spark = daily.sparkSession
+    import spark.implicits._
+    val w = broadcast(ewmaWeights(alpha, horizon).toDF("lag_d", "w"))
+    val terms = d.crossJoin(w)
+      .select(date_add(col("day"), col("lag_d")).as("day"),
+        (col("w") * col("cents")).as("term"), col("w"))
+      .groupBy("day")
+      .agg(sum("term").as("st"), sum("w").as("sw"))
+    d.join(terms, "day")
+      .select(col("day"), col("cents"),
+        round(col("st").cast("double") / col("sw").cast("double"), 4)
+          .as("ewma"))
+      .orderBy("day")
+  }
+
+  /** The integer EWMA weight table (lag → round((1−α)^lag · 1e6)) shared
+    * by [[ewmaDaily]] and its oracle SQL generator. */
+  def ewmaWeights(alpha: Double, horizon: Int): Seq[(Int, Long)] =
+    (0 to horizon).map(d => d -> math.round(math.pow(1 - alpha, d) * 1e6))
+
   /** Exponential time-decay score per key: Σ v · exp(−λ · age_days),
     * with age measured back from the dataset's max timestamp (a scalar —
     * rides to every task as a literal via a broadcast cross join, the

@@ -109,4 +109,77 @@ class StatOpsSpec extends SparkSpec {
     assert(out.getLong(2) === 2L && out.getLong(3) === 2L)
     assert(out.getDouble(4) === 12.0 && out.getDouble(5) === 24.0)
   }
+
+  // ------------------------------------------------------------------- KS
+
+  test("ksTest: hand-computed D over a small pair of samples") {
+    // a = [1,2,3], b = [3,4]: F_a = 1/3, 2/3, 1, 1; F_b = 0, 0, 1/2, 1
+    // -> D = 2/3 at v=2
+    val rows = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 3L), ("b", 4L))
+    val out = Trend.ksTest(rows.toDF("l", "v"), col("l"), col("v"), "a", "b")
+      .collect().head
+    assert(out.getLong(2) === 3L && out.getLong(3) === 2L)
+    assert(out.getDouble(4) === 0.6667)
+  }
+
+  test("ksTest: identical samples give D = 0") {
+    val rows = Seq(("a", 5L), ("a", 9L), ("b", 5L), ("b", 9L))
+    val out = Trend.ksTest(rows.toDF("l", "v"), col("l"), col("v"), "a", "b")
+      .collect().head
+    assert(out.getDouble(4) === 0.0)
+  }
+
+  // -------------------------------------------------------- skew/kurtosis
+
+  test("skewKurtosis: symmetric [1,2,3] has skew 0, kurtosis -1.5") {
+    val rows = Seq(("g", 1L), ("g", 2L), ("g", 3L))
+    val out = Trend.skewKurtosis(rows.toDF("g", "x"), col("g"), col("x"))
+      .collect().head
+    assert(out.getDouble(2) === 2.0)
+    assert(out.getDouble(3) === 0.0)
+    assert(out.getDouble(4) === -1.5)
+  }
+
+  test("skewKurtosis: right-skewed group is positive; constant is null") {
+    val rows = Seq.tabulate(9)(_ => ("sk", 1L)) :+ ("sk", 11L)
+    val all = rows ++ Seq(("const", 4L), ("const", 4L))
+    val out = Trend.skewKurtosis(all.toDF("g", "x"), col("g"), col("x"))
+      .orderBy("g").collect()
+    val const = out(0); val sk = out(1)
+    assert(const.isNullAt(3) && const.isNullAt(4))
+    assert(sk.getDouble(3) > 2.0) // single high outlier -> strong right skew
+  }
+
+  // ----------------------------------------------------------------- EWMA
+
+  test("ewmaDaily: integer weights, missing days renormalize") {
+    import java.sql.Date
+    val daily = Seq((Date.valueOf("2024-01-01"), 100L),
+      (Date.valueOf("2024-01-02"), 200L),
+      (Date.valueOf("2024-01-04"), 400L)) // Jan 3 missing
+      .toDF("day", "cents")
+    val out = Trend.ewmaDaily(daily, col("day"), col("cents"),
+        alpha = 0.5, horizon = 2)
+      .as[(Date, Long, Double)].collect().toSeq
+    // w = [1e6, 5e5, 2.5e5]
+    // Jan1: only itself -> 100
+    // Jan2: (1e6*200 + 5e5*100) / 1.5e6 = 166.6667
+    // Jan4: lags 0 and 2 present -> (1e6*400 + 2.5e5*200) / 1.25e6 = 360
+    assert(out.map(_._3) === Seq(100.0, 166.6667, 360.0))
+  }
+
+  test("ewmaWeights: quantized geometric decay") {
+    assert(Trend.ewmaWeights(0.5, 2) === Seq(0 -> 1000000L, 1 -> 500000L,
+      2 -> 250000L))
+    assert(Trend.ewmaWeights(0.3, 1) === Seq(0 -> 1000000L, 1 -> 700000L))
+  }
+
+  // ------------------------------------------------------------ BPE pairs
+
+  test("bpePairCounts: adjacent pair counts with deterministic tie-break") {
+    val df = Seq("aab aab bc", "x").toDF("text") // "x" and "bc": 1-char token dropped
+    val out = LanguageModel.bpePairCounts(df, col("text"), k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(out === Seq(("aa", 2L), ("ab", 2L), ("bc", 1L)))
+  }
 }
