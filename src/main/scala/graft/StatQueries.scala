@@ -405,6 +405,109 @@ object StatQueries {
       |  round(m4 / nullif(m2 * m2, 0.0) - 3.0, 4) AS kurtosis
       |FROM c ORDER BY l_returnflag""".stripMargin))
 
+  /** [[Similarity.rrfFuse]]: hybrid-retrieval rank fusion over two
+    * top-200 candidate lists (longest docs; most-token docs — stand-ins
+    * for the lexical and dense lists whose producers q92/q29 already
+    * cover). Candidate ranks are assigned AFTER the bounded ordered take,
+    * so the window sorts 200 rows, never the corpus. */
+  private val q152 = QDef("q152_rrf_fusion",
+    (s, dir) => {
+      val docs = T(s, dir, "documents")
+      def top200(m: org.apache.spark.sql.Column) = {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(desc("m"), col("id"))
+        docs.select(col("doc_id").as("id"), m.as("m"))
+          .orderBy(desc("m"), col("id")).limit(200)
+          .select(col("id"), row_number().over(w).as("rank"))
+      }
+      Similarity.rrfFuse(top200(col("n_chars")),
+          top200(size(split(col("text"), " ")).cast("long")), kConst = 60)
+        .limit(30)
+    },
+    Some("""WITH a AS (SELECT id, ra FROM (SELECT doc_id AS id, row_number()
+      |        OVER (ORDER BY n_chars DESC, doc_id) AS ra FROM documents)
+      |       WHERE ra <= 200),
+      |b AS (SELECT id, rb FROM (SELECT doc_id AS id, row_number()
+      |        OVER (ORDER BY len(string_split(text, ' ')) DESC, doc_id) AS rb
+      |      FROM documents) WHERE rb <= 200),
+      |f AS (SELECT coalesce(a.id, b.id) AS id,
+      |        (CASE WHEN ra IS NULL THEN 0.0 ELSE 1.0 / (60 + ra) END) +
+      |        (CASE WHEN rb IS NULL THEN 0.0 ELSE 1.0 / (60 + rb) END) AS s
+      |      FROM a FULL JOIN b ON a.id = b.id)
+      |SELECT id, round(s, 6) AS rrf FROM f
+      |ORDER BY rrf DESC, id LIMIT 30""".stripMargin))
+
+  /** [[Cooccur.mutualInformation]] between source and language — the
+    * metadata-leakage probe. Exact integer cells/margins; per-cell ln
+    * quantized to fixed-point longs before the sum (q108 convention). */
+  private val q153 = QDef("q153_mutual_information",
+    (s, dir) => Cooccur.mutualInformation(T(s, dir, "documents"),
+      col("source"), col("lang")).orderBy("n_cells"),
+    Some("""WITH cells AS (SELECT source AS x, lang AS y,
+      |         CAST(count(*) AS BIGINT) AS c_xy
+      |       FROM documents GROUP BY 1, 2),
+      |cx AS (SELECT x, CAST(sum(c_xy) AS BIGINT) AS c_x FROM cells GROUP BY 1),
+      |cy AS (SELECT y, CAST(sum(c_xy) AS BIGINT) AS c_y FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n FROM cells),
+      |q AS (SELECT c_xy, n,
+      |        CAST(round(ln((CAST(c_xy AS DOUBLE) * n) /
+      |          (CAST(c_x AS DOUBLE) * c_y)) * 1000000.0, 0) AS BIGINT) AS lq
+      |      FROM cells JOIN cx USING (x) JOIN cy USING (y) CROSS JOIN tot)
+      |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+      |  round(CAST(sum(c_xy * lq) AS DOUBLE) /
+      |    (CAST(max(n) AS DOUBLE) * 1000000.0), 4) AS mi_nats
+      |FROM q ORDER BY n_cells""".stripMargin))
+
+  /** Pairwise source-vocabulary Jaccard overlap: DISTINCT (source, term)
+    * → term-keyed self-join (vocabulary-sized, map-side-combinable
+    * counts) → intersection / union from exact longs. The corpus-health
+    * view behind "which sources duplicate each other's content?" */
+  private val q154 = QDef("q154_source_vocab_overlap",
+    (s, dir) => {
+      val v = T(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("term"))
+        .distinct()
+      val sz = v.groupBy("source").agg(count(lit(1)).as("nv"))
+      val pairs = v.select(col("source").as("src_a"), col("term"))
+        .join(v.select(col("source").as("src_b"), col("term")), Seq("term"))
+        .where(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
+      pairs
+        .join(broadcast(sz.select(col("source").as("src_a"),
+          col("nv").as("na"))), Seq("src_a"))
+        .join(broadcast(sz.select(col("source").as("src_b"),
+          col("nv").as("nb"))), Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("inter"),
+          round(col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter")).cast("double"), 4)
+            .as("jaccard"))
+        .orderBy(desc("jaccard"), col("src_a"), col("src_b"))
+        .limit(30)
+    },
+    Some("""WITH v AS (SELECT DISTINCT source,
+      |         unnest(string_split(text, ' ')) AS term FROM documents),
+      |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS nv FROM v GROUP BY 1),
+      |p AS (SELECT a.source AS src_a, b.source AS src_b,
+      |        CAST(count(*) AS BIGINT) AS inter
+      |      FROM v a JOIN v b ON a.term = b.term AND a.source < b.source
+      |      GROUP BY 1, 2)
+      |SELECT src_a, src_b, inter,
+      |  round(CAST(inter AS DOUBLE) / CAST(na.nv + nb.nv - inter AS DOUBLE), 4)
+      |    AS jaccard
+      |FROM p JOIN sz na ON na.source = src_a JOIN sz nb ON nb.source = src_b
+      |ORDER BY jaccard DESC, src_a, src_b LIMIT 30""".stripMargin))
+
+  /** [[EventStreams.runTopkCounts]]: the Misra-Gries sketch as streaming
+    * window state — bounded top-k counters per hour at any key
+    * cardinality; exact (and hence oracle-comparable) here because the
+    * fixture's 5 event types fit under k = 16. */
+  private val q155 = QDef("q155_stream_topk",
+    (s, dir) => EventStreams.runTopkCounts(s, dir, k = 16),
+    Some("""WITH ev AS (SELECT strftime(date_trunc('hour', ts),
+      |          '%Y-%m-%d %H:%M:%S') AS hour_ts, event_type FROM events)
+      |SELECT hour_ts, event_type, CAST(count(*) AS BIGINT) AS cnt
+      |FROM ev GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin))
+
   def all: Seq[QDef] = Seq(q140, q141, q142, q143, q144, q145,
-    q146, q147, q148, q149, q150, q151)
+    q146, q147, q148, q149, q150, q151, q152, q153, q154, q155)
 }

@@ -277,4 +277,25 @@ object Similarity {
         (acc, d) => acc + element_at(element_at(m, k + 1), d + 1) * element_at(v, d + 1))
         / lit(scale))
   }
+
+  /** Reciprocal-rank fusion (Cormack 2009) of two ranked candidate lists —
+    * the standard hybrid-retrieval merge (lexical BM25 list × dense ANN
+    * list): score(id) = Σ_lists 1/(k + rank_id), ids missing from a list
+    * contribute 0. Inputs are (id, rank) candidate lists — already
+    * top-N-bounded by their producers, so the full-outer join and the
+    * final ordered take run on candidate-sized data at any corpus scale.
+    *
+    * Determinism: each term is one double division of identical integers;
+    * exactly two terms are added (no association-order freedom), sealed
+    * with round(,6) and a (score, id) total order. */
+  def rrfFuse(a: DataFrame, b: DataFrame, kConst: Int): DataFrame = {
+    require(kConst >= 1, "kConst must be positive (typically 60)")
+    val fa = a.select(col("id"), col("rank").as("ra"))
+    val fb = b.select(col("id"), col("rank").as("rb"))
+    def term(r: String) = when(col(r).isNull, lit(0.0))
+      .otherwise(lit(1.0) / (lit(kConst) + col(r)))
+    fa.join(fb, Seq("id"), "full_outer")
+      .select(col("id"), round(term("ra") + term("rb"), 6).as("rrf"))
+      .orderBy(desc("rrf"), col("id"))
+  }
 }

@@ -43,4 +43,35 @@ object Cooccur {
         round((col("c_ab") * lit(nBaskets)).cast("double") /
           (col("c_a") * col("c_b")).cast("double"), 4).as("lift"))
   }
+
+  /** Mutual information I(X; Y) in nats between two categorical columns —
+    * the dataset-health probe behind "does source predict language?"
+    * (high MI between a metadata column and a quality label usually means
+    * leakage; near-zero MI means the split is safe to stratify on).
+    *
+    * I = Σ_cells p(x,y) · ln(p(x,y) / (p(x)p(y))), computed as exact
+    * integer cell/margin counts (one (x,y)-keyed shuffle, margins derived
+    * by re-aggregation, everything but the cell table one-row-ish and
+    * broadcast). Determinism: each cell's ln term is quantized to a
+    * fixed-point long (round(ln·1e6)) BEFORE the weighted sum — the q108
+    * convention — so the cross-cell aggregation is an exact integer sum
+    * at any cell count, then ONE final division sealed with round(,4).
+    */
+  def mutualInformation(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val cells = df.select(x.as("x"), y.as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+      .localCheckpoint() // margins + total re-aggregate this small table
+    val cx = cells.groupBy("x").agg(sum("c_xy").as("c_x"))
+    val cy = cells.groupBy("y").agg(sum("c_xy").as("c_y"))
+    val tot = cells.agg(sum("c_xy").as("n"))
+    cells.join(broadcast(cx), "x").join(broadcast(cy), "y")
+      .crossJoin(broadcast(tot))
+      .select(col("c_xy"), col("n"),
+        round(log((col("c_xy").cast("double") * col("n")) /
+          (col("c_x").cast("double") * col("c_y"))) * lit(1000000.0), 0)
+          .cast("long").as("lq"))
+      .agg(count(lit(1)).as("n_cells"),
+        round(sum(col("c_xy") * col("lq")).cast("double") /
+          (max(col("n")).cast("double") * lit(1000000.0)), 4).as("mi_nats"))
+  }
 }

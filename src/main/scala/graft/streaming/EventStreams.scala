@@ -240,6 +240,40 @@ object EventStreams {
       .orderBy("hour_ts", "event_type")
   }
 
+  /** Streaming heavy hitters: the [[graft.MisraGries]] mergeable sketch as
+    * the streaming-state aggregator — per 1-hour window, a ≤k-counter
+    * top-item summary folded across micro-batches (bounded state per
+    * window at ANY key cardinality; the streaming twin of the q66 batch
+    * two-pass). The fixture keys (event_type, 5 distinct) stay under
+    * k = 16, where Misra-Gries degenerates to EXACT counts — which is
+    * what makes the result oracle-comparable (the q66 convention).
+    * Output: one row per (window, item) with its count, exploded from the
+    * sketch map. */
+  def runTopkCounts(spark: SparkSession, dir: String, k: Int = 16,
+                    name: String = "graft_stream_topk"): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    import org.apache.spark.sql.{Encoder, Encoders}
+    // same sketch, expression-encoded output so the sink column is a real
+    // map<string,long> (kryo binary would not explode)
+    val mg = new graft.MisraGries(k) {
+      override def outputEncoder: Encoder[Map[String, Long]] =
+        ExpressionEncoder()
+    }
+    spark.catalog.dropTempView(name)
+    withStreamPartitions(spark) {
+      val q = readEventStream(spark, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(udaf(mg, Encoders.STRING)(col("event_type")).as("mg"))
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    spark.table(name).select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+        explode(col("mg")).as(Seq("event_type", "cnt")))
+      .orderBy("hour_ts", "event_type")
+  }
+
   /** Streaming CDC apply via `foreachBatch` — the SINK half of the
     * mutation story: each micro-batch is merged into a parquet-backed
     * state table as (ts, event_id)-wins per key — the batch rows are

@@ -18,7 +18,12 @@ class PlanAuditSpec extends SparkSpec {
     "q92_bm25_terms", // (N, avgdl) one-row stats broadcast, like q80's N
     "q108_unigram_logprob", // 1-row total-token-count broadcast
     "q109_pmi_collocations", // 1-row N_uni and N_bi broadcasts
-    "q138_temperature_mixture") // 1-row Σ n^0.7 normalizer broadcast
+    "q138_temperature_mixture", // 1-row Σ n^0.7 normalizer broadcast
+    "q141_rfm_segments", // 1-row quartile cut-point broadcast
+    "q147_ks_test", // 1-row (n_a, n_b) totals broadcast
+    "q148_price_histogram", // 1-row global min/max broadcast
+    "q150_ewma_daily_revenue", // horizon+1-row literal weight table
+    "q153_mutual_information") // 1-row total-count broadcast
 
   test("rank-filter pattern gets WindowGroupLimit pushdown (per-partition top-k, not full sort)") {
     import org.apache.spark.sql.functions._

@@ -174,6 +174,33 @@ class StatOpsSpec extends SparkSpec {
     assert(Trend.ewmaWeights(0.3, 1) === Seq(0 -> 1000000L, 1 -> 700000L))
   }
 
+  // ------------------------------------------------------------------ RRF
+
+  test("rrfFuse: hand-computed fusion of two candidate lists") {
+    // id2 appears in both lists -> 1/62 + 1/61 = 0.032522; singles get
+    // one term each (1/61 = 0.016393, 1/62 = 0.016129)
+    val a = Seq((1L, 1L), (2L, 2L)).toDF("id", "rank")
+    val b = Seq((2L, 1L), (3L, 2L)).toDF("id", "rank")
+    val out = Similarity.rrfFuse(a, b, kConst = 60)
+      .as[(Long, Double)].collect().toSeq
+    assert(out === Seq((2L, 0.032522), (1L, 0.016393), (3L, 0.016129)))
+  }
+
+  // --------------------------------------------------- mutual information
+
+  test("mutualInformation: identical columns give ln(2); independence 0") {
+    val dep = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b"))
+      .toDF("x", "y")
+    val r1 = Cooccur.mutualInformation(dep, col("x"), col("y"))
+      .collect().head
+    assert(r1.getLong(0) === 2L && r1.getDouble(1) === 0.6931)
+    val ind = Seq(("a", "u"), ("a", "v"), ("b", "u"), ("b", "v"))
+      .toDF("x", "y")
+    val r2 = Cooccur.mutualInformation(ind, col("x"), col("y"))
+      .collect().head
+    assert(r2.getLong(0) === 4L && r2.getDouble(1) === 0.0)
+  }
+
   // ------------------------------------------------------------ BPE pairs
 
   test("bpePairCounts: adjacent pair counts with deterministic tie-break") {
