@@ -508,6 +508,186 @@ object StatQueries {
       |SELECT hour_ts, event_type, CAST(count(*) AS BIGINT) AS cnt
       |FROM ev GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin))
 
+  /** Rolling 7-day z-score anomaly flags on daily event volume: window
+    * sums of c and c² are EXACT integer window aggregates, so mean/std/z
+    * are fixed double expressions on identical longs. Windows shorter
+    * than 2 days have no sample variance → SQL-NULL z via nullif. The
+    * monitoring shape: partitioned by event_type, days ordered — bounded
+    * frame, never a global sort. */
+  private val q156 = QDef("q156_daily_anomalies",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+      val st = T(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("event_type"), col("day"), col("c"),
+          sum("c").over(w).as("s"), sum(col("c") * col("c")).over(w).as("ss"),
+          count("c").over(w).as("k"))
+      val variance = (col("k") * col("ss") - col("s") * col("s"))
+        .cast("double") /
+        nullif(col("k") * (col("k") - 1), lit(0L)).cast("double")
+      st.select(col("event_type"), col("day"), col("c"),
+          round((col("c").cast("double") -
+            col("s").cast("double") / col("k").cast("double")) /
+            nullif(sqrt(variance), lit(0.0)), 4).as("z"))
+        .withColumn("is_anomaly",
+          when(col("z").isNotNull && abs(col("z")) > 2.0, 1L).otherwise(0L))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |         CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+      |cum AS (SELECT event_type, day, c,
+      |    CAST(sum(c) OVER w AS BIGINT) AS s,
+      |    CAST(sum(c * c) OVER w AS BIGINT) AS ss,
+      |    CAST(count(c) OVER w AS BIGINT) AS k
+      |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+      |z AS (SELECT event_type, day, c,
+      |    round((CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / CAST(k AS DOUBLE)) /
+      |      nullif(sqrt(CAST(k * ss - s * s AS DOUBLE) /
+      |        CAST(nullif(k * (k - 1), 0) AS DOUBLE)), 0.0), 4) AS z
+      |  FROM cum)
+      |SELECT event_type, day, c, z,
+      |  CAST(CASE WHEN z IS NOT NULL AND abs(z) > 2.0 THEN 1 ELSE 0 END
+      |    AS BIGINT) AS is_anomaly
+      |FROM z ORDER BY event_type, day""".stripMargin))
+
+  /** First-significant-digit Benford audit of order totals — the
+    * classic synthetic-data / fraud smoke test. floor() before the
+    * integer cast on BOTH engines (Spark's double→long cast truncates,
+    * DuckDB's rounds — floor removes the divergence); expected digit
+    * frequencies are literal constants shared with the oracle; the χ²
+    * contribution uses the ROUNDED observed share so both engines
+    * quantize the same value. */
+  private val q157 = QDef("q157_benford_digits",
+    (s, dir) => {
+      val digits = T(s, dir, "orders")
+        .select(substring(expr("CAST(floor(o_totalprice) AS BIGINT)")
+          .cast("string"), 1, 1).as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      val tot = digits.agg(sum("n_obs").as("nt"))
+      val expPct = BenfordPct.foldLeft(lit(null).cast("double")) {
+        case (acc, (d, p)) => when(col("digit") === d, lit(p)).otherwise(acc)
+      }
+      digits.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n_obs"),
+          round(col("n_obs").cast("double") / col("nt").cast("double"), 4)
+            .as("obs_pct"), expPct.as("benford_pct"))
+        .withColumn("chi2_term",
+          round((col("obs_pct") - col("benford_pct")) *
+            (col("obs_pct") - col("benford_pct")) / col("benford_pct"), 6))
+        .orderBy("digit")
+    },
+    Some {
+      val cases = BenfordPct.map { case (d, p) => s"WHEN '$d' THEN $p" }
+        .mkString(" ")
+      s"""WITH d AS (SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS digit FROM orders),
+        |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d
+        |      GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS nt FROM g),
+        |p AS (SELECT digit, n_obs,
+        |    round(CAST(n_obs AS DOUBLE) / CAST(nt AS DOUBLE), 4) AS obs_pct,
+        |    CASE digit $cases END AS benford_pct
+        |  FROM g CROSS JOIN tot)
+        |SELECT digit, n_obs, obs_pct, benford_pct,
+        |  round((obs_pct - benford_pct) * (obs_pct - benford_pct)
+        |    / benford_pct, 6) AS chi2_term
+        |FROM p ORDER BY digit""".stripMargin
+    })
+
+  /** [[Trend.corrMatrix]] over four quantized lineitem measures — one
+    * corpus pass for all 15 power sums, 6 upper-triangle r values. */
+  private val q158 = QDef("q158_corr_matrix",
+    (s, dir) => Trend.corrMatrix(T(s, dir, "lineitem"), Seq(
+      "disc_bp" -> expr("CAST(round(l_discount * 10000, 0) AS BIGINT)"),
+      "dollars" -> expr("CAST(round(l_extendedprice, 0) AS BIGINT)"),
+      "qty" -> col("l_quantity"),
+      "tax_bp" -> expr("CAST(round(l_tax * 10000, 0) AS BIGINT)"))),
+    Some {
+      val vars = Seq("disc_bp", "dollars", "qty", "tax_bp")
+      val exprs = Map(
+        "disc_bp" -> "CAST(round(l_discount * 10000, 0) AS BIGINT)",
+        "dollars" -> "CAST(round(l_extendedprice, 0) AS BIGINT)",
+        "qty" -> "CAST(l_quantity AS BIGINT)",
+        "tax_bp" -> "CAST(round(l_tax * 10000, 0) AS BIGINT)")
+      val pairs = for { i <- vars.indices; j <- vars.indices if i < j }
+        yield (vars(i), vars(j))
+      val moments = vars.flatMap(v => Seq(
+        s"CAST(sum(${exprs(v)}) AS BIGINT) AS s_$v",
+        s"CAST(sum(${exprs(v)} * ${exprs(v)}) AS BIGINT) AS ss_$v")) ++
+        pairs.map { case (a, b) =>
+          s"CAST(sum(${exprs(a)} * ${exprs(b)}) AS BIGINT) AS sp_${a}_$b" }
+      def varF(v: String) =
+        s"(CAST(n AS DOUBLE) * ss_$v - CAST(s_$v AS DOUBLE) * s_$v)"
+      val rows = pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS var_a, '$b' AS var_b, n,
+          |  round((CAST(n AS DOUBLE) * sp_${a}_$b
+          |      - CAST(s_$a AS DOUBLE) * s_$b) /
+          |    nullif(sqrt(${varF(a)} * ${varF(b)}), 0.0), 4) AS r
+          |FROM su""".stripMargin }
+      s"""WITH su AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  ${moments.mkString(",\n  ")}
+        |  FROM lineitem)
+        |${rows.mkString("\nUNION ALL\n")}
+        |ORDER BY var_a, var_b""".stripMargin
+    })
+
+  /** Pareto concentration report: revenue share of the top 1% / 5% / 10%
+    * of suppliers. Rank and cumulative cents are windows over the
+    * SUPPLIER-sized aggregate; the three percentile markers are a 3-row
+    * broadcast; equality-matched at rn = ceil(p·n) (identical double
+    * ceil in both engines). */
+  private val q159 = QDef("q159_pareto_share",
+    (s, dir) => {
+      val spark = s; import spark.implicits._
+      val rev = T(s, dir, "lineitem").groupBy("l_suppkey")
+        .agg(sum(expr(
+          "CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)"))
+          .as("cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(desc("cents"), col("l_suppkey"))
+      val ranked = rev.select(col("l_suppkey"), col("cents"),
+        row_number().over(w).as("rn"),
+        sum("cents").over(w.rowsBetween(Long.MinValue, 0)).as("cum_cents"))
+      val tot = rev.agg(count(lit(1)).as("n"), sum("cents").as("tc"))
+      val ps = broadcast(Seq(0.01, 0.05, 0.10).toDF("p"))
+      ranked.crossJoin(broadcast(tot)).crossJoin(ps)
+        .where(col("rn") === ceil(col("p") * col("n")).cast("long"))
+        .select(col("p"), col("rn").cast("long").as("n_top"),
+          round(col("cum_cents").cast("double") / col("tc").cast("double"), 4)
+            .as("rev_share"))
+        .orderBy("p")
+    },
+    Some("""WITH rev AS (SELECT l_suppkey,
+      |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+      |      AS BIGINT)) AS BIGINT) AS cents
+      |  FROM lineitem GROUP BY 1),
+      |rk AS (SELECT l_suppkey, cents,
+      |    CAST(row_number() OVER (ORDER BY cents DESC, l_suppkey) AS BIGINT)
+      |      AS rn,
+      |    CAST(sum(cents) OVER (ORDER BY cents DESC, l_suppkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_cents
+      |  FROM rev),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |               CAST(sum(cents) AS BIGINT) AS tc FROM rev),
+      |ps(p) AS (VALUES (CAST(0.01 AS DOUBLE)), (CAST(0.05 AS DOUBLE)),
+      |          (CAST(0.10 AS DOUBLE)))
+      |SELECT p, rn AS n_top,
+      |  round(CAST(cum_cents AS DOUBLE) / CAST(tc AS DOUBLE), 4) AS rev_share
+      |FROM rk CROSS JOIN tot CROSS JOIN ps
+      |WHERE rn = CAST(ceil(p * n) AS BIGINT)
+      |ORDER BY p""".stripMargin))
+
+  /** Benford expected first-digit shares, log10(1 + 1/d) rounded to 4 —
+    * the SAME literals land in the Spark plan and the oracle SQL. */
+  private def BenfordPct: Seq[(String, Double)] =
+    (1 to 9).map(d =>
+      d.toString -> math.round(math.log10(1 + 1.0 / d) * 10000) / 10000.0)
+
   def all: Seq[QDef] = Seq(q140, q141, q142, q143, q144, q145,
-    q146, q147, q148, q149, q150, q151, q152, q153, q154, q155)
+    q146, q147, q148, q149, q150, q151, q152, q153, q154, q155,
+    q156, q157, q158, q159)
 }

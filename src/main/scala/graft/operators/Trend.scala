@@ -244,6 +244,41 @@ object Trend {
   def ewmaWeights(alpha: Double, horizon: Int): Seq[(Int, Long)] =
     (0 to horizon).map(d => d -> math.round(math.pow(1 - alpha, d) * 1e6))
 
+  /** Pairwise Pearson correlation matrix over m INTEGER-quantized
+    * columns: ONE aggregation pass collects all m first/second moments and
+    * m·(m−1)/2 cross sums as exact longs, then each pair's r is closed-form
+    * arithmetic on the single sums row (checkpointed so the m·(m−1)/2
+    * output selects don't re-scan the corpus).
+    *
+    * Unlike [[pearson]], the variance/cross factors here multiply n into
+    * the sums as DOUBLES (`n·Σx²` overflows Long once Σx² passes ~1e13 at
+    * corpus row counts) — lossy but bit-identical in both engines because
+    * the operand longs are exact and the expression tree is mirrored
+    * verbatim in the oracle. Upper-triangle output (var_a < var_b). */
+  def corrMatrix(df: DataFrame, vars: Seq[(String, Column)]): DataFrame = {
+    require(vars.size >= 2, "corrMatrix needs at least two variables")
+    val base = df.select(vars.map { case (n, c) => c.cast("long").as(n) }: _*)
+    val pairs = for {
+      i <- vars.indices; j <- vars.indices if i < j
+    } yield (vars(i)._1, vars(j)._1)
+    val aggs =
+      vars.flatMap { case (n, _) => Seq(
+        sum(col(n)).as(s"s_$n"),
+        sum(col(n) * col(n)).as(s"ss_$n")) } ++
+      pairs.map { case (a, b) => sum(col(a) * col(b)).as(s"sp_${a}_$b") }
+    val sums = base.agg(count(lit(1)).as("n"), aggs: _*).localCheckpoint()
+    val nD = col("n").cast("double")
+    def varF(v: String) =
+      nD * col(s"ss_$v") - col(s"s_$v").cast("double") * col(s"s_$v")
+    val rows = pairs.map { case (a, b) =>
+      sums.select(lit(a).as("var_a"), lit(b).as("var_b"), col("n"),
+        round((nD * col(s"sp_${a}_$b") -
+          col(s"s_$a").cast("double") * col(s"s_$b")) /
+          nullif(sqrt(varF(a) * varF(b)), lit(0.0)), 4).as("r"))
+    }
+    rows.reduce(_.unionByName(_)).orderBy("var_a", "var_b")
+  }
+
   /** Exponential time-decay score per key: Σ v · exp(−λ · age_days),
     * with age measured back from the dataset's max timestamp (a scalar —
     * rides to every task as a literal via a broadcast cross join, the

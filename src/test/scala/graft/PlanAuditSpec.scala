@@ -23,7 +23,9 @@ class PlanAuditSpec extends SparkSpec {
     "q147_ks_test", // 1-row (n_a, n_b) totals broadcast
     "q148_price_histogram", // 1-row global min/max broadcast
     "q150_ewma_daily_revenue", // horizon+1-row literal weight table
-    "q153_mutual_information") // 1-row total-count broadcast
+    "q153_mutual_information", // 1-row total-count broadcast
+    "q157_benford_digits", // 1-row digit-total broadcast
+    "q159_pareto_share") // 1-row totals + 3-row percentile markers
 
   test("rank-filter pattern gets WindowGroupLimit pushdown (per-partition top-k, not full sort)") {
     import org.apache.spark.sql.functions._

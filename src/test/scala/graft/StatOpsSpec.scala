@@ -201,6 +201,24 @@ class StatOpsSpec extends SparkSpec {
     assert(r2.getLong(0) === 4L && r2.getDouble(1) === 0.0)
   }
 
+  // ---------------------------------------------------- correlation matrix
+
+  test("corrMatrix: upper triangle with perfect and inverse pairs") {
+    val rows = (1L to 10L).map(i => (i, 2 * i, 100 - i))
+    val out = Trend.corrMatrix(rows.toDF("a", "b", "c"),
+        Seq("a" -> col("a"), "b" -> col("b"), "c" -> col("c")))
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(out === Seq(("a", "b", 10L, 1.0), ("a", "c", 10L, -1.0),
+      ("b", "c", 10L, -1.0)))
+  }
+
+  test("corrMatrix: zero-variance column yields null r") {
+    val rows = Seq((1L, 5L), (2L, 5L), (3L, 5L))
+    val out = Trend.corrMatrix(rows.toDF("a", "b"),
+      Seq("a" -> col("a"), "b" -> col("b"))).collect().head
+    assert(out.isNullAt(3))
+  }
+
   // ------------------------------------------------------------ BPE pairs
 
   test("bpePairCounts: adjacent pair counts with deterministic tie-break") {
