@@ -681,6 +681,106 @@ object StatQueries {
       |WHERE rn = CAST(ceil(p * n) AS BIGINT)
       |ORDER BY p""".stripMargin))
 
+  /** Shared CTE chain: the co-purchase graph — part pairs co-ordered in
+    * ≥ 2 distinct orders (the support threshold that keeps the graph at
+    * signal pairs, not corpus² noise). */
+  private val copurchaseCtes =
+    """li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+      |pr AS (SELECT a.l_partkey AS u, b.l_partkey AS v,
+      |         CAST(count(*) AS BIGINT) AS c
+      |       FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |         AND a.l_partkey < b.l_partkey
+      |       GROUP BY 1, 2),
+      |e AS (SELECT u, v, c FROM pr WHERE c >= 2)""".stripMargin
+
+  /** [[Graph.triangleCount]] over the co-purchase graph: exact triangles
+    * via degree-ordered orientation — every out-degree bounded by
+    * O(√|E|), so wedges stay O(|E|^1.5) on any degree distribution. The
+    * oracle replays the same orientation in SQL. */
+  private val q160 = QDef("q160_triangle_count",
+    (s, dir) => {
+      val li = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .where(col("c") >= 2)
+      Graph.triangleCount(pairs, col("u"), col("v"))
+    },
+    Some(s"""WITH $copurchaseCtes,
+      |deg AS (SELECT vert, CAST(count(*) AS BIGINT) AS d
+      |        FROM (SELECT u AS vert FROM e UNION ALL SELECT v FROM e)
+      |        GROUP BY 1),
+      |o AS (SELECT CASE WHEN row(du.d, u) < row(dv.d, v) THEN u ELSE v END AS s,
+      |             CASE WHEN row(du.d, u) < row(dv.d, v) THEN v ELSE u END AS t,
+      |             CASE WHEN row(du.d, u) < row(dv.d, v) THEN dv.d ELSE du.d END AS dt
+      |      FROM e JOIN deg du ON du.vert = u JOIN deg dv ON dv.vert = v),
+      |w AS (SELECT o1.t AS y, o2.t AS z
+      |      FROM o o1 JOIN o o2 ON o1.s = o2.s
+      |      WHERE row(o1.dt, o1.t) < row(o2.dt, o2.t))
+      |SELECT (SELECT count(*) FROM deg) AS n_vertices,
+      |  (SELECT count(*) FROM e) AS n_edges,
+      |  (SELECT count(*) FROM w) AS n_wedges,
+      |  (SELECT count(*) FROM w JOIN o ON o.s = w.y AND o.t = w.z)
+      |    AS n_triangles""".stripMargin))
+
+  /** Item-item collaborative filtering: each part's top-3 co-purchase
+    * neighbors by Jaccard over order sets. Margins are per-part distinct
+    * order counts (broadcast); the per-part top-3 is the WindowGroupLimit
+    * shape (rank pushed below the sort). */
+  private val q161 = QDef("q161_item_neighbors",
+    (s, dir) => {
+      val li = T(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val m = li.groupBy(col("l_partkey").as("pk"))
+        .agg(count(lit(1)).as("mdeg"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .where(col("c") >= 2)
+      val sym = pairs.select(col("u").as("part_key"), col("v").as("neighbor_key"), col("c"))
+        .union(pairs.select(col("v"), col("u"), col("c")))
+      val j = sym
+        .join(broadcast(m.select(col("pk").as("part_key"), col("mdeg").as("mu"))),
+          Seq("part_key"))
+        .join(broadcast(m.select(col("pk").as("neighbor_key"), col("mdeg").as("mv"))),
+          Seq("neighbor_key"))
+        .select(col("part_key"), col("neighbor_key"),
+          (col("c").cast("double") /
+            (col("mu") + col("mv") - col("c")).cast("double")).as("jacc"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("part_key").orderBy(desc("jacc"), col("neighbor_key"))
+      j.select(col("part_key"), col("neighbor_key"),
+          round(col("jacc"), 4).as("jaccard"),
+          row_number().over(w).cast("long").as("rank"))
+        .where(col("rank") <= 3)
+        .orderBy("part_key", "rank")
+    },
+    Some(s"""WITH lid AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |m AS (SELECT l_partkey AS pk, CAST(count(*) AS BIGINT) AS mdeg
+      |      FROM lid GROUP BY 1),
+      |pr AS (SELECT a.l_partkey AS u, b.l_partkey AS v,
+      |         CAST(count(*) AS BIGINT) AS c
+      |       FROM lid a JOIN lid b ON a.l_orderkey = b.l_orderkey
+      |         AND a.l_partkey < b.l_partkey
+      |       GROUP BY 1, 2),
+      |e AS (SELECT u, v, c FROM pr WHERE c >= 2),
+      |sym AS (SELECT u AS part_key, v AS neighbor_key, c FROM e
+      |        UNION ALL SELECT v, u, c FROM e),
+      |j AS (SELECT part_key, neighbor_key,
+      |        CAST(c AS DOUBLE) / CAST(mu.mdeg + mv.mdeg - c AS DOUBLE) AS jacc
+      |      FROM sym JOIN m mu ON mu.pk = part_key
+      |        JOIN m mv ON mv.pk = neighbor_key),
+      |r AS (SELECT part_key, neighbor_key, round(jacc, 4) AS jaccard,
+      |        CAST(row_number() OVER (PARTITION BY part_key
+      |          ORDER BY jacc DESC, neighbor_key) AS BIGINT) AS rank
+      |      FROM j)
+      |SELECT part_key, neighbor_key, jaccard, rank FROM r
+      |WHERE rank <= 3 ORDER BY part_key, rank""".stripMargin))
+
   /** Benford expected first-digit shares, log10(1 + 1/d) rounded to 4 —
     * the SAME literals land in the Spark plan and the oracle SQL. */
   private def BenfordPct: Seq[(String, Double)] =
@@ -689,5 +789,5 @@ object StatQueries {
 
   def all: Seq[QDef] = Seq(q140, q141, q142, q143, q144, q145,
     q146, q147, q148, q149, q150, q151, q152, q153, q154, q155,
-    q156, q157, q158, q159)
+    q156, q157, q158, q159, q160, q161)
 }

@@ -31,6 +31,21 @@ object GraftFunctions {
     "graft_token_entropy" -> { args =>
       require(args.length == 1, "graft_token_entropy(tokenArray)")
       TokenEntropy(args(0))
+    },
+    "graft_zorder" -> { args =>
+      require(args.length == 3, "graft_zorder(x, y, bits)")
+      val bits = args(2) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) =>
+          v.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_zorder bits must be an integer literal, got $other")
+      }
+      MortonInterleave(
+        org.apache.spark.sql.catalyst.expressions.Cast(args(0),
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.catalyst.expressions.Cast(args(1),
+          org.apache.spark.sql.types.LongType), bits)
     })
 
   /** (identifier, info, builder) triples — the shape both

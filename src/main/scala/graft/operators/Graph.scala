@@ -122,4 +122,45 @@ object Graph {
     pr.select(col("v").as("vertex"), col("p").as("pr_score"))
       .orderBy(desc("pr_score"), col("vertex"))
   }
+
+  /** Exact triangle count over an undirected edge list, via degree-ordered
+    * orientation (Suri & Vassilvitskii 2011 / Schank-Wagner): orient every
+    * edge from its (degree, key)-smaller endpoint to the larger, build
+    * wedges by joining oriented edges on their source, and close each
+    * wedge against the oriented edge set. Orientation bounds every
+    * vertex's out-degree by O(√|E|) on any graph, so the wedge join
+    * produces O(|E|^1.5) rows worst-case instead of Σ deg² — the
+    * difference between finishing and not on power-law graphs at 100 TB.
+    *
+    * Returns a one-row report (n_vertices, n_edges, n_wedges,
+    * n_triangles) — all exact integer counts; the degree tables are
+    * vertex-sized broadcasts, the only corpus-scale shuffles are the edge
+    * dedup and the two equi-joins. */
+  def triangleCount(edges: DataFrame, u: Column, v: Column): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(least(u, v).as("u"), greatest(u, v).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull &&
+        col("u") =!= col("v"))
+      .distinct().localCheckpoint()
+    val deg = e.select(col("u").as("vert")).union(e.select(col("v")))
+      .groupBy("vert").agg(count(lit(1)).as("d")).localCheckpoint()
+    val ed = e
+      .join(broadcast(deg.select(col("vert").as("u"), col("d").as("du"))), "u")
+      .join(broadcast(deg.select(col("vert").as("v"), col("d").as("dv"))), "v")
+    val uFirst = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    val o = ed.select(
+        when(uFirst, col("u")).otherwise(col("v")).as("s"),
+        when(uFirst, col("v")).otherwise(col("u")).as("t"),
+        when(uFirst, col("dv")).otherwise(col("du")).as("dt"))
+      .localCheckpoint()
+    val w = o.as("o1").join(o.as("o2"), col("o1.s") === col("o2.s"))
+      .where(struct(col("o1.dt"), col("o1.t")) <
+        struct(col("o2.dt"), col("o2.t")))
+      .select(col("o1.t").as("y"), col("o2.t").as("z"))
+      .localCheckpoint()
+    val tri = w.join(o.select(col("s").as("y"), col("t").as("z")), Seq("y", "z"))
+    Seq((deg.count(), e.count(), w.count(), tri.count()))
+      .toDF("n_vertices", "n_edges", "n_wedges", "n_triangles")
+  }
 }

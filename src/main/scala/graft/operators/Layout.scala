@@ -20,17 +20,13 @@ object Layout {
   /** Interleave the low `bits` bits of `x` (even positions) and `y` (odd
     * positions) into a single long: bit i of x lands at 2i, bit i of y at
     * 2i+1. Inputs are masked to `bits` first, so callers bin/modulo into
-    * range beforehand. Unrolled at plan-build time into 2·bits shift/mask
-    * terms OR-ed together — constant-folded where inputs are literals. */
-  def zorderKey(x: Column, y: Column, bits: Int): Column = {
-    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
-    val xm = x.cast("long").bitwiseAND(lit((1L << bits) - 1))
-    val ym = y.cast("long").bitwiseAND(lit((1L << bits) - 1))
-    (0 until bits).foldLeft(lit(0L): Column) { (acc, i) =>
-      acc.bitwiseOR(shiftleft(shiftright(xm, i).bitwiseAND(lit(1L)), 2 * i))
-        .bitwiseOR(shiftleft(shiftright(ym, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }
-  }
+    * range beforehand. Backed by the native codegen
+    * [[org.apache.spark.sql.graft.MortonInterleave]] expression (one tight
+    * generated loop per row instead of a 2·bits-term unrolled tree); also
+    * registered as SQL `graft_zorder(x, y, bits)`. */
+  def zorderKey(x: Column, y: Column, bits: Int): Column =
+    org.apache.spark.sql.graft.LayoutExprs.zorder(
+      x.cast("long"), y.cast("long"), bits)
 
   /** DuckDB twin of [[zorderKey]]: the same unrolled shift/mask arithmetic
     * over SQL expressions `x` and `y` (already masked here too). */

@@ -35,6 +35,23 @@ class StatOpsSpec extends SparkSpec {
     assert(out === Seq(("a", 1000000L), ("b", 1000000L)))
   }
 
+  test("triangleCount: hand graphs (one triangle + pendant; K4; triangle-free)") {
+    def tc(edges: Seq[(String, String)]) =
+      Graph.triangleCount(edges.toDF("u", "v"), col("u"), col("v"))
+        .select("n_vertices", "n_edges", "n_triangles")
+        .as[(Long, Long, Long)].head()
+    // a-b-c triangle with a pendant edge c-d; duplicates/reversals dedup
+    assert(tc(Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"),
+      ("b", "a"))) === ((4L, 4L, 1L)))
+    // K4 has C(4,3) = 4 triangles
+    val k4 = for { x <- Seq("a", "b", "c", "d"); y <- Seq("a", "b", "c", "d")
+                   if x < y } yield (x, y)
+    assert(tc(k4) === ((4L, 6L, 4L)))
+    // star graph: no triangles
+    assert(tc(Seq(("hub", "s1"), ("hub", "s2"), ("hub", "s3"))) ===
+      ((4L, 3L, 0L)))
+  }
+
   test("pageRank: empty edge list fails loudly") {
     val e = Seq.empty[(String, String)].toDF("s", "d")
     intercept[IllegalArgumentException] {
@@ -63,6 +80,12 @@ class StatOpsSpec extends SparkSpec {
     val sqlZ = df.select(expr(Layout.zorderSql("x", "y", 3)).cast("long"))
       .as[Long].head()
     assert(sqlZ === 39L)
+  }
+
+  test("graft_zorder SQL registration matches the column path") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val z = spark.sql("SELECT graft_zorder(3, 5, 3) AS z").as[Long].head()
+    assert(z === 39L)
   }
 
   test("zorderKey: adjacent z-values stay spatially adjacent (locality)") {
