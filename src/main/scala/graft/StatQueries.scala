@@ -24,22 +24,23 @@ object StatQueries {
       |          CAST(coalesce(sc, 0) AS DOUBLE), 0) AS BIGINT) AS BIGINT) AS p
       |       FROM v LEFT JOIN s$i ON d = v)""".stripMargin
 
-  /** [[Graph.pageRank]] over the symmetrized supplier↔part edge list
-    * (prefix-tagged vertices keep the two key spaces disjoint; a
-    * symmetric graph has no dangling vertices, so no rank leaks). Two
+  /** [[Graph.pageRank]] over the symmetrized supplier↔part edge list.
+    * Vertices are parity-encoded longs (supplier k → 2k, part k → 2k+1):
+    * disjoint key spaces WITHOUT string concat — an 8-byte shuffle key
+    * instead of a variable-length string across every edge movement. A
+    * symmetric graph has no dangling vertices, so no rank leaks. Two
     * iterations: each is one edge shuffle + a vertex-sized broadcast.
     * The oracle unrolls the same two quantized iterations as CTEs. */
   private val q140 = QDef("q140_pagerank",
     (s, dir) => {
       // no pre-distinct: pageRank dedups once after the symmetric union
       val base = T(s, dir, "lineitem").select(
-        concat(lit("s"), col("l_suppkey").cast("string")).as("a"),
-        concat(lit("p"), col("l_partkey").cast("string")).as("b"))
+        (col("l_suppkey") * 2).as("a"), (col("l_partkey") * 2 + 1).as("b"))
       val sym = base.union(base.select(col("b").as("a"), col("a").as("b")))
       Graph.pageRank(sym, col("a"), col("b"), iters = 2)
     },
-    Some(s"""WITH b AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS s,
-      |           'p' || CAST(l_partkey AS VARCHAR) AS d FROM lineitem),
+    Some(s"""WITH b AS (SELECT DISTINCT l_suppkey * 2 AS s,
+      |           l_partkey * 2 + 1 AS d FROM lineitem),
       |e AS (SELECT s, d FROM b UNION ALL SELECT d, s FROM b),
       |deg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY s),
       |v AS (SELECT s AS v FROM e UNION SELECT d FROM e),
