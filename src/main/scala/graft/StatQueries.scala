@@ -782,6 +782,36 @@ object StatQueries {
       |SELECT part_key, neighbor_key, jaccard, rank FROM r
       |WHERE rank <= 3 ORDER BY part_key, rank""".stripMargin))
 
+  /** [[Sketches.kmvIntersection]]: click∩purchase audience overlap by
+    * inclusion–exclusion on three KMV sketches (A, B, and the union
+    * sketch replayed from the same hashed stream). The oracle replays
+    * the identical md5 bottom-k estimator per label. */
+  private val q162 = QDef("q162_kmv_audience_overlap",
+    (s, dir) => Sketches.kmvIntersection(T(s, dir, "events"),
+      col("event_type"), "click", "purchase", col("user_id"), k = 64)
+      .orderBy("label_a"),
+    Some("""WITH g AS (SELECT event_type AS l,
+      |        ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+      |          AS h
+      |      FROM events WHERE event_type IN ('click', 'purchase')),
+      |u AS (SELECT l, h FROM g UNION ALL SELECT '__union', h FROM g),
+      |d AS (SELECT DISTINCT l, h FROM u),
+      |r AS (SELECT l, h,
+      |        row_number() OVER (PARTITION BY l ORDER BY h) AS rn FROM d),
+      |kk AS (SELECT l, max(CASE WHEN rn = 64 THEN h END) AS hk,
+      |         count(*) AS n FROM r WHERE rn <= 64 GROUP BY 1),
+      |e AS (SELECT l, CASE WHEN hk IS NULL THEN CAST(n AS DOUBLE)
+      |        ELSE round(63.0 * 1152921504606846976.0 / hk, 4) END AS est
+      |      FROM kk),
+      |p AS (SELECT max(CASE WHEN l = 'click' THEN est END) AS est_a,
+      |             max(CASE WHEN l = 'purchase' THEN est END) AS est_b,
+      |             max(CASE WHEN l = '__union' THEN est END) AS est_union
+      |      FROM e)
+      |SELECT 'click' AS label_a, 'purchase' AS label_b,
+      |  est_a, est_b, est_union,
+      |  round(est_a + est_b - est_union, 4) AS est_intersection
+      |FROM p ORDER BY label_a""".stripMargin))
+
   /** Benford expected first-digit shares, log10(1 + 1/d) rounded to 4 —
     * the SAME literals land in the Spark plan and the oracle SQL. */
   private def BenfordPct: Seq[(String, Double)] =
@@ -790,5 +820,5 @@ object StatQueries {
 
   def all: Seq[QDef] = Seq(q140, q141, q142, q143, q144, q145,
     q146, q147, q148, q149, q150, q151, q152, q153, q154, q155,
-    q156, q157, q158, q159, q160, q161)
+    q156, q157, q158, q159, q160, q161, q162)
 }

@@ -149,6 +149,36 @@ object Sketches {
       .agg(udaf(new KmvAgg(k), Encoders.scalaLong)(col("__h")).as("r"))
       .select(col("grp"), col("r.est_distinct"), col("r.n_seen"), col("r.exact"))
 
+  /** Set-intersection cardinality from KMV sketches by inclusion–
+    * exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B), with the union
+    * sketch built by replaying the SAME hashed stream under a third
+    * label — sketch merge without a second scan. The audience-overlap
+    * question ("how many users did both X and Y?") at 100 TB: three ≤k
+    * bottom-k buffers of state, one map-side-combinable pass, versus an
+    * exact COUNT(DISTINCT) intersection that shuffles both full key
+    * sets. Estimates are md5-deterministic (engine-reproducible, same as
+    * [[kmvDistinct]]); the closing arithmetic adds three ROUNDED doubles
+    * — no association freedom. Small/degenerate sides degrade gracefully:
+    * under-filled sketches are exact counts, so the estimate is exact
+    * whenever both sides fit in k. */
+  def kmvIntersection(df: DataFrame, label: Column, a: String, b: String,
+                      value: Column, k: Int = 64): DataFrame = {
+    val g = df.where(label.isin(a, b))
+      .select(label.as("l"), h60(value).as("__h"))
+    val withU = g.union(g.select(lit("__union").as("l"), col("__h")))
+    val est = withU.groupBy("l")
+      .agg(udaf(new KmvAgg(k), Encoders.scalaLong)(col("__h")).as("r"))
+      .select(col("l"), col("r.est_distinct").as("est"))
+    est.agg(
+        max(when(col("l") === a, col("est"))).as("est_a"),
+        max(when(col("l") === b, col("est"))).as("est_b"),
+        max(when(col("l") === "__union", col("est"))).as("est_union"))
+      .select(lit(a).as("label_a"), lit(b).as("label_b"),
+        col("est_a"), col("est_b"), col("est_union"),
+        round(col("est_a") + col("est_b") - col("est_union"), 4)
+          .as("est_intersection"))
+  }
+
   /** Quantiles of a deterministic hash-sample: keep rows whose md5-derived
     * 60-bit hash of `id` falls under `rate` · 2^60 (an exact integer
     * threshold — both engines admit the identical row set), then exact

@@ -242,6 +242,18 @@ class StatOpsSpec extends SparkSpec {
     assert(out.isNullAt(3))
   }
 
+  // ------------------------------------------------------ KMV intersection
+
+  test("kmvIntersection: exact under k on both sides") {
+    // A = {u1,u2,u3}, B = {u2,u3,u4} -> union 4, intersection 2
+    val rows = Seq(("a", "u1"), ("a", "u2"), ("a", "u3"), ("a", "u2"),
+      ("b", "u2"), ("b", "u3"), ("b", "u4"), ("zz", "u9"))
+    val out = Sketches.kmvIntersection(rows.toDF("l", "v"), col("l"),
+      "a", "b", col("v"), k = 64).collect().head
+    assert(out.getDouble(2) === 3.0 && out.getDouble(3) === 3.0)
+    assert(out.getDouble(4) === 4.0 && out.getDouble(5) === 2.0)
+  }
+
   // ------------------------------------------------------------ BPE pairs
 
   test("bpePairCounts: adjacent pair counts with deterministic tie-break") {
