@@ -812,6 +812,68 @@ object StatQueries {
       |  round(est_a + est_b - est_union, 4) AS est_intersection
       |FROM p ORDER BY label_a""".stripMargin))
 
+  /** [[Timeseries.gapFillDaily]] over daily order revenue: calendar-spine
+    * densification + forward fill + linear interpolation, endpoints
+    * carried as (day, value) structs through ignoreNulls windows. */
+  private val q163 = QDef("q163_calendar_gap_fill",
+    (s, dir) => Timeseries.gapFillDaily(
+      T(s, dir, "orders").groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+          .as("cents")),
+      col("day"), col("cents")),
+    Some("""WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |mm AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+      |spine AS (SELECT CAST(unnest(generate_series(lo, hi,
+      |            INTERVAL 1 DAY)) AS DATE) AS day FROM mm),
+      |j AS (SELECT spine.day, d.cents FROM spine LEFT JOIN d USING (day)),
+      |t AS (SELECT day, cents,
+      |        CASE WHEN cents IS NULL THEN NULL
+      |             ELSE struct_pack(d := day, v := cents) END AS obs FROM j),
+      |f AS (SELECT day, cents,
+      |        last_value(obs IGNORE NULLS) OVER (ORDER BY day
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+      |        first_value(obs IGNORE NULLS) OVER (ORDER BY day
+      |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next
+      |      FROM t)
+      |SELECT day, cents, prev.v AS ffill_cents,
+      |  round(CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+      |    ELSE CAST(prev.v AS DOUBLE) + CAST(next.v - prev.v AS DOUBLE)
+      |      * CAST(day - prev.d AS DOUBLE) / CAST(next.d - prev.d AS DOUBLE)
+      |    END, 4) AS interp_cents
+      |FROM f ORDER BY day""".stripMargin))
+
+  /** [[Trend.rollingPearson]] of daily revenue (dollars — the Long-safe
+    * quantization) vs daily order count over a trailing 14-day frame:
+    * the metric-coupling monitor, windows on the bounded daily table. */
+  private val q164 = QDef("q164_rolling_corr",
+    (s, dir) => Trend.rollingPearson(
+      T(s, dir, "orders").groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(expr("CAST(round(o_totalprice, 0) AS BIGINT)"))
+          .as("dollars"), count(lit(1)).as("n_orders")),
+      col("day"), col("dollars"), col("n_orders"), frame = 14),
+    Some("""WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(round(o_totalprice, 0) AS BIGINT)) AS BIGINT)
+      |      AS x,
+      |    CAST(count(*) AS BIGINT) AS y
+      |  FROM orders GROUP BY 1),
+      |s AS (SELECT day,
+      |    CAST(count(*) OVER w AS BIGINT) AS k,
+      |    CAST(sum(x) OVER w AS BIGINT) AS sx,
+      |    CAST(sum(y) OVER w AS BIGINT) AS sy,
+      |    CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) OVER w AS BIGINT) AS syy
+      |  FROM d WINDOW w AS (ORDER BY day
+      |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+      |SELECT day, k,
+      |  round(CAST(k * sxy - sx * sy AS DOUBLE) /
+      |        nullif(sqrt(CAST(k * sxx - sx * sx AS DOUBLE) *
+      |                    CAST(k * syy - sy * sy AS DOUBLE)), 0.0), 4) AS r
+      |FROM s ORDER BY day""".stripMargin))
+
   /** Benford expected first-digit shares, log10(1 + 1/d) rounded to 4 —
     * the SAME literals land in the Spark plan and the oracle SQL. */
   private def BenfordPct: Seq[(String, Double)] =
@@ -820,5 +882,5 @@ object StatQueries {
 
   def all: Seq[QDef] = Seq(q140, q141, q142, q143, q144, q145,
     q146, q147, q148, q149, q150, q151, q152, q153, q154, q155,
-    q156, q157, q158, q159, q160, q161, q162)
+    q156, q157, q158, q159, q160, q161, q162, q163, q164)
 }

@@ -244,6 +244,37 @@ object Trend {
   def ewmaWeights(alpha: Double, horizon: Int): Seq[(Int, Long)] =
     (0 to horizon).map(d => d -> math.round(math.pow(1 - alpha, d) * 1e6))
 
+  /** Rolling Pearson correlation of two INTEGER-quantized daily series
+    * over a trailing `frame`-row window: the quant "are these two metrics
+    * still coupled?" monitor. All six window sums are exact integer
+    * window aggregates (the q156 device), so each day's r is closed-form
+    * double arithmetic on identical longs. Windows shorter than 2 rows /
+    * zero-variance windows yield SQL-NULL via nullif. The window input
+    * is the caller's pre-aggregated DAILY table — bounded, never the
+    * corpus. Callers quantize so k·Σx² stays inside Long (dollars, not
+    * cents, for revenue series). */
+  def rollingPearson(daily: DataFrame, day: Column, x: Column, y: Column,
+                     frame: Int): DataFrame = {
+    require(frame >= 2 && frame <= 3650, "frame must be in [2, 3650] rows")
+    val d = daily.select(day.as("day"), x.cast("long").as("x"),
+      y.cast("long").as("y"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+      .rowsBetween(-(frame - 1), 0)
+    val s = d.select(col("day"),
+      count(lit(1)).over(w).as("k"),
+      sum("x").over(w).as("sx"), sum("y").over(w).as("sy"),
+      sum(col("x") * col("y")).over(w).as("sxy"),
+      sum(col("x") * col("x")).over(w).as("sxx"),
+      sum(col("y") * col("y")).over(w).as("syy"))
+    s.select(col("day"), col("k"),
+        round((col("k") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          nullif(sqrt((col("k") * col("sxx") - col("sx") * col("sx"))
+              .cast("double") *
+            (col("k") * col("syy") - col("sy") * col("sy")).cast("double")),
+            lit(0.0)), 4).as("r"))
+      .orderBy("day")
+  }
+
   /** Pairwise Pearson correlation matrix over m INTEGER-quantized
     * columns: ONE aggregation pass collects all m first/second moments and
     * m·(m−1)/2 cross sums as exact longs, then each pair's r is closed-form

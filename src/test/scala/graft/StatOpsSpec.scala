@@ -254,6 +254,34 @@ class StatOpsSpec extends SparkSpec {
     assert(out.getDouble(4) === 4.0 && out.getDouble(5) === 2.0)
   }
 
+  // --------------------------------------------------------------- gapfill
+
+  test("gapFillDaily: spine, forward fill, interpolation, null edges") {
+    import java.sql.Date
+    // obs on Jan 1 (100) and Jan 4 (400): Jan 2/3 interpolate 200/300;
+    // spine covers [min, max] only
+    val daily = Seq((Date.valueOf("2024-01-01"), 100L),
+      (Date.valueOf("2024-01-04"), 400L)).toDF("day", "cents")
+    val out = Timeseries.gapFillDaily(daily, col("day"), col("cents"))
+      .collect()
+    assert(out.length === 4)
+    val interp = out.map(r => r.getDouble(3))
+    assert(interp.toSeq === Seq(100.0, 200.0, 300.0, 400.0))
+    val ffill = out.map(r => r.getLong(2))
+    assert(ffill.toSeq === Seq(100L, 100L, 100L, 400L))
+  }
+
+  test("rollingPearson: coupled series converge to r=1; short windows null") {
+    import java.sql.Date
+    val rows = (1 to 10).map(i =>
+      (Date.valueOf(f"2024-01-$i%02d"), i.toLong, 2L * i))
+    val out = Trend.rollingPearson(rows.toDF("day", "x", "y"),
+        col("day"), col("x"), col("y"), frame = 5)
+      .collect()
+    assert(out.head.isNullAt(2)) // k=1: no variance
+    assert(out.last.getDouble(2) === 1.0)
+  }
+
   // ------------------------------------------------------------ BPE pairs
 
   test("bpePairCounts: adjacent pair counts with deterministic tie-break") {
