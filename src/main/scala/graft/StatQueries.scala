@@ -874,6 +874,83 @@ object StatQueries {
       |                    CAST(k * syy - sy * sy AS DOUBLE)), 0.0), 4) AS r
       |FROM s ORDER BY day""".stripMargin))
 
+  /** [[Drift.psi]]: Population Stability Index of document length between
+    * two sources — the model-monitoring drift score, Laplace-smoothed
+    * over a dense 20-bin histogram, per-bin terms fixed-point quantized
+    * before the exact sum. Pairs with q147's KS on the same slices. */
+  private val q165 = QDef("q165_psi_drift",
+    (s, dir) => Drift.psi(T(s, dir, "documents"), col("source"),
+      col("n_chars"), "src0", "src1", bins = 20).orderBy("label_a"),
+    Some("""WITH g AS (SELECT source AS l, CAST(n_chars AS DOUBLE) AS v
+      |       FROM documents WHERE source IN ('src0', 'src1')),
+      |mm AS (SELECT min(v) AS lo, max(v) AS hi,
+      |    CAST(sum(CASE WHEN l = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN l = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      |  FROM g),
+      |c AS (SELECT least(floor((v - lo) / ((hi - lo) / 20.0)), 19) AS bin, l
+      |      FROM g CROSS JOIN mm),
+      |cnt AS (SELECT bin,
+      |    CAST(sum(CASE WHEN l = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(sum(CASE WHEN l = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM c GROUP BY 1),
+      |sp AS (SELECT CAST(unnest(range(0, 20)) AS BIGINT) AS bin, n_a, n_b
+      |       FROM mm),
+      |d AS (SELECT sp.bin, n_a, n_b, coalesce(ca, 0) AS ca,
+      |        coalesce(cb, 0) AS cb
+      |      FROM sp LEFT JOIN cnt ON sp.bin = cnt.bin),
+      |t AS (SELECT n_a, n_b, CAST(round(
+      |        (CAST(ca + 1 AS DOUBLE) / CAST(n_a + 20 AS DOUBLE)
+      |         - CAST(cb + 1 AS DOUBLE) / CAST(n_b + 20 AS DOUBLE))
+      |        * ln((CAST(ca + 1 AS DOUBLE) / CAST(n_a + 20 AS DOUBLE))
+      |           / (CAST(cb + 1 AS DOUBLE) / CAST(n_b + 20 AS DOUBLE)))
+      |        * 100000000.0, 0) AS BIGINT) AS t
+      |      FROM d)
+      |SELECT 'src0' AS label_a, 'src1' AS label_b, n_a, n_b,
+      |  round(CAST(sum(t) AS DOUBLE) / 100000000.0, 4) AS psi
+      |FROM t GROUP BY 1, 2, 3, 4 ORDER BY label_a""".stripMargin))
+
+  /** [[Drift.emd1d]]: 1-D Wasserstein distance (in price units) between
+    * early and late shipment price distributions — drift weighted by how
+    * FAR mass moved, which PSI/KS ignore. Cumulative bin counts are
+    * exact long window sums over the dense 20-bin spine. */
+  private val q166 = QDef("q166_emd_drift",
+    (s, dir) => Drift.emd1d(T(s, dir, "lineitem"),
+      expr("CASE WHEN l_shipdate < TIMESTAMP '1998-07-01' THEN 'early' " +
+        "ELSE 'late' END"),
+      col("l_extendedprice"), "early", "late", bins = 20)
+      .orderBy("label_a"),
+    Some("""WITH g AS (SELECT CASE WHEN l_shipdate < TIMESTAMP '1998-07-01'
+      |         THEN 'early' ELSE 'late' END AS l,
+      |         CAST(l_extendedprice AS DOUBLE) AS v
+      |       FROM lineitem),
+      |mm AS (SELECT min(v) AS lo, max(v) AS hi,
+      |    CAST(sum(CASE WHEN l = 'early' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN l = 'late' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      |  FROM g),
+      |c AS (SELECT least(floor((v - lo) / ((hi - lo) / 20.0)), 19) AS bin, l
+      |      FROM g CROSS JOIN mm),
+      |cnt AS (SELECT bin,
+      |    CAST(sum(CASE WHEN l = 'early' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(sum(CASE WHEN l = 'late' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM c GROUP BY 1),
+      |sp AS (SELECT CAST(unnest(range(0, 20)) AS BIGINT) AS bin,
+      |         lo, hi, n_a, n_b FROM mm),
+      |d AS (SELECT sp.bin, lo, hi, n_a, n_b, coalesce(ca, 0) AS ca,
+      |        coalesce(cb, 0) AS cb
+      |      FROM sp LEFT JOIN cnt ON sp.bin = cnt.bin),
+      |cum AS (SELECT n_a, n_b, lo, hi,
+      |    CAST(sum(ca) OVER (ORDER BY bin) AS BIGINT) AS cpa,
+      |    CAST(sum(cb) OVER (ORDER BY bin) AS BIGINT) AS cpb
+      |  FROM d),
+      |t AS (SELECT n_a, n_b, CAST(round(
+      |        abs(CAST(cpa AS DOUBLE) / CAST(n_a AS DOUBLE)
+      |          - CAST(cpb AS DOUBLE) / CAST(n_b AS DOUBLE))
+      |        * ((hi - lo) / 20.0) * 1000000.0, 0) AS BIGINT) AS t
+      |      FROM cum)
+      |SELECT 'early' AS label_a, 'late' AS label_b, n_a, n_b,
+      |  round(CAST(sum(t) AS DOUBLE) / 1000000.0, 4) AS emd
+      |FROM t GROUP BY 1, 2, 3, 4 ORDER BY label_a""".stripMargin))
+
   /** Benford expected first-digit shares, log10(1 + 1/d) rounded to 4 —
     * the SAME literals land in the Spark plan and the oracle SQL. */
   private def BenfordPct: Seq[(String, Double)] =
@@ -882,5 +959,5 @@ object StatQueries {
 
   def all: Seq[QDef] = Seq(q140, q141, q142, q143, q144, q145,
     q146, q147, q148, q149, q150, q151, q152, q153, q154, q155,
-    q156, q157, q158, q159, q160, q161, q162, q163, q164)
+    q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166)
 }

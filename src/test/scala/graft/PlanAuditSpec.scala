@@ -25,7 +25,9 @@ class PlanAuditSpec extends SparkSpec {
     "q150_ewma_daily_revenue", // horizon+1-row literal weight table
     "q153_mutual_information", // 1-row total-count broadcast
     "q157_benford_digits", // 1-row digit-total broadcast
-    "q159_pareto_share") // 1-row totals + 3-row percentile markers
+    "q159_pareto_share", // 1-row totals + 3-row percentile markers
+    "q165_psi_drift", // 1-row range/totals broadcast
+    "q166_emd_drift") // 1-row range/totals broadcast
 
   test("rank-filter pattern gets WindowGroupLimit pushdown (per-partition top-k, not full sort)") {
     import org.apache.spark.sql.functions._

@@ -282,6 +282,31 @@ class StatOpsSpec extends SparkSpec {
     assert(out.last.getDouble(2) === 1.0)
   }
 
+  // ------------------------------------------------------------------ drift
+
+  test("psi: identical slices score 0; a shifted slice scores positive") {
+    val same = (1L to 100L).flatMap(i => Seq(("a", i), ("b", i)))
+    val r0 = Drift.psi(same.toDF("l", "v"), col("l"), col("v"), "a", "b")
+      .collect().head
+    assert(r0.getDouble(4) === 0.0)
+    val shifted = (1L to 100L).map(("a", _)) ++ (51L to 150L).map(("b", _))
+    val r1 = Drift.psi(shifted.toDF("l", "v"), col("l"), col("v"), "a", "b")
+      .collect().head
+    assert(r1.getDouble(4) > 0.25) // half the mass moved: "action" range
+  }
+
+  test("emd1d: two point masses 10 apart over [0,10] in 10 bins -> 9.0") {
+    // a at 0, b at 10: CDFs differ by 1 in bins 0..8, width 1 -> EMD 9
+    val rows = Seq.fill(5)(("a", 0.0)) ++ Seq.fill(5)(("b", 10.0))
+    val r = Drift.emd1d(rows.toDF("l", "v"), col("l"), col("v"), "a", "b",
+      bins = 10).collect().head
+    assert(r.getDouble(4) === 9.0)
+    val same = (1L to 50L).flatMap(i => Seq(("a", i.toDouble), ("b", i.toDouble)))
+    val r0 = Drift.emd1d(same.toDF("l", "v"), col("l"), col("v"), "a", "b")
+      .collect().head
+    assert(r0.getDouble(4) === 0.0)
+  }
+
   // ------------------------------------------------------------ BPE pairs
 
   test("bpePairCounts: adjacent pair counts with deterministic tie-break") {
