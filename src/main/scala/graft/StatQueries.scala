@@ -951,6 +951,43 @@ object StatQueries {
       |  round(CAST(sum(t) AS DOUBLE) / 1000000.0, 4) AS emd
       |FROM t GROUP BY 1, 2, 3, 4 ORDER BY label_a""".stripMargin))
 
+  /** [[Trend.twoProportionZ]]: A/B conversion readout — users hashed into
+    * variants by id parity, conversion = any purchase event; one unit
+    * row per user BEFORE the test so repeat purchasers don't inflate n. */
+  private val q167 = QDef("q167_ab_conversion_z",
+    (s, dir) => {
+      val per = T(s, dir, "events").groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+        .select(when(col("user_id") % 2 === 0, "A").otherwise("B")
+          .as("variant"), col("conv"))
+      Trend.twoProportionZ(per, col("variant"), col("conv"), "A", "B")
+        .orderBy("label_a")
+    },
+    Some("""WITH per AS (SELECT user_id,
+      |        max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |          AS conv
+      |      FROM events GROUP BY 1),
+      |v AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS l,
+      |        CAST(conv AS BIGINT) AS c FROM per),
+      |su AS (SELECT
+      |    CAST(sum(CASE WHEN l = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN l = 'A' THEN c ELSE 0 END) AS BIGINT) AS conv_a,
+      |    CAST(sum(CASE WHEN l = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN l = 'B' THEN c ELSE 0 END) AS BIGINT) AS conv_b
+      |  FROM v),
+      |m AS (SELECT n_a, n_b, conv_a, conv_b,
+      |    CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+      |    CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+      |    CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pool
+      |  FROM su)
+      |SELECT 'A' AS label_a, 'B' AS label_b, n_a, n_b, conv_a, conv_b,
+      |  round(pa, 4) AS rate_a, round(pb, 4) AS rate_b,
+      |  round((pa - pb) / nullif(sqrt(pool * (1.0 - pool) *
+      |    (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 0.0), 4)
+      |    AS z_stat
+      |FROM m ORDER BY label_a""".stripMargin))
+
   /** Benford expected first-digit shares, log10(1 + 1/d) rounded to 4 —
     * the SAME literals land in the Spark plan and the oracle SQL. */
   private def BenfordPct: Seq[(String, Double)] =
@@ -959,5 +996,6 @@ object StatQueries {
 
   def all: Seq[QDef] = Seq(q140, q141, q142, q143, q144, q145,
     q146, q147, q148, q149, q150, q151, q152, q153, q154, q155,
-    q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166)
+    q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166,
+    q167)
 }

@@ -244,6 +244,37 @@ object Trend {
   def ewmaWeights(alpha: Double, horizon: Int): Seq[(Int, Long)] =
     (0 to horizon).map(d => d -> math.round(math.pow(1 - alpha, d) * 1e6))
 
+  /** Two-proportion z-test between variants `a` and `b` of a 0/1
+    * conversion flag (one row per experimental unit — callers aggregate
+    * to units first so repeated events don't inflate n):
+    *
+    *   z = (p_a − p_b) / √(p̂(1−p̂)(1/n_a + 1/n_b)),  p̂ pooled
+    *
+    * The A/B-experiment readout companion to [[welchTTest]] (means) —
+    * ONE map-side-combinable pass of four exact long sums, closed-form
+    * doubles mirrored verbatim in the oracle, nullif on the degenerate
+    * all-converted/none-converted pool. */
+  def twoProportionZ(df: DataFrame, label: Column, conv: Column,
+                     a: String, b: String): DataFrame = {
+    val g = df.where(label.isin(a, b))
+      .select(label.as("l"), conv.cast("long").as("c"))
+    val sums = g.agg(
+      sum(when(col("l") === a, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("l") === a, col("c")).otherwise(0L)).as("conv_a"),
+      sum(when(col("l") === b, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("l") === b, col("c")).otherwise(0L)).as("conv_b"))
+    val pa = col("conv_a").cast("double") / col("n_a").cast("double")
+    val pb = col("conv_b").cast("double") / col("n_b").cast("double")
+    val pool = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    sums.select(lit(a).as("label_a"), lit(b).as("label_b"),
+      col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+      round(pa, 4).as("rate_a"), round(pb, 4).as("rate_b"),
+      round((pa - pb) / nullif(sqrt(pool * (lit(1.0) - pool) *
+        (lit(1.0) / col("n_a").cast("double") +
+          lit(1.0) / col("n_b").cast("double"))), lit(0.0)), 4).as("z_stat"))
+  }
+
   /** Rolling Pearson correlation of two INTEGER-quantized daily series
     * over a trailing `frame`-row window: the quant "are these two metrics
     * still coupled?" monitor. All six window sums are exact integer

@@ -307,6 +307,26 @@ class StatOpsSpec extends SparkSpec {
     assert(r0.getDouble(4) === 0.0)
   }
 
+  // -------------------------------------------------- two-proportion z
+
+  test("twoProportionZ: hand-computed z on small variants") {
+    // A: 3/4 convert, B: 1/4 -> pool 1/2
+    // z = 0.5 / sqrt(0.25 * (1/4 + 1/4)) = 0.5/sqrt(0.125) = 1.4142
+    val rows = Seq(("A", 1L), ("A", 1L), ("A", 1L), ("A", 0L),
+      ("B", 1L), ("B", 0L), ("B", 0L), ("B", 0L))
+    val out = Trend.twoProportionZ(rows.toDF("l", "c"), col("l"), col("c"),
+      "A", "B").collect().head
+    assert(out.getDouble(6) === 0.75 && out.getDouble(7) === 0.25)
+    assert(out.getDouble(8) === 1.4142)
+  }
+
+  test("twoProportionZ: all-converted pool yields null z") {
+    val rows = Seq(("A", 1L), ("B", 1L))
+    val out = Trend.twoProportionZ(rows.toDF("l", "c"), col("l"), col("c"),
+      "A", "B").collect().head
+    assert(out.isNullAt(8))
+  }
+
   // ------------------------------------------------------------ BPE pairs
 
   test("bpePairCounts: adjacent pair counts with deterministic tie-break") {
