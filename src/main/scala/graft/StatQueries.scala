@@ -988,6 +988,54 @@ object StatQueries {
       |    AS z_stat
       |FROM m ORDER BY label_a""".stripMargin))
 
+  /** [[Trend.cuped]] over per-user engagement: covariate = first-15-day
+    * spend, metric = remaining-period spend (whole units — the Long-safe
+    * quantization for n·Σx² at corpus user counts); the split date is
+    * the series' own min day + 15 (one-row broadcast). */
+  private val q168 = QDef("q168_cuped_readout",
+    (s, dir) => {
+      val ev = T(s, dir, "events").select(col("user_id"),
+        to_date(col("ts")).as("day"),
+        expr("CAST(round(value, 0) AS BIGINT)").as("units"))
+      val lo = ev.agg(min("day").as("lo"))
+      val per = ev.crossJoin(broadcast(lo))
+        .groupBy("user_id")
+        .agg(sum(when(col("day") < date_add(col("lo"), 15), col("units"))
+          .otherwise(0L)).as("x"),
+          sum(when(col("day") >= date_add(col("lo"), 15), col("units"))
+            .otherwise(0L)).as("y"))
+      Trend.cuped(per, col("x"), col("y")).orderBy("n")
+    },
+    Some("""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day,
+      |        CAST(round(value, 0) AS BIGINT) AS units FROM events),
+      |lo AS (SELECT min(day) AS lo FROM ev),
+      |per AS (SELECT user_id,
+      |    CAST(sum(CASE WHEN day < lo + 15 THEN units ELSE 0 END) AS BIGINT)
+      |      AS x,
+      |    CAST(sum(CASE WHEN day >= lo + 15 THEN units ELSE 0 END) AS BIGINT)
+      |      AS y
+      |  FROM ev CROSS JOIN lo GROUP BY 1),
+      |su AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM per),
+      |m AS (SELECT n,
+      |    CAST(n * sxy - sx * sy AS DOUBLE) AS vnum,
+      |    CAST(n * sxx - sx * sx AS DOUBLE) AS dx,
+      |    CAST(n * syy - sy * sy AS DOUBLE) AS dy
+      |  FROM su),
+      |r AS (SELECT n, vnum, dx,
+      |    vnum / nullif(sqrt(dx * dy), 0.0) AS r,
+      |    dy / CAST(n * (n - 1) AS DOUBLE) AS var_y
+      |  FROM m)
+      |SELECT n, round(vnum / nullif(dx, 0.0), 4) AS theta,
+      |  round(var_y, 4) AS var_y,
+      |  round(var_y * (1.0 - r * r), 4) AS var_cuped,
+      |  round(r * r * 100.0, 4) AS var_reduction_pct
+      |FROM r ORDER BY n""".stripMargin))
+
   /** Benford expected first-digit shares, log10(1 + 1/d) rounded to 4 —
     * the SAME literals land in the Spark plan and the oracle SQL. */
   private def BenfordPct: Seq[(String, Double)] =
@@ -997,5 +1045,5 @@ object StatQueries {
   def all: Seq[QDef] = Seq(q140, q141, q142, q143, q144, q145,
     q146, q147, q148, q149, q150, q151, q152, q153, q154, q155,
     q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166,
-    q167)
+    q167, q168)
 }

@@ -275,6 +275,33 @@ object Trend {
           lit(1.0) / col("n_b").cast("double"))), lit(0.0)), 4).as("z_stat"))
   }
 
+  /** CUPED variance-reduction readout (Deng et al. 2013): given one row
+    * per experimental unit with an INTEGER-quantized pre-period covariate
+    * `x` and post-period metric `y`, reports θ = cov(x,y)/var(x) and the
+    * closed-form adjusted variance var(y_cuped) = var(y)·(1 − r²) — how
+    * much narrower the experiment's confidence intervals get by
+    * regressing out the pre-period. No second per-row pass: everything
+    * falls out of the same six exact long power sums as [[pearson]],
+    * one map-side-combinable aggregation. Degenerate covariates (zero
+    * variance) yield SQL-NULL θ/r via nullif. */
+  def cuped(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val g = df.select(x.cast("long").as("x"), y.cast("long").as("y"))
+    val su = g.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+      sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val vnum = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val dx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val dy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    val r = vnum / nullif(sqrt(dx * dy), lit(0.0))
+    val varY = dy / (col("n") * (col("n") - 1)).cast("double")
+    su.select(col("n"),
+      round(vnum / nullif(dx, lit(0.0)), 4).as("theta"),
+      round(varY, 4).as("var_y"),
+      round(varY * (lit(1.0) - r * r), 4).as("var_cuped"),
+      round(r * r * lit(100.0), 4).as("var_reduction_pct"))
+  }
+
   /** Rolling Pearson correlation of two INTEGER-quantized daily series
     * over a trailing `frame`-row window: the quant "are these two metrics
     * still coupled?" monitor. All six window sums are exact integer

@@ -27,7 +27,8 @@ class PlanAuditSpec extends SparkSpec {
     "q157_benford_digits", // 1-row digit-total broadcast
     "q159_pareto_share", // 1-row totals + 3-row percentile markers
     "q165_psi_drift", // 1-row range/totals broadcast
-    "q166_emd_drift") // 1-row range/totals broadcast
+    "q166_emd_drift", // 1-row range/totals broadcast
+    "q168_cuped_readout") // 1-row min-day broadcast
 
   test("rank-filter pattern gets WindowGroupLimit pushdown (per-partition top-k, not full sort)") {
     import org.apache.spark.sql.functions._

@@ -327,6 +327,29 @@ class StatOpsSpec extends SparkSpec {
     assert(out.isNullAt(8))
   }
 
+  // ------------------------------------------------------------------ CUPED
+
+  test("cuped: perfectly correlated covariate removes all variance") {
+    val rows = (1L to 10L).map(i => (i, 3 * i + 7))
+    val out = Trend.cuped(rows.toDF("x", "y"), col("x"), col("y"))
+      .collect().head
+    assert(out.getDouble(1) === 3.0) // theta = slope
+    assert(out.getDouble(3) === 0.0) // var_cuped -> 0
+    assert(out.getDouble(4) === 100.0)
+  }
+
+  test("cuped: independent covariate reduces nothing; constant x nulls theta") {
+    val ind = Seq((1L, 5L), (2L, 5L), (1L, 9L), (2L, 9L))
+    val o1 = Trend.cuped(ind.toDF("x", "y"), col("x"), col("y"))
+      .collect().head
+    assert(o1.getDouble(4) === 0.0)
+    assert(o1.getDouble(2) === o1.getDouble(3)) // var unchanged
+    val const = Seq((4L, 1L), (4L, 2L))
+    val o2 = Trend.cuped(const.toDF("x", "y"), col("x"), col("y"))
+      .collect().head
+    assert(o2.isNullAt(1)) // zero covariate variance -> null theta
+  }
+
   // ------------------------------------------------------------ BPE pairs
 
   test("bpePairCounts: adjacent pair counts with deterministic tie-break") {
