@@ -700,13 +700,13 @@ object StatQueries {
     * oracle replays the same orientation in SQL. */
   private val q160 = QDef("q160_triangle_count",
     (s, dir) => {
-      val li = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      val pairs = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .agg(count(lit(1)).as("c"))
-        .where(col("c") >= 2)
+      // multiset arrays: row-pair edge weights, same counts as the
+      // `<`-predicate self-join but with map-side pair expansion
+      val pairs = Cooccur.pairCounts(Cooccur.basketItems(
+          T(s, dir, "lineitem"), col("l_orderkey"), col("l_partkey"),
+          distinctItems = false))
+        .where(col("c_ab") >= 2)
+        .select(col("item_a").as("u"), col("item_b").as("v"))
       Graph.triangleCount(pairs, col("u"), col("v"))
     },
     Some(s"""WITH $copurchaseCtes,
@@ -732,16 +732,16 @@ object StatQueries {
     * shape (rank pushed below the sort). */
   private val q161 = QDef("q161_item_neighbors",
     (s, dir) => {
-      val li = T(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val m = li.groupBy(col("l_partkey").as("pk"))
-        .agg(count(lit(1)).as("mdeg"))
-      val pairs = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .agg(count(lit(1)).as("c"))
-        .where(col("c") >= 2)
+      // set arrays: basket-distinct marginals AND pairs come off the one
+      // basket-keyed shuffle (checkpointed — two consumers below)
+      val arr = Cooccur.basketItems(T(s, dir, "lineitem"),
+        col("l_orderkey"), col("l_partkey"), distinctItems = true)
+        .localCheckpoint()
+      val m = arr.select(explode(col("its")).as("pk"))
+        .groupBy("pk").agg(count(lit(1)).as("mdeg"))
+      val pairs = Cooccur.pairCounts(arr).where(col("c_ab") >= 2)
+        .select(col("item_a").as("u"), col("item_b").as("v"),
+          col("c_ab").as("c"))
       val sym = pairs.select(col("u").as("part_key"), col("v").as("neighbor_key"), col("c"))
         .union(pairs.select(col("v"), col("u"), col("c")))
       val j = sym

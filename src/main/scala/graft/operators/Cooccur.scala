@@ -7,33 +7,60 @@ import org.apache.spark.sql.functions._
   *
   * The association-mining primitive (and, over token/document pairs, the
   * same shape as PMI collocations in [[LanguageModel]] — lift IS
-  * exp(PMI)). Scale shape: the pair generation self-joins the distinct
-  * (basket, item) relation on the basket key — one shuffle each side,
-  * output bounded by Σ per-basket k·(k−1)/2, which is fine while baskets
-  * are small (TPC-H orders: ~4 items). A 100 TB run with mega-baskets
-  * caps per-basket fan-out first (top-k items per basket by frequency —
-  * the standard Apriori prefilter) before pairing.
+  * exp(PMI)). Scale shape: ONE shuffle groups items into per-basket
+  * sorted arrays, pairs expand MAP-SIDE from each array (no self-join,
+  * no sort-merge passes), then one pair-keyed shuffle aggregates counts —
+  * output still bounded by Σ per-basket k·(k−1)/2, which is fine while
+  * baskets are small (TPC-H orders: ~4 items). Per-group memory is
+  * bounded by the largest basket; a 100 TB run with mega-baskets caps
+  * per-basket fan-out first (top-k items per basket by frequency — the
+  * standard Apriori prefilter) before grouping.
   *
   * Determinism: all counts are integers; lift is one integer-ratio
   * division sealed with round(,4) (FIXTURES.md).
   */
 object Cooccur {
 
+  /** Per-basket sorted item arrays — the one basket-keyed shuffle every
+    * pair query shares. `distinctItems` picks set semantics (each item
+    * once per basket: lift/Jaccard marginals) vs multiset (row-pair
+    * counts: the co-purchase edge weights). */
+  def basketItems(df: DataFrame, basket: Column, item: Column,
+                  distinctItems: Boolean): DataFrame = {
+    val g = df.select(basket.as("b"), item.as("it"))
+      .where(col("it").isNotNull).groupBy("b")
+    if (distinctItems) g.agg(array_sort(collect_set("it")).as("its"))
+    else g.agg(array_sort(collect_list("it")).as("its"))
+  }
+
+  /** Unordered pair counts (item_a < item_b) from [[basketItems]] output:
+    * each sorted array expands to its i<j combinations map-side (the
+    * `y > x` filter both enforces strict ordering and, on multiset
+    * arrays, skips equal-item row pairs — matching a `<`-predicate
+    * self-join exactly), then ONE pair-keyed shuffle counts. */
+  def pairCounts(baskets: DataFrame): DataFrame =
+    baskets.select(explode(expr(
+        "flatten(transform(its, (x, i) -> " +
+          "transform(filter(slice(its, i + 2, size(its)), y -> y > x), " +
+          "y -> named_struct('u', x, 'v', y))))")).as("p"))
+      .select(col("p.u").as("item_a"), col("p.v").as("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("c_ab"))
+
   /** Item-pair counts and lift over baskets: for pairs with
     * pair-count ≥ `minSupport`,
     * lift = c_ab · N / (c_a · c_b) with N = basket count and c_x =
     * baskets containing x. Item marginals are basket-distinct, pairs
-    * are emitted once (item_a < item_b). */
+    * are emitted once (item_a < item_b). The basket-array table is
+    * checkpointed once and re-read by all three consumers (basket count,
+    * marginals, pairs). */
   def pairLift(df: DataFrame, basket: Column, item: Column,
                minSupport: Long): DataFrame = {
-    val bi = df.select(basket.as("b"), item.as("it")).distinct()
-    val nBaskets = bi.select(col("b")).distinct().count()
-    val marg = bi.groupBy(col("it")).agg(count(lit(1)).as("c"))
-    val l = bi.select(col("b"), col("it").as("item_a"))
-    val r = bi.select(col("b"), col("it").as("item_b"))
-    val pairs = l.join(r, Seq("b")).where(col("item_a") < col("item_b"))
-      .groupBy("item_a", "item_b").agg(count(lit(1)).as("c_ab"))
-      .where(col("c_ab") >= lit(minSupport))
+    val arr = basketItems(df, basket, item, distinctItems = true)
+      .localCheckpoint()
+    val nBaskets = arr.count()
+    val marg = arr.select(explode(col("its")).as("it"))
+      .groupBy(col("it")).agg(count(lit(1)).as("c"))
+    val pairs = pairCounts(arr).where(col("c_ab") >= lit(minSupport))
     pairs
       .join(broadcast(marg.select(col("it").as("item_a"), col("c").as("c_a"))),
         Seq("item_a"))

@@ -96,17 +96,20 @@ object Graph {
     require(iters >= 1 && iters <= 8,
       "iters must be in [1, 8]: each iteration shuffles the edge list")
     // ONE shuffle dedups the edge list; everything vertex-sized below
-    // (degrees, rank tables, per-iteration sums) is broadcast onto it
+    // (degrees, rank tables, per-iteration sums) is broadcast onto it.
+    // The distinct sub-plan appears on both sides of the degree join
+    // inside ONE job, so its exchange is built once and reused — the
+    // degree-annotated edge table is the only corpus-scale
+    // materialization (each iteration re-reads it).
     val e = edges.select(src.as("s"), dst.as("d"))
       .where(col("s").isNotNull && col("d").isNotNull).distinct()
-      .localCheckpoint()
-    require(!e.isEmpty,
-      "pageRank needs a non-empty edge list after null filtering")
     val eDeg = e.join(
         broadcast(e.groupBy("s").agg(count(lit(1)).as("deg"))), "s")
-      .localCheckpoint() // read twice per iteration-free: once per iter
-    val verts = e.select(col("s").as("v"))
-      .union(e.select(col("d"))).distinct().localCheckpoint()
+      .localCheckpoint()
+    require(!eDeg.isEmpty,
+      "pageRank needs a non-empty edge list after null filtering")
+    val verts = eDeg.select(col("s").as("v"))
+      .union(eDeg.select(col("d"))).distinct().localCheckpoint()
     var pr = verts.select(col("v"), lit(1000000L).as("p")) // fixed-point 1.0
     for (_ <- 1 to iters) {
       val sums = eDeg.join(broadcast(pr), col("s") === col("v"))
