@@ -1036,6 +1036,297 @@ object StatQueries {
       |  round(r * r * 100.0, 4) AS var_reduction_pct
       |FROM r ORDER BY n""".stripMargin))
 
+  /** [[Drift.jsd]]: Jensen–Shannon divergence between view and purchase
+    * event-value distributions — the bounded-in-[0, ln 2] symmetric
+    * drift score; same dense 20-bin spine and Laplace smoothing as
+    * q165's PSI, per-bin terms quantized to 1e-8 longs. */
+  private val q169 = QDef("q169_jsd_drift",
+    (s, dir) => Drift.jsd(T(s, dir, "events"), col("event_type"),
+      col("value"), "view", "purchase", bins = 20).orderBy("label_a"),
+    Some("""WITH g AS (SELECT event_type AS l, CAST(value AS DOUBLE) AS v
+      |       FROM events WHERE event_type IN ('view', 'purchase')),
+      |mm AS (SELECT min(v) AS lo, max(v) AS hi,
+      |    CAST(sum(CASE WHEN l = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN l = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_b
+      |  FROM g),
+      |c AS (SELECT least(floor((v - lo) / ((hi - lo) / 20.0)), 19) AS bin, l
+      |      FROM g CROSS JOIN mm),
+      |cnt AS (SELECT bin,
+      |    CAST(sum(CASE WHEN l = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(sum(CASE WHEN l = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS cb
+      |  FROM c GROUP BY 1),
+      |sp AS (SELECT CAST(unnest(range(0, 20)) AS BIGINT) AS bin, n_a, n_b
+      |       FROM mm),
+      |d AS (SELECT sp.bin, n_a, n_b, coalesce(ca, 0) AS ca,
+      |        coalesce(cb, 0) AS cb
+      |      FROM sp LEFT JOIN cnt ON sp.bin = cnt.bin),
+      |pq AS (SELECT n_a, n_b,
+      |        CAST(ca + 1 AS DOUBLE) / CAST(n_a + 20 AS DOUBLE) AS p,
+      |        CAST(cb + 1 AS DOUBLE) / CAST(n_b + 20 AS DOUBLE) AS q
+      |      FROM d),
+      |t AS (SELECT n_a, n_b, CAST(round(
+      |        (p * ln(p / ((p + q) / 2.0)) + q * ln(q / ((p + q) / 2.0)))
+      |        * 0.5 * 100000000.0, 0) AS BIGINT) AS t
+      |      FROM pq)
+      |SELECT 'view' AS label_a, 'purchase' AS label_b, n_a, n_b,
+      |  round(CAST(sum(t) AS DOUBLE) / 100000000.0, 4) AS jsd
+      |FROM t GROUP BY 1, 2, 3, 4 ORDER BY label_a""".stripMargin))
+
+  /** [[Trend.srmCheck]]: sample-ratio-mismatch gate over a 50/30/20
+    * modular assignment of distinct event users — the pre-readout
+    * "is the bucketing itself broken?" check for every A/B query
+    * (q167/q168). Chi-square terms quantized to 1e-6 longs. */
+  private val q170 = QDef("q170_srm_check",
+    (s, dir) => {
+      val u = T(s, dir, "events").select(col("user_id")).distinct()
+        .select(when(col("user_id") % 10 <= 4, "A")
+          .when(col("user_id") % 10 <= 7, "B").otherwise("C").as("variant"))
+      Trend.srmCheck(u, col("variant"),
+        Seq("A" -> 0.5, "B" -> 0.3, "C" -> 0.2)).orderBy("n_units")
+    },
+    Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+      |v AS (SELECT CASE WHEN user_id % 10 <= 4 THEN 'A'
+      |         WHEN user_id % 10 <= 7 THEN 'B' ELSE 'C' END AS v FROM u),
+      |c AS (SELECT v, CAST(count(*) AS BIGINT) AS o FROM v GROUP BY 1),
+      |r AS (SELECT o, CASE v WHEN 'A' THEN 0.5 WHEN 'B' THEN 0.3
+      |         ELSE 0.2 END AS r FROM c),
+      |n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM r),
+      |t AS (SELECT n, CAST(round(
+      |        (CAST(o AS DOUBLE) - r * CAST(n AS DOUBLE))
+      |        * (CAST(o AS DOUBLE) - r * CAST(n AS DOUBLE))
+      |        / (r * CAST(n AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS t
+      |      FROM r CROSS JOIN n)
+      |SELECT n AS n_units, CAST(2 AS BIGINT) AS deg_free,
+      |  round(CAST(sum(t) AS DOUBLE) / 1000000.0, 4) AS chi2
+      |FROM t GROUP BY 1, 2 ORDER BY n_units""".stripMargin))
+
+  /** [[Skew.hhi]]: supplier revenue concentration per nation — HHI of
+    * each supplier's share of the nation's exact revenue cents. No
+    * window, no global order: two keyed aggregations + a broadcast of
+    * the nation totals. */
+  private val q171 = QDef("q171_hhi_concentration",
+    (s, dir) => {
+      val li = T(s, dir, "lineitem").select(col("l_suppkey"),
+        expr("CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)")
+          .as("cents"))
+      val sup = T(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      Skew.hhi(li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey")),
+          col("s_nationkey"), col("s_suppkey"), col("cents"))
+        .select(col("g").as("nation_key"), col("n_members").as("n_suppliers"),
+          col("total_weight").as("cents"), col("hhi"))
+        .orderBy("nation_key")
+    },
+    Some("""WITH m AS (SELECT s_nationkey AS g, s_suppkey AS mb,
+      |        CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100,
+      |          0) AS BIGINT)) AS BIGINT) AS w
+      |      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |      GROUP BY 1, 2),
+      |t AS (SELECT g, CAST(sum(w) AS BIGINT) AS tw FROM m GROUP BY 1),
+      |q AS (SELECT m.g, tw, CAST(round(
+      |        CAST(w AS DOUBLE) / CAST(tw AS DOUBLE)
+      |        * (CAST(w AS DOUBLE) / CAST(tw AS DOUBLE))
+      |        * 100000000.0, 0) AS BIGINT) AS t
+      |      FROM m JOIN t ON m.g = t.g)
+      |SELECT g AS nation_key, CAST(count(*) AS BIGINT) AS n_suppliers,
+      |  tw AS cents, round(CAST(sum(t) AS DOUBLE) / 100000000.0, 4) AS hhi
+      |FROM q GROUP BY 1, 3 ORDER BY nation_key""".stripMargin))
+
+  /** Signup→first-purchase conversion lag: exact p50/p90/p99 of the
+    * per-user delay in seconds (µs-precision longs under the percentile;
+    * one user-keyed shuffle, then a 1-row exact-percentile agg over the
+    * user-sized lag table — the q18 convention). */
+  private val q172 = QDef("q172_conversion_lag",
+    (s, dir) => {
+      val e = T(s, dir, "events")
+      val su = e.where(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("s_ts"))
+      val pu = e.where(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min("ts").as("p_ts"))
+      su.join(pu, "user_id").where(col("p_ts") >= col("s_ts"))
+        .select((unix_micros(col("p_ts")) - unix_micros(col("s_ts")))
+          .as("lag_us"))
+        .agg(count(lit(1)).as("n_users"),
+          round(percentile(col("lag_us"), lit(0.5)) / lit(1e6), 4).as("p50_s"),
+          round(percentile(col("lag_us"), lit(0.9)) / lit(1e6), 4).as("p90_s"),
+          round(percentile(col("lag_us"), lit(0.99)) / lit(1e6), 4).as("p99_s"))
+        .orderBy("n_users")
+    },
+    Some("""WITH su AS (SELECT user_id, min(ts) AS s_ts FROM events
+      |        WHERE event_type = 'signup' GROUP BY 1),
+      |pu AS (SELECT user_id, min(ts) AS p_ts FROM events
+      |       WHERE event_type = 'purchase' GROUP BY 1),
+      |l AS (SELECT epoch_us(p_ts) - epoch_us(s_ts) AS lag_us
+      |      FROM su JOIN pu USING (user_id) WHERE p_ts >= s_ts)
+      |SELECT CAST(count(*) AS BIGINT) AS n_users,
+      |  round(quantile_cont(lag_us, 0.5) / 1000000.0, 4) AS p50_s,
+      |  round(quantile_cont(lag_us, 0.9) / 1000000.0, 4) AS p90_s,
+      |  round(quantile_cont(lag_us, 0.99) / 1000000.0, 4) AS p99_s
+      |FROM l ORDER BY n_users""".stripMargin))
+
+  /** Vocabulary coverage curve — the tokenizer-design readout: what
+    * fraction of all corpus tokens do the top-N vocabulary entries
+    * cover, at literal N markers. The ranking window runs over the
+    * VOCAB-sized count table (the [[Skew.keyDistribution]] scale note:
+    * single-partition to ~10⁷ entries, two-phase rank beyond); the
+    * cumulative sums are exact longs over the unique (count desc, token)
+    * order. */
+  private val q173 = QDef("q173_vocab_coverage",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val vc = T(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tk"))
+        .where(length(col("tk")) > 0)
+        .groupBy("tk").agg(count(lit(1)).as("c"))
+      val tot = vc.agg(sum("c").as("n"))
+      val w = Window.orderBy(desc("c"), col("tk"))
+      vc.select(col("c"),
+          row_number().over(w).cast("long").as("rk"),
+          sum("c").over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)).as("cum"))
+        .where(col("rk").isin(5L, 10L, 20L, 30L))
+        .crossJoin(broadcast(tot))
+        .select(col("rk").as("vocab_size"),
+          round(col("cum").cast("double") / col("n").cast("double"), 4)
+            .as("coverage"))
+        .orderBy("vocab_size")
+    },
+    Some("""WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tk
+      |       FROM documents),
+      |vc AS (SELECT tk, CAST(count(*) AS BIGINT) AS c FROM tk
+      |       WHERE len(tk) > 0 GROUP BY 1),
+      |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vc),
+      |r AS (SELECT CAST(row_number() OVER (ORDER BY c DESC, tk) AS BIGINT)
+      |          AS rk,
+      |        CAST(sum(c) OVER (ORDER BY c DESC, tk ROWS BETWEEN UNBOUNDED
+      |          PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |      FROM vc)
+      |SELECT rk AS vocab_size,
+      |  round(CAST(cum AS DOUBLE) / CAST(n AS DOUBLE), 4) AS coverage
+      |FROM r CROSS JOIN n WHERE rk IN (5, 10, 20, 30)
+      |ORDER BY vocab_size""".stripMargin))
+
+  /** Cross-split 5-gram contamination — the report-form complement to
+    * q116 (exact-text leakage) and q63 (benchmark decontamination): the
+    * fraction of test docs sharing ≥1 word 5-gram with ANY train doc.
+    * Train grams dedup once (hash shuffle, NOT broadcast — the train
+    * side is corpus-scale), the test side semi-joins on the gram key. */
+  private val q174 = QDef("q174_xsplit_contamination",
+    (s, dir) => {
+      val d = T(s, dir, "documents").select(col("doc_id"),
+        Sampling.splitAssign(col("doc_id"),
+          Seq("train" -> 0.9, "test" -> 0.1), "xc").as("split"),
+        Dedup.shingles(col("text"), 5).as("grams"))
+      val tr = d.where(col("split") === "train")
+        .select(explode(col("grams")).as("g")).distinct()
+      val hit = d.where(col("split") === "test")
+        .select(col("doc_id"), explode(col("grams")).as("g"))
+        .join(tr, "g").select("doc_id").distinct()
+        .withColumn("hit", lit(1L))
+      d.where(col("split") === "test").select("doc_id")
+        .join(hit, Seq("doc_id"), "left")
+        .agg(count(lit(1)).as("n_test"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+        .select(col("n_test"), col("n_contaminated"),
+          round(col("n_contaminated").cast("double") /
+            col("n_test").cast("double"), 4).as("rate"))
+        .orderBy("n_test")
+    },
+    Some("""WITH d AS (SELECT doc_id,
+      |        CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'xc'),
+      |          1, 15))::BIGINT % 1000000 < 900000
+      |          THEN 'train' ELSE 'test' END AS split,
+      |        string_split(text, ' ') AS tk
+      |      FROM documents),
+      |g AS (SELECT doc_id, split, CASE WHEN len(tk) >= 5 THEN
+      |        list_distinct(list_transform(range(1, len(tk) - 3),
+      |          i -> array_to_string(list_slice(tk, i, i + 4), ' ')))
+      |        ELSE [] END AS grams
+      |      FROM d),
+      |tr AS (SELECT DISTINCT unnest(grams) AS gr FROM g
+      |       WHERE split = 'train'),
+      |te AS (SELECT doc_id, unnest(grams) AS gr FROM g
+      |       WHERE split = 'test'),
+      |hit AS (SELECT DISTINCT doc_id FROM te JOIN tr USING (gr)),
+      |base AS (SELECT g.doc_id,
+      |        CASE WHEN hit.doc_id IS NULL THEN 0 ELSE 1 END AS h
+      |      FROM g LEFT JOIN hit ON g.doc_id = hit.doc_id
+      |      WHERE g.split = 'test')
+      |SELECT CAST(count(*) AS BIGINT) AS n_test,
+      |  CAST(sum(h) AS BIGINT) AS n_contaminated,
+      |  round(CAST(sum(h) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS rate
+      |FROM base ORDER BY n_test""".stripMargin))
+
+  /** NDCG@10 per market segment: does the QUANTITY-popularity ranking of
+    * parts surface the REVENUE? Graded relevance = exact revenue cents;
+    * both rankings come off ONE segment-keyed exchange (two sorts);
+    * per-rank DCG terms cents/log₂(rank+1) are quantized to 1e-4
+    * fixed-point longs before the per-segment sums. */
+  private val q175 = QDef("q175_ndcg_popularity",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = T(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_partkey").as("pk"),
+        col("l_quantity").cast("long").as("qty"),
+        expr("CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)")
+          .as("cents"))
+      val oc = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(broadcast(T(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+          col("o_custkey") === col("c_custkey"))
+      val a = li.join(oc, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("seg", "pk")
+        .agg(sum("qty").as("qty"), sum("cents").as("cents"))
+      val wq = Window.partitionBy("seg").orderBy(desc("qty"), col("pk"))
+      val wr = Window.partitionBy("seg").orderBy(desc("cents"), col("pk"))
+      val r = a.select(col("seg"), col("cents"),
+        row_number().over(wq).cast("long").as("rk_q"),
+        row_number().over(wr).cast("long").as("rk_r"))
+      def dcgTerm(rk: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        round(col("cents").cast("double") /
+          (log(rk.cast("double") + 1) / log(lit(2.0))) * lit(1e4), 0)
+          .cast("long")
+      val dcg = r.where(col("rk_q") <= 10).groupBy("seg")
+        .agg(sum(dcgTerm(col("rk_q"))).as("dt"))
+      val idcg = r.where(col("rk_r") <= 10).groupBy("seg")
+        .agg(sum(dcgTerm(col("rk_r"))).as("it"))
+      dcg.join(idcg, "seg")
+        .select(col("seg").as("segment"),
+          round(col("dt").cast("double") / lit(1e6), 4).as("dcg"),
+          round(col("it").cast("double") / lit(1e6), 4).as("idcg"),
+          round(col("dt").cast("double") / col("it").cast("double"), 4)
+            .as("ndcg"))
+        .orderBy("segment")
+    },
+    Some("""WITH a AS (SELECT c_mktsegment AS seg, l_partkey AS pk,
+      |        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+      |        CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100,
+      |          0) AS BIGINT)) AS BIGINT) AS cents
+      |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |        JOIN customer ON o_custkey = c_custkey
+      |      GROUP BY 1, 2),
+      |r AS (SELECT seg, cents,
+      |    CAST(row_number() OVER (PARTITION BY seg
+      |      ORDER BY qty DESC, pk) AS BIGINT) AS rk_q,
+      |    CAST(row_number() OVER (PARTITION BY seg
+      |      ORDER BY cents DESC, pk) AS BIGINT) AS rk_r
+      |  FROM a),
+      |d AS (SELECT seg, CAST(sum(CAST(round(CAST(cents AS DOUBLE)
+      |        / (ln(CAST(rk_q AS DOUBLE) + 1.0) / ln(2.0)) * 10000.0, 0)
+      |        AS BIGINT)) AS BIGINT) AS dt
+      |      FROM r WHERE rk_q <= 10 GROUP BY 1),
+      |i AS (SELECT seg, CAST(sum(CAST(round(CAST(cents AS DOUBLE)
+      |        / (ln(CAST(rk_r AS DOUBLE) + 1.0) / ln(2.0)) * 10000.0, 0)
+      |        AS BIGINT)) AS BIGINT) AS it
+      |      FROM r WHERE rk_r <= 10 GROUP BY 1)
+      |SELECT d.seg AS segment,
+      |  round(CAST(dt AS DOUBLE) / 1000000.0, 4) AS dcg,
+      |  round(CAST(it AS DOUBLE) / 1000000.0, 4) AS idcg,
+      |  round(CAST(dt AS DOUBLE) / CAST(it AS DOUBLE), 4) AS ndcg
+      |FROM d JOIN i ON d.seg = i.seg ORDER BY segment""".stripMargin))
+
   /** Benford expected first-digit shares, log10(1 + 1/d) rounded to 4 —
     * the SAME literals land in the Spark plan and the oracle SQL. */
   private def BenfordPct: Seq[(String, Double)] =
@@ -1045,5 +1336,5 @@ object StatQueries {
   def all: Seq[QDef] = Seq(q140, q141, q142, q143, q144, q145,
     q146, q147, q148, q149, q150, q151, q152, q153, q154, q155,
     q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166,
-    q167, q168)
+    q167, q168, q169, q170, q171, q172, q173, q174, q175)
 }

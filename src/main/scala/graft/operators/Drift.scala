@@ -64,6 +64,30 @@ object Drift {
         col("n_a"), col("n_b"), col("psi"))
   }
 
+  /** Jensen–Shannon divergence on the binned distributions, in nats:
+    * JSD = ½·KL(p‖m) + ½·KL(q‖m) with m = (p+q)/2 — the SYMMETRIC,
+    * always-finite drift score, bounded in [0, ln 2], that PSI's
+    * unbounded log-ratio form is not. Same Laplace smoothing as [[psi]]
+    * (p = (c+1)/(n+bins)), per-bin terms quantized to 1e-8 fixed-point
+    * longs before the exact sum. */
+  def jsd(df: DataFrame, label: Column, v: Column, a: String, b: String,
+          bins: Int = 20): DataFrame = {
+    require(bins >= 2 && bins <= 1000, "bins must be in [2, 1000]")
+    val p = (col("ca") + 1).cast("double") /
+      (col("n_a") + bins).cast("double")
+    val q = (col("cb") + 1).cast("double") /
+      (col("n_b") + bins).cast("double")
+    val m = (p + q) / lit(2.0)
+    binnedDense(df, label, v, a, b, bins)
+      .select(col("n_a"), col("n_b"),
+        round((p * log(p / m) + q * log(q / m)) * lit(0.5) * lit(1e8), 0)
+          .cast("long").as("t"))
+      .groupBy("n_a", "n_b")
+      .agg(round(sum("t").cast("double") / lit(1e8), 4).as("jsd"))
+      .select(lit(a).as("label_a"), lit(b).as("label_b"),
+        col("n_a"), col("n_b"), col("jsd"))
+  }
+
   /** 1-D earth mover's distance on the binned distributions, in VALUE
     * units: EMD = Σ_bins |CDF_a − CDF_b| · binWidth. The cumulative sums
     * are exact long window aggregates over the bins-row spine; each

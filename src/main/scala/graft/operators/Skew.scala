@@ -76,4 +76,32 @@ object Skew {
         round(col("gini_num").cast("double") /
           (col("n_keys") * col("n_rows")).cast("double"), 4).as("gini"))
   }
+
+  /** Herfindahl–Hirschman concentration index per group: HHI = Σ share²
+    * over each member's share of the group's INTEGER weight total —
+    * the market-concentration companion to [[keyDistribution]]'s gini
+    * (HHI weighs the square, so one dominant member moves it far more
+    * than many small ones; 1/k = perfectly even, 1 = monopoly).
+    *
+    * Scale: one (group, member)-keyed map-side-combinable sum, a
+    * group-keyed re-aggregation of that (members-sized) table for
+    * totals, broadcast back. No window, no global ordering. Per-member
+    * share² terms are quantized to 1e-8 fixed-point longs before the
+    * exact cross-member sum (FIXTURES.md). */
+  def hhi(df: DataFrame, group: Column, member: Column,
+          weight: Column): DataFrame = {
+    val m = df.select(group.as("g"), member.as("mb"),
+        weight.cast("long").as("w"))
+      .groupBy("g", "mb").agg(sum("w").as("w"))
+    val t = m.groupBy("g").agg(sum("w").as("tw"))
+    val sh = col("w").cast("double") / col("tw").cast("double")
+    m.join(broadcast(t), "g")
+      .select(col("g"), col("tw"),
+        round(sh * sh * lit(1e8), 0).cast("long").as("t"))
+      .groupBy("g", "tw")
+      .agg(count(lit(1)).as("n_members"),
+        round(sum("t").cast("double") / lit(1e8), 4).as("hhi"))
+      .select(col("g"), col("n_members"), col("tw").as("total_weight"),
+        col("hhi"))
+  }
 }

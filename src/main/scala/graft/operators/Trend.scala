@@ -275,6 +275,41 @@ object Trend {
           lit(1.0) / col("n_b").cast("double"))), lit(0.0)), 4).as("z_stat"))
   }
 
+  /** Sample-ratio-mismatch check (chi-square goodness of fit against the
+    * DESIGN allocation): the "is the experiment assignment itself broken?"
+    * gate that must pass before any A/B readout is trusted — a biased
+    * logger or bucketing bug shows up here as observed variant counts
+    * drifting from ratio·N. One variant-keyed aggregation (variant
+    * cardinality rows), expected counts from the literal design ratios,
+    * per-variant (o−e)²/e terms quantized to 1e-6 fixed-point longs
+    * before the exact sum. Emits one row: (n_units, deg_free, chi2);
+    * rows not matching a design variant are ignored. Callers aggregate
+    * to one row per experimental unit first (the [[twoProportionZ]]
+    * contract). */
+  def srmCheck(df: DataFrame, variant: Column,
+               design: Seq[(String, Double)]): DataFrame = {
+    require(design.nonEmpty && math.abs(design.map(_._2).sum - 1.0) < 1e-9,
+      "design ratios must sum to 1")
+    val ratio = design.tail.foldLeft(
+      when(col("v") === design.head._1, lit(design.head._2))) {
+      case (acc, (k, r)) => acc.when(col("v") === k, lit(r))
+    }
+    val counts = df.select(variant.as("v"))
+      .where(col("v").isin(design.map(_._1): _*))
+      .groupBy("v").agg(count(lit(1)).as("o"))
+      .select(col("o"), ratio.as("r"))
+    val tot = counts.agg(sum("o").as("n"))
+    val e = col("r") * col("n").cast("double")
+    val dev = col("o").cast("double") - e
+    counts.crossJoin(broadcast(tot))
+      .select(col("n"),
+        round(dev * dev / e * lit(1e6), 0).cast("long").as("t"))
+      .groupBy("n")
+      .agg(round(sum("t").cast("double") / lit(1e6), 4).as("chi2"))
+      .select(col("n").as("n_units"),
+        lit(design.size - 1L).as("deg_free"), col("chi2"))
+  }
+
   /** CUPED variance-reduction readout (Deng et al. 2013): given one row
     * per experimental unit with an INTEGER-quantized pre-period covariate
     * `x` and post-period metric `y`, reports θ = cov(x,y)/var(x) and the

@@ -28,7 +28,10 @@ class PlanAuditSpec extends SparkSpec {
     "q159_pareto_share", // 1-row totals + 3-row percentile markers
     "q165_psi_drift", // 1-row range/totals broadcast
     "q166_emd_drift", // 1-row range/totals broadcast
-    "q168_cuped_readout") // 1-row min-day broadcast
+    "q168_cuped_readout", // 1-row min-day broadcast
+    "q169_jsd_drift", // 1-row range/totals broadcast
+    "q170_srm_check", // 1-row unit-total broadcast
+    "q173_vocab_coverage") // 1-row token-total broadcast
 
   test("rank-filter pattern gets WindowGroupLimit pushdown (per-partition top-k, not full sort)") {
     import org.apache.spark.sql.functions._

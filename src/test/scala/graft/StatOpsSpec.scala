@@ -350,6 +350,57 @@ class StatOpsSpec extends SparkSpec {
     assert(o2.isNullAt(1)) // zero covariate variance -> null theta
   }
 
+  // ----------------------------------------------------------- JSD / SRM
+
+  test("jsd: identical slices score 0; disjoint point masses approach ln 2") {
+    val same = (1 to 50).flatMap(i => Seq(("a", i.toDouble), ("b", i.toDouble)))
+    val o1 = Drift.jsd(same.toDF("l", "v"), col("l"), col("v"), "a", "b", bins = 10)
+      .collect().head
+    assert(o1.getDouble(4) === 0.0)
+    // all of a at the low end, all of b at the high end: near-max divergence
+    val split = (1 to 50).map(_ => ("a", 0.0)) ++ (1 to 50).map(_ => ("b", 10.0))
+    val o2 = Drift.jsd(split.toDF("l", "v"), col("l"), col("v"), "a", "b", bins = 10)
+      .collect().head
+    assert(o2.getDouble(4) > 0.5 && o2.getDouble(4) <= math.log(2) + 1e-9)
+  }
+
+  test("srmCheck: on-design counts score ~0; a starved variant blows up") {
+    val ok = (1 to 50).map(_ => "A") ++ (1 to 30).map(_ => "B") ++
+      (1 to 20).map(_ => "C")
+    val o1 = Trend.srmCheck(ok.toDF("v"), col("v"),
+      Seq("A" -> 0.5, "B" -> 0.3, "C" -> 0.2)).collect().head
+    assert(o1.getLong(0) === 100L && o1.getLong(1) === 2L)
+    assert(o1.getDouble(2) === 0.0)
+    // C starved to 2 of an expected 20 (n stays 100):
+    // chi2 = 28²/50 + 10²/30 + 18²/20
+    val bad = (1 to 78).map(_ => "A") ++ (1 to 20).map(_ => "B") ++
+      (1 to 2).map(_ => "C")
+    val o2 = Trend.srmCheck(bad.toDF("v"), col("v"),
+      Seq("A" -> 0.5, "B" -> 0.3, "C" -> 0.2)).collect().head
+    val expected = 28.0 * 28.0 / 50 + 10.0 * 10.0 / 30 + 18.0 * 18.0 / 20
+    assert(math.abs(o2.getDouble(2) - expected) < 1e-3)
+  }
+
+  // ------------------------------------------------------------------ HHI
+
+  test("hhi: monopoly scores 1, even split scores 1/k") {
+    val df = Seq(("g1", "m1", 100L), ("g2", "m1", 25L), ("g2", "m2", 25L),
+      ("g2", "m3", 25L), ("g2", "m4", 25L)).toDF("g", "m", "w")
+    val out = Skew.hhi(df, col("g"), col("m"), col("w"))
+      .orderBy("g").collect()
+    assert(out(0).getString(0) === "g1" && out(0).getDouble(3) === 1.0)
+    assert(out(1).getString(0) === "g2" && out(1).getDouble(3) === 0.25)
+    assert(out(1).getLong(1) === 4L && out(1).getLong(2) === 100L)
+  }
+
+  test("hhi: members re-aggregate before shares (duplicate member rows)") {
+    val df = Seq(("g", "m1", 30L), ("g", "m1", 30L), ("g", "m2", 40L))
+      .toDF("g", "m", "w")
+    val out = Skew.hhi(df, col("g"), col("m"), col("w")).collect().head
+    // shares 0.6/0.4 -> 0.36 + 0.16 = 0.52
+    assert(out.getLong(1) === 2L && out.getDouble(3) === 0.52)
+  }
+
   // ------------------------------------------------------------ BPE pairs
 
   test("bpePairCounts: adjacent pair counts with deterministic tie-break") {
