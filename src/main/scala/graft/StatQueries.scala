@@ -1211,24 +1211,39 @@ object StatQueries {
   /** Cross-split 5-gram contamination — the report-form complement to
     * q116 (exact-text leakage) and q63 (benchmark decontamination): the
     * fraction of test docs sharing ≥1 word 5-gram with ANY train doc.
-    * Train grams dedup once (hash shuffle, NOT broadcast — the train
-    * side is corpus-scale), the test side semi-joins on the gram key. */
+    * The test grams LEFT-SEMI join the raw train grams (no train-side
+    * distinct: semi-join output doesn't multiply on build-side dupes,
+    * and per-doc grams are already array_distinct — a corpus with heavy
+    * cross-doc duplication would add one), then two scalar counts meet
+    * in a 1-row broadcast instead of a doc-keyed join-back. The train
+    * side shuffles on the gram key, NOT broadcast — it is corpus-scale.
+    * Both sides join on the 8-byte xxhash64 FINGERPRINT of the 5-token
+    * window (hashed straight off the token-array slice — the gram
+    * string is never materialized): ~4× less shuffle than string keys,
+    * deterministic (a PASS at verify scale is stable), with the usual
+    * 64-bit-fingerprint caveat that a cross-gram collision could
+    * over-count one doc (~1e-9 at 10⁸ distinct grams; swap in
+    * [[Dedup.shingles]] string keys if that matters). */
   private val q174 = QDef("q174_xsplit_contamination",
     (s, dir) => {
+      val toks = split(col("text"), " ")
       val d = T(s, dir, "documents").select(col("doc_id"),
         Sampling.splitAssign(col("doc_id"),
           Seq("train" -> 0.9, "test" -> 0.1), "xc").as("split"),
-        Dedup.shingles(col("text"), 5).as("grams"))
+        array_distinct(when(size(toks) >= 5,
+          transform(sequence(lit(0), size(toks) - 5),
+            i => xxhash64(slice(toks, i + 1, lit(5)))))
+          .otherwise(array().cast("array<bigint>"))).as("grams"))
       val tr = d.where(col("split") === "train")
-        .select(explode(col("grams")).as("g")).distinct()
-      val hit = d.where(col("split") === "test")
+        .select(explode(col("grams")).as("g"))
+      val nHit = d.where(col("split") === "test")
         .select(col("doc_id"), explode(col("grams")).as("g"))
-        .join(tr, "g").select("doc_id").distinct()
-        .withColumn("hit", lit(1L))
-      d.where(col("split") === "test").select("doc_id")
-        .join(hit, Seq("doc_id"), "left")
-        .agg(count(lit(1)).as("n_test"),
-          sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+        .join(tr, Seq("g"), "leftsemi")
+        .select("doc_id").distinct()
+        .agg(count(lit(1)).as("n_contaminated"))
+      d.where(col("split") === "test")
+        .agg(count(lit(1)).as("n_test"))
+        .crossJoin(broadcast(nHit))
         .select(col("n_test"), col("n_contaminated"),
           round(col("n_contaminated").cast("double") /
             col("n_test").cast("double"), 4).as("rate"))
