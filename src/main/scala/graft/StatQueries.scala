@@ -1342,6 +1342,222 @@ object StatQueries {
       |  round(CAST(dt AS DOUBLE) / CAST(it AS DOUBLE), 4) AS ndcg
       |FROM d JOIN i ON d.seg = i.seg ORDER BY segment""".stripMargin))
 
+  /** [[Survival.kaplanMeier]]: user-retention survival curve. A user's
+    * duration is last-active-day − first-active-day; they are CHURNED
+    * (observed event) if their last activity ends ≥1 day before the
+    * dataset's observation end (the fixture window is only 30 days, so
+    * the churn horizon scales to a day; a production run would use 14+),
+    * right-censored otherwise. The oracle mirrors the quantized-ln
+    * cumulative product row for row. */
+  private val q176 = QDef("q176_kaplan_meier",
+    (s, dir) => {
+      val e = T(s, dir, "events").select(col("user_id"),
+        to_date(col("ts")).as("d"))
+      val span = e.groupBy("user_id")
+        .agg(min("d").as("fd"), max("d").as("ld"))
+      val obsEnd = e.agg(max("d").as("obs_end"))
+      val dur = span.crossJoin(broadcast(obsEnd)).select(
+        datediff(col("ld"), col("fd")).as("dur"),
+        when(datediff(col("obs_end"), col("ld")) >= 1, 1).otherwise(0)
+          .as("ev"))
+      Survival.kaplanMeier(dur, col("dur"), col("ev"))
+    },
+    Some("""WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+      |sp AS (SELECT user_id, min(d) AS fd, max(d) AS ld FROM e GROUP BY 1),
+      |oe AS (SELECT max(d) AS obs_end FROM e),
+      |dur AS (SELECT CAST(date_diff('day', fd, ld) AS BIGINT) AS t,
+      |         CASE WHEN date_diff('day', ld, obs_end) >= 1
+      |           THEN 1 ELSE 0 END AS ev
+      |       FROM sp CROSS JOIN oe),
+      |byt AS (SELECT t, CAST(count(*) AS BIGINT) AS n_at,
+      |         CAST(sum(ev) AS BIGINT) AS d_at FROM dur GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_at) AS BIGINT) AS n_total FROM byt),
+      |r AS (SELECT t, d_at, n_total - coalesce(CAST(sum(n_at) OVER
+      |        (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |        AS BIGINT), 0) AS n_risk
+      |      FROM byt CROSS JOIN tot),
+      |ev AS (SELECT t, n_risk, d_at,
+      |        CASE WHEN d_at < n_risk THEN CAST(round(ln(1.0 -
+      |          CAST(d_at AS DOUBLE) / CAST(n_risk AS DOUBLE))
+      |          * 100000000.0, 0) AS BIGINT) ELSE 0 END AS lnq,
+      |        CASE WHEN d_at >= n_risk THEN 1 ELSE 0 END AS z
+      |      FROM r WHERE d_at > 0)
+      |SELECT t, n_risk, d_at AS n_events,
+      |  CASE WHEN max(z) OVER w > 0 THEN 0.0
+      |       ELSE round(exp(CAST(sum(lnq) OVER w AS DOUBLE)
+      |         / 100000000.0), 4) END AS survival
+      |FROM ev
+      |WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+      |  AND CURRENT ROW)
+      |ORDER BY t""".stripMargin))
+
+  /** [[Trend.seasonalDecompose]]: daily revenue cents split into centered
+    * 7-day trend + epoch-weekday seasonal + residual, all in 1e-4
+    * fixed-point longs until the final rounded divisions. */
+  private val q177 = QDef("q177_seasonal_decomp",
+    (s, dir) => {
+      val daily = T(s, dir, "orders").groupBy(col("o_orderdate").as("day"))
+        .agg(sum(expr(
+          "CAST(round(o_totalprice * 100, 0) AS BIGINT)")).as("v"))
+      Trend.seasonalDecompose(daily, col("day"), col("v"), period = 7)
+    },
+    Some("""WITH d AS (SELECT o_orderdate AS day,
+      |        CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+      |          AS BIGINT) AS v
+      |      FROM orders GROUP BY 1),
+      |w AS (SELECT day, v,
+      |        date_diff('day', DATE '1970-01-01', day) % 7 AS dow,
+      |        CAST(count(*) OVER win AS BIGINT) AS wn,
+      |        CAST(round(CAST(sum(v) OVER win AS DOUBLE) * 10000.0 / 7.0,
+      |          0) AS BIGINT) AS trend4
+      |      FROM d
+      |      WINDOW win AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
+      |        AND 3 FOLLOWING)),
+      |f AS (SELECT day, v, dow, trend4, v * 10000 - trend4 AS det4
+      |      FROM w WHERE wn = 7),
+      |s AS (SELECT dow, CAST(round(CAST(sum(det4) AS DOUBLE)
+      |        / CAST(count(*) AS DOUBLE), 0) AS BIGINT) AS sea4
+      |      FROM f GROUP BY 1)
+      |SELECT day, v AS value,
+      |  round(CAST(trend4 AS DOUBLE) / 10000.0, 4) AS trend,
+      |  round(CAST(sea4 AS DOUBLE) / 10000.0, 4) AS seasonal,
+      |  round(CAST(det4 - sea4 AS DOUBLE) / 10000.0, 4) AS residual
+      |FROM f JOIN s USING (dow) ORDER BY day""".stripMargin))
+
+  /** [[Graph.kcore]]: 25-core of the symmetrized supplier↔part graph
+    * (parity-encoded long vertices, the q140 convention), three peeling
+    * rounds unrolled identically in the oracle. */
+  private val q178 = QDef("q178_kcore",
+    (s, dir) => {
+      val base = T(s, dir, "lineitem").select(
+        (col("l_suppkey") * 2).as("a"), (col("l_partkey") * 2 + 1).as("b"))
+      val sym = base.union(base.select(col("b").as("a"), col("a").as("b")))
+      Graph.kcore(sym, col("a"), col("b"), k = 25, rounds = 3)
+    },
+    Some {
+      def peel(i: Int): String =
+        s"""d$i AS (SELECT a, count(*) AS dg FROM e${i - 1} GROUP BY 1),
+          |k$i AS (SELECT a FROM d$i WHERE dg >= 25),
+          |e$i AS (SELECT e.a, e.b FROM e${i - 1} e
+          |        JOIN k$i x ON e.a = x.a JOIN k$i y ON e.b = y.a)"""
+          .stripMargin
+      s"""WITH b AS (SELECT DISTINCT l_suppkey * 2 AS a,
+        |       l_partkey * 2 + 1 AS b FROM lineitem),
+        |e0 AS (SELECT a, b FROM b UNION ALL SELECT b AS a, a AS b FROM b),
+        |${peel(1)},
+        |${peel(2)},
+        |${peel(3)}
+        |SELECT a AS vertex, CAST(count(*) AS BIGINT) AS degree
+        |FROM e3 GROUP BY 1 HAVING count(*) >= 25
+        |ORDER BY degree DESC, vertex""".stripMargin
+    })
+
+  /** [[Skew.trimmedStats]]: order-value robust means per order priority —
+    * plain vs winsorized vs 5–95 trimmed, integer-clamped against
+    * 1e-4-quantized exact percentile cut points. */
+  private val q179 = QDef("q179_trimmed_stats",
+    (s, dir) => Skew.trimmedStats(
+      T(s, dir, "orders").select(col("o_orderpriority"),
+        expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents")),
+      col("o_orderpriority"), col("cents"))
+      .withColumnRenamed("g", "priority").orderBy("priority"),
+    Some("""WITH b AS (SELECT o_orderpriority AS g,
+      |        CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v
+      |      FROM orders),
+      |c AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(v) AS BIGINT) AS sv,
+      |        CAST(round(quantile_cont(v, 0.05) * 10000.0, 0) AS BIGINT)
+      |          AS lo4,
+      |        CAST(round(quantile_cont(v, 0.95) * 10000.0, 0) AS BIGINT)
+      |          AS hi4
+      |      FROM b GROUP BY 1),
+      |j AS (SELECT b.g, n, sv,
+      |        greatest(least(v * 10000, hi4), lo4) AS c4,
+      |        CASE WHEN v * 10000 >= lo4 AND v * 10000 <= hi4
+      |          THEN v END AS tv
+      |      FROM b JOIN c ON b.g = c.g)
+      |SELECT g AS priority, n,
+      |  round(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE), 4) AS mean,
+      |  round(CAST(sum(c4) AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0, 4)
+      |    AS winsor_mean,
+      |  round(CAST(sum(tv) AS DOUBLE) / CAST(count(tv) AS DOUBLE), 4)
+      |    AS trim_mean,
+      |  CAST(count(tv) AS BIGINT) AS n_kept
+      |FROM j GROUP BY 1, 2, 3 ORDER BY priority""".stripMargin))
+
+  /** [[Trend.ratioMetricDelta]]: purchases-per-view ratio metric with
+    * delta-method standard errors, variants = the q170 modular user
+    * assignment collapsed to two arms. */
+  private val q180 = QDef("q180_ratio_metric",
+    (s, dir) => {
+      val pu = T(s, dir, "events").groupBy("user_id")
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("y"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("d"))
+        .select(when(col("user_id") % 10 <= 4, "A").otherwise("B")
+          .as("variant"), col("y"), col("d"))
+      Trend.ratioMetricDelta(pu, col("variant"), col("y"), col("d"))
+        .orderBy("variant")
+    },
+    Some("""WITH pu AS (SELECT user_id,
+      |        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+      |          END) AS BIGINT) AS y,
+      |        CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |          AS BIGINT) AS d
+      |      FROM events GROUP BY 1),
+      |v AS (SELECT CASE WHEN user_id % 10 <= 4 THEN 'A' ELSE 'B' END
+      |        AS variant, y, d FROM pu),
+      |s AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(y) AS BIGINT) AS sy, CAST(sum(d) AS BIGINT) AS sd,
+      |        CAST(sum(y * y) AS BIGINT) AS syy,
+      |        CAST(sum(d * d) AS BIGINT) AS sdd,
+      |        CAST(sum(y * d) AS BIGINT) AS syd
+      |      FROM v GROUP BY 1)
+      |SELECT variant, n AS n_units,
+      |  round(CAST(sy AS DOUBLE) / CAST(sd AS DOUBLE), 4) AS ratio,
+      |  round(sqrt((CAST(n * syy - sy * sy AS DOUBLE)
+      |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+      |    + (CAST(sy AS DOUBLE) / CAST(sd AS DOUBLE))
+      |      * (CAST(sy AS DOUBLE) / CAST(sd AS DOUBLE))
+      |      * (CAST(n * sdd - sd * sd AS DOUBLE)
+      |        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+      |    - 2.0 * (CAST(sy AS DOUBLE) / CAST(sd AS DOUBLE))
+      |      * (CAST(n * syd - sy * sd AS DOUBLE)
+      |        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))))
+      |    / (CAST(n AS DOUBLE) * (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE)))), 6) AS se
+      |FROM s ORDER BY variant""".stripMargin))
+
+  /** [[Trend.mdeReadout]]: minimum detectable effect at α=.05/80% power
+    * for a future two-arm test on the observed conversion base rate. */
+  private val q181 = QDef("q181_mde_power",
+    (s, dir) => {
+      val u = T(s, dir, "events").groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("c"))
+      Trend.mdeReadout(u, col("c"), arms = 2).orderBy("n_units")
+    },
+    Some("""WITH u AS (SELECT user_id,
+      |        max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |          AS c
+      |      FROM events GROUP BY 1),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
+      |        CAST(sum(c) AS BIGINT) AS conv FROM u)
+      |SELECT n_units, CAST(floor(n_units / 2) AS BIGINT) AS n_per_arm,
+      |  round(CAST(conv AS DOUBLE) / CAST(n_units AS DOUBLE), 4) AS p_hat,
+      |  round(2.8016 * sqrt(2.0
+      |      * (CAST(conv AS DOUBLE) / CAST(n_units AS DOUBLE))
+      |      * (1.0 - CAST(conv AS DOUBLE) / CAST(n_units AS DOUBLE))
+      |      / CAST(CAST(floor(n_units / 2) AS BIGINT) AS DOUBLE)), 4)
+      |    AS mde_abs,
+      |  round(2.8016 * sqrt(2.0
+      |      * (CAST(conv AS DOUBLE) / CAST(n_units AS DOUBLE))
+      |      * (1.0 - CAST(conv AS DOUBLE) / CAST(n_units AS DOUBLE))
+      |      / CAST(CAST(floor(n_units / 2) AS BIGINT) AS DOUBLE))
+      |    / (CAST(conv AS DOUBLE) / CAST(n_units AS DOUBLE)), 4)
+      |    AS mde_rel
+      |FROM a ORDER BY n_units""".stripMargin))
+
   /** Benford expected first-digit shares, log10(1 + 1/d) rounded to 4 —
     * the SAME literals land in the Spark plan and the oracle SQL. */
   private def BenfordPct: Seq[(String, Double)] =
@@ -1351,5 +1567,6 @@ object StatQueries {
   def all: Seq[QDef] = Seq(q140, q141, q142, q143, q144, q145,
     q146, q147, q148, q149, q150, q151, q152, q153, q154, q155,
     q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166,
-    q167, q168, q169, q170, q171, q172, q173, q174, q175)
+    q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177,
+    q178, q179, q180, q181)
 }

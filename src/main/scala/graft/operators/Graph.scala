@@ -166,4 +166,41 @@ object Graph {
     Seq((deg.count(), e.count(), w.count(), tri.count()))
       .toDF("n_vertices", "n_edges", "n_wedges", "n_triangles")
   }
+
+  /** k-core peeling (Seidman 1983) over a SYMMETRIC edge list: each round
+    * drops every vertex whose current degree is below k (and all its
+    * edges), and `rounds` rounds are unrolled — the fixed-iteration
+    * convention of [[hitsBipartite]]/[[pageRank]], with the oracle
+    * running the identical unroll. Returns the surviving vertices that
+    * still hold ≥ k edges, with their residual degree.
+    *
+    * Scale shape: per round, one degree aggregation (edge shuffle keyed
+    * by src, map-side combinable) and two left-semi joins of the edge
+    * list against the vertex-sized survivor set — edges stay put, only
+    * survivor keys move. The edge list is re-checkpointed each round so
+    * the lineage (and recomputation) stays one round deep; peeling
+    * converges when a round removes nothing, making further rounds
+    * degree-agg-only no-ops. */
+  def kcore(edges: DataFrame, u: Column, v: Column, k: Int,
+            rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k and rounds must be positive")
+    var e = edges.select(u.as("a"), v.as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct().localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy("a").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select("a")
+      val prev = e
+      e = e.join(keep, Seq("a"), "leftsemi")
+        .join(keep.select(col("a").as("b")), Seq("b"), "leftsemi")
+        .select("a", "b").localCheckpoint()
+      // Dataset.unpersist is a no-op on checkpoint plans (see
+      // CheckpointUtils) — free the superseded round's blocks directly
+      org.apache.spark.sql.graft.CheckpointUtils.unpersistCheckpoint(prev)
+    }
+    e.groupBy("a").agg(count(lit(1)).as("degree"))
+      .where(col("degree") >= k)
+      .select(col("a").as("vertex"), col("degree"))
+      .orderBy(desc("degree"), col("vertex"))
+  }
 }

@@ -104,4 +104,45 @@ object Skew {
       .select(col("g"), col("n_members"), col("tw").as("total_weight"),
         col("hhi"))
   }
+
+  /** Robust per-group location estimates for a heavy-tailed INTEGER
+    * metric: the plain mean next to the winsorized mean (values clamped
+    * to the exact [lo, hi] group percentiles) and the trimmed mean
+    * (values outside them dropped) — the "is the average just three
+    * whales?" readout.
+    *
+    * Scale: one group-keyed exact-percentile aggregation (group
+    * cardinality output — the q09 convention; swap in approx_percentile
+    * when groups carry 10⁸+ members), broadcast back, one more keyed
+    * aggregation. Determinism: the percentile cut points are quantized
+    * to 1e-4 fixed-point longs FIRST, every comparison and clamp then
+    * runs in exact integer space (v·10⁴ vs cut4), and each mean is one
+    * rounded division of exact long sums. */
+  def trimmedStats(df: DataFrame, group: Column, v: Column,
+                   lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    require(0 <= lo && lo < hi && hi <= 1, "need 0 <= lo < hi <= 1")
+    val base = df.select(group.as("g"), v.cast("long").as("v"))
+    val cuts = base.groupBy("g").agg(
+      count(lit(1)).as("n"), sum("v").as("sv"),
+      round(percentile(col("v"), lit(lo)) * lit(1e4), 0).cast("long")
+        .as("lo4"),
+      round(percentile(col("v"), lit(hi)) * lit(1e4), 0).cast("long")
+        .as("hi4"))
+    val v4 = col("v") * 10000L
+    val clamped = greatest(least(v4, col("hi4")), col("lo4"))
+    val inside = v4 >= col("lo4") && v4 <= col("hi4")
+    base.join(broadcast(cuts), "g")
+      .groupBy("g", "n", "sv")
+      .agg(sum(clamped).as("w4"),
+        sum(when(inside, col("v"))).as("tv"),
+        sum(when(inside, 1L).otherwise(0L)).as("tn"))
+      .select(col("g"), col("n"),
+        round(col("sv").cast("double") / col("n").cast("double"), 4)
+          .as("mean"),
+        round(col("w4").cast("double") / col("n").cast("double") / lit(1e4),
+          4).as("winsor_mean"),
+        round(col("tv").cast("double") / col("tn").cast("double"), 4)
+          .as("trim_mean"),
+        col("tn").as("n_kept"))
+  }
 }

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Survival estimation over right-censored durations — the churn /
+  * time-to-event readout (how long do users stay active? how long until a
+  * signup converts?) that the A/B family (q167/q168/q170) needs once the
+  * metric is a TIME rather than a rate.
+  */
+object Survival {
+  /** Kaplan–Meier product-limit estimator (Kaplan & Meier 1958): input is
+    * one row per subject with an integer `duration` (time units survived
+    * from that subject's own start) and `observed` (1 = the terminal event
+    * happened at `duration`, 0 = right-censored there). Emits one row per
+    * distinct EVENT time t with n_risk (subjects whose duration ≥ t),
+    * n_events (observed events at t), and the survival curve
+    * S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ); censored-only times shape n_risk but
+    * add no product factor.
+    *
+    * Scale: one duration-keyed aggregation collapses the subject table to
+    * a TIME-CARDINALITY table (distinct durations — days, so thousands of
+    * rows at most); every window below runs over that collapsed table, so
+    * the single-partition ordering window is bounded regardless of subject
+    * count (the [[Skew.keyDistribution]] convention).
+    *
+    * Determinism (FIXTURES.md): n_risk comes from exact cumulative long
+    * sums; each factor enters as ln(1−d/n) quantized to 1e-8 fixed-point
+    * longs, the running product is the exact long sum of those, and one
+    * exp seals it (ln/exp agree through round(,4) cross-engine — the
+    * q80/q92 precedent). A time where d = n (everyone at risk dies) would
+    * put ln(0) in the sum, so from that row on survival is pinned to
+    * literal 0.0 via a cumulative max flag instead. */
+  def kaplanMeier(df: DataFrame, duration: Column, observed: Column): DataFrame = {
+    val byT = df.select(duration.cast("long").as("t"),
+        observed.cast("int").as("ev"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n_at"), sum("ev").cast("long").as("d_at"))
+    val tot = byT.agg(sum("n_at").as("n_total"))
+    val wPrev = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = byT.crossJoin(broadcast(tot))
+      .withColumn("n_risk",
+        col("n_total") - coalesce(sum("n_at").over(wPrev), lit(0L)))
+      .where(col("d_at") > 0)
+      .withColumn("lnq", when(col("d_at") < col("n_risk"),
+        round(log(lit(1.0) - col("d_at").cast("double") /
+          col("n_risk").cast("double")) * lit(1e8), 0).cast("long"))
+        .otherwise(lit(0L)))
+      .withColumn("dead", when(col("d_at") >= col("n_risk"), 1).otherwise(0))
+    risk.select(col("t"), col("n_risk"), col("d_at").as("n_events"),
+        when(max("dead").over(wCum) > 0, lit(0.0))
+          .otherwise(round(exp(sum("lnq").over(wCum).cast("double") /
+            lit(1e8)), 4)).as("survival"))
+      .orderBy("t")
+  }
+}

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Per-group statistical trend / robust-outlier operators.
@@ -423,5 +424,104 @@ object Trend {
         exp(lit(-lambdaPerDay) * (lit(maxUs) - col("us")).cast("double") /
           lit(86400e6))), 4).as("decayed"),
         count(lit(1)).as("n_events"))
+  }
+
+  /** Classical additive seasonal decomposition over a DENSE daily spine
+    * (repair gaps with [[Timeseries.gapFillDaily]] first): trend = the
+    * centered `period`-row moving average, seasonal = the per-weekday mean
+    * of the detrended series, residual = the rest. Weekday is epoch-based
+    * (days-since-1970 mod period) so no engine's locale-dependent
+    * day-of-week numbering is involved. Only days with a FULL trend
+    * window are emitted.
+    *
+    * Scale: the ordering window runs over the DAY-CARDINALITY table (the
+    * daily aggregate, thousands of rows), not raw rows; the seasonal
+    * means are a `period`-row broadcast back onto it.
+    *
+    * Determinism: `value` must be integer-quantized (cents). trend/
+    * detrended/seasonal/residual all live in 1e-4 fixed-point longs —
+    * exact window sums, one rounded division each — so cross-row order
+    * can't move a bit. */
+  def seasonalDecompose(daily: DataFrame, day: Column, value: Column,
+                        period: Int = 7): DataFrame = {
+    require(period >= 2 && period % 2 == 1,
+      "period must be odd (centered window)")
+    val half = period / 2
+    val w = Window.orderBy("day").rowsBetween(-half, half)
+    val base = daily.select(day.as("day"), value.cast("long").as("v"),
+      (datediff(col("day"), to_date(lit("1970-01-01"))) % period).as("dow"))
+    val full = base
+      .withColumn("wn", count(lit(1)).over(w))
+      .withColumn("trend4", round(sum("v").over(w).cast("double") *
+        lit(10000.0) / lit(period.toDouble), 0).cast("long"))
+      .where(col("wn") === period)
+      .withColumn("det4", col("v") * 10000L - col("trend4"))
+    val seasonal = full.groupBy("dow")
+      .agg(round(sum("det4").cast("double") /
+        count(lit(1)).cast("double"), 0).cast("long").as("sea4"))
+    full.join(broadcast(seasonal), "dow")
+      .select(col("day"), col("v").as("value"),
+        round(col("trend4").cast("double") / lit(1e4), 4).as("trend"),
+        round(col("sea4").cast("double") / lit(1e4), 4).as("seasonal"),
+        round((col("det4") - col("sea4")).cast("double") / lit(1e4), 4)
+          .as("residual"))
+      .orderBy("day")
+  }
+
+  /** Delta-method standard error for a RATIO metric (revenue per view,
+    * items per order) under unit-level randomization (Deng et al. 2017's
+    * "ratio metric" recipe): with one row per experimental unit carrying
+    * integer numerator y and denominator d, R̂ = Σy/Σd and
+    * Var(R̂) ≈ (var_y + R̂²·var_d − 2R̂·cov_yd) / (n·d̄²). Emits one row
+    * per variant: (variant, n_units, ratio, se).
+    *
+    * Scale: one variant-keyed aggregation of six integer power sums
+    * (map-side combinable, variant-cardinality output); everything after
+    * is per-row arithmetic on the tiny result.
+    *
+    * Determinism: variances/covariance use the double-folded-n integer
+    * numerators (n·Σyy − (Σy)², FIXTURES.md) — exact longs — so the only
+    * floating-point steps are the closed-form divisions and one sqrt. */
+  def ratioMetricDelta(df: DataFrame, variant: Column, num: Column,
+                       den: Column): DataFrame = {
+    val sums = df.select(variant.as("variant"), num.cast("long").as("y"),
+        den.cast("long").as("d"))
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum("y").as("sy"), sum("d").as("sd"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("d") * col("d")).as("sdd"),
+        sum(col("y") * col("d")).as("syd"))
+    val nD = col("n").cast("double")
+    val r = col("sy").cast("double") / col("sd").cast("double")
+    def varOf(sq: String, s: String): Column =
+      (col("n") * col(sq) - col(s) * col(s)).cast("double") /
+        (nD * (nD - lit(1.0)))
+    val covYd = (col("n") * col("syd") - col("sy") * col("sd")).cast("double") /
+      (nD * (nD - lit(1.0)))
+    val dBar = col("sd").cast("double") / nD
+    sums.select(col("variant"), col("n").as("n_units"),
+      round(r, 4).as("ratio"),
+      round(sqrt((varOf("syy", "sy") + r * r * varOf("sdd", "sd") -
+        lit(2.0) * r * covYd) / (nD * dBar * dBar)), 6).as("se"))
+  }
+
+  /** Minimum-detectable-effect readout for a two-proportion A/B at the
+    * conventional α = 0.05 two-sided / 80% power operating point:
+    * MDE_abs = (z_{α/2} + z_β)·√(2·p̂(1−p̂)/n_per_arm) with the z-sum
+    * pinned to the literal 2.8016 (1.9600 + 0.8416) in BOTH engines.
+    * Input is one row per experimental unit with a 0/1 conversion flag;
+    * `arms` is the planned number of equal arms. One aggregation, one
+    * output row: (n_units, n_per_arm, p_hat, mde_abs, mde_rel). */
+  def mdeReadout(df: DataFrame, converted: Column, arms: Int = 2): DataFrame = {
+    require(arms >= 2, "need at least two arms")
+    val agg = df.select(converted.cast("long").as("c"))
+      .agg(count(lit(1)).as("n_units"), sum("c").as("conv"))
+    val p = col("conv").cast("double") / col("n_units").cast("double")
+    val nArm = floor(col("n_units") / arms).cast("long")
+    val mde = lit(2.8016) *
+      sqrt(lit(2.0) * p * (lit(1.0) - p) / nArm.cast("double"))
+    agg.select(col("n_units"), nArm.as("n_per_arm"),
+      round(p, 4).as("p_hat"), round(mde, 4).as("mde_abs"),
+      round(mde / p, 4).as("mde_rel"))
   }
 }

@@ -32,7 +32,8 @@ class PlanAuditSpec extends SparkSpec {
     "q169_jsd_drift", // 1-row range/totals broadcast
     "q170_srm_check", // 1-row unit-total broadcast
     "q173_vocab_coverage", // 1-row token-total broadcast
-    "q174_xsplit_contamination") // 1-row hit-count broadcast
+    "q174_xsplit_contamination", // 1-row hit-count broadcast
+    "q176_kaplan_meier") // 1-row obs-end + subject-total broadcasts
 
   test("rank-filter pattern gets WindowGroupLimit pushdown (per-partition top-k, not full sort)") {
     import org.apache.spark.sql.functions._

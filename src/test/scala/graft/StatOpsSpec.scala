@@ -401,6 +401,85 @@ class StatOpsSpec extends SparkSpec {
     assert(out.getLong(1) === 2L && out.getDouble(3) === 0.52)
   }
 
+  // ------------------------------------------------- survival / seasonal
+
+  test("kaplanMeier: textbook product-limit curve with censoring") {
+    // durations (ev=1 observed, 0 censored): 1e 2e 3c 4e 5c
+    val df = Seq((1L, 1), (2L, 1), (3L, 0), (4L, 1), (5L, 0))
+      .toDF("t", "ev")
+    val out = Survival.kaplanMeier(df, col("t"), col("ev")).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3))).toSeq ===
+      Seq((1L, 5L, 1L, 0.8), (2L, 4L, 1L, 0.6), (4L, 2L, 1L, 0.3)))
+  }
+
+  test("kaplanMeier: everyone dying at once pins survival to literal 0") {
+    val df = Seq((1L, 1), (1L, 1)).toDF("t", "ev")
+    val out = Survival.kaplanMeier(df, col("t"), col("ev")).collect()
+    assert(out.length === 1 && out.head.getDouble(3) === 0.0)
+  }
+
+  test("seasonalDecompose: pure weekly signal has zero residual") {
+    // v = 7000 + 100*epoch_dow over 14 dense days: trend is constant
+    // 7300, seasonal absorbs the rest, residual identically 0
+    val days = (1 to 14).map(i => (java.sql.Date.valueOf(
+      java.time.LocalDate.of(2024, 1, i)), 0L))
+    val df = days.toDF("day", "z").select(col("day"),
+      (lit(7000L) + lit(100L) *
+        (datediff(col("day"), to_date(lit("1970-01-01"))) % 7)).as("v"))
+    val out = Trend.seasonalDecompose(df, col("day"), col("v"), period = 7)
+      .collect()
+    assert(out.length === 8) // days 4..11 have a full centered window
+    out.foreach { r =>
+      assert(r.getDouble(2) === 7300.0) // trend
+      assert(r.getDouble(4) === 0.0) // residual
+      assert(r.getLong(1) === Math.round(7300.0 + r.getDouble(3))) // v = t+s
+    }
+  }
+
+  // ---------------------------------------------- kcore / robust / delta
+
+  test("kcore: pendant vertex peels, the triangle survives at k=2") {
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L))
+    val sym = (und ++ und.map(_.swap)).toDF("a", "b")
+    val out = Graph.kcore(sym, col("a"), col("b"), k = 2, rounds = 3)
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 2L), (2L, 2L), (3L, 2L)))
+  }
+
+  test("trimmedStats: winsorized and trimmed means on a whale-tailed group") {
+    val df = Seq.tabulate(4)(i => ("g", (i + 1).toLong)) :+ (("g", 100L))
+    val out = Skew.trimmedStats(df.toDF("g", "v"), col("g"), col("v"))
+      .collect().head
+    // p05 = 1.2, p95 = 80.8 (linear interpolation over 1,2,3,4,100)
+    assert(out.getLong(1) === 5L)
+    assert(out.getDouble(2) === 22.0) // mean
+    assert(out.getDouble(3) === 18.2) // winsorized: 1.2+2+3+4+80.8 over 5
+    assert(out.getDouble(4) === 3.0) // trimmed keeps 2,3,4
+    assert(out.getLong(5) === 3L)
+  }
+
+  test("ratioMetricDelta: hand-computed delta-method se") {
+    val df = Seq(("A", 1L, 2L), ("A", 2L, 2L), ("A", 3L, 4L))
+      .toDF("variant", "y", "d")
+    val out = Trend.ratioMetricDelta(df, col("variant"), col("y"),
+      col("d")).collect().head
+    assert(out.getLong(1) === 3L)
+    assert(out.getDouble(2) === 0.75)
+    // vy=1, vd=4/3, cov=1 -> var = (1 + .5625*4/3 - 1.5) / (3*(8/3)^2)
+    assert(out.getDouble(3) === 0.108253)
+  }
+
+  test("mdeReadout: closed-form two-arm MDE at the 0.05/0.80 point") {
+    val df = ((1 to 20).map(_ => 1L) ++ (1 to 80).map(_ => 0L)).toDF("c")
+    val out = Trend.mdeReadout(df, col("c")).collect().head
+    assert(out.getLong(0) === 100L && out.getLong(1) === 50L)
+    assert(out.getDouble(2) === 0.2)
+    assert(out.getDouble(3) === 0.2241) // 2.8016 * sqrt(2*.2*.8/50)
+    assert(out.getDouble(4) === 1.1206)
+  }
+
   // ------------------------------------------------------------ BPE pairs
 
   test("bpePairCounts: adjacent pair counts with deterministic tie-break") {
