@@ -1558,6 +1558,200 @@ object StatQueries {
       |    AS mde_rel
       |FROM a ORDER BY n_units""".stripMargin))
 
+  /** Cohort LTV curve: users cohorted by the epoch-week of their first
+    * event, purchase revenue accumulated per (cohort, weeks-since-start)
+    * and divided by cohort size — the growth-analytics "is monetization
+    * deepening or shallowing cohort over cohort?" readout. Epoch-week =
+    * floor(days-since-1970 / 7) (engine-neutral, FIXTURES epoch-weekday
+    * convention). The cumulative sum is an exact long window PARTITIONED
+    * by cohort over the (cohort × observed ages) table; only observed
+    * ages emit rows. */
+  private val q182 = QDef("q182_ltv_cohort",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = T(s, dir, "events").select(col("user_id"), col("event_type"),
+        floor(datediff(to_date(col("ts")), to_date(lit("1970-01-01"))) / 7)
+          .cast("long").as("wk"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+      val cohort = e.groupBy("user_id").agg(min("wk").as("cw"))
+      val size = cohort.groupBy("cw").agg(count(lit(1)).as("n_users"))
+      val rev = e.where(col("event_type") === "purchase")
+        .join(cohort, "user_id")
+        .groupBy(col("cw"), (col("wk") - col("cw")).as("age_wk"))
+        .agg(sum("cents").as("rev"))
+      val w = Window.partitionBy("cw").orderBy("age_wk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev.join(broadcast(size), "cw")
+        .select(col("cw").as("cohort_week"), col("age_wk"), col("n_users"),
+          round(sum("rev").over(w).cast("double") /
+            col("n_users").cast("double") / lit(100.0), 4)
+            .as("cum_ltv_per_user"))
+        .orderBy("cohort_week", "age_wk")
+    },
+    Some("""WITH e AS (SELECT user_id, event_type,
+      |        CAST(floor(date_diff('day', DATE '1970-01-01',
+      |          CAST(ts AS DATE)) / 7) AS BIGINT) AS wk,
+      |        CAST(round(value * 100, 0) AS BIGINT) AS cents
+      |      FROM events),
+      |c AS (SELECT user_id, min(wk) AS cw FROM e GROUP BY 1),
+      |sz AS (SELECT cw, CAST(count(*) AS BIGINT) AS n_users
+      |       FROM c GROUP BY 1),
+      |r AS (SELECT cw, wk - cw AS age_wk, CAST(sum(cents) AS BIGINT)
+      |          AS rev
+      |      FROM e JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT cw AS cohort_week, age_wk, n_users,
+      |  round(CAST(sum(rev) OVER (PARTITION BY cw ORDER BY age_wk
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / CAST(n_users AS DOUBLE) / 100.0, 4) AS cum_ltv_per_user
+      |FROM r JOIN sz USING (cw)
+      |ORDER BY cohort_week, age_wk""".stripMargin))
+
+  /** Quantile treatment effect: per-variant exact p25/p50/p75/p90 of
+    * per-user purchase revenue (cents; non-purchasers count at 0), A and
+    * B rows meeting in a 1×1 broadcast and unstacked to one row per
+    * quantile marker — the "did the treatment move the MEDIAN user or
+    * just the whales?" companion to the mean-based q167/q180. The diff
+    * subtracts the two ALREADY-rounded percentiles (deterministic). */
+  private val q183 = QDef("q183_quantile_effect",
+    (s, dir) => {
+      val u = T(s, dir, "events").groupBy("user_id")
+        .agg(sum(when(col("event_type") === "purchase",
+          expr("CAST(round(value * 100, 0) AS BIGINT)")).otherwise(0L))
+          .as("v"))
+      val p = u.select(when(col("user_id") % 10 <= 4, "A").otherwise("B")
+          .as("variant"), col("v"))
+        .groupBy("variant")
+        .agg(round(percentile(col("v"), lit(0.25)), 4).as("p25"),
+          round(percentile(col("v"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("v"), lit(0.75)), 4).as("p75"),
+          round(percentile(col("v"), lit(0.9)), 4).as("p90"))
+      val a = p.where(col("variant") === "A")
+        .select(col("p25").as("a25"), col("p50").as("a50"),
+          col("p75").as("a75"), col("p90").as("a90"))
+      val b = p.where(col("variant") === "B")
+        .select(col("p25").as("b25"), col("p50").as("b50"),
+          col("p75").as("b75"), col("p90").as("b90"))
+      a.crossJoin(broadcast(b))
+        .select(expr("""stack(4,
+          '0.25', a25, b25, '0.50', a50, b50,
+          '0.75', a75, b75, '0.90', a90, b90)
+          AS (q, a_value, b_value)"""))
+        .select(col("q"), col("a_value"), col("b_value"),
+          round(col("b_value") - col("a_value"), 4).as("diff"))
+        .orderBy("q")
+    },
+    Some("""WITH u AS (SELECT user_id,
+      |        CAST(sum(CASE WHEN event_type = 'purchase'
+      |          THEN CAST(round(value * 100, 0) AS BIGINT)
+      |          ELSE 0 END) AS BIGINT) AS v
+      |      FROM events GROUP BY 1),
+      |b AS (SELECT CASE WHEN user_id % 10 <= 4 THEN 'A' ELSE 'B' END
+      |        AS variant, v FROM u),
+      |p AS (SELECT variant, round(quantile_cont(v, 0.25), 4) AS p25,
+      |        round(quantile_cont(v, 0.50), 4) AS p50,
+      |        round(quantile_cont(v, 0.75), 4) AS p75,
+      |        round(quantile_cont(v, 0.90), 4) AS p90
+      |      FROM b GROUP BY 1),
+      |pa AS (SELECT * FROM p WHERE variant = 'A'),
+      |pb AS (SELECT * FROM p WHERE variant = 'B'),
+      |s AS (SELECT '0.25' AS q, pa.p25 AS a_value, pb.p25 AS b_value
+      |        FROM pa CROSS JOIN pb
+      |      UNION ALL SELECT '0.50', pa.p50, pb.p50
+      |        FROM pa CROSS JOIN pb
+      |      UNION ALL SELECT '0.75', pa.p75, pb.p75
+      |        FROM pa CROSS JOIN pb
+      |      UNION ALL SELECT '0.90', pa.p90, pb.p90
+      |        FROM pa CROSS JOIN pb)
+      |SELECT q, a_value, b_value, round(b_value - a_value, 4) AS diff
+      |FROM s ORDER BY q""".stripMargin))
+
+  /** Decile lift/gains table: users ranked by engagement score (view
+    * count), cut into value-threshold deciles against nine exact
+    * percentile cut points (the q141 broadcast-cut-points convention —
+    * deliberately NOT ntile(), whose empty partitionBy funnels the whole
+    * user table through one window task), conversion per decile vs the
+    * base rate, and top-down cumulative capture — the campaign-targeting
+    * readout. Ties at a cut point fall to the LOWER decile in both
+    * engines (score > cut strictly). */
+  private val q184 = QDef("q184_decile_lift",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val u = T(s, dir, "events").groupBy("user_id")
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("score"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+      val cutCols = (1 to 9).map(i =>
+        round(percentile(col("score"), lit(i / 10.0)) * lit(1e4), 0)
+          .cast("long").as(s"c$i"))
+      val cuts = u.agg(cutCols.head, cutCols.tail: _*)
+      val score4 = col("score") * 10000L
+      val decile = (1 to 9).foldLeft(lit(1L)) { case (acc, i) =>
+        acc + when(score4 > col(s"c$i"), 1L).otherwise(0L)
+      }
+      val byDec = u.crossJoin(broadcast(cuts))
+        .groupBy(decile.as("decile"))
+        .agg(count(lit(1)).as("n_users"), sum("conv").as("n_conv"))
+      val tot = byDec.agg(sum("n_users").as("tu"), sum("n_conv").as("tc"))
+      val w = Window.orderBy(desc("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byDec.crossJoin(broadcast(tot))
+        .select(col("decile"), col("n_users"),
+          round(col("n_conv").cast("double") /
+            col("n_users").cast("double"), 4).as("conv_rate"),
+          round((col("n_conv") * col("tu")).cast("double") /
+            (col("n_users") * col("tc")).cast("double"), 4).as("lift"),
+          round(sum("n_conv").over(w).cast("double") /
+            col("tc").cast("double"), 4).as("cum_capture"))
+        .orderBy(desc("decile"))
+    },
+    Some("""WITH u AS (SELECT user_id,
+      |        CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |          AS BIGINT) AS score,
+      |        CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+      |          END) AS BIGINT) AS conv
+      |      FROM events GROUP BY 1),
+      |ct AS (SELECT
+      |        CAST(round(quantile_cont(score, 0.1) * 10000.0, 0) AS BIGINT) AS c1,
+      |        CAST(round(quantile_cont(score, 0.2) * 10000.0, 0) AS BIGINT) AS c2,
+      |        CAST(round(quantile_cont(score, 0.3) * 10000.0, 0) AS BIGINT) AS c3,
+      |        CAST(round(quantile_cont(score, 0.4) * 10000.0, 0) AS BIGINT) AS c4,
+      |        CAST(round(quantile_cont(score, 0.5) * 10000.0, 0) AS BIGINT) AS c5,
+      |        CAST(round(quantile_cont(score, 0.6) * 10000.0, 0) AS BIGINT) AS c6,
+      |        CAST(round(quantile_cont(score, 0.7) * 10000.0, 0) AS BIGINT) AS c7,
+      |        CAST(round(quantile_cont(score, 0.8) * 10000.0, 0) AS BIGINT) AS c8,
+      |        CAST(round(quantile_cont(score, 0.9) * 10000.0, 0) AS BIGINT) AS c9
+      |      FROM u),
+      |d AS (SELECT 1
+      |        + (CASE WHEN score * 10000 > c1 THEN 1 ELSE 0 END)
+      |        + (CASE WHEN score * 10000 > c2 THEN 1 ELSE 0 END)
+      |        + (CASE WHEN score * 10000 > c3 THEN 1 ELSE 0 END)
+      |        + (CASE WHEN score * 10000 > c4 THEN 1 ELSE 0 END)
+      |        + (CASE WHEN score * 10000 > c5 THEN 1 ELSE 0 END)
+      |        + (CASE WHEN score * 10000 > c6 THEN 1 ELSE 0 END)
+      |        + (CASE WHEN score * 10000 > c7 THEN 1 ELSE 0 END)
+      |        + (CASE WHEN score * 10000 > c8 THEN 1 ELSE 0 END)
+      |        + (CASE WHEN score * 10000 > c9 THEN 1 ELSE 0 END)
+      |          AS decile, conv
+      |      FROM u CROSS JOIN ct),
+      |bd AS (SELECT CAST(decile AS BIGINT) AS decile,
+      |        CAST(count(*) AS BIGINT) AS n_users,
+      |        CAST(sum(conv) AS BIGINT) AS n_conv
+      |      FROM d GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_users) AS BIGINT) AS tu,
+      |        CAST(sum(n_conv) AS BIGINT) AS tc FROM bd)
+      |SELECT decile, n_users,
+      |  round(CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE), 4)
+      |    AS conv_rate,
+      |  round(CAST(n_conv * tu AS DOUBLE) / CAST(n_users * tc AS DOUBLE),
+      |    4) AS lift,
+      |  round(CAST(sum(n_conv) OVER (ORDER BY decile DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / CAST(tc AS DOUBLE), 4) AS cum_capture
+      |FROM bd CROSS JOIN t
+      |ORDER BY decile DESC""".stripMargin))
+
   /** Benford expected first-digit shares, log10(1 + 1/d) rounded to 4 —
     * the SAME literals land in the Spark plan and the oracle SQL. */
   private def BenfordPct: Seq[(String, Double)] =
@@ -1568,5 +1762,5 @@ object StatQueries {
     q146, q147, q148, q149, q150, q151, q152, q153, q154, q155,
     q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166,
     q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177,
-    q178, q179, q180, q181)
+    q178, q179, q180, q181, q182, q183, q184)
 }

@@ -33,7 +33,9 @@ class PlanAuditSpec extends SparkSpec {
     "q170_srm_check", // 1-row unit-total broadcast
     "q173_vocab_coverage", // 1-row token-total broadcast
     "q174_xsplit_contamination", // 1-row hit-count broadcast
-    "q176_kaplan_meier") // 1-row obs-end + subject-total broadcasts
+    "q176_kaplan_meier", // 1-row obs-end + subject-total broadcasts
+    "q183_quantile_effect", // 1x1 variant-percentile-row broadcast
+    "q184_decile_lift") // 1-row cut-point + total broadcasts
 
   test("rank-filter pattern gets WindowGroupLimit pushdown (per-partition top-k, not full sort)") {
     import org.apache.spark.sql.functions._
