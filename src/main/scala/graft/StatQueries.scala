@@ -1752,6 +1752,71 @@ object StatQueries {
       |FROM bd CROSS JOIN t
       |ORDER BY decile DESC""".stripMargin))
 
+  /** [[EventStreams.runWindowedPsi]]: per-hour PSI of the streamed value
+    * distribution against the static whole-table baseline — the drift
+    * guardrail running AS the data arrives. The oracle is the batch
+    * equivalence of the AvailableNow run (the q38/q155 convention). */
+  private val q185 = QDef("q185_stream_psi",
+    (s, dir) => EventStreams.runWindowedPsi(s, dir, bins = 10),
+    Some("""WITH g AS (SELECT CAST(value AS DOUBLE) AS v, ts FROM events),
+      |mm AS (SELECT min(v) AS lo, max(v) AS hi,
+      |        CAST(count(*) AS BIGINT) AS n FROM g),
+      |bc AS (SELECT least(floor((v - lo) / ((hi - lo) / 10.0)), 9) AS bin,
+      |        CAST(count(*) AS BIGINT) AS bc
+      |      FROM g CROSS JOIN mm GROUP BY 1),
+      |hb AS (SELECT strftime(date_trunc('hour', ts),
+      |          '%Y-%m-%d %H:%M:%S') AS hour_ts,
+      |        least(floor((v - lo) / ((hi - lo) / 10.0)), 9) AS bin,
+      |        CAST(count(*) AS BIGINT) AS c
+      |      FROM g CROSS JOIN mm GROUP BY 1, 2),
+      |h AS (SELECT hour_ts, CAST(sum(c) AS BIGINT) AS n_hour
+      |      FROM hb GROUP BY 1),
+      |sp AS (SELECT hour_ts, n_hour,
+      |        CAST(unnest(range(0, 10)) AS BIGINT) AS bin FROM h),
+      |d AS (SELECT sp.hour_ts, sp.n_hour, sp.bin,
+      |        coalesce(hb.c, 0) AS c, coalesce(bc.bc, 0) AS bc
+      |      FROM sp
+      |      LEFT JOIN hb ON sp.hour_ts = hb.hour_ts AND sp.bin = hb.bin
+      |      LEFT JOIN bc ON sp.bin = bc.bin),
+      |t AS (SELECT hour_ts, n_hour, CAST(round(
+      |        ((CAST(c + 1 AS DOUBLE) / CAST(n_hour + 10 AS DOUBLE))
+      |         - (CAST(bc + 1 AS DOUBLE) / CAST(n + 10 AS DOUBLE)))
+      |        * ln((CAST(c + 1 AS DOUBLE) / CAST(n_hour + 10 AS DOUBLE))
+      |           / (CAST(bc + 1 AS DOUBLE) / CAST(n + 10 AS DOUBLE)))
+      |        * 100000000.0, 0) AS BIGINT) AS t
+      |      FROM d CROSS JOIN mm)
+      |SELECT hour_ts, n_hour AS n_events,
+      |  round(CAST(sum(t) AS DOUBLE) / 100000000.0, 4) AS psi
+      |FROM t GROUP BY 1, 2 ORDER BY hour_ts""".stripMargin))
+
+  /** [[EventStreams.runWindowedSrm]]: per-hour chi-square of streamed
+    * per-variant event counts vs the literal 50/30/20 design — the
+    * bucketing-health alarm as traffic arrives. Hours missing a variant
+    * entirely contribute no term for it in BOTH engines (join a design
+    * spine first where empty cells must alarm). */
+  private val q186 = QDef("q186_stream_srm",
+    (s, dir) => EventStreams.runWindowedSrm(s, dir),
+    Some("""WITH ev AS (SELECT strftime(date_trunc('hour', ts),
+      |          '%Y-%m-%d %H:%M:%S') AS hour_ts,
+      |        CASE WHEN user_id % 10 <= 4 THEN 'A'
+      |          WHEN user_id % 10 <= 7 THEN 'B' ELSE 'C' END AS v
+      |      FROM events),
+      |hb AS (SELECT hour_ts, v, CAST(count(*) AS BIGINT) AS o
+      |       FROM ev GROUP BY 1, 2),
+      |h AS (SELECT hour_ts, CAST(sum(o) AS BIGINT) AS n_hour
+      |      FROM hb GROUP BY 1),
+      |t AS (SELECT hb.hour_ts, n_hour, CAST(round(
+      |        (CAST(o AS DOUBLE) - (CASE v WHEN 'A' THEN 0.5
+      |          WHEN 'B' THEN 0.3 ELSE 0.2 END) * CAST(n_hour AS DOUBLE))
+      |        * (CAST(o AS DOUBLE) - (CASE v WHEN 'A' THEN 0.5
+      |          WHEN 'B' THEN 0.3 ELSE 0.2 END) * CAST(n_hour AS DOUBLE))
+      |        / ((CASE v WHEN 'A' THEN 0.5 WHEN 'B' THEN 0.3 ELSE 0.2 END)
+      |          * CAST(n_hour AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS t
+      |      FROM hb JOIN h ON hb.hour_ts = h.hour_ts)
+      |SELECT hour_ts, n_hour AS n_events, CAST(2 AS BIGINT) AS deg_free,
+      |  round(CAST(sum(t) AS DOUBLE) / 1000000.0, 4) AS chi2
+      |FROM t GROUP BY 1, 2 ORDER BY hour_ts""".stripMargin))
+
   /** Benford expected first-digit shares, log10(1 + 1/d) rounded to 4 —
     * the SAME literals land in the Spark plan and the oracle SQL. */
   private def BenfordPct: Seq[(String, Double)] =
@@ -1762,5 +1827,5 @@ object StatQueries {
     q146, q147, q148, q149, q150, q151, q152, q153, q154, q155,
     q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166,
     q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177,
-    q178, q179, q180, q181, q182, q183, q184)
+    q178, q179, q180, q181, q182, q183, q184, q185, q186)
 }

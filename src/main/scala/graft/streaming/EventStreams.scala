@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
@@ -422,5 +422,107 @@ object EventStreams {
       q.awaitTermination()
     }
     spark.table(name)
+  }
+
+  /** Streaming PSI drift monitor: per event-time hour, the Population
+    * Stability Index of that hour's `value` distribution against the
+    * STATIC whole-table baseline — the production guardrail "did this
+    * hour's traffic shift against yesterday's profile?". The baseline
+    * bounds ride into the streaming plan as two double literals (the
+    * bounded-driver-collect pattern); the stream aggregates
+    * (hour, bin) counts — state bounded by hours × bins — and the
+    * per-hour PSI is computed batch-side off the memory sink over the
+    * hour-cardinality result with the [[Drift.psi]] smoothing and
+    * 1e-8 fixed-point term quantization. */
+  def runWindowedPsi(spark: SparkSession, dir: String, bins: Int = 10,
+                     name: String = "graft_stream_psi"): DataFrame = {
+    require(bins >= 2 && bins <= 1000, "bins must be in [2, 1000]")
+    val base = graft.Tables.t(spark, dir, "events")
+      .select(col("value").cast("double").as("v"))
+    val b = base.agg(min("v"), max("v"), count(lit(1))).head
+    val lo = b.getDouble(0); val hi = b.getDouble(1); val nTot = b.getLong(2)
+    val width = (hi - lo) / bins
+    def binOf(c: Column): Column =
+      least(floor((c - lit(lo)) / lit(width)), lit(bins - 1L)).cast("long")
+    val baseCounts = base.groupBy(binOf(col("v")).as("bin"))
+      .agg(count(lit(1)).as("bc"))
+    spark.catalog.dropTempView(name)
+    withStreamPartitions(spark) {
+      val q = readEventStream(spark, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"),
+          binOf(col("value").cast("double")).as("bin"))
+        .agg(count(lit(1)).as("c"))
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val hourly = spark.table(name).select(
+      date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+      col("bin"), col("c"))
+    val hours = hourly.groupBy("hour_ts").agg(sum("c").as("n_hour"))
+    val spine = hours.crossJoin(
+      broadcast(spark.range(bins).select(col("id").as("bin"))))
+    val dense = spine
+      .join(hourly, Seq("hour_ts", "bin"), "left")
+      .join(broadcast(baseCounts), Seq("bin"), "left")
+      .select(col("hour_ts"), col("n_hour"),
+        coalesce(col("c"), lit(0L)).as("c"),
+        coalesce(col("bc"), lit(0L)).as("bc"))
+    val p = (col("c") + 1).cast("double") / (col("n_hour") + bins).cast("double")
+    val q2 = (col("bc") + 1).cast("double") / lit((nTot + bins).toDouble)
+    dense
+      .select(col("hour_ts"), col("n_hour"),
+        round((p - q2) * log(p / q2) * lit(1e8), 0).cast("long").as("t"))
+      .groupBy("hour_ts", "n_hour")
+      .agg(round(sum("t").cast("double") / lit(1e8), 4).as("psi"))
+      .select(col("hour_ts"), col("n_hour").as("n_events"), col("psi"))
+      .orderBy("hour_ts")
+  }
+
+  /** Streaming sample-ratio-mismatch monitor: per event-time hour, the
+    * chi-square of observed per-variant EVENT counts against the literal
+    * design ratios (variant = the q170 modular user assignment) — the
+    * "did the bucketing logger break mid-flight?" alarm, evaluated as
+    * traffic arrives rather than at readout time. Stream state is
+    * (hour, variant)-keyed counts; the chi-square runs batch-side off
+    * the memory sink with 1e-6 fixed-point terms ([[Trend.srmCheck]]'s
+    * quantization). */
+  def runWindowedSrm(spark: SparkSession, dir: String,
+                     design: Seq[(String, Double)] =
+                       Seq("A" -> 0.5, "B" -> 0.3, "C" -> 0.2),
+                     name: String = "graft_stream_srm"): DataFrame = {
+    require(design.size == 3 &&
+      math.abs(design.map(_._2).sum - 1.0) < 1e-9,
+      "this monitor maps user_id % 10 onto exactly three variants " +
+        "with ratios summing to 1")
+    val variant = when(col("user_id") % 10 <= 4, design.head._1)
+      .when(col("user_id") % 10 <= 7, design(1)._1).otherwise(design(2)._1)
+    spark.catalog.dropTempView(name)
+    withStreamPartitions(spark) {
+      val q = readEventStream(spark, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), variant.as("v"))
+        .agg(count(lit(1)).as("o"))
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val hourly = spark.table(name).select(
+      date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+      col("v"), col("o"))
+    val ratio = design.tail.foldLeft(
+      when(col("v") === design.head._1, lit(design.head._2))) {
+      case (acc, (k, r)) => acc.when(col("v") === k, lit(r))
+    }
+    val hours = hourly.groupBy("hour_ts").agg(sum("o").as("n_hour"))
+    val e = ratio * col("n_hour").cast("double")
+    val dev = col("o").cast("double") - e
+    hourly.join(broadcast(hours), "hour_ts")
+      .select(col("hour_ts"), col("n_hour"),
+        round(dev * dev / e * lit(1e6), 0).cast("long").as("t"))
+      .groupBy("hour_ts", "n_hour")
+      .agg(round(sum("t").cast("double") / lit(1e6), 4).as("chi2"))
+      .select(col("hour_ts"), col("n_hour").as("n_events"),
+        lit(design.size - 1L).as("deg_free"), col("chi2"))
+      .orderBy("hour_ts")
   }
 }

@@ -250,6 +250,21 @@ class ExtOpsSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streaming PSI/SRM monitors: hours partition the stream, scores sane") {
+    val total = Tables.t(spark, sf, "events").count()
+    val psi = EventStreams.runWindowedPsi(spark, sf, bins = 10,
+      name = "graft_psi_spec").collect()
+    assert(psi.map(_.getLong(1)).sum === total) // hours partition all events
+    psi.foreach(r => assert(r.getDouble(2) >= 0.0)) // PSI is non-negative
+    val srm = EventStreams.runWindowedSrm(spark, sf,
+      name = "graft_srm_spec").collect()
+    assert(srm.map(_.getLong(1)).sum === total)
+    srm.foreach { r =>
+      assert(r.getLong(2) === 2L)
+      assert(r.getDouble(3) >= 0.0)
+    }
+  }
+
   test("stream-static enrichment join equals the batch join") {
     val streamed = rows(EventStreams.runStaticEnrich(spark, sf, "graft_enrich_spec")
       .orderBy("event_id"))
