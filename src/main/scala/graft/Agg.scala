@@ -41,4 +41,67 @@ object Agg {
     df.agg(
       sum(col(c)).as("sum"), avg(col(c)).as("mean"), median(col(c)).as("median"),
       min(col(c)).as("min"), max(col(c)).as("max"))
+
+  /** Margin-of-error propagation under re-aggregation — the Census
+    * Bureau's documented method for derived ACS estimates (the operation
+    * the reference's MOE expansion, P5, stops short of): the MOE of a sum
+    * of independent estimates is √(Σ moeᵢ²), and the MOE of the derived
+    * proportion p = est/total is √(moe_est² − p²·moe_tot²)/total, falling
+    * back to the ratio form √(moe_est² + p²·moe_tot²)/total when the
+    * subtraction goes negative (the Bureau's prescribed fallback).
+    *
+    * INTEGER inputs (estimate and MOE in whole units); Σ moe² is an exact
+    * long sum, √ is IEEE-correctly-rounded (FIXTURES), p and the
+    * proportion MOE are fixed double expressions sealed with round(,4).
+    * One map-side-combinable aggregation, group-cardinality output, plus
+    * a 1-row grand-total broadcast for the proportion. */
+  def moeRollup(df: DataFrame, group: Column, est: Column,
+                moe: Column): DataFrame = {
+    val g = df.select(group.as("g"), est.cast("long").as("e"),
+        moe.cast("long").as("m"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_parts"), sum("e").as("est"),
+        sum(col("m") * col("m")).as("m2"))
+    val tot = g.agg(sum("est").as("t_est"), sum("m2").as("t_m2"))
+    val p = col("est").cast("double") / col("t_est").cast("double")
+    val moeEst2 = col("m2").cast("double")
+    val moeTot2 = col("t_m2").cast("double")
+    val diff = moeEst2 - p * p * moeTot2
+    val propMoe = when(diff >= 0, sqrt(diff)).otherwise(
+      sqrt(moeEst2 + p * p * moeTot2)) / col("t_est").cast("double")
+    g.crossJoin(broadcast(tot))
+      .select(col("g"), col("n_parts"), col("est"),
+        round(sqrt(col("m2").cast("double")), 4).as("moe"),
+        round(p, 4).as("share"),
+        round(propMoe, 4).as("share_moe"))
+  }
+
+  /** Weighted median (and general weighted percentile) — THE census
+    * statistic (household-weighted median income): the smallest value v
+    * whose cumulative INTEGER weight reaches q·W within each group.
+    * Dense ordering windows run over the group-keyed VALUE-sorted table;
+    * ties on v merge weight first (one keyed aggregation), so the
+    * cumulative scan touches distinct values only. Exact integer
+    * comparisons throughout: the threshold is ⌈q·W·10⁴⌉ in 1e-4
+    * fixed-point (integer W times the literal q), never a double
+    * cumulative share. */
+  def weightedPercentile(df: DataFrame, group: Column, v: Column,
+                         weight: Column, q: Double = 0.5): DataFrame = {
+    require(q > 0 && q <= 1, "q must be in (0, 1]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val byV = df.select(group.as("g"), v.cast("long").as("v"),
+        weight.cast("long").as("wt"))
+      .groupBy("g", "v").agg(sum("wt").as("wt"))
+    val tot = byV.groupBy("g").agg(sum("wt").as("tw"))
+    // threshold in 1e-4 fixed-point: cum·10⁴ ≥ ⌈q·10⁴⌉·tw — all longs
+    val q4 = math.round(q * 1e4)
+    byV.join(broadcast(tot), "g")
+      .withColumn("cum", sum("wt").over(w))
+      .where(col("cum") * 10000L >= lit(q4) * col("tw"))
+      .groupBy("g")
+      .agg(min("v").as("weighted_pctl"), max("tw").as("total_weight"))
+  }
 }

@@ -1817,6 +1817,74 @@ object StatQueries {
       |  round(CAST(sum(t) AS DOUBLE) / 1000000.0, 4) AS chi2
       |FROM t GROUP BY 1, 2 ORDER BY hour_ts""".stripMargin))
 
+  /** [[Agg.moeRollup]]: Census-method margin-of-error propagation under
+    * re-aggregation — √(Σ moe²) for sums, the Bureau's
+    * proportion-MOE formula (with the documented ratio fallback on a
+    * negative radicand) for shares. Synthetic per-customer estimates
+    * (|acctbal| cents, 10% MOE) rolled up to nations. */
+  private val q187 = QDef("q187_moe_rollup",
+    (s, dir) => {
+      val c = T(s, dir, "customer").select(col("c_nationkey"),
+        expr("CAST(round(abs(c_acctbal) * 100, 0) AS BIGINT)").as("est"),
+        expr("CAST(round(abs(c_acctbal) * 10, 0) AS BIGINT)").as("moe"))
+      Agg.moeRollup(c, col("c_nationkey"), col("est"), col("moe"))
+        .withColumnRenamed("g", "nation_key").orderBy("nation_key")
+    },
+    Some("""WITH c AS (SELECT c_nationkey AS g,
+      |        CAST(round(abs(c_acctbal) * 100, 0) AS BIGINT) AS e,
+      |        CAST(round(abs(c_acctbal) * 10, 0) AS BIGINT) AS m
+      |      FROM customer),
+      |gg AS (SELECT g, CAST(count(*) AS BIGINT) AS n_parts,
+      |        CAST(sum(e) AS BIGINT) AS est,
+      |        CAST(sum(m * m) AS BIGINT) AS m2
+      |      FROM c GROUP BY 1),
+      |t AS (SELECT CAST(sum(est) AS BIGINT) AS t_est,
+      |        CAST(sum(m2) AS BIGINT) AS t_m2 FROM gg)
+      |SELECT g AS nation_key, n_parts, est,
+      |  round(sqrt(CAST(m2 AS DOUBLE)), 4) AS moe,
+      |  round(CAST(est AS DOUBLE) / CAST(t_est AS DOUBLE), 4) AS share,
+      |  round((CASE WHEN CAST(m2 AS DOUBLE)
+      |        - (CAST(est AS DOUBLE) / CAST(t_est AS DOUBLE))
+      |          * (CAST(est AS DOUBLE) / CAST(t_est AS DOUBLE))
+      |          * CAST(t_m2 AS DOUBLE) >= 0
+      |      THEN sqrt(CAST(m2 AS DOUBLE)
+      |        - (CAST(est AS DOUBLE) / CAST(t_est AS DOUBLE))
+      |          * (CAST(est AS DOUBLE) / CAST(t_est AS DOUBLE))
+      |          * CAST(t_m2 AS DOUBLE))
+      |      ELSE sqrt(CAST(m2 AS DOUBLE)
+      |        + (CAST(est AS DOUBLE) / CAST(t_est AS DOUBLE))
+      |          * (CAST(est AS DOUBLE) / CAST(t_est AS DOUBLE))
+      |          * CAST(t_m2 AS DOUBLE)) END)
+      |    / CAST(t_est AS DOUBLE), 4) AS share_moe
+      |FROM gg CROSS JOIN t ORDER BY nation_key""".stripMargin))
+
+  /** [[Agg.weightedPercentile]]: quantity-weighted median line price per
+    * return flag — the household-weighted-median-income shape. The
+    * cumulative-weight threshold comparison runs entirely in integer
+    * space (cum·10⁴ ≥ q4·W). */
+  private val q188 = QDef("q188_weighted_median",
+    (s, dir) => Agg.weightedPercentile(
+      T(s, dir, "lineitem").select(col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("v"),
+        col("l_quantity").cast("long").as("wt")),
+      col("l_returnflag"), col("v"), col("wt"), q = 0.5)
+      .withColumnRenamed("g", "flag").orderBy("flag"),
+    Some("""WITH b AS (SELECT l_returnflag AS g,
+      |        CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS v,
+      |        CAST(l_quantity AS BIGINT) AS wt
+      |      FROM lineitem),
+      |bv AS (SELECT g, v, CAST(sum(wt) AS BIGINT) AS wt
+      |       FROM b GROUP BY 1, 2),
+      |t AS (SELECT g, CAST(sum(wt) AS BIGINT) AS tw FROM bv GROUP BY 1),
+      |cw AS (SELECT bv.g, v, tw, CAST(sum(wt) OVER (PARTITION BY bv.g
+      |          ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+      |          ROW) AS BIGINT) AS cum
+      |      FROM bv JOIN t ON bv.g = t.g),
+      |f AS (SELECT g, v, tw FROM cw WHERE cum * 10000 >= 5000 * tw)
+      |SELECT g AS flag, CAST(min(v) AS BIGINT) AS weighted_pctl,
+      |  CAST(max(tw) AS BIGINT) AS total_weight
+      |FROM f GROUP BY 1 ORDER BY flag""".stripMargin))
+
   /** Benford expected first-digit shares, log10(1 + 1/d) rounded to 4 —
     * the SAME literals land in the Spark plan and the oracle SQL. */
   private def BenfordPct: Seq[(String, Double)] =
@@ -1827,5 +1895,5 @@ object StatQueries {
     q146, q147, q148, q149, q150, q151, q152, q153, q154, q155,
     q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166,
     q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177,
-    q178, q179, q180, q181, q182, q183, q184, q185, q186)
+    q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188)
 }

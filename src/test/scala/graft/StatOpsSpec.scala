@@ -480,6 +480,34 @@ class StatOpsSpec extends SparkSpec {
     assert(out.getDouble(4) === 1.1206)
   }
 
+  // --------------------------------------------------- MOE / weighted pctl
+
+  test("moeRollup: sqrt-sum-of-squares MOE; proportion MOE with fallback") {
+    val df = Seq(("A", 100L, 3L), ("A", 200L, 4L), ("B", 700L, 24L))
+      .toDF("g", "e", "m")
+    val out = Agg.moeRollup(df, col("g"), col("e"), col("m"))
+      .orderBy("g").collect()
+    val a = out(0); val b = out(1)
+    assert(a.getLong(2) === 300L && a.getDouble(3) === 5.0) // sqrt(9+16)
+    assert(a.getDouble(4) === 0.3)
+    // diff = 25 - 0.09*601 < 0 -> ratio fallback sqrt(25 + 54.09)/1000
+    assert(a.getDouble(5) === 0.0089)
+    assert(b.getLong(2) === 700L && b.getDouble(3) === 24.0)
+    // diff = 576 - 0.49*601 = 281.51 -> sqrt/1000
+    assert(b.getDouble(5) === 0.0168)
+  }
+
+  test("weightedPercentile: heavy weight drags the median; q is honored") {
+    val df = Seq(("g", 1L, 1L), ("g", 2L, 1L), ("g", 3L, 8L))
+      .toDF("g", "v", "w")
+    val med = Agg.weightedPercentile(df, col("g"), col("v"), col("w"))
+      .collect().head
+    assert(med.getLong(1) === 3L && med.getLong(2) === 10L)
+    val p20 = Agg.weightedPercentile(df, col("g"), col("v"), col("w"),
+      q = 0.2).collect().head
+    assert(p20.getLong(1) === 2L) // cum 2 of 10 reaches the 0.2 threshold
+  }
+
   // ------------------------------------------------------------ BPE pairs
 
   test("bpePairCounts: adjacent pair counts with deterministic tie-break") {
