@@ -84,22 +84,31 @@ object Agg {
     * cumulative scan touches distinct values only. Exact integer
     * comparisons throughout: the threshold is ⌈q·W·10⁴⌉ in 1e-4
     * fixed-point (integer W times the literal q), never a double
-    * cumulative share. */
+    * cumulative share.
+    *
+    * Scale: window-stage parallelism equals GROUP cardinality (each
+    * group's value spine sorts in one task). Many groups (tracts,
+    * cohorts) parallelize perfectly; for a handful of nationwide groups
+    * over 10⁹+ distinct values, pre-bucket values into quantized ranges
+    * and recurse into the bucket containing the threshold (two-phase),
+    * the same remedy as [[Skew.keyDistribution]]'s rank note. */
   def weightedPercentile(df: DataFrame, group: Column, v: Column,
                          weight: Column, q: Double = 0.5): DataFrame = {
     require(q > 0 && q <= 1, "q must be in (0, 1]")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("g").orderBy("v")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
+    val W = org.apache.spark.sql.expressions.Window
+    val wCum = W.partitionBy("g").orderBy("v")
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    // whole-partition frame: the group total rides the SAME exchange as
+    // the cumulative scan — no second aggregate, no join-back re-read
+    val wAll = W.partitionBy("g")
     val byV = df.select(group.as("g"), v.cast("long").as("v"),
         weight.cast("long").as("wt"))
       .groupBy("g", "v").agg(sum("wt").as("wt"))
-    val tot = byV.groupBy("g").agg(sum("wt").as("tw"))
     // threshold in 1e-4 fixed-point: cum·10⁴ ≥ ⌈q·10⁴⌉·tw — all longs
     val q4 = math.round(q * 1e4)
-    byV.join(broadcast(tot), "g")
-      .withColumn("cum", sum("wt").over(w))
+    byV
+      .withColumn("cum", sum("wt").over(wCum))
+      .withColumn("tw", sum("wt").over(wAll))
       .where(col("cum") * 10000L >= lit(q4) * col("tw"))
       .groupBy("g")
       .agg(min("v").as("weighted_pctl"), max("tw").as("total_weight"))
