@@ -1885,6 +1885,32 @@ object StatQueries {
       |  CAST(max(tw) AS BIGINT) AS total_weight
       |FROM f GROUP BY 1 ORDER BY flag""".stripMargin))
 
+  /** [[Mutations.mergeAggState]]: incremental rollup maintenance — the
+    * pre-cutoff state (yesterday's materialized daily aggregate) folds
+    * together with the post-cutoff delta, and because integer partial
+    * sums re-associate freely the result is bit-identical to the full
+    * recompute the oracle runs. */
+  private val q189 = QDef("q189_incremental_agg",
+    (s, dir) => {
+      val e = T(s, dir, "events").select(to_date(col("ts")).as("day"),
+        col("event_type"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+      def rollup(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("day", "event_type")
+          .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+          .select(col("day"), col("event_type"), col("n"), col("cents"))
+      val state = rollup(e.where(col("day") < lit("2024-01-20")))
+      val delta = rollup(e.where(col("day") >= lit("2024-01-20")))
+      Mutations.mergeAggState(state, delta, Seq("day", "event_type"),
+          Seq("n", "cents"))
+        .orderBy("day", "event_type")
+    },
+    Some("""SELECT CAST(ts AS DATE) AS day, event_type,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+      |    AS cents
+      |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin))
+
   /** Benford expected first-digit shares, log10(1 + 1/d) rounded to 4 —
     * the SAME literals land in the Spark plan and the oracle SQL. */
   private def BenfordPct: Seq[(String, Double)] =
@@ -1895,5 +1921,6 @@ object StatQueries {
     q146, q147, q148, q149, q150, q151, q152, q153, q154, q155,
     q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166,
     q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177,
-    q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188)
+    q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188,
+    q189)
 }

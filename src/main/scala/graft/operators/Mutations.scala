@@ -31,4 +31,26 @@ object Mutations {
   def applyDeletes(base: DataFrame, tombstones: DataFrame,
                    keys: Seq[String]): DataFrame =
     base.join(tombstones.select(keys.map(col): _*), keys, "left_anti")
+
+  /** Incremental aggregate-state maintenance: merge a materialized
+    * ADDITIVE aggregate state (counts / integer sums keyed by `keys`)
+    * with a freshly aggregated delta — the pattern that turns "recompute
+    * the daily rollup over the whole corpus" into "aggregate today's
+    * partition and fold it in". Correct exactly when every measure is
+    * additive (sum/count — avg and distinct must be carried as
+    * sum+count / sketches); the merged state is bit-identical to a full
+    * recompute because integer partial sums re-associate freely.
+    *
+    * Scale shape: union + one keyed hash-aggregate — the state side is
+    * key-cardinality (small), the delta side is one partition's worth;
+    * neither re-reads history. At 100 TB pair it with partition-overwrite
+    * of only the touched state keys. */
+  def mergeAggState(state: DataFrame, delta: DataFrame, keys: Seq[String],
+                    sums: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && sums.nonEmpty, "need key and sum columns")
+    val exprs = sums.map(c => sum(col(c)).as(c))
+    state.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(exprs.head, exprs.tail: _*)
+  }
 }

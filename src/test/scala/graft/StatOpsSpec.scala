@@ -508,6 +508,17 @@ class StatOpsSpec extends SparkSpec {
     assert(p20.getLong(1) === 2L) // cum 2 of 10 reaches the 0.2 threshold
   }
 
+  // ----------------------------------------------------- incremental agg
+
+  test("mergeAggState: folded state equals full recompute; new keys insert") {
+    val state = Seq(("a", 2L, 30L), ("b", 1L, 10L)).toDF("k", "n", "s")
+    val delta = Seq(("a", 1L, 5L), ("c", 4L, 40L)).toDF("k", "n", "s")
+    val out = Mutations.mergeAggState(state, delta, Seq("k"), Seq("n", "s"))
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq === Seq(("a", 3L, 35L), ("b", 1L, 10L), ("c", 4L, 40L)))
+  }
+
   // ------------------------------------------------------------ BPE pairs
 
   test("bpePairCounts: adjacent pair counts with deterministic tie-break") {
