@@ -1911,6 +1911,34 @@ object StatQueries {
       |    AS cents
       |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin))
 
+  /** [[Curate.bm25Search]]: top-10 documents for the literal query
+    * {hash, join, filter} — the retrieval companion to q92's per-doc
+    * top terms. Postings filter against the query set before any
+    * shuffle; per-term scores quantize to 1e-4 longs before the
+    * per-doc sum. */
+  private val q190 = QDef("q190_bm25_search",
+    (s, dir) => Curate.bm25Search(T(s, dir, "documents"), col("doc_id"),
+      col("text"), Seq("hash", "join", "filter"), k = 10),
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS l
+      |       FROM documents),
+      |tok AS (SELECT doc_id, len(l) AS dl, unnest(l) AS term FROM d),
+      |q AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+      |      FROM tok WHERE term IN ('hash', 'join', 'filter')
+      |      GROUP BY 1, 2, 3),
+      |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+      |        FROM q GROUP BY 1),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(len(l)) AS DOUBLE) / count(*) AS avgdl FROM d),
+      |sc AS (SELECT doc_id, CAST(round(
+      |        ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2
+      |        / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      |        * 10000.0, 0) AS BIGINT) AS t
+      |      FROM q JOIN dfq USING (term), st)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+      |  round(CAST(sum(t) AS DOUBLE) / 10000.0, 4) AS score
+      |FROM sc GROUP BY 1 ORDER BY score DESC, doc_id
+      |LIMIT 10""".stripMargin))
+
   /** Benford expected first-digit shares, log10(1 + 1/d) rounded to 4 —
     * the SAME literals land in the Spark plan and the oracle SQL. */
   private def BenfordPct: Seq[(String, Double)] =
@@ -1922,5 +1950,5 @@ object StatQueries {
     q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166,
     q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177,
     q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188,
-    q189)
+    q189, q190)
 }

@@ -119,6 +119,53 @@ object Curate {
         col("dl"), col("bm25"))
   }
 
+  /** BM25 query scoring — the SEARCH half of [[bm25TopTerms]]: rank the
+    * corpus against a literal bag of query terms and return the top-k
+    * (doc, matched-term count, score) rows.
+    *
+    * Scale: corpus tokens filter against the literal query-term set
+    * BEFORE any exchange, so the posting shuffle carries only matching
+    * rows (independent of corpus vocabulary); dl rides the tokenization
+    * as a narrow column (the [[bm25TopTerms]] device); df/N/avgdl come
+    * back as a terms-sized + 1-row broadcast; the final top-k is a
+    * TakeOrderedAndProject (k rows per partition before the driver
+    * merge), never a global sort.
+    *
+    * Determinism: per-(doc, term) scores are quantized to 1e-4
+    * fixed-point longs BEFORE the per-doc sum (few-term double sums
+    * would otherwise add in partition order), and the k-boundary is
+    * total-ordered by (score desc, doc_id). */
+  def bm25Search(df: DataFrame, id: Column, text: Column,
+                 queryTerms: Seq[String], k: Int,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    require(k >= 1, "k must be positive")
+    val tok = df.select(id.as("doc_id"), split(text, " ").as("__t"))
+      .select(col("doc_id"), size(col("__t")).cast("long").as("dl"),
+        explode(col("__t")).as("term"))
+      .where(col("term").isin(queryTerms: _*))
+    val tf = tok.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = df.agg(count(lit(1)).as("__n"),
+      (sum(size(split(text, " "))).cast("double") / count(lit(1)))
+        .as("__avgdl"))
+    val idf = log(lit(1.0) +
+      (col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val denom = col("tf") + lit(k1) *
+      (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round(idf * col("tf") * lit(k1 + 1.0) / denom * lit(1e4), 0)
+          .cast("long").as("t"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum("t").cast("double") / lit(1e4), 4).as("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(k)
+  }
+
   /** Per-group diversity cap (the Common-Crawl "domain cap" curation step):
     * keep the top `n` rows of each group under a deterministic total order
     * (`order` must break all ties — end it with a unique id), emitting each

@@ -420,6 +420,17 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("bm25Search: matched-term counts, score ordering, absent docs drop") {
+    val docs = Seq((1L, "hash join hash probe"), (2L, "join side build"),
+      (3L, "scan only text here")).toDF("doc_id", "text")
+    val got = Curate.bm25Search(docs, col("doc_id"), col("text"),
+      Seq("hash", "join"), k = 10)
+      .as[(Long, Long, Double)].collect()
+    assert(got.map(_._1).toSeq === Seq(1L, 2L)) // d3 matches nothing
+    assert(got(0)._2 === 2L && got(1)._2 === 1L) // matched-term counts
+    assert(got(0)._3 > got(1)._3) // two matched terms outscore one
+  }
+
   // -------------------------------------------------------- latest snapshot
 
   test("latestSnapshot: max version wins, tieBreak decides equal versions, payload rides") {
