@@ -1089,9 +1089,10 @@ object StatQueries {
     Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
       |v AS (SELECT CASE WHEN user_id % 10 <= 4 THEN 'A'
       |         WHEN user_id % 10 <= 7 THEN 'B' ELSE 'C' END AS v FROM u),
-      |c AS (SELECT v, CAST(count(*) AS BIGINT) AS o FROM v GROUP BY 1),
-      |r AS (SELECT o, CASE v WHEN 'A' THEN 0.5 WHEN 'B' THEN 0.3
-      |         ELSE 0.2 END AS r FROM c),
+      |c0 AS (SELECT v, CAST(count(*) AS BIGINT) AS o FROM v GROUP BY 1),
+      |sp AS (SELECT * FROM (VALUES ('A', 0.5), ('B', 0.3), ('C', 0.2))
+      |       AS t(v, r)),
+      |r AS (SELECT coalesce(o, 0) AS o, r FROM sp LEFT JOIN c0 USING (v)),
       |n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM r),
       |t AS (SELECT n, CAST(round(
       |        (CAST(o AS DOUBLE) - r * CAST(n AS DOUBLE))
@@ -1545,15 +1546,17 @@ object StatQueries {
       |        CAST(sum(c) AS BIGINT) AS conv FROM u)
       |SELECT n_units, CAST(floor(n_units / 2) AS BIGINT) AS n_per_arm,
       |  round(CAST(conv AS DOUBLE) / CAST(n_units AS DOUBLE), 4) AS p_hat,
-      |  round(2.8016 * sqrt(2.0
+      |  round(CASE WHEN floor(n_units / 2) > 0 AND conv > 0
+      |      AND conv < n_units THEN 2.8016 * sqrt(2.0
       |      * (CAST(conv AS DOUBLE) / CAST(n_units AS DOUBLE))
       |      * (1.0 - CAST(conv AS DOUBLE) / CAST(n_units AS DOUBLE))
-      |      / CAST(CAST(floor(n_units / 2) AS BIGINT) AS DOUBLE)), 4)
+      |      / CAST(CAST(floor(n_units / 2) AS BIGINT) AS DOUBLE)) END, 4)
       |    AS mde_abs,
-      |  round(2.8016 * sqrt(2.0
+      |  round(CASE WHEN floor(n_units / 2) > 0 AND conv > 0
+      |      AND conv < n_units THEN 2.8016 * sqrt(2.0
       |      * (CAST(conv AS DOUBLE) / CAST(n_units AS DOUBLE))
       |      * (1.0 - CAST(conv AS DOUBLE) / CAST(n_units AS DOUBLE))
-      |      / CAST(CAST(floor(n_units / 2) AS BIGINT) AS DOUBLE))
+      |      / CAST(CAST(floor(n_units / 2) AS BIGINT) AS DOUBLE)) END
       |    / (CAST(conv AS DOUBLE) / CAST(n_units AS DOUBLE)), 4)
       |    AS mde_rel
       |FROM a ORDER BY n_units""".stripMargin))
@@ -1761,12 +1764,12 @@ object StatQueries {
     Some("""WITH g AS (SELECT CAST(value AS DOUBLE) AS v, ts FROM events),
       |mm AS (SELECT min(v) AS lo, max(v) AS hi,
       |        CAST(count(*) AS BIGINT) AS n FROM g),
-      |bc AS (SELECT least(floor((v - lo) / ((hi - lo) / 10.0)), 9) AS bin,
+      |bc AS (SELECT greatest(least(floor((v - lo) / ((hi - lo) / 10.0)), 9), 0) AS bin,
       |        CAST(count(*) AS BIGINT) AS bc
       |      FROM g CROSS JOIN mm GROUP BY 1),
       |hb AS (SELECT strftime(date_trunc('hour', ts),
       |          '%Y-%m-%d %H:%M:%S') AS hour_ts,
-      |        least(floor((v - lo) / ((hi - lo) / 10.0)), 9) AS bin,
+      |        greatest(least(floor((v - lo) / ((hi - lo) / 10.0)), 9), 0) AS bin,
       |        CAST(count(*) AS BIGINT) AS c
       |      FROM g CROSS JOIN mm GROUP BY 1, 2),
       |h AS (SELECT hour_ts, CAST(sum(c) AS BIGINT) AS n_hour
@@ -1791,9 +1794,9 @@ object StatQueries {
 
   /** [[EventStreams.runWindowedSrm]]: per-hour chi-square of streamed
     * per-variant event counts vs the literal 50/30/20 design — the
-    * bucketing-health alarm as traffic arrives. Hours missing a variant
-    * entirely contribute no term for it in BOTH engines (join a design
-    * spine first where empty cells must alarm). */
+    * bucketing-health alarm as traffic arrives. Every hour joins the
+    * full design spine, so an hour with ZERO events for a variant still
+    * contributes its (0−e)²/e term — total starvation alarms loudest. */
   private val q186 = QDef("q186_stream_srm",
     (s, dir) => EventStreams.runWindowedSrm(s, dir),
     Some("""WITH ev AS (SELECT strftime(date_trunc('hour', ts),
@@ -1805,14 +1808,17 @@ object StatQueries {
       |       FROM ev GROUP BY 1, 2),
       |h AS (SELECT hour_ts, CAST(sum(o) AS BIGINT) AS n_hour
       |      FROM hb GROUP BY 1),
-      |t AS (SELECT hb.hour_ts, n_hour, CAST(round(
-      |        (CAST(o AS DOUBLE) - (CASE v WHEN 'A' THEN 0.5
-      |          WHEN 'B' THEN 0.3 ELSE 0.2 END) * CAST(n_hour AS DOUBLE))
-      |        * (CAST(o AS DOUBLE) - (CASE v WHEN 'A' THEN 0.5
-      |          WHEN 'B' THEN 0.3 ELSE 0.2 END) * CAST(n_hour AS DOUBLE))
-      |        / ((CASE v WHEN 'A' THEN 0.5 WHEN 'B' THEN 0.3 ELSE 0.2 END)
-      |          * CAST(n_hour AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS t
-      |      FROM hb JOIN h ON hb.hour_ts = h.hour_ts)
+      |sp AS (SELECT * FROM (VALUES ('A', 0.5), ('B', 0.3), ('C', 0.2))
+      |       AS t(v, r)),
+      |d AS (SELECT h.hour_ts, n_hour, r, coalesce(o, 0) AS o
+      |      FROM h CROSS JOIN sp
+      |      LEFT JOIN hb ON hb.hour_ts = h.hour_ts AND hb.v = sp.v),
+      |t AS (SELECT hour_ts, n_hour, CAST(round(
+      |        (CAST(o AS DOUBLE) - r * CAST(n_hour AS DOUBLE))
+      |        * (CAST(o AS DOUBLE) - r * CAST(n_hour AS DOUBLE))
+      |        / (r * CAST(n_hour AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+      |          AS t
+      |      FROM d)
       |SELECT hour_ts, n_hour AS n_events, CAST(2 AS BIGINT) AS deg_free,
       |  round(CAST(sum(t) AS DOUBLE) / 1000000.0, 4) AS chi2
       |FROM t GROUP BY 1, 2 ORDER BY hour_ts""".stripMargin))

@@ -117,7 +117,10 @@ object Skew {
     * aggregation. Determinism: the percentile cut points are quantized
     * to 1e-4 fixed-point longs FIRST, every comparison and clamp then
     * runs in exact integer space (v·10⁴ vs cut4), and each mean is one
-    * rounded division of exact long sums. */
+    * rounded division of exact long sums. A group too small to place any
+    * value strictly inside the interpolated [lo, hi] band (e.g. two
+    * values at 5–95%) emits SQL-NULL trim_mean with n_kept = 0 — an
+    * explicit nullif, not an accidental divide-by-zero. */
   def trimmedStats(df: DataFrame, group: Column, v: Column,
                    lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
     require(0 <= lo && lo < hi && hi <= 1, "need 0 <= lo < hi <= 1")
@@ -141,8 +144,8 @@ object Skew {
           .as("mean"),
         round(col("w4").cast("double") / col("n").cast("double") / lit(1e4),
           4).as("winsor_mean"),
-        round(col("tv").cast("double") / col("tn").cast("double"), 4)
-          .as("trim_mean"),
+        round(col("tv").cast("double") /
+          nullif(col("tn"), lit(0L)).cast("double"), 4).as("trim_mean"),
         col("tn").as("n_kept"))
   }
 }

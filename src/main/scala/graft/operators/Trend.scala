@@ -276,35 +276,48 @@ object Trend {
           lit(1.0) / col("n_b").cast("double"))), lit(0.0)), 4).as("z_stat"))
   }
 
+  /** The literal design-allocation spine: one row per variant with its
+    * ratio — shared by [[srmCheck]] and the streaming SRM monitor so the
+    * batch gate and the live alarm can never diverge on the same data. */
+  def designSpine(spark: org.apache.spark.sql.SparkSession,
+                  design: Seq[(String, Double)]): DataFrame =
+    spark.range(1).select(explode(array(design.map { case (k, r) =>
+      struct(lit(k).as("v"), lit(r).as("r")) }: _*)).as("s"))
+      .select(col("s.v").as("v"), col("s.r").as("r"))
+
+  /** One chi-square goodness-of-fit term (o−e)²/e, quantized to 1e-6
+    * fixed-point longs (the cross-engine-exact summation device). */
+  def chiSqTerm(o: Column, e: Column): Column = {
+    val dev = o.cast("double") - e
+    round(dev * dev / e * lit(1e6), 0).cast("long")
+  }
+
   /** Sample-ratio-mismatch check (chi-square goodness of fit against the
     * DESIGN allocation): the "is the experiment assignment itself broken?"
     * gate that must pass before any A/B readout is trusted — a biased
     * logger or bucketing bug shows up here as observed variant counts
     * drifting from ratio·N. One variant-keyed aggregation (variant
-    * cardinality rows), expected counts from the literal design ratios,
-    * per-variant (o−e)²/e terms quantized to 1e-6 fixed-point longs
-    * before the exact sum. Emits one row: (n_units, deg_free, chi2);
-    * rows not matching a design variant are ignored. Callers aggregate
-    * to one row per experimental unit first (the [[twoProportionZ]]
-    * contract). */
+    * cardinality rows) LEFT-JOINED onto the [[designSpine]] so a variant
+    * with ZERO observed rows still contributes its full (0−e)²/e term —
+    * total starvation is the loudest alarm, not a dropped row. Per-variant
+    * terms quantized to 1e-6 fixed-point longs before the exact sum.
+    * Emits one row: (n_units, deg_free, chi2); rows not matching a design
+    * variant are ignored. Callers aggregate to one row per experimental
+    * unit first (the [[twoProportionZ]] contract). */
   def srmCheck(df: DataFrame, variant: Column,
                design: Seq[(String, Double)]): DataFrame = {
     require(design.nonEmpty && math.abs(design.map(_._2).sum - 1.0) < 1e-9,
       "design ratios must sum to 1")
-    val ratio = design.tail.foldLeft(
-      when(col("v") === design.head._1, lit(design.head._2))) {
-      case (acc, (k, r)) => acc.when(col("v") === k, lit(r))
-    }
-    val counts = df.select(variant.as("v"))
+    val observed = df.select(variant.as("v"))
       .where(col("v").isin(design.map(_._1): _*))
       .groupBy("v").agg(count(lit(1)).as("o"))
-      .select(col("o"), ratio.as("r"))
+    val counts = broadcast(designSpine(df.sparkSession, design))
+      .join(observed, Seq("v"), "left")
+      .select(coalesce(col("o"), lit(0L)).as("o"), col("r"))
     val tot = counts.agg(sum("o").as("n"))
-    val e = col("r") * col("n").cast("double")
-    val dev = col("o").cast("double") - e
     counts.crossJoin(broadcast(tot))
       .select(col("n"),
-        round(dev * dev / e * lit(1e6), 0).cast("long").as("t"))
+        chiSqTerm(col("o"), col("r") * col("n").cast("double")).as("t"))
       .groupBy("n")
       .agg(round(sum("t").cast("double") / lit(1e6), 4).as("chi2"))
       .select(col("n").as("n_units"),
@@ -518,8 +531,11 @@ object Trend {
       .agg(count(lit(1)).as("n_units"), sum("c").as("conv"))
     val p = col("conv").cast("double") / col("n_units").cast("double")
     val nArm = floor(col("n_units") / arms).cast("long")
-    val mde = lit(2.8016) *
-      sqrt(lit(2.0) * p * (lit(1.0) - p) / nArm.cast("double"))
+    // degenerate designs (arm of zero units, p at 0 or 1) emit SQL-NULL
+    // instead of Infinity/NaN — the null-propagating convention (cuped)
+    val ok = nArm > 0 && p > lit(0.0) && p < lit(1.0)
+    val mde = when(ok, lit(2.8016) *
+      sqrt(lit(2.0) * p * (lit(1.0) - p) / nArm.cast("double")))
     agg.select(col("n_units"), nArm.as("n_per_arm"),
       round(p, 4).as("p_hat"), round(mde, 4).as("mde_abs"),
       round(mde / p, 4).as("mde_rel"))

@@ -442,8 +442,13 @@ object EventStreams {
     val b = base.agg(min("v"), max("v"), count(lit(1))).head
     val lo = b.getDouble(0); val hi = b.getDouble(1); val nTot = b.getLong(2)
     val width = (hi - lo) / bins
+    // clamp BOTH sides: live traffic can land below the static baseline's
+    // min (a canonical downward drift) — without the greatest() those rows
+    // would take negative bins and fall off the dense spine join, silently
+    // shrinking the very distribution shift the monitor exists to catch
     def binOf(c: Column): Column =
-      least(floor((c - lit(lo)) / lit(width)), lit(bins - 1L)).cast("long")
+      greatest(least(floor((c - lit(lo)) / lit(width)), lit(bins - 1L)),
+        lit(0L)).cast("long")
     val baseCounts = base.groupBy(binOf(col("v")).as("bin"))
       .agg(count(lit(1)).as("bc"))
     spark.catalog.dropTempView(name)
@@ -509,16 +514,19 @@ object EventStreams {
     val hourly = spark.table(name).select(
       date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
       col("v"), col("o"))
-    val ratio = design.tail.foldLeft(
-      when(col("v") === design.head._1, lit(design.head._2))) {
-      case (acc, (k, r)) => acc.when(col("v") === k, lit(r))
-    }
     val hours = hourly.groupBy("hour_ts").agg(sum("o").as("n_hour"))
-    val e = ratio * col("n_hour").cast("double")
-    val dev = col("o").cast("double") - e
-    hourly.join(broadcast(hours), "hour_ts")
+    // (hour × design) spine via Trend's shared helpers: an hour with ZERO
+    // events for a variant still contributes its full (0−e)²/e term —
+    // total starvation is the alarm case, not a dropped row
+    val dense = hours
+      .crossJoin(broadcast(Trend.designSpine(spark, design)))
+      .join(hourly, Seq("hour_ts", "v"), "left")
+      .select(col("hour_ts"), col("n_hour"), col("r"),
+        coalesce(col("o"), lit(0L)).as("o"))
+    dense
       .select(col("hour_ts"), col("n_hour"),
-        round(dev * dev / e * lit(1e6), 0).cast("long").as("t"))
+        Trend.chiSqTerm(col("o"),
+          col("r") * col("n_hour").cast("double")).as("t"))
       .groupBy("hour_ts", "n_hour")
       .agg(round(sum("t").cast("double") / lit(1e6), 4).as("chi2"))
       .select(col("hour_ts"), col("n_hour").as("n_events"),

@@ -37,6 +37,7 @@ class PlanAuditSpec extends SparkSpec {
     "q183_quantile_effect", // 1x1 variant-percentile-row broadcast
     "q184_decile_lift", // 1-row cut-point + total broadcasts
     "q185_stream_psi", // bins-sized (10-row) dense-spine broadcast
+    "q186_stream_srm", // 3-row design-spine broadcast
     "q187_moe_rollup", // 1-row grand-total broadcast
     "q190_bm25_search") // 1-row (N, avgdl) broadcast
 

@@ -364,6 +364,33 @@ class StatOpsSpec extends SparkSpec {
     assert(o2.getDouble(4) > 0.5 && o2.getDouble(4) <= math.log(2) + 1e-9)
   }
 
+  test("srmCheck: a variant with ZERO observed rows still contributes its term") {
+    // C completely starved: chi2 must include (0-20)^2/20 = 20, not drop it
+    val bad = (1 to 70).map(_ => "A") ++ (1 to 30).map(_ => "B")
+    val o = Trend.srmCheck(bad.toDF("v"), col("v"),
+      Seq("A" -> 0.5, "B" -> 0.3, "C" -> 0.2)).collect().head
+    val expected = 20.0 * 20.0 / 50 + 0.0 + 20.0 * 20.0 / 20
+    assert(o.getLong(0) === 100L)
+    assert(math.abs(o.getDouble(2) - expected) < 1e-3)
+  }
+
+  test("trimmedStats: a band too tight for any value emits null trim_mean") {
+    val out = Skew.trimmedStats(Seq(("g", 10L), ("g", 20L)).toDF("g", "v"),
+      col("g"), col("v")).collect().head
+    // p05 = 10.5, p95 = 19.5: neither value is inside the band
+    assert(out.getLong(5) === 0L && out.isNullAt(4))
+    assert(out.getDouble(2) === 15.0) // mean still reports
+  }
+
+  test("mdeReadout: degenerate inputs emit null, not Infinity/NaN") {
+    val zeroArm = Trend.mdeReadout(Seq(1L).toDF("c"), col("c")).collect().head
+    assert(zeroArm.getLong(1) === 0L && zeroArm.isNullAt(3) &&
+      zeroArm.isNullAt(4))
+    val noConv = Trend.mdeReadout((1 to 10).map(_ => 0L).toDF("c"),
+      col("c")).collect().head
+    assert(noConv.isNullAt(3) && noConv.isNullAt(4))
+  }
+
   test("srmCheck: on-design counts score ~0; a starved variant blows up") {
     val ok = (1 to 50).map(_ => "A") ++ (1 to 30).map(_ => "B") ++
       (1 to 20).map(_ => "C")
