@@ -273,7 +273,8 @@ object StatQueries {
         col("source"), col("n_chars"), "src0", "src1")
       .orderBy("label_a"),
     Some("""WITH g AS (SELECT source AS l, CAST(n_chars AS BIGINT) AS v
-      |       FROM documents WHERE source IN ('src0', 'src1')),
+      |       FROM documents WHERE source IN ('src0', 'src1')
+      |         AND n_chars IS NOT NULL),
       |cnt AS (SELECT v,
       |    CAST(sum(CASE WHEN l = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
       |    CAST(sum(CASE WHEN l = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS cb
@@ -874,6 +875,32 @@ object StatQueries {
       |                    CAST(k * syy - sy * sy AS DOUBLE)), 0.0), 4) AS r
       |FROM s ORDER BY day""".stripMargin))
 
+  /** The dense-binning CTE chain shared by every Drift oracle
+    * (q165 PSI / q166 EMD / q169 JSD): expects a `g(l, v)` CTE upstream,
+    * emits `d(bin, [lo, hi,] n_a, n_b, ca, cb)` over the 20-bin spine —
+    * ONE text, so a binning fix can never reach one oracle and miss
+    * another (mirrors `Drift.binnedDense` exactly, incl. the NULL-value
+    * filter living in each g CTE). */
+  private def binnedCtes(la: String, lb: String,
+                         carryRange: Boolean): String = {
+    val rng = if (carryRange) " lo, hi," else ""
+    s"""mm AS (SELECT min(v) AS lo, max(v) AS hi,
+      |    CAST(sum(CASE WHEN l = '$la' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN l = '$lb' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      |  FROM g),
+      |c AS (SELECT least(floor((v - lo) / ((hi - lo) / 20.0)), 19) AS bin, l
+      |      FROM g CROSS JOIN mm),
+      |cnt AS (SELECT bin,
+      |    CAST(sum(CASE WHEN l = '$la' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(sum(CASE WHEN l = '$lb' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM c GROUP BY 1),
+      |sp AS (SELECT CAST(unnest(range(0, 20)) AS BIGINT) AS bin,$rng
+      |         n_a, n_b FROM mm),
+      |d AS (SELECT sp.bin,$rng n_a, n_b, coalesce(ca, 0) AS ca,
+      |        coalesce(cb, 0) AS cb
+      |      FROM sp LEFT JOIN cnt ON sp.bin = cnt.bin)""".stripMargin
+  }
+
   /** [[Drift.psi]]: Population Stability Index of document length between
     * two sources — the model-monitoring drift score, Laplace-smoothed
     * over a dense 20-bin histogram, per-bin terms fixed-point quantized
@@ -881,23 +908,10 @@ object StatQueries {
   private val q165 = QDef("q165_psi_drift",
     (s, dir) => Drift.psi(T(s, dir, "documents"), col("source"),
       col("n_chars"), "src0", "src1", bins = 20).orderBy("label_a"),
-    Some("""WITH g AS (SELECT source AS l, CAST(n_chars AS DOUBLE) AS v
-      |       FROM documents WHERE source IN ('src0', 'src1')),
-      |mm AS (SELECT min(v) AS lo, max(v) AS hi,
-      |    CAST(sum(CASE WHEN l = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-      |    CAST(sum(CASE WHEN l = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
-      |  FROM g),
-      |c AS (SELECT least(floor((v - lo) / ((hi - lo) / 20.0)), 19) AS bin, l
-      |      FROM g CROSS JOIN mm),
-      |cnt AS (SELECT bin,
-      |    CAST(sum(CASE WHEN l = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
-      |    CAST(sum(CASE WHEN l = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS cb
-      |  FROM c GROUP BY 1),
-      |sp AS (SELECT CAST(unnest(range(0, 20)) AS BIGINT) AS bin, n_a, n_b
-      |       FROM mm),
-      |d AS (SELECT sp.bin, n_a, n_b, coalesce(ca, 0) AS ca,
-      |        coalesce(cb, 0) AS cb
-      |      FROM sp LEFT JOIN cnt ON sp.bin = cnt.bin),
+    Some(s"""WITH g AS (SELECT source AS l, CAST(n_chars AS DOUBLE) AS v
+      |       FROM documents WHERE source IN ('src0', 'src1')
+      |         AND n_chars IS NOT NULL),
+      |${binnedCtes("src0", "src1", carryRange = false)},
       |t AS (SELECT n_a, n_b, CAST(round(
       |        (CAST(ca + 1 AS DOUBLE) / CAST(n_a + 20 AS DOUBLE)
       |         - CAST(cb + 1 AS DOUBLE) / CAST(n_b + 20 AS DOUBLE))
@@ -919,25 +933,11 @@ object StatQueries {
         "ELSE 'late' END"),
       col("l_extendedprice"), "early", "late", bins = 20)
       .orderBy("label_a"),
-    Some("""WITH g AS (SELECT CASE WHEN l_shipdate < TIMESTAMP '1998-07-01'
+    Some(s"""WITH g AS (SELECT CASE WHEN l_shipdate < TIMESTAMP '1998-07-01'
       |         THEN 'early' ELSE 'late' END AS l,
       |         CAST(l_extendedprice AS DOUBLE) AS v
-      |       FROM lineitem),
-      |mm AS (SELECT min(v) AS lo, max(v) AS hi,
-      |    CAST(sum(CASE WHEN l = 'early' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-      |    CAST(sum(CASE WHEN l = 'late' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
-      |  FROM g),
-      |c AS (SELECT least(floor((v - lo) / ((hi - lo) / 20.0)), 19) AS bin, l
-      |      FROM g CROSS JOIN mm),
-      |cnt AS (SELECT bin,
-      |    CAST(sum(CASE WHEN l = 'early' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
-      |    CAST(sum(CASE WHEN l = 'late' THEN 1 ELSE 0 END) AS BIGINT) AS cb
-      |  FROM c GROUP BY 1),
-      |sp AS (SELECT CAST(unnest(range(0, 20)) AS BIGINT) AS bin,
-      |         lo, hi, n_a, n_b FROM mm),
-      |d AS (SELECT sp.bin, lo, hi, n_a, n_b, coalesce(ca, 0) AS ca,
-      |        coalesce(cb, 0) AS cb
-      |      FROM sp LEFT JOIN cnt ON sp.bin = cnt.bin),
+      |       FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      |${binnedCtes("early", "late", carryRange = true)},
       |cum AS (SELECT n_a, n_b, lo, hi,
       |    CAST(sum(ca) OVER (ORDER BY bin) AS BIGINT) AS cpa,
       |    CAST(sum(cb) OVER (ORDER BY bin) AS BIGINT) AS cpb
@@ -1043,25 +1043,10 @@ object StatQueries {
   private val q169 = QDef("q169_jsd_drift",
     (s, dir) => Drift.jsd(T(s, dir, "events"), col("event_type"),
       col("value"), "view", "purchase", bins = 20).orderBy("label_a"),
-    Some("""WITH g AS (SELECT event_type AS l, CAST(value AS DOUBLE) AS v
-      |       FROM events WHERE event_type IN ('view', 'purchase')),
-      |mm AS (SELECT min(v) AS lo, max(v) AS hi,
-      |    CAST(sum(CASE WHEN l = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-      |    CAST(sum(CASE WHEN l = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
-      |      AS n_b
-      |  FROM g),
-      |c AS (SELECT least(floor((v - lo) / ((hi - lo) / 20.0)), 19) AS bin, l
-      |      FROM g CROSS JOIN mm),
-      |cnt AS (SELECT bin,
-      |    CAST(sum(CASE WHEN l = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
-      |    CAST(sum(CASE WHEN l = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
-      |      AS cb
-      |  FROM c GROUP BY 1),
-      |sp AS (SELECT CAST(unnest(range(0, 20)) AS BIGINT) AS bin, n_a, n_b
-      |       FROM mm),
-      |d AS (SELECT sp.bin, n_a, n_b, coalesce(ca, 0) AS ca,
-      |        coalesce(cb, 0) AS cb
-      |      FROM sp LEFT JOIN cnt ON sp.bin = cnt.bin),
+    Some(s"""WITH g AS (SELECT event_type AS l, CAST(value AS DOUBLE) AS v
+      |       FROM events WHERE event_type IN ('view', 'purchase')
+      |         AND value IS NOT NULL),
+      |${binnedCtes("view", "purchase", carryRange = false)},
       |pq AS (SELECT n_a, n_b,
       |        CAST(ca + 1 AS DOUBLE) / CAST(n_a + 20 AS DOUBLE) AS p,
       |        CAST(cb + 1 AS DOUBLE) / CAST(n_b + 20 AS DOUBLE) AS q

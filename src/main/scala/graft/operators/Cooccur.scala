@@ -57,7 +57,11 @@ object Cooccur {
                minSupport: Long): DataFrame = {
     val arr = basketItems(df, basket, item, distinctItems = true)
       .localCheckpoint()
-    val nBaskets = arr.count()
+    // N counts every non-null basket key (count(DISTINCT b) semantics) —
+    // the array table drops baskets whose items are ALL null, and using
+    // its count would inflate every lift on such data
+    val nBaskets = df.select(basket.as("b"))
+      .where(col("b").isNotNull).distinct().count()
     val marg = arr.select(explode(col("its")).as("it"))
       .groupBy(col("it")).agg(count(lit(1)).as("c"))
     val pairs = pairCounts(arr).where(col("c_ab") >= lit(minSupport))

@@ -26,6 +26,10 @@ object Drift {
                           a: String, b: String, bins: Int): DataFrame = {
     val g = df.where(label.isin(a, b))
       .select(label.as("l"), v.cast("double").as("v"))
+      // NULL metric rows carry no distribution mass: dropping them ONLY
+      // from the bins (they have no bin key) while counting them in
+      // n_a/n_b would deflate every share and corrupt the CDF tail
+      .where(col("v").isNotNull)
     val mm = g.agg(min("v").as("lo"), max("v").as("hi"),
       sum(when(col("l") === a, 1L).otherwise(0L)).as("n_a"),
       sum(when(col("l") === b, 1L).otherwise(0L)).as("n_b"))

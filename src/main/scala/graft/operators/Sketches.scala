@@ -165,6 +165,10 @@ object Sketches {
                       value: Column, k: Int = 64): DataFrame = {
     val g = df.where(label.isin(a, b))
       .select(label.as("l"), h60(value).as("__h"))
+      // materialized once: the union below has TWO consumers of this
+      // subtree, and ReuseExchange does not dedup scans under a union —
+      // without the checkpoint the corpus scan + hashing runs twice
+      .localCheckpoint()
     val withU = g.union(g.select(lit("__union").as("l"), col("__h")))
     val est = withU.groupBy("l")
       .agg(udaf(new KmvAgg(k), Encoders.scalaLong)(col("__h")).as("r"))

@@ -131,12 +131,15 @@ object Trend {
     val aggs = side(a, "a") ++ side(b, "b")
     val sums = g.agg(aggs.head, aggs.tail: _*)
     def meanOf(s: String) =
-      col(s"s_$s").cast("double") / col(s"n_$s").cast("double")
+      col(s"s_$s").cast("double") /
+        nullif(col(s"n_$s"), lit(0L)).cast("double")
+    // nullif on BOTH divisors: n <= 1 must surface as SQL-NULL, not as a
+    // 0.0/0.0 NaN slipping through the downstream sqrt guard
     def varOverN(s: String) =
       (col(s"n_$s") * col(s"ss_$s") - col(s"s_$s") * col(s"s_$s"))
         .cast("double") /
-        (col(s"n_$s") * (col(s"n_$s") - 1)).cast("double") /
-        col(s"n_$s").cast("double")
+        nullif((col(s"n_$s") * (col(s"n_$s") - 1)), lit(0L)).cast("double") /
+        nullif(col(s"n_$s"), lit(0L)).cast("double")
     sums.select(lit(a).as("label_a"), lit(b).as("label_b"),
         col("n_a"), col("n_b"),
         round(meanOf("a"), 4).as("mean_a"), round(meanOf("b"), 4).as("mean_b"),
@@ -164,7 +167,7 @@ object Trend {
   def ksTest(df: DataFrame, label: Column, v: Column,
              a: String, b: String): DataFrame = {
     val g = df.select(label.as("l"), v.cast("long").as("v"))
-      .where(col("l").isin(a, b))
+      .where(col("l").isin(a, b) && col("v").isNotNull)
     val cnt = g.groupBy("v").agg(
       sum(when(col("l") === a, 1L).otherwise(0L)).as("ca"),
       sum(when(col("l") === b, 1L).otherwise(0L)).as("cb"))
@@ -264,10 +267,12 @@ object Trend {
       sum(when(col("l") === a, col("c")).otherwise(0L)).as("conv_a"),
       sum(when(col("l") === b, 1L).otherwise(0L)).as("n_b"),
       sum(when(col("l") === b, col("c")).otherwise(0L)).as("conv_b"))
-    val pa = col("conv_a").cast("double") / col("n_a").cast("double")
-    val pb = col("conv_b").cast("double") / col("n_b").cast("double")
+    val pa = col("conv_a").cast("double") /
+      nullif(col("n_a"), lit(0L)).cast("double")
+    val pb = col("conv_b").cast("double") /
+      nullif(col("n_b"), lit(0L)).cast("double")
     val pool = (col("conv_a") + col("conv_b")).cast("double") /
-      (col("n_a") + col("n_b")).cast("double")
+      nullif(col("n_a") + col("n_b"), lit(0L)).cast("double")
     sums.select(lit(a).as("label_a"), lit(b).as("label_b"),
       col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
       round(pa, 4).as("rate_a"), round(pb, 4).as("rate_b"),
@@ -343,7 +348,8 @@ object Trend {
     val dx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
     val dy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
     val r = vnum / nullif(sqrt(dx * dy), lit(0.0))
-    val varY = dy / (col("n") * (col("n") - 1)).cast("double")
+    val varY = dy /
+      nullif((col("n") * (col("n") - 1)), lit(0L)).cast("double")
     su.select(col("n"),
       round(vnum / nullif(dx, lit(0.0)), 4).as("theta"),
       round(varY, 4).as("var_y"),

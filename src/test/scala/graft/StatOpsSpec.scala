@@ -350,6 +350,31 @@ class StatOpsSpec extends SparkSpec {
     assert(o2.isNullAt(1)) // zero covariate variance -> null theta
   }
 
+  // ----------------------------------------------- degenerate-input guards
+
+  test("welchTTest: a missing side yields SQL-NULL stats, never NaN") {
+    val out = Trend.welchTTest(Seq(("a", 5L), ("a", 7L)).toDF("l", "v"),
+      col("l"), col("v"), "a", "b").collect().head
+    assert(out.getLong(3) === 0L) // n_b
+    assert(out.isNullAt(5) && out.isNullAt(6) && out.isNullAt(7))
+  }
+
+  test("twoProportionZ: an empty variant yields SQL-NULL rates, never NaN") {
+    val out = Trend.twoProportionZ(Seq(("a", 1L), ("a", 0L)).toDF("l", "c"),
+      col("l"), col("c"), "a", "b").collect().head
+    assert(out.isNullAt(7) && out.isNullAt(8)) // rate_b, z_stat
+  }
+
+  test("psi: NULL metric rows are excluded from bins AND totals") {
+    val vals = (1 to 30).flatMap(i =>
+      Seq(("a", Some(i.toDouble)), ("b", Some(i.toDouble)))) ++
+      (1 to 10).map(_ => ("a", Option.empty[Double]))
+    val out = Drift.psi(vals.toDF("l", "v"), col("l"), col("v"),
+      "a", "b", bins = 10).collect().head
+    assert(out.getLong(2) === 30L) // n_a counts only non-null rows
+    assert(out.getDouble(4) === 0.0) // identical distributions -> 0
+  }
+
   // ----------------------------------------------------------- JSD / SRM
 
   test("jsd: identical slices score 0; disjoint point masses approach ln 2") {
