@@ -236,13 +236,12 @@ object Similarity {
     * gate hash-exact with no float-rounding convention needed. Zero vectors
     * quantize to all-zero. */
   def quantizeInt8(df: DataFrame, emb: Column, id: Column): DataFrame =
+    // one quantization rule in the codebase: [[quantizeVec]] is the
+    // source of truth (the q72 shortlist path scores the same arrays),
+    // this is just its exploded long-shape view with an int cast
     df.select(id.as("vec_id"), emb.cast("array<double>").as("__v"))
-      .select(col("vec_id"), col("__v"),
-        array_max(transform(col("__v"), x => abs(x))).as("__sc"))
       .select(col("vec_id"),
-        posexplode(transform(col("__v"), x =>
-          when(col("__sc") === 0, lit(0d)).otherwise(round(x / col("__sc") * 127))
-            .cast("int"))))
+        posexplode(transform(quantizeVec(col("__v")), _.cast("int"))))
       .select(col("vec_id"), col("pos").as("dim"), col("col").as("q"))
 
   /** Deterministic ±1 random projection (Johnson–Lindenstrauss; the

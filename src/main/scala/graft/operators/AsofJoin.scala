@@ -38,7 +38,9 @@ object AsofJoin {
       lit(null).cast("long").as("__tie"),
       struct(leftCols.map(col): _*).as("__l"),
       lit(null).cast(rStructType).as("__r"))
-    val r = right.select(
+    // a NULL rightTs would sort NULLS-FIRST and be carried into every
+    // earlier left row, violating the rightTs <= leftTs contract
+    val r = right.where(rightTs.isNotNull).select(
       rightKey.as("__k"), rightTs.as("__ts"), lit(0).as("__side"),
       rightTie.cast("long").as("__tie"),
       lit(null).cast(l.schema("__l").dataType).as("__l"),

@@ -58,17 +58,25 @@ object Sampling {
       "split fractions must sum to 1")
     val h = pmod(Dedup.hash60(concat(key.cast("string"), lit(salt))), lit(Denom))
     val cuts = fracs.scanLeft(0L) { case (acc, (_, f)) => acc + (f * Denom).toLong }.tail
-    // last band is catch-all so rounding in the cut points can't drop rows
-    fracs.init.zip(cuts.init).foldRight(lit(fracs.last._1): Column) {
-      case (((name, _), cut), other) => when(h < cut, lit(name)).otherwise(other)
-    }
+    // last band is catch-all so rounding in the cut points can't drop rows;
+    // NULL keys get a NULL split (the family's drop-null convention) —
+    // falling through to the catch-all would silently concentrate every
+    // null-key row in one split (train/test leakage)
+    val assigned = fracs.init.zip(cuts.init)
+      .foldRight(lit(fracs.last._1): Column) {
+        case (((name, _), cut), other) => when(h < cut, lit(name)).otherwise(other)
+      }
+    when(key.isNotNull, assigned)
   }
 
   /** Source-mixture resampling — the dataset-mixing step of a pretraining
     * pipeline: each source gets an epoch weight (2.5 ⇒ every doc appears
     * twice, plus a deterministic 50% hash-sample third copy; 0 ⇒ source
     * excluded). Output rows carry an `epoch` index (1-based) so downstream
-    * shuffling/packing can decorrelate the copies. Per-row work only —
+    * shuffling/packing can decorrelate the copies. NULL-key rows drop
+    * (the family convention — the fractional copy needs the hash, and a
+    * split base/fractional treatment would emit copy counts no other
+    * Sampling op's null handling matches). Per-row work only —
     * floor(w) is a literal-map lookup and the fractional copy reuses the
     * [[hashSample]] band, so mixing 100 TB is one scan; `explode` of a
     * ≤⌈w⌉-element sequence adds no shuffle. Weights with exact binary
@@ -162,7 +170,11 @@ object Sampling {
     val u = (Dedup.hash60(concat(key.cast("string"), lit(salt))) + lit(1L))
       .cast("double") / lit(1152921504606846976.0) // 2^60
     val priority = round(-log(u) * lit(1000000.0) / weight, 4)
-    df.withColumn("priority", priority)
+    // w <= 0 / NULL would make priority NULL, which sorts NULLS-FIRST —
+    // the exact inverse of "zero weight is never drawn" — so such rows
+    // are excluded from the draw entirely
+    df.where(weight > 0)
+      .withColumn("priority", priority)
       .orderBy(col("priority"), key)
       .limit(n)
   }
@@ -181,7 +193,12 @@ object Sampling {
     * anchors never shuffle. Draws are hash-deterministic: any engine
     * recomputes the identical pairs. Collision caveat: draws of one
     * anchor landing in the same bucket repeat a negative (acceptable for
-    * contrastive loss; raise B to thin it). */
+    * contrastive loss; raise B to thin it). Shortfall caveat: a draw
+    * whose bucket holds no corpus row (B ≫ corpus size), or only the
+    * anchor itself, vanishes — anchors then carry FEWER than k
+    * negatives. Size B ≲ corpus/10 so every bucket is populated, and
+    * count per-anchor negatives downstream if the training loop requires
+    * exactly k. */
   def negativeSample(corpus: DataFrame, id: Column, anchors: DataFrame,
                      anchorId: Column, k: Int, buckets: Int): DataFrame = {
     require(k >= 1 && buckets >= 2, "need k >= 1 and buckets >= 2")

@@ -41,13 +41,6 @@ object Sessionize {
   final case class OpenSession(start_us: Long, last_us: Long, n: Long)
   final case class SessionOut(user_id: Long, start_us: Long, n_events: Long)
 
-  /** flatMapGroupsWithState sessionizer: per user, merge the carried open
-    * session with this batch's events (sorted in-group — group size is one
-    * user's batch slice, not the whole partition) and emit every session
-    * CLOSED by a later event; the trailing open session stays in state.
-    * Used where session_window can't express the semantics (e.g. emitting
-    * mid-session markers); equivalence with the batch path is pinned in
-    * the unit suite. */
   /** SCD-2 validity intervals from an event/snapshot history: per key, each
     * observation is valid from its own timestamp until the NEXT
     * observation's (half-open [from, to)); the latest has valid_to null and
@@ -67,6 +60,19 @@ object Sessionize {
       .withColumn("is_current", when(col("valid_to").isNull, 1L).otherwise(0L))
   }
 
+  /** flatMapGroupsWithState sessionizer: per user, merge the carried open
+    * session with this batch's events (sorted in-group — group size is one
+    * user's batch slice, not the whole partition) and emit every session
+    * CLOSED by a later event; the trailing open session stays in state.
+    * Used where session_window can't express the semantics (e.g. emitting
+    * mid-session markers); equivalence with the batch path is pinned in
+    * the unit suite.
+    *
+    * Cross-batch late data: an out-of-order event within the gap of the
+    * open session EXTENDS it (start/last move by min/max — the extent
+    * can never regress); an event older than that still merges into the
+    * open session because closed sessions keep no state — a live
+    * deployment bounds lateness to the gap with a watermark upstream. */
   def statefulSessions(events: Dataset[SessEvent], gapUs: Long)(
       implicit spark: SparkSession): Dataset[SessionOut] = {
     import spark.implicits._
@@ -79,7 +85,10 @@ object Sessionize {
           ts.foreach { t =>
             open match {
               case Some(s) if t - s.last_us <= gapUs =>
-                open = Some(s.copy(last_us = t, n = s.n + 1))
+                // min/max, not assignment: a late event must never move
+                // the session extent backwards
+                open = Some(s.copy(start_us = math.min(s.start_us, t),
+                  last_us = math.max(s.last_us, t), n = s.n + 1))
               case Some(s) =>
                 out += SessionOut(user, s.start_us, s.n)
                 open = Some(OpenSession(t, t, 1))

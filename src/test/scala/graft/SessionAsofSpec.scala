@@ -55,6 +55,33 @@ class SessionAsofSpec extends SparkSpec {
     assert(streamed.exceptAll(closed).isEmpty && closed.exceptAll(streamed).isEmpty)
   }
 
+  test("statefulSessions: a late in-gap event extends the open session, never regresses it") {
+    implicit val s = spark
+    import spark.implicits._
+    // batch 1 establishes last=1000s; batch 2 delivers a LATE event at
+    // 100s (within the 30 min gap of 1000s) then one at 2000s — the open
+    // session must span [100s, 2000s] with 3 events, not restart
+    val gapUs = 1800L * 1000000
+    val all = Seq(Sessionize.SessEvent(7L, 1000L * 1000000),
+      Sessionize.SessEvent(7L, 100L * 1000000),
+      Sessionize.SessEvent(7L, 2000L * 1000000),
+      // a far-future event closes the open session so it is emitted
+      Sessionize.SessEvent(7L, 100000L * 1000000)).toDS()
+    val out = Sessionize.statefulSessions(all, gapUs).collect()
+    assert(out.length === 1)
+    assert(out.head.start_us === 100L * 1000000 && out.head.n_events === 3L)
+  }
+
+  test("asof backward: a NULL right timestamp is never carried as a match") {
+    val left = Seq((1L, 100L)).toDF("k", "ts")
+    val right = Seq((1L, Option.empty[Long], "ghost"),
+      (1L, Some(300L), "late")).toDF("k", "rts", "payload")
+    val out = AsofJoin.backward(left, col("k"), col("ts"),
+      right, col("k"), col("rts"), Seq("payload"), lit(0L))
+      .collect().head
+    assert(out.isNullAt(2)) // no right row at/before ts=100 -> null, not ghost
+  }
+
   test("streaming session_window equals batch sessions closed before the watermark") {
     val streamed = EventStreams.runSessions(spark, sf, name = "graft_sess_spec")
     val batch = Sessionize.sessions(Tables.t(spark, sf, "events"), "30 minutes")
