@@ -101,8 +101,13 @@ object Agg {
     // whole-partition frame: the group total rides the SAME exchange as
     // the cumulative scan — no second aggregate, no join-back re-read
     val wAll = W.partitionBy("g")
+    // NULL values sort first in Spark windows but last in DuckDB, and
+    // non-positive weights make the cumulative scan non-monotonic — both
+    // break the "smallest v reaching q·W" contract, so drop them up
+    // front (the Sampling family's weight/null convention).
     val byV = df.select(group.as("g"), v.cast("long").as("v"),
         weight.cast("long").as("wt"))
+      .where(col("v").isNotNull && col("wt") > 0)
       .groupBy("g", "v").agg(sum("wt").as("wt"))
     // threshold in 1e-4 fixed-point: cum·10⁴ ≥ ⌈q·10⁴⌉·tw — all longs
     val q4 = math.round(q * 1e4)

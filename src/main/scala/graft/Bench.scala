@@ -66,11 +66,15 @@ object Bench {
       val (t1, ok1) = p1(name); val (t2, ok2) = p2(name)
       (name, math.min(t1, t2), ok1 && ok2)
     }
-    // Compact keys + 3-decimal timings: the driver keeps only a fixed-size
-    // TAIL of stdout, and round 3's full-precision 61-query line overflowed
-    // it, decapitating the JSON (BENCH_r03 "parsed": null). "q61" instead of
-    // "q61_dedup_ngram_prefix" and ms resolution (below run-to-run noise
-    // anyway) keep the line ~1 KB at 66+ queries.
+    // The driver keeps only a 2000-char TAIL of stdout: round 3's 61-query
+    // full-precision line overflowed it, and round 6's 190-query line
+    // overflowed even with compact keys (BENCH_r06 "parsed": null) — at
+    // ~11 bytes/entry the full map stops fitting near ~160 queries, ever.
+    // So the printed line carries only the SLOWEST topN per-query entries
+    // (the perf-audit targets; everything else is sub-second noise), and
+    // the COMPLETE map goes to bench_full.json in the repo root, which
+    // survives via git for round-over-round diffing (tools/bench_diff.py
+    // reads it first).
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def shortKey(k: String): String = k.takeWhile(_ != '_')
     // Two query names sharing a pre-underscore prefix would collide into one
@@ -78,7 +82,11 @@ object Bench {
     require(results.map(r => shortKey(r._1)).distinct.size == results.size,
       "duplicate short bench keys: " +
         results.map(r => shortKey(r._1)).groupBy(identity).collect { case (k, v) if v.size > 1 => k }.mkString(","))
-    val qs = results.map { case (k, v, _) => s"\"" + shortKey(k) + "\":" + fmt(v) }
+    val topN = sys.env.getOrElse("SPARK_GRAFT_BENCH_TOPN", "40").toInt
+    val qs = results.sortBy(-_._2).take(topN)
+      .map { case (k, v, _) => s"\"" + shortKey(k) + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val fullQs = results.map { case (k, v, _) => s"\"" + shortKey(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
@@ -97,7 +105,15 @@ object Bench {
     // dividing by results.size would deflate the rate exactly when
     // queries fail
     val nOk = results.count(_._3)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","core24":${fmt(core24)},"n_queries":${results.size},"sec_per_query":${fmt(total / math.max(nOk, 1))},"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val head = s""""metric":"total","value":${fmt(total)},"unit":"sec","core24":${fmt(core24)},"n_queries":${results.size},"sec_per_query":${fmt(total / math.max(nOk, 1))}"""
+    val fullLine = s"""{$head,"queries":$fullQs,"failed":$failed,"sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintWriter("bench_full.json")
+      try w.println(fullLine) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_full.json write failed: $e")
+    }
+    println(s"""{$head,"queries":$qs,"queries_are_top":$topN,"full":"bench_full.json","failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -2330,7 +2330,9 @@ object ExtQueries {
       val e = T(s, dir, "events").select(col("event_type"),
         expr("unix_micros(ts) div 86400000000").as("day"),
         expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
-      val minDay = e.agg(min("day")).head.getLong(0)
+      val minDayRow = e.agg(min("day")).head
+      require(!minDayRow.isNullAt(0), "q119: events table is empty")
+      val minDay = minDayRow.getLong(0)
       Trend.olsTrend(e, col("event_type"), col("day") - lit(minDay),
           col("cents"))
         .select(col("g").as("event_type"), col("n"),
@@ -2570,9 +2572,9 @@ object ExtQueries {
 
   /** Pearson chi-square independence test of event_type × weekday.
     * Weekday is pure integer epoch-day arithmetic ((d + 4) % 7 — no
-    * engine dow() convention), observed counts are integers, and the
-    * χ² terms mirror the same (O−E)²/E association order in both
-    * engines before the single round. */
+    * engine dow() convention), observed counts are integers, and each
+    * (O−E)²/E term is quantized to a 1e-6 fixed-point long in both
+    * engines so the cross-cell sum is exact at any cell count. */
   private val q130 = QDef("q130_chi_square",
     (s, dir) => {
       val e = T(s, dir, "events").select(col("event_type"),
@@ -2581,13 +2583,15 @@ object ExtQueries {
       val rowT = o.groupBy("event_type").agg(sum("o").as("rt"))
       val colT = o.groupBy("wd").agg(sum("o").as("ct"))
       val n = e.count()
+      // each (O−E)²/E term quantized to a 1e-6 fixed-point long before
+      // the sum (Trend.chiSqTerm — the PSI/JSD/SRM device), so the
+      // cross-cell aggregation is an exact integer sum at any type ×
+      // weekday cardinality, not an order-dependent double reduction
       val terms = o.join(broadcast(rowT), "event_type")
         .join(broadcast(colT), "wd")
-        .select((col("o").cast("double") -
-          (col("rt") * col("ct")).cast("double") / lit(n.toDouble)).as("d"),
-          ((col("rt") * col("ct")).cast("double") / lit(n.toDouble)).as("ex"),
-          col("event_type"), col("wd"))
-      terms.agg(round(sum(col("d") * col("d") / col("ex")), 4).as("chi2"),
+        .select(Trend.chiSqTerm(col("o"),
+          (col("rt") * col("ct")).cast("double") / lit(n.toDouble)).as("t"))
+      terms.agg(round(sum("t").cast("double") / lit(1e6), 4).as("chi2"),
           count(lit(1)).as("n_cells"))
         .select(col("chi2"), col("n_cells"))
     },
@@ -2598,12 +2602,14 @@ object ExtQueries {
       |rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt FROM o GROUP BY 1),
       |ct AS (SELECT wd, CAST(sum(o) AS BIGINT) AS ct FROM o GROUP BY 1),
       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
-      |t AS (SELECT event_type, wd,
+      |x AS (SELECT
       |        CAST(o AS DOUBLE) - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE)
       |          AS d,
       |        CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE) AS ex
-      |      FROM o JOIN rt USING (event_type) JOIN ct USING (wd) CROSS JOIN nn)
-      |SELECT round(sum(d * d / ex), 4) AS chi2,
+      |      FROM o JOIN rt USING (event_type) JOIN ct USING (wd) CROSS JOIN nn),
+      |t AS (SELECT CAST(round(d * d / ex * 1000000.0, 0) AS BIGINT) AS t
+      |      FROM x)
+      |SELECT round(CAST(sum(t) AS DOUBLE) / 1000000.0, 4) AS chi2,
       |  CAST(count(*) AS BIGINT) AS n_cells
       |FROM t""".stripMargin))
 
@@ -2648,7 +2654,9 @@ object ExtQueries {
       val du = T(s, dir, "events")
         .select(expr("unix_micros(ts) div 86400000000").as("day"),
           col("user_id")).distinct()
-      val maxDay = du.agg(max("day")).head.getLong(0)
+      val maxDayRow = du.agg(max("day")).head
+      require(!maxDayRow.isNullAt(0), "q132: events table is empty")
+      val maxDay = maxDayRow.getLong(0)
       du.select(explode(sequence(col("day"),
           least(col("day") + 6, lit(maxDay)))).as("d"), col("user_id"))
         .groupBy("d")

@@ -16,11 +16,22 @@ object Tables {
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark refuses to read
-      // natively: land it as long nanos, then truncate to microseconds
-      // (integral DIV — a double division would lose precision at 1e18).
+      // events.ts encoding differs between fixture generations: parquet
+      // TIMESTAMP(NANOS) (unreadable natively — land as long nanos, then
+      // integral-DIV down to micros; a double division would lose
+      // precision at 1e18) vs plain timestamp[us] (read as TIMESTAMP_NTZ;
+      // session tz is UTC, so casting to TIMESTAMP makes the naive wall
+      // clock the UTC instant — the DuckDB epoch_us view). Branch on the
+      // actual on-disk type so both load identically.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      import org.apache.spark.sql.functions.{col, expr}
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 }

@@ -27,8 +27,12 @@ object Cooccur {
     * counts: the co-purchase edge weights). */
   def basketItems(df: DataFrame, basket: Column, item: Column,
                   distinctItems: Boolean): DataFrame = {
+    // NULL basket keys are dropped, not merged into one pseudo-basket:
+    // groupBy would retain the null group, fusing unrelated null-key rows
+    // into co-occurrence pairs that an equi self-join (the oracle shape,
+    // and pairLift's basket count) never produces.
     val g = df.select(basket.as("b"), item.as("it"))
-      .where(col("it").isNotNull).groupBy("b")
+      .where(col("b").isNotNull && col("it").isNotNull).groupBy("b")
     if (distinctItems) g.agg(array_sort(collect_set("it")).as("its"))
     else g.agg(array_sort(collect_list("it")).as("its"))
   }
@@ -89,7 +93,12 @@ object Cooccur {
     * at any cell count, then ONE final division sealed with round(,4).
     */
   def mutualInformation(df: DataFrame, x: Column, y: Column): DataFrame = {
+    // Null-category rows are excluded BEFORE the cell aggregation so
+    // cells, margins, and n cover the same row set — keeping them in n
+    // (while the margin equi-joins drop their cells) would leave the
+    // summed p(x,y) mass < 1 and bias MI low on null-containing data.
     val cells = df.select(x.as("x"), y.as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
       .groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
       .localCheckpoint() // margins + total re-aggregate this small table
     val cx = cells.groupBy("x").agg(sum("c_xy").as("c_x"))

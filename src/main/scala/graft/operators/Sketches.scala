@@ -85,7 +85,12 @@ object Sketches {
     val wd = Window.partitionBy("u").orderBy("__h")
     val daily = du.withColumn("__rn", row_number().over(wd))
       .where(col("__rn") <= k).select(col("u"), col("__h"))
-    val maxU = du.agg(max("u")).head.getLong(0)
+    // max over zero rows is SQL NULL — fail with a message, not a bare
+    // NPE from getLong (the pageRank/hitsBipartite convention)
+    val maxURow = du.agg(max("u")).head
+    require(!maxURow.isNullAt(0),
+      "kmvRolling: empty input (no rows with a non-null unit)")
+    val maxU = maxURow.getLong(0)
     val cand = daily.select(
         explode(sequence(col("u"), least(col("u") + (span - 1), lit(maxU))))
           .as("w"), col("__h"))

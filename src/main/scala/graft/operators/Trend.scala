@@ -437,7 +437,12 @@ object Trend {
                    lambdaPerDay: Double): DataFrame = {
     val us = df.select(key.as("k"), unix_micros(ts).as("us"),
       v.cast("double").as("v"))
-    val maxUs = us.agg(max("us")).head.getLong(0)
+    // max over zero rows is SQL NULL — fail with a message, not a bare
+    // NPE from getLong (the pageRank/hitsBipartite convention)
+    val maxUsRow = us.agg(max("us")).head
+    require(!maxUsRow.isNullAt(0),
+      "decayedScore: empty input (no rows with a non-null timestamp)")
+    val maxUs = maxUsRow.getLong(0)
     us.groupBy("k")
       .agg(round(sum(col("v") *
         exp(lit(-lambdaPerDay) * (lit(maxUs) - col("us")).cast("double") /

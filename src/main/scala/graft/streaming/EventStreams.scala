@@ -69,20 +69,45 @@ object EventStreams {
     try body finally spark.conf.set(key, prev)
   }
 
-  /** events.parquet schema with ts as raw nanos (see Tables.t). */
+  /** events.parquet schema with ts as raw nanos (see Tables.t). Fixture
+    * generations differ — TIMESTAMP(NANOS) lands as int64, timestamp[us]
+    * as TIMESTAMP_NTZ — so [[eventSource]] swaps the ts field to the
+    * probed on-disk type before reading. */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+  /** Streaming source over the events table with ts normalized to
+    * TIMESTAMP (UTC micros) regardless of the on-disk encoding. A
+    * file-stream source needs a declared schema, so the parquet footer is
+    * probed with a batch read first (metadata only — no data scan). */
+  private def eventSource(spark: SparkSession, dir: String,
+                          glob: String = "events.parquet",
+                          maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = spark.read.option("pathGlobFilter", glob).parquet(dir)
+      .schema("ts").dataType
+    val schema = StructType(eventSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
+    val src0 = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    val src = maxFilesPerTrigger.fold(src0)(n =>
+      src0.option("maxFilesPerTrigger", n.toString))
+    val df = src.parquet(dir)
+    tsType match {
+      case LongType => // TIMESTAMP(NANOS) read as raw nano longs
+        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => // timestamp[us]; session tz is UTC, so the
+        // naive wall clock IS the UTC instant (the DuckDB epoch_us view)
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+  }
+
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
     // file-stream sources require a directory: point at the sf dir and
     // glob-filter to the events table
-    spark.readStream.schema(eventSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-  }
+    eventSource(spark, dir)
 
   /** Event-time tumbling 1-hour window aggregation with a 1-hour watermark.
     * State is keyed by (window, event_type) — bounded by the watermark, so
@@ -371,15 +396,10 @@ object EventStreams {
     spark.conf.set(provKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try withStreamPartitions(spark) {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val src0 = spark.readStream.schema(eventSchema)
-        .option("pathGlobFilter", glob)
-      val src = maxFilesPerTrigger.fold(src0)(n =>
-        src0.option("maxFilesPerTrigger", n.toString))
-      val typed = src.parquet(dir)
+      val typed = eventSource(spark, dir, glob, maxFilesPerTrigger)
         .select(col("user_id"),
           expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"),
-          expr("ts DIV 1000").as("us"))
+          unix_micros(col("ts")).as("us"))
         .as[(Long, Long, Long)]
       val q = typed.groupByKey(_._1)
         .transformWithState(new RunningTotalsProcessor,

@@ -9,6 +9,15 @@ swings small queries by 1.5x without any code change (VERDICT r2), so a pure
 ratio gate would cry wolf on every run.
 
 Exit code 1 when any query is flagged, so the check can gate CI.
+
+From round 7 on, Bench prints only the slowest-40 queries in the stdout line
+(the full map no longer fits the driver's 2000-char tail at 190+ queries) and
+writes the COMPLETE map to bench_full.json, committed per round. For a full
+round-over-round diff, extract the old round's copy first:
+  git show <round-commit>:bench_full.json > /tmp/full_old.json
+  python3 tools/bench_diff.py /tmp/full_old.json bench_full.json
+Diffing the BENCH_r{N}.json files still works but covers only queries present
+in both top-40 lists.
 """
 import json
 import re
