@@ -28,6 +28,14 @@ class SketchGraphSpec extends SparkSpec {
       s"estimate $bigEst too far from 5000")
   }
 
+  test("kmvRolling: empty input fails loudly, not with a bare NPE") {
+    val empty = Seq.empty[(Long, String)].toDF("u", "v")
+    val e = intercept[IllegalArgumentException] {
+      Sketches.kmvRolling(empty, col("u"), col("v"), span = 7)
+    }
+    assert(e.getMessage.contains("empty input"))
+  }
+
   test("kmvDistinct: duplicate values do not change the estimate") {
     val once = (1 to 500).map(i => ("g", s"v$i"))
     val thrice = once ++ once ++ once

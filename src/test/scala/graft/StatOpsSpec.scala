@@ -224,6 +224,19 @@ class StatOpsSpec extends SparkSpec {
     assert(r2.getLong(0) === 4L && r2.getDouble(1) === 0.0)
   }
 
+  test("mutualInformation: null-category rows are excluded from cells AND n") {
+    // same dependent table as above plus null-x / null-y noise rows: the
+    // statistic must be identical — nulls in n but not in cells would
+    // deflate the summed p(x,y) mass and bias MI low
+    val dep = Seq((Some("a"), Some("a")), (Some("a"), Some("a")),
+      (Some("b"), Some("b")), (Some("b"), Some("b")),
+      (None, Some("a")), (Some("b"), None), (None, None))
+      .toDF("x", "y")
+    val r = Cooccur.mutualInformation(dep, col("x"), col("y"))
+      .collect().head
+    assert(r.getLong(0) === 2L && r.getDouble(1) === 0.6931)
+  }
+
   // ---------------------------------------------------- correlation matrix
 
   test("corrMatrix: upper triangle with perfect and inverse pairs") {
@@ -558,6 +571,19 @@ class StatOpsSpec extends SparkSpec {
     val p20 = Agg.weightedPercentile(df, col("g"), col("v"), col("w"),
       q = 0.2).collect().head
     assert(p20.getLong(1) === 2L) // cum 2 of 10 reaches the 0.2 threshold
+  }
+
+  test("weightedPercentile: null values and non-positive weights are dropped") {
+    // the clean rows alone give median 3 / total weight 10; a null value,
+    // a zero weight and a negative weight must not shift either (Spark
+    // sorts NULL first, DuckDB last — keeping them would diverge engines)
+    val df = Seq((Some(1L), Some(1L)), (Some(2L), Some(1L)),
+      (Some(3L), Some(8L)), (None, Some(5L)), (Some(2L), Some(0L)),
+      (Some(1L), Some(-10L)), (Some(2L), None))
+      .toDF("v", "w").select(lit("g").as("g"), col("v"), col("w"))
+    val med = Agg.weightedPercentile(df, col("g"), col("v"), col("w"))
+      .collect().head
+    assert(med.getLong(1) === 3L && med.getLong(2) === 10L)
   }
 
   // ----------------------------------------------------- incremental agg

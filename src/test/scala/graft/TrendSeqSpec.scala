@@ -150,6 +150,16 @@ class TrendSeqSpec extends SparkSpec {
     assert(out === Seq((7L, 8L, 2L, 2L, 2L, 1.0)))
   }
 
+  test("pairLift: null basket keys are dropped, not merged into one basket") {
+    // two UNRELATED null-basket rows must not fuse into a (7,8) pair or
+    // count toward N — only the one real basket exists
+    val rows = Seq((Option(1L), 7L), (Option(1L), 8L),
+      (Option.empty[Long], 7L), (Option.empty[Long], 8L))
+    val out = Cooccur.pairLift(rows.toDF("b", "it"), col("b"), col("it"), 1L)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out === Seq((7L, 8L, 1L, 1L, 1L, 1.0)))
+  }
+
   // ----------------------------------------------------------- MAD outliers
 
   test("madOutliers: flags only the planted outlier") {
@@ -236,6 +246,15 @@ class TrendSeqSpec extends SparkSpec {
   }
 
   // ------------------------------------------------------------ decayed sum
+
+  test("decayedScore: empty input fails loudly, not with a bare NPE") {
+    val empty = Seq.empty[(Long, java.sql.Timestamp, Double)]
+      .toDF("k", "ts", "v")
+    val e = intercept[IllegalArgumentException] {
+      Trend.decayedScore(empty, col("k"), col("ts"), col("v"), 0.1)
+    }
+    assert(e.getMessage.contains("empty input"))
+  }
 
   test("decayedScore: newest event is unweighted, older decay exponentially") {
     val day = 86400000000L
