@@ -118,4 +118,64 @@ object Agg {
       .groupBy("g")
       .agg(min("v").as("weighted_pctl"), max("tw").as("total_weight"))
   }
+
+  /** Two-phase [[weightedPercentile]] — the scale path that
+    * [[weightedPercentile]]'s Scaladoc prescribes for few groups over
+    * many distinct values, implemented: with G groups the window form
+    * sorts the whole distinct-value spine in G tasks (3 tasks for 600 k
+    * values on the lineitem fixture — 3 of 32 cores busy; unshippable at
+    * 10⁹ values), while this form never sorts anything value-sized.
+    *
+    * Phase 1 aggregates weights per (group, v DIV bucketWidth) — a
+    * bucket-cardinality shuffle straight off the raw rows — and scans
+    * the per-group bucket spine (small: range/bucketWidth rows) for the
+    * threshold bucket, the smallest whose cumulative weight reaches
+    * q·W. Phase 2 re-scans ONLY the rows inside each group's threshold
+    * bucket (a broadcast semi-filter), aggregates per exact value, and
+    * picks the smallest value whose (weight-before-bucket + in-bucket
+    * cumulative) reaches the same threshold. Both phases are exact
+    * integer comparisons in 1e-4 fixed-point; the answer is
+    * bit-identical to the window form for any bucketWidth ≥ 1 (the
+    * cross-bucket cumulative is monotone, so the threshold value lives
+    * in the threshold bucket by construction).
+    *
+    * The in-bucket window sorts one bucket's distinct values per group —
+    * bucketWidth tunes that: width ~ range/10⁴ keeps both the bucket
+    * spine and the residual sort thousands-sized at any data scale. */
+  def weightedPercentileBucketed(df: DataFrame, group: Column, v: Column,
+                                 weight: Column, q: Double = 0.5,
+                                 bucketWidth: Long = 10000L): DataFrame = {
+    require(q > 0 && q <= 1, "q must be in (0, 1]")
+    require(bucketWidth >= 1, "bucketWidth must be >= 1")
+    val W = org.apache.spark.sql.expressions.Window
+    val q4 = math.round(q * 1e4)
+    val rows = df.select(group.as("g"), v.cast("long").as("v"),
+        weight.cast("long").as("wt"))
+      .where(col("v").isNotNull && col("wt") > 0)
+      // floor division toward -inf so negative values bucket monotonically
+      // (SQL DIV truncates toward zero, which would interleave buckets)
+      .withColumn("bk", floor(col("v").cast("double") / lit(bucketWidth.toDouble)).cast("long"))
+    // phase 1: per-(group, bucket) weight, cumulative over the SMALL
+    // bucket spine, threshold bucket + weight accumulated before it
+    val byBk = rows.groupBy("g", "bk").agg(sum("wt").as("bw"))
+    val wCumB = W.partitionBy("g").orderBy("bk")
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val cum = byBk.withColumn("cum", sum("bw").over(wCumB))
+      .withColumn("tw", sum("bw").over(W.partitionBy("g")))
+    val thr = cum.where(col("cum") * 10000L >= lit(q4) * col("tw"))
+      .groupBy("g").agg(min_by(struct(col("bk"), col("cum"), col("bw")),
+        col("bk")).as("t"), max("tw").as("tw"))
+      .select(col("g"), col("t.bk").as("bk"),
+        (col("t.cum") - col("t.bw")).as("before"), col("tw"))
+    // phase 2: only the threshold bucket's rows re-aggregate per exact
+    // value; the in-bucket cumulative window sorts ONE bucket per group
+    val inBk = rows.join(broadcast(thr), Seq("g", "bk"))
+      .groupBy("g", "v", "before", "tw").agg(sum("wt").as("wt"))
+    val wCumV = W.partitionBy("g").orderBy("v")
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    inBk.withColumn("cum", col("before") + sum("wt").over(wCumV))
+      .where(col("cum") * 10000L >= lit(q4) * col("tw"))
+      .groupBy("g")
+      .agg(min("v").as("weighted_pctl"), max("tw").as("total_weight"))
+  }
 }

@@ -1203,13 +1203,18 @@ object StatQueries {
     * cross-doc duplication would add one), then two scalar counts meet
     * in a 1-row broadcast instead of a doc-keyed join-back. The train
     * side shuffles on the gram key, NOT broadcast — it is corpus-scale.
-    * Both sides join on the 8-byte xxhash64 FINGERPRINT of the 5-token
-    * window (hashed straight off the token-array slice — the gram
-    * string is never materialized): ~4× less shuffle than string keys,
-    * deterministic (a PASS at verify scale is stable), with the usual
-    * 64-bit-fingerprint caveat that a cross-gram collision could
-    * over-count one doc (~1e-9 at 10⁸ distinct grams; swap in
-    * [[Dedup.shingles]] string keys if that matters). */
+    * The split filters push below the gram projection (both derive from
+    * doc_id), so each branch hashes only its own split's windows — a
+    * single-pass groupBy-collect_set respelling was measured 2.3×
+    * SLOWER at sf0.1 (set-building per gram costs more than the
+    * semi-join it replaces). Both sides join on the 8-byte xxhash64
+    * FINGERPRINT of the 5-token window (hashed straight off the
+    * token-array slice — the gram string is never materialized):
+    * ~4× less shuffle than string keys, deterministic (a PASS at verify
+    * scale is stable), with the usual 64-bit-fingerprint caveat that a
+    * cross-gram collision could over-count one doc (~1e-9 at 10⁸
+    * distinct grams; swap in [[Dedup.shingles]] string keys if that
+    * matters). */
   private val q174 = QDef("q174_xsplit_contamination",
     (s, dir) => {
       val toks = split(col("text"), " ")
@@ -1854,7 +1859,11 @@ object StatQueries {
     * cumulative-weight threshold comparison runs entirely in integer
     * space (cum·10⁴ ≥ q4·W). */
   private val q188 = QDef("q188_weighted_median",
-    (s, dir) => Agg.weightedPercentile(
+    // bucketed two-phase form: the window form would sort ~600 k distinct
+    // price cents in 3 tasks (one per returnflag); phase 1's bucket spine
+    // is ~10³ rows and phase 2 sorts one $100 bucket per group. Answer is
+    // bit-identical, so the oracle keeps the simple window spelling.
+    (s, dir) => Agg.weightedPercentileBucketed(
       T(s, dir, "lineitem").select(col("l_returnflag"),
         expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("v"),
         col("l_quantity").cast("long").as("wt")),

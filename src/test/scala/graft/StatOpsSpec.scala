@@ -573,6 +573,24 @@ class StatOpsSpec extends SparkSpec {
     assert(p20.getLong(1) === 2L) // cum 2 of 10 reaches the 0.2 threshold
   }
 
+  test("weightedPercentileBucketed: bit-identical to the window form " +
+      "across widths, quantiles, negatives and bucket boundaries") {
+    // values straddle bucket boundaries (incl. negatives, where floor vs
+    // truncate-toward-zero division would misorder buckets) and carry
+    // skewed weights so thresholds land both mid-bucket and on edges
+    val rows = Seq(("a", -25L, 3L), ("a", -10L, 2L), ("a", 0L, 1L),
+      ("a", 9L, 4L), ("a", 10L, 5L), ("a", 37L, 1L),
+      ("b", 5L, 10L), ("b", 6L, 1L), ("c", 100L, 7L))
+    val df = rows.toDF("g", "v", "w")
+    for (q <- Seq(0.1, 0.5, 0.9, 1.0); w <- Seq(1L, 7L, 10L, 1000L)) {
+      val plain = Agg.weightedPercentile(df, col("g"), col("v"), col("w"), q)
+        .orderBy("g").collect().toSeq
+      val bucketed = Agg.weightedPercentileBucketed(df, col("g"), col("v"),
+        col("w"), q, bucketWidth = w).orderBy("g").collect().toSeq
+      assert(bucketed === plain, s"q=$q bucketWidth=$w")
+    }
+  }
+
   test("weightedPercentile: null values and non-positive weights are dropped") {
     // the clean rows alone give median 3 / total weight 10; a null value,
     // a zero weight and a negative weight must not shift either (Spark
