@@ -1,0 +1,230 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import Queries.QDef
+
+/** Evaluation / privacy / maintenance query batch (q191+): classifier
+  * readouts (exact AUC, precision-recall@k, calibration) over a
+  * customer-risk score, k-anonymity / l-diversity release profiling
+  * with a generalization ladder, and a size-budgeted compaction plan.
+  * Same oracle conventions as [[Queries]] (FIXTURES.md): integer
+  * quantization before every cross-row sum, one sealed round(,4)
+  * division per statistic, total ORDER BY.
+  *
+  * The shared (score, label) table for q191–q193: one unit per
+  * customer, score = lifetime spend in cents (0 for customers with no
+  * orders — the LEFT join keeps them, they are exactly the units a
+  * naive inner join would silently drop), label = account balance
+  * below zero. "Does spend rank delinquent accounts first?" is the
+  * offline-eval shape; the metrics don't care that the fixture's
+  * answer is "barely".
+  */
+object EvalQueries {
+  private def T(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Tables.t(s, dir, n)
+
+  /** (id, s = spend cents, y = acctbal<0) per customer — the unit table
+    * q191–q193 share. */
+  private def scoredUnits(s: org.apache.spark.sql.SparkSession,
+                          dir: String): org.apache.spark.sql.DataFrame = {
+    val spend = T(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+        .as("cents"))
+    T(s, dir, "customer")
+      .select(col("c_custkey").as("id"),
+        when(col("c_acctbal") < 0, 1L).otherwise(0L).as("y"))
+      .join(spend, col("id") === col("o_custkey"), "left")
+      .select(col("id"), col("y"), coalesce(col("cents"), lit(0L)).as("s"))
+  }
+
+  private val unitsSql =
+    """sp AS (SELECT o_custkey AS ck,
+      |        CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+      |          AS BIGINT) AS cents
+      |      FROM orders GROUP BY 1),
+      |u AS (SELECT c_custkey AS id,
+      |        CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS y,
+      |        coalesce(cents, 0) AS s
+      |      FROM customer LEFT JOIN sp ON c_custkey = ck)""".stripMargin
+
+  /** [[RankEval.aucRoc]]: exact Mann-Whitney AUC with average-rank tie
+    * handling, integer rank sums end to end, one sealed division. */
+  private val q191 = QDef("q191_auc_roc",
+    (s, dir) => RankEval.aucRoc(scoredUnits(s, dir), col("s"), col("y"))
+      .orderBy("n_pos"),
+    Some(s"""WITH $unitsSql,
+      |bs AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(y) AS BIGINT) AS np FROM u GROUP BY 1),
+      |c AS (SELECT n, np, CAST(sum(n) OVER (ORDER BY s ROWS BETWEEN
+      |         UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |      FROM bs),
+      |t AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+      |        CAST(sum(n - np) AS BIGINT) AS n_neg,
+      |        CAST(sum(np * (2 * cum - n + 1)) AS BIGINT) AS r2p FROM c)
+      |SELECT n_pos, n_neg,
+      |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+      |    round(CAST(r2p - n_pos * (n_pos + 1) AS DOUBLE)
+      |      / (2.0 * n_pos * n_neg), 4) END AS auc
+      |FROM t ORDER BY n_pos""".stripMargin))
+
+  /** [[RankEval.topkMetrics]] at k = 10/50/100, c_custkey tie-break. */
+  private val q192 = QDef("q192_topk_precision_recall",
+    (s, dir) => RankEval.topkMetrics(scoredUnits(s, dir), col("s"),
+      col("y"), col("id"), Seq(10, 50, 100))
+      .withColumnRenamed("precision", "prec"),
+    Some(s"""WITH $unitsSql,
+      |r AS (SELECT id, y, s, CAST(row_number() OVER
+      |        (ORDER BY s DESC, id) AS BIGINT) AS rk FROM u),
+      |np AS (SELECT CAST(sum(y) AS BIGINT) AS npt FROM u),
+      |ks AS (SELECT CAST(k AS BIGINT) AS k
+      |       FROM (VALUES (10), (50), (100)) t(k)),
+      |m AS (SELECT k, CAST(sum(y) AS BIGINT) AS n_pos_topk
+      |      FROM r JOIN ks ON rk <= k GROUP BY 1)
+      |SELECT k, n_pos_topk,
+      |  round(CAST(n_pos_topk AS DOUBLE) / k, 4) AS prec,
+      |  CASE WHEN npt > 0 THEN
+      |    round(CAST(n_pos_topk AS DOUBLE) / npt, 4) END AS recall
+      |FROM m CROSS JOIN np ORDER BY k""".stripMargin))
+
+  /** [[RankEval.calibrationBins]]: decile calibration table — equal-size
+    * ntile bins under the same deterministic (score desc, id) order in
+    * both engines. */
+  private val q193 = QDef("q193_calibration_bins",
+    (s, dir) => RankEval.calibrationBins(scoredUnits(s, dir), col("s"),
+      col("y"), col("id"), bins = 10),
+    Some(s"""WITH $unitsSql,
+      |b AS (SELECT CAST(ntile(10) OVER (ORDER BY s DESC, id) AS BIGINT)
+      |          AS bin, y, s FROM u)
+      |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(y) AS BIGINT) AS n_pos,
+      |  round(CAST(sum(y) AS DOUBLE) / count(*), 4) AS pos_rate,
+      |  round(CAST(sum(s) AS DOUBLE) / count(*), 4) AS mean_score
+      |FROM b GROUP BY 1 ORDER BY bin""".stripMargin))
+
+  /** Quasi-identifier set for the release-audit queries: nation ×
+    * market segment × $1000 account-balance band — floor division, so
+    * negative balances band monotonically in both engines. */
+  private def custBand = floor(col("c_acctbal") / 1000.0).cast("long")
+  private val bandSql = "CAST(floor(c_acctbal / 1000.0) AS BIGINT)"
+
+  /** [[Privacy.kAnonymityReport]] at k=5 over (nation, segment, band):
+    * one QI-keyed aggregation + a report-row re-aggregation. */
+  private val q194 = QDef("q194_k_anonymity",
+    (s, dir) => Privacy.kAnonymityReport(T(s, dir, "customer"),
+      Seq("nat" -> col("c_nationkey"), "seg" -> col("c_mktsegment"),
+        "band" -> custBand), k = 5L)
+      .orderBy("n_rows"),
+    Some(s"""WITH g AS (SELECT c_nationkey, c_mktsegment,
+      |        $bandSql AS band, CAST(count(*) AS BIGINT) AS n
+      |      FROM customer GROUP BY 1, 2, 3)
+      |SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+      |  CAST(count(*) AS BIGINT) AS n_groups,
+      |  CAST(min(n) AS BIGINT) AS min_group_size,
+      |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_violating,
+      |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+      |    AS rows_at_risk,
+      |  round(CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
+      |    / sum(n), 4) AS at_risk_share
+      |FROM g ORDER BY n_rows""".stripMargin))
+
+  /** [[Privacy.lDiversityReport]] at l=4 over (nation, segment) with the
+    * balance band as the sensitive attribute: flags QI groups whose
+    * sensitive values are too uniform even when the group is large. */
+  private val q195 = QDef("q195_l_diversity",
+    (s, dir) => Privacy.lDiversityReport(T(s, dir, "customer"),
+      Seq("nat" -> col("c_nationkey"), "seg" -> col("c_mktsegment")),
+      custBand, l = 4L)
+      .orderBy("n_groups"),
+    Some(s"""WITH g AS (SELECT c_nationkey, c_mktsegment,
+      |        CAST(count(*) AS BIGINT) AS n,
+      |        CAST(count(DISTINCT $bandSql) AS BIGINT) AS ndv
+      |      FROM customer GROUP BY 1, 2)
+      |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+      |  CAST(min(ndv) AS BIGINT) AS min_diversity,
+      |  CAST(sum(CASE WHEN ndv < 4 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_low_diversity,
+      |  CAST(sum(CASE WHEN ndv < 4 THEN n ELSE 0 END) AS BIGINT)
+      |    AS rows_in_low
+      |FROM g ORDER BY n_groups""".stripMargin))
+
+  /** [[Privacy.generalizationLadder]]: the k=5 anonymity profile at
+    * three QI coarsenings — full (nation, segment, band), drop the band,
+    * then coarsen nation to region (broadcast of the 25-row nation
+    * table). The reviewer's pick-the-level table. */
+  private val q196 = QDef("q196_generalization_ladder",
+    (s, dir) => {
+      val c = T(s, dir, "customer").join(
+        broadcast(T(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      Privacy.generalizationLadder(c, Seq(
+        "l0_nat_seg_band" -> Seq("nat" -> col("c_nationkey"),
+          "seg" -> col("c_mktsegment"), "band" -> custBand),
+        "l1_nat_seg" -> Seq("nat" -> col("c_nationkey"),
+          "seg" -> col("c_mktsegment")),
+        "l2_region_seg" -> Seq("reg" -> col("n_regionkey"),
+          "seg" -> col("c_mktsegment"))), k = 5L)
+        .orderBy("level")
+    },
+    Some(s"""WITH c AS (SELECT c_nationkey, c_mktsegment,
+      |        $bandSql AS band, n_regionkey
+      |      FROM customer JOIN nation ON c_nationkey = n_nationkey),
+      |g0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c
+      |       GROUP BY c_nationkey, c_mktsegment, band),
+      |g1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c
+      |       GROUP BY c_nationkey, c_mktsegment),
+      |g2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c
+      |       GROUP BY n_regionkey, c_mktsegment),
+      |r0 AS (SELECT 'l0_nat_seg_band' AS level, CAST(sum(n) AS BIGINT)
+      |         AS n_rows, CAST(count(*) AS BIGINT) AS n_groups,
+      |        CAST(min(n) AS BIGINT) AS min_group_size,
+      |        CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS n_violating,
+      |        CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+      |          AS rows_at_risk,
+      |        round(CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END)
+      |          AS DOUBLE) / sum(n), 4) AS at_risk_share FROM g0),
+      |r1 AS (SELECT 'l1_nat_seg', CAST(sum(n) AS BIGINT),
+      |        CAST(count(*) AS BIGINT), CAST(min(n) AS BIGINT),
+      |        CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT),
+      |        CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT),
+      |        round(CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END)
+      |          AS DOUBLE) / sum(n), 4) FROM g1),
+      |r2 AS (SELECT 'l2_region_seg', CAST(sum(n) AS BIGINT),
+      |        CAST(count(*) AS BIGINT), CAST(min(n) AS BIGINT),
+      |        CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT),
+      |        CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT),
+      |        round(CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END)
+      |          AS DOUBLE) / sum(n), 4) FROM g2)
+      |SELECT * FROM r0 UNION ALL SELECT * FROM r1
+      |UNION ALL SELECT * FROM r2 ORDER BY level""".stripMargin))
+
+  /** [[Layout.compactionPlan]]: pack the per-day order counts into
+    * 500-row bins next-fit by date — the "merge small date partitions"
+    * maintenance work list. The window runs over the ~2400-day spine,
+    * never the raw rows. */
+  private val q197 = QDef("q197_compaction_plan",
+    (s, dir) => Layout.compactionPlan(
+      T(s, dir, "orders").select(
+        datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
+          .cast("long").as("d")),
+      col("d"), lit(1L), budget = 500L),
+    Some("""WITH pu AS (SELECT date_diff('day', DATE '1970-01-01',
+      |          CAST(o_orderdate AS DATE)) AS u,
+      |        CAST(count(*) AS BIGINT) AS sz
+      |      FROM orders GROUP BY 1),
+      |c AS (SELECT u, sz, CAST(sum(sz) OVER (ORDER BY u ROWS BETWEEN
+      |         UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |      FROM pu),
+      |b AS (SELECT u, sz, CAST(floor(CAST(cum - sz AS DOUBLE) / 500.0)
+      |          AS BIGINT) AS bin FROM c)
+      |SELECT bin, CAST(count(*) AS BIGINT) AS n_units,
+      |  CAST(sum(sz) AS BIGINT) AS total_size,
+      |  CAST(min(u) AS BIGINT) AS first_unit,
+      |  CAST(max(u) AS BIGINT) AS last_unit
+      |FROM b GROUP BY 1 ORDER BY bin""".stripMargin))
+
+  def all: Seq[QDef] = Seq(q191, q192, q193, q194, q195, q196, q197)
+}

@@ -39,4 +39,37 @@ object Layout {
       s"((($xm >> $i) & 1) << ${2 * i}) | ((($ym >> $i) & 1) << ${2 * i + 1})"
     }.mkString("(", " | ", ")")
   }
+
+  /** Size-budgeted sequential compaction plan — the table-maintenance
+    * planner behind "merge these small files/partitions into
+    * target-sized groups": units (files, date partitions) ordered by
+    * `unit` are packed next-fit into bins of ~`budget` total size, by
+    * assigning each unit to bin = floor(cumulative-size-before / budget).
+    * Deterministic and one-pass (no driver loop); a unit larger than the
+    * budget gets its own overflowing bin, the standard next-fit
+    * behavior. Emits per bin: n_units, total size, first/last unit — the
+    * work list a compaction job executes.
+    *
+    * Scale shape: one aggregation to unit granularity (unit cardinality
+    * ≪ rows — days, files), one ordering window over THAT spine, one
+    * bin-keyed re-aggregation. The window is a global sort of the unit
+    * spine only; raw rows never sort. */
+  def compactionPlan(df: org.apache.spark.sql.DataFrame, unit: Column,
+                     size: Column, budget: Long): org.apache.spark.sql.DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    val W = org.apache.spark.sql.expressions.Window
+    val perUnit = df.select(unit.as("u"), size.cast("long").as("sz"))
+      .where(col("u").isNotNull)
+      .groupBy("u").agg(sum("sz").as("sz"))
+    val wCum = W.orderBy("u")
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    perUnit.withColumn("cum", sum("sz").over(wCum))
+      .select(col("u"), col("sz"),
+        floor((col("cum") - col("sz")).cast("double") / lit(budget.toDouble))
+          .cast("long").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_units"), sum("sz").as("total_size"),
+        min("u").as("first_unit"), max("u").as("last_unit"))
+      .orderBy("bin")
+  }
 }

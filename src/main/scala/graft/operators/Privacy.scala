@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Privacy-risk profiling before a dataset leaves the pipeline —
+  * k-anonymity (Sweeney 2002) and l-diversity (Machanavalingam et al.
+  * 2007) over quasi-identifier (QI) column sets, plus the
+  * generalization ladder that shows how coarsening the QIs trades
+  * information for anonymity.
+  *
+  * Scale shape: everything is ONE hash aggregation keyed by the QI
+  * tuple (the shuffle key a release audit needs anyway) followed by a
+  * report-sized re-aggregation — no windows, no joins, no per-group
+  * sort. Group counts and distinct-sensitive counts are exact integer
+  * aggregations; the only doubles are final report ratios sealed with
+  * round(,4) (FIXTURES.md). NULL QI values form their own group in
+  * both engines (GROUP BY keeps the null tuple), so a null-laden
+  * column honestly shows up as one big low-risk group rather than
+  * silently vanishing.
+  */
+object Privacy {
+
+  /** Per-QI-group row counts: (qi..., n) — the base table both reports
+    * re-aggregate. Exposed so callers can also list/suppress the
+    * violating groups themselves. */
+  def qiGroups(df: DataFrame, qi: Seq[(String, Column)]): DataFrame =
+    df.select(qi.map { case (n, c) => c.as(n) }: _*)
+      .groupBy(qi.map(q => col(q._1)): _*)
+      .agg(count(lit(1)).as("n"))
+
+  /** One-row k-anonymity report: a release is k-anonymous iff every QI
+    * group holds ≥ k rows. Emits (n_rows, n_groups, min_group_size,
+    * n_violating = groups under k, rows_at_risk = rows in them,
+    * at_risk_share). */
+  def kAnonymityReport(df: DataFrame, qi: Seq[(String, Column)],
+                       k: Long): DataFrame = {
+    require(k >= 2, "k must be >= 2 (k=1 is vacuous)")
+    qiGroups(df, qi)
+      .agg(sum("n").as("n_rows"), count(lit(1)).as("n_groups"),
+        min("n").as("min_group_size"),
+        sum(when(col("n") < k, 1L).otherwise(0L)).as("n_violating"),
+        sum(when(col("n") < k, col("n")).otherwise(0L)).as("rows_at_risk"))
+      .select(col("n_rows"), col("n_groups"), col("min_group_size"),
+        col("n_violating"), col("rows_at_risk"),
+        round(col("rows_at_risk").cast("double") / col("n_rows"), 4)
+          .as("at_risk_share"))
+  }
+
+  /** One-row l-diversity report: k-anonymity alone still leaks when a
+    * small group is UNIFORM in the sensitive attribute — l-diversity
+    * requires ≥ l distinct sensitive values per QI group. Emits
+    * (n_groups, min_diversity, n_low_diversity = groups under l,
+    * rows_in_low = rows in them). */
+  def lDiversityReport(df: DataFrame, qi: Seq[(String, Column)],
+                       sensitive: Column, l: Long): DataFrame = {
+    require(l >= 2, "l must be >= 2")
+    val g = df.select(qi.map { case (n, c) => c.as(n) } :+
+        sensitive.as("__sv"): _*)
+      .groupBy(qi.map(q => col(q._1)): _*)
+      .agg(count(lit(1)).as("n"), countDistinct(col("__sv")).as("ndv"))
+    g.agg(count(lit(1)).as("n_groups"), min("ndv").as("min_diversity"),
+      sum(when(col("ndv") < l, 1L).otherwise(0L)).as("n_low_diversity"),
+      sum(when(col("ndv") < l, col("n")).otherwise(0L)).as("rows_in_low"))
+  }
+
+  /** Generalization ladder: the [[kAnonymityReport]] at each QI
+    * coarsening level, stacked — the table a release reviewer reads to
+    * pick the least-general level that clears the k bar. Levels are
+    * evaluated independently (each is its own QI-keyed aggregation —
+    * level coverage differs, so nothing is shared) and union by name
+    * with the level tag first. */
+  def generalizationLadder(df: DataFrame,
+                           levels: Seq[(String, Seq[(String, Column)])],
+                           k: Long): DataFrame = {
+    require(levels.nonEmpty, "need at least one generalization level")
+    levels.map { case (tag, qi) =>
+      kAnonymityReport(df, qi, k).select(lit(tag).as("level"), col("*"))
+    }.reduce(_.unionByName(_))
+  }
+}

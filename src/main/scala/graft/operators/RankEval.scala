@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranking / classifier evaluation over (score, label) unit tables — the
+  * offline-eval counterpart to the experimentation family ([[Trend]]
+  * z-test/CUPED/MDE): once a model scores every unit, these are the
+  * standard readouts of "does the score actually rank positives first?".
+  *
+  * All three operators share the determinism recipe: scores and labels
+  * are integers (callers quantize — cents, counts), every cross-row
+  * reduction is an exact integer sum, and each output statistic is ONE
+  * final division sealed with round(,4) (FIXTURES.md).
+  *
+  * Scale shape: the score spine (distinct score values / ranked units)
+  * is what sorts, never raw events. [[aucRoc]] sorts the DISTINCT-score
+  * table in one global ordering window — fine to ~10⁷ distinct scores;
+  * past that, pre-bucket the cumulative pass exactly like
+  * [[Agg.weightedPercentileBucketed]] (the same monotone-threshold
+  * trick applies to rank sums bucket by bucket). [[topkMetrics]] /
+  * [[calibrationBins]] rank the UNIT table; at 10⁹ units swap the
+  * row_number window for a TakeOrdered top-k resp. pre-computed
+  * cut-point joins (the q141 quartile device).
+  */
+object RankEval {
+
+  /** Exact ROC AUC via the Mann-Whitney rank-sum with average-rank tie
+    * handling: AUC = (R⁺ − n₊(n₊+1)/2) / (n₊·n₋), R⁺ = Σ over positives
+    * of their average rank under ascending score. Computed per DISTINCT
+    * score value (n, n_pos, cumulative count), where the tie group's
+    * doubled average rank 2·r̄ = 2·cum − n + 1 keeps everything in
+    * longs; one row out: (n_pos, n_neg, auc). Degenerate inputs (no
+    * positives or no negatives) yield SQL NULL, not ±Inf/NaN — the
+    * t-test/z-test convention. */
+  def aucRoc(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val byS = df.select(score.cast("long").as("s"),
+        label.cast("long").as("y"))
+      .where(col("s").isNotNull && col("y").isNotNull)
+      .groupBy("s").agg(count(lit(1)).as("n"), sum("y").as("np"))
+    val w = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // 2·(sum of positive average ranks): tie group ending at cumulative
+    // rank `cum` with n members spans ranks (cum−n+1)..cum, so its
+    // average rank doubled is 2·cum − n + 1 — integer arithmetic only
+    val terms = byS.withColumn("cum", sum("n").over(w))
+      .select(col("n"), col("np"),
+        (col("np") * (lit(2L) * col("cum") - col("n") + 1L)).as("r2"))
+    terms.agg(sum("np").as("n_pos"), sum(col("n") - col("np")).as("n_neg"),
+        sum("r2").as("r2p"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round((col("r2p") - col("n_pos") * (col("n_pos") + 1L))
+            .cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg")), 4)).as("auc"))
+  }
+
+  /** Precision / recall at each cutoff in `ks`, ranking units by score
+    * desc with `tie` as the deterministic tie-break (both engines sort
+    * identically, so rank-k boundaries match exactly). One ordering
+    * window + one explode: each ranked unit fans out to the cutoffs it
+    * belongs to, then a k-keyed aggregation counts positives — no
+    * per-k re-sort. Output: (k, n_pos_topk, precision, recall). */
+  def topkMetrics(df: DataFrame, score: Column, label: Column, tie: Column,
+                  ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), "cutoffs must be >= 1")
+    val w = Window.orderBy(desc("s"), col("id"))
+    val ranked = df.select(score.cast("long").as("s"),
+        label.cast("long").as("y"), tie.as("id"))
+      .withColumn("rk", row_number().over(w))
+    val nPos = ranked.agg(sum("y").as("npt"))
+    ranked
+      .select(col("y"), col("rk"), explode(array(ks.map(k =>
+        lit(k.toLong)): _*)).as("k"))
+      .where(col("rk") <= col("k"))
+      .groupBy("k").agg(sum("y").as("n_pos_topk"))
+      .crossJoin(broadcast(nPos))
+      .select(col("k"), col("n_pos_topk"),
+        round(col("n_pos_topk").cast("double") / col("k"), 4)
+          .as("precision"),
+        when(col("npt") > 0,
+          round(col("n_pos_topk").cast("double") / col("npt"), 4))
+          .as("recall"))
+      .orderBy("k")
+  }
+
+  /** Calibration table: units ranked by score desc (tie-broken) split
+    * into `bins` equal-size ntile bins; per bin the positive rate and
+    * the mean score (exact integer sum, one sealed division). A
+    * well-calibrated score has pos_rate tracking mean_score; a ranking
+    * that inverts anywhere shows a non-monotone pos_rate column. */
+  def calibrationBins(df: DataFrame, score: Column, label: Column,
+                      tie: Column, bins: Int = 10): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    val w = Window.orderBy(desc("s"), col("id"))
+    df.select(score.cast("long").as("s"), label.cast("long").as("y"),
+        tie.as("id"))
+      .withColumn("bin", ntile(bins).over(w).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
+        sum("s").as("ssum"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n"), 4).as("pos_rate"),
+        round(col("ssum").cast("double") / col("n"), 4).as("mean_score"))
+      .orderBy("bin")
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Unit pins for the round-7 evaluation/privacy/maintenance operators
+  * (q191–q197): exact AUC, top-k precision/recall, calibration bins,
+  * k-anonymity / l-diversity reports, generalization ladder, compaction
+  * planning. Crafted inputs with hand-checkable answers.
+  */
+class EvalPrivacySpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- AUC
+
+  test("aucRoc: perfect, inverted, tied and degenerate rankings") {
+    // perfect separation: every positive scores above every negative
+    val perfect = Seq((10L, 1L), (9L, 1L), (2L, 0L), (1L, 0L)).toDF("s", "y")
+    val p = RankEval.aucRoc(perfect, col("s"), col("y")).collect().head
+    assert((p.getLong(0), p.getLong(1), p.getDouble(2)) === (2L, 2L, 1.0))
+    // inverted: AUC 0
+    val inv = Seq((10L, 0L), (9L, 0L), (2L, 1L), (1L, 1L)).toDF("s", "y")
+    assert(RankEval.aucRoc(inv, col("s"), col("y"))
+      .collect().head.getDouble(2) === 0.0)
+    // everyone tied on one score: average-rank handling gives exactly 0.5
+    val tied = Seq((5L, 1L), (5L, 0L), (5L, 1L), (5L, 0L)).toDF("s", "y")
+    assert(RankEval.aucRoc(tied, col("s"), col("y"))
+      .collect().head.getDouble(2) === 0.5)
+    // one positive between two negatives: concordant 1, discordant 1
+    val mid = Seq((3L, 0L), (2L, 1L), (1L, 0L)).toDF("s", "y")
+    assert(RankEval.aucRoc(mid, col("s"), col("y"))
+      .collect().head.getDouble(2) === 0.5)
+    // degenerate (no negatives): SQL NULL, not Inf/NaN
+    val allPos = Seq((3L, 1L), (2L, 1L)).toDF("s", "y")
+    assert(RankEval.aucRoc(allPos, col("s"), col("y"))
+      .collect().head.isNullAt(2))
+  }
+
+  // ------------------------------------------------------ top-k metrics
+
+  test("topkMetrics: hand-checked cutoffs with deterministic tie-break") {
+    // ranked by (s desc, id): ids 4(s=9,y=1), 1(s=8,y=0), 3(s=8,y=1),
+    // 2(s=5,y=1), 5(s=1,y=0) — id 1 before id 3 on the s=8 tie
+    val df = Seq((1L, 8L, 0L), (2L, 5L, 1L), (3L, 8L, 1L),
+      (4L, 9L, 1L), (5L, 1L, 0L)).toDF("id", "s", "y")
+    val out = RankEval.topkMetrics(df, col("s"), col("y"), col("id"),
+        Seq(1, 3)).as[(Long, Long, Double, Double)].collect().toSeq
+    // k=1: top is id4 (pos) -> prec 1.0, recall 1/3
+    // k=3: ids 4,1,3 -> 2 pos -> prec 0.6667, recall 2/3
+    assert(out === Seq((1L, 1L, 1.0, 0.3333), (3L, 2L, 0.6667, 0.6667)))
+  }
+
+  test("calibrationBins: equal-size bins, per-bin rate and mean score") {
+    // 6 units into 3 bins of 2 under (s desc, id): bin1 = s 60,50;
+    // bin2 = s 40,30; bin3 = s 20,10
+    val df = Seq((1L, 60L, 1L), (2L, 50L, 1L), (3L, 40L, 1L),
+      (4L, 30L, 0L), (5L, 20L, 0L), (6L, 10L, 0L)).toDF("id", "s", "y")
+    val out = RankEval.calibrationBins(df, col("s"), col("y"), col("id"),
+        bins = 3).as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(out === Seq((1L, 2L, 2L, 1.0, 55.0), (2L, 2L, 1L, 0.5, 35.0),
+      (3L, 2L, 0L, 0.0, 15.0)))
+  }
+
+  // ------------------------------------------------------------ privacy
+
+  test("kAnonymityReport: violating groups, rows at risk, share") {
+    // groups: (a,x)x5 ok, (a,y)x2 violating, (b,x)x1 violating at k=3
+    val df = (Seq.fill(5)(("a", "x")) ++ Seq.fill(2)(("a", "y")) ++
+      Seq(("b", "x"))).toDF("q1", "q2")
+    val r = Privacy.kAnonymityReport(df,
+      Seq("q1" -> col("q1"), "q2" -> col("q2")), k = 3L).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getDouble(5)) === (8L, 3L, 1L, 2L, 3L, 0.375))
+  }
+
+  test("lDiversityReport: uniform sensitive values flag a large group") {
+    // group a: 4 rows but only 1 distinct sensitive value (uniform —
+    // the k-anonymity blind spot); group b: 2 rows, 2 distinct
+    val df = (Seq.fill(4)(("a", "s1")) ++ Seq(("b", "s1"), ("b", "s2")))
+      .toDF("q", "sv")
+    val r = Privacy.lDiversityReport(df, Seq("q" -> col("q")), col("sv"),
+      l = 2L).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      (2L, 1L, 1L, 4L))
+  }
+
+  test("generalizationLadder: coarser levels strictly reduce rows at risk") {
+    val df = (Seq.fill(5)(("n1", "r1", "x")) ++ Seq.fill(2)(("n2", "r1", "x"))
+      ++ Seq(("n3", "r1", "x"))).toDF("nat", "reg", "seg")
+    val out = Privacy.generalizationLadder(df, Seq(
+        "l0" -> Seq("nat" -> col("nat"), "seg" -> col("seg")),
+        "l1" -> Seq("reg" -> col("reg"), "seg" -> col("seg"))), k = 3L)
+      .orderBy("level").collect()
+    // l0: groups 5/2/1 -> 2 violating, 3 rows at risk; l1: one group of 8
+    assert((out(0).getString(0), out(0).getLong(4), out(0).getLong(5)) ===
+      ("l0", 2L, 3L))
+    assert((out(1).getString(0), out(1).getLong(4), out(1).getLong(5)) ===
+      ("l1", 0L, 0L))
+  }
+
+  // --------------------------------------------------------- compaction
+
+  test("compactionPlan: next-fit bins by cumulative size, oversize unit") {
+    // per-unit sizes: day1=300, day2=300, day3=700 (oversize), day4=100
+    // budget 500: cumBefore 0,300,600,1300 -> bins 0,0,1,2
+    val rows = Seq.fill(3)((1L, 100L)) ++ Seq((2L, 300L)) ++
+      Seq((3L, 700L)) ++ Seq((4L, 100L))
+    val out = Layout.compactionPlan(rows.toDF("d", "sz"), col("d"),
+        col("sz"), budget = 500L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((0L, 2L, 600L, 1L, 2L), (1L, 1L, 700L, 3L, 3L),
+      (2L, 1L, 100L, 4L, 4L)))
+  }
+}
