@@ -226,5 +226,135 @@ object EvalQueries {
       |  CAST(max(u) AS BIGINT) AS last_unit
       |FROM b GROUP BY 1 ORDER BY bin""".stripMargin))
 
-  def all: Seq[QDef] = Seq(q191, q192, q193, q194, q195, q196, q197)
+  /** [[Expectations.refIntegrityCheck]] across every star-schema edge —
+    * the release-gate referential audit: six anti-join counts, each
+    * keyed by its fk (dimension keysets broadcast; the two lineitem fact
+    * checks shuffle the fact side once each). */
+  private val q198 = QDef("q198_fk_audit",
+    (s, dir) => {
+      import Expectations.refIntegrityCheck
+      val li = T(s, dir, "lineitem")
+      val o = T(s, dir, "orders")
+      Expectations.report(
+        refIntegrityCheck(li, "lineitem_orderkey", col("l_orderkey"),
+          o, col("o_orderkey")),
+        refIntegrityCheck(li, "lineitem_partkey", col("l_partkey"),
+          T(s, dir, "part"), col("p_partkey")),
+        refIntegrityCheck(li, "lineitem_suppkey", col("l_suppkey"),
+          T(s, dir, "supplier"), col("s_suppkey")),
+        refIntegrityCheck(o, "orders_custkey", col("o_custkey"),
+          T(s, dir, "customer"), col("c_custkey")),
+        refIntegrityCheck(T(s, dir, "customer"), "customer_nationkey",
+          col("c_nationkey"), T(s, dir, "nation"), col("n_nationkey")),
+        refIntegrityCheck(T(s, dir, "nation"), "nation_regionkey",
+          col("n_regionkey"), T(s, dir, "region"), col("r_regionkey")))
+        .orderBy("check_name")
+    },
+    Some("""WITH checks AS (
+      |  SELECT 'lineitem_orderkey' AS check_name, CAST(count(*) AS BIGINT)
+      |      AS n_violations
+      |    FROM lineitem WHERE NOT EXISTS
+      |      (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+      |  UNION ALL SELECT 'lineitem_partkey', CAST(count(*) AS BIGINT)
+      |    FROM lineitem WHERE NOT EXISTS
+      |      (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+      |  UNION ALL SELECT 'lineitem_suppkey', CAST(count(*) AS BIGINT)
+      |    FROM lineitem WHERE NOT EXISTS
+      |      (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey)
+      |  UNION ALL SELECT 'orders_custkey', CAST(count(*) AS BIGINT)
+      |    FROM orders WHERE NOT EXISTS
+      |      (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+      |  UNION ALL SELECT 'customer_nationkey', CAST(count(*) AS BIGINT)
+      |    FROM customer WHERE NOT EXISTS
+      |      (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey)
+      |  UNION ALL SELECT 'nation_regionkey', CAST(count(*) AS BIGINT)
+      |    FROM nation WHERE NOT EXISTS
+      |      (SELECT 1 FROM region WHERE r_regionkey = n_regionkey))
+      |SELECT check_name, n_violations,
+      |  CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+      |FROM checks ORDER BY check_name""".stripMargin))
+
+  /** [[Profile.columnProfile]] over lineitem's numeric columns (currency
+    * quantized to integer cents/percents first): one expand-aggregation,
+    * row-per-column report. */
+  private val q199 = QDef("q199_column_profile",
+    (s, dir) => Profile.columnProfile(T(s, dir, "lineitem"), Seq(
+      "qty" -> col("l_quantity"),
+      "price_cents" -> expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)"),
+      "discount_pct" -> expr("CAST(round(l_discount * 100, 0) AS BIGINT)"),
+      "tax_pct" -> expr("CAST(round(l_tax * 100, 0) AS BIGINT)")))
+      .orderBy("column_name"),
+    Some("""WITH b AS (SELECT CAST(l_quantity AS DOUBLE) AS qty,
+      |        CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+      |          AS DOUBLE) AS price_cents,
+      |        CAST(CAST(round(l_discount * 100, 0) AS BIGINT) AS DOUBLE)
+      |          AS discount_pct,
+      |        CAST(CAST(round(l_tax * 100, 0) AS BIGINT) AS DOUBLE)
+      |          AS tax_pct
+      |      FROM lineitem)
+      |SELECT 'qty' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(count(*) - count(qty) AS BIGINT) AS n_null,
+      |    CAST(count(DISTINCT qty) AS BIGINT) AS ndv,
+      |    min(qty) AS min_v, max(qty) AS max_v FROM b
+      |UNION ALL SELECT 'price_cents', CAST(count(*) AS BIGINT),
+      |    CAST(count(*) - count(price_cents) AS BIGINT),
+      |    CAST(count(DISTINCT price_cents) AS BIGINT),
+      |    min(price_cents), max(price_cents) FROM b
+      |UNION ALL SELECT 'discount_pct', CAST(count(*) AS BIGINT),
+      |    CAST(count(*) - count(discount_pct) AS BIGINT),
+      |    CAST(count(DISTINCT discount_pct) AS BIGINT),
+      |    min(discount_pct), max(discount_pct) FROM b
+      |UNION ALL SELECT 'tax_pct', CAST(count(*) AS BIGINT),
+      |    CAST(count(*) - count(tax_pct) AS BIGINT),
+      |    CAST(count(DISTINCT tax_pct) AS BIGINT),
+      |    min(tax_pct), max(tax_pct) FROM b
+      |ORDER BY column_name""".stripMargin))
+
+  /** [[RankEval.aucRocBy]]: the q191 readout per market segment — the
+    * "is the score fair across cohorts?" slice; group-partitioned
+    * windows parallelize the spine sort. */
+  private val q200 = QDef("q200_group_auc",
+    (s, dir) => {
+      val spend = T(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+          .as("cents"))
+      val u = T(s, dir, "customer")
+        .select(col("c_custkey").as("id"), col("c_mktsegment").as("seg"),
+          when(col("c_acctbal") < 0, 1L).otherwise(0L).as("y"))
+        .join(spend, col("id") === col("o_custkey"), "left")
+        .select(col("seg"), col("y"),
+          coalesce(col("cents"), lit(0L)).as("s"))
+      RankEval.aucRocBy(u, col("seg"), col("s"), col("y"))
+        .withColumnRenamed("g", "segment").orderBy("segment")
+    },
+    Some(s"""WITH $unitsSql,
+      |us AS (SELECT c_mktsegment AS seg, y, s
+      |       FROM u JOIN customer ON id = c_custkey),
+      |bs AS (SELECT seg, s, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(y) AS BIGINT) AS np FROM us GROUP BY 1, 2),
+      |c AS (SELECT seg, n, np, CAST(sum(n) OVER (PARTITION BY seg
+      |         ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+      |         ROW) AS BIGINT) AS cum FROM bs),
+      |t AS (SELECT seg, CAST(sum(np) AS BIGINT) AS n_pos,
+      |        CAST(sum(n - np) AS BIGINT) AS n_neg,
+      |        CAST(sum(np * (2 * cum - n + 1)) AS BIGINT) AS r2p
+      |      FROM c GROUP BY 1)
+      |SELECT seg AS segment, n_pos, n_neg,
+      |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+      |    round(CAST(r2p - n_pos * (n_pos + 1) AS DOUBLE)
+      |      / (2.0 * n_pos * n_neg), 4) END AS auc
+      |FROM t ORDER BY segment""".stripMargin))
+
+  /** [[RankEval.aucRocBucketed]]: q191's scale twin (the q26/q60
+    * convention) — identical answer, but the cumulative rank pass is a
+    * bucket-spine prefix + bucket-partitioned windows instead of one
+    * global single-task sort. Oracle = q191's SQL verbatim. */
+  private val q201 = QDef("q201_auc_bucketed",
+    (s, dir) => RankEval.aucRocBucketed(scoredUnits(s, dir), col("s"),
+      col("y"), bucketWidth = 100000L).orderBy("n_pos"),
+    q191.oracle)
+
+  def all: Seq[QDef] = Seq(q191, q192, q193, q194, q195, q196, q197,
+    q198, q199, q200, q201)
 }

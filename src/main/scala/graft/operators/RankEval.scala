@@ -56,6 +56,72 @@ object RankEval {
             (lit(2.0) * col("n_pos") * col("n_neg")), 4)).as("auc"))
   }
 
+  /** Per-group [[aucRoc]]: one row (g, n_pos, n_neg, auc) per group key.
+    * Same integer rank-sum arithmetic; the ordering windows partition by
+    * group, so the score-spine sort parallelizes across groups (the
+    * segment/cohort readout shape — each group's spine sorts in its own
+    * task). */
+  def aucRocBy(df: DataFrame, group: Column, score: Column,
+               label: Column): DataFrame = {
+    val byS = df.select(group.as("g"), score.cast("long").as("s"),
+        label.cast("long").as("y"))
+      .where(col("s").isNotNull && col("y").isNotNull)
+      .groupBy("g", "s").agg(count(lit(1)).as("n"), sum("y").as("np"))
+    val w = Window.partitionBy("g").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byS.withColumn("cum", sum("n").over(w))
+      .select(col("g"), col("n"), col("np"),
+        (col("np") * (lit(2L) * col("cum") - col("n") + 1L)).as("r2"))
+      .groupBy("g")
+      .agg(sum("np").as("n_pos"), sum(col("n") - col("np")).as("n_neg"),
+        sum("r2").as("r2p"))
+      .select(col("g"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round((col("r2p") - col("n_pos") * (col("n_pos") + 1L))
+            .cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg")), 4)).as("auc"))
+  }
+
+  /** Bucketed [[aucRoc]] — the scale twin (the q26/q60 convention:
+    * bit-identical answer, scale-shaped plan). [[aucRoc]]'s one global
+    * ordering window serializes the whole distinct-score spine through
+    * a single task; here scores pre-bucket by ⌊s/bucketWidth⌋, the
+    * cumulative count splits into a bucket-spine prefix (tiny window)
+    * plus an in-bucket prefix (bucket-partitioned window, parallel
+    * across buckets), and cum = bucket-prefix-before + in-bucket-cum
+    * reproduces the global rank exactly — the same monotone-prefix
+    * decomposition as [[Agg.weightedPercentileBucketed]]. */
+  def aucRocBucketed(df: DataFrame, score: Column, label: Column,
+                     bucketWidth: Long = 10000L): DataFrame = {
+    require(bucketWidth >= 1, "bucketWidth must be >= 1")
+    val byS = df.select(score.cast("long").as("s"),
+        label.cast("long").as("y"))
+      .where(col("s").isNotNull && col("y").isNotNull)
+      .groupBy("s").agg(count(lit(1)).as("n"), sum("y").as("np"))
+      .withColumn("bk",
+        floor(col("s").cast("double") / lit(bucketWidth.toDouble))
+          .cast("long"))
+    // bucket-spine prefix: cumulative count of all buckets BEFORE bk
+    val wB = Window.orderBy("bk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spine = byS.groupBy("bk").agg(sum("n").as("bn"))
+      .withColumn("before", sum("bn").over(wB) - col("bn"))
+    // in-bucket prefix runs parallel across buckets
+    val wIn = Window.partitionBy("bk").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byS.join(broadcast(spine.select(col("bk"), col("before"))), "bk")
+      .withColumn("cum", col("before") + sum("n").over(wIn))
+      .select(col("n"), col("np"),
+        (col("np") * (lit(2L) * col("cum") - col("n") + 1L)).as("r2"))
+      .agg(sum("np").as("n_pos"), sum(col("n") - col("np")).as("n_neg"),
+        sum("r2").as("r2p"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round((col("r2p") - col("n_pos") * (col("n_pos") + 1L))
+            .cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg")), 4)).as("auc"))
+  }
+
   /** Precision / recall at each cutoff in `ks`, ranking units by score
     * desc with `tie` as the deterministic tie-break (both engines sort
     * identically, so rank-k boundaries match exactly). One ordering

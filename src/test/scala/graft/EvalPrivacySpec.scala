@@ -35,6 +35,29 @@ class EvalPrivacySpec extends SparkSpec {
       .collect().head.isNullAt(2))
   }
 
+  test("aucRocBy: groups are independent; matches global AUC per slice") {
+    val df = Seq(("a", 10L, 1L), ("a", 9L, 1L), ("a", 2L, 0L),
+      ("a", 1L, 0L), ("b", 10L, 0L), ("b", 9L, 0L), ("b", 2L, 1L),
+      ("b", 1L, 1L)).toDF("g", "s", "y")
+    val out = RankEval.aucRocBy(df, col("g"), col("s"), col("y"))
+      .orderBy("g").collect()
+    assert(out(0).getString(0) === "a" && out(0).getDouble(3) === 1.0)
+    assert(out(1).getString(0) === "b" && out(1).getDouble(3) === 0.0)
+  }
+
+  test("aucRocBucketed: bit-identical to the global form across widths, " +
+      "ties straddling bucket boundaries included") {
+    // scores straddle width-10 boundaries (9|10, 19|20) with ties at 10
+    val df = Seq((25L, 1L), (20L, 0L), (19L, 1L), (10L, 1L), (10L, 0L),
+      (9L, 0L), (3L, 1L), (1L, 0L)).toDF("s", "y")
+    val plain = RankEval.aucRoc(df, col("s"), col("y")).collect().head
+    for (w <- Seq(1L, 3L, 10L, 1000L)) {
+      val b = RankEval.aucRocBucketed(df, col("s"), col("y"), w)
+        .collect().head
+      assert(b === plain, s"bucketWidth=$w")
+    }
+  }
+
   // ------------------------------------------------------ top-k metrics
 
   test("topkMetrics: hand-checked cutoffs with deterministic tie-break") {
@@ -95,6 +118,19 @@ class EvalPrivacySpec extends SparkSpec {
       ("l0", 2L, 3L))
     assert((out(1).getString(0), out(1).getLong(4), out(1).getLong(5)) ===
       ("l1", 0L, 0L))
+  }
+
+  // ---------------------------------------------------------- profiling
+
+  test("columnProfile: nulls, distincts and ranges per column, one pass") {
+    val df = Seq((Some(1L), Some(10.0)), (Some(1L), None),
+      (Some(3L), Some(-5.0)), (None, Some(10.0))).toDF("a", "b")
+    val out = Profile.columnProfile(df,
+        Seq("a" -> col("a"), "b" -> col("b")))
+      .orderBy("column_name")
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(out === Seq(("a", 4L, 1L, 2L, 1.0, 3.0),
+      ("b", 4L, 1L, 2L, -5.0, 10.0)))
   }
 
   // --------------------------------------------------------- compaction
