@@ -39,7 +39,8 @@ class PlanAuditSpec extends SparkSpec {
     "q185_stream_psi", // bins-sized (10-row) dense-spine broadcast
     "q186_stream_srm", // 3-row design-spine broadcast
     "q187_moe_rollup", // 1-row grand-total broadcast
-    "q190_bm25_search") // 1-row (N, avgdl) broadcast
+    "q190_bm25_search", // 1-row (N, avgdl) broadcast
+    "q192_topk_precision_recall") // 1-row total-positives broadcast
 
   test("rank-filter pattern gets WindowGroupLimit pushdown (per-partition top-k, not full sort)") {
     import org.apache.spark.sql.functions._
