@@ -107,7 +107,9 @@ object Bench {
     val nOk = results.count(_._3)
     val head = s""""metric":"total","value":${fmt(total)},"unit":"sec","core24":${fmt(core24)},"n_queries":${results.size},"sec_per_query":${fmt(total / math.max(nOk, 1))}"""
     val fullLine = s"""{$head,"queries":$fullQs,"failed":$failed,"sf":"$sfDir"}"""
-    try {
+    // full-suite runs only: dev subset runs must not clobber the round's
+    // committed per-query record
+    if (args.isEmpty) try {
       val w = new java.io.PrintWriter("bench_full.json")
       try w.println(fullLine) finally w.close()
     } catch { case e: Throwable =>

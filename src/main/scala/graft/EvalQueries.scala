@@ -355,6 +355,69 @@ object EvalQueries {
       col("y"), bucketWidth = 100000L).orderBy("n_pos"),
     q191.oracle)
 
+  /** [[RankEval.cohensKappa]]: chance-corrected agreement between two
+    * derived binary "raters" over orders (urgency flag vs high-price
+    * flag) — the annotation-quality readout; five long sums, two sealed
+    * divisions. */
+  private val q202 = QDef("q202_cohens_kappa",
+    (s, dir) => RankEval.cohensKappa(T(s, dir, "orders"),
+      col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long"),
+      (col("o_totalprice") >= 150000).cast("long"))
+      .orderBy("n"),
+    Some("""WITH b AS (SELECT CASE WHEN o_orderpriority IN
+      |          ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS a,
+      |        CASE WHEN o_totalprice >= 150000 THEN 1 ELSE 0 END AS bb
+      |      FROM orders),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(a) AS BIGINT) AS na1,
+      |        CAST(sum(bb) AS BIGINT) AS nb1,
+      |        CAST(sum(CASE WHEN a = bb THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS agree FROM b),
+      |c AS (SELECT n, agree,
+      |        na1 * nb1 + (n - na1) * (n - nb1) AS cx FROM s)
+      |SELECT n, round(CAST(agree AS DOUBLE) / n, 4) AS po,
+      |  round(CAST(cx AS DOUBLE) / (n * n), 4) AS pe,
+      |  CASE WHEN n * n <> cx THEN
+      |    round(CAST(n * agree - cx AS DOUBLE) / (n * n - cx), 4)
+      |  END AS kappa
+      |FROM c ORDER BY n""".stripMargin))
+
+  /** [[RankEval.spearmanRho]]: does catalog price rank sales volume?
+    * Rank correlation over the part spine (unsold parts kept at qty 0
+    * via the LEFT join), integer average-rank arithmetic end to end. */
+  private val q203 = QDef("q203_spearman_price_volume",
+    (s, dir) => {
+      val sold = T(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("qty"))
+      val p = T(s, dir, "part")
+        .select(col("p_partkey"),
+          expr("CAST(round(p_retailprice * 100, 0) AS BIGINT)").as("x"))
+        .join(sold, col("p_partkey") === col("l_partkey"), "left")
+        .select(col("x"), coalesce(col("qty"), lit(0L)).as("y"))
+      RankEval.spearmanRho(p, col("x"), col("y")).orderBy("n")
+    },
+    Some("""WITH sold AS (SELECT l_partkey AS pk,
+      |        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      |      FROM lineitem GROUP BY 1),
+      |p AS (SELECT CAST(round(p_retailprice * 100, 0) AS BIGINT) AS x,
+      |        coalesce(qty, 0) AS y
+      |      FROM part LEFT JOIN sold ON p_partkey = pk),
+      |r AS (SELECT 2 * rank() OVER (ORDER BY x)
+      |          + count(*) OVER (PARTITION BY x) - 1 AS rx,
+      |        2 * rank() OVER (ORDER BY y)
+      |          + count(*) OVER (PARTITION BY y) - 1 AS ry FROM p),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+      |        CAST(sum(rx * rx) AS BIGINT) AS sxx,
+      |        CAST(sum(ry * ry) AS BIGINT) AS syy,
+      |        CAST(sum(rx * ry) AS BIGINT) AS sxy FROM r)
+      |SELECT n, CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+      |  THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+      |      * CAST(n * syy - sy * sy AS DOUBLE)), 4) END AS spearman_rho
+      |FROM s ORDER BY n""".stripMargin))
+
   def all: Seq[QDef] = Seq(q191, q192, q193, q194, q195, q196, q197,
-    q198, q199, q200, q201)
+    q198, q199, q200, q201, q202, q203)
 }

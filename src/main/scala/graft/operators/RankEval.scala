@@ -151,6 +151,68 @@ object RankEval {
       .orderBy("k")
   }
 
+  /** Cohen's kappa between two BINARY raters — chance-corrected
+    * agreement, the labeling-quality gate before annotated data enters
+    * training. Entirely integer until the final divisions:
+    * kappa = (n·agree − cross) / (n² − cross) with
+    * cross = n_a1·n_b1 + n_a0·n_b0 (the expected-agreement mass), so
+    * both engines aggregate five exact long sums and divide once.
+    * Perfect chance agreement (n² = cross) yields SQL NULL. One row:
+    * (n, po, pe, kappa). Scale: ONE map-side-combinable aggregation. */
+  def cohensKappa(df: DataFrame, raterA: Column, raterB: Column): DataFrame = {
+    val base = df.select(raterA.cast("long").as("a"),
+        raterB.cast("long").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull)
+    base.agg(count(lit(1)).as("n"), sum("a").as("na1"), sum("b").as("nb1"),
+        sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("agree"))
+      .select(col("n"), col("agree"),
+        (col("na1") * col("nb1") +
+          (col("n") - col("na1")) * (col("n") - col("nb1"))).as("cross"))
+      .select(col("n"),
+        round(col("agree").cast("double") / col("n"), 4).as("po"),
+        round(col("cross").cast("double") / (col("n") * col("n")), 4)
+          .as("pe"),
+        when(col("n") * col("n") =!= col("cross"),
+          round((col("n") * col("agree") - col("cross")).cast("double") /
+            (col("n") * col("n") - col("cross")), 4)).as("kappa"))
+  }
+
+  /** Spearman rank correlation with average-rank tie handling: Pearson
+    * over the doubled average ranks (2·r̄ = 2·rank_min + ties − 1 stays
+    * in longs; doubling both vectors leaves the correlation unchanged).
+    * The rank windows order the UNIT spine (one global sort each — the
+    * aucRoc scale note applies); the correlation itself is five exact
+    * integer power sums and one sealed division. Long arithmetic bounds
+    * the exact path at Σ(2n)²·n = 4n³ < 2⁶³, i.e. ~1.3M units; past
+    * that, accumulate the power sums as doubles (or 128-bit decimals)
+    * and accept last-bit drift. One row: (n, spearman_rho). */
+  def spearmanRho(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val base = df.select(x.cast("long").as("x"), y.cast("long").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
+    val wx = Window.orderBy("x")
+    val wy = Window.orderBy("y")
+    // 2·average-rank: min-rank from rank(), tie count from a same-value
+    // frame — rank() and the value-partitioned count share each sort
+    val ranked = base
+      .withColumn("rx", lit(2L) * rank().over(wx) +
+        count(lit(1)).over(Window.partitionBy("x")) - 1L)
+      .withColumn("ry", lit(2L) * rank().over(wy) +
+        count(lit(1)).over(Window.partitionBy("y")) - 1L)
+    ranked.agg(count(lit(1)).as("n"), sum("rx").as("sx"),
+        sum("ry").as("sy"), sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"),
+        sum(col("rx") * col("ry")).as("sxy"))
+      .select(col("n"),
+        when((col("n") * col("sxx") - col("sx") * col("sx")) > 0 &&
+            (col("n") * col("syy") - col("sy") * col("sy")) > 0,
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy"))
+                .cast("double")), 4)).as("spearman_rho"))
+  }
+
   /** Calibration table: units ranked by score desc (tie-broken) split
     * into `bins` equal-size ntile bins; per bin the positive rate and
     * the mean score (exact integer sum, one sealed division). A

@@ -120,6 +120,45 @@ class EvalPrivacySpec extends SparkSpec {
       ("l1", 0L, 0L))
   }
 
+  // ----------------------------------------------------------- agreement
+
+  test("cohensKappa: perfect, chance-level and degenerate raters") {
+    // perfect agreement: kappa 1
+    val perfect = Seq((1L, 1L), (1L, 1L), (0L, 0L), (0L, 0L)).toDF("a", "b")
+    val p = RankEval.cohensKappa(perfect, col("a"), col("b")).collect().head
+    assert((p.getLong(0), p.getDouble(1), p.getDouble(2), p.getDouble(3)) ===
+      (4L, 1.0, 0.5, 1.0))
+    // independent raters at 50/50 marginals: po = pe = 0.5 -> kappa 0
+    val chance = Seq((1L, 1L), (1L, 0L), (0L, 1L), (0L, 0L)).toDF("a", "b")
+    assert(RankEval.cohensKappa(chance, col("a"), col("b"))
+      .collect().head.getDouble(3) === 0.0)
+    // degenerate: both raters constant -> n² = cross -> NULL kappa
+    val const = Seq((1L, 1L), (1L, 1L)).toDF("a", "b")
+    assert(RankEval.cohensKappa(const, col("a"), col("b"))
+      .collect().head.isNullAt(3))
+  }
+
+  test("spearmanRho: monotone, inverted, tied and constant inputs") {
+    // any monotone relation (even nonlinear) gives rho 1
+    val mono = Seq((1L, 10L), (2L, 100L), (3L, 1000L), (4L, 100000L))
+      .toDF("x", "y")
+    assert(RankEval.spearmanRho(mono, col("x"), col("y"))
+      .collect().head.getDouble(1) === 1.0)
+    // inverted: -1
+    val inv = Seq((1L, 40L), (2L, 30L), (3L, 20L), (4L, 10L)).toDF("x", "y")
+    assert(RankEval.spearmanRho(inv, col("x"), col("y"))
+      .collect().head.getDouble(1) === -1.0)
+    // ties: hand-computed via average ranks — x (1,2,2,3), y (10,20,20,40)
+    // rank vectors equal under ties -> rho 1
+    val tied = Seq((1L, 10L), (2L, 20L), (2L, 20L), (3L, 40L)).toDF("x", "y")
+    assert(RankEval.spearmanRho(tied, col("x"), col("y"))
+      .collect().head.getDouble(1) === 1.0)
+    // constant x: zero variance -> NULL, not division blowup
+    val const = Seq((5L, 1L), (5L, 2L), (5L, 3L)).toDF("x", "y")
+    assert(RankEval.spearmanRho(const, col("x"), col("y"))
+      .collect().head.isNullAt(1))
+  }
+
   // ---------------------------------------------------------- profiling
 
   test("columnProfile: nulls, distincts and ranges per column, one pass") {
