@@ -418,6 +418,39 @@ object EvalQueries {
       |      * CAST(n * syy - sy * sy AS DOUBLE)), 4) END AS spearman_rho
       |FROM s ORDER BY n""".stripMargin))
 
+  /** [[Spatial.gridJoinCount]]: customers as deterministic integer
+    * points, suppliers as 300×300 boxes on a 10000² plane, counted per
+    * box through the cell-keyed equi-join (grid 500 → ≤4 cells/box).
+    * The oracle states the naive all-pairs containment — same answer,
+    * which is exactly the point: the grid join is the scale spelling of
+    * the BETWEEN join. */
+  private val q204 = QDef("q204_spatial_grid_join",
+    (s, dir) => {
+      val pts = T(s, dir, "customer").select(col("c_custkey").as("id"),
+        (col("c_custkey") * 7919 % 10000).as("x"),
+        (col("c_custkey") * 104729 % 10000).as("y"))
+      val bx = T(s, dir, "supplier").select(col("s_suppkey").as("id"),
+          (col("s_suppkey") * 7919 % 10000).as("cx"),
+          (col("s_suppkey") * 104729 % 10000).as("cy"))
+        .select(col("id"), (col("cx") - 150).as("xlo"),
+          (col("cx") + 150).as("xhi"), (col("cy") - 150).as("ylo"),
+          (col("cy") + 150).as("yhi"))
+      Spatial.gridJoinCount(pts, bx, cellSize = 500L)
+        .withColumnRenamed("bid", "supp_key").orderBy("supp_key")
+    },
+    Some("""WITH p AS (SELECT c_custkey AS id,
+      |        c_custkey * 7919 % 10000 AS x,
+      |        c_custkey * 104729 % 10000 AS y FROM customer),
+      |b AS (SELECT s_suppkey AS id,
+      |        s_suppkey * 7919 % 10000 AS cx,
+      |        s_suppkey * 104729 % 10000 AS cy FROM supplier),
+      |h AS (SELECT b.id, CAST(count(*) AS BIGINT) AS n
+      |      FROM b JOIN p ON p.x BETWEEN b.cx - 150 AND b.cx + 150
+      |        AND p.y BETWEEN b.cy - 150 AND b.cy + 150
+      |      GROUP BY 1)
+      |SELECT b.id AS supp_key, coalesce(n, 0) AS n_points
+      |FROM b LEFT JOIN h ON b.id = h.id ORDER BY supp_key""".stripMargin))
+
   def all: Seq[QDef] = Seq(q191, q192, q193, q194, q195, q196, q197,
-    q198, q199, q200, q201, q202, q203)
+    q198, q199, q200, q201, q202, q203, q204)
 }

@@ -172,6 +172,31 @@ class EvalPrivacySpec extends SparkSpec {
       ("b", 4L, 1L, 2L, -5.0, 10.0)))
   }
 
+  // ------------------------------------------------------- spatial join
+
+  test("gridJoinCount: inclusive bounds, multi-cell boxes, negatives, " +
+      "zero-point boxes — matches naive containment") {
+    // cell size 10; box A spans 4 cells, box B sits in one, box C is
+    // empty, box D covers negative coordinates
+    val pts = Seq((1L, 5L, 5L), (2L, 10L, 10L), (3L, 15L, 15L),
+      (4L, -3L, -3L), (5L, 100L, 100L)).toDF("id", "x", "y")
+    val boxes = Seq((10L, 0L, 15L, 0L, 15L), (20L, 4L, 6L, 4L, 6L),
+      (30L, 50L, 60L, 50L, 60L), (40L, -5L, 0L, -5L, 0L))
+      .toDF("id", "xlo", "xhi", "ylo", "yhi")
+    val out = Spatial.gridJoinCount(pts, boxes, cellSize = 10L)
+      .orderBy("bid").as[(Long, Long)].collect().toSeq
+    // box 10 contains points 1,2,3 (15 inclusive); box 20 only point 1;
+    // box 30 empty; box 40 only point 4
+    assert(out === Seq((10L, 3L), (20L, 1L), (30L, 0L), (40L, 1L)))
+    // every answer identical to the naive cross-containment count
+    val naive = boxes.as("b").crossJoin(pts.as("p"))
+      .where(col("p.x") >= col("b.xlo") && col("p.x") <= col("b.xhi") &&
+        col("p.y") >= col("b.ylo") && col("p.y") <= col("b.yhi"))
+      .groupBy(col("b.id")).agg(count(lit(1))).as[(Long, Long)]
+      .collect().toMap
+    out.foreach { case (bid, n) => assert(naive.getOrElse(bid, 0L) === n) }
+  }
+
   // --------------------------------------------------------- compaction
 
   test("compactionPlan: next-fit bins by cumulative size, oversize unit") {
