@@ -451,6 +451,57 @@ object EvalQueries {
       |SELECT b.id AS supp_key, coalesce(n, 0) AS n_points
       |FROM b LEFT JOIN h ON b.id = h.id ORDER BY supp_key""".stripMargin))
 
+  /** [[Mutations.snapshotDiff]]: publish-gate audit between two derived
+    * versions of orders — keys mod 100 ≥ 98 appear only in "new"
+    * (added), mod 97 = 0 only in "old" (removed), mod 31 bumps the
+    * price, mod 41 flips the status (changed; both per-column counts
+    * tracked). ONE key-keyed full-outer shuffle + a count aggregation. */
+  private val q205 = QDef("q205_snapshot_diff",
+    (s, dir) => {
+      val base = T(s, dir, "orders").select(col("o_orderkey").as("k"),
+        expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"),
+        expr("CAST(round(o_totalprice * 110, 0) AS BIGINT)").as("cents110"),
+        col("o_orderstatus").as("st"))
+      val oldV = base.where(col("k") % 100 < 98)
+        .select(col("k"), col("cents"), col("st"))
+      val newV = base.where(col("k") % 97 =!= 0)
+        .select(col("k"),
+          when(col("k") % 31 === 0, col("cents110")).otherwise(col("cents"))
+            .as("cents"),
+          when(col("k") % 41 === 0, lit("X")).otherwise(col("st")).as("st"))
+      Mutations.snapshotDiff(oldV, newV, Seq("k"), Seq("cents", "st"))
+        .orderBy("n_added")
+    },
+    Some("""WITH base AS (SELECT o_orderkey AS k,
+      |        CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+      |        CAST(round(o_totalprice * 110, 0) AS BIGINT) AS cents110,
+      |        o_orderstatus AS st FROM orders),
+      |o AS (SELECT k, cents, st FROM base WHERE k % 100 < 98),
+      |n AS (SELECT k, CASE WHEN k % 31 = 0 THEN cents110 ELSE cents END
+      |          AS cents,
+      |        CASE WHEN k % 41 = 0 THEN 'X' ELSE st END AS st
+      |      FROM base WHERE k % 97 <> 0),
+      |j AS (SELECT o.k AS ok, n.k AS nk, o.cents AS oc, n.cents AS nc,
+      |        o.st AS os, n.st AS ns
+      |      FROM o FULL OUTER JOIN n ON o.k = n.k)
+      |SELECT CAST(sum(CASE WHEN ok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_added,
+      |  CAST(sum(CASE WHEN nk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_removed,
+      |  CAST(sum(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL AND
+      |    (oc IS DISTINCT FROM nc OR os IS DISTINCT FROM ns) THEN 1
+      |    ELSE 0 END) AS BIGINT) AS n_changed,
+      |  CAST(sum(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL AND
+      |    oc IS NOT DISTINCT FROM nc AND os IS NOT DISTINCT FROM ns
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+      |  CAST(sum(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL AND
+      |    oc IS DISTINCT FROM nc THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS changed_cents,
+      |  CAST(sum(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL AND
+      |    os IS DISTINCT FROM ns THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS changed_st
+      |FROM j ORDER BY n_added""".stripMargin))
+
   def all: Seq[QDef] = Seq(q191, q192, q193, q194, q195, q196, q197,
-    q198, q199, q200, q201, q202, q203, q204)
+    q198, q199, q200, q201, q202, q203, q204, q205)
 }

@@ -53,4 +53,41 @@ object Mutations {
       .groupBy(keys.map(col): _*)
       .agg(exprs.head, exprs.tail: _*)
   }
+
+  /** Snapshot diff — the "what changed between table versions?" audit
+    * behind every publish gate and incremental-refresh validation: one
+    * key-keyed FULL OUTER join of two versions, rows classified
+    * added / removed / changed / unchanged, plus a per-tracked-column
+    * change count (null-safe comparison, so NULL→value and value→NULL
+    * both count as changes). One report row:
+    * (n_added, n_removed, n_changed, n_unchanged, changed_<col>...).
+    *
+    * Scale shape: the join is the one corpus-scale shuffle, keyed by
+    * the natural key both versions already share; everything after is
+    * a map-side-combinable count aggregation. At 100 TB run it
+    * partition-by-partition over the version pair's shared layout. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+                   tracked: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && tracked.nonEmpty, "need key and tracked columns")
+    val o = oldDf.select((keys ++ tracked).map(col): _*)
+      .withColumnsRenamed(tracked.map(c => c -> s"__o_$c").toMap)
+      .withColumn("__in_o", lit(1L))
+    val n = newDf.select((keys ++ tracked).map(col): _*)
+      .withColumnsRenamed(tracked.map(c => c -> s"__n_$c").toMap)
+      .withColumn("__in_n", lit(1L))
+    val j = o.join(n, keys, "full_outer")
+    val anyChanged = tracked.map(c =>
+      !(col(s"__o_$c") <=> col(s"__n_$c"))).reduce(_ || _)
+    val both = col("__in_o").isNotNull && col("__in_n").isNotNull
+    val perCol = tracked.map(c => sum(when(both &&
+      !(col(s"__o_$c") <=> col(s"__n_$c")), 1L).otherwise(0L))
+      .as(s"changed_$c"))
+    val aggs =
+      sum(when(col("__in_o").isNull, 1L).otherwise(0L)).as("n_added") ::
+      sum(when(col("__in_n").isNull, 1L).otherwise(0L)).as("n_removed") ::
+      sum(when(both && anyChanged, 1L).otherwise(0L)).as("n_changed") ::
+      sum(when(both && !anyChanged, 1L).otherwise(0L)).as("n_unchanged") ::
+      perCol.toList
+    j.agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -172,6 +172,24 @@ class EvalPrivacySpec extends SparkSpec {
       ("b", 4L, 1L, 2L, -5.0, 10.0)))
   }
 
+  // ------------------------------------------------------ snapshot diff
+
+  test("snapshotDiff: added/removed/changed/unchanged and per-column " +
+      "counts, null-safe comparison") {
+    val oldV = Seq((1L, Some(10L), "a"), (2L, Some(20L), "b"),
+      (3L, Some(30L), "c"), (4L, None, "d")).toDF("k", "v", "s")
+    val newV = Seq((2L, Some(20L), "b"), // unchanged
+      (3L, Some(31L), "c"), // v changed
+      (4L, Some(40L), "d"), // NULL -> value: v changed (null-safe)
+      (5L, Some(50L), "e")) // added
+      .toDF("k", "v", "s")
+    val r = Mutations.snapshotDiff(oldV, newV, Seq("k"), Seq("v", "s"))
+      .collect().head
+    // removed: k=1; added: k=5; changed: k=3 (v), k=4 (v); unchanged: k=2
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) === (1L, 1L, 2L, 1L, 2L, 0L))
+  }
+
   // ------------------------------------------------------- spatial join
 
   test("gridJoinCount: inclusive bounds, multi-cell boxes, negatives, " +
