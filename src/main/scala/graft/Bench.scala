@@ -115,7 +115,11 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] bench_full.json write failed: $e")
     }
-    println(s"""{$head,"queries":$qs,"queries_are_top":$topN,"full":"bench_full.json","failed":$failed,"sf":"$sfDir"}""")
+    // the "full" pointer is only honest when this run actually (re)wrote
+    // the file — a subset run advertising a stale full map would send
+    // bench_diff readers to another round's numbers
+    val fullRef = if (args.isEmpty) "\"full\":\"bench_full.json\"," else ""
+    println(s"""{$head,"queries":$qs,"queries_are_top":$topN,$fullRef"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -23,8 +23,10 @@ object EvalQueries {
   private def T(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
     Tables.t(s, dir, n)
 
-  /** (id, s = spend cents, y = acctbal<0) per customer — the unit table
-    * q191–q193 share. */
+  /** (id, seg, y = acctbal<0, s = spend cents) per customer — the unit
+    * table q191–q193 and q200/q201 share (one definition, so the global
+    * and per-segment readouts can never disagree on the units; queries
+    * that don't use `seg` let column pruning drop it). */
   private def scoredUnits(s: org.apache.spark.sql.SparkSession,
                           dir: String): org.apache.spark.sql.DataFrame = {
     val spend = T(s, dir, "orders")
@@ -32,10 +34,11 @@ object EvalQueries {
       .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
         .as("cents"))
     T(s, dir, "customer")
-      .select(col("c_custkey").as("id"),
+      .select(col("c_custkey").as("id"), col("c_mktsegment").as("seg"),
         when(col("c_acctbal") < 0, 1L).otherwise(0L).as("y"))
       .join(spend, col("id") === col("o_custkey"), "left")
-      .select(col("id"), col("y"), coalesce(col("cents"), lit(0L)).as("s"))
+      .select(col("id"), col("seg"), col("y"),
+        coalesce(col("cents"), lit(0L)).as("s"))
   }
 
   private val unitsSql =
@@ -314,20 +317,9 @@ object EvalQueries {
     * "is the score fair across cohorts?" slice; group-partitioned
     * windows parallelize the spine sort. */
   private val q200 = QDef("q200_group_auc",
-    (s, dir) => {
-      val spend = T(s, dir, "orders")
-        .groupBy(col("o_custkey"))
-        .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
-          .as("cents"))
-      val u = T(s, dir, "customer")
-        .select(col("c_custkey").as("id"), col("c_mktsegment").as("seg"),
-          when(col("c_acctbal") < 0, 1L).otherwise(0L).as("y"))
-        .join(spend, col("id") === col("o_custkey"), "left")
-        .select(col("seg"), col("y"),
-          coalesce(col("cents"), lit(0L)).as("s"))
-      RankEval.aucRocBy(u, col("seg"), col("s"), col("y"))
-        .withColumnRenamed("g", "segment").orderBy("segment")
-    },
+    (s, dir) => RankEval.aucRocBy(scoredUnits(s, dir), col("seg"),
+      col("s"), col("y"))
+      .withColumnRenamed("g", "segment").orderBy("segment"),
     Some(s"""WITH $unitsSql,
       |us AS (SELECT c_mktsegment AS seg, y, s
       |       FROM u JOIN customer ON id = c_custkey),
@@ -367,7 +359,9 @@ object EvalQueries {
     Some("""WITH b AS (SELECT CASE WHEN o_orderpriority IN
       |          ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS a,
       |        CASE WHEN o_totalprice >= 150000 THEN 1 ELSE 0 END AS bb
-      |      FROM orders),
+      |      FROM orders
+      |      WHERE o_orderpriority IS NOT NULL
+      |        AND o_totalprice IS NOT NULL),
       |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
       |        CAST(sum(a) AS BIGINT) AS na1,
       |        CAST(sum(bb) AS BIGINT) AS nb1,

@@ -79,15 +79,17 @@ object Mutations {
     val anyChanged = tracked.map(c =>
       !(col(s"__o_$c") <=> col(s"__n_$c"))).reduce(_ || _)
     val both = col("__in_o").isNotNull && col("__in_n").isNotNull
-    val perCol = tracked.map(c => sum(when(both &&
-      !(col(s"__o_$c") <=> col(s"__n_$c")), 1L).otherwise(0L))
-      .as(s"changed_$c"))
-    val aggs =
-      sum(when(col("__in_o").isNull, 1L).otherwise(0L)).as("n_added") ::
-      sum(when(col("__in_n").isNull, 1L).otherwise(0L)).as("n_removed") ::
-      sum(when(both && anyChanged, 1L).otherwise(0L)).as("n_changed") ::
-      sum(when(both && !anyChanged, 1L).otherwise(0L)).as("n_unchanged") ::
-      perCol.toList
+    // coalesce each sum: over two EMPTY versions (e.g. one partition of
+    // a partition-by-partition 100 TB run) sum() is SQL NULL, and a
+    // publish gate reading `n_changed == 0` must see 0, not NULL
+    val aggs = (Seq(
+      "n_added" -> sum(when(col("__in_o").isNull, 1L).otherwise(0L)),
+      "n_removed" -> sum(when(col("__in_n").isNull, 1L).otherwise(0L)),
+      "n_changed" -> sum(when(both && anyChanged, 1L).otherwise(0L)),
+      "n_unchanged" -> sum(when(both && !anyChanged, 1L).otherwise(0L))) ++
+      tracked.map(c => s"changed_$c" -> sum(when(both &&
+        !(col(s"__o_$c") <=> col(s"__n_$c")), 1L).otherwise(0L))))
+      .map { case (name, c) => coalesce(c, lit(0L)).as(name) }
     j.agg(aggs.head, aggs.tail: _*)
   }
 }

@@ -26,6 +26,24 @@ import org.apache.spark.sql.functions._
   */
 object RankEval {
 
+  /** Shared rank-term: a (n, np, cum)-shaped frame becomes the per-score
+    * contribution to 2·R⁺ (tie group ending at cumulative rank `cum`
+    * with n members spans ranks (cum−n+1)..cum, so its average rank
+    * doubled is 2·cum − n + 1 — integer arithmetic only). */
+  private def rankTerm: Column =
+    (col("np") * (lit(2L) * col("cum") - col("n") + 1L)).as("r2")
+
+  /** Shared finalization: an aggregated (…, n_pos, n_neg, r2p) frame
+    * becomes (…, n_pos, n_neg, auc) with the degenerate-input NULL
+    * guard — ONE copy so the q191/q201 bit-identical-twin invariant
+    * can't drift between the three AUC forms. */
+  private def sealAuc(aggregated: DataFrame, keep: Seq[String]): DataFrame =
+    aggregated.select(keep.map(col) ++ Seq(col("n_pos"), col("n_neg"),
+      when(col("n_pos") > 0 && col("n_neg") > 0,
+        round((col("r2p") - col("n_pos") * (col("n_pos") + 1L))
+          .cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg")), 4)).as("auc")): _*)
+
   /** Exact ROC AUC via the Mann-Whitney rank-sum with average-rank tie
     * handling: AUC = (R⁺ − n₊(n₊+1)/2) / (n₊·n₋), R⁺ = Σ over positives
     * of their average rank under ascending score. Computed per DISTINCT
@@ -41,19 +59,10 @@ object RankEval {
       .groupBy("s").agg(count(lit(1)).as("n"), sum("y").as("np"))
     val w = Window.orderBy("s")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // 2·(sum of positive average ranks): tie group ending at cumulative
-    // rank `cum` with n members spans ranks (cum−n+1)..cum, so its
-    // average rank doubled is 2·cum − n + 1 — integer arithmetic only
     val terms = byS.withColumn("cum", sum("n").over(w))
-      .select(col("n"), col("np"),
-        (col("np") * (lit(2L) * col("cum") - col("n") + 1L)).as("r2"))
-    terms.agg(sum("np").as("n_pos"), sum(col("n") - col("np")).as("n_neg"),
-        sum("r2").as("r2p"))
-      .select(col("n_pos"), col("n_neg"),
-        when(col("n_pos") > 0 && col("n_neg") > 0,
-          round((col("r2p") - col("n_pos") * (col("n_pos") + 1L))
-            .cast("double") /
-            (lit(2.0) * col("n_pos") * col("n_neg")), 4)).as("auc"))
+      .select(col("n"), col("np"), rankTerm)
+    sealAuc(terms.agg(sum("np").as("n_pos"),
+      sum(col("n") - col("np")).as("n_neg"), sum("r2").as("r2p")), Nil)
   }
 
   /** Per-group [[aucRoc]]: one row (g, n_pos, n_neg, auc) per group key.
@@ -69,17 +78,11 @@ object RankEval {
       .groupBy("g", "s").agg(count(lit(1)).as("n"), sum("y").as("np"))
     val w = Window.partitionBy("g").orderBy("s")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    byS.withColumn("cum", sum("n").over(w))
-      .select(col("g"), col("n"), col("np"),
-        (col("np") * (lit(2L) * col("cum") - col("n") + 1L)).as("r2"))
+    sealAuc(byS.withColumn("cum", sum("n").over(w))
+      .select(col("g"), col("n"), col("np"), rankTerm)
       .groupBy("g")
       .agg(sum("np").as("n_pos"), sum(col("n") - col("np")).as("n_neg"),
-        sum("r2").as("r2p"))
-      .select(col("g"), col("n_pos"), col("n_neg"),
-        when(col("n_pos") > 0 && col("n_neg") > 0,
-          round((col("r2p") - col("n_pos") * (col("n_pos") + 1L))
-            .cast("double") /
-            (lit(2.0) * col("n_pos") * col("n_neg")), 4)).as("auc"))
+        sum("r2").as("r2p")), Seq("g"))
   }
 
   /** Bucketed [[aucRoc]] — the scale twin (the q26/q60 convention:
@@ -109,17 +112,11 @@ object RankEval {
     // in-bucket prefix runs parallel across buckets
     val wIn = Window.partitionBy("bk").orderBy("s")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    byS.join(broadcast(spine.select(col("bk"), col("before"))), "bk")
+    sealAuc(byS.join(broadcast(spine.select(col("bk"), col("before"))), "bk")
       .withColumn("cum", col("before") + sum("n").over(wIn))
-      .select(col("n"), col("np"),
-        (col("np") * (lit(2L) * col("cum") - col("n") + 1L)).as("r2"))
+      .select(col("n"), col("np"), rankTerm)
       .agg(sum("np").as("n_pos"), sum(col("n") - col("np")).as("n_neg"),
-        sum("r2").as("r2p"))
-      .select(col("n_pos"), col("n_neg"),
-        when(col("n_pos") > 0 && col("n_neg") > 0,
-          round((col("r2p") - col("n_pos") * (col("n_pos") + 1L))
-            .cast("double") /
-            (lit(2.0) * col("n_pos") * col("n_neg")), 4)).as("auc"))
+        sum("r2").as("r2p")), Nil)
   }
 
   /** Precision / recall at each cutoff in `ks`, ranking units by score
@@ -132,11 +129,18 @@ object RankEval {
                   ks: Seq[Int]): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ >= 1), "cutoffs must be >= 1")
     val w = Window.orderBy(desc("s"), col("id"))
+    // family convention (aucRoc/cohensKappa): null scores/labels are
+    // excluded up front — Spark sorts nulls last under desc while DuckDB
+    // sorts them first, so leaving them in moves every rank-k boundary
     val ranked = df.select(score.cast("long").as("s"),
         label.cast("long").as("y"), tie.as("id"))
+      .where(col("s").isNotNull && col("y").isNotNull)
       .withColumn("rk", row_number().over(w))
     val nPos = ranked.agg(sum("y").as("npt"))
     ranked
+      // rows past the largest cutoff can never match — bound the explode
+      // fan-out to max(ks)·|ks| rows at any unit count
+      .where(col("rk") <= lit(ks.max.toLong))
       .select(col("y"), col("rk"), explode(array(ks.map(k =>
         lit(k.toLong)): _*)).as("k"))
       .where(col("rk") <= col("k"))
@@ -222,8 +226,10 @@ object RankEval {
                       tie: Column, bins: Int = 10): DataFrame = {
     require(bins >= 2, "bins must be >= 2")
     val w = Window.orderBy(desc("s"), col("id"))
+    // null scores/labels excluded — the family convention (see topkMetrics)
     df.select(score.cast("long").as("s"), label.cast("long").as("y"),
         tie.as("id"))
+      .where(col("s").isNotNull && col("y").isNotNull)
       .withColumn("bin", ntile(bins).over(w).cast("long"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),

@@ -42,9 +42,13 @@ object Spatial {
     val b = boxes.select(col("id").as("bid"),
         col("xlo").cast("long").as("xlo"), col("xhi").cast("long").as("xhi"),
         col("ylo").cast("long").as("ylo"), col("yhi").cast("long").as("yhi"))
-      .where(col("xlo") <= col("xhi") && col("ylo") <= col("yhi"))
-    // box → the cells its envelope overlaps (sequence is inclusive)
+    // box → the cells its envelope overlaps (sequence is inclusive).
+    // Degenerate boxes (inverted or NULL bounds) are excluded from the
+    // CELL EXPLODE only — the spine below keeps every input box, so they
+    // still emit (id, 0) per the every-box contract (and a descending
+    // sequence() over inverted bounds would otherwise fabricate cells).
     val bc = b
+      .where(col("xlo") <= col("xhi") && col("ylo") <= col("yhi"))
       .withColumn("cx", explode(sequence(cellOf(col("xlo"), cellSize),
         cellOf(col("xhi"), cellSize))))
       .withColumn("cy", explode(sequence(cellOf(col("ylo"), cellSize),

@@ -190,6 +190,13 @@ class EvalPrivacySpec extends SparkSpec {
       r.getLong(4), r.getLong(5)) === (1L, 1L, 2L, 1L, 2L, 0L))
   }
 
+  test("snapshotDiff: two empty versions report zeros, not SQL NULLs") {
+    val empty = Seq.empty[(Long, Long, String)].toDF("k", "v", "s")
+    val r = Mutations.snapshotDiff(empty, empty, Seq("k"), Seq("v", "s"))
+      .collect().head
+    assert((0 until 6).map(r.getLong) === Seq(0L, 0L, 0L, 0L, 0L, 0L))
+  }
+
   // ------------------------------------------------------- spatial join
 
   test("gridJoinCount: inclusive bounds, multi-cell boxes, negatives, " +
@@ -213,6 +220,17 @@ class EvalPrivacySpec extends SparkSpec {
       .groupBy(col("b.id")).agg(count(lit(1))).as[(Long, Long)]
       .collect().toMap
     out.foreach { case (bid, n) => assert(naive.getOrElse(bid, 0L) === n) }
+  }
+
+  test("gridJoinCount: degenerate boxes still emit a zero row") {
+    val pts = Seq((1L, 5L, 5L)).toDF("id", "x", "y")
+    // inverted x-bounds: no point can be inside, but the box must still
+    // appear in the output (the every-box contract)
+    val boxes = Seq((10L, 9L, 1L, 0L, 10L), (20L, 0L, 10L, 0L, 10L))
+      .toDF("id", "xlo", "xhi", "ylo", "yhi")
+    val out = Spatial.gridJoinCount(pts, boxes, cellSize = 10L)
+      .orderBy("bid").as[(Long, Long)].collect().toSeq
+    assert(out === Seq((10L, 0L), (20L, 1L)))
   }
 
   // --------------------------------------------------------- compaction
