@@ -36,14 +36,21 @@ object Privacy {
   def kAnonymityReport(df: DataFrame, qi: Seq[(String, Column)],
                        k: Long): DataFrame = {
     require(k >= 2, "k must be >= 2 (k=1 is vacuous)")
+    // coalesce the count sums: an EMPTY release must report zeros, not
+    // SQL NULLs (the snapshotDiff convention); min_group_size and the
+    // share stay NULL — genuinely undefined over zero groups
     qiGroups(df, qi)
-      .agg(sum("n").as("n_rows"), count(lit(1)).as("n_groups"),
+      .agg(coalesce(sum("n"), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_groups"),
         min("n").as("min_group_size"),
-        sum(when(col("n") < k, 1L).otherwise(0L)).as("n_violating"),
-        sum(when(col("n") < k, col("n")).otherwise(0L)).as("rows_at_risk"))
+        coalesce(sum(when(col("n") < k, 1L).otherwise(0L)), lit(0L))
+          .as("n_violating"),
+        coalesce(sum(when(col("n") < k, col("n")).otherwise(0L)), lit(0L))
+          .as("rows_at_risk"))
       .select(col("n_rows"), col("n_groups"), col("min_group_size"),
         col("n_violating"), col("rows_at_risk"),
-        round(col("rows_at_risk").cast("double") / col("n_rows"), 4)
+        when(col("n_rows") > 0,
+          round(col("rows_at_risk").cast("double") / col("n_rows"), 4))
           .as("at_risk_share"))
   }
 
@@ -59,9 +66,12 @@ object Privacy {
         sensitive.as("__sv"): _*)
       .groupBy(qi.map(q => col(q._1)): _*)
       .agg(count(lit(1)).as("n"), countDistinct(col("__sv")).as("ndv"))
+    // empty input → zero counts, NULL min (the kAnonymityReport rule)
     g.agg(count(lit(1)).as("n_groups"), min("ndv").as("min_diversity"),
-      sum(when(col("ndv") < l, 1L).otherwise(0L)).as("n_low_diversity"),
-      sum(when(col("ndv") < l, col("n")).otherwise(0L)).as("rows_in_low"))
+      coalesce(sum(when(col("ndv") < l, 1L).otherwise(0L)), lit(0L))
+        .as("n_low_diversity"),
+      coalesce(sum(when(col("ndv") < l, col("n")).otherwise(0L)), lit(0L))
+        .as("rows_in_low"))
   }
 
   /** Generalization ladder: the [[kAnonymityReport]] at each QI

@@ -106,6 +106,19 @@ class EvalPrivacySpec extends SparkSpec {
       (2L, 1L, 1L, 4L))
   }
 
+  test("privacy reports: empty input yields zero counts, NULL min/share") {
+    val empty = Seq.empty[(String, String)].toDF("q", "sv")
+    val ka = Privacy.kAnonymityReport(empty, Seq("q" -> col("q")), k = 5L)
+      .collect().head
+    assert((ka.getLong(0), ka.getLong(1), ka.getLong(3), ka.getLong(4)) ===
+      (0L, 0L, 0L, 0L))
+    assert(ka.isNullAt(2) && ka.isNullAt(5)) // min_group_size, share
+    val ld = Privacy.lDiversityReport(empty, Seq("q" -> col("q")),
+      col("sv"), l = 2L).collect().head
+    assert((ld.getLong(0), ld.getLong(2), ld.getLong(3)) === (0L, 0L, 0L))
+    assert(ld.isNullAt(1)) // min_diversity
+  }
+
   test("generalizationLadder: coarser levels strictly reduce rows at risk") {
     val df = (Seq.fill(5)(("n1", "r1", "x")) ++ Seq.fill(2)(("n2", "r1", "x"))
       ++ Seq(("n3", "r1", "x"))).toDF("nat", "reg", "seg")
