@@ -67,14 +67,14 @@ object CrossoverProbe {
     // family gets its own run config: SPARK_GRAFT_XOVER_WHICH=jaccard|simhash|both
     val which = sys.env.getOrElse("SPARK_GRAFT_XOVER_WHICH", "both")
 
-    if (which != "simhash") {
+    if (which != "simhash" && which != "spatial") {
       val jq = time("jaccard quadratic (q27)")(Dedup.ngramJaccardPairs(
         docs, col("text"), col("doc_id"), col("source"), n = 1, minJ = 0.6))
       val jp = time("jaccard prefix (q61)")(Dedup.ngramJaccardPairsPrefix(
         docs, col("text"), col("doc_id"), col("source"), n = 1, minJ = 0.6))
       assert(jq == jp, s"jaccard paths disagree: $jq vs $jp")
     }
-    if (which != "jaccard") {
+    if (which != "jaccard" && which != "spatial") {
       val sq = time("simhash quadratic (q26)")(Dedup.simhashNearDup(
         docs, col("text"), col("doc_id"), col("source"), maxDist = 12))
       val sb = time("simhash banded (q60)")(Dedup.simhashNearDupBanded(
@@ -100,6 +100,43 @@ object CrossoverProbe {
           .where(Dedup.jaccard(col("g_a"), col("g_b")) >= 0.6)
       }
       assert(jq == wv, s"winnowing path disagrees: $jq vs $wv")
+    }
+
+    // spatial: grid-partitioned join (q204) vs the naive BETWEEN join —
+    // the naive form plans as a BroadcastNestedLoopJoin, i.e. points ×
+    // boxes containment probes; the grid form touches only co-located
+    // candidates. Knobs: SPARK_GRAFT_XOVER_POINTS / _BOXES (default
+    // 2,000,000 × 2,000 on a 1e6² plane, 2001²-unit boxes, cell 4000 —
+    // boxes span ≤2 cells/dim, candidates ≈ points·(boxes·area share)).
+    if (which == "spatial") {
+      val nP = sys.env.getOrElse("SPARK_GRAFT_XOVER_POINTS", "2000000").toLong
+      val nB = sys.env.getOrElse("SPARK_GRAFT_XOVER_BOXES", "2000").toLong
+      val side = 1000000L; val half = 1000L; val cell = 4000L
+      val pts = spark.range(nP).select(col("id"),
+          pmod(xxhash64(concat(lit("px"), col("id"))), lit(side)).as("x"),
+          pmod(xxhash64(concat(lit("py"), col("id"))), lit(side)).as("y"))
+        .cache()
+      val boxes = spark.range(nB).select(col("id"),
+          pmod(xxhash64(concat(lit("bx"), col("id"))), lit(side)).as("cx"),
+          pmod(xxhash64(concat(lit("by"), col("id"))), lit(side)).as("cy"))
+        .select(col("id"), (col("cx") - half).as("xlo"),
+          (col("cx") + half).as("xhi"), (col("cy") - half).as("ylo"),
+          (col("cy") + half).as("yhi"))
+        .cache()
+      pts.count(); boxes.count()
+      println(s"[xover] spatial: points=$nP boxes=$nB plane=$side² " +
+        s"box=${2 * half + 1}² cell=$cell " +
+        s"naive_probes=${nP * nB}")
+      val ng = time("spatial naive BETWEEN")(
+        boxes.as("b").join(pts.as("p"),
+            col("p.x") >= col("b.xlo") && col("p.x") <= col("b.xhi") &&
+            col("p.y") >= col("b.ylo") && col("p.y") <= col("b.yhi"))
+          .groupBy(col("b.id")).agg(count(lit(1))))
+      val gg = time("spatial grid join (q204)")(
+        graft.Spatial.gridJoinCount(
+          pts.select(col("id"), col("x"), col("y")), boxes, cell)
+          .where(col("n_points") > 0))
+      assert(ng == gg, s"spatial paths disagree: $ng vs $gg")
     }
 
     spark.stop()
