@@ -59,6 +59,28 @@ class PlanAuditSpec extends SparkSpec {
       s"expected WindowGroupLimit in:\n$plan")
   }
 
+  test("scan pruning: the shared scored-units table reads only the columns " +
+      "each consumer needs (q191 drops seg; q200 keeps it; neither reads " +
+      "o_orderdate)") {
+    // q191/q200 share ONE scoredUnits definition that always selects
+    // c_mktsegment; this pin proves Catalyst prunes it out of q191's
+    // customer scan (the justification for sharing the helper instead of
+    // hand-specializing per query), and that the orders scan never reads
+    // columns beyond the custkey/totalprice the spend aggregate uses.
+    val p191 = SparkEntry.queries("q191_auc_roc")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val p200 = SparkEntry.queries("q200_group_auc")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p191.contains("c_mktsegment"),
+      "q191 should prune the unused segment column from the customer scan")
+    assert(p200.contains("c_mktsegment"),
+      "q200 groups by segment — its scan must read it")
+    Seq("q191" -> p191, "q200" -> p200).foreach { case (n, p) =>
+      assert(!p.contains("o_orderdate") && !p.contains("o_orderpriority"),
+        s"$n reads orders columns beyond custkey/totalprice")
+    }
+  }
+
   test("no CartesianProduct in any query plan; BNLJ only on whitelisted 1-row builds") {
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan =
