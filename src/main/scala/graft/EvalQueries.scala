@@ -496,6 +496,70 @@ object EvalQueries {
       |    AS changed_st
       |FROM j ORDER BY n_added""".stripMargin))
 
+  /** Encoding-health audit ([[TextAnalysis.patternCount]]): control /
+    * non-ASCII / replacement-character counts per document — the
+    * mojibake gate before corpus entry. Pure regexp length-difference
+    * expressions, identical RE2-compatible escapes in both engines. */
+  private val q206 = QDef("q206_encoding_quality",
+    (s, dir) => {
+      import TextAnalysis._
+      T(s, dir, "documents").select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          patternCount(col("text"), CtrlPattern).cast("long").as("n_ctrl"),
+          patternCount(col("text"), NonAsciiPattern).cast("long")
+            .as("n_non_ascii"),
+          patternCount(col("text"), ReplacementPattern).cast("long")
+            .as("n_repl"))
+        .select(col("doc_id"), col("n_chars"), col("n_ctrl"),
+          col("n_non_ascii"), col("n_repl"),
+          (col("n_ctrl") > 0 || col("n_repl") > 0).cast("long")
+            .as("flagged"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+      |  CAST(length(text) - length(regexp_replace(text,
+      |    '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS BIGINT) AS n_ctrl,
+      |  CAST(length(text) - length(regexp_replace(text,
+      |    '[^\x00-\x7F]', '', 'g')) AS BIGINT) AS n_non_ascii,
+      |  CAST(length(text) - length(regexp_replace(text,
+      |    '\x{FFFD}', '', 'g')) AS BIGINT) AS n_repl,
+      |  CAST(CASE WHEN length(text) - length(regexp_replace(text,
+      |      '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) > 0
+      |    OR length(text) - length(regexp_replace(text,
+      |      '\x{FFFD}', '', 'g')) > 0 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS flagged
+      |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** [[Sampling.temporalSplitReport]]: time split of events with a
+    * 3-day embargo (train < Jan 18, test ≥ Jan 21) — the leakage-safe
+    * alternative to hash splits on autocorrelated data; min_gap_sec ≥
+    * the embargo width certifies it on the data itself. */
+  private val q207 = QDef("q207_temporal_split_embargo",
+    (s, dir) => Sampling.temporalSplitReport(T(s, dir, "events"),
+      col("user_id"), col("ts"), "2024-01-18", "2024-01-21")
+      .orderBy("n_train"),
+    Some("""WITH s AS (SELECT user_id AS k, epoch_us(ts) AS us,
+      |        CASE WHEN ts < TIMESTAMP '2024-01-18' THEN 'train'
+      |          WHEN ts < TIMESTAMP '2024-01-21' THEN 'embargo'
+      |          ELSE 'test' END AS sp
+      |      FROM events WHERE ts IS NOT NULL),
+      |c AS (SELECT
+      |    CAST(coalesce(sum(CASE WHEN sp = 'train' THEN 1 ELSE 0 END), 0)
+      |      AS BIGINT) AS n_train,
+      |    CAST(coalesce(sum(CASE WHEN sp = 'embargo' THEN 1 ELSE 0 END), 0)
+      |      AS BIGINT) AS n_embargo,
+      |    CAST(coalesce(sum(CASE WHEN sp = 'test' THEN 1 ELSE 0 END), 0)
+      |      AS BIGINT) AS n_test FROM s),
+      |p AS (SELECT k, max(CASE WHEN sp = 'train' THEN us END) AS maxtr,
+      |        min(CASE WHEN sp = 'test' THEN us END) AS mite
+      |      FROM s GROUP BY 1),
+      |g AS (SELECT CAST(count(*) AS BIGINT) AS n_units_overlap,
+      |        CAST(min(mite - maxtr) AS BIGINT) AS mg
+      |      FROM p WHERE maxtr IS NOT NULL AND mite IS NOT NULL)
+      |SELECT n_train, n_embargo, n_test, n_units_overlap,
+      |  round(CAST(mg AS DOUBLE) / 1e6, 4) AS min_gap_sec
+      |FROM c CROSS JOIN g ORDER BY n_train""".stripMargin))
+
   def all: Seq[QDef] = Seq(q191, q192, q193, q194, q195, q196, q197,
-    q198, q199, q200, q201, q202, q203, q204, q205)
+    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207)
 }

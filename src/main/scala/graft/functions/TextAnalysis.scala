@@ -117,6 +117,23 @@ object TextAnalysis {
     * size−(n−1), only the start shifts: zip_with pads the shorter side
     * with nulls, so a longer slice would fabricate a spurious tail gram.
     * Docs with fewer than n tokens yield an empty array. */
+  /** Encoding-health counters — the mojibake/binary-contamination gate
+    * run before any text enters a corpus: control characters (C0 minus
+    * tab/newline/CR — their presence means binary or transcoding
+    * damage), non-ASCII characters (a rate, not a flag — high ratios on
+    * a nominally-English source mean encoding drift), and U+FFFD
+    * replacement characters (each one is a hard decode failure).
+    * Counts via length-difference over a strip-all regexp_replace —
+    * pure codegen expressions; the same RE2-and-Java-compatible
+    * `\x`/`\x{…}` escapes run verbatim in DuckDB (with the 'g' flag). */
+  val CtrlPattern = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+  val NonAsciiPattern = "[^\\x00-\\x7F]"
+  val ReplacementPattern = "\\x{FFFD}"
+
+  /** Character count matched by `pattern` in `text` (0 on empty). */
+  def patternCount(text: Column, pattern: String): Column =
+    length(text) - length(regexp_replace(text, pattern, ""))
+
   def ngrams(t: Column, n: Int): Column = {
     require(n >= 1, "n must be positive")
     if (n == 1) t

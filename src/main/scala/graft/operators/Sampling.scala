@@ -223,4 +223,50 @@ object Sampling {
           .otherwise(col("__m2")).as("negative_id"))
       .where(col("negative_id").isNotNull)
   }
+
+  /** Temporal split with an embargo gap — the time-series leakage guard
+    * (the purged-split device from financial ML): train takes events
+    * before `trainEnd`, test takes events from `testStart` on, and the
+    * embargo window between them is DROPPED from both so no test
+    * example sits within `testStart − trainEnd` of any training
+    * example. [[splitAssign]]'s hash split is the wrong tool for
+    * autocorrelated data — a user's adjacent events land on both sides
+    * of a hash split and leak the near future into training. */
+  def temporalSplit(ts: Column, trainEnd: String, testStart: String): Column =
+    when(ts < lit(trainEnd).cast("timestamp"), "train")
+      .when(ts < lit(testStart).cast("timestamp"), "embargo")
+      .otherwise("test")
+
+  /** One-row certification report for [[temporalSplit]]: split sizes
+    * plus, over units (users/series) with events on BOTH sides, the
+    * minimum test-minus-train gap in seconds — which is ≥ the embargo
+    * width BY CONSTRUCTION; emitting it proves the guarantee on the
+    * actual data rather than asserting it. NULL min_gap_sec when no
+    * unit spans both splits. Two map-side-combinable aggregations
+    * (split counts; per-unit max-train/min-test), nothing row-sorted. */
+  def temporalSplitReport(df: DataFrame, unit: Column, ts: Column,
+                          trainEnd: String, testStart: String): DataFrame = {
+    require(trainEnd <= testStart,
+      "trainEnd must not be after testStart (ISO strings compare safely)")
+    val s = df.select(unit.as("k"), unix_micros(ts).as("us"),
+        temporalSplit(ts, trainEnd, testStart).as("sp"))
+      .where(col("us").isNotNull)
+    val counts = s.groupBy().agg(
+      coalesce(sum(when(col("sp") === "train", 1L).otherwise(0L)), lit(0L))
+        .as("n_train"),
+      coalesce(sum(when(col("sp") === "embargo", 1L).otherwise(0L)), lit(0L))
+        .as("n_embargo"),
+      coalesce(sum(when(col("sp") === "test", 1L).otherwise(0L)), lit(0L))
+        .as("n_test"))
+    val per = s.groupBy("k").agg(
+        max(when(col("sp") === "train", col("us"))).as("maxtr"),
+        min(when(col("sp") === "test", col("us"))).as("mite"))
+      .where(col("maxtr").isNotNull && col("mite").isNotNull)
+      .agg(count(lit(1)).as("n_units_overlap"),
+        min(col("mite") - col("maxtr")).as("mg"))
+    counts.crossJoin(per)
+      .select(col("n_train"), col("n_embargo"), col("n_test"),
+        col("n_units_overlap"),
+        round(col("mg").cast("double") / 1e6, 4).as("min_gap_sec"))
+  }
 }

@@ -185,6 +185,44 @@ class EvalPrivacySpec extends SparkSpec {
       ("b", 4L, 1L, 2L, -5.0, 10.0)))
   }
 
+  // -------------------------------------------------- encoding / splits
+
+  test("patternCount: control, non-ASCII and replacement chars counted") {
+    import TextAnalysis._
+    val df = Seq(
+      ("clean ascii text", 0L, 0L, 0L),
+      ("tab\tand\nnewline ok", 0L, 0L, 0L), // \t \n excluded from C0 set
+      ("bad\u0001\u0002ctrl", 2L, 0L, 0L),
+      ("café résumé", 0L, 3L, 0L),
+      ("broken � decode �", 0L, 2L, 2L)) // U+FFFD is non-ASCII too
+      .toDF("t", "ec", "ea", "er")
+    val out = df.select(
+      patternCount(col("t"), CtrlPattern).as("c"),
+      patternCount(col("t"), NonAsciiPattern).as("a"),
+      patternCount(col("t"), ReplacementPattern).as("r"),
+      col("ec"), col("ea"), col("er")).collect()
+    out.foreach { r =>
+      assert((r.getInt(0).toLong, r.getInt(1).toLong, r.getInt(2).toLong) ===
+        (r.getLong(3), r.getLong(4), r.getLong(5)))
+    }
+  }
+
+  test("temporalSplitReport: split counts, overlap units, min gap >= embargo") {
+    val ts = (d: Int, h: Int) =>
+      java.sql.Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    // user 1 spans both sides (gap 4 days > 3-day embargo), user 2 only
+    // train, user 3 only test, one embargo-window event dropped from both
+    val ev = Seq((1L, ts(10, 0)), (1L, ts(17, 12)), (1L, ts(21, 12)),
+      (2L, ts(5, 0)), (3L, ts(25, 0)), (1L, ts(19, 0))).toDF("u", "ts")
+    val r = Sampling.temporalSplitReport(ev, col("u"), col("ts"),
+      "2024-01-18", "2024-01-21").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      (3L, 1L, 2L, 1L))
+    // user 1: max train Jan 17 12:00, min test Jan 21 12:00 -> 4 days
+    assert(r.getDouble(4) === 4 * 86400.0)
+    assert(r.getDouble(4) >= 3 * 86400.0) // the embargo guarantee
+  }
+
   // ------------------------------------------------------ snapshot diff
 
   test("snapshotDiff: added/removed/changed/unchanged and per-column " +
