@@ -560,6 +560,76 @@ object EvalQueries {
       |  round(CAST(mg AS DOUBLE) / 1e6, 4) AS min_gap_sec
       |FROM c CROSS JOIN g ORDER BY n_train""".stripMargin))
 
+  /** MAP@10 per market segment: average precision of the
+    * quantity-popularity ranking against binary revenue relevance
+    * (≥ $50k segment revenue), mean-able across segments — the
+    * complement to q175's graded nDCG. prec@k terms are quantized to
+    * 1e-6 longs before the per-segment sum (the DCG device); AP
+    * denominator is min(n_rel, 10), NULL when a segment has no
+    * relevant part. The rank window is filtered to rk ≤ 10 directly
+    * above the row_number, so WindowGroupLimit keeps 10 rows per
+    * segment before any sort. */
+  private val q208 = QDef("q208_map_at_10",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = T(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_partkey").as("pk"),
+        col("l_quantity").cast("long").as("qty"),
+        expr("CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)")
+          .as("cents"))
+      val oc = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(broadcast(T(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+          col("o_custkey") === col("c_custkey"))
+      val a = li.join(oc, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("seg", "pk")
+        .agg(sum("qty").as("qty"), sum("cents").as("cents"))
+        .withColumn("rel", (col("cents") >= 5000000L).cast("long"))
+        .localCheckpoint() // two consumers: top-10 ranking + n_rel totals
+      val nRel = a.groupBy("seg").agg(sum("rel").as("n_rel"))
+      val wq = Window.partitionBy("seg").orderBy(desc("qty"), col("pk"))
+      val wc = Window.partitionBy("seg").orderBy("rk")
+      val terms = a
+        .withColumn("rk", row_number().over(wq)).where(col("rk") <= 10)
+        .withColumn("hits", sum("rel").over(wc))
+        .select(col("seg"), when(col("rel") === 1,
+          round(lit(1e6) * col("hits") / col("rk"), 0).cast("long"))
+          .otherwise(0L).as("t"))
+        .groupBy("seg").agg(sum("t").as("tsum"))
+      terms.join(broadcast(nRel), "seg")
+        .select(col("seg").as("segment"), col("n_rel"),
+          when(col("n_rel") > 0,
+            round(col("tsum").cast("double") /
+              (lit(1e6) * least(col("n_rel"), lit(10L))), 4)).as("ap10"))
+        .orderBy("segment")
+    },
+    Some("""WITH a AS (SELECT c_mktsegment AS seg, l_partkey AS pk,
+      |        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+      |        CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100,
+      |          0) AS BIGINT)) AS BIGINT) AS cents
+      |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |        JOIN customer ON o_custkey = c_custkey
+      |      GROUP BY 1, 2),
+      |b AS (SELECT seg, pk, qty,
+      |        CASE WHEN cents >= 5000000 THEN 1 ELSE 0 END AS rel
+      |      FROM a),
+      |nr AS (SELECT seg, CAST(sum(rel) AS BIGINT) AS n_rel
+      |       FROM b GROUP BY 1),
+      |r AS (SELECT seg, rel, CAST(row_number() OVER (PARTITION BY seg
+      |          ORDER BY qty DESC, pk) AS BIGINT) AS rk FROM b),
+      |h AS (SELECT seg, rel, rk, CAST(sum(rel) OVER (PARTITION BY seg
+      |          ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+      |          ROW) AS BIGINT) AS hits
+      |      FROM r WHERE rk <= 10),
+      |t AS (SELECT seg, CAST(sum(CASE WHEN rel = 1 THEN
+      |          CAST(round(1000000.0 * hits / rk, 0) AS BIGINT)
+      |          ELSE 0 END) AS BIGINT) AS tsum
+      |      FROM h GROUP BY 1)
+      |SELECT seg AS segment, n_rel,
+      |  CASE WHEN n_rel > 0 THEN round(CAST(tsum AS DOUBLE)
+      |    / (1000000.0 * least(n_rel, 10)), 4) END AS ap10
+      |FROM t JOIN nr USING (seg) ORDER BY segment""".stripMargin))
+
   def all: Seq[QDef] = Seq(q191, q192, q193, q194, q195, q196, q197,
-    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207)
+    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208)
 }
