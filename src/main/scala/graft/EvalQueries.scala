@@ -512,23 +512,27 @@ object EvalQueries {
             .as("n_repl"))
         .select(col("doc_id"), col("n_chars"), col("n_ctrl"),
           col("n_non_ascii"), col("n_repl"),
-          (col("n_ctrl") > 0 || col("n_repl") > 0).cast("long")
-            .as("flagged"))
+          // coalesce: NULL text gives NULL counts in both engines, but
+          // the oracle's CASE falls through to ELSE 0 — mirror that so
+          // the flag is never three-valued
+          coalesce((col("n_ctrl") > 0 || col("n_repl") > 0).cast("long"),
+            lit(0L)).as("flagged"))
         .orderBy("doc_id")
     },
-    Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
-      |  CAST(length(text) - length(regexp_replace(text,
-      |    '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS BIGINT) AS n_ctrl,
-      |  CAST(length(text) - length(regexp_replace(text,
-      |    '[^\x00-\x7F]', '', 'g')) AS BIGINT) AS n_non_ascii,
-      |  CAST(length(text) - length(regexp_replace(text,
-      |    '\x{FFFD}', '', 'g')) AS BIGINT) AS n_repl,
-      |  CAST(CASE WHEN length(text) - length(regexp_replace(text,
-      |      '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) > 0
-      |    OR length(text) - length(regexp_replace(text,
-      |      '\x{FFFD}', '', 'g')) > 0 THEN 1 ELSE 0 END AS BIGINT)
-      |    AS flagged
-      |FROM documents ORDER BY doc_id""".stripMargin))
+    Some("""WITH c AS (SELECT doc_id, CAST(length(text) AS BIGINT)
+      |          AS n_chars,
+      |        CAST(length(text) - length(regexp_replace(text,
+      |          '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS BIGINT)
+      |          AS n_ctrl,
+      |        CAST(length(text) - length(regexp_replace(text,
+      |          '[^\x00-\x7F]', '', 'g')) AS BIGINT) AS n_non_ascii,
+      |        CAST(length(text) - length(regexp_replace(text,
+      |          '\x{FFFD}', '', 'g')) AS BIGINT) AS n_repl
+      |      FROM documents)
+      |SELECT doc_id, n_chars, n_ctrl, n_non_ascii, n_repl,
+      |  CAST(CASE WHEN n_ctrl > 0 OR n_repl > 0 THEN 1 ELSE 0 END
+      |    AS BIGINT) AS flagged
+      |FROM c ORDER BY doc_id""".stripMargin))
 
   /** [[Sampling.temporalSplitReport]]: time split of events with a
     * 3-day embargo (train < Jan 18, test ≥ Jan 21) — the leakage-safe
@@ -571,7 +575,6 @@ object EvalQueries {
     * segment before any sort. */
   private val q208 = QDef("q208_map_at_10",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val li = T(s, dir, "lineitem").select(col("l_orderkey"),
         col("l_partkey").as("pk"),
         col("l_quantity").cast("long").as("qty"),
@@ -584,23 +587,10 @@ object EvalQueries {
       val a = li.join(oc, col("l_orderkey") === col("o_orderkey"))
         .groupBy("seg", "pk")
         .agg(sum("qty").as("qty"), sum("cents").as("cents"))
-        .withColumn("rel", (col("cents") >= 5000000L).cast("long"))
-        .localCheckpoint() // two consumers: top-10 ranking + n_rel totals
-      val nRel = a.groupBy("seg").agg(sum("rel").as("n_rel"))
-      val wq = Window.partitionBy("seg").orderBy(desc("qty"), col("pk"))
-      val wc = Window.partitionBy("seg").orderBy("rk")
-      val terms = a
-        .withColumn("rk", row_number().over(wq)).where(col("rk") <= 10)
-        .withColumn("hits", sum("rel").over(wc))
-        .select(col("seg"), when(col("rel") === 1,
-          round(lit(1e6) * col("hits") / col("rk"), 0).cast("long"))
-          .otherwise(0L).as("t"))
-        .groupBy("seg").agg(sum("t").as("tsum"))
-      terms.join(broadcast(nRel), "seg")
-        .select(col("seg").as("segment"), col("n_rel"),
-          when(col("n_rel") > 0,
-            round(col("tsum").cast("double") /
-              (lit(1e6) * least(col("n_rel"), lit(10L))), 4)).as("ap10"))
+      RankEval.mapAtK(a, col("seg"), col("qty"),
+          (col("cents") >= 5000000L).cast("long"), col("pk"), k = 10)
+        .select(col("g").as("segment"), col("n_rel"),
+          col("ap").as("ap10"))
         .orderBy("segment")
     },
     Some("""WITH a AS (SELECT c_mktsegment AS seg, l_partkey AS pk,

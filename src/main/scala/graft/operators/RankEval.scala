@@ -155,6 +155,39 @@ object RankEval {
       .orderBy("k")
   }
 
+  /** MAP@k core — average precision per group of a (score desc, tie)
+    * ranking against binary relevance: AP = Σ_{r≤k, rel_r} prec@r
+    * / min(n_rel, k), with n_rel counted over the WHOLE group (not just
+    * the top k) and NULL when a group has no relevant item. prec@r
+    * terms are quantized to 1e-6 longs before the per-group sum (the
+    * DCG device), so the aggregation is exact; ONE sealed division.
+    * The rk ≤ k filter sits directly above the row_number, so
+    * WindowGroupLimit keeps k rows per group before any sort. Output:
+    * (g, n_rel, ap). */
+  def mapAtK(df: DataFrame, group: Column, score: Column, label: Column,
+             tie: Column, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val base = df.select(group.as("g"), score.cast("long").as("s"),
+        label.cast("long").as("rel"), tie.as("id"))
+      .where(col("s").isNotNull && col("rel").isNotNull)
+      .localCheckpoint() // two consumers: top-k ranking + n_rel totals
+    val nRel = base.groupBy("g").agg(sum("rel").as("n_rel"))
+    val wq = Window.partitionBy("g").orderBy(desc("s"), col("id"))
+    val wc = Window.partitionBy("g").orderBy("rk")
+    val terms = base
+      .withColumn("rk", row_number().over(wq)).where(col("rk") <= k)
+      .withColumn("hits", sum("rel").over(wc))
+      .select(col("g"), when(col("rel") === 1,
+        round(lit(1e6) * col("hits") / col("rk"), 0).cast("long"))
+        .otherwise(0L).as("t"))
+      .groupBy("g").agg(sum("t").as("tsum"))
+    terms.join(broadcast(nRel), "g")
+      .select(col("g"), col("n_rel"),
+        when(col("n_rel") > 0,
+          round(col("tsum").cast("double") /
+            (lit(1e6) * least(col("n_rel"), lit(k.toLong))), 4)).as("ap"))
+  }
+
   /** Cohen's kappa between two BINARY raters — chance-corrected
     * agreement, the labeling-quality gate before annotated data enters
     * training. Entirely integer until the final divisions:

@@ -232,10 +232,32 @@ object Sampling {
     * example. [[splitAssign]]'s hash split is the wrong tool for
     * autocorrelated data — a user's adjacent events land on both sides
     * of a hash split and leak the near future into training. */
-  def temporalSplit(ts: Column, trainEnd: String, testStart: String): Column =
-    when(ts < lit(trainEnd).cast("timestamp"), "train")
+  def temporalSplit(ts: Column, trainEnd: String, testStart: String): Column = {
+    validateCutoffs(trainEnd, testStart)
+    // NULL timestamps get a NULL split (the splitAssign convention) —
+    // the otherwise-branch would silently concentrate every NULL-ts row
+    // in the test split
+    when(ts.isNull, lit(null).cast("string"))
+      .when(ts < lit(trainEnd).cast("timestamp"), "train")
       .when(ts < lit(testStart).cast("timestamp"), "embargo")
       .otherwise("test")
+  }
+
+  /** Cutoffs must PARSE, not just order: under the pinned ANSI-off
+    * config an unparseable string casts to SQL NULL, every comparison
+    * against it is NULL, and the report silently certifies a split that
+    * never happened — fail on the driver instead. Accepts ISO dates or
+    * date-times. */
+  private def validateCutoffs(trainEnd: String, testStart: String): Unit = {
+    def parse(s: String): java.time.LocalDateTime =
+      try java.time.LocalDateTime.parse(s)
+      catch { case _: java.time.format.DateTimeParseException =>
+        java.time.LocalDate.parse(s).atStartOfDay() // throws if bad too
+      }
+    val (a, b) = (parse(trainEnd), parse(testStart))
+    require(!a.isAfter(b),
+      s"trainEnd $trainEnd must not be after testStart $testStart")
+  }
 
   /** One-row certification report for [[temporalSplit]]: split sizes
     * plus, over units (users/series) with events on BOTH sides, the
@@ -246,8 +268,7 @@ object Sampling {
     * (split counts; per-unit max-train/min-test), nothing row-sorted. */
   def temporalSplitReport(df: DataFrame, unit: Column, ts: Column,
                           trainEnd: String, testStart: String): DataFrame = {
-    require(trainEnd <= testStart,
-      "trainEnd must not be after testStart (ISO strings compare safely)")
+    validateCutoffs(trainEnd, testStart)
     val s = df.select(unit.as("k"), unix_micros(ts).as("us"),
         temporalSplit(ts, trainEnd, testStart).as("sp"))
       .where(col("us").isNotNull)

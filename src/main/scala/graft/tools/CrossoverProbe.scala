@@ -127,16 +127,24 @@ object CrossoverProbe {
       println(s"[xover] spatial: points=$nP boxes=$nB plane=$side² " +
         s"box=${2 * half + 1}² cell=$cell " +
         s"naive_probes=${nP * nB}")
-      val ng = time("spatial naive BETWEEN")(
+      def naive(): DataFrame =
         boxes.as("b").join(pts.as("p"),
             col("p.x") >= col("b.xlo") && col("p.x") <= col("b.xhi") &&
             col("p.y") >= col("b.ylo") && col("p.y") <= col("b.yhi"))
-          .groupBy(col("b.id")).agg(count(lit(1))))
-      val gg = time("spatial grid join (q204)")(
+          .groupBy(col("b.id").as("bid")).agg(count(lit(1)).as("n_points"))
+      def grid(): DataFrame =
         graft.Spatial.gridJoinCount(
           pts.select(col("id"), col("x"), col("y")), boxes, cell)
-          .where(col("n_points") > 0))
+          .where(col("n_points") > 0)
+      val ng = time("spatial naive BETWEEN")(naive())
+      val gg = time("spatial grid join (q204)")(grid())
       assert(ng == gg, s"spatial paths disagree: $ng vs $gg")
+      // row-count equality alone only proves the same boxes are
+      // non-empty; gate the FULL (box, count) answer set both ways
+      val diff = naive().exceptAll(grid()).count() +
+        grid().exceptAll(naive()).count()
+      assert(diff == 0, s"spatial per-box counts differ on $diff rows")
+      println("[xover] spatial per-box counts verified identical")
     }
 
     spark.stop()

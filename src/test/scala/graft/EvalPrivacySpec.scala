@@ -83,6 +83,24 @@ class EvalPrivacySpec extends SparkSpec {
       (3L, 2L, 0L, 0.0, 15.0)))
   }
 
+  test("mapAtK: hand-computed AP, min(n_rel,k) denominator, NULL when " +
+      "no relevant item") {
+    // group a ranked desc: rel 1,0,1 with n_rel=2 -> AP = (1 + 2/3)/2
+    // group b: nothing relevant -> NULL
+    // group c: 5 relevant, k=3 caps the denominator -> AP = 3/3 = 1.0
+    val df = Seq(("a", 30L, 1L, 1L), ("a", 20L, 0L, 2L), ("a", 10L, 1L, 3L),
+      ("b", 30L, 0L, 1L), ("b", 20L, 0L, 2L)) ++
+      (1 to 5).map(i => ("c", 100L - i, 1L, i.toLong))
+    val out = RankEval.mapAtK(df.toDF("g", "s", "y", "id"), col("g"),
+        col("s"), col("y"), col("id"), k = 3)
+      .orderBy("g").collect()
+    assert((out(0).getString(0), out(0).getLong(1), out(0).getDouble(2)) ===
+      ("a", 2L, 0.8333))
+    assert(out(1).getString(0) === "b" && out(1).isNullAt(2))
+    assert((out(2).getString(0), out(2).getLong(1), out(2).getDouble(2)) ===
+      ("c", 5L, 1.0))
+  }
+
   // ------------------------------------------------------------ privacy
 
   test("kAnonymityReport: violating groups, rows at risk, share") {
@@ -221,6 +239,21 @@ class EvalPrivacySpec extends SparkSpec {
     // user 1: max train Jan 17 12:00, min test Jan 21 12:00 -> 4 days
     assert(r.getDouble(4) === 4 * 86400.0)
     assert(r.getDouble(4) >= 3 * 86400.0) // the embargo guarantee
+  }
+
+  test("temporalSplit: NULL ts gets NULL split; unparseable cutoffs fail") {
+    val ev = Seq((1L, Option(java.sql.Timestamp.valueOf("2024-01-10 00:00:00"))),
+      (2L, Option.empty[java.sql.Timestamp])).toDF("u", "ts")
+    val out = ev.select(col("u"),
+      Sampling.temporalSplit(col("ts"), "2024-01-18", "2024-01-21").as("sp"))
+      .orderBy("u").collect()
+    assert(out(0).getString(1) === "train")
+    assert(out(1).isNullAt(1)) // NOT silently 'test'
+    val e = intercept[Exception] {
+      Sampling.temporalSplit(col("ts"), "2024-O1-18", "2024-01-21")
+    }
+    assert(e.isInstanceOf[java.time.format.DateTimeParseException] ||
+      e.getMessage != null)
   }
 
   // ------------------------------------------------------ snapshot diff
