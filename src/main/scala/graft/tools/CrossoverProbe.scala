@@ -67,14 +67,14 @@ object CrossoverProbe {
     // family gets its own run config: SPARK_GRAFT_XOVER_WHICH=jaccard|simhash|both
     val which = sys.env.getOrElse("SPARK_GRAFT_XOVER_WHICH", "both")
 
-    if (which != "simhash" && which != "spatial") {
+    if (which != "simhash" && which != "spatial" && which != "rank") {
       val jq = time("jaccard quadratic (q27)")(Dedup.ngramJaccardPairs(
         docs, col("text"), col("doc_id"), col("source"), n = 1, minJ = 0.6))
       val jp = time("jaccard prefix (q61)")(Dedup.ngramJaccardPairsPrefix(
         docs, col("text"), col("doc_id"), col("source"), n = 1, minJ = 0.6))
       assert(jq == jp, s"jaccard paths disagree: $jq vs $jp")
     }
-    if (which != "jaccard" && which != "spatial") {
+    if (which != "jaccard" && which != "spatial" && which != "rank") {
       val sq = time("simhash quadratic (q26)")(Dedup.simhashNearDup(
         docs, col("text"), col("doc_id"), col("source"), maxDist = 12))
       val sb = time("simhash banded (q60)")(Dedup.simhashNearDupBanded(
@@ -145,6 +145,49 @@ object CrossoverProbe {
         grid().exceptAll(naive()).count()
       assert(diff == 0, s"spatial per-box counts differ on $diff rows")
       println("[xover] spatial per-box counts verified identical")
+    }
+
+    // rank/percentile bucketing: the round-7 scale twins (q191 vs q201,
+    // q188's window vs bucketed two-phase) — a global cumulative pass
+    // serializes the whole distinct-value spine through ONE window task,
+    // the bucketed decomposition runs it bucket-parallel with the SAME
+    // bit-exact answer. Knob: SPARK_GRAFT_XOVER_UNITS (default 10M
+    // units, ~10M distinct scores, 3 percentile groups).
+    if (which == "rank") {
+      val nU = sys.env.getOrElse("SPARK_GRAFT_XOVER_UNITS", "10000000").toLong
+      val units = spark.range(nU).select(col("id"),
+          pmod(xxhash64(concat(lit("s"), col("id"))), lit(nU * 4)).as("s"),
+          (pmod(xxhash64(concat(lit("y"), col("id"))), lit(10)) < 3)
+            .cast("long").as("y"),
+          pmod(col("id"), lit(3)).cast("string").as("g"),
+          (pmod(xxhash64(concat(lit("w"), col("id"))), lit(9)) + 1)
+            .as("w"))
+        .cache()
+      units.count()
+      println(s"[xover] rank: units=$nU distinct_scores~$nU groups=3")
+      def one(tag: String)(f: => DataFrame): Seq[String] = {
+        def pass(): (Double, Seq[String]) = {
+          val t0 = System.nanoTime()
+          val rows = f.collect().map(_.toString).toSeq.sorted
+          ((System.nanoTime() - t0) / 1e9, rows)
+        }
+        val (ta, ra) = pass(); val (tb, rb) = pass()
+        assert(ra == rb, s"$tag nondeterministic")
+        println(f"[xover] $tag%-28s ${math.min(ta, tb)}%8.2f s")
+        ra
+      }
+      val a1 = one("auc global window (q191)")(
+        graft.RankEval.aucRoc(units, col("s"), col("y")))
+      val a2 = one("auc bucketed (q201)")(
+        graft.RankEval.aucRocBucketed(units, col("s"), col("y"), 65536L))
+      assert(a1 == a2, s"auc paths disagree: $a1 vs $a2")
+      val p1 = one("wpctl window (q188 form)")(
+        graft.Agg.weightedPercentile(units, col("g"), col("s"), col("w")))
+      val p2 = one("wpctl bucketed two-phase")(
+        graft.Agg.weightedPercentileBucketed(units, col("g"), col("s"),
+          col("w"), bucketWidth = 65536L))
+      assert(p1 == p2, s"percentile paths disagree: $p1 vs $p2")
+      println("[xover] rank outputs verified identical on both paths")
     }
 
     spark.stop()
