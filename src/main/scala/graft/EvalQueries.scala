@@ -620,6 +620,44 @@ object EvalQueries {
       |    / (1000000.0 * least(n_rel, 10)), 4) END AS ap10
       |FROM t JOIN nr USING (seg) ORDER BY segment""".stripMargin))
 
+  /** Group-integrity k-fold assignment: folds hash the GROUP key
+    * (user), not the row, so all of a unit's events land in one fold —
+    * the cross-validation analogue of q207's leakage guard (a row-level
+    * hash split would put one user's near-duplicate events in several
+    * folds). Per-fold sizes plus a certification column: the count of
+    * groups spanning >1 fold, zero BY CONSTRUCTION and proven on the
+    * data (the q207/q204 self-certifying-report device). */
+  private val q209 = QDef("q209_group_kfold",
+    (s, dir) => {
+      val folds = (0 to 4).map(i => s"f$i" -> 0.2)
+      val f = T(s, dir, "events").select(col("user_id"),
+        Sampling.splitAssign(col("user_id"), folds, "kf").as("fold"))
+      val per = f.groupBy("fold").agg(count(lit(1)).as("n_rows"),
+        countDistinct("user_id").as("n_users"))
+      val leaky = f.groupBy("user_id")
+        .agg(countDistinct("fold").as("nf"))
+        .agg(coalesce(sum(when(col("nf") > 1, 1L).otherwise(0L)), lit(0L))
+          .as("n_groups_split"))
+      per.crossJoin(broadcast(leaky)).orderBy("fold")
+    },
+    Some("""WITH f AS (SELECT user_id,
+      |        CASE WHEN hv < 200000 THEN 'f0' WHEN hv < 400000 THEN 'f1'
+      |             WHEN hv < 600000 THEN 'f2' WHEN hv < 800000 THEN 'f3'
+      |             ELSE 'f4' END AS fold
+      |      FROM (SELECT user_id,
+      |        ('0x' || substr(md5(CAST(user_id AS VARCHAR) || 'kf'), 1,
+      |          15))::BIGINT % 1000000 AS hv FROM events)),
+      |p AS (SELECT fold, CAST(count(*) AS BIGINT) AS n_rows,
+      |        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |      FROM f GROUP BY 1),
+      |l AS (SELECT CAST(coalesce(sum(CASE WHEN nf > 1 THEN 1 ELSE 0 END),
+      |          0) AS BIGINT) AS n_groups_split
+      |      FROM (SELECT user_id, count(DISTINCT fold) AS nf
+      |            FROM f GROUP BY 1))
+      |SELECT fold, n_rows, n_users, n_groups_split
+      |FROM p CROSS JOIN l ORDER BY fold""".stripMargin))
+
   def all: Seq[QDef] = Seq(q191, q192, q193, q194, q195, q196, q197,
-    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208)
+    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208,
+    q209)
 }

@@ -41,7 +41,8 @@ class PlanAuditSpec extends SparkSpec {
     "q187_moe_rollup", // 1-row grand-total broadcast
     "q190_bm25_search", // 1-row (N, avgdl) broadcast
     "q192_topk_precision_recall", // 1-row total-positives broadcast
-    "q207_temporal_split_embargo") // 1-row counts × 1-row gap cross join
+    "q207_temporal_split_embargo", // 1-row counts × 1-row gap cross join
+    "q209_group_kfold") // 1-row integrity-count broadcast
 
   test("rank-filter pattern gets WindowGroupLimit pushdown (per-partition top-k, not full sort)") {
     import org.apache.spark.sql.functions._
