@@ -1,0 +1,209 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import Queries.QDef
+
+/** Round-8 analytics batch (q210+): string-similarity record linkage
+  * (native Jaro-Winkler codegen), changepoint detection, inequality and
+  * feature-separability readouts, proper-scoring-rule calibration, and a
+  * seeded differentially-private release. Same oracle conventions as
+  * [[Queries]] (FIXTURES.md): integer quantization before every
+  * cross-row sum, one sealed round(,4) division per statistic, total
+  * ORDER BY.
+  */
+object AnalyticsQueries {
+  private def T(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Tables.t(s, dir, n)
+
+  /** [[FuzzyJoin.jaroWinklerPairs]]: brand-blocked part-name pairs scored
+    * by the native [[org.apache.spark.sql.graft.JaroWinkler]] expression
+    * (whole-stage codegen — Spark has no built-in JW; DuckDB's
+    * jaro_winkler_similarity is the oracle's reference implementation).
+    * The 0.847 threshold sits in a verified gap of the attainable score
+    * set (nothing in (0.8440, 0.85) at any fixture SF), so unrounded
+    * threshold comparison can't flip a pair across engines. */
+  private val q210 = QDef("q210_jaro_winkler_pairs",
+    (s, dir) => FuzzyJoin.jaroWinklerPairs(T(s, dir, "part"),
+      col("p_brand"), col("p_name"), threshold = 0.847)
+      .orderBy("blk", "name_a", "name_b"),
+    Some("""WITH d AS (SELECT p_brand AS blk, p_name AS nm,
+      |        CAST(count(*) AS BIGINT) AS n
+      |      FROM part WHERE p_brand IS NOT NULL AND p_name IS NOT NULL
+      |      GROUP BY 1, 2)
+      |SELECT a.blk, a.nm AS name_a, b.nm AS name_b,
+      |  round(jaro_winkler_similarity(a.nm, b.nm), 4) AS jw,
+      |  a.n AS n_a, b.n AS n_b
+      |FROM d a JOIN d b ON a.blk = b.blk AND a.nm < b.nm
+      |WHERE jaro_winkler_similarity(a.nm, b.nm) >= 0.847
+      |ORDER BY 1, 2, 3""".stripMargin))
+
+  /** [[Timeseries.cusumChangepoint]] on daily order revenue: the
+    * cumulative-deviation peak locates the most likely level shift.
+    * Integer end to end — the scan compares n·cum − t·S longs. */
+  private val q211 = QDef("q211_cusum_changepoint",
+    (s, dir) => Timeseries.cusumChangepoint(
+      T(s, dir, "orders").select(col("o_orderdate"),
+        expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents")),
+      col("o_orderdate"), col("cents")),
+    Some("""WITH d AS (SELECT o_orderdate AS day,
+      |        CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT)
+      |          AS x
+      |      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+      |t AS (SELECT day, x, row_number() OVER (ORDER BY day) AS t,
+      |        sum(x) OVER (ORDER BY day
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |      FROM d),
+      |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(x) AS BIGINT) AS s FROM d),
+      |sc AS (SELECT day, n, s, n*cum - t*s AS ns, abs(n*cum - t*s) AS a
+      |       FROM t CROSS JOIN g),
+      |pk AS (SELECT max(a) AS maxa FROM sc),
+      |cp AS (SELECT min(day) AS cp_day, maxa, n, s
+      |       FROM sc, pk WHERE a = maxa GROUP BY maxa, n, s)
+      |SELECT cp_day,
+      |  round(CAST(cp.maxa AS DOUBLE)/(CAST(cp.n AS DOUBLE)*100.0), 4)
+      |    AS max_abs_cusum,
+      |  CASE WHEN sc.ns > 0 THEN 'up_then_down' ELSE 'down_then_up' END
+      |    AS shape,
+      |  cp.n AS n_days,
+      |  round(CAST(cp.s AS DOUBLE)/(CAST(cp.n AS DOUBLE)*100.0), 4)
+      |    AS mean_daily
+      |FROM cp JOIN sc ON sc.day = cp.cp_day""".stripMargin))
+
+  /** [[Skew.gini]]: per-nation Gini of customer lifetime spend (cents;
+    * no-order customers enter at 0 via the LEFT join — dropping them
+    * would understate inequality exactly where it's highest). */
+  private val q212 = QDef("q212_gini_spend",
+    (s, dir) => {
+      val sp = T(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+          .as("cents"))
+      val cu = T(s, dir, "customer")
+        .join(T(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(sp, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("n_name"), col("c_custkey"),
+          coalesce(col("cents"), lit(0L)).as("v"))
+      Skew.gini(cu, col("n_name"), col("v"), col("c_custkey"))
+        .orderBy("g")
+    },
+    Some("""WITH sp AS (SELECT o_custkey AS ck,
+      |        CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT)
+      |          AS cents
+      |      FROM orders GROUP BY 1),
+      |cu AS (SELECT n_name AS g, c_custkey AS tie,
+      |         coalesce(cents, 0) AS v
+      |       FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |       LEFT JOIN sp ON c_custkey = ck),
+      |r AS (SELECT g, v,
+      |        row_number() OVER (PARTITION BY g ORDER BY v, tie) AS i
+      |      FROM cu),
+      |a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(v) AS BIGINT) AS sv,
+      |        CAST(sum(i*v) AS BIGINT) AS siv
+      |      FROM r GROUP BY g)
+      |SELECT g, n, sv AS total,
+      |  round((2.0*siv - CAST((n+1)*sv AS DOUBLE)) /
+      |    (CAST(n AS DOUBLE) * nullif(sv, 0)), 4) AS gini
+      |FROM a ORDER BY g""".stripMargin))
+
+  /** [[RankEval.woeIv]]: weight-of-evidence / information value of $5k
+    * price bands against the returned flag — "does price separate
+    * returns?". Value-based bands (integer division on cents), not
+    * ntile: band edges are tie-order-free literals. */
+  private val q213 = QDef("q213_woe_iv",
+    (s, dir) => RankEval.woeIv(
+      T(s, dir, "lineitem").select(
+        expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT) DIV 500000")
+          .as("bin"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y")),
+      col("bin"), col("y")).orderBy("bin"),
+    Some("""WITH c AS (SELECT
+      |        CAST(round(l_extendedprice*100,0) AS BIGINT) // 500000 AS bin,
+      |        CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      |      FROM lineitem),
+      |cell AS (SELECT bin,
+      |        CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS g,
+      |        CAST(sum(CASE WHEN y <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS b
+      |      FROM c GROUP BY 1),
+      |t AS (SELECT CAST(sum(g) AS BIGINT) AS gt,
+      |        CAST(sum(b) AS BIGINT) AS bt FROM cell),
+      |pb AS (SELECT bin, g, b,
+      |        CAST(CASE WHEN g = 0 OR b = 0 THEN 1 ELSE 0 END AS BIGINT)
+      |          AS one_sided,
+      |        CASE WHEN g > 0 AND b > 0 THEN
+      |          round(ln(CAST(g AS DOUBLE)*bt/(CAST(b AS DOUBLE)*gt)), 4)
+      |        END AS woe,
+      |        CASE WHEN g > 0 AND b > 0 THEN
+      |          CAST(round((CAST(g AS DOUBLE)/gt - CAST(b AS DOUBLE)/bt) *
+      |            ln(CAST(g AS DOUBLE)*bt/(CAST(b AS DOUBLE)*gt)) *
+      |            1000000.0, 0) AS BIGINT)
+      |        ELSE 0 END AS ivq
+      |      FROM cell CROSS JOIN t),
+      |iv AS (SELECT round(CAST(sum(ivq) AS DOUBLE)/1000000.0, 4) AS iv
+      |       FROM pb)
+      |SELECT bin, g, b, one_sided, woe, iv
+      |FROM pb CROSS JOIN iv ORDER BY bin""".stripMargin))
+
+  /** [[RankEval.brierLogloss]]: Brier + log-loss of the max-normalized
+    * spend score as a delinquency probability — the proper-scoring
+    * companions to q191's AUC over the same units. */
+  private val q214 = QDef("q214_brier_logloss",
+    (s, dir) => {
+      val sp = T(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+          .as("cents"))
+      val u = T(s, dir, "customer")
+        .select(col("c_custkey").as("id"),
+          when(col("c_acctbal") < 0, 1L).otherwise(0L).as("y"))
+        .join(sp, col("id") === col("o_custkey"), "left")
+        .select(col("y"), coalesce(col("cents"), lit(0L)).as("sc"))
+      val m = u.agg(max("sc").as("ms"))
+      val scored = u.crossJoin(broadcast(m))
+        .select((col("sc").cast("double") / col("ms").cast("double"))
+          .as("p"), col("y"))
+      RankEval.brierLogloss(scored, col("p"), col("y"))
+    },
+    Some("""WITH sp AS (SELECT o_custkey AS ck,
+      |        CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT)
+      |          AS cents
+      |      FROM orders GROUP BY 1),
+      |u AS (SELECT CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS y,
+      |        coalesce(cents, 0) AS sc
+      |      FROM customer LEFT JOIN sp ON c_custkey = ck),
+      |m AS (SELECT CAST(max(sc) AS BIGINT) AS ms FROM u),
+      |scd AS (SELECT CAST(sc AS DOUBLE)/ms AS p, y FROM u CROSS JOIN m),
+      |q AS (SELECT p, y,
+      |        CAST(round((p - y)*(p - y) * 1000000.0, 0) AS BIGINT) AS sq,
+      |        CAST(round(-(y*ln(least(greatest(p, 0.000001), 0.999999)) +
+      |          (1-y)*ln(1 - least(greatest(p, 0.000001), 0.999999))) *
+      |          1000000.0, 0) AS BIGINT) AS nl
+      |      FROM scd)
+      |SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+      |  round(CAST(sum(sq) AS DOUBLE)/count(*)/1000000.0, 4) AS brier,
+      |  round(CAST(sum(nl) AS DOUBLE)/count(*)/1000000.0, 4) AS logloss
+      |FROM q""".stripMargin))
+
+  /** [[Privacy.dpHistogram]]: ε=0.5 Laplace-noised event-type counts,
+    * noise pinned to the release salt (seeded noise is both the
+    * production rule — reruns must not average away the mechanism — and
+    * what makes a DP release oracle-checkable). */
+  private val q215 = QDef("q215_dp_histogram",
+    (s, dir) => Privacy.dpHistogram(T(s, dir, "events"),
+      col("event_type"), epsilon = 0.5, salt = "r8").orderBy("cell"),
+    Some("""WITH g AS (SELECT event_type AS cell,
+      |        CAST(count(*) AS BIGINT) AS n
+      |      FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+      |u AS (SELECT cell, n,
+      |        (CAST(('0x' || substr(md5(cell || 'r8'), 1, 15)) AS BIGINT)
+      |          % 1000000 + 0.5)/1000000.0 AS u
+      |      FROM g)
+      |SELECT cell,
+      |  round(n + (-1.0/0.5) *
+      |    (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END) *
+      |    ln(1 - 2*abs(u - 0.5)), 4) AS noisy_count,
+      |  0.5 AS epsilon
+      |FROM u ORDER BY cell""".stripMargin))
+
+  def all: Seq[QDef] = Seq(q210, q211, q212, q213, q214, q215)
+}

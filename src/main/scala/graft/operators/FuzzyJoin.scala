@@ -45,4 +45,36 @@ object FuzzyJoin {
         col("n_a"), col("n_b"))
       .where(col("dist") <= lit(maxDist))
   }
+
+  /** Jaro-Winkler fuzzy pairs over a blocked dictionary: distinct
+    * (block, name) values pair within their block (name_a < name_b) and
+    * keep score ≥ `threshold`. Same dictionary-not-rows scale shape as
+    * [[dictionaryPairs]] — the quadratic stage runs on distinct values
+    * per block, with row frequencies carried as weights — but scored by
+    * the native [[org.apache.spark.sql.graft.JaroWinkler]] expression
+    * (whole-stage codegen; Spark has no built-in JW), which favors
+    * shared prefixes the way edit distance can't: a one-char typo deep
+    * in a long name scores ~0.97 while a same-distance typo in a short
+    * code scores far lower.
+    *
+    * `threshold` compares the UNROUNDED double in both engines — pick it
+    * away from any attainable score (scores are ratios of small integers,
+    * so at any realistic name length the attainable set is sparse); the
+    * output score is sealed with round(,4). */
+  def jaroWinklerPairs(df: DataFrame, block: Column, name: Column,
+                       threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold < 1, "threshold must be in (0, 1)")
+    import org.apache.spark.sql.graft.StringSimExprs
+    val dict = df.select(block.as("blk"), name.as("nm"))
+      .where(col("blk").isNotNull && col("nm").isNotNull)
+      .groupBy("blk", "nm").agg(count(lit(1)).as("n"))
+    val a = dict.select(col("blk"), col("nm").as("name_a"), col("n").as("n_a"))
+    val b = dict.select(col("blk"), col("nm").as("name_b"), col("n").as("n_b"))
+    a.join(broadcast(b), Seq("blk"))
+      .where(col("name_a") < col("name_b"))
+      .withColumn("jw", StringSimExprs.jaroWinkler(col("name_a"), col("name_b")))
+      .where(col("jw") >= lit(threshold))
+      .select(col("blk"), col("name_a"), col("name_b"),
+        round(col("jw"), 4).as("jw"), col("n_a"), col("n_b"))
+  }
 }

@@ -88,4 +88,37 @@ object Privacy {
       kAnonymityReport(df, qi, k).select(lit(tag).as("level"), col("*"))
     }.reduce(_.unionByName(_))
   }
+
+  /** Differentially-private histogram release: per-category counts plus
+    * Laplace(1/ε) noise — the simplest ε-DP mechanism, with parallel
+    * composition across disjoint cells so the whole histogram costs one
+    * ε. Rounds out the release toolkit: [[kAnonymityReport]] profiles a
+    * microdata release, this one releases aggregates directly.
+    *
+    * The noise is DERIVED, not drawn: u = (hash60(cell∥salt) mod 10⁶ +
+    * 0.5)/10⁶ ∈ (0,1), noise = −(1/ε)·sgn(u−½)·ln(1−2|u−½|) — the exact
+    * inverse-CDF transform of Laplace, on a uniform that both engines
+    * compute from the same md5 bytes. A seeded release is what a real
+    * pipeline wants anyway (reruns must not leak fresh noise draws —
+    * the "averaging attack" — so production DP systems pin noise to a
+    * release id; `salt` IS that release id here), and it is what makes
+    * the operator oracle-checkable. Noisy counts are sealed with
+    * round(,4); true counts never leave the operator.
+    *
+    * Scale: one cell-keyed aggregation; noise is a per-cell scalar
+    * expression on the aggregated (tiny) table. */
+  def dpHistogram(df: DataFrame, cell: Column, epsilon: Double,
+                  salt: String): DataFrame = {
+    require(epsilon > 0, "epsilon must be > 0")
+    val u = (pmod(Dedup.hash60(concat(col("cell").cast("string"), lit(salt))),
+      lit(1000000L)).cast("double") + lit(0.5)) / lit(1e6)
+    val cen = u - lit(0.5)
+    val noise = (lit(-1.0) / lit(epsilon)) * signum(cen) *
+      log(lit(1.0) - lit(2.0) * abs(cen))
+    df.select(cell.as("cell")).where(col("cell").isNotNull)
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .select(col("cell"),
+        round(col("n").cast("double") + noise, 4).as("noisy_count"),
+        lit(epsilon).as("epsilon"))
+  }
 }

@@ -272,4 +272,80 @@ object RankEval {
         round(col("ssum").cast("double") / col("n"), 4).as("mean_score"))
       .orderBy("bin")
   }
+
+  /** Weight-of-evidence / information-value feature readout — the
+    * credit-scoring standard for "how separable is this label by this
+    * binned feature". Buckets are VALUE-based (caller passes an integer
+    * bucket expression — range bands, not ntile: value bands are
+    * tie-order-free and shippable as monotone literals to any engine).
+    * Per bucket b: WOE_b = ln((g_b/G)/(b_b/B)) = ln(g_b·B / (b_b·G));
+    * IV = Σ_b (g_b/G − b_b/B)·WOE_b.
+    *
+    * Determinism: counts are exact longs, each bucket's IV term is
+    * quantized to a 1e-6 fixed-point long BEFORE the cross-bucket sum
+    * (the chiSqTerm device), WOE itself is a per-bucket ln of an integer
+    * ratio sealed with round(,4). One-sided buckets (g=0 or b=0, where
+    * WOE diverges) emit NULL woe and contribute 0 to IV — the standard
+    * skip rule, stated in the output via the `one_sided` flag.
+    *
+    * Scale: one bucket-keyed aggregation (bucket cardinality output),
+    * totals ride a broadcast 1-row cross join. */
+  def woeIv(df: DataFrame, bucket: Column, label: Column): DataFrame = {
+    val cells = df.select(bucket.cast("long").as("bin"),
+        label.cast("long").as("y"))
+      .where(col("bin").isNotNull && col("y").isNotNull)
+      .groupBy("bin")
+      .agg(sum(when(col("y") === 0, 1L).otherwise(0L)).as("g"),
+        sum(when(col("y") =!= 0, 1L).otherwise(0L)).as("b"))
+      .localCheckpoint() // totals + per-bucket readout share the table
+    val tot = cells.agg(sum("g").as("gt"), sum("b").as("bt"))
+    val woe = log(col("g").cast("double") * col("bt").cast("double") /
+      (col("b").cast("double") * col("gt").cast("double")))
+    val ivTerm = // (g/G − b/B)·woe in 1e-6 fixed point, exact integer sum
+      round((col("g").cast("double") / col("gt").cast("double") -
+        col("b").cast("double") / col("bt").cast("double")) * woe *
+        lit(1e6), 0).cast("long")
+    val perBucket = cells.crossJoin(broadcast(tot))
+      .select(col("bin"), col("g"), col("b"),
+        (col("g") === 0 || col("b") === 0).cast("long").as("one_sided"),
+        when(col("g") > 0 && col("b") > 0, round(woe, 4)).as("woe"),
+        when(col("g") > 0 && col("b") > 0, ivTerm).otherwise(lit(0L))
+          .as("ivq"))
+    val iv = perBucket.agg(
+      round(sum("ivq").cast("double") / lit(1e6), 4).as("iv"))
+    perBucket.drop("ivq").crossJoin(broadcast(iv))
+  }
+
+  /** Probability-score quality: Brier score and log-loss over a [0,1]
+    * probability column — the proper-scoring-rule companions to
+    * [[aucRoc]] (AUC sees only the ranking; these see the calibration).
+    * Log-loss clamps p to [eps, 1−eps] so degenerate 0/1 probabilities
+    * score finitely (the standard implementation rule, stated here
+    * rather than inherited silently).
+    *
+    * Determinism: p is a caller-built double expression (identical
+    * formula both engines); each row's squared error and each row's
+    * negative log-likelihood are quantized to 1e-6 fixed-point longs
+    * before the global sum — the sums are exact at any row count — then
+    * one sealed division each. NULL p or label rows drop (family
+    * convention). Single aggregation, no shuffle beyond it. */
+  def brierLogloss(df: DataFrame, p: Column, label: Column,
+                   eps: Double = 1e-6): DataFrame = {
+    val base = df.select(p.cast("double").as("p"),
+        label.cast("long").as("y"))
+      .where(col("p").isNotNull && col("y").isNotNull)
+    val pc = least(greatest(col("p"), lit(eps)), lit(1.0 - eps))
+    val d = col("p") - col("y").cast("double")
+    val sq = round(d * d * lit(1e6), 0).cast("long")
+    val nll = round(-(col("y").cast("double") * log(pc) +
+      (lit(1.0) - col("y").cast("double")) * log(lit(1.0) - pc)) * lit(1e6),
+      0).cast("long")
+    base.agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
+        sum(sq).as("sq"), sum(nll).as("nl"))
+      .select(col("n"), col("n_pos"),
+        round(col("sq").cast("double") / col("n").cast("double") / lit(1e6),
+          4).as("brier"),
+        round(col("nl").cast("double") / col("n").cast("double") / lit(1e6),
+          4).as("logloss"))
+  }
 }

@@ -148,4 +148,37 @@ object Skew {
           nullif(col("tn"), lit(0L)).cast("double"), 4).as("trim_mean"),
         col("tn").as("n_kept"))
   }
+
+  /** Per-group Gini coefficient of a non-negative integer metric — the
+    * inequality readout next to [[hhi]]'s concentration and
+    * `paretoShare`'s top-share: G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)
+    * over the ascending sort x_(1..n). Complements HHI because Gini sees
+    * the whole distribution, not just the big members' squared shares.
+    *
+    * Determinism: ranks come from row_number over (v, tie) — but the
+    * statistic doesn't need the tie order to be meaningful: swapping
+    * equal values across adjacent ranks leaves Σ i·x_(i) unchanged, so
+    * ANY total order on ties yields the same Gini; the `tie` column only
+    * pins the engines to the same plan. Integer throughout (i·x products
+    * summed as longs), one sealed division. Groups with Σx = 0 or n = 1
+    * emit SQL-NULL via nullif.
+    *
+    * Scale: rank-window parallelism = group cardinality (the
+    * [[keyDistribution]] note); nationwide single-group runs switch to
+    * the bucketed-rank spelling proven by q201. */
+  def gini(df: DataFrame, group: Column, v: Column, tie: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      .orderBy(col("v"), col("tie"))
+    df.select(group.as("g"), v.cast("long").as("v"), tie.as("tie"))
+      .where(col("v").isNotNull && col("v") >= 0)
+      .withColumn("i", row_number().over(w))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"),
+        sum(col("i") * col("v")).as("siv"))
+      .select(col("g"), col("n"), col("sv").as("total"),
+        round((lit(2.0) * col("siv").cast("double") -
+          (col("n") + 1).cast("double") * col("sv").cast("double")) /
+          (col("n").cast("double") * nullif(col("sv"), lit(0L)).cast("double")),
+          4).as("gini"))
+  }
 }

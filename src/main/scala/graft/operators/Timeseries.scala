@@ -49,4 +49,52 @@ object Timeseries {
           .as("interp_cents"))
       .orderBy("day")
   }
+
+  /** CUSUM changepoint scan over a daily integer series: the cumulative
+    * sum of deviations from the global mean, S_t = Σ_{i≤t}(x_i − x̄),
+    * peaks at the most likely single level-shift point (the classic
+    * offline CUSUM / binary-segmentation first split). Output is the
+    * one-row report (cp_day, max |S|, side, n_days, mean) a monitoring
+    * pipeline alerts on.
+    *
+    * Exactness device: x̄ = S/n is rational, so the scan runs on
+    * n·S_t = n·cum_t − t·S — pure longs, no double accumulates — and
+    * ties on |n·S_t| break to the EARLIEST day (min day among argmax,
+    * one deterministic agg). Magnitudes: |n·S_t| ≤ n·Σ|x|; a decade of
+    * daily cents at 10⁸/day is ~10¹⁵ — safely inside long at any
+    * realistic series length, because the window is DAY-sized, not
+    * row-sized (aggregate first, scan the spine).
+    *
+    * Scale: the raw table collapses to ≤ #days rows in one keyed
+    * aggregation; the single-task cumulative window runs over that
+    * bounded spine (the [[gapFillDaily]] scale note). */
+  def cusumChangepoint(daily: DataFrame, day: Column, vCents: Column): DataFrame = {
+    val d = daily.select(day.as("day"), vCents.cast("long").as("x"))
+      .where(col("day").isNotNull)
+      .groupBy("day").agg(sum("x").as("x"))
+    val wCum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    // day-sized spine: checkpoint once, the two consumers (peak value,
+    // earliest peak day) re-read it instead of re-running the scan
+    val scan = d
+      .withColumn("t", row_number().over(Window.orderBy("day")))
+      .withColumn("cum", sum("x").over(wCum))
+      .crossJoin(broadcast(d.agg(count(lit(1)).as("n"), sum("x").as("s"))))
+      .select(col("day"), col("n"), col("s"),
+        (col("n") * col("cum") - col("t") * col("s")).as("ns"))
+      .withColumn("a", abs(col("ns")))
+      .localCheckpoint()
+    val peak = scan.agg(max("a").as("maxa"))
+    scan.join(broadcast(peak), col("a") === col("maxa"))
+      .groupBy("n", "s", "maxa")
+      .agg(min("day").as("cp_day"))
+      .join(scan.select(col("day").as("cp_day"), col("ns")), Seq("cp_day"))
+      .select(col("cp_day"),
+        round(col("maxa").cast("double") /
+          (col("n").cast("double") * lit(100.0)), 4).as("max_abs_cusum"),
+        when(col("ns") > 0, lit("up_then_down")).otherwise(lit("down_then_up"))
+          .as("shape"),
+        col("n").as("n_days"),
+        round(col("s").cast("double") / (col("n").cast("double") * lit(100.0)),
+          4).as("mean_daily"))
+  }
 }
