@@ -205,5 +205,112 @@ object AnalyticsQueries {
       |  0.5 AS epsilon
       |FROM u ORDER BY cell""".stripMargin))
 
-  def all: Seq[QDef] = Seq(q210, q211, q212, q213, q214, q215)
+  /** [[CountMin]]: top-10 users by exact event count, with the CMS
+    * point estimate alongside — the oracle re-states both columns from
+    * exact counts, so the gate PROVES the sketch is collision-free for
+    * the reported keys at this width (4×16384 over ~600 keys; the unit
+    * suite shows the ≥-truth bias under forced collisions). */
+  private val q216 = QDef("q216_countmin_topk",
+    (s, dir) => {
+      val ev = T(s, dir, "events")
+      val cms = CountMin.sketch(ev, col("user_id"))
+      val exact = ev.where(col("user_id").isNotNull)
+        .groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+        .orderBy(desc("n_exact"), col("user_id")).limit(10)
+      CountMin.estimates(exact, col("user_id"), cms)
+        .select(col("user_id"), col("est").as("n_est"), col("n_exact"))
+        .orderBy(desc("n_exact"), col("user_id"))
+    },
+    Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_est,
+      |  CAST(count(*) AS BIGINT) AS n_exact
+      |FROM events WHERE user_id IS NOT NULL
+      |GROUP BY 1 ORDER BY n_exact DESC, user_id LIMIT 10""".stripMargin))
+
+  /** [[IntervalJoin.overlapReport]]: concurrent-shipment windows per
+    * part — lineitem intervals [shipdate, shipdate + quantity days],
+    * gridded into 32-day cells so candidates meet by equi-join (the
+    * oracle states the naive quadratic BETWEEN join the grid must
+    * reproduce exactly). */
+  private val q217 = QDef("q217_interval_overlap",
+    (s, dir) => IntervalJoin.overlapReport(
+      T(s, dir, "lineitem").select(col("l_partkey"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("iid"),
+        expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) DIV 86400000000")
+          .as("s"),
+        (expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) DIV 86400000000") +
+          expr("CAST(round(l_quantity, 0) AS BIGINT)")).as("e")),
+      col("l_partkey"), col("iid"), col("s"), col("e"), bucketDays = 32)
+      .orderBy("k"),
+    Some("""WITH l AS (SELECT l_partkey AS k,
+      |        l_orderkey*10 + l_linenumber AS id,
+      |        epoch_us(l_shipdate) // 86400000000 AS s,
+      |        epoch_us(l_shipdate) // 86400000000 +
+      |          CAST(round(l_quantity, 0) AS BIGINT) AS e
+      |      FROM lineitem),
+      |p AS (SELECT a.k AS k,
+      |        least(a.e, b.e) - greatest(a.s, b.s) + 1 AS ov
+      |      FROM l a JOIN l b ON a.k = b.k AND a.id < b.id
+      |        AND a.s <= b.e AND b.s <= a.e)
+      |SELECT k, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(sum(ov) AS BIGINT) AS overlap_days
+      |FROM p GROUP BY k ORDER BY k""".stripMargin))
+
+  /** [[LanguageModel.bigramLogprob]]: per-doc cross-entropy + perplexity
+    * under the corpus's add-1 bigram model. */
+  private val q218 = QDef("q218_bigram_perplexity",
+    (s, dir) => LanguageModel.bigramLogprob(T(s, dir, "documents"),
+      col("doc_id"), col("text")).orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+      |       FROM documents),
+      |bi AS (SELECT doc_id, p.ta AS w1, p.tb AS w2 FROM
+      |       (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+      |          i -> {'ta': tk[i], 'tb': tk[i+1]})) AS p FROM t)),
+      |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      |       FROM bi GROUP BY 1, 2),
+      |cs AS (SELECT w1, CAST(count(*) AS BIGINT) AS cs FROM bi GROUP BY 1),
+      |v AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS vv
+      |      FROM (SELECT unnest(tk) AS term FROM t)),
+      |lp AS (SELECT doc_id,
+      |         CAST(round(ln(CAST(c12 + 1 AS DOUBLE) / (cs + vv)) *
+      |           1000000.0, 0) AS BIGINT) AS lq
+      |       FROM bi JOIN cb USING (w1, w2) JOIN cs USING (w1)
+      |       CROSS JOIN v)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  round(CAST(sum(lq) AS DOUBLE) / (1000000.0 * count(*)), 4)
+      |    AS avg_logprob,
+      |  round(exp(-CAST(sum(lq) AS DOUBLE) / (1000000.0 * count(*))), 4)
+      |    AS ppl
+      |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  /** [[Pca.covarianceMatrix]]: the one-pass fixed-point covariance
+    * matrix of the embedding table (upper triangle, 0-based dims) — the
+    * distributed half of PCA; the driver-side Jacobi eigen-solve and
+    * codegen projection are pinned in the unit suite (eigenvectors
+    * aren't SQL-expressible). */
+  private val q219 = QDef("q219_pca_covariance",
+    (s, dir) => Pca.covarianceMatrix(T(s, dir, "embeddings"),
+      col("embedding")).orderBy("i", "j"),
+    Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings
+      |       WHERE embedding IS NOT NULL),
+      |x AS (SELECT vec_id AS rid, u.s['i'] - 1 AS i,
+      |        CAST(round(CAST(u.s['v'] AS DOUBLE) * 1000000.0, 0)
+      |          AS BIGINT) AS xq
+      |      FROM (SELECT vec_id, unnest(list_transform(
+      |              range(1, len(embedding) + 1),
+      |              k -> {'i': k, 'v': embedding[k]})) AS s
+      |            FROM e) u),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+      |p AS (SELECT a.i AS i, b.i AS j,
+      |        CAST(sum(a.xq * b.xq) AS HUGEINT) AS sab
+      |      FROM x a JOIN x b ON a.rid = b.rid AND a.i <= b.i
+      |      GROUP BY 1, 2),
+      |s AS (SELECT i, CAST(sum(xq) AS HUGEINT) AS si FROM x GROUP BY 1)
+      |SELECT p.i, p.j, n,
+      |  round(CAST(CAST(n AS HUGEINT) * sab - sa.si * sb.si AS DOUBLE) /
+      |    (CAST(n AS DOUBLE) * (n - 1) * 1e12), 4) AS cov
+      |FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j
+      |CROSS JOIN nn ORDER BY p.i, p.j""".stripMargin))
+
+  def all: Seq[QDef] = Seq(q210, q211, q212, q213, q214, q215, q216,
+    q217, q218, q219)
 }

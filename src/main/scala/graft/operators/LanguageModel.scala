@@ -105,6 +105,53 @@ object LanguageModel {
     * ≈ corpus character count) → ONE pair-keyed count shuffle (map-side
     * combinable: the pair alphabet is tiny) → top-k. Pure integer counts,
     * deterministic tie-break (count desc, pair asc). */
+  /** Per-document bigram cross-entropy under the corpus's own add-1
+    * (Laplace) smoothed bigram model: avg_logprob = mean ln P(w₂|w₁)
+    * with P = (c(w₁w₂)+1)/(c(w₁·)+V), plus the perplexity exp(−avg) —
+    * the model-based quality score next to [[unigramLogprob]]'s
+    * unigram one (a doc of locally-coherent word PAIRS scores high even
+    * when its unigrams are rare; boilerplate scores suspiciously high
+    * on both — the classic pretraining-curation signal pair).
+    *
+    * c(w₁·) counts bigram STARTS (so probabilities sum to 1 over the
+    * smoothed vocab by construction); V = distinct unigram count.
+    * Determinism: counts are exact integers, each position's ln term is
+    * quantized to a 1e-6 fixed-point long before the per-doc sum (q108
+    * convention), one sealed division (+ an exp of that same sealed
+    * ratio) per doc. Docs with < 2 tokens have no bigram and drop
+    * (stated — LEFT join the doc table to densify).
+    *
+    * Scale: bigrams explode narrowly from the token array (zip_with —
+    * no position self-join); the model tables are bigram/unigram-TYPE
+    * sized and broadcast; the per-doc aggregation is the only
+    * corpus-sized shuffle. A 100 TB corpus's bigram-type table may
+    * outgrow a broadcast — swap the model joins to shuffle joins keyed
+    * on w₁(,w₂); the shape is otherwise unchanged. */
+  def bigramLogprob(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = df.select(id.as("doc_id"), split(text, " ").as("__t"))
+    val bi = toks.select(col("doc_id"), explode(zip_with(
+        slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
+        slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0))),
+        (a, b) => struct(a.as("ta"), b.as("tb")))).as("p"))
+      .select(col("doc_id"), col("p.ta").as("w1"), col("p.tb").as("w2"))
+    val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("cs"))
+    val v = toks.select(explode(col("__t")).as("term"))
+      .agg(countDistinct(col("term")).as("vv"))
+    val lq = round(log((col("c12") + 1).cast("double") /
+      (col("cs") + col("vv")).cast("double")) * lit(1e6), 0).cast("long")
+    bi.join(broadcast(cb), Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), lq.as("lq"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum("lq").cast("double") /
+          (lit(1e6) * count(lit(1)).cast("double")), 4).as("avg_logprob"),
+        round(exp(-sum("lq").cast("double") /
+          (lit(1e6) * count(lit(1)).cast("double"))), 4).as("ppl"))
+  }
+
   def bpePairCounts(df: DataFrame, text: Column, k: Int): DataFrame =
     df.select(explode(split(text, " ")).as("t"))
       .where(length(col("t")) >= 2)

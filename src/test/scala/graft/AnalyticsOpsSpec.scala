@@ -151,6 +151,141 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(math.abs(out.getDouble(3) - ll) < 1e-3)
   }
 
+  // ---- Count-min sketch ----------------------------------------------
+
+  test("countMin JVM cell function matches the xxhash64 expression twin") {
+    val keys = Seq(0L, 1L, -1L, 42L, Long.MaxValue, Long.MinValue, 987654321L)
+    val df = keys.toDF("k")
+    for (d <- 0 until CountMin.Depth) {
+      val got = df.select(pmod(xxhash64(col("k"), lit(d.toLong)),
+        lit(CountMin.Width.toLong)).cast("int")).collect().map(_.getInt(0))
+      val want = keys.map(k => CountMin.cell(k, d))
+      assert(got.toSeq === want)
+    }
+  }
+
+  test("countMin estimates are exact without collisions, >= truth always") {
+    val df = (1 to 50).flatMap(k => Seq.fill(k)(k.toLong)).toDF("k")
+    val cms = CountMin.sketch(df, col("k"))
+    val keys = (1 to 50).map(_.toLong).toDF("k")
+    val est = CountMin.estimates(keys, col("k"), cms)
+      .orderBy("k").collect()
+    // 50 keys in 4×16384 cells: collision-free in practice → exact
+    est.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(1) === (i + 1).toLong)
+    }
+    // forced-collision regime: width cells shared by many keys still
+    // never UNDER-estimate (CMS one-sided error) — emulate by querying
+    // keys that were never inserted: estimate must be >= 0 and equals
+    // the collision mass, never negative
+    val ghost = Seq(1000001L, 1000002L).toDF("k")
+    CountMin.estimates(ghost, col("k"), cms).collect()
+      .foreach(r => assert(r.getLong(1) >= 0L))
+  }
+
+  test("countMin sketch merges across partitions associatively") {
+    val one = (1 to 400).map(_.toLong).toDF("k").repartition(8)
+    val cms = CountMin.sketch(one, col("k"))
+    val est = CountMin.estimates(Seq(7L, 399L).toDF("k"), col("k"), cms)
+      .orderBy("k").collect()
+    assert(est.map(_.getLong(1)).toSeq === Seq(1L, 1L))
+  }
+
+  // ---- Interval overlap join -----------------------------------------
+
+  test("overlapPairs matches the naive quadratic join, pairs meet once") {
+    // deterministic synthetic: 3 keys, varied spans incl. multi-bucket
+    val rows = for {
+      k <- 1 to 3; i <- 1 to 25
+    } yield (k.toLong, (k * 100 + i).toLong,
+      (i * 7 % 40).toLong, (i * 7 % 40 + i % 13).toLong)
+    val df = rows.toDF("k", "id", "s", "e")
+    val got = IntervalJoin.overlapPairs(df, col("k"), col("id"), col("s"),
+      col("e"), bucketDays = 5)
+      .orderBy("k", "id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val naive = (for {
+      (k1, i1, s1, e1) <- rows; (k2, i2, s2, e2) <- rows
+      if k1 == k2 && i1 < i2 && s1 <= e2 && s2 <= e1
+    } yield (k1, i1, i2, math.min(e1, e2) - math.max(s1, s2) + 1))
+      .sortBy(t => (t._1, t._2, t._3))
+    assert(got.toSeq === naive) // equality ⇒ no pair lost, none doubled
+  }
+
+  test("overlapPairs boundary semantics: closed intervals, inverted drop") {
+    val df = Seq(
+      (1L, 1L, 10L, 20L), (1L, 2L, 20L, 30L), // touch at 20 → overlap 1
+      (1L, 3L, 31L, 40L),                     // adjacent, no touch
+      (1L, 4L, 50L, 45L))                     // inverted → dropped
+      .toDF("k", "id", "s", "e")
+    val got = IntervalJoin.overlapPairs(df, col("k"), col("id"), col("s"),
+      col("e"), bucketDays = 7).collect()
+    assert(got.length === 1)
+    assert(got(0).getLong(1) === 1L && got(0).getLong(2) === 2L &&
+      got(0).getLong(3) === 1L)
+  }
+
+  // ---- Bigram logprob -------------------------------------------------
+
+  test("bigramLogprob hand-computed two-doc corpus") {
+    val df = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val out = LanguageModel.bigramLogprob(df, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    // corpus bigrams: doc1: ab, ba, ab; doc2: ab → c(ab)=3, c(ba)=1
+    // starts: c(a·)=3, c(b·)=1; V = 3 (a, b, x); doc3 has no bigram
+    assert(out.length === 2)
+    val pAB = math.log(4.0 / 6.0) // (3+1)/(3+3)
+    val pBA = math.log(2.0 / 4.0) // (1+1)/(1+3)
+    val d1 = (2 * pAB + pBA) / 3.0
+    assert(out(0).getLong(1) === 3L)
+    assert(math.abs(out(0).getDouble(2) - d1) < 1e-4)
+    assert(math.abs(out(0).getDouble(3) - math.exp(-d1)) < 1e-3)
+    assert(out(1).getLong(1) === 1L)
+    assert(math.abs(out(1).getDouble(2) - pAB) < 1e-4)
+  }
+
+  // ---- PCA ------------------------------------------------------------
+
+  test("eigenJacobi pins a known symmetric 3x3 decomposition") {
+    // A = diag(1,2,3) rotated is overkill; use a classic: [[2,1,0],[1,2,1],[0,1,2]]
+    // eigenvalues 2, 2±√2
+    val a = Array(Array(2.0, 1.0, 0.0), Array(1.0, 2.0, 1.0),
+      Array(0.0, 1.0, 2.0))
+    val (vals, vecs) = Pca.eigenJacobi(a)
+    val want = Seq(2.0 + math.sqrt(2), 2.0, 2.0 - math.sqrt(2))
+    vals.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-10) }
+    // A·v = λ·v for each pair, and vectors are unit-norm
+    for (k <- 0 until 3) {
+      val v = vecs(k)
+      assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-10)
+      for (r <- 0 until 3) {
+        val av = (0 until 3).map(c => a(r)(c) * v(c)).sum
+        assert(math.abs(av - vals(k) * v(r)) < 1e-9)
+      }
+    }
+    // determinism: second run bit-identical
+    val (vals2, vecs2) = Pca.eigenJacobi(a)
+    assert(vals.toSeq === vals2.toSeq)
+    assert(vecs.map(_.toSeq).toSeq === vecs2.map(_.toSeq).toSeq)
+  }
+
+  test("covarianceMatrix matches a hand covariance; projection runs") {
+    val df = Seq(
+      Array(1.0f, 2.0f), Array(2.0f, 4.0f), Array(3.0f, 6.0f))
+      .toDF("embedding")
+    val out = Pca.covarianceMatrix(df, col("embedding"))
+      .orderBy("i", "j").collect()
+    // x = (1,2,3), y = 2x: var(x)=1, cov(x,y)=2, var(y)=4 (sample, n−1)
+    assert(out.map(r => (r.getInt(0), r.getInt(1), r.getDouble(3))).toSeq ===
+      Seq((0, 0, 1.0), (0, 1, 2.0), (1, 1, 4.0)))
+    val proj = Pca.project(df, col("embedding"),
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)))
+      .select("pc1", "pc2").orderBy("pc1").collect()
+    assert(proj.map(_.getDouble(0)).toSeq === Seq(1.0, 2.0, 3.0))
+    assert(proj.map(_.getDouble(1)).toSeq === Seq(2.0, 4.0, 6.0))
+  }
+
   // ---- DP histogram --------------------------------------------------
 
   test("dpHistogram noise is seeded, bounded-ish, and epsilon-scaled") {

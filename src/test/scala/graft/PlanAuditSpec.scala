@@ -42,7 +42,12 @@ class PlanAuditSpec extends SparkSpec {
     "q190_bm25_search", // 1-row (N, avgdl) broadcast
     "q192_topk_precision_recall", // 1-row total-positives broadcast
     "q207_temporal_split_embargo", // 1-row counts × 1-row gap cross join
-    "q209_group_kfold") // 1-row integrity-count broadcast
+    "q209_group_kfold", // 1-row integrity-count broadcast
+    "q211_cusum_changepoint", // 1-row (n, S) totals + 1-row peak broadcast
+    "q213_woe_iv", // 1-row class-totals + 1-row IV broadcast
+    "q214_brier_logloss", // 1-row max-score broadcast
+    "q216_countmin_topk", // 1-row sketch broadcast (the CMS point query)
+    "q218_bigram_perplexity") // 1-row vocabulary-size broadcast
 
   test("rank-filter pattern gets WindowGroupLimit pushdown (per-partition top-k, not full sort)") {
     import org.apache.spark.sql.functions._
