@@ -311,6 +311,156 @@ object AnalyticsQueries {
       |FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j
       |CROSS JOIN nn ORDER BY p.i, p.j""".stripMargin))
 
+  /** [[Trend.poissonBootstrap]]: 64-replicate bootstrap of mean line
+    * price — the distributed (Poisson) bootstrap whose weights are
+    * per-row inverse-CDF scalars, no global n, no per-resample shuffle. */
+  private val q221 = QDef("q221_poisson_bootstrap",
+    (s, dir) => Trend.poissonBootstrap(
+      T(s, dir, "lineitem").select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("iid"),
+        expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("x")),
+      col("iid"), col("x"), b = 64, salt = "pb8"),
+    Some("""WITH l AS (SELECT l_orderkey*10 + l_linenumber AS id,
+      |        CAST(round(l_extendedprice*100,0) AS BIGINT) AS x
+      |      FROM lineitem),
+      |r AS (SELECT id, x, unnest(range(1, 65)) AS rep FROM l),
+      |h AS (SELECT x, rep,
+      |        (CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || '|' ||
+      |           CAST(rep AS VARCHAR) || 'pb8'), 1, 15)) AS BIGINT)
+      |          % 1000000 + 0.5)/1000000.0 AS u
+      |      FROM r),
+      |w AS (SELECT x, rep,
+      |        (CASE WHEN u >= 0.36787944117144233 THEN 1 ELSE 0 END) +
+      |        (CASE WHEN u >= 0.7357588823428847 THEN 1 ELSE 0 END) +
+      |        (CASE WHEN u >= 0.9196986029286058 THEN 1 ELSE 0 END) +
+      |        (CASE WHEN u >= 0.9810118431238463 THEN 1 ELSE 0 END) +
+      |        (CASE WHEN u >= 0.9963401531726563 THEN 1 ELSE 0 END) +
+      |        (CASE WHEN u >= 0.9994058151824183 THEN 1 ELSE 0 END) +
+      |        (CASE WHEN u >= 0.999916758850712 THEN 1 ELSE 0 END) +
+      |        (CASE WHEN u >= 0.9999897508033253 THEN 1 ELSE 0 END) +
+      |        (CASE WHEN u >= 0.999998874797402 THEN 1 ELSE 0 END) +
+      |        (CASE WHEN u >= 0.9999998885745216 THEN 1 ELSE 0 END) AS w
+      |      FROM h),
+      |m AS (SELECT rep,
+      |        CAST(round(CAST(sum(w*x) AS DOUBLE) * 10000.0 /
+      |          nullif(CAST(sum(w) AS DOUBLE), 0), 0) AS BIGINT) AS m4
+      |      FROM w GROUP BY 1),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS nb,
+      |        sum(CAST(m4 AS HUGEINT)) AS s1,
+      |        sum(CAST(m4 AS HUGEINT) * CAST(m4 AS HUGEINT)) AS s2,
+      |        quantile_cont(m4, 0.05) AS p05,
+      |        quantile_cont(m4, 0.95) AS p95
+      |      FROM m WHERE m4 IS NOT NULL)
+      |SELECT nb AS n_reps,
+      |  round(CAST(s1 AS DOUBLE) / (CAST(nb AS DOUBLE) * 10000.0), 4)
+      |    AS boot_mean,
+      |  round(sqrt((CAST(s2 AS DOUBLE) -
+      |      CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(nb AS DOUBLE))
+      |    / CAST(nb - 1 AS DOUBLE)) / 10000.0, 4) AS boot_se,
+      |  round(p05 / 10000.0, 4) AS ci_lo,
+      |  round(p95 / 10000.0, 4) AS ci_hi
+      |FROM a""".stripMargin))
+
+  /** [[Trend.diffInDiff]]: hash-armed difference-in-differences on
+    * per-event value, time-split mid-month — the parallel-trends
+    * readout over the events table. */
+  private val q222 = QDef("q222_diff_in_diff",
+    (s, dir) => Trend.diffInDiff(
+      T(s, dir, "events").select(col("user_id"), col("ts"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("x")),
+      col("user_id"), col("ts"), col("x"),
+      cutoff = "2024-01-16 00:00:00", salt = "did8"),
+    Some("""WITH e AS (SELECT
+      |        CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)
+      |            || 'did8'), 1, 15)) AS BIGINT) % 2 = 0
+      |          THEN 'T' ELSE 'C' END AS arm,
+      |        CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+      |          THEN 'post' ELSE 'pre' END AS per,
+      |        CAST(round(value * 100, 0) AS BIGINT) AS x
+      |      FROM events
+      |      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |        AND value IS NOT NULL),
+      |c AS (SELECT arm, per, CAST(sum(x) AS BIGINT) AS sx,
+      |        CAST(count(*) AS BIGINT) AS n
+      |      FROM e GROUP BY 1, 2),
+      |a AS (SELECT
+      |        max(CASE WHEN arm = 'T' AND per = 'pre'
+      |          THEN CAST(sx AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0)
+      |          END) AS mtp,
+      |        max(CASE WHEN arm = 'T' AND per = 'post'
+      |          THEN CAST(sx AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0)
+      |          END) AS mtq,
+      |        max(CASE WHEN arm = 'C' AND per = 'pre'
+      |          THEN CAST(sx AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0)
+      |          END) AS mcp,
+      |        max(CASE WHEN arm = 'C' AND per = 'post'
+      |          THEN CAST(sx AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0)
+      |          END) AS mcq,
+      |        CAST(sum(CASE WHEN arm = 'T' THEN n ELSE 0 END) AS BIGINT)
+      |          AS n_treat,
+      |        CAST(sum(CASE WHEN arm = 'C' THEN n ELSE 0 END) AS BIGINT)
+      |          AS n_ctrl
+      |      FROM c)
+      |SELECT n_treat, n_ctrl,
+      |  round(mtp, 4) AS mean_t_pre, round(mtq, 4) AS mean_t_post,
+      |  round(mcp, 4) AS mean_c_pre, round(mcq, 4) AS mean_c_post,
+      |  round((mtq - mtp) - (mcq - mcp), 4) AS did
+      |FROM a""".stripMargin))
+
+  /** [[RankEval.qiniBands]]: cumulative uplift of purchase conversion
+    * by descending activity band, arms hash-assigned — the uplift
+    * acceptance curve (activity stands in for a model score; the
+    * operator only needs SOME deterministic ranking). */
+  private val q223 = QDef("q223_qini_uplift",
+    (s, dir) => {
+      val perUser = T(s, dir, "events")
+        .where(col("user_id").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("cnt"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+        .select(least(expr("cnt DIV 20"), lit(9L)).as("band"),
+          pmod(Dedup.hash60(concat(col("user_id").cast("string"),
+            lit("up8"))), lit(2L)).as("tr"),
+          col("y"))
+      RankEval.qiniBands(perUser, col("band"),
+        when(col("tr") === 0, 1L).otherwise(0L), col("y"))
+        .orderBy(desc("band"))
+    },
+    Some("""WITH pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt,
+      |        max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |          AS y
+      |      FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      |u AS (SELECT least(cnt // 20, 9) AS band,
+      |        CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)
+      |            || 'up8'), 1, 15)) AS BIGINT) % 2 = 0
+      |          THEN 1 ELSE 0 END AS t,
+      |        y
+      |      FROM pu),
+      |c AS (SELECT band,
+      |        CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS nt,
+      |        CAST(sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS nc,
+      |        CAST(sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT)
+      |          AS yt,
+      |        CAST(sum(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT)
+      |          AS yc
+      |      FROM u GROUP BY 1),
+      |q AS (SELECT band, nt, nc, yt, yc,
+      |        CAST(sum(nt) OVER wdesc AS BIGINT) AS cnt_,
+      |        CAST(sum(nc) OVER wdesc AS BIGINT) AS cnc,
+      |        CAST(sum(yt) OVER wdesc AS BIGINT) AS cyt,
+      |        CAST(sum(yc) OVER wdesc AS BIGINT) AS cyc
+      |      FROM c
+      |      WINDOW wdesc AS (ORDER BY band DESC
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT band, nt, nc, yt, yc,
+      |  round(CAST(cyt AS DOUBLE) -
+      |    CAST(cyc AS DOUBLE) * CAST(cnt_ AS DOUBLE) /
+      |      CAST(nullif(cnc, 0) AS DOUBLE), 4) AS qini
+      |FROM q ORDER BY band DESC""".stripMargin))
+
   def all: Seq[QDef] = Seq(q210, q211, q212, q213, q214, q215, q216,
-    q217, q218, q219)
+    q217, q218, q219, q221, q222, q223)
 }

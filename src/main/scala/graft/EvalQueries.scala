@@ -657,7 +657,29 @@ object EvalQueries {
       |SELECT fold, n_rows, n_users, n_groups_split
       |FROM p CROSS JOIN l ORDER BY fold""".stripMargin))
 
+  /** [[RankEval.mrr]]: mean reciprocal rank of the first delinquent
+    * account per segment under the spend ranking — the "one good
+    * answer" counterpart to q208's MAP over the same unit table. */
+  private val q220 = QDef("q220_mrr",
+    (s, dir) => RankEval.mrr(scoredUnits(s, dir), col("seg"), col("s"),
+      col("y"), col("id")),
+    Some(s"""WITH $unitsSql,
+      |us AS (SELECT c_mktsegment AS seg, id, y, s
+      |       FROM u JOIN customer ON id = c_custkey),
+      |r AS (SELECT seg, y, row_number() OVER (PARTITION BY seg
+      |        ORDER BY s DESC, id) AS rn FROM us),
+      |fr AS (SELECT seg, min(rn) AS fr FROM r WHERE y = 1 GROUP BY 1),
+      |ng AS (SELECT CAST(count(DISTINCT seg) AS BIGINT) AS n_groups
+      |       FROM us),
+      |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_with_rel,
+      |        CAST(sum(CAST(round(1000000.0 / fr, 0) AS BIGINT))
+      |          AS BIGINT) AS srr
+      |       FROM fr)
+      |SELECT n_groups, n_with_rel,
+      |  round(CAST(srr AS DOUBLE) / (1000000.0 * n_with_rel), 4) AS mrr
+      |FROM ag CROSS JOIN ng""".stripMargin))
+
   def all: Seq[QDef] = Seq(q191, q192, q193, q194, q195, q196, q197,
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208,
-    q209)
+    q209, q220)
 }

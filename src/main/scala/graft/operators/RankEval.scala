@@ -316,6 +316,69 @@ object RankEval {
     perBucket.drop("ivq").crossJoin(broadcast(iv))
   }
 
+  /** Mean reciprocal rank: per group, the rank of the FIRST relevant
+    * unit under (score desc, tie) ordering; MRR = mean 1/first_rank over
+    * groups that have a relevant unit (groups without one are counted
+    * but excluded from the mean — the [[mapAtK]] NULL convention, made
+    * explicit in the n_groups / n_with_rel columns). The "how fast does
+    * the ranking surface one good answer" metric next to MAP's
+    * all-answers view. 1/rank quantizes to a 1e-6 fixed-point long
+    * before the cross-group mean. Rank-window parallelism = group
+    * cardinality (the family's scale note). */
+  def mrr(df: DataFrame, group: Column, score: Column, label: Column,
+          tie: Column): DataFrame = {
+    val w = Window.partitionBy("g").orderBy(desc("s"), col("id"))
+    val base = df.select(group.as("g"), score.cast("long").as("s"),
+        label.cast("long").as("y"), tie.as("id"))
+      .where(col("s").isNotNull && col("y").isNotNull)
+      .localCheckpoint() // group census + first-relevant share the table
+    val fr = base.withColumn("rn", row_number().over(w))
+      .where(col("y") > 0)
+      .groupBy("g").agg(min("rn").as("fr"))
+    val ng = base.agg(countDistinct(col("g")).as("n_groups"))
+    fr.select(round(lit(1e6) / col("fr"), 0).cast("long").as("rr"))
+      .agg(count(lit(1)).as("n_with_rel"), sum("rr").as("srr"))
+      .crossJoin(broadcast(ng))
+      .select(col("n_groups"), col("n_with_rel"),
+        round(col("srr").cast("double") /
+          (lit(1e6) * col("n_with_rel").cast("double")), 4).as("mrr"))
+  }
+
+  /** Qini-style cumulative uplift by descending score band: units carry
+    * a treatment arm, a binary outcome, and an integer score band;
+    * bands accumulate from the highest score down, and each prefix
+    * reports qini = cumY_T − cumY_C · cumN_T / cumN_C — treated
+    * conversions in excess of the control rate scaled to the treated
+    * population (the uplift-model acceptance curve; a random ranking
+    * tracks 0). Bands are caller-built VALUE bands (tie-order-free
+    * literals, the [[woeIv]] convention). Cumulative window runs over
+    * the BAND spine (bounded), not units; the unit table collapses in
+    * one (band, arm)-keyed aggregation. cumN_C = 0 prefixes emit NULL
+    * qini via nullif. */
+  def qiniBands(df: DataFrame, band: Column, treated: Column,
+                outcome: Column): DataFrame = {
+    val cells = df.select(band.cast("long").as("band"),
+        treated.cast("long").as("t"), outcome.cast("long").as("y"))
+      .where(col("band").isNotNull && col("t").isNotNull &&
+        col("y").isNotNull)
+      .groupBy("band")
+      .agg(sum(when(col("t") === 1, 1L).otherwise(0L)).as("nt"),
+        sum(when(col("t") === 0, 1L).otherwise(0L)).as("nc"),
+        sum(when(col("t") === 1, col("y")).otherwise(0L)).as("yt"),
+        sum(when(col("t") === 0, col("y")).otherwise(0L)).as("yc"))
+    val w = Window.orderBy(desc("band"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cells
+      .withColumn("cnt", sum("nt").over(w))
+      .withColumn("cnc", sum("nc").over(w))
+      .withColumn("cyt", sum("yt").over(w))
+      .withColumn("cyc", sum("yc").over(w))
+      .select(col("band"), col("nt"), col("nc"), col("yt"), col("yc"),
+        round(col("cyt").cast("double") -
+          col("cyc").cast("double") * col("cnt").cast("double") /
+            nullif(col("cnc"), lit(0L)).cast("double"), 4).as("qini"))
+  }
+
   /** Probability-score quality: Brier score and log-loss over a [0,1]
     * probability column — the proper-scoring-rule companions to
     * [[aucRoc]] (AUC sees only the ranking; these see the calibration).

@@ -551,4 +551,104 @@ object Trend {
       round(p, 4).as("p_hat"), round(mde, 4).as("mde_abs"),
       round(mde / p, 4).as("mde_rel"))
   }
+
+  /** Cumulative Poisson(1) CDF thresholds, written as decimal literals so
+    * Spark and the oracle SQL parse the IDENTICAL doubles (the weight is
+    * DEFINED by this cascade, so both engines agree even in the extreme
+    * tail the cascade truncates at w = 10, P ≈ 1e-8). */
+  val PoissonCdf1: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999897508033253, 0.999998874797402,
+    0.9999998885745216)
+
+  /** Poisson bootstrap of a mean: B deterministic resamples, each row's
+    * replication count w ~ Poisson(1) drawn by inverse-CDF on a
+    * hash-uniform of (id, rep, salt) — the DISTRIBUTED bootstrap: no
+    * global n anywhere, every weight is a per-row scalar expression, so
+    * the whole resampling plan is one scan + one B-way explode + one
+    * rep-keyed aggregation (the classic with-replacement index draw
+    * needs n up front and a shuffle per resample). Output: one row
+    * (n_reps, boot_mean, boot_se, ci_lo, ci_hi) — the standard-error /
+    * percentile-CI readout for "how sure are we about this mean".
+    *
+    * Determinism: replicate means quantize to 1e-4 fixed-point longs;
+    * their mean/variance use exact integer (decimal-38) sums; the CI is
+    * the exact linear-interpolation percentile over the B quantized
+    * means (the q09 parity device). Σw = 0 for a replicate (P ≈ e^{-n})
+    * yields a NULL mean via nullif, excluded by count. */
+  def poissonBootstrap(df: DataFrame, id: Column, vCents: Column,
+                       b: Int, salt: String): DataFrame = {
+    require(b >= 2, "need at least 2 bootstrap replicates")
+    val u = (pmod(Dedup.hash60(concat(col("id").cast("string"), lit("|"),
+      col("rep").cast("string"), lit(salt))), lit(1000000L)).cast("double") +
+      lit(0.5)) / lit(1e6)
+    // w = #thresholds strictly below u — the inverse-CDF step function
+    val w = PoissonCdf1.map(c => when(col("u") >= lit(c), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val reps = df.select(id.as("id"), vCents.cast("long").as("x"))
+      .where(col("id").isNotNull && col("x").isNotNull)
+      .withColumn("rep", explode(sequence(lit(1), lit(b))))
+      .withColumn("u", u)
+      .withColumn("w", w)
+      .groupBy("rep")
+      .agg(sum(col("w") * col("x")).as("sx"), sum("w").as("sw"))
+      .select(col("rep"),
+        round(col("sx").cast("double") * lit(1e4) /
+          nullif(col("sw"), lit(0L)).cast("double"), 0).cast("long")
+          .as("m4"))
+      .where(col("m4").isNotNull)
+    val d38 = "decimal(38,0)"
+    reps.agg(count(lit(1)).as("nb"),
+        sum(col("m4").cast(d38)).as("s1"),
+        sum(col("m4").cast(d38) * col("m4").cast(d38)).as("s2"),
+        percentile(col("m4"), lit(0.05)).as("p05"),
+        percentile(col("m4"), lit(0.95)).as("p95"))
+      .select(col("nb").as("n_reps"),
+        round(col("s1").cast("double") /
+          (col("nb").cast("double") * lit(1e4)), 4).as("boot_mean"),
+        round(sqrt((col("s2").cast("double") -
+          col("s1").cast("double") * col("s1").cast("double") /
+            col("nb").cast("double")) /
+          (col("nb") - 1).cast("double")) / lit(1e4), 4).as("boot_se"),
+        round(col("p05") / lit(1e4), 4).as("ci_lo"),
+        round(col("p95") / lit(1e4), 4).as("ci_hi"))
+  }
+
+  /** Difference-in-differences readout: units hash-split into
+    * treat/control (the [[srmCheck]] family's deterministic assignment),
+    * time split at `cutoff`, and the 2×2 cell means of an integer
+    * metric combine into DiD = (T_post−T_pre) − (C_post−C_pre) — the
+    * parallel-trends estimator for "did the thing we shipped move the
+    * metric beyond what the control drifted". One cell-keyed
+    * aggregation; the closing arithmetic is four divisions of exact
+    * integer sums in one sealed expression. */
+  def diffInDiff(df: DataFrame, unit: Column, ts: Column, vCents: Column,
+                 cutoff: String, salt: String): DataFrame = {
+    val cut = to_timestamp(lit(cutoff))
+    val cells = df.select(unit.as("u"), ts.as("ts"),
+        vCents.cast("long").as("x"))
+      .where(col("u").isNotNull && col("ts").isNotNull && col("x").isNotNull)
+      .select(
+        when(pmod(Dedup.hash60(concat(col("u").cast("string"), lit(salt))),
+          lit(2L)) === 0, lit("T")).otherwise(lit("C")).as("arm"),
+        when(col("ts") >= cut, lit("post")).otherwise(lit("pre")).as("per"),
+        col("x"))
+      .groupBy("arm", "per")
+      .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+    def m(arm: String, per: String) = max(when(col("arm") === arm &&
+      col("per") === per,
+      col("sx").cast("double") / (col("n").cast("double") * lit(100.0))))
+    cells.agg(m("T", "pre").as("mtp"), m("T", "post").as("mtq"),
+        m("C", "pre").as("mcp"), m("C", "post").as("mcq"),
+        sum(when(col("arm") === "T", col("n")).otherwise(0L)).as("n_treat"),
+        sum(when(col("arm") === "C", col("n")).otherwise(0L)).as("n_ctrl"))
+      .select(col("n_treat"), col("n_ctrl"),
+        round(col("mtp"), 4).as("mean_t_pre"),
+        round(col("mtq"), 4).as("mean_t_post"),
+        round(col("mcp"), 4).as("mean_c_pre"),
+        round(col("mcq"), 4).as("mean_c_post"),
+        round((col("mtq") - col("mtp")) - (col("mcq") - col("mcp")), 4)
+          .as("did"))
+  }
 }

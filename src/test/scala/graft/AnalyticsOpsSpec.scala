@@ -286,6 +286,92 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(proj.map(_.getDouble(1)).toSeq === Seq(2.0, 4.0, 6.0))
   }
 
+  // ---- MRR ------------------------------------------------------------
+
+  test("mrr hand case: first-relevant ranks, groups without relevant") {
+    val df = Seq(
+      // g1: scores 30,20,10 — relevant at rank 2
+      ("g1", 30L, 0L, 1L), ("g1", 20L, 1L, 2L), ("g1", 10L, 1L, 3L),
+      // g2: relevant at rank 1
+      ("g2", 9L, 1L, 1L), ("g2", 5L, 0L, 2L),
+      // g3: no relevant
+      ("g3", 7L, 0L, 1L))
+      .toDF("g", "s", "y", "id")
+    val out = RankEval.mrr(df, col("g"), col("s"), col("y"), col("id"))
+      .collect()(0)
+    assert(out.getLong(0) === 3L && out.getLong(1) === 2L)
+    assert(math.abs(out.getDouble(2) - 0.75) < 1e-9) // (1/2 + 1)/2
+  }
+
+  // ---- Poisson bootstrap ----------------------------------------------
+
+  test("poissonBootstrap is seeded-deterministic and centered near truth") {
+    val df = (1 to 500).map(i => (i.toLong, 1000L + (i % 7) * 10L))
+      .toDF("id", "x")
+    val a = Trend.poissonBootstrap(df, col("id"), col("x"), 32, "t1")
+      .collect()(0)
+    val b = Trend.poissonBootstrap(df, col("id"), col("x"), 32, "t1")
+      .collect()(0)
+    assert(a === b) // same salt → identical report
+    // boot_mean stays in the metric's own units (cents here — the /1e4
+    // in the operator is the fixed-point quantization scale, not a unit
+    // conversion)
+    val truth = df.agg(avg("x")).collect()(0).getDouble(0)
+    assert(math.abs(a.getDouble(1) - truth) < 5.0) // cents, loose
+    assert(a.getDouble(2) > 0) // SE positive
+    assert(a.getDouble(3) <= a.getDouble(1) && a.getDouble(1) <= a.getDouble(4))
+    assert(a.getLong(0) === 32L)
+  }
+
+  // ---- Diff-in-diff ---------------------------------------------------
+
+  test("diffInDiff recovers a planted treatment effect exactly") {
+    // arms are hash-assigned; find which arm key 1..40 lands in, then
+    // plant +500 cents on treated-post rows only
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    val ts1 = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+    val armOf = (1 to 40).map { k =>
+      k.toLong -> Dedup.hash60(concat(lit(k.toString), lit("sx")))
+    }
+    val armDf = (1 to 40).map(k => Tuple1(k.toLong)).toDF("u")
+      .select(col("u"), pmod(Dedup.hash60(concat(col("u").cast("string"),
+        lit("sx"))), lit(2L)).as("h")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1) == 0L)).toMap
+    val rows = (1 to 40).flatMap { k =>
+      val treated = armDf(k.toLong)
+      Seq((k.toLong, ts0, 1000L),
+        (k.toLong, ts1, if (treated) 1500L else 1000L))
+    }
+    val out = Trend.diffInDiff(rows.toDF("u", "ts", "x"), col("u"),
+      col("ts"), col("x"), "2024-01-16 00:00:00", "sx").collect()(0)
+    assert(math.abs(out.getDouble(6) - 5.0) < 1e-9) // +$5 DiD exactly
+    assert(math.abs(out.getDouble(4) - out.getDouble(5)) < 1e-9) // control flat
+  }
+
+  // ---- Qini bands ------------------------------------------------------
+
+  test("qiniBands cumulative uplift hand case with empty-control guard") {
+    val df = Seq(
+      // band 2: 2T (1 conv), 2C (0 conv) → qini after band2 = 1 − 0 = 1
+      (2L, 1L, 1L), (2L, 1L, 0L), (2L, 0L, 0L), (2L, 0L, 0L),
+      // band 1: 1T (0 conv), 1C (1 conv) → cum: yt=1, yc=1, nt=3, nc=3
+      (1L, 1L, 0L), (1L, 0L, 1L),
+      // band 0: control empty in cum? no — keep a T-only band LAST so the
+      // cumulative control is still populated; qini stays defined
+      (0L, 1L, 1L))
+      .toDF("band", "t", "y")
+    val out = RankEval.qiniBands(df, col("band"), col("t"), col("y"))
+      .orderBy(desc("band")).collect()
+    assert(out.length === 3)
+    assert(math.abs(out(0).getDouble(5) - 1.0) < 1e-9)
+    assert(math.abs(out(1).getDouble(5) - 0.0) < 1e-9) // 1 − 1·3/3
+    assert(math.abs(out(2).getDouble(5) - (2.0 - 1.0 * 4 / 3)) < 1e-4)
+    // all-treated input → cumulative control 0 → NULL qini, no crash
+    val solo = Seq((1L, 1L, 1L)).toDF("band", "t", "y")
+    assert(RankEval.qiniBands(solo, col("band"), col("t"), col("y"))
+      .collect()(0).isNullAt(5))
+  }
+
   // ---- DP histogram --------------------------------------------------
 
   test("dpHistogram noise is seeded, bounded-ish, and epsilon-scaled") {

@@ -47,7 +47,8 @@ class PlanAuditSpec extends SparkSpec {
     "q213_woe_iv", // 1-row class-totals + 1-row IV broadcast
     "q214_brier_logloss", // 1-row max-score broadcast
     "q216_countmin_topk", // 1-row sketch broadcast (the CMS point query)
-    "q218_bigram_perplexity") // 1-row vocabulary-size broadcast
+    "q218_bigram_perplexity", // 1-row vocabulary-size broadcast
+    "q220_mrr") // 1-row group-census broadcast
 
   test("rank-filter pattern gets WindowGroupLimit pushdown (per-partition top-k, not full sort)") {
     import org.apache.spark.sql.functions._
