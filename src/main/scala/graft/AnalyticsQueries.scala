@@ -461,6 +461,153 @@ object AnalyticsQueries {
       |      CAST(nullif(cnc, 0) AS DOUBLE), 4) AS qini
       |FROM q ORDER BY band DESC""".stripMargin))
 
+  /** [[Sketches.hllDistinct]]: HyperLogLog (p=6) distinct users per event
+    * type — the register-level sketch whose every intermediate is an
+    * integer (harmonic sum in 2^55 fixed-point), so the DuckDB twin
+    * reproduces the estimate hash-exactly. The mergeable counterpart to
+    * q107's KMV: 64 six-bit registers per group, pointwise-max merge. */
+  private val q224 = QDef("q224_hll_distinct",
+    (s, dir) => Sketches.hllDistinct(
+      T(s, dir, "events").where(col("event_type").isNotNull),
+      col("event_type"), col("user_id")).orderBy("grp"),
+    Some("""WITH h AS (SELECT event_type AS grp,
+      |        CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      |          AS BIGINT) AS h
+      |      FROM events
+      |      WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+      |r AS (SELECT grp, h % 64 AS bkt,
+      |        max(CASE WHEN h // 64 = 0 THEN 55
+      |            ELSE 55 - length(bin(h // 64)) END) AS reg
+      |      FROM h GROUP BY 1, 2),
+      |g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_buckets,
+      |        CAST(sum(CAST(1 AS BIGINT) << (55 - reg)) AS BIGINT) AS ss
+      |      FROM r GROUP BY 1),
+      |e AS (SELECT grp, n_buckets,
+      |        CAST(64 - n_buckets AS BIGINT) AS zero_buckets,
+      |        CAST(ss + (64 - n_buckets) * 36028797018963968 AS BIGINT)
+      |          AS s55
+      |      FROM g),
+      |w AS (SELECT *, CAST(0.709 AS DOUBLE) *
+      |        CAST(147573952589676412928 AS DOUBLE) / CAST(s55 AS DOUBLE)
+      |          AS raw
+      |      FROM e)
+      |SELECT grp, n_buckets, zero_buckets, s55,
+      |  round(CASE WHEN raw <= 160.0 AND zero_buckets > 0
+      |    THEN 64.0 * ln(64.0 / CAST(zero_buckets AS DOUBLE))
+      |    ELSE raw END, 4) AS est_distinct
+      |FROM w ORDER BY grp""".stripMargin))
+
+  /** [[Dedup.goldenRecords]]: survivorship over exact-text duplicate
+    * clusters of `documents` — majority language, anchor (min-id) source,
+    * and the source of the largest member — the entity-resolution merge
+    * step downstream of the q21/q45 dedup family. */
+  private val q225 = QDef("q225_golden_record",
+    (s, dir) => Dedup.goldenRecords(T(s, dir, "documents"),
+      col("doc_id"), col("text"), col("lang"), col("source"),
+      col("n_chars"), col("source")).orderBy("cluster"),
+    Some("""WITH r0 AS (SELECT
+      |        CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS cluster,
+      |        doc_id AS id, lang AS mv, source AS av, n_chars AS bm,
+      |        source AS bf
+      |      FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+      |agg AS (SELECT cluster, CAST(min(id) AS BIGINT) AS golden_id,
+      |        CAST(count(*) AS BIGINT) AS n_members
+      |      FROM r0 GROUP BY 1),
+      |md AS (SELECT cluster, mv, row_number() OVER (PARTITION BY cluster
+      |          ORDER BY cnt DESC, mv) AS rn
+      |       FROM (SELECT cluster, mv, count(mv) AS cnt
+      |             FROM r0 GROUP BY 1, 2)),
+      |an AS (SELECT cluster, av, row_number() OVER (PARTITION BY cluster
+      |          ORDER BY id) AS rn FROM r0),
+      |bs AS (SELECT cluster, bf, bm, row_number() OVER (PARTITION BY cluster
+      |          ORDER BY coalesce(bm, -9223372036854775807 - 1) DESC, id)
+      |          AS rn FROM r0)
+      |SELECT a.cluster, a.golden_id, a.n_members, md.mv AS mode_val,
+      |  an.av AS anchor_val, bs.bf AS best_val,
+      |  CAST(bs.bm AS BIGINT) AS best_metric
+      |FROM agg a
+      |  JOIN md ON a.cluster = md.cluster AND md.rn = 1
+      |  JOIN an ON a.cluster = an.cluster AND an.rn = 1
+      |  JOIN bs ON a.cluster = bs.cluster AND bs.rn = 1
+      |ORDER BY a.cluster""".stripMargin))
+
+  /** [[Encode.targetEncodingLoo]]: leave-one-out target encoding of order
+    * priority against the fulfilled flag, smoothing m=20 — the complete
+    * per-category encoding map (binary target ⇒ at most two LOO values
+    * per category), exact-rational until one sealed division. */
+  private val q226 = QDef("q226_target_encoding",
+    (s, dir) => Encode.targetEncodingLoo(
+      T(s, dir, "orders").where(col("o_orderstatus").isNotNull),
+      col("o_orderpriority"),
+      (col("o_orderstatus") === "F").cast("long"), m = 20L),
+    Some("""WITH r0 AS (SELECT o_orderpriority AS cat,
+      |        CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      |      FROM orders
+      |      WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL),
+      |per AS (SELECT cat, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(y) AS BIGINT) AS sy FROM r0 GROUP BY 1),
+      |g AS (SELECT CAST(count(*) AS BIGINT) AS gn,
+      |        CAST(sum(y) AS BIGINT) AS gs FROM r0)
+      |SELECT cat, n, sy AS pos,
+      |  CASE WHEN sy > 0 THEN round(CAST((sy - 1) * gn + 20 * gs AS DOUBLE)
+      |    / CAST((n - 1 + 20) * gn AS DOUBLE), 4) END AS enc_pos,
+      |  CASE WHEN sy < n THEN round(CAST(sy * gn + 20 * gs AS DOUBLE)
+      |    / CAST((n - 1 + 20) * gn AS DOUBLE), 4) END AS enc_neg,
+      |  round(CAST((n - 1) * sy * gn + n * 20 * gs AS DOUBLE)
+      |    / CAST(n * (n - 1 + 20) * gn AS DOUBLE), 4) AS avg_enc
+      |FROM per CROSS JOIN g ORDER BY cat""".stripMargin))
+
+  /** [[Trend.stratifiedAte]]: subclassification ATE of hash-armed
+    * treatment on purchase conversion, stratified by fixed activity bands
+    * (1–2 / 3–5 / 6–10 / 11+ events — static thresholds, no global
+    * window; a data-driven quartile banding would use the q201
+    * rank-bucketing device at scale). */
+  private val q227 = QDef("q227_stratified_ate",
+    (s, dir) => {
+      val perUser = T(s, dir, "events")
+        .where(col("user_id").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("cnt"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+        .select(col("user_id"), col("y"),
+          when(col("cnt") <= 2, "b1_low")
+            .when(col("cnt") <= 5, "b2_mid")
+            .when(col("cnt") <= 10, "b3_high")
+            .otherwise("b4_power").as("st"))
+      Trend.stratifiedAte(perUser, col("user_id"), col("st"), col("y"),
+        salt = "ate7")
+    },
+    Some("""WITH u AS (SELECT user_id AS u, CAST(count(*) AS BIGINT) AS cnt,
+      |        max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      |      FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      |s AS (SELECT u, y, CASE WHEN cnt <= 2 THEN 'b1_low'
+      |        WHEN cnt <= 5 THEN 'b2_mid' WHEN cnt <= 10 THEN 'b3_high'
+      |        ELSE 'b4_power' END AS st FROM u),
+      |r0 AS (SELECT st, y, CASE WHEN CAST(('0x' ||
+      |        substr(md5(CAST(u AS VARCHAR) || 'ate7'), 1, 15)) AS BIGINT)
+      |          % 2 = 0 THEN 1 ELSE 0 END AS t FROM s),
+      |c AS (SELECT st, CAST(sum(t) AS BIGINT) AS nt,
+      |        CAST(sum(1 - t) AS BIGINT) AS nc,
+      |        CAST(sum(t * y) AS BIGINT) AS syt,
+      |        CAST(sum((1 - t) * y) AS BIGINT) AS syc
+      |      FROM r0 GROUP BY 1),
+      |used AS (SELECT nt, nc, nt + nc AS ns,
+      |        CAST(round(CAST(nt + nc AS DOUBLE) *
+      |          CAST(syt * nc - syc * nt AS DOUBLE) * 1000000.0
+      |          / CAST(nt * nc AS DOUBLE), 0) AS BIGINT) AS t6
+      |      FROM c WHERE nt > 0 AND nc > 0),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+      |        CAST(coalesce(sum(nt), 0) AS BIGINT) AS n_treat,
+      |        CAST(coalesce(sum(nc), 0) AS BIGINT) AS n_ctrl FROM c),
+      |ua AS (SELECT CAST(count(*) AS BIGINT) AS n_strata_used,
+      |        CAST(coalesce(sum(ns), 0) AS BIGINT) AS n_used,
+      |        CAST(coalesce(sum(t6), 0) AS BIGINT) AS st6 FROM used)
+      |SELECT n_strata, n_strata_used, n_treat, n_ctrl,
+      |  round(CAST(st6 AS DOUBLE) /
+      |    (1000000.0 * CAST(nullif(n_used, 0) AS DOUBLE)), 4) AS ate
+      |FROM ua CROSS JOIN tot""".stripMargin))
+
   def all: Seq[QDef] = Seq(q210, q211, q212, q213, q214, q215, q216,
-    q217, q218, q219, q221, q222, q223)
+    q217, q218, q219, q221, q222, q223, q224, q225, q226, q227)
 }

@@ -654,4 +654,62 @@ object Dedup {
       .agg(max(struct(ordered.map(col): _*)).as("__w"))
       .select(keys.map(col) ++ ordered.map(c => col(s"__w.$c").as(c)): _*)
   }
+
+  /** Survivorship: collapse each duplicate cluster to ONE golden record,
+    * with per-field merge rules instead of [[exact]]'s keep-whole-first-row
+    * — the entity-resolution step after dedup decides WHICH rows are the
+    * same thing. Cluster key = [[hash60]] of `clusterKey` (null keys
+    * dropped, the family convention). Three rule families, each the
+    * deterministic spelling of a standard survivorship policy:
+    *
+    *   - `golden_id` = min id — the stable anchor (the [[exact]] keeper);
+    *   - `anchor_val` = `anchorField` FROM the min-id row — "trust the
+    *     anchor record" (min over a (id, field) struct);
+    *   - `mode_val` = most frequent `modeField` value, ties to the
+    *     smallest value — "majority vote" (min over a (−count, value)
+    *     struct; never max_by, which is nondeterministic under ties);
+    *   - `best_val` = `bestField` FROM the row maximizing `bestMetric`,
+    *     ties to the smallest id — "most complete wins" (max over a
+    *     (metric, −id, field) struct).
+    *
+    * Scale shape: every rule is an algebraic min/max over structs, so the
+    * whole merge is TWO hash aggregations on the same cluster key (one
+    * pre-agg for mode counts, one final) — all partial-aggregating
+    * map-side, no window sort, no full-row shuffle beyond the carried
+    * fields. At 100 TB this is the difference between shipping (cluster,
+    * candidate-struct) partials and sorting every cluster's members. */
+  def goldenRecords(df: DataFrame, id: Column, clusterKey: Column,
+                    modeField: Column, anchorField: Column,
+                    bestMetric: Column, bestField: Column): DataFrame = {
+    val rows = df.where(clusterKey.isNotNull && id.isNotNull)
+      .select(hash60(clusterKey).as("cluster"), id.cast("long").as("id"),
+        modeField.as("mv"), anchorField.as("av"),
+        bestMetric.cast("long").as("bm"), bestField.as("bf"))
+    // NULL-vote conventions, chosen so no struct comparison ever REACHES a
+    // null field (the cross-engine null-sort-order hazard): a null
+    // modeField abstains (cnt = count(mv) gives its group 0, and every
+    // real value's −cnt is < 0, so NULL wins only when it's alone → NULL
+    // mode_val); a null bestMetric ranks below every real metric via a
+    // MinValue ordering key while `bm` still reports the original.
+    // Majority vote needs the (cluster, value) counts first; everything
+    // else folds into the same second agg, keyed identically.
+    val votes = rows.groupBy("cluster", "mv")
+      .agg(count(col("mv")).as("cnt"),
+        min("id").as("gid"),
+        min(struct(col("id"), col("av"))).as("anch"),
+        max(struct(coalesce(col("bm"), lit(Long.MinValue)).as("bmk"),
+          negate(col("id")).as("nid"), col("bf"), col("bm"))).as("best"),
+        count(lit(1)).as("members"))
+    votes.groupBy("cluster")
+      .agg(min("gid").as("golden_id"),
+        sum("members").cast("long").as("n_members"),
+        min(struct(negate(col("cnt")).as("nc"), col("mv"))).as("__mode"),
+        min("anch").as("__anch"),
+        max("best").as("__best"))
+      .select(col("cluster"), col("golden_id"), col("n_members"),
+        col("__mode.mv").as("mode_val"),
+        col("__anch.av").as("anchor_val"),
+        col("__best.bf").as("best_val"),
+        col("__best.bm").as("best_metric"))
+  }
 }

@@ -211,4 +211,54 @@ object Sketches {
     sample.groupBy("grp")
       .agg(count(lit(1)).cast("long").as("n_sampled"), aggs: _*)
   }
+
+  /** HyperLogLog distinct-count estimate per group, every intermediate an
+    * integer so DuckDB reproduces it bit-for-bit (unlike
+    * `approx_count_distinct`, whose HLL++ registers are engine-private).
+    * Flajolet et al. 2007 with p=6 (m=64 registers):
+    *
+    *   - h = [[Dedup.hash60]](value): 60 uniform bits;
+    *   - bucket = h mod 64, w = h >> 6 (54 bits);
+    *   - rho(w) = position of w's highest set bit from the window top
+    *     = 55 − length(bin(w)) (55 when w=0) — `bin` renders the minimal
+    *     binary string in BOTH engines, making "count leading zeros"
+    *     pure string length, no log2 doubles;
+    *   - register M_j = max rho over the bucket;
+    *   - harmonic sum scaled to integers: S = Σ_seen 2^(55−M_j)
+    *     + (64−seen)·2^55 — exact long arithmetic (max 2^61), where the
+    *     textbook Σ 2^(−M_j) would need >53 mantissa bits;
+    *   - raw E = α₆₄·m²·2^55 / S = 0.709·2^67/S, ONE sealed double
+    *     division; linear counting 64·ln(64/V) when E ≤ 2.5m and V>0
+    *     zero registers remain (small-range correction).
+    *
+    * Why this beside [[kmvDistinct]]: KMV state is k·64-bit hashes and
+    * merges by re-sorting; HLL state is m 6-bit registers merging by
+    * pointwise MAX — the agg combines map-side, so a 100 TB scan ships
+    * 64 longs per group per partition regardless of cardinality, and
+    * sketches for different slices union by register max with no rescan
+    * (the warehouse "COUNT DISTINCT over any rollup" pattern). */
+  def hllDistinct(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val h = h60(value)
+    val regs = df.where(value.isNotNull)
+      .select(group.as("grp"), pmod(h, lit(64L)).as("bkt"),
+        shiftright(h, 6).as("w"))
+      .withColumn("rho",
+        when(col("w") === 0L, lit(55)).otherwise(lit(55) - length(bin(col("w")))))
+      .groupBy("grp", "bkt").agg(max("rho").as("reg"))
+    val two55 = 36028797018963968L // 2^55
+    regs.groupBy("grp")
+      .agg(count(lit(1)).cast("long").as("n_buckets"),
+        // functions.shiftleft only takes a literal shift — SQL form for
+        // the per-row register exponent
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 55 - reg)")).as("s_seen"))
+      .select(col("grp"), col("n_buckets"),
+        (lit(64L) - col("n_buckets")).as("zero_buckets"),
+        (col("s_seen") + (lit(64L) - col("n_buckets")) * lit(two55)).as("s55"))
+      .withColumn("raw",
+        lit(0.709) * lit(147573952589676412928.0) / col("s55").cast("double"))
+      .select(col("grp"), col("n_buckets"), col("zero_buckets"), col("s55"),
+        round(when(col("raw") <= 160.0 && col("zero_buckets") > 0L,
+            lit(64.0) * log(lit(64.0) / col("zero_buckets").cast("double")))
+          .otherwise(col("raw")), 4).as("est_distinct"))
+  }
 }

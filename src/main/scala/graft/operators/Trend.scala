@@ -651,4 +651,61 @@ object Trend {
         round((col("mtq") - col("mtp")) - (col("mcq") - col("mcp")), 4)
           .as("did"))
   }
+
+  /** Stratified average treatment effect — inverse-propensity weighting
+    * with a DISCRETE propensity model (within stratum s, e(s) = nₜ/n_s),
+    * where IPW algebra collapses to the stratification estimator
+    *   ATE = Σ_s (n_s/N) · (ȳ_{T,s} − ȳ_{C,s})
+    * (Imbens & Rubin 2015, subclassification): confounding carried by the
+    * stratum (activity tier, cohort, region) is removed, which a raw
+    * T−C mean difference would absorb as bias.
+    *
+    * Determinism device: arm = hash60(unit‖salt) mod 2 (the [[diffInDiff]]
+    * assignment); each stratum's term n_s·(Σyₜ·n_c − Σy_c·nₜ)/(nₜ·n_c) is
+    * computed from longs, quantized to a 1e-6 fixed-point long (the
+    * chiSqTerm/PSI device) and integer-summed, then sealed by ONE
+    * round(,4) division by N — cross-engine hash-exact regardless of
+    * stratum association order. Strata with an empty arm cannot estimate
+    * a within-stratum contrast and are excluded from both Σ and N
+    * (`n_strata_used` vs `n_strata` reports the trim — the standard
+    * overlap/positivity restriction).
+    *
+    * Scale: one unit-level hash agg per stratum cell (map-side
+    * combinable), a stratum-count agg, and a 1-row reduce — nothing
+    * proportional to units crosses the final stage. */
+  def stratifiedAte(df: DataFrame, unit: Column, stratum: Column, y: Column,
+                    salt: String): DataFrame = {
+    val rows = df.select(unit.as("u"), stratum.as("s"), y.cast("long").as("y"))
+      .where(col("u").isNotNull && col("s").isNotNull && col("y").isNotNull)
+      .select(col("s"), col("y"),
+        when(pmod(Dedup.hash60(concat(col("u").cast("string"), lit(salt))),
+          lit(2L)) === 0, lit(1L)).otherwise(lit(0L)).as("t"))
+    val cells = rows.groupBy("s")
+      .agg(sum("t").as("nt"), sum(lit(1L) - col("t")).as("nc"),
+        sum(col("t") * col("y")).as("syt"),
+        sum((lit(1L) - col("t")) * col("y")).as("syc"))
+    val used = cells.where(col("nt") > 0 && col("nc") > 0)
+      .select(col("nt"), col("nc"),
+        (col("nt") + col("nc")).as("ns"),
+        // 1e-6 fixed-point stratum term: n_s·(syt·nc − syc·nt)/(nt·nc)
+        round((col("nt") + col("nc")).cast("double") *
+            (col("syt") * col("nc") - col("syc") * col("nt")).cast("double") *
+            lit(1e6) / (col("nt") * col("nc")).cast("double"), 0)
+          .cast("long").as("t6"))
+    val tot = cells.agg(count(lit(1)).as("n_strata"),
+      sum("nt").as("n_treat"), sum("nc").as("n_ctrl"))
+    // empty-input / no-overlap hardening (the snapshotDiff convention):
+    // zero counts, NULL ate — never SQL-NULL counts or a 0/0 NaN
+    used.agg(count(lit(1)).as("n_strata_used"),
+        coalesce(sum("ns"), lit(0L)).as("n_used"),
+        coalesce(sum("t6"), lit(0L)).as("st6"))
+      .crossJoin(broadcast(tot)) // 1-row totals build side
+      .select(col("n_strata"),
+        col("n_strata_used"),
+        coalesce(col("n_treat"), lit(0L)).as("n_treat"),
+        coalesce(col("n_ctrl"), lit(0L)).as("n_ctrl"),
+        round(col("st6").cast("double") /
+          (lit(1e6) * nullif(col("n_used"), lit(0L)).cast("double")), 4)
+          .as("ate"))
+  }
 }

@@ -391,4 +391,159 @@ class AnalyticsOpsSpec extends SparkSpec {
       assert(r.getDouble(2) === 0.5)
     }
   }
+
+  // ---- HyperLogLog ----------------------------------------------------
+
+  test("hllDistinct estimates within the p=6 error bound and ignores duplicates") {
+    val df = (1 to 300).map(i => ("g", s"user_$i")).toDF("g", "v")
+    val est = Sketches.hllDistinct(df, col("g"), col("v"))
+      .collect().head.getDouble(4)
+    // σ = 1.04/√64 ≈ 13%; 3σ ≈ 39%
+    assert(math.abs(est - 300.0) / 300.0 < 0.39, s"est=$est")
+    // duplicate-insensitivity: registers are maxes, so ×5 replication of
+    // every value leaves the sketch (and estimate) bit-identical
+    val dup = (1 to 300).flatMap(i => Seq.fill(5)(("g", s"user_$i")))
+      .toDF("g", "v")
+    val estDup = Sketches.hllDistinct(dup, col("g"), col("v"))
+      .collect().head.getDouble(4)
+    assert(est === estDup)
+  }
+
+  test("hllDistinct small range uses linear counting and stays near-exact") {
+    val df = (1 to 5).map(i => ("g", s"v$i")).toDF("g", "v")
+    val r = Sketches.hllDistinct(df, col("g"), col("v")).collect().head
+    assert(r.getLong(2) >= 59) // ≥59 of 64 buckets empty with 5 values
+    // 64·ln(64/V) with V ≥ 59 empty: linear counting is exact-ish here
+    assert(math.abs(r.getDouble(4) - 5.0) < 1.0, s"est=${r.getDouble(4)}")
+  }
+
+  // ---- golden records -------------------------------------------------
+
+  private def gr(rows: Seq[(Long, String, String, String, Option[Long])]) = {
+    val df = rows.toDF("id", "text", "lang", "source", "nchars")
+    Dedup.goldenRecords(df, col("id"), col("text"), col("lang"),
+      col("source"), col("nchars"), col("source"))
+  }
+
+  test("goldenRecords applies anchor / mode / best rules per cluster") {
+    val out = gr(Seq(
+      (1L, "dup", "en", "s1", Some(10L)),
+      (2L, "dup", "en", "s2", Some(50L)),
+      (3L, "dup", "fr", "s3", Some(20L)),
+      (9L, "uniq", "de", "s9", Some(7L))))
+      .orderBy("golden_id").collect()
+    val a = out(0)
+    assert(a.getAs[Long]("golden_id") === 1L && a.getAs[Long]("n_members") === 3L)
+    assert(a.getAs[String]("mode_val") === "en")     // majority lang
+    assert(a.getAs[String]("anchor_val") === "s1")   // min-id row's source
+    assert(a.getAs[String]("best_val") === "s2")     // max-nchars row's source
+    assert(a.getAs[Long]("best_metric") === 50L)
+    val u = out(1)
+    assert(u.getAs[Long]("golden_id") === 9L && u.getAs[Long]("n_members") === 1L)
+  }
+
+  test("goldenRecords tie-breaks: mode → smallest value, best → smallest id") {
+    val out = gr(Seq(
+      (1L, "d", "fr", "s1", Some(5L)),
+      (2L, "d", "en", "s2", Some(5L)))) // lang tie 1–1, metric tie 5–5
+      .collect().head
+    assert(out.getAs[String]("mode_val") === "en") // smallest value wins tie
+    assert(out.getAs[String]("best_val") === "s1") // smallest id wins tie
+  }
+
+  test("goldenRecords null conventions: abstaining mode votes, null metrics rank last") {
+    val df = Seq(
+      (1L, "d", null: String, "s1", None: Option[Long]),
+      (2L, "d", null: String, "s2", Some(3L)),
+      (3L, "d", "en", "s3", None: Option[Long]),
+      (7L, "allnull", null: String, "s7", None: Option[Long]))
+      .toDF("id", "text", "lang", "source", "nchars")
+    val out = Dedup.goldenRecords(df, col("id"), col("text"), col("lang"),
+      col("source"), col("nchars"), col("source"))
+      .orderBy("golden_id").collect()
+    val d = out(0)
+    assert(d.getAs[String]("mode_val") === "en")  // nulls abstain
+    assert(d.getAs[String]("best_val") === "s2")  // only non-null metric wins
+    assert(d.getAs[Long]("best_metric") === 3L)
+    val an = out(1) // all-null cluster: NULL mode, min-id best, NULL metric
+    assert(an.isNullAt(an.fieldIndex("mode_val")))
+    assert(an.getAs[String]("best_val") === "s7")
+    assert(an.isNullAt(an.fieldIndex("best_metric")))
+  }
+
+  // ---- target encoding ------------------------------------------------
+
+  test("targetEncodingLoo hand-computed map (m=1)") {
+    val df = Seq(("A", 1L), ("A", 0L), ("A", 0L), ("B", 1L), ("B", 1L))
+      .toDF("cat", "y")
+    val out = Encode.targetEncodingLoo(df, col("cat"), col("y"), m = 1L)
+      .collect()
+    val a = out(0) // gn=5, gs=3: pos (0·5+3)/15=0.2; neg (5+3)/15; avg 19/45
+    assert(a.getAs[Double]("enc_pos") === 0.2)
+    assert(a.getAs[Double]("enc_neg") === 0.5333)
+    assert(a.getAs[Double]("avg_enc") === 0.4222)
+    val b = out(1) // all-positive: enc_neg NULL; pos (5+3)/10
+    assert(b.getAs[Double]("enc_pos") === 0.8)
+    assert(b.isNullAt(b.fieldIndex("enc_neg")))
+    assert(b.getAs[Double]("avg_enc") === 0.8)
+  }
+
+  test("targetEncodingLoo: singleton category falls back to the prior; m=0 rejected") {
+    val df = Seq(("A", 1L), ("B", 0L), ("B", 1L), ("B", 0L)).toDF("c", "y")
+    val a = Encode.targetEncodingLoo(df, col("c"), col("y"), m = 1L)
+      .collect()(0)
+    // n=1, m=1: enc(y) = (0·gn + 1·gs)/(1·gn) = prior = 2/4
+    assert(a.getAs[Double]("enc_pos") === 0.5)
+    intercept[IllegalArgumentException] {
+      Encode.targetEncodingLoo(df, col("c"), col("y"), m = 0L)
+    }
+  }
+
+  // ---- stratified ATE -------------------------------------------------
+
+  test("stratifiedAte matches a hand-replicated estimate and trims single-arm strata") {
+    val units = (1 to 400).map(i => (i.toLong, if (i % 2 == 0) "s_even" else "s_odd",
+      (i % 5 == 0).toString)) // y ≈ 20% everywhere; arm is hash-assigned
+    val df = units.toDF("u", "st", "ys")
+      .withColumn("y", (col("ys") === "true").cast("long"))
+    val got = Trend.stratifiedAte(df, col("u"), col("st"), col("y"), "t1")
+      .collect().head
+    // replicate: same hash arm per unit, exact per-stratum algebra
+    val arm = df.select(col("st"), col("y"),
+        when(pmod(Dedup.hash60(concat(col("u").cast("string"), lit("t1"))),
+          lit(2L)) === 0, 1L).otherwise(0L).as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val cells = arm.groupBy(_._1).map { case (s, rs) =>
+      val nt = rs.count(_._3 == 1L); val nc = rs.size - nt
+      val syt = rs.filter(_._3 == 1L).map(_._2).sum
+      val syc = rs.filter(_._3 == 0L).map(_._2).sum
+      (s, nt.toLong, nc.toLong, syt, syc)
+    }.filter(c => c._2 > 0 && c._3 > 0).toSeq
+    val nUsed = cells.map(c => c._2 + c._3).sum
+    // HALF_UP at both rounding sites, matching Spark's round()
+    val st6 = cells.map { case (_, nt, nc, syt, syc) =>
+      BigDecimal((nt + nc).toDouble * (syt * nc - syc * nt).toDouble * 1e6 /
+        (nt * nc).toDouble).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }.sum
+    val want = BigDecimal(st6.toDouble / (1e6 * nUsed))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(got.getAs[Double]("ate") - want) < 1e-9)
+    assert(got.getAs[Long]("n_strata") === 2L &&
+      got.getAs[Long]("n_strata_used") === 2L)
+    // a single-unit stratum has one arm only → excluded from the estimate
+    val df2 = df.union(Seq((9999L, "s_solo", "false")).toDF("u", "st", "ys")
+      .withColumn("y", lit(0L)))
+    val g2 = Trend.stratifiedAte(df2, col("u"), col("st"), col("y"), "t1")
+      .collect().head
+    assert(g2.getAs[Long]("n_strata") === 3L &&
+      g2.getAs[Long]("n_strata_used") === 2L)
+  }
+
+  test("stratifiedAte empty input: zero counts, NULL ate") {
+    val df = Seq.empty[(Long, String, Long)].toDF("u", "st", "y")
+    val r = Trend.stratifiedAte(df, col("u"), col("st"), col("y"), "x")
+      .collect().head
+    assert(r.getAs[Long]("n_strata") === 0L && r.getAs[Long]("n_treat") === 0L)
+    assert(r.isNullAt(r.fieldIndex("ate")))
+  }
 }

@@ -48,7 +48,9 @@ class PlanAuditSpec extends SparkSpec {
     "q214_brier_logloss", // 1-row max-score broadcast
     "q216_countmin_topk", // 1-row sketch broadcast (the CMS point query)
     "q218_bigram_perplexity", // 1-row vocabulary-size broadcast
-    "q220_mrr") // 1-row group-census broadcast
+    "q220_mrr", // 1-row group-census broadcast
+    "q226_target_encoding", // 1-row global-prior broadcast
+    "q227_stratified_ate") // 1-row stratum-census broadcast
 
   test("rank-filter pattern gets WindowGroupLimit pushdown (per-partition top-k, not full sort)") {
     import org.apache.spark.sql.functions._
