@@ -608,6 +608,184 @@ object AnalyticsQueries {
       |    (1000000.0 * CAST(nullif(n_used, 0) AS DOUBLE)), 4) AS ate
       |FROM ua CROSS JOIN tot""".stripMargin))
 
+  /** [[Timeseries.theilSen]]: robust monthly revenue trend per order
+    * priority — median pair slope + median residual intercept, pair
+    * slopes quantized to 1e-4 longs before the exact percentile. */
+  private val q228 = QDef("q228_theil_sen",
+    (s, dir) => Timeseries.theilSen(
+      T(s, dir, "orders")
+        .where(col("o_orderdate").isNotNull && col("o_totalprice").isNotNull &&
+          col("o_orderpriority").isNotNull)
+        .select(col("o_orderpriority").as("g"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long").as("t"),
+          expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents")),
+      col("g"), col("t"), col("cents")),
+    Some("""WITH pts AS (SELECT o_orderpriority AS g,
+      |        CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+      |          AS t,
+      |        CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+      |          AS BIGINT) AS y
+      |      FROM orders
+      |      WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+      |        AND o_orderpriority IS NOT NULL
+      |      GROUP BY 1, 2),
+      |sl AS (SELECT a.g,
+      |        CAST(round(CAST(b.y - a.y AS DOUBLE) * 10000.0
+      |          / CAST(b.t - a.t AS DOUBLE), 0) AS BIGINT) AS s4
+      |       FROM pts a JOIN pts b ON a.g = b.g AND a.t < b.t),
+      |med AS (SELECT g, CAST(count(*) AS BIGINT) AS n_pairs,
+      |        quantile_cont(s4, 0.5) AS ms4 FROM sl GROUP BY 1),
+      |it AS (SELECT p.g, med.n_pairs, med.ms4,
+      |        p.y * 10000 - CAST(round(ms4, 0) AS BIGINT) * p.t AS i4
+      |       FROM pts p JOIN med ON p.g = med.g),
+      |fin AS (SELECT g, n_pairs, ms4, CAST(count(*) AS BIGINT) AS n_points,
+      |        quantile_cont(i4, 0.5) AS mi4 FROM it GROUP BY 1, 2, 3)
+      |SELECT g, n_points, n_pairs, round(ms4 / 10000.0, 4) AS slope,
+      |  round(mi4 / 10000.0, 4) AS intercept
+      |FROM fin ORDER BY g""".stripMargin))
+
+  /** [[Cooccur.adamicAdar]]: top-20 part pairs by Adamic-Adar evidence
+    * over order baskets — 1/ln|basket| weighting de-biases large orders;
+    * per-basket weights quantized once, pair scores exact long sums. */
+  private val q229 = QDef("q229_adamic_adar",
+    (s, dir) => Cooccur.adamicAdar(T(s, dir, "lineitem"),
+      col("l_orderkey"), col("l_partkey"), k = 20),
+    Some("""WITH b AS (SELECT l_orderkey AS bk, l_partkey AS it
+      |      FROM lineitem
+      |      WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+      |      GROUP BY 1, 2),
+      |s AS (SELECT bk, CAST(count(*) AS BIGINT) AS sz FROM b GROUP BY 1),
+      |w AS (SELECT bk, CAST(round(1000000.0 / ln(CAST(sz AS DOUBLE)), 0)
+      |        AS BIGINT) AS w6
+      |      FROM s WHERE sz >= 2),
+      |p AS (SELECT a.it AS item_a, b2.it AS item_b, w.w6
+      |      FROM b a
+      |        JOIN b b2 ON a.bk = b2.bk AND a.it < b2.it
+      |        JOIN w ON w.bk = a.bk),
+      |g AS (SELECT item_a, item_b, CAST(count(*) AS BIGINT) AS n_shared,
+      |        CAST(sum(w6) AS BIGINT) AS aa6
+      |      FROM p GROUP BY 1, 2)
+      |SELECT item_a, item_b, n_shared,
+      |  round(CAST(aa6 AS DOUBLE) / 1000000.0, 4) AS score
+      |FROM g ORDER BY aa6 DESC, item_a, item_b LIMIT 20""".stripMargin))
+
+  /** [[Trend.kendallTauB]]: rank agreement between supplier account
+    * balance and lineitem volume, per nation — the tie-corrected pair
+    * statistic; all counts exact longs, one sealed √-division. */
+  private val q230 = QDef("q230_kendall_tau",
+    (s, dir) => Trend.kendallTauB(
+      T(s, dir, "supplier")
+        .join(T(s, dir, "lineitem").groupBy("l_suppkey")
+          .agg(count(lit(1)).as("nli")),
+          col("s_suppkey") === col("l_suppkey"), "left")
+        .join(T(s, dir, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("g"), col("s_suppkey").as("id"),
+          expr("CAST(round(s_acctbal * 100, 0) AS BIGINT)").as("x"),
+          coalesce(col("nli"), lit(0L)).as("y")),
+      col("g"), col("id"), col("x"), col("y")),
+    Some("""WITH per AS (SELECT n_name AS g, s_suppkey AS id,
+      |        CAST(round(s_acctbal * 100, 0) AS BIGINT) AS x,
+      |        CAST(coalesce(c.nli, 0) AS BIGINT) AS y
+      |      FROM supplier
+      |        LEFT JOIN (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS nli
+      |                   FROM lineitem GROUP BY 1) c
+      |          ON s_suppkey = c.l_suppkey
+      |        JOIN nation ON s_nationkey = n_nationkey),
+      |pr AS (SELECT a.g,
+      |        CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END
+      |          AS sx,
+      |        CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END
+      |          AS sy
+      |       FROM per a JOIN per b ON a.g = b.g AND a.id < b.id),
+      |ag AS (SELECT g, CAST(count(*) AS BIGINT) AS n_pairs,
+      |        CAST(sum(CASE WHEN sx * sy = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS c,
+      |        CAST(sum(CASE WHEN sx * sy = -1 THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS d,
+      |        CAST(sum(CASE WHEN sx = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS ties_x,
+      |        CAST(sum(CASE WHEN sy = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS ties_y
+      |       FROM pr GROUP BY 1)
+      |SELECT g, n_pairs, c, d, ties_x, ties_y,
+      |  round(CAST(c - d AS DOUBLE) /
+      |    sqrt(CAST(nullif((n_pairs - ties_x) * (n_pairs - ties_y), 0)
+      |      AS DOUBLE)), 4) AS tau_b
+      |FROM ag ORDER BY g""".stripMargin))
+
+  /** [[TextAnalysis.fleschParts]]: Flesch reading ease per (lang,
+    * source) — vowel-group syllables via the collapse-to-V
+    * regexp-length device, per-doc scores quantized to 1e-4 longs
+    * before the corpus mean. */
+  private val q231 = QDef("q231_readability",
+    (s, dir) => {
+      val d = T(s, dir, "documents")
+        .where(col("text").isNotNull && col("lang").isNotNull &&
+          col("source").isNotNull)
+        .select(col("lang"), col("source"),
+          TextAnalysis.fleschParts(col("text")).as("p"))
+        .select(col("lang"), col("source"), col("p.words").as("w"),
+          col("p.sentences").as("sn"), col("p.syllables").as("y"))
+        .withColumn("f4",
+          round((lit(206.835) -
+            lit(1.015) * (col("w").cast("double") / col("sn").cast("double")) -
+            lit(84.6) * (col("y").cast("double") / col("w").cast("double"))) *
+            lit(10000.0), 0).cast("long"))
+      // rounding done in INTEGER space — round(a/b, 4) as the exact
+      // rational (2·a·10⁴ + b) div (2·b) in 1e-4 units, then one exact
+      // display division: the double seal round(,4) diverges cross-engine
+      // when the true mean lands exactly on a .00005 boundary (q231 hit
+      // one: 50.24605), which no double can represent
+      d.groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("w").as("sw"),
+          sum("sn").as("ss"), sum("y").as("sy"), sum("f4").as("sf4"))
+        .select(col("lang"), col("source"), col("n_docs"),
+          (expr("(2 * sw * 10000 + ss) div (2 * ss)").cast("double") /
+            lit(10000.0)).as("words_per_sentence"),
+          (expr("(2 * sy * 10000 + sw) div (2 * sw)").cast("double") /
+            lit(10000.0)).as("syllables_per_word"),
+          (when(col("sf4") < 0,
+              -expr("(2 * (-sf4) + n_docs) div (2 * n_docs)"))
+            .otherwise(expr("(2 * sf4 + n_docs) div (2 * n_docs)"))
+            .cast("double") / lit(10000.0)).as("avg_flesch"))
+        .orderBy("lang", "source")
+    },
+    Some("""WITH d AS (SELECT lang, source,
+      |        CAST(length(text) - length(replace(text, ' ', '')) + 1
+      |          AS BIGINT) AS w,
+      |        greatest(CAST(1 AS BIGINT),
+      |          CAST(length(text) - length(regexp_replace(text, '[.!?]',
+      |            '', 'g')) AS BIGINT)) AS sn,
+      |        CAST(length(regexp_replace(lower(text), '[aeiouy]+', 'V', 'g'))
+      |          - length(regexp_replace(regexp_replace(lower(text),
+      |            '[aeiouy]+', 'V', 'g'), 'V', '', 'g')) AS BIGINT) AS y
+      |      FROM documents
+      |      WHERE text IS NOT NULL AND lang IS NOT NULL
+      |        AND source IS NOT NULL),
+      |f AS (SELECT lang, source, w, sn, y,
+      |        CAST(round((CAST(206.835 AS DOUBLE) -
+      |          CAST(1.015 AS DOUBLE) * (CAST(w AS DOUBLE) / CAST(sn AS DOUBLE)) -
+      |          CAST(84.6 AS DOUBLE) * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE)))
+      |          * 10000.0, 0) AS BIGINT) AS f4
+      |      FROM d),
+      |g AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+      |        CAST(sum(w) AS BIGINT) AS sw, CAST(sum(sn) AS BIGINT) AS ss,
+      |        CAST(sum(y) AS BIGINT) AS sy, CAST(sum(f4) AS BIGINT) AS sf4
+      |      FROM f GROUP BY 1, 2)
+      |SELECT lang, source, n_docs,
+      |  CAST((2 * sw * 10000 + ss) // (2 * ss) AS DOUBLE) / 10000.0
+      |    AS words_per_sentence,
+      |  CAST((2 * sy * 10000 + sw) // (2 * sw) AS DOUBLE) / 10000.0
+      |    AS syllables_per_word,
+      |  CAST(CASE WHEN sf4 < 0
+      |      THEN -((2 * (-sf4) + n_docs) // (2 * n_docs))
+      |      ELSE (2 * sf4 + n_docs) // (2 * n_docs) END AS DOUBLE) / 10000.0
+      |    AS avg_flesch
+      |FROM g ORDER BY 1, 2""".stripMargin))
+
   def all: Seq[QDef] = Seq(q210, q211, q212, q213, q214, q215, q216,
-    q217, q218, q219, q221, q222, q223, q224, q225, q226, q227)
+    q217, q218, q219, q221, q222, q223, q224, q225, q226, q227, q228,
+    q229, q230, q231)
 }

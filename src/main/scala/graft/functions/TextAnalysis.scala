@@ -249,4 +249,29 @@ object TextAnalysis {
     aggregate(toks(text), lit(0L),
       (acc, t) => pmod(acc * 31L + tokVal(t), lit(1000000007L)))
   }
+
+  /** Flesch reading-ease inputs as a (words, sentences, syllables)
+    * struct, engine-portable:
+    *
+    *   - words = whitespace-token count ([[whitespaceTokenCount]]);
+    *   - sentences = count of `[.!?]`, clamped to ≥ 1 (a fragment is one
+    *     sentence);
+    *   - syllables ≈ vowel GROUPS: lower-case, collapse each `[aeiouy]+`
+    *     run to a single `V` (no uppercase V survives lowering), count
+    *     the V's — the standard heuristic, spelled as regexp_replace +
+    *     length-difference so RE2 (DuckDB, 'g' flag) and Java regex
+    *     agree ([[patternCount]]'s device: greedy single-class runs have
+    *     identical semantics in both).
+    *
+    * Flesch = 206.835 − 1.015·(W/S) − 84.6·(Syl/W): compute from these
+    * longs and quantize per doc before any cross-doc mean (see q231). */
+  def fleschParts(text: Column): Column = {
+    val collapsed = regexp_replace(lower(text), "[aeiouy]+", "V")
+    struct(
+      whitespaceTokenCount(text).cast("long").as("words"),
+      greatest(lit(1L), patternCount(text, "[.!?]").cast("long"))
+        .as("sentences"),
+      (length(collapsed) - length(regexp_replace(collapsed, "V", "")))
+        .cast("long").as("syllables"))
+  }
 }

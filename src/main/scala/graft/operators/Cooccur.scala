@@ -114,4 +114,42 @@ object Cooccur {
         round(sum(col("c_xy") * col("lq")).cast("double") /
           (max(col("n")).cast("double") * lit(1000000.0)), 4).as("mi_nats"))
   }
+
+  /** Adamic-Adar link prediction over co-occurrence baskets: for items
+    * a, b the score Σ_{baskets B ∋ a,b} 1/ln|B| — common-neighbor
+    * evidence where a 2-item basket (ln 2) certifies far more than a
+    * 50-item one (ln 50), the classic fix for raw co-count's hub bias
+    * (Adamic & Adar 2003). Top-k pairs by score.
+    *
+    * Determinism: each basket's weight 10⁶/ln|B| is quantized to a long
+    * once per basket, pair scores are exact integer sums of those longs,
+    * and the top-k boundary is a total order (score desc, item_a,
+    * item_b) — ties cannot flip the emitted set cross-engine. Singleton
+    * baskets produce no pairs; |B| ≥ 2 keeps ln positive.
+    *
+    * Scale: pairs expand map-side from each basket's sorted item array
+    * (the [[pairCounts]] device — no positional self-join), so work is
+    * Σ|B|² over baskets, bounded by the basket-size cap upstream (order
+    * lines ≤ 7 here); ONE pair-keyed shuffle aggregates, and the top-k
+    * is a TakeOrdered, never a global sort materialization. */
+  def adamicAdar(df: DataFrame, basket: Column, item: Column,
+                 k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val arr = basketItems(df, basket, item, distinctItems = true)
+      .select(col("its"), size(col("its")).as("sz"))
+      .where(col("sz") >= 2)
+      .select(col("its"),
+        round(lit(1000000.0) / log(col("sz").cast("double")), 0)
+          .cast("long").as("w6"))
+    arr.select(col("w6"), explode(expr(
+        "flatten(transform(its, (x, i) -> " +
+          "transform(filter(slice(its, i + 2, size(its)), y -> y > x), " +
+          "y -> named_struct('u', x, 'v', y))))")).as("p"))
+      .groupBy(col("p.u").as("item_a"), col("p.v").as("item_b"))
+      .agg(count(lit(1)).as("n_shared"), sum("w6").as("aa6"))
+      .orderBy(desc("aa6"), col("item_a"), col("item_b"))
+      .limit(k)
+      .select(col("item_a"), col("item_b"), col("n_shared"),
+        round(col("aa6").cast("double") / lit(1000000.0), 4).as("score"))
+  }
 }

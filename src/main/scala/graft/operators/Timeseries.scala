@@ -97,4 +97,51 @@ object Timeseries {
         round(col("s").cast("double") / (col("n").cast("double") * lit(100.0)),
           4).as("mean_daily"))
   }
+
+  /** Theil-Sen robust trend per group: slope = median over all point-pair
+    * slopes (y_j−y_i)/(t_j−t_i), i<j — the 29%-breakdown alternative to
+    * OLS (q119), immune to the outlier days that drag a least-squares
+    * line. Intercept = median residual y − slope·t (the standard
+    * second pass).
+    *
+    * Determinism: inputs collapse to one integer y per (group, t); each
+    * pair slope is quantized to a 1e-4 fixed-point long BEFORE the
+    * median (exact `percentile` interpolation over longs — engine-exact
+    * like q09), the intercept residuals are pure long arithmetic
+    * y·10⁴ − slope₄·t, and each statistic seals with one round(,4).
+    *
+    * Scale: the pair join is keyed by GROUP (one shuffle); within-group
+    * work is quadratic in the SERIES SPINE length (t is a day/month
+    * index — bounded, e.g. 84 months → 3.5k pairs), never in raw rows,
+    * which the pre-aggregation guarantees. For spines past ~10⁴ points
+    * swap in the pairwise-sampled estimator (hash-select pairs, the
+    * q221 device) — the median is robust to uniform pair sampling. */
+  def theilSen(df: DataFrame, group: Column, t: Column, vCents: Column): DataFrame = {
+    val pts = df.select(group.as("g"), t.cast("long").as("t"),
+        vCents.cast("long").as("y"))
+      .where(col("g").isNotNull && col("t").isNotNull && col("y").isNotNull)
+      .groupBy("g", "t").agg(sum("y").as("y"))
+      .localCheckpoint() // re-read by pairs + residual pass
+    val a = pts.select(col("g"), col("t").as("ta"), col("y").as("ya"))
+    val b = pts.select(col("g"), col("t").as("tb"), col("y").as("yb"))
+    val med = a.join(b, Seq("g")).where(col("ta") < col("tb"))
+      .select(col("g"),
+        round((col("yb") - col("ya")).cast("double") * lit(1e4) /
+          (col("tb") - col("ta")).cast("double"), 0).cast("long").as("s4"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("percentile(s4, 0.5)").as("ms4"))
+      .select(col("g"), col("n_pairs"),
+        col("ms4"), round(col("ms4"), 0).cast("long").as("s4l"))
+    pts.join(med, Seq("g"))
+      .select(col("g"), col("n_pairs"), col("ms4"),
+        (col("y") * lit(10000L) - col("s4l") * col("t")).as("i4"))
+      .groupBy("g", "n_pairs", "ms4")
+      .agg(count(lit(1)).as("n_points"),
+        expr("percentile(i4, 0.5)").as("mi4"))
+      .select(col("g"), col("n_points"), col("n_pairs"),
+        round(col("ms4") / lit(1e4), 4).as("slope"),
+        round(col("mi4") / lit(1e4), 4).as("intercept"))
+      .orderBy("g")
+  }
 }

@@ -708,4 +708,52 @@ object Trend {
           (lit(1e6) * nullif(col("n_used"), lit(0L)).cast("double")), 4)
           .as("ate"))
   }
+
+  /** Kendall τ-b rank correlation per group — the concordant/discordant
+    * pair statistic with the tie correction:
+    *   τ-b = (C − D) / √((n₀ − n₁)(n₀ − n₂)),
+    * n₀ = n(n−1)/2, n₁/n₂ = tied pairs in x/y (ties in BOTH count in
+    * both, the Kendall 1945 definition). The robust companion to
+    * Spearman (q203): τ depends only on pair orderings, so every count
+    * is an exact long and only the final √-division is floating point
+    * (sealed round(,4)). Groups where one variable is constant have a
+    * zero denominator → NULL τ via nullif, with the counts still
+    * reported. Null x/y rows are dropped up front (the family
+    * convention); `id` must be unique per row — it defines the i<j pair
+    * enumeration.
+    *
+    * Scale: the pair join is keyed by GROUP (one shuffle); within-group
+    * work is quadratic in group size — right for bounded groups
+    * (entities per region, suppliers per nation). Past ~10⁴ rows per
+    * group, swap the O(n log n) spelling: C − D from inversion counting
+    * on y-ranks sorted by x (merge-sort recursion as iterated
+    * self-joins), same statistic, no quadratic pair set. */
+  def kendallTauB(df: DataFrame, group: Column, id: Column, x: Column,
+                  y: Column): DataFrame = {
+    val rows = df.select(group.as("g"), id.cast("long").as("i"),
+        x.cast("long").as("x"), y.cast("long").as("y"))
+      .where(col("g").isNotNull && col("i").isNotNull &&
+        col("x").isNotNull && col("y").isNotNull)
+    val a = rows.select(col("g"), col("i").as("ia"), col("x").as("xa"),
+      col("y").as("ya"))
+    val b = rows.select(col("g"), col("i").as("ib"), col("x").as("xb"),
+      col("y").as("yb"))
+    val pairs = a.join(b, Seq("g")).where(col("ia") < col("ib"))
+      .select(col("g"),
+        signum((col("xb") - col("xa")).cast("double")).cast("long").as("sx"),
+        signum((col("yb") - col("ya")).cast("double")).cast("long").as("sy"))
+    pairs.groupBy("g")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("sx") * col("sy") === 1L, 1L).otherwise(0L)).as("c"),
+        sum(when(col("sx") * col("sy") === -1L, 1L).otherwise(0L)).as("d"),
+        sum(when(col("sx") === 0L, 1L).otherwise(0L)).as("tx"),
+        sum(when(col("sy") === 0L, 1L).otherwise(0L)).as("ty"))
+      .select(col("g"), col("n_pairs"), col("c"), col("d"),
+        col("tx").as("ties_x"), col("ty").as("ties_y"),
+        round((col("c") - col("d")).cast("double") /
+          sqrt(nullif((col("n_pairs") - col("tx")) *
+            (col("n_pairs") - col("ty")), lit(0L)).cast("double")), 4)
+          .as("tau_b"))
+      .orderBy("g")
+  }
 }

@@ -539,6 +539,78 @@ class AnalyticsOpsSpec extends SparkSpec {
       g2.getAs[Long]("n_strata_used") === 2L)
   }
 
+  // ---- Theil-Sen ------------------------------------------------------
+
+  test("theilSen hand-computed slope/intercept and outlier robustness") {
+    val df = (Seq((1L, 10L), (2L, 20L), (3L, 50L)).map(p => ("a", p._1, p._2))
+      ++ (1 to 9).map(t => ("b", t.toLong, 10L * t))
+      :+ ("b", 10L, 100000L)) // one wild outlier
+      .toDF("g", "t", "y")
+    val out = Timeseries.theilSen(df, col("g"), col("t"), col("y"))
+      .collect()
+    val a = out(0) // slopes 10,20,30 → median 20; residuals −10,−20,−10 → −10
+    assert(a.getAs[Long]("n_points") === 3L && a.getAs[Long]("n_pairs") === 3L)
+    assert(a.getAs[Double]("slope") === 20.0)
+    assert(a.getAs[Double]("intercept") === -10.0)
+    // OLS would be dragged far above 10 by the 100000 outlier; the pair
+    // median barely moves (≤9 of 45 pairs touch the outlier)
+    val b = out(1)
+    assert(b.getAs[Double]("slope") === 10.0)
+    assert(b.getAs[Double]("intercept") === 0.0)
+  }
+
+  // ---- Adamic-Adar ----------------------------------------------------
+
+  test("adamicAdar weights shared baskets by 1/ln size, deterministic top-k ties") {
+    val df = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (2L, 3L),
+      (3L, 2L), (3L, 3L), (4L, 9L)) // basket 4 is a singleton → no pairs
+      .toDF("b", "it")
+    val w2 = math.round(1e6 / math.log(2)) // 1442695
+    val w3 = math.round(1e6 / math.log(3)) // 910239
+    val all = Cooccur.adamicAdar(df, col("b"), col("it"), k = 10).collect()
+    assert(all.length === 3)
+    val top2 = Cooccur.adamicAdar(df, col("b"), col("it"), k = 2).collect()
+    // (1,2) and (2,3) tie at w2+w3; tie-break is (item_a, item_b) asc
+    assert(top2.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 2L), (2L, 3L)))
+    assert(top2.forall(_.getAs[Double]("score") ===
+      math.rint((w2 + w3).toDouble / 100.0) / 10000.0))
+    assert(top2.head.getAs[Long]("n_shared") === 2L)
+  }
+
+  // ---- Kendall τ-b ----------------------------------------------------
+
+  test("kendallTauB hand-computed, tie-corrected, NULL on constant margin") {
+    val df = (Seq((1L, 1L, 1L), (2L, 2L, 3L), (3L, 3L, 2L), (4L, 4L, 4L))
+      .map(p => ("plain", p._1, p._2, p._3))
+      ++ Seq(("ties", 1L, 1L, 1L), ("ties", 2L, 1L, 2L), ("ties", 3L, 2L, 2L))
+      ++ Seq(("const", 1L, 7L, 1L), ("const", 2L, 7L, 2L)))
+      .toDF("g", "id", "x", "y")
+    val out = Trend.kendallTauB(df, col("g"), col("id"), col("x"), col("y"))
+      .collect()
+    val c = out(0) // constant x: denominator 0 → NULL
+    assert(c.getAs[Long]("ties_x") === 1L && c.isNullAt(c.fieldIndex("tau_b")))
+    val p = out(1) // C=5, D=1 → 4/6
+    assert(p.getAs[Long]("c") === 5L && p.getAs[Long]("d") === 1L)
+    assert(p.getAs[Double]("tau_b") === 0.6667)
+    val t = out(2) // C=1, tx=ty=1 → 1/√(2·2) = 0.5
+    assert(t.getAs[Long]("c") === 1L && t.getAs[Double]("tau_b") === 0.5)
+  }
+
+  // ---- Flesch parts ---------------------------------------------------
+
+  test("fleschParts counts words, clamped sentences, vowel-group syllables") {
+    val out = Seq("The cat. It ran!", "xyz").toDF("t")
+      .select(TextAnalysis.fleschParts(col("t")).as("p"))
+      .select("p.words", "p.sentences", "p.syllables").collect()
+    assert(out(0).getLong(0) === 4L) // whitespace tokens
+    assert(out(0).getLong(1) === 2L) // '.' + '!'
+    assert(out(0).getLong(2) === 4L) // e, a, i, a
+    assert(out(1).getLong(0) === 1L)
+    assert(out(1).getLong(1) === 1L) // clamped: no terminator
+    assert(out(1).getLong(2) === 1L) // 'y' counts as a vowel group
+  }
+
   test("stratifiedAte empty input: zero counts, NULL ate") {
     val df = Seq.empty[(Long, String, Long)].toDF("u", "st", "y")
     val r = Trend.stratifiedAte(df, col("u"), col("st"), col("y"), "x")
