@@ -785,7 +785,164 @@ object AnalyticsQueries {
       |    AS avg_flesch
       |FROM g ORDER BY 1, 2""".stripMargin))
 
+  /** [[Trend.mannWhitneyU]]: rank-sum comparison of shipment quantities
+    * returned (R) vs normal (N) lineitems — discrete 1..50 values keep the rank spine bounded
+    * and exercise the tie correction hard (every value is a large tie
+    * block); doubled-rank arithmetic keeps everything integer until the
+    * sealed z. */
+  private val q232 = QDef("q232_mann_whitney",
+    (s, dir) => Trend.mannWhitneyU(T(s, dir, "lineitem"),
+      col("l_returnflag"), col("l_quantity"), a = "R", b = "N"),
+    Some("""WITH vals AS (SELECT CAST(l_quantity AS BIGINT) AS v,
+      |        CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+      |          AS BIGINT) AS na,
+      |        CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+      |          AS BIGINT) AS nb
+      |      FROM lineitem
+      |      WHERE l_quantity IS NOT NULL AND l_returnflag IN ('R', 'N')
+      |      GROUP BY 1),
+      |t AS (SELECT v, na, nb, na + nb AS t FROM vals),
+      |c AS (SELECT na, nb, t,
+      |        sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+      |          AND CURRENT ROW) - t AS below
+      |      FROM t),
+      |a AS (SELECT CAST(coalesce(sum(na), 0) AS BIGINT) AS n1,
+      |        CAST(coalesce(sum(nb), 0) AS BIGINT) AS n2,
+      |        CAST(coalesce(sum(na * (2 * below + t + 1)), 0) AS BIGINT)
+      |          AS r2,
+      |        CAST(coalesce(sum(t * t * t - t), 0) AS BIGINT) AS tm
+      |      FROM c),
+      |u AS (SELECT n1, n2, r2 - n1 * (n1 + 1) AS u2, tm, n1 + n2 AS n
+      |      FROM a)
+      |SELECT n1, n2, CAST(u2 AS DOUBLE) / 2.0 AS u1,
+      |  round(CAST(u2 - n1 * n2 AS DOUBLE) / (2.0 * sqrt(nullif(
+      |    CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+      |      (CAST(n + 1 AS DOUBLE) -
+      |        CAST(tm AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)),
+      |    0.0))), 4) AS z
+      |FROM u""".stripMargin))
+
+  /** [[Trend.mcnemar]]: paired purchase conversion per user before vs
+    * after the q222 cutoff — discordant users only; the same-user
+    * pairing the independent z test (q167) cannot legally analyze. */
+  private val q233 = QDef("q233_mcnemar",
+    (s, dir) => Trend.mcnemar(
+      T(s, dir, "events")
+        .where(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"),
+          (col("event_type") === "purchase" &&
+            col("ts") < to_timestamp(lit("2024-01-16 00:00:00")))
+            .cast("long").as("pre"),
+          (col("event_type") === "purchase" &&
+            col("ts") >= to_timestamp(lit("2024-01-16 00:00:00")))
+            .cast("long").as("post")),
+      col("user_id"), col("pre"), col("post")),
+    Some("""WITH f AS (SELECT user_id AS u,
+      |        max(CASE WHEN event_type = 'purchase'
+      |          AND ts < TIMESTAMP '2024-01-16 00:00:00'
+      |          THEN 1 ELSE 0 END) AS p1,
+      |        max(CASE WHEN event_type = 'purchase'
+      |          AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+      |          THEN 1 ELSE 0 END) AS p2
+      |      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |      GROUP BY 1)
+      |SELECT CAST(count(*) AS BIGINT) AS n_units,
+      |  CAST(coalesce(sum(CASE WHEN p1 = 1 AND p2 = 1 THEN 1 ELSE 0 END),
+      |    0) AS BIGINT) AS both,
+      |  CAST(coalesce(sum(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END),
+      |    0) AS BIGINT) AS b,
+      |  CAST(coalesce(sum(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END),
+      |    0) AS BIGINT) AS c,
+      |  CAST(coalesce(sum(CASE WHEN p1 = 0 AND p2 = 0 THEN 1 ELSE 0 END),
+      |    0) AS BIGINT) AS neither,
+      |  round(CAST((sum(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END) -
+      |      sum(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END)) *
+      |    (sum(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END) -
+      |      sum(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END)) AS DOUBLE) /
+      |    CAST(nullif(sum(CASE WHEN p1 <> p2 THEN 1 ELSE 0 END), 0)
+      |      AS DOUBLE), 4) AS chi2,
+      |  round(CAST((abs(sum(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END) -
+      |      sum(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END)) - 1) *
+      |    (abs(sum(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END) -
+      |      sum(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END)) - 1)
+      |    AS DOUBLE) /
+      |    CAST(nullif(sum(CASE WHEN p1 <> p2 THEN 1 ELSE 0 END), 0)
+      |      AS DOUBLE), 4) AS chi2_cc
+      |FROM f""".stripMargin))
+
+  /** [[Raking.rake2d]]: IPF survey weighting of a 30% hash sample of
+    * customers to the full nation × segment margins, two row+col
+    * rounds — integer 1e-6 weight state between passes keeps both
+    * engines bit-identical through the unrolled iteration. */
+  private val q234 = QDef("q234_raking_ipf",
+    (s, dir) => {
+      val cust = T(s, dir, "customer")
+      Raking.rake2d(
+        cust.where(pmod(Dedup.hash60(col("c_custkey").cast("string")),
+          lit(10L)) < 3),
+        cust, col("c_nationkey"), col("c_mktsegment"), iters = 2)
+    },
+    Some("""WITH smp AS (SELECT c_nationkey AS r, c_mktsegment AS c
+      |      FROM customer
+      |      WHERE c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL
+      |        AND CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),
+      |          1, 15)) AS BIGINT) % 10 < 3),
+      |pop AS (SELECT c_nationkey AS r, c_mktsegment AS c FROM customer
+      |      WHERE c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL),
+      |tr AS (SELECT r, CAST(count(*) AS BIGINT) AS tr FROM pop GROUP BY 1),
+      |tc AS (SELECT c, CAST(count(*) AS BIGINT) AS tc FROM pop GROUP BY 1),
+      |c0 AS (SELECT r, c, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(1000000 AS BIGINT) AS w6 FROM smp GROUP BY 1, 2),
+      |s1 AS (SELECT r, CAST(sum(n * w6) AS BIGINT) AS s FROM c0 GROUP BY 1),
+      |c1 AS (SELECT c0.r, c0.c, c0.n,
+      |        CAST(round(CAST(c0.w6 AS DOUBLE) * (CAST(tr.tr AS DOUBLE) *
+      |          1000000.0 / CAST(s1.s AS DOUBLE)), 0) AS BIGINT) AS w6
+      |       FROM c0 JOIN s1 ON c0.r = s1.r JOIN tr ON c0.r = tr.r),
+      |s2 AS (SELECT c, CAST(sum(n * w6) AS BIGINT) AS s FROM c1 GROUP BY 1),
+      |c2 AS (SELECT c1.r, c1.c, c1.n,
+      |        CAST(round(CAST(c1.w6 AS DOUBLE) * (CAST(tc.tc AS DOUBLE) *
+      |          1000000.0 / CAST(s2.s AS DOUBLE)), 0) AS BIGINT) AS w6
+      |       FROM c1 JOIN s2 ON c1.c = s2.c JOIN tc ON c1.c = tc.c),
+      |s3 AS (SELECT r, CAST(sum(n * w6) AS BIGINT) AS s FROM c2 GROUP BY 1),
+      |c3 AS (SELECT c2.r, c2.c, c2.n,
+      |        CAST(round(CAST(c2.w6 AS DOUBLE) * (CAST(tr.tr AS DOUBLE) *
+      |          1000000.0 / CAST(s3.s AS DOUBLE)), 0) AS BIGINT) AS w6
+      |       FROM c2 JOIN s3 ON c2.r = s3.r JOIN tr ON c2.r = tr.r),
+      |s4 AS (SELECT c, CAST(sum(n * w6) AS BIGINT) AS s FROM c3 GROUP BY 1),
+      |c4 AS (SELECT c3.r, c3.c, c3.n,
+      |        CAST(round(CAST(c3.w6 AS DOUBLE) * (CAST(tc.tc AS DOUBLE) *
+      |          1000000.0 / CAST(s4.s AS DOUBLE)), 0) AS BIGINT) AS w6
+      |       FROM c3 JOIN s4 ON c3.c = s4.c JOIN tc ON c3.c = tc.c)
+      |SELECT r, c, n AS n_sample, w6,
+      |  CAST(w6 AS DOUBLE) / 1000000.0 AS weight
+      |FROM c4 ORDER BY r, c""".stripMargin))
+
+  /** [[Encode.featureHashing]]: top-3 of 64 hashed token buckets per
+    * document source — fixed-width features with no vocabulary pass;
+    * md5-prefix bucket hash is the engine-reproducible stand-in for
+    * murmur. */
+  private val q235 = QDef("q235_feature_hashing",
+    (s, dir) => Encode.featureHashing(
+      T(s, dir, "documents").where(col("text").isNotNull),
+      col("source"), col("text"), buckets = 64, k = 3),
+    Some("""WITH tk AS (SELECT grp, tok FROM (
+      |        SELECT source AS grp, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents
+      |        WHERE source IS NOT NULL AND text IS NOT NULL)
+      |      WHERE length(tok) > 0),
+      |bw AS (SELECT grp,
+      |        CAST(('0x' || substr(md5(tok), 1, 7)) AS BIGINT) % 64
+      |          AS bucket,
+      |        CAST(count(*) AS BIGINT) AS weight
+      |      FROM tk GROUP BY 1, 2),
+      |r AS (SELECT grp, bucket, weight,
+      |        CAST(row_number() OVER (PARTITION BY grp
+      |          ORDER BY weight DESC, bucket) AS BIGINT) AS rn
+      |      FROM bw)
+      |SELECT grp, bucket, weight, rn FROM r WHERE rn <= 3
+      |ORDER BY grp, rn""".stripMargin))
+
   def all: Seq[QDef] = Seq(q210, q211, q212, q213, q214, q215, q216,
     q217, q218, q219, q221, q222, q223, q224, q225, q226, q227, q228,
-    q229, q230, q231)
+    q229, q230, q231, q232, q233, q234, q235)
 }

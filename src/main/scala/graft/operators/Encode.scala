@@ -64,4 +64,36 @@ object Encode {
           .as("avg_enc"))
       .orderBy("cat")
   }
+
+  /** Feature hashing (the "hashing trick", Weinberger et al. 2009):
+    * project an unbounded token vocabulary onto `buckets` fixed feature
+    * slots via bucket = hash(token) mod buckets — no vocabulary table,
+    * no fit step, collisions accepted by design. The streaming/online
+    * counterpart to q80's TF-IDF vocabulary: a 100 TB corpus gets a
+    * fixed-width feature space in ONE pass with map-side-combinable
+    * counts, where a dictionary encoding needs a full vocabulary
+    * shuffle first.
+    *
+    * Hash = [[Dedup.hash28]] (md5-prefix — engine-reproducible, unlike
+    * murmur-based engine builtins). Emits the top-`k` heaviest buckets
+    * per group (row_number over (weight desc, bucket) — total order, and
+    * the rank filter sits directly above the window so WindowGroupLimit
+    * bounds the per-group sort). Empty tokens from repeated separators
+    * are dropped. */
+  def featureHashing(df: DataFrame, group: Column, text: Column,
+                     buckets: Int, k: Int): DataFrame = {
+    require(buckets >= 2 && k >= 1, "need buckets >= 2 and k >= 1")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+      .orderBy(desc("weight"), col("bucket"))
+    df.select(group.as("grp"), explode(split(text, " ")).as("tok"))
+      .where(col("grp").isNotNull && length(col("tok")) > 0)
+      .select(col("grp"),
+        pmod(Dedup.hash28(col("tok")), lit(buckets.toLong)).as("bucket"))
+      .groupBy("grp", "bucket").agg(count(lit(1)).as("weight"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k) // directly above the window → WindowGroupLimit
+      .select(col("grp"), col("bucket"), col("weight"),
+        col("rn").cast("long").as("rn"))
+      .orderBy("grp", "rn")
+  }
 }

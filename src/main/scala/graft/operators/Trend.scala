@@ -709,6 +709,93 @@ object Trend {
           .as("ate"))
   }
 
+  /** Mann-Whitney U (Wilcoxon rank-sum) two-sample test with the tie
+    * correction — the nonparametric companion to [[welchTTest]]: no
+    * normality assumption, driven purely by rank order, so one wild
+    * outlier moves U by at most its rank displacement.
+    *
+    * Rank arithmetic is INTEGER throughout via the doubled-rank device:
+    * ranks collapse to the distinct-VALUE spine (cum counts), where the
+    * average rank of a t-fold tie is (2·below + t + 1)/2 — so twice the
+    * rank is a long, twice the A rank-sum R₂ = Σ n_a·(2·below+t+1) is a
+    * long, and 2U = R₂ − n₁(n₁+1) is a long. Only the normal
+    * approximation touches doubles: σ² = n₁n₂/12·((n+1) − T/(n(n−1)))
+    * with tie mass T = Σ(t³−t) exact, and z = (2U − n₁n₂)/(2σ) sealed
+    * with round(,4). NULL z when a group is empty or all values tie
+    * (σ = 0).
+    *
+    * Scale: the spine window is DISTINCT-VALUE-sized — choose discrete
+    * measures (quantities, day counts, ratings) and it's bounded
+    * regardless of row count; for continuous measures pre-bucket (the
+    * q201 rank-bucketing device). Everything else is two hash aggs. */
+  def mannWhitneyU(df: DataFrame, group: Column, value: Column,
+                   a: String, b: String): DataFrame = {
+    val vals = df.select(group.as("g"), value.cast("long").as("v"))
+      .where(col("v").isNotNull && col("g").isin(a, b))
+      .groupBy("v")
+      .agg(sum(when(col("g") === a, 1L).otherwise(0L)).as("na"),
+        sum(when(col("g") === b, 1L).otherwise(0L)).as("nb"))
+      .withColumn("t", col("na") + col("nb"))
+    val wCum = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vals
+      .withColumn("below", sum("t").over(wCum) - col("t"))
+      .select(col("na"), col("nb"), col("t"),
+        (col("na") * (lit(2L) * col("below") + col("t") + 1L)).as("r2a"),
+        (col("t") * col("t") * col("t") - col("t")).as("tcube"))
+      .agg(coalesce(sum("na"), lit(0L)).as("n1"),
+        coalesce(sum("nb"), lit(0L)).as("n2"),
+        coalesce(sum("r2a"), lit(0L)).as("r2"),
+        coalesce(sum("tcube"), lit(0L)).as("tm"))
+      .select(col("n1"), col("n2"),
+        (col("r2") - col("n1") * (col("n1") + 1L)).as("u2"), // 2·U₁
+        col("tm"), (col("n1") + col("n2")).as("n"))
+      .select(col("n1"), col("n2"),
+        (col("u2").cast("double") / lit(2.0)).as("u1"),
+        round((col("u2") - col("n1") * col("n2")).cast("double") /
+          (lit(2.0) * sqrt(nullif(
+            col("n1").cast("double") * col("n2").cast("double") / lit(12.0) *
+              ((col("n") + 1L).cast("double") -
+                col("tm").cast("double") /
+                  (col("n") * (col("n") - 1L)).cast("double")),
+            lit(0.0)))), 4).as("z"))
+  }
+
+  /** McNemar paired-proportion test: for units observed under two paired
+    * conditions (pre/post, variant-on/off), only the DISCORDANT pairs
+    * carry information — b (yes→no) vs c (no→yes). χ² = (b−c)²/(b+c),
+    * plus the continuity-corrected (|b−c|−1)²/(b+c) (Edwards), both NULL
+    * when b+c = 0 (no discordance — nothing to test). The paired
+    * counterpart to the independent-sample z test (q167): the same user
+    * appearing on both sides violates that test's independence
+    * assumption, THIS one is built for it.
+    *
+    * Integer counts to the final sealed division; one unit-keyed
+    * aggregation (map-side combinable min/max flags) then a 1-row
+    * reduce. */
+  def mcnemar(df: DataFrame, unit: Column, pre: Column, post: Column): DataFrame = {
+    val flags = df.select(unit.as("u"), pre.cast("long").as("p1"),
+        post.cast("long").as("p2"))
+      .where(col("u").isNotNull && col("p1").isNotNull && col("p2").isNotNull)
+      .groupBy("u").agg(max("p1").as("p1"), max("p2").as("p2"))
+    flags.agg(count(lit(1)).as("n_units"),
+        coalesce(sum(when(col("p1") === 1L && col("p2") === 1L, 1L)
+          .otherwise(0L)), lit(0L)).as("both"),
+        coalesce(sum(when(col("p1") === 1L && col("p2") === 0L, 1L)
+          .otherwise(0L)), lit(0L)).as("b"),
+        coalesce(sum(when(col("p1") === 0L && col("p2") === 1L, 1L)
+          .otherwise(0L)), lit(0L)).as("c"),
+        coalesce(sum(when(col("p1") === 0L && col("p2") === 0L, 1L)
+          .otherwise(0L)), lit(0L)).as("neither"))
+      .select(col("n_units"), col("both"), col("b"), col("c"), col("neither"),
+        round(((col("b") - col("c")) * (col("b") - col("c"))).cast("double") /
+          nullif(col("b") + col("c"), lit(0L)).cast("double"), 4).as("chi2"),
+        round(((abs(col("b") - col("c")) - 1L) *
+            (abs(col("b") - col("c")) - 1L)).cast("double") /
+          nullif(col("b") + col("c"), lit(0L)).cast("double"), 4)
+          .as("chi2_cc"))
+  }
+
   /** Kendall τ-b rank correlation per group — the concordant/discordant
     * pair statistic with the tie correction:
     *   τ-b = (C − D) / √((n₀ − n₁)(n₀ − n₂)),

@@ -611,6 +611,78 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out(1).getLong(2) === 1L) // 'y' counts as a vowel group
   }
 
+  // ---- Mann-Whitney U -------------------------------------------------
+
+  test("mannWhitneyU hand-computed: clean, tied, and degenerate cases") {
+    val clean = Seq(("A", 1L), ("A", 2L), ("B", 3L), ("B", 4L)).toDF("g", "v")
+    val r1 = Trend.mannWhitneyU(clean, col("g"), col("v"), "A", "B")
+      .collect().head
+    // ranks 1..4: U₁ = 0; z = −4/(2·√(4·5/12)) = −1.5492
+    assert(r1.getAs[Double]("u1") === 0.0)
+    assert(r1.getAs[Double]("z") === -1.5492)
+    val tied = Seq(("A", 1L), ("A", 1L), ("B", 1L), ("B", 2L)).toDF("g", "v")
+    val r2 = Trend.mannWhitneyU(tied, col("g"), col("v"), "A", "B")
+      .collect().head
+    // avg rank of the 3-tie = 2 → U₁ = 1; T = 24 → σ² = 1, z = −1
+    assert(r2.getAs[Double]("u1") === 1.0)
+    assert(r2.getAs[Double]("z") === -1.0)
+    val const = Seq(("A", 5L), ("B", 5L)).toDF("g", "v")
+    val r3 = Trend.mannWhitneyU(const, col("g"), col("v"), "A", "B")
+      .collect().head
+    assert(r3.isNullAt(r3.fieldIndex("z"))) // all tied → σ = 0 → NULL
+  }
+
+  // ---- McNemar --------------------------------------------------------
+
+  test("mcnemar counts discordant pairs; NULL when none; event rows collapse per unit") {
+    val df = Seq((1L, 1L, 0L), (1L, 0L, 0L), // unit 1 collapses to (1,0)
+      (2L, 0L, 1L), (3L, 0L, 1L), (4L, 1L, 1L), (5L, 0L, 0L))
+      .toDF("u", "pre", "post")
+    val r = Trend.mcnemar(df, col("u"), col("pre"), col("post"))
+      .collect().head
+    assert(r.getAs[Long]("n_units") === 5L && r.getAs[Long]("b") === 1L &&
+      r.getAs[Long]("c") === 2L && r.getAs[Long]("both") === 1L)
+    assert(r.getAs[Double]("chi2") === 0.3333) // (1−2)²/3
+    assert(r.getAs[Double]("chi2_cc") === 0.0) // (|−1|−1)²/3
+    val conc = Seq((1L, 1L, 1L), (2L, 0L, 0L)).toDF("u", "pre", "post")
+    val r2 = Trend.mcnemar(conc, col("u"), col("pre"), col("post"))
+      .collect().head
+    assert(r2.isNullAt(r2.fieldIndex("chi2"))) // b+c = 0
+  }
+
+  // ---- IPF raking -----------------------------------------------------
+
+  test("rake2d hand-traced two-round fixed-point weights") {
+    val pop = (Seq.fill(4)(("A", "X")) ++ Seq.fill(4)(("A", "Y")) ++
+      Seq.fill(2)(("B", "X")) ++ Seq.fill(2)(("B", "Y"))).toDF("r", "c")
+    val smp = (Seq.fill(2)(("A", "X")) ++ Seq(("B", "Y"))).toDF("r", "c")
+    val out = Raking.rake2d(smp, pop, col("r"), col("c"), iters = 2)
+      .collect()
+    // trace: row→4e6 both; col→3e6/6e6; row→4e6/4e6; col→3e6/6e6
+    assert(out.length === 2)
+    assert(out(0).getAs[Long]("w6") === 3000000L) // (A,X), n=2 → covers X=6
+    assert(out(1).getAs[Long]("w6") === 6000000L) // (B,Y) → covers Y=6
+    assert(out(0).getAs[Double]("weight") === 3.0)
+  }
+
+  // ---- feature hashing ------------------------------------------------
+
+  test("featureHashing buckets token counts, drops empty tokens, ranks deterministically") {
+    val df = Seq(("s1", "a  b a")).toDF("src", "t") // double space → empty tok
+    val buckets = spark.range(1)
+      .select(pmod(Dedup.hash28(lit("a")), lit(64L)).as("ba"),
+        pmod(Dedup.hash28(lit("b")), lit(64L)).as("bb"))
+      .collect().head
+    assert(buckets.getLong(0) !== buckets.getLong(1)) // fixture sanity
+    val out = Encode.featureHashing(df, col("src"), col("t"), 64, k = 2)
+      .collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Long]("weight") === 2L &&
+      out(0).getAs[Long]("bucket") === buckets.getLong(0))
+    assert(out(1).getAs[Long]("weight") === 1L &&
+      out(1).getAs[Long]("rn") === 2L)
+  }
+
   test("stratifiedAte empty input: zero counts, NULL ate") {
     val df = Seq.empty[(Long, String, Long)].toDF("u", "st", "y")
     val r = Trend.stratifiedAte(df, col("u"), col("st"), col("y"), "x")
