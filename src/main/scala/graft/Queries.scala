@@ -430,5 +430,6 @@ object Queries {
   val extension: Seq[QDef] = Seq(q21, q22, q23, q24)
 
   def all: Seq[QDef] = parity ++ extension ++ ExtQueries.all ++
-    StatQueries.all ++ EvalQueries.all ++ AnalyticsQueries.all
+    StatQueries.all ++ EvalQueries.all ++ AnalyticsQueries.all ++
+    InferenceQueries.all
 }

@@ -1,0 +1,182 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Classical inference tests over grouped metrics — the "is this
+  * difference real?" companions to the A/B readouts in [[Trend]]
+  * (Welch t, Mann-Whitney, chi-square GoF): one-way ANOVA across k
+  * groups, its robust Brown-Forsythe variant, Cramér's V effect size
+  * for two categoricals, and Cronbach's alpha scale reliability.
+  *
+  * Extends the reference's derived-statistics surface
+  * (census-data-pipeline transformers.py summary stats) with the
+  * multi-group tests a data-quality / experimentation pipeline runs
+  * after segmentation.
+  *
+  * Determinism (FIXTURES.md): inputs are INTEGER-quantized; every
+  * cross-row reduction is an exact long sum; the per-group squared-sum
+  * terms s²/n (a single IEEE double multiply+divide, bit-identical
+  * across engines) are quantized to 1e-4 fixed-point longs before the
+  * k-row sum — the [[Trend.chiSqTerm]] device — and each statistic is
+  * one sealed round(,4) division at the end.
+  *
+  * Scale: each operator is one (or for Brown-Forsythe two) map-side-
+  * combinable aggregations; per-group state is a handful of longs
+  * regardless of group size, and the final arithmetic runs on a
+  * k-row (or cell-count-row) table. Callers quantize coarsely enough
+  * that n·Σv² stays inside Long at their row counts — the same
+  * contract as [[Trend.welchTTest]].
+  */
+object Inference {
+
+  /** 1e-4 fixed-point quantization of the ANOVA "explained" term s²/n:
+    * one double multiply + divide of exact longs (bit-identical in any
+    * IEEE engine), rounded to a long so the subsequent k-row sum is
+    * exact in any order. */
+  private def ssTerm(s: Column, n: Column): Column =
+    round(s.cast("double") * s / n * lit(1e4), 0).cast("long")
+
+  /** One-way ANOVA of an INTEGER-quantized metric `v` across the levels
+    * of `group`:
+    *
+    *   SSB = Σ_g s_g²/n_g − s²/n,  SSW = Σv² − Σ_g s_g²/n_g,
+    *   F = (SSB/(k−1)) / (SSW/(n−k))
+    *
+    * One grouped pass builds (n_g, Σv, Σv²) per level as exact long
+    * sums; the s_g²/n_g terms are fixed-point quantized ([[ssTerm]])
+    * so the k-row reduction to SSB/SSW is again exact integer.
+    * Null groups/values are dropped (both engines agree). Degenerate
+    * inputs (k ≤ 1 or zero within-variance) yield SQL-NULL F. */
+  def anovaF(df: DataFrame, group: Column, v: Column): DataFrame =
+    anovaFTyped(df.select(group.as("g"), v.cast("long").as("v"))
+      .where(col("g").isNotNull && col("v").isNotNull))
+
+  /** ANOVA core on a pre-cleaned (g, v:long) frame — shared with
+    * [[brownForsythe]], which feeds it absolute deviations. */
+  private[graft] def anovaFTyped(d: DataFrame): DataFrame = {
+    val per = d.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"),
+        sum(col("v") * col("v")).as("ss"))
+      .select(col("n"), col("s"), col("ss"),
+        ssTerm(col("s"), col("n")).as("tg"))
+    per.agg(count(lit(1)).as("k"), sum("n").as("n"), sum("s").as("st"),
+        sum("ss").as("sst"), sum("tg").as("stg"))
+      .select(col("k"), col("n"), col("st"), col("sst"), col("stg"),
+        ssTerm(col("st"), col("n")).as("tall"))
+      .select(col("k").as("k_groups"), col("n").as("n_rows"),
+        round((col("stg") - col("tall")).cast("double") / lit(1e4), 4)
+          .as("ss_between"),
+        round((col("sst") * lit(10000L) - col("stg")).cast("double") /
+          lit(1e4), 4).as("ss_within"),
+        round(((col("stg") - col("tall")).cast("double") / lit(1e4) /
+            nullif((col("k") - 1).cast("double"), lit(0.0))) /
+          nullif((col("sst") * lit(10000L) - col("stg")).cast("double") /
+            lit(1e4) /
+            nullif((col("n") - col("k")).cast("double"), lit(0.0)),
+            lit(0.0)), 4).as("f_stat"))
+  }
+
+  /** Brown-Forsythe robust ANOVA: one-way ANOVA on the absolute
+    * deviations from each group's MEDIAN — the heteroscedasticity /
+    * heavy-tail-safe location test (a significant F here means the
+    * groups differ in spread/level even when variances are unequal).
+    *
+    * Determinism: medians of longs land on z or z+0.5, so the doubled
+    * deviation |2v − 2·med| is an exact integer in both engines; the
+    * ANOVA core then runs on those exact longs (statistics scale by the
+    * constant 2, which cancels in F). Two passes: exact per-group
+    * median (group-count-row result, broadcast back), then the
+    * [[anovaF]] aggregation. */
+  def brownForsythe(df: DataFrame, group: Column, v: Column): DataFrame = {
+    val g = df.select(group.as("g"), v.cast("long").as("v"))
+      .where(col("g").isNotNull && col("v").isNotNull)
+    val med = g.groupBy("g")
+      .agg(round(percentile(col("v"), lit(0.5)) * 2, 0).cast("long")
+        .as("m2"))
+    anovaFTyped(g.join(broadcast(med), "g")
+      .select(col("g"), abs(col("v") * 2 - col("m2")).as("v")))
+  }
+
+  /** Cramér's V association strength between two categoricals:
+    * chi-square of independence over the contingency cells, then
+    *   V = √(χ² / (n · min(r−1, c−1))).
+    *
+    * One cell aggregation (cells ≤ r·c rows), margins re-aggregated
+    * from the CELL table (not the corpus — a second corpus pass would
+    * be pure waste) and crossed into the full r×c spine so zero cells
+    * contribute their e term; each cell's (o−e)²/e term is
+    * quantized via [[Trend.chiSqTerm]] before the exact sum. V and χ²
+    * are both derived from the same exact fixed-point total, so the
+    * two readouts can never disagree. Null categories are excluded
+    * from cells, margins, AND n (the q153 convention). */
+  def cramersV(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val cells = df.select(x.as("x"), y.as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
+      .groupBy("x", "y").agg(count(lit(1)).as("o"))
+    val rx = cells.groupBy("x").agg(sum("o").as("rx"))
+    val cy = cells.groupBy("y").agg(sum("o").as("cy"))
+    val tot = cells.agg(sum("o").as("n"),
+      countDistinct("x").as("r"), countDistinct("y").as("c"))
+    // r×c margin spine so ABSENT combinations still contribute their
+    // full (0−e)²/e term — the srmCheck zero-group device; both margin
+    // tables are aggregate-sized, so the cross is r·c rows, not corpus².
+    val spine = rx.crossJoin(broadcast(cy))
+    spine.join(cells, Seq("x", "y"), "left")
+      .select(col("rx"), col("cy"), coalesce(col("o"), lit(0L)).as("o"))
+      .crossJoin(broadcast(tot))
+      .select(col("n"), col("r"), col("c"),
+        Trend.chiSqTerm(col("o"),
+          col("rx").cast("double") * col("cy") / col("n")).as("t"))
+      .groupBy("n", "r", "c").agg(sum("t").as("chifix"))
+      .select(col("n").as("n_rows"), col("r").as("levels_x"),
+        col("c").as("levels_y"),
+        round(col("chifix").cast("double") / lit(1e6), 4).as("chi2"),
+        round(sqrt(col("chifix").cast("double") / lit(1e6) /
+          nullif((col("n") *
+            least(col("r") - 1, col("c") - 1)).cast("double"),
+            lit(0.0))), 4).as("cramers_v"))
+  }
+
+  /** Cronbach's alpha internal-consistency coefficient over a LONG
+    * (unit, item, value) frame:
+    *
+    *   α = k/(k−1) · (1 − Σ_i var_i / var_total)
+    *
+    * where var_i is item i's variance across ALL units (units missing
+    * an item count as 0 — they contribute nothing to Σx and Σx², which
+    * is exactly the zero-fill semantics) and var_total the variance of
+    * per-unit score totals. With integer values both numerator
+    * Σ_i (n·Σx² − (Σx)²) and denominator n·Σt² − (Σt)² are EXACT long
+    * arithmetic — the n factors cancel, so no variance normalization
+    * ever touches a double until the single sealed division.
+    *
+    * Shape: one (unit,item) cell aggregation, then two small re-aggs
+    * of the cell table (per-item and per-unit) — the corpus is read
+    * once. Degenerate scales (k ≤ 1, zero total variance) yield
+    * SQL-NULL alpha. */
+  def cronbachAlpha(df: DataFrame, unit: Column, item: Column,
+                    v: Column): DataFrame = {
+    val cells = df.select(unit.as("u"), item.as("it"),
+        v.cast("long").as("x"))
+      .where(col("u").isNotNull && col("it").isNotNull &&
+        col("x").isNotNull)
+      .groupBy("u", "it").agg(sum("x").as("x"))
+    val items = cells.groupBy("it")
+      .agg(sum("x").as("s"), sum(col("x") * col("x")).as("ss"))
+    val tstats = cells.groupBy("u").agg(sum("x").as("t"))
+      .agg(count(lit(1)).as("n"), sum("t").as("st"),
+        sum(col("t") * col("t")).as("stt"))
+    items.crossJoin(broadcast(tstats))
+      .select(col("n"), col("st"), col("stt"),
+        (col("n") * col("ss") - col("s") * col("s")).as("vi"))
+      .groupBy("n", "st", "stt")
+      .agg(count(lit(1)).as("k"), sum("vi").as("num"))
+      .select(col("k").as("k_items"), col("n").as("n_units"),
+        round(col("k").cast("double") /
+            nullif((col("k") - 1).cast("double"), lit(0.0)) *
+          (lit(1.0) - col("num").cast("double") /
+            nullif((col("n") * col("stt") - col("st") * col("st"))
+              .cast("double"), lit(0.0))), 4).as("alpha"))
+  }
+}
