@@ -149,5 +149,188 @@ object InferenceQueries {
       |      nullif(CAST(n * stt - st * st AS DOUBLE), 0.0)), 4) AS alpha
       |FROM ag""".stripMargin))
 
-  def all: Seq[QDef] = Seq(q236, q237, q238, q239)
+  /** [[Causal.ivWald]]: effect of order count (endogenous x) on total
+    * spend (y) instrumented by custkey parity — the deterministic
+    * engine-identical stand-in for an encouragement assignment (the
+    * q222 hash-arm device, simplified to an exact modulus). Customers
+    * without orders enter at x=y=0 via the LEFT join. */
+  private val q240 = QDef("q240_iv_wald",
+    (s, dir) => {
+      val sp = T(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("x"),
+          sum(expr("CAST(round(o_totalprice, 0) AS BIGINT)")).as("y"))
+      Causal.ivWald(
+        T(s, dir, "customer")
+          .join(sp, col("c_custkey") === col("o_custkey"), "left")
+          .select((col("c_custkey") % 2).as("z"),
+            coalesce(col("x"), lit(0L)).as("x"),
+            coalesce(col("y"), lit(0L)).as("y")),
+        col("z"), col("x"), col("y"))
+    },
+    Some("""WITH sp AS (SELECT o_custkey AS ck, CAST(count(*) AS BIGINT) AS x,
+      |        CAST(sum(CAST(round(o_totalprice, 0) AS BIGINT)) AS BIGINT)
+      |          AS y
+      |      FROM orders GROUP BY 1),
+      |u AS (SELECT c_custkey % 2 AS z, coalesce(x, 0) AS x,
+      |        coalesce(y, 0) AS y
+      |      FROM customer LEFT JOIN sp ON c_custkey = ck),
+      |a AS (SELECT
+      |   CAST(sum(CASE WHEN z = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |   CAST(sum(CASE WHEN z <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+      |   CAST(sum(CASE WHEN z = 1 THEN x ELSE 0 END) AS BIGINT) AS sx1,
+      |   CAST(sum(CASE WHEN z <> 1 THEN x ELSE 0 END) AS BIGINT) AS sx0,
+      |   CAST(sum(CASE WHEN z = 1 THEN y ELSE 0 END) AS BIGINT) AS sy1,
+      |   CAST(sum(CASE WHEN z <> 1 THEN y ELSE 0 END) AS BIGINT) AS sy0
+      |  FROM u),
+      |b AS (SELECT n0, n1,
+      |   CAST(sy1 AS DOUBLE) / nullif(CAST(n1 AS DOUBLE), 0.0)
+      |     - CAST(sy0 AS DOUBLE) / nullif(CAST(n0 AS DOUBLE), 0.0) AS dy,
+      |   CAST(sx1 AS DOUBLE) / nullif(CAST(n1 AS DOUBLE), 0.0)
+      |     - CAST(sx0 AS DOUBLE) / nullif(CAST(n0 AS DOUBLE), 0.0) AS dx
+      |  FROM a)
+      |SELECT n0, n1, round(dy, 4) AS reduced_form,
+      |  round(dx, 4) AS first_stage,
+      |  round(dy / nullif(dx, 0.0), 4) AS beta_iv
+      |FROM b""".stripMargin))
+
+  /** [[Causal.rddLocalLinear]]: does crossing the 150 k$ order-value
+    * line shift the urgent-priority share? Kilodollar-centered running
+    * variable (long-safe power sums at any SF), ±50 k$ bandwidth,
+    * treatment at r ≥ 0. */
+  private val q241 = QDef("q241_rdd_cutoff",
+    (s, dir) => Causal.rddLocalLinear(
+      T(s, dir, "orders")
+        .where(col("o_totalprice").isNotNull &&
+          col("o_orderpriority").isNotNull)
+        .select(
+          (expr("CAST(round(o_totalprice / 1000.0, 0) AS BIGINT)") -
+            150).as("r"),
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+            .as("y")),
+      col("r"), col("y"), bandwidth = 50L),
+    Some("""WITH d AS (SELECT
+      |        CAST(round(o_totalprice / 1000.0, 0) AS BIGINT) - 150 AS r,
+      |        CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+      |      FROM orders
+      |      WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL),
+      |f AS (SELECT r, y FROM d WHERE abs(r) <= 50),
+      |a AS (SELECT
+      |   CAST(sum(CASE WHEN r < 0 THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+      |   CAST(sum(CASE WHEN r < 0 THEN r ELSE 0 END) AS BIGINT) AS sxl,
+      |   CAST(sum(CASE WHEN r < 0 THEN y ELSE 0 END) AS BIGINT) AS syl,
+      |   CAST(sum(CASE WHEN r < 0 THEN r * y ELSE 0 END) AS BIGINT) AS sxyl,
+      |   CAST(sum(CASE WHEN r < 0 THEN r * r ELSE 0 END) AS BIGINT) AS sxxl,
+      |   CAST(sum(CASE WHEN r >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+      |   CAST(sum(CASE WHEN r >= 0 THEN r ELSE 0 END) AS BIGINT) AS sxr,
+      |   CAST(sum(CASE WHEN r >= 0 THEN y ELSE 0 END) AS BIGINT) AS syr,
+      |   CAST(sum(CASE WHEN r >= 0 THEN r * y ELSE 0 END) AS BIGINT) AS sxyr,
+      |   CAST(sum(CASE WHEN r >= 0 THEN r * r ELSE 0 END) AS BIGINT) AS sxxr
+      |  FROM f),
+      |b AS (SELECT nl, nr,
+      |   CAST(nl * sxyl - sxl * syl AS DOUBLE) /
+      |     nullif(CAST(nl * sxxl - sxl * sxl AS DOUBLE), 0.0) AS sll,
+      |   CAST(nr * sxyr - sxr * syr AS DOUBLE) /
+      |     nullif(CAST(nr * sxxr - sxr * sxr AS DOUBLE), 0.0) AS slr,
+      |   CAST(syl * sxxl - sxl * sxyl AS DOUBLE) /
+      |     nullif(CAST(nl * sxxl - sxl * sxl AS DOUBLE), 0.0) AS il,
+      |   CAST(syr * sxxr - sxr * sxyr AS DOUBLE) /
+      |     nullif(CAST(nr * sxxr - sxr * sxr AS DOUBLE), 0.0) AS ir
+      |  FROM a)
+      |SELECT nl AS n_left, nr AS n_right,
+      |  round(sll, 4) AS slope_left, round(slr, 4) AS slope_right,
+      |  round(il, 4) AS icept_left, round(ir, 4) AS icept_right,
+      |  round(ir - il, 4) AS rdd_effect
+      |FROM b""".stripMargin))
+
+  /** [[Causal.caliperMatchAtt]]: BUILDING-segment customers matched to
+    * the nearest non-BUILDING control by account balance (±$100
+    * caliper, with replacement); ATT on order counts. The operator
+    * runs the bucketed candidate join; the oracle states the same
+    * match as a plain inequality join. */
+  private val q242 = QDef("q242_propensity_caliper",
+    (s, dir) => {
+      val oc = T(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("oy"))
+      Causal.caliperMatchAtt(
+        T(s, dir, "customer")
+          .where(col("c_acctbal").isNotNull && col("c_mktsegment").isNotNull)
+          .join(oc, col("c_custkey") === col("o_custkey"), "left")
+          .select((col("c_mktsegment") === "BUILDING").as("tr"),
+            expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)").as("s"),
+            coalesce(col("oy"), lit(0L)).as("y"), col("c_custkey").as("tie")),
+        col("tr"), col("s"), col("y"), col("tie"), caliper = 10000L)
+    },
+    Some("""WITH oc AS (SELECT o_custkey AS ck, CAST(count(*) AS BIGINT) AS oy
+      |      FROM orders GROUP BY 1),
+      |u AS (SELECT c_mktsegment = 'BUILDING' AS tr,
+      |        CAST(round(c_acctbal * 100, 0) AS BIGINT) AS s,
+      |        coalesce(oy, 0) AS y, c_custkey AS tie
+      |      FROM customer LEFT JOIN oc ON c_custkey = ck
+      |      WHERE c_acctbal IS NOT NULL AND c_mktsegment IS NOT NULL),
+      |tr AS (SELECT s, CAST(count(*) AS BIGINT) AS nt,
+      |        CAST(sum(y) AS BIGINT) AS syt
+      |       FROM u WHERE tr GROUP BY 1),
+      |co AS (SELECT s, arg_min(y, tie) AS yc FROM u WHERE NOT tr GROUP BY 1),
+      |cand AS (SELECT tr.s AS ts, nt, syt, co.yc AS yc,
+      |          abs(co.s - tr.s) * 2 +
+      |            CASE WHEN co.s > tr.s THEN 1 ELSE 0 END AS rnk
+      |        FROM tr JOIN co ON abs(co.s - tr.s) <= 10000),
+      |best AS (SELECT ts, min(nt) AS nt, min(syt) AS syt,
+      |          arg_min(yc, rnk) AS yc
+      |         FROM cand GROUP BY 1),
+      |mt AS (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) AS n_matched,
+      |        CAST(coalesce(sum(syt), 0) AS BIGINT) AS sy,
+      |        CAST(coalesce(sum(nt * yc), 0) AS BIGINT) AS sc FROM best),
+      |tt AS (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) AS n_treated
+      |       FROM tr)
+      |SELECT n_treated, n_matched,
+      |  round(CAST(sy - sc AS DOUBLE) /
+      |    nullif(CAST(n_matched AS DOUBLE), 0.0), 4) AS att
+      |FROM tt CROSS JOIN mt""".stripMargin))
+
+  /** Cross-correlation function of daily order count (x) against daily
+    * revenue `lag` days LATER (y) for lags 0..7 — does volume lead
+    * value? Each order's kilodollar value is quantized before the
+    * daily sum (long-safe n·Σy² at any SF); the lag spine is a per-row
+    * explode (no cross join), and [[Trend.pearson]] keyed by lag does
+    * the rest. */
+  private val q243 = QDef("q243_ccf_lags",
+    (s, dir) => {
+      val daily = T(s, dir, "orders").where(col("o_orderdate").isNotNull)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(expr("CAST(round(o_totalprice / 1000.0, 0) AS BIGINT)"))
+            .as("rev"))
+      val a = daily.select(col("day"), col("cnt"))
+        .withColumn("lag", expr("explode(sequence(0L, 7L))"))
+      val b = daily.select(col("day").as("bday"), col("rev"))
+      Trend.pearson(
+          a.join(b, col("bday") === date_add(col("day"),
+            col("lag").cast("int"))),
+          col("lag"), col("cnt"), col("rev"))
+        .select(col("g").as("lag"), col("n").as("n_days"), col("r"))
+        .orderBy("lag")
+    },
+    Some("""WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+      |        CAST(count(*) AS BIGINT) AS cnt,
+      |        CAST(sum(CAST(round(o_totalprice / 1000.0, 0) AS BIGINT))
+      |          AS BIGINT) AS rev
+      |      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+      |l AS (SELECT unnest(range(0, 8)) AS lag),
+      |pr AS (SELECT l.lag AS lag, a.cnt AS x, b.rev AS y
+      |       FROM l JOIN d a ON true JOIN d b
+      |         ON b.day = a.day + CAST(l.lag AS INTEGER)),
+      |su AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |         CAST(sum(x * y) AS BIGINT) AS sxy,
+      |         CAST(sum(x * x) AS BIGINT) AS sxx,
+      |         CAST(sum(y * y) AS BIGINT) AS syy
+      |       FROM pr GROUP BY 1)
+      |SELECT lag, n AS n_days,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |        nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+      |                    CAST(n * syy - sy * sy AS DOUBLE)), 0.0), 4) AS r
+      |FROM su ORDER BY lag""".stripMargin))
+
+  def all: Seq[QDef] = Seq(q236, q237, q238, q239, q240, q241, q242, q243)
 }

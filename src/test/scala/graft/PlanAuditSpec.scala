@@ -52,7 +52,8 @@ class PlanAuditSpec extends SparkSpec {
     "q226_target_encoding", // 1-row global-prior broadcast
     "q227_stratified_ate", // 1-row stratum-census broadcast
     "q238_cramers_v", // r×c margin spine + 1-row totals broadcast
-    "q239_cronbach_alpha") // 1-row unit-census broadcast
+    "q239_cronbach_alpha", // 1-row unit-census broadcast
+    "q242_propensity_caliper") // 1-row matched-totals broadcast
 
   test("rank-filter pattern gets WindowGroupLimit pushdown (per-partition top-k, not full sort)") {
     import org.apache.spark.sql.functions._
