@@ -332,5 +332,137 @@ object InferenceQueries {
       |                    CAST(n * syy - sy * sy AS DOUBLE)), 0.0), 4) AS r
       |FROM su ORDER BY lag""".stripMargin))
 
-  def all: Seq[QDef] = Seq(q236, q237, q238, q239, q240, q241, q242, q243)
+  /** [[LanguageModel.dsirWeights]]: DSIR-style data selection — which
+    * documents look most like the English target slice? Add-1-smoothed
+    * unigram log-ratios, quantized per term type, averaged per token. */
+  private val q244 = QDef("q244_dsir_weights",
+    (s, dir) => LanguageModel.dsirWeights(
+      T(s, dir, "documents")
+        .where(col("text").isNotNull && col("lang").isNotNull),
+      col("doc_id"), col("text"), col("lang") === "en", k = 15),
+    Some("""WITH tok AS (SELECT doc_id,
+      |        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+      |        unnest(string_split(text, ' ')) AS term
+      |      FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+      |vb AS (SELECT term, CAST(count(*) AS BIGINT) AS c,
+      |        CAST(sum(tgt) AS BIGINT) AS ct FROM tok GROUP BY 1),
+      |tt AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(ct) AS BIGINT)
+      |          AS nt, CAST(count(*) AS BIGINT) AS v FROM vb),
+      |lr AS (SELECT term,
+      |        CAST(round(ln((CAST(ct + 1 AS DOUBLE) / (nt + v)) /
+      |          (CAST(c + 1 AS DOUBLE) / (n + v))) * 1000000.0, 0)
+      |          AS BIGINT) AS lr6
+      |      FROM vb CROSS JOIN tt),
+      |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+      |        CAST(sum(lr6) AS BIGINT) AS s6
+      |      FROM tok JOIN lr USING (term) GROUP BY 1)
+      |SELECT doc_id, n_tok,
+      |  round(CAST(s6 AS DOUBLE) / (1000000.0 * n_tok), 4) AS weight
+      |FROM d ORDER BY weight DESC, doc_id LIMIT 15""".stripMargin))
+
+  /** [[Sequences.eventuallyFollows]]: any-gap precedence support for
+    * ordered event-type pairs per user — the 2-item sequential-pattern
+    * table (q120's Markov transitions count only adjacent steps). */
+  private val q245 = QDef("q245_seq_pattern_support",
+    (s, dir) => Sequences.eventuallyFollows(T(s, dir, "events"),
+      col("user_id"), col("ts"), col("event_type")),
+    Some("""WITH e AS (SELECT user_id AS k, epoch_us(ts) AS us,
+      |        event_type AS l
+      |      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |        AND event_type IS NOT NULL),
+      |p AS (SELECT k, l, CAST(min(us) AS BIGINT) AS mn,
+      |        CAST(max(us) AS BIGINT) AS mx FROM e GROUP BY 1, 2),
+      |t AS (SELECT CAST(count(DISTINCT k) AS BIGINT) AS n_keys FROM p),
+      |s AS (SELECT a.l AS a, b.l AS b, CAST(count(*) AS BIGINT) AS support
+      |      FROM p a JOIN p b ON a.k = b.k AND a.l <> b.l AND a.mn < b.mx
+      |      GROUP BY 1, 2)
+      |SELECT a, b, support,
+      |  round(CAST(support AS DOUBLE) / n_keys, 4) AS support_ratio
+      |FROM s CROSS JOIN t ORDER BY a, b""".stripMargin))
+
+  /** [[Cooccur.infoGain]]: which feature best predicts order status —
+    * price band, ISO weekday, or priority? One exploded panel pass;
+    * entropy terms fixed-point quantized over exact cell counts. */
+  private val q246 = QDef("q246_info_gain",
+    (s, dir) => Cooccur.infoGain(T(s, dir, "orders"),
+      col("o_orderstatus"), Seq(
+        "price_band" ->
+          expr("CAST(round(o_totalprice / 1000.0, 0) AS BIGINT) DIV 100"),
+        "dow" -> (weekday(col("o_orderdate")) + 1),
+        "priority" -> col("o_orderpriority"))),
+    Some("""WITH d AS (SELECT o_orderstatus AS y,
+      |        CAST(CAST(round(o_totalprice / 1000.0, 0) AS BIGINT) // 100
+      |          AS VARCHAR) AS band,
+      |        CAST(CAST(isodow(o_orderdate) AS INT) AS VARCHAR) AS dow,
+      |        o_orderpriority AS pri
+      |      FROM orders),
+      |u AS (SELECT y, 'price_band' AS f, band AS b FROM d
+      |      UNION ALL SELECT y, 'dow' AS f, dow AS b FROM d
+      |      UNION ALL SELECT y, 'priority' AS f, pri AS b FROM d),
+      |ce AS (SELECT f, b, y, CAST(count(*) AS BIGINT) AS c FROM u
+      |       WHERE y IS NOT NULL AND b IS NOT NULL GROUP BY 1, 2, 3),
+      |nb AS (SELECT f, b, CAST(sum(c) AS BIGINT) AS nb FROM ce
+      |       GROUP BY 1, 2),
+      |nf AS (SELECT f, CAST(sum(c) AS BIGINT) AS n FROM ce GROUP BY 1),
+      |cy AS (SELECT f, y, CAST(sum(c) AS BIGINT) AS cy FROM ce
+      |       GROUP BY 1, 2),
+      |ch AS (SELECT ce.f AS f, CAST(sum(CAST(round(CAST(c AS DOUBLE) / n *
+      |          ln(CAST(c AS DOUBLE) / nb.nb) * 1000000.0, 0) AS BIGINT))
+      |          AS BIGINT) AS sch
+      |       FROM ce JOIN nb ON ce.f = nb.f AND ce.b = nb.b
+      |       JOIN nf ON ce.f = nf.f GROUP BY 1),
+      |hy AS (SELECT cy.f AS f, min(n) AS n,
+      |        CAST(sum(CAST(round(CAST(cy AS DOUBLE) / n *
+      |          ln(CAST(cy AS DOUBLE) / n) * 1000000.0, 0) AS BIGINT))
+      |          AS BIGINT) AS shy
+      |       FROM cy JOIN nf ON cy.f = nf.f GROUP BY 1)
+      |SELECT hy.f AS feature, hy.n AS n_rows,
+      |  round(-CAST(shy AS DOUBLE) / 1000000.0, 4) AS h_label,
+      |  round(CAST(sch - shy AS DOUBLE) / 1000000.0, 4) AS info_gain
+      |FROM hy JOIN ch ON hy.f = ch.f ORDER BY feature""".stripMargin))
+
+  /** [[LanguageModel.naiveBayesClassify]]: add-1 multinomial NB lang
+    * self-classification confusion matrix over the documents corpus —
+    * integer class scores (quantized log-likelihood matrix including
+    * zero-count smoothing terms), lexicographic tie-break. */
+  private val q247 = QDef("q247_naive_bayes_lang",
+    (s, dir) => LanguageModel.naiveBayesClassify(
+      T(s, dir, "documents"), col("doc_id"), col("text"), col("lang")),
+    Some("""WITH docs AS (SELECT doc_id, lang AS cls, text FROM documents
+      |      WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+      |        AND text IS NOT NULL),
+      |tok AS (SELECT doc_id, cls, unnest(string_split(text, ' ')) AS term
+      |       FROM docs),
+      |dtc AS (SELECT doc_id, cls, term, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM tok GROUP BY 1, 2, 3),
+      |md AS (SELECT cls AS mcls, term, CAST(count(*) AS BIGINT) AS c
+      |       FROM tok GROUP BY 1, 2),
+      |nc AS (SELECT mcls, CAST(sum(c) AS BIGINT) AS ncls FROM md
+      |       GROUP BY 1),
+      |vb AS (SELECT DISTINCT term FROM tok),
+      |vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vb),
+      |pr AS (SELECT cls AS pcls, CAST(count(*) AS BIGINT) AS nd FROM docs
+      |       GROUP BY 1),
+      |nt AS (SELECT CAST(count(*) AS BIGINT) AS ndocs FROM docs),
+      |mat AS (SELECT vb.term AS term, nc.mcls AS cand,
+      |         CAST(round(ln(CAST(coalesce(c, 0) + 1 AS DOUBLE) /
+      |           (ncls + v)) * 1000000.0, 0) AS BIGINT) AS lp6
+      |        FROM vb CROSS JOIN nc CROSS JOIN vv
+      |        LEFT JOIN md ON md.term = vb.term AND md.mcls = nc.mcls),
+      |sc AS (SELECT d.doc_id AS doc_id, d.cls AS true_cls, m.cand AS cand,
+      |         CAST(sum(cnt * lp6) AS BIGINT) AS s6
+      |       FROM dtc d JOIN mat m ON d.term = m.term GROUP BY 1, 2, 3),
+      |sp AS (SELECT doc_id, true_cls, cand,
+      |         s6 + CAST(round(ln(CAST(nd AS DOUBLE) / ndocs)
+      |           * 1000000.0, 0) AS BIGINT) AS sc6
+      |       FROM sc JOIN pr ON pr.pcls = sc.cand CROSS JOIN nt),
+      |rk AS (SELECT doc_id, true_cls, cand,
+      |         row_number() OVER (PARTITION BY doc_id
+      |           ORDER BY sc6 DESC, cand) AS rn FROM sp)
+      |SELECT true_cls AS lang, cand AS pred, CAST(count(*) AS BIGINT)
+      |    AS n_docs
+      |FROM rk WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  def all: Seq[QDef] = Seq(q236, q237, q238, q239, q240, q241, q242, q243,
+    q244, q245, q246, q247)
 }

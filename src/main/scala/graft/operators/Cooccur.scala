@@ -152,4 +152,48 @@ object Cooccur {
       .select(col("item_a"), col("item_b"), col("n_shared"),
         round(col("aa6").cast("double") / lit(1000000.0), 4).as("score"))
   }
+
+  /** Information-gain feature ranking: IG(f) = H(y) − H(y|f) for each
+    * named, pre-binned feature against the label — the entropy-based
+    * cousin of [[mutualInformation]] generalized to a feature PANEL
+    * in one pass (the corrMatrix shape): each row explodes to
+    * |features| (name, bin) pairs, one cell aggregation computes every
+    * feature's contingency simultaneously, margins re-aggregate from
+    * the cell table.
+    *
+    * Bins are carried as strings so heterogeneous feature types share
+    * one schema. Rows with a NULL label or NULL bin are excluded per
+    * feature (cells, margins, and n stay consistent — the
+    * [[mutualInformation]] convention). Each −p·ln(p) term is a fixed
+    * expression over exact long counts quantized to 1e-6 fixed-point
+    * before the cell-count-sized sum; IG and H(y) derive from the same
+    * exact totals, sealed round(,4). */
+  def infoGain(df: DataFrame, label: Column,
+               features: Seq[(String, Column)]): DataFrame = {
+    require(features.nonEmpty, "need at least one feature")
+    def q6(x: Column) = round(x * lit(1e6), 0).cast("long")
+    val d = df.select(label.as("y"),
+        explode(array(features.map { case (n, c) =>
+          struct(lit(n).as("f"), c.cast("string").as("b")) }: _*)).as("s"))
+      .select(col("y"), col("s.f").as("f"), col("s.b").as("b"))
+      .where(col("y").isNotNull && col("b").isNotNull)
+    val cells = d.groupBy("f", "b", "y").agg(count(lit(1)).as("c"))
+    val nb = cells.groupBy("f", "b").agg(sum("c").as("nb"))
+    val nf = cells.groupBy("f").agg(sum("c").as("n"))
+    val cy = cells.groupBy("f", "y").agg(sum("c").as("cy"))
+    val ch = cells.join(nb, Seq("f", "b")).join(broadcast(nf), Seq("f"))
+      .select(col("f"), q6(col("c").cast("double") / col("n") *
+        log(col("c").cast("double") / col("nb"))).as("t"))
+      .groupBy("f").agg(sum("t").as("sch"))
+    val hy = cy.join(broadcast(nf), Seq("f"))
+      .select(col("f"), col("n"), q6(col("cy").cast("double") / col("n") *
+        log(col("cy").cast("double") / col("n"))).as("t"))
+      .groupBy("f", "n").agg(sum("t").as("shy"))
+    hy.join(ch, Seq("f"))
+      .select(col("f").as("feature"), col("n").as("n_rows"),
+        round(-col("shy").cast("double") / lit(1e6), 4).as("h_label"),
+        round((col("sch") - col("shy")).cast("double") / lit(1e6), 4)
+          .as("info_gain"))
+      .orderBy("feature")
+  }
 }

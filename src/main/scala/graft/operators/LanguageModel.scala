@@ -161,4 +161,99 @@ object LanguageModel {
       .groupBy("pair").agg(count(lit(1)).as("c"))
       .orderBy(desc("c"), col("pair"))
       .limit(k)
+
+  /** DSIR-style importance-resampling weights (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling",
+    * simplified to unigram features): each document scores the average
+    * per-token log-ratio of an add-1-smoothed TARGET unigram
+    * distribution (docs where `isTarget`) to the CORPUS distribution —
+    * the data-selection signal that up-weights documents that look
+    * like the target domain. Returns the top-`k` by weight.
+    *
+    * Shape: one token explode, ONE vocab aggregation with conditional
+    * target counts (no second corpus pass), a 1-row totals broadcast
+    * onto the vocab-sized ratio table, then a term-keyed join back and
+    * one per-doc aggregation — every shuffle is keyed, nothing is
+    * corpus². Determinism: the log-ratio is quantized to 1e-6
+    * fixed-point longs per TERM TYPE (the q108 device), so the per-doc
+    * sum is exact integer; one sealed division at the end. */
+  def dsirWeights(df: DataFrame, id: Column, text: Column,
+                  isTarget: Column, k: Int): DataFrame = {
+    val tok = df.select(id.as("doc_id"), isTarget.cast("long").as("tgt"),
+      explode(split(text, " ")).as("term"))
+    val vocab = tok.groupBy("term")
+      .agg(count(lit(1)).as("c"), sum("tgt").as("ct"))
+    val tots = vocab.agg(sum("c").as("n"), sum("ct").as("nt"),
+      count(lit(1)).as("v"))
+    val lr = vocab.crossJoin(broadcast(tots))
+      .select(col("term"),
+        round(log((col("ct") + 1).cast("double") / (col("nt") + col("v")) /
+          ((col("c") + 1).cast("double") / (col("n") + col("v")))) *
+          lit(1e6), 0).cast("long").as("lr6"))
+    tok.join(lr, "term")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum("lr6").as("s6"))
+      .select(col("doc_id"), col("n_tok"),
+        round(col("s6").cast("double") / (lit(1e6) * col("n_tok")), 4)
+          .as("weight"))
+      .orderBy(desc("weight"), col("doc_id"))
+      .limit(k)
+  }
+
+  /** Multinomial naive-Bayes classification of documents into the
+    * classes observed on `cls`, reported as a confusion matrix
+    * (true class, predicted class, doc count) — train-on-all /
+    * classify-all, the self-consistency readout a corpus-labelling
+    * pipeline uses to sanity-check its labels.
+    *
+    * Model: p(term|c) add-1 smoothed over the GLOBAL vocabulary, class
+    * priors from doc counts. The (vocab × classes) likelihood matrix is
+    * built explicitly (classes are few; vocab-keyed LEFT join supplies
+    * the zero-count smoothing terms), each log quantized to 1e-6
+    * fixed-point, so per-doc class scores are exact integer sums and
+    * the argmax can never be a float coin-flip; prediction ties break
+    * to the lexicographically smaller class via the per-doc
+    * row_number window (≤ |classes| rows per doc). */
+  def naiveBayesClassify(df: DataFrame, id: Column, text: Column,
+                         cls: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = df.select(id.as("doc_id"), cls.as("cls"), text.as("text"))
+      .where(col("doc_id").isNotNull && col("cls").isNotNull &&
+        col("text").isNotNull)
+    val tok = docs.select(col("doc_id"), col("cls"),
+      explode(split(col("text"), " ")).as("term"))
+    val dtc = tok.groupBy("doc_id", "cls", "term")
+      .agg(count(lit(1)).as("cnt"))
+    val model = tok.groupBy(col("cls").as("mcls"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val nc = model.groupBy(col("mcls").as("cand")).agg(sum("c").as("ncls"))
+    val vb = tok.select("term").distinct()
+    val vv = vb.agg(count(lit(1)).as("v"))
+    val priors = docs.groupBy(col("cls").as("pcls"))
+      .agg(count(lit(1)).as("nd"))
+    val ndocs = docs.agg(count(lit(1)).as("ndocs"))
+    val vbA = vb.as("vb")
+    val matrix = vbA.crossJoin(broadcast(nc)).crossJoin(broadcast(vv))
+      .join(model.as("m"),
+        col("vb.term") === col("m.term") && col("cand") === col("m.mcls"),
+        "left")
+      .select(col("vb.term").as("term"), col("cand"),
+        round(log((coalesce(col("c"), lit(0L)) + 1).cast("double") /
+          (col("ncls") + col("v"))) * lit(1e6), 0).cast("long").as("lp6"))
+    val scores = dtc.join(matrix, "term")
+      .groupBy(col("doc_id"), col("cls").as("true_cls"), col("cand"))
+      .agg(sum(col("cnt") * col("lp6")).as("s6"))
+      .join(broadcast(priors), col("cand") === col("pcls"))
+      .crossJoin(broadcast(ndocs))
+      .select(col("doc_id"), col("true_cls"), col("cand"),
+        (col("s6") + round(log(col("nd").cast("double") / col("ndocs")) *
+          lit(1e6), 0).cast("long")).as("sc6"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(desc("sc6"), col("cand"))
+    scores.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .groupBy(col("true_cls").as("lang"), col("cand").as("pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "pred")
+  }
 }

@@ -60,4 +60,37 @@ object Sequences {
       .orderBy(desc("n"), col("path"))
       .limit(k)
   }
+
+  /** 2-item sequential-pattern support: for every ordered label pair
+    * (a, b), a ≠ b, the number (and share) of keys whose stream shows
+    * some `a` STRICTLY before some `b` — the "a eventually followed by
+    * b" mining primitive ([[transitions]] counts only ADJACENT steps;
+    * this counts any-gap precedence).
+    *
+    * Scale shape: the stream collapses to one (key, label) row carrying
+    * (min_ts, max_ts) — a single map-side-combinable aggregation — and
+    * the pair test `a.min < b.max` runs on the per-key self-join of
+    * that collapsed table: ≤ L² rows per key for L distinct labels,
+    * never events². The key census is a 1-row broadcast. Timestamps
+    * compare as µs longs (`unix_micros`, the engine-identical device). */
+  def eventuallyFollows(df: DataFrame, key: Column, ts: Column,
+                        label: Column): DataFrame = {
+    val e = df.select(key.as("k"), unix_micros(ts).as("us"),
+        label.as("l"))
+      .where(col("k").isNotNull && col("us").isNotNull &&
+        col("l").isNotNull)
+    val per = e.groupBy("k", "l")
+      .agg(min("us").as("mn"), max("us").as("mx"))
+    val tot = per.agg(countDistinct("k").as("n_keys"))
+    val a = per.select(col("k"), col("l").as("a"), col("mn"))
+    val b = per.select(col("k"), col("l").as("b"), col("mx"))
+    a.join(b, Seq("k"))
+      .where(col("a") =!= col("b") && col("mn") < col("mx"))
+      .groupBy("a", "b").agg(count(lit(1)).as("support"))
+      .crossJoin(broadcast(tot))
+      .select(col("a"), col("b"), col("support"),
+        round(col("support").cast("double") / col("n_keys"), 4)
+          .as("support_ratio"))
+      .orderBy("a", "b")
+  }
 }

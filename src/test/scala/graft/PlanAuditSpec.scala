@@ -53,7 +53,10 @@ class PlanAuditSpec extends SparkSpec {
     "q227_stratified_ate", // 1-row stratum-census broadcast
     "q238_cramers_v", // r×c margin spine + 1-row totals broadcast
     "q239_cronbach_alpha", // 1-row unit-census broadcast
-    "q242_propensity_caliper") // 1-row matched-totals broadcast
+    "q242_propensity_caliper", // 1-row matched-totals broadcast
+    "q244_dsir_weights", // 1-row vocab-totals broadcast
+    "q245_seq_pattern_support", // 1-row key-census broadcast
+    "q247_naive_bayes_lang") // class-list + 1-row V/ndocs broadcasts
 
   test("rank-filter pattern gets WindowGroupLimit pushdown (per-partition top-k, not full sort)") {
     import org.apache.spark.sql.functions._
