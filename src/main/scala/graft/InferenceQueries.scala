@@ -463,6 +463,170 @@ object InferenceQueries {
       |    AS n_docs
       |FROM rk WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** The q160 co-purchase graph reused for the clustering/assortativity
+    * readouts (same support-2 threshold, same degree orientation). */
+  private def copurchasePairs(s: org.apache.spark.sql.SparkSession,
+                              dir: String) =
+    Cooccur.pairCounts(Cooccur.basketItems(
+        T(s, dir, "lineitem"), col("l_orderkey"), col("l_partkey"),
+        distinctItems = false))
+      .where(col("c_ab") >= 2)
+      .select(col("item_a").as("u"), col("item_b").as("v"))
+
+  /** [[Graph.clusteringCoefficient]] over the co-purchase graph:
+    * oriented-wedge closure rate + mean local coefficient. */
+  private val q248 = QDef("q248_clustering_coeff",
+    (s, dir) => Graph.clusteringCoefficient(copurchasePairs(s, dir),
+      col("u"), col("v")),
+    Some(s"""WITH ${StatQueries.copurchaseCtes},
+      |deg AS (SELECT vert, CAST(count(*) AS BIGINT) AS d
+      |        FROM (SELECT u AS vert FROM e UNION ALL SELECT v FROM e)
+      |        GROUP BY 1),
+      |o AS (SELECT CASE WHEN row(du.d, u) < row(dv.d, v) THEN u ELSE v END
+      |          AS s,
+      |        CASE WHEN row(du.d, u) < row(dv.d, v) THEN v ELSE u END AS t,
+      |        CASE WHEN row(du.d, u) < row(dv.d, v) THEN dv.d ELSE du.d END
+      |          AS dt
+      |      FROM e JOIN deg du ON du.vert = u JOIN deg dv ON dv.vert = v),
+      |w AS (SELECT o1.s AS s, o1.t AS y, o2.t AS z
+      |      FROM o o1 JOIN o o2 ON o1.s = o2.s
+      |      WHERE row(o1.dt, o1.t) < row(o2.dt, o2.t)),
+      |tr AS (SELECT w.s AS s, w.y AS y, w.z AS z
+      |       FROM w JOIN o ON o.s = w.y AND o.t = w.z),
+      |pv AS (SELECT vert, CAST(count(*) AS BIGINT) AS t FROM (
+      |        SELECT s AS vert FROM tr UNION ALL SELECT y AS vert FROM tr
+      |        UNION ALL SELECT z AS vert FROM tr) GROUP BY 1),
+      |cc AS (SELECT CAST(round(CAST(2 * coalesce(t, 0) AS DOUBLE) /
+      |          (d * (d - 1)) * 1000000.0, 0) AS BIGINT) AS c6
+      |       FROM deg LEFT JOIN pv ON pv.vert = deg.vert WHERE d >= 2),
+      |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_closable,
+      |        CAST(coalesce(sum(c6), 0) AS BIGINT) AS s6 FROM cc),
+      |nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vertices FROM deg),
+      |nw AS (SELECT CAST(count(*) AS BIGINT) AS n_wedges FROM w),
+      |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM tr)
+      |SELECT n_vertices, n_wedges, n_triangles, n_closable,
+      |  round(CAST(n_triangles AS DOUBLE) /
+      |    nullif(CAST(n_wedges AS DOUBLE), 0.0), 4) AS transitivity,
+      |  round(CAST(s6 AS DOUBLE) / 1000000.0 /
+      |    nullif(CAST(n_closable AS DOUBLE), 0.0), 4) AS avg_local_cc
+      |FROM nv CROSS JOIN nw CROSS JOIN nt CROSS JOIN ag""".stripMargin))
+
+  /** [[Graph.degreeAssortativity]] of the co-purchase graph. */
+  private val q249 = QDef("q249_degree_assortativity",
+    (s, dir) => Graph.degreeAssortativity(copurchasePairs(s, dir),
+      col("u"), col("v")),
+    Some(s"""WITH ${StatQueries.copurchaseCtes},
+      |deg AS (SELECT vert, CAST(count(*) AS BIGINT) AS d
+      |        FROM (SELECT u AS vert FROM e UNION ALL SELECT v FROM e)
+      |        GROUP BY 1),
+      |ed AS (SELECT du.d AS du, dv.d AS dv
+      |       FROM e JOIN deg du ON du.vert = u JOIN deg dv ON dv.vert = v),
+      |pe AS (SELECT du AS x, dv AS y FROM ed
+      |       UNION ALL SELECT dv AS x, du AS y FROM ed),
+      |su AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |         CAST(sum(x * y) AS BIGINT) AS sxy,
+      |         CAST(sum(x * x) AS BIGINT) AS sxx,
+      |         CAST(sum(y * y) AS BIGINT) AS syy FROM pe)
+      |SELECT n AS n_endpoints,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |        nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+      |                    CAST(n * syy - sy * sy AS DOUBLE)), 0.0), 4)
+      |    AS assortativity
+      |FROM su""".stripMargin))
+
+  /** [[Timeseries.hurstRs]] of daily order revenue (kilodollar daily
+    * sums): per-size mean ln(R/S) plus the OLS Hurst slope. */
+  private val q250 = QDef("q250_hurst_rs",
+    (s, dir) => Timeseries.hurstRs(
+      T(s, dir, "orders").where(col("o_orderdate").isNotNull)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(expr("CAST(round(o_totalprice / 1000.0, 0) AS BIGINT)"))
+          .as("x")),
+      col("day"), col("x")),
+    Some("""WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+      |        CAST(sum(CAST(round(o_totalprice / 1000.0, 0) AS BIGINT))
+      |          AS BIGINT) AS x
+      |      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+      |ix AS (SELECT x, CAST(row_number() OVER (ORDER BY day) AS BIGINT)
+      |          AS idx FROM d),
+      |sz AS (SELECT CAST(unnest([8, 16, 32, 64]) AS BIGINT) AS sz),
+      |sc AS (SELECT sz.sz AS sz, idx, x, (idx - 1) // sz.sz AS ch
+      |       FROM ix CROSS JOIN sz),
+      |wn AS (SELECT sz, ch, idx, x,
+      |        CAST(sum(x) OVER (PARTITION BY sz, ch ORDER BY idx
+      |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |        CAST(row_number() OVER (PARTITION BY sz, ch ORDER BY idx)
+      |          AS BIGINT) AS j,
+      |        CAST(sum(x) OVER (PARTITION BY sz, ch) AS BIGINT) AS sx,
+      |        CAST(sum(x * x) OVER (PARTITION BY sz, ch) AS BIGINT) AS sxx,
+      |        CAST(count(*) OVER (PARTITION BY sz, ch) AS BIGINT) AS cnt
+      |      FROM sc),
+      |dv AS (SELECT sz, ch, sz * cum - j * sx AS dj, sx, sxx
+      |       FROM wn WHERE cnt = sz),
+      |ck AS (SELECT sz, ch,
+      |        CAST(round(ln(nullif(CAST(max(dj) - min(dj) AS DOUBLE), 0.0) /
+      |          nullif(sqrt(CAST(sz * min(sxx) - min(sx) * min(sx)
+      |            AS DOUBLE)), 0.0)) * 1000000.0, 0) AS BIGINT) AS q6
+      |       FROM dv GROUP BY 1, 2),
+      |ps AS (SELECT sz, CAST(count(*) AS BIGINT) AS n_chunks,
+      |        CAST(sum(q6) AS BIGINT) AS s6
+      |       FROM ck WHERE q6 IS NOT NULL GROUP BY 1),
+      |py AS (SELECT sz, n_chunks,
+      |        CAST(round(CAST(s6 AS DOUBLE) / n_chunks, 0) AS BIGINT) AS y6,
+      |        CAST(round(ln(CAST(sz AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+      |          AS x6
+      |       FROM ps),
+      |ols AS (SELECT CAST(count(*) AS BIGINT) AS k,
+      |        CAST(sum(x6) AS BIGINT) AS sx, CAST(sum(y6) AS BIGINT) AS sy,
+      |        CAST(sum(x6 * y6) AS BIGINT) AS sxy,
+      |        CAST(sum(x6 * x6) AS BIGINT) AS sxx FROM py)
+      |SELECT sz AS size, n_chunks,
+      |  round(CAST(y6 AS DOUBLE) / 1000000.0, 4) AS mean_ln_rs,
+      |  round(CAST(k * sxy - sx * sy AS DOUBLE) /
+      |    nullif(CAST(k * sxx - sx * sx AS DOUBLE), 0.0), 4) AS hurst
+      |FROM py CROSS JOIN ols ORDER BY size""".stripMargin))
+
+  /** [[Trend.ridge2]]: kilodollar line price on quantity and discount
+    * points (λ = 10¹² on the n²-scaled moments ≈ 0.1% shrink at
+    * sf0.1) — the closed-form regularized twin of the OLS family. */
+  private val q251 = QDef("q251_ridge_regression",
+    (s, dir) => Trend.ridge2(
+      T(s, dir, "lineitem").select(
+        col("l_quantity").cast("long").as("x1"),
+        expr("CAST(round(l_discount * 100, 0) AS BIGINT)").as("x2"),
+        expr("CAST(round(l_extendedprice / 1000.0, 0) AS BIGINT)").as("y")),
+      col("x1"), col("x2"), col("y"), lambda = 1e12),
+    Some("""WITH d AS (SELECT CAST(l_quantity AS BIGINT) AS x1,
+      |        CAST(round(l_discount * 100, 0) AS BIGINT) AS x2,
+      |        CAST(round(l_extendedprice / 1000.0, 0) AS BIGINT) AS y
+      |      FROM lineitem
+      |      WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+      |        AND l_extendedprice IS NOT NULL),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+      |        CAST(sum(y) AS BIGINT) AS sy,
+      |        CAST(sum(x1 * x1) AS BIGINT) AS s11,
+      |        CAST(sum(x2 * x2) AS BIGINT) AS s22,
+      |        CAST(sum(x1 * x2) AS BIGINT) AS s12,
+      |        CAST(sum(x1 * y) AS BIGINT) AS s1y,
+      |        CAST(sum(x2 * y) AS BIGINT) AS s2y FROM d),
+      |m AS (SELECT n, s1, s2, sy,
+      |        CAST(n * s11 - s1 * s1 AS DOUBLE) + 1000000000000.0 AS a,
+      |        CAST(n * s12 - s1 * s2 AS DOUBLE) AS b,
+      |        CAST(n * s22 - s2 * s2 AS DOUBLE) + 1000000000000.0 AS c,
+      |        CAST(n * s1y - s1 * sy AS DOUBLE) AS e,
+      |        CAST(n * s2y - s2 * sy AS DOUBLE) AS f FROM s),
+      |v AS (SELECT n, s1, s2, sy, c * e - b * f AS num1,
+      |        a * f - b * e AS num2,
+      |        nullif(a * c - b * b, 0.0) AS det FROM m)
+      |SELECT n, round(num1 / det, 4) AS beta1,
+      |  round(num2 / det, 4) AS beta2,
+      |  round(CAST(sy AS DOUBLE) / n -
+      |    num1 / det * (CAST(s1 AS DOUBLE) / n) -
+      |    num2 / det * (CAST(s2 AS DOUBLE) / n), 4) AS intercept
+      |FROM v""".stripMargin))
+
   def all: Seq[QDef] = Seq(q236, q237, q238, q239, q240, q241, q242, q243,
-    q244, q245, q246, q247)
+    q244, q245, q246, q247, q248, q249, q250, q251)
 }

@@ -686,7 +686,7 @@ object StatQueries {
   /** Shared CTE chain: the co-purchase graph — part pairs co-ordered in
     * ≥ 2 distinct orders (the support threshold that keeps the graph at
     * signal pairs, not corpus² noise). */
-  private val copurchaseCtes =
+  private[graft] val copurchaseCtes =
     """li AS (SELECT l_orderkey, l_partkey FROM lineitem),
       |pr AS (SELECT a.l_partkey AS u, b.l_partkey AS v,
       |         CAST(count(*) AS BIGINT) AS c

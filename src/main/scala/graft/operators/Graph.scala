@@ -203,4 +203,90 @@ object Graph {
       .select(col("a").as("vertex"), col("degree"))
       .orderBy(desc("degree"), col("vertex"))
   }
+
+  /** Clustering-coefficient report over an undirected edge list: global
+    * wedge-closure rate under the degree-ordered orientation (each
+    * triangle closes exactly ONE oriented wedge, so ntr/nw is the
+    * closure probability of an oriented wedge — the [[triangleCount]]
+    * orientation reused verbatim) plus the mean LOCAL coefficient
+    * 2·t_v/(d_v·(d_v−1)) over vertices with degree ≥ 2.
+    *
+    * Per-vertex triangle counts come from exploding each found
+    * triangle to its three corners — triangles are few relative to
+    * wedges, so the explode is cheap. Each local coefficient is one
+    * double division quantized to 1e-6 fixed-point before the exact
+    * global sum (the chiSqTerm device); counts assemble via 1-row
+    * broadcasts. Same O(|E|^1.5) wedge bound as [[triangleCount]]. */
+  def clusteringCoefficient(edges: DataFrame, u: Column,
+                            v: Column): DataFrame = {
+    val e = edges.select(least(u, v).as("u"), greatest(u, v).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull &&
+        col("u") =!= col("v"))
+      .distinct().localCheckpoint()
+    val deg = e.select(col("u").as("vert")).union(e.select(col("v")))
+      .groupBy("vert").agg(count(lit(1)).as("d")).localCheckpoint()
+    val ed = e
+      .join(broadcast(deg.select(col("vert").as("u"), col("d").as("du"))), "u")
+      .join(broadcast(deg.select(col("vert").as("v"), col("d").as("dv"))), "v")
+    val uFirst = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    val o = ed.select(
+        when(uFirst, col("u")).otherwise(col("v")).as("s"),
+        when(uFirst, col("v")).otherwise(col("u")).as("t"),
+        when(uFirst, col("dv")).otherwise(col("du")).as("dt"))
+      .localCheckpoint()
+    val w = o.as("o1").join(o.as("o2"), col("o1.s") === col("o2.s"))
+      .where(struct(col("o1.dt"), col("o1.t")) <
+        struct(col("o2.dt"), col("o2.t")))
+      .select(col("o1.s").as("s"), col("o1.t").as("y"), col("o2.t").as("z"))
+      .localCheckpoint()
+    val tr = w
+      .join(o.select(col("s").as("y"), col("t").as("z")), Seq("y", "z"))
+      .select(col("s"), col("y"), col("z")).localCheckpoint()
+    val pv = tr.select(col("s").as("vert"))
+      .union(tr.select(col("y"))).union(tr.select(col("z")))
+      .groupBy("vert").agg(count(lit(1)).as("t"))
+    val cc = deg.where(col("d") >= 2)
+      .join(pv, Seq("vert"), "left")
+      .select(round((coalesce(col("t"), lit(0L)) * 2).cast("double") /
+        (col("d") * (col("d") - 1)) * lit(1e6), 0).cast("long").as("c6"))
+    val ccAgg = cc.agg(count(lit(1)).as("n_closable"),
+      coalesce(sum("c6"), lit(0L)).as("s6"))
+    val nv = deg.agg(count(lit(1)).as("n_vertices"))
+    val nw = w.agg(count(lit(1)).as("n_wedges"))
+    val ntr = tr.agg(count(lit(1)).as("n_triangles"))
+    nv.crossJoin(broadcast(nw)).crossJoin(broadcast(ntr))
+      .crossJoin(broadcast(ccAgg))
+      .select(col("n_vertices"), col("n_wedges"), col("n_triangles"),
+        col("n_closable"),
+        round(col("n_triangles").cast("double") /
+          nullif(col("n_wedges").cast("double"), lit(0.0)), 4)
+          .as("transitivity"),
+        round(col("s6").cast("double") / lit(1e6) /
+          nullif(col("n_closable").cast("double"), lit(0.0)), 4)
+          .as("avg_local_cc"))
+  }
+
+  /** Degree assortativity of an undirected edge list: the Pearson
+    * correlation of endpoint degrees over both orientations of every
+    * edge (the standard Newman 2002 definition). Degrees are exact
+    * longs, the correlation is [[Trend.pearson]]'s integer power-sum
+    * closed form — one edge-table pass after the degree aggregation.
+    * r > 0: hubs attach to hubs; r < 0: hubs attach to leaves. */
+  def degreeAssortativity(edges: DataFrame, u: Column,
+                          v: Column): DataFrame = {
+    val e = edges.select(least(u, v).as("u"), greatest(u, v).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull &&
+        col("u") =!= col("v"))
+      .distinct()
+    val deg = e.select(col("u").as("vert")).union(e.select(col("v")))
+      .groupBy("vert").agg(count(lit(1)).as("d"))
+    val ed = e
+      .join(broadcast(deg.select(col("vert").as("u"), col("d").as("du"))), "u")
+      .join(broadcast(deg.select(col("vert").as("v"), col("d").as("dv"))), "v")
+    val pairs = ed.select(col("du").as("x"), col("dv").as("y"))
+      .union(ed.select(col("dv"), col("du")))
+    Trend.pearson(pairs.withColumn("g", lit("all")), col("g"),
+        col("x"), col("y"))
+      .select(col("n").as("n_endpoints"), col("r").as("assortativity"))
+  }
 }

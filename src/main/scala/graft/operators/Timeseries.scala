@@ -144,4 +144,76 @@ object Timeseries {
         round(col("mi4") / lit(1e4), 4).as("intercept"))
       .orderBy("g")
   }
+
+  /** Rescaled-range (R/S) Hurst-exponent estimate of an
+    * INTEGER-quantized daily series: for each window size the series
+    * splits into complete chunks, each chunk's range of cumulative
+    * mean-deviations over its std collapses to the ALL-INTEGER form
+    *
+    *   R/S = (max_j D_j − min_j D_j) / √(n·Σx² − (Σx)²),
+    *   D_j = n·cum_j − j·Σx
+    *
+    * (the 1/n factors of R and S cancel), ln(R/S) is quantized to
+    * 1e-6 fixed-point per chunk, and the Hurst exponent is the
+    * closed-form OLS slope of mean ln(R/S) on ln(n) across sizes —
+    * H ≈ 0.5 for a random walk, > 0.5 for trending series.
+    *
+    * Windows partition by (size, chunk) over the PRE-AGGREGATED daily
+    * spine (the KS-statistic convention: day-cardinality rows, not the
+    * corpus), so no unpartitioned corpus-scale sort exists; the
+    * size×day explode is per-row. Zero-variance / zero-range chunks
+    * drop via SQL-NULL (nullif before ln — Spark's ln(0)=NULL vs
+    * DuckDB's −inf would otherwise diverge). */
+  def hurstRs(daily: DataFrame, day: Column, v: Column,
+              sizes: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ >= 2), "sizes must be >= 2")
+    val d = daily.select(day.as("day"), v.cast("long").as("x"))
+      .where(col("day").isNotNull && col("x").isNotNull)
+    val idx = d.withColumn("idx",
+      row_number().over(Window.orderBy("day")).cast("long"))
+    val sized = idx
+      .withColumn("sz", explode(array(sizes.map(s => lit(s.toLong)): _*)))
+      .withColumn("ch", expr("(idx - 1) DIV sz"))
+    val wCum = Window.partitionBy("sz", "ch").orderBy("idx")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy("sz", "ch")
+    val dev = sized
+      .withColumn("cum", sum("x").over(wCum))
+      .withColumn("j", row_number()
+        .over(Window.partitionBy("sz", "ch").orderBy("idx")).cast("long"))
+      .withColumn("sx", sum("x").over(wAll))
+      .withColumn("sxx", sum(col("x") * col("x")).over(wAll))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .where(col("cnt") === col("sz"))
+      .select(col("sz"), col("ch"),
+        (col("sz") * col("cum") - col("j") * col("sx")).as("dj"),
+        col("sx"), col("sxx"))
+    val chunks = dev.groupBy("sz", "ch")
+      .agg(max("dj").as("mx"), min("dj").as("mn"),
+        min("sx").as("csx"), min("sxx").as("csxx"))
+      .select(col("sz"),
+        round(log(nullif((col("mx") - col("mn")).cast("double"), lit(0.0)) /
+          nullif(sqrt((col("sz") * col("csxx") - col("csx") * col("csx"))
+            .cast("double")), lit(0.0))) * lit(1e6), 0).cast("long")
+          .as("q6"))
+      .where(col("q6").isNotNull)
+    val perSize = chunks.groupBy("sz")
+      .agg(count(lit(1)).as("n_chunks"), sum("q6").as("s6"))
+      .select(col("sz"), col("n_chunks"),
+        round(col("s6").cast("double") / col("n_chunks"), 0).cast("long")
+          .as("y6"),
+        round(log(col("sz").cast("double")) * lit(1e6), 0).cast("long")
+          .as("x6"))
+    val ols = perSize.agg(count(lit(1)).as("k"), sum("x6").as("osx"),
+        sum("y6").as("osy"), sum(col("x6") * col("y6")).as("osxy"),
+        sum(col("x6") * col("x6")).as("osxx"))
+      .select(round((col("k") * col("osxy") - col("osx") * col("osy"))
+        .cast("double") /
+        nullif((col("k") * col("osxx") - col("osx") * col("osx"))
+          .cast("double"), lit(0.0)), 4).as("hurst"))
+    perSize.select(col("sz").as("size"), col("n_chunks"),
+        round(col("y6").cast("double") / lit(1e6), 4).as("mean_ln_rs"))
+      .crossJoin(broadcast(ols))
+      .orderBy("size")
+  }
 }

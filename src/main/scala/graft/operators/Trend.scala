@@ -843,4 +843,56 @@ object Trend {
           .as("tau_b"))
       .orderBy("g")
   }
+
+  /** Closed-form two-feature ridge regression (centered, no-intercept
+    * normal equations with an L2 penalty): solves
+    *
+    *   [S11+λ  S12 ] [β1]   [S1y]
+    *   [S12    S22+λ] [β2] = [S2y]
+    *
+    * where S_ab = n·Σab − Σa·Σb are the n-scaled centered second
+    * moments — EXACT longs from one nine-sum map-side-combinable
+    * aggregation (λ is therefore on the same n² scale; callers pick it
+    * against their row counts). The 2×2 solve is Cramer's rule on
+    * doubles (each S an exact-integer-valued double, each product a
+    * single IEEE op), the intercept recovers ȳ − β1·x̄1 − β2·x̄2 from
+    * the same sums, and a singular penalized system (det = 0) yields
+    * SQL-NULL betas. Same quantize-coarsely contract as [[pearson]]. */
+  def ridge2(df: DataFrame, x1: Column, x2: Column, y: Column,
+             lambda: Double): DataFrame = {
+    val d = df.select(x1.cast("long").as("x1"), x2.cast("long").as("x2"),
+        y.cast("long").as("y"))
+      .where(col("x1").isNotNull && col("x2").isNotNull &&
+        col("y").isNotNull)
+    val s = d.agg(count(lit(1)).as("n"),
+      sum("x1").as("s1"), sum("x2").as("s2"), sum("y").as("sy"),
+      sum(col("x1") * col("x1")).as("s11"),
+      sum(col("x2") * col("x2")).as("s22"),
+      sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x1") * col("y")).as("s1y"),
+      sum(col("x2") * col("y")).as("s2y"))
+    val m = s.select(col("n"), col("s1"), col("s2"), col("sy"),
+      ((col("n") * col("s11") - col("s1") * col("s1")).cast("double") +
+        lit(lambda)).as("a"),
+      (col("n") * col("s12") - col("s1") * col("s2")).cast("double")
+        .as("b"),
+      ((col("n") * col("s22") - col("s2") * col("s2")).cast("double") +
+        lit(lambda)).as("c"),
+      (col("n") * col("s1y") - col("s1") * col("sy")).cast("double")
+        .as("e"),
+      (col("n") * col("s2y") - col("s2") * col("sy")).cast("double")
+        .as("f"))
+    val solved = m.select(col("n"), col("s1"), col("s2"), col("sy"),
+      (col("c") * col("e") - col("b") * col("f")).as("num1"),
+      (col("a") * col("f") - col("b") * col("e")).as("num2"),
+      nullif(col("a") * col("c") - col("b") * col("b"), lit(0.0))
+        .as("det"))
+    solved.select(col("n"),
+      round(col("num1") / col("det"), 4).as("beta1"),
+      round(col("num2") / col("det"), 4).as("beta2"),
+      round(col("sy").cast("double") / col("n") -
+        col("num1") / col("det") * (col("s1").cast("double") / col("n")) -
+        col("num2") / col("det") * (col("s2").cast("double") / col("n")), 4)
+        .as("intercept"))
+  }
 }

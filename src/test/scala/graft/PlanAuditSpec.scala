@@ -56,7 +56,9 @@ class PlanAuditSpec extends SparkSpec {
     "q242_propensity_caliper", // 1-row matched-totals broadcast
     "q244_dsir_weights", // 1-row vocab-totals broadcast
     "q245_seq_pattern_support", // 1-row key-census broadcast
-    "q247_naive_bayes_lang") // class-list + 1-row V/ndocs broadcasts
+    "q247_naive_bayes_lang", // class-list + 1-row V/ndocs broadcasts
+    "q248_clustering_coeff", // three 1-row count broadcasts
+    "q250_hurst_rs") // 1-row OLS-slope broadcast
 
   test("rank-filter pattern gets WindowGroupLimit pushdown (per-partition top-k, not full sort)") {
     import org.apache.spark.sql.functions._
