@@ -627,6 +627,148 @@ object InferenceQueries {
       |    num2 / det * (CAST(s2 AS DOUBLE) / n), 4) AS intercept
       |FROM v""".stripMargin))
 
+  /** [[Inference.fisherExact]]: is English over-represented in src0?
+    * Exact hypergeometric inference over the 2×2 — the SMALL-SAMPLE
+    * companion to q238 (documents is the deliberately small table;
+    * the operator's O(n)-spine contract is the point). */
+  private val q252 = QDef("q252_fisher_exact",
+    (s, dir) => Inference.fisherExact(
+      T(s, dir, "documents")
+        .where(col("lang").isNotNull && col("source").isNotNull),
+      col("lang") === "en", col("source") === "src0"),
+    Some("""WITH d AS (SELECT lang = 'en' AS a, source = 'src0' AS b
+      |      FROM documents
+      |      WHERE lang IS NOT NULL AND source IS NOT NULL),
+      |ct AS (SELECT
+      |    CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+      |    CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n10,
+      |    CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n01,
+      |    CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n00
+      |   FROM d),
+      |mg AS (SELECT n11, n11 + n10 AS r1, n01 + n00 AS r2, n11 + n01 AS c1,
+      |        n10 + n00 AS c2, n11 + n10 + n01 + n00 AS n FROM ct),
+      |sp AS (SELECT i, CAST(sum(CASE WHEN i >= 2
+      |         THEN CAST(round(ln(CAST(i AS DOUBLE)) * 1000000.0, 0)
+      |           AS BIGINT) ELSE 0 END)
+      |         OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS BIGINT) AS lf
+      |      FROM (SELECT unnest(range(0, (SELECT n FROM mg) + 1)) AS i)),
+      |ks AS (SELECT mg.*, unnest(range(greatest(0, c1 - r2),
+      |         least(r1, c1) + 1)) AS k FROM mg),
+      |sc AS (SELECT n11, r1, c1, n, k,
+      |        l1.lf - l2.lf - l3.lf + l4.lf - l5.lf - l6.lf
+      |          - (l7.lf - l8.lf - l9.lf) AS lnp6
+      |      FROM ks
+      |      JOIN sp l2 ON l2.i = k
+      |      JOIN sp l3 ON l3.i = r1 - k
+      |      JOIN sp l5 ON l5.i = c1 - k
+      |      JOIN sp l6 ON l6.i = r2 - c1 + k
+      |      JOIN sp l1 ON l1.i = r1
+      |      JOIN sp l4 ON l4.i = r2
+      |      JOIN sp l7 ON l7.i = n
+      |      JOIN sp l8 ON l8.i = c1
+      |      JOIN sp l9 ON l9.i = c2),
+      |ob AS (SELECT lnp6 AS obs6 FROM sc WHERE k = n11)
+      |SELECT n11, r1, c1, n AS n_total,
+      |  round(exp(CAST(obs6 AS DOUBLE) / 1000000.0), 4) AS p_point,
+      |  round(CAST(sum(CAST(round(exp(CAST(lnp6 AS DOUBLE) / 1000000.0)
+      |    * 1000000000000.0, 0) AS BIGINT)) AS DOUBLE) / 1000000000000.0,
+      |    4) AS p_two_sided
+      |FROM sc CROSS JOIN ob WHERE lnp6 <= obs6
+      |GROUP BY n11, r1, c1, n, obs6""".stripMargin))
+
+  /** [[Inference.cochranArmitage]]: does the return rate trend with
+    * quantity decile-band dose? All-integer N-cleared statistic. */
+  private val q253 = QDef("q253_cochran_armitage",
+    (s, dir) => Inference.cochranArmitage(
+      T(s, dir, "lineitem")
+        .where(col("l_quantity").isNotNull && col("l_returnflag").isNotNull),
+      expr("(CAST(l_quantity AS BIGINT) - 1) DIV 10"),
+      when(col("l_returnflag") === "R", 1L).otherwise(0L)),
+    Some("""WITH d AS (SELECT (CAST(l_quantity AS BIGINT) - 1) // 10 AS s,
+      |        CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      |      FROM lineitem
+      |      WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(y) AS BIGINT) AS r1, CAST(sum(s) AS BIGINT) AS sn,
+      |        CAST(sum(s * s) AS BIGINT) AS ssn,
+      |        CAST(sum(s * y) AS BIGINT) AS sa FROM d)
+      |SELECT n, r1,
+      |  round(CAST(n * sa - r1 * sn AS DOUBLE) /
+      |    nullif(CAST(n AS DOUBLE), 0.0), 4) AS t_stat,
+      |  round(CAST(n * sa - r1 * sn AS DOUBLE) * sqrt(CAST(n AS DOUBLE)) /
+      |    nullif(sqrt(CAST(r1 AS DOUBLE) * (n - r1) *
+      |      CAST(n * ssn - sn * sn AS DOUBLE)), 0.0), 4) AS z
+      |FROM a""".stripMargin))
+
+  /** [[Inference.mantelHaenszel]]: deep-discount exposure vs returns,
+    * stratified by ship year — the Simpson-proof pooled odds ratio. */
+  private val q254 = QDef("q254_mantel_haenszel",
+    (s, dir) => Inference.mantelHaenszel(
+      T(s, dir, "lineitem")
+        .where(col("l_shipdate").isNotNull && col("l_discount").isNotNull &&
+          col("l_returnflag").isNotNull),
+      year(col("l_shipdate")), col("l_discount") > 0.05,
+      col("l_returnflag") === "R"),
+    Some("""WITH d AS (SELECT year(l_shipdate) AS st, l_discount > 0.05 AS e,
+      |        l_returnflag = 'R' AS o
+      |      FROM lineitem WHERE l_shipdate IS NOT NULL
+      |        AND l_discount IS NOT NULL AND l_returnflag IS NOT NULL),
+      |pe AS (SELECT st,
+      |    CAST(sum(CASE WHEN e AND o THEN 1 ELSE 0 END) AS BIGINT) AS a,
+      |    CAST(sum(CASE WHEN e AND NOT o THEN 1 ELSE 0 END) AS BIGINT) AS b,
+      |    CAST(sum(CASE WHEN NOT e AND o THEN 1 ELSE 0 END) AS BIGINT) AS c,
+      |    CAST(sum(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS dd
+      |   FROM d GROUP BY 1),
+      |tm AS (SELECT a + b + c + dd AS nn, a, b, c, dd FROM pe),
+      |qs AS (SELECT
+      |    CAST(round(a * CAST(dd AS DOUBLE) / nn * 1000000.0, 0) AS BIGINT)
+      |      AS r6,
+      |    CAST(round(b * CAST(c AS DOUBLE) / nn * 1000000.0, 0) AS BIGINT)
+      |      AS s6,
+      |    a * 1000000 AS a6,
+      |    CAST(round(CAST(a + b AS DOUBLE) * (a + c) / nn * 1000000.0, 0)
+      |      AS BIGINT) AS e6,
+      |    CAST(round(CAST(a + b AS DOUBLE) * (c + dd) * (a + c) * (b + dd) /
+      |      (CAST(nn AS DOUBLE) * nn * nullif(CAST(nn - 1 AS DOUBLE), 0.0))
+      |      * 1000000.0, 0) AS BIGINT) AS v6
+      |   FROM tm),
+      |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+      |    CAST(sum(r6) AS BIGINT) AS sr, CAST(sum(s6) AS BIGINT) AS ss,
+      |    CAST(sum(a6 - e6) AS BIGINT) AS dev6,
+      |    CAST(sum(v6) AS BIGINT) AS sv
+      |   FROM qs)
+      |SELECT n_strata,
+      |  round(CAST(sr AS DOUBLE) / nullif(CAST(ss AS DOUBLE), 0.0), 4)
+      |    AS or_mh,
+      |  round((CAST(dev6 AS DOUBLE) / 1000000.0) * (CAST(dev6 AS DOUBLE) /
+      |    1000000.0) / nullif(CAST(sv AS DOUBLE) / 1000000.0, 0.0), 4)
+      |    AS chi2_cmh
+      |FROM ag""".stripMargin))
+
+  /** [[Dedup.ngramContainmentPairs]]: subset-duplicate pairs Jaccard
+    * misses — short docs embedded in long ones within a source block. */
+  private val q255 = QDef("q255_ngram_containment",
+    (s, dir) => Dedup.ngramContainmentPairs(T(s, dir, "documents"),
+        col("text"), col("doc_id"), col("source"), n = 1, minC = 0.9)
+      .withColumn("containment", round(col("containment"), 4))
+      .orderBy("id_a", "id_b"),
+    Some("""WITH g AS (SELECT doc_id, source,
+      |        list_distinct(string_split(text, ' ')) AS grams
+      |      FROM documents),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |        CAST(len(a.grams) AS BIGINT) AS n_a,
+      |        CAST(len(b.grams) AS BIGINT) AS n_b,
+      |        len(list_intersect(a.grams, b.grams)) * 1.0 /
+      |          least(len(a.grams), len(b.grams)) AS c
+      |      FROM g a JOIN g b ON a.source = b.source
+      |        AND a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, n_a, n_b, round(c, 4) AS containment
+      |FROM p WHERE c >= 0.9 ORDER BY id_a, id_b""".stripMargin))
+
   def all: Seq[QDef] = Seq(q236, q237, q238, q239, q240, q241, q242, q243,
-    q244, q245, q246, q247, q248, q249, q250, q251)
+    q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255)
 }

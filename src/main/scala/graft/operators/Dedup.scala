@@ -301,6 +301,35 @@ object Dedup {
       .where(col("jaccard") >= minJ)
   }
 
+  /** Symmetric n-gram CONTAINMENT pairs: |A∩B| / min(|A|, |B|) over
+    * distinct token/shingle sets — the subset-duplicate detector
+    * Jaccard misses: a short document fully embedded in a long one has
+    * containment 1.0 but Jaccard ≈ |A|/|B|, which slides under any
+    * Jaccard threshold as the length ratio grows. Same block-bounded
+    * pair join as [[ngramJaccardPairs]] (the candidates-∝-block shape);
+    * the threshold compares an exact small-integer division, identical
+    * in any IEEE engine. Raw string sets, no hashing — containment has
+    * no banding stage needing fixed-width keys. */
+  def ngramContainmentPairs(df: DataFrame, text: Column, id: Column,
+                            block: Column, n: Int = 1,
+                            minC: Double = 0.9): DataFrame = {
+    val grams =
+      if (n == 1) array_distinct(split(text, " ")) else shingles(text, n)
+    val t = df.select(id.as("__id"), block.as("__blk"), grams.as("__g"))
+    val parallelism =
+      df.sparkSession.sessionState.conf.numShufflePartitions
+    val inter = size(array_intersect(col("a.__g"), col("b.__g")))
+    t.repartition(parallelism, col("__id")).as("a")
+      .join(t.as("b"), col("a.__blk") === col("b.__blk"))
+      .where(col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        size(col("a.__g")).cast("long").as("n_a"),
+        size(col("b.__g")).cast("long").as("n_b"),
+        (inter.cast("double") /
+          least(size(col("a.__g")), size(col("b.__g")))).as("containment"))
+      .where(col("containment") >= minC)
+  }
+
   /** Prefix-filtered n-gram Jaccard (PPJoin-style): lossless scale variant
     * of [[ngramJaccardPairs]]. Tokens get a per-block total order (ascending
     * document frequency, token tie-break); any pair with J >= minJ must

@@ -138,6 +138,151 @@ object Inference {
             lit(0.0))), 4).as("cramers_v"))
   }
 
+  /** Fisher's EXACT 2×2 independence test between two boolean columns:
+    * point probability of the observed table and the two-sided p-value
+    * (sum of all hypergeometric tables with margins fixed whose
+    * probability does not exceed the observed one).
+    *
+    * All comparisons happen in integer space: log-factorials accumulate
+    * as 1e-6-quantized ln sums over an O(n) generated spine, every
+    * candidate table's log-probability is a ±combination of six exact
+    * longs, and "as extreme" is an integer comparison — no float
+    * tie-break can flip a table in one engine only. The final p-value
+    * sums per-candidate exp() terms quantized to 1e-12 longs (error
+    * ≤ 5e-13 per term, orders below the round(,4) seal).
+    *
+    * Scale note — deliberate: the operator materializes an O(n) spine
+    * and an unpartitioned cumulative window over it. Fisher's exact
+    * test is a SMALL-SAMPLE tool (at large n it is statistically
+    * indistinguishable from chi-square, which [[cramersV]] serves);
+    * use it on filtered subsets, not the raw corpus. */
+  def fisherExact(df: DataFrame, a: Column, b: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = df.select(a.cast("boolean").as("a"), b.cast("boolean").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull)
+    val ct = d.agg(
+        sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
+      .select(col("n11"), (col("n11") + col("n10")).as("r1"),
+        (col("n01") + col("n00")).as("r2"),
+        (col("n11") + col("n01")).as("c1"),
+        (col("n10") + col("n00")).as("c2"),
+        (col("n11") + col("n10") + col("n01") + col("n00")).as("n"))
+    val lf = ct.select(explode(sequence(lit(0L), col("n"))).as("i"))
+      .select(col("i"), when(col("i") >= 2,
+        round(log(col("i").cast("double")) * lit(1e6), 0).cast("long"))
+        .otherwise(0L).as("lnq"))
+      .select(col("i"), sum("lnq").over(Window.orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)).as("lf"))
+    def at(name: String) =
+      lf.select(col("i").as(s"__i_$name"), col("lf").as(name))
+    val cand = ct.select(col("*"),
+      explode(sequence(greatest(lit(0L), col("c1") - col("r2")),
+        least(col("r1"), col("c1")))).as("k"))
+    val scored = cand
+      .join(at("lfk"), col("k") === col("__i_lfk"))
+      .join(at("lfr1k"), col("r1") - col("k") === col("__i_lfr1k"))
+      .join(at("lfc1k"), col("c1") - col("k") === col("__i_lfc1k"))
+      .join(at("lfr2k"),
+        col("r2") - col("c1") + col("k") === col("__i_lfr2k"))
+      .join(at("lfr1"), col("r1") === col("__i_lfr1"))
+      .join(at("lfr2"), col("r2") === col("__i_lfr2"))
+      .join(at("lfc1"), col("c1") === col("__i_lfc1"))
+      .join(at("lfc2"), col("c2") === col("__i_lfc2"))
+      .join(at("lfn"), col("n") === col("__i_lfn"))
+      .select(col("n11"), col("r1"), col("c1"), col("n"), col("k"),
+        (col("lfr1") - col("lfk") - col("lfr1k") +
+          col("lfr2") - col("lfc1k") - col("lfr2k") -
+          (col("lfn") - col("lfc1") - col("lfc2"))).as("lnp6"))
+    val obs = scored.where(col("k") === col("n11"))
+      .select(col("lnp6").as("obs6"))
+    scored.crossJoin(broadcast(obs))
+      .where(col("lnp6") <= col("obs6"))
+      .groupBy("n11", "r1", "c1", "n", "obs6")
+      .agg(sum(round(exp(col("lnp6").cast("double") / lit(1e6)) *
+        lit(1e12), 0).cast("long")).as("p12"))
+      .select(col("n11"), col("r1"), col("c1"), col("n").as("n_total"),
+        round(exp(col("obs6").cast("double") / lit(1e6)), 4).as("p_point"),
+        round(col("p12").cast("double") / lit(1e12), 4).as("p_two_sided"))
+  }
+
+  /** Cochran-Armitage trend test: does case rate move monotonically
+    * with an INTEGER dose score? z = T/√Var with the N-cleared
+    * all-integer forms
+    *
+    *   T·N = N·Σsy − R1·Σs,  Var·N³ = R1(N−R1)(N·Σs² − (Σs)²)
+    *
+    * from one five-sum aggregation; the N³ factors cancel inside the
+    * final √-ratio, each double product a single IEEE op over
+    * exact-integer-valued doubles. NULL z on degenerate dose spread or
+    * all/no cases (nullif). */
+  def cochranArmitage(df: DataFrame, score: Column, case_ : Column)
+      : DataFrame = {
+    val d = df.select(score.cast("long").as("s"),
+        case_.cast("long").as("y"))
+      .where(col("s").isNotNull && col("y").isNotNull)
+    d.agg(count(lit(1)).as("n"), sum("y").as("r1"), sum("s").as("sn"),
+        sum(col("s") * col("s")).as("ssn"),
+        sum(col("s") * col("y")).as("sa"))
+      .select(col("n"), col("r1"),
+        round((col("n") * col("sa") - col("r1") * col("sn")).cast("double") /
+          nullif(col("n").cast("double"), lit(0.0)), 4).as("t_stat"),
+        round((col("n") * col("sa") - col("r1") * col("sn")).cast("double") *
+          sqrt(col("n").cast("double")) /
+          nullif(sqrt(col("r1").cast("double") * (col("n") - col("r1")) *
+            (col("n") * col("ssn") - col("sn") * col("sn")).cast("double")),
+            lit(0.0)), 4).as("z"))
+  }
+
+  /** Mantel-Haenszel stratified 2×2 analysis: the common odds ratio
+    * OR_MH = Σ aᵢdᵢ/nᵢ / Σ bᵢcᵢ/nᵢ and the CMH chi-square (without
+    * continuity correction) across strata — "does exposure associate
+    * with outcome once the stratifier is held fixed?", the
+    * Simpson's-paradox-proof pooling.
+    *
+    * One stratum-keyed aggregation (four conditional long counts per
+    * stratum); every per-stratum ratio term is a single-double op
+    * quantized to 1e-6 fixed-point before the exact stratum sum
+    * (a·1e6 stays integer exactly on the same scale as E6). NULL OR
+    * when no discordant mass, NULL chi2 on zero variance. */
+  def mantelHaenszel(df: DataFrame, stratum: Column, exposure: Column,
+                     outcome: Column): DataFrame = {
+    def q6(x: Column) = round(x * lit(1e6), 0).cast("long")
+    val d = df.select(stratum.as("st"), exposure.cast("boolean").as("e"),
+        outcome.cast("boolean").as("o"))
+      .where(col("st").isNotNull && col("e").isNotNull &&
+        col("o").isNotNull)
+    val per = d.groupBy("st").agg(
+        sum(when(col("e") && col("o"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("e") && !col("o"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("e") && col("o"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("e") && !col("o"), 1L).otherwise(0L)).as("dd"))
+      .select(col("a"), col("b"), col("c"), col("dd"),
+        (col("a") + col("b") + col("c") + col("dd")).as("nn"))
+      .select(
+        q6(col("a") * col("dd").cast("double") / col("nn")).as("r6"),
+        q6(col("b") * col("c").cast("double") / col("nn")).as("s6"),
+        (col("a") * lit(1000000L)).as("a6"),
+        q6((col("a") + col("b")).cast("double") * (col("a") + col("c")) /
+          col("nn")).as("e6"),
+        q6((col("a") + col("b")).cast("double") * (col("c") + col("dd")) *
+          (col("a") + col("c")) * (col("b") + col("dd")) /
+          (col("nn").cast("double") * col("nn") *
+            nullif((col("nn") - 1).cast("double"), lit(0.0)))).as("v6"))
+    per.agg(count(lit(1)).as("n_strata"), sum("r6").as("sr"),
+        sum("s6").as("ss"), sum(col("a6") - col("e6")).as("dev6"),
+        sum("v6").as("sv"))
+      .select(col("n_strata"),
+        round(col("sr").cast("double") /
+          nullif(col("ss").cast("double"), lit(0.0)), 4).as("or_mh"),
+        round((col("dev6").cast("double") / lit(1e6)) *
+          (col("dev6").cast("double") / lit(1e6)) /
+          nullif(col("sv").cast("double") / lit(1e6), lit(0.0)), 4)
+          .as("chi2_cmh"))
+  }
+
   /** Cronbach's alpha internal-consistency coefficient over a LONG
     * (unit, item, value) frame:
     *

@@ -58,7 +58,8 @@ class PlanAuditSpec extends SparkSpec {
     "q245_seq_pattern_support", // 1-row key-census broadcast
     "q247_naive_bayes_lang", // class-list + 1-row V/ndocs broadcasts
     "q248_clustering_coeff", // three 1-row count broadcasts
-    "q250_hurst_rs") // 1-row OLS-slope broadcast
+    "q250_hurst_rs", // 1-row OLS-slope broadcast
+    "q252_fisher_exact") // 1-row observed-table broadcast
 
   test("rank-filter pattern gets WindowGroupLimit pushdown (per-partition top-k, not full sort)") {
     import org.apache.spark.sql.functions._
