@@ -769,6 +769,127 @@ object InferenceQueries {
       |SELECT id_a, id_b, n_a, n_b, round(c, 4) AS containment
       |FROM p WHERE c >= 0.9 ORDER BY id_a, id_b""".stripMargin))
 
+  /** [[Inference.grubbs]]: single-outlier scan of customer balances
+    * (whole dollars keep n·Σx² long-safe) — N-cleared integer extreme
+    * pick, one aggregation. */
+  private val q256 = QDef("q256_grubbs_outlier",
+    (s, dir) => Inference.grubbs(T(s, dir, "customer"),
+      expr("CAST(round(c_acctbal, 0) AS BIGINT)")),
+    Some("""WITH d AS (SELECT CAST(round(c_acctbal, 0) AS BIGINT) AS x
+      |      FROM customer WHERE c_acctbal IS NOT NULL),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(x) AS BIGINT) AS s, CAST(sum(x * x) AS BIGINT) AS ss,
+      |        CAST(max(x) AS BIGINT) AS mx, CAST(min(x) AS BIGINT) AS mn
+      |      FROM d)
+      |SELECT n,
+      |  round(CAST(s AS DOUBLE) / nullif(CAST(n AS DOUBLE), 0.0), 4)
+      |    AS mean,
+      |  round(sqrt(CAST(n * ss - s * s AS DOUBLE) /
+      |    nullif(CAST(n * (n - 1) AS DOUBLE), 0.0)), 4) AS sd,
+      |  CASE WHEN n * mx - s >= s - n * mn THEN 'high' ELSE 'low' END
+      |    AS side,
+      |  round(CAST(greatest(n * mx - s, s - n * mn) AS DOUBLE) /
+      |    nullif(CAST(n AS DOUBLE) * sqrt(CAST(n * ss - s * s AS DOUBLE) /
+      |      nullif(CAST(n * (n - 1) AS DOUBLE), 0.0)), 0.0), 4) AS g_stat
+      |FROM a""".stripMargin))
+
+  /** [[Trend.partialCorr]]: price–discount association with quantity
+    * partialled out — one nine-sum pass computes all three pairwise
+    * correlations at once. */
+  private val q257 = QDef("q257_partial_corr",
+    (s, dir) => Trend.partialCorr(
+      T(s, dir, "lineitem")
+        .where(col("l_quantity").isNotNull &&
+          col("l_extendedprice").isNotNull && col("l_discount").isNotNull),
+      expr("CAST(round(l_extendedprice / 1000.0, 0) AS BIGINT)"),
+      expr("CAST(round(l_discount * 100, 0) AS BIGINT)"),
+      col("l_quantity")),
+    Some("""WITH d AS (SELECT
+      |        CAST(round(l_extendedprice / 1000.0, 0) AS BIGINT) AS x,
+      |        CAST(round(l_discount * 100, 0) AS BIGINT) AS y,
+      |        CAST(l_quantity AS BIGINT) AS z
+      |      FROM lineitem
+      |      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+      |        AND l_discount IS NOT NULL),
+      |su AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |        CAST(sum(z) AS BIGINT) AS sz,
+      |        CAST(sum(x * x) AS BIGINT) AS sxx,
+      |        CAST(sum(y * y) AS BIGINT) AS syy,
+      |        CAST(sum(z * z) AS BIGINT) AS szz,
+      |        CAST(sum(x * y) AS BIGINT) AS sxy,
+      |        CAST(sum(x * z) AS BIGINT) AS sxz,
+      |        CAST(sum(y * z) AS BIGINT) AS syz FROM d),
+      |rs AS (SELECT n,
+      |        CAST(n * sxy - sx * sy AS DOUBLE) /
+      |          nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+      |            CAST(n * syy - sy * sy AS DOUBLE)), 0.0) AS rxy,
+      |        CAST(n * sxz - sx * sz AS DOUBLE) /
+      |          nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+      |            CAST(n * szz - sz * sz AS DOUBLE)), 0.0) AS rxz,
+      |        CAST(n * syz - sy * sz AS DOUBLE) /
+      |          nullif(sqrt(CAST(n * syy - sy * sy AS DOUBLE) *
+      |            CAST(n * szz - sz * sz AS DOUBLE)), 0.0) AS ryz
+      |       FROM su)
+      |SELECT n, round(rxy, 4) AS r_xy, round(rxz, 4) AS r_xz,
+      |  round(ryz, 4) AS r_yz,
+      |  round((rxy - rxz * ryz) /
+      |    nullif(sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 0.0), 4)
+      |    AS r_partial
+      |FROM rs""".stripMargin))
+
+  /** [[Dedup.clusterSizeHistogram]]: exact-dup capacity planning —
+    * cluster-size histogram with chars-saved accounting (min-doc_id
+    * representative kept). */
+  private val q258 = QDef("q258_dup_cluster_histogram",
+    (s, dir) => Dedup.clusterSizeHistogram(T(s, dir, "documents"),
+      md5(col("text").cast("binary")), col("n_chars"), col("doc_id")),
+    Some("""WITH cl AS (SELECT md5(text) AS k,
+      |        CAST(count(*) AS BIGINT) AS sz,
+      |        CAST(sum(n_chars) AS BIGINT) AS sumch,
+      |        CAST(arg_min(n_chars, doc_id) AS BIGINT) AS keptch
+      |      FROM documents
+      |      WHERE text IS NOT NULL AND n_chars IS NOT NULL
+      |        AND doc_id IS NOT NULL
+      |      GROUP BY 1)
+      |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+      |  CAST(sum(sz) AS BIGINT) AS n_docs,
+      |  CAST(sum(sz - 1) AS BIGINT) AS n_excess_docs,
+      |  CAST(sum(sumch - keptch) AS BIGINT) AS chars_dropped
+      |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** [[Timeseries.backtestSeasonalNaive]]: how good is "same weekday
+    * last week" on daily order volume? The baseline forecast readout. */
+  private val q259 = QDef("q259_seasonal_naive_backtest",
+    (s, dir) => Timeseries.backtestSeasonalNaive(
+      T(s, dir, "orders").where(col("o_orderdate").isNotNull)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("x")),
+      col("day"), col("x"), season = 7),
+    Some("""WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+      |        CAST(count(*) AS BIGINT) AS x
+      |      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+      |p AS (SELECT a.x AS x, b.x AS xp FROM d a JOIN d b
+      |      ON a.day = b.day + 7),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(abs(x - xp)) AS BIGINT) AS sae,
+      |        CAST(sum((x - xp) * (x - xp)) AS BIGINT) AS sse,
+      |        CAST(sum(CASE WHEN x <> 0 THEN
+      |          CAST(round(CAST(abs(x - xp) AS DOUBLE) / x * 1000000.0, 0)
+      |            AS BIGINT) END) AS BIGINT) AS sape6,
+      |        CAST(sum(CASE WHEN x <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS n_mape
+      |      FROM p)
+      |SELECT n AS n_days,
+      |  round(CAST(sae AS DOUBLE) / nullif(CAST(n AS DOUBLE), 0.0), 4)
+      |    AS mae,
+      |  round(sqrt(CAST(sse AS DOUBLE) / nullif(CAST(n AS DOUBLE), 0.0)),
+      |    4) AS rmse,
+      |  round(CAST(sape6 AS DOUBLE) / 1000000.0 /
+      |    nullif(CAST(n_mape AS DOUBLE), 0.0), 4) AS mape
+      |FROM a""".stripMargin))
+
   def all: Seq[QDef] = Seq(q236, q237, q238, q239, q240, q241, q242, q243,
-    q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255)
+    q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255,
+    q256, q257, q258, q259)
 }

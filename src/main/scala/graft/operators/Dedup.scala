@@ -301,6 +301,34 @@ object Dedup {
       .where(col("jaccard") >= minJ)
   }
 
+  /** Duplicate-cluster size histogram: group documents by exact content
+    * key, then report — per cluster SIZE — how many clusters, documents,
+    * and excess (would-be-dropped) documents exist, and how many chars
+    * deduplication would save keeping the min-`tie` representative.
+    * The capacity-planning readout run before an exact-dedup pass: the
+    * histogram says whether duplication is a few huge clusters (cheap
+    * to kill) or a long tail of pairs.
+    *
+    * Two keyed aggregations (content key → cluster stats; size →
+    * histogram), both map-side combinable; chars are exact long sums
+    * (saved = Σchars − chars_of_kept). */
+  def clusterSizeHistogram(df: DataFrame, key: Column, chars: Column,
+                           tie: Column): DataFrame = {
+    val cl = df.select(key.as("k"), chars.cast("long").as("ch"),
+        tie.cast("long").as("tie"))
+      .where(col("k").isNotNull && col("ch").isNotNull &&
+        col("tie").isNotNull)
+      .groupBy("k")
+      .agg(count(lit(1)).as("sz"), sum("ch").as("sumch"),
+        min_by(col("ch"), col("tie")).as("keptch"))
+    cl.groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum("sz").as("n_docs"),
+        sum(col("sz") - 1).as("n_excess_docs"),
+        sum(col("sumch") - col("keptch")).as("chars_dropped"))
+      .orderBy("cluster_size")
+  }
+
   /** Symmetric n-gram CONTAINMENT pairs: |A∩B| / min(|A|, |B|) over
     * distinct token/shingle sets — the subset-duplicate detector
     * Jaccard misses: a short document fully embedded in a long one has

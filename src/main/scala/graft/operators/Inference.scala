@@ -208,6 +208,41 @@ object Inference {
         round(col("p12").cast("double") / lit(1e12), 4).as("p_two_sided"))
   }
 
+  /** Grubbs outlier test: G = max|x − x̄| / s over an INTEGER-quantized
+    * metric, with the N-cleared numerator
+    *
+    *   maxdev·n = max(n·max(x) − Σx, Σx − n·min(x))
+    *
+    * so the "which point is furthest" decision is an exact integer
+    * comparison — ONE aggregation (n, Σx, Σx², max, min), no second
+    * pass to find the extreme. The reported side says whether the
+    * suspect point is the maximum or the minimum. NULL G on n ≤ 1 or
+    * zero variance. Callers quantize coarsely enough that n·Σx² stays
+    * inside Long (the [[anovaF]] contract). */
+  def grubbs(df: DataFrame, v: Column): DataFrame = {
+    val d = df.select(v.cast("long").as("x")).where(col("x").isNotNull)
+    d.agg(count(lit(1)).as("n"), sum("x").as("s"),
+        sum(col("x") * col("x")).as("ss"),
+        max("x").as("mx"), min("x").as("mn"))
+      .select(col("n"),
+        round(col("s").cast("double") /
+          nullif(col("n").cast("double"), lit(0.0)), 4).as("mean"),
+        round(sqrt((col("n") * col("ss") - col("s") * col("s"))
+          .cast("double") /
+          nullif((col("n") * (col("n") - 1)).cast("double"), lit(0.0))), 4)
+          .as("sd"),
+        when(col("n") * col("mx") - col("s") >=
+          col("s") - col("n") * col("mn"), "high").otherwise("low")
+          .as("side"),
+        round(greatest(col("n") * col("mx") - col("s"),
+            col("s") - col("n") * col("mn")).cast("double") /
+          nullif(col("n").cast("double") *
+            sqrt((col("n") * col("ss") - col("s") * col("s"))
+              .cast("double") /
+              nullif((col("n") * (col("n") - 1)).cast("double"),
+                lit(0.0))), lit(0.0)), 4).as("g_stat"))
+  }
+
   /** Cochran-Armitage trend test: does case rate move monotonically
     * with an INTEGER dose score? z = T/√Var with the N-cleared
     * all-integer forms

@@ -145,6 +145,42 @@ object Timeseries {
       .orderBy("g")
   }
 
+  /** Seasonal-naive forecast backtest: predict v̂(t) = v(t − season
+    * days) wherever that day exists in the spine, and report MAE,
+    * RMSE, and MAPE of the naive forecast — the baseline every real
+    * forecasting model must beat, and the drift alarm when a pipeline's
+    * "same day last week" assumption stops holding.
+    *
+    * One daily self-join at the season offset (the q144 shape), then a
+    * single aggregation: |err| and err² accumulate as exact longs;
+    * each MAPE term |err|/actual is a single-double op quantized to
+    * 1e-6 fixed-point before its exact sum over the v ≠ 0 days (its
+    * own denominator — zero-actual days are unscorable by MAPE but
+    * still count in MAE/RMSE). */
+  def backtestSeasonalNaive(daily: DataFrame, day: Column, v: Column,
+                            season: Int = 7): DataFrame = {
+    val d = daily.select(day.as("day"), v.cast("long").as("x"))
+      .where(col("day").isNotNull && col("x").isNotNull)
+    val prev = d.select(date_add(col("day"), season).as("day"),
+      col("x").as("xp"))
+    d.join(prev, "day")
+      .select((col("x") - col("xp")).as("e"), col("x"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("e"))).as("sae"),
+        sum(col("e") * col("e")).as("sse"),
+        sum(when(col("x") =!= 0,
+          round(abs(col("e")).cast("double") / col("x") * lit(1e6), 0)
+            .cast("long"))).as("sape6"),
+        sum(when(col("x") =!= 0, 1L).otherwise(0L)).as("n_mape"))
+      .select(col("n_days"),
+        round(col("sae").cast("double") /
+          nullif(col("n_days").cast("double"), lit(0.0)), 4).as("mae"),
+        round(sqrt(col("sse").cast("double") /
+          nullif(col("n_days").cast("double"), lit(0.0))), 4).as("rmse"),
+        round(col("sape6").cast("double") / lit(1e6) /
+          nullif(col("n_mape").cast("double"), lit(0.0)), 4).as("mape"))
+  }
+
   /** Rescaled-range (R/S) Hurst-exponent estimate of an
     * INTEGER-quantized daily series: for each window size the series
     * splits into complete chunks, each chunk's range of cumulative

@@ -844,6 +844,53 @@ object Trend {
       .orderBy("g")
   }
 
+  /** First-order partial correlation r_{xy·z}: the x–y association
+    * with z's linear influence removed,
+    *
+    *   r_{xy·z} = (r_xy − r_xz·r_yz) / √((1 − r_xz²)(1 − r_yz²))
+    *
+    * — all three pairwise correlations fall out of ONE nine-sum
+    * map-side-combinable aggregation over INTEGER-quantized variables
+    * (the [[pearson]] power sums, three variable pairs at once), so no
+    * input row is read twice. Each r is the exact-long closed form
+    * cast once to double; the composite is sealed with round(,4).
+    * NULL when any marginal variance is zero or either 1−r² factor
+    * vanishes (a perfectly z-explained variable has no leftover
+    * association to measure). */
+  def partialCorr(df: DataFrame, x: Column, y: Column,
+                  z: Column): DataFrame = {
+    val d = df.select(x.cast("long").as("x"), y.cast("long").as("y"),
+        z.cast("long").as("z"))
+      .where(col("x").isNotNull && col("y").isNotNull &&
+        col("z").isNotNull)
+    val s = d.agg(count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"), sum("z").as("sz"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("z") * col("z")).as("szz"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("z")).as("sxz"),
+      sum(col("y") * col("z")).as("syz"))
+    def rr(sab: String, a: String, saa: String, b: String, sbb: String) =
+      (col("n") * col(sab) - col(a) * col(b)).cast("double") /
+        nullif(sqrt((col("n") * col(saa) - col(a) * col(a))
+            .cast("double") *
+          (col("n") * col(sbb) - col(b) * col(b)).cast("double")),
+          lit(0.0))
+    val withR = s.select(col("n"),
+      rr("sxy", "sx", "sxx", "sy", "syy").as("rxy"),
+      rr("sxz", "sx", "sxx", "sz", "szz").as("rxz"),
+      rr("syz", "sy", "syy", "sz", "szz").as("ryz"))
+    withR.select(col("n"),
+      round(col("rxy"), 4).as("r_xy"),
+      round(col("rxz"), 4).as("r_xz"),
+      round(col("ryz"), 4).as("r_yz"),
+      round((col("rxy") - col("rxz") * col("ryz")) /
+        nullif(sqrt((lit(1.0) - col("rxz") * col("rxz")) *
+          (lit(1.0) - col("ryz") * col("ryz"))), lit(0.0)), 4)
+        .as("r_partial"))
+  }
+
   /** Closed-form two-feature ridge regression (centered, no-intercept
     * normal equations with an L2 penalty): solves
     *
