@@ -325,9 +325,11 @@ object AnalyticsQueries {
       |      FROM lineitem),
       |r AS (SELECT id, x, unnest(range(1, 65)) AS rep FROM l),
       |h AS (SELECT x, rep,
-      |        (CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || '|' ||
-      |           CAST(rep AS VARCHAR) || 'pb8'), 1, 15)) AS BIGINT)
-      |          % 1000000 + 0.5)/1000000.0 AS u
+      |        (CAST((CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || 'pb8'),
+      |             1, 15)) AS BIGINT) % 1000000
+      |          + rep * (CAST(('0x' || substr(md5(CAST(id AS VARCHAR) ||
+      |             'pb8'), 16, 15)) AS BIGINT) % 999983)) % 1000000
+      |          AS DOUBLE) + 0.5) / 1000000.0 AS u
       |      FROM r),
       |w AS (SELECT x, rep,
       |        (CASE WHEN u >= 0.36787944117144233 THEN 1 ELSE 0 END) +

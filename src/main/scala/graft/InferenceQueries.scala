@@ -889,7 +889,134 @@ object InferenceQueries {
       |    nullif(CAST(n_mape AS DOUBLE), 0.0), 4) AS mape
       |FROM a""".stripMargin))
 
+  /** [[Sequences.markovStationary]]: long-run occupancy of the session
+    * event chain — three unrolled power-iteration steps with 1e-6
+    * fixed-point inter-pass state (the rake2d device); dangling states
+    * get self-loops. */
+  private val q260 = QDef("q260_markov_stationary",
+    (s, dir) => Sequences.markovStationary(T(s, dir, "events"),
+      col("user_id"), unix_micros(col("ts")), col("event_id"),
+      col("event_type"), iters = 3),
+    Some("""WITH ev AS (SELECT user_id AS k, epoch_us(ts) AS us,
+      |        event_id AS tb, event_type AS s
+      |      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |        AND event_type IS NOT NULL),
+      |p AS (SELECT s, lead(s) OVER (PARTITION BY k ORDER BY us, tb) AS nxt
+      |      FROM ev),
+      |c AS (SELECT s AS f, nxt AS t, CAST(count(*) AS BIGINT) AS n
+      |      FROM p WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      |dg AS (SELECT DISTINCT t AS f, t AS t, CAST(1 AS BIGINT) AS n FROM c
+      |       WHERE t NOT IN (SELECT f FROM c)),
+      |ed AS (SELECT * FROM c UNION ALL SELECT * FROM dg),
+      |rsx AS (SELECT f, CAST(sum(n) AS BIGINT) AS rs FROM ed GROUP BY 1),
+      |e AS (SELECT ed.f AS f, ed.t AS t, ed.n AS n, rsx.rs AS rs
+      |      FROM ed JOIN rsx ON ed.f = rsx.f),
+      |p0 AS (SELECT DISTINCT f AS s, CAST(1000000 AS BIGINT) AS p6 FROM e),
+      |p1 AS (SELECT e.t AS s, CAST(sum(CAST(round(CAST(p6 AS DOUBLE) * n
+      |          / rs, 0) AS BIGINT)) AS BIGINT) AS p6
+      |       FROM e JOIN p0 ON e.f = p0.s GROUP BY 1),
+      |p2 AS (SELECT e.t AS s, CAST(sum(CAST(round(CAST(p6 AS DOUBLE) * n
+      |          / rs, 0) AS BIGINT)) AS BIGINT) AS p6
+      |       FROM e JOIN p1 ON e.f = p1.s GROUP BY 1),
+      |p3 AS (SELECT e.t AS s, CAST(sum(CAST(round(CAST(p6 AS DOUBLE) * n
+      |          / rs, 0) AS BIGINT)) AS BIGINT) AS p6
+      |       FROM e JOIN p2 ON e.f = p2.s GROUP BY 1),
+      |tt AS (SELECT CAST(sum(p6) AS BIGINT) AS t6 FROM p3)
+      |SELECT s AS state, round(CAST(p6 AS DOUBLE) /
+      |  nullif(CAST(t6 AS DOUBLE), 0.0), 4) AS pi
+      |FROM p3 CROSS JOIN tt ORDER BY state""".stripMargin))
+
+  /** [[Curate.filterFunnel]]: which structural rejection rule bites
+    * how hard per source — the tune-this-rule curation readout. */
+  private val q261 = QDef("q261_filter_funnel",
+    (s, dir) => Curate.filterFunnel(T(s, dir, "documents"),
+      col("source"), col("text")),
+    Some("""WITH d AS (SELECT source AS g,
+      |        len(string_split(text, ' ')) AS nt,
+      |        len(list_distinct(string_split(text, ' '))) AS nd,
+      |        length(text) AS nc
+      |      FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
+      |f AS (SELECT g, (nt < 10 OR nt > 1000) AS f_len,
+      |        (CAST(nd AS DOUBLE) / nt < 0.3) AS f_ttr,
+      |        ((CAST(nc - (nt - 1) AS DOUBLE) / nt) < 2 OR
+      |         (CAST(nc - (nt - 1) AS DOUBLE) / nt) > 12) AS f_toklen
+      |      FROM d)
+      |SELECT g AS source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN f_len THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_fail_len,
+      |  CAST(sum(CASE WHEN f_ttr THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_fail_ttr,
+      |  CAST(sum(CASE WHEN f_toklen THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_fail_toklen,
+      |  CAST(sum(CASE WHEN NOT f_len AND NOT f_ttr AND NOT f_toklen
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  round(CAST(sum(CASE WHEN NOT f_len AND NOT f_ttr AND NOT f_toklen
+      |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS keep_rate
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** [[RankEval.weightedKappa]]: ordinal agreement between quantity
+    * terciles and capped price bands — distance-weighted disagreement,
+    * zero cells carrying their expected weight. */
+  private val q262 = QDef("q262_weighted_kappa",
+    (s, dir) => RankEval.weightedKappa(
+      T(s, dir, "lineitem")
+        .where(col("l_quantity").isNotNull &&
+          col("l_extendedprice").isNotNull),
+      expr("(CAST(l_quantity AS BIGINT) - 1) DIV 17"),
+      expr("least(CAST(round(l_extendedprice / 1000.0, 0) AS BIGINT)" +
+        " DIV 20, CAST(2 AS BIGINT))")),
+    Some("""WITH d AS (SELECT (CAST(l_quantity AS BIGINT) - 1) // 17 AS a,
+      |        least(CAST(round(l_extendedprice / 1000.0, 0) AS BIGINT)
+      |          // 20, 2) AS b
+      |      FROM lineitem
+      |      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+      |ce AS (SELECT a, b, CAST(count(*) AS BIGINT) AS o FROM d
+      |       GROUP BY 1, 2),
+      |ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM ce GROUP BY 1),
+      |cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM ce GROUP BY 1),
+      |tt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM ce),
+      |sp AS (SELECT ra.a AS a, cb.b AS b, r, c, coalesce(o, 0) AS o
+      |      FROM ra CROSS JOIN cb
+      |      LEFT JOIN ce ON ce.a = ra.a AND ce.b = cb.b),
+      |tm AS (SELECT n, abs(a - b) * o AS wo,
+      |        CAST(round(CAST(abs(a - b) AS DOUBLE) * r * c / n
+      |          * 1000000.0, 0) AS BIGINT) AS we6
+      |      FROM sp CROSS JOIN tt),
+      |ag AS (SELECT n, CAST(sum(wo) AS BIGINT) AS no,
+      |        CAST(sum(we6) AS BIGINT) AS ne6 FROM tm GROUP BY 1)
+      |SELECT n,
+      |  round(CAST(no AS DOUBLE) / nullif(CAST(n AS DOUBLE), 0.0), 4)
+      |    AS obs_disagreement,
+      |  round(CAST(ne6 AS DOUBLE) / 1000000.0 /
+      |    nullif(CAST(n AS DOUBLE), 0.0), 4) AS exp_disagreement,
+      |  CASE WHEN ne6 <> 0 THEN
+      |    round(1.0 - CAST(no AS DOUBLE) * 1000000.0 / ne6, 4) END
+      |    AS kappa_w
+      |FROM ag""".stripMargin))
+
+  /** [[Trend.iqrFences]]: box-plot-rule outlier counts of customer
+    * balances per nation — the quartile sibling of q127's MAD scan. */
+  private val q263 = QDef("q263_iqr_fences",
+    (s, dir) => Trend.iqrFences(
+      T(s, dir, "customer")
+        .join(T(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey")),
+      col("n_name"), col("c_acctbal")),
+    Some("""WITH d AS (SELECT n_name AS g, c_acctbal AS v FROM customer
+      |      JOIN nation ON c_nationkey = n_nationkey
+      |      WHERE n_name IS NOT NULL AND c_acctbal IS NOT NULL),
+      |q AS (SELECT g, quantile_cont(v, 0.25) AS q1,
+      |        quantile_cont(v, 0.75) AS q3 FROM d GROUP BY 1),
+      |j AS (SELECT d.g AS g, v, q1, q3, q1 - 1.5 * (q3 - q1) AS lo,
+      |        q3 + 1.5 * (q3 - q1) AS hi
+      |      FROM d JOIN q ON d.g = q.g)
+      |SELECT g, CAST(count(*) AS BIGINT) AS n, round(min(q1), 4) AS q1,
+      |  round(min(q3), 4) AS q3,
+      |  CAST(sum(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+      |  CAST(sum(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin))
+
   def all: Seq[QDef] = Seq(q236, q237, q238, q239, q240, q241, q242, q243,
     q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255,
-    q256, q257, q258, q259)
+    q256, q257, q258, q259, q260, q261, q262, q263)
 }

@@ -181,6 +181,44 @@ object Curate {
     * recomputed rank EQUALS the single-window rank and rows beyond the true
     * top-n rank > n — output is exactly the one-window answer, but no task
     * ever sorts more than a bucket (scale `salts` ∝ head-domain size). */
+  /** Curation filter-funnel report: per source group, how many
+    * documents each cheap structural rule would reject — length band
+    * (token count outside [10, 1000]), type-token ratio below 0.3
+    * (repetition), mean token length outside [2, 12] (garbage /
+    * concatenation) — plus the surviving count and keep rate. Rules
+    * attribute INDEPENDENTLY (a doc can fail several), which is what
+    * makes the report actionable: it says which rule to tune, not just
+    * how many die.
+    *
+    * One pass, one grouped aggregation; every ratio is a single double
+    * division of exact integer lengths (identical across engines), so
+    * the threshold comparisons cannot flip. */
+  def filterFunnel(df: DataFrame, group: Column, text: Column): DataFrame = {
+    val toks = split(text, " ")
+    val d = df.select(group.as("g"), text.as("tx"),
+        size(toks).as("nt"), size(array_distinct(toks)).as("nd"),
+        length(text).as("nc"))
+      .where(col("g").isNotNull && col("tx").isNotNull)
+      .select(col("g"),
+        (col("nt") < 10 || col("nt") > 1000).as("f_len"),
+        (col("nd").cast("double") / col("nt") < 0.3).as("f_ttr"),
+        (((col("nc") - (col("nt") - 1)).cast("double") / col("nt")) < 2 ||
+          ((col("nc") - (col("nt") - 1)).cast("double") / col("nt")) > 12)
+          .as("f_toklen"))
+    d.groupBy("g")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("f_len"), 1L).otherwise(0L)).as("n_fail_len"),
+        sum(when(col("f_ttr"), 1L).otherwise(0L)).as("n_fail_ttr"),
+        sum(when(col("f_toklen"), 1L).otherwise(0L)).as("n_fail_toklen"),
+        sum(when(!col("f_len") && !col("f_ttr") && !col("f_toklen"), 1L)
+          .otherwise(0L)).as("n_kept"))
+      .select(col("g").as("source"), col("n_docs"), col("n_fail_len"),
+        col("n_fail_ttr"), col("n_fail_toklen"), col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_docs"), 4)
+          .as("keep_rate"))
+      .orderBy("source")
+  }
+
   def capPerGroup(df: DataFrame, group: Column, order: Seq[Column], id: Column,
                   n: Int, salts: Int = 8): DataFrame = {
     require(n >= 1 && salts >= 1, "n and salts must be positive")

@@ -214,6 +214,47 @@ object RankEval {
             (col("n") * col("n") - col("cross")), 4)).as("kappa"))
   }
 
+  /** Linear-weighted Cohen's kappa over two ORDINAL integer scales:
+    * κ_w = 1 − Σ|i−j|·O_ij / Σ|i−j|·E_ij — disagreement weighted by
+    * how FAR apart the raters land, the ordinal upgrade of
+    * [[cohensKappa]]'s all-or-nothing agreement.
+    *
+    * One cell aggregation; margins re-aggregate from the cell table
+    * and cross into the full level spine so ZERO cells still carry
+    * their expected weight (the Cramér's-V device). Observed weighted
+    * disagreement is an exact long; each expected term |i−j|·rᵢcⱼ/n
+    * is one double op quantized to 1e-6 fixed-point before the exact
+    * sum, and κ_w = 1 − obs·10⁶/exp6 is a single sealed division.
+    * NULL κ when expected disagreement is zero (degenerate raters). */
+  def weightedKappa(df: DataFrame, raterA: Column,
+                    raterB: Column): DataFrame = {
+    val base = df.select(raterA.cast("long").as("a"),
+        raterB.cast("long").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull)
+    val cells = base.groupBy("a", "b").agg(count(lit(1)).as("o"))
+    val ra = cells.groupBy("a").agg(sum("o").as("r"))
+    val cb = cells.groupBy("b").agg(sum("o").as("c"))
+    val tot = cells.agg(sum("o").as("n"))
+    val spine = ra.crossJoin(broadcast(cb))
+    spine.join(cells, Seq("a", "b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("n"),
+        (abs(col("a") - col("b")) * coalesce(col("o"), lit(0L))).as("wo"),
+        round(abs(col("a") - col("b")).cast("double") * col("r") *
+          col("c") / col("n") * lit(1e6), 0).cast("long").as("we6"))
+      .groupBy("n").agg(sum("wo").as("no"), sum("we6").as("ne6"))
+      .select(col("n"),
+        round(col("no").cast("double") /
+          nullif(col("n").cast("double"), lit(0.0)), 4)
+          .as("obs_disagreement"),
+        round(col("ne6").cast("double") / lit(1e6) /
+          nullif(col("n").cast("double"), lit(0.0)), 4)
+          .as("exp_disagreement"),
+        when(col("ne6") =!= 0,
+          round(lit(1.0) - col("no").cast("double") * lit(1e6) /
+            col("ne6"), 4)).as("kappa_w"))
+  }
+
   /** Spearman rank correlation with average-rank tie handling: Pearson
     * over the doubled average ranks (2·r̄ = 2·rank_min + ties − 1 stays
     * in longs; doubling both vectors leaves the correlation unchanged).

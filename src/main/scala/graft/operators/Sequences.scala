@@ -61,6 +61,58 @@ object Sequences {
       .limit(k)
   }
 
+  /** Stationary distribution of the empirical transition chain by
+    * `iters` unrolled power-iteration steps from a uniform start —
+    * where does the session process spend its time in the long run?
+    * ([[transitions]] reports one-step probabilities; this is their
+    * fixed point.)
+    *
+    * States with no OUTGOING transition get an implicit self-loop
+    * (absorbing semantics — their mass stays put instead of leaking).
+    * Determinism (the rake2d inter-pass device): mass is carried as
+    * 1e-6 fixed-point longs; each edge's contribution
+    * round(π6(i)·n_ij/rowsum_i) is one double op quantized back to a
+    * long, so every iteration's state vector is bit-identical across
+    * engines. Each step is one broadcast join of the edge table
+    * (state² rows max) against the state-count-sized π vector — the
+    * corpus is read once to build edges. Output renormalizes to a
+    * probability, sealed round(,4). */
+  def markovStationary(df: DataFrame, key: Column, ts: Column,
+                       tieBreak: Column, state: Column,
+                       iters: Int = 3): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val w = Window.partitionBy("k").orderBy(col("us"), col("tb"))
+    val pairs = df.select(key.as("k"), ts.as("us"), tieBreak.as("tb"),
+        state.as("s"))
+      .where(col("k").isNotNull && col("us").isNotNull &&
+        col("s").isNotNull)
+      .withColumn("nxt", lead(col("s"), 1).over(w))
+      .where(col("nxt").isNotNull)
+    val counts = pairs.groupBy(col("s").as("f"), col("nxt").as("t"))
+      .agg(count(lit(1)).as("n"))
+    val dangling = counts.select(col("t").as("f")).distinct()
+      .join(counts.select("f").distinct(), Seq("f"), "left_anti")
+      .select(col("f"), col("f").as("t"), lit(1L).as("n"))
+    val edges = counts.unionByName(dangling)
+    val rows = edges.groupBy("f").agg(sum("n").as("rs"))
+    val e = edges.join(broadcast(rows), "f").localCheckpoint()
+    val states = e.select(col("f").as("s")).distinct()
+    var pi = states.select(col("s"), lit(1000000L).as("p6"))
+    for (_ <- 1 to iters) {
+      pi = e.join(broadcast(pi), col("f") === col("s"))
+        .groupBy(col("t"))
+        .agg(sum(round(col("p6").cast("double") * col("n") / col("rs"), 0)
+          .cast("long")).as("p6"))
+        .select(col("t").as("s"), col("p6"))
+    }
+    val tot = pi.agg(sum("p6").as("t6"))
+    pi.crossJoin(broadcast(tot))
+      .select(col("s").as("state"),
+        round(col("p6").cast("double") /
+          nullif(col("t6").cast("double"), lit(0.0)), 4).as("pi"))
+      .orderBy("state")
+  }
+
   /** 2-item sequential-pattern support: for every ordered label pair
     * (a, b), a ≠ b, the number (and share) of keys whose stream shows
     * some `a` STRICTLY before some `b` — the "a eventually followed by

@@ -103,6 +103,32 @@ object Trend {
         count(lit(1)).as("n"))
   }
 
+  /** Tukey-fence (IQR) outlier report per group: exact quartiles,
+    * fences Q1 − k·IQR / Q3 + k·IQR, and counts beyond each fence —
+    * the box-plot rule, the quartile sibling of [[madOutliers]] (same
+    * two-pass shape: group-count-sized quartile table broadcast back,
+    * then one counting aggregation; exact `percentile` per the
+    * FIXTURES convention, approx_percentile being the flagged 100 TB
+    * swap). Fences are fixed double expressions over the exact
+    * quartiles — identical in both engines. */
+  def iqrFences(df: DataFrame, group: Column, v: Column,
+                k: Double = 1.5): DataFrame = {
+    val g = df.select(group.as("g"), v.cast("double").as("v"))
+      .where(col("g").isNotNull && col("v").isNotNull)
+    val q = g.groupBy("g").agg(percentile(col("v"), lit(0.25)).as("q1"),
+      percentile(col("v"), lit(0.75)).as("q3"))
+    g.join(broadcast(q), "g")
+      .select(col("g"), col("v"), col("q1"), col("q3"),
+        (col("q1") - lit(k) * (col("q3") - col("q1"))).as("lo"),
+        (col("q3") + lit(k) * (col("q3") - col("q1"))).as("hi"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), round(min("q1"), 4).as("q1"),
+        round(min("q3"), 4).as("q3"),
+        sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_high"))
+      .orderBy("g")
+  }
+
   /** Welch's unequal-variance t-test between labels `a` and `b` of an
     * INTEGER-quantized metric: one grouped pass builds (n, Σv, Σv²) per
     * label as exact long sums, then the t statistic and Welch–Satterthwaite
@@ -564,7 +590,8 @@ object Trend {
 
   /** Poisson bootstrap of a mean: B deterministic resamples, each row's
     * replication count w ~ Poisson(1) drawn by inverse-CDF on a
-    * hash-uniform of (id, rep, salt) — the DISTRIBUTED bootstrap: no
+    * row-hash-seeded per-replicate LCG uniform — the DISTRIBUTED
+    * bootstrap: no
     * global n anywhere, every weight is a per-row scalar expression, so
     * the whole resampling plan is one scan + one B-way explode + one
     * rep-keyed aggregation (the classic with-replacement index draw
@@ -580,14 +607,30 @@ object Trend {
   def poissonBootstrap(df: DataFrame, id: Column, vCents: Column,
                        b: Int, salt: String): DataFrame = {
     require(b >= 2, "need at least 2 bootstrap replicates")
-    val u = (pmod(Dedup.hash60(concat(col("id").cast("string"), lit("|"),
-      col("rep").cast("string"), lit(salt))), lit(1000000L)).cast("double") +
-      lit(0.5)) / lit(1e6)
+    // ONE md5 per ROW (not per row×replicate — at B=64 that is 64× the
+    // hash cost and dominated the whole suite), split into two
+    // independent 60-bit halves; each replicate's uniform is the
+    // row-seeded integer LCG (h1 + rep·h2') mod 1e6 — every op stays
+    // far below 2^63, so wrapping-vs-raising engines agree exactly.
+    // Replicates of one row walk an arithmetic progression mod 1e6
+    // with a row-specific stride; across 10⁵+ rows the stride is
+    // hash-uniform, so replicate MEANS stay effectively independent
+    // (the per-row progression averages out in the aggregation).
+    val u = (((pmod(col("h1"), lit(1000000L)) +
+      col("rep") * pmod(col("h2"), lit(999983L))) % lit(1000000L))
+      .cast("double") + lit(0.5)) / lit(1e6)
     // w = #thresholds strictly below u — the inverse-CDF step function
     val w = PoissonCdf1.map(c => when(col("u") >= lit(c), 1L).otherwise(0L))
       .reduce(_ + _)
+    val md = md5(concat(col("id").cast("string"), lit(salt))
+      .cast("binary"))
     val reps = df.select(id.as("id"), vCents.cast("long").as("x"))
       .where(col("id").isNotNull && col("x").isNotNull)
+      .withColumn("__md", md)
+      .withColumn("h1", conv(substring(col("__md"), 1, 15), 16, 10)
+        .cast("long"))
+      .withColumn("h2", conv(substring(col("__md"), 16, 15), 16, 10)
+        .cast("long"))
       .withColumn("rep", explode(sequence(lit(1), lit(b))))
       .withColumn("u", u)
       .withColumn("w", w)

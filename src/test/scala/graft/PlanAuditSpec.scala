@@ -59,7 +59,9 @@ class PlanAuditSpec extends SparkSpec {
     "q247_naive_bayes_lang", // class-list + 1-row V/ndocs broadcasts
     "q248_clustering_coeff", // three 1-row count broadcasts
     "q250_hurst_rs", // 1-row OLS-slope broadcast
-    "q252_fisher_exact") // 1-row observed-table broadcast
+    "q252_fisher_exact", // 1-row observed-table broadcast
+    "q260_markov_stationary", // 1-row mass-total broadcast
+    "q262_weighted_kappa") // level spine + 1-row total broadcast
 
   test("rank-filter pattern gets WindowGroupLimit pushdown (per-partition top-k, not full sort)") {
     import org.apache.spark.sql.functions._
