@@ -1016,7 +1016,151 @@ object InferenceQueries {
       |  CAST(sum(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** [[Survival.nelsonAalen]]: cumulative user-churn hazard over the
+    * q176 duration construction — additive increments quantized 1e-6,
+    * prefix-summed on the distinct-duration spine. */
+  private val q264 = QDef("q264_nelson_aalen",
+    (s, dir) => {
+      val e = T(s, dir, "events").select(col("user_id"),
+        to_date(col("ts")).as("d"))
+      val span = e.groupBy("user_id")
+        .agg(min("d").as("fd"), max("d").as("ld"))
+      val obsEnd = e.agg(max("d").as("obs_end"))
+      val dur = span.crossJoin(broadcast(obsEnd)).select(
+        datediff(col("ld"), col("fd")).as("dur"),
+        when(datediff(col("obs_end"), col("ld")) >= 1, 1).otherwise(0)
+          .as("ev"))
+      Survival.nelsonAalen(dur, col("dur"), col("ev"))
+    },
+    Some("""WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+      |sp AS (SELECT user_id, min(d) AS fd, max(d) AS ld FROM e GROUP BY 1),
+      |oe AS (SELECT max(d) AS obs_end FROM e),
+      |dur AS (SELECT CAST(date_diff('day', fd, ld) AS BIGINT) AS t,
+      |         CASE WHEN date_diff('day', ld, obs_end) >= 1
+      |           THEN 1 ELSE 0 END AS ev
+      |       FROM sp CROSS JOIN oe),
+      |byt AS (SELECT t, CAST(count(*) AS BIGINT) AS n_at,
+      |         CAST(sum(ev) AS BIGINT) AS d_at FROM dur GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_at) AS BIGINT) AS n_total FROM byt),
+      |r AS (SELECT t, d_at, n_total - coalesce(CAST(sum(n_at) OVER
+      |        (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |        AS BIGINT), 0) AS n_risk
+      |      FROM byt CROSS JOIN tot),
+      |ev AS (SELECT t, n_risk, d_at,
+      |        CAST(round(CAST(d_at AS DOUBLE) / CAST(n_risk AS DOUBLE)
+      |          * 1000000.0, 0) AS BIGINT) AS h6
+      |      FROM r WHERE d_at > 0)
+      |SELECT t, n_risk, d_at AS n_events,
+      |  round(CAST(sum(h6) OVER w AS DOUBLE) / 1000000.0, 4) AS cum_hazard
+      |FROM ev WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+      |  AND CURRENT ROW)
+      |ORDER BY t""".stripMargin))
+
+  /** [[Trend.ancova]]: segment order-value means adjusted for customer
+    * balance — the common-slope covariate adjustment. */
+  private val q265 = QDef("q265_ancova",
+    (s, dir) => Trend.ancova(
+      T(s, dir, "orders")
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .where(col("c_mktsegment").isNotNull && col("c_acctbal").isNotNull &&
+          col("o_totalprice").isNotNull),
+      col("c_mktsegment"),
+      expr("CAST(round(c_acctbal, 0) AS BIGINT)"),
+      expr("CAST(round(o_totalprice / 1000.0, 0) AS BIGINT)")),
+    Some("""WITH d AS (SELECT c_mktsegment AS g,
+      |        CAST(round(c_acctbal, 0) AS BIGINT) AS x,
+      |        CAST(round(o_totalprice / 1000.0, 0) AS BIGINT) AS y
+      |      FROM orders JOIN customer ON o_custkey = c_custkey
+      |      WHERE c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL
+      |        AND o_totalprice IS NOT NULL),
+      |pg AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |        CAST(sum(x * y) AS BIGINT) AS sxy,
+      |        CAST(sum(x * x) AS BIGINT) AS sxx FROM d GROUP BY 1),
+      |t AS (SELECT g, n, sx, sy,
+      |        CAST(round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+      |          * 10000.0, 0) AS BIGINT) AS cxy4,
+      |        CAST(round((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+      |          * 10000.0, 0) AS BIGINT) AS cxx4 FROM pg),
+      |p AS (SELECT CAST(sum(cxy4) AS BIGINT) AS pxy,
+      |        CAST(sum(cxx4) AS BIGINT) AS pxx,
+      |        CAST(sum(sx) AS BIGINT) AS tsx,
+      |        CAST(sum(n) AS BIGINT) AS tn FROM t)
+      |SELECT g, n, round(CAST(sy AS DOUBLE) / n, 4) AS mean_y,
+      |  round(CAST(pxy AS DOUBLE) / nullif(CAST(pxx AS DOUBLE), 0.0), 4)
+      |    AS slope_w,
+      |  round(CAST(sy AS DOUBLE) / n -
+      |    CAST(pxy AS DOUBLE) / nullif(CAST(pxx AS DOUBLE), 0.0) *
+      |    (CAST(sx AS DOUBLE) / n - CAST(tsx AS DOUBLE) / tn), 4)
+      |    AS adj_mean_y
+      |FROM t CROSS JOIN p ORDER BY g""".stripMargin))
+
+  /** [[Curate.tfidfCosinePairs]]: lexically-weighted near-dup pairs —
+    * rare shared terms count, boilerplate doesn't; exact integer dots
+    * on 1e-3-quantized tf·idf weights. */
+  private val q266 = QDef("q266_tfidf_cosine_pairs",
+    (s, dir) => Curate.tfidfCosinePairs(T(s, dir, "documents"),
+        col("doc_id"), col("text"), col("source"), minCos = 0.6)
+      .withColumn("cos", round(col("cos"), 4))
+      .orderBy("id_a", "id_b"),
+    Some("""WITH tok AS (SELECT id, blk, term, CAST(count(*) AS BIGINT) AS tf
+      |      FROM (SELECT doc_id AS id, source AS blk,
+      |              unnest(string_split(text, ' ')) AS term
+      |            FROM documents
+      |            WHERE doc_id IS NOT NULL AND source IS NOT NULL)
+      |      GROUP BY 1, 2, 3),
+      |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tok
+      |        GROUP BY 1),
+      |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+      |       FROM documents WHERE doc_id IS NOT NULL),
+      |w AS (SELECT id, blk, term,
+      |        CAST(round(CAST(tf AS DOUBLE) *
+      |          ln(CAST(nd AS DOUBLE) / df) * 1000.0, 0) AS BIGINT) AS w3
+      |      FROM tok JOIN dft USING (term) CROSS JOIN nd),
+      |nr AS (SELECT id, CAST(sum(w3 * w3) AS BIGINT) AS nrm FROM w
+      |       GROUP BY 1),
+      |dt AS (SELECT a.id AS id_a, b.id AS id_b,
+      |        CAST(sum(a.w3 * b.w3) AS BIGINT) AS dot
+      |      FROM w a JOIN w b ON a.blk = b.blk AND a.term = b.term
+      |        AND a.id < b.id
+      |      GROUP BY 1, 2),
+      |cs AS (SELECT id_a, id_b, CAST(dot AS DOUBLE) /
+      |        nullif(sqrt(CAST(na.nrm AS DOUBLE) * nb.nrm), 0.0) AS cos
+      |      FROM dt JOIN nr na ON na.id = dt.id_a
+      |      JOIN nr nb ON nb.id = dt.id_b)
+      |SELECT id_a, id_b, round(cos, 4) AS cos FROM cs WHERE cos >= 0.6
+      |ORDER BY id_a, id_b""".stripMargin))
+
+  /** [[Timeseries.burstiness]]: Fano factor and Goh-Barabási index of
+    * daily event volume per type over the full zero-filled day spine. */
+  private val q267 = QDef("q267_burstiness",
+    (s, dir) => Timeseries.burstiness(T(s, dir, "events"),
+      col("event_type"), col("ts")),
+    Some("""WITH d AS (SELECT event_type AS k,
+      |        epoch_us(ts) // 86400000000 AS di
+      |      FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+      |c AS (SELECT k, di, CAST(count(*) AS BIGINT) AS c FROM d
+      |      GROUP BY 1, 2),
+      |sp AS (SELECT min(di) AS lo, max(di) AS hi FROM d),
+      |ks AS (SELECT DISTINCT k FROM d),
+      |spine AS (SELECT k, unnest(range(lo, hi + 1)) AS di
+      |          FROM ks CROSS JOIN sp),
+      |f AS (SELECT spine.k AS k, coalesce(c.c, 0) AS c
+      |      FROM spine LEFT JOIN c ON c.k = spine.k AND c.di = spine.di),
+      |a AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(c) AS BIGINT) AS s,
+      |        CAST(sum(c * c) AS BIGINT) AS ss FROM f GROUP BY 1)
+      |SELECT k AS key, n AS n_days,
+      |  round(CAST(s AS DOUBLE) / n, 4) AS mean,
+      |  round(CAST(n * ss - s * s AS DOUBLE) /
+      |    nullif(CAST(n * s AS DOUBLE), 0.0), 4) AS fano,
+      |  round((sqrt(CAST(n * ss - s * s AS DOUBLE)) / n -
+      |      CAST(s AS DOUBLE) / n) /
+      |    nullif(sqrt(CAST(n * ss - s * s AS DOUBLE)) / n +
+      |      CAST(s AS DOUBLE) / n, 0.0), 4) AS burstiness
+      |FROM a ORDER BY key""".stripMargin))
+
   def all: Seq[QDef] = Seq(q236, q237, q238, q239, q240, q241, q242, q243,
     q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255,
-    q256, q257, q258, q259, q260, q261, q262, q263)
+    q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267)
 }

@@ -57,4 +57,35 @@ object Survival {
             lit(1e8)), 4)).as("survival"))
       .orderBy("t")
   }
+
+  /** Nelson-Aalen cumulative-hazard estimator Ĥ(t) = Σ_{tᵢ≤t} dᵢ/nᵢ —
+    * the additive companion to [[kaplanMeier]] (KM multiplies survival
+    * factors; NA sums hazard increments, the better-behaved quantity
+    * for small risk sets and the input to hazard-ratio eyeballing).
+    * Same shape: one duration aggregation, risk sets by prefix sums
+    * over the DISTINCT-duration spine (day-cardinality rows — the KM
+    * window convention), each dᵢ/nᵢ increment one double op quantized
+    * to 1e-6 fixed-point before the exact cumulative sum. */
+  def nelsonAalen(df: DataFrame, duration: Column,
+                  observed: Column): DataFrame = {
+    val byT = df.select(duration.cast("long").as("t"),
+        observed.cast("int").as("ev"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n_at"), sum("ev").cast("long").as("d_at"))
+    val tot = byT.agg(sum("n_at").as("n_total"))
+    val wPrev = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT.crossJoin(broadcast(tot))
+      .withColumn("n_risk",
+        col("n_total") - coalesce(sum("n_at").over(wPrev), lit(0L)))
+      .where(col("d_at") > 0)
+      .withColumn("h6", round(col("d_at").cast("double") /
+        col("n_risk").cast("double") * lit(1e6), 0).cast("long"))
+      .select(col("t"), col("n_risk"), col("d_at").as("n_events"),
+        round(sum("h6").over(wCum).cast("double") / lit(1e6), 4)
+          .as("cum_hazard"))
+      .orderBy("t")
+  }
 }

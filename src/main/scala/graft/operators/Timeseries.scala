@@ -145,6 +145,51 @@ object Timeseries {
       .orderBy("g")
   }
 
+  /** Burstiness report per key over the FULL epoch-day spine between
+    * the global min and max day (zero days count — a key active one
+    * day a month is bursty precisely because of its silent days):
+    * Fano factor F = var/μ of daily counts (population variance) and
+    * the Goh-Barabási burstiness index B = (σ−μ)/(σ+μ) ∈ [−1, 1]
+    * (−1 periodic, 0 Poisson, →1 bursty).
+    *
+    * The spine is generated integers (epoch-day numbers — the
+    * engine-neutral FIXTURES device), keys × days rows, zero-filled by
+    * LEFT join; counts are exact longs so
+    * F = (n·Σc² − S²)/(n·S) is exact integers to one division and B
+    * is singles over the same terms. */
+  def burstiness(df: DataFrame, key: Column, ts: Column): DataFrame = {
+    // long `/` long is double division in the Column API — cast back to
+    // long (exact: µs values sit far below 2^53, truncation = floor for
+    // positive epochs, matching the oracle's integer `//`)
+    val d = df.select(key.as("k"),
+        (unix_micros(ts) / lit(86400000000L)).cast("long").as("di"))
+      .where(col("k").isNotNull && col("di").isNotNull)
+    val counts = d.groupBy("k", "di").agg(count(lit(1)).as("c"))
+    val span = d.agg(min("di").as("lo"), max("di").as("hi"))
+    val keys = d.select("k").distinct()
+    val spine = keys.crossJoin(broadcast(span))
+      .select(col("k"), explode(sequence(col("lo"), col("hi"))).as("di"))
+    val filled = spine.join(counts, Seq("k", "di"), "left")
+      .select(col("k"), coalesce(col("c"), lit(0L)).as("c"))
+    filled.groupBy("k")
+      .agg(count(lit(1)).as("n_days"), sum("c").as("s"),
+        sum(col("c") * col("c")).as("ss"))
+      .select(col("k").as("key"), col("n_days"),
+        round(col("s").cast("double") / col("n_days"), 4).as("mean"),
+        round((col("n_days") * col("ss") - col("s") * col("s"))
+          .cast("double") /
+          nullif((col("n_days") * col("s")).cast("double"), lit(0.0)), 4)
+          .as("fano"),
+        round((sqrt((col("n_days") * col("ss") - col("s") * col("s"))
+            .cast("double")) / col("n_days") -
+            col("s").cast("double") / col("n_days")) /
+          nullif(sqrt((col("n_days") * col("ss") - col("s") * col("s"))
+            .cast("double")) / col("n_days") +
+            col("s").cast("double") / col("n_days"), lit(0.0)), 4)
+          .as("burstiness"))
+      .orderBy("key")
+  }
+
   /** Seasonal-naive forecast backtest: predict v̂(t) = v(t − season
     * days) wherever that day exists in the spine, and report MAE,
     * RMSE, and MAPE of the naive forecast — the baseline every real

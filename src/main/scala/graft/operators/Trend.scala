@@ -887,6 +887,50 @@ object Trend {
       .orderBy("g")
   }
 
+  /** One-way ANCOVA (common-slope model): group means of `y` adjusted
+    * for the covariate `x`,
+    *
+    *   β_w = Σ_g Sxy_g / Σ_g Sxx_g,
+    *   adj_mean_g = ȳ_g − β_w·(x̄_g − x̄),
+    *
+    * the "does the group still differ once the covariate is held
+    * fixed?" readout. One grouped pass of five exact long sums; each
+    * group's centered moments Sxy = Σxy − ΣxΣy/n are single-double
+    * ops quantized to 1e-4 fixed-point before the k-row pooled sums
+    * (scales cancel in β); the grand covariate mean is a 1-row
+    * broadcast. Zero pooled covariate variance yields SQL-NULL β and
+    * adjusted means. */
+  def ancova(df: DataFrame, group: Column, x: Column,
+             y: Column): DataFrame = {
+    def q4(c: Column) = round(c * lit(1e4), 0).cast("long")
+    val d = df.select(group.as("g"), x.cast("long").as("x"),
+        y.cast("long").as("y"))
+      .where(col("g").isNotNull && col("x").isNotNull &&
+        col("y").isNotNull)
+    val per = d.groupBy("g").agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("g"), col("n"), col("sx"), col("sy"),
+        q4(col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy") / col("n")).as("cxy4"),
+        q4(col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx") / col("n")).as("cxx4"))
+    val pooled = per.agg(sum("cxy4").as("pxy"), sum("cxx4").as("pxx"),
+      sum("sx").as("tsx"), sum("n").as("tn"))
+    per.crossJoin(broadcast(pooled))
+      .select(col("g"), col("n"),
+        round(col("sy").cast("double") / col("n"), 4).as("mean_y"),
+        round(col("pxy").cast("double") /
+          nullif(col("pxx").cast("double"), lit(0.0)), 4).as("slope_w"),
+        round(col("sy").cast("double") / col("n") -
+          col("pxy").cast("double") /
+            nullif(col("pxx").cast("double"), lit(0.0)) *
+          (col("sx").cast("double") / col("n") -
+            col("tsx").cast("double") / col("tn")), 4).as("adj_mean_y"))
+      .orderBy("g")
+  }
+
   /** First-order partial correlation r_{xy·z}: the x–y association
     * with z's linear influence removed,
     *

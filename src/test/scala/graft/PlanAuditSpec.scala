@@ -61,7 +61,11 @@ class PlanAuditSpec extends SparkSpec {
     "q250_hurst_rs", // 1-row OLS-slope broadcast
     "q252_fisher_exact", // 1-row observed-table broadcast
     "q260_markov_stationary", // 1-row mass-total broadcast
-    "q262_weighted_kappa") // level spine + 1-row total broadcast
+    "q262_weighted_kappa", // level spine + 1-row total broadcast
+    "q264_nelson_aalen", // 1-row obs-end + subject-total broadcasts
+    "q265_ancova", // 1-row pooled-moments broadcast
+    "q266_tfidf_cosine_pairs", // 1-row doc-count broadcast
+    "q267_burstiness") // 1-row day-span broadcast
 
   test("rank-filter pattern gets WindowGroupLimit pushdown (per-partition top-k, not full sort)") {
     import org.apache.spark.sql.functions._
