@@ -1160,7 +1160,142 @@ object InferenceQueries {
       |      CAST(s AS DOUBLE) / n, 0.0), 4) AS burstiness
       |FROM a ORDER BY key""".stripMargin))
 
+  /** [[Profile.diversityIndices]]: how concentrated is each language's
+    * source mix — Shannon/evenness/Simpson in one pass. */
+  private val q268 = QDef("q268_diversity_indices",
+    (s, dir) => Profile.diversityIndices(T(s, dir, "documents"),
+      col("lang"), col("source")),
+    Some("""WITH ce AS (SELECT lang AS g, source AS c,
+      |        CAST(count(*) AS BIGINT) AS o
+      |      FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+      |      GROUP BY 1, 2),
+      |pg AS (SELECT g, CAST(sum(o) AS BIGINT) AS n,
+      |        CAST(count(*) AS BIGINT) AS k,
+      |        CAST(sum(o * o) AS BIGINT) AS ssq FROM ce GROUP BY 1),
+      |h AS (SELECT ce.g AS g, CAST(sum(CAST(round(CAST(o AS DOUBLE) / n *
+      |        ln(CAST(o AS DOUBLE) / n) * 1000000.0, 0) AS BIGINT))
+      |        AS BIGINT) AS h6
+      |      FROM ce JOIN pg ON ce.g = pg.g GROUP BY 1)
+      |SELECT pg.g AS grp, n, k AS k_categories,
+      |  round(-CAST(h6 AS DOUBLE) / 1000000.0, 4) AS shannon_h,
+      |  round(-CAST(h6 AS DOUBLE) / 1000000.0 /
+      |    nullif(ln(CAST(k AS DOUBLE)), 0.0), 4) AS evenness,
+      |  round(CAST(n * n - ssq AS DOUBLE) / CAST(n * n AS DOUBLE), 4)
+      |    AS simpson_d
+      |FROM pg JOIN h ON pg.g = h.g ORDER BY grp""".stripMargin))
+
+  /** Per-brand price elasticity of demand: [[Trend.olsTrend]] on
+    * 1e-3-quantized ln(price) vs ln(quantity) — the log-log slope IS
+    * the elasticity (quantization scales cancel). Coarse enough that
+    * n·Σx² stays long-safe at the fixture SFs. */
+  private val q269 = QDef("q269_price_elasticity",
+    (s, dir) => {
+      val e = T(s, dir, "lineitem")
+        .join(T(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .where(col("l_extendedprice").isNotNull &&
+          col("l_quantity").isNotNull && col("p_brand").isNotNull)
+        .select(col("p_brand"),
+          round(log(expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)")
+            .cast("double")) * lit(1e3), 0).cast("long").as("x"),
+          round(log(expr("CAST(l_quantity AS BIGINT)").cast("double")) *
+            lit(1e3), 0).cast("long").as("y"))
+      Trend.olsTrend(e, col("p_brand"), col("x"), col("y"))
+        .select(col("g").as("brand"), col("n"),
+          col("slope").as("elasticity"), col("intercept"))
+        .orderBy("brand")
+    },
+    Some("""WITH c AS (SELECT p_brand AS g,
+      |        CAST(round(ln(CAST(CAST(round(l_extendedprice * 100, 0)
+      |          AS BIGINT) AS DOUBLE)) * 1000.0, 0) AS BIGINT) AS x,
+      |        CAST(round(ln(CAST(CAST(l_quantity AS BIGINT) AS DOUBLE))
+      |          * 1000.0, 0) AS BIGINT) AS y
+      |      FROM lineitem JOIN part ON l_partkey = p_partkey
+      |      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+      |        AND p_brand IS NOT NULL),
+      |su AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |         CAST(sum(x * y) AS BIGINT) AS sxy,
+      |         CAST(sum(x * x) AS BIGINT) AS sxx
+      |       FROM c GROUP BY 1)
+      |SELECT g AS brand, n,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |        CAST(n * sxx - sx * sx AS DOUBLE), 4) AS elasticity,
+      |  round(CAST(sy * sxx - sx * sxy AS DOUBLE) /
+      |        CAST(n * sxx - sx * sx AS DOUBLE), 4) AS intercept
+      |FROM su ORDER BY brand""".stripMargin))
+
+  /** [[Inference.giniSplitGain]]: best single price cut for predicting
+    * returns — the decision-tree inner loop over a literal threshold
+    * grid. */
+  private val q270 = QDef("q270_gini_split_gain",
+    (s, dir) => Inference.giniSplitGain(
+      T(s, dir, "lineitem")
+        .where(col("l_extendedprice").isNotNull &&
+          col("l_returnflag").isNotNull),
+      expr("CAST(round(l_extendedprice / 1000.0, 0) AS BIGINT)"),
+      when(col("l_returnflag") === "R", 1L).otherwise(0L),
+      thresholds = Seq(10L, 20L, 30L, 40L, 50L, 60L, 70L, 80L, 90L, 100L)),
+    Some("""WITH d AS (SELECT
+      |        CAST(round(l_extendedprice / 1000.0, 0) AS BIGINT) AS x,
+      |        CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      |      FROM lineitem
+      |      WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL),
+      |pa AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(y) AS BIGINT) AS p FROM d),
+      |th AS (SELECT CAST(unnest([10, 20, 30, 40, 50, 60, 70, 80, 90, 100])
+      |          AS BIGINT) AS t),
+      |pt AS (SELECT t,
+      |        CAST(sum(CASE WHEN x <= t THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+      |        CAST(sum(CASE WHEN x <= t THEN y ELSE 0 END) AS BIGINT) AS pl
+      |       FROM d CROSS JOIN th GROUP BY 1)
+      |SELECT t AS threshold, nl AS n_left, n - nl AS n_right,
+      |  round(
+      |    (CASE WHEN n = 0 THEN 0.0 ELSE 1.0 -
+      |      (CAST(p AS DOUBLE) * p + CAST(n - p AS DOUBLE) * (n - p)) /
+      |      (CAST(n AS DOUBLE) * n) END)
+      |    - CAST(nl AS DOUBLE) / n *
+      |      (CASE WHEN nl = 0 THEN 0.0 ELSE 1.0 -
+      |        (CAST(pl AS DOUBLE) * pl +
+      |         CAST(nl - pl AS DOUBLE) * (nl - pl)) /
+      |        (CAST(nl AS DOUBLE) * nl) END)
+      |    - CAST(n - nl AS DOUBLE) / n *
+      |      (CASE WHEN n - nl = 0 THEN 0.0 ELSE 1.0 -
+      |        (CAST(p - pl AS DOUBLE) * (p - pl) +
+      |         CAST((n - nl) - (p - pl) AS DOUBLE) *
+      |           ((n - nl) - (p - pl))) /
+      |        (CAST(n - nl AS DOUBLE) * (n - nl)) END), 4) AS gain
+      |FROM pt CROSS JOIN pa ORDER BY threshold""".stripMargin))
+
+  /** [[Timeseries.peaks]]: daily-revenue local maxima with a 3-day
+    * neighborhood and ≥50 k$ prominence — the spike detector. */
+  private val q271 = QDef("q271_peak_detection",
+    (s, dir) => Timeseries.peaks(
+      T(s, dir, "orders").where(col("o_orderdate").isNotNull)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(expr("CAST(round(o_totalprice / 1000.0, 0) AS BIGINT)"))
+          .as("x")),
+      col("day"), col("x"), w = 3, minProminence = 50L),
+    Some("""WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+      |        CAST(sum(CAST(round(o_totalprice / 1000.0, 0) AS BIGINT))
+      |          AS BIGINT) AS x
+      |      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+      |wn AS (SELECT day, x,
+      |        CAST(max(x) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND
+      |          1 PRECEDING) AS BIGINT) AS lmax,
+      |        CAST(max(x) OVER (ORDER BY day ROWS BETWEEN 1 FOLLOWING AND
+      |          3 FOLLOWING) AS BIGINT) AS rmax,
+      |        CAST(count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND
+      |          1 PRECEDING) AS BIGINT) AS lcnt,
+      |        CAST(count(*) OVER (ORDER BY day ROWS BETWEEN 1 FOLLOWING AND
+      |          3 FOLLOWING) AS BIGINT) AS rcnt
+      |      FROM d)
+      |SELECT day, x AS value, x - greatest(lmax, rmax) AS prominence
+      |FROM wn WHERE lcnt = 3 AND rcnt = 3 AND x > lmax AND x > rmax
+      |  AND x - greatest(lmax, rmax) >= 50
+      |ORDER BY day""".stripMargin))
+
   def all: Seq[QDef] = Seq(q236, q237, q238, q239, q240, q241, q242, q243,
     q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255,
-    q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267)
+    q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267,
+    q268, q269, q270, q271)
 }

@@ -271,6 +271,48 @@ object Inference {
             lit(0.0)), 4).as("z"))
   }
 
+  /** CART-style Gini split-gain scan: for each candidate threshold t on
+    * the INTEGER feature `x`, the impurity reduction of splitting the
+    * binary label `y` at x ≤ t,
+    *
+    *   gain(t) = G(parent) − (n_L/n)·G(left) − (n_R/n)·G(right),
+    *   G = 1 − (p² + (n−p)²)/n²
+    *
+    * — the single-feature inner loop of decision-tree induction, run
+    * as ONE aggregation: each row explodes to its |T| threshold
+    * memberships and conditional long counts accumulate per threshold
+    * (map-side combinable; |T| is a literal list, so the blow-up is
+    * bounded and shuffle keys are thresholds, not rows). Gains are
+    * fixed double expressions over exact counts, sealed round(,4);
+    * empty sides yield zero weighted impurity (0/0 → the n_side=0
+    * guard), parent stats ride a 1-row broadcast. */
+  def giniSplitGain(df: DataFrame, x: Column, y: Column,
+                    thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    def gini(n: Column, p: Column): Column =
+      when(n === 0, lit(0.0)).otherwise(
+        lit(1.0) - (p.cast("double") * p + (n - p).cast("double") *
+          (n - p)) / (n.cast("double") * n))
+    val d = df.select(x.cast("long").as("x"), y.cast("long").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
+    val parent = d.agg(count(lit(1)).as("n"), sum("y").as("p"))
+    val perT = d
+      .withColumn("t", explode(array(thresholds.map(lit(_)): _*)))
+      .groupBy("t")
+      .agg(sum(when(col("x") <= col("t"), 1L).otherwise(0L)).as("nl"),
+        sum(when(col("x") <= col("t"), col("y")).otherwise(0L)).as("pl"))
+    perT.crossJoin(broadcast(parent))
+      .select(col("t").as("threshold"), col("nl").as("n_left"),
+        (col("n") - col("nl")).as("n_right"),
+        round(gini(col("n"), col("p")) -
+          col("nl").cast("double") / col("n") *
+            gini(col("nl"), col("pl")) -
+          (col("n") - col("nl")).cast("double") / col("n") *
+            gini(col("n") - col("nl"), col("p") - col("pl")), 4)
+          .as("gain"))
+      .orderBy("threshold")
+  }
+
   /** Mantel-Haenszel stratified 2×2 analysis: the common odds ratio
     * OR_MH = Σ aᵢdᵢ/nᵢ / Σ bᵢcᵢ/nᵢ and the CMH chi-square (without
     * continuity correction) across strata — "does exposure associate

@@ -23,6 +23,40 @@ object Profile {
 
   /** Per-column profile of numeric columns: (column, n_rows, n_null,
     * ndv, min_v, max_v), one row per entry of `cols`, in given order. */
+  /** Categorical diversity indices per group: Shannon entropy H (nats),
+    * Pielou evenness J = H/ln k, and Simpson's D = 1 − Σpᵢ² — the
+    * "how concentrated is this group's category mix" readout a corpus
+    * curator runs per language/source before rebalancing.
+    *
+    * One cell aggregation; margins re-aggregate from cells. Simpson is
+    * EXACT rational arithmetic ((n² − Σc²)/n²); each Shannon term
+    * quantizes to 1e-6 fixed-point before the cell-count-sized sum
+    * (the infoGain device). Single-category groups get J = NULL
+    * (ln 1 = 0 — evenness of one category is undefined, not 1). */
+  def diversityIndices(df: DataFrame, group: Column,
+                       cat: Column): DataFrame = {
+    val cells = df.select(group.as("g"), cat.as("c"))
+      .where(col("g").isNotNull && col("c").isNotNull)
+      .groupBy("g", "c").agg(count(lit(1)).as("o"))
+    val per = cells.groupBy("g")
+      .agg(sum("o").as("n"), count(lit(1)).as("k"),
+        sum(col("o") * col("o")).as("ssq"))
+    val h = cells.join(per.select(col("g"), col("n")), Seq("g"))
+      .select(col("g"),
+        round(col("o").cast("double") / col("n") *
+          log(col("o").cast("double") / col("n")) * lit(1e6), 0)
+          .cast("long").as("t"))
+      .groupBy("g").agg(sum("t").as("h6"))
+    per.join(h, Seq("g"))
+      .select(col("g").as("grp"), col("n"), col("k").as("k_categories"),
+        round(-col("h6").cast("double") / lit(1e6), 4).as("shannon_h"),
+        round(-col("h6").cast("double") / lit(1e6) /
+          nullif(log(col("k").cast("double")), lit(0.0)), 4).as("evenness"),
+        round((col("n") * col("n") - col("ssq")).cast("double") /
+          (col("n") * col("n")).cast("double"), 4).as("simpson_d"))
+      .orderBy("grp")
+  }
+
   def columnProfile(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
     require(cols.nonEmpty, "need at least one column to profile")
     val src = df.select(cols.map { case (n, c) =>

@@ -145,6 +145,32 @@ object Timeseries {
       .orderBy("g")
   }
 
+  /** Local-peak detection on a daily series: a day is a peak when its
+    * value strictly exceeds every value in the `w` days on EACH side
+    * (interior days only — a boundary day with a truncated neighborhood
+    * is reported never, not speculatively), with prominence-lite
+    * v − max(neighbors) ≥ `minProminence` cutting ripple. Windows run
+    * over the pre-aggregated daily spine (day-cardinality rows, the KS
+    * convention); all comparisons are exact longs. */
+  def peaks(daily: DataFrame, day: Column, v: Column, w: Int = 3,
+            minProminence: Long = 0L): DataFrame = {
+    require(w >= 1, "w must be >= 1")
+    val d = daily.select(day.as("day"), v.cast("long").as("x"))
+      .where(col("day").isNotNull && col("x").isNotNull)
+    val wl = Window.orderBy("day").rowsBetween(-w, -1)
+    val wr = Window.orderBy("day").rowsBetween(1, w)
+    d.withColumn("lmax", max("x").over(wl))
+      .withColumn("rmax", max("x").over(wr))
+      .withColumn("lcnt", count(lit(1)).over(wl))
+      .withColumn("rcnt", count(lit(1)).over(wr))
+      .where(col("lcnt") === w && col("rcnt") === w &&
+        col("x") > col("lmax") && col("x") > col("rmax") &&
+        col("x") - greatest(col("lmax"), col("rmax")) >= minProminence)
+      .select(col("day"), col("x").as("value"),
+        (col("x") - greatest(col("lmax"), col("rmax"))).as("prominence"))
+      .orderBy("day")
+  }
+
   /** Burstiness report per key over the FULL epoch-day spine between
     * the global min and max day (zero days count — a key active one
     * day a month is bursty precisely because of its silent days):

@@ -72,4 +72,44 @@ class HazardBurstSpec extends SparkSpec {
     assert(r("A") == ((3L, 0.6667, -0.101)))
     assert(r("B") == ((3L, 0.0, -1.0)))
   }
+
+  test("diversityIndices: even two-category mix vs single-category group") {
+    val df = Seq(("g", "a"), ("g", "a"), ("g", "b"), ("g", "b"),
+      ("h", "a"), ("h", "a")).toDF("grp", "cat")
+    val r = Profile.diversityIndices(df, col("grp"), col("cat"))
+      .collect()
+    val g = r.find(_.getString(0) == "g").get
+    assert(g.getAs[Double]("shannon_h") == 0.6931)
+    assert(g.getAs[Double]("evenness") == 1.0)
+    assert(g.getAs[Double]("simpson_d") == 0.5)
+    val h = r.find(_.getString(0) == "h").get
+    assert(h.getAs[Double]("shannon_h") == 0.0)
+    assert(h.isNullAt(h.fieldIndex("evenness")),
+      "single category: evenness undefined, not 1")
+    assert(h.getAs[Double]("simpson_d") == 0.0)
+  }
+
+  test("giniSplitGain: perfect split gains full parent impurity; " +
+      "empty-side split gains nothing") {
+    val df = Seq((1L, 1L), (1L, 1L), (2L, 0L), (2L, 0L)).toDF("x", "y")
+    val r = Inference.giniSplitGain(df, col("x"), col("y"),
+        thresholds = Seq(0L, 1L)).collect()
+      .map(x => x.getAs[Long]("threshold") -> x.getAs[Double]("gain"))
+      .toMap
+    assert(r(1L) == 0.5, "x<=1 separates classes perfectly")
+    assert(r(0L) == 0.0, "empty left side cannot gain")
+  }
+
+  test("peaks: interior peak found with prominence; shoulders and " +
+      "boundaries are not peaks") {
+    val df = (1 to 9).zip(Seq(1L, 1L, 1L, 5L, 9L, 5L, 1L, 1L, 1L))
+      .toDF("day", "x")
+    val r3 = Timeseries.peaks(df, col("day"), col("x"), w = 3,
+      minProminence = 3L).collect()
+    assert(r3.length == 1)
+    assert(r3(0).getAs[Int]("day") == 5 &&
+      r3(0).getAs[Long]("prominence") == 4L)
+    assert(Timeseries.peaks(df, col("day"), col("x"), w = 3,
+      minProminence = 5L).count() == 0L)
+  }
 }

@@ -65,7 +65,8 @@ class PlanAuditSpec extends SparkSpec {
     "q264_nelson_aalen", // 1-row obs-end + subject-total broadcasts
     "q265_ancova", // 1-row pooled-moments broadcast
     "q266_tfidf_cosine_pairs", // 1-row doc-count broadcast
-    "q267_burstiness") // 1-row day-span broadcast
+    "q267_burstiness", // 1-row day-span broadcast
+    "q270_gini_split_gain") // 1-row parent-stats broadcast
 
   test("rank-filter pattern gets WindowGroupLimit pushdown (per-partition top-k, not full sort)") {
     import org.apache.spark.sql.functions._
