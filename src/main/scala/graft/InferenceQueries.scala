@@ -1294,8 +1294,137 @@ object InferenceQueries {
       |  AND x - greatest(lmax, rmax) >= 50
       |ORDER BY day""".stripMargin))
 
+  /** [[LanguageModel.ngramNovelty]]: per-document fresh-vocabulary
+    * fraction — first-appearance attribution via one gram→min-doc
+    * aggregation. */
+  private val q272 = QDef("q272_ngram_novelty",
+    (s, dir) => LanguageModel.ngramNovelty(T(s, dir, "documents"),
+      col("doc_id"), col("text")),
+    Some("""WITH g AS (SELECT doc_id,
+      |        unnest(list_distinct(string_split(text, ' '))) AS gm
+      |      FROM documents WHERE doc_id IS NOT NULL),
+      |f AS (SELECT gm, CAST(min(doc_id) AS BIGINT) AS fd FROM g
+      |      GROUP BY 1),
+      |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_types,
+      |        CAST(sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS n_new
+      |      FROM g JOIN f USING (gm) GROUP BY 1)
+      |SELECT doc_id, n_types, n_new,
+      |  round(CAST(n_new AS DOUBLE) / n_types, 4) AS novelty
+      |FROM a ORDER BY doc_id""".stripMargin))
+
+  /** [[Trend.winsorizedStats]]: per-nation balance stats with the tails
+    * pinned to integer-rounded p5/p95 fences — clamped longs keep the
+    * sums exact. */
+  private val q273 = QDef("q273_winsorized_stats",
+    (s, dir) => Trend.winsorizedStats(
+      T(s, dir, "customer")
+        .join(T(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey")),
+      col("n_name"), expr("CAST(round(c_acctbal, 0) AS BIGINT)"),
+      p = 0.05),
+    Some("""WITH d AS (SELECT n_name AS g,
+      |        CAST(round(c_acctbal, 0) AS BIGINT) AS v
+      |      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |      WHERE n_name IS NOT NULL AND c_acctbal IS NOT NULL),
+      |f AS (SELECT g, CAST(round(quantile_cont(v, 0.05), 0) AS BIGINT)
+      |          AS lo,
+      |        CAST(round(quantile_cont(v, 0.95), 0) AS BIGINT) AS hi
+      |      FROM d GROUP BY 1),
+      |w AS (SELECT d.g AS g, lo, hi, least(greatest(v, lo), hi) AS w,
+      |        v < lo AS cl, v > hi AS ch
+      |      FROM d JOIN f ON d.g = f.g),
+      |a AS (SELECT g, CAST(count(*) AS BIGINT) AS n, min(lo) AS lo,
+      |        min(hi) AS hi, CAST(sum(w) AS BIGINT) AS s,
+      |        CAST(sum(w * w) AS BIGINT) AS ss,
+      |        CAST(sum(CASE WHEN cl THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS n_clamped_low,
+      |        CAST(sum(CASE WHEN ch THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS n_clamped_high
+      |      FROM w GROUP BY 1)
+      |SELECT g, n, lo, hi, n_clamped_low, n_clamped_high,
+      |  round(CAST(s AS DOUBLE) / n, 4) AS wins_mean,
+      |  round(sqrt(CAST(n * ss - s * s AS DOUBLE) /
+      |    nullif(CAST(n * (n - 1) AS DOUBLE), 0.0)), 4) AS wins_sd
+      |FROM a ORDER BY g""".stripMargin))
+
+  /** [[LanguageModel.heapsLaw]]: vocabulary-growth exponent over the
+    * doc_id-ordered corpus prefix — β collapse flags a circular crawl. */
+  private val q274 = QDef("q274_heaps_law",
+    (s, dir) => LanguageModel.heapsLaw(T(s, dir, "documents"),
+      col("doc_id"), col("text")),
+    Some("""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS nt,
+      |        list_distinct(string_split(text, ' ')) AS dk
+      |      FROM documents WHERE doc_id IS NOT NULL),
+      |nw AS (SELECT fd AS doc_id, CAST(count(*) AS BIGINT) AS nv
+      |       FROM (SELECT gm, min(doc_id) AS fd
+      |             FROM (SELECT doc_id, unnest(dk) AS gm FROM t)
+      |             GROUP BY 1)
+      |       GROUP BY 1),
+      |c AS (SELECT t.doc_id AS doc_id, CAST(nt AS BIGINT) AS nt,
+      |        coalesce(nv, 0) AS nv
+      |      FROM t LEFT JOIN nw ON t.doc_id = nw.doc_id),
+      |cu AS (SELECT CAST(sum(nt) OVER w AS BIGINT) AS bn,
+      |        CAST(sum(nv) OVER w AS BIGINT) AS bv
+      |      FROM c WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)),
+      |pt AS (SELECT CAST(round(ln(CAST(bn AS DOUBLE)) * 1000.0, 0)
+      |          AS BIGINT) AS x,
+      |        CAST(round(ln(CAST(bv AS DOUBLE)) * 1000.0, 0) AS BIGINT)
+      |          AS y
+      |      FROM cu WHERE bn > 0 AND bv > 0),
+      |su AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |        CAST(sum(x * y) AS BIGINT) AS sxy,
+      |        CAST(sum(x * x) AS BIGINT) AS sxx FROM pt)
+      |SELECT n AS n_docs,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0.0), 4) AS beta,
+      |  round((CAST(sy AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sxy) /
+      |    nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0.0) / 1000.0, 4)
+      |    AS ln_k
+      |FROM su""".stripMargin))
+
+  /** [[Inference.icc1]]: how much of event value variance is explained
+    * by event type — one-way random-effects ICC with the unbalanced-n₀
+    * correction. */
+  private val q275 = QDef("q275_icc",
+    (s, dir) => Inference.icc1(
+      T(s, dir, "events")
+        .where(col("event_type").isNotNull && col("value").isNotNull),
+      col("event_type"),
+      expr("CAST(round(value * 100, 0) AS BIGINT)")),
+    Some("""WITH d AS (SELECT event_type AS g,
+      |        CAST(round(value * 100, 0) AS BIGINT) AS v
+      |      FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+      |pg AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(v) AS BIGINT) AS s,
+      |        CAST(sum(v * v) AS BIGINT) AS ss FROM d GROUP BY 1),
+      |t AS (SELECT n, s, ss,
+      |        CAST(round(CAST(s AS DOUBLE) * s / n * 10000.0, 0) AS BIGINT)
+      |          AS tg FROM pg),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT)
+      |          AS n,
+      |        CAST(sum(s) AS BIGINT) AS st, CAST(sum(ss) AS BIGINT) AS sst,
+      |        CAST(sum(tg) AS BIGINT) AS stg,
+      |        CAST(sum(n * n) AS BIGINT) AS snn FROM t),
+      |b AS (SELECT k, n, snn, stg, sst,
+      |        CAST(round(CAST(st AS DOUBLE) * st / n * 10000.0, 0)
+      |          AS BIGINT) AS tall FROM a),
+      |m AS (SELECT k, n,
+      |        CAST(stg - tall AS DOUBLE) / 10000.0 /
+      |          nullif(CAST(k - 1 AS DOUBLE), 0.0) AS msb,
+      |        CAST(sst * 10000 - stg AS DOUBLE) / 10000.0 /
+      |          nullif(CAST(n - k AS DOUBLE), 0.0) AS msw,
+      |        (CAST(n AS DOUBLE) - CAST(snn AS DOUBLE) / n) /
+      |          nullif(CAST(k - 1 AS DOUBLE), 0.0) AS n0
+      |       FROM b)
+      |SELECT k AS k_groups, n AS n_rows, round(n0, 4) AS n0,
+      |  round((msb - msw) / nullif(msb + (n0 - 1.0) * msw, 0.0), 4)
+      |    AS icc1
+      |FROM m""".stripMargin))
+
   def all: Seq[QDef] = Seq(q236, q237, q238, q239, q240, q241, q242, q243,
     q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255,
     q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267,
-    q268, q269, q270, q271)
+    q268, q269, q270, q271, q272, q273, q274, q275)
 }

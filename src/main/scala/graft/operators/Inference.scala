@@ -77,6 +77,43 @@ object Inference {
             lit(0.0)), 4).as("f_stat"))
   }
 
+  /** Intraclass correlation ICC(1) — one-way random-effects reliability:
+    * how much of the metric's variance lives BETWEEN groups,
+    *
+    *   ICC = (MSB − MSW) / (MSB + (n₀ − 1)·MSW),
+    *   n₀ = (N − Σn_g²/N) / (k − 1)
+    *
+    * from the same per-group (n, Σv, Σv²) exact long sums as
+    * [[anovaF]] (fixed-point s²/n terms, one extra Σn_g² long), with
+    * the unbalanced-design n₀ correction. One grouped pass + a k-row
+    * reduction; NULL on k ≤ 1 or zero within-variance denominators. */
+  def icc1(df: DataFrame, group: Column, v: Column): DataFrame = {
+    val d = df.select(group.as("g"), v.cast("long").as("v"))
+      .where(col("g").isNotNull && col("v").isNotNull)
+    val per = d.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"),
+        sum(col("v") * col("v")).as("ss"))
+      .select(col("n"), col("s"), col("ss"),
+        ssTerm(col("s"), col("n")).as("tg"))
+    per.agg(count(lit(1)).as("k"), sum("n").as("n"), sum("s").as("st"),
+        sum("ss").as("sst"), sum("tg").as("stg"),
+        sum(col("n") * col("n")).as("snn"))
+      .select(col("k"), col("n"),
+        ((col("stg") - ssTerm(col("st"), col("n"))).cast("double") /
+          lit(1e4) /
+          nullif((col("k") - 1).cast("double"), lit(0.0))).as("msb"),
+        ((col("sst") * lit(10000L) - col("stg")).cast("double") / lit(1e4) /
+          nullif((col("n") - col("k")).cast("double"), lit(0.0))).as("msw"),
+        ((col("n").cast("double") -
+          col("snn").cast("double") / col("n")) /
+          nullif((col("k") - 1).cast("double"), lit(0.0))).as("n0"))
+      .select(col("k").as("k_groups"), col("n").as("n_rows"),
+        round(col("n0"), 4).as("n0"),
+        round((col("msb") - col("msw")) /
+          nullif(col("msb") + (col("n0") - lit(1.0)) * col("msw"),
+            lit(0.0)), 4).as("icc1"))
+  }
+
   /** Brown-Forsythe robust ANOVA: one-way ANOVA on the absolute
     * deviations from each group's MEDIAN — the heteroscedasticity /
     * heavy-tail-safe location test (a significant F here means the

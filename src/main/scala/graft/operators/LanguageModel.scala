@@ -200,6 +200,77 @@ object LanguageModel {
       .limit(k)
   }
 
+  /** Per-document type novelty: the fraction of a document's DISTINCT
+    * tokens that no lower-doc_id document contains — the freshness
+    * curve a dataset builder watches to see when a crawl stops adding
+    * vocabulary. One (gram → min doc_id) aggregation attributes each
+    * type to its first document; a gram-keyed join back and one
+    * per-doc count close it out. Novelty is one division of exact
+    * counts, sealed round(,4). */
+  def ngramNovelty(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val grams = df.select(id.as("doc_id"),
+        explode(array_distinct(split(text, " "))).as("g"))
+      .where(col("doc_id").isNotNull)
+    val first = grams.groupBy("g").agg(min("doc_id").as("fd"))
+    grams.join(first, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_types"),
+        sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_new"))
+      .select(col("doc_id"), col("n_types"), col("n_new"),
+        round(col("n_new").cast("double") / col("n_types"), 4)
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  /** Heaps'-law fit V(N) ≈ K·N^β over the doc_id-ordered corpus
+    * prefix: cumulative token count N and cumulative distinct-type
+    * count V per document (new types attributed to their min-doc_id
+    * first appearance — the [[ngramNovelty]] device), then the
+    * closed-form OLS of ln V on ln N with both logs quantized to
+    * 1e-3 fixed-point longs so the power sums are exact (β unitless,
+    * scales cancel; ln K recovers from the intercept / 1e3).
+    * Cumulative windows run over the per-DOC table (doc-cardinality
+    * rows, the KS convention). β ≈ 0.5–0.7 for natural text; a crawl
+    * gone circular shows β collapsing. */
+  def heapsLaw(df: DataFrame, id: Column, text: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(id.as("doc_id"), split(text, " ").as("tk"))
+      .where(col("doc_id").isNotNull)
+      .select(col("doc_id"), size(col("tk")).cast("long").as("nt"),
+        array_distinct(col("tk")).as("dk"))
+    val newTypes = toks.select(col("doc_id"), explode(col("dk")).as("g"))
+      .groupBy("g").agg(min("doc_id").as("fd"))
+      .groupBy(col("fd").as("doc_id")).agg(count(lit(1)).as("nv"))
+    val wCum = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val pts = toks.select(col("doc_id"), col("nt"))
+      .join(newTypes, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("nt"),
+        coalesce(col("nv"), lit(0L)).as("nv"))
+      .select(sum("nt").over(wCum).as("bn"), sum("nv").over(wCum).as("bv"))
+      .where(col("bn") > 0 && col("bv") > 0)
+      .select(round(log(col("bn").cast("double")) * lit(1e3), 0)
+          .cast("long").as("x"),
+        round(log(col("bv").cast("double")) * lit(1e3), 0)
+          .cast("long").as("y"))
+    pts.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n").as("n_docs"),
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          nullif((col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("double"), lit(0.0)), 4).as("beta"),
+        // sy·sxx would overflow Long at corpus scale (ln-sums × power
+        // sums) — take the products in double (exact-integer-valued
+        // inputs, single IEEE ops, mirrored in the oracle)
+        round((col("sy").cast("double") * col("sxx") -
+          col("sx").cast("double") * col("sxy")) /
+          nullif((col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("double"), lit(0.0)) / lit(1e3), 4).as("ln_k"))
+  }
+
   /** Multinomial naive-Bayes classification of documents into the
     * classes observed on `cls`, reported as a confusion matrix
     * (true class, predicted class, doc count) — train-on-all /

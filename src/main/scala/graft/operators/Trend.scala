@@ -103,6 +103,44 @@ object Trend {
         count(lit(1)).as("n"))
   }
 
+  /** Winsorized location/scale per group: clamp an INTEGER metric at
+    * the (p, 1−p) exact percentiles ROUNDED TO LONGS, then mean and
+    * sample sd of the clamped values — the keep-the-rows robust
+    * sibling of the trimmed stats (q179 drops tail rows; winsorizing
+    * pins them to the fence, preserving n).
+    *
+    * Rounding the fences to integers is what keeps determinism: the
+    * clamped column stays exact longs, so Σ and Σ² are
+    * order-independent — clamping at the raw interpolated percentile
+    * would re-introduce order-dependent double sums. Two passes
+    * (percentiles broadcast back), one counting aggregation. */
+  def winsorizedStats(df: DataFrame, group: Column, v: Column,
+                      p: Double = 0.05): DataFrame = {
+    require(p > 0 && p < 0.5, "p must be in (0, 0.5)")
+    val g = df.select(group.as("g"), v.cast("long").as("v"))
+      .where(col("g").isNotNull && col("v").isNotNull)
+    val fences = g.groupBy("g")
+      .agg(round(percentile(col("v"), lit(p)), 0).cast("long").as("lo"),
+        round(percentile(col("v"), lit(1 - p)), 0).cast("long").as("hi"))
+    g.join(broadcast(fences), "g")
+      .select(col("g"), col("lo"), col("hi"),
+        least(greatest(col("v"), col("lo")), col("hi")).as("w"),
+        (col("v") < col("lo")).as("cl"), (col("v") > col("hi")).as("ch"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), min("lo").as("lo"), min("hi").as("hi"),
+        sum("w").as("s"), sum(col("w") * col("w")).as("ss"),
+        sum(when(col("cl"), 1L).otherwise(0L)).as("n_clamped_low"),
+        sum(when(col("ch"), 1L).otherwise(0L)).as("n_clamped_high"))
+      .select(col("g"), col("n"), col("lo"), col("hi"),
+        col("n_clamped_low"), col("n_clamped_high"),
+        round(col("s").cast("double") / col("n"), 4).as("wins_mean"),
+        round(sqrt((col("n") * col("ss") - col("s") * col("s"))
+          .cast("double") /
+          nullif((col("n") * (col("n") - 1)).cast("double"), lit(0.0))), 4)
+          .as("wins_sd"))
+      .orderBy("g")
+  }
+
   /** Tukey-fence (IQR) outlier report per group: exact quartiles,
     * fences Q1 − k·IQR / Q3 + k·IQR, and counts beyond each fence —
     * the box-plot rule, the quartile sibling of [[madOutliers]] (same
