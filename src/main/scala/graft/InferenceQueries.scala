@@ -1423,8 +1423,123 @@ object InferenceQueries {
       |    AS icc1
       |FROM m""".stripMargin))
 
+  /** [[LanguageModel.klPerSource]]: which sources diverge most from
+    * the corpus blend — add-1 KL over the full vocab×source spine,
+    * 1e-9 fixed-point terms. */
+  private val q276 = QDef("q276_kl_sources",
+    (s, dir) => LanguageModel.klPerSource(T(s, dir, "documents"),
+      col("text"), col("source")),
+    Some("""WITH tok AS (SELECT source AS src,
+      |        unnest(string_split(text, ' ')) AS t
+      |      FROM documents WHERE source IS NOT NULL),
+      |ce AS (SELECT src, t, CAST(count(*) AS BIGINT) AS c FROM tok
+      |       GROUP BY 1, 2),
+      |vb AS (SELECT t, CAST(sum(c) AS BIGINT) AS tot FROM ce GROUP BY 1),
+      |sr AS (SELECT src AS ksrc, CAST(sum(c) AS BIGINT) AS nsrc FROM ce
+      |       GROUP BY 1),
+      |tt AS (SELECT CAST(sum(tot) AS BIGINT) AS nn,
+      |        CAST(count(*) AS BIGINT) AS v FROM vb),
+      |sp AS (SELECT vb.t AS t, tot, ksrc, nsrc, nn, v, ce.c AS c
+      |      FROM vb CROSS JOIN sr CROSS JOIN tt
+      |      LEFT JOIN ce ON ce.t = vb.t AND ce.src = ksrc),
+      |tm AS (SELECT ksrc, nsrc,
+      |        CAST(round((CAST(coalesce(c, 0) + 1 AS DOUBLE) / (nsrc + v)) *
+      |          ln((CAST(coalesce(c, 0) + 1 AS DOUBLE) / (nsrc + v)) /
+      |             (CAST(tot + 1 AS DOUBLE) / (nn + v))) * 1000000000.0, 0)
+      |          AS BIGINT) AS t9
+      |      FROM sp),
+      |ag AS (SELECT ksrc, nsrc, CAST(sum(t9) AS BIGINT) AS kl9 FROM tm
+      |       GROUP BY 1, 2)
+      |SELECT ksrc AS source, nsrc AS n_tokens,
+      |  round(CAST(kl9 AS DOUBLE) / 1000000000.0, 4) AS kl_from_corpus
+      |FROM ag ORDER BY source""".stripMargin))
+
+  /** [[Timeseries.runsTest]]: is daily revenue's above/below-median
+    * sign sequence random — the Wald-Wolfowitz regime check. */
+  private val q277 = QDef("q277_runs_test",
+    (s, dir) => Timeseries.runsTest(
+      T(s, dir, "orders").where(col("o_orderdate").isNotNull)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(expr("CAST(round(o_totalprice / 1000.0, 0) AS BIGINT)"))
+          .as("x")),
+      col("day"), col("x")),
+    Some("""WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+      |        CAST(sum(CAST(round(o_totalprice / 1000.0, 0) AS BIGINT))
+      |          AS BIGINT) AS x
+      |      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+      |m AS (SELECT median(x) AS m FROM d),
+      |s AS (SELECT day, x > m AS up FROM d CROSS JOIN m
+      |      WHERE CAST(x AS DOUBLE) <> m),
+      |l AS (SELECT up, lag(up) OVER (ORDER BY day) AS prev FROM s),
+      |a AS (SELECT CAST(sum(CASE WHEN up THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS n1,
+      |        CAST(sum(CASE WHEN NOT up THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS n2,
+      |        CAST(sum(CASE WHEN prev IS NULL OR prev <> up THEN 1
+      |          ELSE 0 END) AS BIGINT) AS r FROM l)
+      |SELECT n1 AS n_above, n2 AS n_below, r AS n_runs,
+      |  round((CAST(r AS DOUBLE) - (1.0 + 2.0 * n1 * n2 / (n1 + n2))) /
+      |    nullif(sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) /
+      |      (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1))), 0.0),
+      |    4) AS z
+      |FROM a""".stripMargin))
+
+  /** [[LanguageModel.keynessG2]]: Dunning G² keyness of the English
+    * slice vs the rest — top-25 most distinctive terms either way. */
+  private val q278 = QDef("q278_keyness_g2",
+    (s, dir) => LanguageModel.keynessG2(
+      T(s, dir, "documents")
+        .where(col("lang").isNotNull && col("text").isNotNull),
+      col("text"), col("lang") === "en", k = 25),
+    Some("""WITH tok AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+      |          AS tgt,
+      |        unnest(string_split(text, ' ')) AS t
+      |      FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL),
+      |vb AS (SELECT t, CAST(sum(tgt) AS BIGINT) AS a,
+      |        CAST(sum(1 - tgt) AS BIGINT) AS b FROM tok GROUP BY 1),
+      |tt AS (SELECT CAST(sum(a) AS BIGINT) AS nt,
+      |        CAST(sum(b) AS BIGINT) AS nr FROM vb),
+      |g AS (SELECT t AS term, a, b,
+      |        round(2.0 * (
+      |          (CASE WHEN a > 0 THEN CAST(a AS DOUBLE) *
+      |            ln(a / (CAST(nt AS DOUBLE) * (a + b) / (nt + nr)))
+      |           ELSE 0.0 END) +
+      |          (CASE WHEN b > 0 THEN CAST(b AS DOUBLE) *
+      |            ln(b / (CAST(nr AS DOUBLE) * (a + b) / (nt + nr)))
+      |           ELSE 0.0 END)), 4) AS g2,
+      |        CASE WHEN a * nr > b * nt THEN 'over' ELSE 'under' END
+      |          AS direction
+      |      FROM vb CROSS JOIN tt)
+      |SELECT term, a, b, g2, direction FROM g
+      |ORDER BY g2 DESC, term LIMIT 25""".stripMargin))
+
+  /** [[Sketches.captureRecapture]]: Chapman estimate of the customer
+    * ID-space size from two 40% hash captures, with the true distinct
+    * count riding along to validate the estimator. */
+  private val q279 = QDef("q279_capture_recapture",
+    (s, dir) => Sketches.captureRecapture(T(s, dir, "customer"),
+      col("c_custkey"), pct1 = 40, pct2 = 40),
+    Some("""WITH k AS (SELECT DISTINCT c_custkey AS k FROM customer
+      |      WHERE c_custkey IS NOT NULL),
+      |f AS (SELECT
+      |    CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || 'cr1'), 1, 15))
+      |      AS BIGINT) % 100 < 40 AS s1,
+      |    CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || 'cr2'), 1, 15))
+      |      AS BIGINT) % 100 < 40 AS s2
+      |   FROM k)
+      |SELECT CAST(count(*) AS BIGINT) AS n_true,
+      |  CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |  CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |  CAST(sum(CASE WHEN s1 AND s2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS overlap,
+      |  round(CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) + 1 AS DOUBLE) *
+      |    (sum(CASE WHEN s2 THEN 1 ELSE 0 END) + 1) /
+      |    (sum(CASE WHEN s1 AND s2 THEN 1 ELSE 0 END) + 1) - 1.0, 4)
+      |    AS n_hat
+      |FROM f""".stripMargin))
+
   def all: Seq[QDef] = Seq(q236, q237, q238, q239, q240, q241, q242, q243,
     q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255,
     q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267,
-    q268, q269, q270, q271, q272, q273, q274, q275)
+    q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279)
 }

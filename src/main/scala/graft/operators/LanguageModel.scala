@@ -200,6 +200,79 @@ object LanguageModel {
       .limit(k)
   }
 
+  /** Per-source KL divergence from the corpus unigram distribution —
+    * which sources speak a different language than the blend they feed?
+    * Add-1 smoothing over the GLOBAL vocabulary on both sides, and the
+    * per-source sum runs over the FULL vocab × source spine (absent
+    * terms carry p = 1/(n_src+V) mass — dropping them would understate
+    * divergence exactly for narrow sources). Each p·ln(p/q) term is
+    * quantized to 1e-9 fixed-point (terms are tiny — 1e-6 would floor
+    * most of the vocabulary to zero) before the exact per-source sum.
+    * Spine size is vocab × |sources| — bounded by vocabulary growth,
+    * not corpus rows. */
+  def klPerSource(df: DataFrame, text: Column, group: Column): DataFrame = {
+    val tok = df.select(group.as("src"), explode(split(text, " ")).as("t"))
+      .where(col("src").isNotNull)
+    val cells = tok.groupBy("src", "t").agg(count(lit(1)).as("c"))
+    val vocab = cells.groupBy("t").agg(sum("c").as("tot"))
+    val srcs = cells.groupBy(col("src").as("ksrc"))
+      .agg(sum("c").as("nsrc"))
+    val tots = vocab.agg(sum("tot").as("nn"), count(lit(1)).as("v"))
+    val p = (coalesce(col("c"), lit(0L)) + 1).cast("double") /
+      (col("nsrc") + col("v"))
+    val q = (col("tot") + 1).cast("double") / (col("nn") + col("v"))
+    vocab.as("vb").crossJoin(broadcast(srcs)).crossJoin(broadcast(tots))
+      .join(cells.as("ce"),
+        col("vb.t") === col("ce.t") && col("ksrc") === col("ce.src"),
+        "left")
+      .select(col("ksrc"), col("nsrc"),
+        round(p * log(p / q) * lit(1e9), 0).cast("long").as("t9"))
+      .groupBy("ksrc", "nsrc").agg(sum("t9").as("kl9"))
+      .select(col("ksrc").as("source"), col("nsrc").as("n_tokens"),
+        round(col("kl9").cast("double") / lit(1e9), 4).as("kl_from_corpus"))
+      .orderBy("source")
+  }
+
+  /** Dunning log-likelihood (G²) keyness: which terms are most
+    * over/under-represented in the TARGET slice vs the rest of the
+    * corpus — the statistically-grounded upgrade of raw tf-idf
+    * contrast (G² ≈ 3.84 is p 0.05 at 1 df), the corpus-linguistics
+    * standard for "what makes this slice sound like itself".
+    *
+    *   G² = 2·(a·ln(a/E_a) + b·ln(b/E_b)),
+    *   E_a = N_T·(a+b)/N,  E_b = N_R·(a+b)/N
+    *
+    * One vocab aggregation with conditional target counts (no second
+    * corpus pass); each term's G² is a fixed double expression over
+    * exact longs (0·ln 0 terms drop via a>0/b>0 guards), ranked on the
+    * ROUNDED statistic with a term tie-break so the top-k set is
+    * engine-stable; direction compares a·N_R vs b·N_T in exact
+    * integers. */
+  def keynessG2(df: DataFrame, text: Column, isTarget: Column,
+                k: Int): DataFrame = {
+    val tok = df.select(isTarget.cast("long").as("tgt"),
+      explode(split(text, " ")).as("t"))
+    val vocab = tok.groupBy("t")
+      .agg(sum("tgt").as("a"), sum(lit(1L) - col("tgt")).as("b"))
+    val tots = vocab.agg(sum("a").as("nt"), sum("b").as("nr"))
+    val ea = col("nt").cast("double") * (col("a") + col("b")) /
+      (col("nt") + col("nr"))
+    val eb = col("nr").cast("double") * (col("a") + col("b")) /
+      (col("nt") + col("nr"))
+    vocab.crossJoin(broadcast(tots))
+      .select(col("t").as("term"), col("a"), col("b"),
+        round(lit(2.0) *
+          (when(col("a") > 0,
+            col("a").cast("double") * log(col("a") / ea)).otherwise(0.0) +
+          when(col("b") > 0,
+            col("b").cast("double") * log(col("b") / eb)).otherwise(0.0)),
+          4).as("g2"),
+        when(col("a") * col("nr") > col("b") * col("nt"), "over")
+          .otherwise("under").as("direction"))
+      .orderBy(desc("g2"), col("term"))
+      .limit(k)
+  }
+
   /** Per-document type novelty: the fraction of a document's DISTINCT
     * tokens that no lower-doc_id document contains — the freshness
     * curve a dataset builder watches to see when a crawl stops adding

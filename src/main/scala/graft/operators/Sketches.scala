@@ -261,4 +261,36 @@ object Sketches {
             lit(64.0) * log(lit(64.0) / col("zero_buckets").cast("double")))
           .otherwise(col("raw")), 4).as("est_distinct"))
   }
+
+  /** Capture-recapture population estimate (Chapman's bias-corrected
+    * Lincoln-Petersen): two INDEPENDENT deterministic hash samples of
+    * the key universe play the two "captures", and
+    *
+    *   N̂ = (n₁+1)(n₂+1)/(m+1) − 1
+    *
+    * estimates the total distinct-key count from the overlap m alone —
+    * the cheap estimator for "how big is this ID space really" when a
+    * full distinct count is too expensive to run twice a day. One
+    * distinct pass + one aggregation of three conditional sums; the
+    * true distinct count rides along so the fixture validates the
+    * estimator's error honestly. Samples hash with different salts, so
+    * membership is engine-identical and genuinely independent. */
+  def captureRecapture(df: DataFrame, key: Column, pct1: Int,
+                       pct2: Int): DataFrame = {
+    require(pct1 > 0 && pct1 <= 100 && pct2 > 0 && pct2 <= 100,
+      "sample percentages must be in (0, 100]")
+    val keys = df.select(key.as("k")).where(col("k").isNotNull).distinct()
+    val flagged = keys.select(
+      (pmod(Dedup.hash60(concat(col("k").cast("string"), lit("cr1"))),
+        lit(100L)) < pct1).as("s1"),
+      (pmod(Dedup.hash60(concat(col("k").cast("string"), lit("cr2"))),
+        lit(100L)) < pct2).as("s2"))
+    flagged.agg(count(lit(1)).as("n_true"),
+        sum(when(col("s1"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("s2"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("s1") && col("s2"), 1L).otherwise(0L)).as("m"))
+      .select(col("n_true"), col("n1"), col("n2"), col("m").as("overlap"),
+        round((col("n1") + 1).cast("double") * (col("n2") + 1) /
+          (col("m") + 1) - lit(1.0), 4).as("n_hat"))
+  }
 }

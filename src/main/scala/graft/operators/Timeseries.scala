@@ -145,6 +145,41 @@ object Timeseries {
       .orderBy("g")
   }
 
+  /** Wald-Wolfowitz runs test on a daily series: are above-median and
+    * below-median days randomly interleaved, or does the series cling
+    * to one side (trend/regime) or flip-flop (over-dispersion)?
+    * Days equal to the exact median are excluded (the standard
+    * convention — they carry no sign). Runs count via one lag
+    * comparison over the pre-aggregated daily spine; n₁/n₂/R are exact
+    * longs and z = (R − E)/√V is closed-form singles,
+    * E = 1 + 2n₁n₂/n, V = 2n₁n₂(2n₁n₂ − n)/(n²(n−1)). NULL z on a
+    * one-sided series. */
+  def runsTest(daily: DataFrame, day: Column, v: Column): DataFrame = {
+    val d = daily.select(day.as("day"), v.cast("long").as("x"))
+      .where(col("day").isNotNull && col("x").isNotNull)
+    val med = d.agg(percentile(col("x"), lit(0.5)).as("m"))
+    val signed = d.crossJoin(broadcast(med))
+      .where(col("x").cast("double") =!= col("m"))
+      .select(col("day"), (col("x") > col("m")).as("up"))
+    val lagged = signed.withColumn("prev",
+      lag(col("up"), 1).over(Window.orderBy("day")))
+    lagged.agg(
+        sum(when(col("up"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("up"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("prev").isNull || col("prev") =!= col("up"), 1L)
+          .otherwise(0L)).as("r"))
+      .select(col("n1").as("n_above"), col("n2").as("n_below"),
+        col("r").as("n_runs"),
+        round((col("r").cast("double") -
+          (lit(1.0) + lit(2.0) * col("n1") * col("n2") /
+            (col("n1") + col("n2")))) /
+          nullif(sqrt(lit(2.0) * col("n1") * col("n2") *
+            (lit(2.0) * col("n1") * col("n2") - col("n1") - col("n2")) /
+            ((col("n1") + col("n2")).cast("double") *
+              (col("n1") + col("n2")) *
+              (col("n1") + col("n2") - 1))), lit(0.0)), 4).as("z"))
+  }
+
   /** Local-peak detection on a daily series: a day is a peak when its
     * value strictly exceeds every value in the `w` days on EACH side
     * (interior days only — a boundary day with a truncated neighborhood

@@ -66,7 +66,10 @@ class PlanAuditSpec extends SparkSpec {
     "q265_ancova", // 1-row pooled-moments broadcast
     "q266_tfidf_cosine_pairs", // 1-row doc-count broadcast
     "q267_burstiness", // 1-row day-span broadcast
-    "q270_gini_split_gain") // 1-row parent-stats broadcast
+    "q270_gini_split_gain", // 1-row parent-stats broadcast
+    "q276_kl_sources", // source-list + 1-row totals broadcasts
+    "q277_runs_test", // 1-row median broadcast
+    "q278_keyness_g2") // 1-row target/rest-totals broadcast
 
   test("rank-filter pattern gets WindowGroupLimit pushdown (per-partition top-k, not full sort)") {
     import org.apache.spark.sql.functions._
