@@ -1184,10 +1184,11 @@ object InferenceQueries {
       |    AS simpson_d
       |FROM pg JOIN h ON pg.g = h.g ORDER BY grp""".stripMargin))
 
-  /** Per-brand price elasticity of demand: [[Trend.olsTrend]] on
+  /** Per-brand price elasticity of demand: closed-form OLS on
     * 1e-3-quantized ln(price) vs ln(quantity) — the log-log slope IS
-    * the elasticity (quantization scales cancel). Coarse enough that
-    * n·Σx² stays long-safe at the fixture SFs. */
+    * the elasticity (quantization scales cancel). Slope products stay
+    * long-exact; the intercept numerator runs in double space (ln-sums
+    * × power sums overflow the all-long olsTrend form at sf0.1+). */
   private val q269 = QDef("q269_price_elasticity",
     (s, dir) => {
       val e = T(s, dir, "lineitem")
@@ -1199,9 +1200,22 @@ object InferenceQueries {
             .cast("double")) * lit(1e3), 0).cast("long").as("x"),
           round(log(expr("CAST(l_quantity AS BIGINT)").cast("double")) *
             lit(1e3), 0).cast("long").as("y"))
-      Trend.olsTrend(e, col("p_brand"), col("x"), col("y"))
-        .select(col("g").as("brand"), col("n"),
-          col("slope").as("elasticity"), col("intercept"))
+      // inline OLS: ln-scale sums are too large for olsTrend's all-long
+      // intercept products (sy·sxx overflowed at sf0.1) — the intercept
+      // numerator goes through double space (heapsLaw device)
+      e.groupBy(col("p_brand").as("brand"))
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("brand"), col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            nullif((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double"), lit(0.0)), 4).as("elasticity"),
+          round((col("sy").cast("double") * col("sxx") -
+            col("sx").cast("double") * col("sxy")) /
+            nullif((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double"), lit(0.0)), 4).as("intercept"))
         .orderBy("brand")
     },
     Some("""WITH c AS (SELECT p_brand AS g,
@@ -1219,9 +1233,11 @@ object InferenceQueries {
       |       FROM c GROUP BY 1)
       |SELECT g AS brand, n,
       |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
-      |        CAST(n * sxx - sx * sx AS DOUBLE), 4) AS elasticity,
-      |  round(CAST(sy * sxx - sx * sxy AS DOUBLE) /
-      |        CAST(n * sxx - sx * sx AS DOUBLE), 4) AS intercept
+      |        nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0.0), 4)
+      |    AS elasticity,
+      |  round((CAST(sy AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sxy) /
+      |        nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0.0), 4)
+      |    AS intercept
       |FROM su ORDER BY brand""".stripMargin))
 
   /** [[Inference.giniSplitGain]]: best single price cut for predicting
@@ -1538,8 +1554,163 @@ object InferenceQueries {
       |    AS n_hat
       |FROM f""".stripMargin))
 
+  /** [[Privacy.erasureAudit]]: orders audited against a derived
+    * customer erasure list — the compliance gate readout (non-zero on
+    * purpose here: the fixture has no deletion pass, so the report
+    * shows the exact damage an unexecuted erasure would leave). */
+  private val q280 = QDef("q280_erasure_audit",
+    (s, dir) => Privacy.erasureAudit(
+      T(s, dir, "orders"), col("o_custkey"),
+      T(s, dir, "customer").where(col("c_custkey") % 97 === 0),
+      col("c_custkey")),
+    Some("""WITH ts AS (SELECT DISTINCT c_custkey AS tk FROM customer
+      |      WHERE c_custkey IS NOT NULL AND c_custkey % 97 = 0),
+      |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_tombstoned FROM ts),
+      |j AS (SELECT o_custkey AS k, tk FROM orders
+      |      LEFT JOIN ts ON o_custkey = tk WHERE o_custkey IS NOT NULL),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |        CAST(sum(CASE WHEN tk IS NOT NULL THEN 1 ELSE 0 END)
+      |          AS BIGINT) AS n_lingering_rows,
+      |        CAST(count(DISTINCT CASE WHEN tk IS NOT NULL THEN k END)
+      |          AS BIGINT) AS n_lingering_keys
+      |      FROM j)
+      |SELECT n_tombstoned, n_lingering_keys, n_lingering_rows, n_rows,
+      |  round(CAST(n_lingering_rows AS DOUBLE) /
+      |    nullif(CAST(n_rows AS DOUBLE), 0.0), 4) AS lingering_share
+      |FROM a CROSS JOIN nt""".stripMargin))
+
+  /** [[LanguageModel.naiveBayesMargins]]: label-confidence histogram —
+    * 5-nat margin buckets between the top two NB class scores per
+    * true language. */
+  private val q281 = QDef("q281_nb_margins",
+    (s, dir) => LanguageModel.naiveBayesMargins(
+      T(s, dir, "documents"), col("doc_id"), col("text"), col("lang")),
+    Some("""WITH docs AS (SELECT doc_id, lang AS cls, text FROM documents
+      |      WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+      |        AND text IS NOT NULL),
+      |tok AS (SELECT doc_id, cls, unnest(string_split(text, ' ')) AS term
+      |       FROM docs),
+      |dtc AS (SELECT doc_id, cls, term, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM tok GROUP BY 1, 2, 3),
+      |md AS (SELECT cls AS mcls, term, CAST(count(*) AS BIGINT) AS c
+      |       FROM tok GROUP BY 1, 2),
+      |nc AS (SELECT mcls, CAST(sum(c) AS BIGINT) AS ncls FROM md
+      |       GROUP BY 1),
+      |vb AS (SELECT DISTINCT term FROM tok),
+      |vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vb),
+      |pr AS (SELECT cls AS pcls, CAST(count(*) AS BIGINT) AS nd FROM docs
+      |       GROUP BY 1),
+      |nt AS (SELECT CAST(count(*) AS BIGINT) AS ndocs FROM docs),
+      |mat AS (SELECT vb.term AS term, nc.mcls AS cand,
+      |         CAST(round(ln(CAST(coalesce(c, 0) + 1 AS DOUBLE) /
+      |           (ncls + v)) * 1000000.0, 0) AS BIGINT) AS lp6
+      |        FROM vb CROSS JOIN nc CROSS JOIN vv
+      |        LEFT JOIN md ON md.term = vb.term AND md.mcls = nc.mcls),
+      |sc AS (SELECT d.doc_id AS doc_id, d.cls AS true_cls, m.cand AS cand,
+      |         CAST(sum(cnt * lp6) AS BIGINT) AS s6
+      |       FROM dtc d JOIN mat m ON d.term = m.term GROUP BY 1, 2, 3),
+      |sp AS (SELECT doc_id, true_cls, cand,
+      |         s6 + CAST(round(ln(CAST(nd AS DOUBLE) / ndocs)
+      |           * 1000000.0, 0) AS BIGINT) AS sc6
+      |       FROM sc JOIN pr ON pr.pcls = sc.cand CROSS JOIN nt),
+      |rk AS (SELECT doc_id, true_cls, sc6,
+      |         row_number() OVER (PARTITION BY doc_id
+      |           ORDER BY sc6 DESC, cand) AS rn FROM sp),
+      |t2 AS (SELECT doc_id, true_cls,
+      |        max(CASE WHEN rn = 1 THEN sc6 END) AS s1,
+      |        max(CASE WHEN rn = 2 THEN sc6 END) AS s2
+      |      FROM rk WHERE rn <= 2 GROUP BY 1, 2),
+      |bk AS (SELECT true_cls, least((s1 - s2) // 5000000, 5) AS bucket
+      |      FROM t2 WHERE s2 IS NOT NULL),
+      |tl AS (SELECT true_cls AS tcls, CAST(count(*) AS BIGINT) AS n_lang
+      |       FROM bk GROUP BY 1),
+      |ag AS (SELECT true_cls, bucket, CAST(count(*) AS BIGINT) AS n_docs
+      |       FROM bk GROUP BY 1, 2)
+      |SELECT true_cls AS lang, CAST(bucket AS BIGINT) AS bucket, n_docs,
+      |  round(CAST(n_docs AS DOUBLE) / n_lang, 4) AS share
+      |FROM ag JOIN tl ON ag.true_cls = tl.tcls
+      |ORDER BY lang, bucket""".stripMargin))
+
+  /** Segmented (piecewise-linear) daily-revenue trend: [[Trend.ridge2]]
+    * at λ = 0 on the hinge basis (x, max(0, x−knot)) — β₂ is the slope
+    * CHANGE at the 1995-01-01 knot, the intercept is the level there. */
+  private val q282 = QDef("q282_segmented_trend",
+    (s, dir) => {
+      val daily = T(s, dir, "orders").where(col("o_orderdate").isNotNull)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(expr("CAST(round(o_totalprice / 1000.0, 0) AS BIGINT)"))
+          .as("y"))
+        .select(datediff(col("day"), to_date(lit("1995-01-01")))
+          .cast("long").as("x1"), col("y"))
+        .select(col("x1"), greatest(lit(0L), col("x1")).as("x2"), col("y"))
+      Trend.ridge2(daily, col("x1"), col("x2"), col("y"), lambda = 0.0)
+    },
+    Some("""WITH dd AS (SELECT CAST(o_orderdate AS DATE) AS day,
+      |        CAST(sum(CAST(round(o_totalprice / 1000.0, 0) AS BIGINT))
+      |          AS BIGINT) AS y
+      |      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+      |d AS (SELECT x1, greatest(CAST(0 AS BIGINT), x1) AS x2, y FROM (
+      |        SELECT CAST(date_diff('day', DATE '1995-01-01', day)
+      |          AS BIGINT) AS x1, y FROM dd)),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+      |        CAST(sum(y) AS BIGINT) AS sy,
+      |        CAST(sum(x1 * x1) AS BIGINT) AS s11,
+      |        CAST(sum(x2 * x2) AS BIGINT) AS s22,
+      |        CAST(sum(x1 * x2) AS BIGINT) AS s12,
+      |        CAST(sum(x1 * y) AS BIGINT) AS s1y,
+      |        CAST(sum(x2 * y) AS BIGINT) AS s2y FROM d),
+      |m AS (SELECT n, s1, s2, sy,
+      |        CAST(n * s11 - s1 * s1 AS DOUBLE) + 0.0 AS a,
+      |        CAST(n * s12 - s1 * s2 AS DOUBLE) AS b,
+      |        CAST(n * s22 - s2 * s2 AS DOUBLE) + 0.0 AS c,
+      |        CAST(n * s1y - s1 * sy AS DOUBLE) AS e,
+      |        CAST(n * s2y - s2 * sy AS DOUBLE) AS f FROM s),
+      |v AS (SELECT n, s1, s2, sy, c * e - b * f AS num1,
+      |        a * f - b * e AS num2,
+      |        nullif(a * c - b * b, 0.0) AS det FROM m)
+      |SELECT n, round(num1 / det, 4) AS beta1,
+      |  round(num2 / det, 4) AS beta2,
+      |  round(CAST(sy AS DOUBLE) / n -
+      |    num1 / det * (CAST(s1 AS DOUBLE) / n) -
+      |    num2 / det * (CAST(s2 AS DOUBLE) / n), 4) AS intercept
+      |FROM v""".stripMargin))
+
+  /** [[Cooccur.assocRules]]: directional co-purchase rules with
+    * support/confidence/lift, top-30 by confidence. */
+  private val q283 = QDef("q283_assoc_rules",
+    (s, dir) => Cooccur.assocRules(T(s, dir, "lineitem"),
+      col("l_orderkey"), col("l_partkey"), minSupport = 2L, k = 30),
+    Some("""WITH li AS (SELECT l_orderkey AS b, l_partkey AS it
+      |      FROM lineitem
+      |      WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      |db AS (SELECT DISTINCT b, it FROM li),
+      |nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n
+      |       FROM lineitem WHERE l_orderkey IS NOT NULL),
+      |mg AS (SELECT it, CAST(count(*) AS BIGINT) AS c FROM db GROUP BY 1),
+      |pr AS (SELECT a.it AS ia, b2.it AS ib, CAST(count(*) AS BIGINT)
+      |          AS c_ab
+      |      FROM db a JOIN db b2 ON a.b = b2.b AND a.it < b2.it
+      |      GROUP BY 1, 2),
+      |q AS (SELECT ia, ib, c_ab FROM pr WHERE c_ab >= 2),
+      |bo AS (SELECT ia AS ante, ib AS cons, c_ab FROM q
+      |      UNION ALL SELECT ib AS ante, ia AS cons, c_ab FROM q),
+      |r AS (SELECT ante, cons, c_ab AS n_pair,
+      |        round(CAST(c_ab AS DOUBLE) / n, 4) AS support,
+      |        round(CAST(c_ab AS DOUBLE) / ca.c, 4) AS confidence,
+      |        round(CAST(c_ab * n AS DOUBLE) /
+      |          CAST(ca.c * cc.c AS DOUBLE), 4) AS lift
+      |      FROM bo JOIN mg ca ON ca.it = bo.ante
+      |      JOIN mg cc ON cc.it = bo.cons
+      |      CROSS JOIN nb)
+      |SELECT ante AS antecedent, cons AS consequent, n_pair, support,
+      |  confidence, lift
+      |FROM r ORDER BY confidence DESC, antecedent, consequent
+      |LIMIT 30""".stripMargin))
+
   def all: Seq[QDef] = Seq(q236, q237, q238, q239, q240, q241, q242, q243,
     q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255,
     q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267,
-    q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279)
+    q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279,
+    q280, q281, q282, q283)
 }

@@ -79,6 +79,43 @@ object Cooccur {
           (col("c_a") * col("c_b")).cast("double"), 4).as("lift"))
   }
 
+  /** Directional association rules from the [[pairLift]] machinery:
+    * each qualifying unordered pair emits BOTH a→b and b→a with
+    *
+    *   support = c_ab/N,  confidence = c_ab/c_a,  lift = c_ab·N/(c_a·c_b)
+    *
+    * ranked by ROUNDED confidence (antecedent/consequent tie-break →
+    * engine-stable top-k). Same shape as pairLift: one basket collect,
+    * one pair shuffle, item marginals broadcast; the direction union
+    * doubles pair rows only (bounded by qualifying pairs, not corpus). */
+  def assocRules(df: DataFrame, basket: Column, item: Column,
+                 minSupport: Long, k: Int): DataFrame = {
+    val arr = basketItems(df, basket, item, distinctItems = true)
+      .localCheckpoint()
+    val nBaskets = df.select(basket.as("b"))
+      .where(col("b").isNotNull).distinct().count()
+    val marg = arr.select(explode(col("its")).as("it"))
+      .groupBy(col("it")).agg(count(lit(1)).as("c"))
+    val pairs = pairCounts(arr).where(col("c_ab") >= lit(minSupport))
+    val both = pairs.select(col("item_a").as("ante"),
+        col("item_b").as("cons"), col("c_ab"))
+      .unionByName(pairs.select(col("item_b").as("ante"),
+        col("item_a").as("cons"), col("c_ab")))
+    both
+      .join(broadcast(marg.select(col("it").as("ante"), col("c").as("ca"))),
+        Seq("ante"))
+      .join(broadcast(marg.select(col("it").as("cons"), col("c").as("cc"))),
+        Seq("cons"))
+      .select(col("ante").as("antecedent"), col("cons").as("consequent"),
+        col("c_ab").as("n_pair"),
+        round(col("c_ab").cast("double") / lit(nBaskets), 4).as("support"),
+        round(col("c_ab").cast("double") / col("ca"), 4).as("confidence"),
+        round((col("c_ab") * lit(nBaskets)).cast("double") /
+          (col("ca") * col("cc")).cast("double"), 4).as("lift"))
+      .orderBy(desc("confidence"), col("antecedent"), col("consequent"))
+      .limit(k)
+  }
+
   /** Mutual information I(X; Y) in nats between two categorical columns —
     * the dataset-health probe behind "does source predict language?"
     * (high MI between a metadata column and a quality label usually means

@@ -361,6 +361,21 @@ object LanguageModel {
   def naiveBayesClassify(df: DataFrame, id: Column, text: Column,
                          cls: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val scores = nbScores(df, id, text, cls)
+    val w = Window.partitionBy("doc_id")
+      .orderBy(desc("sc6"), col("cand"))
+    scores.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .groupBy(col("true_cls").as("lang"), col("cand").as("pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "pred")
+  }
+
+  /** Shared NB scoring table (doc_id, true_cls, cand, sc6) — the
+    * integer class scores [[naiveBayesClassify]] argmaxes and
+    * [[naiveBayesMargins]] differences. */
+  private def nbScores(df: DataFrame, id: Column, text: Column,
+                       cls: Column): DataFrame = {
     val docs = df.select(id.as("doc_id"), cls.as("cls"), text.as("text"))
       .where(col("doc_id").isNotNull && col("cls").isNotNull &&
         col("text").isNotNull)
@@ -392,12 +407,40 @@ object LanguageModel {
       .select(col("doc_id"), col("true_cls"), col("cand"),
         (col("s6") + round(log(col("nd").cast("double") / col("ndocs")) *
           lit(1e6), 0).cast("long")).as("sc6"))
+    scores
+  }
+
+  /** Classifier-confidence margins: per document, the 1e-6 fixed-point
+    * gap between the best and second-best NB class scores, bucketed
+    * into 5-nat bands (capped at 5) and tallied per TRUE class — the
+    * "how sure was the labeller" histogram that tells a curator which
+    * language slices carry ambiguous labels. Shares [[nbScores]];
+    * margins are exact long differences (score ties give margin 0),
+    * shares one division per (lang, bucket) row. */
+  def naiveBayesMargins(df: DataFrame, id: Column, text: Column,
+                        cls: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id")
       .orderBy(desc("sc6"), col("cand"))
-    scores.withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .groupBy(col("true_cls").as("lang"), col("cand").as("pred"))
-      .agg(count(lit(1)).as("n_docs"))
-      .orderBy("lang", "pred")
+    val top2 = nbScores(df, id, text, cls)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 2)
+      .groupBy("doc_id", "true_cls")
+      .agg(max(when(col("rn") === 1, col("sc6"))).as("s1"),
+        max(when(col("rn") === 2, col("sc6"))).as("s2"))
+      .where(col("s2").isNotNull)
+      // margins are non-negative, so double-division + long cast is
+      // exact floor division (matching the oracle's integer `//`)
+      .select(col("true_cls"),
+        least(((col("s1") - col("s2")) / lit(5000000L)).cast("long"),
+          lit(5L)).as("bucket"))
+    val tot = top2.groupBy(col("true_cls").as("tcls"))
+      .agg(count(lit(1)).as("n_lang"))
+    top2.groupBy("true_cls", "bucket").agg(count(lit(1)).as("n_docs"))
+      .join(broadcast(tot), col("true_cls") === col("tcls"))
+      .select(col("true_cls").as("lang"), col("bucket"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_lang"), 4)
+          .as("share"))
+      .orderBy("lang", "bucket")
   }
 }

@@ -107,6 +107,34 @@ object Privacy {
     *
     * Scale: one cell-keyed aggregation; noise is a per-cell scalar
     * expression on the aggregated (tiny) table. */
+  /** Right-to-erasure audit: after a deletion pass, how many rows keyed
+    * to tombstoned subjects still exist? Reports the tombstone census,
+    * lingering distinct keys and rows, and the lingering share of the
+    * table — the compliance gate that must read ZERO before an erasure
+    * job is signed off (and reads the exact damage when it doesn't).
+    * One distinct pass over tombstones (broadcast — the erasure list is
+    * small by nature), one semi-join-shaped conditional aggregation
+    * over the audited table; no corpus shuffle. */
+  def erasureAudit(df: DataFrame, key: Column, tombstones: DataFrame,
+                   tKey: Column): DataFrame = {
+    val ts = tombstones.select(tKey.as("tk")).where(col("tk").isNotNull)
+      .distinct()
+    val nTs = ts.agg(count(lit(1)).as("n_tombstoned"))
+    val joined = df.select(key.as("k")).where(col("k").isNotNull)
+      .join(broadcast(ts), col("k") === col("tk"), "left")
+    joined.agg(count(lit(1)).as("n_rows"),
+        sum(when(col("tk").isNotNull, 1L).otherwise(0L))
+          .as("n_lingering_rows"),
+        countDistinct(when(col("tk").isNotNull, col("k")))
+          .as("n_lingering_keys"))
+      .crossJoin(broadcast(nTs))
+      .select(col("n_tombstoned"), col("n_lingering_keys"),
+        col("n_lingering_rows"), col("n_rows"),
+        round(col("n_lingering_rows").cast("double") /
+          nullif(col("n_rows").cast("double"), lit(0.0)), 4)
+          .as("lingering_share"))
+  }
+
   def dpHistogram(df: DataFrame, cell: Column, epsilon: Double,
                   salt: String): DataFrame = {
     require(epsilon > 0, "epsilon must be > 0")

@@ -69,7 +69,9 @@ class PlanAuditSpec extends SparkSpec {
     "q270_gini_split_gain", // 1-row parent-stats broadcast
     "q276_kl_sources", // source-list + 1-row totals broadcasts
     "q277_runs_test", // 1-row median broadcast
-    "q278_keyness_g2") // 1-row target/rest-totals broadcast
+    "q278_keyness_g2", // 1-row target/rest-totals broadcast
+    "q280_erasure_audit", // 1-row tombstone-census broadcast
+    "q281_nb_margins") // class-list + 1-row V/ndocs broadcasts
 
   test("rank-filter pattern gets WindowGroupLimit pushdown (per-partition top-k, not full sort)") {
     import org.apache.spark.sql.functions._
