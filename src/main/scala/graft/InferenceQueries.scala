@@ -1708,9 +1708,154 @@ object InferenceQueries {
       |FROM r ORDER BY confidence DESC, antecedent, consequent
       |LIMIT 30""".stripMargin))
 
+  /** [[Graph.dagLayers]]: dependency depth of the degree-ordered
+    * co-purchase DAG — four unrolled max-propagation rounds, levels
+    * capped at 4 by the stated bounded-iteration contract. */
+  private val q284 = QDef("q284_dag_layers",
+    (s, dir) => Graph.dagLayers(copurchasePairs(s, dir),
+      col("u"), col("v"), rounds = 4),
+    Some(s"""WITH ${StatQueries.copurchaseCtes},
+      |deg AS (SELECT vert, CAST(count(*) AS BIGINT) AS d
+      |        FROM (SELECT u AS vert FROM e UNION ALL SELECT v FROM e)
+      |        GROUP BY 1),
+      |o AS (SELECT CASE WHEN row(du.d, u) < row(dv.d, v) THEN u ELSE v END
+      |          AS s,
+      |        CASE WHEN row(du.d, u) < row(dv.d, v) THEN v ELSE u END AS t
+      |      FROM e JOIN deg du ON du.vert = u JOIN deg dv ON dv.vert = v),
+      |l0 AS (SELECT vert, CAST(0 AS BIGINT) AS lv FROM deg),
+      |p1 AS (SELECT t AS vert, CAST(max(lv + 1) AS BIGINT) AS plv
+      |       FROM o JOIN l0 ON o.s = l0.vert GROUP BY 1),
+      |l1 AS (SELECT l0.vert AS vert, greatest(l0.lv, coalesce(plv, 0))
+      |          AS lv
+      |       FROM l0 LEFT JOIN p1 ON l0.vert = p1.vert),
+      |p2 AS (SELECT t AS vert, CAST(max(lv + 1) AS BIGINT) AS plv
+      |       FROM o JOIN l1 ON o.s = l1.vert GROUP BY 1),
+      |l2 AS (SELECT l1.vert AS vert, greatest(l1.lv, coalesce(plv, 0))
+      |          AS lv
+      |       FROM l1 LEFT JOIN p2 ON l1.vert = p2.vert),
+      |p3 AS (SELECT t AS vert, CAST(max(lv + 1) AS BIGINT) AS plv
+      |       FROM o JOIN l2 ON o.s = l2.vert GROUP BY 1),
+      |l3 AS (SELECT l2.vert AS vert, greatest(l2.lv, coalesce(plv, 0))
+      |          AS lv
+      |       FROM l2 LEFT JOIN p3 ON l2.vert = p3.vert),
+      |p4 AS (SELECT t AS vert, CAST(max(lv + 1) AS BIGINT) AS plv
+      |       FROM o JOIN l3 ON o.s = l3.vert GROUP BY 1),
+      |l4 AS (SELECT l3.vert AS vert, greatest(l3.lv, coalesce(plv, 0))
+      |          AS lv
+      |       FROM l3 LEFT JOIN p4 ON l3.vert = p4.vert)
+      |SELECT lv AS level, CAST(count(*) AS BIGINT) AS n_vertices
+      |FROM l4 GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** [[Dedup.weightedJaccardPairs]]: repetition-aware multiset Jaccard
+    * near-dups — exact integer Σmin/Σmax on token frequencies. */
+  private val q285 = QDef("q285_weighted_jaccard",
+    (s, dir) => Dedup.weightedJaccardPairs(T(s, dir, "documents"),
+        col("text"), col("doc_id"), col("source"), minW = 0.6)
+      .withColumn("wjaccard", round(col("wjaccard"), 4))
+      .orderBy("id_a", "id_b"),
+    Some("""WITH tok AS (SELECT id, blk, term, CAST(count(*) AS BIGINT)
+      |          AS tf
+      |      FROM (SELECT doc_id AS id, source AS blk,
+      |              unnest(string_split(text, ' ')) AS term
+      |            FROM documents
+      |            WHERE doc_id IS NOT NULL AND source IS NOT NULL)
+      |      GROUP BY 1, 2, 3),
+      |tt AS (SELECT id, CAST(sum(tf) AS BIGINT) AS tt FROM tok
+      |       GROUP BY 1),
+      |mn AS (SELECT a.id AS id_a, b.id AS id_b,
+      |        CAST(sum(least(a.tf, b.tf)) AS BIGINT) AS smin
+      |      FROM tok a JOIN tok b ON a.blk = b.blk AND a.term = b.term
+      |        AND a.id < b.id
+      |      GROUP BY 1, 2),
+      |j AS (SELECT id_a, id_b, CAST(smin AS DOUBLE) /
+      |        (ta.tt + tb.tt - smin) AS wj
+      |      FROM mn JOIN tt ta ON ta.id = mn.id_a
+      |      JOIN tt tb ON tb.id = mn.id_b)
+      |SELECT id_a, id_b, round(wj, 4) AS wjaccard FROM j WHERE wj >= 0.6
+      |ORDER BY id_a, id_b""".stripMargin))
+
+  /** [[RankEval.calibrationError]]: ECE/MCE of a pseudo-probability
+    * (price-cents mod 10⁴) against returns — the q193 bins summarized
+    * to the two gate numbers. */
+  private val q286 = QDef("q286_calibration_error",
+    (s, dir) => RankEval.calibrationError(
+      T(s, dir, "lineitem")
+        .where(col("l_extendedprice").isNotNull &&
+          col("l_returnflag").isNotNull),
+      expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT) % 10000"),
+      when(col("l_returnflag") === "R", 1L).otherwise(0L),
+      (col("l_orderkey") * 10 + col("l_linenumber")),
+      bins = 10, scoreScale = 10000L),
+    Some("""WITH d AS (SELECT
+      |        CAST(round(l_extendedprice * 100, 0) AS BIGINT) % 10000 AS s,
+      |        CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+      |        l_orderkey * 10 + l_linenumber AS id
+      |      FROM lineitem
+      |      WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL),
+      |b AS (SELECT ntile(10) OVER (ORDER BY s DESC, id) AS bin, s, y
+      |      FROM d),
+      |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(y) AS BIGINT) AS np, CAST(sum(s) AS BIGINT) AS ss
+      |      FROM b GROUP BY 1),
+      |t AS (SELECT n, CAST(round(abs(CAST(np AS DOUBLE) / n -
+      |        CAST(ss AS DOUBLE) / (n * 10000)) * 1000000.0, 0) AS BIGINT)
+      |        AS gap6 FROM g),
+      |a AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+      |        CAST(count(*) AS BIGINT) AS n_bins,
+      |        CAST(sum(n * gap6) AS BIGINT) AS wg6,
+      |        CAST(max(gap6) AS BIGINT) AS mx6 FROM t)
+      |SELECT nn AS n, n_bins,
+      |  round(CAST(wg6 AS DOUBLE) / 1000000.0 /
+      |    nullif(CAST(nn AS DOUBLE), 0.0), 4) AS ece,
+      |  round(CAST(mx6 AS DOUBLE) / 1000000.0, 4) AS mce
+      |FROM a""".stripMargin))
+
+  /** [[Sequences.entropyRate]]: nats-per-step unpredictability of the
+    * session event chain under its stationary mass. */
+  private val q287 = QDef("q287_entropy_rate",
+    (s, dir) => Sequences.entropyRate(T(s, dir, "events"),
+      col("user_id"), unix_micros(col("ts")), col("event_id"),
+      col("event_type"), iters = 3),
+    Some("""WITH ev AS (SELECT user_id AS k, epoch_us(ts) AS us,
+      |        event_id AS tb, event_type AS s
+      |      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |        AND event_type IS NOT NULL),
+      |p AS (SELECT s, lead(s) OVER (PARTITION BY k ORDER BY us, tb) AS nxt
+      |      FROM ev),
+      |c AS (SELECT s AS f, nxt AS t, CAST(count(*) AS BIGINT) AS n
+      |      FROM p WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      |dg AS (SELECT DISTINCT t AS f, t AS t, CAST(1 AS BIGINT) AS n FROM c
+      |       WHERE t NOT IN (SELECT f FROM c)),
+      |ed AS (SELECT * FROM c UNION ALL SELECT * FROM dg),
+      |rsx AS (SELECT f, CAST(sum(n) AS BIGINT) AS rs FROM ed GROUP BY 1),
+      |e AS (SELECT ed.f AS f, ed.t AS t, ed.n AS n, rsx.rs AS rs
+      |      FROM ed JOIN rsx ON ed.f = rsx.f),
+      |p0 AS (SELECT DISTINCT f AS s, CAST(1000000 AS BIGINT) AS p6 FROM e),
+      |p1 AS (SELECT e.t AS s, CAST(sum(CAST(round(CAST(p6 AS DOUBLE) * n
+      |          / rs, 0) AS BIGINT)) AS BIGINT) AS p6
+      |       FROM e JOIN p0 ON e.f = p0.s GROUP BY 1),
+      |p2 AS (SELECT e.t AS s, CAST(sum(CAST(round(CAST(p6 AS DOUBLE) * n
+      |          / rs, 0) AS BIGINT)) AS BIGINT) AS p6
+      |       FROM e JOIN p1 ON e.f = p1.s GROUP BY 1),
+      |p3 AS (SELECT e.t AS s, CAST(sum(CAST(round(CAST(p6 AS DOUBLE) * n
+      |          / rs, 0) AS BIGINT)) AS BIGINT) AS p6
+      |       FROM e JOIN p2 ON e.f = p2.s GROUP BY 1),
+      |tt AS (SELECT CAST(sum(p6) AS BIGINT) AS t6,
+      |        CAST(count(*) AS BIGINT) AS n_states FROM p3),
+      |tm AS (SELECT n_states,
+      |        CAST(round(CAST(p6 AS DOUBLE) / t6 * (CAST(n AS DOUBLE) / rs)
+      |          * ln(CAST(n AS DOUBLE) / rs) * 1000000000.0, 0) AS BIGINT)
+      |          AS t9
+      |      FROM e JOIN p3 ON e.f = p3.s CROSS JOIN tt),
+      |ag AS (SELECT n_states, CAST(sum(t9) AS BIGINT) AS h9 FROM tm
+      |       GROUP BY 1)
+      |SELECT n_states, round(-CAST(h9 AS DOUBLE) / 1000000000.0, 4)
+      |  AS entropy_rate
+      |FROM ag""".stripMargin))
+
   def all: Seq[QDef] = Seq(q236, q237, q238, q239, q240, q241, q242, q243,
     q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255,
     q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267,
     q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279,
-    q280, q281, q282, q283)
+    q280, q281, q282, q283, q284, q285, q286, q287)
 }

@@ -329,6 +329,39 @@ object Dedup {
       .orderBy("cluster_size")
   }
 
+  /** Weighted (Ruzicka / multiset) Jaccard pairs:
+    * Σ_t min(tf_A, tf_B) / Σ_t max(tf_A, tf_B) over token FREQUENCY
+    * vectors — the repetition-aware dedup score set-Jaccard flattens
+    * (a doc that repeats a template 10× matches its 10×-repeating twin
+    * here, but not a once-only doc with the same vocabulary). EXACT
+    * integer arithmetic end to end: Σmax = ΣA + ΣB − Σmin, so one
+    * (block, term)-keyed pair join accumulating Σmin plus per-doc
+    * total-tf tables closes it; the threshold compares a division of
+    * identical longs. Same candidates-∝-shared-terms bound as
+    * [[ngramContainmentPairs]]. */
+  def weightedJaccardPairs(df: DataFrame, text: Column, id: Column,
+                           block: Column,
+                           minW: Double = 0.6): DataFrame = {
+    val tok = df.select(id.as("id"), block.as("blk"),
+        explode(split(text, " ")).as("term"))
+      .where(col("id").isNotNull && col("blk").isNotNull)
+      .groupBy("id", "blk", "term").agg(count(lit(1)).as("tf"))
+    val totals = tok.groupBy("id").agg(sum("tf").as("tt"))
+    val mins = tok.as("a")
+      .join(tok.as("b"),
+        col("a.blk") === col("b.blk") && col("a.term") === col("b.term"))
+      .where(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(sum(least(col("a.tf"), col("b.tf"))).as("smin"))
+    mins
+      .join(totals.select(col("id").as("id_a"), col("tt").as("ta")), "id_a")
+      .join(totals.select(col("id").as("id_b"), col("tt").as("tb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("smin").cast("double") /
+          (col("ta") + col("tb") - col("smin"))).as("wjaccard"))
+      .where(col("wjaccard") >= minW)
+  }
+
   /** Symmetric n-gram CONTAINMENT pairs: |A∩B| / min(|A|, |B|) over
     * distinct token/shingle sets — the subset-duplicate detector
     * Jaccard misses: a short document fully embedded in a long one has

@@ -266,6 +266,47 @@ object Graph {
           .as("avg_local_cc"))
   }
 
+  /** Dependency-depth layering of the degree-ordered orientation: the
+    * [[triangleCount]] (degree, id)-orientation is ACYCLIC by
+    * construction, so longest-path-from-a-source levels are well
+    * defined; `rounds` unrolled max-propagation steps compute
+    * level(v) = max(level(u)+1 over in-edges), CAPPED at `rounds`
+    * (stated semantics: "level ≥ rounds" collapses into the top
+    * bucket — exact for any DAG whose depth ≤ rounds, a bounded-cost
+    * contract like the pageRank/kcore fixed-iteration convention).
+    * Output: vertices per level. Each round is one edge join against
+    * the vertex-sized level table. */
+  def dagLayers(edges: DataFrame, u: Column, v: Column,
+                rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val e = edges.select(least(u, v).as("u"), greatest(u, v).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull &&
+        col("u") =!= col("v"))
+      .distinct()
+    val deg = e.select(col("u").as("vert")).union(e.select(col("v")))
+      .groupBy("vert").agg(count(lit(1)).as("d"))
+    val ed = e
+      .join(broadcast(deg.select(col("vert").as("u"), col("d").as("du"))), "u")
+      .join(broadcast(deg.select(col("vert").as("v"), col("d").as("dv"))), "v")
+    val uFirst = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    val o = ed.select(when(uFirst, col("u")).otherwise(col("v")).as("s"),
+        when(uFirst, col("v")).otherwise(col("u")).as("t"))
+      .localCheckpoint()
+    var lvl = deg.select(col("vert"), lit(0L).as("lv"))
+    for (_ <- 1 to rounds) {
+      val prop = o.join(lvl.select(col("vert").as("s"), col("lv")), "s")
+        .groupBy(col("t").as("vert"))
+        .agg(max(col("lv") + 1).as("plv"))
+      lvl = lvl.join(prop, Seq("vert"), "left")
+        .select(col("vert"),
+          greatest(col("lv"), coalesce(col("plv"), lit(0L))).as("lv"))
+        .localCheckpoint()
+    }
+    lvl.groupBy(col("lv").as("level"))
+      .agg(count(lit(1)).as("n_vertices"))
+      .orderBy("level")
+  }
+
   /** Degree assortativity of an undirected edge list: the Pearson
     * correlation of endpoint degrees over both orientations of every
     * edge (the standard Newman 2002 definition). Degrees are exact

@@ -214,6 +214,36 @@ object RankEval {
             (col("n") * col("n") - col("cross")), 4)).as("kappa"))
   }
 
+  /** Expected / maximum calibration error over equal-population score
+    * bins: ECE = Σ_b (n_b/N)·|pos_rate_b − mean_conf_b|, MCE the max
+    * gap — the one-number summaries of the [[calibrationBins]] table a
+    * model-quality gate thresholds on. `scoreScale` maps the INTEGER
+    * score to probability (score/scale ∈ [0,1]). Per-bin gaps are
+    * single-double ops over exact counts quantized to 1e-6 fixed-point;
+    * the weighted sum and the max are exact integer ops on bins-sized
+    * data. */
+  def calibrationError(df: DataFrame, score: Column, label: Column,
+                       tie: Column, bins: Int = 10,
+                       scoreScale: Long = 10000L): DataFrame = {
+    val w = Window.orderBy(desc("s"), col("id"))
+    val binned = df.select(score.cast("long").as("s"),
+        label.cast("long").as("y"), tie.as("id"))
+      .where(col("s").isNotNull && col("y").isNotNull)
+      .withColumn("bin", ntile(bins).over(w).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("np"), sum("s").as("ss"))
+      .select(col("n"),
+        round(abs(col("np").cast("double") / col("n") -
+          col("ss").cast("double") / (col("n") * lit(scoreScale))) *
+          lit(1e6), 0).cast("long").as("gap6"))
+    binned.agg(sum("n").as("nn"), count(lit(1)).as("n_bins"),
+        sum(col("n") * col("gap6")).as("wg6"), max("gap6").as("mx6"))
+      .select(col("nn").as("n"), col("n_bins"),
+        round(col("wg6").cast("double") / lit(1e6) /
+          nullif(col("nn").cast("double"), lit(0.0)), 4).as("ece"),
+        round(col("mx6").cast("double") / lit(1e6), 4).as("mce"))
+  }
+
   /** Linear-weighted Cohen's kappa over two ORDINAL integer scales:
     * κ_w = 1 − Σ|i−j|·O_ij / Σ|i−j|·E_ij — disagreement weighted by
     * how FAR apart the raters land, the ordinal upgrade of

@@ -80,6 +80,23 @@ object Sequences {
   def markovStationary(df: DataFrame, key: Column, ts: Column,
                        tieBreak: Column, state: Column,
                        iters: Int = 3): DataFrame = {
+    val (pi, _) = stationary6(df, key, ts, tieBreak, state, iters)
+    val tot = pi.agg(sum("p6").as("t6"))
+    pi.crossJoin(broadcast(tot))
+      .select(col("s").as("state"),
+        round(col("p6").cast("double") /
+          nullif(col("t6").cast("double"), lit(0.0)), 4).as("pi"))
+      .orderBy("state")
+  }
+
+  /** Shared fixed-point power-iteration core: returns the un-normalized
+    * 1e-6 mass vector (s, p6) after `iters` steps and the self-loop-
+    * completed edge table (f, t, n, rs) — consumed by
+    * [[markovStationary]] (normalized readout) and [[entropyRate]]
+    * (per-edge terms). */
+  private def stationary6(df: DataFrame, key: Column, ts: Column,
+                          tieBreak: Column, state: Column,
+                          iters: Int): (DataFrame, DataFrame) = {
     require(iters >= 1, "iters must be >= 1")
     val w = Window.partitionBy("k").orderBy(col("us"), col("tb"))
     val pairs = df.select(key.as("k"), ts.as("us"), tieBreak.as("tb"),
@@ -105,12 +122,32 @@ object Sequences {
           .cast("long")).as("p6"))
         .select(col("t").as("s"), col("p6"))
     }
-    val tot = pi.agg(sum("p6").as("t6"))
-    pi.crossJoin(broadcast(tot))
-      .select(col("s").as("state"),
-        round(col("p6").cast("double") /
-          nullif(col("t6").cast("double"), lit(0.0)), 4).as("pi"))
-      .orderBy("state")
+    (pi, e)
+  }
+
+  /** Entropy rate of the empirical session chain,
+    * H = −Σ_s π_s Σ_t p(t|s)·ln p(t|s), with π the [[markovStationary]]
+    * fixed-point mass and p the row-normalized transition counts — nats
+    * per step of inherent unpredictability (0 = deterministic next
+    * event, ln k = uniform chaos). Per-edge terms π6/T6·(n/rs)·ln(n/rs)
+    * are single-double ops quantized to 1e-9 fixed-point before the
+    * exact state²-bounded sum; self-loop-completed edges keep absorbing
+    * states' (zero) contribution well-defined. */
+  def entropyRate(df: DataFrame, key: Column, ts: Column,
+                  tieBreak: Column, state: Column,
+                  iters: Int = 3): DataFrame = {
+    val (pi, e) = stationary6(df, key, ts, tieBreak, state, iters)
+    val tot = pi.agg(sum("p6").as("t6"), count(lit(1)).as("n_states"))
+    e.join(broadcast(pi), col("f") === col("s"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_states"),
+        round(col("p6").cast("double") / col("t6") *
+          (col("n").cast("double") / col("rs")) *
+          log(col("n").cast("double") / col("rs")) * lit(1e9), 0)
+          .cast("long").as("t9"))
+      .groupBy("n_states").agg(sum("t9").as("h9"))
+      .select(col("n_states"),
+        round(-col("h9").cast("double") / lit(1e9), 4).as("entropy_rate"))
   }
 
   /** 2-item sequential-pattern support: for every ordered label pair

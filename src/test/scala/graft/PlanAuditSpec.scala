@@ -71,7 +71,8 @@ class PlanAuditSpec extends SparkSpec {
     "q277_runs_test", // 1-row median broadcast
     "q278_keyness_g2", // 1-row target/rest-totals broadcast
     "q280_erasure_audit", // 1-row tombstone-census broadcast
-    "q281_nb_margins") // class-list + 1-row V/ndocs broadcasts
+    "q281_nb_margins", // class-list + 1-row V/ndocs broadcasts
+    "q287_entropy_rate") // 1-row mass-total broadcast
 
   test("rank-filter pattern gets WindowGroupLimit pushdown (per-partition top-k, not full sort)") {
     import org.apache.spark.sql.functions._
