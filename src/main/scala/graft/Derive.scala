@@ -83,4 +83,46 @@ object Derive {
       (if (normalize) col(s"${c}_norm") else col(c)) * lit(weights(c) / totalW)
     base.withColumn(outputCol, weights.keys.toSeq.map(comp).reduce(_ + _))
   }
+
+  /** Laspeyres / Paasche / Fisher price indices between two periods
+    * over the items present in BOTH (the standard matched-model
+    * basket): with per-item period totals (cᵢ = Σ value-cents,
+    * qᵢ = Σ quantity) and unit price p̄ᵢ = cᵢ/qᵢ,
+    *
+    *   L = Σ p̄₁q₀ / Σ c₀,   P = Σ c₁ / Σ p̄₀q₁,   F = √(L·P)
+    *
+    * — the denominators Σ p̄₀q₀ = Σ c₀ and numerator Σ p̄₁q₁ = Σ c₁
+    * collapse to EXACT long sums; the two cross terms p̄·q quantize to
+    * 1e-2 fixed-point (cents precision) before their exact item-keyed
+    * sums. Two period aggregations + one item inner join; everything
+    * downstream is item-count-sized. */
+  def priceIndex(df: DataFrame, item: Column, period: Column,
+                 valueCents: Column, qty: Column,
+                 p0: String, p1: String): DataFrame = {
+    def q2(x: Column) = round(x * lit(100.0), 0).cast("long")
+    val d = df.select(item.as("it"), period.cast("string").as("p"),
+        valueCents.cast("long").as("c"), qty.cast("long").as("q"))
+      .where(col("it").isNotNull && col("p").isNotNull &&
+        col("c").isNotNull && col("q").isNotNull && col("q") > 0)
+    def per(p: String, suf: String) = d.where(col("p") === p)
+      .groupBy("it").agg(sum("c").as(s"c$suf"), sum("q").as(s"q$suf"))
+    val j = per(p0, "0").join(per(p1, "1"), "it")
+    j.agg(count(lit(1)).as("n_items"),
+        sum("c0").as("sc0"), sum("c1").as("sc1"),
+        sum(q2(col("c1").cast("double") / col("q1") * col("q0")))
+          .as("l2"),
+        sum(q2(col("c0").cast("double") / col("q0") * col("q1")))
+          .as("pd2"))
+      .select(col("n_items"),
+        round(col("l2").cast("double") / lit(100.0) /
+          nullif(col("sc0").cast("double"), lit(0.0)), 4).as("laspeyres"),
+        round(col("sc1").cast("double") /
+          nullif(col("pd2").cast("double") / lit(100.0), lit(0.0)), 4)
+          .as("paasche"),
+        round(sqrt((col("l2").cast("double") / lit(100.0) /
+          nullif(col("sc0").cast("double"), lit(0.0))) *
+          (col("sc1").cast("double") /
+            nullif(col("pd2").cast("double") / lit(100.0), lit(0.0)))), 4)
+          .as("fisher"))
+  }
 }

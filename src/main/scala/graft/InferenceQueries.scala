@@ -1853,9 +1853,133 @@ object InferenceQueries {
       |  AS entropy_rate
       |FROM ag""".stripMargin))
 
+  /** [[Sketches.histogramQuantiles]]: mergeable 100-bin price sketch
+    * with the exact percentile riding along — the honest approximate-
+    * quantile story (bin-width-bounded error, validated in place). */
+  private val q288 = QDef("q288_histogram_quantile",
+    (s, dir) => Sketches.histogramQuantiles(
+      T(s, dir, "lineitem").where(col("l_extendedprice").isNotNull)
+        .select(expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)")
+          .as("v")),
+      col("v"), lo = 0L, hi = 11100000L, bins = 100,
+      qs = Seq(0.5, 0.9, 0.99)),
+    Some("""WITH d AS (SELECT CAST(round(l_extendedprice * 100, 0)
+      |          AS BIGINT) AS v
+      |      FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      |bn AS (SELECT least(CAST(floor(greatest((v - 0) * 100 / 11100000.0,
+      |          0)) AS BIGINT), 99) AS b FROM d),
+      |ct AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM bn GROUP BY 1),
+      |cm AS (SELECT b, c, CAST(sum(c) OVER (ORDER BY b
+      |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM ct),
+      |c2 AS (SELECT b, c, cum, cum - c AS bef FROM cm),
+      |tt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM ct),
+      |ex AS (SELECT quantile_cont(v, 0.5) AS ex0,
+      |        quantile_cont(v, 0.9) AS ex1,
+      |        quantile_cont(v, 0.99) AS ex2 FROM d),
+      |qq AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+      |pk AS (SELECT q, n, b, c, bef FROM qq CROSS JOIN tt JOIN c2
+      |        ON CAST(cum AS DOUBLE) >= q * n
+      |        AND CAST(bef AS DOUBLE) < q * n),
+      |fin AS (SELECT q, n,
+      |        round(0.0 + (CAST(b AS DOUBLE) + (q * n - bef) / c)
+      |          * 111000.0, 4) AS estimate,
+      |        round(CASE q WHEN 0.5 THEN ex0 WHEN 0.9 THEN ex1 ELSE ex2
+      |          END, 4) AS exact
+      |       FROM pk CROSS JOIN ex)
+      |SELECT q AS quantile, n, estimate, exact,
+      |  round(abs(estimate - exact), 4) AS abs_err
+      |FROM fin ORDER BY quantile""".stripMargin))
+
+  /** [[Dedup.blockingReport]]: candidate-pair budget and reduction
+    * ratio of source-blocking on documents — the pre-flight dedup
+    * go/no-go. */
+  private val q289 = QDef("q289_blocking_report",
+    (s, dir) => Dedup.blockingReport(T(s, dir, "documents"),
+      col("doc_id"), col("source")),
+    Some("""WITH d AS (SELECT doc_id, source FROM documents
+      |      WHERE doc_id IS NOT NULL AND source IS NOT NULL),
+      |b AS (SELECT source, CAST(count(*) AS BIGINT) AS b FROM d
+      |      GROUP BY 1),
+      |a AS (SELECT CAST(sum(b) AS BIGINT) AS n_docs,
+      |        CAST(count(*) AS BIGINT) AS n_blocks,
+      |        CAST(max(b) AS BIGINT) AS largest_block,
+      |        CAST(sum(b * (b - 1)) AS BIGINT) AS pp2 FROM b)
+      |SELECT n_docs, n_blocks, largest_block,
+      |  pp2 // 2 AS n_candidate_pairs,
+      |  round(1.0 - CAST(pp2 // 2 AS DOUBLE) /
+      |    nullif(CAST(n_docs AS DOUBLE) * (n_docs - 1) / 2.0, 0.0), 4)
+      |    AS reduction_ratio
+      |FROM a""".stripMargin))
+
+  /** [[Sequences.dwellTime]]: seconds the session spends in each event
+    * state before moving on — exact µs gap sums. */
+  private val q290 = QDef("q290_dwell_time",
+    (s, dir) => Sequences.dwellTime(T(s, dir, "events"),
+      col("user_id"), unix_micros(col("ts")), col("event_id"),
+      col("event_type")),
+    Some("""WITH e AS (SELECT user_id AS k, epoch_us(ts) AS us,
+      |        event_id AS tb, event_type AS s
+      |      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |        AND event_type IS NOT NULL),
+      |l AS (SELECT s, us, lead(us) OVER (PARTITION BY k ORDER BY us, tb)
+      |          AS nus
+      |      FROM e),
+      |a AS (SELECT s AS state, CAST(count(*) AS BIGINT) AS n_intervals,
+      |        CAST(sum(nus - us) AS BIGINT) AS dus
+      |      FROM l WHERE nus IS NOT NULL GROUP BY 1)
+      |SELECT state, n_intervals,
+      |  round(CAST(dus AS DOUBLE) / 1000000.0, 4) AS total_s,
+      |  round(CAST(dus AS DOUBLE) / 1000000.0 / n_intervals, 4) AS mean_s
+      |FROM a ORDER BY state""".stripMargin))
+
+  /** [[Derive.priceIndex]]: matched-model Laspeyres/Paasche/Fisher
+    * price indices, ship-year 1994 → 1995 — the macro companion to the
+    * per-brand elasticity (q269). */
+  private val q291 = QDef("q291_price_index",
+    (s, dir) => Derive.priceIndex(
+      T(s, dir, "lineitem")
+        .where(col("l_partkey").isNotNull && col("l_shipdate").isNotNull &&
+          col("l_extendedprice").isNotNull && col("l_quantity").isNotNull),
+      col("l_partkey"), year(col("l_shipdate")),
+      expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)"),
+      col("l_quantity"), p0 = "1994", p1 = "1995"),
+    Some("""WITH d AS (SELECT l_partkey AS it,
+      |        CAST(year(l_shipdate) AS VARCHAR) AS p,
+      |        CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c,
+      |        CAST(l_quantity AS BIGINT) AS q
+      |      FROM lineitem
+      |      WHERE l_partkey IS NOT NULL AND l_shipdate IS NOT NULL
+      |        AND l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+      |        AND CAST(l_quantity AS BIGINT) > 0),
+      |pa AS (SELECT it, CAST(sum(c) AS BIGINT) AS c0,
+      |        CAST(sum(q) AS BIGINT) AS q0 FROM d WHERE p = '1994'
+      |       GROUP BY 1),
+      |pb AS (SELECT it, CAST(sum(c) AS BIGINT) AS c1,
+      |        CAST(sum(q) AS BIGINT) AS q1 FROM d WHERE p = '1995'
+      |       GROUP BY 1),
+      |j AS (SELECT pa.it AS it, c0, q0, c1, q1 FROM pa
+      |      JOIN pb ON pa.it = pb.it),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+      |        CAST(sum(c0) AS BIGINT) AS sc0,
+      |        CAST(sum(c1) AS BIGINT) AS sc1,
+      |        CAST(sum(CAST(round(CAST(c1 AS DOUBLE) / q1 * q0 * 100.0, 0)
+      |          AS BIGINT)) AS BIGINT) AS l2,
+      |        CAST(sum(CAST(round(CAST(c0 AS DOUBLE) / q0 * q1 * 100.0, 0)
+      |          AS BIGINT)) AS BIGINT) AS pd2
+      |      FROM j)
+      |SELECT n_items,
+      |  round(CAST(l2 AS DOUBLE) / 100.0 /
+      |    nullif(CAST(sc0 AS DOUBLE), 0.0), 4) AS laspeyres,
+      |  round(CAST(sc1 AS DOUBLE) /
+      |    nullif(CAST(pd2 AS DOUBLE) / 100.0, 0.0), 4) AS paasche,
+      |  round(sqrt((CAST(l2 AS DOUBLE) / 100.0 /
+      |    nullif(CAST(sc0 AS DOUBLE), 0.0)) * (CAST(sc1 AS DOUBLE) /
+      |    nullif(CAST(pd2 AS DOUBLE) / 100.0, 0.0))), 4) AS fisher
+      |FROM a""".stripMargin))
+
   def all: Seq[QDef] = Seq(q236, q237, q238, q239, q240, q241, q242, q243,
     q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255,
     q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267,
     q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279,
-    q280, q281, q282, q283, q284, q285, q286, q287)
+    q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290, q291)
 }

@@ -150,6 +150,32 @@ object Sequences {
         round(-col("h9").cast("double") / lit(1e9), 4).as("entropy_rate"))
   }
 
+  /** Per-state dwell time: how long does the stream sit in each state
+    * before the next event — the gap to the NEXT event attributed to
+    * the CURRENT state (each key's last event has no successor and
+    * carries no dwell). One windowed `lead` per key (the
+    * [[transitions]] shuffle), then a state-keyed aggregation of exact
+    * µs longs; seconds emerge from single sealed divisions. The
+    * session-content companion to [[Sessionize]]'s boundary view. */
+  def dwellTime(df: DataFrame, key: Column, ts: Column, tieBreak: Column,
+                state: Column): DataFrame = {
+    val w = Window.partitionBy("k").orderBy(col("us"), col("tb"))
+    df.select(key.as("k"), ts.as("us"), tieBreak.as("tb"),
+        state.as("s"))
+      .where(col("k").isNotNull && col("us").isNotNull &&
+        col("s").isNotNull)
+      .withColumn("nus", lead(col("us"), 1).over(w))
+      .where(col("nus").isNotNull)
+      .groupBy(col("s").as("state"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("nus") - col("us")).as("dus"))
+      .select(col("state"), col("n_intervals"),
+        round(col("dus").cast("double") / lit(1e6), 4).as("total_s"),
+        round(col("dus").cast("double") / lit(1e6) /
+          col("n_intervals"), 4).as("mean_s"))
+      .orderBy("state")
+  }
+
   /** 2-item sequential-pattern support: for every ordered label pair
     * (a, b), a ≠ b, the number (and share) of keys whose stream shows
     * some `a` STRICTLY before some `b` — the "a eventually followed by

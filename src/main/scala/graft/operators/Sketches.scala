@@ -262,6 +262,57 @@ object Sketches {
           .otherwise(col("raw")), 4).as("est_distinct"))
   }
 
+  /** Mergeable equi-width histogram-sketch quantiles: bin an INTEGER
+    * metric into `bins` fixed cells over [lo, hi] (clamping outliers
+    * into the edge cells), estimate each requested quantile by linear
+    * interpolation INSIDE its bin, and report the exact percentile
+    * beside it — the honest "approximate quantiles at 100 TB" story:
+    * the bin counts are one map-side-combinable aggregation whose
+    * state is `bins` longs (trivially mergeable across shards/days,
+    * unlike an exact sort), the error is bounded by the bin width, and
+    * the fixture validates the bound against the exact answer it can
+    * still afford to compute. All bin assignment is exact integer
+    * arithmetic; estimates are fixed single-double expressions over
+    * exact counts. */
+  def histogramQuantiles(df: DataFrame, v: Column, lo: Long, hi: Long,
+                         bins: Int, qs: Seq[Double]): DataFrame = {
+    require(bins >= 2 && hi > lo && qs.nonEmpty, "bad sketch parameters")
+    import org.apache.spark.sql.expressions.Window
+    val d = df.select(v.cast("long").as("v")).where(col("v").isNotNull)
+    // explicit floor, not a bare cast: Spark's double→long cast
+    // truncates while DuckDB's CAST rounds — floor() agrees everywhere
+    val bin = least(floor(greatest(
+      (col("v") - lo) * bins / lit(hi - lo), lit(0L))).cast("long"),
+      lit(bins - 1L))
+    val counts = d.select(bin.as("b")).groupBy("b")
+      .agg(count(lit(1)).as("c"))
+    val cum = counts
+      .withColumn("cum", sum("c").over(Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("before", col("cum") - col("c"))
+    val tot = counts.agg(sum("c").as("n"))
+    val exact = qs.zipWithIndex.map { case (q, i) =>
+      percentile(col("v"), lit(q)).as(s"ex$i") }
+    val exacts = d.agg(exact.head, exact.tail: _*)
+    val spine = cum.crossJoin(broadcast(tot))
+      .withColumn("q", explode(array(qs.map(lit(_)): _*)))
+      .where(col("cum").cast("double") >= col("q") * col("n") &&
+        col("before").cast("double") < col("q") * col("n"))
+    val width = (hi - lo).toDouble / bins
+    spine.crossJoin(broadcast(exacts))
+      .select(col("q"), col("n"),
+        round(lit(lo.toDouble) + (col("b").cast("double") +
+          (col("q") * col("n") - col("before")) / col("c")) * lit(width),
+          4).as("estimate"),
+        round(qs.zipWithIndex.map { case (q, i) =>
+          when(col("q") === lit(q), col(s"ex$i")) }
+          .reduce(coalesce(_, _)), 4).as("exact"))
+      .select(col("q").as("quantile"), col("n"), col("estimate"),
+        col("exact"),
+        round(abs(col("estimate") - col("exact")), 4).as("abs_err"))
+      .orderBy("quantile")
+  }
+
   /** Capture-recapture population estimate (Chapman's bias-corrected
     * Lincoln-Petersen): two INDEPENDENT deterministic hash samples of
     * the key universe play the two "captures", and

@@ -72,7 +72,8 @@ class PlanAuditSpec extends SparkSpec {
     "q278_keyness_g2", // 1-row target/rest-totals broadcast
     "q280_erasure_audit", // 1-row tombstone-census broadcast
     "q281_nb_margins", // class-list + 1-row V/ndocs broadcasts
-    "q287_entropy_rate") // 1-row mass-total broadcast
+    "q287_entropy_rate", // 1-row mass-total broadcast
+    "q288_histogram_quantile") // 1-row total + exact-percentile broadcasts
 
   test("rank-filter pattern gets WindowGroupLimit pushdown (per-partition top-k, not full sort)") {
     import org.apache.spark.sql.functions._
