@@ -1977,9 +1977,114 @@ object InferenceQueries {
       |    nullif(CAST(pd2 AS DOUBLE) / 100.0, 0.0))), 4) AS fisher
       |FROM a""".stripMargin))
 
+  /** [[Timeseries.controlChartI]]: is daily order volume a stable
+    * process — I-MR limits and breach count. */
+  private val q292 = QDef("q292_control_chart",
+    (s, dir) => Timeseries.controlChartI(
+      T(s, dir, "orders").where(col("o_orderdate").isNotNull)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("x")),
+      col("day"), col("x")),
+    Some("""WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+      |        CAST(count(*) AS BIGINT) AS x
+      |      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+      |mr AS (SELECT CAST(count(*) AS BIGINT) AS nmr,
+      |        CAST(sum(abs(x - prev)) AS BIGINT) AS smr
+      |      FROM (SELECT x, lag(x) OVER (ORDER BY day) AS prev FROM d)
+      |      WHERE prev IS NOT NULL),
+      |b AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(x) AS BIGINT) AS s FROM d),
+      |lm AS (SELECT n, nmr, CAST(s AS DOUBLE) / n AS mu,
+      |        CAST(smr AS DOUBLE) / nullif(CAST(nmr AS DOUBLE), 0.0)
+      |          AS mrbar
+      |      FROM b CROSS JOIN mr),
+      |l2 AS (SELECT n, nmr, mu, mrbar, mu + 2.66 * mrbar AS ucl,
+      |        mu - 2.66 * mrbar AS lcl FROM lm),
+      |vi AS (SELECT n, mu, mrbar, ucl, lcl,
+      |        CAST(sum(CASE WHEN CAST(x AS DOUBLE) > ucl
+      |          OR CAST(x AS DOUBLE) < lcl THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS n_violations
+      |      FROM d CROSS JOIN l2 GROUP BY 1, 2, 3, 4, 5)
+      |SELECT n AS n_days, round(mu, 4) AS mean, round(mrbar, 4) AS mr_bar,
+      |  round(ucl, 4) AS ucl, round(lcl, 4) AS lcl, n_violations
+      |FROM vi""".stripMargin))
+
+  /** [[LanguageModel.termBurstiness]]: Church-Gale bursty terms — the
+    * stopword-free content-word detector, top-30 by Fano factor. */
+  private val q293 = QDef("q293_term_burstiness",
+    (s, dir) => LanguageModel.termBurstiness(T(s, dir, "documents"),
+      col("doc_id"), col("text"), minDf = 5L, k = 30),
+    Some("""WITH docs AS (SELECT doc_id, text FROM documents
+      |      WHERE doc_id IS NOT NULL),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM docs),
+      |dt AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+      |        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |        FROM docs)
+      |      GROUP BY 1, 2),
+      |ag AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+      |        CAST(sum(tf) AS BIGINT) AS s,
+      |        CAST(sum(tf * tf) AS BIGINT) AS ss
+      |      FROM dt GROUP BY 1)
+      |SELECT term, df, s AS n_occurrences,
+      |  round(CAST(nn * ss - s * s AS DOUBLE) /
+      |    nullif(CAST(nn * s AS DOUBLE), 0.0), 4) AS fano
+      |FROM ag CROSS JOIN nn WHERE df >= 5
+      |ORDER BY fano DESC, term LIMIT 30""".stripMargin))
+
+  /** [[Inference.medianPolish]]: robust nation × segment balance
+    * decomposition — quadruple-scale integer medians through one full
+    * sweep, residuals marking real interactions. */
+  private val q294 = QDef("q294_median_polish",
+    (s, dir) => Inference.medianPolish(
+      T(s, dir, "customer")
+        .join(T(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey")),
+      col("n_name"), col("c_mktsegment"),
+      expr("CAST(round(c_acctbal, 0) AS BIGINT)")),
+    Some("""WITH d AS (SELECT n_name AS r, c_mktsegment AS c,
+      |        CAST(round(c_acctbal, 0) AS BIGINT) AS v
+      |      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |      WHERE n_name IS NOT NULL AND c_mktsegment IS NOT NULL
+      |        AND c_acctbal IS NOT NULL),
+      |ce AS (SELECT r, c, CAST(round(quantile_cont(v * 4, 0.5), 0)
+      |          AS BIGINT) AS m4 FROM d GROUP BY 1, 2),
+      |rm AS (SELECT r, CAST(round(quantile_cont(m4, 0.5), 0) AS BIGINT)
+      |          AS rm4 FROM ce GROUP BY 1),
+      |r1 AS (SELECT ce.r AS r, c, m4 - rm4 AS res4 FROM ce JOIN rm
+      |      ON ce.r = rm.r),
+      |cm AS (SELECT c, CAST(round(quantile_cont(res4, 0.5), 0) AS BIGINT)
+      |          AS cm4 FROM r1 GROUP BY 1)
+      |SELECT r1.r AS r, r1.c AS c,
+      |  round(CAST(res4 - cm4 AS DOUBLE) / 4.0, 4) AS residual
+      |FROM r1 JOIN cm ON r1.c = cm.c ORDER BY r, c""".stripMargin))
+
+  /** [[Curate.crawlDecay]]: structural quality by crawl-order decile —
+    * where to truncate the ingest. */
+  private val q295 = QDef("q295_crawl_decay",
+    (s, dir) => Curate.crawlDecay(T(s, dir, "documents"),
+      col("doc_id"), col("text"), bands = 10),
+    Some("""WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS nt,
+      |        len(list_distinct(string_split(text, ' '))) AS nd
+      |      FROM documents WHERE doc_id IS NOT NULL),
+      |f AS (SELECT CAST(nt AS BIGINT) AS nt,
+      |        CAST(round(CAST(nd AS DOUBLE) / nt * 1000000.0, 0) AS BIGINT)
+      |          AS ttr6,
+      |        ntile(10) OVER (ORDER BY doc_id) AS band
+      |      FROM d WHERE nt > 0),
+      |a AS (SELECT CAST(band AS BIGINT) AS band,
+      |        CAST(count(*) AS BIGINT) AS n_docs,
+      |        CAST(sum(nt) AS BIGINT) AS st,
+      |        CAST(sum(ttr6) AS BIGINT) AS sttr
+      |      FROM f GROUP BY 1)
+      |SELECT band, n_docs,
+      |  round(CAST(st AS DOUBLE) / n_docs, 4) AS mean_tokens,
+      |  round(CAST(sttr AS DOUBLE) / 1000000.0 / n_docs, 4) AS mean_ttr
+      |FROM a ORDER BY band""".stripMargin))
+
   def all: Seq[QDef] = Seq(q236, q237, q238, q239, q240, q241, q242, q243,
     q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255,
     q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267,
     q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279,
-    q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290, q291)
+    q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290, q291,
+    q292, q293, q294, q295)
 }

@@ -226,6 +226,36 @@ object Curate {
       .where(col("cos") >= minCos)
   }
 
+  /** Crawl-order quality decay: structural text metrics (token count,
+    * type-token ratio) averaged per doc_id band — "does the later
+    * crawl get worse?", the degradation curve that decides where to
+    * truncate an ingest. Bands are ntile over the unique doc_id order
+    * (deterministic); token means are exact integer sums, TTR means
+    * quantize each per-doc ratio to 1e-6 fixed-point before the band
+    * sum. */
+  def crawlDecay(df: DataFrame, id: Column, text: Column,
+                 bands: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(text, " ")
+    df.select(id.as("doc_id"), size(toks).cast("long").as("nt"),
+        size(array_distinct(toks)).cast("long").as("nd"))
+      .where(col("doc_id").isNotNull && col("nt") > 0)
+      .withColumn("band", ntile(bands).over(Window.orderBy("doc_id"))
+        .cast("long"))
+      .select(col("band"), col("nt"),
+        round(col("nd").cast("double") / col("nt") * lit(1e6), 0)
+          .cast("long").as("ttr6"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("st"),
+        sum("ttr6").as("sttr"))
+      .select(col("band"), col("n_docs"),
+        round(col("st").cast("double") / col("n_docs"), 4)
+          .as("mean_tokens"),
+        round(col("sttr").cast("double") / lit(1e6) / col("n_docs"), 4)
+          .as("mean_ttr"))
+      .orderBy("band")
+  }
+
   /** Curation filter-funnel report: per source group, how many
     * documents each cheap structural rule would reject — length band
     * (token count outside [10, 1000]), type-token ratio below 0.3

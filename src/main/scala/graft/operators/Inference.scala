@@ -77,6 +77,41 @@ object Inference {
             lit(0.0)), 4).as("f_stat"))
   }
 
+  /** One-sweep Tukey median polish of a two-way CELL-MEDIAN table:
+    * residual(r, c) = cellmed − rowmed(cellmed) − colmed(cellmed −
+    * rowmed) — the robust two-way decomposition whose large residuals
+    * mark genuine row×col interactions (a mean-based two-way ANOVA
+    * chases its own outliers here).
+    *
+    * Determinism is the quadruple-scale device: the input quantizes to
+    * longs, cell medians of longs live in ½·Z, so ×4 makes CELL4 even
+    * integers; one row sweep (odd-cardinality row medians of ints are
+    * ints) and one col sweep keep EVERYTHING exact integer through the
+    * full sweep — no interpolated double ever enters a cross-row sum.
+    * All tables are cell-count-sized after the first aggregation. */
+  def medianPolish(df: DataFrame, row: Column, colKey: Column,
+                   v: Column): DataFrame = {
+    val d = df.select(row.as("r"), colKey.as("c"), v.cast("long").as("v"))
+      .where(col("r").isNotNull && col("c").isNotNull &&
+        col("v").isNotNull)
+    val cells = d.groupBy("r", "c")
+      .agg(round(percentile(col("v") * 4, lit(0.5)), 0).cast("long")
+        .as("m4"))
+    val rowMed = cells.groupBy("r")
+      .agg(round(percentile(col("m4"), lit(0.5)), 0).cast("long")
+        .as("rm4"))
+    val r1 = cells.join(broadcast(rowMed), "r")
+      .select(col("r"), col("c"), (col("m4") - col("rm4")).as("res4"))
+    val colMed = r1.groupBy("c")
+      .agg(round(percentile(col("res4"), lit(0.5)), 0).cast("long")
+        .as("cm4"))
+    r1.join(broadcast(colMed), "c")
+      .select(col("r"), col("c"),
+        round((col("res4") - col("cm4")).cast("double") / lit(4.0), 4)
+          .as("residual"))
+      .orderBy("r", "c")
+  }
+
   /** Intraclass correlation ICC(1) — one-way random-effects reliability:
     * how much of the metric's variance lives BETWEEN groups,
     *

@@ -273,6 +273,36 @@ object LanguageModel {
       .limit(k)
   }
 
+  /** Church-Gale term burstiness: per term, the Fano factor of its
+    * per-document count over ALL N documents (absent docs count 0 —
+    * zero-fill by omission keeps Σx and Σx² untouched while N sits in
+    * the formula) — bursty terms (F ≫ 1) cluster in few docs (topical
+    * content words); F ≈ 1 terms sprinkle Poisson-like (function
+    * words). The stopword-list-free content-word detector. One
+    * (doc, term) aggregation + one term aggregation; F = (N·Σx²−S²)/
+    * (N·S) exact integers to one division; top-k on the ROUNDED factor
+    * with a term tie-break, `minDf` culling the unstable singletons. */
+  def termBurstiness(df: DataFrame, id: Column, text: Column,
+                     minDf: Long, k: Int): DataFrame = {
+    val docs = df.select(id.as("doc_id"), text.as("tx"))
+      .where(col("doc_id").isNotNull)
+    val nDocs = docs.agg(count(lit(1)).as("nn"))
+    val dt = docs.select(col("doc_id"),
+        explode(split(col("tx"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    dt.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("s"),
+        sum(col("tf") * col("tf")).as("ss"))
+      .where(col("df") >= minDf)
+      .crossJoin(broadcast(nDocs))
+      .select(col("term"), col("df"), col("s").as("n_occurrences"),
+        round((col("nn") * col("ss") - col("s") * col("s")).cast("double") /
+          nullif((col("nn") * col("s")).cast("double"), lit(0.0)), 4)
+          .as("fano"))
+      .orderBy(desc("fano"), col("term"))
+      .limit(k)
+  }
+
   /** Per-document type novelty: the fraction of a document's DISTINCT
     * tokens that no lower-doc_id document contains — the freshness
     * curve a dataset builder watches to see when a crawl stops adding

@@ -145,6 +145,40 @@ object Timeseries {
       .orderBy("g")
   }
 
+  /** Shewhart individuals (I-MR) control chart summary: center line μ,
+    * mean moving range M̄R, the ±2.66·M̄R natural-process limits
+    * (2.66 = 3/d₂ at n=2), and how many days breach them — the
+    * process-stability gate run before trusting any drift alarm.
+    * μ and M̄R are rationals over exact longs (the MR pass is one lag
+    * window on the daily spine); the limits are fixed double
+    * expressions broadcast back for the violation count. */
+  def controlChartI(daily: DataFrame, day: Column, v: Column): DataFrame = {
+    val d = daily.select(day.as("day"), v.cast("long").as("x"))
+      .where(col("day").isNotNull && col("x").isNotNull)
+    val mr = d.withColumn("prev", lag(col("x"), 1).over(Window.orderBy("day")))
+      .where(col("prev").isNotNull)
+      .agg(count(lit(1)).as("nmr"), sum(abs(col("x") - col("prev")))
+        .as("smr"))
+    val base = d.agg(count(lit(1)).as("n"), sum("x").as("s"))
+    val lims = base.crossJoin(broadcast(mr))
+      .select(col("n"), col("nmr"),
+        (col("s").cast("double") / col("n")).as("mu"),
+        (col("smr").cast("double") /
+          nullif(col("nmr").cast("double"), lit(0.0))).as("mrbar"))
+      .select(col("n"), col("nmr"), col("mu"), col("mrbar"),
+        (col("mu") + lit(2.66) * col("mrbar")).as("ucl"),
+        (col("mu") - lit(2.66) * col("mrbar")).as("lcl"))
+    d.crossJoin(broadcast(lims))
+      .groupBy("n", "nmr", "mu", "mrbar", "ucl", "lcl")
+      .agg(sum(when(col("x").cast("double") > col("ucl") ||
+        col("x").cast("double") < col("lcl"), 1L).otherwise(0L))
+        .as("n_violations"))
+      .select(col("n").as("n_days"), round(col("mu"), 4).as("mean"),
+        round(col("mrbar"), 4).as("mr_bar"),
+        round(col("ucl"), 4).as("ucl"), round(col("lcl"), 4).as("lcl"),
+        col("n_violations"))
+  }
+
   /** Wald-Wolfowitz runs test on a daily series: are above-median and
     * below-median days randomly interleaved, or does the series cling
     * to one side (trend/regime) or flip-flop (over-dispersion)?

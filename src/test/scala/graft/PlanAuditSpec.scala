@@ -73,7 +73,9 @@ class PlanAuditSpec extends SparkSpec {
     "q280_erasure_audit", // 1-row tombstone-census broadcast
     "q281_nb_margins", // class-list + 1-row V/ndocs broadcasts
     "q287_entropy_rate", // 1-row mass-total broadcast
-    "q288_histogram_quantile") // 1-row total + exact-percentile broadcasts
+    "q288_histogram_quantile", // 1-row total + exact-percentile broadcasts
+    "q292_control_chart", // 1-row limits broadcast
+    "q293_term_burstiness") // 1-row doc-census broadcast
 
   test("rank-filter pattern gets WindowGroupLimit pushdown (per-partition top-k, not full sort)") {
     import org.apache.spark.sql.functions._
