@@ -2081,10 +2081,162 @@ object InferenceQueries {
       |  round(CAST(sttr AS DOUBLE) / 1000000.0 / n_docs, 4) AS mean_ttr
       |FROM a ORDER BY band""".stripMargin))
 
+  /** [[Inference.wilsonCi]]: finished-order rate per priority with the
+    * small-n-honest Wilson 95% interval. */
+  private val q296 = QDef("q296_wilson_ci",
+    (s, dir) => Inference.wilsonCi(
+      T(s, dir, "orders")
+        .where(col("o_orderpriority").isNotNull &&
+          col("o_orderstatus").isNotNull),
+      col("o_orderpriority"),
+      when(col("o_orderstatus") === "F", 1L).otherwise(0L)),
+    Some("""WITH d AS (SELECT o_orderpriority AS g,
+      |        CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      |      FROM orders
+      |      WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL),
+      |a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(y) AS BIGINT) AS k FROM d GROUP BY 1),
+      |w AS (SELECT g, n, k, CAST(k AS DOUBLE) / n AS p,
+      |        CAST(n AS DOUBLE) AS nd FROM a)
+      |SELECT g, n, k, round(p, 4) AS rate,
+      |  round((p + 1.96 * 1.96 / (2.0 * nd)) / (1.0 + 1.96 * 1.96 / nd) -
+      |    (1.96 * sqrt(p * (1.0 - p) / nd +
+      |      1.96 * 1.96 / (4.0 * nd * nd))) / (1.0 + 1.96 * 1.96 / nd), 4)
+      |    AS ci_lo,
+      |  round((p + 1.96 * 1.96 / (2.0 * nd)) / (1.0 + 1.96 * 1.96 / nd) +
+      |    (1.96 * sqrt(p * (1.0 - p) / nd +
+      |      1.96 * 1.96 / (4.0 * nd * nd))) / (1.0 + 1.96 * 1.96 / nd), 4)
+      |    AS ci_hi
+      |FROM w ORDER BY g""".stripMargin))
+
+  /** [[Inference.oddsRatioCi]]: deep-discount × returns odds ratio with
+    * the Woolf logit 95% CI — the unstratified companion to q254. */
+  private val q297 = QDef("q297_odds_ratio_ci",
+    (s, dir) => Inference.oddsRatioCi(
+      T(s, dir, "lineitem")
+        .where(col("l_discount").isNotNull && col("l_returnflag").isNotNull),
+      col("l_discount") > 0.05, col("l_returnflag") === "R"),
+    Some("""WITH d AS (SELECT l_discount > 0.05 AS e, l_returnflag = 'R'
+      |          AS o
+      |      FROM lineitem
+      |      WHERE l_discount IS NOT NULL AND l_returnflag IS NOT NULL),
+      |ct AS (SELECT
+      |   CAST(sum(CASE WHEN e AND o THEN 1 ELSE 0 END) AS BIGINT) AS a,
+      |   CAST(sum(CASE WHEN e AND NOT o THEN 1 ELSE 0 END) AS BIGINT) AS b,
+      |   CAST(sum(CASE WHEN NOT e AND o THEN 1 ELSE 0 END) AS BIGINT) AS c,
+      |   CAST(sum(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END) AS BIGINT)
+      |     AS dd
+      |  FROM d)
+      |SELECT a, b, c, dd AS d,
+      |  CASE WHEN a > 0 AND b > 0 AND c > 0 AND dd > 0 THEN
+      |    round(exp(ln(CAST(a AS DOUBLE) * dd / (CAST(b AS DOUBLE) * c))),
+      |      4) END AS odds_ratio,
+      |  CASE WHEN a > 0 AND b > 0 AND c > 0 AND dd > 0 THEN
+      |    round(exp(ln(CAST(a AS DOUBLE) * dd / (CAST(b AS DOUBLE) * c)) -
+      |      1.96 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / dd)), 4)
+      |  END AS ci_lo,
+      |  CASE WHEN a > 0 AND b > 0 AND c > 0 AND dd > 0 THEN
+      |    round(exp(ln(CAST(a AS DOUBLE) * dd / (CAST(b AS DOUBLE) * c)) +
+      |      1.96 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / dd)), 4)
+      |  END AS ci_hi
+      |FROM ct""".stripMargin))
+
+  /** [[Timeseries.seasonalIndexDow]]: weekday revenue seasonality via
+    * ratio-to-centered-7-day-MA. */
+  private val q298 = QDef("q298_seasonal_index",
+    (s, dir) => Timeseries.seasonalIndexDow(
+      T(s, dir, "orders").where(col("o_orderdate").isNotNull)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(expr("CAST(round(o_totalprice / 1000.0, 0) AS BIGINT)"))
+          .as("x")),
+      col("day"), col("x")),
+    Some("""WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+      |        CAST(sum(CAST(round(o_totalprice / 1000.0, 0) AS BIGINT))
+      |          AS BIGINT) AS x
+      |      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+      |w AS (SELECT day, x,
+      |        CAST(sum(x) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND
+      |          3 FOLLOWING) AS BIGINT) AS ws,
+      |        CAST(count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+      |          AND 3 FOLLOWING) AS BIGINT) AS wc
+      |      FROM d),
+      |r AS (SELECT CAST(isodow(day) AS BIGINT) AS dow,
+      |        CAST(round(CAST(x AS DOUBLE) * 7 / ws * 1000000.0, 0)
+      |          AS BIGINT) AS r6
+      |      FROM w WHERE wc = 7 AND ws > 0),
+      |a AS (SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+      |        CAST(sum(r6) AS BIGINT) AS sr FROM r GROUP BY 1)
+      |SELECT dow, n_days,
+      |  round(CAST(sr AS DOUBLE) / 1000000.0 / n_days, 4)
+      |    AS seasonal_index
+      |FROM a ORDER BY dow""".stripMargin))
+
+  /** [[Skew.hillTail]]: heavy-tail exponent of customer balances over
+    * the top-100 order statistics. */
+  private val q299 = QDef("q299_hill_tail",
+    (s, dir) => Skew.hillTail(
+      T(s, dir, "customer")
+        .where(col("c_acctbal").isNotNull && col("c_custkey").isNotNull)
+        .select(expr("CAST(round(c_acctbal, 0) AS BIGINT)").as("v"),
+          col("c_custkey").as("t")),
+      col("v"), col("t"), k = 100),
+    Some("""WITH d AS (SELECT CAST(round(c_acctbal, 0) AS BIGINT) AS x,
+      |        c_custkey AS t
+      |      FROM customer
+      |      WHERE c_acctbal IS NOT NULL AND c_custkey IS NOT NULL
+      |        AND CAST(round(c_acctbal, 0) AS BIGINT) > 0),
+      |r AS (SELECT x, row_number() OVER (ORDER BY x DESC, t) AS rn FROM d),
+      |xk AS (SELECT x AS xk FROM r WHERE rn = 100),
+      |s AS (SELECT xk, CAST(count(*) AS BIGINT) AS km1,
+      |        CAST(sum(CAST(round(ln(CAST(x AS DOUBLE) / xk)
+      |          * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS sl6
+      |      FROM r CROSS JOIN xk WHERE rn < 100 GROUP BY 1)
+      |SELECT CAST(100 AS BIGINT) AS k, xk AS x_k,
+      |  round(CAST(km1 AS DOUBLE) /
+      |    nullif(CAST(sl6 AS DOUBLE) / 1000000.0, 0.0), 4) AS hill_alpha
+      |FROM s""".stripMargin))
+
+  /** [[Curate.corpusScorecard]]: the one-row curation dashboard header
+    * — census, exact-dup rate, structural means, language entropy. */
+  private val q300 = QDef("q300_corpus_scorecard",
+    (s, dir) => Curate.corpusScorecard(T(s, dir, "documents"),
+      col("doc_id"), col("text"), col("lang"), col("source")),
+    Some("""WITH d AS (SELECT lang AS lg, source AS src, md5(text) AS h,
+      |        len(string_split(text, ' ')) AS nt,
+      |        len(list_distinct(string_split(text, ' '))) AS nd
+      |      FROM documents
+      |      WHERE doc_id IS NOT NULL AND text IS NOT NULL
+      |        AND lang IS NOT NULL AND source IS NOT NULL),
+      |b AS (SELECT * FROM d WHERE nt > 0),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |        CAST(count(DISTINCT src) AS BIGINT) AS n_sources,
+      |        CAST(count(DISTINCT lg) AS BIGINT) AS n_langs,
+      |        CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+      |        CAST(sum(nt) AS BIGINT) AS st,
+      |        CAST(sum(CAST(round(CAST(nd AS DOUBLE) / nt * 1000000.0, 0)
+      |          AS BIGINT)) AS BIGINT) AS sttr
+      |      FROM b),
+      |nnx AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM b),
+      |lh AS (SELECT CAST(coalesce(sum(CAST(round(CAST(c AS DOUBLE) / nn *
+      |        ln(CAST(c AS DOUBLE) / nn) * 1000000.0, 0) AS BIGINT)), 0)
+      |        AS BIGINT) AS h6
+      |      FROM (SELECT lg, CAST(count(*) AS BIGINT) AS c FROM b
+      |            GROUP BY 1)
+      |      CROSS JOIN nnx)
+      |SELECT n_docs, n_sources, n_langs,
+      |  round(1.0 - CAST(n_distinct AS DOUBLE) /
+      |    nullif(CAST(n_docs AS DOUBLE), 0.0), 4) AS exact_dup_rate,
+      |  round(CAST(st AS DOUBLE) /
+      |    nullif(CAST(n_docs AS DOUBLE), 0.0), 4) AS mean_tokens,
+      |  round(CAST(sttr AS DOUBLE) / 1000000.0 /
+      |    nullif(CAST(n_docs AS DOUBLE), 0.0), 4) AS mean_ttr,
+      |  round(-CAST(h6 AS DOUBLE) / 1000000.0, 4) AS lang_shannon_h
+      |FROM m CROSS JOIN lh""".stripMargin))
+
   def all: Seq[QDef] = Seq(q236, q237, q238, q239, q240, q241, q242, q243,
     q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255,
     q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267,
     q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279,
     q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290, q291,
-    q292, q293, q294, q295)
+    q292, q293, q294, q295, q296, q297, q298, q299, q300)
 }

@@ -226,6 +226,50 @@ object Curate {
       .where(col("cos") >= minCos)
   }
 
+  /** One-row corpus scorecard — the dashboard header a curation run
+    * publishes: document/source/language census, exact-duplicate rate
+    * (1 − distinct content hashes / docs), mean tokens, mean TTR, and
+    * the Shannon entropy of the language mix. Every constituent is an
+    * exact count or a 1e-6-quantized ratio aggregated once; the
+    * handful of 1-row results assemble by broadcast. */
+  def corpusScorecard(df: DataFrame, id: Column, text: Column,
+                      lang: Column, source: Column): DataFrame = {
+    val toks = split(col("tx"), " ")
+    val d = df.select(id.as("doc_id"), text.as("tx"), lang.as("lg"),
+        source.as("src"))
+      .where(col("doc_id").isNotNull && col("tx").isNotNull &&
+        col("lg").isNotNull && col("src").isNotNull)
+    val base = d.select(col("lg"), col("src"), md5(col("tx").cast("binary"))
+        .as("h"), size(toks).cast("long").as("nt"),
+        size(array_distinct(toks)).cast("long").as("nd"))
+      .where(col("nt") > 0)
+    val main = base.agg(count(lit(1)).as("n_docs"),
+      countDistinct("src").as("n_sources"),
+      countDistinct("lg").as("n_langs"),
+      countDistinct("h").as("n_distinct"),
+      sum("nt").as("st"),
+      sum(round(col("nd").cast("double") / col("nt") * lit(1e6), 0)
+        .cast("long")).as("sttr"))
+    val langH = base.groupBy("lg").agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("nn"))))
+      .select(round(col("c").cast("double") / col("nn") *
+        log(col("c").cast("double") / col("nn")) * lit(1e6), 0)
+        .cast("long").as("t"))
+      .agg(coalesce(sum("t"), lit(0L)).as("h6"))
+    main.crossJoin(broadcast(langH))
+      .select(col("n_docs"), col("n_sources"), col("n_langs"),
+        round(lit(1.0) - col("n_distinct").cast("double") /
+          nullif(col("n_docs").cast("double"), lit(0.0)), 4)
+          .as("exact_dup_rate"),
+        round(col("st").cast("double") /
+          nullif(col("n_docs").cast("double"), lit(0.0)), 4)
+          .as("mean_tokens"),
+        round(col("sttr").cast("double") / lit(1e6) /
+          nullif(col("n_docs").cast("double"), lit(0.0)), 4)
+          .as("mean_ttr"),
+        round(-col("h6").cast("double") / lit(1e6), 4).as("lang_shannon_h"))
+  }
+
   /** Crawl-order quality decay: structural text metrics (token count,
     * type-token ratio) averaged per doc_id band — "does the later
     * crawl get worse?", the degradation curve that decides where to

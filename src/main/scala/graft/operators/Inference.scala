@@ -77,6 +77,55 @@ object Inference {
             lit(0.0)), 4).as("f_stat"))
   }
 
+  /** Wilson 95% score interval for a per-group success rate — the
+    * small-n-safe CI (a Wald interval collapses to zero width at
+    * p̂ ∈ {0,1}; Wilson stays honest). Closed-form singles over the
+    * exact (n, k) longs with z = 1.96 literal:
+    * center = (p̂ + z²/2n)/(1 + z²/n),
+    * hw = z·√(p̂(1−p̂)/n + z²/4n²)/(1 + z²/n). One aggregation. */
+  def wilsonCi(df: DataFrame, group: Column, success: Column): DataFrame = {
+    val z = 1.96
+    val d = df.select(group.as("g"), success.cast("long").as("y"))
+      .where(col("g").isNotNull && col("y").isNotNull)
+    val p = col("k").cast("double") / col("n")
+    val nD = col("n").cast("double")
+    val denom = lit(1.0) + lit(z * z) / nD
+    val center = (p + lit(z * z) / (lit(2.0) * nD)) / denom
+    val hw = (lit(z) * sqrt(p * (lit(1.0) - p) / nD +
+      lit(z * z) / (lit(4.0) * nD * nD))) / denom
+    d.groupBy("g").agg(count(lit(1)).as("n"), sum("y").as("k"))
+      .select(col("g"), col("n"), col("k"),
+        round(p, 4).as("rate"),
+        round(center - hw, 4).as("ci_lo"),
+        round(center + hw, 4).as("ci_hi"))
+      .orderBy("g")
+  }
+
+  /** Woolf logit confidence interval for the 2×2 odds ratio:
+    * OR = ad/bc, CI = exp(ln OR ± 1.96·√(1/a + 1/b + 1/c + 1/d)) —
+    * NULL when any cell is empty (the logit blows up; report honesty,
+    * not an infinity). One four-conditional-sum aggregation. */
+  def oddsRatioCi(df: DataFrame, exposure: Column,
+                  outcome: Column): DataFrame = {
+    val d = df.select(exposure.cast("boolean").as("e"),
+        outcome.cast("boolean").as("o"))
+      .where(col("e").isNotNull && col("o").isNotNull)
+    val ct = d.agg(
+      sum(when(col("e") && col("o"), 1L).otherwise(0L)).as("a"),
+      sum(when(col("e") && !col("o"), 1L).otherwise(0L)).as("b"),
+      sum(when(!col("e") && col("o"), 1L).otherwise(0L)).as("c"),
+      sum(when(!col("e") && !col("o"), 1L).otherwise(0L)).as("dd"))
+    val ok = col("a") > 0 && col("b") > 0 && col("c") > 0 && col("dd") > 0
+    val lnOr = log(col("a").cast("double") * col("dd") /
+      (col("b").cast("double") * col("c")))
+    val se = sqrt(lit(1.0) / col("a") + lit(1.0) / col("b") +
+      lit(1.0) / col("c") + lit(1.0) / col("dd"))
+    ct.select(col("a"), col("b"), col("c"), col("dd").as("d"),
+      when(ok, round(exp(lnOr), 4)).as("odds_ratio"),
+      when(ok, round(exp(lnOr - lit(1.96) * se), 4)).as("ci_lo"),
+      when(ok, round(exp(lnOr + lit(1.96) * se), 4)).as("ci_hi"))
+  }
+
   /** One-sweep Tukey median polish of a two-way CELL-MEDIAN table:
     * residual(r, c) = cellmed − rowmed(cellmed) − colmed(cellmed −
     * rowmed) — the robust two-way decomposition whose large residuals

@@ -12,6 +12,35 @@ import org.apache.spark.sql.functions._
   * requirements, or pre-shuffle aggregation of a hot key.
   */
 object Skew {
+
+  /** Hill tail-index estimator over the top-k order statistics of a
+    * POSITIVE integer metric: α̂ = (k−1) / Σ_{i<k} ln(xᵢ/x_k) — the
+    * heavy-tail exponent (α ≈ 1 Zipf-extreme, α > 3 effectively
+    * thin-tailed). The top-k select is a rank filter (WindowGroupLimit
+    * keeps the sort k-deep), per-item ln terms quantize to 1e-6 longs
+    * before the exact k-row sum, and x_k rides the same window. NULL α
+    * on a constant top block (zero ln-sum). */
+  def hillTail(df: DataFrame, v: Column, tie: Column,
+               k: Int = 100): DataFrame = {
+    require(k >= 3, "k must be >= 3")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(desc("x"), col("t"))
+    val top = df.select(v.cast("long").as("x"), tie.as("t"))
+      .where(col("x").isNotNull && col("x") > 0 && col("t").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+    val xk = top.where(col("rn") === k).select(col("x").as("xk"))
+    top.where(col("rn") < k)
+      .crossJoin(broadcast(xk))
+      .select(col("xk"),
+        round(log(col("x").cast("double") / col("xk")) * lit(1e6), 0)
+          .cast("long").as("l6"))
+      .groupBy("xk").agg(count(lit(1)).as("km1"), sum("l6").as("sl6"))
+      .select(lit(k.toLong).as("k"), col("xk").as("x_k"),
+        round(col("km1").cast("double") /
+          nullif(col("sl6").cast("double") / lit(1e6), lit(0.0)), 4)
+          .as("hill_alpha"))
+  }
   /** Salted equi-join: scatter the probe side's hot keys across `salts`
     * sub-keys and replicate the (small) build side once per salt. The
     * hot key's rows land on `salts` reducers instead of one; the build

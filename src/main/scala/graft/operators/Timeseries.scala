@@ -145,6 +145,32 @@ object Timeseries {
       .orderBy("g")
   }
 
+  /** Classical ratio-to-moving-average weekday seasonal indices: each
+    * day's value over its CENTERED 7-day moving average (complete
+    * windows only — the edges have no honest MA), averaged per ISO
+    * weekday. Index > 1: that weekday structurally over-indexes. Each
+    * ratio x·7/Σwindow is one double op over exact longs quantized to
+    * 1e-6 fixed-point before the per-weekday mean; the window runs on
+    * the daily spine. */
+  def seasonalIndexDow(daily: DataFrame, day: Column,
+                       v: Column): DataFrame = {
+    val d = daily.select(day.as("day"), v.cast("long").as("x"))
+      .where(col("day").isNotNull && col("x").isNotNull)
+    val w = Window.orderBy("day").rowsBetween(-3, 3)
+    d.withColumn("ws", sum("x").over(w))
+      .withColumn("wc", count(lit(1)).over(w))
+      .where(col("wc") === 7 && col("ws") > 0)
+      .select((weekday(col("day")) + 1).cast("long").as("dow"),
+        round(col("x").cast("double") * 7 / col("ws") * lit(1e6), 0)
+          .cast("long").as("r6"))
+      .groupBy("dow")
+      .agg(count(lit(1)).as("n_days"), sum("r6").as("sr"))
+      .select(col("dow"), col("n_days"),
+        round(col("sr").cast("double") / lit(1e6) / col("n_days"), 4)
+          .as("seasonal_index"))
+      .orderBy("dow")
+  }
+
   /** Shewhart individuals (I-MR) control chart summary: center line μ,
     * mean moving range M̄R, the ±2.66·M̄R natural-process limits
     * (2.66 = 3/d₂ at n=2), and how many days breach them — the

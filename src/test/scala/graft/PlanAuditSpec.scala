@@ -75,7 +75,9 @@ class PlanAuditSpec extends SparkSpec {
     "q287_entropy_rate", // 1-row mass-total broadcast
     "q288_histogram_quantile", // 1-row total + exact-percentile broadcasts
     "q292_control_chart", // 1-row limits broadcast
-    "q293_term_burstiness") // 1-row doc-census broadcast
+    "q293_term_burstiness", // 1-row doc-census broadcast
+    "q299_hill_tail", // 1-row k-th order statistic broadcast
+    "q300_corpus_scorecard") // 1-row census + entropy broadcasts
 
   test("rank-filter pattern gets WindowGroupLimit pushdown (per-partition top-k, not full sort)") {
     import org.apache.spark.sql.functions._
