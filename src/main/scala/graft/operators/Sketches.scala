@@ -291,9 +291,13 @@ object Sketches {
         .rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("before", col("cum") - col("c"))
     val tot = counts.agg(sum("c").as("n"))
-    val exact = qs.zipWithIndex.map { case (q, i) =>
-      percentile(col("v"), lit(q)).as(s"ex$i") }
-    val exacts = d.agg(exact.head, exact.tail: _*)
+    // ONE array-percentile aggregate: separate percentile() calls each
+    // buffer the full column (measured 3× the query's cost at three
+    // quantiles); the array form sorts once
+    val exacts = d.agg(percentile(col("v"),
+        array(qs.map(lit(_)): _*)).as("exs"))
+      .select(qs.indices.map(i =>
+        element_at(col("exs"), i + 1).as(s"ex$i")): _*)
     val spine = cum.crossJoin(broadcast(tot))
       .withColumn("q", explode(array(qs.map(lit(_)): _*)))
       .where(col("cum").cast("double") >= col("q") * col("n") &&
