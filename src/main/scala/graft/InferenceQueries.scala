@@ -900,7 +900,7 @@ object InferenceQueries {
     Some("""WITH ev AS (SELECT user_id AS k, epoch_us(ts) AS us,
       |        event_id AS tb, event_type AS s
       |      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
-      |        AND event_type IS NOT NULL),
+      |        AND event_type IS NOT NULL AND event_id IS NOT NULL),
       |p AS (SELECT s, lead(s) OVER (PARTITION BY k ORDER BY us, tb) AS nxt
       |      FROM ev),
       |c AS (SELECT s AS f, nxt AS t, CAST(count(*) AS BIGINT) AS n
@@ -1819,7 +1819,7 @@ object InferenceQueries {
     Some("""WITH ev AS (SELECT user_id AS k, epoch_us(ts) AS us,
       |        event_id AS tb, event_type AS s
       |      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
-      |        AND event_type IS NOT NULL),
+      |        AND event_type IS NOT NULL AND event_id IS NOT NULL),
       |p AS (SELECT s, lead(s) OVER (PARTITION BY k ORDER BY us, tb) AS nxt
       |      FROM ev),
       |c AS (SELECT s AS f, nxt AS t, CAST(count(*) AS BIGINT) AS n
@@ -1920,7 +1920,7 @@ object InferenceQueries {
     Some("""WITH e AS (SELECT user_id AS k, epoch_us(ts) AS us,
       |        event_id AS tb, event_type AS s
       |      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
-      |        AND event_type IS NOT NULL),
+      |        AND event_type IS NOT NULL AND event_id IS NOT NULL),
       |l AS (SELECT s, us, lead(us) OVER (PARTITION BY k ORDER BY us, tb)
       |          AS nus
       |      FROM e),

@@ -99,10 +99,12 @@ object Sequences {
                           iters: Int): (DataFrame, DataFrame) = {
     require(iters >= 1, "iters must be >= 1")
     val w = Window.partitionBy("k").orderBy(col("us"), col("tb"))
+    // tb filtered too: a NULL tie-break sorts first in Spark and last
+    // in DuckDB — the window pairing would silently diverge
     val pairs = df.select(key.as("k"), ts.as("us"), tieBreak.as("tb"),
         state.as("s"))
       .where(col("k").isNotNull && col("us").isNotNull &&
-        col("s").isNotNull)
+        col("s").isNotNull && col("tb").isNotNull)
       .withColumn("nxt", lead(col("s"), 1).over(w))
       .where(col("nxt").isNotNull)
     val counts = pairs.groupBy(col("s").as("f"), col("nxt").as("t"))
@@ -163,7 +165,7 @@ object Sequences {
     df.select(key.as("k"), ts.as("us"), tieBreak.as("tb"),
         state.as("s"))
       .where(col("k").isNotNull && col("us").isNotNull &&
-        col("s").isNotNull)
+        col("s").isNotNull && col("tb").isNotNull)
       .withColumn("nus", lead(col("us"), 1).over(w))
       .where(col("nus").isNotNull)
       .groupBy(col("s").as("state"))
