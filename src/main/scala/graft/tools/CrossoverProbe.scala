@@ -67,14 +67,14 @@ object CrossoverProbe {
     // family gets its own run config: SPARK_GRAFT_XOVER_WHICH=jaccard|simhash|both
     val which = sys.env.getOrElse("SPARK_GRAFT_XOVER_WHICH", "both")
 
-    if (which != "simhash" && which != "spatial" && which != "rank") {
+    if (which == "both" || which == "jaccard" || which == "winnow") {
       val jq = time("jaccard quadratic (q27)")(Dedup.ngramJaccardPairs(
         docs, col("text"), col("doc_id"), col("source"), n = 1, minJ = 0.6))
       val jp = time("jaccard prefix (q61)")(Dedup.ngramJaccardPairsPrefix(
         docs, col("text"), col("doc_id"), col("source"), n = 1, minJ = 0.6))
       assert(jq == jp, s"jaccard paths disagree: $jq vs $jp")
     }
-    if (which != "jaccard" && which != "spatial" && which != "rank") {
+    if (which == "both" || which == "simhash") {
       val sq = time("simhash quadratic (q26)")(Dedup.simhashNearDup(
         docs, col("text"), col("doc_id"), col("source"), maxDist = 12))
       val sb = time("simhash banded (q60)")(Dedup.simhashNearDupBanded(
@@ -188,6 +188,63 @@ object CrossoverProbe {
           col("w"), bucketWidth = 65536L))
       assert(p1 == p2, s"percentile paths disagree: $p1 vs $p2")
       println("[xover] rank outputs verified identical on both paths")
+    }
+
+    // sketch: the q288 histogram-quantile thesis at scale — the exact
+    // percentile serializes every value through one sort buffer while
+    // the sketch is a bins-longs aggregation; AND the sketch is
+    // MERGEABLE: bin counts from disjoint shards sum to the whole-corpus
+    // bins, so the merged estimate is bit-identical to the single-pass
+    // one (the property an exact percentile fundamentally lacks).
+    // Knob: SPARK_GRAFT_XOVER_VALUES (default 50M).
+    if (which == "sketch") {
+      val nV = sys.env.getOrElse("SPARK_GRAFT_XOVER_VALUES", "50000000")
+        .toLong
+      val lo = 0L; val hi = 10000000L; val bins = 1000
+      val vals = spark.range(nV).select(col("id"),
+          pmod(xxhash64(concat(lit("v"), col("id"))), lit(hi)).as("v"))
+        .cache()
+      vals.count()
+      println(s"[xover] sketch: values=$nV range=[$lo,$hi) bins=$bins")
+      def sketch(df: DataFrame) = graft.Sketches.histogramQuantiles(
+        df, col("v"), lo, hi, bins, Seq(0.5, 0.9, 0.99))
+      def timeRows(tag: String)(f: => Array[String]): Array[String] = {
+        def pass(): (Double, Array[String]) = {
+          val t0 = System.nanoTime(); val r = f
+          ((System.nanoTime() - t0) / 1e9, r)
+        }
+        val (ta, ra) = pass(); val (tb, rb) = pass()
+        assert(ra.sameElements(rb), s"$tag nondeterministic")
+        println(f"[xover] $tag%-28s ${math.min(ta, tb)}%8.2f s")
+        ra
+      }
+      val exact = timeRows("exact percentile (sorted)")(
+        vals.agg(percentile(col("v"), expr("array(0.5, 0.9, 0.99)")))
+          .collect().map(_.toString))
+      // the q288 operator recomputes the exact answer as its honesty
+      // rider — time the SKETCH-ONLY bins+interp path here
+      val skOnly = timeRows("histogram sketch (bins only)") {
+        val bin = least(floor(greatest((col("v") - lo) * bins /
+          lit(hi - lo), lit(0L))).cast("long"), lit(bins - 1L))
+        vals.select(bin.as("b")).groupBy("b").agg(count(lit(1)).as("c"))
+          .collect().map(_.toString).sortBy(identity)
+      }
+      require(exact.nonEmpty && skOnly.nonEmpty)
+      // mergeability: shard the corpus in two, sum bin counts, and the
+      // merged histogram must equal the single-pass histogram exactly
+      val binExpr = least(floor(greatest((col("v") - lo) * bins /
+        lit(hi - lo), lit(0L))).cast("long"), lit(bins - 1L))
+      def binsOf(df: DataFrame) = df.select(binExpr.as("b"))
+        .groupBy("b").agg(count(lit(1)).as("c"))
+      val whole = binsOf(vals)
+      val merged = binsOf(vals.where(pmod(col("id"), lit(2)) === 0))
+        .unionByName(binsOf(vals.where(pmod(col("id"), lit(2)) === 1)))
+        .groupBy("b").agg(sum("c").as("c"))
+      val mergeDiff = whole.exceptAll(merged).count() +
+        merged.exceptAll(whole).count()
+      assert(mergeDiff == 0, s"merged bins differ on $mergeDiff rows")
+      println("[xover] sketch shard-merge verified bin-identical")
+      sketch(vals).show(truncate = false)
     }
 
     spark.stop()
