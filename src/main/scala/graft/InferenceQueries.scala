@@ -2233,10 +2233,146 @@ object InferenceQueries {
       |  round(-CAST(h6 AS DOUBLE) / 1000000.0, 4) AS lang_shannon_h
       |FROM m CROSS JOIN lh""".stripMargin))
 
+  /** [[LanguageModel.logOddsPrior]]: Monroe "fightin' words" — the
+    * variance-normalized keyness that surfaces genuinely lopsided
+    * mid-frequency terms G² under-ranks. */
+  private val q301 = QDef("q301_log_odds_prior",
+    (s, dir) => LanguageModel.logOddsPrior(
+      T(s, dir, "documents")
+        .where(col("lang").isNotNull && col("text").isNotNull),
+      col("text"), col("lang") === "en", k = 25),
+    Some("""WITH tok AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+      |          AS tgt,
+      |        unnest(string_split(text, ' ')) AS t
+      |      FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL),
+      |vb AS (SELECT t, CAST(sum(tgt) AS BIGINT) AS a,
+      |        CAST(sum(1 - tgt) AS BIGINT) AS b FROM tok GROUP BY 1),
+      |tt AS (SELECT CAST(sum(a) AS BIGINT) AS nt,
+      |        CAST(sum(b) AS BIGINT) AS nr,
+      |        CAST(count(*) AS BIGINT) AS v FROM vb),
+      |g AS (SELECT t AS term, a, b,
+      |        round((ln((a + 0.01) / (nt + 0.01 * v - (a + 0.01))) -
+      |               ln((b + 0.01) / (nr + 0.01 * v - (b + 0.01)))) /
+      |          sqrt(1.0 / (a + 0.01) + 1.0 / (b + 0.01)), 4)
+      |          AS z_log_odds
+      |      FROM vb CROSS JOIN tt)
+      |SELECT term, a, b, z_log_odds FROM g
+      |ORDER BY z_log_odds DESC, term LIMIT 25""".stripMargin))
+
+  /** [[Drift.bhattacharyya]]: returned-vs-normal price density overlap
+    * over 50 fixed bins — the coincidence view next to PSI/EMD. */
+  private val q302 = QDef("q302_bhattacharyya",
+    (s, dir) => Drift.bhattacharyya(
+      T(s, dir, "lineitem").where(col("l_extendedprice").isNotNull),
+      col("l_returnflag"),
+      expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)"),
+      a = "R", b = "N", lo = 0L, hi = 11100000L, bins = 50),
+    Some("""WITH d AS (SELECT l_returnflag AS l,
+      |        CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS v
+      |      FROM lineitem
+      |      WHERE l_returnflag IN ('R', 'N')
+      |        AND l_extendedprice IS NOT NULL),
+      |bn AS (SELECT l, least(CAST(floor(greatest((v - 0) * 50
+      |          / 11100000.0, 0)) AS BIGINT), 49) AS b FROM d),
+      |ct AS (SELECT b,
+      |        CAST(sum(CASE WHEN l = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS ca,
+      |        CAST(sum(CASE WHEN l = 'N' THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS cb
+      |      FROM bn GROUP BY 1),
+      |tt AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+      |        CAST(sum(cb) AS BIGINT) AS nb FROM ct),
+      |tm AS (SELECT na, nb,
+      |        CAST(round(sqrt(CAST(ca AS DOUBLE) / na *
+      |          (CAST(cb AS DOUBLE) / nb)) * 1000000000.0, 0) AS BIGINT)
+      |          AS t9
+      |      FROM ct CROSS JOIN tt),
+      |ag AS (SELECT na, nb, CAST(sum(t9) AS BIGINT) AS bc9 FROM tm
+      |       GROUP BY 1, 2)
+      |SELECT na AS n_a, nb AS n_b,
+      |  round(CAST(bc9 AS DOUBLE) / 1000000000.0, 4) AS bc,
+      |  round(-ln(nullif(CAST(bc9 AS DOUBLE) / 1000000000.0, 0.0)), 4)
+      |    AS bhattacharyya_dist
+      |FROM ag""".stripMargin))
+
+  /** [[RankEval.partitionAgreement]]: do source blocks and language
+    * labels cut the corpus the same way — ARI + purity both ways. */
+  private val q303 = QDef("q303_partition_agreement",
+    (s, dir) => RankEval.partitionAgreement(T(s, dir, "documents"),
+      col("source"), col("lang")),
+    Some("""WITH d AS (SELECT source AS u, lang AS v FROM documents
+      |      WHERE source IS NOT NULL AND lang IS NOT NULL),
+      |ce AS (SELECT u, v, CAST(count(*) AS BIGINT) AS nij FROM d
+      |       GROUP BY 1, 2),
+      |pj AS (SELECT CAST(sum(nij * (nij - 1) // 2) AS BIGINT) AS pij
+      |       FROM ce),
+      |ra AS (SELECT u, CAST(sum(nij) AS BIGINT) AS ai,
+      |        CAST(max(nij) AS BIGINT) AS mi FROM ce GROUP BY 1),
+      |cb AS (SELECT v, CAST(sum(nij) AS BIGINT) AS bj,
+      |        CAST(max(nij) AS BIGINT) AS mj FROM ce GROUP BY 1),
+      |pa AS (SELECT CAST(sum(ai * (ai - 1) // 2) AS BIGINT) AS pa,
+      |        CAST(sum(mi) AS BIGINT) AS purn,
+      |        CAST(count(*) AS BIGINT) AS ku FROM ra),
+      |pb AS (SELECT CAST(sum(bj * (bj - 1) // 2) AS BIGINT) AS pb,
+      |        CAST(sum(mj) AS BIGINT) AS ipurn,
+      |        CAST(count(*) AS BIGINT) AS kv FROM cb),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d)
+      |SELECT n, ku AS k_u, kv AS k_v,
+      |  round((CAST(pij AS DOUBLE) - CAST(pa AS DOUBLE) * pb /
+      |      (n * (n - 1) // 2)) /
+      |    nullif(CAST(pa + pb AS DOUBLE) / 2.0 - CAST(pa AS DOUBLE) * pb /
+      |      (n * (n - 1) // 2), 0.0), 4) AS ari,
+      |  round(CAST(purn AS DOUBLE) / n, 4) AS purity,
+      |  round(CAST(ipurn AS DOUBLE) / n, 4) AS inverse_purity
+      |FROM pj CROSS JOIN pa CROSS JOIN pb CROSS JOIN nn""".stripMargin))
+
+  /** [[RankEval.vMeasure]]: the entropy view of the same question —
+    * homogeneity, completeness, and their harmonic mean. */
+  private val q304 = QDef("q304_v_measure",
+    (s, dir) => RankEval.vMeasure(T(s, dir, "documents"),
+      col("source"), col("lang")),
+    Some("""WITH d AS (SELECT source AS u, lang AS v FROM documents
+      |      WHERE source IS NOT NULL AND lang IS NOT NULL),
+      |ce AS (SELECT u, v, CAST(count(*) AS BIGINT) AS nij FROM d
+      |       GROUP BY 1, 2),
+      |ra AS (SELECT u, CAST(sum(nij) AS BIGINT) AS ai FROM ce GROUP BY 1),
+      |cb AS (SELECT v, CAST(sum(nij) AS BIGINT) AS bj FROM ce GROUP BY 1),
+      |nn AS (SELECT CAST(sum(nij) AS BIGINT) AS n FROM ce),
+      |hu AS (SELECT CAST(coalesce(-sum(CAST(round(CAST(ai AS DOUBLE) / n *
+      |        ln(CAST(ai AS DOUBLE) / n) * 1000000.0, 0) AS BIGINT)), 0)
+      |        AS BIGINT) AS hu6 FROM ra CROSS JOIN nn),
+      |hv AS (SELECT CAST(coalesce(-sum(CAST(round(CAST(bj AS DOUBLE) / n *
+      |        ln(CAST(bj AS DOUBLE) / n) * 1000000.0, 0) AS BIGINT)), 0)
+      |        AS BIGINT) AS hv6 FROM cb CROSS JOIN nn),
+      |huv AS (SELECT CAST(coalesce(-sum(CAST(round(CAST(nij AS DOUBLE) / n
+      |        * ln(CAST(nij AS DOUBLE) / bj) * 1000000.0, 0) AS BIGINT)),
+      |        0) AS BIGINT) AS huv6
+      |       FROM ce JOIN cb USING (v) CROSS JOIN nn),
+      |hvu AS (SELECT CAST(coalesce(-sum(CAST(round(CAST(nij AS DOUBLE) / n
+      |        * ln(CAST(nij AS DOUBLE) / ai) * 1000000.0, 0) AS BIGINT)),
+      |        0) AS BIGINT) AS hvu6
+      |       FROM ce JOIN ra USING (u) CROSS JOIN nn)
+      |SELECT
+      |  round(coalesce(1.0 - CAST(huv6 AS DOUBLE) /
+      |    nullif(CAST(hu6 AS DOUBLE), 0.0), 1.0), 4) AS homogeneity,
+      |  round(coalesce(1.0 - CAST(hvu6 AS DOUBLE) /
+      |    nullif(CAST(hv6 AS DOUBLE), 0.0), 1.0), 4) AS completeness,
+      |  round(2.0 * coalesce(1.0 - CAST(huv6 AS DOUBLE) /
+      |      nullif(CAST(hu6 AS DOUBLE), 0.0), 1.0) *
+      |    coalesce(1.0 - CAST(hvu6 AS DOUBLE) /
+      |      nullif(CAST(hv6 AS DOUBLE), 0.0), 1.0) /
+      |    nullif(coalesce(1.0 - CAST(huv6 AS DOUBLE) /
+      |        nullif(CAST(hu6 AS DOUBLE), 0.0), 1.0) +
+      |      coalesce(1.0 - CAST(hvu6 AS DOUBLE) /
+      |        nullif(CAST(hv6 AS DOUBLE), 0.0), 1.0), 0.0), 4)
+      |    AS v_measure
+      |FROM hu CROSS JOIN hv CROSS JOIN huv CROSS JOIN hvu""".stripMargin))
+
   def all: Seq[QDef] = Seq(q236, q237, q238, q239, q240, q241, q242, q243,
     q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255,
     q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267,
     q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279,
     q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290, q291,
-    q292, q293, q294, q295, q296, q297, q298, q299, q300)
+    q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303,
+    q304)
 }

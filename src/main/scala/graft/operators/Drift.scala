@@ -20,6 +20,41 @@ import org.apache.spark.sql.functions._
   * so the cross-bin aggregation is exact at any bin count.
   */
 object Drift {
+
+  /** Bhattacharyya coefficient/distance between two labels'
+    * distributions of an INTEGER metric over fixed equi-width bins:
+    * BC = Σ_b √(p_b·q_b), D = −ln BC — the overlap-style drift metric
+    * that complements PSI (ratio-sensitive) and EMD (mass-transport):
+    * BC reads directly as "how much of the two densities coincide".
+    * One conditional bin aggregation over the dense bin spine (zero
+    * bins contribute 0 to BC — no smoothing needed, unlike KL);
+    * each √(p·q) term is one double op over exact counts quantized to
+    * 1e-9 fixed-point before the bins-sized sum. NULL D when the
+    * distributions share no mass. */
+  def bhattacharyya(df: DataFrame, label: Column, v: Column,
+                    a: String, b: String, lo: Long, hi: Long,
+                    bins: Int): DataFrame = {
+    require(bins >= 2 && hi > lo, "bad binning")
+    val d = df.select(label.as("l"), v.cast("long").as("v"))
+      .where(col("l").isin(a, b) && col("v").isNotNull)
+    val bin = least(floor(greatest((col("v") - lo) * bins /
+      lit(hi - lo), lit(0L))).cast("long"), lit(bins - 1L))
+    val counts = d.select(col("l"), bin.as("b"))
+      .groupBy("b")
+      .agg(sum(when(col("l") === a, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("l") === b, 1L).otherwise(0L)).as("cb"))
+    val tots = counts.agg(sum("ca").as("na"), sum("cb").as("nb"))
+    counts.crossJoin(broadcast(tots))
+      .select(col("na"), col("nb"),
+        round(sqrt(col("ca").cast("double") / col("na") *
+          (col("cb").cast("double") / col("nb"))) * lit(1e9), 0)
+          .cast("long").as("t9"))
+      .groupBy("na", "nb").agg(sum("t9").as("bc9"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        round(col("bc9").cast("double") / lit(1e9), 4).as("bc"),
+        round(-log(nullif(col("bc9").cast("double") / lit(1e9),
+          lit(0.0))), 4).as("bhattacharyya_dist"))
+  }
   /** Dense per-bin counts: (bin 0..bins-1, ca, cb) + totals and range as
     * constant columns. One corpus aggregation + a bins-row spine. */
   private def binnedDense(df: DataFrame, label: Column, v: Column,

@@ -273,6 +273,38 @@ object LanguageModel {
       .limit(k)
   }
 
+  /** Monroe-Colaresi-Quinn "fightin' words" log-odds with a Dirichlet
+    * prior: per term,
+    *
+    *   δ = ln((a+α)/(N_T+αV−a−α)) − ln((b+α)/(N_R+αV−b−α)),
+    *   z = δ/√(1/(a+α) + 1/(b+α))
+    *
+    * — the variance-normalized upgrade of raw keyness (G² rewards
+    * frequency; this z-score surfaces mid-frequency words that are
+    * GENUINELY lopsided). The α=0.01-per-type prior smooths the
+    * zero-count side. One conditional vocab aggregation + a 1-row
+    * totals broadcast; each term's z is a fixed double expression over
+    * exact longs, top-k on the ROUNDED score with a term tie-break. */
+  def logOddsPrior(df: DataFrame, text: Column, isTarget: Column,
+                   k: Int, alpha: Double = 0.01): DataFrame = {
+    val tok = df.select(isTarget.cast("long").as("tgt"),
+      explode(split(text, " ")).as("t"))
+    val vocab = tok.groupBy("t")
+      .agg(sum("tgt").as("a"), sum(lit(1L) - col("tgt")).as("b"))
+    val tots = vocab.agg(sum("a").as("nt"), sum("b").as("nr"),
+      count(lit(1)).as("v"))
+    val aa = col("a") + lit(alpha)
+    val bb = col("b") + lit(alpha)
+    val delta = log(aa / (col("nt") + lit(alpha) * col("v") - aa)) -
+      log(bb / (col("nr") + lit(alpha) * col("v") - bb))
+    val z = delta / sqrt(lit(1.0) / aa + lit(1.0) / bb)
+    vocab.crossJoin(broadcast(tots))
+      .select(col("t").as("term"), col("a"), col("b"),
+        round(z, 4).as("z_log_odds"))
+      .orderBy(desc("z_log_odds"), col("term"))
+      .limit(k)
+  }
+
   /** Church-Gale term burstiness: per term, the Fano factor of its
     * per-document count over ALL N documents (absent docs count 0 —
     * zero-fill by omission keeps Σx and Σx² untouched while N sits in

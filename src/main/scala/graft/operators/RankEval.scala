@@ -214,6 +214,86 @@ object RankEval {
             (col("n") * col("n") - col("cross")), 4)).as("kappa"))
   }
 
+  /** Partition-agreement report between two labelings of the same
+    * rows: Adjusted Rand Index plus purity / inverse purity — "do
+    * these two groupings cut the data the same way?" (dedup clusters
+    * vs source blocks, predicted vs gold labels). All pair counts
+    * C(x,2) = shiftright(x(x−1), 1) stay exact longs; the ARI expected
+    * term goes through double space (Pa·Pb outgrows Long at ~10⁹
+    * rows); purity is one division of exact max-cell sums. NULL ARI on
+    * the degenerate single-cluster×single-cluster case. */
+  def partitionAgreement(df: DataFrame, u: Column,
+                         v: Column): DataFrame = {
+    def c2(c: Column) = shiftright(c * (c - 1), 1)
+    val d = df.select(u.as("u"), v.as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull)
+    val cells = d.groupBy("u", "v").agg(count(lit(1)).as("nij"))
+    val pij = cells.agg(sum(c2(col("nij"))).as("pij"))
+    val ra = cells.groupBy("u").agg(sum("nij").as("ai"),
+      max("nij").as("mi"))
+    val cb = cells.groupBy("v").agg(sum("nij").as("bj"),
+      max("nij").as("mj"))
+    val pa = ra.agg(sum(c2(col("ai"))).as("pa"), sum("mi").as("purn"),
+      count(lit(1)).as("ku"))
+    val pb = cb.agg(sum(c2(col("bj"))).as("pb"), sum("mj").as("ipurn"),
+      count(lit(1)).as("kv"))
+    val nn = d.agg(count(lit(1)).as("n"))
+    val exp = col("pa").cast("double") * col("pb") / c2(col("n"))
+    pij.crossJoin(broadcast(pa)).crossJoin(broadcast(pb))
+      .crossJoin(broadcast(nn))
+      .select(col("n"), col("ku").as("k_u"), col("kv").as("k_v"),
+        round((col("pij").cast("double") - exp) /
+          nullif((col("pa") + col("pb")).cast("double") / lit(2.0) - exp,
+            lit(0.0)), 4).as("ari"),
+        round(col("purn").cast("double") / col("n"), 4).as("purity"),
+        round(col("ipurn").cast("double") / col("n"), 4)
+          .as("inverse_purity"))
+  }
+
+  /** V-measure (homogeneity / completeness / their harmonic mean)
+    * between two labelings: h = 1 − H(U|V)/H(U), c = 1 − H(V|U)/H(V),
+    * V = 2hc/(h+c) — the entropy view of partition agreement
+    * ([[partitionAgreement]]'s ARI counts pairs; this weighs
+    * information). Every −p·ln p term is a single-double op over exact
+    * counts quantized to 1e-6 fixed-point before the cell-table-sized
+    * sums; degenerate single-cluster sides yield the conventional
+    * h/c = 1 via the zero-entropy guard (nullif → coalesce 1). */
+  def vMeasure(df: DataFrame, u: Column, v: Column): DataFrame = {
+    def q6(x: Column) = round(x * lit(1e6), 0).cast("long")
+    val d = df.select(u.as("u"), v.as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull)
+    val cells = d.groupBy("u", "v").agg(count(lit(1)).as("nij"))
+    val ra = cells.groupBy("u").agg(sum("nij").as("ai"))
+    val cb = cells.groupBy("v").agg(sum("nij").as("bj"))
+    val nn = cells.agg(sum("nij").as("n"))
+    val hu = ra.crossJoin(broadcast(nn))
+      .select(q6(col("ai").cast("double") / col("n") *
+        log(col("ai").cast("double") / col("n"))).as("t"))
+      .agg(coalesce(-sum("t"), lit(0L)).as("hu6"))
+    val hv = cb.crossJoin(broadcast(nn))
+      .select(q6(col("bj").cast("double") / col("n") *
+        log(col("bj").cast("double") / col("n"))).as("t"))
+      .agg(coalesce(-sum("t"), lit(0L)).as("hv6"))
+    val huv = cells.join(broadcast(cb), "v").crossJoin(broadcast(nn))
+      .select(q6(col("nij").cast("double") / col("n") *
+        log(col("nij").cast("double") / col("bj"))).as("t"))
+      .agg(coalesce(-sum("t"), lit(0L)).as("huv6"))
+    val hvu = cells.join(broadcast(ra), "u").crossJoin(broadcast(nn))
+      .select(q6(col("nij").cast("double") / col("n") *
+        log(col("nij").cast("double") / col("ai"))).as("t"))
+      .agg(coalesce(-sum("t"), lit(0L)).as("hvu6"))
+    val h = coalesce(lit(1.0) - col("huv6").cast("double") /
+      nullif(col("hu6").cast("double"), lit(0.0)), lit(1.0))
+    val c = coalesce(lit(1.0) - col("hvu6").cast("double") /
+      nullif(col("hv6").cast("double"), lit(0.0)), lit(1.0))
+    hu.crossJoin(broadcast(hv)).crossJoin(broadcast(huv))
+      .crossJoin(broadcast(hvu))
+      .select(round(h, 4).as("homogeneity"),
+        round(c, 4).as("completeness"),
+        round(lit(2.0) * h * c / nullif(h + c, lit(0.0)), 4)
+          .as("v_measure"))
+  }
+
   /** Expected / maximum calibration error over equal-population score
     * bins: ECE = Σ_b (n_b/N)·|pos_rate_b − mean_conf_b|, MCE the max
     * gap — the one-number summaries of the [[calibrationBins]] table a

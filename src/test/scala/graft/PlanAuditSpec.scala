@@ -77,7 +77,11 @@ class PlanAuditSpec extends SparkSpec {
     "q292_control_chart", // 1-row limits broadcast
     "q293_term_burstiness", // 1-row doc-census broadcast
     "q299_hill_tail", // 1-row k-th order statistic broadcast
-    "q300_corpus_scorecard") // 1-row census + entropy broadcasts
+    "q300_corpus_scorecard", // 1-row census + entropy broadcasts
+    "q301_log_odds_prior", // 1-row vocab-totals broadcast
+    "q302_bhattacharyya", // 1-row label-totals broadcast
+    "q303_partition_agreement", // four 1-row pair-count broadcasts
+    "q304_v_measure") // 1-row entropy broadcasts
 
   test("rank-filter pattern gets WindowGroupLimit pushdown (per-partition top-k, not full sort)") {
     import org.apache.spark.sql.functions._
