@@ -304,12 +304,19 @@ object AnalyticsQueries {
       |        CAST(sum(a.xq * b.xq) AS HUGEINT) AS sab
       |      FROM x a JOIN x b ON a.rid = b.rid AND a.i <= b.i
       |      GROUP BY 1, 2),
-      |s AS (SELECT i, CAST(sum(xq) AS HUGEINT) AS si FROM x GROUP BY 1)
-      |SELECT p.i, p.j, n,
-      |  round(CAST(CAST(n AS HUGEINT) * sab - sa.si * sb.si AS DOUBLE) /
-      |    (CAST(n AS DOUBLE) * (n - 1) * 1e12), 4) AS cov
-      |FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j
-      |CROSS JOIN nn ORDER BY p.i, p.j""".stripMargin))
+      |s AS (SELECT i, CAST(sum(xq) AS HUGEINT) AS si FROM x GROUP BY 1),
+      |r AS (SELECT p.i, p.j, n,
+      |        CAST(n AS HUGEINT) * sab - sa.si * sb.si AS num,
+      |        CAST(n AS HUGEINT) * (n - 1) *
+      |          CAST(1000000000000 AS HUGEINT) AS den
+      |      FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j
+      |      CROSS JOIN nn)
+      |SELECT i, j, n,
+      |  CAST(CASE WHEN num < 0
+      |    THEN -((2 * (-num) * 10000 + den) // (2 * den))
+      |    ELSE (2 * num * 10000 + den) // (2 * den) END AS DOUBLE)
+      |    / 10000.0 AS cov
+      |FROM r ORDER BY i, j""".stripMargin))
 
   /** [[Trend.poissonBootstrap]]: 64-replicate bootstrap of mean line
     * price — the distributed (Poisson) bootstrap whose weights are

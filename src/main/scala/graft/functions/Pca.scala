@@ -16,8 +16,12 @@ import org.apache.spark.sql.functions._
   * every cross-row sum is an exact integer and the centered covariance
   * derives algebraically: Σ(xᵢ−μᵢ)(xⱼ−μⱼ) = (n·Sᵢⱼ − Sᵢ·Sⱼ)/n, combined
   * in decimal(38,0) (HUGEINT on the oracle side) so the identity holds
-  * bit-exactly at any n, then ONE division seals cov = that /
-  * (n·(n−1)·10¹²).
+  * bit-exactly at any n. The 4-decimal seal then runs ENTIRELY in
+  * integer space — round(num/den, 4) as the exact rational
+  * (2·|num|·10⁴ + den) div (2·den), sign re-applied — because the
+  * double spelling round(num.toDouble/den, 4) provably diverges
+  * cross-engine when the true quotient lands on a .00005 boundary no
+  * double can represent (the q231 failure mode; q219 hit it too).
   */
 object Pca {
 
@@ -44,14 +48,24 @@ object Pca {
     val dimSums = base.select(posexplode(col("xq")).as(Seq("i", "x")))
       .groupBy("i").agg(sum("x").as("si"))
     val d38 = "decimal(38,0)"
+    // den = n·(n−1)·10¹² computed driver-side as an exact decimal literal
+    // (no plan-side decimal multiplication precision games)
+    val den = BigInt(n) * BigInt(n - 1) * BigInt(10).pow(12)
+    val denLit = lit(new java.math.BigDecimal(den.bigInteger)).cast(d38)
     pairSums
       .join(broadcast(dimSums.select(col("i"), col("si"))), Seq("i"))
       .join(broadcast(dimSums.select(col("i").as("j"), col("si").as("sj"))),
         Seq("j"))
+      .withColumn("num", lit(n).cast(d38) * col("sab").cast(d38) -
+        col("si").cast(d38) * col("sj").cast(d38))
+      .withColumn("den", denLit)
       .select(col("i"), col("j"), lit(n).as("n"),
-        round((lit(n).cast(d38) * col("sab").cast(d38) -
-          col("si").cast(d38) * col("sj").cast(d38)).cast("double") /
-          (lit(n.toDouble) * lit((n - 1).toDouble) * lit(1e12)), 4).as("cov"))
+        // integer-space round-half-away-from-zero: both engines divide
+        // positive integers only, so floor-vs-truncate can't differ
+        (when(col("num") < 0,
+            -expr("(2 * (-num) * 10000 + den) div (2 * den)"))
+          .otherwise(expr("(2 * num * 10000 + den) div (2 * den)"))
+          .cast("double") / lit(1e4)).as("cov"))
   }
 
   /** Cyclic-Jacobi eigendecomposition of a symmetric matrix — driver

@@ -286,6 +286,19 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(proj.map(_.getDouble(1)).toSeq === Seq(2.0, 4.0, 6.0))
   }
 
+  test("covarianceMatrix seals .00005 boundaries in integer space") {
+    // two 2-dim vectors quantizing to (0, 10000) / (10000, 0): every
+    // covariance cell's exact quotient is ±1e8/2e12 = ±0.00005 — a value
+    // no double represents, which is precisely where the old
+    // round(double, 4) seal diverged between Spark and DuckDB (q219).
+    // The integer-space seal must round half away from zero: ±0.0001.
+    val df = Seq(Array(0.0f, 0.01f), Array(0.01f, 0.0f)).toDF("embedding")
+    val out = Pca.covarianceMatrix(df, col("embedding"))
+      .orderBy("i", "j").collect()
+    assert(out.map(r => (r.getInt(0), r.getInt(1), r.getDouble(3))).toSeq ===
+      Seq((0, 0, 0.0001), (0, 1, -0.0001), (1, 1, 0.0001)))
+  }
+
   // ---- MRR ------------------------------------------------------------
 
   test("mrr hand case: first-relevant ranks, groups without relevant") {
