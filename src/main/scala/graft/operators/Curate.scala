@@ -189,11 +189,25 @@ object Curate {
     * Weights w = tf·ln(N/df) quantize to 1e-3 fixed-point LONGS per
     * (doc, term) — both engines then run EXACT integer dot products
     * and norms (1e-3 keeps Σw² under 2⁶³ at realistic doc sizes), so
-    * the cosine is one double division of identical integers. Pair
-    * generation joins the token table to itself on (block, term) —
-    * candidates are bounded by shared-term co-occurrence inside a
-    * block, never block²; the q61 prefix-filter spelling is the
-    * web-scale upgrade when blocks are huge. */
+    * the cosine is one double division of identical integers.
+    *
+    * The postings table is localCheckpointed ONCE (it feeds norms and
+    * both sides of the pair join — without the pin the whole
+    * tokenize→tf→df→weight chain re-runs per consumer), with two
+    * load-bearing details:
+    *  - exact-zero weights drop first (df = N boilerplate terms have
+    *    w = 0: they move neither dot nor norm but their postings are
+    *    the largest, so they alone dominate the (block, term)
+    *    self-join fan-out);
+    *  - the checkpoint REPARTITIONS by doc id to the session's
+    *    shuffle parallelism. AQE's partition coalescing shrinks the
+    *    small aggregated postings table to ONE partition, and a
+    *    localCheckpoint freezes that layout — every downstream pair
+    *    join and partial aggregation then runs on a single task (the
+    *    measured cost was 5.2 s single-task vs 0.6 s at 32; the
+    *    partial agg also collapses a pair's shared-term rows map-side
+    *    only when id_a's postings are co-located, which keying the
+    *    repartition by id guarantees). */
   def tfidfCosinePairs(df: DataFrame, id: Column, text: Column,
                        block: Column, minCos: Double = 0.6): DataFrame = {
     val tok = df.select(id.as("id"), block.as("blk"),
@@ -203,11 +217,15 @@ object Curate {
     val dfT = tok.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = df.select(id.as("id")).where(col("id").isNotNull)
       .agg(countDistinct("id").as("nd"))
+    val para = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val w = tok.join(dfT, "term").crossJoin(broadcast(nDocs))
       .select(col("id"), col("blk"), col("term"),
         round(col("tf").cast("double") *
           log(col("nd").cast("double") / col("df")) * lit(1e3), 0)
           .cast("long").as("w3"))
+      .where(col("w3") =!= 0)
+      .repartition(para, col("id"))
+      .localCheckpoint()
     val norms = w.groupBy("id")
       .agg(sum(col("w3") * col("w3")).as("nrm"))
     val dots = w.as("a")
