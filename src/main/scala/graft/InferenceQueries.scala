@@ -506,7 +506,7 @@ object InferenceQueries {
       |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM tr)
       |SELECT n_vertices, n_wedges, n_triangles, n_closable,
       |  round(CAST(n_triangles AS DOUBLE) /
-      |    nullif(CAST(n_wedges AS DOUBLE), 0.0), 4) AS transitivity,
+      |    nullif(CAST(n_wedges AS DOUBLE), 0.0), 4) AS oriented_wedge_closure,
       |  round(CAST(s6 AS DOUBLE) / 1000000.0 /
       |    nullif(CAST(n_closable AS DOUBLE), 0.0), 4) AS avg_local_cc
       |FROM nv CROSS JOIN nw CROSS JOIN nt CROSS JOIN ag""".stripMargin))
@@ -1040,7 +1040,8 @@ object InferenceQueries {
       |           THEN 1 ELSE 0 END AS ev
       |       FROM sp CROSS JOIN oe),
       |byt AS (SELECT t, CAST(count(*) AS BIGINT) AS n_at,
-      |         CAST(sum(ev) AS BIGINT) AS d_at FROM dur GROUP BY 1),
+      |         CAST(sum(ev) AS BIGINT) AS d_at FROM dur
+      |       WHERE t IS NOT NULL GROUP BY 1),
       |tot AS (SELECT CAST(sum(n_at) AS BIGINT) AS n_total FROM byt),
       |r AS (SELECT t, d_at, n_total - coalesce(CAST(sum(n_at) OVER
       |        (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
@@ -1791,7 +1792,8 @@ object InferenceQueries {
       |        CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
       |        l_orderkey * 10 + l_linenumber AS id
       |      FROM lineitem
-      |      WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL),
+      |      WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+      |        AND l_orderkey * 10 + l_linenumber IS NOT NULL),
       |b AS (SELECT ntile(10) OVER (ORDER BY s DESC, id) AS bin, s, y
       |      FROM d),
       |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,

@@ -1361,7 +1361,8 @@ object StatQueries {
       |           THEN 1 ELSE 0 END AS ev
       |       FROM sp CROSS JOIN oe),
       |byt AS (SELECT t, CAST(count(*) AS BIGINT) AS n_at,
-      |         CAST(sum(ev) AS BIGINT) AS d_at FROM dur GROUP BY 1),
+      |         CAST(sum(ev) AS BIGINT) AS d_at FROM dur
+      |       WHERE t IS NOT NULL GROUP BY 1),
       |tot AS (SELECT CAST(sum(n_at) AS BIGINT) AS n_total FROM byt),
       |r AS (SELECT t, d_at, n_total - coalesce(CAST(sum(n_at) OVER
       |        (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)

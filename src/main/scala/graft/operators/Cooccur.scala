@@ -63,9 +63,12 @@ object Cooccur {
       .localCheckpoint()
     // N counts every non-null basket key (count(DISTINCT b) semantics) —
     // the array table drops baskets whose items are ALL null, and using
-    // its count would inflate every lift on such data
-    val nBaskets = df.select(basket.as("b"))
-      .where(col("b").isNotNull).distinct().count()
+    // its count would inflate every lift on such data. It enters the plan
+    // as a LAZY 1-row broadcast (not an eager .count() at construction
+    // time): the operator returns a DataFrame, so no corpus action may
+    // fire before the caller executes it.
+    val nB = df.select(basket.as("b")).where(col("b").isNotNull)
+      .agg(countDistinct("b").as("n_baskets"))
     val marg = arr.select(explode(col("its")).as("it"))
       .groupBy(col("it")).agg(count(lit(1)).as("c"))
     val pairs = pairCounts(arr).where(col("c_ab") >= lit(minSupport))
@@ -74,8 +77,9 @@ object Cooccur {
         Seq("item_a"))
       .join(broadcast(marg.select(col("it").as("item_b"), col("c").as("c_b"))),
         Seq("item_b"))
+      .crossJoin(broadcast(nB))
       .select(col("item_a"), col("item_b"), col("c_ab"), col("c_a"), col("c_b"),
-        round((col("c_ab") * lit(nBaskets)).cast("double") /
+        round((col("c_ab") * col("n_baskets")).cast("double") /
           (col("c_a") * col("c_b")).cast("double"), 4).as("lift"))
   }
 
@@ -92,8 +96,11 @@ object Cooccur {
                  minSupport: Long, k: Int): DataFrame = {
     val arr = basketItems(df, basket, item, distinctItems = true)
       .localCheckpoint()
-    val nBaskets = df.select(basket.as("b"))
-      .where(col("b").isNotNull).distinct().count()
+    // lazy 1-row basket census (same convention as pairLift): an eager
+    // .count() here would fire a full corpus action at plan-construction
+    // time even if the returned DataFrame is never executed
+    val nB = df.select(basket.as("b")).where(col("b").isNotNull)
+      .agg(countDistinct("b").as("n_baskets"))
     val marg = arr.select(explode(col("its")).as("it"))
       .groupBy(col("it")).agg(count(lit(1)).as("c"))
     val pairs = pairCounts(arr).where(col("c_ab") >= lit(minSupport))
@@ -106,11 +113,12 @@ object Cooccur {
         Seq("ante"))
       .join(broadcast(marg.select(col("it").as("cons"), col("c").as("cc"))),
         Seq("cons"))
+      .crossJoin(broadcast(nB))
       .select(col("ante").as("antecedent"), col("cons").as("consequent"),
         col("c_ab").as("n_pair"),
-        round(col("c_ab").cast("double") / lit(nBaskets), 4).as("support"),
+        round(col("c_ab").cast("double") / col("n_baskets"), 4).as("support"),
         round(col("c_ab").cast("double") / col("ca"), 4).as("confidence"),
-        round((col("c_ab") * lit(nBaskets)).cast("double") /
+        round((col("c_ab") * col("n_baskets")).cast("double") /
           (col("ca") * col("cc")).cast("double"), 4).as("lift"))
       .orderBy(desc("confidence"), col("antecedent"), col("consequent"))
       .limit(k)

@@ -260,7 +260,7 @@ object Graph {
         col("n_closable"),
         round(col("n_triangles").cast("double") /
           nullif(col("n_wedges").cast("double"), lit(0.0)), 4)
-          .as("transitivity"),
+          .as("oriented_wedge_closure"),
         round(col("s6").cast("double") / lit(1e6) /
           nullif(col("n_closable").cast("double"), lit(0.0)), 4)
           .as("avg_local_cc"))

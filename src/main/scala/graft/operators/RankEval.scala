@@ -306,9 +306,13 @@ object RankEval {
                        tie: Column, bins: Int = 10,
                        scoreScale: Long = 10000L): DataFrame = {
     val w = Window.orderBy(desc("s"), col("id"))
+    // the tie key joins the null drop: a NULL id would bin differently in
+    // Spark (nulls first) vs the DuckDB oracle (nulls last) inside the
+    // global ntile ordering — bin assignment must not depend on engine
+    // null ordering
     val binned = df.select(score.cast("long").as("s"),
         label.cast("long").as("y"), tie.as("id"))
-      .where(col("s").isNotNull && col("y").isNotNull)
+      .where(col("s").isNotNull && col("y").isNotNull && col("id").isNotNull)
       .withColumn("bin", ntile(bins).over(w).cast("long"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"), sum("y").as("np"), sum("s").as("ss"))

@@ -33,8 +33,13 @@ object Survival {
     * put ln(0) in the sum, so from that row on survival is pinned to
     * literal 0.0 via a cumulative max flag instead. */
   def kaplanMeier(df: DataFrame, duration: Column, observed: Column): DataFrame = {
+    // NULL durations drop BEFORE the time spine: a null t row would enter
+    // the unpartitioned Window.orderBy("t") prefix sums, where Spark
+    // sorts NULLS FIRST but DuckDB's ORDER BY t sorts NULLS LAST — every
+    // n_risk would silently diverge (the Sequences tie-key convention).
     val byT = df.select(duration.cast("long").as("t"),
         observed.cast("int").as("ev"))
+      .where(col("t").isNotNull)
       .groupBy("t")
       .agg(count(lit(1)).as("n_at"), sum("ev").cast("long").as("d_at"))
     val tot = byT.agg(sum("n_at").as("n_total"))
@@ -68,8 +73,11 @@ object Survival {
     * to 1e-6 fixed-point before the exact cumulative sum. */
   def nelsonAalen(df: DataFrame, duration: Column,
                   observed: Column): DataFrame = {
+    // same null-duration drop as kaplanMeier: Spark NULLS FIRST vs DuckDB
+    // NULLS LAST in the unpartitioned ORDER BY t would shift every n_risk
     val byT = df.select(duration.cast("long").as("t"),
         observed.cast("int").as("ev"))
+      .where(col("t").isNotNull)
       .groupBy("t")
       .agg(count(lit(1)).as("n_at"), sum("ev").cast("long").as("d_at"))
     val tot = byT.agg(sum("n_at").as("n_total"))

@@ -15,15 +15,15 @@ class GraphTsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_wedges") == 1L)
     assert(r.getAs[Long]("n_triangles") == 1L)
     assert(r.getAs[Long]("n_closable") == 3L)
-    assert(r.getAs[Double]("transitivity") == 1.0)
+    assert(r.getAs[Double]("oriented_wedge_closure") == 1.0)
     assert(r.getAs[Double]("avg_local_cc") == 0.7778)
   }
 
-  test("clusteringCoefficient: triangle-free graph → zero transitivity") {
+  test("clusteringCoefficient: triangle-free graph → zero wedge closure") {
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
     val r = Graph.clusteringCoefficient(e, col("u"), col("v")).collect()(0)
     assert(r.getAs[Long]("n_triangles") == 0L)
-    assert(r.getAs[Double]("transitivity") == 0.0)
+    assert(r.getAs[Double]("oriented_wedge_closure") == 0.0)
     assert(r.getAs[Double]("avg_local_cc") == 0.0)
   }
 
