@@ -676,7 +676,8 @@ object AnalyticsQueries {
       |        CAST(sum(w6) AS BIGINT) AS aa6
       |      FROM p GROUP BY 1, 2)
       |SELECT item_a, item_b, n_shared,
-      |  round(CAST(aa6 AS DOUBLE) / 1000000.0, 4) AS score
+      |  CAST((2 * CAST(aa6 AS HUGEINT) + 100) // 200 AS DOUBLE) / 10000.0
+      |    AS score
       |FROM g ORDER BY aa6 DESC, item_a, item_b LIMIT 20""".stripMargin))
 
   /** [[Trend.kendallTauB]]: rank agreement between supplier account

@@ -128,8 +128,9 @@ object EvalQueries {
       |    AS n_violating,
       |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
       |    AS rows_at_risk,
-      |  round(CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
-      |    / sum(n), 4) AS at_risk_share
+      |  CAST((2 * CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS HUGEINT)
+      |    * 10000 + sum(n)) // (2 * sum(n)) AS DOUBLE) / 10000.0
+      |    AS at_risk_share
       |FROM g ORDER BY n_rows""".stripMargin))
 
   /** [[Privacy.lDiversityReport]] at l=4 over (nation, segment) with the
@@ -187,20 +188,23 @@ object EvalQueries {
       |          AS n_violating,
       |        CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
       |          AS rows_at_risk,
-      |        round(CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END)
-      |          AS DOUBLE) / sum(n), 4) AS at_risk_share FROM g0),
+      |        CAST((2 * CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END)
+      |          AS HUGEINT) * 10000 + sum(n)) // (2 * sum(n)) AS DOUBLE)
+      |          / 10000.0 AS at_risk_share FROM g0),
       |r1 AS (SELECT 'l1_nat_seg', CAST(sum(n) AS BIGINT),
       |        CAST(count(*) AS BIGINT), CAST(min(n) AS BIGINT),
       |        CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT),
       |        CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT),
-      |        round(CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END)
-      |          AS DOUBLE) / sum(n), 4) FROM g1),
+      |        CAST((2 * CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END)
+      |          AS HUGEINT) * 10000 + sum(n)) // (2 * sum(n)) AS DOUBLE)
+      |          / 10000.0 FROM g1),
       |r2 AS (SELECT 'l2_region_seg', CAST(sum(n) AS BIGINT),
       |        CAST(count(*) AS BIGINT), CAST(min(n) AS BIGINT),
       |        CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT),
       |        CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT),
-      |        round(CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END)
-      |          AS DOUBLE) / sum(n), 4) FROM g2)
+      |        CAST((2 * CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END)
+      |          AS HUGEINT) * 10000 + sum(n)) // (2 * sum(n)) AS DOUBLE)
+      |          / 10000.0 FROM g2)
       |SELECT * FROM r0 UNION ALL SELECT * FROM r1
       |UNION ALL SELECT * FROM r2 ORDER BY level""".stripMargin))
 
@@ -561,7 +565,9 @@ object EvalQueries {
       |        CAST(min(mite - maxtr) AS BIGINT) AS mg
       |      FROM p WHERE maxtr IS NOT NULL AND mite IS NOT NULL)
       |SELECT n_train, n_embargo, n_test, n_units_overlap,
-      |  round(CAST(mg AS DOUBLE) / 1e6, 4) AS min_gap_sec
+      |  CAST(CASE WHEN mg < 0 THEN -((2 * CAST(-(mg) AS HUGEINT) + 100)
+      |    // 200) ELSE (2 * CAST(mg AS HUGEINT) + 100) // 200 END
+      |    AS DOUBLE) / 10000.0 AS min_gap_sec
       |FROM c CROSS JOIN g ORDER BY n_train""".stripMargin))
 
   /** MAP@10 per market segment: average precision of the

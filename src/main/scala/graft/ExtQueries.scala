@@ -2422,16 +2422,22 @@ object ExtQueries {
     Some("""WITH c AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS c
       |        FROM lineitem GROUP BY 1),
       |r AS (SELECT k, c, row_number() OVER (ORDER BY c, k) AS i,
-      |        CAST(count(*) OVER () AS BIGINT) AS nk FROM c)
-      |SELECT CAST(count(*) AS BIGINT) AS n_keys,
-      |  CAST(sum(c) AS BIGINT) AS n_rows,
-      |  round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4)
-      |    AS max_share,
-      |  round(CAST(sum(CASE WHEN i > nk - 10 THEN c ELSE 0 END) AS DOUBLE) /
-      |        CAST(sum(c) AS DOUBLE), 4) AS top10_share,
-      |  round(CAST(sum((2 * i - nk - 1) * c) AS DOUBLE) /
-      |        CAST(count(*) * sum(c) AS DOUBLE), 4) AS gini
-      |FROM r""".stripMargin))
+      |        CAST(count(*) OVER () AS BIGINT) AS nk FROM c),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+      |        CAST(sum(c) AS BIGINT) AS n_rows,
+      |        CAST(max(c) AS BIGINT) AS max_c,
+      |        CAST(sum(CASE WHEN i > nk - 10 THEN c ELSE 0 END) AS BIGINT)
+      |          AS top10_c,
+      |        CAST(sum((2 * i - nk - 1) * c) AS BIGINT) AS gini_num
+      |      FROM r)
+      |SELECT n_keys, n_rows,
+      |  CAST((2 * CAST(max_c AS HUGEINT) * 10000 + n_rows) // (2 * n_rows)
+      |    AS DOUBLE) / 10000.0 AS max_share,
+      |  CAST((2 * CAST(top10_c AS HUGEINT) * 10000 + n_rows) // (2 * n_rows)
+      |    AS DOUBLE) / 10000.0 AS top10_share,
+      |  CAST((2 * CAST(gini_num AS HUGEINT) * 10000 + n_keys * n_rows) //
+      |    (2 * n_keys * n_rows) AS DOUBLE) / 10000.0 AS gini
+      |FROM a""".stripMargin))
 
   /** Equi-depth discretization: ntile(10) over (n_chars, doc_id) — the
     * quantile-binning step of feature preprocessing. Integer sums per bin;
@@ -2493,8 +2499,8 @@ object ExtQueries {
       |      FROM bi a JOIN bi b ON a.b = b.b AND a.it < b.it
       |      GROUP BY 1, 2 HAVING count(*) >= 3)
       |SELECT item_a, item_b, c_ab, ma.c AS c_a, mb.c AS c_b,
-      |  round(CAST(c_ab * nb.n AS DOUBLE) /
-      |        CAST(ma.c * mb.c AS DOUBLE), 4) AS lift
+      |  CAST((2 * CAST(c_ab * nb.n AS HUGEINT) * 10000 + ma.c * mb.c) //
+      |    (2 * ma.c * mb.c) AS DOUBLE) / 10000.0 AS lift
       |FROM p JOIN marg ma ON ma.it = item_a
       |       JOIN marg mb ON mb.it = item_b
       |CROSS JOIN nb

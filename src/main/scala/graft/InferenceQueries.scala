@@ -377,7 +377,8 @@ object InferenceQueries {
       |      FROM p a JOIN p b ON a.k = b.k AND a.l <> b.l AND a.mn < b.mx
       |      GROUP BY 1, 2)
       |SELECT a, b, support,
-      |  round(CAST(support AS DOUBLE) / n_keys, 4) AS support_ratio
+      |  CAST((2 * CAST(support AS HUGEINT) * 10000 + n_keys) //
+      |    (2 * n_keys) AS DOUBLE) / 10000.0 AS support_ratio
       |FROM s CROSS JOIN t ORDER BY a, b""".stripMargin))
 
   /** [[Cooccur.infoGain]]: which feature best predicts order status —
@@ -417,8 +418,14 @@ object InferenceQueries {
       |          AS BIGINT) AS shy
       |       FROM cy JOIN nf ON cy.f = nf.f GROUP BY 1)
       |SELECT hy.f AS feature, hy.n AS n_rows,
-      |  round(-CAST(shy AS DOUBLE) / 1000000.0, 4) AS h_label,
-      |  round(CAST(sch - shy AS DOUBLE) / 1000000.0, 4) AS info_gain
+      |  CAST(CASE WHEN -shy < 0
+      |    THEN -((2 * CAST(shy AS HUGEINT) + 100) // 200)
+      |    ELSE (2 * CAST(-shy AS HUGEINT) + 100) // 200 END AS DOUBLE)
+      |    / 10000.0 AS h_label,
+      |  CAST(CASE WHEN sch - shy < 0
+      |    THEN -((2 * CAST(-(sch - shy) AS HUGEINT) + 100) // 200)
+      |    ELSE (2 * CAST(sch - shy AS HUGEINT) + 100) // 200 END
+      |    AS DOUBLE) / 10000.0 AS info_gain
       |FROM hy JOIN ch ON hy.f = ch.f ORDER BY feature""".stripMargin))
 
   /** [[LanguageModel.naiveBayesClassify]]: add-1 multinomial NB lang
@@ -1050,12 +1057,14 @@ object InferenceQueries {
       |ev AS (SELECT t, n_risk, d_at,
       |        CAST(round(CAST(d_at AS DOUBLE) / CAST(n_risk AS DOUBLE)
       |          * 1000000.0, 0) AS BIGINT) AS h6
-      |      FROM r WHERE d_at > 0)
+      |      FROM r WHERE d_at > 0),
+      |cu AS (SELECT t, n_risk, d_at,
+      |        CAST(sum(h6) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+      |          PRECEDING AND CURRENT ROW) AS HUGEINT) AS ch6
+      |      FROM ev)
       |SELECT t, n_risk, d_at AS n_events,
-      |  round(CAST(sum(h6) OVER w AS DOUBLE) / 1000000.0, 4) AS cum_hazard
-      |FROM ev WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
-      |  AND CURRENT ROW)
-      |ORDER BY t""".stripMargin))
+      |  CAST((2 * ch6 + 100) // 200 AS DOUBLE) / 10000.0 AS cum_hazard
+      |FROM cu ORDER BY t""".stripMargin))
 
   /** [[Trend.ancova]]: segment order-value means adjusted for customer
     * balance — the common-slope covariate adjustment. */
@@ -1178,11 +1187,13 @@ object InferenceQueries {
       |        AS BIGINT) AS h6
       |      FROM ce JOIN pg ON ce.g = pg.g GROUP BY 1)
       |SELECT pg.g AS grp, n, k AS k_categories,
-      |  round(-CAST(h6 AS DOUBLE) / 1000000.0, 4) AS shannon_h,
+      |  CAST(CASE WHEN -h6 < 0 THEN -((2 * CAST(h6 AS HUGEINT) + 100) // 200)
+      |    ELSE (2 * CAST(-h6 AS HUGEINT) + 100) // 200 END AS DOUBLE)
+      |    / 10000.0 AS shannon_h,
       |  round(-CAST(h6 AS DOUBLE) / 1000000.0 /
       |    nullif(ln(CAST(k AS DOUBLE)), 0.0), 4) AS evenness,
-      |  round(CAST(n * n - ssq AS DOUBLE) / CAST(n * n AS DOUBLE), 4)
-      |    AS simpson_d
+      |  CAST((2 * CAST(n * n - ssq AS HUGEINT) * 10000 + n * n) //
+      |    (2 * n * n) AS DOUBLE) / 10000.0 AS simpson_d
       |FROM pg JOIN h ON pg.g = h.g ORDER BY grp""".stripMargin))
 
   /** Per-brand price elasticity of demand: closed-form OLS on
@@ -1697,10 +1708,12 @@ object InferenceQueries {
       |bo AS (SELECT ia AS ante, ib AS cons, c_ab FROM q
       |      UNION ALL SELECT ib AS ante, ia AS cons, c_ab FROM q),
       |r AS (SELECT ante, cons, c_ab AS n_pair,
-      |        round(CAST(c_ab AS DOUBLE) / n, 4) AS support,
-      |        round(CAST(c_ab AS DOUBLE) / ca.c, 4) AS confidence,
-      |        round(CAST(c_ab * n AS DOUBLE) /
-      |          CAST(ca.c * cc.c AS DOUBLE), 4) AS lift
+      |        CAST((2 * CAST(c_ab AS HUGEINT) * 10000 + n) // (2 * n)
+      |          AS DOUBLE) / 10000.0 AS support,
+      |        CAST((2 * CAST(c_ab AS HUGEINT) * 10000 + ca.c) //
+      |          (2 * ca.c) AS DOUBLE) / 10000.0 AS confidence,
+      |        CAST((2 * CAST(c_ab * n AS HUGEINT) * 10000 + ca.c * cc.c) //
+      |          (2 * ca.c * cc.c) AS DOUBLE) / 10000.0 AS lift
       |      FROM bo JOIN mg ca ON ca.it = bo.ante
       |      JOIN mg cc ON cc.it = bo.cons
       |      CROSS JOIN nb)
@@ -1851,8 +1864,11 @@ object InferenceQueries {
       |      FROM e JOIN p3 ON e.f = p3.s CROSS JOIN tt),
       |ag AS (SELECT n_states, CAST(sum(t9) AS BIGINT) AS h9 FROM tm
       |       GROUP BY 1)
-      |SELECT n_states, round(-CAST(h9 AS DOUBLE) / 1000000000.0, 4)
-      |  AS entropy_rate
+      |SELECT n_states,
+      |  CAST(CASE WHEN -h9 < 0
+      |    THEN -((2 * CAST(h9 AS HUGEINT) + 100000) // 200000)
+      |    ELSE (2 * CAST(-h9 AS HUGEINT) + 100000) // 200000 END
+      |    AS DOUBLE) / 10000.0 AS entropy_rate
       |FROM ag""".stripMargin))
 
   /** [[Sketches.histogramQuantiles]]: mergeable 100-bin price sketch
@@ -1930,8 +1946,10 @@ object InferenceQueries {
       |        CAST(sum(nus - us) AS BIGINT) AS dus
       |      FROM l WHERE nus IS NOT NULL GROUP BY 1)
       |SELECT state, n_intervals,
-      |  round(CAST(dus AS DOUBLE) / 1000000.0, 4) AS total_s,
-      |  round(CAST(dus AS DOUBLE) / 1000000.0 / n_intervals, 4) AS mean_s
+      |  CAST((2 * CAST(dus AS HUGEINT) + 100) // 200 AS DOUBLE) / 10000.0
+      |    AS total_s,
+      |  CAST((2 * CAST(dus AS HUGEINT) * 10000 + n_intervals * 1000000) //
+      |    (2 * n_intervals * 1000000) AS DOUBLE) / 10000.0 AS mean_s
       |FROM a ORDER BY state""".stripMargin))
 
   /** [[Derive.priceIndex]]: matched-model Laspeyres/Paasche/Fisher
@@ -2292,7 +2310,8 @@ object InferenceQueries {
       |ag AS (SELECT na, nb, CAST(sum(t9) AS BIGINT) AS bc9 FROM tm
       |       GROUP BY 1, 2)
       |SELECT na AS n_a, nb AS n_b,
-      |  round(CAST(bc9 AS DOUBLE) / 1000000000.0, 4) AS bc,
+      |  CAST((2 * CAST(bc9 AS HUGEINT) + 100000) // 200000 AS DOUBLE)
+      |    / 10000.0 AS bc,
       |  round(-ln(nullif(CAST(bc9 AS DOUBLE) / 1000000000.0, 0.0)), 4)
       |    AS bhattacharyya_dist
       |FROM ag""".stripMargin))

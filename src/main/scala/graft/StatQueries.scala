@@ -920,7 +920,10 @@ object StatQueries {
       |        * 100000000.0, 0) AS BIGINT) AS t
       |      FROM d)
       |SELECT 'src0' AS label_a, 'src1' AS label_b, n_a, n_b,
-      |  round(CAST(sum(t) AS DOUBLE) / 100000000.0, 4) AS psi
+      |  CAST(CASE WHEN sum(t) < 0
+      |    THEN -((2 * CAST(-sum(t) AS HUGEINT) + 10000) // 20000)
+      |    ELSE (2 * CAST(sum(t) AS HUGEINT) + 10000) // 20000 END
+      |    AS DOUBLE) / 10000.0 AS psi
       |FROM t GROUP BY 1, 2, 3, 4 ORDER BY label_a""".stripMargin))
 
   /** [[Drift.emd1d]]: 1-D Wasserstein distance (in price units) between
@@ -948,7 +951,8 @@ object StatQueries {
       |        * ((hi - lo) / 20.0) * 1000000.0, 0) AS BIGINT) AS t
       |      FROM cum)
       |SELECT 'early' AS label_a, 'late' AS label_b, n_a, n_b,
-      |  round(CAST(sum(t) AS DOUBLE) / 1000000.0, 4) AS emd
+      |  CAST((2 * CAST(sum(t) AS HUGEINT) + 100) // 200 AS DOUBLE)
+      |    / 10000.0 AS emd
       |FROM t GROUP BY 1, 2, 3, 4 ORDER BY label_a""".stripMargin))
 
   /** [[Trend.twoProportionZ]]: A/B conversion readout — users hashed into
@@ -1056,7 +1060,10 @@ object StatQueries {
       |        * 0.5 * 100000000.0, 0) AS BIGINT) AS t
       |      FROM pq)
       |SELECT 'view' AS label_a, 'purchase' AS label_b, n_a, n_b,
-      |  round(CAST(sum(t) AS DOUBLE) / 100000000.0, 4) AS jsd
+      |  CAST(CASE WHEN sum(t) < 0
+      |    THEN -((2 * CAST(-sum(t) AS HUGEINT) + 10000) // 20000)
+      |    ELSE (2 * CAST(sum(t) AS HUGEINT) + 10000) // 20000 END
+      |    AS DOUBLE) / 10000.0 AS jsd
       |FROM t GROUP BY 1, 2, 3, 4 ORDER BY label_a""".stripMargin))
 
   /** [[Trend.srmCheck]]: sample-ratio-mismatch gate over a 50/30/20
@@ -1117,7 +1124,9 @@ object StatQueries {
       |        * 100000000.0, 0) AS BIGINT) AS t
       |      FROM m JOIN t ON m.g = t.g)
       |SELECT g AS nation_key, CAST(count(*) AS BIGINT) AS n_suppliers,
-      |  tw AS cents, round(CAST(sum(t) AS DOUBLE) / 100000000.0, 4) AS hhi
+      |  tw AS cents,
+      |  CAST((2 * CAST(sum(t) AS HUGEINT) + 10000) // 20000 AS DOUBLE)
+      |    / 10000.0 AS hhi
       |FROM q GROUP BY 1, 3 ORDER BY nation_key""".stripMargin))
 
   /** Signup→first-purchase conversion lag: exact p50/p90/p99 of the
@@ -1469,11 +1478,12 @@ object StatQueries {
       |          THEN v END AS tv
       |      FROM b JOIN c ON b.g = c.g)
       |SELECT g AS priority, n,
-      |  round(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE), 4) AS mean,
-      |  round(CAST(sum(c4) AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0, 4)
-      |    AS winsor_mean,
-      |  round(CAST(sum(tv) AS DOUBLE) / CAST(count(tv) AS DOUBLE), 4)
-      |    AS trim_mean,
+      |  CAST((2 * CAST(sv AS HUGEINT) * 10000 + n) // (2 * n) AS DOUBLE)
+      |    / 10000.0 AS mean,
+      |  CAST((2 * CAST(sum(c4) AS HUGEINT) * 10000 + n * 10000) //
+      |    (2 * n * 10000) AS DOUBLE) / 10000.0 AS winsor_mean,
+      |  CAST((2 * CAST(sum(tv) AS HUGEINT) * 10000 + count(tv)) //
+      |    (2 * count(tv)) AS DOUBLE) / 10000.0 AS trim_mean,
       |  CAST(count(tv) AS BIGINT) AS n_kept
       |FROM j GROUP BY 1, 2, 3 ORDER BY priority""".stripMargin))
 

@@ -78,9 +78,10 @@ object Cooccur {
       .join(broadcast(marg.select(col("it").as("item_b"), col("c").as("c_b"))),
         Seq("item_b"))
       .crossJoin(broadcast(nB))
+      .withColumn("lnum", col("c_ab") * col("n_baskets"))
+      .withColumn("lden", col("c_a") * col("c_b"))
       .select(col("item_a"), col("item_b"), col("c_ab"), col("c_a"), col("c_b"),
-        round((col("c_ab") * col("n_baskets")).cast("double") /
-          (col("c_a") * col("c_b")).cast("double"), 4).as("lift"))
+        Seal.ratio4("lnum", "lden").as("lift"))
   }
 
   /** Directional association rules from the [[pairLift]] machinery:
@@ -114,12 +115,13 @@ object Cooccur {
       .join(broadcast(marg.select(col("it").as("cons"), col("c").as("cc"))),
         Seq("cons"))
       .crossJoin(broadcast(nB))
+      .withColumn("lnum", col("c_ab") * col("n_baskets"))
+      .withColumn("lden", col("ca") * col("cc"))
       .select(col("ante").as("antecedent"), col("cons").as("consequent"),
         col("c_ab").as("n_pair"),
-        round(col("c_ab").cast("double") / col("n_baskets"), 4).as("support"),
-        round(col("c_ab").cast("double") / col("ca"), 4).as("confidence"),
-        round((col("c_ab") * col("n_baskets")).cast("double") /
-          (col("ca") * col("cc")).cast("double"), 4).as("lift"))
+        Seal.ratio4("c_ab", "n_baskets").as("support"),
+        Seal.ratio4("c_ab", "ca").as("confidence"),
+        Seal.ratio4("lnum", "lden").as("lift"))
       .orderBy(desc("confidence"), col("antecedent"), col("consequent"))
       .limit(k)
   }
@@ -195,7 +197,7 @@ object Cooccur {
       .orderBy(desc("aa6"), col("item_a"), col("item_b"))
       .limit(k)
       .select(col("item_a"), col("item_b"), col("n_shared"),
-        round(col("aa6").cast("double") / lit(1000000.0), 4).as("score"))
+        Seal.pow4("aa6", 6).as("score"))
   }
 
   /** Information-gain feature ranking: IG(f) = H(y) − H(y|f) for each
@@ -235,10 +237,11 @@ object Cooccur {
         log(col("cy").cast("double") / col("n"))).as("t"))
       .groupBy("f", "n").agg(sum("t").as("shy"))
     hy.join(ch, Seq("f"))
+      .withColumn("nshy", -col("shy"))
+      .withColumn("ig6", col("sch") - col("shy"))
       .select(col("f").as("feature"), col("n").as("n_rows"),
-        round(-col("shy").cast("double") / lit(1e6), 4).as("h_label"),
-        round((col("sch") - col("shy")).cast("double") / lit(1e6), 4)
-          .as("info_gain"))
+        Seal.pow4("nshy", 6).as("h_label"),
+        Seal.pow4("ig6", 6).as("info_gain"))
       .orderBy("feature")
   }
 }

@@ -51,7 +51,9 @@ object Drift {
           .cast("long").as("t9"))
       .groupBy("na", "nb").agg(sum("t9").as("bc9"))
       .select(col("na").as("n_a"), col("nb").as("n_b"),
-        round(col("bc9").cast("double") / lit(1e9), 4).as("bc"),
+        // exact 1e-9 rational seals in integer space (Seal.pow4); the
+        // log-composed distance keeps the double seal (transcendental)
+        Seal.pow4("bc9", 9).as("bc"),
         round(-log(nullif(col("bc9").cast("double") / lit(1e9),
           lit(0.0))), 4).as("bhattacharyya_dist"))
   }
@@ -98,9 +100,9 @@ object Drift {
       .select(col("n_a"), col("n_b"),
         round((p - q) * log(p / q) * lit(1e8), 0).cast("long").as("t"))
       .groupBy("n_a", "n_b")
-      .agg(round(sum("t").cast("double") / lit(1e8), 4).as("psi"))
+      .agg(sum("t").as("s8"))
       .select(lit(a).as("label_a"), lit(b).as("label_b"),
-        col("n_a"), col("n_b"), col("psi"))
+        col("n_a"), col("n_b"), Seal.pow4("s8", 8).as("psi"))
   }
 
   /** Jensen–Shannon divergence on the binned distributions, in nats:
@@ -122,9 +124,9 @@ object Drift {
         round((p * log(p / m) + q * log(q / m)) * lit(0.5) * lit(1e8), 0)
           .cast("long").as("t"))
       .groupBy("n_a", "n_b")
-      .agg(round(sum("t").cast("double") / lit(1e8), 4).as("jsd"))
+      .agg(sum("t").as("s8"))
       .select(lit(a).as("label_a"), lit(b).as("label_b"),
-        col("n_a"), col("n_b"), col("jsd"))
+        col("n_a"), col("n_b"), Seal.pow4("s8", 8).as("jsd"))
   }
 
   /** 1-D earth mover's distance on the binned distributions, in VALUE
@@ -144,8 +146,8 @@ object Drift {
           col("cpb").cast("double") / col("n_b").cast("double")) * width *
           lit(1e6), 0).cast("long").as("t"))
       .groupBy("n_a", "n_b")
-      .agg(round(sum("t").cast("double") / lit(1e6), 4).as("emd"))
+      .agg(sum("t").as("s6"))
       .select(lit(a).as("label_a"), lit(b).as("label_b"),
-        col("n_a"), col("n_b"), col("emd"))
+        col("n_a"), col("n_b"), Seal.pow4("s6", 6).as("emd"))
   }
 }

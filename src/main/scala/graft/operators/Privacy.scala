@@ -50,8 +50,7 @@ object Privacy {
       .select(col("n_rows"), col("n_groups"), col("min_group_size"),
         col("n_violating"), col("rows_at_risk"),
         when(col("n_rows") > 0,
-          round(col("rows_at_risk").cast("double") / col("n_rows"), 4))
-          .as("at_risk_share"))
+          Seal.ratio4("rows_at_risk", "n_rows")).as("at_risk_share"))
   }
 
   /** One-row l-diversity report: k-anonymity alone still leaks when a

@@ -48,12 +48,17 @@ object Profile {
           .cast("long").as("t"))
       .groupBy("g").agg(sum("t").as("h6"))
     per.join(h, Seq("g"))
+      .withColumn("nh6", -col("h6"))
+      .withColumn("snum", col("n") * col("n") - col("ssq"))
+      .withColumn("sden", col("n") * col("n"))
       .select(col("g").as("grp"), col("n"), col("k").as("k_categories"),
-        round(-col("h6").cast("double") / lit(1e6), 4).as("shannon_h"),
+        // exact rationals seal in integer space (Seal); evenness keeps
+        // the double seal — its ln(k) denominator is transcendental, so
+        // a .00005 boundary is unreachable
+        Seal.pow4("nh6", 6).as("shannon_h"),
         round(-col("h6").cast("double") / lit(1e6) /
           nullif(log(col("k").cast("double")), lit(0.0)), 4).as("evenness"),
-        round((col("n") * col("n") - col("ssq")).cast("double") /
-          (col("n") * col("n")).cast("double"), 4).as("simpson_d"))
+        Seal.ratio4("snum", "sden").as("simpson_d"))
       .orderBy("grp")
   }
 

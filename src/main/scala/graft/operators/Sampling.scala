@@ -288,6 +288,8 @@ object Sampling {
     counts.crossJoin(per)
       .select(col("n_train"), col("n_embargo"), col("n_test"),
         col("n_units_overlap"),
-        round(col("mg").cast("double") / 1e6, 4).as("min_gap_sec"))
+        // µs gap → seconds sealed in integer space (Seal.pow4): k/1e6
+        // ties at 4 decimals whenever k ≡ 50 (mod 100)
+        Seal.pow4("mg", 6).as("min_gap_sec"))
   }
 }

@@ -148,8 +148,9 @@ object Sequences {
           log(col("n").cast("double") / col("rs")) * lit(1e9), 0)
           .cast("long").as("t9"))
       .groupBy("n_states").agg(sum("t9").as("h9"))
+      .withColumn("nh9", -col("h9"))
       .select(col("n_states"),
-        round(-col("h9").cast("double") / lit(1e9), 4).as("entropy_rate"))
+        Seal.pow4("nh9", 9).as("entropy_rate"))
   }
 
   /** Per-state dwell time: how long does the stream sit in each state
@@ -171,10 +172,10 @@ object Sequences {
       .groupBy(col("s").as("state"))
       .agg(count(lit(1)).as("n_intervals"),
         sum(col("nus") - col("us")).as("dus"))
+      .withColumn("mden", col("n_intervals") * lit(1000000L))
       .select(col("state"), col("n_intervals"),
-        round(col("dus").cast("double") / lit(1e6), 4).as("total_s"),
-        round(col("dus").cast("double") / lit(1e6) /
-          col("n_intervals"), 4).as("mean_s"))
+        Seal.pow4("dus", 6).as("total_s"),
+        Seal.ratio4("dus", "mden").as("mean_s"))
       .orderBy("state")
   }
 
@@ -206,8 +207,7 @@ object Sequences {
       .groupBy("a", "b").agg(count(lit(1)).as("support"))
       .crossJoin(broadcast(tot))
       .select(col("a"), col("b"), col("support"),
-        round(col("support").cast("double") / col("n_keys"), 4)
-          .as("support_ratio"))
+        Seal.ratio4("support", "n_keys").as("support_ratio"))
       .orderBy("a", "b")
   }
 }

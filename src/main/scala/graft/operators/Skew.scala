@@ -97,13 +97,13 @@ object Skew {
         sum(when(col("i") > col("nk") - 10, col("c")).otherwise(0L))
           .as("top10_c"),
         sum((lit(2) * col("i") - col("nk") - 1) * col("c")).as("gini_num"))
+      .withColumn("gden", col("n_keys") * col("n_rows"))
       .select(col("n_keys"), col("n_rows"),
-        round(col("max_c").cast("double") / col("n_rows").cast("double"), 4)
-          .as("max_share"),
-        round(col("top10_c").cast("double") / col("n_rows").cast("double"), 4)
-          .as("top10_share"),
-        round(col("gini_num").cast("double") /
-          (col("n_keys") * col("n_rows")).cast("double"), 4).as("gini"))
+        // exact count ratios seal in integer space (Seal.ratio4): the
+        // double round(,4) diverges cross-engine on .00005 boundaries
+        Seal.ratio4("max_c", "n_rows").as("max_share"),
+        Seal.ratio4("top10_c", "n_rows").as("top10_share"),
+        Seal.ratio4("gini_num", "gden").as("gini"))
   }
 
   /** Herfindahl–Hirschman concentration index per group: HHI = Σ share²
@@ -128,10 +128,9 @@ object Skew {
       .select(col("g"), col("tw"),
         round(sh * sh * lit(1e8), 0).cast("long").as("t"))
       .groupBy("g", "tw")
-      .agg(count(lit(1)).as("n_members"),
-        round(sum("t").cast("double") / lit(1e8), 4).as("hhi"))
+      .agg(count(lit(1)).as("n_members"), sum("t").as("s8"))
       .select(col("g"), col("n_members"), col("tw").as("total_weight"),
-        col("hhi"))
+        Seal.pow4("s8", 8).as("hhi"))
   }
 
   /** Robust per-group location estimates for a heavy-tailed INTEGER
@@ -168,13 +167,12 @@ object Skew {
       .agg(sum(clamped).as("w4"),
         sum(when(inside, col("v"))).as("tv"),
         sum(when(inside, 1L).otherwise(0L)).as("tn"))
+      .withColumn("wden", col("n") * lit(10000L))
+      .withColumn("tnn", nullif(col("tn"), lit(0L)))
       .select(col("g"), col("n"),
-        round(col("sv").cast("double") / col("n").cast("double"), 4)
-          .as("mean"),
-        round(col("w4").cast("double") / col("n").cast("double") / lit(1e4),
-          4).as("winsor_mean"),
-        round(col("tv").cast("double") /
-          nullif(col("tn"), lit(0L)).cast("double"), 4).as("trim_mean"),
+        Seal.ratio4("sv", "n").as("mean"),
+        Seal.ratio4("w4", "wden").as("winsor_mean"),
+        Seal.ratio4("tv", "tnn").as("trim_mean"),
         col("tn").as("n_kept"))
   }
 

@@ -91,9 +91,11 @@ object Survival {
       .where(col("d_at") > 0)
       .withColumn("h6", round(col("d_at").cast("double") /
         col("n_risk").cast("double") * lit(1e6), 0).cast("long"))
+      .withColumn("ch6", sum("h6").over(wCum))
       .select(col("t"), col("n_risk"), col("d_at").as("n_events"),
-        round(sum("h6").over(wCum).cast("double") / lit(1e6), 4)
-          .as("cum_hazard"))
+        // cumulative 1e-6 hazard seals to 4 decimals in integer space
+        // (Seal.pow4): k/1e6 is a .00005 tie whenever k ≡ 50 (mod 100)
+        Seal.pow4("ch6", 6).as("cum_hazard"))
       .orderBy("t")
   }
 }
