@@ -140,7 +140,10 @@ object AnalyticsQueries {
       |            1000000.0, 0) AS BIGINT)
       |        ELSE 0 END AS ivq
       |      FROM cell CROSS JOIN t),
-      |iv AS (SELECT round(CAST(sum(ivq) AS DOUBLE)/1000000.0, 4) AS iv
+      |iv AS (SELECT CAST(CASE WHEN sum(ivq) < 0
+      |          THEN -((2 * CAST(-sum(ivq) AS HUGEINT) + 100) // 200)
+      |          ELSE (2 * CAST(sum(ivq) AS HUGEINT) + 100) // 200 END
+      |          AS DOUBLE) / 10000.0 AS iv
       |       FROM pb)
       |SELECT bin, g, b, one_sided, woe, iv
       |FROM pb CROSS JOIN iv ORDER BY bin""".stripMargin))
@@ -276,8 +279,12 @@ object AnalyticsQueries {
       |       FROM bi JOIN cb USING (w1, w2) JOIN cs USING (w1)
       |       CROSS JOIN v)
       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-      |  round(CAST(sum(lq) AS DOUBLE) / (1000000.0 * count(*)), 4)
-      |    AS avg_logprob,
+      |  CAST(CASE WHEN sum(lq) < 0
+      |    THEN -((2 * CAST(-sum(lq) AS HUGEINT) * 10000 +
+      |      count(*) * 1000000) // (2 * count(*) * 1000000))
+      |    ELSE (2 * CAST(sum(lq) AS HUGEINT) * 10000 +
+      |      count(*) * 1000000) // (2 * count(*) * 1000000) END AS DOUBLE)
+      |    / 10000.0 AS avg_logprob,
       |  round(exp(-CAST(sum(lq) AS DOUBLE) / (1000000.0 * count(*))), 4)
       |    AS ppl
       |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin))

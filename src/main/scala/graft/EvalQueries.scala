@@ -85,9 +85,11 @@ object EvalQueries {
       |m AS (SELECT k, CAST(sum(y) AS BIGINT) AS n_pos_topk
       |      FROM r JOIN ks ON rk <= k GROUP BY 1)
       |SELECT k, n_pos_topk,
-      |  round(CAST(n_pos_topk AS DOUBLE) / k, 4) AS prec,
+      |  CAST((2 * CAST(n_pos_topk AS HUGEINT) * 10000 + k) // (2 * k)
+      |    AS DOUBLE) / 10000.0 AS prec,
       |  CASE WHEN npt > 0 THEN
-      |    round(CAST(n_pos_topk AS DOUBLE) / npt, 4) END AS recall
+      |    CAST((2 * CAST(n_pos_topk AS HUGEINT) * 10000 + npt) //
+      |      (2 * npt) AS DOUBLE) / 10000.0 END AS recall
       |FROM m CROSS JOIN np ORDER BY k""".stripMargin))
 
   /** [[RankEval.calibrationBins]]: decile calibration table — equal-size
@@ -101,8 +103,13 @@ object EvalQueries {
       |          AS bin, y, s FROM u)
       |SELECT bin, CAST(count(*) AS BIGINT) AS n,
       |  CAST(sum(y) AS BIGINT) AS n_pos,
-      |  round(CAST(sum(y) AS DOUBLE) / count(*), 4) AS pos_rate,
-      |  round(CAST(sum(s) AS DOUBLE) / count(*), 4) AS mean_score
+      |  CAST((2 * CAST(sum(y) AS HUGEINT) * 10000 + count(*)) //
+      |    (2 * count(*)) AS DOUBLE) / 10000.0 AS pos_rate,
+      |  CAST(CASE WHEN sum(s) < 0
+      |    THEN -((2 * CAST(-sum(s) AS HUGEINT) * 10000 + count(*)) //
+      |      (2 * count(*)))
+      |    ELSE (2 * CAST(sum(s) AS HUGEINT) * 10000 + count(*)) //
+      |      (2 * count(*)) END AS DOUBLE) / 10000.0 AS mean_score
       |FROM b GROUP BY 1 ORDER BY bin""".stripMargin))
 
   /** Quasi-identifier set for the release-audit queries: nation ×
@@ -373,10 +380,17 @@ object EvalQueries {
       |          AS agree FROM b),
       |c AS (SELECT n, agree,
       |        na1 * nb1 + (n - na1) * (n - nb1) AS cx FROM s)
-      |SELECT n, round(CAST(agree AS DOUBLE) / n, 4) AS po,
-      |  round(CAST(cx AS DOUBLE) / (n * n), 4) AS pe,
+      |SELECT n,
+      |  CAST((2 * CAST(agree AS HUGEINT) * 10000 + n) // (2 * n)
+      |    AS DOUBLE) / 10000.0 AS po,
+      |  CAST((2 * CAST(cx AS HUGEINT) * 10000 + n * n) // (2 * n * n)
+      |    AS DOUBLE) / 10000.0 AS pe,
       |  CASE WHEN n * n <> cx THEN
-      |    round(CAST(n * agree - cx AS DOUBLE) / (n * n - cx), 4)
+      |    CAST(CASE WHEN n * agree - cx < 0
+      |      THEN -((2 * CAST(-(n * agree - cx) AS HUGEINT) * 10000 +
+      |        (n * n - cx)) // (2 * (n * n - cx)))
+      |      ELSE (2 * CAST(n * agree - cx AS HUGEINT) * 10000 +
+      |        (n * n - cx)) // (2 * (n * n - cx)) END AS DOUBLE) / 10000.0
       |  END AS kappa
       |FROM c ORDER BY n""".stripMargin))
 

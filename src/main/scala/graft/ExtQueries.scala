@@ -2023,7 +2023,12 @@ object ExtQueries {
       |         CAST(round(ln(CAST(c AS DOUBLE) / n) * 1000000.0, 0) AS BIGINT) AS lpq
       |       FROM tok JOIN cnt USING (term) CROSS JOIN tot)
       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
-      |  round(CAST(sum(lpq) AS DOUBLE) / (1000000.0 * count(*)), 4) AS avg_logprob
+      |  CAST(CASE WHEN sum(lpq) < 0
+      |    THEN -((2 * CAST(-sum(lpq) AS HUGEINT) * 10000 +
+      |      count(*) * 1000000) // (2 * count(*) * 1000000))
+      |    ELSE (2 * CAST(sum(lpq) AS HUGEINT) * 10000 +
+      |      count(*) * 1000000) // (2 * count(*) * 1000000) END AS DOUBLE)
+      |    / 10000.0 AS avg_logprob
       |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
   /** PMI collocations ([[LanguageModel.pmiCollocations]]): top adjacent

@@ -357,7 +357,11 @@ object InferenceQueries {
       |        CAST(sum(lr6) AS BIGINT) AS s6
       |      FROM tok JOIN lr USING (term) GROUP BY 1)
       |SELECT doc_id, n_tok,
-      |  round(CAST(s6 AS DOUBLE) / (1000000.0 * n_tok), 4) AS weight
+      |  CAST(CASE WHEN s6 < 0
+      |    THEN -((2 * CAST(-s6 AS HUGEINT) * 10000 + n_tok * 1000000) //
+      |      (2 * n_tok * 1000000))
+      |    ELSE (2 * CAST(s6 AS HUGEINT) * 10000 + n_tok * 1000000) //
+      |      (2 * n_tok * 1000000) END AS DOUBLE) / 10000.0 AS weight
       |FROM d ORDER BY weight DESC, doc_id LIMIT 15""".stripMargin))
 
   /** [[Sequences.eventuallyFollows]]: any-gap precedence support for
@@ -589,9 +593,17 @@ object InferenceQueries {
       |        CAST(sum(x6 * y6) AS BIGINT) AS sxy,
       |        CAST(sum(x6 * x6) AS BIGINT) AS sxx FROM py)
       |SELECT sz AS size, n_chunks,
-      |  round(CAST(y6 AS DOUBLE) / 1000000.0, 4) AS mean_ln_rs,
-      |  round(CAST(k * sxy - sx * sy AS DOUBLE) /
-      |    nullif(CAST(k * sxx - sx * sx AS DOUBLE), 0.0), 4) AS hurst
+      |  CAST(CASE WHEN y6 < 0 THEN -((2 * CAST(-y6 AS HUGEINT) + 100) // 200)
+      |    ELSE (2 * CAST(y6 AS HUGEINT) + 100) // 200 END AS DOUBLE)
+      |    / 10000.0 AS mean_ln_rs,
+      |  CAST(CASE WHEN k * sxy - sx * sy < 0
+      |    THEN -((2 * CAST(-(k * sxy - sx * sy) AS HUGEINT) * 10000 +
+      |      nullif(k * sxx - sx * sx, 0)) //
+      |      (2 * nullif(k * sxx - sx * sx, 0)))
+      |    ELSE (2 * CAST(k * sxy - sx * sy AS HUGEINT) * 10000 +
+      |      nullif(k * sxx - sx * sx, 0)) //
+      |      (2 * nullif(k * sxx - sx * sx, 0)) END AS DOUBLE) / 10000.0
+      |    AS hurst
       |FROM py CROSS JOIN ols ORDER BY size""".stripMargin))
 
   /** [[Trend.ridge2]]: kilodollar line price on quantity and discount
@@ -1161,9 +1173,11 @@ object InferenceQueries {
       |        CAST(sum(c) AS BIGINT) AS s,
       |        CAST(sum(c * c) AS BIGINT) AS ss FROM f GROUP BY 1)
       |SELECT k AS key, n AS n_days,
-      |  round(CAST(s AS DOUBLE) / n, 4) AS mean,
-      |  round(CAST(n * ss - s * s AS DOUBLE) /
-      |    nullif(CAST(n * s AS DOUBLE), 0.0), 4) AS fano,
+      |  CAST((2 * CAST(s AS HUGEINT) * 10000 + n) // (2 * n) AS DOUBLE)
+      |    / 10000.0 AS mean,
+      |  CAST((2 * CAST(n * ss - s * s AS HUGEINT) * 10000 +
+      |    nullif(n * s, 0)) // (2 * nullif(n * s, 0)) AS DOUBLE) / 10000.0
+      |    AS fano,
       |  round((sqrt(CAST(n * ss - s * s AS DOUBLE)) / n -
       |      CAST(s AS DOUBLE) / n) /
       |    nullif(sqrt(CAST(n * ss - s * s AS DOUBLE)) / n +
@@ -1338,7 +1352,8 @@ object InferenceQueries {
       |          AS n_new
       |      FROM g JOIN f USING (gm) GROUP BY 1)
       |SELECT doc_id, n_types, n_new,
-      |  round(CAST(n_new AS DOUBLE) / n_types, 4) AS novelty
+      |  CAST((2 * CAST(n_new AS HUGEINT) * 10000 + n_types) //
+      |    (2 * n_types) AS DOUBLE) / 10000.0 AS novelty
       |FROM a ORDER BY doc_id""".stripMargin))
 
   /** [[Trend.winsorizedStats]]: per-nation balance stats with the tails
@@ -1479,7 +1494,10 @@ object InferenceQueries {
       |ag AS (SELECT ksrc, nsrc, CAST(sum(t9) AS BIGINT) AS kl9 FROM tm
       |       GROUP BY 1, 2)
       |SELECT ksrc AS source, nsrc AS n_tokens,
-      |  round(CAST(kl9 AS DOUBLE) / 1000000000.0, 4) AS kl_from_corpus
+      |  CAST(CASE WHEN kl9 < 0
+      |    THEN -((2 * CAST(-kl9 AS HUGEINT) + 100000) // 200000)
+      |    ELSE (2 * CAST(kl9 AS HUGEINT) + 100000) // 200000 END
+      |    AS DOUBLE) / 10000.0 AS kl_from_corpus
       |FROM ag ORDER BY source""".stripMargin))
 
   /** [[Timeseries.runsTest]]: is daily revenue's above/below-median
@@ -1639,7 +1657,8 @@ object InferenceQueries {
       |ag AS (SELECT true_cls, bucket, CAST(count(*) AS BIGINT) AS n_docs
       |       FROM bk GROUP BY 1, 2)
       |SELECT true_cls AS lang, CAST(bucket AS BIGINT) AS bucket, n_docs,
-      |  round(CAST(n_docs AS DOUBLE) / n_lang, 4) AS share
+      |  CAST((2 * CAST(n_docs AS HUGEINT) * 10000 + n_lang) //
+      |    (2 * n_lang) AS DOUBLE) / 10000.0 AS share
       |FROM ag JOIN tl ON ag.true_cls = tl.tcls
       |ORDER BY lang, bucket""".stripMargin))
 
@@ -1820,9 +1839,10 @@ object InferenceQueries {
       |        CAST(sum(n * gap6) AS BIGINT) AS wg6,
       |        CAST(max(gap6) AS BIGINT) AS mx6 FROM t)
       |SELECT nn AS n, n_bins,
-      |  round(CAST(wg6 AS DOUBLE) / 1000000.0 /
-      |    nullif(CAST(nn AS DOUBLE), 0.0), 4) AS ece,
-      |  round(CAST(mx6 AS DOUBLE) / 1000000.0, 4) AS mce
+      |  CAST((2 * CAST(wg6 AS HUGEINT) * 10000 + nullif(nn, 0) * 1000000)
+      |    // (2 * nullif(nn, 0) * 1000000) AS DOUBLE) / 10000.0 AS ece,
+      |  CAST((2 * CAST(mx6 AS HUGEINT) + 100) // 200 AS DOUBLE) / 10000.0
+      |    AS mce
       |FROM a""".stripMargin))
 
   /** [[Sequences.entropyRate]]: nats-per-step unpredictability of the
@@ -2020,14 +2040,33 @@ object InferenceQueries {
       |      FROM b CROSS JOIN mr),
       |l2 AS (SELECT n, nmr, mu, mrbar, mu + 2.66 * mrbar AS ucl,
       |        mu - 2.66 * mrbar AS lcl FROM lm),
-      |vi AS (SELECT n, mu, mrbar, ucl, lcl,
+      |vi AS (SELECT n, ucl, lcl,
       |        CAST(sum(CASE WHEN CAST(x AS DOUBLE) > ucl
       |          OR CAST(x AS DOUBLE) < lcl THEN 1 ELSE 0 END) AS BIGINT)
       |          AS n_violations
-      |      FROM d CROSS JOIN l2 GROUP BY 1, 2, 3, 4, 5)
-      |SELECT n AS n_days, round(mu, 4) AS mean, round(mrbar, 4) AS mr_bar,
-      |  round(ucl, 4) AS ucl, round(lcl, 4) AS lcl, n_violations
-      |FROM vi""".stripMargin))
+      |      FROM d CROSS JOIN l2 GROUP BY 1, 2, 3),
+      |fx AS (SELECT vi.n AS n, n_violations, s, smr, nmr,
+      |        100 * CAST(s AS HUGEINT) * nmr + 266 * CAST(smr AS HUGEINT)
+      |          * vi.n AS unum,
+      |        100 * CAST(s AS HUGEINT) * nmr - 266 * CAST(smr AS HUGEINT)
+      |          * vi.n AS lnum,
+      |        nullif(100 * CAST(vi.n AS HUGEINT) * nmr, 0) AS lden
+      |      FROM vi CROSS JOIN b CROSS JOIN mr)
+      |SELECT n AS n_days,
+      |  CAST((2 * CAST(s AS HUGEINT) * 10000 + n) // (2 * n) AS DOUBLE)
+      |    / 10000.0 AS mean,
+      |  CAST((2 * CAST(smr AS HUGEINT) * 10000 + nullif(nmr, 0)) //
+      |    (2 * nullif(nmr, 0)) AS DOUBLE) / 10000.0 AS mr_bar,
+      |  CAST(CASE WHEN unum < 0
+      |    THEN -((2 * (-unum) * 10000 + lden) // (2 * lden))
+      |    ELSE (2 * unum * 10000 + lden) // (2 * lden) END AS DOUBLE)
+      |    / 10000.0 AS ucl,
+      |  CAST(CASE WHEN lnum < 0
+      |    THEN -((2 * (-lnum) * 10000 + lden) // (2 * lden))
+      |    ELSE (2 * lnum * 10000 + lden) // (2 * lden) END AS DOUBLE)
+      |    / 10000.0 AS lcl,
+      |  n_violations
+      |FROM fx""".stripMargin))
 
   /** [[LanguageModel.termBurstiness]]: Church-Gale bursty terms — the
     * stopword-free content-word detector, top-30 by Fano factor. */
@@ -2046,8 +2085,9 @@ object InferenceQueries {
       |        CAST(sum(tf * tf) AS BIGINT) AS ss
       |      FROM dt GROUP BY 1)
       |SELECT term, df, s AS n_occurrences,
-      |  round(CAST(nn * ss - s * s AS DOUBLE) /
-      |    nullif(CAST(nn * s AS DOUBLE), 0.0), 4) AS fano
+      |  CAST((2 * CAST(nn * ss - s * s AS HUGEINT) * 10000 +
+      |    nullif(nn * s, 0)) // (2 * nullif(nn * s, 0)) AS DOUBLE)
+      |    / 10000.0 AS fano
       |FROM ag CROSS JOIN nn WHERE df >= 5
       |ORDER BY fano DESC, term LIMIT 30""".stripMargin))
 
@@ -2187,8 +2227,8 @@ object InferenceQueries {
       |a AS (SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
       |        CAST(sum(r6) AS BIGINT) AS sr FROM r GROUP BY 1)
       |SELECT dow, n_days,
-      |  round(CAST(sr AS DOUBLE) / 1000000.0 / n_days, 4)
-      |    AS seasonal_index
+      |  CAST((2 * CAST(sr AS HUGEINT) * 10000 + n_days * 1000000) //
+      |    (2 * n_days * 1000000) AS DOUBLE) / 10000.0 AS seasonal_index
       |FROM a ORDER BY dow""".stripMargin))
 
   /** [[Skew.hillTail]]: heavy-tail exponent of customer balances over
@@ -2337,15 +2377,23 @@ object InferenceQueries {
       |pb AS (SELECT CAST(sum(bj * (bj - 1) // 2) AS BIGINT) AS pb,
       |        CAST(sum(mj) AS BIGINT) AS ipurn,
       |        CAST(count(*) AS BIGINT) AS kv FROM cb),
-      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d)
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+      |fx AS (SELECT n, ku, kv, purn, ipurn,
+      |        2 * CAST(n * (n - 1) // 2 AS HUGEINT) * pij
+      |          - 2 * CAST(pa AS HUGEINT) * pb AS anum,
+      |        nullif(CAST(n * (n - 1) // 2 AS HUGEINT) * (pa + pb)
+      |          - 2 * CAST(pa AS HUGEINT) * pb, 0) AS aden
+      |      FROM pj CROSS JOIN pa CROSS JOIN pb CROSS JOIN nn)
       |SELECT n, ku AS k_u, kv AS k_v,
-      |  round((CAST(pij AS DOUBLE) - CAST(pa AS DOUBLE) * pb /
-      |      (n * (n - 1) // 2)) /
-      |    nullif(CAST(pa + pb AS DOUBLE) / 2.0 - CAST(pa AS DOUBLE) * pb /
-      |      (n * (n - 1) // 2), 0.0), 4) AS ari,
-      |  round(CAST(purn AS DOUBLE) / n, 4) AS purity,
-      |  round(CAST(ipurn AS DOUBLE) / n, 4) AS inverse_purity
-      |FROM pj CROSS JOIN pa CROSS JOIN pb CROSS JOIN nn""".stripMargin))
+      |  CAST(CASE WHEN anum < 0
+      |    THEN -((2 * (-anum) * 10000 + aden) // (2 * aden))
+      |    ELSE (2 * anum * 10000 + aden) // (2 * aden) END AS DOUBLE)
+      |    / 10000.0 AS ari,
+      |  CAST((2 * CAST(purn AS HUGEINT) * 10000 + n) // (2 * n)
+      |    AS DOUBLE) / 10000.0 AS purity,
+      |  CAST((2 * CAST(ipurn AS HUGEINT) * 10000 + n) // (2 * n)
+      |    AS DOUBLE) / 10000.0 AS inverse_purity
+      |FROM fx""".stripMargin))
 
   /** [[RankEval.vMeasure]]: the entropy view of the same question —
     * homogeneity, completeness, and their harmonic mean. */
@@ -2372,22 +2420,34 @@ object InferenceQueries {
       |hvu AS (SELECT CAST(coalesce(-sum(CAST(round(CAST(nij AS DOUBLE) / n
       |        * ln(CAST(nij AS DOUBLE) / ai) * 1000000.0, 0) AS BIGINT)),
       |        0) AS BIGINT) AS hvu6
-      |       FROM ce JOIN ra USING (u) CROSS JOIN nn)
+      |       FROM ce JOIN ra USING (u) CROSS JOIN nn),
+      |fx AS (SELECT
+      |        CASE WHEN hu6 = 0 THEN CAST(1 AS HUGEINT)
+      |          ELSE CAST(hu6 - huv6 AS HUGEINT) END AS hn,
+      |        CASE WHEN hu6 = 0 THEN CAST(1 AS HUGEINT)
+      |          ELSE CAST(hu6 AS HUGEINT) END AS hd,
+      |        CASE WHEN hv6 = 0 THEN CAST(1 AS HUGEINT)
+      |          ELSE CAST(hv6 - hvu6 AS HUGEINT) END AS cn,
+      |        CASE WHEN hv6 = 0 THEN CAST(1 AS HUGEINT)
+      |          ELSE CAST(hv6 AS HUGEINT) END AS cd
+      |      FROM hu CROSS JOIN hv CROSS JOIN huv CROSS JOIN hvu)
       |SELECT
-      |  round(coalesce(1.0 - CAST(huv6 AS DOUBLE) /
-      |    nullif(CAST(hu6 AS DOUBLE), 0.0), 1.0), 4) AS homogeneity,
-      |  round(coalesce(1.0 - CAST(hvu6 AS DOUBLE) /
-      |    nullif(CAST(hv6 AS DOUBLE), 0.0), 1.0), 4) AS completeness,
-      |  round(2.0 * coalesce(1.0 - CAST(huv6 AS DOUBLE) /
-      |      nullif(CAST(hu6 AS DOUBLE), 0.0), 1.0) *
-      |    coalesce(1.0 - CAST(hvu6 AS DOUBLE) /
-      |      nullif(CAST(hv6 AS DOUBLE), 0.0), 1.0) /
-      |    nullif(coalesce(1.0 - CAST(huv6 AS DOUBLE) /
-      |        nullif(CAST(hu6 AS DOUBLE), 0.0), 1.0) +
-      |      coalesce(1.0 - CAST(hvu6 AS DOUBLE) /
-      |        nullif(CAST(hv6 AS DOUBLE), 0.0), 1.0), 0.0), 4)
+      |  CAST(CASE WHEN hn < 0
+      |    THEN -((2 * (-hn) * 10000 + hd) // (2 * hd))
+      |    ELSE (2 * hn * 10000 + hd) // (2 * hd) END AS DOUBLE) / 10000.0
+      |    AS homogeneity,
+      |  CAST(CASE WHEN cn < 0
+      |    THEN -((2 * (-cn) * 10000 + cd) // (2 * cd))
+      |    ELSE (2 * cn * 10000 + cd) // (2 * cd) END AS DOUBLE) / 10000.0
+      |    AS completeness,
+      |  CAST(CASE WHEN 2 * hn * cn < 0
+      |    THEN -((2 * (-(2 * hn * cn)) * 10000 +
+      |      nullif(hn * cd + cn * hd, 0)) //
+      |      (2 * nullif(hn * cd + cn * hd, 0)))
+      |    ELSE (2 * (2 * hn * cn) * 10000 + nullif(hn * cd + cn * hd, 0)) //
+      |      (2 * nullif(hn * cd + cn * hd, 0)) END AS DOUBLE) / 10000.0
       |    AS v_measure
-      |FROM hu CROSS JOIN hv CROSS JOIN huv CROSS JOIN hvu""".stripMargin))
+      |FROM fx""".stripMargin))
 
   def all: Seq[QDef] = Seq(q236, q237, q238, q239, q240, q241, q242, q243,
     q244, q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255,

@@ -39,9 +39,10 @@ object LanguageModel {
         round(log(col("c").cast("double") / col("__n")) * lit(1e6), 0)
           .cast("long").as("__lpq"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).cast("long").as("n_tok"),
-        round(sum("__lpq").cast("double") / (lit(1e6) * count(lit(1))), 4)
-          .as("avg_logprob"))
+      .agg(count(lit(1)).cast("long").as("n_tok"), sum("__lpq").as("slpq"))
+      .withColumn("lden", col("n_tok") * lit(1000000L))
+      .select(col("doc_id"), col("n_tok"),
+        Seal.ratio4("slpq", "lden").as("avg_logprob"))
   }
 
   /** Top-k adjacent-bigram collocations by pointwise mutual information:
@@ -145,11 +146,14 @@ object LanguageModel {
       .crossJoin(broadcast(v))
       .select(col("doc_id"), lq.as("lq"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(sum("lq").cast("double") /
-          (lit(1e6) * count(lit(1)).cast("double")), 4).as("avg_logprob"),
-        round(exp(-sum("lq").cast("double") /
-          (lit(1e6) * count(lit(1)).cast("double"))), 4).as("ppl"))
+      .agg(count(lit(1)).as("n_bigrams"), sum("lq").as("slq"))
+      .withColumn("lden", col("n_bigrams") * lit(1000000L))
+      .select(col("doc_id"), col("n_bigrams"),
+        // integer-sealed mean (Seal); the perplexity exp stays a double
+        // seal — transcendental, boundary-free
+        Seal.ratio4("slq", "lden").as("avg_logprob"),
+        round(exp(-col("slq").cast("double") /
+          (lit(1e6) * col("n_bigrams").cast("double"))), 4).as("ppl"))
   }
 
   def bpePairCounts(df: DataFrame, text: Column, k: Int): DataFrame =
@@ -193,9 +197,9 @@ object LanguageModel {
     tok.join(lr, "term")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tok"), sum("lr6").as("s6"))
+      .withColumn("wden", col("n_tok") * lit(1000000L))
       .select(col("doc_id"), col("n_tok"),
-        round(col("s6").cast("double") / (lit(1e6) * col("n_tok")), 4)
-          .as("weight"))
+        Seal.ratio4("s6", "wden").as("weight"))
       .orderBy(desc("weight"), col("doc_id"))
       .limit(k)
   }
@@ -229,7 +233,7 @@ object LanguageModel {
         round(p * log(p / q) * lit(1e9), 0).cast("long").as("t9"))
       .groupBy("ksrc", "nsrc").agg(sum("t9").as("kl9"))
       .select(col("ksrc").as("source"), col("nsrc").as("n_tokens"),
-        round(col("kl9").cast("double") / lit(1e9), 4).as("kl_from_corpus"))
+        Seal.pow4("kl9", 9).as("kl_from_corpus"))
       .orderBy("source")
   }
 
@@ -327,10 +331,10 @@ object LanguageModel {
         sum(col("tf") * col("tf")).as("ss"))
       .where(col("df") >= minDf)
       .crossJoin(broadcast(nDocs))
+      .withColumn("fnum", col("nn") * col("ss") - col("s") * col("s"))
+      .withColumn("fden", nullif(col("nn") * col("s"), lit(0L)))
       .select(col("term"), col("df"), col("s").as("n_occurrences"),
-        round((col("nn") * col("ss") - col("s") * col("s")).cast("double") /
-          nullif((col("nn") * col("s")).cast("double"), lit(0.0)), 4)
-          .as("fano"))
+        Seal.ratio4("fnum", "fden").as("fano"))
       .orderBy(desc("fano"), col("term"))
       .limit(k)
   }
@@ -353,8 +357,7 @@ object LanguageModel {
         sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L))
           .as("n_new"))
       .select(col("doc_id"), col("n_types"), col("n_new"),
-        round(col("n_new").cast("double") / col("n_types"), 4)
-          .as("novelty"))
+        Seal.ratio4("n_new", "n_types").as("novelty"))
       .orderBy("doc_id")
   }
 
@@ -501,8 +504,7 @@ object LanguageModel {
     top2.groupBy("true_cls", "bucket").agg(count(lit(1)).as("n_docs"))
       .join(broadcast(tot), col("true_cls") === col("tcls"))
       .select(col("true_cls").as("lang"), col("bucket"), col("n_docs"),
-        round(col("n_docs").cast("double") / col("n_lang"), 4)
-          .as("share"))
+        Seal.ratio4("n_docs", "n_lang").as("share"))
       .orderBy("lang", "bucket")
   }
 }

@@ -147,11 +147,9 @@ object RankEval {
       .groupBy("k").agg(sum("y").as("n_pos_topk"))
       .crossJoin(broadcast(nPos))
       .select(col("k"), col("n_pos_topk"),
-        round(col("n_pos_topk").cast("double") / col("k"), 4)
-          .as("precision"),
+        Seal.ratio4("n_pos_topk", "k").as("precision"),
         when(col("npt") > 0,
-          round(col("n_pos_topk").cast("double") / col("npt"), 4))
-          .as("recall"))
+          Seal.ratio4("n_pos_topk", "npt")).as("recall"))
       .orderBy("k")
   }
 
@@ -205,13 +203,14 @@ object RankEval {
       .select(col("n"), col("agree"),
         (col("na1") * col("nb1") +
           (col("n") - col("na1")) * (col("n") - col("nb1"))).as("cross"))
+      .withColumn("nsq", col("n") * col("n"))
+      .withColumn("knum", col("n") * col("agree") - col("cross"))
+      .withColumn("kden", col("nsq") - col("cross"))
       .select(col("n"),
-        round(col("agree").cast("double") / col("n"), 4).as("po"),
-        round(col("cross").cast("double") / (col("n") * col("n")), 4)
-          .as("pe"),
-        when(col("n") * col("n") =!= col("cross"),
-          round((col("n") * col("agree") - col("cross")).cast("double") /
-            (col("n") * col("n") - col("cross")), 4)).as("kappa"))
+        Seal.ratio4("agree", "n").as("po"),
+        Seal.ratio4("cross", "nsq").as("pe"),
+        when(col("nsq") =!= col("cross"),
+          Seal.ratio4("knum", "kden")).as("kappa"))
   }
 
   /** Partition-agreement report between two labelings of the same
@@ -238,16 +237,20 @@ object RankEval {
     val pb = cb.agg(sum(c2(col("bj"))).as("pb"), sum("mj").as("ipurn"),
       count(lit(1)).as("kv"))
     val nn = d.agg(count(lit(1)).as("n"))
-    val exp = col("pa").cast("double") * col("pb") / c2(col("n"))
+    // ARI is an exact rational: multiply numerator and denominator by
+    // 2·C2(n) — num = 2·C2·pij − 2·pa·pb, den = C2·(pa+pb) − 2·pa·pb —
+    // then seal the integer ratio (Seal.ratio4; sign handled there)
     pij.crossJoin(broadcast(pa)).crossJoin(broadcast(pb))
       .crossJoin(broadcast(nn))
+      .withColumn("c2n", expr("(n * (n - 1)) div 2"))
+      .withColumn("anum", lit(2) * col("c2n") * col("pij") -
+        lit(2) * col("pa") * col("pb"))
+      .withColumn("aden", nullif(col("c2n") * (col("pa") + col("pb")) -
+        lit(2) * col("pa") * col("pb"), lit(0L)))
       .select(col("n"), col("ku").as("k_u"), col("kv").as("k_v"),
-        round((col("pij").cast("double") - exp) /
-          nullif((col("pa") + col("pb")).cast("double") / lit(2.0) - exp,
-            lit(0.0)), 4).as("ari"),
-        round(col("purn").cast("double") / col("n"), 4).as("purity"),
-        round(col("ipurn").cast("double") / col("n"), 4)
-          .as("inverse_purity"))
+        Seal.ratio4("anum", "aden").as("ari"),
+        Seal.ratio4("purn", "n").as("purity"),
+        Seal.ratio4("ipurn", "n").as("inverse_purity"))
   }
 
   /** V-measure (homogeneity / completeness / their harmonic mean)
@@ -282,16 +285,26 @@ object RankEval {
       .select(q6(col("nij").cast("double") / col("n") *
         log(col("nij").cast("double") / col("ai"))).as("t"))
       .agg(coalesce(-sum("t"), lit(0L)).as("hvu6"))
-    val h = coalesce(lit(1.0) - col("huv6").cast("double") /
-      nullif(col("hu6").cast("double"), lit(0.0)), lit(1.0))
-    val c = coalesce(lit(1.0) - col("hvu6").cast("double") /
-      nullif(col("hv6").cast("double"), lit(0.0)), lit(1.0))
+    // h = (hu6−huv6)/hu6 and c = (hv6−hvu6)/hv6 are exact rationals
+    // (zero-entropy sides use the conventional 1/1), and the harmonic
+    // mean collapses to 2·hn·cn/(hn·cd + cn·hd) — all integer, so every
+    // output seals via Seal.ratio4 instead of the boundary-prone double
     hu.crossJoin(broadcast(hv)).crossJoin(broadcast(huv))
       .crossJoin(broadcast(hvu))
-      .select(round(h, 4).as("homogeneity"),
-        round(c, 4).as("completeness"),
-        round(lit(2.0) * h * c / nullif(h + c, lit(0.0)), 4)
-          .as("v_measure"))
+      .withColumn("hn", when(col("hu6") === 0, lit(1L))
+        .otherwise(col("hu6") - col("huv6")))
+      .withColumn("hd", when(col("hu6") === 0, lit(1L))
+        .otherwise(col("hu6")))
+      .withColumn("cn", when(col("hv6") === 0, lit(1L))
+        .otherwise(col("hv6") - col("hvu6")))
+      .withColumn("cd", when(col("hv6") === 0, lit(1L))
+        .otherwise(col("hv6")))
+      .withColumn("vnum", lit(2) * col("hn") * col("cn"))
+      .withColumn("vden", nullif(col("hn") * col("cd") +
+        col("cn") * col("hd"), lit(0L)))
+      .select(Seal.ratio4("hn", "hd").as("homogeneity"),
+        Seal.ratio4("cn", "cd").as("completeness"),
+        Seal.ratio4("vnum", "vden").as("v_measure"))
   }
 
   /** Expected / maximum calibration error over equal-population score
@@ -322,10 +335,10 @@ object RankEval {
           lit(1e6), 0).cast("long").as("gap6"))
     binned.agg(sum("n").as("nn"), count(lit(1)).as("n_bins"),
         sum(col("n") * col("gap6")).as("wg6"), max("gap6").as("mx6"))
+      .withColumn("eden", nullif(col("nn"), lit(0L)) * lit(1000000L))
       .select(col("nn").as("n"), col("n_bins"),
-        round(col("wg6").cast("double") / lit(1e6) /
-          nullif(col("nn").cast("double"), lit(0.0)), 4).as("ece"),
-        round(col("mx6").cast("double") / lit(1e6), 4).as("mce"))
+        Seal.ratio4("wg6", "eden").as("ece"),
+        Seal.pow4("mx6", 6).as("mce"))
   }
 
   /** Linear-weighted Cohen's kappa over two ORDINAL integer scales:
@@ -423,8 +436,8 @@ object RankEval {
       .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
         sum("s").as("ssum"))
       .select(col("bin"), col("n"), col("n_pos"),
-        round(col("n_pos").cast("double") / col("n"), 4).as("pos_rate"),
-        round(col("ssum").cast("double") / col("n"), 4).as("mean_score"))
+        Seal.ratio4("n_pos", "n").as("pos_rate"),
+        Seal.ratio4("ssum", "n").as("mean_score"))
       .orderBy("bin")
   }
 
@@ -466,8 +479,8 @@ object RankEval {
         when(col("g") > 0 && col("b") > 0, round(woe, 4)).as("woe"),
         when(col("g") > 0 && col("b") > 0, ivTerm).otherwise(lit(0L))
           .as("ivq"))
-    val iv = perBucket.agg(
-      round(sum("ivq").cast("double") / lit(1e6), 4).as("iv"))
+    val iv = perBucket.agg(sum("ivq").as("siv"))
+      .select(Seal.pow4("siv", 6).as("iv"))
     perBucket.drop("ivq").crossJoin(broadcast(iv))
   }
 

@@ -165,9 +165,9 @@ object Timeseries {
           .cast("long").as("r6"))
       .groupBy("dow")
       .agg(count(lit(1)).as("n_days"), sum("r6").as("sr"))
+      .withColumn("sden", col("n_days") * lit(1000000L))
       .select(col("dow"), col("n_days"),
-        round(col("sr").cast("double") / lit(1e6) / col("n_days"), 4)
-          .as("seasonal_index"))
+        Seal.ratio4("sr", "sden").as("seasonal_index"))
       .orderBy("dow")
   }
 
@@ -187,21 +187,33 @@ object Timeseries {
         .as("smr"))
     val base = d.agg(count(lit(1)).as("n"), sum("x").as("s"))
     val lims = base.crossJoin(broadcast(mr))
-      .select(col("n"), col("nmr"),
+      .select(col("n"), col("nmr"), col("s"), col("smr"),
         (col("s").cast("double") / col("n")).as("mu"),
         (col("smr").cast("double") /
           nullif(col("nmr").cast("double"), lit(0.0))).as("mrbar"))
-      .select(col("n"), col("nmr"), col("mu"), col("mrbar"),
+      .select(col("n"), col("nmr"), col("s"), col("smr"), col("mu"),
+        col("mrbar"),
         (col("mu") + lit(2.66) * col("mrbar")).as("ucl"),
         (col("mu") - lit(2.66) * col("mrbar")).as("lcl"))
+    // the violation COMPARISON stays on the unsealed doubles (both
+    // engines derive bit-identical doubles from the same exact longs);
+    // the DISPLAYED statistics seal as integer rationals — μ ± 2.66·M̄R
+    // is (100·s·nmr ± 266·smr·n) / (100·n·nmr)
     d.crossJoin(broadcast(lims))
-      .groupBy("n", "nmr", "mu", "mrbar", "ucl", "lcl")
+      .groupBy("n", "nmr", "s", "smr", "mu", "mrbar", "ucl", "lcl")
       .agg(sum(when(col("x").cast("double") > col("ucl") ||
         col("x").cast("double") < col("lcl"), 1L).otherwise(0L))
         .as("n_violations"))
-      .select(col("n").as("n_days"), round(col("mu"), 4).as("mean"),
-        round(col("mrbar"), 4).as("mr_bar"),
-        round(col("ucl"), 4).as("ucl"), round(col("lcl"), 4).as("lcl"),
+      .withColumn("mrden", nullif(col("nmr"), lit(0L)))
+      .withColumn("unum",
+        lit(100) * col("s") * col("nmr") + lit(266) * col("smr") * col("n"))
+      .withColumn("lnum",
+        lit(100) * col("s") * col("nmr") - lit(266) * col("smr") * col("n"))
+      .withColumn("lden", nullif(lit(100) * col("n") * col("nmr"), lit(0L)))
+      .select(col("n").as("n_days"), Seal.ratio4("s", "n").as("mean"),
+        Seal.ratio4("smr", "mrden").as("mr_bar"),
+        Seal.ratio4("unum", "lden").as("ucl"),
+        Seal.ratio4("lnum", "lden").as("lcl"),
         col("n_violations"))
   }
 
@@ -295,12 +307,11 @@ object Timeseries {
     filled.groupBy("k")
       .agg(count(lit(1)).as("n_days"), sum("c").as("s"),
         sum(col("c") * col("c")).as("ss"))
+      .withColumn("fnum", col("n_days") * col("ss") - col("s") * col("s"))
+      .withColumn("fden", nullif(col("n_days") * col("s"), lit(0L)))
       .select(col("k").as("key"), col("n_days"),
-        round(col("s").cast("double") / col("n_days"), 4).as("mean"),
-        round((col("n_days") * col("ss") - col("s") * col("s"))
-          .cast("double") /
-          nullif((col("n_days") * col("s")).cast("double"), lit(0.0)), 4)
-          .as("fano"),
+        Seal.ratio4("s", "n_days").as("mean"),
+        Seal.ratio4("fnum", "fden").as("fano"),
         round((sqrt((col("n_days") * col("ss") - col("s") * col("s"))
             .cast("double")) / col("n_days") -
             col("s").cast("double") / col("n_days")) /
@@ -409,12 +420,12 @@ object Timeseries {
     val ols = perSize.agg(count(lit(1)).as("k"), sum("x6").as("osx"),
         sum("y6").as("osy"), sum(col("x6") * col("y6")).as("osxy"),
         sum(col("x6") * col("x6")).as("osxx"))
-      .select(round((col("k") * col("osxy") - col("osx") * col("osy"))
-        .cast("double") /
-        nullif((col("k") * col("osxx") - col("osx") * col("osx"))
-          .cast("double"), lit(0.0)), 4).as("hurst"))
+      .withColumn("hnum", col("k") * col("osxy") - col("osx") * col("osy"))
+      .withColumn("hden",
+        nullif(col("k") * col("osxx") - col("osx") * col("osx"), lit(0L)))
+      .select(Seal.ratio4("hnum", "hden").as("hurst"))
     perSize.select(col("sz").as("size"), col("n_chunks"),
-        round(col("y6").cast("double") / lit(1e6), 4).as("mean_ln_rs"))
+        Seal.pow4("y6", 6).as("mean_ln_rs"))
       .crossJoin(broadcast(ols))
       .orderBy("size")
   }
