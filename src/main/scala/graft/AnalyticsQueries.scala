@@ -400,28 +400,53 @@ object AnalyticsQueries {
       |        CAST(count(*) AS BIGINT) AS n
       |      FROM e GROUP BY 1, 2),
       |a AS (SELECT
-      |        max(CASE WHEN arm = 'T' AND per = 'pre'
-      |          THEN CAST(sx AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0)
-      |          END) AS mtp,
-      |        max(CASE WHEN arm = 'T' AND per = 'post'
-      |          THEN CAST(sx AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0)
-      |          END) AS mtq,
-      |        max(CASE WHEN arm = 'C' AND per = 'pre'
-      |          THEN CAST(sx AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0)
-      |          END) AS mcp,
-      |        max(CASE WHEN arm = 'C' AND per = 'post'
-      |          THEN CAST(sx AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0)
-      |          END) AS mcq,
+      |        max(CASE WHEN arm = 'T' AND per = 'pre' THEN sx END) AS stp,
+      |        max(CASE WHEN arm = 'T' AND per = 'pre' THEN n END) AS ntp,
+      |        max(CASE WHEN arm = 'T' AND per = 'post' THEN sx END) AS stq,
+      |        max(CASE WHEN arm = 'T' AND per = 'post' THEN n END) AS ntq,
+      |        max(CASE WHEN arm = 'C' AND per = 'pre' THEN sx END) AS scp,
+      |        max(CASE WHEN arm = 'C' AND per = 'pre' THEN n END) AS ncp,
+      |        max(CASE WHEN arm = 'C' AND per = 'post' THEN sx END) AS scq,
+      |        max(CASE WHEN arm = 'C' AND per = 'post' THEN n END) AS ncq,
       |        CAST(sum(CASE WHEN arm = 'T' THEN n ELSE 0 END) AS BIGINT)
       |          AS n_treat,
       |        CAST(sum(CASE WHEN arm = 'C' THEN n ELSE 0 END) AS BIGINT)
       |          AS n_ctrl
-      |      FROM c)
+      |      FROM c),
+      |fx AS (SELECT n_treat, n_ctrl, stp, ntp, stq, ntq, scp, ncp, scq,
+      |        ncq,
+      |        CAST(stq AS HUGEINT) * ntp * ncq * ncp
+      |          - CAST(stp AS HUGEINT) * ntq * ncq * ncp
+      |          - CAST(scq AS HUGEINT) * ntq * ntp * ncp
+      |          + CAST(scp AS HUGEINT) * ntq * ntp * ncq AS dnum,
+      |        100 * CAST(ntq AS HUGEINT) * ntp * ncq * ncp AS dden
+      |      FROM a)
       |SELECT n_treat, n_ctrl,
-      |  round(mtp, 4) AS mean_t_pre, round(mtq, 4) AS mean_t_post,
-      |  round(mcp, 4) AS mean_c_pre, round(mcq, 4) AS mean_c_post,
-      |  round((mtq - mtp) - (mcq - mcp), 4) AS did
-      |FROM a""".stripMargin))
+      |  CAST(CASE WHEN stp < 0
+      |    THEN -((2 * CAST(-stp AS HUGEINT) * 10000 + ntp * 100) //
+      |      (2 * ntp * 100))
+      |    ELSE (2 * CAST(stp AS HUGEINT) * 10000 + ntp * 100) //
+      |      (2 * ntp * 100) END AS DOUBLE) / 10000.0 AS mean_t_pre,
+      |  CAST(CASE WHEN stq < 0
+      |    THEN -((2 * CAST(-stq AS HUGEINT) * 10000 + ntq * 100) //
+      |      (2 * ntq * 100))
+      |    ELSE (2 * CAST(stq AS HUGEINT) * 10000 + ntq * 100) //
+      |      (2 * ntq * 100) END AS DOUBLE) / 10000.0 AS mean_t_post,
+      |  CAST(CASE WHEN scp < 0
+      |    THEN -((2 * CAST(-scp AS HUGEINT) * 10000 + ncp * 100) //
+      |      (2 * ncp * 100))
+      |    ELSE (2 * CAST(scp AS HUGEINT) * 10000 + ncp * 100) //
+      |      (2 * ncp * 100) END AS DOUBLE) / 10000.0 AS mean_c_pre,
+      |  CAST(CASE WHEN scq < 0
+      |    THEN -((2 * CAST(-scq AS HUGEINT) * 10000 + ncq * 100) //
+      |      (2 * ncq * 100))
+      |    ELSE (2 * CAST(scq AS HUGEINT) * 10000 + ncq * 100) //
+      |      (2 * ncq * 100) END AS DOUBLE) / 10000.0 AS mean_c_post,
+      |  CAST(CASE WHEN dnum < 0
+      |    THEN -((2 * (-dnum) * 10000 + dden) // (2 * dden))
+      |    ELSE (2 * dnum * 10000 + dden) // (2 * dden) END AS DOUBLE)
+      |    / 10000.0 AS did
+      |FROM fx""".stripMargin))
 
   /** [[RankEval.qiniBands]]: cumulative uplift of purchase conversion
     * by descending activity band, arms hash-assigned — the uplift

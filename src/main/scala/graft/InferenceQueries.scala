@@ -1107,15 +1107,30 @@ object InferenceQueries {
       |p AS (SELECT CAST(sum(cxy4) AS BIGINT) AS pxy,
       |        CAST(sum(cxx4) AS BIGINT) AS pxx,
       |        CAST(sum(sx) AS BIGINT) AS tsx,
-      |        CAST(sum(n) AS BIGINT) AS tn FROM t)
-      |SELECT g, n, round(CAST(sy AS DOUBLE) / n, 4) AS mean_y,
-      |  round(CAST(pxy AS DOUBLE) / nullif(CAST(pxx AS DOUBLE), 0.0), 4)
-      |    AS slope_w,
-      |  round(CAST(sy AS DOUBLE) / n -
-      |    CAST(pxy AS DOUBLE) / nullif(CAST(pxx AS DOUBLE), 0.0) *
-      |    (CAST(sx AS DOUBLE) / n - CAST(tsx AS DOUBLE) / tn), 4)
-      |    AS adj_mean_y
-      |FROM t CROSS JOIN p ORDER BY g""".stripMargin))
+      |        CAST(sum(n) AS BIGINT) AS tn FROM t),
+      |fx AS (SELECT g, n, sy,
+      |        CAST(pxy AS HUGEINT) AS pxy, nullif(CAST(pxx AS HUGEINT), 0)
+      |          AS npxx,
+      |        CAST(sy AS HUGEINT) * nullif(CAST(pxx AS HUGEINT), 0) * tn
+      |          - CAST(pxy AS HUGEINT) * (CAST(sx AS HUGEINT) * tn
+      |            - CAST(tsx AS HUGEINT) * n) AS anum,
+      |        CAST(n AS HUGEINT) * nullif(CAST(pxx AS HUGEINT), 0) * tn
+      |          AS aden
+      |      FROM t CROSS JOIN p)
+      |SELECT g, n,
+      |  CAST(CASE WHEN sy < 0
+      |    THEN -((2 * CAST(-sy AS HUGEINT) * 10000 + n) // (2 * n))
+      |    ELSE (2 * CAST(sy AS HUGEINT) * 10000 + n) // (2 * n)
+      |    END AS DOUBLE) / 10000.0 AS mean_y,
+      |  CAST(CASE WHEN pxy < 0
+      |    THEN -((2 * (-pxy) * 10000 + npxx) // (2 * npxx))
+      |    ELSE (2 * pxy * 10000 + npxx) // (2 * npxx) END AS DOUBLE)
+      |    / 10000.0 AS slope_w,
+      |  CAST(CASE WHEN anum < 0
+      |    THEN -((2 * (-anum) * 10000 + aden) // (2 * aden))
+      |    ELSE (2 * anum * 10000 + aden) // (2 * aden) END AS DOUBLE)
+      |    / 10000.0 AS adj_mean_y
+      |FROM fx ORDER BY g""".stripMargin))
 
   /** [[Curate.tfidfCosinePairs]]: lexically-weighted near-dup pairs —
     * rare shared terms count, boilerplate doesn't; exact integer dots
@@ -1386,7 +1401,10 @@ object InferenceQueries {
       |          AS n_clamped_high
       |      FROM w GROUP BY 1)
       |SELECT g, n, lo, hi, n_clamped_low, n_clamped_high,
-      |  round(CAST(s AS DOUBLE) / n, 4) AS wins_mean,
+      |  CAST(CASE WHEN s < 0
+      |    THEN -((2 * CAST(-s AS HUGEINT) * 10000 + n) // (2 * n))
+      |    ELSE (2 * CAST(s AS HUGEINT) * 10000 + n) // (2 * n)
+      |    END AS DOUBLE) / 10000.0 AS wins_mean,
       |  round(sqrt(CAST(n * ss - s * s AS DOUBLE) /
       |    nullif(CAST(n * (n - 1) AS DOUBLE), 0.0)), 4) AS wins_sd
       |FROM a ORDER BY g""".stripMargin))

@@ -237,8 +237,14 @@ object StatQueries {
       |    CAST(sum(CASE WHEN l = 'src1' THEN v * v ELSE 0 END) AS BIGINT) AS ss_b
       |  FROM g),
       |m AS (SELECT n_a, n_b,
-      |    round(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE), 4) AS mean_a,
-      |    round(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE), 4) AS mean_b,
+      |    CAST(CASE WHEN s_a < 0
+      |      THEN -((2 * CAST(-s_a AS HUGEINT) * 10000 + n_a) // (2 * n_a))
+      |      ELSE (2 * CAST(s_a AS HUGEINT) * 10000 + n_a) // (2 * n_a)
+      |      END AS DOUBLE) / 10000.0 AS mean_a,
+      |    CAST(CASE WHEN s_b < 0
+      |      THEN -((2 * CAST(-s_b AS HUGEINT) * 10000 + n_b) // (2 * n_b))
+      |      ELSE (2 * CAST(s_b AS HUGEINT) * 10000 + n_b) // (2 * n_b)
+      |      END AS DOUBLE) / 10000.0 AS mean_b,
       |    CAST(n_a * ss_a - s_a * s_a AS DOUBLE)
       |      / CAST(n_a * (n_a - 1) AS DOUBLE) / CAST(n_a AS DOUBLE) AS vna,
       |    CAST(n_b * ss_b - s_b * s_b AS DOUBLE)
@@ -284,8 +290,8 @@ object StatQueries {
       |cum AS (SELECT sum(ca) OVER (ORDER BY v) AS cca,
       |               sum(cb) OVER (ORDER BY v) AS ccb FROM cnt)
       |SELECT 'src0' AS label_a, 'src1' AS label_b, n_a, n_b,
-      |  round(max(abs(CAST(cca AS DOUBLE) / CAST(n_a AS DOUBLE) -
-      |                CAST(ccb AS DOUBLE) / CAST(n_b AS DOUBLE))), 4) AS d_stat
+      |  CAST((2 * CAST(max(abs(cca * n_b - ccb * n_a)) AS HUGEINT) * 10000
+      |    + n_a * n_b) // (2 * n_a * n_b) AS DOUBLE) / 10000.0 AS d_stat
       |FROM cum CROSS JOIN tot
       |GROUP BY 1, 2, 3, 4 ORDER BY label_a""".stripMargin))
 
@@ -370,7 +376,10 @@ object StatQueries {
         |        CAST(sum(wt) AS BIGINT) AS sw
         |      FROM t GROUP BY 1)
         |SELECT d.day, d.cents,
-        |  round(CAST(st AS DOUBLE) / CAST(sw AS DOUBLE), 4) AS ewma
+        |  CAST(CASE WHEN st < 0
+        |    THEN -((2 * CAST(-st AS HUGEINT) * 10000 + sw) // (2 * sw))
+        |    ELSE (2 * CAST(st AS HUGEINT) * 10000 + sw) // (2 * sw)
+        |    END AS DOUBLE) / 10000.0 AS ewma
         |FROM daily d JOIN a USING (day) ORDER BY day""".stripMargin
     })
 
@@ -390,19 +399,23 @@ object StatQueries {
       |         CAST(sum(x * x * x) AS BIGINT) AS s3,
       |         CAST(sum(x * x * x * x) AS BIGINT) AS s4
       |       FROM g GROUP BY 1),
-      |m AS (SELECT g, n,
+      |m AS (SELECT g, n, s1,
       |        CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
       |        CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
       |        CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
       |        CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
       |      FROM su),
-      |c AS (SELECT g, n, mu,
+      |c AS (SELECT g, n, s1, mu,
       |        r2 - mu * mu AS m2,
       |        r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
       |        r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
       |           - 3.0 * mu * mu * mu * mu AS m4
       |      FROM m)
-      |SELECT g AS l_returnflag, n, round(mu, 4) AS mean,
+      |SELECT g AS l_returnflag, n,
+      |  CAST(CASE WHEN s1 < 0
+      |    THEN -((2 * CAST(-s1 AS HUGEINT) * 10000 + n) // (2 * n))
+      |    ELSE (2 * CAST(s1 AS HUGEINT) * 10000 + n) // (2 * n)
+      |    END AS DOUBLE) / 10000.0 AS mean,
       |  round(m3 / nullif(m2 * sqrt(m2), 0.0), 4) AS skewness,
       |  round(m4 / nullif(m2 * m2, 0.0) - 3.0, 4) AS kurtosis
       |FROM c ORDER BY l_returnflag""".stripMargin))
@@ -986,7 +999,10 @@ object StatQueries {
       |    CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pool
       |  FROM su)
       |SELECT 'A' AS label_a, 'B' AS label_b, n_a, n_b, conv_a, conv_b,
-      |  round(pa, 4) AS rate_a, round(pb, 4) AS rate_b,
+      |  CAST((2 * CAST(conv_a AS HUGEINT) * 10000 + n_a) // (2 * n_a)
+      |    AS DOUBLE) / 10000.0 AS rate_a,
+      |  CAST((2 * CAST(conv_b AS HUGEINT) * 10000 + n_b) // (2 * n_b)
+      |    AS DOUBLE) / 10000.0 AS rate_b,
       |  round((pa - pb) / nullif(sqrt(pool * (1.0 - pool) *
       |    (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 0.0), 4)
       |    AS z_stat
@@ -1026,16 +1042,29 @@ object StatQueries {
       |    CAST(sum(y * y) AS BIGINT) AS syy
       |  FROM per),
       |m AS (SELECT n,
+      |    CAST(n * sxy - sx * sy AS HUGEINT) AS inum,
+      |    CAST(n * sxx - sx * sx AS HUGEINT) AS iden,
+      |    CAST(n * syy - sy * sy AS HUGEINT) AS ivy,
       |    CAST(n * sxy - sx * sy AS DOUBLE) AS vnum,
       |    CAST(n * sxx - sx * sx AS DOUBLE) AS dx,
       |    CAST(n * syy - sy * sy AS DOUBLE) AS dy
       |  FROM su),
-      |r AS (SELECT n, vnum, dx,
+      |r AS (SELECT n, inum, iden, ivy,
       |    vnum / nullif(sqrt(dx * dy), 0.0) AS r,
       |    dy / CAST(n * (n - 1) AS DOUBLE) AS var_y
       |  FROM m)
-      |SELECT n, round(vnum / nullif(dx, 0.0), 4) AS theta,
-      |  round(var_y, 4) AS var_y,
+      |SELECT n,
+      |  CAST(CASE WHEN inum < 0
+      |    THEN -((2 * (-inum) * 10000 + nullif(iden, 0)) //
+      |      (2 * nullif(iden, 0)))
+      |    ELSE (2 * inum * 10000 + nullif(iden, 0)) //
+      |      (2 * nullif(iden, 0)) END AS DOUBLE) / 10000.0 AS theta,
+      |  CAST(CASE WHEN ivy < 0
+      |    THEN -((2 * (-ivy) * 10000 + nullif(CAST(n AS HUGEINT) * (n - 1),
+      |      0)) // (2 * nullif(CAST(n AS HUGEINT) * (n - 1), 0)))
+      |    ELSE (2 * ivy * 10000 + nullif(CAST(n AS HUGEINT) * (n - 1), 0))
+      |      // (2 * nullif(CAST(n AS HUGEINT) * (n - 1), 0)) END AS DOUBLE)
+      |    / 10000.0 AS var_y,
       |  round(var_y * (1.0 - r * r), 4) AS var_cuped,
       |  round(r * r * 100.0, 4) AS var_reduction_pct
       |FROM r ORDER BY n""".stripMargin))
@@ -1092,7 +1121,8 @@ object StatQueries {
       |        / (r * CAST(n AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS t
       |      FROM r CROSS JOIN n)
       |SELECT n AS n_units, CAST(2 AS BIGINT) AS deg_free,
-      |  round(CAST(sum(t) AS DOUBLE) / 1000000.0, 4) AS chi2
+      |  CAST((2 * CAST(sum(t) AS HUGEINT) + 100) // 200 AS DOUBLE)
+      |    / 10000.0 AS chi2
       |FROM t GROUP BY 1, 2 ORDER BY n_units""".stripMargin))
 
   /** [[Skew.hhi]]: supplier revenue concentration per nation — HHI of
@@ -1516,7 +1546,10 @@ object StatQueries {
       |        CAST(sum(y * d) AS BIGINT) AS syd
       |      FROM v GROUP BY 1)
       |SELECT variant, n AS n_units,
-      |  round(CAST(sy AS DOUBLE) / CAST(sd AS DOUBLE), 4) AS ratio,
+      |  CAST(CASE WHEN sy < 0
+      |    THEN -((2 * CAST(-sy AS HUGEINT) * 10000 + sd) // (2 * sd))
+      |    ELSE (2 * CAST(sy AS HUGEINT) * 10000 + sd) // (2 * sd)
+      |    END AS DOUBLE) / 10000.0 AS ratio,
       |  round(sqrt((CAST(n * syy - sy * sy AS DOUBLE)
       |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
       |    + (CAST(sy AS DOUBLE) / CAST(sd AS DOUBLE))
@@ -1546,7 +1579,8 @@ object StatQueries {
       |a AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
       |        CAST(sum(c) AS BIGINT) AS conv FROM u)
       |SELECT n_units, CAST(floor(n_units / 2) AS BIGINT) AS n_per_arm,
-      |  round(CAST(conv AS DOUBLE) / CAST(n_units AS DOUBLE), 4) AS p_hat,
+      |  CAST((2 * CAST(conv AS HUGEINT) * 10000 + n_units) //
+      |    (2 * n_units) AS DOUBLE) / 10000.0 AS p_hat,
       |  round(CASE WHEN floor(n_units / 2) > 0 AND conv > 0
       |      AND conv < n_units THEN 2.8016 * sqrt(2.0
       |      * (CAST(conv AS DOUBLE) / CAST(n_units AS DOUBLE))

@@ -133,7 +133,7 @@ object Trend {
         sum(when(col("ch"), 1L).otherwise(0L)).as("n_clamped_high"))
       .select(col("g"), col("n"), col("lo"), col("hi"),
         col("n_clamped_low"), col("n_clamped_high"),
-        round(col("s").cast("double") / col("n"), 4).as("wins_mean"),
+        Seal.ratio4("s", "n").as("wins_mean"),
         round(sqrt((col("n") * col("ss") - col("s") * col("s"))
           .cast("double") /
           nullif((col("n") * (col("n") - 1)).cast("double"), lit(0.0))), 4)
@@ -204,9 +204,12 @@ object Trend {
         .cast("double") /
         nullif((col(s"n_$s") * (col(s"n_$s") - 1)), lit(0L)).cast("double") /
         nullif(col(s"n_$s"), lit(0L)).cast("double")
-    sums.select(lit(a).as("label_a"), lit(b).as("label_b"),
+    sums.withColumn("nna", nullif(col("n_a"), lit(0L)))
+      .withColumn("nnb", nullif(col("n_b"), lit(0L)))
+      .select(lit(a).as("label_a"), lit(b).as("label_b"),
         col("n_a"), col("n_b"),
-        round(meanOf("a"), 4).as("mean_a"), round(meanOf("b"), 4).as("mean_b"),
+        Seal.ratio4("s_a", "nna").as("mean_a"),
+        Seal.ratio4("s_b", "nnb").as("mean_b"),
         varOverN("a").as("vna"), varOverN("b").as("vnb"))
       .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
         col("mean_a"), col("mean_b"),
@@ -237,15 +240,18 @@ object Trend {
       sum(when(col("l") === b, 1L).otherwise(0L)).as("cb"))
     val tot = cnt.agg(sum("ca").as("n_a"), sum("cb").as("n_b"))
     val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+    // D = max |cca/n_a − ccb/n_b| is an exact rational: take the max of
+    // the integer numerator |cca·n_b − ccb·n_a| (same argmax — the
+    // denominator n_a·n_b is constant), then one integer-sealed division
     cnt.select(sum("ca").over(w).as("cca"), sum("cb").over(w).as("ccb"))
       .crossJoin(broadcast(tot))
       .select(col("n_a"), col("n_b"),
-        abs(col("cca").cast("double") / col("n_a").cast("double") -
-          col("ccb").cast("double") / col("n_b").cast("double")).as("dd"))
+        abs(col("cca") * col("n_b") - col("ccb") * col("n_a")).as("dn"))
       .groupBy("n_a", "n_b")
-      .agg(round(max("dd"), 4).as("d_stat"))
+      .agg(max("dn").as("dnum"))
+      .withColumn("dden", col("n_a") * col("n_b"))
       .select(lit(a).as("label_a"), lit(b).as("label_b"),
-        col("n_a"), col("n_b"), col("d_stat"))
+        col("n_a"), col("n_b"), Seal.ratio4("dnum", "dden").as("d_stat"))
   }
 
   /** Per-group skewness and excess kurtosis from the first four power
@@ -272,7 +278,7 @@ object Trend {
     val m4 = r(4) - lit(4.0) * mu * r(3) + lit(6.0) * mu * mu * r(2) -
       lit(3.0) * mu * mu * mu * mu
     sums.select(col("g"), col("n"),
-      round(mu, 4).as("mean"),
+      Seal.ratio4("s1", "n").as("mean"),
       round(m3 / nullif(m2 * sqrt(m2), lit(0.0)), 4).as("skewness"),
       round(m4 / nullif(m2 * m2, lit(0.0)) - lit(3.0), 4).as("kurtosis"))
   }
@@ -302,8 +308,7 @@ object Trend {
       .agg(sum("term").as("st"), sum("w").as("sw"))
     d.join(terms, "day")
       .select(col("day"), col("cents"),
-        round(col("st").cast("double") / col("sw").cast("double"), 4)
-          .as("ewma"))
+        Seal.ratio4("st", "sw").as("ewma"))
       .orderBy("day")
   }
 
@@ -337,9 +342,12 @@ object Trend {
       nullif(col("n_b"), lit(0L)).cast("double")
     val pool = (col("conv_a") + col("conv_b")).cast("double") /
       nullif(col("n_a") + col("n_b"), lit(0L)).cast("double")
-    sums.select(lit(a).as("label_a"), lit(b).as("label_b"),
+    sums.withColumn("nna", nullif(col("n_a"), lit(0L)))
+      .withColumn("nnb", nullif(col("n_b"), lit(0L)))
+      .select(lit(a).as("label_a"), lit(b).as("label_b"),
       col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
-      round(pa, 4).as("rate_a"), round(pb, 4).as("rate_b"),
+      Seal.ratio4("conv_a", "nna").as("rate_a"),
+      Seal.ratio4("conv_b", "nnb").as("rate_b"),
       round((pa - pb) / nullif(sqrt(pool * (lit(1.0) - pool) *
         (lit(1.0) / col("n_a").cast("double") +
           lit(1.0) / col("n_b").cast("double"))), lit(0.0)), 4).as("z_stat"))
@@ -388,9 +396,9 @@ object Trend {
       .select(col("n"),
         chiSqTerm(col("o"), col("r") * col("n").cast("double")).as("t"))
       .groupBy("n")
-      .agg(round(sum("t").cast("double") / lit(1e6), 4).as("chi2"))
+      .agg(sum("t").as("s6"))
       .select(col("n").as("n_units"),
-        lit(design.size - 1L).as("deg_free"), col("chi2"))
+        lit(design.size - 1L).as("deg_free"), Seal.pow4("s6", 6).as("chi2"))
   }
 
   /** CUPED variance-reduction readout (Deng et al. 2013): given one row
@@ -414,9 +422,14 @@ object Trend {
     val r = vnum / nullif(sqrt(dx * dy), lit(0.0))
     val varY = dy /
       nullif((col("n") * (col("n") - 1)), lit(0L)).cast("double")
-    su.select(col("n"),
-      round(vnum / nullif(dx, lit(0.0)), 4).as("theta"),
-      round(varY, 4).as("var_y"),
+    su.withColumn("tnum", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("tden",
+        nullif(col("n") * col("sxx") - col("sx") * col("sx"), lit(0L)))
+      .withColumn("vynum", col("n") * col("syy") - col("sy") * col("sy"))
+      .withColumn("vyden", nullif(col("n") * (col("n") - 1), lit(0L)))
+      .select(col("n"),
+      Seal.ratio4("tnum", "tden").as("theta"),
+      Seal.ratio4("vynum", "vyden").as("var_y"),
       round(varY * (lit(1.0) - r * r), 4).as("var_cuped"),
       round(r * r * lit(100.0), 4).as("var_reduction_pct"))
   }
@@ -588,7 +601,7 @@ object Trend {
       (nD * (nD - lit(1.0)))
     val dBar = col("sd").cast("double") / nD
     sums.select(col("variant"), col("n").as("n_units"),
-      round(r, 4).as("ratio"),
+      Seal.ratio4("sy", "sd").as("ratio"),
       round(sqrt((varOf("syy", "sy") + r * r * varOf("sdd", "sd") -
         lit(2.0) * r * covYd) / (nD * dBar * dBar)), 6).as("se"))
   }
@@ -612,7 +625,7 @@ object Trend {
     val mde = when(ok, lit(2.8016) *
       sqrt(lit(2.0) * p * (lit(1.0) - p) / nArm.cast("double")))
     agg.select(col("n_units"), nArm.as("n_per_arm"),
-      round(p, 4).as("p_hat"), round(mde, 4).as("mde_abs"),
+      Seal.ratio4("conv", "n_units").as("p_hat"), round(mde, 4).as("mde_abs"),
       round(mde / p, 4).as("mde_rel"))
   }
 
@@ -717,20 +730,38 @@ object Trend {
         col("x"))
       .groupBy("arm", "per")
       .agg(sum("x").as("sx"), count(lit(1)).as("n"))
-    def m(arm: String, per: String) = max(when(col("arm") === arm &&
-      col("per") === per,
-      col("sx").cast("double") / (col("n").cast("double") * lit(100.0))))
-    cells.agg(m("T", "pre").as("mtp"), m("T", "post").as("mtq"),
-        m("C", "pre").as("mcp"), m("C", "post").as("mcq"),
+    def sx(arm: String, per: String) = max(when(col("arm") === arm &&
+      col("per") === per, col("sx")))
+    def nn(arm: String, per: String) = max(when(col("arm") === arm &&
+      col("per") === per, col("n")))
+    val d38 = "decimal(38,0)"
+    def dec(c: Column) = c.cast(d38)
+    // each cell mean sx/(100·n) and the DiD contrast are exact rationals;
+    // the contrast goes over the common denominator 100·Πn (decimal38 —
+    // cents sums × n³ pass 2⁶³) and everything seals via Seal.ratio4
+    cells.agg(sx("T", "pre").as("stp"), nn("T", "pre").as("ntp"),
+        sx("T", "post").as("stq"), nn("T", "post").as("ntq"),
+        sx("C", "pre").as("scp"), nn("C", "pre").as("ncp"),
+        sx("C", "post").as("scq"), nn("C", "post").as("ncq"),
         sum(when(col("arm") === "T", col("n")).otherwise(0L)).as("n_treat"),
         sum(when(col("arm") === "C", col("n")).otherwise(0L)).as("n_ctrl"))
+      .withColumn("dtp", col("ntp") * lit(100L))
+      .withColumn("dtq", col("ntq") * lit(100L))
+      .withColumn("dcp", col("ncp") * lit(100L))
+      .withColumn("dcq", col("ncq") * lit(100L))
+      .withColumn("dnum",
+        dec(col("stq")) * dec(col("ntp")) * dec(col("ncq")) * dec(col("ncp")) -
+        dec(col("stp")) * dec(col("ntq")) * dec(col("ncq")) * dec(col("ncp")) -
+        dec(col("scq")) * dec(col("ntq")) * dec(col("ntp")) * dec(col("ncp")) +
+        dec(col("scp")) * dec(col("ntq")) * dec(col("ntp")) * dec(col("ncq")))
+      .withColumn("dden", lit(100L).cast(d38) * dec(col("ntq")) *
+        dec(col("ntp")) * dec(col("ncq")) * dec(col("ncp")))
       .select(col("n_treat"), col("n_ctrl"),
-        round(col("mtp"), 4).as("mean_t_pre"),
-        round(col("mtq"), 4).as("mean_t_post"),
-        round(col("mcp"), 4).as("mean_c_pre"),
-        round(col("mcq"), 4).as("mean_c_post"),
-        round((col("mtq") - col("mtp")) - (col("mcq") - col("mcp")), 4)
-          .as("did"))
+        Seal.ratio4("stp", "dtp").as("mean_t_pre"),
+        Seal.ratio4("stq", "dtq").as("mean_t_post"),
+        Seal.ratio4("scp", "dcp").as("mean_c_pre"),
+        Seal.ratio4("scq", "dcq").as("mean_c_post"),
+        Seal.ratio4("dnum", "dden").as("did"))
   }
 
   /** Stratified average treatment effect — inverse-propensity weighting
@@ -956,16 +987,22 @@ object Trend {
           col("sx").cast("double") * col("sx") / col("n")).as("cxx4"))
     val pooled = per.agg(sum("cxy4").as("pxy"), sum("cxx4").as("pxx"),
       sum("sx").as("tsx"), sum("n").as("tn"))
+    // adj_mean = sy/n − (pxy/pxx)·(sx/n − tsx/tn) over the common
+    // denominator n·pxx·tn — decimal38 carries the products
     per.crossJoin(broadcast(pooled))
+      .withColumn("npxx", nullif(col("pxx"), lit(0L)))
+      .withColumn("anum",
+        col("sy").cast("decimal(38,0)") * col("npxx").cast("decimal(38,0)") *
+          col("tn").cast("decimal(38,0)") -
+        col("pxy").cast("decimal(38,0)") *
+          (col("sx").cast("decimal(38,0)") * col("tn").cast("decimal(38,0)") -
+           col("tsx").cast("decimal(38,0)") * col("n").cast("decimal(38,0)")))
+      .withColumn("aden", col("n").cast("decimal(38,0)") *
+        col("npxx").cast("decimal(38,0)") * col("tn").cast("decimal(38,0)"))
       .select(col("g"), col("n"),
-        round(col("sy").cast("double") / col("n"), 4).as("mean_y"),
-        round(col("pxy").cast("double") /
-          nullif(col("pxx").cast("double"), lit(0.0)), 4).as("slope_w"),
-        round(col("sy").cast("double") / col("n") -
-          col("pxy").cast("double") /
-            nullif(col("pxx").cast("double"), lit(0.0)) *
-          (col("sx").cast("double") / col("n") -
-            col("tsx").cast("double") / col("tn")), 4).as("adj_mean_y"))
+        Seal.ratio4("sy", "n").as("mean_y"),
+        Seal.ratio4("pxy", "npxx").as("slope_w"),
+        Seal.ratio4("anum", "aden").as("adj_mean_y"))
       .orderBy("g")
   }
 
