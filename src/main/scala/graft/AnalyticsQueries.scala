@@ -590,12 +590,17 @@ object AnalyticsQueries {
       |g AS (SELECT CAST(count(*) AS BIGINT) AS gn,
       |        CAST(sum(y) AS BIGINT) AS gs FROM r0)
       |SELECT cat, n, sy AS pos,
-      |  CASE WHEN sy > 0 THEN round(CAST((sy - 1) * gn + 20 * gs AS DOUBLE)
-      |    / CAST((n - 1 + 20) * gn AS DOUBLE), 4) END AS enc_pos,
-      |  CASE WHEN sy < n THEN round(CAST(sy * gn + 20 * gs AS DOUBLE)
-      |    / CAST((n - 1 + 20) * gn AS DOUBLE), 4) END AS enc_neg,
-      |  round(CAST((n - 1) * sy * gn + n * 20 * gs AS DOUBLE)
-      |    / CAST(n * (n - 1 + 20) * gn AS DOUBLE), 4) AS avg_enc
+      |  CASE WHEN sy > 0 THEN
+      |    CAST((2 * CAST((sy - 1) * gn + 20 * gs AS HUGEINT) * 10000 +
+      |      (n - 1 + 20) * gn) // (2 * (n - 1 + 20) * gn) AS DOUBLE)
+      |      / 10000.0 END AS enc_pos,
+      |  CASE WHEN sy < n THEN
+      |    CAST((2 * CAST(sy * gn + 20 * gs AS HUGEINT) * 10000 +
+      |      (n - 1 + 20) * gn) // (2 * (n - 1 + 20) * gn) AS DOUBLE)
+      |      / 10000.0 END AS enc_neg,
+      |  CAST((2 * CAST((n - 1) * sy * gn + n * 20 * gs AS HUGEINT) * 10000
+      |    + n * (n - 1 + 20) * gn) // (2 * n * (n - 1 + 20) * gn)
+      |    AS DOUBLE) / 10000.0 AS avg_enc
       |FROM per CROSS JOIN g ORDER BY cat""".stripMargin))
 
   /** [[Trend.stratifiedAte]]: subclassification ATE of hash-armed
@@ -897,19 +902,21 @@ object AnalyticsQueries {
       |    0) AS BIGINT) AS c,
       |  CAST(coalesce(sum(CASE WHEN p1 = 0 AND p2 = 0 THEN 1 ELSE 0 END),
       |    0) AS BIGINT) AS neither,
-      |  round(CAST((sum(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END) -
-      |      sum(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END)) *
+      |  CAST((2 * CAST((sum(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0
+      |      END) - sum(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END)) *
       |    (sum(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END) -
-      |      sum(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END)) AS DOUBLE) /
-      |    CAST(nullif(sum(CASE WHEN p1 <> p2 THEN 1 ELSE 0 END), 0)
-      |      AS DOUBLE), 4) AS chi2,
-      |  round(CAST((abs(sum(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END) -
-      |      sum(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END)) - 1) *
-      |    (abs(sum(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END) -
+      |      sum(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END)) AS HUGEINT)
+      |    * 10000 + nullif(sum(CASE WHEN p1 <> p2 THEN 1 ELSE 0 END), 0))
+      |    // (2 * nullif(sum(CASE WHEN p1 <> p2 THEN 1 ELSE 0 END), 0))
+      |    AS DOUBLE) / 10000.0 AS chi2,
+      |  CAST((2 * CAST((abs(sum(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0
+      |      END) - sum(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END)) - 1)
+      |    * (abs(sum(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END) -
       |      sum(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END)) - 1)
-      |    AS DOUBLE) /
-      |    CAST(nullif(sum(CASE WHEN p1 <> p2 THEN 1 ELSE 0 END), 0)
-      |      AS DOUBLE), 4) AS chi2_cc
+      |    AS HUGEINT) * 10000 +
+      |    nullif(sum(CASE WHEN p1 <> p2 THEN 1 ELSE 0 END), 0)) //
+      |    (2 * nullif(sum(CASE WHEN p1 <> p2 THEN 1 ELSE 0 END), 0))
+      |    AS DOUBLE) / 10000.0 AS chi2_cc
       |FROM f""".stripMargin))
 
   /** [[Raking.rake2d]]: IPF survey weighting of a 30% hash sample of

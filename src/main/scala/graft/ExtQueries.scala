@@ -1488,11 +1488,12 @@ object ExtQueries {
     * the oracle twin of TextAnalysis.dupNgramFraction's zip_with chain. */
   private def dupFracSql(n: Int): String = {
     val gram = (1 to n).map(j => s"t[i+$j]").mkString(" || ' ' || ")
-    s"""CASE WHEN len(t) >= $n THEN round(
-       |  CAST(len(list_transform(range(0, len(t) - ${n - 1}), i -> $gram))
-       |     - len(list_distinct(list_transform(range(0, len(t) - ${n - 1}), i -> $gram)))
-       |    AS DOUBLE)
-       |  / len(list_transform(range(0, len(t) - ${n - 1}), i -> $gram)), 4)
+    val gs = s"list_transform(range(0, len(t) - ${n - 1}), i -> $gram)"
+    // dup fraction = (|grams| − |distinct|)/|grams|, an exact count
+    // ratio — sealed in integer space (the Seal.ratio4c mirror)
+    s"""CASE WHEN len(t) >= $n THEN
+       |  CAST((2 * CAST(len($gs) - len(list_distinct($gs)) AS HUGEINT)
+       |    * 10000 + len($gs)) // (2 * len($gs)) AS DOUBLE) / 10000.0
        |ELSE 0.0 END""".stripMargin.replace("\n", " ")
   }
 
@@ -1532,7 +1533,8 @@ object ExtQueries {
       |        CASE WHEN v.df >= 150 THEN 0 ELSE 1 END AS oov
       |      FROM tok t JOIN v USING (term))
       |SELECT doc_id, string_agg(tok2, ' ' ORDER BY pos) AS pruned,
-      |       round(CAST(sum(oov) AS DOUBLE) / count(*), 4) AS oov_rate
+      |       CAST((2 * CAST(sum(oov) AS HUGEINT) * 10000 + count(*)) //
+      |         (2 * count(*)) AS DOUBLE) / 10000.0 AS oov_rate
       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
   /** The custom-state sessionizer (flatMapGroupsWithState) under the

@@ -115,7 +115,10 @@ object InferenceQueries {
       |ag AS (SELECT n, r, c, CAST(sum(t) AS BIGINT) AS chifix
       |       FROM tm GROUP BY 1, 2, 3)
       |SELECT n AS n_rows, r AS levels_x, c AS levels_y,
-      |  round(CAST(chifix AS DOUBLE) / 1000000.0, 4) AS chi2,
+      |  CAST(CASE WHEN chifix < 0
+      |    THEN -((2 * CAST(-chifix AS HUGEINT) + 100) // 200)
+      |    ELSE (2 * CAST(chifix AS HUGEINT) + 100) // 200 END AS DOUBLE)
+      |    / 10000.0 AS chi2,
       |  round(sqrt(CAST(chifix AS DOUBLE) / 1000000.0 /
       |    nullif(CAST(n * least(r - 1, c - 1) AS DOUBLE), 0.0)), 4)
       |    AS cramers_v
@@ -227,20 +230,32 @@ object InferenceQueries {
       |   CAST(sum(CASE WHEN r >= 0 THEN r * r ELSE 0 END) AS BIGINT) AS sxxr
       |  FROM f),
       |b AS (SELECT nl, nr,
-      |   CAST(nl * sxyl - sxl * syl AS DOUBLE) /
-      |     nullif(CAST(nl * sxxl - sxl * sxl AS DOUBLE), 0.0) AS sll,
-      |   CAST(nr * sxyr - sxr * syr AS DOUBLE) /
-      |     nullif(CAST(nr * sxxr - sxr * sxr AS DOUBLE), 0.0) AS slr,
-      |   CAST(syl * sxxl - sxl * sxyl AS DOUBLE) /
-      |     nullif(CAST(nl * sxxl - sxl * sxl AS DOUBLE), 0.0) AS il,
-      |   CAST(syr * sxxr - sxr * sxyr AS DOUBLE) /
-      |     nullif(CAST(nr * sxxr - sxr * sxr AS DOUBLE), 0.0) AS ir
-      |  FROM a)
+      |   CAST(nl * sxyl - sxl * syl AS HUGEINT) AS snl,
+      |   CAST(nr * sxyr - sxr * syr AS HUGEINT) AS snr,
+      |   CAST(syl * sxxl - sxl * sxyl AS HUGEINT) AS inl,
+      |   CAST(syr * sxxr - sxr * sxyr AS HUGEINT) AS inr,
+      |   nullif(CAST(nl * sxxl - sxl * sxl AS HUGEINT), 0) AS dl,
+      |   nullif(CAST(nr * sxxr - sxr * sxr AS HUGEINT), 0) AS dr
+      |  FROM a),
+      |se AS (SELECT nl, nr,
+      |   CAST(CASE WHEN snl < 0 THEN -((2 * (-snl) * 10000 + dl) //
+      |     (2 * dl)) ELSE (2 * snl * 10000 + dl) // (2 * dl) END
+      |     AS DOUBLE) / 10000.0 AS sll,
+      |   CAST(CASE WHEN snr < 0 THEN -((2 * (-snr) * 10000 + dr) //
+      |     (2 * dr)) ELSE (2 * snr * 10000 + dr) // (2 * dr) END
+      |     AS DOUBLE) / 10000.0 AS slr,
+      |   CAST(CASE WHEN inl < 0 THEN -((2 * (-inl) * 10000 + dl) //
+      |     (2 * dl)) ELSE (2 * inl * 10000 + dl) // (2 * dl) END
+      |     AS DOUBLE) / 10000.0 AS il,
+      |   CAST(CASE WHEN inr < 0 THEN -((2 * (-inr) * 10000 + dr) //
+      |     (2 * dr)) ELSE (2 * inr * 10000 + dr) // (2 * dr) END
+      |     AS DOUBLE) / 10000.0 AS ir
+      |  FROM b)
       |SELECT nl AS n_left, nr AS n_right,
-      |  round(sll, 4) AS slope_left, round(slr, 4) AS slope_right,
-      |  round(il, 4) AS icept_left, round(ir, 4) AS icept_right,
+      |  sll AS slope_left, slr AS slope_right,
+      |  il AS icept_left, ir AS icept_right,
       |  round(ir - il, 4) AS rdd_effect
-      |FROM b""".stripMargin))
+      |FROM se""".stripMargin))
 
   /** [[Causal.caliperMatchAtt]]: BUILDING-segment customers matched to
     * the nearest non-BUILDING control by account balance (±$100
@@ -692,9 +707,9 @@ object InferenceQueries {
       |ob AS (SELECT lnp6 AS obs6 FROM sc WHERE k = n11)
       |SELECT n11, r1, c1, n AS n_total,
       |  round(exp(CAST(obs6 AS DOUBLE) / 1000000.0), 4) AS p_point,
-      |  round(CAST(sum(CAST(round(exp(CAST(lnp6 AS DOUBLE) / 1000000.0)
-      |    * 1000000000000.0, 0) AS BIGINT)) AS DOUBLE) / 1000000000000.0,
-      |    4) AS p_two_sided
+      |  CAST((2 * CAST(sum(CAST(round(exp(CAST(lnp6 AS DOUBLE) / 1000000.0)
+      |    * 1000000000000.0, 0) AS BIGINT)) AS HUGEINT) + 100000000) //
+      |    200000000 AS DOUBLE) / 10000.0 AS p_two_sided
       |FROM sc CROSS JOIN ob WHERE lnp6 <= obs6
       |GROUP BY n11, r1, c1, n, obs6""".stripMargin))
 
@@ -761,11 +776,12 @@ object InferenceQueries {
       |    CAST(sum(v6) AS BIGINT) AS sv
       |   FROM qs)
       |SELECT n_strata,
-      |  round(CAST(sr AS DOUBLE) / nullif(CAST(ss AS DOUBLE), 0.0), 4)
-      |    AS or_mh,
-      |  round((CAST(dev6 AS DOUBLE) / 1000000.0) * (CAST(dev6 AS DOUBLE) /
-      |    1000000.0) / nullif(CAST(sv AS DOUBLE) / 1000000.0, 0.0), 4)
-      |    AS chi2_cmh
+      |  CAST((2 * CAST(sr AS HUGEINT) * 10000 + nullif(ss, 0)) //
+      |    (2 * nullif(ss, 0)) AS DOUBLE) / 10000.0 AS or_mh,
+      |  CAST((2 * CAST(dev6 AS HUGEINT) * dev6 * 10000 +
+      |    nullif(1000000 * CAST(sv AS HUGEINT), 0)) //
+      |    (2 * nullif(1000000 * CAST(sv AS HUGEINT), 0)) AS DOUBLE)
+      |    / 10000.0 AS chi2_cmh
       |FROM ag""".stripMargin))
 
   /** [[Dedup.ngramContainmentPairs]]: subset-duplicate pairs Jaccard
@@ -969,8 +985,9 @@ object InferenceQueries {
       |    AS n_fail_toklen,
       |  CAST(sum(CASE WHEN NOT f_len AND NOT f_ttr AND NOT f_toklen
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-      |  round(CAST(sum(CASE WHEN NOT f_len AND NOT f_ttr AND NOT f_toklen
-      |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS keep_rate
+      |  CAST((2 * CAST(sum(CASE WHEN NOT f_len AND NOT f_ttr AND NOT
+      |    f_toklen THEN 1 ELSE 0 END) AS HUGEINT) * 10000 + count(*)) //
+      |    (2 * count(*)) AS DOUBLE) / 10000.0 AS keep_rate
       |FROM f GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** [[RankEval.weightedKappa]]: ordinal agreement between quantity
@@ -1472,16 +1489,27 @@ object InferenceQueries {
       |        CAST(round(CAST(st AS DOUBLE) * st / n * 10000.0, 0)
       |          AS BIGINT) AS tall FROM a),
       |m AS (SELECT k, n,
-      |        CAST(stg - tall AS DOUBLE) / 10000.0 /
-      |          nullif(CAST(k - 1 AS DOUBLE), 0.0) AS msb,
-      |        CAST(sst * 10000 - stg AS DOUBLE) / 10000.0 /
-      |          nullif(CAST(n - k AS DOUBLE), 0.0) AS msw,
-      |        (CAST(n AS DOUBLE) - CAST(snn AS DOUBLE) / n) /
-      |          nullif(CAST(k - 1 AS DOUBLE), 0.0) AS n0
+      |        CAST(stg - tall AS HUGEINT) AS aq,
+      |        CAST(sst * 10000 - stg AS HUGEINT) AS bq,
+      |        CAST(k - 1 AS HUGEINT) AS ka, CAST(n - k AS HUGEINT) AS kb,
+      |        CAST(n AS HUGEINT) * n - snn - CAST(n AS HUGEINT) * (k - 1)
+      |          AS cq,
+      |        CAST(n AS HUGEINT) * n - snn AS n0num,
+      |        nullif(CAST(n AS HUGEINT) * (k - 1), 0) AS n0den
       |       FROM b)
-      |SELECT k AS k_groups, n AS n_rows, round(n0, 4) AS n0,
-      |  round((msb - msw) / nullif(msb + (n0 - 1.0) * msw, 0.0), 4)
-      |    AS icc1
+      |SELECT k AS k_groups, n AS n_rows,
+      |  CAST(CASE WHEN n0num < 0
+      |    THEN -((2 * (-n0num) * 10000 + n0den) // (2 * n0den))
+      |    ELSE (2 * n0num * 10000 + n0den) // (2 * n0den) END AS DOUBLE)
+      |    / 10000.0 AS n0,
+      |  CAST(CASE WHEN n * (aq * kb - ka * bq) < 0
+      |    THEN -((2 * (-(n * (aq * kb - ka * bq))) * 10000 +
+      |      nullif(aq * kb * n + cq * bq, 0)) //
+      |      (2 * nullif(aq * kb * n + cq * bq, 0)))
+      |    ELSE (2 * n * (aq * kb - ka * bq) * 10000 +
+      |      nullif(aq * kb * n + cq * bq, 0)) //
+      |      (2 * nullif(aq * kb * n + cq * bq, 0)) END AS DOUBLE)
+      |    / 10000.0 AS icc1
       |FROM m""".stripMargin))
 
   /** [[LanguageModel.klPerSource]]: which sources diverge most from
@@ -1799,12 +1827,7 @@ object InferenceQueries {
 
   /** [[Dedup.weightedJaccardPairs]]: repetition-aware multiset Jaccard
     * near-dups — exact integer Σmin/Σmax on token frequencies. */
-  private val q285 = QDef("q285_weighted_jaccard",
-    (s, dir) => Dedup.weightedJaccardPairs(T(s, dir, "documents"),
-        col("text"), col("doc_id"), col("source"), minW = 0.6)
-      .withColumn("wjaccard", round(col("wjaccard"), 4))
-      .orderBy("id_a", "id_b"),
-    Some("""WITH tok AS (SELECT id, blk, term, CAST(count(*) AS BIGINT)
+  private val wjOracle = """WITH tok AS (SELECT id, blk, term, CAST(count(*) AS BIGINT)
       |          AS tf
       |      FROM (SELECT doc_id AS id, source AS blk,
       |              unnest(string_split(text, ' ')) AS term
@@ -1818,12 +1841,33 @@ object InferenceQueries {
       |      FROM tok a JOIN tok b ON a.blk = b.blk AND a.term = b.term
       |        AND a.id < b.id
       |      GROUP BY 1, 2),
-      |j AS (SELECT id_a, id_b, CAST(smin AS DOUBLE) /
-      |        (ta.tt + tb.tt - smin) AS wj
+      |j AS (SELECT id_a, id_b, smin, ta.tt + tb.tt - smin AS wden,
+      |        CAST(smin AS DOUBLE) / (ta.tt + tb.tt - smin) AS wj
       |      FROM mn JOIN tt ta ON ta.id = mn.id_a
       |      JOIN tt tb ON tb.id = mn.id_b)
-      |SELECT id_a, id_b, round(wj, 4) AS wjaccard FROM j WHERE wj >= 0.6
-      |ORDER BY id_a, id_b""".stripMargin))
+      |SELECT id_a, id_b,
+      |  CAST((2 * CAST(smin AS HUGEINT) * 10000 + wden) // (2 * wden)
+      |    AS DOUBLE) / 10000.0 AS wjaccard
+      |FROM j WHERE wj >= 0.6
+      |ORDER BY id_a, id_b""".stripMargin
+
+  private val q285 = QDef("q285_weighted_jaccard",
+    (s, dir) => Dedup.weightedJaccardPairs(T(s, dir, "documents"),
+        col("text"), col("doc_id"), col("source"), minW = 0.6)
+      .withColumn("wjaccard", round(col("wjaccard"), 4))
+      .orderBy("id_a", "id_b"),
+    Some(wjOracle))
+
+  /** [[Dedup.weightedJaccardPairsBanded]]: the q285 scale twin (the
+    * q60/q61 convention) — prefix-filter candidates over rare-first
+    * postings instead of the every-shared-term join, exact verify, SAME
+    * oracle: the driver's gate pins bit-identical output. */
+  private val q305 = QDef("q305_weighted_jaccard_banded",
+    (s, dir) => Dedup.weightedJaccardPairsBanded(T(s, dir, "documents"),
+        col("text"), col("doc_id"), col("source"), minW = 0.6)
+      .withColumn("wjaccard", round(col("wjaccard"), 4))
+      .orderBy("id_a", "id_b"),
+    Some(wjOracle))
 
   /** [[RankEval.calibrationError]]: ECE/MCE of a pseudo-probability
     * (price-cents mod 10⁴) against returns — the q193 bins summarized
@@ -2155,8 +2199,10 @@ object InferenceQueries {
       |        CAST(sum(ttr6) AS BIGINT) AS sttr
       |      FROM f GROUP BY 1)
       |SELECT band, n_docs,
-      |  round(CAST(st AS DOUBLE) / n_docs, 4) AS mean_tokens,
-      |  round(CAST(sttr AS DOUBLE) / 1000000.0 / n_docs, 4) AS mean_ttr
+      |  CAST((2 * CAST(st AS HUGEINT) * 10000 + n_docs) // (2 * n_docs)
+      |    AS DOUBLE) / 10000.0 AS mean_tokens,
+      |  CAST((2 * CAST(sttr AS HUGEINT) * 10000 + n_docs * 1000000) //
+      |    (2 * n_docs * 1000000) AS DOUBLE) / 10000.0 AS mean_ttr
       |FROM a ORDER BY band""".stripMargin))
 
   /** [[Inference.wilsonCi]]: finished-order rate per priority with the
@@ -2176,7 +2222,9 @@ object InferenceQueries {
       |        CAST(sum(y) AS BIGINT) AS k FROM d GROUP BY 1),
       |w AS (SELECT g, n, k, CAST(k AS DOUBLE) / n AS p,
       |        CAST(n AS DOUBLE) AS nd FROM a)
-      |SELECT g, n, k, round(p, 4) AS rate,
+      |SELECT g, n, k,
+      |  CAST((2 * CAST(k AS HUGEINT) * 10000 + n) // (2 * n) AS DOUBLE)
+      |    / 10000.0 AS rate,
       |  round((p + 1.96 * 1.96 / (2.0 * nd)) / (1.0 + 1.96 * 1.96 / nd) -
       |    (1.96 * sqrt(p * (1.0 - p) / nd +
       |      1.96 * 1.96 / (4.0 * nd * nd))) / (1.0 + 1.96 * 1.96 / nd), 4)
@@ -2302,13 +2350,18 @@ object InferenceQueries {
       |            GROUP BY 1)
       |      CROSS JOIN nnx)
       |SELECT n_docs, n_sources, n_langs,
-      |  round(1.0 - CAST(n_distinct AS DOUBLE) /
-      |    nullif(CAST(n_docs AS DOUBLE), 0.0), 4) AS exact_dup_rate,
-      |  round(CAST(st AS DOUBLE) /
-      |    nullif(CAST(n_docs AS DOUBLE), 0.0), 4) AS mean_tokens,
-      |  round(CAST(sttr AS DOUBLE) / 1000000.0 /
-      |    nullif(CAST(n_docs AS DOUBLE), 0.0), 4) AS mean_ttr,
-      |  round(-CAST(h6 AS DOUBLE) / 1000000.0, 4) AS lang_shannon_h
+      |  CAST((2 * CAST(n_docs - n_distinct AS HUGEINT) * 10000 +
+      |    nullif(n_docs, 0)) // (2 * nullif(n_docs, 0)) AS DOUBLE)
+      |    / 10000.0 AS exact_dup_rate,
+      |  CAST((2 * CAST(st AS HUGEINT) * 10000 + nullif(n_docs, 0)) //
+      |    (2 * nullif(n_docs, 0)) AS DOUBLE) / 10000.0 AS mean_tokens,
+      |  CAST((2 * CAST(sttr AS HUGEINT) * 10000 + nullif(n_docs, 0) *
+      |    1000000) // (2 * nullif(n_docs, 0) * 1000000) AS DOUBLE)
+      |    / 10000.0 AS mean_ttr,
+      |  CAST(CASE WHEN -h6 < 0
+      |    THEN -((2 * CAST(h6 AS HUGEINT) + 100) // 200)
+      |    ELSE (2 * CAST(-h6 AS HUGEINT) + 100) // 200 END AS DOUBLE)
+      |    / 10000.0 AS lang_shannon_h
       |FROM m CROSS JOIN lh""".stripMargin))
 
   /** [[LanguageModel.logOddsPrior]]: Monroe "fightin' words" — the
@@ -2473,5 +2526,5 @@ object InferenceQueries {
     q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279,
     q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290, q291,
     q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303,
-    q304)
+    q304, q305)
 }

@@ -30,6 +30,23 @@ import org.apache.spark.sql.functions._
 object Seal {
   private def d(name: String) = s"CAST($name AS DECIMAL(38,0))"
 
+  private def idiv(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VectorExprs.idiv(a, b)
+
+  /** Column-expression form of [[ratio4]] for call sites without named
+    * operands (shared Column helpers). Both operands evaluate twice —
+    * prefer the named form in aggregation tails. */
+  def ratio4c(num: Column, den: Column): Column = {
+    val n38 = num.cast("decimal(38,0)")
+    val d0 = den.cast("decimal(38,0)")
+    (when(num < 0,
+        -idiv(lit(2).cast("decimal(38,0)") * -n38 * 10000 + d0,
+          lit(2).cast("decimal(38,0)") * d0))
+      .otherwise(idiv(lit(2).cast("decimal(38,0)") * n38 * 10000 + d0,
+        lit(2).cast("decimal(38,0)") * d0))
+      .cast("double") / lit(1e4))
+  }
+
   /** round(numName/denName, 4) — both columns integer-valued, den > 0. */
   def ratio4(numName: String, denName: String): Column =
     (when(col(numName) < 0,

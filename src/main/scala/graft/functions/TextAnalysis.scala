@@ -151,7 +151,8 @@ object TextAnalysis {
     * chain is then built once per row instead of once per reference. */
   def dupFractionFromGrams(g: Column): Column =
     when(size(g) > 0,
-      round((size(g) - size(array_distinct(g))).cast("double") / size(g), 4))
+      Seal.ratio4c((size(g) - size(array_distinct(g))).cast("long"),
+        size(g).cast("long")))
       .otherwise(lit(0d))
 
   /** Duplicate n-gram fraction (the RefinedWeb/Gopher repetition-filter

@@ -78,4 +78,12 @@ object VectorExprs {
   def dot(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Column-level integral divide (`a div b`) — the building block of
+    * graft.Seal's name-free integer-rounding form. Lives here because
+    * ExpressionUtils is package-private to org.apache.spark.sql. */
+  def idiv(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }

@@ -40,13 +40,20 @@ object Causal {
       sum(when(col("z") =!= 1, col("y")).otherwise(0L)).as("sy0"))
     def mean(s: String, n: String) =
       col(s).cast("double") / nullif(col(n), lit(0L)).cast("double")
-    sums.select(col("n0"), col("n1"),
-        (mean("sy1", "n1") - mean("sy0", "n0")).as("dy"),
-        (mean("sx1", "n1") - mean("sx0", "n0")).as("dx"))
+    // dy = sy1/n1 − sy0/n0 = (sy1·n0 − sy0·n1)/(n1·n0) — an exact
+    // rational, as is dx; β = dy/dx cancels the common denominator to
+    // dynum/dxnum. All three seal via Seal.ratio4; a zero-unit arm
+    // (den NULL) or dead first stage (dxnum 0) yields SQL-NULL.
+    sums
+      .withColumn("dynum", col("sy1") * col("n0") - col("sy0") * col("n1"))
+      .withColumn("dxnum", col("sx1") * col("n0") - col("sx0") * col("n1"))
+      .withColumn("den", nullif(col("n1") * col("n0"), lit(0L)))
+      .withColumn("dxnumn", nullif(col("dxnum"), lit(0L)))
       .select(col("n0"), col("n1"),
-        round(col("dy"), 4).as("reduced_form"),
-        round(col("dx"), 4).as("first_stage"),
-        round(col("dy") / nullif(col("dx"), lit(0.0)), 4).as("beta_iv"))
+        Seal.ratio4("dynum", "den").as("reduced_form"),
+        Seal.ratio4("dxnum", "den").as("first_stage"),
+        when(col("den").isNotNull,
+          Seal.ratio4("dynum", "dxnumn")).as("beta_iv"))
   }
 
   /** Sharp regression-discontinuity estimate: local linear fit of `y`
@@ -70,21 +77,25 @@ object Causal {
       sum(when(cond, col("r") * col("r")).otherwise(0L)).as(s"sxx$suf"))
     val aggs = side(col("r") < 0, "l") ++ side(col("r") >= 0, "r")
     val sums = d.agg(aggs.head, aggs.tail: _*)
-    def den(s: String) = nullif(
-      (col(s"n$s") * col(s"sxx$s") - col(s"sx$s") * col(s"sx$s"))
-        .cast("double"), lit(0.0))
-    def slope(s: String) =
-      (col(s"n$s") * col(s"sxy$s") - col(s"sx$s") * col(s"sy$s"))
-        .cast("double") / den(s)
-    def icept(s: String) =
-      (col(s"sy$s") * col(s"sxx$s") - col(s"sx$s") * col(s"sxy$s"))
-        .cast("double") / den(s)
-    sums.select(col("nl").as("n_left"), col("nr").as("n_right"),
-      round(slope("l"), 4).as("slope_left"),
-      round(slope("r"), 4).as("slope_right"),
-      round(icept("l"), 4).as("icept_left"),
-      round(icept("r"), 4).as("icept_right"),
-      round(icept("r") - icept("l"), 4).as("rdd_effect"))
+    // slopes/intercepts are exact integer rationals (Seal.ratio4); the
+    // effect differences the SEALED intercepts — both are on the 1e-4
+    // grid, so the difference is exact there and the final round is a
+    // grid-snap, never a boundary call
+    def denI(s: String) = nullif(
+      col(s"n$s") * col(s"sxx$s") - col(s"sx$s") * col(s"sx$s"), lit(0L))
+    val withNumDen = sums
+      .withColumn("dl", denI("l")).withColumn("dr", denI("r"))
+      .withColumn("snl", col("nl") * col("sxyl") - col("sxl") * col("syl"))
+      .withColumn("snr", col("nr") * col("sxyr") - col("sxr") * col("syr"))
+      .withColumn("inl", col("syl") * col("sxxl") - col("sxl") * col("sxyl"))
+      .withColumn("inr", col("syr") * col("sxxr") - col("sxr") * col("sxyr"))
+    withNumDen.select(col("nl").as("n_left"), col("nr").as("n_right"),
+      Seal.ratio4("snl", "dl").as("slope_left"),
+      Seal.ratio4("snr", "dr").as("slope_right"),
+      Seal.ratio4("inl", "dl").as("icept_left"),
+      Seal.ratio4("inr", "dr").as("icept_right"),
+      round(Seal.ratio4("inr", "dr") - Seal.ratio4("inl", "dl"), 4)
+        .as("rdd_effect"))
   }
 
   /** With-replacement caliper 1-NN matching ATT: each treated unit is

@@ -72,7 +72,7 @@ object Curate {
         array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("tok2")))),
           x => x.getField("tok2")), " ").as("pruned"),
-        round(sum("oov").cast("double") / count(lit(1)), 4).as("oov_rate"))
+        Seal.ratio4c(sum("oov"), count(lit(1))).as("oov_rate"))
   }
 
   /** Per-document top-k BM25 terms (Robertson/Okapi, the Lucene-form
@@ -275,17 +275,16 @@ object Curate {
         .cast("long").as("t"))
       .agg(coalesce(sum("t"), lit(0L)).as("h6"))
     main.crossJoin(broadcast(langH))
+      .withColumn("ndn", nullif(col("n_docs"), lit(0L)))
+      .withColumn("dupnum", col("n_docs") - col("n_distinct"))
+      .withColumn("ttrden", nullif(col("n_docs"), lit(0L)) * lit(1000000L))
+      .withColumn("nh6", -col("h6"))
       .select(col("n_docs"), col("n_sources"), col("n_langs"),
-        round(lit(1.0) - col("n_distinct").cast("double") /
-          nullif(col("n_docs").cast("double"), lit(0.0)), 4)
-          .as("exact_dup_rate"),
-        round(col("st").cast("double") /
-          nullif(col("n_docs").cast("double"), lit(0.0)), 4)
-          .as("mean_tokens"),
-        round(col("sttr").cast("double") / lit(1e6) /
-          nullif(col("n_docs").cast("double"), lit(0.0)), 4)
-          .as("mean_ttr"),
-        round(-col("h6").cast("double") / lit(1e6), 4).as("lang_shannon_h"))
+        // 1 − distinct/docs = (docs − distinct)/docs, an exact ratio
+        Seal.ratio4("dupnum", "ndn").as("exact_dup_rate"),
+        Seal.ratio4("st", "ndn").as("mean_tokens"),
+        Seal.ratio4("sttr", "ttrden").as("mean_ttr"),
+        Seal.pow4("nh6", 6).as("lang_shannon_h"))
   }
 
   /** Crawl-order quality decay: structural text metrics (token count,
@@ -310,11 +309,10 @@ object Curate {
       .groupBy("band")
       .agg(count(lit(1)).as("n_docs"), sum("nt").as("st"),
         sum("ttr6").as("sttr"))
+      .withColumn("ttrden", col("n_docs") * lit(1000000L))
       .select(col("band"), col("n_docs"),
-        round(col("st").cast("double") / col("n_docs"), 4)
-          .as("mean_tokens"),
-        round(col("sttr").cast("double") / lit(1e6) / col("n_docs"), 4)
-          .as("mean_ttr"))
+        Seal.ratio4("st", "n_docs").as("mean_tokens"),
+        Seal.ratio4("sttr", "ttrden").as("mean_ttr"))
       .orderBy("band")
   }
 
@@ -351,8 +349,7 @@ object Curate {
           .otherwise(0L)).as("n_kept"))
       .select(col("g").as("source"), col("n_docs"), col("n_fail_len"),
         col("n_fail_ttr"), col("n_fail_toklen"), col("n_kept"),
-        round(col("n_kept").cast("double") / col("n_docs"), 4)
-          .as("keep_rate"))
+        Seal.ratio4("n_kept", "n_docs").as("keep_rate"))
       .orderBy("source")
   }
 

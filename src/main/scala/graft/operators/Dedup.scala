@@ -367,10 +367,18 @@ object Dedup {
   def weightedJaccardPairs(df: DataFrame, text: Column, id: Column,
                            block: Column,
                            minW: Double = 0.6): DataFrame = {
+    // checkpoint the postings ONCE, repartitioned by id: they feed the
+    // totals and BOTH pair-join sides (three consumers would re-run the
+    // tokenize+tf chain), and AQE otherwise coalesces the small table to
+    // one partition, freezing the whole pair join onto a single task
+    // (the q266 finding)
+    val para = df.sparkSession.sessionState.conf.numShufflePartitions
     val tok = df.select(id.as("id"), block.as("blk"),
         explode(split(text, " ")).as("term"))
       .where(col("id").isNotNull && col("blk").isNotNull)
       .groupBy("id", "blk", "term").agg(count(lit(1)).as("tf"))
+      .repartition(para, col("id"))
+      .localCheckpoint()
     val totals = tok.groupBy("id").agg(sum("tf").as("tt"))
     val mins = tok.as("a")
       .join(tok.as("b"),
@@ -378,13 +386,73 @@ object Dedup {
       .where(col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(sum(least(col("a.tf"), col("b.tf"))).as("smin"))
+    sealWj(mins, totals, minW)
+  }
+
+  /** Shared tail of the weighted-Jaccard pair operators: join totals,
+    * threshold on the raw ratio, emit the integer-sealed display value
+    * (Seal.ratio4 — smin/(ta+tb−smin) is an exact integer rational). */
+  private def sealWj(mins: DataFrame, totals: DataFrame,
+                     minW: Double): DataFrame =
     mins
       .join(totals.select(col("id").as("id_a"), col("tt").as("ta")), "id_a")
       .join(totals.select(col("id").as("id_b"), col("tt").as("tb")), "id_b")
+      .withColumn("wden", col("ta") + col("tb") - col("smin"))
+      .withColumn("__raw", col("smin").cast("double") / col("wden"))
+      .where(col("__raw") >= minW)
       .select(col("id_a"), col("id_b"),
-        (col("smin").cast("double") /
-          (col("ta") + col("tb") - col("smin"))).as("wjaccard"))
-      .where(col("wjaccard") >= minW)
+        Seal.ratio4("smin", "wden").as("wjaccard"))
+
+  /** Banded scale twin of [[weightedJaccardPairs]] (the q60/q61
+    * convention: bit-identical output, scale-shaped candidates). The
+    * naive pair join meets on EVERY shared term, so corpus-wide terms
+    * drive Σdf² candidates; here terms order globally rare-first
+    * (df asc, term asc) and each doc indexes only its PREFIX — the
+    * minimal head such that the remaining tail mass < t/(1+t)·tt.
+    * wj ≥ t forces smin ≥ t/(1+t)·(ta+tb) ≥ t/(1+t)·ta, and shared-
+    * terms-only-in-a's-tail caps smin below that, so every qualifying
+    * pair shares a term in each side's prefix and the full⋈prefix join
+    * finds it (the Bayardo all-pairs argument, conservative 1−1e-9
+    * slack on the double compare). Candidates then verify with the
+    * exact full-postings min-sum — output EQUALS the naive join. */
+  def weightedJaccardPairsBanded(df: DataFrame, text: Column, id: Column,
+                                 block: Column,
+                                 minW: Double = 0.6): DataFrame = {
+    val para = df.sparkSession.sessionState.conf.numShufflePartitions
+    val tok = df.select(id.as("id"), block.as("blk"),
+        explode(split(text, " ")).as("term"))
+      .where(col("id").isNotNull && col("blk").isNotNull)
+      .groupBy("id", "blk", "term").agg(count(lit(1)).as("tf"))
+      .repartition(para, col("id"))
+      .localCheckpoint()
+    val dfT = tok.groupBy("term").agg(count(lit(1)).as("df"))
+    val wdf = tok.join(broadcast(dfT), "term")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df").desc, col("term").desc)
+    val docAll = org.apache.spark.sql.expressions.Window.partitionBy("id")
+    val prefix = wdf
+      .withColumn("tail_tf", sum("tf")
+        .over(byDoc.rowsBetween(Long.MinValue, 0)))
+      .withColumn("tt", sum("tf").over(docAll))
+      .where(col("tail_tf").cast("double") >=
+        lit(minW / (1 + minW) * (1 - 1e-9)) * col("tt").cast("double"))
+      .select("id", "blk", "term")
+    val cand = tok.select(col("blk"), col("term"), col("id").as("ia"))
+      .join(prefix.select(col("blk"), col("term"), col("id").as("ib")),
+        Seq("blk", "term"))
+      .where(col("ia") =!= col("ib"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"))
+      .distinct()
+    val totals = tok.groupBy("id").agg(sum("tf").as("tt"))
+    val mins = cand
+      .join(tok.select(col("id").as("id_a"), col("term"),
+        col("tf").as("tfa")), Seq("id_a"))
+      .join(tok.select(col("id").as("id_b"), col("term"),
+        col("tf").as("tfb")), Seq("id_b", "term"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(least(col("tfa"), col("tfb"))).as("smin"))
+    sealWj(mins, totals, minW)
   }
 
   /** Symmetric n-gram CONTAINMENT pairs: |A∩B| / min(|A|, |B|) over

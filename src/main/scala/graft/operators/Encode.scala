@@ -52,16 +52,15 @@ object Encode {
     def enc(yv: Int) = {
       val num = (col("sy") - lit(yv.toLong)) * col("gn") + lit(m) * col("gs")
       val den = (col("n") - 1 + lit(m)) * col("gn")
-      round(num.cast("double") / den.cast("double"), 4)
+      Seal.ratio4c(num, den)
     }
     per.crossJoin(broadcast(glob)) // 1-row global build side
       .select(col("cat"), col("n"), col("sy").as("pos"),
         when(col("sy") > 0, enc(1)).as("enc_pos"),
         when(col("sy") < col("n"), enc(0)).as("enc_neg"),
-        round(((col("n") - 1) * col("sy") * col("gn") +
-            col("n") * lit(m) * col("gs")).cast("double") /
-          (col("n") * (col("n") - 1 + lit(m)) * col("gn")).cast("double"), 4)
-          .as("avg_enc"))
+        Seal.ratio4c((col("n") - 1) * col("sy") * col("gn") +
+            col("n") * lit(m) * col("gs"),
+          col("n") * (col("n") - 1 + lit(m)) * col("gn")).as("avg_enc"))
       .orderBy("cat")
   }
 

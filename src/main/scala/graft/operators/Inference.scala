@@ -95,7 +95,7 @@ object Inference {
       lit(z * z) / (lit(4.0) * nD * nD))) / denom
     d.groupBy("g").agg(count(lit(1)).as("n"), sum("y").as("k"))
       .select(col("g"), col("n"), col("k"),
-        round(p, 4).as("rate"),
+        Seal.ratio4("k", "n").as("rate"),
         round(center - hw, 4).as("ci_lo"),
         round(center + hw, 4).as("ci_hi"))
       .orderBy("g")
@@ -179,23 +179,31 @@ object Inference {
         sum(col("v") * col("v")).as("ss"))
       .select(col("n"), col("s"), col("ss"),
         ssTerm(col("s"), col("n")).as("tg"))
+    // n0 = (n² − snn)/(n·(k−1)) and, with A = SSB·10⁴, B = SSW·10⁴,
+    // a = k−1, b = n−k, C = n² − snn − n·a:
+    //   ICC(1) = n·(A·b − a·B) / (A·b·n + C·B)
+    // — every factor an exact integer, so both seals run through Seal
     per.agg(count(lit(1)).as("k"), sum("n").as("n"), sum("s").as("st"),
         sum("ss").as("sst"), sum("tg").as("stg"),
         sum(col("n") * col("n")).as("snn"))
-      .select(col("k"), col("n"),
-        ((col("stg") - ssTerm(col("st"), col("n"))).cast("double") /
-          lit(1e4) /
-          nullif((col("k") - 1).cast("double"), lit(0.0))).as("msb"),
-        ((col("sst") * lit(10000L) - col("stg")).cast("double") / lit(1e4) /
-          nullif((col("n") - col("k")).cast("double"), lit(0.0))).as("msw"),
-        ((col("n").cast("double") -
-          col("snn").cast("double") / col("n")) /
-          nullif((col("k") - 1).cast("double"), lit(0.0))).as("n0"))
+      .withColumn("aq", col("stg") - ssTerm(col("st"), col("n")))
+      .withColumn("bq", col("sst") * lit(10000L) - col("stg"))
+      .withColumn("ka", col("k") - 1)
+      .withColumn("kb", col("n") - col("k"))
+      .withColumn("cq", col("n") * col("n") - col("snn") -
+        col("n") * col("ka"))
+      .withColumn("n0num", col("n") * col("n") - col("snn"))
+      .withColumn("n0den", nullif(col("n") * col("ka"), lit(0L)))
+      .withColumn("inum", col("n").cast("decimal(38,0)") *
+        (col("aq").cast("decimal(38,0)") * col("kb") -
+         col("ka").cast("decimal(38,0)") * col("bq")))
+      .withColumn("iden", nullif(
+        col("aq").cast("decimal(38,0)") * col("kb") * col("n") +
+        col("cq").cast("decimal(38,0)") * col("bq"),
+        lit(java.math.BigDecimal.ZERO)))
       .select(col("k").as("k_groups"), col("n").as("n_rows"),
-        round(col("n0"), 4).as("n0"),
-        round((col("msb") - col("msw")) /
-          nullif(col("msb") + (col("n0") - lit(1.0)) * col("msw"),
-            lit(0.0)), 4).as("icc1"))
+        Seal.ratio4("n0num", "n0den").as("n0"),
+        Seal.ratio4("inum", "iden").as("icc1"))
   }
 
   /** Brown-Forsythe robust ANOVA: one-way ANOVA on the absolute
@@ -252,7 +260,7 @@ object Inference {
       .groupBy("n", "r", "c").agg(sum("t").as("chifix"))
       .select(col("n").as("n_rows"), col("r").as("levels_x"),
         col("c").as("levels_y"),
-        round(col("chifix").cast("double") / lit(1e6), 4).as("chi2"),
+        Seal.pow4("chifix", 6).as("chi2"),
         round(sqrt(col("chifix").cast("double") / lit(1e6) /
           nullif((col("n") *
             least(col("r") - 1, col("c") - 1)).cast("double"),
@@ -326,7 +334,7 @@ object Inference {
         lit(1e12), 0).cast("long")).as("p12"))
       .select(col("n11"), col("r1"), col("c1"), col("n").as("n_total"),
         round(exp(col("obs6").cast("double") / lit(1e6)), 4).as("p_point"),
-        round(col("p12").cast("double") / lit(1e12), 4).as("p_two_sided"))
+        Seal.pow4("p12", 12).as("p_two_sided"))
   }
 
   /** Grubbs outlier test: G = max|x − x̄| / s over an INTEGER-quantized
@@ -472,13 +480,13 @@ object Inference {
     per.agg(count(lit(1)).as("n_strata"), sum("r6").as("sr"),
         sum("s6").as("ss"), sum(col("a6") - col("e6")).as("dev6"),
         sum("v6").as("sv"))
+      .withColumn("nss", nullif(col("ss"), lit(0L)))
+      .withColumn("cnum", col("dev6").cast("decimal(38,0)") * col("dev6"))
+      .withColumn("cden", nullif(lit(1000000L).cast("decimal(38,0)") *
+        col("sv"), lit(java.math.BigDecimal.ZERO)))
       .select(col("n_strata"),
-        round(col("sr").cast("double") /
-          nullif(col("ss").cast("double"), lit(0.0)), 4).as("or_mh"),
-        round((col("dev6").cast("double") / lit(1e6)) *
-          (col("dev6").cast("double") / lit(1e6)) /
-          nullif(col("sv").cast("double") / lit(1e6), lit(0.0)), 4)
-          .as("chi2_cmh"))
+        Seal.ratio4("sr", "nss").as("or_mh"),
+        Seal.ratio4("cnum", "cden").as("chi2_cmh"))
   }
 
   /** Cronbach's alpha internal-consistency coefficient over a LONG

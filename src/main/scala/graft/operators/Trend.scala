@@ -899,13 +899,13 @@ object Trend {
           .otherwise(0L)), lit(0L)).as("c"),
         coalesce(sum(when(col("p1") === 0L && col("p2") === 0L, 1L)
           .otherwise(0L)), lit(0L)).as("neither"))
+      .withColumn("mnum", (col("b") - col("c")) * (col("b") - col("c")))
+      .withColumn("cnum", (abs(col("b") - col("c")) - 1L) *
+        (abs(col("b") - col("c")) - 1L))
+      .withColumn("mden", nullif(col("b") + col("c"), lit(0L)))
       .select(col("n_units"), col("both"), col("b"), col("c"), col("neither"),
-        round(((col("b") - col("c")) * (col("b") - col("c"))).cast("double") /
-          nullif(col("b") + col("c"), lit(0L)).cast("double"), 4).as("chi2"),
-        round(((abs(col("b") - col("c")) - 1L) *
-            (abs(col("b") - col("c")) - 1L)).cast("double") /
-          nullif(col("b") + col("c"), lit(0L)).cast("double"), 4)
-          .as("chi2_cc"))
+        Seal.ratio4("mnum", "mden").as("chi2"),
+        Seal.ratio4("cnum", "mden").as("chi2_cc"))
   }
 
   /** Kendall τ-b rank correlation per group — the concordant/discordant

@@ -17,6 +17,8 @@ class PlanAuditSpec extends SparkSpec {
     "q72_ann_quantized", "q80_tfidf_terms", "q83_length_curriculum",
     "q92_bm25_terms", // (N, avgdl) one-row stats broadcast, like q80's N
     "q108_unigram_logprob", // 1-row total-token-count broadcast
+    "q126_pair_lift", // 1-row basket-census broadcast (lazy N, r8)
+    "q283_assoc_rules", // 1-row basket-census broadcast (lazy N, r8)
     "q109_pmi_collocations", // 1-row N_uni and N_bi broadcasts
     "q138_temperature_mixture", // 1-row Σ n^0.7 normalizer broadcast
     "q141_rfm_segments", // 1-row quartile cut-point broadcast

@@ -37,6 +37,14 @@ class SealSpec extends SparkSpec {
       .map(_.getDouble(0)).toSeq === Seq(1.2345, -0.0005))
   }
 
+  test("ratio4c (column form) matches ratio4 on the boundary cases") {
+    val df = Seq((1L, 20000L), (-1L, 20000L), (3L, 8L), (1L, 32L),
+      (-1L, 32L), (7L, 2L), (0L, 5L)).toDF("num", "den")
+    val got = df.select(Seal.ratio4c(col("num"), col("den")).as("r"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got === Seq(0.0001, -0.0001, 0.375, 0.0313, -0.0313, 3.5, 0.0))
+  }
+
   test("ratio4 survives magnitudes where 2*num*10000 overflows a long") {
     // num = 9e17: 2*num*1e4 = 1.8e22 >> Long.MaxValue; decimal carries it
     val df = Seq((900000000000000000L, 1000000000000000000L)).toDF("num", "den")
