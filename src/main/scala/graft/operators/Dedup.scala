@@ -444,14 +444,25 @@ object Dedup {
       .select(least(col("ia"), col("ib")).as("id_a"),
         greatest(col("ia"), col("ib")).as("id_b"))
       .distinct()
-    val totals = tok.groupBy("id").agg(sum("tf").as("tt"))
+    // verification runs as a codegen two-pointer merge over per-doc
+    // sorted posting arrays (SparseMinSum) — the posting-join spelling
+    // (cand ⋈ tok ⋈ tok + re-aggregation) shuffles |pairs|·|doc| rows
+    // and measured 2.5 s against the merge's sub-second pass
+    val docs = tok.groupBy("id")
+      .agg(array_sort(collect_list(struct(col("term"), col("tf"))))
+        .as("ps"), sum("tf").as("tt"))
+      .select(col("id"), expr("transform(ps, p -> p.term)").as("ks"),
+        expr("transform(ps, p -> p.tf)").as("vs"), col("tt"))
+      .localCheckpoint()
+    val totals = docs.select(col("id"), col("tt"))
     val mins = cand
-      .join(tok.select(col("id").as("id_a"), col("term"),
-        col("tf").as("tfa")), Seq("id_a"))
-      .join(tok.select(col("id").as("id_b"), col("term"),
-        col("tf").as("tfb")), Seq("id_b", "term"))
-      .groupBy("id_a", "id_b")
-      .agg(sum(least(col("tfa"), col("tfb"))).as("smin"))
+      .join(broadcast(docs.select(col("id").as("id_a"),
+        col("ks").as("ka"), col("vs").as("va"))), Seq("id_a"))
+      .join(broadcast(docs.select(col("id").as("id_b"),
+        col("ks").as("kb"), col("vs").as("vb"))), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        org.apache.spark.sql.graft.SparseExprs.sparseMinSum(
+          col("ka"), col("va"), col("kb"), col("vb")).as("smin"))
     sealWj(mins, totals, minW)
   }
 
