@@ -328,6 +328,62 @@ object AnalyticsQueries {
   /** [[Trend.poissonBootstrap]]: 64-replicate bootstrap of mean line
     * price — the distributed (Poisson) bootstrap whose weights are
     * per-row inverse-CDF scalars, no global n, no per-resample shuffle. */
+  /** Fixed-component PCA projection — the oracle row for the
+    * [[Pca.project]] half of the PCA path (q219 gates the covariance;
+    * the Jacobi eigensolve itself is driver-side and unit-pinned, so
+    * the projection is exercised here against LITERAL components both
+    * engines share). Embeddings quantize to 1e-6 longs, the two
+    * component vectors are small-integer literals, each score is an
+    * exact integer dot sealed in integer space. */
+  private val q306 = {
+    val c1 = (0 until 64).map(i => (i * 7) % 11 - 5)
+    val c2 = (0 until 64).map(i => (i * 13) % 17 - 8)
+    val c1s = c1.mkString("[", ", ", "]")
+    val c2s = c2.mkString("[", ", ", "]")
+    QDef("q306_pca_projection",
+      (s, dir) => {
+        val c1a = array(c1.map(v => lit(v.toLong)): _*)
+        val c2a = array(c2.map(v => lit(v.toLong)): _*)
+        T(s, dir, "embeddings")
+          .where(col("vec_id").isNotNull && col("embedding").isNotNull)
+          .withColumn("xq", expr(
+            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) " +
+              "* 1000000.0, 0) AS BIGINT))"))
+          .withColumn("d1", aggregate(
+            zip_with(col("xq"), c1a, (x, c) => x * c),
+            lit(0L), (acc, v) => acc + v))
+          .withColumn("d2", aggregate(
+            zip_with(col("xq"), c2a, (x, c) => x * c),
+            lit(0L), (acc, v) => acc + v))
+          .select(col("vec_id"),
+            Seal.pow4("d1", 6).as("pc1"),
+            Seal.pow4("d2", 6).as("pc2"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+        |      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+        |x AS (SELECT vec_id, list_transform(embedding,
+        |        x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0)
+        |          AS BIGINT)) AS xq
+        |      FROM e),
+        |d AS (SELECT vec_id,
+        |        CAST(list_sum(list_transform(range(1, 65),
+        |          i -> xq[i] * ($c1s)[i])) AS BIGINT) AS d1,
+        |        CAST(list_sum(list_transform(range(1, 65),
+        |          i -> xq[i] * ($c2s)[i])) AS BIGINT) AS d2
+        |      FROM x)
+        |SELECT vec_id,
+        |  CAST(CASE WHEN d1 < 0
+        |    THEN -((2 * CAST(-d1 AS HUGEINT) + 100) // 200)
+        |    ELSE (2 * CAST(d1 AS HUGEINT) + 100) // 200 END AS DOUBLE)
+        |    / 10000.0 AS pc1,
+        |  CAST(CASE WHEN d2 < 0
+        |    THEN -((2 * CAST(-d2 AS HUGEINT) + 100) // 200)
+        |    ELSE (2 * CAST(d2 AS HUGEINT) + 100) // 200 END AS DOUBLE)
+        |    / 10000.0 AS pc2
+        |FROM d ORDER BY vec_id""".stripMargin))
+  }
+
   private val q221 = QDef("q221_poisson_bootstrap",
     (s, dir) => Trend.poissonBootstrap(
       T(s, dir, "lineitem").select(
@@ -993,5 +1049,5 @@ object AnalyticsQueries {
 
   def all: Seq[QDef] = Seq(q210, q211, q212, q213, q214, q215, q216,
     q217, q218, q219, q221, q222, q223, q224, q225, q226, q227, q228,
-    q229, q230, q231, q232, q233, q234, q235)
+    q229, q230, q231, q232, q233, q234, q235, q306)
 }
