@@ -1,0 +1,336 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import Queries.QDef
+
+/** Growth/product-analytics batch (q307+): ordered funnels, cohort
+  * retention, two-arm survival comparison, data-quality FD audit,
+  * survey-design readouts, paired nonparametrics, embedding cluster
+  * quality, and stratified allocation. Same oracle conventions as
+  * [[Queries]] (FIXTURES.md): integer quantization before cross-row
+  * sums, Seal-device integer rounding on exact rationals, total ORDER
+  * BY.
+  */
+object GrowthQueries {
+  private def T(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Tables.t(s, dir, n)
+
+  /** [[Funnel.ordered3]]: signup → view → purchase, strictly ordered
+    * first-touch semantics; conversion rates and median step gaps. */
+  private val q307 = QDef("q307_event_funnel",
+    (s, dir) => Funnel.ordered3(T(s, dir, "events"), col("user_id"),
+      col("ts"), col("event_type"), "signup", "view", "purchase"),
+    Some("""WITH e AS (SELECT user_id AS u, epoch_us(ts) AS us,
+      |        event_type AS l
+      |      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |        AND event_type IS NOT NULL),
+      |t1 AS (SELECT u, CAST(min(us) AS BIGINT) AS t1 FROM e
+      |       WHERE l = 'signup' GROUP BY 1),
+      |t2 AS (SELECT e.u AS u, t1, CAST(min(us) AS BIGINT) AS t2
+      |       FROM e JOIN t1 ON e.u = t1.u
+      |       WHERE l = 'view' AND us > t1 GROUP BY 1, 2),
+      |t3 AS (SELECT e.u AS u, t2, CAST(min(us) AS BIGINT) AS t3
+      |       FROM e JOIN t2 ON e.u = t2.u
+      |       WHERE l = 'purchase' AND us > t2 GROUP BY 1, 2),
+      |s1 AS (SELECT CAST(1 AS BIGINT) AS step, 'signup' AS label,
+      |        CAST(count(*) AS BIGINT) AS n, CAST(NULL AS BIGINT) AS g2
+      |       FROM t1),
+      |s2 AS (SELECT CAST(2 AS BIGINT), 'view', CAST(count(*) AS BIGINT),
+      |        CAST(round(quantile_cont((t2 - t1) * 2, 0.5), 0) AS BIGINT)
+      |       FROM t2),
+      |s3 AS (SELECT CAST(3 AS BIGINT), 'purchase',
+      |        CAST(count(*) AS BIGINT),
+      |        CAST(round(quantile_cont((t3 - t2) * 2, 0.5), 0) AS BIGINT)
+      |       FROM t3),
+      |st AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+      |       UNION ALL SELECT * FROM s3),
+      |wi AS (SELECT step, label, n, g2,
+      |        lag(n) OVER (ORDER BY step) AS prev_n,
+      |        first_value(n) OVER (ORDER BY step) AS first_n
+      |       FROM st)
+      |SELECT step, label, n AS n_reached,
+      |  CAST((2 * CAST(n AS HUGEINT) * 10000 + nullif(prev_n, 0)) //
+      |    (2 * nullif(prev_n, 0)) AS DOUBLE) / 10000.0 AS conv_from_prev,
+      |  CAST((2 * CAST(n AS HUGEINT) * 10000 + nullif(first_n, 0)) //
+      |    (2 * nullif(first_n, 0)) AS DOUBLE) / 10000.0
+      |    AS conv_from_first,
+      |  CAST((2 * CAST(g2 AS HUGEINT) * 10000 + 2000000) // 4000000
+      |    AS DOUBLE) / 10000.0 AS median_gap_s
+      |FROM wi ORDER BY step""".stripMargin))
+
+  /** [[Funnel.cohortRetention]]: weekly signup cohorts × weeks-since,
+    * the retention triangle. */
+  private val q308 = QDef("q308_cohort_retention",
+    (s, dir) => Funnel.cohortRetention(T(s, dir, "events"),
+      col("user_id"), col("ts")),
+    Some("""WITH e AS (SELECT user_id AS u, CAST(ts AS DATE) AS d
+      |      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      |o AS (SELECT min(d) AS d0 FROM e),
+      |wk AS (SELECT DISTINCT u,
+      |        CAST(date_diff('day', d0, d) // 7 AS BIGINT) AS w
+      |      FROM e CROSS JOIN o),
+      |fw AS (SELECT u, CAST(min(w) AS BIGINT) AS w0 FROM wk GROUP BY 1),
+      |sz AS (SELECT w0, CAST(count(*) AS BIGINT) AS n_cohort FROM fw
+      |       GROUP BY 1),
+      |ac AS (SELECT w0 AS cohort_week, w - w0 AS week_k,
+      |        CAST(count(*) AS BIGINT) AS n_active
+      |      FROM wk JOIN fw USING (u) GROUP BY 1, 2)
+      |SELECT cohort_week, week_k, n_active, n_cohort,
+      |  CAST((2 * CAST(n_active AS HUGEINT) * 10000 + n_cohort) //
+      |    (2 * n_cohort) AS DOUBLE) / 10000.0 AS retention
+      |FROM ac JOIN sz ON ac.cohort_week = sz.w0
+      |ORDER BY cohort_week, week_k""".stripMargin))
+
+  /** [[Survival.logRank]]: do even- and odd-id users churn at the same
+    * rate — the two-arm Mantel-Cox test over the q176 durations. */
+  private val q309 = QDef("q309_log_rank",
+    (s, dir) => {
+      val e = T(s, dir, "events").select(col("user_id"),
+        to_date(col("ts")).as("d"))
+      val span = e.groupBy("user_id")
+        .agg(min("d").as("fd"), max("d").as("ld"))
+      val obsEnd = e.agg(max("d").as("obs_end"))
+      val dur = span.crossJoin(broadcast(obsEnd)).select(
+        datediff(col("ld"), col("fd")).as("dur"),
+        when(datediff(col("obs_end"), col("ld")) >= 1, 1).otherwise(0)
+          .as("ev"),
+        when(col("user_id") % 2 === 0, "A").otherwise("B").as("g"))
+      Survival.logRank(dur, col("dur"), col("ev"), col("g"), "A", "B")
+    },
+    Some("""WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+      |sp AS (SELECT user_id, min(d) AS fd, max(d) AS ld FROM e GROUP BY 1),
+      |oe AS (SELECT max(d) AS obs_end FROM e),
+      |dur AS (SELECT CAST(date_diff('day', fd, ld) AS BIGINT) AS t,
+      |         CASE WHEN date_diff('day', ld, obs_end) >= 1
+      |           THEN 1 ELSE 0 END AS ev,
+      |         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS g
+      |       FROM sp CROSS JOIN oe),
+      |byt AS (SELECT t,
+      |         CAST(sum(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS na_at,
+      |         CAST(sum(CASE WHEN g = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS nb_at,
+      |         CAST(sum(CASE WHEN g = 'A' THEN ev ELSE 0 END) AS BIGINT)
+      |           AS da_at,
+      |         CAST(sum(CASE WHEN g = 'B' THEN ev ELSE 0 END) AS BIGINT)
+      |           AS db_at
+      |       FROM dur WHERE t IS NOT NULL GROUP BY 1),
+      |tot AS (SELECT CAST(sum(na_at) AS BIGINT) AS na_tot,
+      |         CAST(sum(nb_at) AS BIGINT) AS nb_tot FROM byt),
+      |r AS (SELECT t, da_at, db_at,
+      |        na_tot - coalesce(CAST(sum(na_at) OVER (ORDER BY t ROWS
+      |          BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+      |          0) AS na_r,
+      |        nb_tot - coalesce(CAST(sum(nb_at) OVER (ORDER BY t ROWS
+      |          BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+      |          0) AS nb_r
+      |      FROM byt CROSS JOIN tot),
+      |tm AS (SELECT da_at,
+      |        CAST(round(CAST(da_at + db_at AS DOUBLE) * na_r /
+      |          (na_r + nb_r) * 1000000.0, 0) AS BIGINT) AS e6,
+      |        CASE WHEN na_r + nb_r > 1 THEN
+      |          CAST(round(CAST(da_at + db_at AS DOUBLE) * na_r * nb_r *
+      |            (na_r + nb_r - da_at - db_at) /
+      |            (CAST(na_r + nb_r AS DOUBLE) * (na_r + nb_r) *
+      |             (na_r + nb_r - 1)) * 1000000.0, 0) AS BIGINT)
+      |        ELSE 0 END AS v6
+      |      FROM r WHERE da_at + db_at > 0),
+      |ag AS (SELECT CAST(sum(da_at) AS BIGINT) AS o_a,
+      |        CAST(sum(e6) AS BIGINT) AS e6,
+      |        CAST(sum(v6) AS BIGINT) AS v6 FROM tm)
+      |SELECT o_a AS observed_a,
+      |  CAST(CASE WHEN e6 < 0
+      |    THEN -((2 * CAST(-e6 AS HUGEINT) + 100) // 200)
+      |    ELSE (2 * CAST(e6 AS HUGEINT) + 100) // 200 END AS DOUBLE)
+      |    / 10000.0 AS expected_a,
+      |  CAST((2 * CAST(o_a * 1000000 - e6 AS HUGEINT) *
+      |    (o_a * 1000000 - e6) * 10000 +
+      |    nullif(1000000 * CAST(v6 AS HUGEINT), 0)) //
+      |    (2 * nullif(1000000 * CAST(v6 AS HUGEINT), 0)) AS DOUBLE)
+      |    / 10000.0 AS chi2
+      |FROM ag""".stripMargin))
+
+  /** [[Profile.fdViolations]]: does l_suppkey functionally determine
+    * l_linestatus — the "can I treat this as a key" audit. */
+  private val q310 = QDef("q310_fd_violations",
+    (s, dir) => Profile.fdViolations(T(s, dir, "lineitem"),
+      col("l_suppkey"), col("l_linestatus")),
+    Some("""WITH ce AS (SELECT l_suppkey AS a, l_linestatus AS b,
+      |        CAST(count(*) AS BIGINT) AS c
+      |      FROM lineitem
+      |      WHERE l_suppkey IS NOT NULL AND l_linestatus IS NOT NULL
+      |      GROUP BY 1, 2),
+      |pa AS (SELECT a, CAST(sum(c) AS BIGINT) AS n,
+      |        CAST(max(c) AS BIGINT) AS maxc FROM ce GROUP BY 1),
+      |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+      |        CAST(sum(n) AS BIGINT) AS n_rows,
+      |        CAST(sum(CASE WHEN n > maxc THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS n_keys_violating,
+      |        CAST(sum(n - maxc) AS BIGINT) AS n_violations
+      |      FROM pa)
+      |SELECT n_keys, n_rows, n_keys_violating, n_violations,
+      |  CAST((2 * CAST(n_violations AS HUGEINT) * 10000 +
+      |    nullif(n_rows, 0)) // (2 * nullif(n_rows, 0)) AS DOUBLE)
+      |    / 10000.0 AS violation_rate
+      |FROM ag""".stripMargin))
+
+  /** [[Sampling.designEffect]]: Kish deff / effective n of
+    * balance-proportional weights per market segment. */
+  private val q311 = QDef("q311_design_effect",
+    (s, dir) => Sampling.designEffect(
+      T(s, dir, "customer").select(col("c_mktsegment").as("g"),
+        expr("CAST(round(c_acctbal, 0) AS BIGINT)").as("w")),
+      col("g"), col("w")),
+    Some("""WITH d AS (SELECT c_mktsegment AS g,
+      |        CAST(round(c_acctbal, 0) AS BIGINT) AS w
+      |      FROM customer
+      |      WHERE c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL
+      |        AND CAST(round(c_acctbal, 0) AS BIGINT) > 0),
+      |a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(w) AS BIGINT) AS sw,
+      |        CAST(sum(w * w) AS BIGINT) AS sww FROM d GROUP BY 1)
+      |SELECT g AS grp, n, sw AS sum_w,
+      |  CAST((2 * CAST(n AS HUGEINT) * sww * 10000 +
+      |    CAST(sw AS HUGEINT) * sw) // (2 * CAST(sw AS HUGEINT) * sw)
+      |    AS DOUBLE) / 10000.0 AS deff,
+      |  CAST((2 * CAST(sw AS HUGEINT) * sw * 10000 + sww) // (2 * sww)
+      |    AS DOUBLE) / 10000.0 AS n_eff
+      |FROM a ORDER BY grp""".stripMargin))
+
+  /** [[Inference.wilcoxonSignedRank]]: did per-customer kilodollar
+    * order volume shift 1994 → 1995, pairing customers active in both
+    * years. */
+  private val q312 = QDef("q312_wilcoxon_signed_rank",
+    (s, dir) => {
+      val per = T(s, dir, "orders")
+        .where(col("o_custkey").isNotNull && col("o_orderdate").isNotNull)
+        .groupBy("o_custkey")
+        .agg(sum(when(year(col("o_orderdate")) === 1994,
+            expr("CAST(round(o_totalprice / 1000.0, 0) AS BIGINT)"))
+          .otherwise(0L)).as("pre"),
+          sum(when(year(col("o_orderdate")) === 1995,
+            expr("CAST(round(o_totalprice / 1000.0, 0) AS BIGINT)"))
+          .otherwise(0L)).as("post"),
+          max(when(year(col("o_orderdate")) === 1994, 1L).otherwise(0L))
+            .as("h94"),
+          max(when(year(col("o_orderdate")) === 1995, 1L).otherwise(0L))
+            .as("h95"))
+        .where(col("h94") === 1 && col("h95") === 1)
+      Inference.wilcoxonSignedRank(per, col("pre"), col("post"))
+    },
+    Some("""WITH per AS (SELECT o_custkey,
+      |        CAST(sum(CASE WHEN year(o_orderdate) = 1994 THEN
+      |          CAST(round(o_totalprice / 1000.0, 0) AS BIGINT)
+      |          ELSE 0 END) AS BIGINT) AS pre,
+      |        CAST(sum(CASE WHEN year(o_orderdate) = 1995 THEN
+      |          CAST(round(o_totalprice / 1000.0, 0) AS BIGINT)
+      |          ELSE 0 END) AS BIGINT) AS post,
+      |        max(CASE WHEN year(o_orderdate) = 1994 THEN 1 ELSE 0 END)
+      |          AS h94,
+      |        max(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END)
+      |          AS h95
+      |      FROM orders
+      |      WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+      |      GROUP BY 1),
+      |d AS (SELECT abs(post - pre) AS ad,
+      |        CASE WHEN post - pre > 0 THEN 1 ELSE 0 END AS pos
+      |      FROM per WHERE h94 = 1 AND h95 = 1 AND post - pre <> 0),
+      |byv AS (SELECT ad, CAST(count(*) AS BIGINT) AS m,
+      |        CAST(sum(pos) AS BIGINT) AS mp FROM d GROUP BY 1),
+      |rk AS (SELECT m, mp,
+      |        CAST(sum(m) OVER (ORDER BY ad ROWS BETWEEN UNBOUNDED
+      |          PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |      FROM byv),
+      |tm AS (SELECT m, mp, mp * (2 * cum - m + 1) AS w2,
+      |        m * m * m - m AS tc FROM rk),
+      |ag AS (SELECT CAST(sum(m) AS BIGINT) AS n,
+      |        CAST(sum(w2) AS BIGINT) AS w2,
+      |        CAST(sum(tc) AS BIGINT) AS tc FROM tm)
+      |SELECT n AS n_pairs,
+      |  CAST(CASE WHEN w2 < 0
+      |    THEN -((2 * CAST(-w2 AS HUGEINT) * 10000 + 2) // 4)
+      |    ELSE (2 * CAST(w2 AS HUGEINT) * 10000 + 2) // 4 END AS DOUBLE)
+      |    / 10000.0 AS w_plus,
+      |  round((CAST(w2 AS DOUBLE) / 2.0 -
+      |      CAST(n AS DOUBLE) * (n + 1) / 4.0) /
+      |    nullif(sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24.0 -
+      |      CAST(tc AS DOUBLE) / 48.0), 0.0), 4) AS z
+      |FROM ag""".stripMargin))
+
+  /** [[Similarity.silhouetteByLabel]]: do the embedding labels separate
+    * in vector space — centroid-based mean silhouette per label. */
+  private val q313 = QDef("q313_silhouette",
+    (s, dir) => Similarity.silhouetteByLabel(T(s, dir, "embeddings"),
+      col("vec_id"), col("embedding"), col("label")),
+    Some("""WITH e AS (SELECT vec_id AS pid, label AS lb,
+      |        list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)
+      |          * 1000000.0, 0) AS BIGINT)) AS xq
+      |      FROM embeddings
+      |      WHERE vec_id IS NOT NULL AND label IS NOT NULL
+      |        AND embedding IS NOT NULL),
+      |ex AS (SELECT lb, u.s['i'] AS i, u.s['x'] AS x
+      |      FROM (SELECT lb, unnest(list_transform(
+      |              range(1, len(xq) + 1), k -> {'i': k, 'x': xq[k]}))
+      |              AS s
+      |            FROM e) u),
+      |cd AS (SELECT lb, i,
+      |        CASE WHEN sx < 0 THEN -((2 * (-sx) + n) // (2 * n))
+      |          ELSE (2 * sx + n) // (2 * n) END AS c
+      |      FROM (SELECT lb, i, CAST(sum(x) AS BIGINT) AS sx,
+      |              CAST(count(*) AS BIGINT) AS n
+      |            FROM ex GROUP BY 1, 2)),
+      |cv AS (SELECT lb AS cl, list(c ORDER BY i) AS cv FROM cd
+      |       GROUP BY 1),
+      |di AS (SELECT p.pid, p.lb, c.cl,
+      |        sqrt(CAST(list_sum(list_transform(range(1, 65),
+      |          k -> (p.xq[k] - c.cv[k]) * (p.xq[k] - c.cv[k])))
+      |          AS DOUBLE)) AS dist
+      |      FROM e p CROSS JOIN cv c),
+      |ab AS (SELECT pid, lb,
+      |        max(CASE WHEN lb = cl THEN dist END) AS a,
+      |        min(CASE WHEN lb <> cl THEN dist END) AS b
+      |      FROM di GROUP BY 1, 2),
+      |s6 AS (SELECT lb, CAST(round((b - a) /
+      |        nullif(greatest(a, b), 0.0) * 1000000.0, 0) AS BIGINT)
+      |        AS s6 FROM ab),
+      |ag AS (SELECT lb, CAST(count(*) AS BIGINT) AS n_points,
+      |        CAST(sum(s6) AS BIGINT) AS ss6 FROM s6 GROUP BY 1)
+      |SELECT lb AS label, n_points,
+      |  CAST(CASE WHEN ss6 < 0
+      |    THEN -((2 * CAST(-ss6 AS HUGEINT) * 10000 +
+      |      n_points * 1000000) // (2 * n_points * 1000000))
+      |    ELSE (2 * CAST(ss6 AS HUGEINT) * 10000 + n_points * 1000000)
+      |      // (2 * n_points * 1000000) END AS DOUBLE) / 10000.0
+      |    AS mean_silhouette
+      |FROM ag ORDER BY label""".stripMargin))
+
+  /** [[Sampling.neymanAllocation]]: variance-minimizing allocation of a
+    * 1000-unit sample across nations for estimating mean balance. */
+  private val q314 = QDef("q314_neyman_allocation",
+    (s, dir) => Sampling.neymanAllocation(
+      T(s, dir, "customer")
+        .where(col("c_nationkey").isNotNull && col("c_acctbal").isNotNull),
+      col("c_nationkey"),
+      expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)"), totalN = 1000L),
+    Some("""WITH d AS (SELECT c_nationkey AS h,
+      |        CAST(round(c_acctbal * 100, 0) AS BIGINT) AS x
+      |      FROM customer
+      |      WHERE c_nationkey IS NOT NULL AND c_acctbal IS NOT NULL),
+      |a AS (SELECT h, CAST(count(*) AS BIGINT) AS nh,
+      |        CAST(sum(x) AS BIGINT) AS sx,
+      |        CAST(sum(x * x) AS BIGINT) AS sxx FROM d GROUP BY 1),
+      |m AS (SELECT h, nh,
+      |        sqrt((CAST(nh AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) /
+      |          (CAST(nh AS DOUBLE) *
+      |            nullif(CAST(nh - 1 AS DOUBLE), 0.0))) AS sh
+      |      FROM a),
+      |w AS (SELECT h, nh, sh, CAST(nh AS DOUBLE) * sh AS nhsh FROM m),
+      |t AS (SELECT sum(nhsh) AS tt FROM w)
+      |SELECT h AS stratum, nh AS n_pop, round(sh, 4) AS s_h,
+      |  round(nhsh / nullif(tt, 0.0), 4) AS share,
+      |  CAST(round(nhsh / nullif(tt, 0.0) * 1000.0, 0) AS BIGINT)
+      |    AS n_alloc
+      |FROM w CROSS JOIN t ORDER BY stratum""".stripMargin))
+
+  def all: Seq[QDef] = Seq(q307, q308, q309, q310, q311, q312, q313, q314)
+}

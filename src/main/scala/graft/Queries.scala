@@ -431,5 +431,5 @@ object Queries {
 
   def all: Seq[QDef] = parity ++ extension ++ ExtQueries.all ++
     StatQueries.all ++ EvalQueries.all ++ AnalyticsQueries.all ++
-    InferenceQueries.all
+    InferenceQueries.all ++ GrowthQueries.all
 }

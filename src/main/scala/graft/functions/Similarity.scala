@@ -297,4 +297,57 @@ object Similarity {
       .select(col("id"), round(term("ra") + term("rb"), 6).as("rrf"))
       .orderBy(desc("rrf"), col("id"))
   }
+
+  /** Simplified (centroid-based) silhouette per label over an
+    * embedding column: each point's cohesion a = distance to its OWN
+    * label centroid, separation b = min distance to any OTHER label
+    * centroid, s = (b − a)/max(a, b); emits per-label means plus the
+    * point census. Labels play the cluster role — the "do my labels
+    * actually separate in embedding space" readout.
+    *
+    * Scale/determinism: embeddings quantize to 1e-6 longs; per-label
+    * centroids are INTEGER vectors (each dimension mean rounds half-up
+    * in integer space — (2·Σx + n) div (2n), sign-split), so every
+    * squared distance is an exact integer and √ is the only double op.
+    * Centroids are label-cardinality × dim — a broadcast; per-point s
+    * quantizes to 1e-6 before the label-keyed mean. No shuffle beyond
+    * the (label, dim) centroid aggregation and the final label mean. */
+  def silhouetteByLabel(df: DataFrame, id: Column, emb: Column,
+                        label: Column): DataFrame = {
+    val base = df.select(id.as("pid"), label.as("lb"), emb.as("v"))
+      .where(col("pid").isNotNull && col("lb").isNotNull &&
+        col("v").isNotNull)
+      .withColumn("xq", expr(
+        "transform(v, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) " +
+          "AS BIGINT))"))
+      .localCheckpoint()
+    val cent = base.select(col("lb"), posexplode(col("xq")).as(Seq("i", "x")))
+      .groupBy("lb", "i").agg(sum("x").as("sx"), count(lit(1)).as("n"))
+      .select(col("lb"), col("i"),
+        // integer half-up mean per dimension (the Seal sign-split)
+        when(col("sx") < 0,
+          -expr("(2 * (-sx) + n) div (2 * n)"))
+          .otherwise(expr("(2 * sx + n) div (2 * n)")).as("c"))
+      .groupBy("lb")
+      .agg(expr("transform(array_sort(collect_list(struct(i, c))), " +
+        "p -> p.c)").as("cv"))
+    val dists = base.as("p")
+      .join(broadcast(cent.select(col("lb").as("cl"), col("cv"))))
+      .select(col("pid"), col("p.lb").as("lb"), col("cl"),
+        sqrt(expr("aggregate(zip_with(xq, cv, (x, c) -> (x - c) * (x - c)), " +
+          "0L, (acc, t) -> acc + t)").cast("double")).as("dist"))
+    val ab = dists.groupBy("pid", "lb")
+      .agg(max(when(col("lb") === col("cl"), col("dist"))).as("a"),
+        min(when(col("lb") =!= col("cl"), col("dist"))).as("b"))
+      .select(col("lb"),
+        round((col("b") - col("a")) /
+          nullif(greatest(col("a"), col("b")), lit(0.0)) * lit(1e6), 0)
+          .cast("long").as("s6"))
+    ab.groupBy("lb")
+      .agg(count(lit(1)).as("n_points"), sum("s6").as("ss6"))
+      .withColumn("sden", col("n_points") * lit(1000000L))
+      .select(col("lb").as("label"), col("n_points"),
+        Seal.ratio4("ss6", "sden").as("mean_silhouette"))
+      .orderBy("label")
+  }
 }

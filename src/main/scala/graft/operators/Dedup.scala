@@ -436,11 +436,23 @@ object Dedup {
       .withColumn("tt", sum("tf").over(docAll))
       .where(col("tail_tf").cast("double") >=
         lit(minW / (1 + minW) * (1 - 1e-9)) * col("tt").cast("double"))
-      .select("id", "blk", "term")
+      .select("id", "blk", "term", "tt")
+    // length filter (lossless): wj ≥ t forces t·tb ≤ ta ≤ tb/t — both
+    // total masses within a 1/t factor — so mismatched-length pairs
+    // drop DURING candidate generation (1−1e-9 slack keeps the double
+    // compare conservative). tt joins the probe side as a broadcast of
+    // the doc-cardinality totals table.
+    val totalsB = tok.groupBy("id").agg(sum("tf").as("tta"))
     val cand = tok.select(col("blk"), col("term"), col("id").as("ia"))
-      .join(prefix.select(col("blk"), col("term"), col("id").as("ib")),
-        Seq("blk", "term"))
-      .where(col("ia") =!= col("ib"))
+      .join(broadcast(totalsB.select(col("id").as("ia"), col("tta"))),
+        Seq("ia"))
+      .join(prefix.select(col("blk"), col("term"), col("id").as("ib"),
+        col("tt").as("ttb")), Seq("blk", "term"))
+      .where(col("ia") =!= col("ib") &&
+        col("tta").cast("double") >=
+          lit(minW * (1 - 1e-9)) * col("ttb").cast("double") &&
+        col("ttb").cast("double") >=
+          lit(minW * (1 - 1e-9)) * col("tta").cast("double"))
       .select(least(col("ia"), col("ib")).as("id_a"),
         greatest(col("ia"), col("ib")).as("id_b"))
       .distinct()

@@ -530,4 +530,41 @@ object Inference {
             nullif((col("n") * col("stt") - col("st") * col("st"))
               .cast("double"), lit(0.0))), 4).as("alpha"))
   }
+
+  /** Wilcoxon signed-rank test over paired INTEGER measurements: rank
+    * |post − pre| ascending with average ranks on ties (zero
+    * differences drop — the standard convention), W⁺ = Σ ranks over
+    * positive differences, z = (W⁺ − n(n+1)/4) / √(n(n+1)(2n+1)/24 −
+    * Σ(t³−t)/48). The doubled-average-rank device ([[RankEval.aucRoc]]:
+    * a tie group ending at cumulative count c with m members has
+    * 2·r̄ = 2c − m + 1) keeps every rank sum an exact integer; W⁺
+    * displays as one sealed division by 2, and z is √-composed so its
+    * double seal is boundary-free. */
+  def wilcoxonSignedRank(df: DataFrame, pre: Column,
+                         post: Column): DataFrame = {
+    val d = df.select((post.cast("long") - pre.cast("long")).as("dd"))
+      .where(col("dd").isNotNull && col("dd") =!= 0)
+      .select(abs(col("dd")).as("ad"),
+        when(col("dd") > 0, 1L).otherwise(0L).as("pos"))
+    val byV = d.groupBy("ad")
+      .agg(count(lit(1)).as("m"), sum("pos").as("mp"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("ad")
+      .rowsBetween(Long.MinValue, 0)
+    val ranked = byV.withColumn("cum", sum("m").over(w))
+      // 2·W⁺ contribution of the tie group: mp positives × (2c − m + 1)
+      .select(col("m"), col("mp"),
+        (col("mp") * (lit(2L) * col("cum") - col("m") + 1L)).as("w2"),
+        (col("m") * col("m") * col("m") - col("m")).as("tc"))
+    ranked.agg(sum("m").as("n"), sum("w2").as("w2"), sum("tc").as("tc"))
+      .withColumn("two", lit(2L))
+      .withColumn("znum", col("w2").cast("double") / lit(2.0) -
+        col("n").cast("double") * (col("n") + lit(1)) / lit(4.0))
+      .withColumn("zden", sqrt(
+        col("n").cast("double") * (col("n") + lit(1)) *
+          (lit(2) * col("n") + lit(1)) / lit(24.0) -
+          col("tc").cast("double") / lit(48.0)))
+      .select(col("n").as("n_pairs"),
+        Seal.ratio4("w2", "two").as("w_plus"),
+        round(col("znum") / nullif(col("zden"), lit(0.0)), 4).as("z"))
+  }
 }

@@ -82,4 +82,29 @@ object Profile {
         (col("__n") - col("__nn")).as("n_null"), col("ndv"),
         col("min_v"), col("max_v"))
   }
+
+  /** Functional-dependency violation report for a candidate rule
+    * a → b: for each determinant value, the DOMINANT dependent value's
+    * count is the "clean" mass and everything else violates. One
+    * (a, b)-keyed aggregation, one a-keyed re-aggregation (max + sum
+    * collapse the cell table), one summary row: determinant census,
+    * violating keys, violating rows, violation rate — the data-quality
+    * pre-flight for "can I treat a as a key for b".
+    * Rows with NULL on either side are excluded (a NULL dependent
+    * neither supports nor violates the rule). */
+  def fdViolations(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = df.select(a.as("a"), b.as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull)
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    cells.groupBy("a")
+      .agg(sum("c").as("n"), max("c").as("maxc"))
+      .agg(count(lit(1)).as("n_keys"), sum("n").as("n_rows"),
+        sum(when(col("n") > col("maxc"), 1L).otherwise(0L))
+          .as("n_keys_violating"),
+        sum(col("n") - col("maxc")).as("n_violations"))
+      .withColumn("nrn", nullif(col("n_rows"), lit(0L)))
+      .select(col("n_keys"), col("n_rows"), col("n_keys_violating"),
+        col("n_violations"),
+        Seal.ratio4("n_violations", "nrn").as("violation_rate"))
+  }
 }

@@ -292,4 +292,58 @@ object Sampling {
         // ties at 4 decimals whenever k ≡ 50 (mod 100)
         Seal.pow4("mg", 6).as("min_gap_sec"))
   }
+
+  /** Kish design effect of an INTEGER-weighted sample, per group:
+    * deff = n·Σw²/(Σw)², n_eff = (Σw)²/Σw² — "how much estimation
+    * power do these weights throw away". One map-side-combinable
+    * aggregation; both readouts are exact integer rationals sealed via
+    * [[Seal]] (squared sums ride decimal(38,0)). Non-positive weights
+    * are excluded — they are errors for a sampling weight, and keeping
+    * them would let (Σw)² collapse. */
+  def designEffect(df: DataFrame, group: Column, w: Column): DataFrame = {
+    val d = df.select(group.as("g"), w.cast("long").as("w"))
+      .where(col("g").isNotNull && col("w").isNotNull && col("w") > 0)
+    d.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("w").as("sw"),
+        sum(col("w") * col("w")).as("sww"))
+      .withColumn("dnum", col("n").cast("decimal(38,0)") * col("sww"))
+      .withColumn("dden", col("sw").cast("decimal(38,0)") * col("sw"))
+      .withColumn("enum", col("sw").cast("decimal(38,0)") * col("sw"))
+      .withColumn("eden", col("sww").cast("decimal(38,0)"))
+      .select(col("g").as("grp"), col("n"), col("sw").as("sum_w"),
+        Seal.ratio4("dnum", "dden").as("deff"),
+        Seal.ratio4("enum", "eden").as("n_eff"))
+      .orderBy("grp")
+  }
+
+  /** Neyman-optimal stratified allocation: for a fixed total sample
+    * size n, allocate n_h ∝ N_h·S_h (stratum size × stratum standard
+    * deviation of the target metric) — the variance-minimizing design.
+    * Emits per stratum: N_h, S_h, the allocation SHARE and the rounded
+    * n_h. S_h is a √ of an exact integer rational (sample variance
+    * from long power sums), so the share is transcendental-composed
+    * and keeps the double seal (boundary-free); counts stay exact. */
+  def neymanAllocation(df: DataFrame, stratum: Column, v: Column,
+                       totalN: Long): DataFrame = {
+    require(totalN >= 1, "totalN must be positive")
+    val per = df.select(stratum.as("h"), v.cast("long").as("x"))
+      .where(col("h").isNotNull && col("x").isNotNull)
+      .groupBy("h")
+      .agg(count(lit(1)).as("nh"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("sh", sqrt(
+        (col("nh").cast("double") * col("sxx") -
+          col("sx").cast("double") * col("sx")) /
+        (col("nh").cast("double") *
+          nullif((col("nh") - 1).cast("double"), lit(0.0)))))
+      .withColumn("nhsh", col("nh").cast("double") * col("sh"))
+    val tot = per.agg(sum("nhsh").as("t"))
+    per.crossJoin(broadcast(tot))
+      .select(col("h").as("stratum"), col("nh").as("n_pop"),
+        round(col("sh"), 4).as("s_h"),
+        round(col("nhsh") / nullif(col("t"), lit(0.0)), 4).as("share"),
+        round(col("nhsh") / nullif(col("t"), lit(0.0)) *
+          lit(totalN.toDouble), 0).cast("long").as("n_alloc"))
+      .orderBy("stratum")
+  }
 }

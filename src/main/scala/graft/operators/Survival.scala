@@ -98,4 +98,58 @@ object Survival {
         Seal.pow4("ch6", 6).as("cum_hazard"))
       .orderBy("t")
   }
+
+  /** Two-arm log-rank test (Mantel-Cox): are the survival curves of
+    * groups `a` and `b` the same? At each distinct EVENT time t with
+    * d_t total deaths, n_{a,t}/n_t at risk in arm a:
+    *   E_a = Σ d_t·n_{a,t}/n_t,
+    *   V   = Σ d_t·(n_a/n)·(n_b/n)·(n−d)/(n−1),
+    *   χ²  = (O_a − E_a)² / V.
+    * Same machinery as [[kaplanMeier]]: one duration aggregation per
+    * arm to the shared distinct-time spine, risk sets by prefix sums
+    * over that time-cardinality table. Per-time E and V terms are
+    * single-double rationals over exact longs quantized to 1e-6
+    * fixed-point before the exact sums (the CMH device), and the χ²
+    * seals as (O6−E6)²/(10⁶·V6) in integer space. */
+  def logRank(df: DataFrame, duration: Column, observed: Column,
+              group: Column, a: String, b: String): DataFrame = {
+    val byT = df.select(duration.cast("long").as("t"),
+        observed.cast("int").as("ev"), group.as("g"))
+      .where(col("t").isNotNull && col("g").isin(a, b))
+      .groupBy("t")
+      .agg(sum(when(col("g") === a, 1L).otherwise(0L)).as("na_at"),
+        sum(when(col("g") === b, 1L).otherwise(0L)).as("nb_at"),
+        sum(when(col("g") === a, col("ev")).otherwise(0)).cast("long")
+          .as("da_at"),
+        sum(when(col("g") === b, col("ev")).otherwise(0)).cast("long")
+          .as("db_at"))
+    val tot = byT.agg(sum("na_at").as("na_tot"), sum("nb_at").as("nb_tot"))
+    val wPrev = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = byT.crossJoin(broadcast(tot))
+      .withColumn("na_r", col("na_tot") -
+        coalesce(sum("na_at").over(wPrev), lit(0L)))
+      .withColumn("nb_r", col("nb_tot") -
+        coalesce(sum("nb_at").over(wPrev), lit(0L)))
+      .withColumn("d", col("da_at") + col("db_at"))
+      .withColumn("n", col("na_r") + col("nb_r"))
+      .where(col("d") > 0)
+    def q6(x: Column) = round(x * lit(1e6), 0).cast("long")
+    val terms = risk.select(col("da_at"),
+      q6(col("d").cast("double") * col("na_r") / col("n")).as("e6"),
+      when(col("n") > 1,
+        q6(col("d").cast("double") * col("na_r") * col("nb_r") *
+          (col("n") - col("d")) /
+          (col("n").cast("double") * col("n") * (col("n") - 1))))
+        .otherwise(lit(0L)).as("v6"))
+    terms.agg(sum("da_at").as("o_a"), sum("e6").as("e6"),
+        sum("v6").as("v6"))
+      .withColumn("dev6", col("o_a") * lit(1000000L) - col("e6"))
+      .withColumn("cnum", col("dev6").cast("decimal(38,0)") * col("dev6"))
+      .withColumn("cden", nullif(lit(1000000L).cast("decimal(38,0)") *
+        col("v6"), lit(java.math.BigDecimal.ZERO)))
+      .select(col("o_a").as("observed_a"),
+        Seal.pow4("e6", 6).as("expected_a"),
+        Seal.ratio4("cnum", "cden").as("chi2"))
+  }
 }

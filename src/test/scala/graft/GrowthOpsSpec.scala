@@ -1,0 +1,116 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+
+/** Hand-computed pins for the growth/product-analytics operators
+  * (q307–q314). */
+class GrowthOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("ordered3 funnel: strict ordering, conversions, median gap") {
+    // u1 completes all three (gaps 10s, 20s); u2 signs up and views;
+    // u3 views BEFORE signup (must not count as step 2); u4 only signs up
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "signup"),
+      (1L, ts("2024-01-01 00:00:10"), "view"),
+      (1L, ts("2024-01-01 00:00:30"), "purchase"),
+      (2L, ts("2024-01-01 00:00:00"), "signup"),
+      (2L, ts("2024-01-01 00:01:00"), "view"),
+      (3L, ts("2024-01-01 00:00:00"), "view"),
+      (3L, ts("2024-01-01 00:00:05"), "signup"),
+      (4L, ts("2024-01-01 00:00:00"), "signup"))
+      .toDF("u", "t", "l")
+    val out = Funnel.ordered3(df, col("u"), col("t"), col("l"),
+      "signup", "view", "purchase").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(2))).toSeq ===
+      Seq((1L, 4L), (2L, 2L), (3L, 1L)))
+    val s2 = out(1); val s3 = out(2)
+    assert(s2.getDouble(3) === 0.5)    // 2/4 from prev
+    assert(s2.getDouble(4) === 0.5)    // 2/4 from first
+    assert(s2.getDouble(5) === 35.0)   // median of (10s, 60s) = 35s
+    assert(s3.getDouble(3) === 0.5)    // 1/2
+    assert(s3.getDouble(4) === 0.25)   // 1/4
+    assert(s3.getDouble(5) === 20.0)
+  }
+
+  test("cohortRetention: week-0 retention 1.0, later weeks counted") {
+    val df = Seq(
+      (1L, ts("2024-01-01 12:00:00")), // cohort week 0
+      (1L, ts("2024-01-09 12:00:00")), // week 1
+      (2L, ts("2024-01-02 12:00:00")), // cohort week 0, never returns
+      (3L, ts("2024-01-08 12:00:00"))) // cohort week 1
+      .toDF("u", "t")
+    val out = Funnel.cohortRetention(df, col("u"), col("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(out === Seq((0L, 0L, 2L, 2L, 1.0), (0L, 1L, 1L, 2L, 0.5),
+      (1L, 0L, 1L, 1L, 1.0)))
+  }
+
+  test("logRank: identical arms give chi2 ~ 0") {
+    // same durations/events in both arms → O = E exactly
+    val rows = Seq((5L, 1, "A"), (5L, 1, "B"), (8L, 0, "A"), (8L, 0, "B"),
+      (10L, 1, "A"), (10L, 1, "B"))
+    val df = rows.toDF("dur", "ev", "g")
+    val r = Survival.logRank(df, col("dur"), col("ev"), col("g"),
+      "A", "B").collect().head
+    assert(r.getLong(0) === 2L)          // observed_a
+    assert(r.getDouble(1) === 2.0)       // expected_a
+    assert(r.getDouble(2) === 0.0)       // chi2
+  }
+
+  test("fdViolations: counts and sealed rate") {
+    val df = Seq((1L, "x"), (1L, "x"), (1L, "y"),   // key 1: 1 violation
+      (2L, "z"), (2L, "z"),                          // key 2: clean
+      (3L, "w")).toDF("a", "b")
+    val r = Profile.fdViolations(df, col("a"), col("b")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((3L, 6L, 1L, 1L)))
+    assert(r.getDouble(4) === 0.1667)
+  }
+
+  test("designEffect: uniform weights give deff 1, n_eff n") {
+    val df = Seq(("g", 5L), ("g", 5L), ("g", 5L), ("g", 5L))
+      .toDF("g", "w")
+    val r = Sampling.designEffect(df, col("g"), col("w")).collect().head
+    assert(r.getLong(1) === 4L)
+    assert(r.getDouble(3) === 1.0)
+    assert(r.getDouble(4) === 4.0)
+  }
+
+  test("wilcoxonSignedRank: hand case with a tie group") {
+    // diffs: +1, -1, +2 → |d| ranks: {1,1} avg 1.5 each, {2} rank 3
+    // W+ = 1.5 + 3 = 4.5; n = 3
+    val df = Seq((10L, 11L), (10L, 9L), (10L, 12L), (7L, 7L))
+      .toDF("pre", "post")
+    val r = Inference.wilcoxonSignedRank(df, col("pre"), col("post"))
+      .collect().head
+    assert(r.getLong(0) === 3L)
+    assert(r.getDouble(1) === 4.5)
+    // z = (4.5 − 3·4/4)/√(3·4·7/24 − (2³−2)/48) = 1.5/√3.375
+    assert(math.abs(r.getDouble(2) - 1.5 / math.sqrt(3.375)) < 1e-3)
+  }
+
+  test("silhouetteByLabel: well-separated clusters score near 1") {
+    val df = Seq(
+      (1L, Array(0.0f, 0.0f), 0), (2L, Array(0.1f, 0.0f), 0),
+      (3L, Array(10.0f, 10.0f), 1), (4L, Array(10.1f, 10.0f), 1))
+      .toDF("id", "emb", "lb")
+    val out = Similarity.silhouetteByLabel(df, col("id"), col("emb"),
+      col("lb")).collect()
+    assert(out.length === 2)
+    out.foreach(r => assert(r.getDouble(2) > 0.99))
+  }
+
+  test("neymanAllocation: equal strata get equal shares") {
+    val df = Seq(("a", 1L), ("a", 3L), ("b", 11L), ("b", 13L))
+      .toDF("h", "x")
+    val out = Sampling.neymanAllocation(df, col("h"), col("x"), 100L)
+      .collect()
+    assert(out.map(_.getDouble(3)).toSeq === Seq(0.5, 0.5))
+    assert(out.map(_.getLong(4)).toSeq === Seq(50L, 50L))
+  }
+}

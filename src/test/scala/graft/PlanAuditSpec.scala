@@ -19,6 +19,10 @@ class PlanAuditSpec extends SparkSpec {
     "q108_unigram_logprob", // 1-row total-token-count broadcast
     "q126_pair_lift", // 1-row basket-census broadcast (lazy N, r8)
     "q283_assoc_rules", // 1-row basket-census broadcast (lazy N, r8)
+    "q308_cohort_retention", // 1-row corpus-origin-day broadcast
+    "q309_log_rank", // 1-row obs-end + arm-totals broadcasts
+    "q313_silhouette", // label-cardinality centroid-vector broadcast
+    "q314_neyman_allocation", // 1-row Σ N_h·S_h normalizer broadcast
     "q109_pmi_collocations", // 1-row N_uni and N_bi broadcasts
     "q138_temperature_mixture", // 1-row Σ n^0.7 normalizer broadcast
     "q141_rfm_segments", // 1-row quartile cut-point broadcast
