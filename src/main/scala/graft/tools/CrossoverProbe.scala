@@ -74,6 +74,44 @@ object CrossoverProbe {
         docs, col("text"), col("doc_id"), col("source"), n = 1, minJ = 0.6))
       assert(jq == jp, s"jaccard paths disagree: $jq vs $jp")
     }
+    // weighted-Jaccard: exact every-shared-term pair join (q285) vs the
+    // prefix-filter + SparseMinSum-verify banded twin (q305). The
+    // regime banding exists for is a ZIPFIAN vocabulary: the uniform
+    // corpus above makes even the "quadratic" join candidate-bounded
+    // (every posting list is ~n·L/V docs), so here the first
+    // `nStop` tokens of every doc come from a 20-word stopword set —
+    // those df≈block-size lists drive Σdf² candidates in the exact
+    // join, and they are exactly what the rare-first prefix skips.
+    // Planted pairs still share all non-stop tokens (wj ≥ 0.96).
+    if (which == "wjaccard") {
+      val nStop = 10
+      val planted2 = expr(
+        "doc_id % 2 = 1 AND (doc_id DIV 2) % " + dupEvery + " = 0")
+      val seed2 = when(planted2, col("doc_id") - 1).otherwise(col("doc_id"))
+      val stopTok = (j: Int) =>
+        concat(lit("s"), pmod(xxhash64(concat_ws("_", seed2, lit(j))),
+          lit(20)))
+      val stops = array((0 until nStop).map(stopTok): _*)
+      val wdocs = docs.select(col("doc_id"), col("source"),
+        concat_ws(" ", concat(stops, slice(split(col("text"), " "),
+          nStop + 1, L - nStop))).as("text"))
+        .cache()
+      wdocs.count()
+      val wq = time("wjaccard quadratic (q285)")(Dedup.weightedJaccardPairs(
+        wdocs, col("text"), col("doc_id"), col("source"), minW = 0.6))
+      val wb = time("wjaccard banded (q305)")(Dedup.weightedJaccardPairsBanded(
+        wdocs, col("text"), col("doc_id"), col("source"), minW = 0.6))
+      assert(wq == wb, s"wjaccard paths disagree: $wq vs $wb")
+      // count equality is necessary, not sufficient — gate the full
+      // (id_a, id_b, wjaccard) answer set both ways
+      def full(f: => DataFrame) = f.select("id_a", "id_b", "wjaccard")
+      val d = full(Dedup.weightedJaccardPairs(wdocs, col("text"),
+          col("doc_id"), col("source"), minW = 0.6))
+        .exceptAll(full(Dedup.weightedJaccardPairsBanded(wdocs, col("text"),
+          col("doc_id"), col("source"), minW = 0.6))).count()
+      assert(d == 0, s"wjaccard answers differ on $d rows")
+      println("[xover] wjaccard outputs verified identical on both paths")
+    }
     if (which == "both" || which == "simhash") {
       val sq = time("simhash quadratic (q26)")(Dedup.simhashNearDup(
         docs, col("text"), col("doc_id"), col("source"), maxDist = 12))
