@@ -332,5 +332,183 @@ object GrowthQueries {
       |    AS n_alloc
       |FROM w CROSS JOIN t ORDER BY stratum""".stripMargin))
 
-  def all: Seq[QDef] = Seq(q307, q308, q309, q310, q311, q312, q313, q314)
+  /** [[Inference.kruskalWallis]]: rank-based one-way ANOVA of order
+    * quantity across return flags — tie-corrected H sealed as an
+    * integer rational. */
+  private val q315 = QDef("q315_kruskal_wallis",
+    (s, dir) => Inference.kruskalWallis(T(s, dir, "lineitem"),
+      col("l_returnflag"), col("l_quantity")),
+    Some("""WITH d AS (SELECT l_returnflag AS g,
+      |        CAST(l_quantity AS BIGINT) AS x
+      |      FROM lineitem
+      |      WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL),
+      |byv AS (SELECT x, CAST(count(*) AS BIGINT) AS m FROM d GROUP BY 1),
+      |sp AS (SELECT x, m,
+      |        CAST(sum(m) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+      |          PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |        m * m * m - m AS tc
+      |      FROM byv),
+      |pg AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
+      |        CAST(sum(2 * cum - m + 1) AS BIGINT) AS r2
+      |      FROM d JOIN sp USING (x) GROUP BY 1),
+      |nn AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+      |        CAST(count(*) AS BIGINT) AS k FROM pg),
+      |ti AS (SELECT CAST(coalesce(sum(tc), 0) AS BIGINT) AS t FROM sp),
+      |tm AS (SELECT n, k,
+      |        CAST(round(CAST(r2 AS DOUBLE) * r2 /
+      |          (4.0 * ng * n * (n + 1)) * 1000000.0, 0) AS BIGINT) AS u6
+      |      FROM pg CROSS JOIN nn),
+      |ag AS (SELECT n, k, CAST(sum(u6) AS BIGINT) AS su6 FROM tm
+      |       GROUP BY 1, 2),
+      |fx AS (SELECT n, k,
+      |        12 * su6 - 3 * (n + 1) * 1000000 AS h6,
+      |        (12 * CAST(su6 AS HUGEINT) - 3 * (n + 1) * 1000000) *
+      |          (CAST(n AS HUGEINT) * n * n - n) AS cnum,
+      |        nullif(CAST(1000000 AS HUGEINT) *
+      |          (CAST(n AS HUGEINT) * n * n - n - t), 0) AS cden
+      |      FROM ag CROSS JOIN ti)
+      |SELECT n AS n_rows, k AS k_groups,
+      |  CAST(CASE WHEN h6 < 0
+      |    THEN -((2 * CAST(-h6 AS HUGEINT) + 100) // 200)
+      |    ELSE (2 * CAST(h6 AS HUGEINT) + 100) // 200 END AS DOUBLE)
+      |    / 10000.0 AS h,
+      |  CAST(CASE WHEN cnum < 0
+      |    THEN -((2 * (-cnum) * 10000 + cden) // (2 * cden))
+      |    ELSE (2 * cnum * 10000 + cden) // (2 * cden) END AS DOUBLE)
+      |    / 10000.0 AS h_tie_corrected
+      |FROM fx""".stripMargin))
+
+  /** [[Inference.moodsMedian]]: above/below-global-median split of
+    * event values per type — the robust k-group location test. */
+  private val q316 = QDef("q316_moods_median",
+    (s, dir) => Inference.moodsMedian(
+      T(s, dir, "events")
+        .where(col("event_type").isNotNull && col("value").isNotNull),
+      col("event_type"),
+      expr("CAST(round(value * 100, 0) AS BIGINT)")),
+    Some("""WITH d AS (SELECT event_type AS g,
+      |        CAST(round(value * 100, 0) AS BIGINT) AS x
+      |      FROM events
+      |      WHERE event_type IS NOT NULL AND value IS NOT NULL),
+      |md AS (SELECT quantile_cont(x, 0.5) AS m FROM d),
+      |ce AS (SELECT g,
+      |        CAST(sum(CASE WHEN CAST(x AS DOUBLE) > m THEN 1 ELSE 0 END)
+      |          AS BIGINT) AS ab,
+      |        CAST(sum(CASE WHEN CAST(x AS DOUBLE) > m THEN 0 ELSE 1 END)
+      |          AS BIGINT) AS be
+      |      FROM d CROSS JOIN md GROUP BY 1),
+      |tt AS (SELECT CAST(sum(ab) AS BIGINT) AS ta,
+      |        CAST(sum(be) AS BIGINT) AS tb,
+      |        CAST(count(*) AS BIGINT) AS k FROM ce),
+      |tm AS (SELECT k, ta + tb AS n,
+      |        CAST(round((CAST(ab AS DOUBLE) -
+      |            CAST(ab + be AS DOUBLE) * ta / (ta + tb)) *
+      |          (CAST(ab AS DOUBLE) -
+      |            CAST(ab + be AS DOUBLE) * ta / (ta + tb)) /
+      |          (CAST(ab + be AS DOUBLE) * ta / (ta + tb)) * 1000000.0,
+      |          0) AS BIGINT) +
+      |        CAST(round((CAST(be AS DOUBLE) -
+      |            CAST(ab + be AS DOUBLE) * tb / (ta + tb)) *
+      |          (CAST(be AS DOUBLE) -
+      |            CAST(ab + be AS DOUBLE) * tb / (ta + tb)) /
+      |          (CAST(ab + be AS DOUBLE) * tb / (ta + tb)) * 1000000.0,
+      |          0) AS BIGINT) AS t6
+      |      FROM ce CROSS JOIN tt),
+      |ag AS (SELECT k, n, CAST(sum(t6) AS BIGINT) AS s6 FROM tm
+      |       GROUP BY 1, 2)
+      |SELECT n AS n_rows, k AS k_groups,
+      |  CAST(CASE WHEN s6 < 0
+      |    THEN -((2 * CAST(-s6 AS HUGEINT) + 100) // 200)
+      |    ELSE (2 * CAST(s6 AS HUGEINT) + 100) // 200 END AS DOUBLE)
+      |    / 10000.0 AS chi2
+      |FROM ag""".stripMargin))
+
+  /** [[Inference.cliffsDelta]]: how often does a returned line's
+    * quantity exceed a normal one's — the rank-biserial effect size
+    * behind the R-vs-N comparison. */
+  private val q317 = QDef("q317_cliffs_delta",
+    (s, dir) => Inference.cliffsDelta(T(s, dir, "lineitem"),
+      col("l_returnflag"), col("l_quantity"), "R", "N"),
+    Some("""WITH d AS (SELECT l_returnflag AS g,
+      |        CAST(l_quantity AS BIGINT) AS x
+      |      FROM lineitem
+      |      WHERE l_quantity IS NOT NULL AND l_returnflag IN ('R', 'N')),
+      |byv AS (SELECT x, CAST(count(*) AS BIGINT) AS m,
+      |        CAST(sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS ma
+      |      FROM d GROUP BY 1),
+      |sp AS (SELECT x, m, ma,
+      |        CAST(sum(m) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+      |          PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |      FROM byv),
+      |ag AS (SELECT CAST(sum(ma) AS BIGINT) AS na,
+      |        CAST(sum(m - ma) AS BIGINT) AS nb,
+      |        CAST(sum(ma * (2 * cum - m + 1)) AS BIGINT) AS r2
+      |      FROM sp)
+      |SELECT na AS n_a, nb AS n_b,
+      |  CAST(CASE WHEN r2 - na * (na + 1) - na * nb < 0
+      |    THEN -((2 * CAST(-(r2 - na * (na + 1) - na * nb) AS HUGEINT)
+      |      * 10000 + nullif(na * nb, 0)) // (2 * nullif(na * nb, 0)))
+      |    ELSE (2 * CAST(r2 - na * (na + 1) - na * nb AS HUGEINT)
+      |      * 10000 + nullif(na * nb, 0)) // (2 * nullif(na * nb, 0))
+      |    END AS DOUBLE) / 10000.0 AS cliffs_delta
+      |FROM ag""".stripMargin))
+
+  /** [[Inference.friedman]]: do users rank the five event types the
+    * same way — repeated-measures rank test over zero-filled per-user
+    * type counts (blocks complete by construction). */
+  private val q318 = QDef("q318_friedman",
+    (s, dir) => {
+      val e = T(s, dir, "events")
+        .where(col("user_id").isNotNull && col("event_type").isNotNull)
+      val users = e.select(col("user_id").as("u")).distinct()
+      val types = e.select(col("event_type").as("j")).distinct()
+      val spine = users.crossJoin(broadcast(types))
+      val counts = e.groupBy(col("user_id").as("u"),
+        col("event_type").as("j")).agg(count(lit(1)).as("x"))
+      val filled = spine.join(counts, Seq("u", "j"), "left")
+        .select(col("u"), col("j"), coalesce(col("x"), lit(0L)).as("x"))
+      Inference.friedman(filled, col("u"), col("j"), col("x"))
+    },
+    Some("""WITH e AS (SELECT user_id AS u, event_type AS j FROM events
+      |      WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+      |us AS (SELECT DISTINCT u FROM e),
+      |ty AS (SELECT DISTINCT j FROM e),
+      |cn AS (SELECT u, j, CAST(count(*) AS BIGINT) AS x FROM e
+      |       GROUP BY 1, 2),
+      |fl AS (SELECT us.u AS u, ty.j AS j, coalesce(cn.x, 0) AS x
+      |      FROM us CROSS JOIN ty
+      |      LEFT JOIN cn ON cn.u = us.u AND cn.j = ty.j),
+      |byuv AS (SELECT u, x, CAST(count(*) AS BIGINT) AS m FROM fl
+      |       GROUP BY 1, 2),
+      |sp AS (SELECT u, x, m,
+      |        CAST(sum(m) OVER (PARTITION BY u ORDER BY x ROWS BETWEEN
+      |          UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |        m * m * m - m AS tc
+      |      FROM byuv),
+      |rk AS (SELECT fl.j AS j, 2 * cum - m + 1 AS r2
+      |      FROM fl JOIN sp ON fl.u = sp.u AND fl.x = sp.x),
+      |cs AS (SELECT j, CAST(sum(r2) AS BIGINT) AS r2j FROM rk
+      |       GROUP BY 1),
+      |ti AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS n,
+      |        CAST(coalesce(sum(tc), 0) AS BIGINT) AS t FROM sp),
+      |ag AS (SELECT CAST(count(*) AS BIGINT) AS k,
+      |        CAST(sum(CAST(r2j AS HUGEINT) * r2j) AS HUGEINT) AS sr2
+      |      FROM cs),
+      |fx AS (SELECT n, k,
+      |        (3 * sr2 - 3 * CAST(n AS HUGEINT) * n * k * (k + 1) *
+      |          (k + 1)) * (CAST(n AS HUGEINT) * k * (k * k - 1))
+      |          AS qnum,
+      |        nullif(CAST(n AS HUGEINT) * k * (k + 1) *
+      |          (CAST(n AS HUGEINT) * k * (k * k - 1) - t), 0) AS qden
+      |      FROM ag CROSS JOIN ti)
+      |SELECT n AS n_blocks, k AS k_treatments,
+      |  CAST(CASE WHEN qnum < 0
+      |    THEN -((2 * (-qnum) * 10000 + qden) // (2 * qden))
+      |    ELSE (2 * qnum * 10000 + qden) // (2 * qden) END AS DOUBLE)
+      |    / 10000.0 AS q_tie_corrected
+      |FROM fx""".stripMargin))
+
+  def all: Seq[QDef] = Seq(q307, q308, q309, q310, q311, q312, q313, q314,
+    q315, q316, q317, q318)
 }

@@ -567,4 +567,150 @@ object Inference {
         Seal.ratio4("w2", "two").as("w_plus"),
         round(col("znum") / nullif(col("zden"), lit(0.0)), 4).as("z"))
   }
+
+  /** Kruskal–Wallis H across k groups of an INTEGER metric — the
+    * rank-based one-way ANOVA (no normality assumption). Average-rank
+    * sums per group come from the doubled-rank device over the
+    * distinct-value spine (2·r̄ = 2c − m + 1); each group's
+    * R²/(n_g·N·(N+1)) term is one double op over exact longs quantized
+    * to 1e-6 before the k-row sum, and the tie-corrected statistic
+    * seals as the integer rational H6·(N³−N) / (10⁶·(N³−N−T)). */
+  def kruskalWallis(df: DataFrame, group: Column, v: Column): DataFrame = {
+    val d = df.select(group.as("g"), v.cast("long").as("x"))
+      .where(col("g").isNotNull && col("x").isNotNull)
+    val byV = d.groupBy("x").agg(count(lit(1)).as("m"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("x")
+      .rowsBetween(Long.MinValue, 0)
+    val spine = byV.withColumn("cum", sum("m").over(w))
+      .select(col("x"), col("m"), col("cum"),
+        (col("m") * col("m") * col("m") - col("m")).as("tc"))
+    val perG = d.join(spine.select("x", "m", "cum"), "x")
+      .groupBy("g")
+      .agg(count(lit(1)).as("ng"),
+        sum(lit(2L) * col("cum") - col("m") + 1L).as("r2"))
+    val nn = perG.agg(sum("ng").as("n"), count(lit(1)).as("k"))
+    val ties = spine.agg(coalesce(sum("tc"), lit(0L)).as("t"))
+    val terms = perG.crossJoin(broadcast(nn))
+      .select(col("n"), col("k"),
+        round(col("r2").cast("double") * col("r2") /
+          (lit(4.0) * col("ng") * col("n") * (col("n") + 1)) * lit(1e6), 0)
+          .cast("long").as("u6"))
+    terms.groupBy("n", "k").agg(sum("u6").as("su6"))
+      .crossJoin(broadcast(ties))
+      .withColumn("h6", lit(12L) * col("su6") -
+        lit(3L) * (col("n") + 1) * lit(1000000L))
+      .withColumn("cnum", col("h6").cast("decimal(38,0)") *
+        (col("n").cast("decimal(38,0)") * col("n") * col("n") - col("n")))
+      .withColumn("cden", nullif(lit(1000000L).cast("decimal(38,0)") *
+        (col("n").cast("decimal(38,0)") * col("n") * col("n") - col("n")
+          - col("t")), lit(java.math.BigDecimal.ZERO)))
+      .select(col("n").as("n_rows"), col("k").as("k_groups"),
+        Seal.pow4("h6", 6).as("h"),
+        Seal.ratio4("cnum", "cden").as("h_tie_corrected"))
+  }
+
+  /** Mood's median test: does each group split the same way around the
+    * GLOBAL median — the robust k-group location test that only counts
+    * above/at-or-below. The median is the exact percentile (a 1-row
+    * broadcast); the 2×k chi-square uses margin-derived expectations
+    * with each (o−e)²/e term quantized to 1e-6 (the chiSqTerm device)
+    * and the statistic sealed in integer space. */
+  def moodsMedian(df: DataFrame, group: Column, v: Column): DataFrame = {
+    val d = df.select(group.as("g"), v.cast("long").as("x"))
+      .where(col("g").isNotNull && col("x").isNotNull)
+    val med = d.agg(percentile(col("x"), lit(0.5)).as("m"))
+    val cells = d.crossJoin(broadcast(med))
+      .groupBy("g")
+      .agg(sum(when(col("x").cast("double") > col("m"), 1L).otherwise(0L))
+        .as("ab"),
+        sum(when(col("x").cast("double") > col("m"), 0L).otherwise(1L))
+        .as("be"))
+    val tot = cells.agg(sum("ab").as("ta"), sum("be").as("tb"),
+      count(lit(1)).as("k"))
+    val terms = cells.crossJoin(broadcast(tot))
+      .withColumn("n", col("ta") + col("tb"))
+      .select(col("k"), col("n"),
+        (Trend.chiSqTerm(col("ab"), (col("ab") + col("be")).cast("double") *
+          col("ta") / col("n")) +
+         Trend.chiSqTerm(col("be"), (col("ab") + col("be")).cast("double") *
+          col("tb") / col("n"))).as("t6"))
+    terms.groupBy("k", "n").agg(sum("t6").as("s6"))
+      .select(col("n").as("n_rows"), col("k").as("k_groups"),
+        Seal.pow4("s6", 6).as("chi2"))
+  }
+
+  /** Cliff's delta between two groups of an INTEGER metric — the
+    * rank-biserial effect size: δ = P(a > b) − P(a < b), computed from
+    * the Mann-Whitney rank sum as (2R_a − n_a(n_a+1) − n_a·n_b) /
+    * (n_a·n_b) with average-rank ties (the [[RankEval.aucRoc]] doubled
+    * device keeps 2R_a an exact long), sealed as one integer ratio. */
+  def cliffsDelta(df: DataFrame, group: Column, v: Column,
+                  a: String, b: String): DataFrame = {
+    val d = df.select(group.as("g"), v.cast("long").as("x"))
+      .where(col("x").isNotNull && col("g").isin(a, b))
+    val byV = d.groupBy("x")
+      .agg(count(lit(1)).as("m"),
+        sum(when(col("g") === a, 1L).otherwise(0L)).as("ma"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("x")
+      .rowsBetween(Long.MinValue, 0)
+    val terms = byV.withColumn("cum", sum("m").over(w))
+      .select(col("ma"), col("m"),
+        (col("ma") * (lit(2L) * col("cum") - col("m") + 1L)).as("r2a"))
+    terms.agg(sum("ma").as("na"), sum(col("m") - col("ma")).as("nb"),
+        sum("r2a").as("r2"))
+      .withColumn("dnum", col("r2") - col("na") * (col("na") + 1) -
+        col("na") * col("nb"))
+      .withColumn("dden", nullif(col("na") * col("nb"), lit(0L)))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        Seal.ratio4("dnum", "dden").as("cliffs_delta"))
+  }
+
+  /** Friedman test over a (block, treatment, value) frame — the
+    * repeated-measures rank ANOVA: within each block the k treatment
+    * values rank with average ties (doubled-rank device per block),
+    * column rank sums R_j accumulate as exact longs, and the
+    * tie-corrected statistic seals as an integer rational:
+    *   Q = [3·ΣR2_j² − 3n²k(k+1)²] · n·k(k²−1)
+    *       / (n·k(k+1) · (n·k(k²−1) − T))
+    * with T = Σ_blocks Σ(t³−t). Requires every block complete (one
+    * value per treatment) — incomplete blocks are dropped. */
+  def friedman(df: DataFrame, block: Column, treatment: Column,
+               v: Column): DataFrame = {
+    val d0 = df.select(block.as("u"), treatment.as("j"),
+        v.cast("long").as("x"))
+      .where(col("u").isNotNull && col("j").isNotNull && col("x").isNotNull)
+    val kAll = d0.agg(countDistinct("j").as("k"))
+    val complete = d0.groupBy("u").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(kAll)).where(col("cnt") === col("k"))
+      .select("u")
+    val d = d0.join(complete, "u")
+    val byUV = d.groupBy("u", "x").agg(count(lit(1)).as("m"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("u")
+      .orderBy("x").rowsBetween(Long.MinValue, 0)
+    val spine = byUV.withColumn("cum", sum("m").over(w))
+      .select(col("u"), col("x"), col("m"), col("cum"),
+        (col("m") * col("m") * col("m") - col("m")).as("tc"))
+    val ranked = d.join(spine.select("u", "x", "m", "cum"), Seq("u", "x"))
+      .select(col("j"), (lit(2L) * col("cum") - col("m") + 1L).as("r2"))
+    val colSums = ranked.groupBy("j").agg(sum("r2").as("r2j"))
+    val ties = spine.groupBy("u").agg(max(lit(1L)).as("one"),
+        sum("tc").as("tcu"))
+      .agg(count(lit(1)).as("n"), coalesce(sum("tcu"), lit(0L)).as("t"))
+    colSums.agg(count(lit(1)).as("k"),
+        sum(col("r2j").cast("decimal(38,0)") * col("r2j")).as("sr2"))
+      .crossJoin(broadcast(ties))
+      .withColumn("qnum",
+        (lit(3L).cast("decimal(38,0)") * col("sr2") -
+          lit(3L).cast("decimal(38,0)") * col("n") * col("n") * col("k") *
+            (col("k") + 1) * (col("k") + 1)) *
+        (col("n").cast("decimal(38,0)") * col("k") *
+          (col("k") * col("k") - 1)))
+      .withColumn("qden", nullif(
+        col("n").cast("decimal(38,0)") * col("k") * (col("k") + 1) *
+          (col("n").cast("decimal(38,0)") * col("k") *
+            (col("k") * col("k") - 1) - col("t")),
+        lit(java.math.BigDecimal.ZERO)))
+      .select(col("n").as("n_blocks"), col("k").as("k_treatments"),
+        Seal.ratio4("qnum", "qden").as("q_tie_corrected"))
+  }
 }

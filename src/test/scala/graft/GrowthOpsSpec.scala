@@ -113,4 +113,43 @@ class GrowthOpsSpec extends SparkSpec {
     assert(out.map(_.getDouble(3)).toSeq === Seq(0.5, 0.5))
     assert(out.map(_.getLong(4)).toSeq === Seq(50L, 50L))
   }
+
+  test("kruskalWallis: perfectly separated groups, no ties") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 4L), ("b", 5L), ("b", 6L)).toDF("g", "x")
+    val r = Inference.kruskalWallis(df, col("g"), col("x"))
+      .collect().head
+    // H = 12/(6·7)·(6²/3 + 15²/3) − 3·7 = 3.8571; no ties → same
+    assert(math.abs(r.getDouble(2) - 3.8571) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 3.8571) < 1e-9)
+  }
+
+  test("moodsMedian: clean split gives chi2 4 on 2x2") {
+    val df = Seq(("g1", 1L), ("g1", 2L), ("g2", 3L), ("g2", 4L))
+      .toDF("g", "x")
+    val r = Inference.moodsMedian(df, col("g"), col("x")).collect().head
+    assert(r.getLong(0) === 4L)
+    assert(r.getDouble(2) === 4.0)
+  }
+
+  test("cliffsDelta: total dominance 1.0, identical groups 0.0") {
+    val d1 = Seq(("R", 3L), ("R", 4L), ("N", 1L), ("N", 2L))
+      .toDF("g", "x")
+    assert(Inference.cliffsDelta(d1, col("g"), col("x"), "R", "N")
+      .collect().head.getDouble(2) === 1.0)
+    val d2 = Seq(("R", 1L), ("R", 2L), ("N", 1L), ("N", 2L))
+      .toDF("g", "x")
+    assert(Inference.cliffsDelta(d2, col("g"), col("x"), "R", "N")
+      .collect().head.getDouble(2) === 0.0)
+  }
+
+  test("friedman: perfectly consistent blocks give the textbook Q") {
+    val df = Seq((1L, "t1", 1L), (1L, "t2", 2L), (1L, "t3", 3L),
+      (2L, "t1", 10L), (2L, "t2", 20L), (2L, "t3", 30L))
+      .toDF("u", "j", "x")
+    val r = Inference.friedman(df, col("u"), col("j"), col("x"))
+      .collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((2L, 3L)))
+    assert(r.getDouble(2) === 4.0) // n=2, k=3, full agreement
+  }
 }

@@ -23,6 +23,9 @@ class PlanAuditSpec extends SparkSpec {
     "q309_log_rank", // 1-row obs-end + arm-totals broadcasts
     "q313_silhouette", // label-cardinality centroid-vector broadcast
     "q314_neyman_allocation", // 1-row Σ N_h·S_h normalizer broadcast
+    "q315_kruskal_wallis", // 1-row (N, k) + tie-total broadcasts
+    "q316_moods_median", // 1-row global-median + margin broadcasts
+    "q318_friedman", // treatment spine + 1-row (n, T) broadcasts
     "q109_pmi_collocations", // 1-row N_uni and N_bi broadcasts
     "q138_temperature_mixture", // 1-row Σ n^0.7 normalizer broadcast
     "q141_rfm_segments", // 1-row quartile cut-point broadcast
