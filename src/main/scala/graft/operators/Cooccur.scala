@@ -55,8 +55,9 @@ object Cooccur {
     * lift = c_ab · N / (c_a · c_b) with N = basket count and c_x =
     * baskets containing x. Item marginals are basket-distinct, pairs
     * are emitted once (item_a < item_b). The basket-array table is
-    * checkpointed once and re-read by all three consumers (basket count,
-    * marginals, pairs). */
+    * checkpointed once and re-read by both consumers (marginals,
+    * pairs); the basket census reads the source directly as a lazy
+    * 1-row aggregate. */
   def pairLift(df: DataFrame, basket: Column, item: Column,
                minSupport: Long): DataFrame = {
     val arr = basketItems(df, basket, item, distinctItems = true)
