@@ -509,6 +509,122 @@ object GrowthQueries {
       |    / 10000.0 AS q_tie_corrected
       |FROM fx""".stripMargin))
 
+  /** [[Sampling.tokenBudgetPlan]]: integer-parts mixture plan over a
+    * 10M-token budget — epochs and tokens-served per source, all exact
+    * rationals. */
+  private val q319 = QDef("q319_token_budget_plan",
+    (s, dir) => Sampling.tokenBudgetPlan(
+      T(s, dir, "documents")
+        .select(col("source"), size(split(col("text"), " ")).as("nt")),
+      col("source"), col("nt"),
+      Seq("src0" -> 3L, "src1" -> 2L, "src2" -> 2L, "src3" -> 1L),
+      budget = 10000000L),
+    Some("""WITH d AS (SELECT source AS src,
+      |        CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+      |        CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2
+      |          WHEN 'src2' THEN 2 WHEN 'src3' THEN 1 ELSE 0 END AS p
+      |      FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
+      |per AS (SELECT src, p, CAST(count(*) AS BIGINT) AS n_docs,
+      |        CAST(sum(nt) AS BIGINT) AS tokens
+      |      FROM d WHERE p > 0 GROUP BY 1, 2),
+      |tt AS (SELECT CAST(sum(CAST(p AS HUGEINT) * tokens) AS HUGEINT)
+      |        AS den FROM per)
+      |SELECT src AS source, n_docs, tokens, CAST(p AS BIGINT)
+      |    AS mix_parts,
+      |  CAST((2 * CAST(p AS HUGEINT) * 10000000 * 10000 +
+      |    nullif(den, 0)) // (2 * nullif(den, 0)) AS DOUBLE) / 10000.0
+      |    AS epochs,
+      |  CAST((2 * CAST(p AS HUGEINT) * tokens * 10000000 * 10000 +
+      |    nullif(den, 0)) // (2 * nullif(den, 0)) AS DOUBLE) / 10000.0
+      |    AS tokens_served
+      |FROM per CROSS JOIN tt ORDER BY source""".stripMargin))
+
+  /** [[Profile.fdHistogram]]: Freedman–Diaconis auto-binned histogram
+    * of document lengths — integer-corrected ∛n, pure integer bin
+    * arithmetic. */
+  private val q320 = QDef("q320_fd_histogram",
+    (s, dir) => Profile.fdHistogram(T(s, dir, "documents"),
+      col("n_chars")),
+    Some("""WITH d AS (SELECT CAST(n_chars AS BIGINT) AS x FROM documents
+      |      WHERE n_chars IS NOT NULL),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |        CAST(min(x) AS BIGINT) AS lo, CAST(max(x) AS BIGINT) AS hi,
+      |        CAST(round(quantile_cont(x * 4, 0.75), 0) AS BIGINT) -
+      |          CAST(round(quantile_cont(x * 4, 0.25), 0) AS BIGINT)
+      |          AS iqr4
+      |      FROM d),
+      |cb AS (SELECT n, lo, hi, iqr4,
+      |        CAST(pow(CAST(n AS DOUBLE), 1.0 / 3.0) AS BIGINT) AS c0
+      |      FROM st),
+      |cc AS (SELECT n, lo, hi, iqr4,
+      |        CASE WHEN (c0 + 1) * (c0 + 1) * (c0 + 1) <= n THEN c0 + 1
+      |          WHEN c0 * c0 * c0 > n THEN c0 - 1 ELSE c0 END AS c
+      |      FROM cb),
+      |nbx AS (SELECT lo, iqr4, c,
+      |        greatest(CASE WHEN iqr4 > 0
+      |          THEN ((hi - lo) * 2 * c + iqr4 - 1) // iqr4
+      |          ELSE 1 END, 1) AS nb
+      |      FROM cc),
+      |bins AS (SELECT CASE WHEN nb = 1 OR iqr4 <= 0 THEN 0
+      |          ELSE least(((x - lo) * 2 * c) // iqr4, nb - 1) END AS bin,
+      |        nb, x
+      |      FROM d CROSS JOIN nbx)
+      |SELECT CAST(bin AS BIGINT) AS bin, CAST(nb AS BIGINT) AS n_bins,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(min(x) AS BIGINT) AS bin_min, CAST(max(x) AS BIGINT)
+      |    AS bin_max
+      |FROM bins GROUP BY 1, 2 ORDER BY bin""".stripMargin))
+
+  /** [[Packing.paddingWaste]]: per length band, the padding a fixed
+    * 512-token slot layout wastes — the "do we need a packer" table. */
+  private val q321 = QDef("q321_padding_waste",
+    (s, dir) => Packing.paddingWaste(
+      T(s, dir, "documents")
+        .select(size(split(col("text"), " ")).as("nt")),
+      col("nt"), maxLen = 512L),
+    Some("""WITH d AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT)
+      |          AS nt
+      |      FROM documents WHERE text IS NOT NULL),
+      |f AS (SELECT nt, (nt + 511) // 512 AS slots,
+      |        least((nt * 10) // 512, 10) AS band
+      |      FROM d WHERE nt > 0),
+      |a AS (SELECT band, CAST(count(*) AS BIGINT) AS n_docs,
+      |        CAST(sum(nt) AS BIGINT) AS tokens,
+      |        CAST(sum(slots) AS BIGINT) AS slots
+      |      FROM f GROUP BY 1)
+      |SELECT band, n_docs, tokens, slots,
+      |  slots * 512 - tokens AS padding,
+      |  CAST((2 * CAST(tokens AS HUGEINT) * 10000 + slots * 512) //
+      |    (2 * slots * 512) AS DOUBLE) / 10000.0 AS efficiency
+      |FROM a ORDER BY band""".stripMargin))
+
+  /** [[Dedup.jaccardThresholdCurve]]: one-pass near-dup pair counts at
+    * 0.6/0.7/0.8/0.9 — the dedup-cutoff tuning table; thresholds
+    * decided by integer comparison, never a double. */
+  private val q322 = QDef("q322_jaccard_threshold_curve",
+    (s, dir) => Dedup.jaccardThresholdCurve(T(s, dir, "documents"),
+      col("text"), col("doc_id"), col("source")),
+    Some("""WITH tok AS (SELECT DISTINCT doc_id AS id, source AS blk,
+      |        unnest(list_distinct(string_split(text, ' '))) AS t
+      |      FROM documents
+      |      WHERE doc_id IS NOT NULL AND source IS NOT NULL),
+      |sz AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM tok
+      |       GROUP BY 1),
+      |iv AS (SELECT a.id AS id_a, b.id AS id_b,
+      |        CAST(count(*) AS BIGINT) AS inter
+      |      FROM tok a JOIN tok b ON a.blk = b.blk AND a.t = b.t
+      |        AND a.id < b.id
+      |      GROUP BY 1, 2),
+      |pr AS (SELECT inter, sa.sz + sb.sz - inter AS uni
+      |      FROM iv JOIN sz sa ON sa.id = iv.id_a
+      |      JOIN sz sb ON sb.id = iv.id_b),
+      |ex AS (SELECT CAST(t10 AS BIGINT) AS t10, inter, uni
+      |      FROM pr CROSS JOIN (SELECT unnest([6, 7, 8, 9]) AS t10))
+      |SELECT CAST(t10 AS DOUBLE) / 10.0 AS threshold,
+      |  CAST(count(*) AS BIGINT) AS n_pairs
+      |FROM ex WHERE inter * 10 >= t10 * uni
+      |GROUP BY 1 ORDER BY threshold""".stripMargin))
+
   def all: Seq[QDef] = Seq(q307, q308, q309, q310, q311, q312, q313, q314,
-    q315, q316, q317, q318)
+    q315, q316, q317, q318, q319, q320, q321, q322)
 }

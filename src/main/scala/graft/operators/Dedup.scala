@@ -918,4 +918,51 @@ object Dedup {
         col("__best.bf").as("best_val"),
         col("__best.bm").as("best_metric"))
   }
+
+  /** Jaccard threshold-sensitivity curve: how many within-block
+    * near-dup pairs survive at each candidate threshold — the ONE-PASS
+    * tuning table for picking a dedup cutoff (running the pair join
+    * once per threshold would multiply the dominant cost by the
+    * threshold count). Pair generation is the q27 shape (distinct
+    * token sets, (block, token) equi-join, candidates ∝ shared
+    * tokens), checkpointed and repartitioned by id per the q266
+    * finding; each pair's intersection/union are exact ints, and the
+    * threshold test is the INTEGER comparison 10·inter ≥ t10·union —
+    * no double ever decides a boundary. Output: (threshold, n_pairs ≥
+    * threshold), cumulative by construction. */
+  def jaccardThresholdCurve(df: DataFrame, text: Column, id: Column,
+                            block: Column,
+                            thresholds10: Seq[Int] = Seq(6, 7, 8, 9))
+      : DataFrame = {
+    require(thresholds10.nonEmpty && thresholds10.forall(t =>
+      t >= 1 && t <= 10), "thresholds are tenths in [1, 10]")
+    val spark = df.sparkSession
+    val para = spark.sessionState.conf.numShufflePartitions
+    val tok = df.select(id.as("id"), block.as("blk"),
+        explode(array_distinct(split(text, " "))).as("t"))
+      .where(col("id").isNotNull && col("blk").isNotNull)
+      .repartition(para, col("id"))
+      .localCheckpoint()
+    val sizes = tok.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = tok.as("a")
+      .join(tok.as("b"),
+        col("a.blk") === col("b.blk") && col("a.t") === col("b.t"))
+      .where(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    val pairs = inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("nb")), "id_b")
+      .select(col("inter"), (col("na") + col("nb") - col("inter"))
+        .as("uni"))
+    pairs
+      .select(explode(array(thresholds10.map(t => lit(t.toLong)): _*))
+        .as("t10"), col("inter"), col("uni"))
+      .where(col("inter") * 10 >= col("t10") * col("uni"))
+      .groupBy("t10")
+      .agg(count(lit(1)).as("n_pairs"))
+      .select((col("t10").cast("double") / 10.0).as("threshold"),
+        col("n_pairs"))
+      .orderBy("threshold")
+  }
 }

@@ -100,4 +100,28 @@ object Packing {
         org.apache.spark.sql.functions.size(split(col("col"), " ")).cast("long")
           .as("n_tokens"))
   }
+
+  /** Padding-waste report for one-document-per-slot batching at a fixed
+    * sequence length: per length band (token-count deciles of maxLen),
+    * slots = Σ⌈tokens/L⌉, waste = slots·L − tokens, and the packing
+    * efficiency tokens/(slots·L) — the number that justifies (or not)
+    * building a real packer. Pure integer arithmetic per doc, one
+    * band-keyed aggregation, efficiency sealed via [[Seal]]. Documents
+    * longer than maxLen split into ⌈n/L⌉ slots (truncation-free). */
+  def paddingWaste(df: DataFrame, tokens: Column, maxLen: Long): DataFrame = {
+    require(maxLen >= 1, "maxLen must be positive")
+    val d = df.select(tokens.cast("long").as("nt"))
+      .where(col("nt").isNotNull && col("nt") > 0)
+      .withColumn("slots", expr(s"(nt + ${maxLen - 1}) div $maxLen"))
+      .withColumn("band",
+        least(expr(s"(nt * 10) div $maxLen"), lit(10L)))
+    d.groupBy("band")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("tokens"),
+        sum("slots").as("slots"))
+      .withColumn("cap", col("slots") * lit(maxLen))
+      .select(col("band"), col("n_docs"), col("tokens"), col("slots"),
+        (col("cap") - col("tokens")).as("padding"),
+        Seal.ratio4("tokens", "cap").as("efficiency"))
+      .orderBy("band")
+  }
 }

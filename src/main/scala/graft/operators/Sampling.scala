@@ -346,4 +346,40 @@ object Sampling {
           lit(totalN.toDouble), 0).cast("long").as("n_alloc"))
       .orderBy("stratum")
   }
+
+  /** Token-budget mixture plan: given integer mixture PARTS per source
+    * (the exact-rational spelling of mixture weights) and a total token
+    * budget B, each source serves
+    *   tokens_served_s = parts_s·tokens_s·B / Σ_t parts_t·tokens_t,
+    * i.e. epochs_s = parts_s·B / Σ_t parts_t·tokens_t — the planning
+    * table a pretraining data loader consumes. One source-keyed
+    * aggregation; every output is an exact integer rational sealed via
+    * [[Seal]] (products through decimal(38,0)); sources absent from
+    * `parts` get part 0 and drop. */
+  def tokenBudgetPlan(df: DataFrame, source: Column, tokens: Column,
+                      parts: Seq[(String, Long)], budget: Long): DataFrame = {
+    require(parts.nonEmpty && parts.forall(_._2 >= 0), "parts must be >= 0")
+    require(budget > 0, "budget must be positive")
+    val pCol = parts.foldRight(lit(0L)) { case ((src, pv), other) =>
+      when(source === src, lit(pv)).otherwise(other)
+    }
+    val per = df.select(source.as("src"), tokens.cast("long").as("tk"),
+        pCol.as("p"))
+      .where(col("src").isNotNull && col("tk").isNotNull && col("p") > 0)
+      .groupBy("src", "p")
+      .agg(count(lit(1)).as("n_docs"), sum("tk").as("tokens"))
+    val tot = per.agg(sum(col("p").cast("decimal(38,0)") * col("tokens"))
+      .as("den"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("enum", col("p").cast("decimal(38,0)") * budget)
+      .withColumn("snum",
+        col("p").cast("decimal(38,0)") * col("tokens") * budget)
+      .withColumn("dnn",
+        nullif(col("den"), lit(java.math.BigDecimal.ZERO)))
+      .select(col("src").as("source"), col("n_docs"), col("tokens"),
+        col("p").as("mix_parts"),
+        Seal.ratio4("enum", "dnn").as("epochs"),
+        Seal.ratio4("snum", "dnn").as("tokens_served"))
+      .orderBy("source")
+  }
 }

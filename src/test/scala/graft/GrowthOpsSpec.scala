@@ -152,4 +152,45 @@ class GrowthOpsSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1)) === ((2L, 3L)))
     assert(r.getDouble(2) === 4.0) // n=2, k=3, full agreement
   }
+
+  test("tokenBudgetPlan: equal parts and tokens split the budget evenly") {
+    val df = Seq(("a", 100L), ("a", 100L), ("b", 200L)).toDF("src", "nt")
+    val out = Sampling.tokenBudgetPlan(df, col("src"), col("nt"),
+      Seq("a" -> 1L, "b" -> 1L), budget = 800L).collect()
+    // den = 1·200 + 1·200 = 400; epochs = 800/400 = 2 for both
+    assert(out.map(_.getDouble(4)).toSeq === Seq(2.0, 2.0))
+    assert(out.map(_.getDouble(5)).toSeq === Seq(400.0, 400.0))
+  }
+
+  test("fdHistogram: integer cube root correction and full coverage") {
+    val df27 = (1L to 27L).toDF("x")
+    val out = Profile.fdHistogram(df27, col("x")).collect()
+    assert(out.map(_.getLong(2)).sum === 27L) // every row binned
+    // n = 27 → c = 3 exactly; IQR = 20.75−7.25 = 13.5 → iqr4 = 54;
+    // nb = ceil(26·6/54) = 3
+    assert(out.head.getLong(1) === 3L)
+    val df26 = (1L to 26L).toDF("x")
+    val out26 = Profile.fdHistogram(df26, col("x")).collect()
+    assert(out26.map(_.getLong(2)).sum === 26L)
+  }
+
+  test("paddingWaste: slot counts, padding, sealed efficiency") {
+    val df = Seq(100L, 600L).toDF("nt")
+    val out = Packing.paddingWaste(df, col("nt"), maxLen = 512L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    // 100 → band 1, 1 slot, 412 pad; 600 → band 10 (capped), 2 slots,
+    // 424 pad
+    assert(out === Seq((1L, 100L, 1L, 412L, 0.1953),
+      (10L, 600L, 2L, 424L, 0.5859)))
+  }
+
+  test("jaccardThresholdCurve: identical pair survives every threshold") {
+    val df = Seq((1L, "blk", "a b"), (2L, "blk", "a b"),
+      (3L, "blk", "x y z")).toDF("id", "blk", "tx")
+    val out = Dedup.jaccardThresholdCurve(df, col("tx"), col("id"),
+      col("blk")).collect()
+    assert(out.map(r => (r.getDouble(0), r.getLong(1))).toSeq ===
+      Seq((0.6, 1L), (0.7, 1L), (0.8, 1L), (0.9, 1L)))
+  }
 }

@@ -26,6 +26,8 @@ class PlanAuditSpec extends SparkSpec {
     "q315_kruskal_wallis", // 1-row (N, k) + tie-total broadcasts
     "q316_moods_median", // 1-row global-median + margin broadcasts
     "q318_friedman", // treatment spine + 1-row (n, T) broadcasts
+    "q319_token_budget_plan", // 1-row Σ parts·tokens denominator broadcast
+    "q320_fd_histogram", // 1-row (n, lo, hi, IQR, ∛n) stats broadcast
     "q109_pmi_collocations", // 1-row N_uni and N_bi broadcasts
     "q138_temperature_mixture", // 1-row Σ n^0.7 normalizer broadcast
     "q141_rfm_segments", // 1-row quartile cut-point broadcast
