@@ -109,10 +109,14 @@ object ExtQueries {
       |        list_distinct(list_transform(list_distinct(string_split(text, ' ')),
       |          s -> ${hashSql("s", 15)})) AS grams FROM documents),
       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |  len(list_intersect(a.grams, b.grams)) * 1.0
-      |    / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS j
+      |  CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS i,
+      |  CAST(len(a.grams) + len(b.grams)
+      |    - len(list_intersect(a.grams, b.grams)) AS BIGINT) AS u
       | FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id)
-      |SELECT id_a, id_b, round(j, 4) AS jaccard FROM p WHERE j >= 0.6
+      |SELECT id_a, id_b,
+      |  CAST((2 * CAST(i AS HUGEINT) * 10000 + u) // (2 * u) AS DOUBLE)
+      |    / 10000.0 AS jaccard
+      |FROM p WHERE i * 1.0 / u >= 0.6
       |ORDER BY id_a, id_b""".stripMargin))
 
   private val q28 = QDef("q28_dedup_embedding",
@@ -1211,9 +1215,14 @@ object ExtQueries {
           TextAnalysis.whitespaceTokenCount(col("text")).as("__n"))
         .groupBy("source", "pred_lang")
         .agg(count(lit(1)).as("n_docs"),
-          round(sum(col("__q")).cast("double") / count(lit(1)), 4).as("avg_quality"),
-          round(sum(col("__pass")).cast("double") / count(lit(1)), 4).as("gopher_pass_rate"),
+          sum((col("__q") * 10000).cast("long")).as("sq4"),
+          sum(col("__pass")).as("sp"),
           sum(col("__n")).cast("long").as("n_tokens"))
+        .withColumn("qden", col("n_docs") * lit(10000L))
+        .select(col("source"), col("pred_lang"), col("n_docs"),
+          Seal.ratio4("sq4", "qden").as("avg_quality"),
+          Seal.ratio4("sp", "n_docs").as("gopher_pass_rate"),
+          col("n_tokens"))
         .orderBy("source", "pred_lang")
     },
     Some(s"""WITH t AS (SELECT doc_id, source, text, string_split(text, ' ') AS tk,
@@ -1254,8 +1263,11 @@ object ExtQueries {
       |  len(tk) AS n
       | FROM sc)
       |SELECT source, pred_lang, count(*) AS n_docs,
-      | round(CAST(sum(CAST(q AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_quality,
-      | round(CAST(sum(pass) AS DOUBLE) / count(*), 4) AS gopher_pass_rate,
+      | CAST((2 * CAST(sum(CAST(round(q * 10000, 0) AS BIGINT)) AS HUGEINT)
+      |   * 10000 + count(*) * 10000) // (2 * count(*) * 10000) AS DOUBLE)
+      |   / 10000.0 AS avg_quality,
+      | CAST((2 * CAST(sum(pass) AS HUGEINT) * 10000 + count(*)) //
+      |   (2 * count(*)) AS DOUBLE) / 10000.0 AS gopher_pass_rate,
       | CAST(sum(n) AS BIGINT) AS n_tokens
       |FROM p GROUP BY source, pred_lang ORDER BY source, pred_lang""".stripMargin))
 
@@ -2358,10 +2370,22 @@ object ExtQueries {
       |         CAST(sum(x * x) AS BIGINT) AS sxx
       |       FROM c GROUP BY 1)
       |SELECT event_type, n,
-      |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
-      |        CAST(n * sxx - sx * sx AS DOUBLE), 4) AS slope_cents_per_day,
-      |  round(CAST(sy * sxx - sx * sxy AS DOUBLE) /
-      |        CAST(n * sxx - sx * sx AS DOUBLE), 4) AS intercept_cents
+      |CAST(CASE WHEN n * sxy - sx * sy < 0
+      |    THEN -((2 * CAST(-(n * sxy - sx * sy) AS HUGEINT) * 10000 +
+      |      nullif(n * sxx - sx * sx, 0)) //
+      |      (2 * nullif(n * sxx - sx * sx, 0)))
+      |    ELSE (2 * CAST(n * sxy - sx * sy AS HUGEINT) * 10000 +
+      |      nullif(n * sxx - sx * sx, 0)) //
+      |      (2 * nullif(n * sxx - sx * sx, 0)) END AS DOUBLE) / 10000.0
+      |    AS slope_cents_per_day,
+      |  CAST(CASE WHEN sy * sxx - sx * sxy < 0
+      |    THEN -((2 * CAST(-(sy * sxx - sx * sxy) AS HUGEINT) * 10000 +
+      |      nullif(n * sxx - sx * sx, 0)) //
+      |      (2 * nullif(n * sxx - sx * sx, 0)))
+      |    ELSE (2 * CAST(sy * sxx - sx * sxy AS HUGEINT) * 10000 +
+      |      nullif(n * sxx - sx * sx, 0)) //
+      |      (2 * nullif(n * sxx - sx * sx, 0)) END AS DOUBLE) / 10000.0
+      |    AS intercept_cents
       |FROM su ORDER BY event_type""".stripMargin))
 
   /** First-order Markov transition matrix ([[Sequences.transitions]]) over
@@ -2457,9 +2481,9 @@ object ExtQueries {
         ntile(10).over(Window.orderBy(col("n_chars"), col("doc_id"))))
       .groupBy("bin")
       .agg(count(lit(1)).as("n_docs"), min("n_chars").as("min_chars"),
-        max("n_chars").as("max_chars"),
-        round(sum("n_chars").cast("double") / count(lit(1)), 4)
-          .as("avg_chars"))
+        max("n_chars").as("max_chars"), sum("n_chars").as("sc"))
+      .select(col("bin"), col("n_docs"), col("min_chars"),
+        col("max_chars"), Seal.ratio4("sc", "n_docs").as("avg_chars"))
       .orderBy("bin"),
     Some("""WITH b AS (SELECT doc_id, n_chars,
       |         CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS INTEGER)
@@ -2467,7 +2491,8 @@ object ExtQueries {
       |       FROM documents)
       |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
       |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
-      |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
+      |  CAST((2 * CAST(sum(n_chars) AS HUGEINT) * 10000 + count(*)) //
+      |    (2 * count(*)) AS DOUBLE) / 10000.0 AS avg_chars
       |FROM b GROUP BY 1 ORDER BY bin""".stripMargin))
 
   /** Exponential time-decay engagement score per user
@@ -2604,9 +2629,8 @@ object ExtQueries {
         .join(broadcast(colT), "wd")
         .select(Trend.chiSqTerm(col("o"),
           (col("rt") * col("ct")).cast("double") / lit(n.toDouble)).as("t"))
-      terms.agg(round(sum("t").cast("double") / lit(1e6), 4).as("chi2"),
-          count(lit(1)).as("n_cells"))
-        .select(col("chi2"), col("n_cells"))
+      terms.agg(sum("t").as("s6"), count(lit(1)).as("n_cells"))
+        .select(Seal.pow4("s6", 6).as("chi2"), col("n_cells"))
     },
     Some("""WITH e AS (SELECT event_type,
       |         (epoch_us(ts) // 86400000000 + 4) % 7 AS wd FROM events),
@@ -2752,8 +2776,14 @@ object ExtQueries {
       |         CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
       |         CAST(sum(x * x) AS BIGINT) AS sxx FROM q)
       |SELECT n AS n_terms,
-      |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
-      |        CAST(n * sxx - sx * sx AS DOUBLE), 4) AS zipf_slope
+      |  CAST(CASE WHEN n * sxy - sx * sy < 0
+      |    THEN -((2 * CAST(-(n * sxy - sx * sy) AS HUGEINT) * 10000 +
+      |      nullif(n * sxx - sx * sx, 0)) //
+      |      (2 * nullif(n * sxx - sx * sx, 0)))
+      |    ELSE (2 * CAST(n * sxy - sx * sy AS HUGEINT) * 10000 +
+      |      nullif(n * sxx - sx * sx, 0)) //
+      |      (2 * nullif(n * sxx - sx * sx, 0)) END AS DOUBLE) / 10000.0
+      |    AS zipf_slope
       |FROM su""".stripMargin))
 
   /** Sessionized bounce rate per day: single-event sessions over total
@@ -2764,8 +2794,9 @@ object ExtQueries {
       .select(expr("unix_micros(session_start) div 86400000000").as("day"),
         (col("n_events") === 1).cast("long").as("b"))
       .groupBy("day")
-      .agg(count(lit(1)).as("n_sessions"), sum("b").as("n_bounces"),
-        round(sum("b").cast("double") / count(lit(1)), 4).as("bounce_rate"))
+      .agg(count(lit(1)).as("n_sessions"), sum("b").as("n_bounces"))
+      .select(col("day"), col("n_sessions"), col("n_bounces"),
+        Seal.ratio4("n_bounces", "n_sessions").as("bounce_rate"))
       .orderBy("day"),
     Some("""WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
       |f AS (SELECT user_id, us, event_id,

@@ -801,7 +801,10 @@ object InferenceQueries {
       |          least(len(a.grams), len(b.grams)) AS c
       |      FROM g a JOIN g b ON a.source = b.source
       |        AND a.doc_id < b.doc_id)
-      |SELECT id_a, id_b, n_a, n_b, round(c, 4) AS containment
+      |SELECT id_a, id_b, n_a, n_b,
+      |  CAST((2 * CAST(round(c * least(n_a, n_b), 0) AS HUGEINT) * 10000
+      |    + least(n_a, n_b)) // (2 * least(n_a, n_b)) AS DOUBLE)
+      |    / 10000.0 AS containment
       |FROM p WHERE c >= 0.9 ORDER BY id_a, id_b""".stripMargin))
 
   /** [[Inference.grubbs]]: single-outlier scan of customer balances
@@ -817,8 +820,11 @@ object InferenceQueries {
       |        CAST(max(x) AS BIGINT) AS mx, CAST(min(x) AS BIGINT) AS mn
       |      FROM d)
       |SELECT n,
-      |  round(CAST(s AS DOUBLE) / nullif(CAST(n AS DOUBLE), 0.0), 4)
-      |    AS mean,
+      |  CAST(CASE WHEN s < 0
+      |    THEN -((2 * CAST(-s AS HUGEINT) * 10000 + nullif(n, 0)) //
+      |      (2 * nullif(n, 0)))
+      |    ELSE (2 * CAST(s AS HUGEINT) * 10000 + nullif(n, 0)) //
+      |      (2 * nullif(n, 0)) END AS DOUBLE) / 10000.0 AS mean,
       |  round(sqrt(CAST(n * ss - s * s AS DOUBLE) /
       |    nullif(CAST(n * (n - 1) AS DOUBLE), 0.0)), 4) AS sd,
       |  CASE WHEN n * mx - s >= s - n * mn THEN 'high' ELSE 'low' END

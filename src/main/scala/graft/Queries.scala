@@ -138,8 +138,9 @@ object Queries {
       val byRegion = byNation.groupBy(col("n_regionkey"))
         .agg(sum("n_cust").as("region_cust"))
       byNation.join(broadcast(byRegion), Seq("n_regionkey"))
+        .withColumn("pnum", col("n_cust") * lit(100L))
         .select(col("n_name").as("nation_name"), col("n_cust"),
-          round(col("n_cust") / col("region_cust") * 100, 4).as("pct_of_region"),
+          Seal.ratio4("pnum", "region_cust").as("pct_of_region"),
           round(col("sum_bal") + col("avg_bal") + col("n_cust"), 4).as("combo_sum"))
         .orderBy("nation_name")
     },
@@ -152,7 +153,8 @@ object Queries {
       | SELECT n_regionkey, CAST(sum(n_cust) AS BIGINT) AS region_cust
       | FROM by_nation GROUP BY 1)
       |SELECT n_name AS nation_name, n_cust,
-      | round(n_cust / region_cust * 100, 4) AS pct_of_region,
+      | CAST((2 * CAST(n_cust AS HUGEINT) * 100 * 10000 + region_cust) //
+      |   (2 * region_cust) AS DOUBLE) / 10000.0 AS pct_of_region,
       | round(sum_bal + avg_bal + n_cust, 4) AS combo_sum
       |FROM by_nation JOIN by_region USING (n_regionkey)
       |ORDER BY nation_name""".stripMargin))

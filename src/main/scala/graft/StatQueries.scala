@@ -586,9 +586,9 @@ object StatQueries {
         case (acc, (d, p)) => when(col("digit") === d, lit(p)).otherwise(acc)
       }
       digits.crossJoin(broadcast(tot))
-        .select(col("digit"), col("n_obs"),
-          round(col("n_obs").cast("double") / col("nt").cast("double"), 4)
-            .as("obs_pct"), expPct.as("benford_pct"))
+        .select(col("digit"), col("n_obs"), col("nt"),
+          Seal.ratio4("n_obs", "nt").as("obs_pct"), expPct.as("benford_pct"))
+        .drop("nt")
         .withColumn("chi2_term",
           round((col("obs_pct") - col("benford_pct")) *
             (col("obs_pct") - col("benford_pct")) / col("benford_pct"), 6))
@@ -603,7 +603,8 @@ object StatQueries {
         |      GROUP BY 1),
         |tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS nt FROM g),
         |p AS (SELECT digit, n_obs,
-        |    round(CAST(n_obs AS DOUBLE) / CAST(nt AS DOUBLE), 4) AS obs_pct,
+        |    CAST((2 * CAST(n_obs AS HUGEINT) * 10000 + nt) // (2 * nt)
+        |      AS DOUBLE) / 10000.0 AS obs_pct,
         |    CASE digit $cases END AS benford_pct
         |  FROM g CROSS JOIN tot)
         |SELECT digit, n_obs, obs_pct, benford_pct,
@@ -671,8 +672,7 @@ object StatQueries {
       ranked.crossJoin(broadcast(tot)).crossJoin(ps)
         .where(col("rn") === ceil(col("p") * col("n")).cast("long"))
         .select(col("p"), col("rn").cast("long").as("n_top"),
-          round(col("cum_cents").cast("double") / col("tc").cast("double"), 4)
-            .as("rev_share"))
+          Seal.ratio4("cum_cents", "tc").as("rev_share"))
         .orderBy("p")
     },
     Some("""WITH rev AS (SELECT l_suppkey,
@@ -691,7 +691,8 @@ object StatQueries {
       |ps(p) AS (VALUES (CAST(0.01 AS DOUBLE)), (CAST(0.05 AS DOUBLE)),
       |          (CAST(0.10 AS DOUBLE)))
       |SELECT p, rn AS n_top,
-      |  round(CAST(cum_cents AS DOUBLE) / CAST(tc AS DOUBLE), 4) AS rev_share
+      |  CAST((2 * CAST(cum_cents AS HUGEINT) * 10000 + tc) // (2 * tc)
+      |    AS DOUBLE) / 10000.0 AS rev_share
       |FROM rk CROSS JOIN tot CROSS JOIN ps
       |WHERE rn = CAST(ceil(p * n) AS BIGINT)
       |ORDER BY p""".stripMargin))
@@ -1174,9 +1175,17 @@ object StatQueries {
         .select((unix_micros(col("p_ts")) - unix_micros(col("s_ts")))
           .as("lag_us"))
         .agg(count(lit(1)).as("n_users"),
-          round(percentile(col("lag_us"), lit(0.5)) / lit(1e6), 4).as("p50_s"),
-          round(percentile(col("lag_us"), lit(0.9)) / lit(1e6), 4).as("p90_s"),
-          round(percentile(col("lag_us"), lit(0.99)) / lit(1e6), 4).as("p99_s"))
+          round(percentile(col("lag_us") * 100, lit(0.5)), 0).cast("long")
+            .as("h50"),
+          round(percentile(col("lag_us") * 100, lit(0.9)), 0).cast("long")
+            .as("h90"),
+          round(percentile(col("lag_us") * 100, lit(0.99)), 0).cast("long")
+            .as("h99"))
+        // percentile(x·100, q) is an exact integer for q with denominator
+        // ≤ 100, so each seconds display is one integer-sealed division
+        // by 10⁸ (Seal.pow4)
+        .select(col("n_users"), Seal.pow4("h50", 8).as("p50_s"),
+          Seal.pow4("h90", 8).as("p90_s"), Seal.pow4("h99", 8).as("p99_s"))
         .orderBy("n_users")
     },
     Some("""WITH su AS (SELECT user_id, min(ts) AS s_ts FROM events
@@ -1184,12 +1193,20 @@ object StatQueries {
       |pu AS (SELECT user_id, min(ts) AS p_ts FROM events
       |       WHERE event_type = 'purchase' GROUP BY 1),
       |l AS (SELECT epoch_us(p_ts) - epoch_us(s_ts) AS lag_us
-      |      FROM su JOIN pu USING (user_id) WHERE p_ts >= s_ts)
-      |SELECT CAST(count(*) AS BIGINT) AS n_users,
-      |  round(quantile_cont(lag_us, 0.5) / 1000000.0, 4) AS p50_s,
-      |  round(quantile_cont(lag_us, 0.9) / 1000000.0, 4) AS p90_s,
-      |  round(quantile_cont(lag_us, 0.99) / 1000000.0, 4) AS p99_s
-      |FROM l ORDER BY n_users""".stripMargin))
+      |      FROM su JOIN pu USING (user_id) WHERE p_ts >= s_ts),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(round(quantile_cont(lag_us * 100, 0.5), 0) AS BIGINT) AS h50,
+      |  CAST(round(quantile_cont(lag_us * 100, 0.9), 0) AS BIGINT) AS h90,
+      |  CAST(round(quantile_cont(lag_us * 100, 0.99), 0) AS BIGINT) AS h99
+      |  FROM l)
+      |SELECT n_users,
+      |  CAST((2 * CAST(h50 AS HUGEINT) + 10000) // 20000 AS DOUBLE)
+      |    / 10000.0 AS p50_s,
+      |  CAST((2 * CAST(h90 AS HUGEINT) + 10000) // 20000 AS DOUBLE)
+      |    / 10000.0 AS p90_s,
+      |  CAST((2 * CAST(h99 AS HUGEINT) + 10000) // 20000 AS DOUBLE)
+      |    / 10000.0 AS p99_s
+      |FROM a ORDER BY n_users""".stripMargin))
 
   /** Vocabulary coverage curve — the tokenizer-design readout: what
     * fraction of all corpus tokens do the top-N vocabulary entries
@@ -1214,8 +1231,7 @@ object StatQueries {
         .where(col("rk").isin(5L, 10L, 20L, 30L))
         .crossJoin(broadcast(tot))
         .select(col("rk").as("vocab_size"),
-          round(col("cum").cast("double") / col("n").cast("double"), 4)
-            .as("coverage"))
+          Seal.ratio4("cum", "n").as("coverage"))
         .orderBy("vocab_size")
     },
     Some("""WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tk
@@ -1229,7 +1245,8 @@ object StatQueries {
       |          PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
       |      FROM vc)
       |SELECT rk AS vocab_size,
-      |  round(CAST(cum AS DOUBLE) / CAST(n AS DOUBLE), 4) AS coverage
+      |  CAST((2 * CAST(cum AS HUGEINT) * 10000 + n) // (2 * n)
+      |    AS DOUBLE) / 10000.0 AS coverage
       |FROM r CROSS JOIN n WHERE rk IN (5, 10, 20, 30)
       |ORDER BY vocab_size""".stripMargin))
 
@@ -1338,11 +1355,11 @@ object StatQueries {
       val idcg = r.where(col("rk_r") <= 10).groupBy("seg")
         .agg(sum(dcgTerm(col("rk_r"))).as("it"))
       dcg.join(idcg, "seg")
+        .withColumn("itn", nullif(col("it"), lit(0L)))
         .select(col("seg").as("segment"),
-          round(col("dt").cast("double") / lit(1e6), 4).as("dcg"),
-          round(col("it").cast("double") / lit(1e6), 4).as("idcg"),
-          round(col("dt").cast("double") / col("it").cast("double"), 4)
-            .as("ndcg"))
+          Seal.pow4("dt", 6).as("dcg"),
+          Seal.pow4("it", 6).as("idcg"),
+          Seal.ratio4("dt", "itn").as("ndcg"))
         .orderBy("segment")
     },
     Some("""WITH a AS (SELECT c_mktsegment AS seg, l_partkey AS pk,
@@ -1367,9 +1384,12 @@ object StatQueries {
       |        AS BIGINT)) AS BIGINT) AS it
       |      FROM r WHERE rk_r <= 10 GROUP BY 1)
       |SELECT d.seg AS segment,
-      |  round(CAST(dt AS DOUBLE) / 1000000.0, 4) AS dcg,
-      |  round(CAST(it AS DOUBLE) / 1000000.0, 4) AS idcg,
-      |  round(CAST(dt AS DOUBLE) / CAST(it AS DOUBLE), 4) AS ndcg
+      |  CAST((2 * CAST(dt AS HUGEINT) + 100) // 200 AS DOUBLE) / 10000.0
+      |    AS dcg,
+      |  CAST((2 * CAST(it AS HUGEINT) + 100) // 200 AS DOUBLE) / 10000.0
+      |    AS idcg,
+      |  CAST((2 * CAST(dt AS HUGEINT) * 10000 + nullif(it, 0)) //
+      |    (2 * nullif(it, 0)) AS DOUBLE) / 10000.0 AS ndcg
       |FROM d JOIN i ON d.seg = i.seg ORDER BY segment""".stripMargin))
 
   /** [[Survival.kaplanMeier]]: user-retention survival curve. A user's

@@ -297,8 +297,16 @@ object Dedup {
       .join(t.as("b"), col("a.__blk") === col("b.__blk"))
       .where(col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
-        jaccard(col("a.__g"), col("b.__g")).as("jaccard"))
-      .where(col("jaccard") >= minJ)
+        size(array_intersect(col("a.__g"), col("b.__g"))).cast("long")
+          .as("__i"),
+        (size(col("a.__g")) + size(col("b.__g"))).cast("long").as("__ab"))
+      .withColumn("__u", col("__ab") - col("__i"))
+      .withColumn("__raw", col("__i").cast("double") / col("__u"))
+      .where(col("__raw") >= minJ)
+      // threshold on the raw ratio (unchanged semantics), display
+      // integer-sealed: inter/union is an exact integer rational
+      .select(col("id_a"), col("id_b"),
+        Seal.ratio4("__i", "__u").as("jaccard"))
   }
 
   /** Duplicate-cluster size histogram: group documents by exact content
@@ -502,9 +510,13 @@ object Dedup {
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
         size(col("a.__g")).cast("long").as("n_a"),
         size(col("b.__g")).cast("long").as("n_b"),
-        (inter.cast("double") /
-          least(size(col("a.__g")), size(col("b.__g")))).as("containment"))
-      .where(col("containment") >= minC)
+        inter.cast("long").as("__i"))
+      .withColumn("__mn", least(col("n_a"), col("n_b")))
+      .withColumn("__raw", col("__i").cast("double") / col("__mn"))
+      .where(col("__raw") >= minC)
+      // threshold on the raw ratio, display integer-sealed (Seal)
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+        Seal.ratio4("__i", "__mn").as("containment"))
   }
 
   /** Prefix-filtered n-gram Jaccard (PPJoin-style): lossless scale variant
@@ -575,8 +587,14 @@ object Dedup {
       .join(t.select(col("__id").as("id_a"), col("__g").as("g_a")), Seq("id_a"))
       .join(t.select(col("__id").as("id_b"), col("__g").as("g_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        jaccard(col("g_a"), col("g_b")).as("jaccard"))
-      .where(col("jaccard") >= minJ)
+        size(array_intersect(col("g_a"), col("g_b"))).cast("long")
+          .as("__i"),
+        (size(col("g_a")) + size(col("g_b"))).cast("long").as("__ab"))
+      .withColumn("__u", col("__ab") - col("__i"))
+      .withColumn("__raw", col("__i").cast("double") / col("__u"))
+      .where(col("__raw") >= minJ)
+      .select(col("id_a"), col("id_b"),
+        Seal.ratio4("__i", "__u").as("jaccard"))
   }
 
   /** Embedding-cosine near-dup pairs within a blocking key. The threshold is

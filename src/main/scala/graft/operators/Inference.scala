@@ -354,8 +354,7 @@ object Inference {
         sum(col("x") * col("x")).as("ss"),
         max("x").as("mx"), min("x").as("mn"))
       .select(col("n"),
-        round(col("s").cast("double") /
-          nullif(col("n").cast("double"), lit(0.0)), 4).as("mean"),
+        Seal.ratio4c(col("s"), nullif(col("n"), lit(0L))).as("mean"),
         round(sqrt((col("n") * col("ss") - col("s") * col("s"))
           .cast("double") /
           nullif((col("n") * (col("n") - 1)).cast("double"), lit(0.0))), 4)

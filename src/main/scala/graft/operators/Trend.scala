@@ -43,13 +43,13 @@ object Trend {
     g.groupBy("g")
       .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
         sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .withColumn("snum", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("inum", col("sy") * col("sxx") - col("sx") * col("sxy"))
+      .withColumn("den",
+        nullif(col("n") * col("sxx") - col("sx") * col("sx"), lit(0L)))
       .select(col("g"), col("n"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 4)
-          .as("slope"),
-        round((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") /
-          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 4)
-          .as("intercept"))
+        Seal.ratio4("snum", "den").as("slope"),
+        Seal.ratio4("inum", "den").as("intercept"))
   }
 
   /** Per-group Pearson correlation of two INTEGER-quantized variables
