@@ -625,6 +625,95 @@ object GrowthQueries {
       |FROM ex WHERE inter * 10 >= t10 * uni
       |GROUP BY 1 ORDER BY threshold""".stripMargin))
 
+  /** [[Dedup.bagFingerprintDups]]: word-order-invariant duplicate
+    * clusters — the template-refill detector md5(text) misses. */
+  private val q323 = QDef("q323_bag_fingerprint_dups",
+    (s, dir) => Dedup.bagFingerprintDups(T(s, dir, "documents"),
+      col("doc_id"), col("text")),
+    Some("""WITH f AS (SELECT doc_id,
+      |        list_sort(string_split(text, ' ')) AS fp,
+      |        CAST(length(text) AS BIGINT) AS nc
+      |      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+      |cl AS (SELECT fp, CAST(count(*) AS BIGINT) AS sz,
+      |        CAST(sum(nc) AS BIGINT) AS chars,
+      |        CAST(min(nc) AS BIGINT) AS keep_chars
+      |      FROM f GROUP BY 1)
+      |SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters,
+      |  CAST(sum(sz - 1) AS BIGINT) AS n_excess_docs,
+      |  CAST(sum(chars - keep_chars) AS BIGINT) AS chars_saved
+      |FROM cl GROUP BY 1 ORDER BY sz""".stripMargin))
+
+  /** [[Dedup.prefixBoilerplate]]: documents sharing their first 8
+    * tokens — the crawled-banner/header template census. */
+  private val q324 = QDef("q324_prefix_boilerplate",
+    (s, dir) => Dedup.prefixBoilerplate(T(s, dir, "documents"),
+      col("doc_id"), col("text"), k = 8, minDocs = 2),
+    Some("""WITH p AS (SELECT doc_id,
+      |        array_to_string(string_split(text, ' ')[1:8], ' ')
+      |          AS prefix
+      |      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+      |SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs
+      |FROM p GROUP BY 1 HAVING count(*) >= 2
+      |ORDER BY n_docs DESC, prefix""".stripMargin))
+
+  /** [[Trend.sequentialMonitor]]: daily-look cumulative two-proportion
+    * z against the Pocock-style constant boundary over the parity-arm
+    * purchase conversion. */
+  private val q325 = QDef("q325_sequential_monitor",
+    (s, dir) => {
+      val per = T(s, dir, "events")
+        .where(col("user_id").isNotNull && col("ts").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("d0"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+        .select(col("d0"),
+          when(col("user_id") % 2 === 0, "A").otherwise("B").as("v"),
+          col("conv"))
+      Trend.sequentialMonitor(per, col("d0"), col("v"), col("conv"),
+        "A", "B")
+    },
+    Some("""WITH per AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0,
+      |        max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |          AS conv
+      |      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |      GROUP BY 1),
+      |v AS (SELECT d0 AS d,
+      |        CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v,
+      |        CAST(conv AS BIGINT) AS c FROM per),
+      |byd AS (SELECT d,
+      |        CAST(sum(CASE WHEN v = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS na,
+      |        CAST(sum(CASE WHEN v = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS nb,
+      |        CAST(sum(CASE WHEN v = 'A' THEN c ELSE 0 END) AS BIGINT)
+      |          AS ca,
+      |        CAST(sum(CASE WHEN v = 'B' THEN c ELSE 0 END) AS BIGINT)
+      |          AS cb
+      |      FROM v GROUP BY 1),
+      |cum AS (SELECT d,
+      |        CAST(sum(na) OVER w AS BIGINT) AS cna,
+      |        CAST(sum(nb) OVER w AS BIGINT) AS cnb,
+      |        CAST(sum(ca) OVER w AS BIGINT) AS cca,
+      |        CAST(sum(cb) OVER w AS BIGINT) AS ccb
+      |      FROM byd WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED
+      |        PRECEDING AND CURRENT ROW)),
+      |zz AS (SELECT d, cna, cnb, cca, ccb,
+      |        (CAST(cca AS DOUBLE) / cna - CAST(ccb AS DOUBLE) / cnb) /
+      |        nullif(sqrt((CAST(cca + ccb AS DOUBLE) / (cna + cnb)) *
+      |          (1.0 - CAST(cca + ccb AS DOUBLE) / (cna + cnb)) *
+      |          (1.0 / cna + 1.0 / cnb)), 0.0) AS z
+      |      FROM cum WHERE cna > 0 AND cnb > 0)
+      |SELECT d AS look_day, cna AS n_a, cnb AS n_b,
+      |  CAST((2 * CAST(cca AS HUGEINT) * 10000 + cna) // (2 * cna)
+      |    AS DOUBLE) / 10000.0 AS rate_a,
+      |  CAST((2 * CAST(ccb AS HUGEINT) * 10000 + cnb) // (2 * cnb)
+      |    AS DOUBLE) / 10000.0 AS rate_b,
+      |  round(z, 4) AS z,
+      |  CAST(CASE WHEN abs(z) >= 2.413 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS crossed
+      |FROM zz ORDER BY look_day""".stripMargin))
+
   def all: Seq[QDef] = Seq(q307, q308, q309, q310, q311, q312, q313, q314,
-    q315, q316, q317, q318, q319, q320, q321, q322)
+    q315, q316, q317, q318, q319, q320, q321, q322, q323, q324, q325)
 }

@@ -983,4 +983,47 @@ object Dedup {
         col("n_pairs"))
       .orderBy("threshold")
   }
+
+  /** Order-invariant (bag-of-words) duplicate census: documents whose
+    * SORTED token multisets are identical — the shuffle-resistant
+    * near-exact dedup that md5(text) misses (word-order permutations,
+    * often template refills) and MinHash doesn't pin (it thresholds,
+    * this is exact). Fingerprint = md5 of the sorted token list; one
+    * fingerprint-keyed aggregation, then a cluster-size histogram with
+    * the chars deduplication would save. */
+  def bagFingerprintDups(df: DataFrame, id: Column, text: Column)
+      : DataFrame = {
+    val fp = md5(to_json(array_sort(split(text, " "))))
+    val clusters = df.select(id.as("id"), fp.as("fp"),
+        length(text).cast("long").as("nc"))
+      .where(col("id").isNotNull && col("fp").isNotNull)
+      .groupBy("fp")
+      .agg(count(lit(1)).as("sz"), sum("nc").as("chars"),
+        min("nc").as("keep_chars"))
+    // singleton clusters stay in the census: "no duplication" must
+    // read as an explicit sz=1 row, not an empty result
+    clusters.groupBy("sz")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("sz") - 1).as("n_excess_docs"),
+        sum(col("chars") - col("keep_chars")).as("chars_saved"))
+      .orderBy("sz")
+  }
+
+  /** Boilerplate-prefix census: how many documents share their first
+    * `k` tokens — the template/header detector (crawled pages with a
+    * shared banner, log lines with a fixed preamble). Prefixes shorter
+    * than k count as their full length, so short exact dups surface
+    * too. One prefix-keyed aggregation; the sample prefix rides along
+    * via min (deterministic). */
+  def prefixBoilerplate(df: DataFrame, id: Column, text: Column,
+                        k: Int = 8, minDocs: Long = 2): DataFrame = {
+    require(k >= 1 && minDocs >= 1, "k and minDocs must be positive")
+    val pfx = array_join(slice(split(text, " "), 1, k), " ")
+    df.select(id.as("id"), pfx.as("prefix"))
+      .where(col("id").isNotNull && col("prefix").isNotNull)
+      .groupBy("prefix")
+      .agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .orderBy(desc("n_docs"), col("prefix"))
+  }
 }

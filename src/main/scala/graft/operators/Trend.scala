@@ -1104,4 +1104,48 @@ object Trend {
         col("num2") / col("det") * (col("s2").cast("double") / col("n")), 4)
         .as("intercept"))
   }
+
+  /** Group-sequential A/B monitor: the two-proportion z recomputed at
+    * every daily look over CUMULATIVE counts, compared to a constant
+    * (Pocock-style) boundary — the "when could we have stopped?" audit
+    * that also exposes why peeking at the naive 1.96 inflates false
+    * positives. Per-day per-arm counts collapse the unit table to a
+    * day-spine; cumulative sums are exact-long prefix windows over that
+    * spine; each look's z is the standard √-composed double over exact
+    * ints (boundary-free seal class) and the crossing flag compares
+    * |z| to the literal boundary on identical doubles. */
+  def sequentialMonitor(df: DataFrame, day: Column, variant: Column,
+                        conv: Column, a: String, b: String,
+                        boundary: Double = 2.413): DataFrame = {
+    val d = df.select(day.as("d"), variant.as("v"),
+        conv.cast("long").as("c"))
+      .where(col("d").isNotNull && col("v").isin(a, b) &&
+        col("c").isNotNull)
+      .groupBy("d")
+      .agg(sum(when(col("v") === a, 1L).otherwise(0L)).as("na"),
+        sum(when(col("v") === b, 1L).otherwise(0L)).as("nb"),
+        sum(when(col("v") === a, col("c")).otherwise(0L)).as("ca"),
+        sum(when(col("v") === b, col("c")).otherwise(0L)).as("cb"))
+    val w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    val cum = d.select(col("d"),
+      sum("na").over(w).as("cna"), sum("nb").over(w).as("cnb"),
+      sum("ca").over(w).as("cca"), sum("cb").over(w).as("ccb"))
+    val pa = col("cca").cast("double") / col("cna")
+    val pb = col("ccb").cast("double") / col("cnb")
+    val pool = (col("cca") + col("ccb")).cast("double") /
+      (col("cna") + col("cnb"))
+    val z = (pa - pb) / nullif(sqrt(pool * (lit(1.0) - pool) *
+      (lit(1.0) / col("cna") + lit(1.0) / col("cnb"))), lit(0.0))
+    cum
+      .where(col("cna") > 0 && col("cnb") > 0)
+      .withColumn("z", round(z, 4))
+      .select(col("d").as("look_day"), col("cna").as("n_a"),
+        col("cnb").as("n_b"),
+        Seal.ratio4("cca", "cna").as("rate_a"),
+        Seal.ratio4("ccb", "cnb").as("rate_b"),
+        col("z"),
+        coalesce((abs(z) >= lit(boundary)).cast("long"), lit(0L))
+          .as("crossed"))
+      .orderBy("look_day")
+  }
 }

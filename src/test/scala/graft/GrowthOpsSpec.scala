@@ -193,4 +193,40 @@ class GrowthOpsSpec extends SparkSpec {
     assert(out.map(r => (r.getDouble(0), r.getLong(1))).toSeq ===
       Seq((0.6, 1L), (0.7, 1L), (0.8, 1L), (0.9, 1L)))
   }
+
+  test("bagFingerprintDups: order-shuffled twin clusters, singleton row") {
+    val df = Seq((1L, "a b c"), (2L, "c b a"), (3L, "x y"))
+      .toDF("id", "tx")
+    val out = Dedup.bagFingerprintDups(df, col("id"), col("tx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(out === Seq((1L, 1L, 0L, 0L), (2L, 1L, 1L, 5L)))
+  }
+
+  test("prefixBoilerplate: shared 8-token header surfaces") {
+    val hdr = "h1 h2 h3 h4 h5 h6 h7 h8"
+    val df = Seq((1L, s"$hdr tail one"), (2L, s"$hdr other tail"),
+      (3L, "unique doc")).toDF("id", "tx")
+    val out = Dedup.prefixBoilerplate(df, col("id"), col("tx"))
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getString(0) === hdr)
+    assert(out.head.getLong(1) === 2L)
+  }
+
+  test("sequentialMonitor: balanced identical arms never cross") {
+    val d1 = java.sql.Date.valueOf("2024-01-01")
+    val d2 = java.sql.Date.valueOf("2024-01-02")
+    val df = Seq(
+      (d1, "A", 1L), (d1, "A", 0L), (d1, "B", 1L), (d1, "B", 0L),
+      (d2, "A", 1L), (d2, "A", 0L), (d2, "B", 1L), (d2, "B", 0L))
+      .toDF("d", "v", "c")
+    val out = Trend.sequentialMonitor(df, col("d"), col("v"), col("c"),
+      "A", "B").collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      assert(r.getDouble(5) === 0.0)
+      assert(r.getLong(6) === 0L)
+    }
+  }
 }
