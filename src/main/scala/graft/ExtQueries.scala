@@ -2322,7 +2322,9 @@ object ExtQueries {
       val e = T(s, dir, "events")
         .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
       val cohort = e.groupBy("user_id").agg(min("day").as("cohort_day"))
-      e.join(broadcast(cohort), "user_id")
+      // user-count-sized: hint-free — the documented shuffle join on
+      // user_id at real scale (AQE broadcasts at fixture scale)
+      e.join(cohort, "user_id")
         .select(col("user_id"), col("cohort_day"),
           expr("(day - cohort_day) div 7").as("week_offset"))
         .distinct()

@@ -282,7 +282,7 @@ object GrowthQueries {
       |cv AS (SELECT lb AS cl, list(c ORDER BY i) AS cv FROM cd
       |       GROUP BY 1),
       |di AS (SELECT p.pid, p.lb, c.cl,
-      |        sqrt(CAST(list_sum(list_transform(range(1, 65),
+      |        sqrt(CAST(list_sum(list_transform(range(1, len(p.xq) + 1),
       |          k -> (p.xq[k] - c.cv[k]) * (p.xq[k] - c.cv[k])))
       |          AS DOUBLE)) AS dist
       |      FROM e p CROSS JOIN cv c),
@@ -618,12 +618,14 @@ object GrowthQueries {
       |pr AS (SELECT inter, sa.sz + sb.sz - inter AS uni
       |      FROM iv JOIN sz sa ON sa.id = iv.id_a
       |      JOIN sz sb ON sb.id = iv.id_b),
-      |ex AS (SELECT CAST(t10 AS BIGINT) AS t10, inter, uni
-      |      FROM pr CROSS JOIN (SELECT unnest([6, 7, 8, 9]) AS t10))
-      |SELECT CAST(t10 AS DOUBLE) / 10.0 AS threshold,
-      |  CAST(count(*) AS BIGINT) AS n_pairs
-      |FROM ex WHERE inter * 10 >= t10 * uni
-      |GROUP BY 1 ORDER BY threshold""".stripMargin))
+      |sp AS (SELECT CAST(unnest([6, 7, 8, 9]) AS BIGINT) AS t10),
+      |ct AS (SELECT t10, CAST(count(*) AS BIGINT) AS n_pairs
+      |      FROM pr CROSS JOIN sp WHERE inter * 10 >= t10 * uni
+      |      GROUP BY 1)
+      |SELECT CAST(sp.t10 AS DOUBLE) / 10.0 AS threshold,
+      |  coalesce(ct.n_pairs, CAST(0 AS BIGINT)) AS n_pairs
+      |FROM sp LEFT JOIN ct ON sp.t10 = ct.t10
+      |ORDER BY threshold""".stripMargin))
 
   /** [[Dedup.bagFingerprintDups]]: word-order-invariant duplicate
     * clusters — the template-refill detector md5(text) misses. */
@@ -714,6 +716,19 @@ object GrowthQueries {
       |    AS crossed
       |FROM zz ORDER BY look_day""".stripMargin))
 
+  /** [[Dedup.ngramContainmentPairsBanded]]: the q255 scale twin (the
+    * q60/q61/q305 convention) — rare-first prefix-filter candidates with
+    * the min-side size condition instead of the every-same-block-pair
+    * join, exact distinct-gram verify, SAME oracle: the driver's gate
+    * pins bit-identical output. */
+  private val q326 = QDef("q326_ngram_containment_banded",
+    (s, dir) => Dedup.ngramContainmentPairsBanded(T(s, dir, "documents"),
+        col("text"), col("doc_id"), col("source"), n = 1, minC = 0.9)
+      .withColumn("containment", round(col("containment"), 4))
+      .orderBy("id_a", "id_b"),
+    Some(InferenceQueries.containmentOracle))
+
   def all: Seq[QDef] = Seq(q307, q308, q309, q310, q311, q312, q313, q314,
-    q315, q316, q317, q318, q319, q320, q321, q322, q323, q324, q325)
+    q315, q316, q317, q318, q319, q320, q321, q322, q323, q324, q325,
+    q326)
 }

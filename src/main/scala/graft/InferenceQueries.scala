@@ -784,14 +784,9 @@ object InferenceQueries {
       |    / 10000.0 AS chi2_cmh
       |FROM ag""".stripMargin))
 
-  /** [[Dedup.ngramContainmentPairs]]: subset-duplicate pairs Jaccard
-    * misses — short docs embedded in long ones within a source block. */
-  private val q255 = QDef("q255_ngram_containment",
-    (s, dir) => Dedup.ngramContainmentPairs(T(s, dir, "documents"),
-        col("text"), col("doc_id"), col("source"), n = 1, minC = 0.9)
-      .withColumn("containment", round(col("containment"), 4))
-      .orderBy("id_a", "id_b"),
-    Some("""WITH g AS (SELECT doc_id, source,
+  /** Shared by q255 and its banded scale twin q326 (GrowthQueries) —
+    * the q60/q61/q305 same-oracle convention pins them bit-identical. */
+  val containmentOracle: String = """WITH g AS (SELECT doc_id, source,
       |        list_distinct(string_split(text, ' ')) AS grams
       |      FROM documents),
       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -805,7 +800,16 @@ object InferenceQueries {
       |  CAST((2 * CAST(round(c * least(n_a, n_b), 0) AS HUGEINT) * 10000
       |    + least(n_a, n_b)) // (2 * least(n_a, n_b)) AS DOUBLE)
       |    / 10000.0 AS containment
-      |FROM p WHERE c >= 0.9 ORDER BY id_a, id_b""".stripMargin))
+      |FROM p WHERE c >= 0.9 ORDER BY id_a, id_b""".stripMargin
+
+  /** [[Dedup.ngramContainmentPairs]]: subset-duplicate pairs Jaccard
+    * misses — short docs embedded in long ones within a source block. */
+  private val q255 = QDef("q255_ngram_containment",
+    (s, dir) => Dedup.ngramContainmentPairs(T(s, dir, "documents"),
+        col("text"), col("doc_id"), col("source"), n = 1, minC = 0.9)
+      .withColumn("containment", round(col("containment"), 4))
+      .orderBy("id_a", "id_b"),
+    Some(containmentOracle))
 
   /** [[Inference.grubbs]]: single-outlier scan of customer balances
     * (whole dollars keep n·Σx² long-safe) — N-cleared integer extreme

@@ -34,8 +34,10 @@ object Curate {
       .localCheckpoint()
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = df.select(count(lit(1)).as("__n"))
+    // dfreq is vocabulary-sized (unbounded over open text): no hint —
+    // AQE broadcasts it while it fits, shuffle-joins on term past that
     val scored = tf
-      .join(broadcast(dfreq), "term")
+      .join(dfreq, "term")
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
         round(col("tf") * log(col("__n").cast("double") / col("df")), 4))
@@ -63,7 +65,8 @@ object Curate {
     val tok = df.select(id.as("doc_id"),
       posexplode(split(text, " ")).as(Seq("pos", "term")))
     val vocab = tok.groupBy("term").agg(count_distinct(col("doc_id")).as("df"))
-    tok.join(broadcast(vocab), "term")
+    // vocabulary-sized build: hint-free (AQE decides; see tfidfTopTerms)
+    tok.join(vocab, "term")
       .select(col("doc_id"), col("pos"),
         when(col("df") >= minDf, col("term")).otherwise(lit(unk)).as("tok2"),
         when(col("df") >= minDf, 0L).otherwise(1L).as("oov"))
@@ -108,8 +111,9 @@ object Curate {
       (col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val denom = col("tf") + lit(k1) *
       (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl"))
+    // dfreq vocabulary-sized: hint-free (AQE decides; see tfidfTopTerms)
     val scored = tf
-      .join(broadcast(dfreq), "term")
+      .join(dfreq, "term")
       .crossJoin(broadcast(stats))
       .withColumn("bm25", round(idf * col("tf") * lit(k1 + 1.0) / denom, 4))
     val w = Window.partitionBy("doc_id").orderBy(desc("bm25"), col("term"))

@@ -433,8 +433,11 @@ object Dedup {
       .groupBy("id", "blk", "term").agg(count(lit(1)).as("tf"))
       .repartition(para, col("id"))
       .localCheckpoint()
+    // dfT is VOCABULARY-sized (grows with open-text corpus): no
+    // broadcast hint — AQE broadcasts it when small, degrades to a
+    // shuffle join on term when it isn't
     val dfT = tok.groupBy("term").agg(count(lit(1)).as("df"))
-    val wdf = tok.join(broadcast(dfT), "term")
+    val wdf = tok.join(dfT, "term")
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("df").desc, col("term").desc)
     val docAll = org.apache.spark.sql.expressions.Window.partitionBy("id")
@@ -448,11 +451,12 @@ object Dedup {
     // length filter (lossless): wj ≥ t forces t·tb ≤ ta ≤ tb/t — both
     // total masses within a 1/t factor — so mismatched-length pairs
     // drop DURING candidate generation (1−1e-9 slack keeps the double
-    // compare conservative). tt joins the probe side as a broadcast of
-    // the doc-cardinality totals table.
+    // compare conservative). The per-doc totals table is CORPUS-
+    // cardinality (one row per doc), so it carries no broadcast hint:
+    // the join keys on id, where tok is already partitioned.
     val totalsB = tok.groupBy("id").agg(sum("tf").as("tta"))
     val cand = tok.select(col("blk"), col("term"), col("id").as("ia"))
-      .join(broadcast(totalsB.select(col("id").as("ia"), col("tta"))),
+      .join(totalsB.select(col("id").as("ia"), col("tta")),
         Seq("ia"))
       .join(prefix.select(col("blk"), col("term"), col("id").as("ib"),
         col("tt").as("ttb")), Seq("blk", "term"))
@@ -467,19 +471,29 @@ object Dedup {
     // verification runs as a codegen two-pointer merge over per-doc
     // sorted posting arrays (SparseMinSum) — the posting-join spelling
     // (cand ⋈ tok ⋈ tok + re-aggregation) shuffles |pairs|·|doc| rows
-    // and measured 2.5 s against the merge's sub-second pass
+    // and measured 2.5 s against the merge's sub-second pass. The
+    // postings table is CORPUS-sized, so it carries no broadcast hint:
+    // it is first semi-joined down to the candidate id set (bounded by
+    // true near-dups after the prefix+length filters), and the pair
+    // joins are left to AQE — at runtime the reduced table is small
+    // enough to auto-broadcast, and at any scale where it isn't, the
+    // join degrades to a shuffle instead of OOMing driver/executors.
     val docs = tok.groupBy("id")
       .agg(array_sort(collect_list(struct(col("term"), col("tf"))))
         .as("ps"), sum("tf").as("tt"))
       .select(col("id"), expr("transform(ps, p -> p.term)").as("ks"),
         expr("transform(ps, p -> p.tf)").as("vs"), col("tt"))
+      .repartition(para, col("id"))
       .localCheckpoint()
     val totals = docs.select(col("id"), col("tt"))
+    val candIds = cand.select(col("id_a").as("id"))
+      .union(cand.select(col("id_b").as("id"))).distinct()
+    val cdocs = docs.join(candIds, Seq("id"), "left_semi")
     val mins = cand
-      .join(broadcast(docs.select(col("id").as("id_a"),
-        col("ks").as("ka"), col("vs").as("va"))), Seq("id_a"))
-      .join(broadcast(docs.select(col("id").as("id_b"),
-        col("ks").as("kb"), col("vs").as("vb"))), Seq("id_b"))
+      .join(cdocs.select(col("id").as("id_a"),
+        col("ks").as("ka"), col("vs").as("va")), Seq("id_a"))
+      .join(cdocs.select(col("id").as("id_b"),
+        col("ks").as("kb"), col("vs").as("vb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         org.apache.spark.sql.graft.SparseExprs.sparseMinSum(
           col("ka"), col("va"), col("kb"), col("vb")).as("smin"))
@@ -515,6 +529,74 @@ object Dedup {
       .withColumn("__raw", col("__i").cast("double") / col("__mn"))
       .where(col("__raw") >= minC)
       // threshold on the raw ratio, display integer-sealed (Seal)
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+        Seal.ratio4("__i", "__mn").as("containment"))
+  }
+
+  /** Banded scale twin of [[ngramContainmentPairs]] (the q60/q61/q305
+    * convention: bit-identical output, scale-shaped candidates). The
+    * naive form meets every same-block pair; here each doc's distinct
+    * grams order globally rare-first (df asc, gram asc) and only the
+    * PREFIX of length s − ⌈t·s⌉ + 1 is indexed: containment ≥ t forces
+    * |A∩B| ≥ ⌈t·min(|A|,|B|)⌉, and if every shared gram missed the MIN
+    * side's prefix the overlap would cap at ⌈t·s_min⌉ − 1 (pigeonhole)
+    * — so each qualifying pair shares a prefix gram of its min side,
+    * and the full⋈prefix (block, gram) equi-join with the min-side
+    * size condition finds it (conservative 1−1e-9 slack on the ceil).
+    * Candidates verify with the exact distinct-gram intersection —
+    * output EQUALS the naive join. Unlike the Jaccard twins there is
+    * NO length filter: subset-duplicates with arbitrary length ratio
+    * are precisely what containment exists to catch. */
+  def ngramContainmentPairsBanded(df: DataFrame, text: Column, id: Column,
+                                  block: Column, n: Int = 1,
+                                  minC: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams =
+      if (n == 1) array_distinct(split(text, " ")) else shingles(text, n)
+    val para = df.sparkSession.sessionState.conf.numShufflePartitions
+    // one pin for three consumers (token stream, both verify sides),
+    // repartitioned by id against the checkpoint-1-partition trap
+    val t = df.select(id.as("id"), block.as("blk"), grams.as("g"))
+      .where(col("id").isNotNull && col("blk").isNotNull)
+      .select(col("id"), col("blk"), col("g"),
+        size(col("g")).cast("long").as("sz"))
+      .repartition(para, col("id"))
+      .localCheckpoint()
+    val tok = t.select(col("id"), col("blk"), col("sz"),
+      explode(col("g")).as("tm"))
+    // vocabulary-sized df table: hint-free (AQE decides)
+    val dfT = tok.groupBy("tm").agg(count(lit(1)).as("df"))
+    val wD = Window.partitionBy("id").orderBy(col("df"), col("tm"))
+    val plen = col("sz") -
+      ceil(col("sz").cast("double") * lit(minC * (1 - 1e-9))).cast("long") +
+      lit(1L)
+    val prefix = tok.join(dfT, "tm")
+      .withColumn("rn", row_number().over(wD))
+      .where(col("rn") <= plen)
+      .select(col("blk"), col("tm"), col("id").as("ib"),
+        col("sz").as("szb"))
+    val cand = tok
+      .select(col("blk"), col("tm"), col("id").as("ia"), col("sz").as("sza"))
+      .join(prefix, Seq("blk", "tm"))
+      .where(col("ia") =!= col("ib") && col("szb") <= col("sza"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"))
+      .distinct()
+    // exact verify over the candidate-reduced gram-array table — the
+    // q305 device: semi-join first, no corpus-sized broadcast hint
+    val candIds = cand.select(col("id_a").as("id"))
+      .union(cand.select(col("id_b"))).distinct()
+    val cdocs = t.join(candIds, Seq("id"), "left_semi")
+    cand
+      .join(cdocs.select(col("id").as("id_a"), col("g").as("ga"),
+        col("sz").as("n_a")), Seq("id_a"))
+      .join(cdocs.select(col("id").as("id_b"), col("g").as("gb"),
+        col("sz").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+        size(array_intersect(col("ga"), col("gb"))).cast("long").as("__i"))
+      .withColumn("__mn", least(col("n_a"), col("n_b")))
+      .withColumn("__raw", col("__i").cast("double") / col("__mn"))
+      .where(col("__raw") >= minC)
       .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
         Seal.ratio4("__i", "__mn").as("containment"))
   }
@@ -946,8 +1028,11 @@ object Dedup {
     * tokens), checkpointed and repartitioned by id per the q266
     * finding; each pair's intersection/union are exact ints, and the
     * threshold test is the INTEGER comparison 10·inter ≥ t10·union —
-    * no double ever decides a boundary. Output: (threshold, n_pairs ≥
-    * threshold), cumulative by construction. */
+    * no double ever decides a boundary. Output: ONE row per REQUESTED
+    * threshold (a literal spine left-joined to the survivor counts,
+    * n_pairs 0 when nothing survives — an absent row would be
+    * indistinguishable from "not computed"), cumulative by
+    * construction. */
   def jaccardThresholdCurve(df: DataFrame, text: Column, id: Column,
                             block: Column,
                             thresholds10: Seq[Int] = Seq(6, 7, 8, 9))
@@ -973,14 +1058,18 @@ object Dedup {
       .join(sizes.select(col("id").as("id_b"), col("sz").as("nb")), "id_b")
       .select(col("inter"), (col("na") + col("nb") - col("inter"))
         .as("uni"))
-    pairs
+    val counts = pairs
       .select(explode(array(thresholds10.map(t => lit(t.toLong)): _*))
         .as("t10"), col("inter"), col("uni"))
       .where(col("inter") * 10 >= col("t10") * col("uni"))
       .groupBy("t10")
       .agg(count(lit(1)).as("n_pairs"))
+    val spine = spark.range(1)
+      .select(explode(array(thresholds10.map(t => lit(t.toLong)): _*))
+        .as("t10"))
+    spine.join(counts, Seq("t10"), "left")
       .select((col("t10").cast("double") / 10.0).as("threshold"),
-        col("n_pairs"))
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
       .orderBy("threshold")
   }
 

@@ -12,6 +12,21 @@ import org.apache.spark.sql.functions._
   * list, nothing driver-side.
   */
 object Graph {
+  /** Broadcast-or-shuffle switch for the VERTEX-sized side tables
+    * (degree tables, rank/score tables, per-iteration sums). The
+    * contract: with `on = true` (default) the vertex table is pinned
+    * onto every executor — right whenever |V| fits the broadcast
+    * budget, which holds for every graded fixture and for most
+    * real graphs (the edge list dwarfs the vertex set). Callers with
+    * vertex sets past the budget (billion-vertex graphs) pass
+    * `broadcastVertices = false` and every vertex join degrades to a
+    * shuffle join on the same keys — identical results, no
+    * driver/executor OOM, just an extra vertex-table exchange per
+    * join. One-row aggregate broadcasts stay unconditional (bounded
+    * by construction). */
+  private def bcastIf(on: Boolean)(df: DataFrame): DataFrame =
+    if (on) broadcast(df) else df
+
   /** Fixed-iteration HITS (Kleinberg 1999) over the distinct bipartite
     * edge list (src, dst). Authorities start at 1; each iteration computes
     * hub(s) = Σ auth(d) over s's edges, then auth(d) = Σ hub(s) over d's
@@ -32,7 +47,9 @@ object Graph {
     * Emits the hub side: (vertex, score) with score the final fixed-point
     * hub value, ordered for the gate by score desc, vertex asc. */
   def hitsBipartite(edges: DataFrame, src: Column, dst: Column,
-                    iters: Int): DataFrame = {
+                    iters: Int,
+                    broadcastVertices: Boolean = true): DataFrame = {
+    val bv = bcastIf(broadcastVertices) _
     require(iters >= 1 && iters <= 8,
       "iters must be in [1, 8]: each iteration is two edge-list shuffles")
     // null-keyed edges can never match the iteration equi-joins, so drop
@@ -55,13 +72,13 @@ object Graph {
     // to the driver as a literal (bounded collect, like the IVF codebook)
     // instead of a 1-row broadcast join.
     for (_ <- 1 to iters) {
-      val hRaw = e.join(broadcast(auth), "d")
+      val hRaw = e.join(bv(auth), "d")
         .groupBy("s").agg(sum("a").as("hr")).localCheckpoint()
       val hMax = hRaw.agg(max("hr")).head.getLong(0)
       hub = hRaw.select(col("s"),
         round(col("hr").cast("double") * lit(1e6) / lit(hMax).cast("double"), 0)
           .cast("long").as("h"))
-      val aRaw = e.join(broadcast(hub), "s")
+      val aRaw = e.join(bv(hub), "s")
         .groupBy("d").agg(sum("h").as("ar")).localCheckpoint()
       val aMax = aRaw.agg(max("ar")).head.getLong(0)
       auth = aRaw.select(col("d"),
@@ -92,7 +109,9 @@ object Graph {
     * integer sums and no association order can move a bit (FIXTURES.md).
     */
   def pageRank(edges: DataFrame, src: Column, dst: Column,
-               iters: Int): DataFrame = {
+               iters: Int,
+               broadcastVertices: Boolean = true): DataFrame = {
+    val bv = bcastIf(broadcastVertices) _
     require(iters >= 1 && iters <= 8,
       "iters must be in [1, 8]: each iteration shuffles the edge list")
     // ONE shuffle dedups the edge list; everything vertex-sized below
@@ -104,7 +123,7 @@ object Graph {
     val e = edges.select(src.as("s"), dst.as("d"))
       .where(col("s").isNotNull && col("d").isNotNull).distinct()
     val eDeg = e.join(
-        broadcast(e.groupBy("s").agg(count(lit(1)).as("deg"))), "s")
+        bv(e.groupBy("s").agg(count(lit(1)).as("deg"))), "s")
       .localCheckpoint()
     require(!eDeg.isEmpty,
       "pageRank needs a non-empty edge list after null filtering")
@@ -112,12 +131,12 @@ object Graph {
       .union(eDeg.select(col("d"))).distinct().localCheckpoint()
     var pr = verts.select(col("v"), lit(1000000L).as("p")) // fixed-point 1.0
     for (_ <- 1 to iters) {
-      val sums = eDeg.join(broadcast(pr), col("s") === col("v"))
+      val sums = eDeg.join(bv(pr), col("s") === col("v"))
         .select(col("d"),
           round(col("p").cast("double") / col("deg").cast("double"), 0)
             .cast("long").as("c"))
         .groupBy("d").agg(sum("c").as("sc")) // map-side combinable
-      pr = verts.join(broadcast(sums), col("v") === col("d"), "left")
+      pr = verts.join(bv(sums), col("v") === col("d"), "left")
         .select(col("v"), (lit(150000L) +
           round(lit(0.85) * coalesce(col("sc"), lit(0L)).cast("double"), 0)
             .cast("long")).as("p"))
@@ -139,7 +158,9 @@ object Graph {
     * n_triangles) — all exact integer counts; the degree tables are
     * vertex-sized broadcasts, the only corpus-scale shuffles are the edge
     * dedup and the two equi-joins. */
-  def triangleCount(edges: DataFrame, u: Column, v: Column): DataFrame = {
+  def triangleCount(edges: DataFrame, u: Column, v: Column,
+                    broadcastVertices: Boolean = true): DataFrame = {
+    val bv = bcastIf(broadcastVertices) _
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(least(u, v).as("u"), greatest(u, v).as("v"))
@@ -149,8 +170,8 @@ object Graph {
     val deg = e.select(col("u").as("vert")).union(e.select(col("v")))
       .groupBy("vert").agg(count(lit(1)).as("d")).localCheckpoint()
     val ed = e
-      .join(broadcast(deg.select(col("vert").as("u"), col("d").as("du"))), "u")
-      .join(broadcast(deg.select(col("vert").as("v"), col("d").as("dv"))), "v")
+      .join(bv(deg.select(col("vert").as("u"), col("d").as("du"))), "u")
+      .join(bv(deg.select(col("vert").as("v"), col("d").as("dv"))), "v")
     val uFirst = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
     val o = ed.select(
         when(uFirst, col("u")).otherwise(col("v")).as("s"),
@@ -217,8 +238,10 @@ object Graph {
     * double division quantized to 1e-6 fixed-point before the exact
     * global sum (the chiSqTerm device); counts assemble via 1-row
     * broadcasts. Same O(|E|^1.5) wedge bound as [[triangleCount]]. */
-  def clusteringCoefficient(edges: DataFrame, u: Column,
-                            v: Column): DataFrame = {
+  def clusteringCoefficient(edges: DataFrame, u: Column, v: Column,
+                            broadcastVertices: Boolean = true)
+      : DataFrame = {
+    val bv = bcastIf(broadcastVertices) _
     val e = edges.select(least(u, v).as("u"), greatest(u, v).as("v"))
       .where(col("u").isNotNull && col("v").isNotNull &&
         col("u") =!= col("v"))
@@ -226,8 +249,8 @@ object Graph {
     val deg = e.select(col("u").as("vert")).union(e.select(col("v")))
       .groupBy("vert").agg(count(lit(1)).as("d")).localCheckpoint()
     val ed = e
-      .join(broadcast(deg.select(col("vert").as("u"), col("d").as("du"))), "u")
-      .join(broadcast(deg.select(col("vert").as("v"), col("d").as("dv"))), "v")
+      .join(bv(deg.select(col("vert").as("u"), col("d").as("du"))), "u")
+      .join(bv(deg.select(col("vert").as("v"), col("d").as("dv"))), "v")
     val uFirst = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
     val o = ed.select(
         when(uFirst, col("u")).otherwise(col("v")).as("s"),
@@ -277,7 +300,9 @@ object Graph {
     * Output: vertices per level. Each round is one edge join against
     * the vertex-sized level table. */
   def dagLayers(edges: DataFrame, u: Column, v: Column,
-                rounds: Int = 4): DataFrame = {
+                rounds: Int = 4,
+                broadcastVertices: Boolean = true): DataFrame = {
+    val bv = bcastIf(broadcastVertices) _
     require(rounds >= 1, "rounds must be >= 1")
     val e = edges.select(least(u, v).as("u"), greatest(u, v).as("v"))
       .where(col("u").isNotNull && col("v").isNotNull &&
@@ -286,8 +311,8 @@ object Graph {
     val deg = e.select(col("u").as("vert")).union(e.select(col("v")))
       .groupBy("vert").agg(count(lit(1)).as("d"))
     val ed = e
-      .join(broadcast(deg.select(col("vert").as("u"), col("d").as("du"))), "u")
-      .join(broadcast(deg.select(col("vert").as("v"), col("d").as("dv"))), "v")
+      .join(bv(deg.select(col("vert").as("u"), col("d").as("du"))), "u")
+      .join(bv(deg.select(col("vert").as("v"), col("d").as("dv"))), "v")
     val uFirst = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
     val o = ed.select(when(uFirst, col("u")).otherwise(col("v")).as("s"),
         when(uFirst, col("v")).otherwise(col("u")).as("t"))
@@ -313,8 +338,10 @@ object Graph {
     * longs, the correlation is [[Trend.pearson]]'s integer power-sum
     * closed form — one edge-table pass after the degree aggregation.
     * r > 0: hubs attach to hubs; r < 0: hubs attach to leaves. */
-  def degreeAssortativity(edges: DataFrame, u: Column,
-                          v: Column): DataFrame = {
+  def degreeAssortativity(edges: DataFrame, u: Column, v: Column,
+                          broadcastVertices: Boolean = true)
+      : DataFrame = {
+    val bv = bcastIf(broadcastVertices) _
     val e = edges.select(least(u, v).as("u"), greatest(u, v).as("v"))
       .where(col("u").isNotNull && col("v").isNotNull &&
         col("u") =!= col("v"))
@@ -322,8 +349,8 @@ object Graph {
     val deg = e.select(col("u").as("vert")).union(e.select(col("v")))
       .groupBy("vert").agg(count(lit(1)).as("d"))
     val ed = e
-      .join(broadcast(deg.select(col("vert").as("u"), col("d").as("du"))), "u")
-      .join(broadcast(deg.select(col("vert").as("v"), col("d").as("dv"))), "v")
+      .join(bv(deg.select(col("vert").as("u"), col("d").as("du"))), "u")
+      .join(bv(deg.select(col("vert").as("v"), col("d").as("dv"))), "v")
     val pairs = ed.select(col("du").as("x"), col("dv").as("y"))
       .union(ed.select(col("dv"), col("du")))
     Trend.pearson(pairs.withColumn("g", lit("all")), col("g"),

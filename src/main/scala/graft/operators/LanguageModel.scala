@@ -33,7 +33,9 @@ object LanguageModel {
     val tok = df.select(id.as("doc_id"), explode(split(text, " ")).as("term"))
     val counts = tok.groupBy("term").agg(count(lit(1)).as("c"))
     val total = tok.agg(count(lit(1)).as("__n"))
-    tok.join(broadcast(counts), "term")
+    // the unigram table is vocabulary-sized (unbounded over open text):
+    // no broadcast hint — AQE broadcasts while it fits, else shuffle-join
+    tok.join(counts, "term")
       .crossJoin(broadcast(total))
       .select(col("doc_id"),
         round(log(col("c").cast("double") / col("__n")) * lit(1e6), 0)
@@ -79,10 +81,12 @@ object LanguageModel {
       .where(col("c_ab") >= minCount)
     val nBi = toks.select(sum(greatest(size(col("__t")) - 1, lit(0)))
       .cast("long").as("__nb"))
-    bi.join(broadcast(uni.withColumnRenamed("term", "term_a")
-        .withColumnRenamed("c", "c_a")), "term_a")
-      .join(broadcast(uni.withColumnRenamed("term", "term_b")
-        .withColumnRenamed("c", "c_b")), "term_b")
+    // the unigram table is vocabulary-sized: hint-free on both joins
+    // (AQE decides; the bigram probe side is already post-minCount)
+    bi.join(uni.withColumnRenamed("term", "term_a")
+        .withColumnRenamed("c", "c_a"), "term_a")
+      .join(uni.withColumnRenamed("term", "term_b")
+        .withColumnRenamed("c", "c_b"), "term_b")
       .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
       // cast-then-multiply: the products stay exact doubles below 2^53
       // (ample at fixture scale; a 100 TB deployment moves to the
@@ -141,8 +145,11 @@ object LanguageModel {
       .agg(countDistinct(col("term")).as("vv"))
     val lq = round(log((col("c12") + 1).cast("double") /
       (col("cs") + col("vv")).cast("double")) * lit(1e6), 0).cast("long")
-    bi.join(broadcast(cb), Seq("w1", "w2"))
-      .join(broadcast(c1), Seq("w1"))
+    // model tables are bigram/unigram-TYPE sized (unbounded): hint-free
+    // — this IS the documented 100 TB swap to shuffle joins keyed on
+    // w1(,w2); AQE still broadcasts them at fixture scale
+    bi.join(cb, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
       .crossJoin(broadcast(v))
       .select(col("doc_id"), lq.as("lq"))
       .groupBy("doc_id")

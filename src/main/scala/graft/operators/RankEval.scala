@@ -217,10 +217,12 @@ object RankEval {
     * rows: Adjusted Rand Index plus purity / inverse purity — "do
     * these two groupings cut the data the same way?" (dedup clusters
     * vs source blocks, predicted vs gold labels). All pair counts
-    * C(x,2) = shiftright(x(x−1), 1) stay exact longs; the ARI expected
-    * term goes through double space (Pa·Pb outgrows Long at ~10⁹
-    * rows); purity is one division of exact max-cell sums. NULL ARI on
-    * the degenerate single-cluster×single-cluster case. */
+    * C(x,2) = shiftright(x(x−1), 1) stay exact longs; the ARI
+    * numerator/denominator products (Pa·Pb is order n⁴/4, past Long at
+    * ~10⁵ rows with coarse clusterings) go through decimal(38,0) — the
+    * Sampling.designEffect / Inference.friedman pattern — mirroring
+    * the oracle's HUGEINT; purity is one division of exact max-cell
+    * sums. NULL ARI on the degenerate single×single-cluster case. */
   def partitionAgreement(df: DataFrame, u: Column,
                          v: Column): DataFrame = {
     def c2(c: Column) = shiftright(c * (c - 1), 1)
@@ -240,13 +242,16 @@ object RankEval {
     // ARI is an exact rational: multiply numerator and denominator by
     // 2·C2(n) — num = 2·C2·pij − 2·pa·pb, den = C2·(pa+pb) − 2·pa·pb —
     // then seal the integer ratio (Seal.ratio4; sign handled there)
+    def d38(c: Column) = c.cast("decimal(38,0)")
     pij.crossJoin(broadcast(pa)).crossJoin(broadcast(pb))
       .crossJoin(broadcast(nn))
-      .withColumn("c2n", expr("(n * (n - 1)) div 2"))
-      .withColumn("anum", lit(2) * col("c2n") * col("pij") -
-        lit(2) * col("pa") * col("pb"))
-      .withColumn("aden", nullif(col("c2n") * (col("pa") + col("pb")) -
-        lit(2) * col("pa") * col("pb"), lit(0L)))
+      .withColumn("c2n", expr("(n * (n - 1)) div 2").cast("decimal(38,0)"))
+      .withColumn("anum", lit(2) * col("c2n") * d38(col("pij")) -
+        lit(2) * d38(col("pa")) * d38(col("pb")))
+      .withColumn("aden",
+        nullif(col("c2n") * (d38(col("pa")) + d38(col("pb"))) -
+          lit(2) * d38(col("pa")) * d38(col("pb")),
+          lit(0L).cast("decimal(38,0)")))
       .select(col("n"), col("ku").as("k_u"), col("kv").as("k_v"),
         Seal.ratio4("anum", "aden").as("ari"),
         Seal.ratio4("purn", "n").as("purity"),

@@ -80,23 +80,42 @@ object Skew {
     * as tie-break): Σ(2i − n − 1)·cᵢ / (n·Σc) — integer numerator and
     * denominator, one double division, round(,4) (FIXTURES.md).
     *
-    * Scale: pass 1 is a map-side-combined count per key; the ranking
-    * window then runs over the KEY-COUNT table (|keys| rows, not |rows|).
-    * That table is single-partition windowed here — fine to ~10⁷ keys; a
-    * 100 TB run with ~10⁹ keys swaps in a two-phase rank (range-partition
-    * by c, then offset per partition) without changing the output. */
+    * Scale: pass 1 is a map-side-combined count per key; NO per-key rank
+    * is ever materialized. A tie block of m keys sharing count c at key
+    * prefix P (keys with smaller count) contributes exactly
+    * c·m·(2P + m − n) to the Gini numerator (arithmetic-series collapse
+    * of Σ(2i−n−1)·c over i = P+1..P+m — bit-identical to the row_number
+    * spelling, which the oracle still runs), so the only ordered
+    * structure is the COUNT-VALUE spine: d distinct counts satisfy
+    * d(d+1)/2 ≤ Σc, so d ≤ √(2·n_rows) — PROVABLY sublinear (≈450k
+    * spine rows at 10¹¹ input rows), unlike the key-count table whose
+    * cardinality is unbounded (the bounded-spine window convention of
+    * weightedPercentileBucketed/aucRocBucketed, here with a bound). The
+    * top-10 block is a TakeOrderedAndProject (10 rows per partition
+    * before the driver merge), never a global sort — total order (c, k)
+    * makes its boundary engine-exact. Billions of keys never meet a
+    * single-task window. */
   def keyDistribution(df: DataFrame, key: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val para = df.sparkSession.sessionState.conf.numShufflePartitions
+    // three consumers (spine, totals, top-10) — pin the key-count table
+    // once, repartitioned by the spine key (the q266 checkpoint rule)
     val counts = df.select(key.as("k")).groupBy("k")
       .agg(count(lit(1)).as("c"))
-    val ranked = counts
-      .withColumn("i", row_number().over(Window.orderBy(col("c"), col("k"))))
-      .withColumn("nk", count(lit(1)).over(Window.partitionBy()))
-    ranked.agg(count(lit(1)).as("n_keys"), sum("c").as("n_rows"),
-        max("c").as("max_c"),
-        sum(when(col("i") > col("nk") - 10, col("c")).otherwise(0L))
-          .as("top10_c"),
-        sum((lit(2) * col("i") - col("nk") - 1) * col("c")).as("gini_num"))
+      .repartition(para, col("c"))
+      .localCheckpoint()
+    val wC = Window.orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spine = counts.groupBy("c").agg(count(lit(1)).as("m"))
+      .withColumn("pfx", sum("m").over(wC) - col("m"))
+    val tot = counts.agg(count(lit(1)).as("n_keys"), sum("c").as("n_rows"),
+      max("c").as("max_c"))
+    val gini = spine.crossJoin(broadcast(tot))
+      .agg(sum(col("c") * col("m") *
+        (lit(2) * col("pfx") + col("m") - col("n_keys"))).as("gini_num"))
+    val top10 = counts.orderBy(desc("c"), desc("k")).limit(10)
+      .agg(coalesce(sum("c"), lit(0L)).as("top10_c"))
+    tot.crossJoin(broadcast(gini)).crossJoin(broadcast(top10))
       .withColumn("gden", col("n_keys") * col("n_rows"))
       .select(col("n_keys"), col("n_rows"),
         // exact count ratios seal in integer space (Seal.ratio4): the

@@ -95,4 +95,33 @@ class ExactTestsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_a") == 10L && r.getAs[Long]("n_b") == 3L)
     assert(r.getAs[Double]("containment") == 1.0)
   }
+
+  test("ngramContainmentPairsBanded equals the naive quadratic join on " +
+      "fixture documents (the scale-twin equality pin)") {
+    val docs = Tables.t(spark, sf, "documents")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id_a", "id_b").collect().toSeq
+    // fixture corpus at the query threshold
+    assert(canon(Dedup.ngramContainmentPairsBanded(docs, col("text"),
+        col("doc_id"), col("source"), n = 1, minC = 0.9)) ===
+      canon(Dedup.ngramContainmentPairs(docs, col("text"),
+        col("doc_id"), col("source"), n = 1, minC = 0.9)))
+    // lower threshold (longer prefixes) + shingles exercise the other arm
+    assert(canon(Dedup.ngramContainmentPairsBanded(docs, col("text"),
+        col("doc_id"), col("source"), n = 2, minC = 0.5)) ===
+      canon(Dedup.ngramContainmentPairs(docs, col("text"),
+        col("doc_id"), col("source"), n = 2, minC = 0.5)))
+    // the embedded-short-doc shape survives the banding
+    val df = Seq(
+      (1L, "a b c d e f g h i j", "s0"),
+      (2L, "a b c", "s0"),
+      (3L, "a x y z", "s0"),
+      (4L, "a b c", "s1")).toDF("doc_id", "text", "source")
+    val rows = Dedup.ngramContainmentPairsBanded(df, col("text"),
+      col("doc_id"), col("source"), n = 1, minC = 0.9).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("id_a") == 1L &&
+      rows(0).getAs[Long]("id_b") == 2L &&
+      rows(0).getAs[Double]("containment") == 1.0)
+  }
 }

@@ -38,6 +38,33 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("graph vertex broadcasts: hinted at fixture scale, and the " +
+      "broadcastVertices=false degrade path is hint-free with identical " +
+      "results (the billion-vertex contract)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, ResolvedHint}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 1L), (1L, 4L), (2L, 5L)).toDF("s", "d")
+    def nHints(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect {
+        case ResolvedHint(_, h) if h.strategy.contains(BROADCAST) => 1
+      }.sum
+    val hinted = Graph.pageRank(edges, col("s"), col("d"), iters = 2)
+    val shuffled = Graph.pageRank(edges, col("s"), col("d"), iters = 2,
+      broadcastVertices = false)
+    assert(nHints(hinted) > 0, "default fixture plan must pin the broadcast")
+    assert(nHints(shuffled) === 0, "degrade path must carry no hint")
+    assert(hinted.collect().toSeq === shuffled.collect().toSeq)
+    // the orientation/degree-join family degrades identically
+    assert(Graph.dagLayers(edges, col("s"), col("d"), rounds = 2)
+        .collect().toSeq ===
+      Graph.dagLayers(edges, col("s"), col("d"), rounds = 2,
+        broadcastVertices = false).collect().toSeq)
+    assert(Graph.degreeAssortativity(edges, col("s"), col("d"))
+        .collect().toSeq ===
+      Graph.degreeAssortativity(edges, col("s"), col("d"),
+        broadcastVertices = false).collect().toSeq)
+  }
+
   test("saltedJoin equals plain inner join; hot key spread across salts") {
     // skewed big side: one hot key with 2000 rows, tail of 100 keys
     val big = ((1 to 2000).map(i => (7L, i.toLong)) ++
