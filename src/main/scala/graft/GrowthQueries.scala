@@ -728,7 +728,33 @@ object GrowthQueries {
       .orderBy("id_a", "id_b"),
     Some(InferenceQueries.containmentOracle))
 
+  /** [[EventStreams.runCdcApply]]: the CDC SINK, oracle-gated — stream
+    * the events fixture through the foreachBatch crash-safe parquet
+    * merge (fresh state dir per invocation, the q20 side-effect
+    * convention) and gate the POST-APPLY STATE against DuckDB's
+    * latest-wins CTE: version-wins per user key, (ts, event_id)
+    * tie-break, exactly the q93 batch semantics — so the streamed
+    * multi-batch merge provably converges to the batch answer.
+    * Resume/crash-recovery semantics stay unit-pinned
+    * (SketchGraphSpec). */
+  private val q327 = QDef("q327_cdc_apply_state",
+    (s, dir) => {
+      val statePath = java.nio.file.Files
+        .createTempDirectory("graft_cdc_q327").toString + "/state"
+      EventStreams.runCdcApply(s, dir, statePath,
+          name = "graft_stream_cdc_q327")
+        .select(col("k").as("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("value"))
+        .orderBy("user_id")
+    },
+    Some("""WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |        value, row_number() OVER (PARTITION BY user_id
+      |          ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      |      FROM events)
+      |SELECT user_id, ts_us, event_id, value FROM x WHERE rn = 1
+      |ORDER BY user_id""".stripMargin))
+
   def all: Seq[QDef] = Seq(q307, q308, q309, q310, q311, q312, q313, q314,
     q315, q316, q317, q318, q319, q320, q321, q322, q323, q324, q325,
-    q326)
+    q326, q327)
 }

@@ -424,8 +424,9 @@ object Dedup {
     * slack on the double compare). Candidates then verify with the
     * exact full-postings min-sum — output EQUALS the naive join. */
   def weightedJaccardPairsBanded(df: DataFrame, text: Column, id: Column,
-                                 block: Column,
-                                 minW: Double = 0.6): DataFrame = {
+                                 block: Column, minW: Double = 0.6,
+                                 broadcastVocab: Boolean = true)
+      : DataFrame = {
     val para = df.sparkSession.sessionState.conf.numShufflePartitions
     val tok = df.select(id.as("id"), block.as("blk"),
         explode(split(text, " ")).as("term"))
@@ -433,11 +434,17 @@ object Dedup {
       .groupBy("id", "blk", "term").agg(count(lit(1)).as("tf"))
       .repartition(para, col("id"))
       .localCheckpoint()
-    // dfT is VOCABULARY-sized (grows with open-text corpus): no
-    // broadcast hint — AQE broadcasts it when small, degrades to a
-    // shuffle join on term when it isn't
+    // The document-frequency table is VOCABULARY-sized: Zipf keeps it
+    // orders of magnitude under the corpus, and the default pins the
+    // broadcast (the measured fast path — the shuffle-by-term spelling
+    // costs ~2.4 s extra at sf0.1 on the postings re-exchange alone).
+    // Past the executor broadcast budget (10^9-term n-gram vocabs),
+    // callers pass broadcastVocab = false and the join degrades to a
+    // shuffle join — the Graph.broadcastVertices contract shape.
+    val bvv = if (broadcastVocab) (d: DataFrame) => broadcast(d)
+              else identity[DataFrame] _
     val dfT = tok.groupBy("term").agg(count(lit(1)).as("df"))
-    val wdf = tok.join(dfT, "term")
+    val wdf = tok.join(bvv(dfT), "term")
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("df").desc, col("term").desc)
     val docAll = org.apache.spark.sql.expressions.Window.partitionBy("id")
@@ -549,32 +556,46 @@ object Dedup {
     * are precisely what containment exists to catch. */
   def ngramContainmentPairsBanded(df: DataFrame, text: Column, id: Column,
                                   block: Column, n: Int = 1,
-                                  minC: Double = 0.9): DataFrame = {
+                                  minC: Double = 0.9,
+                                  broadcastVocab: Boolean = true)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val grams =
       if (n == 1) array_distinct(split(text, " ")) else shingles(text, n)
     val para = df.sparkSession.sessionState.conf.numShufflePartitions
     // one pin for three consumers (token stream, both verify sides),
-    // repartitioned by id against the checkpoint-1-partition trap
-    val t = df.select(id.as("id"), block.as("blk"), grams.as("g"))
+    // repartitioned by id against the checkpoint-1-partition trap.
+    // Grams are 64-bit-hashed up front (the q61 convention: set sizes
+    // and intersections agree with the string form modulo ~1e-10/pair
+    // collision odds, and every downstream shuffle, join key, and
+    // per-pair intersection runs on fixed-width longs instead of
+    // shingle strings).
+    val t = df.select(id.as("id"), block.as("blk"), grams.as("g0"))
       .where(col("id").isNotNull && col("blk").isNotNull)
-      .select(col("id"), col("blk"), col("g"),
-        size(col("g")).cast("long").as("sz"))
+      .select(col("id"), col("blk"),
+        array_distinct(transform(col("g0"), g => xxhash64(g))).as("g"),
+        size(col("g0")).cast("long").as("sz"))
       .repartition(para, col("id"))
       .localCheckpoint()
     val tok = t.select(col("id"), col("blk"), col("sz"),
       explode(col("g")).as("tm"))
-    // vocabulary-sized df table: hint-free (AQE decides)
+    // vocabulary-sized df table: broadcast by default, shuffle-join
+    // degrade via broadcastVocab = false (the weightedJaccardPairsBanded
+    // / Graph.broadcastVertices contract shape)
+    val bvv = if (broadcastVocab) (d: DataFrame) => broadcast(d)
+              else identity[DataFrame] _
     val dfT = tok.groupBy("tm").agg(count(lit(1)).as("df"))
-    val wD = Window.partitionBy("id").orderBy(col("df"), col("tm"))
-    val plen = col("sz") -
-      ceil(col("sz").cast("double") * lit(minC * (1 - 1e-9))).cast("long") +
-      lit(1L)
-    val prefix = tok.join(dfT, "tm")
-      .withColumn("rn", row_number().over(wD))
-      .where(col("rn") <= plen)
-      .select(col("blk"), col("tm"), col("id").as("ib"),
-        col("sz").as("szb"))
+    // per-doc prefix as ONE hash aggregation (collect the doc's
+    // (df, gram) pairs, in-memory sort, slice) instead of a sort-based
+    // row_number window - the ngramJaccardPairsPrefix device (measured
+    // ~3x cheaper there; docs are bounded at 10^2-10^3 grams)
+    val prefix = tok.join(bvv(dfT), "tm")
+      .groupBy("blk", "id", "sz")
+      .agg(collect_list(struct(col("df"), col("tm"))).as("ps"))
+      .select(col("blk"), col("id").as("ib"), col("sz").as("szb"),
+        explode(expr("slice(array_sort(ps), 1, CAST(sz - ceil(sz * " +
+          (minC * (1 - 1e-9)) + ") + 1 AS INT))")).as("p"))
+      .select(col("blk"), col("p.tm").as("tm"), col("ib"), col("szb"))
     val cand = tok
       .select(col("blk"), col("tm"), col("id").as("ia"), col("sz").as("sza"))
       .join(prefix, Seq("blk", "tm"))

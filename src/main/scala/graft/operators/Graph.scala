@@ -318,14 +318,18 @@ object Graph {
         when(uFirst, col("v")).otherwise(col("u")).as("t"))
       .localCheckpoint()
     var lvl = deg.select(col("vert"), lit(0L).as("lv"))
-    for (_ <- 1 to rounds) {
+    // per-round checkpoint (the A/B probe measured every-other-round
+    // checkpointing 25% slower - recompute of the doubly-consumed lvl
+    // beats job overhead) EXCEPT the last round, whose result has a
+    // single consumer (the final histogram) and needs no pin (q284 trim)
+    for (r <- 1 to rounds) {
       val prop = o.join(lvl.select(col("vert").as("s"), col("lv")), "s")
         .groupBy(col("t").as("vert"))
         .agg(max(col("lv") + 1).as("plv"))
       lvl = lvl.join(prop, Seq("vert"), "left")
         .select(col("vert"),
           greatest(col("lv"), coalesce(col("plv"), lit(0L))).as("lv"))
-        .localCheckpoint()
+      if (r < rounds) lvl = lvl.localCheckpoint()
     }
     lvl.groupBy(col("lv").as("level"))
       .agg(count(lit(1)).as("n_vertices"))

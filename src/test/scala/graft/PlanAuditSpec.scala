@@ -148,11 +148,11 @@ class PlanAuditSpec extends SparkSpec {
     "q97_star_revenue" -> 1, // region-filtered customer⋈nation⋈region dim
     "q143_shipping_priority" -> 1, // segment-filtered customer dim
     "q137_local_supplier_revenue" -> 1, // supplier (suppkey, nationkey) dim
-    "q171_hhi_concentration" -> 3, // supplier dim ×2 + 25-row nation totals
-    "q175_ndcg_popularity" -> 2, // customer-segment dim (both plan arms)
-    "q161_item_neighbors" -> 2, // part-catalog co-degree marginals
-    "q126_pair_lift" -> 2, // item-catalog marginals (basket item domain)
-    "q283_assoc_rules" -> 2, // item-catalog marginals (both directions)
+    "q171_hhi_concentration" -> 2, // supplier dim ×2 + 25-row nation totals
+    "q175_ndcg_popularity" -> 1, // customer-segment dim (both plan arms)
+    "q161_item_neighbors" -> 1, // part-catalog co-degree marginals
+    "q126_pair_lift" -> 1, // item-catalog marginals (basket item domain)
+    "q283_assoc_rules" -> 1, // item-catalog marginals (both directions)
     // bounded-domain aggregates: the grouping key is a enum-like domain
     // (region, segment, event type, weekday, language, class, rating
     // level, Markov state, treatment, matrix row/col, source, bin/band/
@@ -160,10 +160,10 @@ class PlanAuditSpec extends SparkSpec {
     // contract of the operator, independent of corpus row count
     "q06_derived_bundle" -> 1, // 25-row region rollup
     "q115_negative_sample" -> 2, // per-band minima (bands = literal)
-    "q127_mad_outliers" -> 3, // per-group median + MAD tables
+    "q127_mad_outliers" -> 2, // per-group median + MAD tables
     "q130_chi_square" -> 2, // event_type (5) × weekday (7) margins
     "q153_mutual_information" -> 2, // category margins
-    "q154_source_vocab_overlap" -> 2, // per-source vocab sizes
+    "q154_source_vocab_overlap" -> 1, // per-source vocab sizes
     "q177_seasonal_decomp" -> 1, // 7-row day-of-week seasonal table
     "q179_trimmed_stats" -> 1, // per-group trim bounds
     "q182_ltv_cohort" -> 1, // cohort-week census (time-bounded)
@@ -171,23 +171,23 @@ class PlanAuditSpec extends SparkSpec {
     "q188_weighted_median" -> 1, // (group × 32-bucket) prefix spine
     "q201_auc_bucketed" -> 1, // 32-row bucket prefix table
     "q208_map_at_10" -> 1, // per-segment relevant counts
-    "q219_pca_covariance" -> 2, // 64-row dimension-sum tables
+    "q219_pca_covariance" -> 1, // 64-row dimension-sum tables
     "q237_brown_forsythe" -> 1, // per-group medians
     "q238_cramers_v" -> 1, // category margins
-    "q246_info_gain" -> 2, // per-feature totals (literal feature panel)
+    "q246_info_gain" -> 1, // per-feature totals (literal feature panel)
     "q247_naive_bayes_lang" -> 2, // language-class tables
-    "q281_nb_margins" -> 5, // language-class tables
-    "q260_markov_stationary" -> 6, // state-vector π per power iteration
+    "q281_nb_margins" -> 3, // language-class tables
+    "q260_markov_stationary" -> 3, // state-vector π per power iteration
     "q262_weighted_kappa" -> 1, // rating-level counts
     "q263_iqr_fences" -> 1, // per-group quartiles
     "q273_winsorized_stats" -> 1, // per-group winsor bounds
     "q276_kl_sources" -> 1, // per-source totals
-    "q287_entropy_rate" -> 7, // state-vector π per power iteration
-    "q294_median_polish" -> 3, // matrix row/col median tables
+    "q287_entropy_rate" -> 4, // state-vector π per power iteration
+    "q294_median_polish" -> 2, // matrix row/col median tables
     "q304_v_measure" -> 2, // label-marginal tables
     "q308_cohort_retention" -> 1, // cohort-week sizes (time-bounded)
     "q313_silhouette" -> 1, // per-label centroid vectors
-    "q318_friedman" -> 9, // treatment-spine dedups (treatment domain)
+    "q318_friedman" -> 1, // treatment-spine dedups (treatment domain)
     // single query vectors / probe lists / top-k rows / literal-derived
     // small sets the classifier can't see through a Window or filter
     "q24_similarity_cosine" -> 1, // one query embedding
@@ -207,7 +207,12 @@ class PlanAuditSpec extends SparkSpec {
     // vertex-sized graph tables: documented contract, degradable via
     // Graph.* broadcastVertices=false (ScaleSpec pins both paths)
     "q140_pagerank" -> 4, // out-degree + rank + per-iter sum tables
-    "q249_degree_assortativity" -> 4) // endpoint degree tables ×2 arms
+    "q249_degree_assortativity" -> 1, // endpoint degree tables ×2 arms
+    // vocabulary-sized document-frequency tables under the
+    // broadcastVocab=true default (Zipf-sublinear; hint-free shuffle
+    // degrade pinned equal in ScaleSpec) — the Graph contract shape
+    "q305_weighted_jaccard_banded" -> 1,
+    "q326_ngram_containment_banded" -> 1)
 
   test("explicit broadcast() hints only on provably bounded builds or " +
       "whitelisted bounded-domain tables — never a corpus-sized table") {
@@ -251,7 +256,11 @@ class PlanAuditSpec extends SparkSpec {
           case ResolvedHint(child, hints)
             if hints.strategy.contains(BROADCAST) => child
         }
+        // one hint SITE can appear many times in the analyzed tree (an
+        // un-deduplicated subtree referenced from several branches):
+        // count distinct canonical subtrees, not occurrences
         val unproven = hinted.filterNot(bounded)
+          .groupBy(_.canonicalized).map(_._2.head).toSeq
         if (unproven.size > hintOk.getOrElse(name, 0))
           unproven.map(c => s"$name: broadcast hint on unproven " +
             s"${c.nodeName}[${c.output.map(_.name).mkString(",")}]")

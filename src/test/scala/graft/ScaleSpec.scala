@@ -65,6 +65,31 @@ class ScaleSpec extends SparkSpec {
         broadcastVertices = false).collect().toSeq)
   }
 
+  test("dedup vocab broadcasts: broadcastVocab=false degrade path is " +
+      "hint-free with identical results (the huge-vocab contract)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, ResolvedHint}
+    val docs = Tables.t(spark, sf, "documents")
+    def nHints(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect {
+        case ResolvedHint(_, h) if h.strategy.contains(BROADCAST) => 1
+      }.sum
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id_a", "id_b").collect().toSeq
+    val wjB = Dedup.weightedJaccardPairsBanded(docs, col("text"),
+      col("doc_id"), col("source"), minW = 0.6)
+    val wjS = Dedup.weightedJaccardPairsBanded(docs, col("text"),
+      col("doc_id"), col("source"), minW = 0.6, broadcastVocab = false)
+    assert(nHints(wjB) > 0 && nHints(wjS) === 0)
+    assert(canon(wjB) === canon(wjS))
+    val ctB = Dedup.ngramContainmentPairsBanded(docs, col("text"),
+      col("doc_id"), col("source"), n = 1, minC = 0.9)
+    val ctS = Dedup.ngramContainmentPairsBanded(docs, col("text"),
+      col("doc_id"), col("source"), n = 1, minC = 0.9,
+      broadcastVocab = false)
+    assert(nHints(ctB) > 0 && nHints(ctS) === 0)
+    assert(canon(ctB) === canon(ctS))
+  }
+
   test("saltedJoin equals plain inner join; hot key spread across salts") {
     // skewed big side: one hot key with 2000 rows, tail of 100 keys
     val big = ((1 to 2000).map(i => (7L, i.toLong)) ++
