@@ -191,8 +191,19 @@ object EventStreams {
     * bounded by watermark + interval, not stream length. On the bounded
     * fixture the inner join emits exactly the batch pair set (watermarks
     * gate state eviction, not inner-join emission); pinned in the suite. */
+  /** `sink = "memory"` (default) drains through the in-memory table the
+    * oracle gate reads — right at fixture SF, but the memory sink
+    * COLLECTS every output row to the driver, and this join's output
+    * grows with signup×click density per time bucket (the sf1 probe
+    * measured a 10× corpus overflowing spark.driver.maxResultSize).
+    * `sink = "parquet"` spills each micro-batch to a fresh temp dir and
+    * returns the read-back table — the production shape (executors
+    * write, driver never holds rows), identical result set. */
   def runConversionJoin(spark: SparkSession, dir: String,
-                        name: String = "graft_stream_conv"): DataFrame = {
+                        name: String = "graft_stream_conv",
+                        sink: String = "memory"): DataFrame = {
+    require(sink == "memory" || sink == "parquet",
+      s"unknown sink $sink (memory | parquet)")
     spark.catalog.dropTempView(name)
     val bkt = 3600000000L
     val signups = readEventStream(spark, dir)
@@ -207,15 +218,32 @@ object EventStreams {
       .select(col("event_id").as("click_id"), col("ts").as("c_ts"))
       .withWatermark("c_ts", "2 hours")
       .withColumn("bucket", floor(unix_micros(col("c_ts")) / bkt).cast("long"))
-    withStreamPartitions(spark) {
-      val q = signups.join(clicks, Seq("bucket"))
-        .where(expr("c_ts >= s_ts AND c_ts < s_ts + INTERVAL 1 HOUR"))
-        .select("signup_id", "click_id")
-        .writeStream.outputMode("append").format("memory").queryName(name)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+    val joined = signups.join(clicks, Seq("bucket"))
+      .where(expr("c_ts >= s_ts AND c_ts < s_ts + INTERVAL 1 HOUR"))
+      .select("signup_id", "click_id")
+    if (sink == "memory") {
+      withStreamPartitions(spark) {
+        val q = joined
+          .writeStream.outputMode("append").format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      spark.table(name)
+    } else {
+      val out = java.nio.file.Files
+        .createTempDirectory(s"${name}_spill").toString + "/pairs"
+      withStreamPartitions(spark) {
+        val q = joined
+          .writeStream.outputMode("append")
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             _: Long) => batch.write.mode("append").parquet(out); ()
+          }
+          .trigger(Trigger.AvailableNow()).queryName(name).start()
+        q.awaitTermination()
+      }
+      spark.read.parquet(out)
     }
-    spark.table(name)
   }
 
   /** Streaming exact dedup: watermark-bounded state keyed by the dedup

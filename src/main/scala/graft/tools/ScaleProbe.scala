@@ -58,7 +58,22 @@ object ScaleProbe {
       "documents" -> shifted("documents", Seq("doc_id"), salt = Some("text")),
       "embeddings" -> shifted("embeddings", Seq("vec_id")))
     plans.foreach { case (t, df) =>
-      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      // mirror the fixture layout exactly: one flat FILE per table
+      // (the streaming sources glob-filter on the file name
+      // "events.parquet", which a directory layout would never match)
+      val tmp = s"$dst/__tmp_$t"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file for $t"))
+      val target = new java.io.File(s"$dst/$t.parquet")
+      if (target.exists()) target.delete()
+      java.nio.file.Files.move(part.toPath, target.toPath)
+      def rm(p: java.io.File): Unit = {
+        if (p.isDirectory) p.listFiles().foreach(rm)
+        p.delete(); ()
+      }
+      rm(new java.io.File(tmp))
     }
   }
 
@@ -74,7 +89,7 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (!new java.io.File(s"$dst/embeddings.parquet").isDirectory) {
+    if (!new java.io.File(s"$dst/embeddings.parquet").isFile) {
       System.err.println(s"[probe] generating $dst (${copies}x $src)")
       gen(spark, src, dst, copies)
     }
@@ -90,7 +105,14 @@ object ScaleProbe {
     def time(name: String, dir: String): Double = {
       System.gc()
       val t0 = System.nanoTime()
-      SparkEntryAccess.run(name)(spark, dir)
+      // q78's memory sink collects the (density-quadratic) pair output
+      // to the driver -- overflows maxResultSize at sf1. Probe it via
+      // the parquet spill sink (same result set, executor-side writes).
+      if (name == "q78_stream_conversion_join")
+        graft.EventStreams.runConversionJoin(spark, dir,
+            name = s"probe_conv_${dir.hashCode.abs}", sink = "parquet")
+          .write.format("noop").mode("overwrite").save()
+      else SparkEntryAccess.run(name)(spark, dir)
       val dt = (System.nanoTime() - t0) / 1e9
       dropLeftoverBlocks()
       dt
