@@ -112,6 +112,30 @@ object CrossoverProbe {
       assert(d == 0, s"wjaccard answers differ on $d rows")
       println("[xover] wjaccard outputs verified identical on both paths")
     }
+    // containment: every-same-block-pair intersection (q255) vs the
+    // rare-first min-side-prefix banded twin (q326). The planted pair
+    // drops one of L tokens → containment (L−1)/L ≈ 0.983 ≥ 0.9; the
+    // uniform large-V vocabulary is the regime the prefixes prune
+    // (unrelated docs share ~L²/V ≈ 0 tokens).
+    if (which == "containment") {
+      val cq = time("containment quadratic (q255)")(
+        Dedup.ngramContainmentPairs(
+          docs, col("text"), col("doc_id"), col("source"), n = 1,
+          minC = 0.9))
+      val cb = time("containment banded (q326)")(
+        Dedup.ngramContainmentPairsBanded(
+          docs, col("text"), col("doc_id"), col("source"), n = 1,
+          minC = 0.9))
+      assert(cq == cb, s"containment paths disagree: $cq vs $cb")
+      def cfull(f: => DataFrame) =
+        f.select("id_a", "id_b", "n_a", "n_b", "containment")
+      val cd = cfull(Dedup.ngramContainmentPairs(docs, col("text"),
+          col("doc_id"), col("source"), n = 1, minC = 0.9))
+        .exceptAll(cfull(Dedup.ngramContainmentPairsBanded(docs, col("text"),
+          col("doc_id"), col("source"), n = 1, minC = 0.9))).count()
+      assert(cd == 0, s"containment answers differ on $cd rows")
+      println("[xover] containment outputs verified identical on both paths")
+    }
     if (which == "both" || which == "simhash") {
       val sq = time("simhash quadratic (q26)")(Dedup.simhashNearDup(
         docs, col("text"), col("doc_id"), col("source"), maxDist = 12))

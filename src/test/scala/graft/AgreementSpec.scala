@@ -55,6 +55,39 @@ class AgreementSpec extends SparkSpec {
     assert(r2.getAs[Double]("purity") == 0.5)
   }
 
+  test("partitionAgreement: ARI exact in the Pa*Pb-overflows-Long regime " +
+      "(decimal(38,0) products vs a BigInt reference)") {
+    // 400k rows in coarse 2x2 clusterings: Pa ~ Pb ~ C2(200k) ~ 2e10, so
+    // Pa*Pb ~ 4e20 >> Long.MaxValue (9.2e18) — the pre-r9 long product
+    // wrapped here and produced a silently wrong ARI
+    val n = 400000
+    val df = spark.range(n).selectExpr(
+      "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS u",
+      // imperfectly aligned second labeling — keeps ARI off the 1.0 /
+      // degenerate special cases
+      "CASE WHEN id % 10 < 4 THEN 'x' ELSE 'y' END AS v")
+    val r = RankEval.partitionAgreement(df, col("u"), col("v"))
+      .collect()(0)
+    // BigInt reference replaying the same exact-rational seal
+    val cells = df.groupBy("u", "v").count().collect()
+      .map(x => ((x.getString(0), x.getString(1)), x.getLong(2))).toMap
+    def c2(x: BigInt) = x * (x - 1) / 2
+    val pij = cells.values.map(v => c2(BigInt(v))).sum
+    val pa = cells.groupBy(_._1._1).values
+      .map(g => c2(BigInt(g.values.sum))).sum
+    val pb = cells.groupBy(_._1._2).values
+      .map(g => c2(BigInt(g.values.sum))).sum
+    val c2n = c2(BigInt(n))
+    val anum = 2 * c2n * pij - 2 * pa * pb
+    val aden = c2n * (pa + pb) - 2 * pa * pb
+    val sealed4 =
+      (if (anum < 0) -((2 * (-anum) * 10000 + aden) / (2 * aden))
+       else (2 * anum * 10000 + aden) / (2 * aden)).toDouble / 10000.0
+    assert(pa * pb > BigInt(Long.MaxValue),
+      "fixture must actually be in the overflow regime")
+    assert(r.getAs[Double]("ari") == sealed4)
+  }
+
   test("vMeasure: identical partitions score 1s; a constant side gives " +
       "h 1 / c 0 by the zero-entropy convention") {
     val same = Seq(("a", "a"), ("a", "a"), ("b", "b")).toDF("u", "v")
