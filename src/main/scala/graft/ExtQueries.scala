@@ -1731,7 +1731,7 @@ object ExtQueries {
       T(s, dir, "lineitem")
         .join(T(s, dir, "orders").where(col("o_orderdate") >= lit("1997-01-01")),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+        .join(dims, col("o_custkey") === col("c_custkey"))
         .groupBy(col("nation"))
         .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
             * 100, 0).cast("long")).as("revenue_c"),
@@ -2858,8 +2858,8 @@ object ExtQueries {
           .as("cents"))
       cust.join(ord, col("c_custkey") === col("o_custkey"))
         .join(li, col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(T(s, dir, "supplier")
-            .select(col("s_suppkey"), col("s_nationkey"))),
+        .join(T(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey")),
           col("l_suppkey") === col("s_suppkey") &&
             col("s_nationkey") === col("c_nationkey"))
         .groupBy("n_name")

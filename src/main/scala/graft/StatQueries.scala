@@ -165,7 +165,7 @@ object StatQueries {
         .select(col("l_orderkey"),
           expr("CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)")
             .as("cents"))
-      ord.join(broadcast(cust), col("c_custkey") === col("o_custkey"))
+      ord.join(cust, col("c_custkey") === col("o_custkey"))
         .join(li, col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(sum("cents").as("revenue_cents"))
@@ -760,9 +760,9 @@ object StatQueries {
       val sym = pairs.select(col("u").as("part_key"), col("v").as("neighbor_key"), col("c"))
         .union(pairs.select(col("v"), col("u"), col("c")))
       val j = sym
-        .join(broadcast(m.select(col("pk").as("part_key"), col("mdeg").as("mu"))),
+        .join(m.select(col("pk").as("part_key"), col("mdeg").as("mu")),
           Seq("part_key"))
-        .join(broadcast(m.select(col("pk").as("neighbor_key"), col("mdeg").as("mv"))),
+        .join(m.select(col("pk").as("neighbor_key"), col("mdeg").as("mv")),
           Seq("neighbor_key"))
         .select(col("part_key"), col("neighbor_key"),
           (col("c").cast("double") /
@@ -1137,7 +1137,7 @@ object StatQueries {
           .as("cents"))
       val sup = T(s, dir, "supplier")
         .select(col("s_suppkey"), col("s_nationkey"))
-      Skew.hhi(li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey")),
+      Skew.hhi(li.join(sup, col("l_suppkey") === col("s_suppkey")),
           col("s_nationkey"), col("s_suppkey"), col("cents"))
         .select(col("g").as("nation_key"), col("n_members").as("n_suppliers"),
           col("total_weight").as("cents"), col("hhi"))
@@ -1335,8 +1335,8 @@ object StatQueries {
         expr("CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)")
           .as("cents"))
       val oc = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-        .join(broadcast(T(s, dir, "customer")
-          .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+        .join(T(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment").as("seg")),
           col("o_custkey") === col("c_custkey"))
       val a = li.join(oc, col("l_orderkey") === col("o_orderkey"))
         .groupBy("seg", "pk")

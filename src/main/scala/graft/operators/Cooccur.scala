@@ -74,9 +74,9 @@ object Cooccur {
       .groupBy(col("it")).agg(count(lit(1)).as("c"))
     val pairs = pairCounts(arr).where(col("c_ab") >= lit(minSupport))
     pairs
-      .join(broadcast(marg.select(col("it").as("item_a"), col("c").as("c_a"))),
+      .join(marg.select(col("it").as("item_a"), col("c").as("c_a")),
         Seq("item_a"))
-      .join(broadcast(marg.select(col("it").as("item_b"), col("c").as("c_b"))),
+      .join(marg.select(col("it").as("item_b"), col("c").as("c_b")),
         Seq("item_b"))
       .crossJoin(broadcast(nB))
       .withColumn("lnum", col("c_ab") * col("n_baskets"))
@@ -111,9 +111,9 @@ object Cooccur {
       .unionByName(pairs.select(col("item_b").as("ante"),
         col("item_a").as("cons"), col("c_ab")))
     both
-      .join(broadcast(marg.select(col("it").as("ante"), col("c").as("ca"))),
+      .join(marg.select(col("it").as("ante"), col("c").as("ca")),
         Seq("ante"))
-      .join(broadcast(marg.select(col("it").as("cons"), col("c").as("cc"))),
+      .join(marg.select(col("it").as("cons"), col("c").as("cc")),
         Seq("cons"))
       .crossJoin(broadcast(nB))
       .withColumn("lnum", col("c_ab") * col("n_baskets"))

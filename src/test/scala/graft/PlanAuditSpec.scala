@@ -143,16 +143,11 @@ class PlanAuditSpec extends SparkSpec {
   // corpus-derived table (the q305 regression this audit exists for) has
   // no entry here and fails the audit.
   private val hintOk: Map[String, Int] = Map(
-    // TPC-H dimension tables (customer/supplier/part catalogs) broadcast
-    // onto fact scans — the star-schema contract; facts dwarf dims
-    "q97_star_revenue" -> 1, // region-filtered customer⋈nation⋈region dim
-    "q143_shipping_priority" -> 1, // segment-filtered customer dim
-    "q137_local_supplier_revenue" -> 1, // supplier (suppkey, nationkey) dim
-    "q171_hhi_concentration" -> 2, // supplier dim ×2 + 25-row nation totals
-    "q175_ndcg_popularity" -> 1, // customer-segment dim (both plan arms)
-    "q161_item_neighbors" -> 1, // part-catalog co-degree marginals
-    "q126_pair_lift" -> 1, // item-catalog marginals (basket item domain)
-    "q283_assoc_rules" -> 1, // item-catalog marginals (both directions)
+    // NOTE (r9): the customer/supplier/part catalog-dim hints were
+    // REMOVED (AQE re-broadcasts them at fixture scale for free; the
+    // catalogs scale with SF, unlike nation/region) — only bounded
+    // domains and contract-parameterized tables remain below
+    "q171_hhi_concentration" -> 1, // 25-row per-nation weight totals (hhi)
     // bounded-domain aggregates: the grouping key is a enum-like domain
     // (region, segment, event type, weekday, language, class, rating
     // level, Markov state, treatment, matrix row/col, source, bin/band/
