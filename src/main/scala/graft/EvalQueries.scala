@@ -601,8 +601,8 @@ object EvalQueries {
         expr("CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)")
           .as("cents"))
       val oc = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-        .join(broadcast(T(s, dir, "customer")
-          .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+        .join(T(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment").as("seg")),
           col("o_custkey") === col("c_custkey"))
       val a = li.join(oc, col("l_orderkey") === col("o_orderkey"))
         .groupBy("seg", "pk")
