@@ -428,11 +428,23 @@ object Dedup {
                                  broadcastVocab: Boolean = true)
       : DataFrame = {
     val para = df.sparkSession.sessionState.conf.numShufflePartitions
+    // Terms are 64-bit-hashed up front (the q61/q326 convention: min-sums
+    // and totals agree with the string form modulo ~1e-10/pair collision
+    // odds, and every downstream shuffle, join key, sort order, and
+    // per-pair merge runs on fixed-width longs instead of term strings),
+    // and the per-doc total mass tt rides ALONG in the postings via a
+    // window over the checkpoint's own id-partitioning (no extra
+    // exchange) — threading tt kills three separate totals joins: the
+    // candidate length filter and both sides of the final seal.
     val tok = df.select(id.as("id"), block.as("blk"),
-        explode(split(text, " ")).as("term"))
+        explode(split(text, " ")).as("term0"))
       .where(col("id").isNotNull && col("blk").isNotNull)
-      .groupBy("id", "blk", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("id", "blk", "term0").agg(count(lit(1)).as("tf"))
+      .select(col("id"), col("blk"), xxhash64(col("term0")).as("term"),
+        col("tf"))
       .repartition(para, col("id"))
+      .withColumn("tt", sum("tf").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")))
       .localCheckpoint()
     // The document-frequency table is VOCABULARY-sized: Zipf keeps it
     // orders of magnitude under the corpus, and the default pins the
@@ -444,67 +456,82 @@ object Dedup {
     val bvv = if (broadcastVocab) (d: DataFrame) => broadcast(d)
               else identity[DataFrame] _
     val dfT = tok.groupBy("term").agg(count(lit(1)).as("df"))
-    val wdf = tok.join(bvv(dfT), "term")
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("df").desc, col("term").desc)
-    val docAll = org.apache.spark.sql.expressions.Window.partitionBy("id")
-    val prefix = wdf
+    val prefix = tok.join(bvv(dfT), "term")
       .withColumn("tail_tf", sum("tf")
         .over(byDoc.rowsBetween(Long.MinValue, 0)))
-      .withColumn("tt", sum("tf").over(docAll))
       .where(col("tail_tf").cast("double") >=
         lit(minW / (1 + minW) * (1 - 1e-9)) * col("tt").cast("double"))
       .select("id", "blk", "term", "tt")
+    // SYMMETRIC prefix join (prefix ⋈ prefix, not full ⋈ prefix): order
+    // the shared terms of a qualifying pair rare-first and take the
+    // FIRST one, w. If w missed either side's kept head, then w and
+    // every more-common shared term sit in that side's dropped tail, so
+    // smin ≤ dropped-mass < t/(1+t)·tt — below what wj ≥ t requires.
+    // So w lands in BOTH prefixes and the prefix self-join finds every
+    // qualifying pair while emitting Σ n_prefix(term)² instead of
+    // Σ n_full·n_prefix — and the self-join computes the prefix
+    // exchange ONCE (reused on both sides).
     // length filter (lossless): wj ≥ t forces t·tb ≤ ta ≤ tb/t — both
     // total masses within a 1/t factor — so mismatched-length pairs
     // drop DURING candidate generation (1−1e-9 slack keeps the double
-    // compare conservative). The per-doc totals table is CORPUS-
-    // cardinality (one row per doc), so it carries no broadcast hint:
-    // the join keys on id, where tok is already partitioned.
-    val totalsB = tok.groupBy("id").agg(sum("tf").as("tta"))
-    val cand = tok.select(col("blk"), col("term"), col("id").as("ia"))
-      .join(totalsB.select(col("id").as("ia"), col("tta")),
-        Seq("ia"))
+    // compare conservative); tt comes free on both join inputs.
+    // The candidate PAIR table is checkpointed (repartitioned by its
+    // downstream join key against the 1-partition coalesce trap): it
+    // feeds the id-set semi-join AND the verify joins, and without the
+    // pin the whole emission+distinct pipeline re-runs per consumer.
+    val cand = prefix.select(col("blk"), col("term"), col("id").as("ia"),
+        col("tt").as("tta"))
       .join(prefix.select(col("blk"), col("term"), col("id").as("ib"),
         col("tt").as("ttb")), Seq("blk", "term"))
-      .where(col("ia") =!= col("ib") &&
+      // symmetric join ⇒ both orientations of every pair are emitted,
+      // so ia < ib halves the emission instead of least/greatest-ing it
+      .where(col("ia") < col("ib") &&
         col("tta").cast("double") >=
           lit(minW * (1 - 1e-9)) * col("ttb").cast("double") &&
         col("ttb").cast("double") >=
           lit(minW * (1 - 1e-9)) * col("tta").cast("double"))
-      .select(least(col("ia"), col("ib")).as("id_a"),
-        greatest(col("ia"), col("ib")).as("id_b"))
+      .select(col("ia").as("id_a"), col("ib").as("id_b"))
       .distinct()
+      .repartition(para, col("id_a"))
+      .localCheckpoint()
     // verification runs as a codegen two-pointer merge over per-doc
-    // sorted posting arrays (SparseMinSum) — the posting-join spelling
-    // (cand ⋈ tok ⋈ tok + re-aggregation) shuffles |pairs|·|doc| rows
-    // and measured 2.5 s against the merge's sub-second pass. The
-    // postings table is CORPUS-sized, so it carries no broadcast hint:
-    // it is first semi-joined down to the candidate id set (bounded by
-    // true near-dups after the prefix+length filters), and the pair
-    // joins are left to AQE — at runtime the reduced table is small
-    // enough to auto-broadcast, and at any scale where it isn't, the
-    // join degrades to a shuffle instead of OOMing driver/executors.
-    val docs = tok.groupBy("id")
+    // sorted posting arrays (SparseMinSumLong) — the posting-join
+    // spelling (cand ⋈ tok ⋈ tok + re-aggregation) shuffles
+    // |pairs|·|doc| rows and measured 2.5 s against the merge's
+    // sub-second pass. The postings-array table is CORPUS-sized, so it
+    // carries no broadcast hint: it is semi-joined down to the candidate
+    // id set FIRST (bounded by true near-dups after the prefix+length
+    // filters) and the REDUCED table is checkpointed once for its two
+    // consumers; the pair joins are left to AQE — at runtime the reduced
+    // table is small enough to auto-broadcast, and at any scale where it
+    // isn't, the join degrades to a shuffle instead of OOMing
+    // driver/executors.
+    val candIds = cand.select(col("id_a").as("id"))
+      .union(cand.select(col("id_b").as("id"))).distinct()
+    val cdocs = tok.groupBy("id")
       .agg(array_sort(collect_list(struct(col("term"), col("tf"))))
-        .as("ps"), sum("tf").as("tt"))
+        .as("ps"), first("tt").as("tt"))
+      .join(candIds, Seq("id"), "left_semi")
       .select(col("id"), expr("transform(ps, p -> p.term)").as("ks"),
         expr("transform(ps, p -> p.tf)").as("vs"), col("tt"))
       .repartition(para, col("id"))
       .localCheckpoint()
-    val totals = docs.select(col("id"), col("tt"))
-    val candIds = cand.select(col("id_a").as("id"))
-      .union(cand.select(col("id_b").as("id"))).distinct()
-    val cdocs = docs.join(candIds, Seq("id"), "left_semi")
-    val mins = cand
-      .join(cdocs.select(col("id").as("id_a"),
-        col("ks").as("ka"), col("vs").as("va")), Seq("id_a"))
-      .join(cdocs.select(col("id").as("id_b"),
-        col("ks").as("kb"), col("vs").as("vb")), Seq("id_b"))
+    cand
+      .join(cdocs.select(col("id").as("id_a"), col("ks").as("ka"),
+        col("vs").as("va"), col("tt").as("ta")), Seq("id_a"))
+      .join(cdocs.select(col("id").as("id_b"), col("ks").as("kb"),
+        col("vs").as("vb"), col("tt").as("tb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        org.apache.spark.sql.graft.SparseExprs.sparseMinSum(
-          col("ka"), col("va"), col("kb"), col("vb")).as("smin"))
-    sealWj(mins, totals, minW)
+        org.apache.spark.sql.graft.SparseExprs.sparseMinSumLong(
+          col("ka"), col("va"), col("kb"), col("vb")).as("smin"),
+        col("ta"), col("tb"))
+      .withColumn("wden", col("ta") + col("tb") - col("smin"))
+      .withColumn("__raw", col("smin").cast("double") / col("wden"))
+      .where(col("__raw") >= minW)
+      .select(col("id_a"), col("id_b"),
+        Seal.ratio4("smin", "wden").as("wjaccard"))
   }
 
   /** Symmetric n-gram CONTAINMENT pairs: |A∩B| / min(|A|, |B|) over
@@ -596,6 +623,10 @@ object Dedup {
         explode(expr("slice(array_sort(ps), 1, CAST(sz - ceil(sz * " +
           (minC * (1 - 1e-9)) + ") + 1 AS INT))")).as("p"))
       .select(col("blk"), col("p.tm").as("tm"), col("ib"), col("szb"))
+    // candidate pairs checkpointed (repartitioned by the downstream join
+    // key against the 1-partition coalesce trap): they feed the id-set
+    // semi-join AND the verify joins, and without the pin the whole
+    // emission+distinct pipeline re-runs per consumer
     val cand = tok
       .select(col("blk"), col("tm"), col("id").as("ia"), col("sz").as("sza"))
       .join(prefix, Seq("blk", "tm"))
@@ -603,11 +634,16 @@ object Dedup {
       .select(least(col("ia"), col("ib")).as("id_a"),
         greatest(col("ia"), col("ib")).as("id_b"))
       .distinct()
+      .repartition(para, col("id_a"))
+      .localCheckpoint()
     // exact verify over the candidate-reduced gram-array table — the
-    // q305 device: semi-join first, no corpus-sized broadcast hint
+    // q305 device: semi-join first, no corpus-sized broadcast hint; the
+    // REDUCED table is checkpointed once for its two consumers
     val candIds = cand.select(col("id_a").as("id"))
       .union(cand.select(col("id_b"))).distinct()
     val cdocs = t.join(candIds, Seq("id"), "left_semi")
+      .repartition(para, col("id"))
+      .localCheckpoint()
     cand
       .join(cdocs.select(col("id").as("id_a"), col("g").as("ga"),
         col("sz").as("n_a")), Seq("id_a"))

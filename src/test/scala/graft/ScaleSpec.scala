@@ -68,26 +68,48 @@ class ScaleSpec extends SparkSpec {
   test("dedup vocab broadcasts: broadcastVocab=false degrade path is " +
       "hint-free with identical results (the huge-vocab contract)") {
     import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, ResolvedHint}
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
     val docs = Tables.t(spark, sf, "documents")
-    def nHints(df: org.apache.spark.sql.DataFrame): Int =
-      df.queryExecution.analyzed.collect {
-        case ResolvedHint(_, h) if h.strategy.contains(BROADCAST) => 1
-      }.sum
-    def canon(df: org.apache.spark.sql.DataFrame) =
-      df.orderBy("id_a", "id_b").collect().toSeq
-    val wjB = Dedup.weightedJaccardPairsBanded(docs, col("text"),
-      col("doc_id"), col("source"), minW = 0.6)
-    val wjS = Dedup.weightedJaccardPairsBanded(docs, col("text"),
-      col("doc_id"), col("source"), minW = 0.6, broadcastVocab = false)
-    assert(nHints(wjB) > 0 && nHints(wjS) === 0)
-    assert(canon(wjB) === canon(wjS))
-    val ctB = Dedup.ngramContainmentPairsBanded(docs, col("text"),
-      col("doc_id"), col("source"), n = 1, minC = 0.9)
-    val ctS = Dedup.ngramContainmentPairsBanded(docs, col("text"),
-      col("doc_id"), col("source"), n = 1, minC = 0.9,
-      broadcastVocab = false)
-    assert(nHints(ctB) > 0 && nHints(ctS) === 0)
-    assert(canon(ctB) === canon(ctS))
+    // The banded operators checkpoint their candidate tables, so the
+    // vocab-broadcast hint executes during CONSTRUCTION (inside the eager
+    // localCheckpoint) and is invisible in the final DataFrame's analyzed
+    // plan — observe every executed plan via a QueryExecutionListener
+    // instead, and count hints across construction + the final collect.
+    def hintsAndRows(build: => org.apache.spark.sql.DataFrame)
+        : (Int, Seq[org.apache.spark.sql.Row]) = {
+      val hints = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new QueryExecutionListener {
+        override def onSuccess(funcName: String, qe: QueryExecution,
+                               durationNs: Long): Unit =
+          hints.addAndGet(qe.analyzed.collect {
+            case ResolvedHint(_, h) if h.strategy.contains(BROADCAST) => 1
+          }.sum)
+        override def onFailure(funcName: String, qe: QueryExecution,
+                               exception: Exception): Unit = ()
+      }
+      spark.listenerManager.register(l)
+      try {
+        val rows = build.orderBy("id_a", "id_b").collect().toSeq
+        org.apache.spark.sql.graft.TestListenerBus.drain(spark.sparkContext)
+        (hints.get, rows)
+      } finally spark.listenerManager.unregister(l)
+    }
+    val (wjH, wjRows) = hintsAndRows(Dedup.weightedJaccardPairsBanded(docs,
+      col("text"), col("doc_id"), col("source"), minW = 0.6))
+    val (wjH0, wjRows0) = hintsAndRows(Dedup.weightedJaccardPairsBanded(docs,
+      col("text"), col("doc_id"), col("source"), minW = 0.6,
+      broadcastVocab = false))
+    assert(wjH > 0, "default path must pin the vocab broadcast")
+    assert(wjH0 === 0, "degrade path must carry no hint")
+    assert(wjRows === wjRows0)
+    val (ctH, ctRows) = hintsAndRows(Dedup.ngramContainmentPairsBanded(docs,
+      col("text"), col("doc_id"), col("source"), n = 1, minC = 0.9))
+    val (ctH0, ctRows0) = hintsAndRows(Dedup.ngramContainmentPairsBanded(docs,
+      col("text"), col("doc_id"), col("source"), n = 1, minC = 0.9,
+      broadcastVocab = false))
+    assert(ctH > 0 && ctH0 === 0)
+    assert(ctRows === ctRows0)
   }
 
   test("saltedJoin equals plain inner join; hot key spread across salts") {
