@@ -450,7 +450,11 @@ object EventStreams {
   /** Stream-static enrichment join: the event stream joined per
     * micro-batch against a BATCH dimension table (the standard streaming
     * enrichment — no state, no watermark; the static side is re-resolved
-    * each micro-batch, broadcast-hashed because dimensions are small).
+    * each micro-batch). The dimension carries NO broadcast hint — the
+    * catalog-dim policy: `customer` scales with SF, so the planner picks
+    * broadcast from the parquet size stats at fixture scale (it is far
+    * under autoBroadcastJoinThreshold) and a billion-row dimension
+    * degrades to a shuffle join instead of OOMing every micro-batch.
     * Emits one enriched row per event in append mode, so a bounded run's
     * emitted set is exactly the batch join — the oracle is plain join SQL.
     * Inner join: fixture user ids all resolve; production would left-join
@@ -462,7 +466,7 @@ object EventStreams {
       .select(col("c_custkey"), col("c_mktsegment"))
     withStreamPartitions(spark) {
       val q = readEventStream(spark, dir)
-        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .join(dim, col("user_id") === col("c_custkey"))
         .select(col("event_id"), col("user_id"),
           col("c_mktsegment").as("segment"), col("value"))
         .writeStream.outputMode("append").format("memory").queryName(name)

@@ -172,12 +172,12 @@ class PlanAuditSpec extends SparkSpec {
     "q246_info_gain" -> 1, // per-feature totals (literal feature panel)
     "q247_naive_bayes_lang" -> 2, // language-class tables
     "q281_nb_margins" -> 3, // language-class tables
-    "q260_markov_stationary" -> 3, // state-vector π per power iteration
+    "q260_markov_stationary" -> 4, // state-vector π per power iteration (+1 checkpoint-captured)
     "q262_weighted_kappa" -> 1, // rating-level counts
     "q263_iqr_fences" -> 1, // per-group quartiles
     "q273_winsorized_stats" -> 1, // per-group winsor bounds
     "q276_kl_sources" -> 1, // per-source totals
-    "q287_entropy_rate" -> 4, // state-vector π per power iteration
+    "q287_entropy_rate" -> 5, // state-vector π per power iteration (+1 checkpoint-captured)
     "q294_median_polish" -> 2, // matrix row/col median tables
     "q304_v_measure" -> 2, // label-marginal tables
     "q308_cohort_retention" -> 1, // cohort-week sizes (time-bounded)
@@ -200,12 +200,22 @@ class PlanAuditSpec extends SparkSpec {
     "q90_bloom_decontaminate" -> 2, // Bloom-hit candidate set (≈true hits)
     "q280_erasure_audit" -> 1, // tombstone (deletion-request) list
     // vertex-sized graph tables: documented contract, degradable via
-    // Graph.* broadcastVertices=false (ScaleSpec pins both paths)
-    "q140_pagerank" -> 4, // out-degree + rank + per-iter sum tables
+    // Graph.* broadcastVertices=false (ScaleSpec pins both paths).
+    // Counts include the construction-time capture of per-iteration
+    // checkpoint executions (each iteration's hinted vertex table
+    // canonicalizes distinctly because it builds on that round's
+    // checkpoint RDD) — stable while the default iteration counts are
+    "q110_hits_ranking" -> 4, // per-iter hub/authority score tables
+    "q140_pagerank" -> 5, // out-degree + rank + per-iter sum tables
+    "q160_triangle_count" -> 1, // degree table (orientation join)
+    "q248_clustering_coeff" -> 1, // degree table (orientation join)
+    "q284_dag_layers" -> 1, // degree table (orientation join)
     "q249_degree_assortativity" -> 1, // endpoint degree tables ×2 arms
     // vocabulary-sized document-frequency tables under the
     // broadcastVocab=true default (Zipf-sublinear; hint-free shuffle
-    // degrade pinned equal in ScaleSpec) — the Graph contract shape
+    // degrade pinned equal in ScaleSpec) — the Graph contract shape.
+    // These hints sit BEHIND the candidate checkpoint since the r9-close
+    // trim, so they surface via the construction-time capture below
     "q305_weighted_jaccard_banded" -> 1,
     "q326_ngram_containment_banded" -> 1)
 
@@ -242,25 +252,52 @@ class PlanAuditSpec extends SparkSpec {
       case u: UnaryNode => bounded(u.child)
       case _ => false
     }
-    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val analyzed =
-          try fn(spark, sf).queryExecution.analyzed
-          catch { case e: Throwable => fail(s"$name failed to analyze: $e") }
-        val hinted = analyzed.collect {
-          case ResolvedHint(child, hints)
-            if hints.strategy.contains(BROADCAST) => child
-        }
-        // one hint SITE can appear many times in the analyzed tree (an
-        // un-deduplicated subtree referenced from several branches):
-        // count distinct canonical subtrees, not occurrences
-        val unproven = hinted.filterNot(bounded)
-          .groupBy(_.canonicalized).map(_._2.head).toSeq
-        if (unproven.size > hintOk.getOrElse(name, 0))
-          unproven.map(c => s"$name: broadcast hint on unproven " +
-            s"${c.nodeName}[${c.output.map(_.name).mkString(",")}]")
-        else Nil
+    // Operators that localCheckpoint internally EXECUTE those stages
+    // eagerly at construction time, truncating them out of the final
+    // DataFrame's analyzed plan — a corpus-sized broadcast could hide
+    // behind a checkpoint and this audit would never see it. Capture
+    // every construction-time execution via a QueryExecutionListener and
+    // audit those plans too (suites run sequentially in the forked test
+    // JVM, so the capture can't pick up foreign executions).
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[LogicalPlan]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+                             durationNs: Long): Unit =
+        captured.add(qe.analyzed)
+      override def onFailure(funcName: String, qe: QueryExecution,
+                             exception: Exception): Unit = ()
     }
+    def drain(): Unit =
+      org.apache.spark.sql.graft.TestListenerBus.drain(spark.sparkContext)
+    spark.listenerManager.register(listener)
+    val violations =
+      try SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) =>
+          drain(); captured.clear()
+          val analyzed =
+            try fn(spark, sf).queryExecution.analyzed
+            catch { case e: Throwable => fail(s"$name failed to analyze: $e") }
+          drain()
+          val plans = analyzed +:
+            scala.jdk.CollectionConverters.IteratorHasAsScala(
+              captured.iterator).asScala.toSeq
+          val hinted = plans.flatMap(_.collect {
+            case ResolvedHint(child, hints)
+              if hints.strategy.contains(BROADCAST) => child
+          })
+          // one hint SITE can appear many times across the analyzed trees
+          // (an un-deduplicated subtree referenced from several branches,
+          // or one checkpoint stage feeding another): count distinct
+          // canonical subtrees, not occurrences
+          val unproven = hinted.filterNot(bounded)
+            .groupBy(_.canonicalized).map(_._2.head).toSeq
+          if (unproven.size > hintOk.getOrElse(name, 0))
+            unproven.map(c => s"$name: broadcast hint on unproven " +
+              s"${c.nodeName}[${c.output.map(_.name).mkString(",")}]")
+          else Nil
+      } finally spark.listenerManager.unregister(listener)
     assert(violations.isEmpty, violations.mkString("\n"))
   }
 
