@@ -754,7 +754,115 @@ object GrowthQueries {
       |SELECT user_id, ts_us, event_id, value FROM x WHERE rn = 1
       |ORDER BY user_id""".stripMargin))
 
+  /** [[Multimodal.sampleFrames]] oracle gate: the video-shaped payload
+    * (binary media column = UTF-8 text bytes, the q34 fixture
+    * convention) modeled as fixed 64-byte frames, keep every 3rd —
+    * the frame-sampling plumbing a video curation pipeline runs before
+    * per-frame featurization. The DuckDB mirror slices the VARCHAR
+    * directly: the documents fixture is pure ASCII by construction
+    * (verified 0 non-ASCII rows at every SF), so byte offsets equal
+    * char offsets and md5(substr(text,…)) hashes exactly the frame
+    * bytes. One generator (flatMap) pass, no shuffle — at scale the
+    * fan-out multiplies rows, not bytes read. */
+  private val q328 = QDef("q328_frame_sample",
+    (s, dir) => Multimodal.sampleFrames(
+        Multimodal.mediaRows(T(s, dir, "documents")),
+        frameBytes = 64, every = 3)
+      .toDF()
+      .select(col("doc_id"), col("frame_idx"),
+        octet_length(col("frame")).cast("long").as("n_bytes"),
+        Dedup.hash60(col("frame")).as("content_hash"))
+      .orderBy("doc_id", "frame_idx"),
+    Some("""SELECT doc_id, CAST(i AS INT) AS frame_idx,
+      | CAST(length(substr(text, CAST(i*64+1 AS BIGINT), 64)) AS BIGINT)
+      |   AS n_bytes,
+      | ('0x' || substr(md5(substr(text, CAST(i*64+1 AS BIGINT), 64)),
+      |   1, 15))::BIGINT AS content_hash
+      |FROM (SELECT doc_id, text,
+      |       unnest(range(0, CAST(ceil(length(text)/64.0) AS BIGINT)))
+      |         AS i
+      |      FROM documents)
+      |WHERE i % 3 = 0 ORDER BY doc_id, frame_idx""".stripMargin))
+
+  /** [[Multimodal.resize]] oracle gate: the stub resize's Spark-side
+    * plumbing (deterministic stride sampling to the area-ratio byte
+    * count, metadata rewrite) pinned end-to-end — the DuckDB mirror
+    * re-derives the per-doc (width, height) from doc_id, replays the
+    * same IEEE-double outLen/stride arithmetic (`floor(x+0.5)` is
+    * exactly JVM `math.round`; `CAST(floor(…))` is exactly positive
+    * `toInt`), reconstructs the sampled string char-by-char (ASCII
+    * fixture: chars == bytes), and hashes it. Narrow per-partition
+    * transform — no shuffle at any scale. */
+  private val q329 = QDef("q329_media_resize",
+    (s, dir) => Multimodal.resize(
+        Multimodal.mediaRows(T(s, dir, "documents")),
+        targetW = 64, targetH = 64)
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        octet_length(col("media")).cast("long").as("n_bytes"),
+        Dedup.hash60(col("media")).as("content_hash"))
+      .orderBy("doc_id"),
+    Some("""WITH m AS (SELECT doc_id, text,
+      |        CAST(doc_id % 640 + 16 AS BIGINT) AS w,
+      |        CAST(doc_id % 480 + 16 AS BIGINT) AS h,
+      |        CAST(length(text) AS BIGINT) AS len
+      |      FROM documents),
+      |o AS (SELECT doc_id, text, len,
+      |       greatest(1, least(len, CAST(floor(
+      |         len * (4096.0 / (w * h)) + 0.5) AS BIGINT))) AS out_len
+      |      FROM m),
+      |r AS (SELECT doc_id, out_len,
+      |       list_aggregate(list_transform(range(0, out_len),
+      |         i -> substr(text, least(len - 1, CAST(floor(
+      |           i * greatest(1.0, CAST(len AS DOUBLE) / out_len))
+      |           AS BIGINT)) + 1, 1)), 'string_agg', '') AS rz
+      |      FROM o)
+      |SELECT doc_id, CAST(64 AS INTEGER) AS width,
+      |  CAST(64 AS INTEGER) AS height,
+      |  CAST(out_len AS BIGINT) AS n_bytes,
+      |  ('0x' || substr(md5(rz), 1, 15))::BIGINT AS content_hash
+      |FROM r ORDER BY doc_id""".stripMargin))
+
+  /** Frame-level duplicate census: [[q328]]'s sampled frames hashed and
+    * grouped — the cross-video frame dedup a curation pipeline runs to
+    * find reused intros/templates (near-exact at the frame granularity;
+    * the document-level twins are q21/q324). One hash aggregation over
+    * the generator output; candidates ∝ distinct frames. */
+  private val q330 = QDef("q330_frame_dedup_census",
+    (s, dir) => Multimodal.sampleFrames(
+        Multimodal.mediaRows(T(s, dir, "documents")),
+        frameBytes = 64, every = 3)
+      .toDF()
+      .select(Dedup.hash60(col("frame")).as("frame_hash"))
+      .groupBy("frame_hash").agg(count(lit(1)).as("n_copies"))
+      .where(col("n_copies") > 1)
+      .orderBy(desc("n_copies"), col("frame_hash")),
+    Some("""WITH f AS (SELECT ('0x' || substr(md5(substr(text,
+      |        CAST(i*64+1 AS BIGINT), 64)), 1, 15))::BIGINT AS frame_hash
+      |      FROM (SELECT text, unnest(range(0,
+      |             CAST(ceil(length(text)/64.0) AS BIGINT))) AS i
+      |            FROM documents)
+      |      WHERE i % 3 = 0)
+      |SELECT frame_hash, CAST(count(*) AS BIGINT) AS n_copies
+      |FROM f GROUP BY 1 HAVING count(*) > 1
+      |ORDER BY n_copies DESC, frame_hash""".stripMargin))
+
+  /** [[Curate.tfidfCosinePairsBanded]]: the banded scale twin of q266
+    * (the q60/q61/q305/q326 convention — SAME oracle, the driver's gate
+    * pins bit-identical output). The sf1 scale probe measured q266's
+    * naive (block, term) self-join at 102× wall under the 10× dup-rich
+    * clone corpus — the last pair-similarity family member without a
+    * prefix-filtered path; this is it (L2 Bayardo prefix, exact
+    * integer-dot verify — see the operator's Scaladoc for the
+    * losslessness argument). */
+  private val q331 = QDef("q331_tfidf_cosine_banded",
+    (s, dir) => Curate.tfidfCosinePairsBanded(T(s, dir, "documents"),
+        col("doc_id"), col("text"), col("source"), minCos = 0.6)
+      .withColumn("cos", round(col("cos"), 4))
+      .orderBy("id_a", "id_b"),
+    Some(InferenceQueries.cosineOracle))
+
   def all: Seq[QDef] = Seq(q307, q308, q309, q310, q311, q312, q313, q314,
     q315, q316, q317, q318, q319, q320, q321, q322, q323, q324, q325,
-    q326, q327)
+    q326, q327, q328, q329, q330, q331)
 }

@@ -1162,12 +1162,11 @@ object InferenceQueries {
   /** [[Curate.tfidfCosinePairs]]: lexically-weighted near-dup pairs —
     * rare shared terms count, boilerplate doesn't; exact integer dots
     * on 1e-3-quantized tf·idf weights. */
-  private val q266 = QDef("q266_tfidf_cosine_pairs",
-    (s, dir) => Curate.tfidfCosinePairs(T(s, dir, "documents"),
-        col("doc_id"), col("text"), col("source"), minCos = 0.6)
-      .withColumn("cos", round(col("cos"), 4))
-      .orderBy("id_a", "id_b"),
-    Some("""WITH tok AS (SELECT id, blk, term, CAST(count(*) AS BIGINT) AS tf
+  /** Shared by q266 (naive block self-join) and q331 (banded twin,
+    * `Curate.tfidfCosinePairsBanded`) — the q60/q61/q305/q326 one-oracle
+    * convention pinning both forms bit-identical. */
+  val cosineOracle: String =
+    """WITH tok AS (SELECT id, blk, term, CAST(count(*) AS BIGINT) AS tf
       |      FROM (SELECT doc_id AS id, source AS blk,
       |              unnest(string_split(text, ' ')) AS term
       |            FROM documents
@@ -1193,7 +1192,14 @@ object InferenceQueries {
       |      FROM dt JOIN nr na ON na.id = dt.id_a
       |      JOIN nr nb ON nb.id = dt.id_b)
       |SELECT id_a, id_b, round(cos, 4) AS cos FROM cs WHERE cos >= 0.6
-      |ORDER BY id_a, id_b""".stripMargin))
+      |ORDER BY id_a, id_b""".stripMargin
+
+  private val q266 = QDef("q266_tfidf_cosine_pairs",
+    (s, dir) => Curate.tfidfCosinePairs(T(s, dir, "documents"),
+        col("doc_id"), col("text"), col("source"), minCos = 0.6)
+      .withColumn("cos", round(col("cos"), 4))
+      .orderBy("id_a", "id_b"),
+    Some(cosineOracle))
 
   /** [[Timeseries.burstiness]]: Fano factor and Goh-Barabási index of
     * daily event volume per type over the full zero-filled day spine. */

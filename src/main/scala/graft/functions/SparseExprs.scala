@@ -137,6 +137,67 @@ case class SparseMinSumLong(ka: Expression, wa: Expression,
     copy(ka = first, wa = second, kb = third, wb = fourth)
 }
 
+/** Sparse integer DOT PRODUCT over 64-bit-hashed keys: the cosine
+  * verify kernel (q331) — same two-pointer merge as [[SparseMinSumLong]]
+  * but summing products of the matched weights. Keys sorted ascending
+  * as signed longs (the `array_sort` LongType order). Products and the
+  * running sum stay in Long — callers quantize weights so Σw² (hence
+  * any dot) fits 2⁶³, the q266 contract. */
+case class SparseDotLong(ka: Expression, wa: Expression,
+                         kb: Expression, wb: Expression)
+    extends QuaternaryExpression with ExpectsInputTypes {
+  override def first: Expression = ka
+  override def second: Expression = wa
+  override def third: Expression = kb
+  override def fourth: Expression = wb
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType),
+      ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sparse_dot_long"
+  override def nullable: Boolean =
+    ka.nullable || wa.nullable || kb.nullable || wb.nullable
+
+  override def nullSafeEval(a1: Any, a2: Any, a3: Any, a4: Any): Any = {
+    val k1 = a1.asInstanceOf[ArrayData]; val v1 = a2.asInstanceOf[ArrayData]
+    val k2 = a3.asInstanceOf[ArrayData]; val v2 = a4.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var s = 0L
+    val n1 = k1.numElements(); val n2 = k2.numElements()
+    while (i < n1 && j < n2) {
+      val x = k1.getLong(i); val y = k2.getLong(j)
+      if (x == y) {
+        s += v1.getLong(i) * v2.getLong(j); i += 1; j += 1
+      } else if (x < y) i += 1
+      else j += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (k1, v1, k2, v2) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |int $i = 0; int $j = 0; long $s = 0L;
+         |while ($i < $k1.numElements() && $j < $k2.numElements()) {
+         |  long $x = $k1.getLong($i); long $y = $k2.getLong($j);
+         |  if ($x == $y) {
+         |    $s += $v1.getLong($i) * $v2.getLong($j);
+         |    $i++; $j++;
+         |  } else if ($x < $y) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      first: Expression, second: Expression,
+      third: Expression, fourth: Expression): Expression =
+    copy(ka = first, wa = second, kb = third, wb = fourth)
+}
+
 object SparseExprs {
   def sparseMinSum(ka: Column, wa: Column, kb: Column, wb: Column): Column =
     ExpressionUtils.column(SparseMinSum(
@@ -144,6 +205,10 @@ object SparseExprs {
       ExpressionUtils.expression(kb), ExpressionUtils.expression(wb)))
   def sparseMinSumLong(ka: Column, wa: Column, kb: Column, wb: Column): Column =
     ExpressionUtils.column(SparseMinSumLong(
+      ExpressionUtils.expression(ka), ExpressionUtils.expression(wa),
+      ExpressionUtils.expression(kb), ExpressionUtils.expression(wb)))
+  def sparseDotLong(ka: Column, wa: Column, kb: Column, wb: Column): Column =
+    ExpressionUtils.column(SparseDotLong(
       ExpressionUtils.expression(ka), ExpressionUtils.expression(wa),
       ExpressionUtils.expression(kb), ExpressionUtils.expression(wb)))
 }

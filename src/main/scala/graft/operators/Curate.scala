@@ -248,6 +248,105 @@ object Curate {
       .where(col("cos") >= minCos)
   }
 
+  /** Banded scale twin of [[tfidfCosinePairs]] (the q60/q61/q305/q326
+    * convention — SAME oracle, the driver's gate pins bit-identical
+    * output): Bayardo-style prefix-filtered candidates instead of the
+    * every-same-block-(term)-pair self-join, exact integer-dot verify.
+    *
+    * LOSSLESS prefix rule, L2 form: per doc, order terms by the GLOBAL
+    * (df desc, term desc) total order and drop the most-common head
+    * while its cumulative squared weight stays under t²·‖a‖². For a
+    * pair with cos ≥ t, take the RAREST shared term w (last in the
+    * global order): if w fell in either side's dropped head then EVERY
+    * shared term did (the head is a prefix of the order), so by
+    * Cauchy-Schwarz dot ≤ ‖a_head‖·‖b‖ < t·‖a‖·‖b‖ — contradiction.
+    * So w survives in BOTH kept suffixes and the prefix ⋈ prefix
+    * self-join finds every qualifying pair (any consistent global
+    * order works; df desc makes the kept suffixes rare-term-heavy,
+    * which is what prunes). Cosine is scale-invariant, so there is no
+    * length filter analog — the prefix bound is the whole device.
+    *
+    * Mechanics are the q305 shape: terms 64-bit-hashed up front
+    * (weights/df agree with the string form modulo ~1e-10/pair
+    * collision odds), per-doc norm ‖a‖² rides in the postings
+    * checkpoint via a window over its own id-partitioning, candidate
+    * pairs and the candidate-reduced postings-array table are each
+    * checkpointed once for their two consumers (repartitioned by the
+    * downstream key against the 1-partition coalesce trap), and the
+    * verify is the codegen two-pointer [[SparseDotLong]] merge — the
+    * SAME exact integers as the naive join, so the final cosine is the
+    * identical double division. The vocabulary-sized df table keeps the
+    * broadcastVocab contract (hint by default, shuffle degrade pinned
+    * result-equal in ScaleSpec). */
+  def tfidfCosinePairsBanded(df: DataFrame, id: Column, text: Column,
+                             block: Column, minCos: Double = 0.6,
+                             broadcastVocab: Boolean = true): DataFrame = {
+    val para = df.sparkSession.sessionState.conf.numShufflePartitions
+    val tok = df.select(id.as("id"), block.as("blk"),
+        explode(split(text, " ")).as("term0"))
+      .where(col("id").isNotNull && col("blk").isNotNull)
+      .groupBy("id", "blk", "term0").agg(count(lit(1)).as("tf"))
+      .select(col("id"), col("blk"), xxhash64(col("term0")).as("term"),
+        col("tf"))
+    val nDocs = df.select(id.as("id")).where(col("id").isNotNull)
+      .agg(countDistinct("id").as("nd"))
+    val bvv = if (broadcastVocab) (d: DataFrame) => broadcast(d)
+              else identity[DataFrame] _
+    val dfT = tok.groupBy("term").agg(count(lit(1)).as("df"))
+    // exact-zero weights (df = N boilerplate) drop BEFORE the prefix:
+    // they move neither dot nor norm but own the largest postings
+    val w = tok.join(bvv(dfT), "term").crossJoin(broadcast(nDocs))
+      .select(col("id"), col("blk"), col("term"), col("df"),
+        round(col("tf").cast("double") *
+          log(col("nd").cast("double") / col("df")) * lit(1e3), 0)
+          .cast("long").as("w3"))
+      .where(col("w3") =!= 0)
+      .repartition(para, col("id"))
+      .withColumn("nrm", sum(col("w3") * col("w3")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")))
+      .localCheckpoint()
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df").desc, col("term").desc)
+    // kept suffix: running Σw² (head-inclusive) ≥ t²·‖a‖² — the dropped
+    // head's total squared mass is then < t²·‖a‖² (1−1e-9 keeps the
+    // double compare erring toward KEEPING a term)
+    val prefix = w
+      .withColumn("cum", sum(col("w3") * col("w3"))
+        .over(byDoc.rowsBetween(Long.MinValue, 0)))
+      .where(col("cum").cast("double") >=
+        lit(minCos * minCos * (1 - 1e-9)) * col("nrm").cast("double"))
+      .select("id", "blk", "term")
+    val cand = prefix.select(col("blk"), col("term"), col("id").as("ia"))
+      .join(prefix.select(col("blk"), col("term"), col("id").as("ib")),
+        Seq("blk", "term"))
+      .where(col("ia") < col("ib"))
+      .select(col("ia").as("id_a"), col("ib").as("id_b"))
+      .distinct()
+      .repartition(para, col("id_a"))
+      .localCheckpoint()
+    val candIds = cand.select(col("id_a").as("id"))
+      .union(cand.select(col("id_b").as("id"))).distinct()
+    val cdocs = w.groupBy("id")
+      .agg(array_sort(collect_list(struct(col("term"), col("w3"))))
+        .as("ps"), first("nrm").as("nrm"))
+      .join(candIds, Seq("id"), "left_semi")
+      .select(col("id"), expr("transform(ps, p -> p.term)").as("ks"),
+        expr("transform(ps, p -> p.w3)").as("vs"), col("nrm"))
+      .repartition(para, col("id"))
+      .localCheckpoint()
+    cand
+      .join(cdocs.select(col("id").as("id_a"), col("ks").as("ka"),
+        col("vs").as("va"), col("nrm").as("na")), Seq("id_a"))
+      .join(cdocs.select(col("id").as("id_b"), col("ks").as("kb"),
+        col("vs").as("vb"), col("nrm").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (org.apache.spark.sql.graft.SparseExprs.sparseDotLong(
+          col("ka"), col("va"), col("kb"), col("vb")).cast("double") /
+          nullif(sqrt(col("na").cast("double") * col("nb")), lit(0.0)))
+          .as("cos"))
+      .where(col("cos") >= minCos)
+  }
+
   /** One-row corpus scorecard — the dashboard header a curation run
     * publishes: document/source/language census, exact-duplicate rate
     * (1 − distinct content hashes / docs), mean tokens, mean TTR, and

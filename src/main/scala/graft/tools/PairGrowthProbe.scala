@@ -23,8 +23,9 @@ object PairGrowthProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    Seq("q305_weighted_jaccard_banded", "q61_dedup_ngram_prefix")
-      .foreach { q =>
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q305_weighted_jaccard_banded", "q61_dedup_ngram_prefix")
+    names.foreach { q =>
         val fn = graft.SparkEntry.queries(q)
         val a = fn(spark, src).count()
         val b = fn(spark, dst).count()

@@ -124,4 +124,34 @@ class ExactTestsSpec extends SparkSpec {
       rows(0).getAs[Long]("id_b") == 2L &&
       rows(0).getAs[Double]("containment") == 1.0)
   }
+
+  test("tfidfCosinePairsBanded equals the naive block self-join on " +
+      "fixture documents (the scale-twin equality pin)") {
+    val docs = Tables.t(spark, sf, "documents")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id_a"), col("id_b"), round(col("cos"), 4).as("c"))
+        .orderBy("id_a", "id_b").collect().toSeq
+    // the query threshold, and a lower one (longer kept suffixes —
+    // exercises the prefix cut at a different L2 bound)
+    for (t <- Seq(0.6, 0.35)) {
+      assert(canon(Curate.tfidfCosinePairsBanded(docs, col("doc_id"),
+          col("text"), col("source"), minCos = t)) ===
+        canon(Curate.tfidfCosinePairs(docs, col("doc_id"),
+          col("text"), col("source"), minCos = t)),
+        s"banded != naive at minCos=$t")
+    }
+    // repeated-rare-term pair: weights (not sets) decide — the banded
+    // form must keep the exact integer dot of the naive join
+    val df = Seq(
+      (1L, "rare rare rare common", "s0"),
+      (2L, "rare rare rare common other", "s0"),
+      (3L, "common other filler words", "s0")).toDF("doc_id", "text", "source")
+    val b = Curate.tfidfCosinePairsBanded(df, col("doc_id"), col("text"),
+      col("source"), minCos = 0.6).orderBy("id_a", "id_b").collect()
+    val n = Curate.tfidfCosinePairs(df, col("doc_id"), col("text"),
+      col("source"), minCos = 0.6).orderBy("id_a", "id_b").collect()
+    assert(b.toSeq === n.toSeq)
+    assert(b.exists(r => r.getAs[Long]("id_a") == 1L &&
+      r.getAs[Long]("id_b") == 2L))
+  }
 }

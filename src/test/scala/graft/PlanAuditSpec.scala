@@ -217,7 +217,8 @@ class PlanAuditSpec extends SparkSpec {
     // These hints sit BEHIND the candidate checkpoint since the r9-close
     // trim, so they surface via the construction-time capture below
     "q305_weighted_jaccard_banded" -> 1,
-    "q326_ngram_containment_banded" -> 1)
+    "q326_ngram_containment_banded" -> 1,
+    "q331_tfidf_cosine_banded" -> 1)
 
   test("explicit broadcast() hints only on provably bounded builds or " +
       "whitelisted bounded-domain tables — never a corpus-sized table") {

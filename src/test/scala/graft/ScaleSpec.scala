@@ -110,6 +110,15 @@ class ScaleSpec extends SparkSpec {
       broadcastVocab = false))
     assert(ctH > 0 && ctH0 === 0)
     assert(ctRows === ctRows0)
+    // q331's cosine twin: note the default path carries TWO hints (vocab
+    // df + the 1-row nDocs census), the degrade path only the 1-row one
+    val (csH, csRows) = hintsAndRows(Curate.tfidfCosinePairsBanded(docs,
+      col("doc_id"), col("text"), col("source"), minCos = 0.6))
+    val (csH0, csRows0) = hintsAndRows(Curate.tfidfCosinePairsBanded(docs,
+      col("doc_id"), col("text"), col("source"), minCos = 0.6,
+      broadcastVocab = false))
+    assert(csH > csH0, "default path must add the vocab broadcast")
+    assert(csRows === csRows0)
   }
 
   test("saltedJoin equals plain inner join; hot key spread across salts") {
