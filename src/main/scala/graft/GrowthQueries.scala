@@ -862,7 +862,215 @@ object GrowthQueries {
       .orderBy("id_a", "id_b"),
     Some(InferenceQueries.cosineOracle))
 
+  // ---------------------------------------------------- exact-substring dedup
+
+  /** DuckDB twin of Dedup.hash28/hash60 (the ExtQueries convention). */
+  private def hashSql(e: String, hexLen: Int) =
+    s"('0x' || substr(md5($e), 1, $hexLen))::BIGINT"
+
+  /** Shared CTE chain for q332/q333: token positions, 5-token window
+    * occurrences, and the corpus-repeated window set. Window STRINGS on
+    * the oracle side vs xxhash64 fingerprints on the Spark side — the
+    * q174 injectivity convention. */
+  private val spanCtes =
+    """d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |base AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_toks FROM d),
+      |occ AS (SELECT doc_id, u.s['p'] AS p, u.s['g'] AS g
+      |        FROM (SELECT doc_id, unnest(CASE WHEN len(tk) >= 5 THEN
+      |                list_transform(range(1, len(tk) - 3), i ->
+      |                  {'p': i,
+      |                   'g': array_to_string(list_slice(tk, i, i + 4), ' ')})
+      |              ELSE [] END) AS s FROM d) u),
+      |rep AS (SELECT g FROM occ GROUP BY g HAVING count(*) >= 2)""".stripMargin
+
+  /** [[Dedup.repeatedSpans]]: ExactSubstr-style census of maximal
+    * corpus-repeated 5-token spans, per document, zero rows explicit. */
+  private val q332 = QDef("q332_repeated_spans",
+    (s, dir) => Dedup.repeatedSpans(T(s, dir, "documents"), col("text"),
+      col("doc_id"), w = 5).orderBy("doc_id"),
+    Some(s"""WITH $spanCtes,
+      |hit AS (SELECT occ.doc_id, occ.p FROM occ JOIN rep USING (g)),
+      |m AS (SELECT doc_id, p, p + 5 AS pe,
+      |        max(p + 5) OVER (PARTITION BY doc_id ORDER BY p
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mp
+      |      FROM hit),
+      |g2 AS (SELECT doc_id, p, pe,
+      |        CASE WHEN mp IS NULL OR p > mp THEN 1 ELSE 0 END AS nw
+      |      FROM m),
+      |g3 AS (SELECT doc_id, p, pe,
+      |        sum(nw) OVER (PARTITION BY doc_id ORDER BY p) AS grp
+      |      FROM g2),
+      |sp AS (SELECT doc_id, grp, min(p) AS s, max(pe) AS e
+      |       FROM g3 GROUP BY 1, 2),
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+      |        CAST(sum(e - s) AS BIGINT) AS rt FROM sp GROUP BY 1),
+      |fin AS (SELECT b.doc_id, b.n_toks,
+      |        coalesce(a.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+      |        coalesce(a.rt, CAST(0 AS BIGINT)) AS rep_tokens
+      |      FROM base b LEFT JOIN agg a USING (doc_id))
+      |SELECT doc_id, n_toks, n_spans, rep_tokens,
+      |  ${Seal.sqlRatio4("rep_tokens", "n_toks")} AS rep_frac
+      |FROM fin ORDER BY doc_id""".stripMargin))
+
+  /** [[Dedup.scrubRepeatedSpans]]: the removal half — keep-first scrub
+    * of corpus-repeated 5-token windows, per-doc token accounting plus
+    * the 60-bit hash of the reassembled text. */
+  private val q333 = QDef("q333_span_scrub",
+    (s, dir) => Dedup.scrubRepeatedSpans(T(s, dir, "documents"),
+      col("text"), col("doc_id"), w = 5).orderBy("doc_id"),
+    Some(s"""WITH $spanCtes,
+      |hit AS (SELECT occ.doc_id, occ.p, occ.g FROM occ JOIN rep USING (g)),
+      |rnk AS (SELECT doc_id, p, row_number() OVER
+      |          (PARTITION BY g ORDER BY doc_id, p) AS rn FROM hit),
+      |rmw AS (SELECT doc_id, p FROM rnk WHERE rn > 1),
+      |m AS (SELECT doc_id, p, p + 5 AS pe,
+      |        max(p + 5) OVER (PARTITION BY doc_id ORDER BY p
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mp
+      |      FROM rmw),
+      |g2 AS (SELECT doc_id, p, pe,
+      |        CASE WHEN mp IS NULL OR p > mp THEN 1 ELSE 0 END AS nw
+      |      FROM m),
+      |g3 AS (SELECT doc_id, p, pe,
+      |        sum(nw) OVER (PARTITION BY doc_id ORDER BY p) AS grp
+      |      FROM g2),
+      |sp AS (SELECT doc_id, grp, min(p) AS s, max(pe) AS e
+      |       FROM g3 GROUP BY 1, 2),
+      |rmp AS (SELECT doc_id, unnest(range(s, e)) AS i FROM sp),
+      |tp AS (SELECT doc_id, u.s['i'] AS i, u.s['t'] AS t
+      |       FROM (SELECT doc_id, unnest(list_transform(
+      |               range(1, len(tk) + 1), k -> {'i': k, 't': tk[k]}))
+      |               AS s FROM d) u),
+      |kept AS (SELECT tp.doc_id, tp.i, tp.t
+      |       FROM tp LEFT JOIN rmp
+      |         ON tp.doc_id = rmp.doc_id AND tp.i = rmp.i
+      |       WHERE rmp.i IS NULL),
+      |cl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |        string_agg(t, ' ' ORDER BY i) AS clean
+      |       FROM kept GROUP BY 1),
+      |fin AS (SELECT b.doc_id, b.n_toks,
+      |        coalesce(c.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+      |        b.n_toks - coalesce(c.n_kept, CAST(0 AS BIGINT))
+      |          AS n_removed,
+      |        coalesce(c.clean, '') AS clean
+      |      FROM base b LEFT JOIN cl c USING (doc_id))
+      |SELECT doc_id, n_toks, n_kept, n_removed,
+      |  ${hashSql("clean", 15)} AS clean_hash
+      |FROM fin ORDER BY doc_id""".stripMargin))
+
+  // --------------------------------------------------------- LSH calibration
+
+  private val sigSql16 = Dedup.minhashParams(16)
+    .map { case (a, b) =>
+      s"list_min(list_transform(hh, x -> (x*$a + $b) % ${Dedup.MinhashPrime}))" }
+    .mkString("[", ", ", "]")
+
+  /** 16-perm MinHash signature CTEs (the ExtQueries q25 chain) plus the
+    * within-block exact-Jaccard side binned in integer space. */
+  private val lshCtes =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(t) AS shingles
+      |       FROM toks WHERE len(t) >= 1),
+      |hs AS (SELECT doc_id, list_transform(shingles, s -> ${hashSql("s", 7)}) AS hh
+      |       FROM sh WHERE len(shingles) > 0),
+      |sig AS (SELECT doc_id, $sigSql16 AS sig FROM hs),
+      |gr AS (SELECT doc_id, source,
+      |        list_distinct(list_transform(list_distinct(string_split(text, ' ')),
+      |          s -> ${hashSql("s", 15)})) AS g FROM documents),
+      |ex AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |        CAST(len(list_intersect(a.g, b.g)) AS BIGINT) AS i,
+      |        CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))
+      |          AS BIGINT) AS u
+      |       FROM gr a JOIN gr b
+      |       ON a.source = b.source AND a.doc_id < b.doc_id)""".stripMargin
+
+  private def bandPlanCtes(b: Int, numPerm: Int): String = {
+    val r = numPerm / b
+    s"""bd$b AS (SELECT doc_id, bb, list_slice(sig, $r*bb + 1, $r*bb + $r)
+      |         AS bucket FROM sig, range(0, $b) AS t$b(bb)),
+      |cd$b AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |         FROM bd$b a JOIN bd$b b
+      |         ON a.bb = b.bb AND a.bucket = b.bucket
+      |           AND a.doc_id < b.doc_id),
+      |cap$b AS (SELECT CAST($b AS INTEGER) AS n_bands,
+      |          CAST($r AS INTEGER) AS rows_per_band, e.bin10,
+      |          CAST(count(*) AS BIGINT) AS n_pairs,
+      |          CAST(sum(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_caught
+      |         FROM exq e LEFT JOIN cd$b c
+      |         ON e.id_a = c.id_a AND e.id_b = c.id_b
+      |         GROUP BY 3)""".stripMargin
+  }
+
+  /** [[Dedup.bandPlanCapture]]: measured S-curve of three MinHash band
+    * plans over the 16-perm UNIGRAM signature — per (plan × Jaccard
+    * bin), the fraction of true within-block near-dup pairs each
+    * banding catches. Truth and signature share the unigram similarity
+    * space on purpose: calibrating shingle-space candidates against
+    * unigram-space truth reads as a broken plan (probed: capture ≈ 0
+    * everywhere). The "measure, don't guess" readout behind q25's
+    * banding choice. */
+  private val q334 = QDef("q334_lsh_band_plan",
+    (s, dir) => Dedup.bandPlanCapture(T(s, dir, "documents"), col("text"),
+      col("doc_id"), col("source"), shingleSize = 1, numPerm = 16,
+      plans = Seq(2, 4, 8), minBin10 = 5)
+      .orderBy("n_bands", "bin10"),
+    Some(s"""WITH $lshCtes,
+      |exq AS (SELECT id_a, id_b, (i * 10) // u AS bin10 FROM ex
+      |        WHERE (i * 10) // u >= 5),
+      |${Seq(2, 4, 8).map(bandPlanCtes(_, 16)).mkString(",\n")},
+      |caps AS (SELECT * FROM cap2 UNION ALL SELECT * FROM cap4
+      |         UNION ALL SELECT * FROM cap8),
+      |spine AS (SELECT CAST(p.b AS INTEGER) AS n_bands,
+      |          CAST(p.r AS INTEGER) AS rows_per_band, t.bin10
+      |         FROM (VALUES (2, 8), (4, 4), (8, 2)) AS p(b, r),
+      |           range(5, 11) AS t(bin10)),
+      |fin AS (SELECT s.n_bands, s.rows_per_band, s.bin10,
+      |        coalesce(c.n_pairs, CAST(0 AS BIGINT)) AS n_pairs,
+      |        coalesce(c.n_caught, CAST(0 AS BIGINT)) AS n_caught
+      |       FROM spine s LEFT JOIN caps c
+      |       USING (n_bands, rows_per_band, bin10))
+      |SELECT n_bands, rows_per_band, bin10, n_pairs, n_caught,
+      |  CASE WHEN n_pairs > 0
+      |    THEN ${Seal.sqlRatio4("n_caught", "n_pairs")} END AS capture
+      |FROM fin ORDER BY n_bands, bin10""".stripMargin))
+
+  /** [[Dedup.lshPlanEval]]: one-row recall / precision / F1 of the
+    * shipped (4-band × 4-row) LSH plan against exact within-block
+    * Jaccard ≥ 0.6 truth — integer-space thresholds and counts
+    * throughout. */
+  private val q335 = QDef("q335_lsh_plan_eval",
+    (s, dir) => Dedup.lshPlanEval(T(s, dir, "documents"), col("text"),
+      col("doc_id"), col("source"), shingleSize = 1, numPerm = 16,
+      bands = 4, minBin10 = 6).orderBy("n_true"),
+    Some(s"""WITH $lshCtes,
+      |bands AS (SELECT doc_id, b, list_slice(sig, 4*b + 1, 4*b + 4)
+      |          AS bucket FROM sig, range(0, 4) AS rb(b)),
+      |rawpairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |             FROM bands a JOIN bands b
+      |             ON a.b = b.b AND a.bucket = b.bucket
+      |               AND a.doc_id < b.doc_id),
+      |tr AS (SELECT id_a, id_b, 1 AS tt FROM ex WHERE i * 10 >= 6 * u),
+      |ds AS (SELECT doc_id, source FROM documents),
+      |cd AS (SELECT DISTINCT r.id_a, r.id_b, 1 AS cc
+      |       FROM rawpairs r JOIN ds a ON r.id_a = a.doc_id
+      |         JOIN ds b ON r.id_b = b.doc_id
+      |       WHERE a.source = b.source),
+      |j AS (SELECT coalesce(tr.tt, 0) AS tt, coalesce(cd.cc, 0) AS cc
+      |      FROM tr FULL JOIN cd USING (id_a, id_b)),
+      |ag AS (SELECT CAST(sum(tt) AS BIGINT) AS n_true,
+      |        CAST(sum(cc) AS BIGINT) AS n_cand,
+      |        CAST(sum(tt * cc) AS BIGINT) AS n_hit FROM j),
+      |fin AS (SELECT n_true, n_cand, n_hit, n_true + n_cand AS tc,
+      |        n_hit * 2 AS h2 FROM ag)
+      |SELECT n_true, n_cand, n_hit,
+      |  CASE WHEN n_true > 0
+      |    THEN ${Seal.sqlRatio4("n_hit", "n_true")} END AS recall,
+      |  CASE WHEN n_cand > 0
+      |    THEN ${Seal.sqlRatio4("n_hit", "n_cand")} END AS precision,
+      |  CASE WHEN tc > 0 THEN ${Seal.sqlRatio4("h2", "tc")} END AS f1
+      |FROM fin ORDER BY n_true""".stripMargin))
+
   def all: Seq[QDef] = Seq(q307, q308, q309, q310, q311, q312, q313, q314,
     q315, q316, q317, q318, q319, q320, q321, q322, q323, q324, q325,
-    q326, q327, q328, q329, q330, q331)
+    q326, q327, q328, q329, q330, q331, q332, q333, q334, q335)
 }

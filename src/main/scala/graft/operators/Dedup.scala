@@ -1155,6 +1155,254 @@ object Dedup {
       .orderBy("sz")
   }
 
+  /** Exact substring-level dedup census (the ExactSubstr policy of Lee
+    * et al. 2021, "Deduplicating Training Data Makes Language Models
+    * Better", at token-window granularity): every `w`-token window that
+    * occurs more than once ANYWHERE in the corpus — across documents or
+    * repeated inside one — marks its position; overlapping marked
+    * windows merge into maximal repeated spans per document. Output is
+    * the per-document span census (doc_id, n_toks, n_spans, rep_tokens,
+    * rep_frac); documents with no repeats stay as explicit zero rows
+    * (absent and zero must read differently).
+    *
+    * Shuffle shape at 100 TB: one explode to (doc, pos, fingerprint) —
+    * volume = corpus tokens — one fingerprint-keyed count (map-side
+    * combinable), a semi join back on the fingerprint, then a
+    * doc-partitioned window merge whose partitions are bounded by doc
+    * length. No global sort, no broadcast; fingerprints are 8-byte
+    * xxhash64 (injective at fixture scale, 2⁻⁶⁴-rate collisions at any
+    * realistic corpus — the q174 convention). */
+  def repeatedSpans(df: DataFrame, text: Column, id: Column,
+                    w: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(w >= 2, "window width must be >= 2")
+    val toks = split(text, " ")
+    val base = df.select(id.as("doc_id"),
+      size(toks).cast("long").as("n_toks"),
+      when(size(toks) >= w,
+        transform(sequence(lit(1), size(toks) - (w - 1)),
+          p => struct(p.cast("long").as("p"),
+            xxhash64(concat_ws(" ", slice(toks, p, lit(w)))).as("g"))))
+        .otherwise(array().cast("array<struct<p:bigint,g:bigint>>"))
+        .as("ws"))
+    val occ = base.select(col("doc_id"), explode(col("ws")).as("u"))
+      .select(col("doc_id"), col("u.p").as("p"), col("u.g").as("g"))
+    val rep = occ.groupBy("g").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 2).select("g")
+    val byDoc = Window.partitionBy("doc_id").orderBy("p")
+    val marked = occ.join(rep, Seq("g"), "left_semi")
+      .withColumn("pe", col("p") + w)
+      .withColumn("mp", max(col("pe")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("nw",
+        when(col("mp").isNull || col("p") > col("mp"), 1L).otherwise(0L))
+      .withColumn("grp", sum("nw").over(byDoc))
+    val spans = marked.groupBy("doc_id", "grp")
+      .agg(min("p").as("s"), max("pe").as("e"))
+    val perDoc = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum(col("e") - col("s")).as("rt"))
+    base.select("doc_id", "n_toks")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("rt"), lit(0L)).as("rep_tokens"))
+      .withColumn("rep_frac", Seal.ratio4("rep_tokens", "n_toks"))
+  }
+
+  /** Keep-first scrub of [[repeatedSpans]]' repeats — the removal HALF
+    * of ExactSubstr dedup: for each corpus-repeated `w`-token window the
+    * FIRST occurrence (min (doc_id, position)) stays canonical; every
+    * other occurrence marks its window for removal. Removal windows
+    * merge into maximal spans per doc, covered token positions are
+    * dropped, and the survivors reassemble in order. Output per doc:
+    * token accounting plus a 60-bit content hash of the scrubbed text
+    * (the oracle-checkable stand-in for shipping the text itself);
+    * fully-scrubbed docs surface as n_kept = 0 with the hash of "".
+    *
+    * Same linear shuffle skeleton as [[repeatedSpans]] plus: the
+    * first-occurrence choice is a row_number over the fingerprint key
+    * (partition size = that window's duplication count — boilerplate
+    * heavy hitters are exactly what the operator exists to kill), and
+    * the position drop is an (doc, pos)-keyed anti join — equi keys
+    * only, no range predicates, no broadcast. */
+  def scrubRepeatedSpans(df: DataFrame, text: Column, id: Column,
+                         w: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(w >= 2, "window width must be >= 2")
+    val toks = split(text, " ")
+    val base = df.select(id.as("doc_id"),
+      size(toks).cast("long").as("n_toks"),
+      when(size(toks) >= w,
+        transform(sequence(lit(1), size(toks) - (w - 1)),
+          p => struct(p.cast("long").as("p"),
+            xxhash64(concat_ws(" ", slice(toks, p, lit(w)))).as("g"))))
+        .otherwise(array().cast("array<struct<p:bigint,g:bigint>>"))
+        .as("ws"))
+    val occ = base.select(col("doc_id"), explode(col("ws")).as("u"))
+      .select(col("doc_id"), col("u.p").as("p"), col("u.g").as("g"))
+    val rep = occ.groupBy("g").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 2).select("g")
+    val marked = occ.join(rep, Seq("g"), "left_semi")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy("doc_id", "p")))
+      .where(col("rn") > 1)
+    val byDoc = Window.partitionBy("doc_id").orderBy("p")
+    val spans = marked
+      .withColumn("pe", col("p") + w)
+      .withColumn("mp", max(col("pe")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("nw",
+        when(col("mp").isNull || col("p") > col("mp"), 1L).otherwise(0L))
+      .withColumn("grp", sum("nw").over(byDoc))
+      .groupBy("doc_id", "grp")
+      .agg(min("p").as("s"), max("pe").as("e"))
+    val removedPos = spans.select(col("doc_id"),
+      explode(sequence(col("s"), col("e") - 1)).as("i"))
+    val tokPos = df.select(id.as("doc_id"), posexplode(toks))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"),
+        col("col").as("t"))
+    val kept = tokPos.join(removedPos, Seq("doc_id", "i"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("i"), col("t")))),
+          s => s.getField("t")), " ").as("clean"))
+    base.select("doc_id", "n_toks")
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_toks") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"),
+        hash60(coalesce(col("clean"), lit(""))).as("clean_hash"))
+  }
+
+  /** Empirical MinHash band-plan S-curve — "measure, don't guess" for
+    * the (bands, rowsPerBand) knob: for each candidate factorization of
+    * a `numPerm`-long signature, what fraction of the TRUE near-dup
+    * pairs in each similarity band does that banding actually catch on
+    * this corpus? Truth = exact unigram-set Jaccard over within-block
+    * pairs, binned in INTEGER space (bin10 = ⌊10·i/u⌋ — no double
+    * thresholds anywhere); a plan's candidates = its band-bucket
+    * self-join collisions. Output one row per (plan × bin), zero-filled
+    * from an explicit spine so "no pairs in this band" is a 0-row, not
+    * an absent one; capture is NULL only for empty bins.
+    *
+    * Scale: the signature table (numPerm longs per doc) is computed
+    * once and checkpointed; each plan's candidate join is the banding
+    * join (candidates ∝ near-dups, never all-pairs). The TRUTH side is
+    * the quadratic within-block join — a calibration device to run on a
+    * block-bounded sample at 100 TB, exactly as q27 documents. */
+  def bandPlanCapture(df: DataFrame, text: Column, id: Column,
+                      block: Column, shingleSize: Int = 3,
+                      numPerm: Int = 16, plans: Seq[Int] = Seq(2, 4, 8),
+                      minBin10: Int = 5): DataFrame = {
+    require(plans.nonEmpty && plans.forall(b => b >= 1 && numPerm % b == 0),
+      "each plan's band count must divide numPerm")
+    val spark = df.sparkSession
+    val para = spark.sessionState.conf.numShufflePartitions
+    val sig = minhashSignatures(df, text, id, shingleSize, numPerm)
+      .repartition(para, col("__id")).localCheckpoint()
+    val t = df.select(id.as("__id"), block.as("__blk"),
+      array_distinct(transform(array_distinct(split(text, " ")),
+        g => xxhash64(g))).as("__g"))
+    val exact = t.repartition(para, col("__id")).as("a")
+      .join(t.as("b"), col("a.__blk") === col("b.__blk"))
+      .where(col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        size(array_intersect(col("a.__g"), col("b.__g"))).cast("long")
+          .as("__i"),
+        (size(col("a.__g")) + size(col("b.__g"))).cast("long").as("__ab"))
+      .withColumn("__u", col("__ab") - col("__i"))
+      .withColumn("bin10", expr("(__i * 10) div __u"))
+      .where(col("bin10") >= minBin10)
+      .select("id_a", "id_b", "bin10")
+      .repartition(para, col("id_a"), col("id_b"))
+      .localCheckpoint()
+    val caps = plans.map { b =>
+      val r = numPerm / b
+      val banded = sig.select(col("__id"),
+        posexplode(transform(sequence(lit(0), lit(b - 1)),
+          i => slice(col("__sig"), i * r + 1, lit(r)))))
+        .select(col("__id"), col("pos").as("__band"),
+          col("col").cast("string").as("__bucket"))
+      val cand = banded.as("a").join(banded.as("b"),
+          col("a.__band") === col("b.__band") &&
+            col("a.__bucket") === col("b.__bucket"))
+        .where(col("a.__id") < col("b.__id"))
+        .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+        .distinct()
+        .withColumn("__hit", lit(1L))
+      exact.join(cand, Seq("id_a", "id_b"), "left")
+        .groupBy("bin10")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_caught"))
+        .select(lit(b).as("n_bands"), lit(r).as("rows_per_band"),
+          col("bin10"), col("n_pairs"), col("n_caught"))
+    }.reduce(_ unionByName _)
+    val spine = spark.range(1)
+      .select(explode(array(plans.flatMap(b => (minBin10 to 10).map(bin =>
+        struct(lit(b).as("n_bands"), lit(numPerm / b).as("rows_per_band"),
+          lit(bin.toLong).as("bin10")))): _*)).as("s"))
+      .select(col("s.n_bands").as("n_bands"),
+        col("s.rows_per_band").as("rows_per_band"),
+        col("s.bin10").as("bin10"))
+    spine.join(caps, Seq("n_bands", "rows_per_band", "bin10"), "left")
+      .select(col("n_bands"), col("rows_per_band"), col("bin10"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_caught"), lit(0L)).as("n_caught"))
+      .withColumn("capture",
+        when(col("n_pairs") > 0, Seal.ratio4("n_caught", "n_pairs")))
+  }
+
+  /** Recall / precision / F1 of the SHIPPED MinHash-LSH plan against
+    * exact Jaccard truth — the one-row health check a pipeline runs
+    * before trusting its near-dedup pass. Truth = within-block unigram
+    * Jaccard ≥ minBin10/10 (integer-space threshold: 10·i ≥ bin·u);
+    * predictions = [[minhashCandidates]] collisions restricted to the
+    * same blocks (the truth side can't see cross-block pairs, so the
+    * comparison must not either). F1 comes out of integer space too:
+    * F1 = 2·hits / (n_true + n_cand). All counts are exact longs; the
+    * three ratios seal via the ratio4 device, NULL on empty
+    * denominators. Same scale story as [[bandPlanCapture]]. */
+  def lshPlanEval(df: DataFrame, text: Column, id: Column, block: Column,
+                  shingleSize: Int = 3, numPerm: Int = 16, bands: Int = 4,
+                  minBin10: Int = 6): DataFrame = {
+    val para = df.sparkSession.sessionState.conf.numShufflePartitions
+    val t = df.select(id.as("__id"), block.as("__blk"),
+      array_distinct(transform(array_distinct(split(text, " ")),
+        g => xxhash64(g))).as("__g"))
+    val truth = t.repartition(para, col("__id")).as("a")
+      .join(t.as("b"), col("a.__blk") === col("b.__blk"))
+      .where(col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        size(array_intersect(col("a.__g"), col("b.__g"))).cast("long")
+          .as("__i"),
+        (size(col("a.__g")) + size(col("b.__g"))).cast("long").as("__ab"))
+      .where(col("__i") * 10 >= (col("__ab") - col("__i")) * minBin10)
+      .select(col("id_a"), col("id_b"), lit(1L).as("__true"))
+    val src = df.select(id.as("__sid"), block.as("__sblk"))
+    val cand = minhashCandidates(df, text, id, shingleSize, numPerm, bands)
+      .join(src.withColumnRenamed("__sid", "id_a")
+        .withColumnRenamed("__sblk", "__ba"), Seq("id_a"))
+      .join(src.withColumnRenamed("__sid", "id_b")
+        .withColumnRenamed("__sblk", "__bb"), Seq("id_b"))
+      .where(col("__ba") === col("__bb"))
+      .select(col("id_a"), col("id_b"), lit(1L).as("__cand"))
+    truth.join(cand, Seq("id_a", "id_b"), "full")
+      .agg(sum(coalesce(col("__true"), lit(0L))).as("n_true"),
+        sum(coalesce(col("__cand"), lit(0L))).as("n_cand"),
+        sum(when(col("__true").isNotNull && col("__cand").isNotNull, 1L)
+          .otherwise(0L)).as("n_hit"))
+      .withColumn("__tc", col("n_true") + col("n_cand"))
+      .withColumn("__h2", col("n_hit") * 2)
+      .select(col("n_true"), col("n_cand"), col("n_hit"),
+        when(col("n_true") > 0, Seal.ratio4("n_hit", "n_true"))
+          .as("recall"),
+        when(col("n_cand") > 0, Seal.ratio4("n_hit", "n_cand"))
+          .as("precision"),
+        when(col("__tc") > 0, Seal.ratio4("__h2", "__tc")).as("f1"))
+  }
+
   /** Boilerplate-prefix census: how many documents share their first
     * `k` tokens — the template/header detector (crawled pages with a
     * shared banner, log lines with a fixed preamble). Prefixes shorter

@@ -214,6 +214,79 @@ class GrowthOpsSpec extends SparkSpec {
     assert(out.head.getLong(1) === 2L)
   }
 
+  test("repeatedSpans: shared window marks both docs, overlaps merge") {
+    val df = Seq(
+      (1L, "a b c d e f g h"),  // shares window "a b c d e" with doc 2
+      (2L, "a b c d e x y z"),
+      (3L, "q r s t u"),        // single unique window -> zero row
+      (4L, "j k l m n o"),      // identical to doc 5: both windows
+      (5L, "j k l m n o"))      //   repeat, spans [1,6)+[2,7) merge
+      .toDF("id", "tx")
+    val out = Dedup.repeatedSpans(df, col("tx"), col("id"), w = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(out === Seq(
+      (1L, 8L, 1L, 5L, 0.625), (2L, 8L, 1L, 5L, 0.625),
+      (3L, 5L, 0L, 0L, 0.0),
+      (4L, 6L, 1L, 6L, 1.0), (5L, 6L, 1L, 6L, 1.0)))
+  }
+
+  test("scrubRepeatedSpans: first occurrence survives, later ones go") {
+    val df = Seq(
+      (4L, "j k l m n o"),   // canonical copy: keeps everything
+      (5L, "j k l m n o"),   // full duplicate: fully scrubbed
+      (6L, "p q r s t u v"), // canonical prefix owner
+      (7L, "p q r s t x y")) // loses the shared 5-token prefix
+      .toDF("id", "tx")
+    val out = Dedup.scrubRepeatedSpans(df, col("tx"), col("id"), w = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    def h(s: String): Long = spark.range(1)
+      .select(Dedup.hash60(lit(s))).head().getLong(0)
+    assert(out === Seq(
+      (4L, 6L, 6L, 0L, h("j k l m n o")),
+      (5L, 6L, 0L, 6L, h("")),
+      (6L, 7L, 7L, 0L, h("p q r s t u v")),
+      (7L, 7L, 2L, 5L, h("x y"))))
+  }
+
+  test("bandPlanCapture: identical pair caught by every plan, spine " +
+    "zero-fills empty bins") {
+    val df = Seq((1L, "blk", "w1 w2 w3 w4 w5"),
+      (2L, "blk", "w1 w2 w3 w4 w5"), (3L, "blk", "z1 z2 z3"))
+      .toDF("id", "blk", "tx")
+    val out = Dedup.bandPlanCapture(df, col("tx"), col("id"), col("blk"),
+      shingleSize = 1, numPerm = 16, plans = Seq(2, 4, 8), minBin10 = 5)
+      .orderBy("n_bands", "bin10").collect()
+    assert(out.length === 18)
+    val bin10 = out.filter(_.getLong(2) == 10L)
+    assert(bin10.length === 3)
+    bin10.foreach { r =>
+      assert(r.getLong(3) === 1L && r.getLong(4) === 1L &&
+        r.getDouble(5) === 1.0)
+    }
+    // empty bins: explicit zero rows with NULL capture
+    val empty = out.filter(_.getLong(2) < 10L)
+    assert(empty.forall(r => r.getLong(3) == 0L && r.getLong(4) == 0L &&
+      r.isNullAt(5)))
+  }
+
+  test("lshPlanEval: exact duplicate yields perfect one-row scorecard") {
+    val df = Seq((1L, "blk", "w1 w2 w3 w4 w5"),
+      (2L, "blk", "w1 w2 w3 w4 w5"), (3L, "blk", "z1 z2 z3"))
+      .toDF("id", "blk", "tx")
+    val out = Dedup.lshPlanEval(df, col("tx"), col("id"), col("blk"),
+      shingleSize = 1, numPerm = 16, bands = 4, minBin10 = 6).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(0) === 1L && r.getLong(1) === 1L &&
+      r.getLong(2) === 1L)
+    assert(r.getDouble(3) === 1.0 && r.getDouble(4) === 1.0 &&
+      r.getDouble(5) === 1.0)
+  }
+
   test("sequentialMonitor: balanced identical arms never cross") {
     val d1 = java.sql.Date.valueOf("2024-01-01")
     val d2 = java.sql.Date.valueOf("2024-01-02")
