@@ -1,0 +1,297 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import Queries.QDef
+
+/** Scale-engineering & release-audit batch (q336+): t-closeness (the
+  * privacy-ladder member k-anonymity/l-diversity miss), standardized
+  * effect sizes, Kendall's concordance, zone-map pruning evaluation,
+  * salt-factor planning, and Bloom-filter sizing. Same oracle
+  * conventions as [[Queries]] (FIXTURES.md): integer quantization
+  * before cross-row sums, Seal-device integer rounding on exact
+  * rationals, dense literal spines, total ORDER BY.
+  */
+object PlanningQueries {
+  private def T(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Tables.t(s, dir, n)
+
+  /** [[Privacy.tClosenessReport]]: per (segment × nation) equivalence
+    * class, the normalized 1-D Wasserstein distance between the class's
+    * account-balance distribution (10 equal-width bins of the global
+    * cent range) and the whole table's — the release gate that catches
+    * a class leaking "this group is rich" even when it clears k and l. */
+  private val q336 = QDef("q336_t_closeness",
+    (s, dir) => Privacy.tClosenessReport(T(s, dir, "customer"),
+      Seq("seg" -> col("c_mktsegment"),
+        "nk" -> col("c_nationkey").cast("long")),
+      expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)"), bins = 10)
+      .orderBy("seg", "nk"),
+    Some(s"""WITH b AS (SELECT c_mktsegment AS seg,
+      |        CAST(c_nationkey AS BIGINT) AS nk,
+      |        CAST(round(c_acctbal * 100, 0) AS BIGINT) AS v
+      |      FROM customer WHERE c_acctbal IS NOT NULL),
+      |env AS (SELECT min(v) AS lo, max(v) AS hi FROM b),
+      |bi AS (SELECT seg, nk, ((v - lo) * 10) // (hi - lo + 1) AS bin
+      |       FROM b CROSS JOIN env),
+      |cells AS (SELECT seg, nk, bin, count(*) AS c FROM bi GROUP BY 1, 2, 3),
+      |grp AS (SELECT seg, nk, sum(c) AS n_g FROM cells GROUP BY 1, 2),
+      |spine AS (SELECT seg, nk, n_g, unnest(range(0, 10)) AS bin FROM grp),
+      |dense AS (SELECT s.seg, s.nk, s.n_g, s.bin, coalesce(c.c, 0) AS c
+      |          FROM spine s LEFT JOIN cells c
+      |          ON s.seg = c.seg AND s.nk = c.nk AND s.bin = c.bin),
+      |gc AS (SELECT bin, sum(c) AS cb FROM dense GROUP BY 1),
+      |gcum AS (SELECT bin, CAST(sum(cb) OVER (ORDER BY bin) AS BIGINT)
+      |           AS cum_all FROM gc),
+      |na AS (SELECT sum(cb) AS n_all FROM gc),
+      |cums AS (SELECT seg, nk, n_g, bin,
+      |         CAST(sum(c) OVER (PARTITION BY seg, nk ORDER BY bin)
+      |           AS BIGINT) AS cum_g
+      |         FROM dense),
+      |terms AS (SELECT seg, nk, n_g, n_all,
+      |          abs(CAST(cum_g AS HUGEINT) * n_all
+      |            - CAST(cum_all AS HUGEINT) * n_g) AS term
+      |          FROM cums JOIN gcum USING (bin) CROSS JOIN na),
+      |fin AS (SELECT seg, nk, n_g, sum(term) AS emd_num,
+      |        CAST(n_g AS HUGEINT) * n_all * 9 AS emd_den
+      |        FROM terms GROUP BY 1, 2, 3, n_all)
+      |SELECT seg, nk, CAST(n_g AS BIGINT) AS n,
+      |  ${Seal.sqlRatio4("emd_num", "emd_den")} AS t_emd
+      |FROM fin ORDER BY seg, nk""".stripMargin))
+
+  /** [[Trend.effectSizePanel]]: Cohen's d / Hedges' g / Glass's Δ of
+    * document length between the q165/q166 drift slices — the MAGNITUDE
+    * readout next to their drift scores. */
+  private val q337 = QDef("q337_effect_sizes",
+    (s, dir) => Trend.effectSizePanel(T(s, dir, "documents"),
+      col("source"), col("n_chars"), "src0", "src1"),
+    Some(s"""WITH g AS (SELECT source AS l, CAST(n_chars AS BIGINT) AS v
+      |      FROM documents WHERE source IN ('src0', 'src1')
+      |        AND n_chars IS NOT NULL),
+      |s AS (SELECT
+      |    CAST(sum(CASE WHEN l = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN l = 'src0' THEN v ELSE 0 END) AS BIGINT) AS s_a,
+      |    sum(CASE WHEN l = 'src0' THEN CAST(v AS HUGEINT) * v
+      |        ELSE CAST(0 AS HUGEINT) END) AS ss_a,
+      |    CAST(sum(CASE WHEN l = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN l = 'src1' THEN v ELSE 0 END) AS BIGINT) AS s_b,
+      |    sum(CASE WHEN l = 'src1' THEN CAST(v AS HUGEINT) * v
+      |        ELSE CAST(0 AS HUGEINT) END) AS ss_b
+      |  FROM g),
+      |t AS (SELECT n_a, n_b, s_a, s_b,
+      |    CAST(n_a AS HUGEINT) * ss_a - CAST(s_a AS HUGEINT) * s_a AS ssq_a,
+      |    CAST(n_b AS HUGEINT) * ss_b - CAST(s_b AS HUGEINT) * s_b AS ssq_b
+      |  FROM s),
+      |u AS (SELECT n_a, n_b, ssq_a, ssq_b,
+      |    CAST(s_a AS HUGEINT) * n_b - CAST(s_b AS HUGEINT) * n_a AS md_num,
+      |    CAST(nullif(n_a, 0) AS HUGEINT) * nullif(n_b, 0) AS md_den
+      |  FROM t),
+      |v2 AS (SELECT n_a, n_b, ssq_b, md_num, md_den,
+      |    CAST(md_num AS DOUBLE) / CAST(md_den AS DOUBLE) AS mdiff,
+      |    (CAST(ssq_a AS DOUBLE) / CAST(nullif(n_a, 0) AS DOUBLE)
+      |     + CAST(ssq_b AS DOUBLE) / CAST(nullif(n_b, 0) AS DOUBLE))
+      |      / CAST(nullif(n_a + n_b - 2, 0) AS DOUBLE) AS sp2
+      |  FROM u),
+      |v3 AS (SELECT n_a, n_b, md_num, md_den, mdiff,
+      |    mdiff / nullif(sqrt(sp2), 0.0) AS d_raw,
+      |    nullif(sqrt(CAST(ssq_b AS DOUBLE) /
+      |      CAST(nullif(CAST(n_b AS HUGEINT) * (n_b - 1), 0) AS DOUBLE)),
+      |      0.0) AS sd_b
+      |  FROM v2)
+      |SELECT 'src0' AS label_a, 'src1' AS label_b, n_a, n_b,
+      |  ${Seal.sqlRatio4("md_num", "md_den")} AS mean_diff,
+      |  round(d_raw, 4) AS cohens_d,
+      |  round(d_raw * (1.0 - 3.0 /
+      |    CAST(nullif(4 * (n_a + n_b - 2) - 1, 0) AS DOUBLE)), 4)
+      |    AS hedges_g,
+      |  round(mdiff / sd_b, 4) AS glass_delta
+      |FROM v3""".stripMargin))
+
+  /** [[Inference.kendallW]]: do the five event streams agree on WHICH
+    * weekdays carry the value? Judges = event types, items = ISO
+    * weekdays, value = total event cents per (type, dow) — W near 1
+    * means one weekly shape, W near 0 means each stream peaks on its
+    * own days. */
+  private val q338 = QDef("q338_kendall_w",
+    (s, dir) => {
+      val per = T(s, dir, "events")
+        .where(col("ts").isNotNull && col("value").isNotNull)
+        .groupBy(col("event_type").as("j"),
+          (weekday(col("ts")) + 1).cast("long").as("dow"))
+        .agg(sum(expr("CAST(round(value * 100, 0) AS BIGINT)")).as("cents"))
+      Inference.kendallW(per, col("j"), col("dow"), col("cents"))
+    },
+    Some(s"""WITH per AS (SELECT event_type AS j,
+      |        CAST(isodow(ts) AS BIGINT) AS dow,
+      |        sum(CAST(round(value * 100, 0) AS BIGINT)) AS x
+      |      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      |      GROUP BY 1, 2),
+      |nn AS (SELECT count(DISTINCT dow) AS n FROM per),
+      |comp AS (SELECT j FROM per GROUP BY j
+      |         HAVING count(*) = (SELECT n FROM nn)),
+      |d AS (SELECT per.* FROM per JOIN comp USING (j)),
+      |byv AS (SELECT j, x, count(*) AS m FROM d GROUP BY 1, 2),
+      |sp AS (SELECT j, x, m,
+      |        CAST(sum(m) OVER (PARTITION BY j ORDER BY x) AS BIGINT)
+      |          AS cum,
+      |        m * m * m - m AS tc
+      |       FROM byv),
+      |rk AS (SELECT d.dow, 2 * sp.cum - sp.m + 1 AS r2
+      |       FROM d JOIN sp ON d.j = sp.j AND d.x = sp.x),
+      |isum AS (SELECT dow, CAST(sum(r2) AS BIGINT) AS r2j
+      |         FROM rk GROUP BY 1),
+      |ties AS (SELECT count(DISTINCT j) AS m,
+      |          coalesce(CAST(sum(tc) AS BIGINT), 0) AS t FROM sp),
+      |ag AS (SELECT m, t, count(*) AS n,
+      |        sum(CAST(r2j AS HUGEINT) * r2j) AS sr2
+      |       FROM isum CROSS JOIN ties GROUP BY 1, 2),
+      |fin AS (SELECT m, n, t,
+      |        sr2 - CAST(n AS HUGEINT) * m * m * (n + 1) * (n + 1) AS s4
+      |       FROM ag),
+      |fr AS (SELECT m, n,
+      |        3 * s4 AS wnum,
+      |        nullif(CAST(m AS HUGEINT) * m *
+      |          (CAST(n AS HUGEINT) * n * n - n)
+      |          - CAST(m AS HUGEINT) * t, 0) AS wden,
+      |        3 * s4 * (n - 1) AS cnum,
+      |        nullif(CAST(m AS HUGEINT) *
+      |          (CAST(n AS HUGEINT) * n * n - n) - t, 0) AS cden
+      |       FROM fin)
+      |SELECT CAST(m AS BIGINT) AS k_judges, CAST(n AS BIGINT) AS n_items,
+      |  ${Seal.sqlRatio4("wnum", "wden")} AS w,
+      |  ${Seal.sqlRatio4("cnum", "cden")} AS chi2
+      |FROM fr""".stripMargin))
+
+  /** [[Layout.zonemapPruneEval]] over lineitem (suppkey × partkey, low
+    * 8 bits, 64 simulated files): the measured file-skipping table
+    * behind the q142 Z-order layout — natural order prunes nothing,
+    * sort-by-suppkey prunes only suppkey predicates, Z-order prunes
+    * both dimensions. */
+  private val q339 = QDef("q339_zonemap_prune",
+    (s, dir) => Layout.zonemapPruneEval(T(s, dir, "lineitem"),
+      col("l_orderkey"), col("l_suppkey"), col("l_partkey"),
+      bits = 8, files = 64,
+      preds = Seq(
+        ("x_0_15", Some((0L, 15L)), None),
+        ("x_64_127", Some((64L, 127L)), None),
+        ("xy_0_15", Some((0L, 15L)), Some((0L, 15L))),
+        ("y_0_15", None, Some((0L, 15L))))),
+    Some(s"""WITH b AS (SELECT CAST(l_orderkey AS BIGINT) AS o,
+      |        (CAST(l_suppkey AS BIGINT) & 255) AS xm,
+      |        (CAST(l_partkey AS BIGINT) & 255) AS ym,
+      |        ${Layout.zorderSql("l_suppkey", "l_partkey", 8)} AS z
+      |      FROM lineitem WHERE l_orderkey IS NOT NULL),
+      |env AS (SELECT min(o) AS lo_o, max(o) AS hi_o FROM b),
+      |asn AS (
+      |  SELECT 'natural' AS layout,
+      |    ((o - lo_o) * 64) // (hi_o - lo_o + 1) AS f, xm, ym
+      |  FROM b CROSS JOIN env
+      |  UNION ALL
+      |  SELECT 'sort_x', (xm * 64) // 256, xm, ym FROM b
+      |  UNION ALL
+      |  SELECT 'zorder', z >> 10, xm, ym FROM b),
+      |zones AS (SELECT layout, f, count(*) AS n_rows,
+      |        min(xm) AS x_min, max(xm) AS x_max,
+      |        min(ym) AS y_min, max(ym) AS y_max
+      |      FROM asn GROUP BY 1, 2),
+      |tot AS (SELECT layout, count(*) AS n_files, sum(n_rows) AS rows_total
+      |        FROM zones GROUP BY 1),
+      |preds AS (SELECT * FROM (VALUES
+      |    ('x_0_15', 0, 15, NULL, NULL),
+      |    ('x_64_127', 64, 127, NULL, NULL),
+      |    ('xy_0_15', 0, 15, 0, 15),
+      |    ('y_0_15', NULL, NULL, 0, 15))
+      |  AS p(predicate, xlo, xhi, ylo, yhi)),
+      |kept AS (SELECT layout, predicate,
+      |        sum(CASE WHEN coalesce(x_max >= xlo, TRUE)
+      |              AND coalesce(x_min <= xhi, TRUE)
+      |              AND coalesce(y_max >= ylo, TRUE)
+      |              AND coalesce(y_min <= yhi, TRUE)
+      |            THEN 1 ELSE 0 END) AS n_files_kept,
+      |        sum(CASE WHEN coalesce(x_max >= xlo, TRUE)
+      |              AND coalesce(x_min <= xhi, TRUE)
+      |              AND coalesce(y_max >= ylo, TRUE)
+      |              AND coalesce(y_min <= yhi, TRUE)
+      |            THEN n_rows ELSE 0 END) AS rows_scanned
+      |      FROM zones CROSS JOIN preds GROUP BY 1, 2),
+      |fin AS (SELECT k.layout, k.predicate,
+      |        CAST(t.n_files AS BIGINT) AS n_files,
+      |        CAST(k.n_files_kept AS BIGINT) AS n_files_kept,
+      |        CAST(k.rows_scanned AS BIGINT) AS rows_scanned,
+      |        t.n_files - k.n_files_kept AS n_pruned, t.rows_total
+      |      FROM kept k JOIN tot t USING (layout))
+      |SELECT layout, predicate, n_files, n_files_kept, rows_scanned,
+      |  ${Seal.sqlRatio4("n_pruned", "n_files")} AS files_pruned_share,
+      |  ${Seal.sqlRatio4("rows_scanned", "rows_total")} AS rows_scanned_share
+      |FROM fin ORDER BY layout, predicate""".stripMargin))
+
+  /** [[Skew.saltPlanEval]] on the event-type shuffle key (a handful of
+    * hot values by construction): the diminishing-returns table that
+    * picks the salt factor for [[Skew.saltedTwoPhase]]. */
+  private val q340 = QDef("q340_salt_plan",
+    (s, dir) => Skew.saltPlanEval(T(s, dir, "events"),
+      col("event_type"), col("event_id"), Seq(1, 2, 4, 8, 16)),
+    Some(s"""WITH fine AS (SELECT event_type AS k, event_id % 16 AS salt,
+      |        count(*) AS c
+      |      FROM events WHERE event_type IS NOT NULL
+      |        AND event_id IS NOT NULL
+      |      GROUP BY 1, 2),
+      |fx AS (SELECT unnest([1, 2, 4, 8, 16]) AS s),
+      |per AS (SELECT s, k, salt % s AS ss, sum(c) AS c
+      |        FROM fine CROSS JOIN fx GROUP BY 1, 2, 3),
+      |agg AS (SELECT s, count(*) AS n_buckets, sum(c) AS n_rows,
+      |        max(c) AS max_bucket_rows
+      |       FROM per GROUP BY 1)
+      |SELECT CAST(s AS BIGINT) AS salt_factor,
+      |  CAST(n_buckets AS BIGINT) AS n_buckets,
+      |  CAST(n_rows AS BIGINT) AS n_rows,
+      |  CAST(max_bucket_rows AS BIGINT) AS max_bucket_rows,
+      |  ${Seal.sqlRatio4("max_bucket_rows", "n_rows")} AS hotspot_share
+      |FROM agg ORDER BY salt_factor""".stripMargin))
+
+  /** [[Decontaminate.bloomPlan]] sizing the q90 passage bitset: distinct
+    * 10-token passages of the doc_id < 250 corpus side, tabulated over
+    * bits/key × hash-count candidates with the information-optimal hash
+    * count flagged per row. */
+  private val q341 = QDef("q341_bloom_plan",
+    (s, dir) => Decontaminate.bloomPlan(
+      T(s, dir, "documents").where(col("doc_id") < 250), col("text"),
+      k = 10, bitsPerKey = Seq(8, 12, 16, 20), maxHashes = 8),
+    Some {
+      val powCase = (1 to 8).map(i =>
+        s"WHEN h = $i THEN ${Seq.fill(i)("b1").mkString(" * ")}")
+        .mkString("CASE ", " ", " END")
+      val denCase = (1 to 8).map(i =>
+        s"WHEN h = $i THEN CAST('${java.math.BigInteger.TEN.pow(4 * i - 4)}' AS HUGEINT)")
+        .mkString("CASE ", " ", " END")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+      |      FROM documents WHERE doc_id < 250),
+      |ch AS (SELECT array_to_string(tk[(i-1)*10+1:(i-1)*10+10], ' ') AS p
+      |       FROM t, LATERAL unnest(range(1,
+      |         CAST(floor(len(tk)/10) AS BIGINT)+1)) AS r(i)),
+      |nk AS (SELECT count(DISTINCT p) AS n_keys FROM ch),
+      |sp AS (SELECT n_keys, b, h
+      |       FROM nk, unnest([8, 12, 16, 20]) AS bb(b),
+      |         unnest(range(1, 9)) AS hh(h)),
+      |c1 AS (SELECT n_keys, b, h,
+      |        CAST(round(exp(-CAST(h AS DOUBLE) / CAST(b AS DOUBLE))
+      |          * 100000000.0, 0) AS BIGINT) AS e8
+      |       FROM sp),
+      |c2 AS (SELECT n_keys, b, h,
+      |        CAST((2 * (100000000 - e8) + 10000) // 20000 AS HUGEINT)
+      |          AS b1
+      |       FROM c1),
+      |c3 AS (SELECT n_keys, b, h, $powCase AS fprnum, $denCase AS pden
+      |       FROM c2),
+      |fin AS (SELECT CAST(n_keys AS BIGINT) AS n_keys,
+      |        CAST(b AS BIGINT) AS bits_per_key,
+      |        CAST(h AS BIGINT) AS n_hashes,
+      |        CAST(n_keys * b AS BIGINT) AS m_bits,
+      |        CAST((2 * fprnum + pden) // (2 * pden) AS DOUBLE) / 10000.0
+      |          AS fpr,
+      |        h = ((2 * b * 693147 + 1000000) // 2000000) AS is_optimal_h
+      |       FROM c3)
+      |SELECT * FROM fin ORDER BY bits_per_key, n_hashes""".stripMargin
+    })
+
+  def all: Seq[QDef] = Seq(q336, q337, q338, q339, q340, q341)
+}

@@ -433,5 +433,5 @@ object Queries {
 
   def all: Seq[QDef] = parity ++ extension ++ ExtQueries.all ++
     StatQueries.all ++ EvalQueries.all ++ AnalyticsQueries.all ++
-    InferenceQueries.all ++ GrowthQueries.all
+    InferenceQueries.all ++ GrowthQueries.all ++ PlanningQueries.all
 }

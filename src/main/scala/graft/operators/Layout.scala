@@ -40,6 +40,96 @@ object Layout {
     }.mkString("(", " | ", ")")
   }
 
+  /** Scan-side zone-map pruning evaluation — the MEASURED "is Z-order
+    * worth it" readout that q142's envelope table only implies: simulate
+    * writing the table as `files` equal-width contiguous files under
+    * three layouts (natural = insertion order via `ord`; sort_x = sorted
+    * by the x dimension; zorder = sorted by the Morton key of
+    * [[zorderKey]]), compute each file's min/max zone map on BOTH masked
+    * dimensions, and report — per layout × range predicate — how many
+    * files a zone-map-aware scan planner prunes and what fraction of
+    * ROWS the kept files still hold. The table a 100 TB layout decision
+    * reads: natural prunes nothing, sort_x prunes x-predicates only,
+    * zorder prunes both.
+    *
+    * Determinism: file assignment is pure integer arithmetic (value-
+    * range buckets — `(v−lo)·files div (hi−lo+1)` — the proxy for
+    * "sorted then split into equal files" that needs no global sort in
+    * either engine); zone maps are exact integer min/max; the two
+    * shares seal with ratio4.
+    *
+    * Scale shape: one 1-row envelope agg on `ord`, ONE corpus pass that
+    * explodes each row into its 3 layout assignments (constant ×3, no
+    * shuffle growth), one aggregation keyed (layout, file) — bounded at
+    * 3·`files` rows — then literal-spine cross joins over that bounded
+    * table. Raw rows never sort and never window. */
+  def zonemapPruneEval(df: org.apache.spark.sql.DataFrame, ord: Column,
+                       x: Column, y: Column, bits: Int, files: Int,
+                       preds: Seq[(String, Option[(Long, Long)],
+                         Option[(Long, Long)])])
+      : org.apache.spark.sql.DataFrame = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    require(files >= 2 && (files & (files - 1)) == 0 &&
+      files <= (1 << math.min(2 * bits, 30)),
+      "files must be a power of two within the z key space")
+    require(preds.nonEmpty, "need at least one predicate")
+    val logF = java.lang.Integer.numberOfTrailingZeros(files)
+    val mask = (1L << bits) - 1
+    val idiv = org.apache.spark.sql.graft.VectorExprs.idiv _
+    val spark = df.sparkSession
+    val base = df.select(ord.cast("long").as("o"),
+        x.cast("long").bitwiseAND(lit(mask)).as("xm"),
+        y.cast("long").bitwiseAND(lit(mask)).as("ym"))
+      .where(col("o").isNotNull)
+    val env = base.agg(min("o").as("lo_o"), max("o").as("hi_o"))
+    val assigned = base.crossJoin(broadcast(env))
+      .select(col("xm"), col("ym"),
+        explode(array(
+          struct(lit("natural").as("layout"),
+            idiv((col("o") - col("lo_o")) * files,
+              col("hi_o") - col("lo_o") + 1).cast("long").as("f")),
+          struct(lit("sort_x").as("layout"),
+            idiv(col("xm") * files, lit(1L << bits)).cast("long").as("f")),
+          struct(lit("zorder").as("layout"),
+            shiftright(Layout.zorderKey(col("xm"), col("ym"), bits),
+              2 * bits - logF).as("f")))).as("a"))
+      .select(col("a.layout").as("layout"), col("a.f").as("f"),
+        col("xm"), col("ym"))
+    val zones = assigned.groupBy("layout", "f")
+      .agg(count(lit(1)).as("n_rows"),
+        min("xm").as("x_min"), max("xm").as("x_max"),
+        min("ym").as("y_min"), max("ym").as("y_max"))
+    val totals = zones.groupBy("layout")
+      .agg(count(lit(1)).as("n_files"), sum("n_rows").as("rows_total"))
+    def optLit(v: Option[Long]): Column =
+      v.map(lit(_)).getOrElse(lit(null).cast("long"))
+    val predSpine = spark.range(1).select(explode(array(preds.map {
+      case (label, px, py) => struct(lit(label).as("predicate"),
+        optLit(px.map(_._1)).as("xlo"), optLit(px.map(_._2)).as("xhi"),
+        optLit(py.map(_._1)).as("ylo"), optLit(py.map(_._2)).as("yhi"))
+    }: _*)).as("p")).select(col("p.*"))
+    val kept = zones.crossJoin(broadcast(predSpine))
+      .select(col("layout"), col("predicate"), col("n_rows"),
+        (coalesce(col("x_max") >= col("xlo"), lit(true)) &&
+          coalesce(col("x_min") <= col("xhi"), lit(true)) &&
+          coalesce(col("y_max") >= col("ylo"), lit(true)) &&
+          coalesce(col("y_min") <= col("yhi"), lit(true))).as("keep"))
+      .groupBy("layout", "predicate")
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("n_files_kept"),
+        sum(when(col("keep"), col("n_rows")).otherwise(0L))
+          .as("rows_scanned"))
+    // no broadcast hint on totals: 3 rows by construction but grouped
+    // over a corpus-derived child — unprovable to the hint audit; AQE
+    // broadcasts it at runtime
+    kept.join(totals, Seq("layout"))
+      .withColumn("n_pruned", col("n_files") - col("n_files_kept"))
+      .select(col("layout"), col("predicate"), col("n_files"),
+        col("n_files_kept"), col("rows_scanned"),
+        Seal.ratio4("n_pruned", "n_files").as("files_pruned_share"),
+        Seal.ratio4("rows_scanned", "rows_total").as("rows_scanned_share"))
+      .orderBy("layout", "predicate")
+  }
+
   /** Size-budgeted sequential compaction plan — the table-maintenance
     * planner behind "merge these small files/partitions into
     * target-sized groups": units (files, date partitions) ordered by

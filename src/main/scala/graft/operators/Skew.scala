@@ -125,6 +125,52 @@ object Skew {
         Seal.ratio4("gini_num", "gden").as("gini"))
   }
 
+  /** Salt-factor planning table — the MEASURED readout behind "how many
+    * salts does this hot key need": for each candidate factor s, split
+    * every key into s sub-buckets by `saltBasis mod s` (the
+    * deterministic stand-in for the runtime salt draw) and report the
+    * worst bucket a single reducer would receive. max_bucket_rows is
+    * the straggler bound that decides the shuffle's wall-clock; the
+    * factor to pick is the smallest s whose hotspot_share stops
+    * improving (diminishing returns read directly off the table).
+    * Complements [[keyDistribution]] (which diagnoses the skew) and
+    * [[saltedTwoPhase]] (which executes the chosen factor).
+    *
+    * Scale shape: ONE corpus aggregation keyed (key, saltBasis mod
+    * max-factor) — every requested factor then derives by re-grouping
+    * THAT bounded table (factors must divide the max factor, enforced),
+    * so the corpus is read and shuffled exactly once regardless of how
+    * many factors are evaluated. All counts exact longs; shares seal
+    * with ratio4. */
+  def saltPlanEval(df: DataFrame, key: Column, saltBasis: Column,
+                   factors: Seq[Int]): DataFrame = {
+    require(factors.nonEmpty && factors.forall(_ >= 1),
+      "factors must be >= 1")
+    val fmax = factors.max
+    require(factors.forall(fmax % _ == 0),
+      s"every factor must divide the max factor $fmax (one-pass contract)")
+    val para = df.sparkSession.sessionState.conf.numShufflePartitions
+    // one consumer per factor — pin the (key, salt) count table once,
+    // repartitioned by key (the q266 checkpoint rule)
+    val fine = df.select(key.as("k"),
+        pmod(saltBasis.cast("long"), lit(fmax.toLong)).as("salt"))
+      .where(col("k").isNotNull && col("salt").isNotNull)
+      .groupBy("k", "salt").agg(count(lit(1)).as("c"))
+      .repartition(para, col("k"))
+      .localCheckpoint()
+    factors.distinct.sorted.map { s =>
+      fine.groupBy(col("k"), pmod(col("salt"), lit(s.toLong)).as("ss"))
+        .agg(sum("c").as("c"))
+        .agg(lit(s.toLong).as("salt_factor"),
+          count(lit(1)).as("n_buckets"),
+          sum("c").as("n_rows"),
+          max("c").as("max_bucket_rows"))
+        .select(col("salt_factor"), col("n_buckets"), col("n_rows"),
+          col("max_bucket_rows"),
+          Seal.ratio4("max_bucket_rows", "n_rows").as("hotspot_share"))
+    }.reduce(_.unionByName(_)).orderBy("salt_factor")
+  }
+
   /** Herfindahl–Hirschman concentration index per group: HHI = Σ share²
     * over each member's share of the group's INTEGER weight total —
     * the market-concentration companion to [[keyDistribution]]'s gini

@@ -221,6 +221,75 @@ object Trend {
             lit(0.0)), 4).as("df_welch"))
   }
 
+  /** Standardized effect-size panel between two groups of an
+    * INTEGER-quantized metric — the magnitude readout that p-values
+    * ([[welchTTest]]) deliberately don't give: Cohen's d (pooled-SD
+    * standardized mean difference), Hedges' g (d times the small-sample
+    * bias correction J = 1 − 3/(4·df − 1)), and Glass's Δ (difference
+    * over the CONTROL group's SD — the right scale when treatment
+    * changes the variance).
+    *
+    * Determinism: one pass of exact integer power sums (n, Σv, Σv² per
+    * side); the sum-of-squares numerators n·Σv² − (Σv)² go through
+    * decimal(38,0) (no Long overflow at any n — the q318 convention);
+    * every double step after that is a fixed expression tree mirrored
+    * verbatim in the oracle (sqrt is IEEE-exact, so cross-engine safe),
+    * with round(,4) on transcendental-composed outputs per the Seal
+    * classification. Degenerate inputs (a side with n ≤ 1, or zero
+    * pooled variance) yield SQL-NULL effect sizes via nullif.
+    *
+    * Scale shape: ONE map-side-combinable aggregation over the corpus;
+    * everything after is a 1-row select. */
+  def effectSizePanel(df: DataFrame, label: Column, v: Column,
+                      a: String, b: String): DataFrame = {
+    val g = df.select(label.as("l"), v.cast("long").as("v"))
+      .where(col("l").isin(a, b) && col("v").isNotNull)
+    def side(lbl: String, suf: String) = Seq(
+      sum(when(col("l") === lbl, 1L).otherwise(0L)).as(s"n_$suf"),
+      sum(when(col("l") === lbl, col("v")).otherwise(0L)).as(s"s_$suf"),
+      sum(when(col("l") === lbl,
+        col("v").cast("decimal(38,0)") * col("v")).otherwise(
+        lit(0L).cast("decimal(38,0)"))).as(s"ss_$suf"))
+    val aggs = side(a, "a") ++ side(b, "b")
+    val sums = g.agg(aggs.head, aggs.tail: _*)
+    // ssq_x = n·Σv² − (Σv)² = n·(n−1)·s² — exact decimal
+    def ssq(s: String) =
+      (col(s"n_$s").cast("decimal(38,0)") * col(s"ss_$s") -
+        col(s"s_$s").cast("decimal(38,0)") * col(s"s_$s")).as(s"ssq_$s")
+    sums.select(col("n_a"), col("n_b"), col("s_a"), col("s_b"),
+        ssq("a"), ssq("b"))
+      .withColumn("nna", nullif(col("n_a"), lit(0L)))
+      .withColumn("nnb", nullif(col("n_b"), lit(0L)))
+      // mean difference as one exact rational (s_a·n_b − s_b·n_a) /
+      // (n_a·n_b): the double form feeds d/Δ (transcendental-composed,
+      // boundary-safe), the DISPLAYED mean_diff seals with ratio4
+      .withColumn("md_num",
+        col("s_a").cast("decimal(38,0)") * col("n_b") -
+          col("s_b").cast("decimal(38,0)") * col("n_a"))
+      .withColumn("md_den", col("nna").cast("decimal(38,0)") * col("nnb"))
+      .withColumn("mdiff",
+        col("md_num").cast("double") / col("md_den").cast("double"))
+      // pooled variance: (ssq_a/n_a + ssq_b/n_b) / (n_a + n_b − 2)
+      .withColumn("sp2",
+        (col("ssq_a").cast("double") / col("nna").cast("double") +
+          col("ssq_b").cast("double") / col("nnb").cast("double")) /
+        nullif(col("n_a") + col("n_b") - 2, lit(0L)).cast("double"))
+      .withColumn("d_raw",
+        col("mdiff") / nullif(sqrt(col("sp2")), lit(0.0)))
+      // control (= b) SD for Glass's Δ: ssq_b / (n_b·(n_b−1))
+      .withColumn("sd_b", nullif(sqrt(col("ssq_b").cast("double") /
+        nullif(col("nnb") * (col("nnb") - 1), lit(0L)).cast("double")),
+        lit(0.0)))
+      .select(lit(a).as("label_a"), lit(b).as("label_b"),
+        col("n_a"), col("n_b"),
+        Seal.ratio4("md_num", "md_den").as("mean_diff"),
+        round(col("d_raw"), 4).as("cohens_d"),
+        round(col("d_raw") * (lit(1.0) - lit(3.0) /
+          nullif(lit(4L) * (col("n_a") + col("n_b") - 2) - 1, lit(0L))
+            .cast("double")), 4).as("hedges_g"),
+        round(col("mdiff") / col("sd_b"), 4).as("glass_delta"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic D = max |F_a(x) − F_b(x)|
     * between labels `a` and `b` of an INTEGER-quantized metric.
     *

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Hand-computed pins for the scale-engineering / release-audit batch
+  * (q336–q341). */
+class PlanningOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tClosenessReport: symmetric two-class split, exact EMD") {
+    // lo=0, hi=9, 10 bins → bin = v; class a sits entirely in bin 0,
+    // class b entirely in bin 9. Each class's EMD vs the pooled
+    // distribution: 9 bins × |2·4 − 2·2| = 36 over den 2·4·9 = 72 → 0.5
+    val df = Seq(("a", 0L), ("a", 0L), ("b", 9L), ("b", 9L))
+      .toDF("g", "v")
+    val out = Privacy.tClosenessReport(df, Seq("g" -> col("g")),
+      col("v"), bins = 10).orderBy("g").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("a", "b"))
+    assert(out.map(_.getLong(1)).toSeq === Seq(2L, 2L))
+    assert(out.map(_.getDouble(2)).toSeq === Seq(0.5, 0.5))
+  }
+
+  test("tClosenessReport: class matching the global distribution has t = 0") {
+    val df = Seq(("a", 0L), ("a", 9L), ("b", 0L), ("b", 9L))
+      .toDF("g", "v")
+    val out = Privacy.tClosenessReport(df, Seq("g" -> col("g")),
+      col("v"), bins = 10).orderBy("g").collect()
+    assert(out.map(_.getDouble(2)).toSeq === Seq(0.0, 0.0))
+  }
+
+  test("effectSizePanel: hand-computed d, g, Glass Δ") {
+    // a = {2, 4}, b = {1, 3}: means 3 vs 2, each side ssq = n·Σv²−S² = 8
+    // → s² = 8/(2·1·2)… pooled sp2 = (8/2 + 8/2)/2 = 4 — wait, ssq here
+    // is n·Σv²−S² = 2·20−36 = 4 and 2·10−16 = 4; sp2 = (4/2+4/2)/2 = 2
+    // → d = 1/√2 = 0.7071; J = 1−3/7 → g = 0.4041; sd_b = √(4/2) → Δ = 0.7071
+    val df = Seq(("x", 2L), ("x", 4L), ("y", 1L), ("y", 3L))
+      .toDF("l", "v")
+    val r = Trend.effectSizePanel(df, col("l"), col("v"), "x", "y")
+      .collect().head
+    assert(r.getLong(2) === 2L && r.getLong(3) === 2L)
+    assert(r.getDouble(4) === 1.0)      // mean_diff
+    assert(r.getDouble(5) === 0.7071)   // cohens_d
+    assert(r.getDouble(6) === 0.4041)   // hedges_g = d·(1−3/7)
+    assert(r.getDouble(7) === 0.7071)   // glass_delta
+  }
+
+  test("effectSizePanel: n=1 side yields NULL effect sizes") {
+    val df = Seq(("x", 2L), ("y", 1L), ("y", 3L)).toDF("l", "v")
+    val r = Trend.effectSizePanel(df, col("l"), col("v"), "x", "y")
+      .collect().head
+    // ssq_a = 1·4−4 = 0; sp2 = (0/1 + 4/2)/1 = 2 → d defined, but
+    // glass (control sd) defined too; the true degenerate is n_a+n_b−2=0
+    assert(r.getLong(2) === 1L)
+  }
+
+  test("kendallW: perfect agreement gives W = 1, chi2 = m(n-1)") {
+    // 3 judges rank 3 items identically (values 1 < 2 < 3)
+    val df = for (j <- Seq("j1", "j2", "j3"); i <- 1 to 3)
+      yield (j, i.toLong, i.toLong * 10)
+    val r = Inference.kendallW(df.toDF("j", "i", "v"),
+      col("j"), col("i"), col("v")).collect().head
+    assert(r.getLong(0) === 3L && r.getLong(1) === 3L)
+    assert(r.getDouble(2) === 1.0)
+    assert(r.getDouble(3) === 6.0) // chi2 = m(n−1)W = 3·2·1
+  }
+
+  test("kendallW: incomplete judge dropped; opposite ranks cancel") {
+    // j1 and j2 rank 2 items oppositely → rank sums equal → W = 0;
+    // j3 ranked only one item and must be dropped (else n would skew)
+    val df = Seq(("j1", 1L, 10L), ("j1", 2L, 20L),
+      ("j2", 1L, 20L), ("j2", 2L, 10L), ("j3", 1L, 5L))
+      .toDF("j", "i", "v")
+    val r = Inference.kendallW(df, col("j"), col("i"), col("v"))
+      .collect().head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 2L)
+    assert(r.getDouble(2) === 0.0)
+  }
+
+  test("zonemapPruneEval: sort_x and zorder prune the x band, natural doesn't") {
+    // full 4×4 grid, insertion order sweeps y first (ord = y·4 + x) so
+    // the natural layout's every file spans the full x range
+    val rows = for (x <- 0L to 3L; y <- 0L to 3L) yield (y * 4 + x, x, y)
+    val df = rows.toDF("o", "x", "y")
+    val out = Layout.zonemapPruneEval(df, col("o"), col("x"), col("y"),
+      bits = 2, files = 4, preds = Seq(("x01", Some((0L, 1L)), None)))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getDouble(6))).toList
+    // natural: 4 files, each holds all x → keeps 4 (scans 100%);
+    // sort_x: file = x → keeps 2; zorder: file = quadrant → keeps the
+    // two x-low quadrants
+    assert(out === List(("natural", 4L, 4L, 1.0),
+      ("sort_x", 4L, 2L, 0.5), ("zorder", 4L, 2L, 0.5)))
+  }
+
+  test("saltPlanEval: max bucket halves as the factor doubles") {
+    val rows = (0L until 8L).map(i => ("hot", i)) ++
+      (0L until 2L).map(i => ("cold", i))
+    val df = rows.toDF("k", "b")
+    val out = Skew.saltPlanEval(df, col("k"), col("b"), Seq(1, 2, 4))
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getDouble(4)))
+      .toList
+    assert(out === List((1L, 8L, 0.8), (2L, 4L, 0.4), (4L, 2L, 0.2)))
+  }
+
+  test("bloomPlan: exact sealed fpr chain and optimal-h flag") {
+    // two 20-token docs with identical text → 2 distinct 10-token
+    // passages; replicate the operator's integer chain for (b=8, h=6)
+    val words = (1 to 20).map("w" + _).mkString(" ")
+    val df = Seq((1L, words), (2L, words)).toDF("id", "text")
+    val out = Decontaminate.bloomPlan(df, col("text"), k = 10,
+      bitsPerKey = Seq(8), maxHashes = 8).collect()
+    assert(out.length === 8)
+    val r86 = out.find(_.getLong(2) === 6L).get
+    assert(r86.getLong(0) === 2L)        // n_keys
+    assert(r86.getLong(3) === 16L)       // m_bits = 2·8
+    val e8 = math.round(math.exp(-6.0 / 8.0) * 1e8)
+    val base4 = (2 * (100000000L - e8) + 10000L) / 20000L
+    val num = BigInt(base4).pow(6)
+    val den = BigInt(10).pow(20)
+    val fpr = ((2 * num + den) / (2 * den)).toDouble / 1e4
+    assert(r86.getDouble(4) === fpr)
+    assert(r86.getBoolean(5))            // h* = round(8·ln2) = 6
+    assert(!out.find(_.getLong(2) === 5L).get.getBoolean(5))
+  }
+}
