@@ -29,7 +29,8 @@ object PlanningQueries {
     Some(s"""WITH b AS (SELECT c_mktsegment AS seg,
       |        CAST(c_nationkey AS BIGINT) AS nk,
       |        CAST(round(c_acctbal * 100, 0) AS BIGINT) AS v
-      |      FROM customer WHERE c_acctbal IS NOT NULL),
+      |      FROM customer WHERE c_acctbal IS NOT NULL
+      |        AND c_mktsegment IS NOT NULL AND c_nationkey IS NOT NULL),
       |env AS (SELECT min(v) AS lo, max(v) AS hi FROM b),
       |bi AS (SELECT seg, nk, ((v - lo) * 10) // (hi - lo + 1) AS bin
       |       FROM b CROSS JOIN env),
@@ -127,7 +128,8 @@ object PlanningQueries {
       |      GROUP BY 1, 2),
       |nn AS (SELECT count(DISTINCT dow) AS n FROM per),
       |comp AS (SELECT j FROM per GROUP BY j
-      |         HAVING count(*) = (SELECT n FROM nn)),
+      |         HAVING count(*) = (SELECT n FROM nn)
+      |           AND count(DISTINCT dow) = (SELECT n FROM nn)),
       |d AS (SELECT per.* FROM per JOIN comp USING (j)),
       |byv AS (SELECT j, x, count(*) AS m FROM d GROUP BY 1, 2),
       |sp AS (SELECT j, x, m,
@@ -293,5 +295,44 @@ object PlanningQueries {
       |SELECT * FROM fin ORDER BY bits_per_key, n_hashes""".stripMargin
     })
 
-  def all: Seq[QDef] = Seq(q336, q337, q338, q339, q340, q341)
+  /** [[Staging.stageZordered]] roundtrip — the EXECUTED z-order layout
+    * that q339 only scores by simulation. Like q101 this IS the sink
+    * operator, side effects included: stage events z-order-clustered by
+    * (user bucket × cent bucket), read back through a BOTH-dimension
+    * range predicate (the scan shape whose files real parquet zone maps
+    * skip — actual file-level pruning is pinned in
+    * [[graft.ScaleSpec]]), aggregate per type. Oracle: the same
+    * aggregate straight off the original table. */
+  private val q342 = QDef("q342_zorder_stage",
+    (s, dir) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_zorder_q342").toString
+      val e = T(s, dir, "events")
+        .where(col("user_id").isNotNull && col("value").isNotNull &&
+          col("event_type").isNotNull)
+        .select(col("event_type"),
+          expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"),
+          pmod(col("user_id"), lit(32L)).as("xb"))
+        .withColumn("yb", pmod(col("cents"), lit(32L)))
+      Staging.stageZordered(e, path, 16, 5, col("xb"), col("yb"))
+      s.read.parquet(path)
+        .where(col("xb") <= 7 && col("yb") <= 7)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("total_cents"))
+        .orderBy("event_type")
+    },
+    Some("""WITH e AS (SELECT event_type,
+      |        CAST(round(value * 100, 0) AS BIGINT) AS cents,
+      |        user_id % 32 AS xb
+      |      FROM events
+      |      WHERE user_id IS NOT NULL AND value IS NOT NULL
+      |        AND event_type IS NOT NULL),
+      |f AS (SELECT event_type, cents
+      |      FROM (SELECT *, cents % 32 AS yb FROM e)
+      |      WHERE xb <= 7 AND yb <= 7)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(cents) AS BIGINT) AS total_cents
+      |FROM f GROUP BY 1 ORDER BY event_type""".stripMargin))
+
+  def all: Seq[QDef] = Seq(q336, q337, q338, q339, q340, q341, q342)
 }

@@ -198,6 +198,62 @@ case class SparseDotLong(ka: Expression, wa: Expression,
     copy(ka = first, wa = second, kb = third, wb = fourth)
 }
 
+/** |a ∩ b| of two SORTED long arrays (distinct-element sets) — the
+  * set-intersection kernel behind the exact-Jaccard calibration truth
+  * (q334/q335): the same two-pointer merge as [[SparseMinSumLong]] with
+  * the weights dropped. `size(array_intersect(a, b))` allocates a hash
+  * set AND a result array per pair; at ~10⁶ truth pairs that per-pair
+  * allocation is the dominant stage cost, while this merge is
+  * allocation-free inside whole-stage codegen. Both inputs must be
+  * sorted ascending as signed longs (the `array_sort` LongType order)
+  * and duplicate-free — callers build them with
+  * `array_sort(array_distinct(...))` once per DOC, not per pair. */
+case class SortedIntersectCountLong(ka: Expression, kb: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+  override def left: Expression = ka
+  override def right: Expression = kb
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sorted_intersect_count"
+  override def nullable: Boolean = ka.nullable || kb.nullable
+
+  override def nullSafeEval(a1: Any, a2: Any): Any = {
+    val k1 = a1.asInstanceOf[ArrayData]; val k2 = a2.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var s = 0L
+    val n1 = k1.numElements(); val n2 = k2.numElements()
+    while (i < n1 && j < n2) {
+      val x = k1.getLong(i); val y = k2.getLong(j)
+      if (x == y) { s += 1L; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (k1, k2) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |int $i = 0; int $j = 0; long $s = 0L;
+         |while ($i < $k1.numElements() && $j < $k2.numElements()) {
+         |  long $x = $k1.getLong($i); long $y = $k2.getLong($j);
+         |  if ($x == $y) { $s++; $i++; $j++; }
+         |  else if ($x < $y) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(ka = newLeft, kb = newRight)
+}
+
 object SparseExprs {
   def sparseMinSum(ka: Column, wa: Column, kb: Column, wb: Column): Column =
     ExpressionUtils.column(SparseMinSum(
@@ -211,4 +267,7 @@ object SparseExprs {
     ExpressionUtils.column(SparseDotLong(
       ExpressionUtils.expression(ka), ExpressionUtils.expression(wa),
       ExpressionUtils.expression(kb), ExpressionUtils.expression(wb)))
+  def sortedIntersectCountLong(ka: Column, kb: Column): Column =
+    ExpressionUtils.column(SortedIntersectCountLong(
+      ExpressionUtils.expression(ka), ExpressionUtils.expression(kb)))
 }

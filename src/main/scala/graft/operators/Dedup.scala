@@ -1155,6 +1155,31 @@ object Dedup {
       .orderBy("sz")
   }
 
+  /** Shared ExactSubstr tokenize pass for [[repeatedSpans]] /
+    * [[scrubRepeatedSpans]]: per doc, the token count, the w-token
+    * window (position, xxhash64-fingerprint) array, and (for the scrub,
+    * which must reassemble text) the token array itself. MATERIALIZED
+    * (localCheckpoint): every consumer re-reads this frame — the
+    * occurrence explode alone is scanned twice (once to count
+    * fingerprints, once to join the counts back) and the split+xxhash64
+    * corpus pass is the skeleton's dominant CPU; one linear columnar
+    * materialization (~2× corpus bytes) beats re-tokenizing per
+    * consumer. On a real cluster swap the localCheckpoint for a
+    * disk-backed persist — same contract. */
+  private def spanBase(df: DataFrame, text: Column, id: Column, w: Int,
+                       withTokens: Boolean): DataFrame = {
+    val toks = split(text, " ")
+    val cols = Seq(id.as("doc_id"),
+      size(toks).cast("long").as("n_toks"),
+      when(size(toks) >= w,
+        transform(sequence(lit(1), size(toks) - (w - 1)),
+          p => struct(p.cast("long").as("p"),
+            xxhash64(concat_ws(" ", slice(toks, p, lit(w)))).as("g"))))
+        .otherwise(array().cast("array<struct<p:bigint,g:bigint>>"))
+        .as("ws")) ++ (if (withTokens) Seq(toks.as("tk")) else Nil)
+    df.select(cols: _*).localCheckpoint()
+  }
+
   /** Exact substring-level dedup census (the ExactSubstr policy of Lee
     * et al. 2021, "Deduplicating Training Data Makes Language Models
     * Better", at token-window granularity): every `w`-token window that
@@ -1176,15 +1201,7 @@ object Dedup {
                     w: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(w >= 2, "window width must be >= 2")
-    val toks = split(text, " ")
-    val base = df.select(id.as("doc_id"),
-      size(toks).cast("long").as("n_toks"),
-      when(size(toks) >= w,
-        transform(sequence(lit(1), size(toks) - (w - 1)),
-          p => struct(p.cast("long").as("p"),
-            xxhash64(concat_ws(" ", slice(toks, p, lit(w)))).as("g"))))
-        .otherwise(array().cast("array<struct<p:bigint,g:bigint>>"))
-        .as("ws"))
+    val base = spanBase(df, text, id, w, withTokens = false)
     val occ = base.select(col("doc_id"), explode(col("ws")).as("u"))
       .select(col("doc_id"), col("u.p").as("p"), col("u.g").as("g"))
     val rep = occ.groupBy("g").agg(count(lit(1)).as("cnt"))
@@ -1220,32 +1237,33 @@ object Dedup {
     * fully-scrubbed docs surface as n_kept = 0 with the hash of "".
     *
     * Same linear shuffle skeleton as [[repeatedSpans]] plus: the
-    * first-occurrence choice is a row_number over the fingerprint key
-    * (partition size = that window's duplication count — boilerplate
-    * heavy hitters are exactly what the operator exists to kill), and
-    * the position drop is an (doc, pos)-keyed anti join — equi keys
-    * only, no range predicates, no broadcast. */
+    * first-occurrence choice is ONE map-side-combinable aggregation —
+    * min(struct(doc_id, p)) per fingerprint, computed alongside the
+    * repeat count in the same hash agg (the q93 latest-wins device) —
+    * joined back on the fingerprint to drop the row equal to the min.
+    * Deliberately NOT a row_number window partitioned by the
+    * fingerprint: that partition's size equals a window's corpus-wide
+    * duplication count, and boilerplate heavy hitters (a banner
+    * repeated 10⁹ times at 100 TB) are exactly what the operator exists
+    * to kill — they must never serialize through one sort task. The
+    * join back is safe under the same hitters: the build side is ONE
+    * row per fingerprint, so AQE's skew-join split can cut the
+    * occurrence side freely. The position drop stays an (doc, pos)-keyed
+    * anti join — equi keys only, no range predicates, no broadcast. */
   def scrubRepeatedSpans(df: DataFrame, text: Column, id: Column,
                          w: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(w >= 2, "window width must be >= 2")
-    val toks = split(text, " ")
-    val base = df.select(id.as("doc_id"),
-      size(toks).cast("long").as("n_toks"),
-      when(size(toks) >= w,
-        transform(sequence(lit(1), size(toks) - (w - 1)),
-          p => struct(p.cast("long").as("p"),
-            xxhash64(concat_ws(" ", slice(toks, p, lit(w)))).as("g"))))
-        .otherwise(array().cast("array<struct<p:bigint,g:bigint>>"))
-        .as("ws"))
+    val base = spanBase(df, text, id, w, withTokens = true)
     val occ = base.select(col("doc_id"), explode(col("ws")).as("u"))
       .select(col("doc_id"), col("u.p").as("p"), col("u.g").as("g"))
-    val rep = occ.groupBy("g").agg(count(lit(1)).as("cnt"))
-      .where(col("cnt") >= 2).select("g")
-    val marked = occ.join(rep, Seq("g"), "left_semi")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("g").orderBy("doc_id", "p")))
-      .where(col("rn") > 1)
+    val rep = occ.groupBy("g")
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("p"))).as("__first"))
+      .where(col("cnt") >= 2).select("g", "__first")
+    val marked = occ.join(rep, Seq("g"))
+      .where(struct(col("doc_id"), col("p")) =!= col("__first"))
+      .select("doc_id", "p")
     val byDoc = Window.partitionBy("doc_id").orderBy("p")
     val spans = marked
       .withColumn("pe", col("p") + w)
@@ -1258,7 +1276,7 @@ object Dedup {
       .agg(min("p").as("s"), max("pe").as("e"))
     val removedPos = spans.select(col("doc_id"),
       explode(sequence(col("s"), col("e") - 1)).as("i"))
-    val tokPos = df.select(id.as("doc_id"), posexplode(toks))
+    val tokPos = base.select(col("doc_id"), posexplode(col("tk")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"),
         col("col").as("t"))
     val kept = tokPos.join(removedPos, Seq("doc_id", "i"), "left_anti")
@@ -1287,58 +1305,86 @@ object Dedup {
     * from an explicit spine so "no pairs in this band" is a 0-row, not
     * an absent one; capture is NULL only for empty bins.
     *
-    * Scale: the signature table (numPerm longs per doc) is computed
-    * once and checkpointed; each plan's candidate join is the banding
-    * join (candidates ∝ near-dups, never all-pairs). The TRUTH side is
-    * the quadratic within-block join — a calibration device to run on a
-    * block-bounded sample at 100 TB, exactly as q27 documents. */
+    * Scale: ONE tokenize pass — the MinHash signature (native
+    * single-pass expression) and the sorted distinct unigram-hash set
+    * come out of the same checkpointed corpus scan, so neither the
+    * truth side nor any plan's candidate join re-tokenizes. Each plan's
+    * candidate join is the banding join (candidates ∝ near-dups, never
+    * all-pairs). The TRUTH side is the quadratic within-block join —
+    * per-pair intersections run the allocation-free sorted-merge kernel
+    * ([[org.apache.spark.sql.graft.SortedIntersectCountLong]]), and at
+    * 100 TB the device runs on a block-bounded sample: `truthSample`
+    * < 1 keeps a deterministic [[Sampling.hashSample]] doc band, so
+    * pair volume falls by truthSample² while every per-bin capture
+    * stays an unbiased ratio among surviving pairs (capture is
+    * conditioned on the pair, and hash-band doc selection is
+    * independent of any pair's similarity). Exact mode (the oracle's) =
+    * truthSample = 1. */
   def bandPlanCapture(df: DataFrame, text: Column, id: Column,
                       block: Column, shingleSize: Int = 3,
                       numPerm: Int = 16, plans: Seq[Int] = Seq(2, 4, 8),
-                      minBin10: Int = 5): DataFrame = {
+                      minBin10: Int = 5,
+                      truthSample: Double = 1.0): DataFrame = {
     require(plans.nonEmpty && plans.forall(b => b >= 1 && numPerm % b == 0),
       "each plan's band count must divide numPerm")
     val spark = df.sparkSession
     val para = spark.sessionState.conf.numShufflePartitions
-    val sig = minhashSignatures(df, text, id, shingleSize, numPerm)
-      .repartition(para, col("__id")).localCheckpoint()
-    val t = df.select(id.as("__id"), block.as("__blk"),
-      array_distinct(transform(array_distinct(split(text, " ")),
-        g => xxhash64(g))).as("__g"))
-    val exact = t.repartition(para, col("__id")).as("a")
+    val tok = lshTok(df, text, id, block, shingleSize, numPerm,
+      truthSample, para)
+    val t = tok.select("__id", "__blk", "__g")
+    val exact = t.as("a")
       .join(t.as("b"), col("a.__blk") === col("b.__blk"))
       .where(col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
-        size(array_intersect(col("a.__g"), col("b.__g"))).cast("long")
-          .as("__i"),
+        org.apache.spark.sql.graft.SparseExprs
+          .sortedIntersectCountLong(col("a.__g"), col("b.__g")).as("__i"),
         (size(col("a.__g")) + size(col("b.__g"))).cast("long").as("__ab"))
       .withColumn("__u", col("__ab") - col("__i"))
       .withColumn("bin10", expr("(__i * 10) div __u"))
       .where(col("bin10") >= minBin10)
       .select("id_a", "id_b", "bin10")
-      .repartition(para, col("id_a"), col("id_b"))
-      .localCheckpoint()
-    val caps = plans.map { b =>
-      val r = numPerm / b
-      val banded = sig.select(col("__id"),
-        posexplode(transform(sequence(lit(0), lit(b - 1)),
-          i => slice(col("__sig"), i * r + 1, lit(r)))))
-        .select(col("__id"), col("pos").as("__band"),
-          col("col").cast("string").as("__bucket"))
-      val cand = banded.as("a").join(banded.as("b"),
+    // ALL plans in one pass: every plan's bands explode into a single
+    // (plan, band, bucket)-keyed frame, so the whole S-curve costs ONE
+    // band self-join and ONE capture join — not one of each per plan
+    // (the per-plan loop spelling ran 2·|plans| shuffle jobs over the
+    // same signatures; measured 8.0 s → the fused plan's time at sf0.1).
+    // The band join is block-restricted: capture only ever reads
+    // candidates LEFT-joined from the within-block truth pairs, so
+    // cross-block collisions can never reach the output — dropping them
+    // inside the join is result-identical and removes the dominant
+    // false-candidate volume (the low-rows-per-band plans collide
+    // liberally across blocks by design).
+    val banded = tok.where(col("__sig").isNotNull)
+      .select(col("__id"), col("__blk"),
+        explode(array(plans.flatMap { b =>
+          val r = numPerm / b
+          (0 until b).map(i => struct(lit(b).as("nb"),
+            lit(i).as("band"),
+            slice(col("__sig"), i * r + 1, r).cast("string")
+              .as("bucket")))
+        }: _*)).as("u"))
+      .select(col("__id"), col("__blk"), col("u.nb").as("__nb"),
+        col("u.band").as("__band"), col("u.bucket").as("__bucket"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.__nb") === col("b.__nb") &&
           col("a.__band") === col("b.__band") &&
-            col("a.__bucket") === col("b.__bucket"))
-        .where(col("a.__id") < col("b.__id"))
-        .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
-        .distinct()
-        .withColumn("__hit", lit(1L))
-      exact.join(cand, Seq("id_a", "id_b"), "left")
-        .groupBy("bin10")
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(coalesce(col("__hit"), lit(0L))).as("n_caught"))
-        .select(lit(b).as("n_bands"), lit(r).as("rows_per_band"),
-          col("bin10"), col("n_pairs"), col("n_caught"))
-    }.reduce(_ unionByName _)
+          col("a.__bucket") === col("b.__bucket") &&
+          col("a.__blk") === col("b.__blk"))
+      .where(col("a.__id") < col("b.__id"))
+      .select(col("a.__nb").as("__nb"), col("a.__id").as("id_a"),
+        col("b.__id").as("id_b"))
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    val planSpine = spark.range(1).select(
+      explode(array(plans.map(b => lit(b)): _*)).as("__nb"))
+    val caps = exact.crossJoin(broadcast(planSpine))
+      .join(cand, Seq("__nb", "id_a", "id_b"), "left")
+      .groupBy("__nb", "bin10")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_caught"))
+      .select(col("__nb").as("n_bands"),
+        (lit(numPerm) / col("__nb")).cast("int").as("rows_per_band"),
+        col("bin10"), col("n_pairs"), col("n_caught"))
     val spine = spark.range(1)
       .select(explode(array(plans.flatMap(b => (minBin10 to 10).map(bin =>
         struct(lit(b).as("n_bands"), lit(numPerm / b).as("rows_per_band"),
@@ -1354,39 +1400,78 @@ object Dedup {
         when(col("n_pairs") > 0, Seal.ratio4("n_caught", "n_pairs")))
   }
 
+  /** Shared single-tokenize pass for the LSH calibration devices
+    * ([[bandPlanCapture]] / [[lshPlanEval]]): per doc, the blocking
+    * key, the numPerm-long MinHash signature (native single-pass
+    * expression — null for unshingleable docs, exactly
+    * [[minhashSignatures]]' filter), and the SORTED distinct
+    * unigram-hash set the truth side's merge kernel needs. Checkpointed
+    * because every downstream consumer — both sides of the truth
+    * self-join AND both sides of each plan's band join — re-reads it;
+    * without the pin each branch re-runs the full tokenize+hash scan.
+    * `truthSample` < 1 first narrows the corpus to a deterministic
+    * [[Sampling.hashSample]] doc band (the q111 device) — the
+    * block-bounded-sample mode these calibrators run in at 100 TB. */
+  private def lshTok(df: DataFrame, text: Column, id: Column,
+                     block: Column, shingleSize: Int, numPerm: Int,
+                     truthSample: Double, para: Int): DataFrame = {
+    require(truthSample > 0 && truthSample <= 1,
+      s"truthSample must be in (0, 1], got $truthSample")
+    val src = if (truthSample >= 1.0) df
+      else Sampling.hashSample(df, id, truthSample, "lshtruth")
+    src.select(id.as("__id"), block.as("__blk"),
+        org.apache.spark.sql.graft.MinhashExprs
+          .signature(text, shingleSize, numPerm).as("__sig"),
+        array_sort(array_distinct(transform(
+          array_distinct(split(text, " ")), g => xxhash64(g)))).as("__g"))
+      .repartition(para, col("__id")).localCheckpoint()
+  }
+
   /** Recall / precision / F1 of the SHIPPED MinHash-LSH plan against
     * exact Jaccard truth — the one-row health check a pipeline runs
     * before trusting its near-dedup pass. Truth = within-block unigram
     * Jaccard ≥ minBin10/10 (integer-space threshold: 10·i ≥ bin·u);
-    * predictions = [[minhashCandidates]] collisions restricted to the
+    * predictions = the plan's band-bucket collisions restricted to the
     * same blocks (the truth side can't see cross-block pairs, so the
     * comparison must not either). F1 comes out of integer space too:
     * F1 = 2·hits / (n_true + n_cand). All counts are exact longs; the
     * three ratios seal via the ratio4 device, NULL on empty
-    * denominators. Same scale story as [[bandPlanCapture]]. */
+    * denominators. Same scale story as [[bandPlanCapture]], including
+    * the one-tokenize checkpoint, the sorted-merge intersection kernel,
+    * and the `truthSample` hash-band sampled mode for 100 TB (counts
+    * then describe the sampled sub-corpus; recall/precision stay
+    * unbiased ratios among its pairs). */
   def lshPlanEval(df: DataFrame, text: Column, id: Column, block: Column,
                   shingleSize: Int = 3, numPerm: Int = 16, bands: Int = 4,
-                  minBin10: Int = 6): DataFrame = {
+                  minBin10: Int = 6, truthSample: Double = 1.0): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must divide into bands")
     val para = df.sparkSession.sessionState.conf.numShufflePartitions
-    val t = df.select(id.as("__id"), block.as("__blk"),
-      array_distinct(transform(array_distinct(split(text, " ")),
-        g => xxhash64(g))).as("__g"))
-    val truth = t.repartition(para, col("__id")).as("a")
+    val tok = lshTok(df, text, id, block, shingleSize, numPerm,
+      truthSample, para)
+    val t = tok.select("__id", "__blk", "__g")
+    val truth = t.as("a")
       .join(t.as("b"), col("a.__blk") === col("b.__blk"))
       .where(col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
-        size(array_intersect(col("a.__g"), col("b.__g"))).cast("long")
-          .as("__i"),
+        org.apache.spark.sql.graft.SparseExprs
+          .sortedIntersectCountLong(col("a.__g"), col("b.__g")).as("__i"),
         (size(col("a.__g")) + size(col("b.__g"))).cast("long").as("__ab"))
       .where(col("__i") * 10 >= (col("__ab") - col("__i")) * minBin10)
       .select(col("id_a"), col("id_b"), lit(1L).as("__true"))
-    val src = df.select(id.as("__sid"), block.as("__sblk"))
-    val cand = minhashCandidates(df, text, id, shingleSize, numPerm, bands)
-      .join(src.withColumnRenamed("__sid", "id_a")
-        .withColumnRenamed("__sblk", "__ba"), Seq("id_a"))
-      .join(src.withColumnRenamed("__sid", "id_b")
-        .withColumnRenamed("__sblk", "__bb"), Seq("id_b"))
-      .where(col("__ba") === col("__bb"))
+    val rowsPerBand = numPerm / bands
+    val banded = tok.where(col("__sig").isNotNull)
+      .select(col("__id"), col("__blk"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+      .select(col("__id"), col("__blk"), col("pos").as("__band"),
+        col("col").cast("string").as("__bucket"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.__band") === col("b.__band") &&
+          col("a.__bucket") === col("b.__bucket") &&
+          col("a.__blk") === col("b.__blk"))
+      .where(col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
       .select(col("id_a"), col("id_b"), lit(1L).as("__cand"))
     truth.join(cand, Seq("id_a", "id_b"), "full")
       .agg(sum(coalesce(col("__true"), lit(0L))).as("n_true"),

@@ -671,16 +671,21 @@ object Inference {
     * tie-corrected statistic seals as an integer rational:
     *   Q = [3·ΣR2_j² − 3n²k(k+1)²] · n·k(k²−1)
     *       / (n·k(k+1) · (n·k(k²−1) − T))
-    * with T = Σ_blocks Σ(t³−t). Requires every block complete (one
-    * value per treatment) — incomplete blocks are dropped. */
+    * with T = Σ_blocks Σ(t³−t). Requires every block complete (EXACTLY
+    * one value per treatment) — blocks missing a treatment, or holding
+    * a duplicate (block, treatment) observation, are dropped. */
   def friedman(df: DataFrame, block: Column, treatment: Column,
                v: Column): DataFrame = {
     val d0 = df.select(block.as("u"), treatment.as("j"),
         v.cast("long").as("x"))
       .where(col("u").isNotNull && col("j").isNotNull && col("x").isNotNull)
     val kAll = d0.agg(countDistinct("j").as("k"))
-    val complete = d0.groupBy("u").agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(kAll)).where(col("cnt") === col("k"))
+    // exactly-once coverage (the kendallW rule): row count alone can't
+    // tell "all k treatments" from "k−1 treatments, one duplicated"
+    val complete = d0.groupBy("u").agg(count(lit(1)).as("cnt"),
+        countDistinct("j").as("cntd"))
+      .crossJoin(broadcast(kAll))
+      .where(col("cnt") === col("k") && col("cntd") === col("k"))
       .select("u")
     val d = d0.join(complete, "u")
     val byUV = d.groupBy("u", "x").agg(count(lit(1)).as("m"))
@@ -723,8 +728,12 @@ object Inference {
     *   W    = 3·S4 / (m²·(n³−n) − m·T)
     *   chi² = 3·S4·(n−1) / (m·(n³−n) − T)
     * with S4 = Σ_items (2R_j − m(n+1))² = 4·S and T = Σ_judges Σ(t³−t).
-    * Judges missing any item are dropped (incomplete rankings, the
-    * friedman completeness rule).
+    * Judges missing any item — or observing any item MORE than once —
+    * are dropped: the friedman completeness rule, strengthened to
+    * exactly-once coverage, because a duplicate (judge, item) row would
+    * rank n+1 values and silently break the Σ2R = m·n·(n+1) identity
+    * that the S4 closed form relies on (a row count alone can't tell
+    * "all n items" from "n−1 items, one twice").
     *
     * Scale shape: identical to [[friedman]] — one (judge, value) count
     * agg, per-judge windows over the judge×items spine, one item-keyed
@@ -735,8 +744,13 @@ object Inference {
     val d0 = df.select(judge.as("u"), item.as("j"), v.cast("long").as("x"))
       .where(col("u").isNotNull && col("j").isNotNull && col("x").isNotNull)
     val nAll = d0.agg(countDistinct("j").as("n"))
-    val complete = d0.groupBy("u").agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(nAll)).where(col("cnt") === col("n"))
+    // exactly-once coverage: cnt = n rows AND cntd = n distinct items
+    // together force one observation per item (either alone admits a
+    // judge with a duplicated item masking a missing one)
+    val complete = d0.groupBy("u").agg(count(lit(1)).as("cnt"),
+        countDistinct("j").as("cntd"))
+      .crossJoin(broadcast(nAll))
+      .where(col("cnt") === col("n") && col("cntd") === col("n"))
       .select("u")
     val d = d0.join(complete, "u")
     val byUV = d.groupBy("u", "x").agg(count(lit(1)).as("m"))

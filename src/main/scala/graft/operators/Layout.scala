@@ -62,7 +62,17 @@ object Layout {
     * explodes each row into its 3 layout assignments (constant ×3, no
     * shuffle growth), one aggregation keyed (layout, file) — bounded at
     * 3·`files` rows — then literal-spine cross joins over that bounded
-    * table. Raw rows never sort and never window. */
+    * table. Raw rows never sort and never window.
+    *
+    * Denominator caveat: `n_files` (and hence `files_pruned_share`)
+    * counts OCCUPIED simulated files — a (layout, file) bucket holding
+    * at least one row. When the `ord` range has fewer than `files`
+    * distinct buckets, or a skewed x/y distribution leaves value-range
+    * buckets empty, the empty files are EXCLUDED: they hold no rows a
+    * scan could skip, and counting them would let a skew-emptied layout
+    * inflate its prune share with files that were never real work. The
+    * cross-layout comparison stays fair on `rows_scanned_share`, whose
+    * denominator is the (layout-invariant) total row count. */
   def zonemapPruneEval(df: org.apache.spark.sql.DataFrame, ord: Column,
                        x: Column, y: Column, bits: Int, files: Int,
                        preds: Seq[(String, Option[(Long, Long)],

@@ -108,13 +108,21 @@ object Privacy {
     * Scale shape: one 2-row-group envelope agg (1-row broadcast), ONE
     * corpus aggregation keyed (QI, bin), then windows/joins over the
     * group×bins spine only (groups ≪ rows — the release's equivalence
-    * classes). No corpus window, no corpus join. */
+    * classes). No corpus window, no corpus join.
+    *
+    * Rows with a NULL in any QI column are EXCLUDED up front: a null
+    * "group" is not an equivalence class a release would publish, and
+    * the internal spine/group equi-joins are deliberately not
+    * null-safe — without the filter a null-keyed group would silently
+    * vanish from the report (or, in the SQL spelling, survive with a
+    * zeroed cumulative and a bogus t). */
   def tClosenessReport(df: DataFrame, qi: Seq[(String, Column)],
                        sensitive: Column, bins: Int): DataFrame = {
     require(bins >= 2, "need >= 2 bins")
     val qiCols = qi.map(q => col(q._1))
     val base = df.select(qi.map { case (n, c) => c.as(n) } :+
-      sensitive.cast("long").as("__v"): _*).where(col("__v").isNotNull)
+      sensitive.cast("long").as("__v"): _*)
+      .where(qiCols.map(_.isNotNull).reduce(_ && _) && col("__v").isNotNull)
     val env = base.agg(min("__v").as("lo"), max("__v").as("hi"))
     val binned = base.crossJoin(broadcast(env))
       .select(qiCols :+

@@ -53,6 +53,32 @@ object Staging {
       .sortWithinPartitions(keys: _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Z-order-clustered parquet staging — [[stageSorted]]'s
+    * two-dimensional sibling, and the EXECUTED form of the layout
+    * [[Layout.zonemapPruneEval]] only scores by simulation: rows sort by
+    * the Morton interleave of the two (pre-binned) dimensions, so every
+    * output file covers a compact rectangle-ish region of (x, y) space
+    * and its parquet min/max footer stats are tight on BOTH columns. A
+    * scan predicating on either — or both — dimensions skips whole files
+    * from the zone maps, where a single-key sort ([[stageSorted]]) can
+    * only ever skip on its one key. `bits` bounds each dimension
+    * (callers bin/modulo into [0, 2^bits) first — same contract as
+    * [[Layout.zorderKey]]); the transient Morton key orders the write
+    * and is dropped from the stored schema. Real-file pruning under
+    * both-dimension predicates is pinned in [[graft.ScaleSpec]] against
+    * the staged files' actual zone maps, x-sorted staging as the
+    * control. */
+  def stageZordered(df: DataFrame, path: String, nFiles: Int, bits: Int,
+                    x: org.apache.spark.sql.Column,
+                    y: org.apache.spark.sql.Column): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn("__z", Layout.zorderKey(x, y, bits))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Hive-style partitioned parquet staging — the directory-pruning
     * layout (`path/col=value/...`). A later scan with an equality/IN
     * predicate on the partition column never LISTS the other directories

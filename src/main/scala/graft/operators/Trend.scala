@@ -235,8 +235,14 @@ object Trend {
     * every double step after that is a fixed expression tree mirrored
     * verbatim in the oracle (sqrt is IEEE-exact, so cross-engine safe),
     * with round(,4) on transcendental-composed outputs per the Seal
-    * classification. Degenerate inputs (a side with n ≤ 1, or zero
-    * pooled variance) yield SQL-NULL effect sizes via nullif.
+    * classification. Degenerate inputs surface as SQL-NULL (never NaN)
+    * via nullif, precisely when their OWN denominators vanish: d and g
+    * null iff n_a + n_b − 2 = 0 or the pooled variance is zero;
+    * Glass's Δ nulls iff n_b ≤ 1 or the control SD is zero. A
+    * single-observation side paired with a ≥2 side still yields
+    * DEFINED d/g — its exact sum of squares is 0, so it contributes
+    * nothing to the pooled variance (the standard pooled-s²
+    * convention, not a degenerate case).
     *
     * Scale shape: ONE map-side-combinable aggregation over the corpus;
     * everything after is a 1-row select. */

@@ -252,6 +252,98 @@ class GrowthOpsSpec extends SparkSpec {
       (7L, 7L, 2L, 5L, h("x y"))))
   }
 
+  test("scrubRepeatedSpans: in-doc repetition keeps only the min position") {
+    // every 5-token window of "j j j j j j j j j j" has the same
+    // fingerprint (p = 1..6); keep-first = global min (doc, p) = (8, 1),
+    // removal windows p = 2..6 merge into one span [2, 11) -> only the
+    // first token survives. This is the heavy-hitter shape the
+    // min-struct selection must handle without a rank window.
+    val df = Seq((8L, ("j " * 10).trim)).toDF("id", "tx")
+    val out = Dedup.scrubRepeatedSpans(df, col("tx"), col("id"), w = 5)
+      .collect().head
+    def h(s: String): Long = spark.range(1)
+      .select(Dedup.hash60(lit(s))).head().getLong(0)
+    assert(out.getLong(1) === 10L && out.getLong(2) === 1L &&
+      out.getLong(3) === 9L && out.getLong(4) === h("j"))
+  }
+
+  test("scrubRepeatedSpans: plan has no rank window over the fingerprint") {
+    // the keep-first selection must be the min-struct aggregation, not a
+    // window partitioned by the fingerprint (whose partition size equals
+    // a boilerplate window's corpus-wide duplication count)
+    val df = Seq((1L, "a b c d e f"), (2L, "a b c d e g")).toDF("id", "tx")
+    val plan = Dedup.scrubRepeatedSpans(df, col("tx"), col("id"), w = 5)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    // the only windows left are the doc-bounded span-merge pair
+    assert(windows.forall(_.partitionSpec.exists(
+      _.references.exists(_.name == "doc_id"))),
+      s"found a non-doc-partitioned window:\n$plan")
+  }
+
+  test("sortedIntersectCountLong pins size(array_intersect) on sorted sets") {
+    import org.apache.spark.sql.graft.SparseExprs
+    val df = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(3L, 4L, 5L, 10L)), // overlap {3,5}
+      (Seq(1L, 2L), Seq(3L, 4L)),                  // disjoint
+      (Seq.empty[Long], Seq(1L, 2L)),              // empty side
+      (Seq(-5L, 0L, 7L), Seq(-5L, 7L, 8L)))        // negatives sort first
+      .toDF("a", "b")
+    val out = df.select(
+      SparseExprs.sortedIntersectCountLong(col("a"), col("b")).as("k"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+      .collect()
+    out.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // null propagation
+    val n = df.select(SparseExprs.sortedIntersectCountLong(
+      lit(null).cast("array<bigint>"), col("b"))).head()
+    assert(n.isNullAt(0))
+  }
+
+  test("bandPlanCapture: sampled truth == exact truth on the hash band") {
+    // truthSample = r must equal exact mode run over the same
+    // deterministic hashSample(id, r, "lshtruth") sub-corpus: the
+    // sampled calibrator IS the exact calibrator on the band, which is
+    // what makes its per-bin capture an unbiased estimate at 100 TB
+    val docs = (1L to 40L).map { i =>
+      val blk = if (i % 2 == 0) "b0" else "b1"
+      val tx = if (i <= 20) s"w1 w2 w3 w4 w5 x$i" else s"z$i y$i v$i"
+      (i, blk, tx)
+    }
+    val df = docs.toDF("id", "blk", "tx")
+    val sampled = Dedup.bandPlanCapture(df, col("tx"), col("id"),
+      col("blk"), shingleSize = 1, numPerm = 16, plans = Seq(4),
+      minBin10 = 5, truthSample = 0.5)
+    val band = Sampling.hashSample(df, col("id"), 0.5, "lshtruth")
+    val exactOnBand = Dedup.bandPlanCapture(band, col("tx"), col("id"),
+      col("blk"), shingleSize = 1, numPerm = 16, plans = Seq(4),
+      minBin10 = 5)
+    val a = sampled.orderBy("n_bands", "bin10").collect().toSeq
+    val b = exactOnBand.orderBy("n_bands", "bin10").collect().toSeq
+    assert(a === b)
+    // and the band is a real sample, not everything
+    assert(band.count() < 40L && band.count() > 0L)
+  }
+
+  test("lshPlanEval: sampled mode scores the sampled sub-corpus exactly") {
+    val docs = (1L to 30L).map { i =>
+      val tx = if (i % 3 == 0) "w1 w2 w3 w4 w5" else s"u$i t$i s$i"
+      (i, "blk", tx)
+    }
+    val df = docs.toDF("id", "blk", "tx")
+    val sampled = Dedup.lshPlanEval(df, col("tx"), col("id"), col("blk"),
+      shingleSize = 1, numPerm = 16, bands = 4, minBin10 = 6,
+      truthSample = 0.5).collect().head
+    val band = Sampling.hashSample(df, col("id"), 0.5, "lshtruth")
+    val exact = Dedup.lshPlanEval(band, col("tx"), col("id"), col("blk"),
+      shingleSize = 1, numPerm = 16, bands = 4, minBin10 = 6)
+      .collect().head
+    assert(sampled === exact)
+    // the sampled duplicate cluster still yields true pairs to score
+    assert(sampled.getLong(0) > 0L)
+  }
+
   test("bandPlanCapture: identical pair caught by every plan, spine " +
     "zero-fills empty bins") {
     val df = Seq((1L, "blk", "w1 w2 w3 w4 w5"),

@@ -31,6 +31,7 @@ class PlanAuditSpec extends SparkSpec {
     "q320_fd_histogram", // 1-row (n, lo, hi, IQR, ∛n) stats broadcast
     "q336_t_closeness", // 1-row value-envelope + 1-row n_all broadcasts
     "q338_kendall_w", // 1-row n-items + 1-row (m, T) tie-total broadcasts
+    "q334_lsh_band_plan", // |plans|-row (3) literal plan-spine broadcast
     "q339_zonemap_prune", // 1-row ord-envelope + 4-row literal pred spine
     "q109_pmi_collocations", // 1-row N_uni and N_bi broadcasts
     "q138_temperature_mixture", // 1-row Σ n^0.7 normalizer broadcast

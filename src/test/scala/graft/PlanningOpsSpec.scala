@@ -44,13 +44,65 @@ class PlanningOpsSpec extends SparkSpec {
     assert(r.getDouble(7) === 0.7071)   // glass_delta
   }
 
-  test("effectSizePanel: n=1 side yields NULL effect sizes") {
+  test("effectSizePanel: n_a=1 keeps d/g defined (ssq_a = 0 convention)") {
     val df = Seq(("x", 2L), ("y", 1L), ("y", 3L)).toDF("l", "v")
     val r = Trend.effectSizePanel(df, col("l"), col("v"), "x", "y")
       .collect().head
-    // ssq_a = 1·4−4 = 0; sp2 = (0/1 + 4/2)/1 = 2 → d defined, but
-    // glass (control sd) defined too; the true degenerate is n_a+n_b−2=0
-    assert(r.getLong(2) === 1L)
+    // ssq_a = 1·4−4 = 0; sp2 = (0/1 + 4/2)/1 = 2; mdiff = 2−2 = 0 →
+    // d = g = 0 DEFINED; sd_b = √(4/2) defined → Δ = 0 defined
+    assert(r.getLong(2) === 1L && r.getLong(3) === 2L)
+    assert(!r.isNullAt(5) && r.getDouble(5) === 0.0) // cohens_d
+    assert(!r.isNullAt(6) && r.getDouble(6) === 0.0) // hedges_g
+    assert(!r.isNullAt(7) && r.getDouble(7) === 0.0) // glass_delta
+  }
+
+  test("effectSizePanel: Glass Δ nulls iff control n <= 1; d survives") {
+    val df = Seq(("x", 2L), ("x", 4L), ("y", 1L)).toDF("l", "v")
+    val r = Trend.effectSizePanel(df, col("l"), col("v"), "x", "y")
+      .collect().head
+    // sp2 = (4/2 + 0/1)/1 = 2 → d = 2/√2 = 1.4142;
+    // g = d·(1 − 3/(4·1−1)) = 0; sd_b undefined (n_b = 1) → Δ NULL
+    assert(r.getDouble(5) === 1.4142)
+    assert(r.getDouble(6) === 0.0)
+    assert(r.isNullAt(7))
+  }
+
+  test("effectSizePanel: df = 0 and zero pooled variance null out d/g") {
+    val r1 = Trend.effectSizePanel(Seq(("x", 2L), ("y", 3L)).toDF("l", "v"),
+      col("l"), col("v"), "x", "y").collect().head
+    // n_a + n_b − 2 = 0: every effect size NULL, mean_diff still exact
+    assert(r1.getDouble(4) === -1.0)
+    assert(r1.isNullAt(5) && r1.isNullAt(6) && r1.isNullAt(7))
+    val r2 = Trend.effectSizePanel(
+      Seq(("x", 2L), ("x", 2L), ("y", 3L), ("y", 3L)).toDF("l", "v"),
+      col("l"), col("v"), "x", "y").collect().head
+    // both sides constant: sp2 = 0 and sd_b = 0 → all three NULL
+    assert(r2.isNullAt(5) && r2.isNullAt(6) && r2.isNullAt(7))
+  }
+
+  test("tClosenessReport: NULL-QI rows are excluded, not a phantom group") {
+    val df = Seq(Some("a") -> 0L, Some("a") -> 0L,
+      Some("b") -> 9L, Some("b") -> 9L, None -> 5L)
+      .map { case (g, v) => (g.orNull, v) }.toDF("g", "v")
+    val out = Privacy.tClosenessReport(df, Seq("g" -> col("g")),
+      col("v"), bins = 10).orderBy("g").collect()
+    // the null-QI row is dropped up front: same report as without it
+    assert(out.map(_.getString(0)).toSeq === Seq("a", "b"))
+    assert(out.map(_.getLong(1)).toSeq === Seq(2L, 2L))
+    assert(out.map(_.getDouble(2)).toSeq === Seq(0.5, 0.5))
+  }
+
+  test("kendallW: judge with a duplicate (judge,item) row is dropped") {
+    // j3 covers item 1 twice and item 2 never: row count = 2 = n would
+    // pass a rows-only completeness check and corrupt Σ2R = mn(n+1)
+    val df = Seq(("j1", 1L, 10L), ("j1", 2L, 20L),
+      ("j2", 1L, 20L), ("j2", 2L, 10L),
+      ("j3", 1L, 5L), ("j3", 1L, 7L))
+      .toDF("j", "i", "v")
+    val r = Inference.kendallW(df, col("j"), col("i"), col("v"))
+      .collect().head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 2L)
+    assert(r.getDouble(2) === 0.0)
   }
 
   test("kendallW: perfect agreement gives W = 1, chi2 = m(n-1)") {

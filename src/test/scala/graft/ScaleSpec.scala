@@ -207,6 +207,50 @@ class ScaleSpec extends SparkSpec {
     assert(back.exceptAll(e).isEmpty && e.exceptAll(back).isEmpty)
   }
 
+  test("stageZordered: REAL per-file zone maps prune both dimensions; " +
+    "x-sort layout can't prune y") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val e = Tables.t(spark, sf, "events")
+      .where(col("user_id").isNotNull && col("value").isNotNull)
+      .select(col("event_id"),
+        pmod(col("user_id"), lit(16L)).as("xb"),
+        pmod(expr("CAST(round(value * 100, 0) AS BIGINT)"), lit(16L))
+          .as("yb"))
+    def zones(path: String): Array[(Long, Long)] =
+      new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map { f =>
+          spark.read.parquet(f.getPath).agg(min("xb"), min("yb"))
+            .as[(Long, Long)].head()
+        }
+    val zp = "target/test_stage_zordered"
+    Staging.stageZordered(e, zp, 8, 4, col("xb"), col("yb"))
+    val zz = zones(zp)
+    assert(zz.length > 4, "need several files to demonstrate pruning")
+    // both-dimension predicate xb <= 3 AND yb <= 3: Morton codes of the
+    // low 4x4 block are exactly z < 16, i.e. they cluster into the FIRST
+    // z-range file(s) — a zone-map planner keeps almost nothing
+    val keptBoth = zz.count { case (xm, ym) => xm <= 3 && ym <= 3 }
+    assert(keptBoth < zz.length && keptBoth <= 2,
+      s"z-order kept $keptBoth of ${zz.length} files under the 4x4 block")
+    // y-only predicate: z-order still prunes (y bits live in the key)...
+    val zKeptY = zz.count(_._2 <= 3)
+    assert(zKeptY < zz.length,
+      s"z-order kept all ${zz.length} files under the y predicate")
+    // ...while the x-sorted control layout spans all y in every file
+    val sp = "target/test_stage_zordered_xsort"
+    Staging.stageSorted(e.orderBy("event_id"), sp, 8, col("xb"))
+    val ss = zones(sp)
+    assert(ss.count(_._2 <= 3) === ss.length,
+      "x-sorted files should all contain low-y rows (no y pruning)")
+    // content preserved exactly; the filtered read-back is exact
+    val back = spark.read.parquet(zp)
+    assert(back.exceptAll(e).isEmpty && e.exceptAll(back).isEmpty)
+    val got = back.where(col("xb") <= 3 && col("yb") <= 3).count()
+    val exp = e.where(col("xb") <= 3 && col("yb") <= 3).count()
+    assert(got === exp)
+  }
+
   test("stagePartitioned: directory layout, partition filter prunes, content preserved") {
     import org.apache.spark.sql.functions._
     val e = Tables.t(spark, sf, "events")
