@@ -334,5 +334,122 @@ object PlanningQueries {
       |  CAST(sum(cents) AS BIGINT) AS total_cents
       |FROM f GROUP BY 1 ORDER BY event_type""".stripMargin))
 
-  def all: Seq[QDef] = Seq(q336, q337, q338, q339, q340, q341, q342)
+  /** [[Packing.packPlanEval]]: the sequence-length budget sweep — for
+    * each candidate budget, one-doc-per-slot padding efficiency vs
+    * concat-then-split span-packing utilization from one corpus scan.
+    * The "measure, don't guess" readout behind the q62/q75/q321 budget
+    * knob: the gap between the two columns is what a real packer buys
+    * at that length. */
+  private val q343 = QDef("q343_pack_plan",
+    (s, dir) => Packing.packPlanEval(
+      T(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .select(col("source"), size(split(col("text"), " ")).as("nt")),
+      col("nt"), col("source"), Seq(128L, 256L, 512L, 1024L)),
+    Some(s"""WITH d AS (SELECT source AS sh,
+      |        CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      |      FROM documents
+      |      WHERE text IS NOT NULL AND source IS NOT NULL
+      |        AND len(string_split(text, ' ')) > 0),
+      |bs AS (SELECT unnest([128, 256, 512, 1024]) AS b),
+      |pd AS (SELECT b, CAST(count(*) AS BIGINT) AS n_docs,
+      |        CAST(sum(nt) AS BIGINT) AS tokens,
+      |        CAST(sum((nt + b - 1) // b) AS BIGINT) AS slots
+      |      FROM d CROSS JOIN bs GROUP BY 1),
+      |ps0 AS (SELECT sh, CAST(sum(nt) AS BIGINT) AS st FROM d GROUP BY 1),
+      |ps AS (SELECT b, CAST(sum((st + b - 1) // b) AS BIGINT) AS chunks
+      |      FROM ps0 CROSS JOIN bs GROUP BY 1),
+      |fin AS (SELECT CAST(pd.b AS BIGINT) AS budget, n_docs, tokens,
+      |        slots, CAST(slots AS HUGEINT) * pd.b AS pcap,
+      |        chunks, CAST(chunks AS HUGEINT) * pd.b AS scap
+      |      FROM pd JOIN ps USING (b))
+      |SELECT budget, n_docs, tokens, slots,
+      |  ${Seal.sqlRatio4("tokens", "pcap")} AS pad_efficiency,
+      |  chunks,
+      |  ${Seal.sqlRatio4("tokens", "scap")} AS span_utilization
+      |FROM fin ORDER BY budget""".stripMargin))
+
+  /** [[Curate.ngramDiversity]]: corpus n-gram diversity census per
+    * source for n = 1, 2, 3 — distinct-gram ratio and hapax share, the
+    * templated-data detector per-doc repetition metrics miss. Window
+    * STRINGS on the oracle side vs xxhash64 fingerprints on the Spark
+    * side (the q174 injectivity convention). */
+  private val q344 = QDef("q344_ngram_diversity",
+    (s, dir) => Curate.ngramDiversity(T(s, dir, "documents"),
+      col("text"), col("source"), Seq(1, 2, 3)),
+    Some("""WITH d AS (SELECT source, string_split(text, ' ') AS tk
+      |      FROM documents WHERE source IS NOT NULL),
+      |ns AS (SELECT unnest([1, 2, 3]) AS n),
+      |g AS (SELECT source, n, unnest(CASE WHEN len(tk) >= n THEN
+      |        list_transform(range(1, len(tk) - n + 2), p ->
+      |          array_to_string(list_slice(tk, p, p + n - 1), ' '))
+      |      ELSE [] END) AS gr
+      |      FROM d CROSS JOIN ns),
+      |cnt AS (SELECT source, n, gr, count(*) AS c FROM g GROUP BY 1, 2, 3),
+      |agg AS (SELECT source, n, CAST(sum(c) AS BIGINT) AS total_grams,
+      |        CAST(count(*) AS BIGINT) AS distinct_grams,
+      |        CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS hapax_grams
+      |      FROM cnt GROUP BY 1, 2),
+      |spine AS (SELECT DISTINCT source, n FROM d CROSS JOIN ns),
+      |fin AS (SELECT s.source, CAST(s.n AS INTEGER) AS n,
+      |        coalesce(a.total_grams, CAST(0 AS BIGINT)) AS total_grams,
+      |        coalesce(a.distinct_grams, CAST(0 AS BIGINT))
+      |          AS distinct_grams,
+      |        coalesce(a.hapax_grams, CAST(0 AS BIGINT)) AS hapax_grams
+      |      FROM spine s LEFT JOIN agg a
+      |      ON s.source = a.source AND s.n = a.n)
+      |SELECT source, n, total_grams, distinct_grams,
+      |  CASE WHEN total_grams > 0 THEN
+      |    """.stripMargin + Seal.sqlRatio4("distinct_grams", "total_grams") +
+      """ END AS distinct_ratio,
+      |  hapax_grams,
+      |  CASE WHEN distinct_grams > 0 THEN
+      |    """.stripMargin + Seal.sqlRatio4("hapax_grams", "distinct_grams") +
+      """ END AS hapax_share
+      |FROM fin ORDER BY source, n""".stripMargin))
+
+  /** [[Inference.krippendorffAlpha]]: nominal-scale inter-rater
+    * agreement with arbitrary rater counts and missing ratings — do a
+    * nation's customers "agree" on market segment (α ≈ 0: segments are
+    * assigned independently of nation, the designed negative control).
+    * Exact integer counts; the one per-unit rational quantizes via the
+    * mantelHaenszel 1e-6 fixed-point device in both engines. */
+  private val q345 = QDef("q345_krippendorff_alpha",
+    (s, dir) => Inference.krippendorffAlpha(T(s, dir, "customer"),
+      col("c_nationkey"), col("c_custkey"), col("c_mktsegment"))
+      .orderBy("n_units"),
+    Some(s"""WITH d AS (SELECT c_nationkey AS u, c_custkey AS r,
+      |        c_mktsegment AS c FROM customer
+      |      WHERE c_nationkey IS NOT NULL AND c_custkey IS NOT NULL
+      |        AND c_mktsegment IS NOT NULL),
+      |nr AS (SELECT CAST(count(DISTINCT r) AS BIGINT) AS n_raters FROM d),
+      |byuc AS (SELECT u, c, CAST(count(*) AS BIGINT) AS nuc FROM d
+      |       GROUP BY 1, 2),
+      |peru AS (SELECT u, CAST(sum(nuc) AS BIGINT) AS mu,
+      |        CAST(sum(nuc * nuc) AS BIGINT) AS ssq
+      |      FROM byuc GROUP BY 1 HAVING sum(nuc) >= 2),
+      |units AS (SELECT u, mu,
+      |        CAST(round(CAST(mu * mu - ssq AS DOUBLE) /
+      |          CAST(mu - 1 AS DOUBLE) * 1000000, 0) AS BIGINT) AS t6
+      |      FROM peru),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
+      |        CAST(sum(mu) AS BIGINT) AS nn,
+      |        CAST(sum(t6) AS BIGINT) AS st6 FROM units),
+      |pooled AS (SELECT c, CAST(sum(nuc) AS BIGINT) AS nc
+      |      FROM byuc JOIN units USING (u) GROUP BY 1),
+      |de AS (SELECT CAST(sum(CAST(nc AS HUGEINT) * (nn - nc)) AS HUGEINT)
+      |          AS sde,
+      |        CAST(count(*) AS BIGINT) AS n_categories
+      |      FROM pooled CROSS JOIN tot),
+      |fin AS (SELECT n_units, n_raters, n_categories, nn AS n_ratings,
+      |        CAST(nn - 1 AS HUGEINT) * st6 AS num,
+      |        nullif(CAST(1000000 AS HUGEINT) * sde, 0) AS den
+      |      FROM tot CROSS JOIN de CROSS JOIN nr)
+      |SELECT n_units, n_raters, n_categories, n_ratings,
+      |  ${Seal.sqlRatio4("(den - num)", "den")} AS alpha
+      |FROM fin ORDER BY n_units""".stripMargin))
+
+  def all: Seq[QDef] = Seq(q336, q337, q338, q339, q340, q341, q342,
+    q343, q344, q345)
 }

@@ -456,6 +456,58 @@ object Curate {
       .orderBy("source")
   }
 
+  /** Corpus n-gram diversity census per source — the templated-/
+    * synthetic-data detector the per-DOC repetition metrics (q87's
+    * dup-n-gram fraction, Gopher's repetition shares) can't see: a
+    * source whose documents each look fine but all share the same
+    * phrasing collapses its CORPUS-level distinct-gram ratio and hapax
+    * (count-1 gram) share long before any per-doc filter fires. One row
+    * per (source × n): total grams, distinct grams, distinct/total, and
+    * hapax share of the distinct vocabulary.
+    *
+    * Determinism: grams are xxhash64 of the space-joined token window
+    * (the q174 injectivity convention — the oracle counts the window
+    * STRINGS; distinct/singleton counts agree because the hash is
+    * injective at fixture scale). Absent (source, n) cells (every doc
+    * shorter than n) surface as explicit zero rows with NULL ratios.
+    *
+    * Scale shape: one explode to Σ_n (tokens − n + 1) gram rows — ~|ns|×
+    * corpus tokens — one (source, n, gram)-keyed count (map-side
+    * combinable), one (source, n) rollup, then a source×n spine join
+    * over the bounded source table. No windows, no broadcast. */
+  def ngramDiversity(df: DataFrame, text: Column, source: Column,
+                     ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), "ns must be positive")
+    val d = df.select(source.as("source"), split(text, " ").as("tk"))
+      .where(col("source").isNotNull)
+    val grams = d.select(col("source"), explode(array(ns.map { n =>
+        struct(lit(n).as("n"),
+          when(size(col("tk")) >= n,
+            transform(sequence(lit(1), size(col("tk")) - (n - 1)),
+              p => xxhash64(concat_ws(" ", slice(col("tk"), p, lit(n))))))
+            .otherwise(array().cast("array<bigint>")).as("gs"))
+      }: _*)).as("u"))
+      .select(col("source"), col("u.n").as("n"), explode(col("u.gs")).as("g"))
+    val counts = grams.groupBy("source", "n", "g")
+      .agg(count(lit(1)).as("c"))
+    val agg = counts.groupBy("source", "n")
+      .agg(sum("c").as("total_grams"),
+        count(lit(1)).as("distinct_grams"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("hapax_grams"))
+    val spine = d.select("source").distinct()
+      .select(col("source"), explode(array(ns.map(n => lit(n)): _*)).as("n"))
+    spine.join(agg, Seq("source", "n"), "left")
+      .select(col("source"), col("n"),
+        coalesce(col("total_grams"), lit(0L)).as("total_grams"),
+        coalesce(col("distinct_grams"), lit(0L)).as("distinct_grams"),
+        when(coalesce(col("total_grams"), lit(0L)) > 0,
+          Seal.ratio4("distinct_grams", "total_grams")).as("distinct_ratio"),
+        coalesce(col("hapax_grams"), lit(0L)).as("hapax_grams"),
+        when(coalesce(col("distinct_grams"), lit(0L)) > 0,
+          Seal.ratio4("hapax_grams", "distinct_grams")).as("hapax_share"))
+      .orderBy("source", "n")
+  }
+
   def capPerGroup(df: DataFrame, group: Column, order: Seq[Column], id: Column,
                   n: Int, salts: Int = 8): DataFrame = {
     require(n >= 1 && salts >= 1, "n and salts must be positive")

@@ -790,4 +790,64 @@ object Inference {
         Seal.ratio4("wnum", "wden").as("w"),
         Seal.ratio4("cnum", "cden").as("chi2"))
   }
+
+  /** Krippendorff's alpha (nominal) over a (unit, rater, value) frame —
+    * the agreement coefficient the rest of the family can't provide:
+    * [[Inference.kendallW]]/[[friedman]] need complete rankings,
+    * [[RankEval.cohensKappa]] exactly two raters; alpha handles any
+    * number of raters, missing ratings, and per-unit rater counts — the
+    * realistic shape of LLM-output labeling jobs. Definition (nominal
+    * distance): alpha = 1 − Do/De with
+    *
+    *   Do = (1/N) Σ_u (m_u² − Σ_c n_uc²) / (m_u − 1)
+    *   De = (1/(N(N−1))) Σ_c N_c (N − N_c)
+    *
+    * where n_uc = ratings of category c in unit u, m_u = ratings in
+    * unit u (units with m_u < 2 are unpairable and dropped, the
+    * standard rule), N = Σ m_u over kept units, N_c pooled category
+    * counts over kept units.
+    *
+    * Determinism: every count is an exact long; the one per-unit
+    * rational (denominator m_u − 1) quantizes to 1e-6 fixed point
+    * before the exact cross-unit sum (the mantelHaenszel q6 device);
+    * alpha = (den − num)/den computed as ONE sealed ratio4 with
+    * num = (N−1)·Σ t_u6 and den = 10⁶·Σ_c N_c(N − N_c), both
+    * decimal(38,0)-exact. De = 0 (one category everywhere) → NULL.
+    *
+    * Scale shape: one (unit, value)-keyed count agg, one unit-keyed
+    * rollup (both map-side combinable), one category-keyed agg over the
+    * kept units, three 1-row aggregates — raw rows never window, never
+    * self-join. */
+  def krippendorffAlpha(df: DataFrame, unit: Column, rater: Column,
+                        value: Column): DataFrame = {
+    def q6(x: Column) = round(x * lit(1e6), 0).cast("long")
+    val d = df.select(unit.as("u"), rater.as("r"), value.as("c"))
+      .where(col("u").isNotNull && col("r").isNotNull && col("c").isNotNull)
+    val nRaters = d.agg(countDistinct("r").as("n_raters"))
+    val byUC = d.groupBy("u", "c").agg(count(lit(1)).as("nuc"))
+    val perU = byUC.groupBy("u")
+      .agg(sum("nuc").as("mu"), sum(col("nuc") * col("nuc")).as("ssq"))
+      .where(col("mu") >= 2)
+    // per-unit disagreement term, 1e-6 fixed point: (m² − Σn²)/(m − 1)
+    val units = perU.select(col("u"), col("mu"),
+      q6((col("mu") * col("mu") - col("ssq")).cast("double") /
+        (col("mu") - 1).cast("double")).as("t6"))
+    val tot = units.agg(count(lit(1)).as("n_units"), sum("mu").as("nn"),
+      sum("t6").as("st6"))
+    val pooled = byUC.join(units.select("u"), "u")
+      .groupBy("c").agg(sum("nuc").as("nc"))
+    val de = pooled.crossJoin(broadcast(tot.select("nn")))
+      .agg(sum(col("nc").cast("decimal(38,0)") *
+        (col("nn") - col("nc"))).as("sde"),
+        count(lit(1)).as("n_categories"))
+    tot.crossJoin(broadcast(de)).crossJoin(broadcast(nRaters))
+      .withColumn("num",
+        (col("nn") - 1).cast("decimal(38,0)") * col("st6"))
+      .withColumn("den", nullif(
+        lit(1000000L).cast("decimal(38,0)") * col("sde"),
+        lit(java.math.BigDecimal.ZERO)))
+      .select(col("n_units"), col("n_raters"), col("n_categories"),
+        col("nn").as("n_ratings"),
+        Seal.ratio4c(col("den") - col("num"), col("den")).as("alpha"))
+  }
 }

@@ -108,6 +108,48 @@ object Packing {
     * building a real packer. Pure integer arithmetic per doc, one
     * band-keyed aggregation, efficiency sealed via [[Seal]]. Documents
     * longer than maxLen split into ⌈n/L⌉ slots (truncation-free). */
+  /** Sequence-length budget sweep — the "measure, don't guess" readout
+    * behind the [[packChunks]]/[[packSpans]]/[[paddingWaste]] budget
+    * knob (the q334/q340/q341 calibration convention): for each
+    * candidate budget, BOTH batching disciplines' efficiency from the
+    * same corpus scan — one-doc-per-slot padding (slots = Σ⌈nt/b⌉,
+    * efficiency = tokens/(slots·b), the [[paddingWaste]] model summed
+    * over all bands) and concat-then-split span packing (chunks =
+    * Σ_shards ⌈shard_tokens/b⌉, utilization = tokens/(chunks·b), the
+    * [[packSpans]] model where only each shard's LAST chunk can pad).
+    * The gap between the two columns at a given budget is exactly what
+    * building a real packer buys.
+    *
+    * Scale shape: one doc-level pass exploded ×|budgets| (narrow) into
+    * a budget-keyed agg, plus one shard-keyed agg (bounded by shard
+    * count) re-exploded over the same budget spine — all sums exact
+    * longs, both efficiency columns sealed via ratio4. */
+  def packPlanEval(df: DataFrame, tokens: Column, shard: Column,
+                   budgets: Seq[Long]): DataFrame = {
+    require(budgets.nonEmpty && budgets.forall(_ >= 1),
+      "budgets must be positive")
+    val bSpine = array(budgets.map(lit): _*)
+    val d = df.select(shard.as("sh"), tokens.cast("long").as("nt"))
+      .where(col("sh").isNotNull && col("nt").isNotNull && col("nt") > 0)
+    val perDoc = d.select(col("nt"), explode(bSpine).as("b"))
+      .groupBy("b")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("tokens"),
+        sum(expr("(nt + b - 1) div b")).as("slots"))
+    val perShard = d.groupBy("sh").agg(sum("nt").as("st"))
+      .select(col("st"), explode(bSpine).as("b"))
+      .groupBy("b")
+      .agg(sum(expr("(st + b - 1) div b")).as("chunks"))
+    perDoc.join(perShard, Seq("b"))
+      .select(col("b").as("budget"), col("n_docs"), col("tokens"),
+        col("slots"),
+        Seal.ratio4c(col("tokens"), col("slots") * col("b"))
+          .as("pad_efficiency"),
+        col("chunks"),
+        Seal.ratio4c(col("tokens"), col("chunks") * col("b"))
+          .as("span_utilization"))
+      .orderBy("budget")
+  }
+
   def paddingWaste(df: DataFrame, tokens: Column, maxLen: Long): DataFrame = {
     require(maxLen >= 1, "maxLen must be positive")
     val d = df.select(tokens.cast("long").as("nt"))

@@ -92,6 +92,57 @@ class PlanningOpsSpec extends SparkSpec {
     assert(out.map(_.getDouble(2)).toSeq === Seq(0.5, 0.5))
   }
 
+  test("packPlanEval: hand-computed slots/chunks at two budgets") {
+    // shard a: docs of 3 and 5 tokens (total 8); shard b: one 10-token doc
+    val df = Seq(("a", 3L), ("a", 5L), ("b", 10L)).toDF("sh", "nt")
+    val out = Packing.packPlanEval(df, col("nt"), col("sh"), Seq(4L, 8L))
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getDouble(4),
+        r.getLong(5), r.getDouble(6))).toList
+    // b=4: slots 1+2+3=6 → 18/24; chunks ⌈8/4⌉+⌈10/4⌉=5 → 18/20
+    // b=8: slots 1+1+2=4 → 18/32; chunks 1+2=3 → 18/24
+    assert(out === List((4L, 6L, 0.75, 5L, 0.9),
+      (8L, 4L, 0.5625, 3L, 0.75)))
+  }
+
+  test("ngramDiversity: hand-computed counts; short-doc source zero-fills") {
+    val df = Seq(("s", "a b a b"), ("s", "a b"), ("t", "x"))
+      .toDF("src", "tx")
+    val out = Curate.ngramDiversity(df, col("tx"), col("src"), Seq(1, 2, 3))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(5))).toList
+    // s: n=1 → 6 grams / 2 distinct / 0 hapax; n=2 → 4 / 2 (ab×3, ba) /
+    // 1 hapax; n=3 → 2 / 2 / 2. t: only 1-gram "x" (hapax); n=2,3 zero
+    assert(out === List(
+      ("s", 1, 6L, 2L, 0L), ("s", 2, 4L, 2L, 1L), ("s", 3, 2L, 2L, 2L),
+      ("t", 1, 1L, 1L, 1L), ("t", 2, 0L, 0L, 0L), ("t", 3, 0L, 0L, 0L)))
+    val ratios = Curate.ngramDiversity(df, col("tx"), col("src"),
+      Seq(1, 2, 3)).collect()
+    assert(ratios(1).getDouble(4) === 0.5 && ratios(1).getDouble(6) === 0.5)
+    assert(ratios(4).isNullAt(4) && ratios(4).isNullAt(6)) // zero row → NULL
+  }
+
+  test("krippendorffAlpha: textbook nominal example, unpairable unit dropped") {
+    // units: (A,A), (A,B), (B,B), (B,B) + a 1-rating unit that must drop.
+    // Do = 0.25, De = 30/56 → alpha = 16/30 = 0.5333
+    val df = Seq((1L, "r1", "A"), (1L, "r2", "A"),
+      (2L, "r1", "A"), (2L, "r2", "B"),
+      (3L, "r1", "B"), (3L, "r2", "B"),
+      (4L, "r1", "B"), (4L, "r2", "B"),
+      (5L, "r3", "A")).toDF("u", "r", "c")
+    val out = Inference.krippendorffAlpha(df, col("u"), col("r"), col("c"))
+      .collect().head
+    assert(out.getLong(0) === 4L)   // n_units (unit 5 dropped)
+    assert(out.getLong(1) === 3L)   // n_raters observed in input
+    assert(out.getLong(2) === 2L)   // categories among kept units
+    assert(out.getLong(3) === 8L)   // pairable ratings
+    assert(out.getDouble(4) === 0.5333)
+    // degenerate: one category everywhere → De = 0 → NULL alpha
+    val mono = Seq((1L, "r1", "A"), (1L, "r2", "A")).toDF("u", "r", "c")
+    val m = Inference.krippendorffAlpha(mono, col("u"), col("r"), col("c"))
+      .collect().head
+    assert(m.isNullAt(4))
+  }
+
   test("kendallW: judge with a duplicate (judge,item) row is dropped") {
     // j3 covers item 1 twice and item 2 never: row count = 2 = n would
     // pass a rows-only completeness check and corrupt Σ2R = mn(n+1)
