@@ -28,8 +28,14 @@ object Bench {
     // inflates LATER heavy queries: q61 measured 7.0 s in-suite vs 3.5 s
     // standalone before this hygiene. Each query is self-contained, so
     // dropping every persistent RDD between queries is always safe.
+    // blocking = true: with blocking = false the actual block removal
+    // runs ASYNCHRONOUSLY and lands inside the NEXT query's timed
+    // window — measured as the q284 standalone-vs-in-suite gap (r10:
+    // 3.5 s standalone vs 4.6 s in-suite with ZERO attributed GC; the
+    // interference is the block manager, not the collector). Removal
+    // now completes here, in the untimed gap.
     def dropLeftoverBlocks(): Unit =
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     selected.foreach { case (name, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
