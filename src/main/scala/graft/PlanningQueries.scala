@@ -450,6 +450,157 @@ object PlanningQueries {
       |  ${Seal.sqlRatio4("(den - num)", "den")} AS alpha
       |FROM fin ORDER BY n_units""".stripMargin))
 
+  /** [[EventStreams.runConversionJoinOuter]]: stream-stream LEFT OUTER
+    * interval join under two watermarks — the state-eviction emission
+    * (unmatched signups surface as click_id = −1 once the watermark
+    * proves no click can still arrive) that inner stream joins (q78)
+    * never exercise. Oracle: the batch left join, null rows restricted
+    * to signups whose match window closed at/before the final global
+    * watermark min(max s_ts, max c_ts) − 2 h. */
+  private val q346 = QDef("q346_stream_outer_join",
+    (s, dir) => EventStreams.runConversionJoinOuter(s, dir,
+      name = "graft_stream_conv_outer_q346")
+      .orderBy("signup_id", "click_id"),
+    Some("""WITH s AS (SELECT event_id AS signup_id, ts AS s_ts
+      |      FROM events WHERE event_type = 'signup'),
+      |c AS (SELECT event_id AS click_id, ts AS c_ts
+      |      FROM events WHERE event_type = 'click'),
+      |wm AS (SELECT least((SELECT max(s_ts) FROM s),
+      |        (SELECT max(c_ts) FROM c)) - INTERVAL 2 HOUR AS w),
+      |m AS (SELECT signup_id, click_id FROM s JOIN c
+      |      ON c_ts >= s_ts AND c_ts < s_ts + INTERVAL 1 HOUR),
+      |um AS (SELECT signup_id, CAST(-1 AS BIGINT) AS click_id
+      |      FROM s, wm
+      |      WHERE NOT EXISTS (SELECT 1 FROM c
+      |          WHERE c_ts >= s_ts AND c_ts < s_ts + INTERVAL 1 HOUR)
+      |        AND s_ts + INTERVAL 1 HOUR <= w)
+      |SELECT signup_id, click_id FROM m
+      |UNION ALL SELECT signup_id, click_id FROM um
+      |ORDER BY signup_id, click_id""".stripMargin))
+
+  /** [[Skew.joinCardinalityEval]]: exact equi-join output forecast from
+    * the two sides' key histograms — events.user_id ⋈ orders.o_custkey,
+    * the "how big is this join and does one key dominate it" readout a
+    * planner reads before committing the shuffle. */
+  private val q347 = QDef("q347_join_cardinality",
+    (s, dir) => Skew.joinCardinalityEval(
+      T(s, dir, "events"), col("user_id"),
+      T(s, dir, "orders"), col("o_custkey"))
+      .orderBy("n_keys_a"),
+    Some(s"""WITH ca AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS ca
+      |      FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      |cb AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS cb
+      |      FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+      |ta AS (SELECT CAST(count(*) AS BIGINT) AS n_keys_a,
+      |        CAST(sum(ca) AS BIGINT) AS rows_a FROM ca),
+      |tb AS (SELECT CAST(count(*) AS BIGINT) AS n_keys_b,
+      |        CAST(sum(cb) AS BIGINT) AS rows_b FROM cb),
+      |j AS (SELECT ca.k, CAST(ca AS HUGEINT) * cb AS o
+      |      FROM ca JOIN cb USING (k)),
+      |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_keys_joint,
+      |        coalesce(sum(o), 0) AS predicted_rows,
+      |        coalesce(max(o), 0) AS max_key_rows FROM j)
+      |SELECT n_keys_a, n_keys_b, rows_a, rows_b, n_keys_joint,
+      |  CAST(predicted_rows AS BIGINT) AS predicted_rows,
+      |  CAST(max_key_rows AS BIGINT) AS max_key_rows,
+      |  CASE WHEN predicted_rows > 0 THEN
+      |    ${Seal.sqlRatio4("max_key_rows", "predicted_rows")}
+      |  END AS max_key_share
+      |FROM ta CROSS JOIN tb CROSS JOIN ag""".stripMargin))
+
+  /** Per-subspace k-means CTE chain for the PQ oracle — the q39
+    * kmeansCtes device parameterized by a subspace slice [lo+1, lo+sub]
+    * (all CTE names suffixed by the subspace index so four chains
+    * coexist in one WITH). Replays [[Similarity.kmeansCentroids]] over
+    * the sliced vectors: 1e4-quantized ints, lowest-vec_id init,
+    * cosine assignment with lower-cid ties, integer-SUM centroids,
+    * emptied cells carry. */
+  private def pqCtes(s: Int, lo: Int, sub: Int, c: Int,
+                     iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""a${s}_$i AS (SELECT vec_id, q, cid FROM (
+         |  SELECT qv.vec_id, qv.q, k.cid,
+         |    row_number() OVER (PARTITION BY qv.vec_id ORDER BY
+         |      list_cosine_similarity(CAST(qv.q AS DOUBLE[]),
+         |        CAST(k.cq AS DOUBLE[])) DESC, k.cid) AS rn
+         |  FROM qv_$s qv, k${s}_${i - 1} k) WHERE rn = 1),
+         |s${s}_$i AS (SELECT cid, i, CAST(sum(q[i+1]) AS BIGINT) AS sv
+         |       FROM a${s}_$i, range(0, $sub) r(i) GROUP BY 1, 2),
+         |n${s}_$i AS (SELECT cid, list(sv ORDER BY i) AS cq
+         |       FROM s${s}_$i GROUP BY cid),
+         |k${s}_$i AS (SELECT k.cid, coalesce(n.cq, k.cq) AS cq
+         |       FROM k${s}_${i - 1} k LEFT JOIN n${s}_$i n
+         |       ON k.cid = n.cid)""".stripMargin
+    }.mkString(",\n")
+    s"""qv_$s AS (SELECT vec_id, list_transform(
+       |        list_slice(emb, ${lo + 1}, ${lo + sub}),
+       |        x -> CAST(round(x*10000) AS BIGINT)) AS q FROM e),
+       |k${s}_0 AS (SELECT vec_id AS cid, q AS cq FROM qv_$s
+       |       ORDER BY vec_id LIMIT $c),
+       |$steps,
+       |cb_$s AS (SELECT cid, cq FROM k${s}_$iters),
+       |as_$s AS (SELECT vec_id, cid AS cell FROM (
+       |  SELECT e.vec_id, cb.cid, row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY list_cosine_similarity(
+       |      CAST(list_slice(e.emb, ${lo + 1}, ${lo + sub}) AS DOUBLE[]),
+       |      CAST(cb.cq AS DOUBLE[])) DESC, cb.cid) AS rn
+       |  FROM e, cb_$s cb) WHERE rn = 1),
+       |qq_$s AS (SELECT list_transform(
+       |        list_slice(qemb, ${lo + 1}, ${lo + sub}),
+       |        x -> CAST(round(x*10000) AS BIGINT)) AS q FROM q),
+       |lut_$s AS (SELECT cb.cid, CAST(list_sum(list_transform(
+       |        range(1, ${sub + 1}), i -> qq.q[i] * cb.cq[i])) AS BIGINT)
+       |          AS v
+       |       FROM cb_$s cb, qq_$s qq)""".stripMargin
+  }
+
+  /** Shared PQ codebooks per fixture dir — trained once, reused across
+    * bench/verify invocations (the q39 trainedCodebook convention: a
+    * serving path loads the codebook, it doesn't retrain; training is
+    * deterministic per dir so sharing cannot change results). */
+  private val pqBooks = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[Seq[(Long, Array[Double])]]]
+
+  /** [[Similarity.pqTopK]]: product-quantization ANN — 4 subspaces × 8
+    * codes over the 64-dim embeddings, exact-integer ADC lookup-table
+    * scoring, 50-vector shortlist, exact cosine re-rank to the top 10.
+    * The memory-scaling step past q72's int8 path: the scale-path probe
+    * table is m·log₂(codes) = 12 BITS per vector. */
+  private val q348 = QDef("q348_ann_pq",
+    (s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val books = pqBooks.getOrElseUpdate(dir,
+        Similarity.pqCodebooks(e, col("embedding"), col("vec_id"),
+          dim = 64, m = 4, codes = 8))
+      val q = e.orderBy("vec_id").limit(1)
+      Similarity.pqTopK(e, col("embedding"), col("vec_id"),
+          q, col("embedding"), dim = 64, k = 10, shortlist = 50,
+          m = 4, codes = 8, books = books)
+        .select(col("id"), round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy(desc("cos_sim"), col("id"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      |      FROM embeddings),
+      |q AS (SELECT emb AS qemb FROM e ORDER BY vec_id LIMIT 1),
+      |${(0 until 4).map(s0 => pqCtes(s0, s0 * 16, 16, 8, 2)).mkString(",\n")},
+      |enc AS (SELECT a0.vec_id, a0.cell AS c0, a1.cell AS c1,
+      |        a2.cell AS c2, a3.cell AS c3
+      |      FROM as_0 a0 JOIN as_1 a1 USING (vec_id)
+      |        JOIN as_2 a2 USING (vec_id) JOIN as_3 a3 USING (vec_id)),
+      |sc AS (SELECT enc.vec_id,
+      |        l0.v + l1.v + l2.v + l3.v AS adc
+      |      FROM enc JOIN lut_0 l0 ON l0.cid = enc.c0
+      |        JOIN lut_1 l1 ON l1.cid = enc.c1
+      |        JOIN lut_2 l2 ON l2.cid = enc.c2
+      |        JOIN lut_3 l3 ON l3.cid = enc.c3),
+      |sl AS (SELECT vec_id FROM sc ORDER BY adc DESC, vec_id LIMIT 50),
+      |topk AS (SELECT e.vec_id AS id,
+      |        list_cosine_similarity(e.emb, q.qemb) AS cs
+      |      FROM e JOIN sl USING (vec_id), q
+      |      ORDER BY cs DESC, id LIMIT 10)
+      |SELECT id, round(cs, 4) AS cos_sim FROM topk
+      |ORDER BY cos_sim DESC, id""".stripMargin))
+
   def all: Seq[QDef] = Seq(q336, q337, q338, q339, q340, q341, q342,
-    q343, q344, q345)
+    q343, q344, q345, q346, q347, q348)
 }

@@ -228,6 +228,80 @@ object Similarity {
       .orderBy(desc("cos_sim"), col("id")).limit(k)
   }
 
+  /** Product-quantization codebooks: the corpus splits into `m`
+    * contiguous subspaces of dim/m dimensions; each subspace trains its
+    * own `codes`-centroid [[kmeansCentroids]] codebook over the SLICED
+    * vectors. Returned per subspace (same deterministic init/iteration
+    * contract as the IVF codebook — lowest-id init, fixed iters,
+    * integer-sum centroids). */
+  def pqCodebooks(df: DataFrame, emb: Column, id: Column, dim: Int,
+                  m: Int, codes: Int, iters: Int = 2)
+      : Seq[Seq[(Long, Array[Double])]] = {
+    require(m >= 1 && dim % m == 0, "m must divide dim")
+    val sub = dim / m
+    (0 until m).map(s =>
+      kmeansCentroids(df, slice(emb.cast("array<double>"), s * sub + 1, sub),
+        id, codes, iters))
+  }
+
+  /** Product-quantization ANN: asymmetric-distance (ADC) coarse scoring
+    * over PQ codes + exact re-rank — the memory-scaling step past the
+    * int8 path (q72): at 100 TB the probe table holds m SMALL-INT codes
+    * per vector (m·log₂(codes) bits ≈ 32× smaller than fp32), and the
+    * query-time cost per vector is m table lookups instead of a dim-wide
+    * dot product.
+    *
+    *  - encode: each vector's subspace slice assigns to its nearest
+    *    codebook centroid ([[nearestCells]], cosine, lower-cid ties) — a
+    *    pure narrow expression over inlined centroid literals, no
+    *    shuffle, exactly the q39 assignment convention;
+    *  - ADC lookup table: per (subspace, code), the INTEGER dot product
+    *    of the 1e4-quantized query slice with the integer-sum centroid —
+    *    computed once on the driver (m·codes longs), exact in both
+    *    engines by construction (every product ≤ ~2⁴⁴, every sum
+    *    ≤ ~2⁴⁸ — no float rounding anywhere in the ranking key);
+    *  - coarse score = Σ_subspaces lut[code] (exact long), deterministic
+    *    `shortlist` via (score desc, id) TakeOrderedAndProject;
+    *  - exact cosine on the original vectors re-ranks the shortlist to
+    *    the final k (the q72 two-pass shape).
+    *
+    * PQ-vs-exact recall is pinned in the unit suite; the full chain is
+    * oracle-gated (q348). */
+  def pqTopK(df: DataFrame, emb: Column, id: Column,
+             query: DataFrame, queryEmb: Column, dim: Int,
+             k: Int = 10, shortlist: Int = 50, m: Int = 4,
+             codes: Int = 8,
+             books: Seq[Seq[(Long, Array[Double])]] = null): DataFrame = {
+    require(m >= 1 && dim % m == 0, "m must divide dim")
+    val sub = dim / m
+    val cb = Option(books).getOrElse(pqCodebooks(df, emb, id, dim, m, codes))
+    require(cb.length == m && cb.forall(_.nonEmpty), "bad codebooks")
+    val qRow = query.select(queryEmb.cast("array<double>").as("q"))
+      .head().getSeq[Double](0)
+    require(qRow.length == dim, s"query dim ${qRow.length} != $dim")
+    // exact-integer ADC lut: round(q·1e4) slice ⋅ integer-sum centroid
+    val luts: Seq[Map[Long, Long]] = cb.zipWithIndex.map { case (cents, s) =>
+      cents.map { case (cid, ce) =>
+        cid -> (0 until sub).map { i =>
+          math.round(qRow(s * sub + i) * 10000).toDouble * ce(i)
+        }.sum.toLong
+      }.toMap
+    }
+    val corpus = df.select(id.as("id"), emb.cast("array<double>").as("__v"))
+    val adc = (0 until m).map { s =>
+      val cell = element_at(
+        nearestCells(slice(col("__v"), s * sub + 1, sub), cb(s), 1), 1)
+      val entries = cb(s).flatMap { case (cid, _) =>
+        Seq(lit(cid), lit(luts(s)(cid))) }
+      element_at(map(entries: _*), cell)
+    }.reduce(_ + _)
+    val sl = corpus.withColumn("__adc", adc)
+      .orderBy(desc("__adc"), col("id")).limit(shortlist)
+    val qLit = array(qRow.map(lit): _*)
+    sl.select(col("id"), cosine(col("__v"), qLit).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col("id")).limit(k)
+  }
+
   /** Symmetric per-vector int8 quantization: q_i = round(x_i / scale · 127)
     * with scale = max|x_i| — the standard 4× memory/bandwidth compression
     * for embedding storage and ANN probe tables (dequantize ≈ q/127·scale,

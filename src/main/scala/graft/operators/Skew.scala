@@ -241,6 +241,46 @@ object Skew {
         col("tn").as("n_kept"))
   }
 
+  /** Equi-join cardinality forecast — the "how big will this join be"
+    * readout a planner wants BEFORE committing a 100 TB shuffle: exact
+    * predicted output rows Σ_k cnt_a(k)·cnt_b(k) from the two sides'
+    * key histograms, plus the single worst key's contribution (the
+    * straggler bound — one reducer receives max_key_rows build+probe
+    * rows in a plain shuffle join) and its share of the output. A
+    * max_key_share near 1 says "salt this join" ([[saltedJoin]],
+    * [[saltPlanEval]]); predicted_rows ≫ both inputs says "this is a
+    * fan-out join — rethink the key".
+    *
+    * Scale shape: one count agg per side (map-side combinable), an
+    * inner join of the two KEY HISTOGRAMS (key-cardinality-sized, not
+    * corpus-sized), and 1-row rollups. The corpus rows themselves never
+    * join. All counts exact longs; the share seals with ratio4. */
+  def joinCardinalityEval(a: DataFrame, ka: Column,
+                          b: DataFrame, kb: Column): DataFrame = {
+    val ca = a.select(ka.as("k")).where(col("k").isNotNull)
+      .groupBy("k").agg(count(lit(1)).as("ca"))
+    val cb = b.select(kb.as("k")).where(col("k").isNotNull)
+      .groupBy("k").agg(count(lit(1)).as("cb"))
+    val ta = ca.agg(count(lit(1)).as("n_keys_a"), sum("ca").as("rows_a"))
+    val tb = cb.agg(count(lit(1)).as("n_keys_b"), sum("cb").as("rows_b"))
+    val joint = ca.join(cb, Seq("k"))
+      .select(col("k"), (col("ca").cast("decimal(38,0)") * col("cb"))
+        .as("out"))
+    val agg = joint.agg(count(lit(1)).as("n_keys_joint"),
+      coalesce(sum("out"), lit(0L).cast("decimal(38,0)"))
+        .as("predicted_rows"),
+      coalesce(max("out"), lit(0L).cast("decimal(38,0)"))
+        .as("max_key_rows"))
+    ta.crossJoin(broadcast(tb)).crossJoin(broadcast(agg))
+      .select(col("n_keys_a"), col("n_keys_b"), col("rows_a"),
+        col("rows_b"), col("n_keys_joint"),
+        col("predicted_rows").cast("long").as("predicted_rows"),
+        col("max_key_rows").cast("long").as("max_key_rows"),
+        when(col("predicted_rows") > 0,
+          Seal.ratio4c(col("max_key_rows"), col("predicted_rows")))
+          .as("max_key_share"))
+  }
+
   /** Per-group Gini coefficient of a non-negative integer metric — the
     * inequality readout next to [[hhi]]'s concentration and
     * `paretoShare`'s top-share: G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)

@@ -246,6 +246,63 @@ object EventStreams {
     }
   }
 
+  /** Stream-stream LEFT OUTER interval join — [[runConversionJoin]]'s
+    * missing half: every signup emits, matched or not, and the UNMATCHED
+    * row can only leave the join state once the event-time watermark
+    * proves no qualifying click can still arrive. That state-eviction
+    * emission is the semantics this operator exists to exercise (inner
+    * joins never hold a row back).
+    *
+    * Bucket shape: the OUTER (signup) side must appear exactly once —
+    * [[runConversionJoin]]'s signup-side bucket explode would emit one
+    * null row per bucket for a half-matched signup — so here the CLICK
+    * side explodes into the (exactly two) 1-hour buckets whose signups
+    * it could convert, signups keep their single home bucket, and the
+    * time-range predicate rides INSIDE the join condition (a post-join
+    * filter on an outer join would silently drop the null rows). A
+    * (signup, click) pair meets in exactly one bucket — the signup's —
+    * so no dedup is needed.
+    *
+    * Boundary, pinned empirically against the batch oracle: with both
+    * watermarks at 2 h, a never-matched signup's null row is emitted on
+    * the bounded run iff s_ts + 1 h (its last possible match time) is
+    * ≤ the final global watermark min(max s_ts, max c_ts) − 2 h; later
+    * signups stay in state and do NOT emit (the q71 closed-before-
+    * watermark convention). NULL click_id surfaces as −1 so both
+    * engines order identically. */
+  def runConversionJoinOuter(spark: SparkSession, dir: String,
+                             name: String = "graft_stream_conv_outer")
+      : DataFrame = {
+    spark.catalog.dropTempView(name)
+    val bkt = 3600000000L
+    val signups = readEventStream(spark, dir)
+      .filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "2 hours")
+      .withColumn("s_bucket",
+        floor(unix_micros(col("s_ts")) / bkt).cast("long"))
+    val clicks = readEventStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+      .withColumn("c_bucket", explode(sequence(
+        floor((unix_micros(col("c_ts")) - (bkt - 1)) / bkt).cast("long"),
+        floor(unix_micros(col("c_ts")) / bkt).cast("long"))))
+    val joined = signups.join(clicks,
+        expr("s_bucket = c_bucket AND c_ts >= s_ts AND " +
+          "c_ts < s_ts + INTERVAL 1 HOUR"),
+        "leftOuter")
+      .select(col("signup_id"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"))
+    withStreamPartitions(spark) {
+      val q = joined
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    spark.table(name)
+  }
+
   /** Streaming exact dedup: watermark-bounded state keyed by the dedup
     * column — the streaming face of [[Dedup.exact]]'s first stage. */
   def runDedup(spark: SparkSession, dir: String, keyCols: Seq[String],

@@ -190,6 +190,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"int8 recall too low: $recall (got $quant vs $exact)")
   }
 
+  test("pqTopK: PQ ADC coarse + exact re-rank recalls the exact top-k") {
+    val e = Tables.t(spark, sf, "embeddings")
+    val q = e.orderBy("vec_id").limit(1)
+    val pq = Similarity.pqTopK(e, col("embedding"), col("vec_id"),
+      q, col("embedding"), dim = 64, k = 10, shortlist = 50,
+      m = 4, codes = 8)
+      .select("id").as[Long].collect()
+    val exact = Similarity.bruteForceTopK(e, col("embedding"), col("vec_id"),
+      q, col("embedding"), k = 10)
+      .select("id").as[Long].collect().toSet
+    val recall = (pq.toSet & exact).size.toDouble / exact.size
+    // 12-bit codes are a much coarser sieve than int8 (q72 demands 0.9):
+    // the self-match must survive and the shortlist must recover most of
+    // the true neighborhood before the exact re-rank orders it
+    assert(pq.toSet.contains(exact.head) || recall >= 0.5,
+      s"pq lost the neighborhood: $recall")
+    assert(recall >= 0.5, s"pq recall too low: $recall (got ${pq.toSet} vs $exact)")
+    // determinism: a second run (fresh training) is identical
+    val pq2 = Similarity.pqTopK(e, col("embedding"), col("vec_id"),
+      q, col("embedding"), dim = 64, k = 10, shortlist = 50,
+      m = 4, codes = 8)
+      .select("id").as[Long].collect()
+    assert(pq.toSeq === pq2.toSeq)
+  }
+
   test("Dedup.removeSharedPassages: shared chunk scrubbed, tails kept, fully-shared docs vanish") {
     val docs = Seq(
       (1L, "a b c d e f g h"), // chunks "a b c","d e f", tail "g h"

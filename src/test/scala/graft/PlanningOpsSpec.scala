@@ -143,6 +143,23 @@ class PlanningOpsSpec extends SparkSpec {
     assert(m.isNullAt(4))
   }
 
+  test("joinCardinalityEval: hand-computed forecast on overlapping keys") {
+    // a: x×2, y×1; b: x×3, z×4 → joint {x}: 2·3 = 6 rows, all on one key
+    val a = Seq("x", "x", "y").toDF("k")
+    val b = Seq("x", "x", "x", "z", "z", "z", "z").toDF("k")
+    val r = Skew.joinCardinalityEval(a, col("k"), b, col("k"))
+      .collect().head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 2L) // n_keys a/b
+    assert(r.getLong(2) === 3L && r.getLong(3) === 7L) // rows a/b
+    assert(r.getLong(4) === 1L)                        // joint keys
+    assert(r.getLong(5) === 6L && r.getLong(6) === 6L)
+    assert(r.getDouble(7) === 1.0)
+    // disjoint keys → zero forecast, NULL share
+    val z = Skew.joinCardinalityEval(a, col("k"),
+      Seq("q").toDF("k"), col("k")).collect().head
+    assert(z.getLong(5) === 0L && z.isNullAt(7))
+  }
+
   test("kendallW: judge with a duplicate (judge,item) row is dropped") {
     // j3 covers item 1 twice and item 2 never: row count = 2 = n would
     // pass a rows-only completeness check and corrupt Σ2R = mn(n+1)

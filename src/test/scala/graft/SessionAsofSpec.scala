@@ -128,6 +128,41 @@ class SessionAsofSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("stream outer join: unmatched emits only once the watermark " +
+    "proves no match can arrive; later state is held") {
+    // crafted stream (the sf fixture's unmatched signups ALL clear the
+    // final watermark, so it can't exercise the held-back path):
+    //   signup A t0        + click t0+30m  -> matched pair
+    //   signup B t0+2h     no click        -> B+1h <= wm -> emits (B, -1)
+    //   signup C T-2h30m   no click        -> C+1h  > wm -> HELD, no row
+    //   signup D T-1us     + click E at T  -> matched (also sets wm)
+    // wm = min(max s_ts, max c_ts) - 2h = T - 2h - 1us
+    import java.sql.Timestamp
+    val t0 = 1700000000000L // ms
+    val T = t0 + 10L * 3600 * 1000
+    def ev(id: Long, ms: Long, typ: String) =
+      (id, new Timestamp(ms), id, typ, 1.0, "{}")
+    val rows = Seq(
+      ev(1L, t0, "signup"), ev(10L, t0 + 1800 * 1000, "click"),
+      ev(2L, t0 + 7200 * 1000, "signup"),
+      ev(3L, T - 9000 * 1000, "signup"),
+      ev(4L, T - 1, "signup"), ev(11L, T, "click"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_outer_spec").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir + "/__tmp")
+    val part = new java.io.File(dir + "/__tmp").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(dir + "/events.parquet").toPath)
+    val out = EventStreams
+      .runConversionJoinOuter(spark, dir, "graft_outer_spec")
+      .orderBy("signup_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(out === List((1L, 10L), (2L, -1L), (4L, 11L)))
+  }
+
   test("append emission when final watermark EQUALS a window end (oracle boundary pin)") {
     // q38/q71's append-mode oracle uses a strict cutoff (window_end < max(ts)
     // - 1h). The sf fixtures never land max(ts) - 1h exactly on an hour
