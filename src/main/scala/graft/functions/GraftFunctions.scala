@@ -78,6 +78,11 @@ class GraftFunctions
   * FunctionRegistry (injection pinned in the unit suite via
   * `Builder.withExtensions` on a fresh session). */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.descriptions.foreach(ext.injectFunction)
+    // keep-first window → min-struct aggregate (see RankToMinStruct):
+    // opt-in with the extensions, so sessions that don't load them keep
+    // Spark's stock plans
+    ext.injectOptimizerRule(_ => RankToMinStruct)
+  }
 }
