@@ -28,11 +28,18 @@ import org.apache.spark.sql.types.IntegerType
   * FIRES only when the rewrite is provably semantics-preserving:
   *  - exactly ONE window expression: row_number() (any frame —
   *    row_number ignores it) aliased to the rank column;
-  *  - the filter keeps exactly rank 1: `rn = 1`, `1 = rn`, `rn <= 1`,
-  *    or `rn < 2` (row_number ≥ 1 makes these equivalent);
-  *  - partition keys and order keys are plain attributes of the child;
-  *  - every order key is NON-NULLABLE (struct comparison and window
-  *    sort agree trivially then — no null-ordering semantics to match);
+  *  - some conjunct of the filter keeps exactly rank 1: `rn = 1`,
+  *    `1 = rn`, `rn <= 1`, or `rn < 2` (row_number ≥ 1 makes these
+  *    equivalent); remaining conjuncts must not reference the rank and
+  *    stay as a post-filter ABOVE the aggregate (they cannot be pushed
+  *    below it — the winner is chosen among ALL rows, then filtered,
+  *    exactly like the window spelling; Catalyst can't push them either
+  *    since every output column derives from the aggregate result);
+  *  - partition keys are deterministic expressions (CollapseProject
+  *    inlines computed keys into the window spec);
+  *  - order keys are deterministic NON-NULLABLE expressions (struct
+  *    comparison and window sort agree trivially then — no
+  *    null-ordering semantics to match);
   *  - order directions are all-ascending (→ min) or all-descending
   *    (→ max), never mixed.
   * Under order-key ties the window's pick is nondeterministic; the
@@ -70,13 +77,38 @@ object RankToMinStruct extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case f @ Filter(cond, w: Window) if eligible(cond, w) => rewrite(f, w)
+    case f @ Filter(cond, w: Window) if rankAliasOf(w).isDefined =>
+      val rank = rankAliasOf(w).get
+      // the rank-1 conjunct may ride with other predicates (WHERE rn = 1
+      // AND x > 5): peel it off, rewrite the window, keep the rest as a
+      // post-filter — as long as the rest never references the rank
+      // column (it would see the literal 1, but don't reason about it)
+      val conjuncts = splitAnd(cond)
+      val (rankConj, rest) =
+        conjuncts.partition(keepsRankOne(_, rank.exprId))
+      if (rankConj.nonEmpty &&
+          rest.forall(!_.references.exists(_.exprId == rank.exprId)) &&
+          eligible(w)) {
+        val rewritten = rewrite(w)
+        if (rest.isEmpty) rewritten
+        else Filter(rest.reduce(And), rewritten)
+      } else f
   }
 
-  private def eligible(cond: Expression, w: Window): Boolean =
+  private def splitAnd(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitAnd(l) ++ splitAnd(r)
+    case other => Seq(other)
+  }
+
+  private def rankAliasOf(w: Window): Option[Alias] =
     w.windowExpressions match {
-      case Seq(a @ Alias(WindowExpression(_: RowNumber, _), _)) =>
-        keepsRankOne(cond, a.exprId) &&
+      case Seq(a @ Alias(WindowExpression(_: RowNumber, _), _)) => Some(a)
+      case _ => None
+    }
+
+  private def eligible(w: Window): Boolean =
+    w.windowExpressions match {
+      case Seq(Alias(WindowExpression(_: RowNumber, _), _)) =>
           // partition keys may be arbitrary deterministic expressions
           // (CollapseProject routinely inlines a computed key into the
           // window spec) — grouping evaluates them identically
@@ -94,7 +126,7 @@ object RankToMinStruct extends Rule[LogicalPlan] {
       case _ => false
     }
 
-  private def rewrite(f: Filter, w: Window): LogicalPlan = {
+  private def rewrite(w: Window): LogicalPlan = {
     val rankAlias = w.windowExpressions.head.asInstanceOf[Alias]
     val orderKeys: Seq[Expression] = w.orderSpec.map(_.child)
     // struct layout: order keys first (they decide the winner), then

@@ -72,6 +72,28 @@ class RankRewriteSpec extends SparkSpec {
     }
   }
 
+  test("rn = 1 AND another predicate: rank conjunct peeled, rest post-filters") {
+    withExtSession { s2 =>
+      val w = Window.partitionBy("k").orderBy("o")
+      val q = fixture(s2).withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1 && col("payload") =!= "a")
+      assert(!hasWindow(q), s"window survived:\n${q.queryExecution.optimizedPlan}")
+      // group 1's winner is ("a") and must be FILTERED OUT, not replaced
+      // by the next-ranked row — the post-filter runs above the aggregate
+      val got = q.orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getString(2))).toList
+      assert(got === List((2L, "x"), (3L, "z")))
+      // a conjunct referencing the rank: ConstantPropagation substitutes
+      // rn := 1 (rn = 1 is conjoined), so the rewrite STILL fires and the
+      // result matches the substituted predicate 1 + o > 0 ≡ always true
+      val q2 = fixture(s2).withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1 && col("rn") + col("o") > 0)
+      assert(!hasWindow(q2))
+      assert(q2.orderBy("k").collect().map(_.getLong(1)).toList ===
+        List(10L, 5L, 6L))
+    }
+  }
+
   test("SQL spelling through the extensions session fires too") {
     withExtSession { s2 =>
       fixture(s2).createOrReplaceTempView("t_rank_rewrite")
