@@ -271,8 +271,10 @@ object EventStreams {
     * watermark convention). NULL click_id surfaces as −1 so both
     * engines order identically. */
   def runConversionJoinOuter(spark: SparkSession, dir: String,
-                             name: String = "graft_stream_conv_outer")
-      : DataFrame = {
+                             name: String = "graft_stream_conv_outer",
+                             sink: String = "memory"): DataFrame = {
+    require(sink == "memory" || sink == "parquet",
+      s"unknown sink $sink (memory | parquet)")
     spark.catalog.dropTempView(name)
     val bkt = 3600000000L
     val signups = readEventStream(spark, dir)
@@ -294,13 +296,32 @@ object EventStreams {
         "leftOuter")
       .select(col("signup_id"),
         coalesce(col("click_id"), lit(-1L)).as("click_id"))
-    withStreamPartitions(spark) {
-      val q = joined
-        .writeStream.outputMode("append").format("memory").queryName(name)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+    // the memory sink collects the (density-quadratic) pair output on
+    // the driver — the q78 sf1 finding; sink = "parquet" is the scale
+    // path (executors write, driver holds nothing), result-equal pinned
+    if (sink == "memory") {
+      withStreamPartitions(spark) {
+        val q = joined
+          .writeStream.outputMode("append").format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      spark.table(name)
+    } else {
+      val out = java.nio.file.Files
+        .createTempDirectory(s"${name}_spill").toString + "/pairs"
+      withStreamPartitions(spark) {
+        val q = joined
+          .writeStream.outputMode("append")
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             _: Long) => batch.write.mode("append").parquet(out); ()
+          }
+          .trigger(Trigger.AvailableNow()).queryName(name).start()
+        q.awaitTermination()
+      }
+      spark.read.parquet(out)
     }
-    spark.table(name)
   }
 
   /** Streaming exact dedup: watermark-bounded state keyed by the dedup

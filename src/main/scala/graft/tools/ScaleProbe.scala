@@ -112,6 +112,10 @@ object ScaleProbe {
         graft.EventStreams.runConversionJoin(spark, dir,
             name = s"probe_conv_${dir.hashCode.abs}", sink = "parquet")
           .write.format("noop").mode("overwrite").save()
+      else if (name == "q346_stream_outer_join")
+        graft.EventStreams.runConversionJoinOuter(spark, dir,
+            name = s"probe_convo_${dir.hashCode.abs}", sink = "parquet")
+          .write.format("noop").mode("overwrite").save()
       else SparkEntryAccess.run(name)(spark, dir)
       val dt = (System.nanoTime() - t0) / 1e9
       dropLeftoverBlocks()
