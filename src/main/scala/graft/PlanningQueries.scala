@@ -601,6 +601,77 @@ object PlanningQueries {
       |SELECT id, round(cs, 4) AS cos_sim FROM topk
       |ORDER BY cos_sim DESC, id""".stripMargin))
 
+  /** DuckDB 16-perm MinHash signature over unigram `hh` (the q25/q334
+    * convention, re-derived from the shared parameter table). */
+  private val sigSql16 = Dedup.minhashParams(16)
+    .map { case (a, b) =>
+      s"list_min(list_transform(hh, x -> (x*$a + $b) % ${Dedup.MinhashPrime}))" }
+    .mkString("[", ", ", "]")
+
+  /** [[Dedup.crossSplitNearDupLeak]]: near-duplicate leakage ACROSS the
+    * q48 train/val/test hash splits — the eval-integrity gate q174's
+    * exact n-gram check can't provide (a 0.9-Jaccard paraphrase of a
+    * training doc inflates evals without sharing a long exact n-gram).
+    * Candidates = cross-split MinHash band collisions; verify = exact
+    * distinct-token Jaccard ≥ 0.7 in integer space. */
+  private val q349 = QDef("q349_xsplit_neardup_leak",
+    (s, dir) => Dedup.crossSplitNearDupLeak(
+      T(s, dir, "documents")
+        .withColumn("split", Sampling.splitAssign(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "sp")),
+      col("text"), col("doc_id"), col("split"),
+      shingleSize = 1, numPerm = 16, bands = 4, minBin10 = 7),
+    Some(s"""WITH d AS (SELECT doc_id, text,
+      |        CASE WHEN hv < 800000 THEN 'train'
+      |             WHEN hv < 900000 THEN 'val' ELSE 'test' END AS sp
+      |      FROM (SELECT doc_id, text,
+      |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'sp'), 1, 15))
+      |          ::BIGINT % 1000000 AS hv FROM documents)),
+      |toks AS (SELECT doc_id, sp, string_split(text, ' ') AS t FROM d),
+      |sh AS (SELECT doc_id, sp, list_distinct(t) AS shingles
+      |      FROM toks WHERE len(t) >= 1),
+      |hs AS (SELECT doc_id, sp, list_transform(shingles, s ->
+      |        ('0x' || substr(md5(s), 1, 7))::BIGINT) AS hh
+      |      FROM sh WHERE len(shingles) > 0),
+      |sig AS (SELECT doc_id, sp, $sigSql16 AS sig FROM hs),
+      |bd AS (SELECT doc_id, sp, b, list_slice(sig, 4*b + 1, 4*b + 4)
+      |        AS bucket FROM sig, range(0, 4) rb(b)),
+      |cd AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |      FROM bd a JOIN bd b ON a.b = b.b AND a.bucket = b.bucket
+      |        AND a.doc_id < b.doc_id AND a.sp <> b.sp),
+      |gr AS (SELECT doc_id, sp, list_distinct(string_split(text, ' '))
+      |        AS g FROM d),
+      |vf AS (SELECT cd.id_a, cd.id_b, ga.sp AS sp_a, gb.sp AS sp_b,
+      |        CAST(len(list_intersect(ga.g, gb.g)) AS BIGINT) AS i,
+      |        CAST(len(ga.g) + len(gb.g)
+      |          - len(list_intersect(ga.g, gb.g)) AS BIGINT) AS u
+      |      FROM cd JOIN gr ga ON cd.id_a = ga.doc_id
+      |        JOIN gr gb ON cd.id_b = gb.doc_id),
+      |lab AS (SELECT least(sp_a, sp_b) AS split_a,
+      |        greatest(sp_a, sp_b) AS split_b,
+      |        CASE WHEN sp_a <= sp_b THEN id_a ELSE id_b END AS doc_a,
+      |        CASE WHEN sp_a <= sp_b THEN id_b ELSE id_a END AS doc_b,
+      |        CASE WHEN i * 10 >= u * 7 THEN 1 ELSE 0 END AS leak
+      |      FROM vf),
+      |ag AS (SELECT split_a, split_b,
+      |        CAST(count(*) AS BIGINT) AS n_candidates,
+      |        CAST(sum(leak) AS BIGINT) AS n_leaked,
+      |        CAST(count(DISTINCT CASE WHEN leak = 1 THEN doc_a END)
+      |          AS BIGINT) AS docs_leaked_a,
+      |        CAST(count(DISTINCT CASE WHEN leak = 1 THEN doc_b END)
+      |          AS BIGINT) AS docs_leaked_b
+      |      FROM lab GROUP BY 1, 2),
+      |sp2 AS (SELECT DISTINCT sp FROM d),
+      |spine AS (SELECT x.sp AS split_a, y.sp AS split_b
+      |      FROM sp2 x JOIN sp2 y ON x.sp < y.sp)
+      |SELECT spine.split_a, spine.split_b,
+      |  coalesce(n_candidates, CAST(0 AS BIGINT)) AS n_candidates,
+      |  coalesce(n_leaked, CAST(0 AS BIGINT)) AS n_leaked,
+      |  coalesce(docs_leaked_a, CAST(0 AS BIGINT)) AS docs_leaked_a,
+      |  coalesce(docs_leaked_b, CAST(0 AS BIGINT)) AS docs_leaked_b
+      |FROM spine LEFT JOIN ag USING (split_a, split_b)
+      |ORDER BY split_a, split_b""".stripMargin))
+
   def all: Seq[QDef] = Seq(q336, q337, q338, q339, q340, q341, q342,
-    q343, q344, q345, q346, q347, q348)
+    q343, q344, q345, q346, q347, q348, q349)
 }

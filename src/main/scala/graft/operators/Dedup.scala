@@ -1488,6 +1488,88 @@ object Dedup {
         when(col("__tc") > 0, Seal.ratio4("__h2", "__tc")).as("f1"))
   }
 
+  /** Cross-split NEAR-duplicate leakage census — the eval-integrity gate
+    * q174's exact n-gram contamination check can't provide: a test
+    * document that is a 0.9-Jaccard paraphrase of a training document
+    * inflates evals exactly like an exact copy (Lee et al. 2021), but
+    * shares no long exact n-gram. For every unordered split pair
+    * (train|test, train|val, …): MinHash band-collision candidates
+    * RESTRICTED to cross-split pairs, verified with exact distinct-token
+    * Jaccard ≥ minBin10/10 (integer-space threshold), rolled up to
+    * candidate/leaked pair counts and distinct leaked docs per side.
+    * Absent split pairs surface as explicit zero rows.
+    *
+    * Scale shape: one tokenize pass (signature + sorted token-hash set,
+    * checkpointed — the q334 lshTok convention), the banding self-join
+    * with the cross-split predicate INSIDE the join (same-split
+    * collisions — the vast majority in a dup-rich corpus — never
+    * materialize), verification over the candidate-reduced token-array
+    * join using the allocation-free sorted-merge kernel, and a
+    * split-pair-keyed rollup over a bounded spine. Candidates ∝ true
+    * cross-split near-dups, never all-pairs. */
+  def crossSplitNearDupLeak(df: DataFrame, text: Column, id: Column,
+                            splitCol: Column, shingleSize: Int = 1,
+                            numPerm: Int = 16, bands: Int = 4,
+                            minBin10: Int = 7): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must divide into bands")
+    require(minBin10 >= 1 && minBin10 <= 10, "minBin10 in [1, 10]")
+    val para = df.sparkSession.sessionState.conf.numShufflePartitions
+    val tok = df.select(id.as("__id"), splitCol.as("__sp"),
+        org.apache.spark.sql.graft.MinhashExprs
+          .signature(text, shingleSize, numPerm).as("__sig"),
+        array_sort(array_distinct(transform(
+          array_distinct(split(text, " ")), g => xxhash64(g)))).as("__g"))
+      .where(col("__sp").isNotNull && col("__id").isNotNull)
+      .repartition(para, col("__id")).localCheckpoint()
+    val rowsPerBand = numPerm / bands
+    val banded = tok.where(col("__sig").isNotNull)
+      .select(col("__id"), col("__sp"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+      .select(col("__id"), col("__sp"), col("pos").as("__band"),
+        col("col").cast("string").as("__bucket"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.__band") === col("b.__band") &&
+          col("a.__bucket") === col("b.__bucket") &&
+          col("a.__sp") =!= col("b.__sp"))
+      .where(col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+    val ga = tok.select(col("__id").as("id_a"), col("__sp").as("sp_a"),
+      col("__g").as("ga"))
+    val gb = tok.select(col("__id").as("id_b"), col("__sp").as("sp_b"),
+      col("__g").as("gb"))
+    val verified = cand.join(ga, "id_a").join(gb, "id_b")
+      .withColumn("__i", org.apache.spark.sql.graft.SparseExprs
+        .sortedIntersectCountLong(col("ga"), col("gb")))
+      .withColumn("__u",
+        (size(col("ga")) + size(col("gb"))).cast("long") - col("__i"))
+      .select(
+        least(col("sp_a"), col("sp_b")).as("split_a"),
+        greatest(col("sp_a"), col("sp_b")).as("split_b"),
+        when(col("sp_a") <= col("sp_b"), col("id_a")).otherwise(col("id_b"))
+          .as("doc_a"),
+        when(col("sp_a") <= col("sp_b"), col("id_b")).otherwise(col("id_a"))
+          .as("doc_b"),
+        (col("__i") * 10 >= col("__u") * minBin10).as("__leak"))
+    val agg = verified.groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("__leak"), 1L).otherwise(0L)).as("n_leaked"),
+        countDistinct(when(col("__leak"), col("doc_a"))).as("docs_leaked_a"),
+        countDistinct(when(col("__leak"), col("doc_b"))).as("docs_leaked_b"))
+    val sp = tok.select(col("__sp").as("s")).distinct()
+    val spine = sp.as("x").join(sp.as("y"),
+        col("x.s") < col("y.s"))
+      .select(col("x.s").as("split_a"), col("y.s").as("split_b"))
+    spine.join(agg, Seq("split_a", "split_b"), "left")
+      .select(col("split_a"), col("split_b"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+        coalesce(col("docs_leaked_a"), lit(0L)).as("docs_leaked_a"),
+        coalesce(col("docs_leaked_b"), lit(0L)).as("docs_leaked_b"))
+      .orderBy("split_a", "split_b")
+  }
+
   /** Boilerplate-prefix census: how many documents share their first
     * `k` tokens — the template/header detector (crawled pages with a
     * shared banner, log lines with a fixed preamble). Prefixes shorter

@@ -160,6 +160,30 @@ class PlanningOpsSpec extends SparkSpec {
     assert(z.getLong(5) === 0L && z.isNullAt(7))
   }
 
+  test("crossSplitNearDupLeak: cross-split dup leaks, same-split dup doesn't") {
+    val df = Seq(
+      (1L, "a b c d e", "train"), // identical pair across splits -> leak
+      (2L, "a b c d e", "test"),
+      (3L, "p q r s t", "train"), // identical pair WITHIN train -> excluded
+      (4L, "p q r s t", "train"),
+      (5L, "x y z w v", "test"))  // unique -> no candidate
+      .toDF("id", "tx", "sp")
+    val out = Dedup.crossSplitNearDupLeak(df, col("tx"), col("id"),
+      col("sp"), shingleSize = 1, numPerm = 16, bands = 4, minBin10 = 7)
+      .collect()
+    assert(out.length === 1) // spine: only (test, train) present
+    val r = out.head
+    assert(r.getString(0) === "test" && r.getString(1) === "train")
+    assert(r.getLong(2) === 1L && r.getLong(3) === 1L)
+    assert(r.getLong(4) === 1L && r.getLong(5) === 1L)
+    // three splits -> three explicit spine rows even with zero leakage
+    val clean = Seq((1L, "a b c", "train"), (2L, "d e f", "val"),
+      (3L, "g h i", "test")).toDF("id", "tx", "sp")
+    val z = Dedup.crossSplitNearDupLeak(clean, col("tx"), col("id"),
+      col("sp")).collect()
+    assert(z.length === 3 && z.forall(r2 => r2.getLong(2) == 0L))
+  }
+
   test("kendallW: judge with a duplicate (judge,item) row is dropped") {
     // j3 covers item 1 twice and item 2 never: row count = 2 = n would
     // pass a rows-only completeness check and corrupt Σ2R = mn(n+1)
