@@ -672,6 +672,96 @@ object PlanningQueries {
       |FROM spine LEFT JOIN ag USING (split_a, split_b)
       |ORDER BY split_a, split_b""".stripMargin))
 
+  /** q349's REMEDY, proven: cluster-aware split assignment — split by
+    * the near-dup CLUSTER (connected components over the same MinHash
+    * band collisions), not the document — sends every collision-
+    * connected pair to one split, so the q349 leak census over the new
+    * splits is ZERO by construction. The oracle replays the whole
+    * chain: unigram signatures → band collisions → recursive-CTE
+    * connected components (the q45 device) → component-hash split →
+    * the q349 census, and must produce the explicit all-zero spine. */
+  private val q350 = QDef("q350_cluster_safe_split",
+    (s, dir) => {
+      val d = T(s, dir, "documents")
+      val pairs = Dedup.minhashCandidates(d, col("text"), col("doc_id"),
+        shingleSize = 1, numPerm = 16, bands = 4).select("id_a", "id_b")
+      val labels = Dedup.connectedComponents(pairs)
+        .withColumnRenamed("id", "doc_id")
+      val withSplit = d.join(labels, Seq("doc_id"), "left")
+        .withColumn("comp", coalesce(col("comp"), col("doc_id")))
+        .withColumn("split", Sampling.splitAssign(col("comp"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "csp"))
+      Dedup.crossSplitNearDupLeak(withSplit, col("text"), col("doc_id"),
+        col("split"), shingleSize = 1, numPerm = 16, bands = 4,
+        minBin10 = 7)
+    },
+    Some(s"""WITH RECURSIVE
+      |toks AS (SELECT doc_id, text, string_split(text, ' ') AS t
+      |      FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(t) AS shingles FROM toks
+      |      WHERE len(t) >= 1),
+      |hs AS (SELECT doc_id, list_transform(shingles, s ->
+      |        ('0x' || substr(md5(s), 1, 7))::BIGINT) AS hh
+      |      FROM sh WHERE len(shingles) > 0),
+      |sig AS (SELECT doc_id, $sigSql16 AS sig FROM hs),
+      |bd AS (SELECT doc_id, b, list_slice(sig, 4*b + 1, 4*b + 4)
+      |        AS bucket FROM sig, range(0, 4) rb(b)),
+      |rawpairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |      FROM bd a JOIN bd b ON a.b = b.b AND a.bucket = b.bucket
+      |        AND a.doc_id < b.doc_id),
+      |mp AS (SELECT DISTINCT id_a, id_b FROM rawpairs),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM mp
+      |          UNION ALL SELECT id_b, id_a FROM mp),
+      |reach(id, comp) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+      |lab AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+      |d2 AS (SELECT doc_id, text,
+      |        CASE WHEN hv < 800000 THEN 'train'
+      |             WHEN hv < 900000 THEN 'val' ELSE 'test' END AS sp
+      |      FROM (SELECT dd.doc_id, dd.text,
+      |        ('0x' || substr(md5(CAST(coalesce(l.comp, dd.doc_id)
+      |            AS VARCHAR) || 'csp'), 1, 15))::BIGINT % 1000000 AS hv
+      |       FROM documents dd LEFT JOIN lab l ON dd.doc_id = l.id)),
+      |spb AS (SELECT bd.doc_id, d2.sp, bd.b, bd.bucket
+      |      FROM bd JOIN d2 USING (doc_id)),
+      |cd AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |      FROM spb a JOIN spb b ON a.b = b.b AND a.bucket = b.bucket
+      |        AND a.doc_id < b.doc_id AND a.sp <> b.sp),
+      |gr AS (SELECT doc_id, sp, list_distinct(string_split(text, ' '))
+      |        AS g FROM d2),
+      |vf AS (SELECT cd.id_a, cd.id_b, ga.sp AS sp_a, gb.sp AS sp_b,
+      |        CAST(len(list_intersect(ga.g, gb.g)) AS BIGINT) AS i,
+      |        CAST(len(ga.g) + len(gb.g)
+      |          - len(list_intersect(ga.g, gb.g)) AS BIGINT) AS u
+      |      FROM cd JOIN gr ga ON cd.id_a = ga.doc_id
+      |        JOIN gr gb ON cd.id_b = gb.doc_id),
+      |lab2 AS (SELECT least(sp_a, sp_b) AS split_a,
+      |        greatest(sp_a, sp_b) AS split_b,
+      |        CASE WHEN sp_a <= sp_b THEN id_a ELSE id_b END AS doc_a,
+      |        CASE WHEN sp_a <= sp_b THEN id_b ELSE id_a END AS doc_b,
+      |        CASE WHEN i * 10 >= u * 7 THEN 1 ELSE 0 END AS leak
+      |      FROM vf),
+      |ag AS (SELECT split_a, split_b,
+      |        CAST(count(*) AS BIGINT) AS n_candidates,
+      |        CAST(sum(leak) AS BIGINT) AS n_leaked,
+      |        CAST(count(DISTINCT CASE WHEN leak = 1 THEN doc_a END)
+      |          AS BIGINT) AS docs_leaked_a,
+      |        CAST(count(DISTINCT CASE WHEN leak = 1 THEN doc_b END)
+      |          AS BIGINT) AS docs_leaked_b
+      |      FROM lab2 GROUP BY 1, 2),
+      |sp2 AS (SELECT DISTINCT sp FROM d2),
+      |spine AS (SELECT x.sp AS split_a, y.sp AS split_b
+      |      FROM sp2 x JOIN sp2 y ON x.sp < y.sp)
+      |SELECT spine.split_a, spine.split_b,
+      |  coalesce(n_candidates, CAST(0 AS BIGINT)) AS n_candidates,
+      |  coalesce(n_leaked, CAST(0 AS BIGINT)) AS n_leaked,
+      |  coalesce(docs_leaked_a, CAST(0 AS BIGINT)) AS docs_leaked_a,
+      |  coalesce(docs_leaked_b, CAST(0 AS BIGINT)) AS docs_leaked_b
+      |FROM spine LEFT JOIN ag USING (split_a, split_b)
+      |ORDER BY split_a, split_b""".stripMargin))
+
   def all: Seq[QDef] = Seq(q336, q337, q338, q339, q340, q341, q342,
-    q343, q344, q345, q346, q347, q348, q349)
+    q343, q344, q345, q346, q347, q348, q349, q350)
 }

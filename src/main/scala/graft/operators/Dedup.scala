@@ -1514,7 +1514,7 @@ object Dedup {
     require(numPerm % bands == 0, "numPerm must divide into bands")
     require(minBin10 >= 1 && minBin10 <= 10, "minBin10 in [1, 10]")
     val para = df.sparkSession.sessionState.conf.numShufflePartitions
-    val tok = df.select(id.as("__id"), splitCol.as("__sp"),
+    val tok = df.select(id.as("__id"), splitCol.cast("string").as("__sp"),
         org.apache.spark.sql.graft.MinhashExprs
           .signature(text, shingleSize, numPerm).as("__sig"),
         array_sort(array_distinct(transform(
@@ -1557,10 +1557,21 @@ object Dedup {
         sum(when(col("__leak"), 1L).otherwise(0L)).as("n_leaked"),
         countDistinct(when(col("__leak"), col("doc_a"))).as("docs_leaked_a"),
         countDistinct(when(col("__leak"), col("doc_b"))).as("docs_leaked_b"))
-    val sp = tok.select(col("__sp").as("s")).distinct()
-    val spine = sp.as("x").join(sp.as("y"),
-        col("x.s") < col("y.s"))
-      .select(col("x.s").as("split_a"), col("y.s").as("split_b"))
+    // split names are an enum by the splitAssign contract (a handful of
+    // literals), so the pair spine is a bounded driver-side literal —
+    // never a non-equi self-join the planner could only run as a
+    // cartesian/BNLJ (the kmeans-codebook bounded-collect convention)
+    val spark = df.sparkSession
+    val splits = tok.select(col("__sp").cast("string").as("s")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val pairsSeq = for {
+      i <- splits.indices; j <- (i + 1) until splits.length
+    } yield (splits(i), splits(j))
+    if (pairsSeq.isEmpty)
+      return agg.limit(0) // < 2 splits: nothing can leak, empty report
+    val spine = spark.range(1).select(explode(array(pairsSeq.map { case (a, b) =>
+        struct(lit(a).as("split_a"), lit(b).as("split_b")) }: _*)).as("p"))
+      .select(col("p.split_a").as("split_a"), col("p.split_b").as("split_b"))
     spine.join(agg, Seq("split_a", "split_b"), "left")
       .select(col("split_a"), col("split_b"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),

@@ -34,7 +34,6 @@ class PlanAuditSpec extends SparkSpec {
     "q334_lsh_band_plan", // |plans|-row (3) literal plan-spine broadcast
     "q345_krippendorff_alpha", // 1-row totals/De/rater-count broadcasts
     "q347_join_cardinality", // 1-row per-side totals + joint-agg broadcasts
-    "q349_xsplit_neardup_leak", // split-pair spine: < join over the 3-row distinct-splits table
     "q339_zonemap_prune", // 1-row ord-envelope + 4-row literal pred spine
     "q109_pmi_collocations", // 1-row N_uni and N_bi broadcasts
     "q138_temperature_mixture", // 1-row Σ n^0.7 normalizer broadcast
