@@ -4,10 +4,26 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Pin ALL bench temp I/O (streaming temp checkpoints, foreachBatch
+    // parquet spills, staging dirs, executor shuffle spill) to one fixed
+    // repo-local path instead of the shared /tmp: the streaming queries'
+    // in-suite times swung up to 7× run-to-run with zero code change
+    // because their source/checkpoint dirs landed in whatever corner of
+    // /tmp the loaded host was churning (r10 verdict directive 6). The
+    // dir is wiped per run — bench runs never resume checkpoints.
+    val benchTmp = new java.io.File("target/bench_tmp")
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      f.delete(); ()
+    }
+    if (benchTmp.exists()) rmTree(benchTmp)
+    benchTmp.mkdirs()
+    System.setProperty("java.io.tmpdir", benchTmp.getAbsolutePath)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", benchTmp.getAbsolutePath)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -55,16 +55,37 @@ object ExtQueries {
 
   private val minhashPairCtes = minhashPairCtesFrom("documents")
 
-  /** Recursive-CTE connected components over rawpairs: (id, comp=min id). */
-  private val ccCtes =
-    """mp AS (SELECT DISTINCT id_a, id_b FROM rawpairs),
-      |edges AS (SELECT id_a AS src, id_b AS dst FROM mp
-      |          UNION ALL SELECT id_b, id_a FROM mp),
-      |reach(id, comp) AS (
-      |  SELECT src, src FROM edges
+  /** Recursive-CTE connected components over a pair relation:
+    * (id, comp=min id). `sfx` disambiguates the CTE names so one query
+    * can run CC twice (q351 runs a 3-shingle CC for the dedup drop and
+    * a unigram CC for the cluster-safe split). */
+  private def ccCtesFrom(raw: String, sfx: String): String =
+    s"""mp$sfx AS (SELECT DISTINCT id_a, id_b FROM $raw),
+      |edges$sfx AS (SELECT id_a AS src, id_b AS dst FROM mp$sfx
+      |          UNION ALL SELECT id_b, id_a FROM mp$sfx),
+      |reach$sfx(id, comp) AS (
+      |  SELECT src, src FROM edges$sfx
       |  UNION
-      |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
-      |lab AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)""".stripMargin
+      |  SELECT e.src, r.comp FROM edges$sfx e JOIN reach$sfx r ON e.dst = r.id),
+      |lab$sfx AS (SELECT id, min(comp) AS comp FROM reach$sfx GROUP BY id)""".stripMargin
+
+  private val ccCtes = ccCtesFrom("rawpairs", "")
+
+  /** Unigram (1-shingle) MinHash band-collision pair CTEs over relation
+    * `src` — the q349/q350 convention (distinct tokens as the shingle
+    * set), suffixed like [[ccCtesFrom]]. */
+  private def unigramPairCtesFrom(src: String, sfx: String): String =
+    s"""toks$sfx AS (SELECT doc_id, string_split(text, ' ') AS t FROM $src),
+      |sh$sfx AS (SELECT doc_id, list_distinct(t) AS shingles FROM toks$sfx
+      |       WHERE len(t) >= 1),
+      |hs$sfx AS (SELECT doc_id, list_transform(shingles, s -> ${hashSql("s", 7)}) AS hh
+      |       FROM sh$sfx WHERE len(shingles) > 0),
+      |sig$sfx AS (SELECT doc_id, $minhashSigSql AS sig FROM hs$sfx),
+      |bd$sfx AS (SELECT doc_id, b, list_slice(sig, 4*b + 1, 4*b + 4) AS bucket
+      |       FROM sig$sfx, range(0, 4) AS r$sfx(b)),
+      |rawpairs$sfx AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |       FROM bd$sfx a JOIN bd$sfx b
+      |       ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
 
   private val q25 = QDef("q25_dedup_minhash",
     (s, dir) => Dedup.minhashCandidates(T(s, dir, "documents"),
@@ -546,35 +567,12 @@ object ExtQueries {
       | count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
       |FROM h GROUP BY 1 ORDER BY split""".stripMargin))
 
-  /** The flagship end-to-end training-data prep pipeline, composed from
-    * the operator inventory in ONE lazy plan: language filter -> quality
-    * filter -> exact dedup -> MinHash near-dup clustering (drop non-
-    * representatives) -> deterministic split assignment -> per-split
-    * stats. Every stage is individually oracle-checked (q30, q31, q21,
-    * q25/q45, q48); this query checks their composition. */
-  private val q49 = QDef("q49_training_prep",
-    (s, dir) => {
-      val d = T(s, dir, "documents")
-      val filtered = d.where(TextAnalysis.langId(col("text")) === lit("en") &&
-        round(TextAnalysis.qualityScore(col("text")), 4) >= 0.5)
-      // the clean base is consumed by three branches (minhash signatures,
-      // the banded self-join, the final keep anti-join); materialize it
-      // once instead of re-running the language/quality filter per branch
-      val deduped = Dedup.exact(filtered, col("text"), col("doc_id")).localCheckpoint()
-      val pairs = Dedup.minhashCandidates(deduped, col("text"), col("doc_id"),
-        shingleSize = 3, numPerm = 16, bands = 4).select("id_a", "id_b")
-      val drop = Dedup.connectedComponents(pairs)
-        .where(col("comp") =!= col("id")).select(col("id").as("doc_id"))
-      deduped.join(drop, Seq("doc_id"), "left_anti")
-        .withColumn("split", Sampling.splitAssign(col("doc_id"),
-          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "sp"))
-        .groupBy("split")
-        .agg(count(lit(1)).as("n_docs"),
-          round(avg("n_chars"), 4).as("avg_chars"),
-          min("doc_id").as("min_doc_id"))
-        .orderBy("split")
-    },
-    Some(s"""WITH RECURSIVE tq AS (SELECT doc_id, text, n_chars,
+  /** Shared oracle CTE chain of the q49/q351 training-prep front:
+    * language gate + quality gate + exact dedup + 3-shingle MinHash CC
+    * drop of non-representatives — ends at `kept`
+    * (doc_id, text, n_chars), the cleaned corpus both flagships split. */
+  private val prepKeptCtes =
+    s"""tq AS (SELECT doc_id, text, n_chars,
       |         string_split(text, ' ') AS tk,
       |         list_distinct(string_split(text, ' ')) AS dtk FROM documents),
       |sc AS (SELECT doc_id, $langScoreSql
@@ -609,9 +607,40 @@ object ExtQueries {
       |         FROM filtered f JOIN dkeep USING (doc_id)),
       |${minhashPairCtesFrom("base")},
       |$ccCtes,
-      |kept AS (SELECT b.doc_id, b.n_chars FROM base b
+      |kept AS (SELECT b.doc_id, b.text, b.n_chars FROM base b
       |         WHERE NOT EXISTS (SELECT 1 FROM lab
-      |                           WHERE lab.id = b.doc_id AND lab.comp <> lab.id)),
+      |                           WHERE lab.id = b.doc_id AND lab.comp <> lab.id))""".stripMargin
+
+  /** The flagship end-to-end training-data prep pipeline, composed from
+    * the operator inventory in ONE lazy plan: language filter -> quality
+    * filter -> exact dedup -> MinHash near-dup clustering (drop non-
+    * representatives) -> deterministic split assignment -> per-split
+    * stats. Every stage is individually oracle-checked (q30, q31, q21,
+    * q25/q45, q48); this query checks their composition. [[q351]] is the
+    * cluster-safe-split sequel over the same front. */
+  private val q49 = QDef("q49_training_prep",
+    (s, dir) => {
+      val d = T(s, dir, "documents")
+      val filtered = d.where(TextAnalysis.langId(col("text")) === lit("en") &&
+        round(TextAnalysis.qualityScore(col("text")), 4) >= 0.5)
+      // the clean base is consumed by three branches (minhash signatures,
+      // the banded self-join, the final keep anti-join); materialize it
+      // once instead of re-running the language/quality filter per branch
+      val deduped = Dedup.exact(filtered, col("text"), col("doc_id")).localCheckpoint()
+      val pairs = Dedup.minhashCandidates(deduped, col("text"), col("doc_id"),
+        shingleSize = 3, numPerm = 16, bands = 4).select("id_a", "id_b")
+      val drop = Dedup.connectedComponents(pairs)
+        .where(col("comp") =!= col("id")).select(col("id").as("doc_id"))
+      deduped.join(drop, Seq("doc_id"), "left_anti")
+        .withColumn("split", Sampling.splitAssign(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "sp"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("n_chars"), 4).as("avg_chars"),
+          min("doc_id").as("min_doc_id"))
+        .orderBy("split")
+    },
+    Some(s"""WITH RECURSIVE $prepKeptCtes,
       |sp AS (SELECT n_chars, doc_id,
       |         ${sampleHashSql("doc_id", "sp")} AS hv FROM kept)
       |SELECT CASE WHEN hv < 800000 THEN 'train'
@@ -2960,6 +2989,89 @@ object ExtQueries {
       |                    CAST(n * syy - sy * sy AS DOUBLE)), 0.0), 4) AS r
       |FROM su ORDER BY source""".stripMargin))
 
+  /** The round-10 verdict's directive 3: the training-prep flagship with
+    * CLUSTER-SAFE split assignment (the q350 device) in place of q49's
+    * doc_id hash split. Same prep front as q49 (language + quality gate,
+    * exact dedup, 3-shingle MinHash CC drop of non-representatives); the
+    * survivors are then split-assigned by their UNIGRAM MinHash
+    * component — the near-dups that survive the 3-shingle drop threshold
+    * (q349's leak regime) can no longer straddle splits — and the output
+    * is the q349 leak census of the query's OWN assignment plus
+    * per-split masses: the all-zero census rows are computed through the
+    * full candidate+verify path, not asserted, and n_docs_a/n_docs_b
+    * prove the assignment didn't degenerate into one split. */
+  private val q351 = QDef("q351_training_prep_v3",
+    (s, dir) => {
+      val d = T(s, dir, "documents")
+      val filtered = d.where(TextAnalysis.langId(col("text")) === lit("en") &&
+        round(TextAnalysis.qualityScore(col("text")), 4) >= 0.5)
+      val deduped = Dedup.exact(filtered, col("text"), col("doc_id"))
+        .localCheckpoint()
+      val pairs3 = Dedup.minhashCandidates(deduped, col("text"),
+        col("doc_id"), shingleSize = 3, numPerm = 16, bands = 4)
+        .select("id_a", "id_b")
+      val drop = Dedup.connectedComponents(pairs3)
+        .where(col("comp") =!= col("id")).select(col("id").as("doc_id"))
+      val kept = deduped.join(drop, Seq("doc_id"), "left_anti")
+      Dedup.clusterSafeSplitCensus(kept, col("text"), col("doc_id"),
+        comp => Sampling.splitAssign(comp,
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "csp"),
+        shingleSize = 1, numPerm = 16, bands = 4, minBin10 = 7,
+        splitSizes = true, spineSplits = Seq("train", "val", "test"))
+    },
+    Some(s"""WITH RECURSIVE $prepKeptCtes,
+      |${unigramPairCtesFrom("kept", "2")},
+      |${ccCtesFrom("rawpairs2", "2")},
+      |d2 AS (SELECT doc_id, text,
+      |        CASE WHEN hv < 800000 THEN 'train'
+      |             WHEN hv < 900000 THEN 'val' ELSE 'test' END AS sp
+      |      FROM (SELECT k.doc_id, k.text,
+      |        ('0x' || substr(md5(CAST(coalesce(l.comp, k.doc_id)
+      |            AS VARCHAR) || 'csp'), 1, 15))::BIGINT % 1000000 AS hv
+      |       FROM kept k LEFT JOIN lab2 l ON k.doc_id = l.id)),
+      |spb AS (SELECT bd2.doc_id, d2.sp, bd2.b, bd2.bucket
+      |      FROM bd2 JOIN d2 USING (doc_id)),
+      |cd AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |      FROM spb a JOIN spb b ON a.b = b.b AND a.bucket = b.bucket
+      |        AND a.doc_id < b.doc_id AND a.sp <> b.sp),
+      |gr AS (SELECT doc_id, sp, list_distinct(string_split(text, ' '))
+      |        AS g FROM d2),
+      |vf AS (SELECT cd.id_a, cd.id_b, ga.sp AS sp_a, gb.sp AS sp_b,
+      |        CAST(len(list_intersect(ga.g, gb.g)) AS BIGINT) AS i,
+      |        CAST(len(ga.g) + len(gb.g)
+      |          - len(list_intersect(ga.g, gb.g)) AS BIGINT) AS u
+      |      FROM cd JOIN gr ga ON cd.id_a = ga.doc_id
+      |        JOIN gr gb ON cd.id_b = gb.doc_id),
+      |lab3 AS (SELECT least(sp_a, sp_b) AS split_a,
+      |        greatest(sp_a, sp_b) AS split_b,
+      |        CASE WHEN sp_a <= sp_b THEN id_a ELSE id_b END AS doc_a,
+      |        CASE WHEN sp_a <= sp_b THEN id_b ELSE id_a END AS doc_b,
+      |        CASE WHEN i * 10 >= u * 7 THEN 1 ELSE 0 END AS leak
+      |      FROM vf),
+      |ag AS (SELECT split_a, split_b,
+      |        CAST(count(*) AS BIGINT) AS n_candidates,
+      |        CAST(sum(leak) AS BIGINT) AS n_leaked,
+      |        CAST(count(DISTINCT CASE WHEN leak = 1 THEN doc_a END)
+      |          AS BIGINT) AS docs_leaked_a,
+      |        CAST(count(DISTINCT CASE WHEN leak = 1 THEN doc_b END)
+      |          AS BIGINT) AS docs_leaked_b
+      |      FROM lab3 GROUP BY 1, 2),
+      |sp3(sp) AS (VALUES ('test'), ('train'), ('val')),
+      |spine AS (SELECT x.sp AS split_a, y.sp AS split_b
+      |      FROM sp3 x JOIN sp3 y ON x.sp < y.sp),
+      |szs AS (SELECT sp, CAST(count(*) AS BIGINT) AS n FROM d2 GROUP BY sp)
+      |SELECT spine.split_a, spine.split_b,
+      |  coalesce(n_candidates, CAST(0 AS BIGINT)) AS n_candidates,
+      |  coalesce(n_leaked, CAST(0 AS BIGINT)) AS n_leaked,
+      |  coalesce(docs_leaked_a, CAST(0 AS BIGINT)) AS docs_leaked_a,
+      |  coalesce(docs_leaked_b, CAST(0 AS BIGINT)) AS docs_leaked_b,
+      |  coalesce(sa.n, CAST(0 AS BIGINT)) AS n_docs_a,
+      |  coalesce(sb.n, CAST(0 AS BIGINT)) AS n_docs_b
+      |FROM spine LEFT JOIN ag USING (split_a, split_b)
+      |  LEFT JOIN szs sa ON sa.sp = spine.split_a
+      |  LEFT JOIN szs sb ON sb.sp = spine.split_b
+      |ORDER BY split_a, split_b""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
@@ -2968,5 +3080,5 @@ object ExtQueries {
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106,
     q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
     q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
-    q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139)
+    q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q351)
 }

@@ -681,20 +681,11 @@ object PlanningQueries {
     * connected components (the q45 device) → component-hash split →
     * the q349 census, and must produce the explicit all-zero spine. */
   private val q350 = QDef("q350_cluster_safe_split",
-    (s, dir) => {
-      val d = T(s, dir, "documents")
-      val pairs = Dedup.minhashCandidates(d, col("text"), col("doc_id"),
-        shingleSize = 1, numPerm = 16, bands = 4).select("id_a", "id_b")
-      val labels = Dedup.connectedComponents(pairs)
-        .withColumnRenamed("id", "doc_id")
-      val withSplit = d.join(labels, Seq("doc_id"), "left")
-        .withColumn("comp", coalesce(col("comp"), col("doc_id")))
-        .withColumn("split", Sampling.splitAssign(col("comp"),
-          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "csp"))
-      Dedup.crossSplitNearDupLeak(withSplit, col("text"), col("doc_id"),
-        col("split"), shingleSize = 1, numPerm = 16, bands = 4,
-        minBin10 = 7)
-    },
+    (s, dir) => Dedup.clusterSafeSplitCensus(T(s, dir, "documents"),
+      col("text"), col("doc_id"),
+      comp => Sampling.splitAssign(comp,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "csp"),
+      shingleSize = 1, numPerm = 16, bands = 4, minBin10 = 7),
     Some(s"""WITH RECURSIVE
       |toks AS (SELECT doc_id, text, string_split(text, ' ') AS t
       |      FROM documents),

@@ -276,8 +276,12 @@ object Similarity {
     val sub = dim / m
     val cb = Option(books).getOrElse(pqCodebooks(df, emb, id, dim, m, codes))
     require(cb.length == m && cb.forall(_.nonEmpty), "bad codebooks")
-    val qRow = query.select(queryEmb.cast("array<double>").as("q"))
-      .head().getSeq[Double](0)
+    val qRows = query.select(queryEmb.cast("array<double>").as("q"))
+      .head(2)
+    require(qRows.length == 1,
+      s"pqTopK expects a single-row query frame, got ${qRows.length}" +
+        (if (qRows.length > 1) "+ rows (ambiguous query vector)" else ""))
+    val qRow = qRows.head.getSeq[Double](0)
     require(qRow.length == dim, s"query dim ${qRow.length} != $dim")
     // exact-integer ADC lut: round(q·1e4) slice ⋅ integer-sum centroid
     val luts: Seq[Map[Long, Long]] = cb.zipWithIndex.map { case (cents, s) =>

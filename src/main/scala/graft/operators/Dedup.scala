@@ -285,8 +285,10 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, text: Column, id: Column, block: Column,
                         n: Int = 1, minJ: Double = 0.6): DataFrame = {
     val grams = if (n == 1) array_distinct(split(text, " ")) else shingles(text, n)
+    // sorted once per DOC so the per-pair intersect is the allocation-free
+    // sorted-merge kernel, not a hash set + result array per pair
     val t = df.select(id.as("__id"), block.as("__blk"),
-      array_distinct(transform(grams, g => xxhash64(g))).as("__g"))
+      array_sort(array_distinct(transform(grams, g => xxhash64(g)))).as("__g"))
     // Probe side hash-repartitioned by id (explicit count so AQE cannot
     // coalesce the tiny shuffle back to one task): a small doc table often
     // arrives as ONE file split, and the pair-generating broadcast join
@@ -297,8 +299,8 @@ object Dedup {
       .join(t.as("b"), col("a.__blk") === col("b.__blk"))
       .where(col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
-        size(array_intersect(col("a.__g"), col("b.__g"))).cast("long")
-          .as("__i"),
+        org.apache.spark.sql.graft.SparseExprs
+          .sortedIntersectCountLong(col("a.__g"), col("b.__g")).as("__i"),
         (size(col("a.__g")) + size(col("b.__g"))).cast("long").as("__ab"))
       .withColumn("__u", col("__ab") - col("__i"))
       .withColumn("__raw", col("__i").cast("double") / col("__u"))
@@ -541,17 +543,22 @@ object Dedup {
     * Jaccard threshold as the length ratio grows. Same block-bounded
     * pair join as [[ngramJaccardPairs]] (the candidates-∝-block shape);
     * the threshold compares an exact small-integer division, identical
-    * in any IEEE engine. Raw string sets, no hashing — containment has
-    * no banding stage needing fixed-width keys. */
+    * in any IEEE engine. Gram sets compared as sorted 64-bit xxhash64
+    * values (the q61 convention — sizes and intersections agree with
+    * the string form modulo ~1e-10/pair collision odds) so the per-pair
+    * intersect is the allocation-free sorted-merge kernel. */
   def ngramContainmentPairs(df: DataFrame, text: Column, id: Column,
                             block: Column, n: Int = 1,
                             minC: Double = 0.9): DataFrame = {
     val grams =
       if (n == 1) array_distinct(split(text, " ")) else shingles(text, n)
-    val t = df.select(id.as("__id"), block.as("__blk"), grams.as("__g"))
+    val t = df.select(id.as("__id"), block.as("__blk"),
+      array_sort(array_distinct(transform(grams, g => xxhash64(g))))
+        .as("__g"))
     val parallelism =
       df.sparkSession.sessionState.conf.numShufflePartitions
-    val inter = size(array_intersect(col("a.__g"), col("b.__g")))
+    val inter = org.apache.spark.sql.graft.SparseExprs
+      .sortedIntersectCountLong(col("a.__g"), col("b.__g"))
     t.repartition(parallelism, col("__id")).as("a")
       .join(t.as("b"), col("a.__blk") === col("b.__blk"))
       .where(col("a.__id") < col("b.__id"))
@@ -600,7 +607,10 @@ object Dedup {
     val t = df.select(id.as("id"), block.as("blk"), grams.as("g0"))
       .where(col("id").isNotNull && col("blk").isNotNull)
       .select(col("id"), col("blk"),
-        array_distinct(transform(col("g0"), g => xxhash64(g))).as("g"),
+        // sorted once per doc: the verify intersect below runs the
+        // allocation-free sorted-merge kernel on these arrays
+        array_sort(array_distinct(transform(col("g0"), g => xxhash64(g))))
+          .as("g"),
         size(col("g0")).cast("long").as("sz"))
       .repartition(para, col("id"))
       .localCheckpoint()
@@ -650,7 +660,8 @@ object Dedup {
       .join(cdocs.select(col("id").as("id_b"), col("g").as("gb"),
         col("sz").as("n_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
-        size(array_intersect(col("ga"), col("gb"))).cast("long").as("__i"))
+        org.apache.spark.sql.graft.SparseExprs
+          .sortedIntersectCountLong(col("ga"), col("gb")).as("__i"))
       .withColumn("__mn", least(col("n_a"), col("n_b")))
       .withColumn("__raw", col("__i").cast("double") / col("__mn"))
       .where(col("__raw") >= minC)
@@ -672,9 +683,10 @@ object Dedup {
                               n: Int = 1, minJ: Double = 0.6): DataFrame = {
     val grams = if (n == 1) array_distinct(split(text, " ")) else shingles(text, n)
     // intersect 64-bit token hashes, not strings: same set sizes (collision
-    // odds ~1e-10 at corpus scale), far cheaper per-pair comparison
+    // odds ~1e-10 at corpus scale), far cheaper per-pair comparison; sorted
+    // once per doc for the sorted-merge verify kernel
     val t = df.select(id.as("__id"), block.as("__blk"),
-      array_distinct(transform(grams, g => xxhash64(g))).as("__g"))
+      array_sort(array_distinct(transform(grams, g => xxhash64(g)))).as("__g"))
     // carry |g| through the explode: the prefix cutoff needs each doc's set
     // size, and size(__g) is free here — a count(*) window over
     // (__blk,__id) downstream would re-derive it with a second full pass
@@ -726,8 +738,8 @@ object Dedup {
       .join(t.select(col("__id").as("id_a"), col("__g").as("g_a")), Seq("id_a"))
       .join(t.select(col("__id").as("id_b"), col("__g").as("g_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("g_a"), col("g_b"))).cast("long")
-          .as("__i"),
+        org.apache.spark.sql.graft.SparseExprs
+          .sortedIntersectCountLong(col("g_a"), col("g_b")).as("__i"),
         (size(col("g_a")) + size(col("g_b"))).cast("long").as("__ab"))
       .withColumn("__u", col("__ab") - col("__i"))
       .withColumn("__raw", col("__i").cast("double") / col("__u"))
@@ -1521,13 +1533,8 @@ object Dedup {
           array_distinct(split(text, " ")), g => xxhash64(g)))).as("__g"))
       .where(col("__sp").isNotNull && col("__id").isNotNull)
       .repartition(para, col("__id")).localCheckpoint()
-    val rowsPerBand = numPerm / bands
-    val banded = tok.where(col("__sig").isNotNull)
-      .select(col("__id"), col("__sp"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
-      .select(col("__id"), col("__sp"), col("pos").as("__band"),
-        col("col").cast("string").as("__bucket"))
+    val banded = bandExplode(tok.where(col("__sig").isNotNull)
+      .select(col("__id"), col("__sp"), col("__sig")), numPerm, bands)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.__band") === col("b.__band") &&
           col("a.__bucket") === col("b.__bucket") &&
@@ -1535,6 +1542,38 @@ object Dedup {
       .where(col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .distinct()
+    leakCensusTail(cand, tok, minBin10, splitSizes = false)
+  }
+
+  /** Band-explode a signature frame: every non-`__sig` column rides
+    * along; output gains (__band, __bucket) — one row per (doc, band).
+    * The slice-of-signature bucket string is the LSH join key. */
+  private def bandExplode(sig: DataFrame, numPerm: Int,
+                          bands: Int): DataFrame = {
+    val rowsPerBand = numPerm / bands
+    val rest = sig.columns.filter(_ != "__sig").map(col).toSeq
+    sig.select(rest :+ posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)))): _*)
+      .select(rest :+ col("pos").as("__band") :+
+        col("col").cast("string").as("__bucket"): _*)
+  }
+
+  /** Shared verify+rollup tail of the cross-split leak census
+    * ([[crossSplitNearDupLeak]], [[clusterSafeSplitCensus]]): joins the
+    * candidate pairs back to the checkpointed token frame
+    * (__id, __sp, __g) for split labels and the sorted unigram-hash
+    * verify arrays, verifies with the allocation-free sorted-merge
+    * kernel, and rolls up onto the bounded split-pair spine with
+    * explicit zero rows. `splitSizes = true` appends per-side split
+    * masses (n_docs_a / n_docs_b) so an all-zero census can't hide a
+    * degenerate everything-in-one-split assignment. `declaredSpine`
+    * non-empty pins the spine to that split enum (every pair reported
+    * even when a split received zero docs); empty = observed splits
+    * only (the q349/q350 convention). */
+  private def leakCensusTail(cand: DataFrame, tok: DataFrame,
+                             minBin10: Int,
+                             splitSizes: Boolean,
+                             declaredSpine: Seq[String] = Nil): DataFrame = {
     val ga = tok.select(col("__id").as("id_a"), col("__sp").as("sp_a"),
       col("__g").as("ga"))
     val gb = tok.select(col("__id").as("id_b"), col("__sp").as("sp_b"),
@@ -1561,24 +1600,128 @@ object Dedup {
     // literals), so the pair spine is a bounded driver-side literal —
     // never a non-equi self-join the planner could only run as a
     // cartesian/BNLJ (the kmeans-codebook bounded-collect convention)
-    val spark = df.sparkSession
-    val splits = tok.select(col("__sp").cast("string").as("s")).distinct()
-      .collect().map(_.getString(0)).sorted
+    val spark = tok.sparkSession
+    val splits =
+      if (declaredSpine.nonEmpty) declaredSpine.distinct.sorted
+      else tok.select(col("__sp").cast("string").as("s")).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
     val pairsSeq = for {
       i <- splits.indices; j <- (i + 1) until splits.length
     } yield (splits(i), splits(j))
-    if (pairsSeq.isEmpty)
-      return agg.limit(0) // < 2 splits: nothing can leak, empty report
+    if (pairsSeq.isEmpty) {
+      // < 2 splits: nothing can leak, empty report (schema-stable)
+      val empty = agg.limit(0)
+      return if (!splitSizes) empty
+        else empty.withColumn("n_docs_a", lit(0L))
+          .withColumn("n_docs_b", lit(0L))
+    }
     val spine = spark.range(1).select(explode(array(pairsSeq.map { case (a, b) =>
         struct(lit(a).as("split_a"), lit(b).as("split_b")) }: _*)).as("p"))
       .select(col("p.split_a").as("split_a"), col("p.split_b").as("split_b"))
-    spine.join(agg, Seq("split_a", "split_b"), "left")
+    val census = spine.join(agg, Seq("split_a", "split_b"), "left")
       .select(col("split_a"), col("split_b"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
         coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
         coalesce(col("docs_leaked_a"), lit(0L)).as("docs_leaked_a"),
         coalesce(col("docs_leaked_b"), lit(0L)).as("docs_leaked_b"))
-      .orderBy("split_a", "split_b")
+    if (!splitSizes) census.orderBy("split_a", "split_b")
+    else {
+      // split-count-sized frame (bounded by the split enum); left join +
+      // coalesce: a DECLARED split may have received zero docs, and that
+      // zero is exactly what the mass columns exist to expose
+      val sizes = tok.groupBy(col("__sp").cast("string").as("s"))
+        .agg(count(lit(1)).as("n"))
+      census
+        .join(sizes.select(col("s").as("split_a"), col("n").as("n_docs_a")),
+          Seq("split_a"), "left")
+        .join(sizes.select(col("s").as("split_b"), col("n").as("n_docs_b")),
+          Seq("split_b"), "left")
+        .select(col("split_a"), col("split_b"), col("n_candidates"),
+          col("n_leaked"), col("docs_leaked_a"), col("docs_leaked_b"),
+          coalesce(col("n_docs_a"), lit(0L)).as("n_docs_a"),
+          coalesce(col("n_docs_b"), lit(0L)).as("n_docs_b"))
+        .orderBy("split_a", "split_b")
+    }
+  }
+
+  /** q349's remedy FUSED into one corpus pass: cluster-safe split
+    * assignment — split by the near-dup CLUSTER (connected components
+    * over MinHash band collisions), never the document, so no
+    * collision-connected pair can straddle splits — immediately audited
+    * by its own cross-split leak census.
+    *
+    * ONE tokenize/MinhashSig scan (checkpointed) feeds all three
+    * consumers that a naive composition would each re-derive:
+    * (a) the band-collision pairs for [[connectedComponents]]' spine,
+    * (b) the census's cross-split candidate set — a band-collision pair
+    *     with a cross-split predicate is a FILTER over the same pairs,
+    *     so the banded self-join also runs exactly once,
+    * (c) the sorted unigram-hash verify arrays.
+    * By construction every band-collision pair is same-component ⇒ same
+    * split, so the census is all-zero — computed honestly through the
+    * full verify path, not asserted.
+    *
+    * `splitBy` maps the component key (the min doc id of the doc's
+    * cluster, the doc's own id for singletons) to a split label —
+    * typically `Sampling.splitAssign(_, fracs, salt)`; keeping it a
+    * function keeps this operator independent of any one assignment
+    * scheme. `splitSizes` (see [[leakCensusTail]]) appends per-side
+    * split masses so the all-zero census can't hide a degenerate
+    * assignment; `spineSplits` pins the report spine to the declared
+    * split enum — on a dup-rich corpus the component-keyed assignment
+    * can leave a declared split EMPTY (one giant component carries most
+    * of the mass), and an observed-splits spine would silently report
+    * nothing instead of the zero-doc rows that expose it. */
+  def clusterSafeSplitCensus(df: DataFrame, text: Column, id: Column,
+                             splitBy: Column => Column,
+                             shingleSize: Int = 1, numPerm: Int = 16,
+                             bands: Int = 4, minBin10: Int = 7,
+                             splitSizes: Boolean = false,
+                             spineSplits: Seq[String] = Nil): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must divide into bands")
+    require(minBin10 >= 1 && minBin10 <= 10, "minBin10 in [1, 10]")
+    val para = df.sparkSession.sessionState.conf.numShufflePartitions
+    // THE one corpus scan: signature + verify arrays, checkpointed
+    val base = df.select(id.as("__id"),
+        org.apache.spark.sql.graft.MinhashExprs
+          .signature(text, shingleSize, numPerm).as("__sig"),
+        array_sort(array_distinct(transform(
+          array_distinct(split(text, " ")), g => xxhash64(g)))).as("__g"))
+      .where(col("__id").isNotNull)
+      .repartition(para, col("__id")).localCheckpoint()
+    val banded = bandExplode(base.where(col("__sig").isNotNull)
+      .select(col("__id"), col("__sig")), numPerm, bands)
+    // checkpointed: consumed by the ITERATIVE CC loop (whose every round
+    // would otherwise re-run the self-join) and by the census candidates
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.__band") === col("b.__band") &&
+          col("a.__bucket") === col("b.__bucket"))
+      .where(col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+      .repartition(para, col("id_a"))
+      .localCheckpoint()
+    val labels = connectedComponents(pairs)
+      .select(col("id").as("__lid"), col("comp"))
+    // narrow (id, split) frame with THREE consumers (both candidate
+    // sides + the census token join): checkpoint so the labels join
+    // runs once, not per consumer
+    val spl = base.select(col("__id"))
+      .join(labels, col("__id") === col("__lid"), "left")
+      .select(col("__id"),
+        splitBy(coalesce(col("comp"), col("__id"))).as("__sp"))
+      .localCheckpoint()
+    // census candidates = the SAME collision pairs, cross-split only
+    val cand = pairs
+      .join(spl.select(col("__id").as("id_a"), col("__sp").as("__spa")),
+        Seq("id_a"))
+      .join(spl.select(col("__id").as("id_b"), col("__sp").as("__spb")),
+        Seq("id_b"))
+      .where(col("__spa") =!= col("__spb"))
+      .select("id_a", "id_b")
+    leakCensusTail(cand, base.join(spl, Seq("__id"))
+      .select(col("__id"), col("__sp"), col("__g")), minBin10, splitSizes,
+      spineSplits)
   }
 
   /** Boilerplate-prefix census: how many documents share their first

@@ -107,19 +107,75 @@ object Multimodal {
   def decodeFeatures(ds: Dataset[MediaRow]): Dataset[MediaFeatures] =
     ds.mapPartitions(it => it.map(decodeOne))(Encoders.product[MediaFeatures])
 
-  /** STUB resize: a real implementation would decode, rescale, re-encode.
-    * The fake keeps the byte count proportional to the area ratio (stride
-    * sampling of the payload — deterministic), and rewrites the metadata to
-    * the target dimensions. Same narrow per-partition shape as decode. */
+  /** Box-filter (area-mean) rescale of a DECODABLE payload: each target
+    * pixel averages its source rectangle per channel, re-encoded as PNG
+    * (the JDK's lossless writer, so the resized raster — dims and luma —
+    * survives a decode round-trip exactly). None when no installed codec
+    * recognizes the payload. */
+  def resizeImage(bytes: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] =
+    try {
+      require(tw > 0 && th > 0, "target dims must be positive")
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        .map { img =>
+          val sw = img.getWidth; val sh = img.getHeight
+          val out = new java.awt.image.BufferedImage(tw, th,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var ty = 0
+          while (ty < th) {
+            val y0 = ty * sh / th
+            val y1 = math.max(y0 + 1, (ty + 1) * sh / th)
+            var tx = 0
+            while (tx < tw) {
+              val x0 = tx * sw / tw
+              val x1 = math.max(x0 + 1, (tx + 1) * sw / tw)
+              var rs = 0L; var gs = 0L; var bs = 0L; var n = 0
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) {
+                  val rgb = img.getRGB(x, y)
+                  rs += (rgb >> 16) & 0xff; gs += (rgb >> 8) & 0xff
+                  bs += rgb & 0xff
+                  n += 1; x += 1
+                }
+                y += 1
+              }
+              out.setRGB(tx, ty, ((rs / n).toInt << 16) |
+                ((gs / n).toInt << 8) | (bs / n).toInt)
+              tx += 1
+            }
+            ty += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          bos.toByteArray
+        }
+    } catch { case _: Exception => None }
+
+  /** Stub resize for payloads without an installed codec: keeps the byte
+    * count proportional to the area ratio (deterministic stride sampling
+    * of the payload) and rewrites the metadata to the target dims. */
+  private def resizeStub(r: MediaRow, targetW: Int, targetH: Int): MediaRow = {
+    val ratio = targetW.toDouble * targetH / (r.width.toLong * r.height)
+    val outLen = math.max(1, math.min(r.media.length,
+      math.round(r.media.length * ratio).toInt))
+    val stride = math.max(1.0, r.media.length.toDouble / outLen)
+    val out = Array.tabulate(outLen)(i =>
+      r.media(math.min(r.media.length - 1, (i * stride).toInt)))
+    MediaRow(r.doc_id, out, targetW, targetH, r.format)
+  }
+
+  /** Resize, real-first: decodable payloads (PNG/JPEG/GIF/BMP) get a true
+    * area-mean raster rescale re-encoded as PNG ([[resizeImage]]); blobs
+    * no codec recognizes keep the deterministic byte-stub path — the
+    * pipeline stays total over arbitrary payloads either way. Same narrow
+    * per-partition shape as decode. */
   def resize(ds: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[MediaRow] =
     ds.mapPartitions(_.map { r =>
-      val ratio = targetW.toDouble * targetH / (r.width.toLong * r.height)
-      val outLen = math.max(1, math.min(r.media.length,
-        math.round(r.media.length * ratio).toInt))
-      val stride = math.max(1.0, r.media.length.toDouble / outLen)
-      val out = Array.tabulate(outLen)(i =>
-        r.media(math.min(r.media.length - 1, (i * stride).toInt)))
-      MediaRow(r.doc_id, out, targetW, targetH, r.format)
+      resizeImage(r.media, targetW, targetH) match {
+        case Some(out) => MediaRow(r.doc_id, out, targetW, targetH, "png")
+        case None => resizeStub(r, targetW, targetH)
+      }
     })(Encoders.product[MediaRow])
 
   case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])

@@ -274,8 +274,14 @@ object Skew {
     ta.crossJoin(broadcast(tb)).crossJoin(broadcast(agg))
       .select(col("n_keys_a"), col("n_keys_b"), col("rows_a"),
         col("rows_b"), col("n_keys_joint"),
-        col("predicted_rows").cast("long").as("predicted_rows"),
-        col("max_key_rows").cast("long").as("max_key_rows"),
+        // clamp BEFORE the long cast: the extreme fan-out joins this
+        // forecast exists to flag can overflow Long via the decimal
+        // product, and a non-ANSI cast would turn exactly those rows
+        // into NULL — the worst join would report no prediction
+        least(col("predicted_rows"), lit(Long.MaxValue))
+          .cast("long").as("predicted_rows"),
+        least(col("max_key_rows"), lit(Long.MaxValue))
+          .cast("long").as("max_key_rows"),
         when(col("predicted_rows") > 0,
           Seal.ratio4c(col("max_key_rows"), col("predicted_rows")))
           .as("max_key_share"))

@@ -109,10 +109,21 @@ object RankToMinStruct extends Rule[LogicalPlan] {
   private def eligible(w: Window): Boolean =
     w.windowExpressions match {
       case Seq(Alias(WindowExpression(_: RowNumber, _), _)) =>
+          // a GLOBAL window (no PARTITION BY) would rewrite to a
+          // grouping-less Aggregate, which emits one all-NULL row on
+          // EMPTY input where the window emits zero rows — never fire
+          w.partitionSpec.nonEmpty &&
           // partition keys may be arbitrary deterministic expressions
           // (CollapseProject routinely inlines a computed key into the
           // window spec) — grouping evaluates them identically
           w.partitionSpec.forall(_.deterministic) &&
+          // every struct field (order keys + full payload) must be an
+          // ORDERABLE type: Min/Max over a struct containing e.g. a
+          // MapType would pass analysis (this rule runs post-analysis)
+          // and crash at physical planning — a regression vs the stock
+          // session, where row_number never orders payload columns
+          (w.orderSpec.map(_.child) ++ w.child.output)
+            .forall(e => RowOrdering.isOrderable(e.dataType)) &&
           w.orderSpec.nonEmpty &&
           // order keys: any deterministic NON-NULLABLE expression over
           // the child (CollapseProject inlines computed sort keys too);
@@ -152,9 +163,18 @@ object RankToMinStruct extends Rule[LogicalPlan] {
     }
     val agg = Aggregate(w.partitionSpec, Seq(winner), base)
     val wRef = winner.toAttribute
+    // Min's declared result type is nullable, so a bare GetStructField
+    // would WIDEN the nullability of attributes parents already resolved
+    // as non-nullable (enabling null-intolerant simplifications upstream
+    // on stale metadata). Groups are non-empty (partitionSpec.nonEmpty is
+    // guarded), so the winner struct is never NULL per row: restore the
+    // original nullability with KnownNotNull where the source attribute
+    // was non-nullable.
     val out = w.child.output.zipWithIndex.map { case (a, i) =>
-      Alias(GetStructField(wRef, orderKeys.length + i, Some(a.name)),
-        a.name)(exprId = a.exprId)
+      val field: Expression =
+        GetStructField(wRef, orderKeys.length + i, Some(a.name))
+      val typed = if (a.nullable) field else KnownNotNull(field)
+      Alias(typed, a.name)(exprId = a.exprId)
     } :+ Alias(Literal(1), rankAlias.name)(exprId = rankAlias.exprId)
     Project(out, agg)
   }

@@ -165,6 +165,46 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal resize: REAL area-mean rescale of a decodable PNG " +
+      "(dims + luma pinned through a decode round-trip)") {
+    // 8x4, left half black / right half white: every 2x2 source box is
+    // uniform, so the box filter's target pixels are exact 0 or 255
+    val img = new java.awt.image.BufferedImage(8, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0x000000 else 0xffffff)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", baos))
+    val png = baos.toByteArray
+
+    val ds = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, png, 8, 4, "png"),
+      Multimodal.MediaRow(2L, "not an image".getBytes, 16, 16, "webp")))(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val out = Multimodal.resize(ds, 4, 2).collect().sortBy(_.doc_id).toSeq
+
+    // decodable payload: truly rescaled raster, re-encoded PNG
+    val real = out.head
+    assert(real.width === 4 && real.height === 2 && real.format === "png")
+    val d = Multimodal.decodeImage(real.media).get
+    assert(d.width === 4 && d.height === 2)
+    assert(d.meanLuma === 127.5) // half black, half white survives exactly
+    val rt = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(real.media))
+    for (y <- 0 until 2; x <- 0 until 4)
+      assert((rt.getRGB(x, y) & 0xffffff) ===
+        (if (x < 2) 0x000000 else 0xffffff),
+        s"pixel ($x,$y) of the resized raster")
+
+    // undecodable payload: the deterministic byte-stub path, unchanged
+    val stub = out(1)
+    assert(stub.width === 4 && stub.height === 2 && stub.format === "webp")
+    val txt = "not an image".getBytes
+    val expLen = math.max(1, math.min(txt.length,
+      math.round(txt.length * (4.0 * 2 / (16L * 16))).toInt))
+    assert(stub.media.length === expLen)
+  }
+
   test("multimodal frame sampling: every k-th fixed-size frame, fan-out counted") {
     val docs = Tables.t(spark, sf, "documents").limit(20)
     val rowsIn = Multimodal.mediaRows(docs).collect()

@@ -134,6 +134,52 @@ class RankRewriteSpec extends SparkSpec {
       .where(col("rn") === 1)))
   }
 
+  test("guards: global window (no PARTITION BY) stays windowed — empty input parity") {
+    withExtSession { s2 =>
+      import s2.implicits._
+      // grouping-less Aggregate emits one NULL row on EMPTY input where
+      // the window emits zero — the rule must not fire on a global spec
+      val wg = Window.orderBy("o")
+      val full = fixture(s2).withColumn("rn", row_number().over(wg))
+        .where(col("rn") === 1)
+      assert(hasWindow(full), s"global window rewritten:\n${full.queryExecution.optimizedPlan}")
+      assert(full.count() === 1L)
+      val empty = fixture(s2).where(col("k") < 0)
+        .withColumn("rn", row_number().over(wg)).where(col("rn") === 1)
+      assert(empty.count() === 0L, "empty input must produce zero rows")
+    }
+  }
+
+  test("guards: non-orderable payload (MapType) stays windowed and executes") {
+    withExtSession { s2 =>
+      // Min(struct(..., map)) would pass analysis (rule runs
+      // post-analysis) and crash at planning — guard must leave the
+      // Window so the query keeps working exactly as on a stock session
+      val w = Window.partitionBy("k").orderBy("o")
+      val q = fixture(s2)
+        .withColumn("m", map(col("payload"), col("o")))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+      assert(hasWindow(q), s"map payload rewritten:\n${q.queryExecution.optimizedPlan}")
+      assert(q.count() === 3L)
+    }
+  }
+
+  test("rewrite preserves output nullability (KnownNotNull on non-null sources)") {
+    withExtSession { s2 =>
+      val w = Window.partitionBy("k").orderBy("o")
+      val q = fixture(s2).withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+      assert(!hasWindow(q))
+      // fixture columns are non-nullable (Seq.toDF of AnyVal/String);
+      // the rewritten plan must not widen them to nullable
+      val stockSchema = fixture(s2)
+        .withColumn("rn", row_number().over(w)).schema
+      assert(q.schema.map(f => (f.name, f.nullable)) ===
+        stockSchema.map(f => (f.name, f.nullable)))
+    }
+  }
+
   test("rewrite result equals the stock-plan result on the fixture table") {
     // the scrubRepeatedSpans-shaped workload: keep-first occurrence per
     // fingerprint over the real documents fixture, both sessions

@@ -121,6 +121,62 @@ class ScaleSpec extends SparkSpec {
     assert(csRows === csRows0)
   }
 
+  test("q350 fused cluster-safe split: exactly ONE MinhashSig tokenize " +
+      "execution across construction + the final census (r10 directive 1)") {
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    // the naive composition ran the tokenize/signature scan TWICE (once
+    // for the CC spine, once inside the census); the fused operator must
+    // evaluate MinhashSig in exactly one executed plan — the shared
+    // localCheckpoint — with every downstream job reading the checkpoint
+    def hasMinhash(p: LogicalPlan): Boolean =
+      p.exists(_.expressions.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.graft.MinhashSig])))
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[LogicalPlan]()
+    val l = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+                             durationNs: Long): Unit =
+        captured.add(qe.analyzed)
+      override def onFailure(funcName: String, qe: QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    org.apache.spark.sql.graft.TestListenerBus.drain(spark.sparkContext)
+    spark.listenerManager.register(l)
+    val (tokenizeJobs, finalHasMinhash, rows) =
+      try {
+        val df = SparkEntry.queries("q350_cluster_safe_split")(spark, sf)
+        val rows = df.collect()
+        org.apache.spark.sql.graft.TestListenerBus.drain(spark.sparkContext)
+        val plans = scala.jdk.CollectionConverters
+          .IteratorHasAsScala(captured.iterator).asScala.toSeq
+        (plans.count(hasMinhash), hasMinhash(df.queryExecution.analyzed),
+          rows)
+      } finally spark.listenerManager.unregister(l)
+    assert(tokenizeJobs === 1,
+      s"expected exactly ONE MinhashSig scan, saw $tokenizeJobs")
+    assert(!finalHasMinhash,
+      "the final census plan must read the checkpoint, not re-tokenize")
+    assert(rows.nonEmpty)
+    // and the same single-scan contract for the q351 flagship (its
+    // 3-shingle drop stage legitimately tokenizes once more — the fused
+    // census itself adds exactly one)
+    org.apache.spark.sql.graft.TestListenerBus.drain(spark.sparkContext)
+    captured.clear()
+    spark.listenerManager.register(l)
+    val t351 =
+      try {
+        val df = SparkEntry.queries("q351_training_prep_v3")(spark, sf)
+        df.collect()
+        org.apache.spark.sql.graft.TestListenerBus.drain(spark.sparkContext)
+        scala.jdk.CollectionConverters
+          .IteratorHasAsScala(captured.iterator).asScala.toSeq
+          .count(hasMinhash)
+      } finally spark.listenerManager.unregister(l)
+    assert(t351 === 2,
+      s"q351 = one 3-shingle drop scan + one fused census scan, saw $t351")
+  }
+
   test("saltedJoin equals plain inner join; hot key spread across salts") {
     // skewed big side: one hot key with 2000 rows, tail of 100 keys
     val big = ((1 to 2000).map(i => (7L, i.toLong)) ++
