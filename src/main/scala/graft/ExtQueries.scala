@@ -496,14 +496,18 @@ object ExtQueries {
       |SELECT pid AS purchase_id, k AS user_id, view_id, us - view_us AS gap_us
       |FROM c WHERE side = 1 ORDER BY purchase_id""".stripMargin))
 
-  /** MinHash pairs -> connected components -> dedup groups: the full
-    * pipeline a dedup pass actually runs (keep min-id doc per cluster). */
+  /** MinHash LSH -> connected components -> dedup groups: the full
+    * pipeline a dedup pass actually runs (keep min-id doc per cluster).
+    * CC is fed [[Dedup.minhashStarEdges]] — one star per band bucket,
+    * LINEAR in docs × bands — rather than the C(k,2) collision pairs
+    * (identical components by construction, pinned in ExtOpsSpec; the
+    * pair set is quadratic per bucket, the disk-filling regime of the
+    * sf1 dup-rich probe). */
   private val q45 = QDef("q45_dedup_clusters",
     (s, dir) => {
-      val pairs = Dedup.minhashCandidates(T(s, dir, "documents"),
+      val stars = Dedup.minhashStarEdges(T(s, dir, "documents"),
         col("text"), col("doc_id"), shingleSize = 3, numPerm = 16, bands = 4)
-        .select("id_a", "id_b")
-      Dedup.connectedComponents(pairs)
+      Dedup.connectedComponents(stars)
         .groupBy(col("comp").as("cluster_id"))
         .agg(count(lit(1)).as("n_docs"), max("id").as("max_doc_id"))
         .orderBy("cluster_id")
@@ -627,9 +631,11 @@ object ExtQueries {
       // the banded self-join, the final keep anti-join); materialize it
       // once instead of re-running the language/quality filter per branch
       val deduped = Dedup.exact(filtered, col("text"), col("doc_id")).localCheckpoint()
-      val pairs = Dedup.minhashCandidates(deduped, col("text"), col("doc_id"),
-        shingleSize = 3, numPerm = 16, bands = 4).select("id_a", "id_b")
-      val drop = Dedup.connectedComponents(pairs)
+      // star spine, not collision pairs: CC consumes connectivity only
+      // (identical components, linear edge list — see q45's scaladoc)
+      val stars = Dedup.minhashStarEdges(deduped, col("text"), col("doc_id"),
+        shingleSize = 3, numPerm = 16, bands = 4)
+      val drop = Dedup.connectedComponents(stars)
         .where(col("comp") =!= col("id")).select(col("id").as("doc_id"))
       deduped.join(drop, Seq("doc_id"), "left_anti")
         .withColumn("split", Sampling.splitAssign(col("doc_id"),
@@ -3007,10 +3013,11 @@ object ExtQueries {
         round(TextAnalysis.qualityScore(col("text")), 4) >= 0.5)
       val deduped = Dedup.exact(filtered, col("text"), col("doc_id"))
         .localCheckpoint()
-      val pairs3 = Dedup.minhashCandidates(deduped, col("text"),
+      // star spine for the 3-shingle drop CC (identical components,
+      // linear edge list — see q45's scaladoc)
+      val stars3 = Dedup.minhashStarEdges(deduped, col("text"),
         col("doc_id"), shingleSize = 3, numPerm = 16, bands = 4)
-        .select("id_a", "id_b")
-      val drop = Dedup.connectedComponents(pairs3)
+      val drop = Dedup.connectedComponents(stars3)
         .where(col("comp") =!= col("id")).select(col("id").as("doc_id"))
       val kept = deduped.join(drop, Seq("doc_id"), "left_anti")
       Dedup.clusterSafeSplitCensus(kept, col("text"), col("doc_id"),

@@ -162,6 +162,46 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** Connectivity-only LSH spine: one STAR per band bucket (every member
+    * linked to the bucket's min id) instead of the bucket's C(k,2)
+    * collision pairs. Two documents land in the same connected component
+    * exactly when they would under the full [[minhashCandidates]] pair
+    * set — any collision pair is bucket-co-resident, hence connected
+    * through the bucket root — while the edge list stays LINEAR in the
+    * banded row count (docs × bands) no matter how dup-rich the corpus
+    * is. This is the [[connectedComponents]] feeder of choice: pair
+    * enumeration is quadratic per bucket (the sf1 dup-rich probe fixture
+    * fills the disk materializing it; PLANS §r11-star-spine), and CC
+    * never consumed the pairs — only their connectivity. Star
+    * contraction is the standard trick from the MapReduce-CC literature
+    * (Kiveris et al. 2014's star operations contract exactly this way).
+    * Per-bucket min via aggregate + equi-join back rather than a window:
+    * a degenerate bucket is a skew hazard, and AQE can split a skewed
+    * join partition but never a window partition. */
+  def minhashStarEdges(df: DataFrame, text: Column, id: Column,
+                       shingleSize: Int = 3, numPerm: Int = 16,
+                       bands: Int = 4): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must divide into bands")
+    val sig = minhashSignatures(df, text, id, shingleSize, numPerm)
+    // materialized: the root aggregate and the join-back both read the
+    // banded frame — unmaterialized, the signature pipeline would run
+    // once per consumer
+    val banded = bandExplode(sig, numPerm, bands).localCheckpoint()
+    starEdges(banded)
+  }
+
+  /** (band, bucket)-keyed star contraction of a banded frame: one
+    * (bucket-min, member) edge per non-root member; singleton buckets
+    * emit nothing, so the star node set equals the pair node set. */
+  private def starEdges(banded: DataFrame): DataFrame = {
+    val roots = banded.groupBy(col("__band"), col("__bucket"))
+      .agg(min(col("__id")).as("__root"))
+    banded.join(roots, Seq("__band", "__bucket"))
+      .where(col("__id") =!= col("__root"))
+      .select(col("__root").as("id_a"), col("__id").as("id_b"))
+      .distinct()
+  }
+
   /** Incremental near-dedup — the ingestion-time shape: drop every BATCH
     * document whose MinHash bands collide with any EXISTING-corpus
     * document. The corpus (the big side at scale) never self-joins and is
@@ -1652,14 +1692,24 @@ object Dedup {
     *
     * ONE tokenize/MinhashSig scan (checkpointed) feeds all three
     * consumers that a naive composition would each re-derive:
-    * (a) the band-collision pairs for [[connectedComponents]]' spine,
-    * (b) the census's cross-split candidate set — a band-collision pair
-    *     with a cross-split predicate is a FILTER over the same pairs,
-    *     so the banded self-join also runs exactly once,
+    * (a) the CC spine — as [[minhashStarEdges]]-style star edges, never
+    *     the C(k,2) collision pairs (CC consumes connectivity only, and
+    *     the pair set is quadratic per bucket: the sf1 dup-rich probe
+    *     fixture, whose unigram banding degenerates into huge buckets,
+    *     fills the disk materializing it),
+    * (b) the census's cross-split candidate set — only buckets holding
+    *     ≥ 2 distinct splits can emit a cross-split pair, so single-split
+    *     buckets are pruned BEFORE pair enumeration (algebra, not an
+    *     assertion: a bucket whose members share one split contributes
+    *     zero cross-split pairs by definition), and the surviving mixed
+    *     buckets self-join with the cross-split predicate INSIDE the
+    *     join (the [[crossSplitNearDupLeak]] convention) — the audit
+    *     costs one linear aggregate when there is nothing to report and
+    *     ∝ mixed-bucket mass when there is,
     * (c) the sorted unigram-hash verify arrays.
-    * By construction every band-collision pair is same-component ⇒ same
-    * split, so the census is all-zero — computed honestly through the
-    * full verify path, not asserted.
+    * By construction every band bucket is same-component ⇒ same split,
+    * so the census is all-zero — computed honestly through the full
+    * candidate + verify path, not asserted.
     *
     * `splitBy` maps the component key (the min doc id of the doc's
     * cluster, the doc's own id for singletons) to a split label —
@@ -1689,36 +1739,43 @@ object Dedup {
           array_distinct(split(text, " ")), g => xxhash64(g)))).as("__g"))
       .where(col("__id").isNotNull)
       .repartition(para, col("__id")).localCheckpoint()
+    // checkpointed: four downstream passes (star roots + join-back,
+    // census bucket-split agg + semi-join) read the banded frame; each
+    // would otherwise re-run the explode over the base checkpoint
     val banded = bandExplode(base.where(col("__sig").isNotNull)
       .select(col("__id"), col("__sig")), numPerm, bands)
-    // checkpointed: consumed by the ITERATIVE CC loop (whose every round
-    // would otherwise re-run the self-join) and by the census candidates
-    val pairs = banded.as("a").join(banded.as("b"),
-        col("a.__band") === col("b.__band") &&
-          col("a.__bucket") === col("b.__bucket"))
-      .where(col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
-      .distinct()
-      .repartition(para, col("id_a"))
       .localCheckpoint()
-    val labels = connectedComponents(pairs)
+    // CC spine = star edges, LINEAR in banded rows — identical
+    // components to the full collision pair set (see minhashStarEdges),
+    // which is quadratic per bucket and is never materialized here
+    val labels = connectedComponents(starEdges(banded))
       .select(col("id").as("__lid"), col("comp"))
-    // narrow (id, split) frame with THREE consumers (both candidate
-    // sides + the census token join): checkpoint so the labels join
-    // runs once, not per consumer
+    // narrow (id, split) frame with multiple consumers (the banded
+    // census join + the census token join): checkpoint so the labels
+    // join runs once, not per consumer
     val spl = base.select(col("__id"))
       .join(labels, col("__id") === col("__lid"), "left")
       .select(col("__id"),
         splitBy(coalesce(col("comp"), col("__id"))).as("__sp"))
       .localCheckpoint()
-    // census candidates = the SAME collision pairs, cross-split only
-    val cand = pairs
-      .join(spl.select(col("__id").as("id_a"), col("__sp").as("__spa")),
-        Seq("id_a"))
-      .join(spl.select(col("__id").as("id_b"), col("__sp").as("__spb")),
-        Seq("id_b"))
-      .where(col("__spa") =!= col("__spb"))
-      .select("id_a", "id_b")
+    // census candidates: prune single-split buckets (they cannot emit a
+    // cross-split pair), then enumerate only the mixed buckets with the
+    // cross-split predicate inside the self-join — same candidate set as
+    // the full pair enumeration, without ever materializing the
+    // same-split bulk
+    val sb = banded.join(spl, Seq("__id"))
+    val mixedKeys = sb.groupBy(col("__band"), col("__bucket"))
+      .agg(min(col("__sp")).as("__lo"), max(col("__sp")).as("__hi"))
+      .where(col("__lo") =!= col("__hi"))
+      .select(col("__band"), col("__bucket"))
+    val mixed = sb.join(mixedKeys, Seq("__band", "__bucket"), "left_semi")
+    val cand = mixed.as("a").join(mixed.as("b"),
+        col("a.__band") === col("b.__band") &&
+          col("a.__bucket") === col("b.__bucket") &&
+          col("a.__sp") =!= col("b.__sp"))
+      .where(col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
     leakCensusTail(cand, base.join(spl, Seq("__id"))
       .select(col("__id"), col("__sp"), col("__g")), minBin10, splitSizes,
       spineSplits)

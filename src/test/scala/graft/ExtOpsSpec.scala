@@ -28,6 +28,25 @@ class ExtOpsSpec extends SparkSpec {
     assert(cand.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) === Seq((1L, 2L, 4L)))
   }
 
+  test("minhashStarEdges: components identical to full collision-pair CC, " +
+       "with a never-larger edge list (3-shingle and dense unigram regimes)") {
+    val docs = Tables.t(spark, sf, "documents").limit(300)
+    def comps(edges: org.apache.spark.sql.DataFrame) =
+      rows(Dedup.connectedComponents(edges).orderBy("id"))
+        .map(r => (r.getLong(0), r.getLong(1)))
+    for (sh <- Seq(3, 1)) { // 1-shingles: the dense-bucket (dup-rich) regime
+      val pairs = Dedup.minhashCandidates(docs, col("text"), col("doc_id"),
+        shingleSize = sh, numPerm = 16, bands = 4).select("id_a", "id_b")
+      val stars = Dedup.minhashStarEdges(docs, col("text"), col("doc_id"),
+        shingleSize = sh, numPerm = 16, bands = 4)
+      val viaPairs = comps(pairs)
+      val viaStars = comps(stars)
+      assert(viaStars === viaPairs, s"shingleSize=$sh")
+      assert(viaStars.nonEmpty, s"shingleSize=$sh fixture exercises CC")
+      assert(stars.count() <= pairs.count(), s"shingleSize=$sh star edge bound")
+    }
+  }
+
   test("simhash: identical -> hamming 0; pairs beyond maxDist filtered") {
     val df = Seq((1L, "alpha beta gamma delta", "s"), (2L, "alpha beta gamma delta", "s"),
       (3L, "zz yy xx ww vv uu", "s")).toDF("id", "t", "src")
