@@ -672,6 +672,123 @@ object PlanningQueries {
       |FROM spine LEFT JOIN ag USING (split_a, split_b)
       |ORDER BY split_a, split_b""".stripMargin))
 
+  /** [[Dedup.crossSplitNearDupLeakSampled]]: q349's census with the
+    * audit-cost knob a 100 TB corpus needs — candidate counts stay
+    * EXACT per split pair, but the token-array Jaccard verify (the
+    * measured dominant cost at the sf1 probe regime) runs on a
+    * deterministic hash-sampled half of the pairs, reporting the
+    * sampled leak rate and the rate-scaled estimate in exact integer
+    * arithmetic. Sample = hash60(id_a:id_b:salt) mod 1e6 < 500000 (the
+    * q47 hashSample convention), so DuckDB replays the identical
+    * subset. */
+  private val q352 = QDef("q352_sampled_leak_census",
+    (s, dir) => Dedup.crossSplitNearDupLeakSampled(
+      T(s, dir, "documents")
+        .withColumn("split", Sampling.splitAssign(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "sp")),
+      col("text"), col("doc_id"), col("split"), frac = 0.5, salt = "pl",
+      shingleSize = 1, numPerm = 16, bands = 4, minBin10 = 7),
+    Some(s"""WITH d AS (SELECT doc_id, text,
+      |        CASE WHEN hv < 800000 THEN 'train'
+      |             WHEN hv < 900000 THEN 'val' ELSE 'test' END AS sp
+      |      FROM (SELECT doc_id, text,
+      |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'sp'), 1, 15))
+      |          ::BIGINT % 1000000 AS hv FROM documents)),
+      |toks AS (SELECT doc_id, sp, string_split(text, ' ') AS t FROM d),
+      |sh AS (SELECT doc_id, sp, list_distinct(t) AS shingles
+      |      FROM toks WHERE len(t) >= 1),
+      |hs AS (SELECT doc_id, sp, list_transform(shingles, s ->
+      |        ('0x' || substr(md5(s), 1, 7))::BIGINT) AS hh
+      |      FROM sh WHERE len(shingles) > 0),
+      |sig AS (SELECT doc_id, sp, $sigSql16 AS sig FROM hs),
+      |bd AS (SELECT doc_id, sp, b, list_slice(sig, 4*b + 1, 4*b + 4)
+      |        AS bucket FROM sig, range(0, 4) rb(b)),
+      |cd AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |        least(a.sp, b.sp) AS split_a, greatest(a.sp, b.sp) AS split_b
+      |      FROM bd a JOIN bd b ON a.b = b.b AND a.bucket = b.bucket
+      |        AND a.doc_id < b.doc_id AND a.sp <> b.sp),
+      |ex AS (SELECT split_a, split_b, CAST(count(*) AS BIGINT)
+      |        AS n_candidates FROM cd GROUP BY 1, 2),
+      |sm AS (SELECT * FROM cd WHERE
+      |        ('0x' || substr(md5(CAST(id_a AS VARCHAR) || ':' ||
+      |          CAST(id_b AS VARCHAR) || ':pl'), 1, 15))::BIGINT
+      |          % 1000000 < 500000),
+      |gr AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS g
+      |      FROM d),
+      |vf AS (SELECT sm.split_a, sm.split_b,
+      |        CAST(len(list_intersect(ga.g, gb.g)) AS BIGINT) AS i,
+      |        CAST(len(ga.g) + len(gb.g)
+      |          - len(list_intersect(ga.g, gb.g)) AS BIGINT) AS u
+      |      FROM sm JOIN gr ga ON sm.id_a = ga.doc_id
+      |        JOIN gr gb ON sm.id_b = gb.doc_id),
+      |sa AS (SELECT split_a, split_b,
+      |        CAST(count(*) AS BIGINT) AS n_sampled,
+      |        CAST(sum(CASE WHEN i * 10 >= u * 7 THEN 1 ELSE 0 END)
+      |          AS BIGINT) AS n_leaked_sampled
+      |      FROM vf GROUP BY 1, 2),
+      |sp2 AS (SELECT DISTINCT sp FROM d),
+      |spine AS (SELECT x.sp AS split_a, y.sp AS split_b
+      |      FROM sp2 x JOIN sp2 y ON x.sp < y.sp)
+      |SELECT spine.split_a, spine.split_b,
+      |  coalesce(n_candidates, CAST(0 AS BIGINT)) AS n_candidates,
+      |  coalesce(n_sampled, CAST(0 AS BIGINT)) AS n_sampled,
+      |  coalesce(n_leaked_sampled, CAST(0 AS BIGINT)) AS n_leaked_sampled,
+      |  CASE WHEN coalesce(n_sampled, 0) > 0 THEN
+      |    CAST((2 * CAST(coalesce(n_leaked_sampled, 0) AS HUGEINT) * 10000
+      |        + n_sampled) // (2 * CAST(n_sampled AS HUGEINT)) AS DOUBLE)
+      |      / 1e4 END AS leak_rate,
+      |  CASE WHEN coalesce(n_sampled, 0) > 0 THEN
+      |    CAST((2 * CAST(coalesce(n_candidates, 0) AS HUGEINT)
+      |        * coalesce(n_leaked_sampled, 0) + n_sampled)
+      |      // (2 * CAST(n_sampled AS HUGEINT)) AS BIGINT)
+      |    ELSE CAST(0 AS BIGINT) END AS est_leaked
+      |FROM spine LEFT JOIN ex USING (split_a, split_b)
+      |LEFT JOIN sa USING (split_a, split_b)
+      |ORDER BY split_a, split_b""".stripMargin))
+
+  /** [[Dedup.minhashAgainstIndex]] over a [[Staging.stageBucketed]]
+    * LSH index — q77's incremental near-dedup with the corpus side
+    * PRE-STAGED: [[Dedup.lshIndexFrame]] (one (doc, band) row keyed by
+    * the single-column `lsh_key`) written once as a bucketed+sorted
+    * table, so every later ingest batch semi-joins it with ZERO
+    * Exchange and zero Sort on the corpus side (plan property pinned in
+    * ScaleSpec). Same output as running [[Dedup.minhashAgainst]]
+    * inline — the oracle is q77's SQL. At 100 TB this is the
+    * ingestion-time dedup shape: the index build is a one-time cost,
+    * each daily batch pays O(batch) signatures plus one batch-side
+    * shuffle sized by the index's bucket count. */
+  private val q353 = QDef("q353_dedup_staged_index",
+    (s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val docs = T(s, dir, "documents")
+      Staging.stageBucketed(
+        Dedup.lshIndexFrame(docs.where(col("doc_id") < 250),
+          col("text"), col("doc_id")),
+        s"graft_lsh_idx_$tag", "lsh_key", 8)
+      Dedup.minhashAgainstIndex(docs.where(col("doc_id") >= 250),
+          Staging.load(s, s"graft_lsh_idx_$tag"), col("text"), col("doc_id"))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |      FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |        range(0, len(t) - 2),
+      |        i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+      |      FROM toks WHERE len(t) >= 3),
+      |hs AS (SELECT doc_id, list_transform(shingles, s ->
+      |        ('0x' || substr(md5(s), 1, 7))::BIGINT) AS hh
+      |      FROM sh WHERE len(shingles) > 0),
+      |sig AS (SELECT doc_id, $sigSql16 AS sig FROM hs),
+      |bands AS (SELECT doc_id, b, list_slice(sig, 4*b + 1, 4*b + 4)
+      |        AS bucket FROM sig, range(0, 4) AS r(b)),
+      |hits AS (SELECT DISTINCT b.doc_id FROM bands b JOIN bands c
+      |        ON b.b = c.b AND b.bucket = c.bucket
+      |        AND b.doc_id >= 250 AND c.doc_id < 250)
+      |SELECT d.doc_id, d.source FROM documents d
+      |WHERE d.doc_id >= 250 AND d.doc_id NOT IN (SELECT doc_id FROM hits)
+      |ORDER BY doc_id""".stripMargin))
+
   /** q349's REMEDY, proven: cluster-aware split assignment — split by
     * the near-dup CLUSTER (connected components over the same MinHash
     * band collisions), not the document — sends every collision-
@@ -754,5 +871,5 @@ object PlanningQueries {
       |ORDER BY split_a, split_b""".stripMargin))
 
   def all: Seq[QDef] = Seq(q336, q337, q338, q339, q340, q341, q342,
-    q343, q344, q345, q346, q347, q348, q349, q350)
+    q343, q344, q345, q346, q347, q348, q349, q350, q352, q353)
 }

@@ -227,6 +227,53 @@ object Dedup {
     batch.join(hit.select(col("__id").as("__hit")), id === col("__hit"), "left_anti")
   }
 
+  /** The corpus side of [[minhashAgainst]] precomputed for STAGING: one
+    * row per (doc, band) keyed by the single-column LSH join key
+    * `lsh_key = band ":" bucket` (one column so `bucketBy(lsh_key)`
+    * staging carries the join's hash partitioning in the catalog).
+    * Written once per corpus build via [[graft.Staging.stageBucketed]];
+    * every later incremental batch then joins the STAGED index with zero
+    * Exchange and zero Sort on the corpus side
+    * ([[minhashAgainstIndex]]) — at 100 TB the index is the
+    * corpus-derived side, so this converts the per-ingest corpus
+    * scan+signature+shuffle (the dominant cost of [[minhashAgainst]]
+    * run daily) into a one-time staging cost. Docs too short to shingle
+    * have a null signature and can never collide; their null-key rows
+    * are dropped here (a null key never equi-joins, so the staged and
+    * inline semantics agree). */
+  def lshIndexFrame(corpus: DataFrame, text: Column, id: Column,
+                    shingleSize: Int = 3, numPerm: Int = 16,
+                    bands: Int = 4): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must divide into bands")
+    val rowsPerBand = numPerm / bands
+    minhashSignatures(corpus, text, id, shingleSize, numPerm)
+      .select(col("__id"), posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+      .select(col("__id").as("corpus_id"),
+        concat(col("pos").cast("string"), lit(":"),
+          col("col").cast("string")).as("lsh_key"))
+      .where(col("lsh_key").isNotNull)
+  }
+
+  /** [[minhashAgainst]] against a PRE-STAGED index ([[lshIndexFrame]]
+    * bucketed on `lsh_key`): identical output (the unit suite pins
+    * result equality; q353 pins the shared oracle), but the corpus-side
+    * signature scan and join shuffle are gone — the bucketed scan
+    * satisfies the join's hash-partitioning requirement from the
+    * catalog, so only the (small) batch side shuffles, sized by the
+    * index's bucket count. The ingestion-time cost model at scale:
+    * O(batch) signatures + one batch-side exchange, independent of
+    * corpus size. */
+  def minhashAgainstIndex(batch: DataFrame, index: DataFrame, text: Column,
+                          id: Column, shingleSize: Int = 3, numPerm: Int = 16,
+                          bands: Int = 4): DataFrame = {
+    val hit = lshIndexFrame(batch, text, id, shingleSize, numPerm, bands)
+      .withColumnRenamed("corpus_id", "__id")
+      .join(index.select(col("lsh_key")), Seq("lsh_key"), "left_semi")
+      .select(col("__id")).distinct()
+    batch.join(hit.select(col("__id").as("__hit")), id === col("__hit"), "left_anti")
+  }
+
   /** Per-doc 60-bit SimHash signature as (__id, __blk, __sig): bit j is set
     * iff the sum over tokens of sign(bit j of token-hash) is positive.
     * Computed by the native single-pass expression
@@ -1583,6 +1630,107 @@ object Dedup {
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .distinct()
     leakCensusTail(cand, tok, minBin10, splitSizes = false)
+  }
+
+  /** Sampled-verify twin of [[crossSplitNearDupLeak]] — the 100 TB
+    * audit-cost control. Candidate generation stays EXACT (the same
+    * cross-split band collisions, counted in full per split pair), but
+    * the token-array Jaccard verify — the dominant cost at the measured
+    * sf1 regime, where every candidate pair drags two token-hash arrays
+    * through a shuffle — runs only on a deterministic hash-sampled pair
+    * subset: hash60(id_a:id_b:salt) mod 1e6 < frac·1e6, the
+    * [[Sampling.hashSample]] convention, so the sample is reproducible
+    * run-to-run and replayable by the oracle. Output per split pair:
+    * exact n_candidates, n_sampled, n_leaked_sampled, the sampled leak
+    * rate (Seal 4-decimal integer rounding), and the rate-scaled
+    * estimate est_leaked = halfup(n_candidates·n_leaked_sampled /
+    * n_sampled) computed in exact decimal(38,0) integer arithmetic (no
+    * FP in the estimate path). The estimate's s.e. shrinks as
+    * 1/√n_sampled while verify cost scales with frac — the sampled-truth
+    * trade the r10 calibration quartet measured (PLANS §sampled-truth),
+    * promoted to a first-class oracle-gated operator. */
+  def crossSplitNearDupLeakSampled(df: DataFrame, text: Column, id: Column,
+                                   splitCol: Column, frac: Double,
+                                   salt: String = "pl",
+                                   shingleSize: Int = 1, numPerm: Int = 16,
+                                   bands: Int = 4,
+                                   minBin10: Int = 7): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must divide into bands")
+    require(minBin10 >= 1 && minBin10 <= 10, "minBin10 in [1, 10]")
+    require(frac > 0 && frac <= 1, s"frac must be in (0, 1], got $frac")
+    val para = df.sparkSession.sessionState.conf.numShufflePartitions
+    val tok = df.select(id.as("__id"), splitCol.cast("string").as("__sp"),
+        org.apache.spark.sql.graft.MinhashExprs
+          .signature(text, shingleSize, numPerm).as("__sig"),
+        array_sort(array_distinct(transform(
+          array_distinct(split(text, " ")), g => xxhash64(g)))).as("__g"))
+      .where(col("__sp").isNotNull && col("__id").isNotNull)
+      .repartition(para, col("__id")).localCheckpoint()
+    val banded = bandExplode(tok.where(col("__sig").isNotNull)
+      .select(col("__id"), col("__sp"), col("__sig")), numPerm, bands)
+    // candidates carry their split labels out of the banded join (no
+    // second label join needed); checkpointed: the exact count and the
+    // sampled verify both read this frame
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.__band") === col("b.__band") &&
+          col("a.__bucket") === col("b.__bucket") &&
+          col("a.__sp") =!= col("b.__sp"))
+      .where(col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        least(col("a.__sp"), col("b.__sp")).as("split_a"),
+        greatest(col("a.__sp"), col("b.__sp")).as("split_b"))
+      .distinct()
+      .localCheckpoint()
+    val exact = cand.groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_candidates"))
+    val sampled = cand.where(
+      pmod(hash60(concat(col("id_a").cast("string"), lit(":"),
+        col("id_b").cast("string"), lit(":"), lit(salt))), lit(1000000L))
+        < lit((frac * 1000000L).toLong))
+    val verified = sampled
+      .join(tok.select(col("__id").as("id_a"), col("__g").as("ga")), "id_a")
+      .join(tok.select(col("__id").as("id_b"), col("__g").as("gb")), "id_b")
+      .withColumn("__i", org.apache.spark.sql.graft.SparseExprs
+        .sortedIntersectCountLong(col("ga"), col("gb")))
+      .withColumn("__u",
+        (size(col("ga")) + size(col("gb"))).cast("long") - col("__i"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(when(col("__i") * 10 >= col("__u") * minBin10, 1L)
+          .otherwise(0L)).as("n_leaked_sampled"))
+    // observed-splits spine with explicit zero rows (q349 convention)
+    val spark = tok.sparkSession
+    val splits = tok.select(col("__sp").cast("string").as("s")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val pairsSeq = for {
+      i <- splits.indices; j <- (i + 1) until splits.length
+    } yield (splits(i), splits(j))
+    val out =
+      if (pairsSeq.isEmpty) exact.join(verified, Seq("split_a", "split_b"))
+        .limit(0)
+      else {
+        val spine = spark.range(1)
+          .select(explode(array(pairsSeq.map { case (a, b) =>
+            struct(lit(a).as("split_a"), lit(b).as("split_b")) }: _*)).as("p"))
+          .select(col("p.split_a").as("split_a"),
+            col("p.split_b").as("split_b"))
+        spine.join(exact, Seq("split_a", "split_b"), "left")
+          .join(verified, Seq("split_a", "split_b"), "left")
+      }
+    val nc = coalesce(col("n_candidates"), lit(0L))
+    val ns = coalesce(col("n_sampled"), lit(0L))
+    val nl = coalesce(col("n_leaked_sampled"), lit(0L))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    out.select(col("split_a"), col("split_b"),
+        nc.as("n_candidates"), ns.as("n_sampled"),
+        nl.as("n_leaked_sampled"),
+        when(ns > 0, Seal.ratio4c(nl, ns)).as("leak_rate"),
+        when(ns > 0, org.apache.spark.sql.graft.VectorExprs
+            .idiv(lit(2).cast("decimal(38,0)") * d38(nc) * d38(nl) + d38(ns),
+              lit(2).cast("decimal(38,0)") * d38(ns))
+            .cast("long"))
+          .otherwise(lit(0L)).as("est_leaked"))
+      .orderBy("split_a", "split_b")
   }
 
   /** Band-explode a signature frame: every non-`__sig` column rides

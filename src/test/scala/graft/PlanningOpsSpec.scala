@@ -20,6 +20,35 @@ class PlanningOpsSpec extends SparkSpec {
     assert(out.map(_.getDouble(2)).toSeq === Seq(0.5, 0.5))
   }
 
+  test("crossSplitNearDupLeakSampled: frac=1 reproduces the exact census; " +
+       "frac=0.5 counts stay exact with sampled-subset verify") {
+    val docs = Tables.t(spark, sf, "documents").limit(400)
+      .withColumn("split", Sampling.splitAssign(col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "sp"))
+    val exact = Dedup.crossSplitNearDupLeak(docs, col("text"),
+      col("doc_id"), col("split")).collect()
+    val full = Dedup.crossSplitNearDupLeakSampled(docs, col("text"),
+      col("doc_id"), col("split"), frac = 1.0).collect()
+    assert(full.length === exact.length)
+    exact.zip(full).foreach { case (e, f) =>
+      assert(f.getString(0) === e.getString(0))
+      assert(f.getString(1) === e.getString(1))
+      assert(f.getLong(2) === e.getLong(2), "n_candidates exact")
+      assert(f.getLong(3) === e.getLong(2), "frac=1: every pair sampled")
+      assert(f.getLong(4) === e.getLong(3), "frac=1: sampled leaks = exact")
+      assert(f.getLong(6) === e.getLong(3), "frac=1: estimate = exact count")
+    }
+    val half = Dedup.crossSplitNearDupLeakSampled(docs, col("text"),
+      col("doc_id"), col("split"), frac = 0.5).collect()
+    exact.zip(half).foreach { case (e, h) =>
+      assert(h.getLong(2) === e.getLong(2), "candidate counts never sampled")
+      assert(h.getLong(3) <= e.getLong(2), "sample is a subset")
+    }
+    // the fixture actually exercises the sampling (some pair dropped)
+    assert(half.map(_.getLong(3)).sum < exact.map(_.getLong(2)).sum)
+    assert(half.map(_.getLong(3)).sum > 0)
+  }
+
   test("tClosenessReport: class matching the global distribution has t = 0") {
     val df = Seq(("a", 0L), ("a", 9L), ("b", 0L), ("b", 9L))
       .toDF("g", "v")

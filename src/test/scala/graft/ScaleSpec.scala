@@ -38,6 +38,47 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("staged LSH index: minhashAgainstIndex equals minhashAgainst and " +
+      "drops the corpus-side Exchange (bucketed scan feeds the semi-join)") {
+    // no limit(): GlobalLimit's SinglePartition output satisfies every
+    // clustering requirement and would erase the very exchanges this
+    // test pins
+    val docs = Tables.t(spark, sf, "documents")
+    val corpus = docs.where(col("doc_id") < 250)
+    val batch = docs.where(col("doc_id") >= 250)
+    Staging.stageBucketed(
+      Dedup.lshIndexFrame(corpus, col("text"), col("doc_id")),
+      "b_lsh_idx", "lsh_key", 4)
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // AQE off for the plan pin: its final-plan printout repeats the
+      // initial plan, which makes raw Exchange counts meaningless
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val staged = Dedup.minhashAgainstIndex(batch,
+        Staging.load(spark, "b_lsh_idx"), col("text"), col("doc_id"))
+      val inline = Dedup.minhashAgainst(batch, corpus, col("text"),
+        col("doc_id"))
+      val stagedPlan = staged.queryExecution.executedPlan.toString
+      val inlinePlan = inline.queryExecution.executedPlan.toString
+      def keyExchanges(plan: String, key: String): Int =
+        s"Exchange hashpartitioning\\($key".r.findAllIn(plan).size
+      // inline: BOTH sides of the band semi-join shuffle on the key;
+      // staged: only the batch side — the bucketed index scan satisfies
+      // the requirement from the catalog
+      assert(keyExchanges(inlinePlan, "__band") === 2, inlinePlan)
+      assert(keyExchanges(stagedPlan, "lsh_key") === 1, stagedPlan)
+      assert(stagedPlan.contains("Bucketed: true"),
+        s"index scan should read buckets:\n$stagedPlan")
+      assert(staged.orderBy("doc_id").select("doc_id").collect().toSeq ===
+        inline.orderBy("doc_id").select("doc_id").collect().toSeq)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
+
   test("graph vertex broadcasts: hinted at fixture scale, and the " +
       "broadcastVertices=false degrade path is hint-free with identical " +
       "results (the billion-vertex contract)") {
