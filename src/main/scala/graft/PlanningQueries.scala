@@ -789,6 +789,71 @@ object PlanningQueries {
       |WHERE d.doc_id >= 250 AND d.doc_id NOT IN (SELECT doc_id FROM hits)
       |ORDER BY doc_id""".stripMargin))
 
+  /** The q353 index CLOSED INTO AN INGESTION LOOP
+    * ([[Staging.appendBucketed]]): day-1 batch dedups against the staged
+    * corpus index, its SURVIVORS' signatures append to the index (only
+    * the new rows' bucket files are written — the index is never
+    * rebuilt), then the day-2 batch dedups against corpus ∪ survivors.
+    * Output = both days' survivors tagged by ingest day. Semantics are
+    * exactly inline [[Dedup.minhashAgainst]] against the accumulated
+    * corpus at each step — the oracle replays both days from the one
+    * bands CTE. At 100 TB this is the daily-crawl shape: per-day cost is
+    * O(day's batch) + an append, independent of corpus size. */
+  private val q354 = QDef("q354_dedup_index_ingest",
+    (s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val docs = T(s, dir, "documents")
+      val idx = s"graft_lsh_ing_$tag"
+      Staging.stageBucketed(
+        Dedup.lshIndexFrame(docs.where(col("doc_id") < 200),
+          col("text"), col("doc_id")),
+        idx, "lsh_key", 8)
+      val day1 = Dedup.minhashAgainstIndex(
+          docs.where(col("doc_id") >= 200 && col("doc_id") < 350),
+          Staging.load(s, idx), col("text"), col("doc_id"))
+        .localCheckpoint()
+      Staging.appendBucketed(
+        Dedup.lshIndexFrame(day1, col("text"), col("doc_id")),
+        idx, "lsh_key", 8)
+      val day2 = Dedup.minhashAgainstIndex(docs.where(col("doc_id") >= 350),
+        Staging.load(s, idx), col("text"), col("doc_id"))
+      day1.withColumn("ingest_day", lit(1))
+        .unionByName(day2.withColumn("ingest_day", lit(2)))
+        .select("ingest_day", "doc_id", "source")
+        .orderBy("ingest_day", "doc_id")
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |      FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |        range(0, len(t) - 2),
+      |        i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+      |      FROM toks WHERE len(t) >= 3),
+      |hs AS (SELECT doc_id, list_transform(shingles, s ->
+      |        ('0x' || substr(md5(s), 1, 7))::BIGINT) AS hh
+      |      FROM sh WHERE len(shingles) > 0),
+      |sig AS (SELECT doc_id, $sigSql16 AS sig FROM hs),
+      |bands AS (SELECT doc_id, b, list_slice(sig, 4*b + 1, 4*b + 4)
+      |        AS bucket FROM sig, range(0, 4) AS r(b)),
+      |hit1 AS (SELECT DISTINCT b.doc_id FROM bands b JOIN bands c
+      |        ON b.b = c.b AND b.bucket = c.bucket
+      |        AND b.doc_id >= 200 AND b.doc_id < 350 AND c.doc_id < 200),
+      |s1 AS (SELECT doc_id FROM documents
+      |      WHERE doc_id >= 200 AND doc_id < 350
+      |        AND doc_id NOT IN (SELECT doc_id FROM hit1)),
+      |idx2 AS (SELECT doc_id FROM documents WHERE doc_id < 200
+      |      UNION ALL SELECT doc_id FROM s1),
+      |hit2 AS (SELECT DISTINCT b.doc_id FROM bands b JOIN bands c
+      |        ON b.b = c.b AND b.bucket = c.bucket
+      |        AND b.doc_id >= 350 AND c.doc_id IN (SELECT doc_id FROM idx2)),
+      |s2 AS (SELECT doc_id FROM documents WHERE doc_id >= 350
+      |      AND doc_id NOT IN (SELECT doc_id FROM hit2))
+      |SELECT CAST(1 AS INTEGER) AS ingest_day, d.doc_id, d.source
+      |FROM documents d JOIN s1 USING (doc_id)
+      |UNION ALL
+      |SELECT CAST(2 AS INTEGER) AS ingest_day, d.doc_id, d.source
+      |FROM documents d JOIN s2 USING (doc_id)
+      |ORDER BY ingest_day, doc_id""".stripMargin))
+
   /** q349's REMEDY, proven: cluster-aware split assignment — split by
     * the near-dup CLUSTER (connected components over the same MinHash
     * band collisions), not the document — sends every collision-
@@ -871,5 +936,5 @@ object PlanningQueries {
       |ORDER BY split_a, split_b""".stripMargin))
 
   def all: Seq[QDef] = Seq(q336, q337, q338, q339, q340, q341, q342,
-    q343, q344, q345, q346, q347, q348, q349, q350, q352, q353)
+    q343, q344, q345, q346, q347, q348, q349, q350, q352, q353, q354)
 }

@@ -1668,35 +1668,51 @@ object Dedup {
       .repartition(para, col("__id")).localCheckpoint()
     val banded = bandExplode(tok.where(col("__sig").isNotNull)
       .select(col("__id"), col("__sp"), col("__sig")), numPerm, bands)
-    // candidates carry their split labels out of the banded join (no
-    // second label join needed); checkpointed: the exact count and the
-    // sampled verify both read this frame
+    // ONE streaming pass, nothing pair-sized ever materializes (the
+    // q350 sf1 lesson: checkpointing the quadratic candidate frame
+    // fills the disk exactly when the census matters), and the pipe is
+    // leakCensusTail's EXACT inner-join shape — a measured decision:
+    // the first cut gated the array joins with the sample flag inside
+    // LEFT-join conditions, and the off-shape joins cost ~2.2× the
+    // exact tail per verified pair at the sf1 probe regime (PLANS §r11
+    // q352), burying the sampling win. Here the only deviation from the
+    // exact tail is one projection per side that NULLS OUT the token
+    // array for non-sampled pairs BEFORE the next shuffle — the
+    // (1 − frac) array bytes never cross the wire, which is the entire
+    // intended saving; the pair stream itself (ids + labels) flows in
+    // full because the candidate counts are exact by contract.
     val cand = banded.as("a").join(banded.as("b"),
         col("a.__band") === col("b.__band") &&
           col("a.__bucket") === col("b.__bucket") &&
           col("a.__sp") =!= col("b.__sp"))
       .where(col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
-        least(col("a.__sp"), col("b.__sp")).as("split_a"),
-        greatest(col("a.__sp"), col("b.__sp")).as("split_b"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .distinct()
-      .localCheckpoint()
-    val exact = cand.groupBy("split_a", "split_b")
-      .agg(count(lit(1)).as("n_candidates"))
-    val sampled = cand.where(
-      pmod(hash60(concat(col("id_a").cast("string"), lit(":"),
-        col("id_b").cast("string"), lit(":"), lit(salt))), lit(1000000L))
-        < lit((frac * 1000000L).toLong))
-    val verified = sampled
-      .join(tok.select(col("__id").as("id_a"), col("__g").as("ga")), "id_a")
-      .join(tok.select(col("__id").as("id_b"), col("__g").as("gb")), "id_b")
-      .withColumn("__i", org.apache.spark.sql.graft.SparseExprs
-        .sortedIntersectCountLong(col("ga"), col("gb")))
-      .withColumn("__u",
-        (size(col("ga")) + size(col("gb"))).cast("long") - col("__i"))
-      .groupBy("split_a", "split_b")
-      .agg(count(lit(1)).as("n_sampled"),
-        sum(when(col("__i") * 10 >= col("__u") * minBin10, 1L)
+      .withColumn("__smp",
+        pmod(hash60(concat(col("id_a").cast("string"), lit(":"),
+          col("id_b").cast("string"), lit(":"), lit(salt))), lit(1000000L))
+          < lit((frac * 1000000L).toLong))
+    val verified = cand
+      .join(tok.select(col("__id").as("id_a"), col("__sp").as("sp_a"),
+        col("__g").as("ga0")), "id_a")
+      .select(col("id_a"), col("id_b"), col("__smp"), col("sp_a"),
+        when(col("__smp"), col("ga0")).as("ga"))
+      .join(tok.select(col("__id").as("id_b"), col("__sp").as("sp_b"),
+        col("__g").as("gb0")), "id_b")
+      .select(col("id_a"), col("id_b"), col("__smp"),
+        col("sp_a"), col("sp_b"),
+        col("ga"), when(col("__smp"), col("gb0")).as("gb"))
+      .withColumn("__i", when(col("__smp"),
+        org.apache.spark.sql.graft.SparseExprs
+          .sortedIntersectCountLong(col("ga"), col("gb"))))
+      .withColumn("__u", when(col("__smp"),
+        (size(col("ga")) + size(col("gb"))).cast("long") - col("__i")))
+      .groupBy(least(col("sp_a"), col("sp_b")).as("split_a"),
+        greatest(col("sp_a"), col("sp_b")).as("split_b"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("__smp"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("__smp") &&
+            col("__i") * 10 >= col("__u") * minBin10, 1L)
           .otherwise(0L)).as("n_leaked_sampled"))
     // observed-splits spine with explicit zero rows (q349 convention)
     val spark = tok.sparkSession
@@ -1706,16 +1722,14 @@ object Dedup {
       i <- splits.indices; j <- (i + 1) until splits.length
     } yield (splits(i), splits(j))
     val out =
-      if (pairsSeq.isEmpty) exact.join(verified, Seq("split_a", "split_b"))
-        .limit(0)
+      if (pairsSeq.isEmpty) verified.limit(0)
       else {
         val spine = spark.range(1)
           .select(explode(array(pairsSeq.map { case (a, b) =>
             struct(lit(a).as("split_a"), lit(b).as("split_b")) }: _*)).as("p"))
           .select(col("p.split_a").as("split_a"),
             col("p.split_b").as("split_b"))
-        spine.join(exact, Seq("split_a", "split_b"), "left")
-          .join(verified, Seq("split_a", "split_b"), "left")
+        spine.join(verified, Seq("split_a", "split_b"), "left")
       }
     val nc = coalesce(col("n_candidates"), lit(0L))
     val ns = coalesce(col("n_sampled"), lit(0L))

@@ -36,6 +36,20 @@ object Staging {
 
   def load(spark: SparkSession, table: String): DataFrame = spark.table(table)
 
+  /** Append rows to a table staged by [[stageBucketed]], preserving its
+    * bucket spec (the writer re-declares it; Spark verifies against the
+    * catalog). The incremental-index maintenance path: an ingest batch's
+    * SURVIVORS add their rows to the staged index so the next batch
+    * dedups against corpus ∪ survivors — appending writes only the new
+    * rows' buckets-worth of files, never rewriting the index (at 100 TB
+    * the index rewrite would dominate the ingest). Each bucket gains one
+    * file per append; periodic compaction (re-[[stageBucketed]]) bounds
+    * the file count, the classic LSM trade. */
+  def appendBucketed(df: DataFrame, table: String, key: String,
+                     buckets: Int): Unit =
+    df.write.mode(SaveMode.Append).format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+
   /** Sort-clustered parquet staging — the zone-map/data-skipping layout.
     *
     * `repartitionByRange` gives every output file a DISJOINT range of the

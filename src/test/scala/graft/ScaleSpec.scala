@@ -79,6 +79,38 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("appendBucketed: index append preserves the bucket spec and the " +
+      "two-day staged ingest equals the inline two-step dedup") {
+    val docs = Tables.t(spark, sf, "documents")
+    val corpus = docs.where(col("doc_id") < 200)
+    val batch1 = docs.where(col("doc_id") >= 200 && col("doc_id") < 350)
+    val batch2 = docs.where(col("doc_id") >= 350)
+    Staging.stageBucketed(
+      Dedup.lshIndexFrame(corpus, col("text"), col("doc_id")),
+      "b_lsh_ing", "lsh_key", 4)
+    val day1 = Dedup.minhashAgainstIndex(batch1,
+        Staging.load(spark, "b_lsh_ing"), col("text"), col("doc_id"))
+      .localCheckpoint()
+    Staging.appendBucketed(
+      Dedup.lshIndexFrame(day1, col("text"), col("doc_id")),
+      "b_lsh_ing", "lsh_key", 4)
+    // appended table keeps its bucket spec in the catalog
+    val spec = spark.sql("DESCRIBE EXTENDED b_lsh_ing").collect()
+      .map(r => s"${r.getString(0)}=${r.getString(1)}").mkString("; ")
+    assert(spec.contains("Num Buckets=4"), spec)
+    val day2 = Dedup.minhashAgainstIndex(batch2,
+      Staging.load(spark, "b_lsh_ing"), col("text"), col("doc_id"))
+    // inline reference: day-2 dedups against corpus ∪ day-1 survivors
+    val inline1 = Dedup.minhashAgainst(batch1, corpus, col("text"),
+      col("doc_id"))
+    val inline2 = Dedup.minhashAgainst(batch2,
+      corpus.unionByName(inline1), col("text"), col("doc_id"))
+    assert(day1.orderBy("doc_id").select("doc_id").collect().toSeq ===
+      inline1.orderBy("doc_id").select("doc_id").collect().toSeq)
+    assert(day2.orderBy("doc_id").select("doc_id").collect().toSeq ===
+      inline2.orderBy("doc_id").select("doc_id").collect().toSeq)
+  }
+
   test("graph vertex broadcasts: hinted at fixture scale, and the " +
       "broadcastVertices=false degrade path is hint-free with identical " +
       "results (the billion-vertex contract)") {
