@@ -935,6 +935,83 @@ object PlanningQueries {
       |FROM spine LEFT JOIN ag USING (split_a, split_b)
       |ORDER BY split_a, split_b""".stripMargin))
 
+  /** The ingestion trilogy CLOSED: q353 staged the corpus's LSH index,
+    * q354 appended to it — this query keeps the dedup CLUSTERS current
+    * without ever recomputing them. Day-0 corpus: star-spine CC labels
+    * ([[Dedup.minhashStarEdges]] → [[Dedup.connectedComponents]]). Batch
+    * arrives: its band rows probe the STAGED index (zero corpus-side
+    * exchange, the q353 property) for cross edges — contracted to ONE
+    * (min corpus member) edge per colliding (batch row, band key), linear
+    * in batch bands since same-bucket corpus docs are already one
+    * component — plus the batch's own star edges; then
+    * [[Dedup.ccIncremental]] merges them into the day-0 labels by
+    * running CC on the BATCH-SIZED contracted quotient graph and
+    * broadcasting the label patch back. Output = cluster census over
+    * corpus ∪ batch. The oracle is a full-recompute CC over ALL
+    * documents' band collisions — so the green row IS the
+    * incremental ≡ full-recompute equivalence proof, end-to-end. At
+    * 100 TB: per-batch cost is O(batch) signatures + a batch-side
+    * probe + a batch-sized CC, independent of corpus size (measured:
+    * PLANS §r11 incremental CC probe). */
+  private val q355 = QDef("q355_dedup_incremental_cc",
+    (s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val docs = T(s, dir, "documents")
+      val corpus = docs.where(col("doc_id") < 400)
+      val batch = docs.where(col("doc_id") >= 400)
+      val idx = s"graft_lsh_icc_$tag"
+      Staging.stageBucketed(
+        Dedup.lshIndexFrame(corpus, col("text"), col("doc_id")),
+        idx, "lsh_key", 8)
+      val labels0 = Dedup.connectedComponents(
+        Dedup.minhashStarEdges(corpus, col("text"), col("doc_id")))
+      val batchBands = Dedup.lshIndexFrame(batch, col("text"), col("doc_id"))
+        .withColumnRenamed("corpus_id", "batch_id")
+      // one (min corpus member) edge per colliding (batch row, key):
+      // same-bucket corpus docs are already connected in labels0, so a
+      // single representative carries the connectivity — linear in
+      // batch bands no matter how crowded the corpus bucket is
+      val cross = batchBands
+        .join(Staging.load(s, idx), Seq("lsh_key"))
+        .groupBy(col("batch_id"), col("lsh_key"))
+        .agg(min(col("corpus_id")).as("corpus_rep"))
+        .select(col("corpus_rep").as("id_a"), col("batch_id").as("id_b"))
+        .distinct()
+      val within = Dedup.minhashStarEdges(batch, col("text"), col("doc_id"))
+      Dedup.ccIncremental(labels0, cross.unionByName(within))
+        .groupBy(col("comp").as("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("id") >= 400, 1)).as("n_new"),
+          max("id").as("max_doc_id"))
+        .orderBy("cluster_id")
+    },
+    Some(s"""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |      FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |        range(0, len(t) - 2),
+      |        i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+      |      FROM toks WHERE len(t) >= 3),
+      |hs AS (SELECT doc_id, list_transform(shingles, s ->
+      |        ('0x' || substr(md5(s), 1, 7))::BIGINT) AS hh
+      |      FROM sh WHERE len(shingles) > 0),
+      |sig AS (SELECT doc_id, $sigSql16 AS sig FROM hs),
+      |bands AS (SELECT doc_id, b, list_slice(sig, 4*b + 1, 4*b + 4)
+      |        AS bucket FROM sig, range(0, 4) AS r(b)),
+      |mp AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |      FROM bands a JOIN bands b
+      |      ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM mp
+      |          UNION ALL SELECT id_b, id_a FROM mp),
+      |reach(id, comp) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+      |lab AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+      |SELECT comp AS cluster_id, count(*) AS n_docs,
+      |  count(*) FILTER (WHERE id >= 400) AS n_new,
+      |  max(id) AS max_doc_id
+      |FROM lab GROUP BY comp ORDER BY cluster_id""".stripMargin))
+
   def all: Seq[QDef] = Seq(q336, q337, q338, q339, q340, q341, q342,
-    q343, q344, q345, q346, q347, q348, q349, q350, q352, q353, q354)
+    q343, q344, q345, q346, q347, q348, q349, q350, q352, q353, q354, q355)
 }

@@ -47,6 +47,45 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  test("ccIncremental: hand-built merge cases — old-old via new node, " +
+       "unlabeled-old endpoint, fresh pair, empty batch") {
+    def lab(df: org.apache.spark.sql.DataFrame) =
+      rows(df.orderBy("id")).map(r => (r.getLong(0), r.getLong(1)))
+    val labels = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L)).toDF("id", "comp")
+    // (a) new node 9 bridges comps 1 and 5 -> everything labels 1;
+    //     (10,11) is a fresh pair -> labels 10
+    val e1 = Seq((2L, 9L), (9L, 5L), (10L, 11L)).toDF("id_a", "id_b")
+    assert(lab(Dedup.ccIncremental(labels, e1)) ===
+      Seq(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L, 9L -> 1L, 10L -> 10L, 11L -> 10L))
+    // (b) endpoint 3 was never labeled (isolated old doc) and is SMALLER
+    //     than the comp it joins -> the comp relabels to 3
+    val e2 = Seq((6L, 3L)).toDF("id_a", "id_b")
+    assert(lab(Dedup.ccIncremental(labels, e2)) ===
+      Seq(1L -> 1L, 2L -> 1L, 3L -> 3L, 5L -> 3L, 6L -> 3L))
+    // (c) empty batch -> labels pass through unchanged
+    val e0 = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(lab(Dedup.ccIncremental(labels, e0)) ===
+      Seq(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("ccIncremental over a corpus/batch edge split equals full-recompute " +
+       "CC over all edges (fixture, 3-shingle collision graph)") {
+    val docs = Tables.t(spark, sf, "documents").limit(300)
+    val pairs = Dedup.minhashCandidates(docs, col("text"), col("doc_id"),
+      shingleSize = 3, numPerm = 16, bands = 4)
+      .select("id_a", "id_b").localCheckpoint()
+    val cut = 150L // old graph = pairs wholly below the cut; batch = the rest
+    val oldE = pairs.where(col("id_a") < cut && col("id_b") < cut)
+    val newE = pairs.where(col("id_a") >= cut || col("id_b") >= cut)
+    def lab(df: org.apache.spark.sql.DataFrame) =
+      rows(df.orderBy("id")).map(r => (r.getLong(0), r.getLong(1)))
+    val incr = lab(Dedup.ccIncremental(Dedup.connectedComponents(oldE), newE))
+    val full = lab(Dedup.connectedComponents(pairs))
+    assert(incr === full)
+    assert(full.nonEmpty) // fixture actually exercises the merge
+    assert(newE.count() > 0 && oldE.count() > 0) // both regimes present
+  }
+
   test("simhash: identical -> hamming 0; pairs beyond maxDist filtered") {
     val df = Seq((1L, "alpha beta gamma delta", "s"), (2L, "alpha beta gamma delta", "s"),
       (3L, "zz yy xx ww vv uu", "s")).toDF("id", "t", "src")

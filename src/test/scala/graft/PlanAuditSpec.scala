@@ -198,6 +198,12 @@ class PlanAuditSpec extends SparkSpec {
     "q183_quantile_effect" -> 1, // one percentile-cut-point row
     "q299_hill_tail" -> 1, // k-th order statistic (1 row)
     "q190_bm25_search" -> 1, // df over the literal query-term set
+    // batch-bounded ingest patches: ccIncremental's three broadcasts
+    // (touched-endpoint ids, their label subset, the component remap)
+    // are each ≤ 2·|batch edges| rows by the operator's contract —
+    // the batch-sized quotient device that makes incremental CC
+    // corpus-shuffle-free (Dedup.scala ccIncremental scaladoc)
+    "q355_dedup_incremental_cc" -> 3,
     // documented small-by-contract reference sets
     "q122_fuzzy_names" -> 1, // reference name list (lookup-table side)
     "q210_jaro_winkler_pairs" -> 1, // reference name list

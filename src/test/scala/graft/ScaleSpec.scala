@@ -194,6 +194,64 @@ class ScaleSpec extends SparkSpec {
     assert(csRows === csRows0)
   }
 
+  test("ccIncremental: the corpus labels input is scanned exactly TWICE " +
+      "(touched-endpoint subset + relabel), each join broadcasting the " +
+      "batch-bounded side — the O(batch) ingest contract") {
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, LogicalPlan, ResolvedHint}
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.util.QueryExecutionListener
+    // labels straight off parquet so the corpus input is identifiable in
+    // every executed plan; batch edges are a LocalRelation
+    val labels = Tables.t(spark, sf, "documents")
+      .select(col("doc_id").as("id"), col("doc_id").as("comp"))
+    val newE = Seq((1L, 9001L), (9001L, 9002L), (2L, 3L), (9010L, 9011L))
+      .toDF("id_a", "id_b")
+    def scansDocs(p: LogicalPlan): Boolean = p.exists {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.exists(_.toString.contains("documents"))
+        case _ => false
+      }
+      case _ => false
+    }
+    def hasBcastHint(p: LogicalPlan): Boolean = p.exists {
+      case ResolvedHint(_, h) => h.strategy.contains(BROADCAST)
+      case _ => false
+    }
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[LogicalPlan]()
+    val l = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+                             durationNs: Long): Unit =
+        captured.add(qe.analyzed)
+      override def onFailure(funcName: String, qe: QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    org.apache.spark.sql.graft.TestListenerBus.drain(spark.sparkContext)
+    spark.listenerManager.register(l)
+    val got =
+      try {
+        val out = Dedup.ccIncremental(labels, newE)
+        val got = out.collect()
+        org.apache.spark.sql.graft.TestListenerBus.drain(spark.sparkContext)
+        got
+      } finally spark.listenerManager.unregister(l)
+    val plans = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(captured.iterator).asScala.toSeq
+    val docScans = plans.filter(scansDocs)
+    assert(docScans.size === 2,
+      s"labels must be scanned exactly twice, saw ${docScans.size}")
+    assert(docScans.forall(hasBcastHint),
+      "every labels scan must sit behind a broadcast of the batch side")
+    // toy-batch correctness: merges relabel through the patch, untouched
+    // rows pass through, fresh pairs get fresh components
+    val m = got.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 9001L, 9002L).forall(m(_) == 1L))
+    assert(m(2L) === 2L && m(3L) === 2L)
+    assert(m(9010L) === 9010L && m(9011L) === 9010L)
+    assert(m(10L) === 10L) // untouched corpus row unchanged
+  }
+
   test("q350 fused cluster-safe split: exactly ONE MinhashSig tokenize " +
       "execution across construction + the final census (r10 directive 1)") {
     import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
