@@ -1012,6 +1012,114 @@ object PlanningQueries {
       |  max(id) AS max_doc_id
       |FROM lab GROUP BY comp ORDER BY cluster_id""".stripMargin))
 
+  /** [[Dedup.splitStableIngest]]: split STABILITY under ingest. Day 0
+    * assigns splits cluster-safely (component-hash over the corpus CC);
+    * the batch then merges into the cluster structure incrementally
+    * (q355's quotient device over the staged q353 index), old docs KEEP
+    * their split (they have already been trained/evaluated on), new
+    * docs inherit their merged component's min-old-member split (fresh
+    * components hash-assign), and merged components whose old members
+    * span ≥ 2 splits are REPORTED as irreducible legacy conflicts. The
+    * oracle replays both CC chains (corpus-only for day 0, full for the
+    * merge) and the inheritance/conflict analysis over the full pair
+    * graph — proving the touched-components-only Spark path equals the
+    * full semantics. */
+  private val q356 = QDef("q356_split_stable_ingest",
+    (s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val docs = T(s, dir, "documents")
+      val corpus = docs.where(col("doc_id") < 400)
+      val batch = docs.where(col("doc_id") >= 400)
+      val idx = s"graft_lsh_ssi_$tag"
+      Staging.stageBucketed(
+        Dedup.lshIndexFrame(corpus, col("text"), col("doc_id")),
+        idx, "lsh_key", 8)
+      val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      val labels0 = Dedup.connectedComponents(
+        Dedup.minhashStarEdges(corpus, col("text"), col("doc_id")))
+      val oldAssign = corpus.select(col("doc_id").cast("long").as("id"))
+        .join(labels0.withColumnRenamed("id", "__lid"),
+          col("id") === col("__lid"), "left")
+        .select(col("id"),
+          Sampling.splitAssign(coalesce(col("comp"), col("id")), fr, "ssi")
+            .as("split"),
+          col("comp"))
+      Dedup.splitStableIngest(oldAssign, Staging.load(s, idx), batch,
+        col("text"), col("doc_id"),
+        c => Sampling.splitAssign(c, fr, "ssi"),
+        spineSplits = Seq("test", "train", "val"))
+    },
+    Some(s"""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |      FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |        range(0, len(t) - 2),
+      |        i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+      |      FROM toks WHERE len(t) >= 3),
+      |hs AS (SELECT doc_id, list_transform(shingles, s ->
+      |        ('0x' || substr(md5(s), 1, 7))::BIGINT) AS hh
+      |      FROM sh WHERE len(shingles) > 0),
+      |sig AS (SELECT doc_id, $sigSql16 AS sig FROM hs),
+      |bands AS (SELECT doc_id, b, list_slice(sig, 4*b + 1, 4*b + 4)
+      |        AS bucket FROM sig, range(0, 4) AS r(b)),
+      |mp0 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |      FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket
+      |        AND a.doc_id < b.doc_id AND b.doc_id < 400),
+      |ed0 AS (SELECT id_a AS src, id_b AS dst FROM mp0
+      |      UNION ALL SELECT id_b, id_a FROM mp0),
+      |rc0(id, comp) AS (
+      |  SELECT src, src FROM ed0
+      |  UNION
+      |  SELECT e.src, r.comp FROM ed0 e JOIN rc0 r ON e.dst = r.id),
+      |lab0 AS (SELECT id, min(comp) AS comp FROM rc0 GROUP BY id),
+      |a0 AS (SELECT dd.doc_id AS id,
+      |        CASE WHEN hv < 800000 THEN 'train'
+      |             WHEN hv < 900000 THEN 'val' ELSE 'test' END AS sp
+      |      FROM (SELECT d2.doc_id,
+      |          ('0x' || substr(md5(CAST(coalesce(l.comp, d2.doc_id)
+      |            AS VARCHAR) || 'ssi'), 1, 15))::BIGINT % 1000000 AS hv
+      |        FROM documents d2 LEFT JOIN lab0 l ON d2.doc_id = l.id
+      |        WHERE d2.doc_id < 400) dd),
+      |mp AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |      FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket
+      |        AND a.doc_id < b.doc_id),
+      |ed AS (SELECT id_a AS src, id_b AS dst FROM mp
+      |      UNION ALL SELECT id_b, id_a FROM mp),
+      |rc(id, comp) AS (
+      |  SELECT src, src FROM ed
+      |  UNION
+      |  SELECT e.src, r.comp FROM ed e JOIN rc r ON e.dst = r.id),
+      |lab AS (SELECT id, min(comp) AS comp FROM rc GROUP BY id),
+      |c1 AS (SELECT d2.doc_id, coalesce(l.comp, d2.doc_id) AS comp
+      |      FROM documents d2 LEFT JOIN lab l ON d2.doc_id = l.id),
+      |oldm AS (SELECT c1.comp, a0.sp, c1.doc_id
+      |      FROM c1 JOIN a0 ON c1.doc_id = a0.id),
+      |inh AS (SELECT comp, min_by(sp, doc_id) AS isp,
+      |        count(DISTINCT sp) AS nsp FROM oldm GROUP BY comp),
+      |newsp AS (SELECT cb.doc_id,
+      |        CASE WHEN i.comp IS NOT NULL THEN i.isp
+      |             WHEN cb.hv2 < 800000 THEN 'train'
+      |             WHEN cb.hv2 < 900000 THEN 'val' ELSE 'test' END AS sp
+      |      FROM (SELECT doc_id, comp,
+      |          ('0x' || substr(md5(CAST(comp AS VARCHAR) || 'ssi'),
+      |            1, 15))::BIGINT % 1000000 AS hv2
+      |        FROM c1 WHERE doc_id >= 400) cb
+      |      LEFT JOIN inh i USING (comp)),
+      |confm AS (SELECT DISTINCT m.comp, m.sp FROM oldm m
+      |      JOIN inh i ON m.comp = i.comp AND i.nsp >= 2),
+      |spine AS (SELECT * FROM (VALUES ('test'), ('train'), ('val'))
+      |      AS s(split)),
+      |no AS (SELECT sp AS split, count(*) AS n FROM a0 GROUP BY sp),
+      |nn AS (SELECT sp AS split, count(*) AS n FROM newsp GROUP BY sp),
+      |nc AS (SELECT sp AS split, count(*) AS n FROM confm GROUP BY sp)
+      |SELECT spine.split,
+      |  coalesce(no.n, CAST(0 AS BIGINT)) AS n_old,
+      |  coalesce(nn.n, CAST(0 AS BIGINT)) AS n_new,
+      |  coalesce(nc.n, CAST(0 AS BIGINT)) AS n_conflict_components
+      |FROM spine LEFT JOIN no USING (split) LEFT JOIN nn USING (split)
+      |LEFT JOIN nc USING (split)
+      |ORDER BY split""".stripMargin))
+
   def all: Seq[QDef] = Seq(q336, q337, q338, q339, q340, q341, q342,
-    q343, q344, q345, q346, q347, q348, q349, q350, q352, q353, q354, q355)
+    q343, q344, q345, q346, q347, q348, q349, q350, q352, q353, q354, q355,
+    q356)
 }

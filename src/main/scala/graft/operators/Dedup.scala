@@ -1041,6 +1041,30 @@ object Dedup {
                     maxIter: Int = 20): DataFrame = {
     val l = labels.select(col("id").cast("long").as("id"),
       col("comp").cast("long").as("comp"))
+    val (ends, lsub, remap) = ccContract(l, newEdges, maxIter)
+    // corpus scan 2: map-side relabel (comp is an old component minimum
+    // iff it appears as a remap key)
+    val relabeled = l.join(broadcast(remap), l("comp") === col("__old"), "left")
+      .select(l("id"), coalesce(col("__new"), l("comp")).as("comp"))
+    // endpoints with no prior label: batch docs and previously-isolated
+    // old docs — their contracted id is themselves, so the same remap
+    // applies, defaulting to a fresh singleton
+    val fresh = ends.join(lsub.select("id"), Seq("id"), "left_anti")
+    val freshLab = fresh.join(broadcast(remap), fresh("id") === col("__old"), "left")
+      .select(fresh("id"), coalesce(col("__new"), fresh("id")).as("comp"))
+    relabeled.unionByName(freshLab)
+  }
+
+  /** The contraction + micro-CC core shared by [[ccIncremental]] and
+    * [[splitStableIngest]]. Takes NORMALIZED labels (long id, long comp)
+    * and returns (touched endpoints, their label subset, label patch):
+    * the patch maps a contracted-node id (an old component minimum, a
+    * batch id, or a previously-isolated old id) to its merged
+    * component's new minimum, and contains only nodes whose label
+    * MOVED. All three frames are ≤ 2·|newEdges| rows — batch-bounded
+    * by construction, never corpus-sized. */
+  private def ccContract(l: DataFrame, newEdges: DataFrame,
+                         maxIter: Int): (DataFrame, DataFrame, DataFrame) = {
     val e = newEdges
       .select(col("id_a").cast("long").as("__ea"),
         col("id_b").cast("long").as("__eb"))
@@ -1065,17 +1089,108 @@ object Dedup {
     val remap = micro.where(col("id") =!= col("comp"))
       .select(col("id").as("__old"), col("comp").as("__new"))
       .localCheckpoint()
-    // corpus scan 2: map-side relabel (comp is an old component minimum
-    // iff it appears as a remap key)
-    val relabeled = l.join(broadcast(remap), l("comp") === col("__old"), "left")
-      .select(l("id"), coalesce(col("__new"), l("comp")).as("comp"))
-    // endpoints with no prior label: batch docs and previously-isolated
-    // old docs — their contracted id is themselves, so the same remap
-    // applies, defaulting to a fresh singleton
-    val fresh = ends.join(lsub.select("id"), Seq("id"), "left_anti")
-    val freshLab = fresh.join(broadcast(remap), fresh("id") === col("__old"), "left")
-      .select(fresh("id"), coalesce(col("__new"), fresh("id")).as("comp"))
-    relabeled.unionByName(freshLab)
+    (ends, lsub, remap)
+  }
+
+  /** SPLIT STABILITY under ingest — the invariant cluster-safe
+    * splitting (q350/q351) cannot keep by itself once batches arrive:
+    * a document already assigned to a split has already been trained
+    * or evaluated on, so it can NEVER move, yet an ingest batch can
+    * near-dup-bridge two components that day 0 assigned to DIFFERENT
+    * splits. This operator (a) merges the batch into the cluster
+    * structure incrementally ([[ccContract]] — CC over the batch-sized
+    * quotient only), (b) keeps every old document's split EXACTLY as
+    * assigned, (c) gives each batch document the split of its merged
+    * component's minimum-id old member (deterministic inheritance; a
+    * component with no old member is fresh and split-assigns by its
+    * component label, the q350 convention), and (d) REPORTS the
+    * irreducible legacy conflicts — merged components whose old
+    * members span ≥ 2 splits — instead of hiding them: those
+    * documents' mutual leakage is historical fact, and the census is
+    * what tells the eval owner which split pairs are compromised.
+    *
+    * `oldAssign` = (id, split, comp) — the day-0 assignment with its
+    * component label (comp null for docs that had no collision).
+    * `corpusIndex` = the staged [[lshIndexFrame]] of the corpus
+    * (bucketed on lsh_key, the q353 device). Output: one row per
+    * declared spine split — (split, n_old, n_new,
+    * n_conflict_components), where the conflict count is the number of
+    * conflicted components whose OLD members include this split.
+    *
+    * Scale shape: the corpus-sized `oldAssign` is scanned three times
+    * — once inside [[ccContract]] (endpoint subset, broadcast-
+    * filtered), once for the 3-row n_old census (map-side combine),
+    * once broadcast-filtered down to the batch-TOUCHED components for
+    * inheritance/conflict analysis (conflicts can only arise in
+    * touched components: every new edge has a batch endpoint, so any
+    * merged component contains a batch doc — algebra, not assertion)
+    * — and is never shuffled. Everything else is batch-bounded. */
+  def splitStableIngest(oldAssign: DataFrame, corpusIndex: DataFrame,
+                        batch: DataFrame, text: Column, id: Column,
+                        splitBy: Column => Column,
+                        spineSplits: Seq[String],
+                        shingleSize: Int = 3, numPerm: Int = 16,
+                        bands: Int = 4, maxIter: Int = 20): DataFrame = {
+    val oa = oldAssign.select(col("id").cast("long").as("id"),
+      col("split").as("__sp0"), col("comp").cast("long").as("__c0"))
+    val bb = lshIndexFrame(batch, text, id, shingleSize, numPerm, bands)
+      .withColumnRenamed("corpus_id", "batch_id")
+    // cross edges off the STAGED index: one (min corpus member) edge per
+    // colliding (batch row, band key) — linear in batch bands (the q355
+    // contraction: same-bucket corpus docs are already one component)
+    val cross = bb.join(corpusIndex, Seq("lsh_key"))
+      .groupBy(col("batch_id"), col("lsh_key"))
+      .agg(min(col("corpus_id")).as("__rep"))
+      .select(col("__rep").as("id_a"), col("batch_id").as("id_b"))
+      .distinct()
+    val within = minhashStarEdges(batch, text, id, shingleSize, numPerm, bands)
+    val labels0 = oa.where(col("__c0").isNotNull)
+      .select(col("id"), col("__c0").as("comp"))
+    val (_, _, remap) = ccContract(labels0,
+      cross.unionByName(within), maxIter)
+    // batch docs' merged components (batch-bounded; isolated -> own id)
+    val bFull = batch.select(id.cast("long").as("id"))
+      .join(broadcast(remap), col("id") === col("__old"), "left")
+      .select(col("id"), coalesce(col("__new"), col("id")).as("__c1"))
+      .localCheckpoint()
+    val touched = bFull.select(col("__c1")).distinct()
+    // old members of TOUCHED components only, with their merged label:
+    // patch key = day-0 component (or own id when isolated), applied as
+    // a broadcast map over one corpus scan
+    val oldTouched = oa
+      .join(broadcast(remap),
+        coalesce(col("__c0"), col("id")) === col("__old"), "left")
+      .select(col("id"), col("__sp0"),
+        coalesce(col("__new"), col("__c0"), col("id")).as("__c1"))
+      .join(broadcast(touched), Seq("__c1"))
+      .localCheckpoint()
+    // inheritance + conflict analysis per touched component
+    val inh = oldTouched.groupBy(col("__c1"))
+      .agg(min_by(col("__sp0"), col("id")).as("__isp"),
+        countDistinct(col("__sp0")).as("__nsp"))
+      .localCheckpoint()
+    val newSp = bFull.join(inh, Seq("__c1"), "left")
+      .select(col("id"), coalesce(col("__isp"), splitBy(col("__c1"))).as("__sp"))
+    val conf = oldTouched.select(col("__c1"), col("__sp0")).distinct()
+      .join(inh.where(col("__nsp") >= 2).select(col("__c1")),
+        Seq("__c1"), "left_semi")
+    // census over the DECLARED spine (the q351 lesson: an observed
+    // spine goes silent exactly when the assignment degenerates)
+    val spark0 = batch.sparkSession
+    val spine = spark0.range(1)
+      .select(explode(array(spineSplits.map(lit): _*)).as("split"))
+    spine
+      .join(oa.groupBy(col("__sp0").as("split"))
+        .agg(count(lit(1)).as("__no")), Seq("split"), "left")
+      .join(newSp.groupBy(col("__sp").as("split"))
+        .agg(count(lit(1)).as("__nn")), Seq("split"), "left")
+      .join(conf.groupBy(col("__sp0").as("split"))
+        .agg(count(lit(1)).as("__nc")), Seq("split"), "left")
+      .select(col("split"),
+        coalesce(col("__no"), lit(0L)).as("n_old"),
+        coalesce(col("__nn"), lit(0L)).as("n_new"),
+        coalesce(col("__nc"), lit(0L)).as("n_conflict_components"))
+      .orderBy("split")
   }
 
   // ------------------------------------------------------------------ bloom

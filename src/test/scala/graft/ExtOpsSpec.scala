@@ -86,6 +86,35 @@ class ExtOpsSpec extends SparkSpec {
     assert(newE.count() > 0 && oldE.count() > 0) // both regimes present
   }
 
+  test("splitStableIngest: old docs never move, new docs inherit the " +
+       "min-old-member split, bridged legacy splits are REPORTED as " +
+       "conflicts, fresh components hash out") {
+    // bands == numPerm (1 hash per band) makes collisions deterministic:
+    // a union-of-tokens doc's per-perm min equals one side's or the
+    // other's, so SOME band collides with each bridged doc
+    val oldAssign = Seq(
+      (1L, "train", None: Option[Long]),
+      (2L, "test", None: Option[Long]),
+      (5L, "val", None: Option[Long]))
+      .toDF("id", "split", "comp")
+    val corpusDocs = Seq((1L, "aa"), (2L, "bb"), (5L, "ee")).toDF("id", "t")
+    val corpusIndex = Dedup.lshIndexFrame(corpusDocs, col("t"), col("id"),
+      shingleSize = 1, numPerm = 16, bands = 16)
+    // doc 10 bridges corpus docs 1 (train) and 2 (test) -> legacy
+    // conflict; doc 11 is isolated -> fresh component
+    val batch = Seq((10L, "aa bb"), (11L, "zz")).toDF("id", "t")
+    val got = rows(Dedup.splitStableIngest(oldAssign, corpusIndex, batch,
+      col("t"), col("id"), _ => lit("fresh"),
+      spineSplits = Seq("fresh", "test", "train", "val"),
+      shingleSize = 1, numPerm = 16, bands = 16))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got === Seq(
+      ("fresh", 0L, 1L, 0L),   // doc 11: fresh component, hash-assigned
+      ("test", 1L, 0L, 1L),    // doc 2 stays; its comp is conflicted
+      ("train", 1L, 1L, 1L),   // doc 1 stays; doc 10 inherits min-old=1
+      ("val", 1L, 0L, 0L)))    // untouched doc 5 unchanged, no conflict
+  }
+
   test("simhash: identical -> hamming 0; pairs beyond maxDist filtered") {
     val df = Seq((1L, "alpha beta gamma delta", "s"), (2L, "alpha beta gamma delta", "s"),
       (3L, "zz yy xx ww vv uu", "s")).toDF("id", "t", "src")

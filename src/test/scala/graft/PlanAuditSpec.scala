@@ -204,6 +204,8 @@ class PlanAuditSpec extends SparkSpec {
     // the batch-sized quotient device that makes incremental CC
     // corpus-shuffle-free (Dedup.scala ccIncremental scaladoc)
     "q355_dedup_incremental_cc" -> 3,
+    // same contract + the batch components' touched-set broadcast
+    "q356_split_stable_ingest" -> 4,
     // documented small-by-contract reference sets
     "q122_fuzzy_names" -> 1, // reference name list (lookup-table side)
     "q210_jaro_winkler_pairs" -> 1, // reference name list
