@@ -802,6 +802,50 @@ object ExtQueries {
       |SELECT qid, rank, id, round(cs, 4) AS cos_sim
       |FROM rk WHERE rank <= 3 ORDER BY qid, rank""".stripMargin))
 
+  /** q55's IVF kNN join against a PRE-STAGED index
+    * ([[Similarity.ivfIndexFrame]] bucketed on `cell` — the q353
+    * staging trade applied to ANN serving): identical output under the
+    * SAME oracle, but each query batch pays zero corpus-side
+    * assignment scan and zero corpus-side Exchange (plan property
+    * pinned in ScaleSpec). The 100 TB serving shape: stage once per
+    * corpus build, then every batch costs O(batch · nProbe) plus a
+    * bucketed index read. */
+  private val q357 = QDef("q357_ann_staged_ivf",
+    (s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val e = T(s, dir, "embeddings")
+      val cents = trainedCodebook(s, dir, c = 16, iters = 2)
+      Staging.stageBucketed(
+        Similarity.ivfIndexFrame(e, col("embedding"), col("vec_id"), cents),
+        s"graft_ivf_idx_$tag", "cell", 8)
+      Similarity.ivfKnnJoinIndex(Staging.load(s, s"graft_ivf_idx_$tag"),
+        e.filter(col("label") === 1), col("embedding"), col("vec_id"),
+        k = 3, centroids = cents, nProbe = 4)
+        .select(col("qid"), col("rank"), col("id"),
+          round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy("qid", "rank")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |${kmeansCtes(16, 64, 2)},
+      |a0 AS (SELECT e.vec_id, e.emb, c.cid,
+      |         row_number() OVER (PARTITION BY e.vec_id
+      |           ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC, c.cid) AS rn
+      |       FROM e, c),
+      |assign AS (SELECT vec_id, emb, cid AS cell FROM a0 WHERE rn = 1),
+      |q0 AS (SELECT e.vec_id AS qid, e.emb AS qemb, c.cid AS cell,
+      |         row_number() OVER (PARTITION BY e.vec_id
+      |           ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC, c.cid) AS rn
+      |       FROM e, c WHERE e.label = 1),
+      |q AS (SELECT qid, qemb, cell FROM q0 WHERE rn <= 4),
+      |cand AS (SELECT q.qid, a.vec_id AS id,
+      |           list_cosine_similarity(a.emb, q.qemb) AS cs
+      |         FROM assign a JOIN q ON a.cell = q.cell),
+      |rk AS (SELECT qid, id, cs,
+      |         row_number() OVER (PARTITION BY qid ORDER BY cs DESC, id) AS rank
+      |       FROM cand)
+      |SELECT qid, rank, id, round(cs, 4) AS cos_sim
+      |FROM rk WHERE rank <= 3 ORDER BY qid, rank""".stripMargin))
+
   /** Corpus balancing: exactly 40 docs per source, hash-ordered
     * ([[Sampling.stratifiedFixed]]). */
   private val q56 = QDef("q56_stratified_sample",
@@ -3087,5 +3131,6 @@ object ExtQueries {
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106,
     q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
     q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
-    q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q351)
+    q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q351,
+    q357)
 }

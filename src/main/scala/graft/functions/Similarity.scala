@@ -175,6 +175,45 @@ object Similarity {
       .select(col("qid"), col("rank"), col("id"), col("__cos").as("cos_sim"))
   }
 
+  /** The corpus side of [[ivfKnnJoin]] precomputed for STAGING: one row
+    * per vector with its nearest-centroid cell, embedding, and L2 norm.
+    * Written once per corpus build via [[graft.Staging.stageBucketed]]
+    * keyed by `cell`; every later query batch then joins the STAGED
+    * index with zero Exchange on the corpus side
+    * ([[ivfKnnJoinIndex]]) — the q353 staging trade applied to ANN
+    * serving: at 100 TB the cell assignment (a 16-centroid cosine per
+    * row over the full embedding column) is the dominant per-batch
+    * cost of the inline join, and it becomes a one-time staging cost.
+    * Index layout is standard IVF-flat (Jégou et al. 2011). */
+  def ivfIndexFrame(corpus: DataFrame, emb: Column, id: Column,
+                    centroids: Seq[(Long, Array[Double])]): DataFrame =
+    corpus.select(id.as("id"), emb.cast("array<double>").as("emb"))
+      .withColumn("cell", element_at(nearestCells(col("emb"), centroids, 1), 1))
+      .withColumn("nrm", l2(col("emb")))
+
+  /** [[ivfKnnJoin]] against a PRE-STAGED index ([[ivfIndexFrame]]
+    * bucketed on `cell`): identical output (ScaleSpec pins result
+    * equality; q357 pins the shared oracle), but the corpus-side
+    * assignment scan and join shuffle are gone — the bucketed scan
+    * satisfies the join's distribution from the catalog, so only the
+    * (small) query batch shuffles, sized by the index's bucket count. */
+  def ivfKnnJoinIndex(index: DataFrame, queries: DataFrame, qEmb: Column,
+                      qId: Column, k: Int,
+                      centroids: Seq[(Long, Array[Double])],
+                      nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(qId.as("qid"), qEmb.cast("array<double>").as("__q"))
+      .withColumn("cell", explode(nearestCells(col("__q"), centroids, nProbe)))
+      .withColumn("__qn", l2(col("__q")))
+    val w = Window.partitionBy("qid").orderBy(desc("__cos"), col("id"))
+    index.join(q, "cell")
+      .select(col("qid"), col("id"),
+        (dot(col("emb"), col("__q")) / (col("nrm") * col("__qn"))).as("__cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("__cos").as("cos_sim"))
+  }
+
   /** LSH-bucketed approximate top-k: candidates = rows in the query's bucket
     * (across `numTables` independent hash tables to boost recall), exact
     * cosine within candidates only. Bucket ids are tagged with the table

@@ -79,6 +79,49 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("staged IVF index: ivfKnnJoinIndex equals ivfKnnJoin and drops " +
+      "the corpus-side Exchange (bucketed cell scan feeds the join)") {
+    val e = Tables.t(spark, sf, "embeddings")
+    val cents = Similarity.kmeansCentroids(e, col("embedding"),
+      col("vec_id"), c = 8, iters = 1)
+    Staging.stageBucketed(
+      Similarity.ivfIndexFrame(e, col("embedding"), col("vec_id"), cents),
+      "b_ivf_idx", "cell", 4)
+    val queries = e.filter(col("label") === 1)
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val staged = Similarity.ivfKnnJoinIndex(Staging.load(spark, "b_ivf_idx"),
+        queries, col("embedding"), col("vec_id"), k = 3,
+        centroids = cents, nProbe = 2)
+      val inline = Similarity.ivfKnnJoin(e, col("embedding"), col("vec_id"),
+        queries, col("embedding"), col("vec_id"), k = 3,
+        centroids = cents, nProbe = 2)
+      val stagedPlan = staged.queryExecution.executedPlan.toString
+      val inlinePlan = inline.queryExecution.executedPlan.toString
+      def keyExchanges(plan: String, key: String): Int =
+        s"Exchange hashpartitioning\\($key".r.findAllIn(plan).size
+      // inline: BOTH sides shuffle on the cell key; staged: only the
+      // query batch — the bucketed index scan satisfies the join's
+      // distribution from the catalog
+      assert(keyExchanges(inlinePlan, "__cell") === 2, inlinePlan)
+      assert(keyExchanges(stagedPlan, "cell") === 1, stagedPlan)
+      assert(stagedPlan.contains("Bucketed: true"),
+        s"index scan should read buckets:\n$stagedPlan")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("qid"), col("rank"), col("id"),
+            round(col("cos_sim"), 6).as("c"))
+          .orderBy("qid", "rank").collect().toSeq
+      assert(canon(staged) === canon(inline))
+      assert(canon(staged).nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
+
   test("appendBucketed: index append preserves the bucket spec and the " +
       "two-day staged ingest equals the inline two-step dedup") {
     val docs = Tables.t(spark, sf, "documents")
