@@ -1119,7 +1119,53 @@ object PlanningQueries {
       |LEFT JOIN nc USING (split)
       |ORDER BY split""".stripMargin))
 
+  /** [[graft.streaming.IngestStreams.runIngestDedup]]: the ingestion
+    * trilogy as an actual Structured Streaming job — each arriving
+    * "day" is a micro-batch (file source, one file per day,
+    * deterministic arrival order), foreachBatch dedups it against the
+    * STAGED index and appends the survivors' signatures, so day 2
+    * dedups against corpus ∪ day-1 survivors. Per-trigger cost is
+    * O(batch); the corpus is never rescanned. Same semantics as the
+    * q354 inline two-step — the oracle replays it at these cuts. */
+  private val q358 = QDef("q358_stream_ingest_dedup",
+    (s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.streaming.IngestStreams.runIngestDedup(s, dir,
+        s"graft_sing_$tag", cut0 = 300, cut1 = 450)
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |      FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |        range(0, len(t) - 2),
+      |        i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+      |      FROM toks WHERE len(t) >= 3),
+      |hs AS (SELECT doc_id, list_transform(shingles, s ->
+      |        ('0x' || substr(md5(s), 1, 7))::BIGINT) AS hh
+      |      FROM sh WHERE len(shingles) > 0),
+      |sig AS (SELECT doc_id, $sigSql16 AS sig FROM hs),
+      |bands AS (SELECT doc_id, b, list_slice(sig, 4*b + 1, 4*b + 4)
+      |        AS bucket FROM sig, range(0, 4) AS r(b)),
+      |hit1 AS (SELECT DISTINCT b.doc_id FROM bands b JOIN bands c
+      |        ON b.b = c.b AND b.bucket = c.bucket
+      |        AND b.doc_id >= 300 AND b.doc_id < 450 AND c.doc_id < 300),
+      |s1 AS (SELECT doc_id FROM documents
+      |      WHERE doc_id >= 300 AND doc_id < 450
+      |        AND doc_id NOT IN (SELECT doc_id FROM hit1)),
+      |idx2 AS (SELECT doc_id FROM documents WHERE doc_id < 300
+      |      UNION ALL SELECT doc_id FROM s1),
+      |hit2 AS (SELECT DISTINCT b.doc_id FROM bands b JOIN bands c
+      |        ON b.b = c.b AND b.bucket = c.bucket
+      |        AND b.doc_id >= 450 AND c.doc_id IN (SELECT doc_id FROM idx2)),
+      |s2 AS (SELECT doc_id FROM documents WHERE doc_id >= 450
+      |      AND doc_id NOT IN (SELECT doc_id FROM hit2))
+      |SELECT CAST(1 AS INTEGER) AS ingest_day, d.doc_id, d.source
+      |FROM documents d JOIN s1 USING (doc_id)
+      |UNION ALL
+      |SELECT CAST(2 AS INTEGER) AS ingest_day, d.doc_id, d.source
+      |FROM documents d JOIN s2 USING (doc_id)
+      |ORDER BY ingest_day, doc_id""".stripMargin))
+
   def all: Seq[QDef] = Seq(q336, q337, q338, q339, q340, q341, q342,
     q343, q344, q345, q346, q347, q348, q349, q350, q352, q353, q354, q355,
-    q356)
+    q356, q358)
 }

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.{Dedup, Staging, Tables}
+
+/** The ingestion trilogy (q353 staged index, q354 append loop, q355
+  * incremental clusters) run as an actual STREAMING job — the shape a
+  * 100 TB daily-crawl pipeline deploys: a file-source stream delivers
+  * each arriving batch as its own micro-batch, and `foreachBatch`
+  * dedups the batch against the staged LSH index (zero corpus-side
+  * exchange — the q353 property) then APPENDS the survivors'
+  * signatures to the index (new bucket files only, never a rebuild),
+  * so batch N+1 dedups against corpus ∪ all prior survivors. Per
+  * trigger the cost is O(batch) — the stream never rescans the
+  * corpus. Results spill to parquet executor-side (the q346
+  * convention: a memory sink would collect data-sized output to the
+  * driver). */
+object IngestStreams {
+
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rm)
+    f.delete(); ()
+  }
+
+  /** Stage docs `< cut0` as the corpus index, spool docs `[cut0, cut1)`
+    * and `[cut1, ∞)` as two "daily" arrival files, then run the
+    * streaming ingest-dedup loop over them (one micro-batch per day —
+    * `maxFilesPerTrigger = 1`, arrival order pinned by explicit file
+    * mtimes). Output: each day's survivors tagged by ingest day —
+    * exactly the q354 inline two-step semantics, which the oracle
+    * replays. */
+  def runIngestDedup(spark: SparkSession, dir: String, name: String,
+                     cut0: Long = 300, cut1: Long = 450): DataFrame = {
+    val docs = Tables.t(spark, dir, "documents")
+    val idx = name + "_idx"
+    Staging.stageBucketed(
+      Dedup.lshIndexFrame(docs.where(col("doc_id") < cut0),
+        col("text"), col("doc_id")),
+      idx, "lsh_key", 8)
+    // spool one parquet FILE per arrival day: the file stream source
+    // orders by (modification time, path), so explicit mtimes make the
+    // micro-batch order deterministic
+    val spool = new java.io.File(s"target/ingest_spool_$name")
+    if (spool.exists()) rm(spool)
+    spool.mkdirs()
+    def writeDay(d: DataFrame, i: Int): Unit = {
+      val tmp = new java.io.File(spool, s"__tmp_$i")
+      d.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file for day $i"))
+      val target = new java.io.File(spool, f"day_$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, target.toPath)
+      target.setLastModified(1000000000000L + i * 60000L)
+      rm(tmp)
+    }
+    writeDay(docs.where(col("doc_id") >= cut0 && col("doc_id") < cut1), 1)
+    writeDay(docs.where(col("doc_id") >= cut1), 2)
+    val outDir = new java.io.File(s"target/ingest_out_$name")
+    val ckpt = new java.io.File(s"target/ingest_ckpt_$name")
+    Seq(outDir, ckpt).foreach(f => if (f.exists()) rm(f))
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(spool.getPath)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // resolve the index through the STREAMING session (foreachBatch
+        // frames live on a cloned session): the append below invalidates
+        // that session's relation cache, so the next micro-batch re-lists
+        // the table and sees the new bucket files — loading through the
+        // outer session would read a stale file index and silently skip
+        // prior survivors
+        val ss = batch.sparkSession
+        // survivors MUST materialize before the index append below —
+        // localCheckpoint is eager, so the anti-join reads the index
+        // state as of this batch's start
+        val surv = Dedup.minhashAgainstIndex(batch,
+          Staging.load(ss, idx), col("text"), col("doc_id"))
+          .localCheckpoint()
+        Staging.appendBucketed(
+          Dedup.lshIndexFrame(surv, col("text"), col("doc_id")),
+          idx, "lsh_key", 8)
+        surv.select(col("doc_id"), col("source"))
+          .withColumn("ingest_day",
+            when(col("doc_id") < cut1, 1).otherwise(2))
+          .write.mode("append").parquet(outDir.getPath)
+        ()
+      }
+      .option("checkpointLocation", ckpt.getPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir.getPath)
+      .select("ingest_day", "doc_id", "source")
+      .orderBy("ingest_day", "doc_id")
+  }
+}

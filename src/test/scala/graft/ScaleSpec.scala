@@ -154,6 +154,30 @@ class ScaleSpec extends SparkSpec {
       inline2.orderBy("doc_id").select("doc_id").collect().toSeq)
   }
 
+  test("streaming ingest-dedup loop equals the inline two-step (micro-" +
+      "batches see prior survivors through the cloned-session cache)") {
+    // the regression this pins: foreachBatch frames live on a CLONED
+    // session; loading the index through the outer session reads a
+    // stale file index after the first batch's append, silently
+    // re-admitting day-2 near-dups of day-1 survivors
+    val docs = Tables.t(spark, sf, "documents")
+    val got = graft.streaming.IngestStreams
+      .runIngestDedup(spark, sf, "t_sing", cut0 = 200, cut1 = 350)
+      .select("ingest_day", "doc_id").collect().toSeq
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val corpus = docs.where(col("doc_id") < 200)
+    val day1 = Dedup.minhashAgainst(
+      docs.where(col("doc_id") >= 200 && col("doc_id") < 350), corpus,
+      col("text"), col("doc_id")).localCheckpoint()
+    val day2 = Dedup.minhashAgainst(docs.where(col("doc_id") >= 350),
+      corpus.unionByName(day1), col("text"), col("doc_id"))
+    val want =
+      day1.select("doc_id").collect().map(r => (1, r.getLong(0))).toSeq ++
+        day2.select("doc_id").collect().map(r => (2, r.getLong(0))).toSeq
+    assert(got.sorted === want.sorted)
+    assert(got.count(_._1 == 2) > 0)
+  }
+
   test("graph vertex broadcasts: hinted at fixture scale, and the " +
       "broadcastVertices=false degrade path is hint-free with identical " +
       "results (the billion-vertex contract)") {
