@@ -271,6 +271,68 @@ object StatQueries {
       |SELECT pair, CAST(count(*) AS BIGINT) AS c
       |FROM p GROUP BY 1 ORDER BY c DESC, pair LIMIT 30""".stripMargin))
 
+  /** One BPE training iteration as DuckDB CTEs: pair counts over the
+    * symbol table `w${i-1}` → argmax with (count desc, s1, s2)
+    * tie-break → LEFT-GREEDY merge apply. Greedy selection without
+    * sequential state: within each maximal run of consecutive match
+    * positions (gaps-and-islands), exactly the odd occurrences merge —
+    * for s1 ≠ s2 runs have length 1 and every match merges, for
+    * s1 = s2 this is the "aaaa" → [aa, aa] reference behavior. */
+  private def bpeIterCtes(i: Int): String = {
+    val p = i - 1
+    s"""u$i AS (SELECT wid, cnt, unnest(range(1, len(syms))) AS j, syms
+       |      FROM w$p),
+       |pp$i AS (SELECT s1x, s2x, sum(cnt) AS c FROM
+       |      (SELECT cnt, syms[j] AS s1x, syms[j+1] AS s2x FROM u$i)
+       |      GROUP BY 1, 2),
+       |tp$i AS (SELECT s1x AS m1, s2x AS m2, c FROM pp$i
+       |      ORDER BY c DESC, s1x, s2x LIMIT 1),
+       |im$i AS (SELECT u.wid, u.j,
+       |        u.j - row_number() OVER (PARTITION BY u.wid ORDER BY u.j)
+       |          AS isl
+       |      FROM u$i u, tp$i t
+       |      WHERE u.syms[u.j] = t.m1 AND u.syms[u.j+1] = t.m2),
+       |sel$i AS (SELECT wid, j FROM
+       |      (SELECT wid, j, row_number() OVER (PARTITION BY wid, isl
+       |          ORDER BY j) AS rn FROM im$i)
+       |      WHERE rn % 2 = 1),
+       |ps$i AS (SELECT wid, cnt, unnest(range(1, len(syms) + 1)) AS j,
+       |        syms FROM w$p),
+       |w$i AS (SELECT ps.wid, ps.cnt,
+       |        list(CASE WHEN sj.j IS NOT NULL
+       |               THEN ps.syms[ps.j] || ps.syms[ps.j+1]
+       |               ELSE ps.syms[ps.j] END ORDER BY ps.j)
+       |          FILTER (WHERE sp.j IS NULL) AS syms
+       |      FROM ps$i ps
+       |      LEFT JOIN sel$i sj ON ps.wid = sj.wid AND ps.j = sj.j
+       |      LEFT JOIN sel$i sp ON ps.wid = sp.wid AND ps.j = sp.j + 1
+       |      GROUP BY ps.wid, ps.cnt)""".stripMargin
+  }
+
+  /** [[LanguageModel.bpeTrain]]: 6 rounds of character-level BPE merge
+    * learning over the word-frequency table — the tokenizer-training
+    * artifact (merge rules in priority order). The oracle replays every
+    * round: vocab pair counts, deterministic argmax, and the
+    * left-greedy merge apply via gaps-and-islands odd-occurrence
+    * selection. */
+  private val q359 = QDef("q359_bpe_train",
+    (s, dir) => LanguageModel.bpeTrain(T(s, dir, "documents"),
+      col("text"), merges = 6),
+    Some(s"""WITH wrd AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM
+      |      (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |      WHERE len(w) >= 1 GROUP BY w),
+      |w0 AS (SELECT row_number() OVER (ORDER BY w) AS wid, cnt,
+      |        list_transform(range(1, len(w) + 1),
+      |          q -> substr(w, q, 1)) AS syms
+      |      FROM wrd),
+      |${(1 to 6).map(bpeIterCtes).mkString(",\n")}
+      |SELECT * FROM (
+      |${(1 to 6).map(i =>
+        s"""SELECT CAST($i AS INTEGER) AS merge_idx, m1 AS s1, m2 AS s2,
+           |  m1 || m2 AS merged, CAST(c AS BIGINT) AS pair_count
+           |FROM tp$i""".stripMargin).mkString("\nUNION ALL\n")}
+      |) ORDER BY merge_idx""".stripMargin))
+
   /** [[Trend.ksTest]]: distribution drift between two sources — the
     * Kolmogorov–Smirnov D over document length. The cumulative window
     * runs on the distinct-VALUE table (pre-aggregated), never the corpus. */
@@ -2015,5 +2077,5 @@ object StatQueries {
     q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166,
     q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177,
     q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188,
-    q189, q190)
+    q189, q190, q359)
 }

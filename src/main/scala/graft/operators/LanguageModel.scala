@@ -163,6 +163,83 @@ object LanguageModel {
           (lit(1e6) * col("n_bigrams").cast("double"))), 4).as("ppl"))
   }
 
+  /** BPE tokenizer TRAINING (Sennrich et al. 2016, character-level):
+    * learn `merges` merge rules by repeatedly fusing the corpus's most
+    * frequent adjacent symbol pair. Returns the learned merge table —
+    * (merge_idx, s1, s2, merged, pair_count) — the artifact a tokenizer
+    * ships.
+    *
+    * Scale shape (the classic BPE device): training runs over the WORD
+    * FREQUENCY table, never the corpus — one corpus scan + one
+    * word-keyed shuffle builds (word, count), which is vocabulary-sized
+    * (Zipf-sublinear in corpus bytes), and each merge iteration is then
+    * a vocab-sized pair aggregate + a 1-row argmax collect (bounded by
+    * contract) + a narrow fold re-write of the symbol arrays. At 100 TB
+    * the corpus is touched exactly once.
+    *
+    * Merge application is LEFT-GREEDY, the reference BPE semantics: a
+    * run of equal symbols merges at odd occurrences only ("aaaa" +
+    * (a,a) → [aa, aa], never [aa, a, a]). The fold is a codegen
+    * `aggregate` HOF with a (rebuilt, pending) accumulator — no UDF,
+    * no shuffle. Argmax ties break (count desc, s1 asc, s2 asc),
+    * deterministic in both engines (ASCII corpus). */
+  def bpeTrain(df: DataFrame, text: Column, merges: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var words = df.select(explode(split(text, " ")).as("w"))
+      .where(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .as("syms"), col("cnt"))
+      .localCheckpoint()
+    val learned = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    var m = 1
+    var exhausted = false
+    while (m <= merges && !exhausted) {
+      val top = words
+        .select(col("cnt"), explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => struct(a.as("s1"), b.as("s2")))).as("p"))
+        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+        .agg(sum("cnt").as("c"))
+        .orderBy(desc("c"), col("s1"), col("s2"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (s1, s2, c) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        learned += ((m, s1, s2, s1 + s2, c))
+        // left-greedy apply: (rebuilt, pending) fold; symbols are never
+        // empty strings, so '' is a safe no-pending sentinel
+        val applied = words.withColumn("syms", aggregate(
+          col("syms"),
+          struct(expr("CAST(array() AS ARRAY<STRING>)").as("res"),
+            lit("").as("pend")),
+          (acc, x) => {
+            val res = acc.getField("res")
+            val pend = acc.getField("pend")
+            when(pend === lit(""), struct(res.as("res"), x.as("pend")))
+              .when(pend === lit(s1) && x === lit(s2),
+                struct(concat(res, array(lit(s1 + s2))).as("res"),
+                  lit("").as("pend")))
+              .otherwise(struct(concat(res, array(pend)).as("res"),
+                x.as("pend")))
+          },
+          acc => when(acc.getField("pend") === lit(""), acc.getField("res"))
+            .otherwise(concat(acc.getField("res"),
+              array(acc.getField("pend")))))).localCheckpoint()
+        org.apache.spark.sql.graft.CheckpointUtils.unpersistCheckpoint(words)
+        words = applied
+        m += 1
+      }
+    }
+    org.apache.spark.sql.graft.CheckpointUtils.unpersistCheckpoint(words)
+    learned.toSeq.toDF("merge_idx", "s1", "s2", "merged", "pair_count")
+      .orderBy("merge_idx")
+  }
+
   def bpePairCounts(df: DataFrame, text: Column, k: Int): DataFrame =
     df.select(explode(split(text, " ")).as("t"))
       .where(length(col("t")) >= 2)

@@ -623,4 +623,20 @@ class StatOpsSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(out === Seq(("aa", 2L), ("ab", 2L), ("bc", 1L)))
   }
+
+  test("bpeTrain: left-greedy runs (aaaa -> [aa,aa], never [aa,a,a]) and " +
+       "merged symbols re-enter later rounds") {
+    // word freqs: aaaa ×3, ab ×2. Round 1 pairs: (a,a) = 3·3 = 9 wins
+    // over (a,b) = 2. GREEDY apply leaves aaaa = [aa, aa] — so round 2
+    // sees (aa, aa) = 3 (the merged symbol re-entering), beating
+    // (a, b) = 2. A non-greedy apply ([aa, a, a]) would emit
+    // (aa, a) = 3 instead — the assertion separates the two.
+    val df = Seq("aaaa ab aaaa", "aaaa ab").toDF("text")
+    val got = LanguageModel.bpeTrain(df, col("text"), merges = 3)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(got === Seq(
+      (1, "a", "a", "aa", 9L),
+      (2, "aa", "aa", "aaaa", 3L),
+      (3, "a", "b", "ab", 2L)))
+  }
 }
