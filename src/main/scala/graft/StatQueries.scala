@@ -280,25 +280,25 @@ object StatQueries {
     * s1 = s2 this is the "aaaa" → [aa, aa] reference behavior. */
   private def bpeIterCtes(i: Int): String = {
     val p = i - 1
-    s"""u$i AS (SELECT wid, cnt, unnest(range(1, len(syms))) AS j, syms
+    s"""u$i AS MATERIALIZED (SELECT wid, cnt, unnest(range(1, len(syms))) AS j, syms
        |      FROM w$p),
-       |pp$i AS (SELECT s1x, s2x, sum(cnt) AS c FROM
+       |pp$i AS MATERIALIZED (SELECT s1x, s2x, sum(cnt) AS c FROM
        |      (SELECT cnt, syms[j] AS s1x, syms[j+1] AS s2x FROM u$i)
        |      GROUP BY 1, 2),
-       |tp$i AS (SELECT s1x AS m1, s2x AS m2, c FROM pp$i
+       |tp$i AS MATERIALIZED (SELECT s1x AS m1, s2x AS m2, c FROM pp$i
        |      ORDER BY c DESC, s1x, s2x LIMIT 1),
-       |im$i AS (SELECT u.wid, u.j,
+       |im$i AS MATERIALIZED (SELECT u.wid, u.j,
        |        u.j - row_number() OVER (PARTITION BY u.wid ORDER BY u.j)
        |          AS isl
        |      FROM u$i u, tp$i t
        |      WHERE u.syms[u.j] = t.m1 AND u.syms[u.j+1] = t.m2),
-       |sel$i AS (SELECT wid, j FROM
+       |sel$i AS MATERIALIZED (SELECT wid, j FROM
        |      (SELECT wid, j, row_number() OVER (PARTITION BY wid, isl
        |          ORDER BY j) AS rn FROM im$i)
        |      WHERE rn % 2 = 1),
-       |ps$i AS (SELECT wid, cnt, unnest(range(1, len(syms) + 1)) AS j,
+       |ps$i AS MATERIALIZED (SELECT wid, w, cnt, unnest(range(1, len(syms) + 1)) AS j,
        |        syms FROM w$p),
-       |w$i AS (SELECT ps.wid, ps.cnt,
+       |w$i AS MATERIALIZED (SELECT ps.wid, ps.w, ps.cnt,
        |        list(CASE WHEN sj.j IS NOT NULL
        |               THEN ps.syms[ps.j] || ps.syms[ps.j+1]
        |               ELSE ps.syms[ps.j] END ORDER BY ps.j)
@@ -306,7 +306,7 @@ object StatQueries {
        |      FROM ps$i ps
        |      LEFT JOIN sel$i sj ON ps.wid = sj.wid AND ps.j = sj.j
        |      LEFT JOIN sel$i sp ON ps.wid = sp.wid AND ps.j = sp.j + 1
-       |      GROUP BY ps.wid, ps.cnt)""".stripMargin
+       |      GROUP BY ps.wid, ps.w, ps.cnt)""".stripMargin
   }
 
   /** [[LanguageModel.bpeTrain]]: 6 rounds of character-level BPE merge
@@ -318,10 +318,10 @@ object StatQueries {
   private val q359 = QDef("q359_bpe_train",
     (s, dir) => LanguageModel.bpeTrain(T(s, dir, "documents"),
       col("text"), merges = 6),
-    Some(s"""WITH wrd AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM
+    Some(s"""WITH wrd AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM
       |      (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
       |      WHERE len(w) >= 1 GROUP BY w),
-      |w0 AS (SELECT row_number() OVER (ORDER BY w) AS wid, cnt,
+      |w0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY w) AS wid, w, cnt,
       |        list_transform(range(1, len(w) + 1),
       |          q -> substr(w, q, 1)) AS syms
       |      FROM wrd),
@@ -332,6 +332,35 @@ object StatQueries {
            |  m1 || m2 AS merged, CAST(c AS BIGINT) AS pair_count
            |FROM tp$i""".stripMargin).mkString("\nUNION ALL\n")}
       |) ORDER BY merge_idx""".stripMargin))
+
+  /** [[LanguageModel.bpeCompressionReport]]: the 6 learned merges
+    * APPLIED corpus-wide — per source, word occurrences, characters,
+    * post-merge subwords, and the sealed chars-per-subword compression
+    * ratio. The oracle extends the q359 replay: the final symbol table
+    * w6 IS the applied tokenizer, joined back to the corpus's word
+    * occurrences. */
+  private val q360 = QDef("q360_bpe_compression",
+    (s, dir) => LanguageModel.bpeCompressionReport(T(s, dir, "documents"),
+      col("text"), col("source"), merges = 6),
+    Some(s"""WITH wrd AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM
+      |      (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |      WHERE len(w) >= 1 GROUP BY w),
+      |w0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY w) AS wid, w, cnt,
+      |        list_transform(range(1, len(w) + 1),
+      |          q -> substr(w, q, 1)) AS syms
+      |      FROM wrd),
+      |${(1 to 6).map(bpeIterCtes).mkString(",\n")},
+      |occ AS MATERIALIZED (SELECT source, w FROM
+      |      (SELECT source, unnest(string_split(text, ' ')) AS w
+      |       FROM documents) WHERE len(w) >= 1),
+      |sw AS MATERIALIZED (SELECT w, len(syms) AS ns FROM w6),
+      |rep AS (SELECT o.source, CAST(count(*) AS BIGINT) AS n_words,
+      |        CAST(sum(len(o.w)) AS BIGINT) AS n_chars,
+      |        CAST(sum(s.ns) AS BIGINT) AS n_subwords
+      |      FROM occ o JOIN sw s USING (w) GROUP BY o.source)
+      |SELECT source, n_words, n_chars, n_subwords,
+      |  ${Seal.sqlRatio4("n_chars", "n_subwords")} AS chars_per_subword
+      |FROM rep ORDER BY source""".stripMargin))
 
   /** [[Trend.ksTest]]: distribution drift between two sources — the
     * Kolmogorov–Smirnov D over document length. The cumulative window
@@ -2077,5 +2106,5 @@ object StatQueries {
     q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166,
     q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177,
     q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188,
-    q189, q190, q359)
+    q189, q190, q359, q360)
 }

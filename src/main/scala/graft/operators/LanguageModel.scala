@@ -186,10 +186,22 @@ object LanguageModel {
   def bpeTrain(df: DataFrame, text: Column, merges: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val (learned, words) = bpeTrainCore(df, text, merges)
+    org.apache.spark.sql.graft.CheckpointUtils.unpersistCheckpoint(words)
+    learned.toDF("merge_idx", "s1", "s2", "merged", "pair_count")
+      .orderBy("merge_idx")
+  }
+
+  /** The [[bpeTrain]] loop, also returning the FINAL word-symbol table
+    * (w, cnt, syms) — the post-merge subword segmentation per distinct
+    * word, i.e. the trained tokenizer APPLIED to the whole vocabulary.
+    * The caller owns the returned checkpoint. */
+  private def bpeTrainCore(df: DataFrame, text: Column, merges: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
     var words = df.select(explode(split(text, " ")).as("w"))
       .where(length(col("w")) >= 1)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .select(expr(
+      .select(col("w"), expr(
         "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
         .as("syms"), col("cnt"))
       .localCheckpoint()
@@ -235,9 +247,33 @@ object LanguageModel {
         m += 1
       }
     }
-    org.apache.spark.sql.graft.CheckpointUtils.unpersistCheckpoint(words)
-    learned.toSeq.toDF("merge_idx", "s1", "s2", "merged", "pair_count")
-      .orderBy("merge_idx")
+    (learned.toSeq, words)
+  }
+
+  /** Tokenizer compression eval — [[bpeTrain]]'s merges APPLIED
+    * corpus-wide: per source, the word-occurrence count, total
+    * characters, total post-merge subwords, and the sealed
+    * chars-per-subword compression ratio. The apply step is free —
+    * training already segmented every DISTINCT word, so application is
+    * one corpus word explode joined to the vocabulary-sized subword
+    * table (word-keyed shuffle; Zipf-sublinear build side — the q146
+    * documented contract, hint-free so the 100 TB plan is a shuffle
+    * join and AQE still broadcasts it at fixture scale). */
+  def bpeCompressionReport(df: DataFrame, text: Column, source: Column,
+                           merges: Int): DataFrame = {
+    val (_, words) = bpeTrainCore(df, text, merges)
+    val sub = words.select(col("w"), size(col("syms")).as("__ns"))
+    val occ = df.select(source.as("source"), explode(split(text, " ")).as("w"))
+      .where(length(col("w")) >= 1)
+    occ.join(sub, Seq("w"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w")).cast("long")).as("n_chars"),
+        sum(col("__ns").cast("long")).as("n_subwords"))
+      .select(col("source"), col("n_words"), col("n_chars"),
+        col("n_subwords"),
+        Seal.ratio4("n_chars", "n_subwords").as("chars_per_subword"))
+      .orderBy("source")
   }
 
   def bpePairCounts(df: DataFrame, text: Column, k: Int): DataFrame =
