@@ -846,6 +846,108 @@ object ExtQueries {
       |SELECT qid, rank, id, round(cs, 4) AS cos_sim
       |FROM rk WHERE rank <= 3 ORDER BY qid, rank""".stripMargin))
 
+  /** q357's staged IVF index CLOSED INTO AN INGESTION LOOP (the q354
+    * trade for ANN): the corpus half stages once, the batch half's cell
+    * assignments APPEND ([[Staging.appendBucketed]] — new bucket files
+    * only, never a rebuild), and the query batch then serves against
+    * the updated index. Centroids stay FIXED across ingest — the
+    * production IVF maintenance trade (re-clustering is the periodic
+    * compaction analog; codebook drift is the documented cost, measured
+    * by the q362 recall curve when it matters). Because assignment is
+    * per-row and centroids are fixed, append ≡ rebuild exactly — the
+    * oracle (shared with q55/q357) proves it. */
+  private val q361 = QDef("q361_ann_index_ingest",
+    (s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val e = T(s, dir, "embeddings")
+      val cents = trainedCodebook(s, dir, c = 16, iters = 2)
+      val idx = s"graft_ivf_ing_$tag"
+      Staging.stageBucketed(
+        Similarity.ivfIndexFrame(e.where(col("vec_id") < 500),
+          col("embedding"), col("vec_id"), cents),
+        idx, "cell", 8)
+      Staging.appendBucketed(
+        Similarity.ivfIndexFrame(e.where(col("vec_id") >= 500),
+          col("embedding"), col("vec_id"), cents),
+        idx, "cell", 8)
+      Similarity.ivfKnnJoinIndex(Staging.load(s, idx),
+        e.filter(col("label") === 1), col("embedding"), col("vec_id"),
+        k = 3, centroids = cents, nProbe = 4)
+        .select(col("qid"), col("rank"), col("id"),
+          round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy("qid", "rank")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |${kmeansCtes(16, 64, 2)},
+      |a0 AS (SELECT e.vec_id, e.emb, c.cid,
+      |         row_number() OVER (PARTITION BY e.vec_id
+      |           ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC, c.cid) AS rn
+      |       FROM e, c),
+      |assign AS (SELECT vec_id, emb, cid AS cell FROM a0 WHERE rn = 1),
+      |q0 AS (SELECT e.vec_id AS qid, e.emb AS qemb, c.cid AS cell,
+      |         row_number() OVER (PARTITION BY e.vec_id
+      |           ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC, c.cid) AS rn
+      |       FROM e, c WHERE e.label = 1),
+      |q AS (SELECT qid, qemb, cell FROM q0 WHERE rn <= 4),
+      |cand AS (SELECT q.qid, a.vec_id AS id,
+      |           list_cosine_similarity(a.emb, q.qemb) AS cs
+      |         FROM assign a JOIN q ON a.cell = q.cell),
+      |rk AS (SELECT qid, id, cs,
+      |         row_number() OVER (PARTITION BY qid ORDER BY cs DESC, id) AS rank
+      |       FROM cand)
+      |SELECT qid, rank, id, round(cs, 4) AS cos_sim
+      |FROM rk WHERE rank <= 3 ORDER BY qid, rank""".stripMargin))
+
+  /** [[Similarity.ivfRecallCurve]]: measured recall@10 of the IVF probe
+    * join against exact brute-force truth for the whole
+    * nProbe ∈ {1,2,4,8} sweep in ONE corpus pass (candidates carry the
+    * rank at which their cell is probed; the sweep is a post-hoc
+    * filter). The ANN analog of q334's LSH band-plan calibration — the
+    * measured curve that justifies q39/q55/q357's nProbe=4 default. */
+  private val q362 = QDef("q362_ivf_recall_curve",
+    (s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val cents = trainedCodebook(s, dir, c = 16, iters = 2)
+      Similarity.ivfRecallCurve(e, col("embedding"), col("vec_id"),
+        e.filter(col("label") === 1), col("embedding"), col("vec_id"),
+        k = 10, centroids = cents, probes = Seq(1, 2, 4, 8))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |${kmeansCtes(16, 64, 2)},
+      |a0 AS (SELECT e.vec_id, e.emb, c.cid,
+      |         row_number() OVER (PARTITION BY e.vec_id
+      |           ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC, c.cid) AS rn
+      |       FROM e, c),
+      |assign AS (SELECT vec_id, emb, cid AS cell FROM a0 WHERE rn = 1),
+      |qp AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE label = 1),
+      |pr AS (SELECT qid, qemb, cid AS cell, rn AS prank FROM
+      |       (SELECT q.qid, q.qemb, c.cid,
+      |          row_number() OVER (PARTITION BY q.qid
+      |            ORDER BY list_cosine_similarity(q.qemb, c.cemb) DESC, c.cid) AS rn
+      |        FROM qp q, c) WHERE rn <= 8),
+      |ex AS (SELECT qid, id FROM
+      |       (SELECT q.qid, a.vec_id AS id,
+      |          row_number() OVER (PARTITION BY q.qid
+      |            ORDER BY list_cosine_similarity(a.emb, q.qemb) DESC, a.vec_id) AS rk
+      |        FROM assign a, qp q) WHERE rk <= 10),
+      |sp AS (SELECT * FROM (VALUES (1), (2), (4), (8)) s(np)),
+      |it AS (SELECT qid, np, id FROM
+      |       (SELECT p.qid, s.np, a.vec_id AS id,
+      |          row_number() OVER (PARTITION BY p.qid, s.np
+      |            ORDER BY list_cosine_similarity(a.emb, p.qemb) DESC, a.vec_id)
+      |            AS rk
+      |        FROM assign a, pr p, sp s
+      |        WHERE a.cell = p.cell AND p.prank <= s.np) WHERE rk <= 10),
+      |hits AS (SELECT i.np, CAST(count(*) AS BIGINT) AS h FROM it i
+      |       JOIN ex ON i.qid = ex.qid AND i.id = ex.id GROUP BY i.np),
+      |nq AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qp)
+      |SELECT s.np AS n_probe, nq.n AS n_queries,
+      |  coalesce(h, CAST(0 AS BIGINT)) AS hits,
+      |  ${Seal.sqlRatio4("(coalesce(h, CAST(0 AS BIGINT)))", "(10 * nq.n)")}
+      |    AS recall_at_k
+      |FROM sp s LEFT JOIN hits ON s.np = hits.np, nq
+      |ORDER BY n_probe""".stripMargin))
+
   /** Corpus balancing: exactly 40 docs per source, hash-ordered
     * ([[Sampling.stratifiedFixed]]). */
   private val q56 = QDef("q56_stratified_sample",
@@ -3132,5 +3234,5 @@ object ExtQueries {
     q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
     q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q351,
-    q357)
+    q357, q361, q362)
 }

@@ -214,6 +214,61 @@ object Similarity {
       .select(col("qid"), col("rank"), col("id"), col("__cos").as("cos_sim"))
   }
 
+  /** IVF recall CALIBRATION — the q334/q335 plan-eval device applied to
+    * ANN: measured recall@k of the cell-probed join against exact
+    * brute-force truth, for a whole nProbe sweep in ONE corpus pass.
+    * Corpus rows assign to cells once; each query's probe list is
+    * ranked 1..max(probes); every candidate carries the rank at which
+    * its cell would be probed, so the sweep is a post-hoc filter
+    * (probe_rank ≤ nProbe) — no per-sweep-point rescan (the q334
+    * one-pass lesson). The exact-truth side cross-joins the broadcast
+    * query panel — quadratic BY DESIGN, the calibration-truth device:
+    * an eval panel is curated and bounded by contract, and at real
+    * scale the truth side is what you sample (the q335 truthSample
+    * precedent). Output: one row per sweep point — (n_probe,
+    * n_queries, hits, recall_at_k), recall sealed at 4dp. */
+  def ivfRecallCurve(corpus: DataFrame, cEmb: Column, cId: Column,
+                     queries: DataFrame, qEmb: Column, qId: Column, k: Int,
+                     centroids: Seq[(Long, Array[Double])],
+                     probes: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(probes.nonEmpty && probes == probes.sorted, "sorted probe sweep")
+    val maxP = probes.max
+    val assigned = corpus.select(cId.as("id"),
+        cEmb.cast("array<double>").as("__e"))
+      .withColumn("__cell", element_at(nearestCells(col("__e"), centroids, 1), 1))
+      .localCheckpoint()
+    val qp = queries.select(qId.as("qid"), qEmb.cast("array<double>").as("__q"))
+      .localCheckpoint()
+    val nq = qp.count() // bounded: the eval panel, not the corpus
+    val w = Window.partitionBy("qid").orderBy(desc("__cos"), col("id"))
+    val exact = assigned.crossJoin(broadcast(qp))
+      .select(col("qid"), col("id"), cosine(col("__e"), col("__q")).as("__cos"))
+      .withColumn("__rk", row_number().over(w)).where(col("__rk") <= k)
+      .select(col("qid"), col("id"))
+    val qx = qp.select(col("qid"), col("__q"),
+        posexplode(nearestCells(col("__q"), centroids, maxP)))
+      .select(col("qid"), col("__q"), (col("pos") + 1).as("__prank"),
+        col("col").as("__cell"))
+    val w2 = Window.partitionBy("qid", "np").orderBy(desc("__cos"), col("id"))
+    val ivfTop = assigned.join(qx, Seq("__cell"))
+      .select(col("qid"), col("id"),
+        cosine(col("__e"), col("__q")).as("__cos"), col("__prank"))
+      .withColumn("np", explode(typedLit(probes)))
+      .where(col("__prank") <= col("np"))
+      .withColumn("__rk", row_number().over(w2)).where(col("__rk") <= k)
+    val hits = ivfTop.join(exact, Seq("qid", "id"), "left_semi")
+      .groupBy("np").agg(count(lit(1)).as("hits"))
+    corpus.sparkSession.range(1)
+      .select(explode(typedLit(probes)).as("np"))
+      .join(hits, Seq("np"), "left")
+      .select(col("np").as("n_probe"), lit(nq).as("n_queries"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        Seal.ratio4c(coalesce(col("hits"), lit(0L)), lit(k.toLong * nq))
+          .as("recall_at_k"))
+      .orderBy("n_probe")
+  }
+
   /** LSH-bucketed approximate top-k: candidates = rows in the query's bucket
     * (across `numTables` independent hash tables to boost recall), exact
     * cosine within candidates only. Bucket ids are tagged with the table

@@ -23,6 +23,11 @@ class PlanAuditSpec extends SparkSpec {
     "q308_cohort_retention", // 1-row corpus-origin-day broadcast
     "q309_log_rank", // 1-row obs-end + arm-totals broadcasts
     "q313_silhouette", // label-cardinality centroid-vector broadcast
+    "q362_ivf_recall_curve", // bounded eval-panel cross join: the exact
+    // brute-force TRUTH side of the recall calibration — quadratic BY
+    // DESIGN over the curated query panel (an eval set is small by
+    // contract; at real scale the truth side is what gets sampled,
+    // the q335 truthSample precedent)
     "q314_neyman_allocation", // 1-row Σ N_h·S_h normalizer broadcast
     "q315_kruskal_wallis", // 1-row (N, k) + tie-total broadcasts
     "q316_moods_median", // 1-row global-median + margin broadcasts
@@ -206,6 +211,8 @@ class PlanAuditSpec extends SparkSpec {
     "q355_dedup_incremental_cc" -> 3,
     // same contract + the batch components' touched-set broadcast
     "q356_split_stable_ingest" -> 4,
+    // bounded eval-panel broadcast (the q362 recall-truth query panel)
+    "q362_ivf_recall_curve" -> 1,
     // documented small-by-contract reference sets
     "q122_fuzzy_names" -> 1, // reference name list (lookup-table side)
     "q210_jaro_winkler_pairs" -> 1, // reference name list
