@@ -226,19 +226,31 @@ object Similarity {
     * an eval panel is curated and bounded by contract, and at real
     * scale the truth side is what you sample (the q335 truthSample
     * precedent). Output: one row per sweep point — (n_probe,
-    * n_queries, hits, recall_at_k), recall sealed at 4dp. */
+    * n_queries, hits, recall_at_k), recall sealed at 4dp.
+    *
+    * `panelFrac < 1` deterministically hash-samples the QUERY PANEL
+    * (the natural sampling unit: each query is an independent recall
+    * observation, so the estimate's s.e. ∝ 1/√n_queries) — both the
+    * truth side and the probe side shrink by the same factor, cutting
+    * the calibration cost near-linearly (the q335 truthSample
+    * precedent; measured PLANS §r11 ANN rows). */
   def ivfRecallCurve(corpus: DataFrame, cEmb: Column, cId: Column,
                      queries: DataFrame, qEmb: Column, qId: Column, k: Int,
                      centroids: Seq[(Long, Array[Double])],
-                     probes: Seq[Int]): DataFrame = {
+                     probes: Seq[Int], panelFrac: Double = 1.0,
+                     salt: String = "ivfrc"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(probes.nonEmpty && probes == probes.sorted, "sorted probe sweep")
+    require(panelFrac > 0 && panelFrac <= 1, "panelFrac in (0, 1]")
     val maxP = probes.max
     val assigned = corpus.select(cId.as("id"),
         cEmb.cast("array<double>").as("__e"))
       .withColumn("__cell", element_at(nearestCells(col("__e"), centroids, 1), 1))
       .localCheckpoint()
-    val qp = queries.select(qId.as("qid"), qEmb.cast("array<double>").as("__q"))
+    val qAll = queries.select(qId.as("qid"), qEmb.cast("array<double>").as("__q"))
+    val qp = (if (panelFrac >= 1.0) qAll
+      else qAll.where(pmod(graft.Dedup.hash60(concat(col("qid").cast("string"),
+        lit(salt))), lit(1000000L)) < lit((panelFrac * 1e6).toLong)))
       .localCheckpoint()
     val nq = qp.count() // bounded: the eval panel, not the corpus
     val w = Window.partitionBy("qid").orderBy(desc("__cos"), col("id"))

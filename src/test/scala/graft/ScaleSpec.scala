@@ -122,6 +122,27 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("ivfRecallCurve panelFrac: the deterministic panel subsample " +
+      "equals the full computation on the pre-filtered panel") {
+    val e = Tables.t(spark, sf, "embeddings")
+    val cents = Similarity.kmeansCentroids(e, col("embedding"),
+      col("vec_id"), c = 8, iters = 1)
+    val q = e.filter(col("label") === 1)
+    val sampled = Similarity.ivfRecallCurve(e, col("embedding"),
+      col("vec_id"), q, col("embedding"), col("vec_id"), k = 5,
+      centroids = cents, probes = Seq(1, 2), panelFrac = 0.5)
+      .collect().toSeq
+    val pre = q.where(pmod(Dedup.hash60(concat(col("vec_id").cast("string"),
+      lit("ivfrc"))), lit(1000000L)) < lit(500000L))
+    val full = Similarity.ivfRecallCurve(e, col("embedding"),
+      col("vec_id"), pre, col("embedding"), col("vec_id"), k = 5,
+      centroids = cents, probes = Seq(1, 2))
+      .collect().toSeq
+    assert(sampled === full)
+    assert(sampled.head.getLong(1) > 0 &&
+      sampled.head.getLong(1) < q.count(), "subsample is strict")
+  }
+
   test("appendBucketed: index append preserves the bucket spec and the " +
       "two-day staged ingest equals the inline two-step dedup") {
     val docs = Tables.t(spark, sf, "documents")
