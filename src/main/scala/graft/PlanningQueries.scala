@@ -965,20 +965,11 @@ object PlanningQueries {
         idx, "lsh_key", 8)
       val labels0 = Dedup.connectedComponents(
         Dedup.minhashStarEdges(corpus, col("text"), col("doc_id")))
-      val batchBands = Dedup.lshIndexFrame(batch, col("text"), col("doc_id"))
-        .withColumnRenamed("corpus_id", "batch_id")
-      // one (min corpus member) edge per colliding (batch row, key):
-      // same-bucket corpus docs are already connected in labels0, so a
-      // single representative carries the connectivity — linear in
-      // batch bands no matter how crowded the corpus bucket is
-      val cross = batchBands
-        .join(Staging.load(s, idx), Seq("lsh_key"))
-        .groupBy(col("batch_id"), col("lsh_key"))
-        .agg(min(col("corpus_id")).as("corpus_rep"))
-        .select(col("corpus_rep").as("id_a"), col("batch_id").as("id_b"))
-        .distinct()
-      val within = Dedup.minhashStarEdges(batch, col("text"), col("doc_id"))
-      Dedup.ccIncremental(labels0, cross.unionByName(within))
+      // cross + within edges off ONE batch signature scan
+      // (Dedup.batchIngestEdges — the r10 single-tokenize standard)
+      Dedup.ccIncremental(labels0,
+        Dedup.batchIngestEdges(batch, Staging.load(s, idx),
+          col("text"), col("doc_id")))
         .groupBy(col("comp").as("cluster_id"))
         .agg(count(lit(1)).as("n_docs"),
           count(when(col("id") >= 400, 1)).as("n_new"),

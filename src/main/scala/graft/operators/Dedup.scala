@@ -1092,6 +1092,34 @@ object Dedup {
     (ends, lsub, remap)
   }
 
+  /** ONE-SCAN batch ingest edges — the connectivity input every
+    * incremental consumer needs ([[ccIncremental]]'s q355 composition,
+    * [[splitStableIngest]], the probes), derived from a SINGLE batch
+    * signature scan (the r10 q350 single-tokenize standard): the
+    * batch's banded frame checkpoints once, and from it come (a) the
+    * CROSS edges — one (min corpus member) edge per colliding
+    * (batch row, band key) off the staged `corpusIndex`, linear in
+    * batch bands since same-bucket corpus docs are already one
+    * component — and (b) the WITHIN-batch star edges (one bucket-min →
+    * member edge per banded row, the [[minhashStarEdges]] contraction
+    * applied to the single-column lsh_key, which equals (band, bucket)
+    * equality by construction). */
+  def batchIngestEdges(batch: DataFrame, corpusIndex: DataFrame,
+                       text: Column, id: Column, shingleSize: Int = 3,
+                       numPerm: Int = 16, bands: Int = 4): DataFrame = {
+    val bb = lshIndexFrame(batch, text, id, shingleSize, numPerm, bands)
+      .withColumnRenamed("corpus_id", "batch_id").localCheckpoint()
+    val cross = bb.join(corpusIndex, Seq("lsh_key"))
+      .groupBy(col("batch_id"), col("lsh_key"))
+      .agg(min(col("corpus_id")).as("__rep"))
+      .select(col("__rep").as("id_a"), col("batch_id").as("id_b"))
+    val roots = bb.groupBy(col("lsh_key")).agg(min(col("batch_id")).as("__root"))
+    val within = bb.join(roots, Seq("lsh_key"))
+      .where(col("batch_id") =!= col("__root"))
+      .select(col("__root").as("id_a"), col("batch_id").as("id_b"))
+    cross.unionByName(within).distinct()
+  }
+
   /** SPLIT STABILITY under ingest — the invariant cluster-safe
     * splitting (q350/q351) cannot keep by itself once batches arrive:
     * a document already assigned to a split has already been trained
@@ -1133,21 +1161,11 @@ object Dedup {
                         bands: Int = 4, maxIter: Int = 20): DataFrame = {
     val oa = oldAssign.select(col("id").cast("long").as("id"),
       col("split").as("__sp0"), col("comp").cast("long").as("__c0"))
-    val bb = lshIndexFrame(batch, text, id, shingleSize, numPerm, bands)
-      .withColumnRenamed("corpus_id", "batch_id")
-    // cross edges off the STAGED index: one (min corpus member) edge per
-    // colliding (batch row, band key) — linear in batch bands (the q355
-    // contraction: same-bucket corpus docs are already one component)
-    val cross = bb.join(corpusIndex, Seq("lsh_key"))
-      .groupBy(col("batch_id"), col("lsh_key"))
-      .agg(min(col("corpus_id")).as("__rep"))
-      .select(col("__rep").as("id_a"), col("batch_id").as("id_b"))
-      .distinct()
-    val within = minhashStarEdges(batch, text, id, shingleSize, numPerm, bands)
     val labels0 = oa.where(col("__c0").isNotNull)
       .select(col("id"), col("__c0").as("comp"))
     val (_, _, remap) = ccContract(labels0,
-      cross.unionByName(within), maxIter)
+      batchIngestEdges(batch, corpusIndex, text, id,
+        shingleSize, numPerm, bands), maxIter)
     // batch docs' merged components (batch-bounded; isolated -> own id)
     val bFull = batch.select(id.cast("long").as("id"))
       .join(broadcast(remap), col("id") === col("__old"), "left")

@@ -265,7 +265,11 @@ object LanguageModel {
     val sub = words.select(col("w"), size(col("syms")).as("__ns"))
     val occ = df.select(source.as("source"), explode(split(text, " ")).as("w"))
       .where(length(col("w")) >= 1)
-    occ.join(sub, Seq("w"))
+    // the report is source-cardinality-sized: materialize it eagerly so
+    // the vocab-sized words checkpoint can be freed (the bpeTrain
+    // convention — otherwise every call leaks the word table's blocks
+    // for the session lifetime)
+    val report = occ.join(sub, Seq("w"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_words"),
         sum(length(col("w")).cast("long")).as("n_chars"),
@@ -274,6 +278,9 @@ object LanguageModel {
         col("n_subwords"),
         Seal.ratio4("n_chars", "n_subwords").as("chars_per_subword"))
       .orderBy("source")
+      .localCheckpoint()
+    org.apache.spark.sql.graft.CheckpointUtils.unpersistCheckpoint(words)
+    report
   }
 
   def bpePairCounts(df: DataFrame, text: Column, k: Int): DataFrame =

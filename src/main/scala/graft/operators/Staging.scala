@@ -18,18 +18,22 @@ object Staging {
     * Idempotent: drops any prior table AND its location first (with the
     * in-memory catalog, a dropped table's files survive the session and
     * would otherwise block re-creation). */
+  /** Recursive delete (shared by staging + the streaming spool dirs;
+    * null-safe against unreadable directories). */
+  def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) {
+      val children = f.listFiles()
+      if (children != null) children.foreach(deleteRecursively)
+    }
+    f.delete(); ()
+  }
+
   def stageBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
     val loc = new java.io.File(warehouse, table)
-    if (loc.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(loc)
-    }
+    if (loc.exists()) deleteRecursively(loc)
     df.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
   }

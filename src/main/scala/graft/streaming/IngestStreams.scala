@@ -19,10 +19,7 @@ import graft.{Dedup, Staging, Tables}
   * driver). */
 object IngestStreams {
 
-  private def rm(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(rm)
-    f.delete(); ()
-  }
+  private def rm(f: java.io.File): Unit = Staging.deleteRecursively(f)
 
   /** Stage docs `< cut0` as the corpus index, spool docs `[cut0, cut1)`
     * and `[cut1, ∞)` as two "daily" arrival files, then run the

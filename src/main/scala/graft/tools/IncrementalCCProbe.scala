@@ -62,17 +62,9 @@ object IncrementalCCProbe {
           Dedup.minhashStarEdges(corpus, col("text"), col("doc_id")))
           .localCheckpoint()
       }
-      def incr() = {
-        val bb = Dedup.lshIndexFrame(batch, col("text"), col("doc_id"))
-          .withColumnRenamed("corpus_id", "batch_id")
-        val cross = bb.join(Staging.load(spark, table), Seq("lsh_key"))
-          .groupBy(col("batch_id"), col("lsh_key"))
-          .agg(min(col("corpus_id")).as("corpus_rep"))
-          .select(col("corpus_rep").as("id_a"), col("batch_id").as("id_b"))
-          .distinct()
-        val within = Dedup.minhashStarEdges(batch, col("text"), col("doc_id"))
-        sig(Dedup.ccIncremental(labels0, cross.unionByName(within)))
-      }
+      def incr() = sig(Dedup.ccIncremental(labels0,
+        Dedup.batchIngestEdges(batch, Staging.load(spark, table),
+          col("text"), col("doc_id"))))
       def full() = sig(Dedup.connectedComponents(
         Dedup.minhashStarEdges(corpus.select("doc_id", "text")
           .unionByName(batch.select("doc_id", "text")),

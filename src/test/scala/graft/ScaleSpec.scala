@@ -340,6 +340,55 @@ class ScaleSpec extends SparkSpec {
     assert(m(10L) === 10L) // untouched corpus row unchanged
   }
 
+  test("batchIngestEdges: cross + within edges from exactly ONE batch " +
+      "signature scan, equal to the two-scan composition") {
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val docs = Tables.t(spark, sf, "documents")
+    val corpus = docs.where(col("doc_id") < 300)
+    val batch = docs.where(col("doc_id") >= 300)
+    Staging.stageBucketed(
+      Dedup.lshIndexFrame(corpus, col("text"), col("doc_id")),
+      "b_bie_idx", "lsh_key", 4)
+    def hasMinhash(p: LogicalPlan): Boolean =
+      p.exists(_.expressions.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.graft.MinhashSig])))
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[LogicalPlan]()
+    val l = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+                             durationNs: Long): Unit =
+        captured.add(qe.analyzed)
+      override def onFailure(funcName: String, qe: QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    org.apache.spark.sql.graft.TestListenerBus.drain(spark.sparkContext)
+    spark.listenerManager.register(l)
+    val got =
+      try {
+        val e = Dedup.batchIngestEdges(batch,
+          Staging.load(spark, "b_bie_idx"), col("text"), col("doc_id"))
+        val got = e.orderBy("id_a", "id_b").collect().toSeq
+        org.apache.spark.sql.graft.TestListenerBus.drain(spark.sparkContext)
+        got
+      } finally spark.listenerManager.unregister(l)
+    val scans = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(captured.iterator).asScala.toSeq.count(hasMinhash)
+    assert(scans === 1, s"expected ONE batch MinhashSig scan, saw $scans")
+    // equality with the r11-pre-refactor two-scan composition
+    val bands = Dedup.lshIndexFrame(batch, col("text"), col("doc_id"))
+      .withColumnRenamed("corpus_id", "batch_id")
+    val cross = bands.join(Staging.load(spark, "b_bie_idx"), Seq("lsh_key"))
+      .groupBy(col("batch_id"), col("lsh_key"))
+      .agg(min(col("corpus_id")).as("r"))
+      .select(col("r").as("id_a"), col("batch_id").as("id_b"))
+    val within = Dedup.minhashStarEdges(batch, col("text"), col("doc_id"))
+    val want = cross.unionByName(within).distinct()
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("q350 fused cluster-safe split: exactly ONE MinhashSig tokenize " +
       "execution across construction + the final census (r10 directive 1)") {
     import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
