@@ -948,6 +948,65 @@ object ExtQueries {
       |FROM sp s LEFT JOIN hits ON s.np = hits.np, nq
       |ORDER BY n_probe""".stripMargin))
 
+  /** [[Dedup.keepBestIds]]: dedup clusters keep their HIGHEST-QUALITY
+    * member (q31's score; ties → min id) instead of the arbitrary
+    * min-id representative — the curation policy a real pipeline wants
+    * once a quality signal exists. Selection is the min-struct
+    * aggregate over (−score, id), never a rank window; the oracle
+    * replays clusters (recursive CC over the 3-shingle collision
+    * graph), the quality formula, and the argmax. */
+  private val q363 = QDef("q363_dedup_keep_best",
+    (s, dir) => {
+      val d = T(s, dir, "documents")
+      val labels = Dedup.connectedComponents(
+        Dedup.minhashStarEdges(d, col("text"), col("doc_id")))
+      val wc = d.select(col("doc_id"), col("source"),
+          round(TextAnalysis.qualityScore(col("text")), 4).as("q"))
+        .join(labels.withColumnRenamed("id", "__lid"),
+          col("doc_id") === col("__lid"), "left")
+        .select(col("doc_id"), col("source"), col("q"),
+          coalesce(col("comp"), col("doc_id")).as("comp"))
+        .localCheckpoint() // two consumers: the winner agg + the join back
+      wc.join(Dedup.keepBestIds(wc, "doc_id", "comp", "q"),
+          Seq("doc_id"), "left_semi")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(round(col("q") * 10000).cast("long")).as("sum_q4"),
+          max("doc_id").as("max_doc_id"))
+        .orderBy("source")
+    },
+    Some(s"""WITH RECURSIVE $minhashPairCtes,
+      |$ccCtes,
+      |qt AS (SELECT doc_id, text, string_split(text, ' ') AS tk,
+      |         list_distinct(string_split(text, ' ')) AS dtk FROM documents),
+      |qm AS (SELECT doc_id,
+      |  CAST(len(tk) AS DOUBLE) AS n_tok,
+      |  CAST(length(text) AS DOUBLE) AS n_char,
+      |  CAST(len(dtk) AS DOUBLE) / len(tk) AS ttr,
+      |  CAST(len(list_intersect(dtk, $allStopSql)) AS DOUBLE) / len(dtk) AS stop_ratio
+      | FROM qt),
+      |qf AS (SELECT doc_id,
+      |  (CASE WHEN n_tok >= 10 AND n_tok <= 1000 THEN 1.0 ELSE least(n_tok / 10, 1.0) END) AS len_ok,
+      |  (CASE WHEN (n_char - (n_tok - 1)) / n_tok >= 2 AND (n_char - (n_tok - 1)) / n_tok <= 12
+      |        THEN 1.0 ELSE 0.5 END) AS tok_len_ok,
+      |  ttr, stop_ratio
+      | FROM qm),
+      |ql AS (SELECT doc_id, round(len_ok * 0.3 + tok_len_ok * 0.2
+      |  + least(ttr * 2, 1.0) * 0.3 + least(stop_ratio * 5, 1.0) * 0.2, 4) AS q
+      | FROM qf),
+      |wc AS (SELECT d.doc_id, d.source, ql.q,
+      |        coalesce(l.comp, d.doc_id) AS comp
+      |      FROM documents d JOIN ql USING (doc_id)
+      |      LEFT JOIN lab l ON d.doc_id = l.id),
+      |rk AS (SELECT doc_id, source, q,
+      |        row_number() OVER (PARTITION BY comp
+      |          ORDER BY q DESC, doc_id) AS rn FROM wc),
+      |k AS (SELECT doc_id, source, q FROM rk WHERE rn = 1)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+      |  CAST(sum(CAST(round(q * 10000) AS BIGINT)) AS BIGINT) AS sum_q4,
+      |  max(doc_id) AS max_doc_id
+      |FROM k GROUP BY source ORDER BY source""".stripMargin))
+
   /** Corpus balancing: exactly 40 docs per source, hash-ordered
     * ([[Sampling.stratifiedFixed]]). */
   private val q56 = QDef("q56_stratified_sample",
@@ -3234,5 +3293,5 @@ object ExtQueries {
     q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
     q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q351,
-    q357, q361, q362)
+    q357, q361, q362, q363)
 }

@@ -1092,6 +1092,20 @@ object Dedup {
     (ends, lsub, remap)
   }
 
+  /** Cluster representative selection by QUALITY: per component, keep
+    * the max-score doc (ties → min id) — the dedup policy that keeps
+    * the best-written copy instead of the arbitrary min-id one. One
+    * map-side-combinable min-STRUCT aggregate over (−score, id), never
+    * a rank window (the q333 lesson: a window partition is unsplittable
+    * under skew, and the degenerate dup cluster IS the skew case;
+    * double negation is exact, so the argmax is bit-faithful). */
+  def keepBestIds(labeled: DataFrame, idCol: String, compCol: String,
+                  scoreCol: String): DataFrame =
+    labeled.groupBy(col(compCol))
+      .agg(min(struct((-col(scoreCol)).as("nq"), col(idCol).as("id")))
+        .as("__w"))
+      .select(col("__w.id").as(idCol))
+
   /** ONE-SCAN batch ingest edges — the connectivity input every
     * incremental consumer needs ([[ccIncremental]]'s q355 composition,
     * [[splitStableIngest]], the probes), derived from a SINGLE batch

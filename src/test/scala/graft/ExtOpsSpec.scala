@@ -86,6 +86,17 @@ class ExtOpsSpec extends SparkSpec {
     assert(newE.count() > 0 && oldE.count() > 0) // both regimes present
   }
 
+  test("keepBestIds: max score wins, ties break to min id, singletons kept") {
+    val labeled = Seq(
+      (1L, 10L, 0.5), (2L, 10L, 0.9), (3L, 10L, 0.9), // tie at 0.9 -> id 2
+      (4L, 40L, 0.1),                                  // singleton
+      (5L, 50L, 0.3), (6L, 50L, 0.2))                  // plain max -> id 5
+      .toDF("id", "comp", "score")
+    val got = rows(Dedup.keepBestIds(labeled, "id", "comp", "score")
+      .orderBy("id")).map(_.getLong(0))
+    assert(got === Seq(2L, 4L, 5L))
+  }
+
   test("splitStableIngest: old docs never move, new docs inherit the " +
        "min-old-member split, bridged legacy splits are REPORTED as " +
        "conflicts, fresh components hash out") {
