@@ -1156,7 +1156,48 @@ object PlanningQueries {
       |FROM documents d JOIN s2 USING (doc_id)
       |ORDER BY ingest_day, doc_id""".stripMargin))
 
+  /** [[graft.streaming.IngestStreams.runClusterMaintenance]]: q355's
+    * incremental CC driven by the STREAM — per micro-batch, one
+    * signature scan ([[Dedup.batchIngestEdges]]), a batch-sized
+    * quotient CC merge, and an index append so later days connect.
+    * Cluster structure is order-independent (the union of discovered
+    * edges equals the full collision graph), so the oracle is the
+    * full-recompute census: the green row proves
+    * streaming-incremental ≡ batch-full. */
+  private val q364 = QDef("q364_stream_cluster_maintenance",
+    (s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.streaming.IngestStreams.runClusterMaintenance(s, dir,
+        s"graft_scm_$tag", cut0 = 300, cut1 = 450)
+    },
+    Some(s"""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |      FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |        range(0, len(t) - 2),
+      |        i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+      |      FROM toks WHERE len(t) >= 3),
+      |hs AS (SELECT doc_id, list_transform(shingles, s ->
+      |        ('0x' || substr(md5(s), 1, 7))::BIGINT) AS hh
+      |      FROM sh WHERE len(shingles) > 0),
+      |sig AS (SELECT doc_id, $sigSql16 AS sig FROM hs),
+      |bands AS (SELECT doc_id, b, list_slice(sig, 4*b + 1, 4*b + 4)
+      |        AS bucket FROM sig, range(0, 4) AS r(b)),
+      |mp AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |      FROM bands a JOIN bands b
+      |      ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM mp
+      |          UNION ALL SELECT id_b, id_a FROM mp),
+      |reach(id, comp) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+      |lab AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+      |SELECT comp AS cluster_id, count(*) AS n_docs,
+      |  count(*) FILTER (WHERE id >= 300) AS n_new,
+      |  max(id) AS max_doc_id
+      |FROM lab GROUP BY comp ORDER BY cluster_id""".stripMargin))
+
   def all: Seq[QDef] = Seq(q336, q337, q338, q339, q340, q341, q342,
     q343, q344, q345, q346, q347, q348, q349, q350, q352, q353, q354, q355,
-    q356, q358)
+    q356, q358, q364)
 }

@@ -21,6 +21,28 @@ object IngestStreams {
 
   private def rm(f: java.io.File): Unit = Staging.deleteRecursively(f)
 
+  /** Spool one parquet FILE per arrival day under
+    * `target/ingest_spool_<name>`: the file stream source orders by
+    * (modification time, path), so explicit mtimes make the
+    * micro-batch order deterministic. Returns the spool dir. */
+  private def spoolDays(name: String, days: Seq[DataFrame]): java.io.File = {
+    val spool = new java.io.File(s"target/ingest_spool_$name")
+    if (spool.exists()) rm(spool)
+    spool.mkdirs()
+    days.zipWithIndex.foreach { case (d, i0) =>
+      val i = i0 + 1
+      val tmp = new java.io.File(spool, s"__tmp_$i")
+      d.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file for day $i"))
+      val target = new java.io.File(spool, f"day_$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, target.toPath)
+      target.setLastModified(1000000000000L + i * 60000L)
+      rm(tmp)
+    }
+    spool
+  }
+
   /** Stage docs `< cut0` as the corpus index, spool docs `[cut0, cut1)`
     * and `[cut1, ∞)` as two "daily" arrival files, then run the
     * streaming ingest-dedup loop over them (one micro-batch per day —
@@ -36,24 +58,9 @@ object IngestStreams {
       Dedup.lshIndexFrame(docs.where(col("doc_id") < cut0),
         col("text"), col("doc_id")),
       idx, "lsh_key", 8)
-    // spool one parquet FILE per arrival day: the file stream source
-    // orders by (modification time, path), so explicit mtimes make the
-    // micro-batch order deterministic
-    val spool = new java.io.File(s"target/ingest_spool_$name")
-    if (spool.exists()) rm(spool)
-    spool.mkdirs()
-    def writeDay(d: DataFrame, i: Int): Unit = {
-      val tmp = new java.io.File(spool, s"__tmp_$i")
-      d.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
-      val part = tmp.listFiles().find(_.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no part file for day $i"))
-      val target = new java.io.File(spool, f"day_$i%03d.parquet")
-      java.nio.file.Files.move(part.toPath, target.toPath)
-      target.setLastModified(1000000000000L + i * 60000L)
-      rm(tmp)
-    }
-    writeDay(docs.where(col("doc_id") >= cut0 && col("doc_id") < cut1), 1)
-    writeDay(docs.where(col("doc_id") >= cut1), 2)
+    val spool = spoolDays(name,
+      Seq(docs.where(col("doc_id") >= cut0 && col("doc_id") < cut1),
+        docs.where(col("doc_id") >= cut1)))
     val outDir = new java.io.File(s"target/ingest_out_$name")
     val ckpt = new java.io.File(s"target/ingest_ckpt_$name")
     Seq(outDir, ckpt).foreach(f => if (f.exists()) rm(f))
@@ -91,5 +98,65 @@ object IngestStreams {
     spark.read.parquet(outDir.getPath)
       .select("ingest_day", "doc_id", "source")
       .orderBy("ingest_day", "doc_id")
+  }
+
+  /** STREAMING dedup-cluster maintenance — q355's incremental CC
+    * driven by the stream: each arriving day's micro-batch probes the
+    * staged index for cross edges + its own star edges
+    * ([[Dedup.batchIngestEdges]], one signature scan), merges them
+    * into the running labels via [[Dedup.ccIncremental]] (CC over the
+    * batch-sized quotient only), and appends ALL its signatures to the
+    * index so later days can connect to it. Per-trigger cost is
+    * O(batch); the corpus is never rescanned and the labels are never
+    * recomputed. Cluster structure is ORDER-INDEPENDENT (CC over the
+    * union of all discovered edges, which equals the full collision
+    * graph: every colliding pair meets through the index), so the
+    * oracle is simply the full-recompute cluster census — the green
+    * row proves streaming-incremental ≡ batch-full end-to-end. */
+  def runClusterMaintenance(spark: SparkSession, dir: String, name: String,
+                            cut0: Long = 300, cut1: Long = 450): DataFrame = {
+    val docs = Tables.t(spark, dir, "documents")
+    val idx = name + "_idx"
+    Staging.stageBucketed(
+      Dedup.lshIndexFrame(docs.where(col("doc_id") < cut0),
+        col("text"), col("doc_id")),
+      idx, "lsh_key", 8)
+    val spool = spoolDays(name,
+      Seq(docs.where(col("doc_id") >= cut0 && col("doc_id") < cut1),
+        docs.where(col("doc_id") >= cut1)))
+    val ckpt = new java.io.File(s"target/ingest_ckpt_$name")
+    if (ckpt.exists()) rm(ckpt)
+    // running labels, carried across micro-batches on the driver as a
+    // localCheckpoint handle; superseded rounds free deterministically
+    var state = Dedup.connectedComponents(
+      Dedup.minhashStarEdges(docs.where(col("doc_id") < cut0),
+        col("text"), col("doc_id")))
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(spool.getPath)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ss = batch.sparkSession // cloned session: see runIngestDedup
+        val edges = Dedup.batchIngestEdges(batch, Staging.load(ss, idx),
+          col("text"), col("doc_id"))
+        val next = Dedup.ccIncremental(state, edges).localCheckpoint()
+        org.apache.spark.sql.graft.CheckpointUtils.unpersistCheckpoint(state)
+        state = next
+        // ALL batch signatures append (cluster maintenance keeps every
+        // doc, unlike the dedup loop's survivors-only append)
+        Staging.appendBucketed(
+          Dedup.lshIndexFrame(batch, col("text"), col("doc_id")),
+          idx, "lsh_key", 8)
+        ()
+      }
+      .option("checkpointLocation", ckpt.getPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    state.groupBy(col("comp").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("id") >= cut0, 1)).as("n_new"),
+        max("id").as("max_doc_id"))
+      .orderBy("cluster_id")
   }
 }

@@ -199,6 +199,47 @@ class ScaleSpec extends SparkSpec {
     assert(got.count(_._1 == 2) > 0)
   }
 
+  test("index compaction: re-staging the appended index shrinks the " +
+      "file count (the LSM trade's compaction leg) with identical " +
+      "dedup results") {
+    val docs = Tables.t(spark, sf, "documents")
+    Staging.stageBucketed(
+      Dedup.lshIndexFrame(docs.where(col("doc_id") < 150),
+        col("text"), col("doc_id")),
+      "b_lsh_cmp", "lsh_key", 4)
+    Seq((150L, 250L), (250L, 350L)).foreach { case (lo, hi) =>
+      Staging.appendBucketed(
+        Dedup.lshIndexFrame(
+          docs.where(col("doc_id") >= lo && col("doc_id") < hi),
+          col("text"), col("doc_id")),
+        "b_lsh_cmp", "lsh_key", 4)
+    }
+    def files(table: String): Int = {
+      val wh = new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath
+      new java.io.File(wh, table).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    }
+    val batch = docs.where(col("doc_id") >= 350)
+    def dedupIds(table: String) =
+      Dedup.minhashAgainstIndex(batch, Staging.load(spark, table),
+        col("text"), col("doc_id"))
+        .select("doc_id").orderBy("doc_id").collect().toSeq
+    val before = dedupIds("b_lsh_cmp")
+    // compaction = re-stage the accumulated index, clustered by the
+    // bucket key so each task owns exactly one bucket (bucketBy writes
+    // one file per bucket PER TASK — unclustered input re-fragments):
+    // one file per bucket again, contents unchanged
+    Staging.stageBucketed(Staging.load(spark, "b_lsh_cmp")
+      .localCheckpoint() // read fully BEFORE overwriting the source table
+      .repartition(4, col("lsh_key")),
+      "b_lsh_cmp2", "lsh_key", 4)
+    assert(files("b_lsh_cmp") === 12, "stage + 2 appends = 3 files/bucket")
+    assert(files("b_lsh_cmp2") === 4, "compacted = 1 file/bucket")
+    assert(dedupIds("b_lsh_cmp2") === before)
+    assert(before.nonEmpty)
+  }
+
   test("graph vertex broadcasts: hinted at fixture scale, and the " +
       "broadcastVertices=false degrade path is hint-free with identical " +
       "results (the billion-vertex contract)") {
