@@ -213,6 +213,9 @@ class PlanAuditSpec extends SparkSpec {
     "q356_split_stable_ingest" -> 4,
     // bounded eval-panel broadcast (the q362 recall-truth query panel)
     "q362_ivf_recall_curve" -> 1,
+    // the ccIncremental contract (3 batch-bounded hints) once per
+    // streaming micro-batch — two spooled ingest days
+    "q364_stream_cluster_maintenance" -> 6,
     // documented small-by-contract reference sets
     "q122_fuzzy_names" -> 1, // reference name list (lookup-table side)
     "q210_jaro_winkler_pairs" -> 1, // reference name list
