@@ -1197,7 +1197,118 @@ object PlanningQueries {
       |  max(id) AS max_doc_id
       |FROM lab GROUP BY comp ORDER BY cluster_id""".stripMargin))
 
+  /** [[graft.streaming.IngestStreams.runSplitStableIngest]]: the ingest
+    * END-STATE — split-stable assignment maintained under the stream
+    * (q356's semantics applied day after day, state carried across
+    * micro-batches, signatures appended so later days connect). The
+    * oracle replays the SEQUENTIAL chain — three CC stages (corpus,
+    * corpus ∪ day 1, all) and both inheritance steps — proving the
+    * incremental state composition equals the from-scratch sequential
+    * analysis. */
+  private val q365 = QDef("q365_stream_split_stable",
+    (s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.streaming.IngestStreams.runSplitStableIngest(s, dir,
+        s"graft_sss_$tag", cut0 = 300, cut1 = 450, salt = "sss")
+    },
+    Some(s"""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |      FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |        range(0, len(t) - 2),
+      |        i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+      |      FROM toks WHERE len(t) >= 3),
+      |hs AS (SELECT doc_id, list_transform(shingles, s ->
+      |        ('0x' || substr(md5(s), 1, 7))::BIGINT) AS hh
+      |      FROM sh WHERE len(shingles) > 0),
+      |sig AS (SELECT doc_id, $sigSql16 AS sig FROM hs),
+      |bands AS MATERIALIZED (SELECT doc_id, b,
+      |        list_slice(sig, 4*b + 1, 4*b + 4) AS bucket
+      |      FROM sig, range(0, 4) AS r(b)),
+      |mp0 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |      FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket
+      |        AND a.doc_id < b.doc_id AND b.doc_id < 300),
+      |ed0 AS (SELECT id_a AS src, id_b AS dst FROM mp0
+      |      UNION ALL SELECT id_b, id_a FROM mp0),
+      |rc0(id, comp) AS (
+      |  SELECT src, src FROM ed0
+      |  UNION
+      |  SELECT e.src, r.comp FROM ed0 e JOIN rc0 r ON e.dst = r.id),
+      |lab0 AS (SELECT id, min(comp) AS comp FROM rc0 GROUP BY id),
+      |a0 AS (SELECT dd.doc_id AS id,
+      |        CASE WHEN hv < 800000 THEN 'train'
+      |             WHEN hv < 900000 THEN 'val' ELSE 'test' END AS sp
+      |      FROM (SELECT d2.doc_id,
+      |          ('0x' || substr(md5(CAST(coalesce(l.comp, d2.doc_id)
+      |            AS VARCHAR) || 'sss'), 1, 15))::BIGINT % 1000000 AS hv
+      |        FROM documents d2 LEFT JOIN lab0 l ON d2.doc_id = l.id
+      |        WHERE d2.doc_id < 300) dd),
+      |mp1 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |      FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket
+      |        AND a.doc_id < b.doc_id AND b.doc_id < 450),
+      |ed1 AS (SELECT id_a AS src, id_b AS dst FROM mp1
+      |      UNION ALL SELECT id_b, id_a FROM mp1),
+      |rc1(id, comp) AS (
+      |  SELECT src, src FROM ed1
+      |  UNION
+      |  SELECT e.src, r.comp FROM ed1 e JOIN rc1 r ON e.dst = r.id),
+      |lab1 AS (SELECT id, min(comp) AS comp FROM rc1 GROUP BY id),
+      |c1 AS (SELECT d2.doc_id, coalesce(l.comp, d2.doc_id) AS comp
+      |      FROM documents d2 LEFT JOIN lab1 l ON d2.doc_id = l.id
+      |      WHERE d2.doc_id < 450),
+      |om1 AS (SELECT c1.comp, a0.sp, a0.id
+      |      FROM c1 JOIN a0 ON c1.doc_id = a0.id),
+      |inh1 AS (SELECT comp, min_by(sp, id) AS isp FROM om1 GROUP BY comp),
+      |d1 AS (SELECT cb.doc_id AS id,
+      |        CASE WHEN i.comp IS NOT NULL THEN i.isp
+      |             WHEN cb.hv1 < 800000 THEN 'train'
+      |             WHEN cb.hv1 < 900000 THEN 'val' ELSE 'test' END AS sp
+      |      FROM (SELECT doc_id, comp,
+      |          ('0x' || substr(md5(CAST(comp AS VARCHAR) || 'sss'),
+      |            1, 15))::BIGINT % 1000000 AS hv1
+      |        FROM c1 WHERE doc_id >= 300) cb
+      |      LEFT JOIN inh1 i USING (comp)),
+      |a1 AS (SELECT id, sp FROM a0 UNION ALL SELECT id, sp FROM d1),
+      |mp AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |      FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket
+      |        AND a.doc_id < b.doc_id),
+      |ed AS (SELECT id_a AS src, id_b AS dst FROM mp
+      |      UNION ALL SELECT id_b, id_a FROM mp),
+      |rc(id, comp) AS (
+      |  SELECT src, src FROM ed
+      |  UNION
+      |  SELECT e.src, r.comp FROM ed e JOIN rc r ON e.dst = r.id),
+      |lab AS (SELECT id, min(comp) AS comp FROM rc GROUP BY id),
+      |c2 AS (SELECT d2.doc_id, coalesce(l.comp, d2.doc_id) AS comp
+      |      FROM documents d2 LEFT JOIN lab l ON d2.doc_id = l.id),
+      |om2 AS (SELECT c2.comp, a1.sp, a1.id
+      |      FROM c2 JOIN a1 ON c2.doc_id = a1.id),
+      |inh2 AS (SELECT comp, min_by(sp, id) AS isp FROM om2 GROUP BY comp),
+      |d2s AS (SELECT cb.doc_id AS id,
+      |        CASE WHEN i.comp IS NOT NULL THEN i.isp
+      |             WHEN cb.hv2 < 800000 THEN 'train'
+      |             WHEN cb.hv2 < 900000 THEN 'val' ELSE 'test' END AS sp
+      |      FROM (SELECT doc_id, comp,
+      |          ('0x' || substr(md5(CAST(comp AS VARCHAR) || 'sss'),
+      |            1, 15))::BIGINT % 1000000 AS hv2
+      |        FROM c2 WHERE doc_id >= 450) cb
+      |      LEFT JOIN inh2 i USING (comp)),
+      |fin AS (SELECT c2.comp, x.sp FROM
+      |      (SELECT id, sp FROM a1 UNION ALL SELECT id, sp FROM d2s) x
+      |      JOIN c2 ON x.id = c2.doc_id),
+      |nsp AS (SELECT comp, count(DISTINCT sp) AS n FROM fin GROUP BY comp),
+      |confm AS (SELECT DISTINCT f.comp, f.sp FROM fin f
+      |      JOIN nsp ON f.comp = nsp.comp AND nsp.n >= 2),
+      |spine AS (SELECT * FROM (VALUES ('test'), ('train'), ('val'))
+      |      AS s(split)),
+      |nd AS (SELECT sp AS split, count(*) AS n FROM fin GROUP BY sp),
+      |nc AS (SELECT sp AS split, count(*) AS n FROM confm GROUP BY sp)
+      |SELECT spine.split,
+      |  coalesce(nd.n, CAST(0 AS BIGINT)) AS n_docs,
+      |  coalesce(nc.n, CAST(0 AS BIGINT)) AS n_conflict_components
+      |FROM spine LEFT JOIN nd USING (split) LEFT JOIN nc USING (split)
+      |ORDER BY split""".stripMargin))
+
   def all: Seq[QDef] = Seq(q336, q337, q338, q339, q340, q341, q342,
     q343, q344, q345, q346, q347, q348, q349, q350, q352, q353, q354, q355,
-    q356, q358, q364)
+    q356, q358, q364, q365)
 }

@@ -1225,6 +1225,57 @@ object Dedup {
       .orderBy("split")
   }
 
+  /** [[splitStableIngest]]'s STATE TRANSITION — same merge +
+    * inheritance semantics, returning the UPDATED assignment
+    * (id, split, comp) over old ∪ batch instead of the census: old
+    * rows keep their split verbatim with comps relabeled through the
+    * batch-bounded patch (one broadcast-joined corpus scan); batch
+    * rows get the inherited (min-old-member) or fresh-hash split with
+    * their merged comp. This is the sequential state the streaming
+    * form (q365) carries across micro-batches — applying it day after
+    * day composes exactly like re-running the full analysis on the
+    * accumulated corpus, because each day's contraction quotients the
+    * previous day's exact labels. */
+  def splitStableAssign(oldAssign: DataFrame, corpusIndex: DataFrame,
+                        batch: DataFrame, text: Column, id: Column,
+                        splitBy: Column => Column,
+                        shingleSize: Int = 3, numPerm: Int = 16,
+                        bands: Int = 4, maxIter: Int = 20): DataFrame = {
+    val oa = oldAssign.select(col("id").cast("long").as("id"),
+      col("split").as("__sp0"), col("comp").cast("long").as("__c0"))
+    val labels0 = oa.where(col("__c0").isNotNull)
+      .select(col("id"), col("__c0").as("comp"))
+    val (_, _, remap) = ccContract(labels0,
+      batchIngestEdges(batch, corpusIndex, text, id,
+        shingleSize, numPerm, bands), maxIter)
+    val bFull = batch.select(id.cast("long").as("id"))
+      .join(broadcast(remap), col("id") === col("__old"), "left")
+      .select(col("id"), coalesce(col("__new"), col("id")).as("__c1"))
+      .localCheckpoint()
+    val touched = bFull.select(col("__c1")).distinct()
+    val oldTouched = oa
+      .join(broadcast(remap),
+        coalesce(col("__c0"), col("id")) === col("__old"), "left")
+      .select(col("id"), col("__sp0"),
+        coalesce(col("__new"), col("__c0"), col("id")).as("__c1"))
+      .join(broadcast(touched), Seq("__c1"))
+    val inh = oldTouched.groupBy(col("__c1"))
+      .agg(min_by(col("__sp0"), col("id")).as("__isp"))
+      .localCheckpoint() // batch-bounded (one row per touched component)
+    val newRows = bFull.join(broadcast(inh), Seq("__c1"), "left")
+      .select(col("id"),
+        coalesce(col("__isp"), splitBy(col("__c1"))).as("split"),
+        col("__c1").as("comp"))
+    // old rows: splits NEVER move; comps patch through the broadcast
+    // map (untouched isolated docs keep their null comp, the day-0
+    // convention)
+    val oldRows = oa.join(broadcast(remap),
+        coalesce(col("__c0"), col("id")) === col("__old"), "left")
+      .select(col("id"), col("__sp0").as("split"),
+        coalesce(col("__new"), col("__c0")).as("comp"))
+    oldRows.unionByName(newRows)
+  }
+
   // ------------------------------------------------------------------ bloom
 
   /** Deterministic Bloom hash family: k bit positions in [0, mBits) per

@@ -159,4 +159,82 @@ object IngestStreams {
         max("id").as("max_doc_id"))
       .orderBy("cluster_id")
   }
+
+  /** The ingest END-STATE: split-stable assignment maintained under a
+    * STREAM of arriving days. Day 0 assigns cluster-safely; each
+    * micro-batch then merges into the cluster structure and assigns
+    * splits via [[Dedup.splitStableAssign]] (old docs never move, new
+    * docs inherit their merged component's min-old-member split,
+    * fresh components hash), with the day's signatures appended so
+    * later days connect. The final census reports, per declared
+    * split: doc mass and the irreducible legacy conflicts (components
+    * whose members span ≥ 2 splits — merges forced them, history
+    * can't be reassigned). The oracle replays the SEQUENTIAL chain —
+    * three CC stages (corpus, corpus∪day1, all) and both inheritance
+    * steps — so the green row proves the day-after-day state
+    * composition equals the from-scratch sequential analysis. */
+  def runSplitStableIngest(spark: SparkSession, dir: String, name: String,
+                           cut0: Long = 300, cut1: Long = 450,
+                           salt: String = "sss"): DataFrame = {
+    val docs = Tables.t(spark, dir, "documents")
+    val idx = name + "_idx"
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val corpus = docs.where(col("doc_id") < cut0)
+    Staging.stageBucketed(
+      Dedup.lshIndexFrame(corpus, col("text"), col("doc_id")),
+      idx, "lsh_key", 8)
+    val labels0 = Dedup.connectedComponents(
+      Dedup.minhashStarEdges(corpus, col("text"), col("doc_id")))
+    var state = corpus.select(col("doc_id").cast("long").as("id"))
+      .join(labels0.withColumnRenamed("id", "__lid"),
+        col("id") === col("__lid"), "left")
+      .select(col("id"),
+        graft.Sampling.splitAssign(coalesce(col("comp"), col("id")), fr,
+          salt).as("split"),
+        col("comp"))
+      .localCheckpoint()
+    val spool = spoolDays(name,
+      Seq(docs.where(col("doc_id") >= cut0 && col("doc_id") < cut1),
+        docs.where(col("doc_id") >= cut1)))
+    val ckpt = new java.io.File(s"target/ingest_ckpt_$name")
+    if (ckpt.exists()) rm(ckpt)
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(spool.getPath)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ss = batch.sparkSession // cloned session: see runIngestDedup
+        val next = Dedup.splitStableAssign(state, Staging.load(ss, idx),
+            batch, col("text"), col("doc_id"),
+            c => graft.Sampling.splitAssign(c, fr, salt))
+          .localCheckpoint()
+        org.apache.spark.sql.graft.CheckpointUtils.unpersistCheckpoint(state)
+        state = next
+        Staging.appendBucketed(
+          Dedup.lshIndexFrame(batch, col("text"), col("doc_id")),
+          idx, "lsh_key", 8)
+        ()
+      }
+      .option("checkpointLocation", ckpt.getPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val fin = state.select(col("split"),
+      coalesce(col("comp"), col("id")).as("comp"))
+    val nsp = fin.groupBy("comp").agg(countDistinct("split").as("__nsp"))
+    val confm = fin.select("comp", "split").distinct()
+      .join(nsp.where(col("__nsp") >= 2).select("comp"), Seq("comp"),
+        "left_semi")
+    val spine = spark.range(1)
+      .select(explode(array(Seq("test", "train", "val").map(lit): _*))
+        .as("split"))
+    spine
+      .join(fin.groupBy("split").agg(count(lit(1)).as("__nd")),
+        Seq("split"), "left")
+      .join(confm.groupBy("split").agg(count(lit(1)).as("__nc")),
+        Seq("split"), "left")
+      .select(col("split"), coalesce(col("__nd"), lit(0L)).as("n_docs"),
+        coalesce(col("__nc"), lit(0L)).as("n_conflict_components"))
+      .orderBy("split")
+  }
 }

@@ -216,6 +216,10 @@ class PlanAuditSpec extends SparkSpec {
     // the ccIncremental contract (3 batch-bounded hints) once per
     // streaming micro-batch — two spooled ingest days
     "q364_stream_cluster_maintenance" -> 6,
+    // splitStableAssign's 5 batch-bounded hints (endpoints, label
+    // subset, remap, touched set, inheritance table) per micro-batch
+    // — two spooled ingest days
+    "q365_stream_split_stable" -> 10,
     // documented small-by-contract reference sets
     "q122_fuzzy_names" -> 1, // reference name list (lookup-table side)
     "q210_jaro_winkler_pairs" -> 1, // reference name list
