@@ -126,6 +126,33 @@ class ExtOpsSpec extends SparkSpec {
       ("val", 1L, 0L, 0L)))    // untouched doc 5 unchanged, no conflict
   }
 
+  test("splitStableAssign: old splits survive the transition verbatim, " +
+       "new docs inherit, comps patch to the merged labels") {
+    val oldAssign = Seq(
+      (1L, "train", None: Option[Long]),
+      (2L, "test", None: Option[Long]),
+      (5L, "val", None: Option[Long]))
+      .toDF("id", "split", "comp")
+    val corpusDocs = Seq((1L, "aa"), (2L, "bb"), (5L, "ee")).toDF("id", "t")
+    val corpusIndex = Dedup.lshIndexFrame(corpusDocs, col("t"), col("id"),
+      shingleSize = 1, numPerm = 16, bands = 16)
+    val batch = Seq((10L, "aa bb"), (11L, "zz")).toDF("id", "t")
+    val got = rows(Dedup.splitStableAssign(oldAssign, corpusIndex, batch,
+      col("t"), col("id"), _ => lit("fresh"),
+      shingleSize = 1, numPerm = 16, bands = 16).orderBy("id"))
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    // doc 10 bridges 1 (train) and 2 (test): comp 1, inherits train
+    // (min old id); doc 2 relabels to the merged comp; doc 1 IS the
+    // component minimum — its label never moved, so its comp stays
+    // null under the family convention (null comp ⇒ own id: the
+    // census and any later contraction coalesce it to 1, the true
+    // label); 5 untouched; 11 fresh singleton
+    assert(got === Seq(
+      (1L, "train", -1L), (2L, "test", 1L), (5L, "val", -1L),
+      (10L, "train", 1L), (11L, "fresh", 11L)))
+  }
+
   test("simhash: identical -> hamming 0; pairs beyond maxDist filtered") {
     val df = Seq((1L, "alpha beta gamma delta", "s"), (2L, "alpha beta gamma delta", "s"),
       (3L, "zz yy xx ww vv uu", "s")).toDF("id", "t", "src")
