@@ -571,11 +571,14 @@ object ExtQueries {
       | count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
       |FROM h GROUP BY 1 ORDER BY split""".stripMargin))
 
-  /** Shared oracle CTE chain of the q49/q351 training-prep front:
-    * language gate + quality gate + exact dedup + 3-shingle MinHash CC
-    * drop of non-representatives — ends at `kept`
-    * (doc_id, text, n_chars), the cleaned corpus both flagships split. */
-  private val prepKeptCtes =
+  /** Shared oracle CTE chain of the q49/q351/q366 training-prep front:
+    * language gate + quality gate + exact dedup + the 3-shingle MinHash
+    * CC labels — ends at `base` (exact-deduped survivors) + `lab` (their
+    * near-dup component labels) + `qual` (per-doc quality). The
+    * representative-selection tail differs per flagship:
+    * [[prepKeptCtes]] keeps the min-id member (q49/q351),
+    * [[prepKeptBestCtes]] the max-quality member (q366). */
+  private val prepFrontCtes =
     s"""tq AS (SELECT doc_id, text, n_chars,
       |         string_split(text, ' ') AS tk,
       |         list_distinct(string_split(text, ' ')) AS dtk FROM documents),
@@ -610,10 +613,29 @@ object ExtQueries {
       |base AS (SELECT f.doc_id, f.text, f.n_chars
       |         FROM filtered f JOIN dkeep USING (doc_id)),
       |${minhashPairCtesFrom("base")},
-      |$ccCtes,
+      |$ccCtes""".stripMargin
+
+  /** Min-id representative tail (q49/q351): keep each 3-shingle
+    * component's smallest doc id. */
+  private val prepKeptCtes =
+    s"""$prepFrontCtes,
       |kept AS (SELECT b.doc_id, b.text, b.n_chars FROM base b
       |         WHERE NOT EXISTS (SELECT 1 FROM lab
       |                           WHERE lab.id = b.doc_id AND lab.comp <> lab.id))""".stripMargin
+
+  /** Best-quality representative tail (q366): keep each 3-shingle
+    * component's max-quality member, ties → min id — [[Dedup
+    * .keepBestIds]]' semantics replayed over the same front. */
+  private val prepKeptBestCtes =
+    s"""$prepFrontCtes,
+      |wc4 AS (SELECT b.doc_id, b.text, b.n_chars, q.quality,
+      |         coalesce(l.comp, b.doc_id) AS comp
+      |       FROM base b JOIN qual q USING (doc_id)
+      |       LEFT JOIN lab l ON b.doc_id = l.id),
+      |rk4 AS (SELECT doc_id, text, n_chars,
+      |         row_number() OVER (PARTITION BY comp
+      |           ORDER BY quality DESC, doc_id) AS rn FROM wc4),
+      |kept AS (SELECT doc_id, text, n_chars FROM rk4 WHERE rn = 1)""".stripMargin
 
   /** The flagship end-to-end training-data prep pipeline, composed from
     * the operator inventory in ONE lazy plan: language filter -> quality
@@ -3284,6 +3306,153 @@ object ExtQueries {
       |  LEFT JOIN szs sb ON sb.sp = spine.split_b
       |ORDER BY split_a, split_b""".stripMargin))
 
+  /** The r11 verdict's directive 6 resolved by COMPOSITION: q351's
+    * cluster-safe flagship with [[Dedup.keepBestIds]] (q363) as the
+    * representative policy — each 3-shingle near-dup component keeps its
+    * HIGHEST-QUALITY member (q31's score, ties → min id) instead of the
+    * arbitrary min-id one, the policy a production pipeline wants once a
+    * quality signal exists. The quality score is computed ONCE in the
+    * prep front and carried through the exact dedup (a semi-join, so
+    * columns survive); selection is the min-struct argmax, never a rank
+    * window. Census tail identical to q351 (same salt, same spine), so
+    * the two flagships differ in exactly the one policy under test. */
+  private val q366 = QDef("q366_training_prep_v4",
+    (s, dir) => {
+      val d = T(s, dir, "documents")
+      // score once; the language/quality gate reads the same column
+      val scored = d.select(col("doc_id"), col("text"), col("n_chars"),
+        round(TextAnalysis.qualityScore(col("text")), 4).as("__q"))
+      val filtered = scored.where(
+        TextAnalysis.langId(col("text")) === lit("en") &&
+          col("__q") >= 0.5)
+      val deduped = Dedup.exact(filtered, col("text"), col("doc_id"))
+        .localCheckpoint()
+      val stars3 = Dedup.minhashStarEdges(deduped, col("text"),
+        col("doc_id"), shingleSize = 3, numPerm = 16, bands = 4)
+      val labels = Dedup.connectedComponents(stars3)
+      val wc = deduped.select(col("doc_id"), col("__q"))
+        .join(labels.withColumnRenamed("id", "__lid"),
+          col("doc_id") === col("__lid"), "left")
+        .select(col("doc_id"), col("__q"),
+          coalesce(col("comp"), col("doc_id")).as("__comp"))
+      val kept = deduped
+        .join(Dedup.keepBestIds(wc, "doc_id", "__comp", "__q"),
+          Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      Dedup.clusterSafeSplitCensus(kept, col("text"), col("doc_id"),
+        comp => Sampling.splitAssign(comp,
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "csp"),
+        shingleSize = 1, numPerm = 16, bands = 4, minBin10 = 7,
+        splitSizes = true, spineSplits = Seq("train", "val", "test"))
+    },
+    Some(s"""WITH RECURSIVE $prepKeptBestCtes,
+      |${unigramPairCtesFrom("kept", "2")},
+      |${ccCtesFrom("rawpairs2", "2")},
+      |d2 AS (SELECT doc_id, text,
+      |        CASE WHEN hv < 800000 THEN 'train'
+      |             WHEN hv < 900000 THEN 'val' ELSE 'test' END AS sp
+      |      FROM (SELECT k.doc_id, k.text,
+      |        ('0x' || substr(md5(CAST(coalesce(l.comp, k.doc_id)
+      |            AS VARCHAR) || 'csp'), 1, 15))::BIGINT % 1000000 AS hv
+      |       FROM kept k LEFT JOIN lab2 l ON k.doc_id = l.id)),
+      |spb AS (SELECT bd2.doc_id, d2.sp, bd2.b, bd2.bucket
+      |      FROM bd2 JOIN d2 USING (doc_id)),
+      |cd AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |      FROM spb a JOIN spb b ON a.b = b.b AND a.bucket = b.bucket
+      |        AND a.doc_id < b.doc_id AND a.sp <> b.sp),
+      |gr AS (SELECT doc_id, sp, list_distinct(string_split(text, ' '))
+      |        AS g FROM d2),
+      |vf AS (SELECT cd.id_a, cd.id_b, ga.sp AS sp_a, gb.sp AS sp_b,
+      |        CAST(len(list_intersect(ga.g, gb.g)) AS BIGINT) AS i,
+      |        CAST(len(ga.g) + len(gb.g)
+      |          - len(list_intersect(ga.g, gb.g)) AS BIGINT) AS u
+      |      FROM cd JOIN gr ga ON cd.id_a = ga.doc_id
+      |        JOIN gr gb ON cd.id_b = gb.doc_id),
+      |lab3 AS (SELECT least(sp_a, sp_b) AS split_a,
+      |        greatest(sp_a, sp_b) AS split_b,
+      |        CASE WHEN sp_a <= sp_b THEN id_a ELSE id_b END AS doc_a,
+      |        CASE WHEN sp_a <= sp_b THEN id_b ELSE id_a END AS doc_b,
+      |        CASE WHEN i * 10 >= u * 7 THEN 1 ELSE 0 END AS leak
+      |      FROM vf),
+      |ag AS (SELECT split_a, split_b,
+      |        CAST(count(*) AS BIGINT) AS n_candidates,
+      |        CAST(sum(leak) AS BIGINT) AS n_leaked,
+      |        CAST(count(DISTINCT CASE WHEN leak = 1 THEN doc_a END)
+      |          AS BIGINT) AS docs_leaked_a,
+      |        CAST(count(DISTINCT CASE WHEN leak = 1 THEN doc_b END)
+      |          AS BIGINT) AS docs_leaked_b
+      |      FROM lab3 GROUP BY 1, 2),
+      |sp3(sp) AS (VALUES ('test'), ('train'), ('val')),
+      |spine AS (SELECT x.sp AS split_a, y.sp AS split_b
+      |      FROM sp3 x JOIN sp3 y ON x.sp < y.sp),
+      |szs AS (SELECT sp, CAST(count(*) AS BIGINT) AS n FROM d2 GROUP BY sp)
+      |SELECT spine.split_a, spine.split_b,
+      |  coalesce(n_candidates, CAST(0 AS BIGINT)) AS n_candidates,
+      |  coalesce(n_leaked, CAST(0 AS BIGINT)) AS n_leaked,
+      |  coalesce(docs_leaked_a, CAST(0 AS BIGINT)) AS docs_leaked_a,
+      |  coalesce(docs_leaked_b, CAST(0 AS BIGINT)) AS docs_leaked_b,
+      |  coalesce(sa.n, CAST(0 AS BIGINT)) AS n_docs_a,
+      |  coalesce(sb.n, CAST(0 AS BIGINT)) AS n_docs_b
+      |FROM spine LEFT JOIN ag USING (split_a, split_b)
+      |  LEFT JOIN szs sa ON sa.sp = spine.split_a
+      |  LEFT JOIN szs sb ON sb.sp = spine.split_b
+      |ORDER BY split_a, split_b""".stripMargin))
+
+  /** [[Similarity.ivfRecluster]]: q361's ingest loop CLOSED WITH ITS
+    * COMPACTION LEG (r11 directive 4). Drift setup: the codebook trains
+    * on the corpus HALF only, and the other half appends under that
+    * stale codebook (exactly the q361 maintenance trade, pushed past
+    * the staged corpus). The compaction then retrains on the index's
+    * own embeddings, reassigns, and re-stages — and because retraining
+    * over the full index content IS the from-scratch training (same
+    * deterministic init, same data), the oracle is q357's from-scratch
+    * build replayed end-to-end: the green row proves post-compaction ≡
+    * from-scratch, the q364 LSM-compaction convention applied to ANN.
+    * The recall-decay measurement that motivates the compaction lives
+    * in the IvfDriftProbe (PLANS §r12 IVF drift). */
+  private val q367 = QDef("q367_ann_index_recluster",
+    (s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val e = T(s, dir, "embeddings")
+      val idx = s"graft_ivf_rc_$tag"
+      val stale = Similarity.kmeansCentroids(e.where(col("vec_id") < 500),
+        col("embedding"), col("vec_id"), c = 16, iters = 2)
+      Staging.stageBucketed(
+        Similarity.ivfIndexFrame(e.where(col("vec_id") < 500),
+          col("embedding"), col("vec_id"), stale), idx, "cell", 8)
+      Staging.appendBucketed(
+        Similarity.ivfIndexFrame(e.where(col("vec_id") >= 500),
+          col("embedding"), col("vec_id"), stale), idx, "cell", 8)
+      val cents = Similarity.ivfRecluster(s, idx, idx, c = 16, iters = 2,
+        buckets = 8)
+      Similarity.ivfKnnJoinIndex(Staging.load(s, idx),
+        e.filter(col("label") === 1), col("embedding"), col("vec_id"),
+        k = 3, centroids = cents, nProbe = 4)
+        .select(col("qid"), col("rank"), col("id"),
+          round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy("qid", "rank")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |${kmeansCtes(16, 64, 2)},
+      |a0 AS (SELECT e.vec_id, e.emb, c.cid,
+      |         row_number() OVER (PARTITION BY e.vec_id
+      |           ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC, c.cid) AS rn
+      |       FROM e, c),
+      |assign AS (SELECT vec_id, emb, cid AS cell FROM a0 WHERE rn = 1),
+      |q0 AS (SELECT e.vec_id AS qid, e.emb AS qemb, c.cid AS cell,
+      |         row_number() OVER (PARTITION BY e.vec_id
+      |           ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC, c.cid) AS rn
+      |       FROM e, c WHERE e.label = 1),
+      |q AS (SELECT qid, qemb, cell FROM q0 WHERE rn <= 4),
+      |cand AS (SELECT q.qid, a.vec_id AS id,
+      |           list_cosine_similarity(a.emb, q.qemb) AS cs
+      |         FROM assign a JOIN q ON a.cell = q.cell),
+      |rk AS (SELECT qid, id, cs,
+      |         row_number() OVER (PARTITION BY qid ORDER BY cs DESC, id) AS rank
+      |       FROM cand)
+      |SELECT qid, rank, id, round(cs, 4) AS cos_sim
+      |FROM rk WHERE rank <= 3 ORDER BY qid, rank""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
@@ -3293,5 +3462,5 @@ object ExtQueries {
     q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
     q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q351,
-    q357, q361, q362, q363)
+    q357, q361, q362, q363, q366, q367)
 }

@@ -214,6 +214,47 @@ object Similarity {
       .select(col("qid"), col("rank"), col("id"), col("__cos").as("cos_sim"))
   }
 
+  /** RE-CLUSTER COMPACTION for a staged IVF index (the q364 LSM
+    * convention applied to ANN — r11 directive 4): ingest appends
+    * ([[Staging.appendBucketed]] of [[ivfIndexFrame]] rows under FIXED
+    * centroids, the q361 loop) accumulate two debts — bucket-file
+    * fragmentation and codebook DRIFT (the fixed centroids stop fitting
+    * the grown distribution, so recall at a given nProbe decays;
+    * measured in PLANS §r12 IVF drift). This operation pays both at
+    * once: retrain the codebook on the index's OWN embeddings (the
+    * index stores them — one staged-table scan, no source-of-truth
+    * re-read), reassign every row, and re-stage. The result is EXACTLY
+    * a from-scratch [[ivfIndexFrame]] build with the retrained
+    * centroids — same function, same rows (pinned in the unit suite;
+    * q367's oracle replays the from-scratch build end-to-end) — with
+    * file count back to one per bucket.
+    *
+    * `into` names the rebuilt table; when it equals `from` the current
+    * content is checkpointed before the overwrite (read-before-replace,
+    * the ScaleSpec compaction convention) — at 100 TB stage into a NEW
+    * table and swap names instead (the [[graft.streaming.DurableState]]
+    * pattern), which this supports by passing a distinct `into`.
+    * Returns the retrained centroids (the serving layer must switch
+    * codebooks atomically with the index — queries probe cells by
+    * centroid, so serving old centroids against the new index would
+    * probe wrong cells). */
+  def ivfRecluster(spark: org.apache.spark.sql.SparkSession, from: String,
+                   into: String, c: Int, iters: Int = 2,
+                   buckets: Int = 8): Seq[(Long, Array[Double])] = {
+    val idx0 = graft.Staging.load(spark, from)
+    val src = if (into == from) idx0.select("id", "emb").localCheckpoint()
+      else idx0.select("id", "emb")
+    val cents = kmeansCentroids(src, col("emb"), col("id"), c, iters)
+    // cluster by the bucket key before staging so each task owns exactly
+    // one bucket → one file per bucket (bucketBy writes one file per
+    // bucket per task — the ScaleSpec compaction convention)
+    graft.Staging.stageBucketed(
+      ivfIndexFrame(src, col("emb"), col("id"), cents)
+        .repartition(buckets, col("cell")),
+      into, "cell", buckets)
+    cents
+  }
+
   /** IVF recall CALIBRATION — the q334/q335 plan-eval device applied to
     * ANN: measured recall@k of the cell-probed join against exact
     * brute-force truth, for a whole nProbe sweep in ONE corpus pass.
@@ -253,6 +294,9 @@ object Similarity {
         lit(salt))), lit(1000000L)) < lit((panelFrac * 1e6).toLong)))
       .localCheckpoint()
     val nq = qp.count() // bounded: the eval panel, not the corpus
+    // a too-small frac can sample the panel down to nothing, zeroing the
+    // recall denominator (k·nq) into silent null/NaN rows — fail loudly
+    require(nq > 0, s"panel sample is empty (panelFrac=$panelFrac) — raise panelFrac")
     val w = Window.partitionBy("qid").orderBy(desc("__cos"), col("id"))
     val exact = assigned.crossJoin(broadcast(qp))
       .select(col("qid"), col("id"), cosine(col("__e"), col("__q")).as("__cos"))

@@ -264,6 +264,21 @@ object Dedup {
     * index's bucket count. The ingestion-time cost model at scale:
     * O(batch) signatures + one batch-side exchange, independent of
     * corpus size. */
+  /** Drop `ids`' own rows from a staged [[lshIndexFrame]] — the
+    * replay-idempotency device for streaming ingest-dedup: a retried
+    * micro-batch whose index APPEND survived a crash (sink write done,
+    * checkpoint offset commit not) would otherwise collide with its own
+    * signatures and dedup itself to nothing. Excluding self makes the
+    * probe read exactly the pre-batch index state on first delivery AND
+    * on every replay (first delivery: the filter is a semantic no-op —
+    * the batch's ids aren't in the index yet). `ids` is batch-bounded
+    * (the micro-batch's id column), so the anti-join broadcasts it and
+    * the index side keeps its zero-Exchange bucketed-scan plan
+    * (broadcast joins preserve the streamed side's partitioning). */
+  def indexWithoutIds(index: DataFrame, ids: DataFrame): DataFrame =
+    index.join(broadcast(ids.select(col("id").cast("long").as("__xid"))),
+      index("corpus_id") === col("__xid"), "left_anti")
+
   def minhashAgainstIndex(batch: DataFrame, index: DataFrame, text: Column,
                           id: Column, shingleSize: Int = 3, numPerm: Int = 16,
                           bands: Int = 4): DataFrame = {
@@ -957,7 +972,8 @@ object Dedup {
     * the cap is generous. Every iteration materializes via localCheckpoint
     * so the plan doesn't grow with iteration count, and the loop exits
     * early the first iteration no label improves. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+                          scope: CkptScope = CkptScope.session): DataFrame = {
     val sym = edges
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .unionByName(edges
@@ -1001,9 +1017,12 @@ object Dedup {
       comp = next.drop("__improved")
       i += 1
     }
-    // the final comp checkpoint stays alive for downstream consumption;
-    // the edge list is no longer referenced by it
+    // the final comp checkpoint stays alive for downstream consumption
+    // (tracked by the caller's scope — freed per micro-batch under a
+    // stream, session-lifetime in batch queries); the edge list is no
+    // longer referenced by it
     org.apache.spark.sql.graft.CheckpointUtils.unpersistCheckpoint(sym)
+    scope.track(compCk)
     System.err.println(s"[cc] converged after $i rounds (maxIter $maxIter)")
     comp
   }
@@ -1038,10 +1057,11 @@ object Dedup {
     * into one weekly rewrite — but the eager form here keeps the
     * operator's output a plain labels table. */
   def ccIncremental(labels: DataFrame, newEdges: DataFrame,
-                    maxIter: Int = 20): DataFrame = {
+                    maxIter: Int = 20,
+                    scope: CkptScope = CkptScope.session): DataFrame = {
     val l = labels.select(col("id").cast("long").as("id"),
       col("comp").cast("long").as("comp"))
-    val (ends, lsub, remap) = ccContract(l, newEdges, maxIter)
+    val (ends, lsub, remap) = ccContract(l, newEdges, maxIter, scope)
     // corpus scan 2: map-side relabel (comp is an old component minimum
     // iff it appears as a remap key)
     val relabeled = l.join(broadcast(remap), l("comp") === col("__old"), "left")
@@ -1062,18 +1082,29 @@ object Dedup {
     * batch id, or a previously-isolated old id) to its merged
     * component's new minimum, and contains only nodes whose label
     * MOVED. All three frames are ≤ 2·|newEdges| rows — batch-bounded
-    * by construction, never corpus-sized. */
+    * by construction, never corpus-sized.
+    *
+    * BATCH-SIZE CONTRACT: "batch-bounded" makes the broadcasts legal for
+    * ingest-sized batches (a day's crawl), NOT for a backfill replayed
+    * as one giant batch — 2·|newEdges| must fit a broadcast (the
+    * executor/driver memory envelope, not just
+    * autoBroadcastJoinThreshold). Callers replaying weeks of history
+    * must CHUNK the backfill into day-sized batches and apply them
+    * sequentially (each application is exact, so the composition is too
+    * — the q365 sequential-state property); the streaming drivers get
+    * this for free from micro-batching. */
   private def ccContract(l: DataFrame, newEdges: DataFrame,
-                         maxIter: Int): (DataFrame, DataFrame, DataFrame) = {
-    val e = newEdges
+                         maxIter: Int,
+                         scope: CkptScope = CkptScope.session)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val e = scope.ckpt(newEdges
       .select(col("id_a").cast("long").as("__ea"),
-        col("id_b").cast("long").as("__eb"))
-      .localCheckpoint()
+        col("id_b").cast("long").as("__eb")))
     val ends = e.select(col("__ea").as("id"))
       .unionByName(e.select(col("__eb").as("id"))).distinct()
     // corpus scan 1: labels of TOUCHED endpoints only (batch-bounded
     // output; `ends` ≤ 2·|newEdges| rows — a batch-size broadcast)
-    val lsub = l.join(broadcast(ends), Seq("id")).localCheckpoint()
+    val lsub = scope.ckpt(l.join(broadcast(ends), Seq("id")))
     val contracted = e
       .join(broadcast(lsub.select(col("id").as("__ea"), col("comp").as("__ca"))),
         Seq("__ea"), "left")
@@ -1082,13 +1113,12 @@ object Dedup {
       .select(coalesce(col("__ca"), col("__ea")).as("id_a"),
         coalesce(col("__cb"), col("__eb")).as("id_b"))
       .where(col("id_a") =!= col("id_b"))
-    val micro = connectedComponents(contracted, maxIter)
+    val micro = connectedComponents(contracted, maxIter, scope)
     // the label PATCH: contracted nodes whose component minimum moved.
     // Bounded by the contracted node count (≤ 2·|newEdges|), never by
     // the corpus — the broadcast the whole operator exists to make legal.
-    val remap = micro.where(col("id") =!= col("comp"))
-      .select(col("id").as("__old"), col("comp").as("__new"))
-      .localCheckpoint()
+    val remap = scope.ckpt(micro.where(col("id") =!= col("comp"))
+      .select(col("id").as("__old"), col("comp").as("__new")))
     (ends, lsub, remap)
   }
 
@@ -1120,9 +1150,10 @@ object Dedup {
     * equality by construction). */
   def batchIngestEdges(batch: DataFrame, corpusIndex: DataFrame,
                        text: Column, id: Column, shingleSize: Int = 3,
-                       numPerm: Int = 16, bands: Int = 4): DataFrame = {
-    val bb = lshIndexFrame(batch, text, id, shingleSize, numPerm, bands)
-      .withColumnRenamed("corpus_id", "batch_id").localCheckpoint()
+                       numPerm: Int = 16, bands: Int = 4,
+                       scope: CkptScope = CkptScope.session): DataFrame = {
+    val bb = scope.ckpt(lshIndexFrame(batch, text, id, shingleSize, numPerm, bands)
+      .withColumnRenamed("corpus_id", "batch_id"))
     val cross = bb.join(corpusIndex, Seq("lsh_key"))
       .groupBy(col("batch_id"), col("lsh_key"))
       .agg(min(col("corpus_id")).as("__rep"))
@@ -1172,35 +1203,33 @@ object Dedup {
                         splitBy: Column => Column,
                         spineSplits: Seq[String],
                         shingleSize: Int = 3, numPerm: Int = 16,
-                        bands: Int = 4, maxIter: Int = 20): DataFrame = {
+                        bands: Int = 4, maxIter: Int = 20,
+                        scope: CkptScope = CkptScope.session): DataFrame = {
     val oa = oldAssign.select(col("id").cast("long").as("id"),
       col("split").as("__sp0"), col("comp").cast("long").as("__c0"))
     val labels0 = oa.where(col("__c0").isNotNull)
       .select(col("id"), col("__c0").as("comp"))
     val (_, _, remap) = ccContract(labels0,
       batchIngestEdges(batch, corpusIndex, text, id,
-        shingleSize, numPerm, bands), maxIter)
+        shingleSize, numPerm, bands, scope), maxIter, scope)
     // batch docs' merged components (batch-bounded; isolated -> own id)
-    val bFull = batch.select(id.cast("long").as("id"))
+    val bFull = scope.ckpt(batch.select(id.cast("long").as("id"))
       .join(broadcast(remap), col("id") === col("__old"), "left")
-      .select(col("id"), coalesce(col("__new"), col("id")).as("__c1"))
-      .localCheckpoint()
+      .select(col("id"), coalesce(col("__new"), col("id")).as("__c1")))
     val touched = bFull.select(col("__c1")).distinct()
     // old members of TOUCHED components only, with their merged label:
     // patch key = day-0 component (or own id when isolated), applied as
     // a broadcast map over one corpus scan
-    val oldTouched = oa
+    val oldTouched = scope.ckpt(oa
       .join(broadcast(remap),
         coalesce(col("__c0"), col("id")) === col("__old"), "left")
       .select(col("id"), col("__sp0"),
         coalesce(col("__new"), col("__c0"), col("id")).as("__c1"))
-      .join(broadcast(touched), Seq("__c1"))
-      .localCheckpoint()
+      .join(broadcast(touched), Seq("__c1")))
     // inheritance + conflict analysis per touched component
-    val inh = oldTouched.groupBy(col("__c1"))
+    val inh = scope.ckpt(oldTouched.groupBy(col("__c1"))
       .agg(min_by(col("__sp0"), col("id")).as("__isp"),
-        countDistinct(col("__sp0")).as("__nsp"))
-      .localCheckpoint()
+        countDistinct(col("__sp0")).as("__nsp")))
     val newSp = bFull.join(inh, Seq("__c1"), "left")
       .select(col("id"), coalesce(col("__isp"), splitBy(col("__c1"))).as("__sp"))
     val conf = oldTouched.select(col("__c1"), col("__sp0")).distinct()
@@ -1240,18 +1269,18 @@ object Dedup {
                         batch: DataFrame, text: Column, id: Column,
                         splitBy: Column => Column,
                         shingleSize: Int = 3, numPerm: Int = 16,
-                        bands: Int = 4, maxIter: Int = 20): DataFrame = {
+                        bands: Int = 4, maxIter: Int = 20,
+                        scope: CkptScope = CkptScope.session): DataFrame = {
     val oa = oldAssign.select(col("id").cast("long").as("id"),
       col("split").as("__sp0"), col("comp").cast("long").as("__c0"))
     val labels0 = oa.where(col("__c0").isNotNull)
       .select(col("id"), col("__c0").as("comp"))
     val (_, _, remap) = ccContract(labels0,
       batchIngestEdges(batch, corpusIndex, text, id,
-        shingleSize, numPerm, bands), maxIter)
-    val bFull = batch.select(id.cast("long").as("id"))
+        shingleSize, numPerm, bands, scope), maxIter, scope)
+    val bFull = scope.ckpt(batch.select(id.cast("long").as("id"))
       .join(broadcast(remap), col("id") === col("__old"), "left")
-      .select(col("id"), coalesce(col("__new"), col("id")).as("__c1"))
-      .localCheckpoint()
+      .select(col("id"), coalesce(col("__new"), col("id")).as("__c1")))
     val touched = bFull.select(col("__c1")).distinct()
     val oldTouched = oa
       .join(broadcast(remap),
@@ -1259,9 +1288,9 @@ object Dedup {
       .select(col("id"), col("__sp0"),
         coalesce(col("__new"), col("__c0"), col("id")).as("__c1"))
       .join(broadcast(touched), Seq("__c1"))
-    val inh = oldTouched.groupBy(col("__c1"))
+    val inh = scope.ckpt(oldTouched.groupBy(col("__c1"))
       .agg(min_by(col("__sp0"), col("id")).as("__isp"))
-      .localCheckpoint() // batch-bounded (one row per touched component)
+      ) // batch-bounded (one row per touched component)
     val newRows = bFull.join(broadcast(inh), Seq("__c1"), "left")
       .select(col("id"),
         coalesce(col("__isp"), splitBy(col("__c1"))).as("split"),

@@ -14,10 +14,6 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * pinned by the unit suite.
   */
 object Staging {
-  /** Stage `df` as a bucketed, per-bucket-sorted managed parquet table.
-    * Idempotent: drops any prior table AND its location first (with the
-    * in-memory catalog, a dropped table's files survive the session and
-    * would otherwise block re-creation). */
   /** Recursive delete (shared by staging + the streaming spool dirs;
     * null-safe against unreadable directories). */
   def deleteRecursively(f: java.io.File): Unit = {
@@ -28,6 +24,10 @@ object Staging {
     f.delete(); ()
   }
 
+  /** Stage `df` as a bucketed, per-bucket-sorted managed parquet table.
+    * Idempotent: drops any prior table AND its location first (with the
+    * in-memory catalog, a dropped table's files survive the session and
+    * would otherwise block re-creation). */
   def stageBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")

@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
+import graft.streaming.DurableState
+
 /** Structured Streaming over the events table (extension beyond reference
   * parity — the reference has no streaming surface, SURVEY §2.13).
   *
@@ -411,14 +413,12 @@ object EventStreams {
     * UNIONED with the current state and reduced by
     * [[Dedup.latestSnapshot]], so an out-of-order event arriving in a
     * later micro-batch cannot overwrite newer state (version-wins, not
-    * batch-order-wins). The swap is a crash-safe three-step rename:
-    * write to `.tmp`, rename the live state aside to `.old`, move
-    * `.tmp` in, then drop `.old`. Every crash point is recoverable —
-    * entry (and each batch) first restores `.old` if the live dir is
-    * missing and clears stale `.tmp`/`.old` — and the batch writer is
-    * idempotent per epoch, the standard exactly-once recipe for
-    * non-transactional sinks (a table format would replace the swap
-    * with a transactional commit).
+    * batch-order-wins). The state lives in [[DurableState]] — the
+    * crash-safe three-step rename swap this operator originated (r12
+    * extracted it so the ingest loops share the device): every crash
+    * point is recoverable, and the commit marker makes a re-delivered
+    * micro-batch skip instead of re-merging (the merge is idempotent
+    * by algebra anyway — latest-wins — so the gate only saves work).
     * An existing `statePath` is the bootstrap state (resume semantics —
     * the caller owns the state lifecycle); absent, the first batch
     * creates it. Returns the final state table. Unit-pinned: streamed
@@ -427,46 +427,22 @@ object EventStreams {
     * streamed event survives. */
   def runCdcApply(spark: SparkSession, dir: String, statePath: String,
                   name: String = "graft_stream_cdc"): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    def rm(p: java.io.File): Unit = {
-      if (p.isDirectory) p.listFiles().foreach(rm)
-      p.delete(); ()
-    }
-    val tmpPath = statePath + ".tmp"
-    val oldPath = statePath + ".old"
-    // Recover from a crash mid-swap: a leftover .tmp is an incomplete
-    // write (discard); a leftover .old with no live dir means the crash
-    // hit between rename-aside and move-in (restore); .old alongside a
-    // live dir means the crash hit before the final cleanup (drop it).
-    def recover(): Unit = {
-      val tmp = new java.io.File(tmpPath)
-      val old = new java.io.File(oldPath)
-      if (tmp.exists()) rm(tmp)
-      if (old.exists()) {
-        if (new java.io.File(statePath).exists()) rm(old)
-        else Files.move(Paths.get(oldPath), Paths.get(statePath))
-      }
-      ()
-    }
-    recover()
+    DurableState.recover(statePath)
     withStreamPartitions(spark) {
       val q = readEventStream(spark, dir)
         .select(col("user_id").as("k"), col("event_id"), col("ts"), col("value"))
         .writeStream.outputMode("append")
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          recover()
-          val state = new java.io.File(statePath)
-          val merged0 =
-            if (state.isDirectory)
-              spark.read.parquet(statePath).unionByName(batch.toDF())
-            else batch.toDF()
-          val merged = Dedup.latestSnapshot(merged0, Seq("k"), "ts", "event_id")
-          // the merge plan READS statePath, so the new state must
-          // materialize elsewhere before the old is replaced
-          merged.write.mode("overwrite").parquet(tmpPath)
-          if (state.isDirectory) Files.move(Paths.get(statePath), Paths.get(oldPath))
-          Files.move(Paths.get(tmpPath), Paths.get(statePath))
-          rm(new java.io.File(oldPath))
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          DurableState.recover(statePath)
+          if (batchId > DurableState.committedBatch(statePath)) {
+            val merged0 =
+              if (new java.io.File(statePath).isDirectory)
+                spark.read.parquet(statePath).unionByName(batch.toDF())
+              else batch.toDF()
+            DurableState.commit(
+              Dedup.latestSnapshot(merged0, Seq("k"), "ts", "event_id"),
+              statePath, batchId)
+          }
           ()
         }
         .trigger(Trigger.AvailableNow()).queryName(name).start()

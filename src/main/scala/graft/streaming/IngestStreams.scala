@@ -3,7 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import graft.{Dedup, Staging, Tables}
+import org.apache.spark.sql.types.StructType
+import graft.{CkptScope, Dedup, Staging, Tables}
 
 /** The ingestion trilogy (q353 staged index, q354 append loop, q355
   * incremental clusters) run as an actual STREAMING job — the shape a
@@ -16,31 +17,99 @@ import graft.{Dedup, Staging, Tables}
   * trigger the cost is O(batch) — the stream never rescans the
   * corpus. Results spill to parquet executor-side (the q346
   * convention: a memory sink would collect data-sized output to the
-  * driver). */
+  * driver).
+  *
+  * DEPLOYMENT SEMANTICS (r12): every loop here survives a driver
+  * restart and a micro-batch retry —
+  *
+  *  - Cross-batch state (q364's running labels, q365's split
+  *    assignment) lives in a [[DurableState]] parquet dir maintained
+  *    by the q327 crash-safe three-step rename swap, NOT in a
+  *    driver-held var: each micro-batch reads the state fresh from
+  *    disk and swaps the successor in, so a restarted driver resumes
+  *    from the last committed state, keyed to the streaming
+  *    checkpoint's batch numbering (kill-and-resume ≡ uninterrupted
+  *    is pinned in the unit suite for both the order-independent and
+  *    order-dependent loops).
+  *  - Micro-batch RETRIES are exactly-once: stateful loops gate on
+  *    the [[DurableState]] commit marker (`batchId ≤ committed` →
+  *    skip); the dedup loop needs no marker — its output writes
+  *    idempotently to a per-batch directory and its index probe
+  *    excludes the batch's own ids ([[Dedup.indexWithoutIds]]), so a
+  *    replay reads the same pre-batch index state even when the
+  *    crashed attempt's append survived.
+  *  - Index appends are NOT rolled back on retry; a replayed append
+  *    only duplicates signature rows, which is semantically inert —
+  *    collision EXISTENCE (dedup) and per-bucket minima (edges) are
+  *    set-level properties — and the periodic compaction leg
+  *    (re-[[Staging.stageBucketed]], pinned in ScaleSpec) physically
+  *    drops the duplicates.
+  *
+  * Per-batch checkpoint blocks are freed via a [[CkptScope]] once the
+  * batch's durable output is committed — a long-running stream holds
+  * O(1) checkpoint state, not O(days). */
 object IngestStreams {
 
   private def rm(f: java.io.File): Unit = Staging.deleteRecursively(f)
 
-  /** Spool one parquet FILE per arrival day under
-    * `target/ingest_spool_<name>`: the file stream source orders by
-    * (modification time, path), so explicit mtimes make the
-    * micro-batch order deterministic. Returns the spool dir. */
-  private def spoolDays(name: String, days: Seq[DataFrame]): java.io.File = {
-    val spool = new java.io.File(s"target/ingest_spool_$name")
-    if (spool.exists()) rm(spool)
+  /** Spool ONE parquet file as arrival day `i` under `spool`: the file
+    * stream source orders by (modification time, path), so explicit
+    * mtimes make the micro-batch order deterministic. Incremental —
+    * later days can be spooled after earlier ones were processed (the
+    * kill-and-resume path). */
+  private def spoolDay(spool: java.io.File, i: Int, d: DataFrame): Unit = {
     spool.mkdirs()
-    days.zipWithIndex.foreach { case (d, i0) =>
-      val i = i0 + 1
-      val tmp = new java.io.File(spool, s"__tmp_$i")
-      d.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
-      val part = tmp.listFiles().find(_.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no part file for day $i"))
-      val target = new java.io.File(spool, f"day_$i%03d.parquet")
-      java.nio.file.Files.move(part.toPath, target.toPath)
-      target.setLastModified(1000000000000L + i * 60000L)
-      rm(tmp)
+    val tmp = new java.io.File(spool, s"__tmp_$i")
+    d.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+    val part = tmp.listFiles().find(_.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file for day $i"))
+    val target = new java.io.File(spool, f"day_$i%03d.parquet")
+    java.nio.file.Files.move(part.toPath, target.toPath)
+    target.setLastModified(1000000000000L + i * 60000L)
+    rm(tmp)
+  }
+
+  /** One bounded streaming run over the spool: processes every
+    * not-yet-committed file (one micro-batch each), then terminates.
+    * Each call constructs a FRESH query from the same checkpoint — so
+    * two calls with a day spooled in between ARE a driver restart:
+    * nothing carries over but the checkpoint and the durable state. */
+  private def runAvailable(spark: SparkSession, schema: StructType,
+                           spool: java.io.File, ckpt: java.io.File,
+                           body: (DataFrame, Long) => Unit): Unit = {
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(spool.getPath)
+      .writeStream
+      .foreachBatch(body)
+      .option("checkpointLocation", ckpt.getPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Spool + process the arrival days. `killBetweenDays = false` spools
+    * everything and runs ONE streaming query (the production shape);
+    * `true` restarts the stream from its checkpoint after every day —
+    * the recovery drill the durability pins compare against the
+    * uninterrupted run. */
+  private def driveDays(spark: SparkSession, schema: StructType,
+                        spool: java.io.File, ckpt: java.io.File,
+                        days: Seq[DataFrame], killBetweenDays: Boolean,
+                        body: (DataFrame, Long) => Unit): Unit =
+    if (!killBetweenDays) {
+      days.zipWithIndex.foreach { case (d, i) => spoolDay(spool, i + 1, d) }
+      runAvailable(spark, schema, spool, ckpt, body)
+    } else days.zipWithIndex.foreach { case (d, i) =>
+      spoolDay(spool, i + 1, d)
+      runAvailable(spark, schema, spool, ckpt, body)
     }
-    spool
+
+  private def freshPaths(name: String): (java.io.File, java.io.File) = {
+    val spool = new java.io.File(s"target/ingest_spool_$name")
+    val ckpt = new java.io.File(s"target/ingest_ckpt_$name")
+    Seq(spool, ckpt).foreach(f => if (f.exists()) rm(f))
+    (spool, ckpt)
   }
 
   /** Stage docs `< cut0` as the corpus index, spool docs `[cut0, cut1)`
@@ -49,52 +118,55 @@ object IngestStreams {
     * `maxFilesPerTrigger = 1`, arrival order pinned by explicit file
     * mtimes). Output: each day's survivors tagged by ingest day —
     * exactly the q354 inline two-step semantics, which the oracle
-    * replays. */
+    * replays. Retry-idempotent without a commit marker: survivors
+    * write to a per-batch directory (a replay overwrites, never
+    * doubles) and the probe excludes the batch's own ids
+    * ([[Dedup.indexWithoutIds]]), so a replay after a surviving
+    * append still reads the pre-batch index state. */
   def runIngestDedup(spark: SparkSession, dir: String, name: String,
-                     cut0: Long = 300, cut1: Long = 450): DataFrame = {
+                     cut0: Long = 300, cut1: Long = 450,
+                     killBetweenDays: Boolean = false): DataFrame = {
     val docs = Tables.t(spark, dir, "documents")
     val idx = name + "_idx"
     Staging.stageBucketed(
       Dedup.lshIndexFrame(docs.where(col("doc_id") < cut0),
         col("text"), col("doc_id")),
       idx, "lsh_key", 8)
-    val spool = spoolDays(name,
-      Seq(docs.where(col("doc_id") >= cut0 && col("doc_id") < cut1),
-        docs.where(col("doc_id") >= cut1)))
+    val (spool, ckpt) = freshPaths(name)
     val outDir = new java.io.File(s"target/ingest_out_$name")
-    val ckpt = new java.io.File(s"target/ingest_ckpt_$name")
-    Seq(outDir, ckpt).foreach(f => if (f.exists()) rm(f))
-    val q = spark.readStream.schema(docs.schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(spool.getPath)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // resolve the index through the STREAMING session (foreachBatch
-        // frames live on a cloned session): the append below invalidates
-        // that session's relation cache, so the next micro-batch re-lists
-        // the table and sees the new bucket files — loading through the
-        // outer session would read a stale file index and silently skip
-        // prior survivors
-        val ss = batch.sparkSession
+    if (outDir.exists()) rm(outDir)
+    val body = (batch: DataFrame, batchId: Long) => {
+      // resolve the index through the STREAMING session (foreachBatch
+      // frames live on a cloned session): the append below invalidates
+      // that session's relation cache, so the next micro-batch re-lists
+      // the table and sees the new bucket files — loading through the
+      // outer session would read a stale file index and silently skip
+      // prior survivors
+      val ss = batch.sparkSession
+      val scope = CkptScope()
+      try {
+        val idxSnap = Dedup.indexWithoutIds(Staging.load(ss, idx),
+          batch.select(col("doc_id").as("id")))
         // survivors MUST materialize before the index append below —
-        // localCheckpoint is eager, so the anti-join reads the index
+        // the checkpoint is eager, so the anti-join reads the index
         // state as of this batch's start
-        val surv = Dedup.minhashAgainstIndex(batch,
-          Staging.load(ss, idx), col("text"), col("doc_id"))
-          .localCheckpoint()
+        val surv = scope.ckpt(Dedup.minhashAgainstIndex(batch, idxSnap,
+          col("text"), col("doc_id")))
         Staging.appendBucketed(
           Dedup.lshIndexFrame(surv, col("text"), col("doc_id")),
           idx, "lsh_key", 8)
         surv.select(col("doc_id"), col("source"))
           .withColumn("ingest_day",
             when(col("doc_id") < cut1, 1).otherwise(2))
-          .write.mode("append").parquet(outDir.getPath)
-        ()
-      }
-      .option("checkpointLocation", ckpt.getPath)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+          .write.mode("overwrite")
+          .parquet(new java.io.File(outDir, s"ingest_batch=$batchId").getPath)
+      } finally scope.freeAll()
+      ()
+    }
+    driveDays(spark, docs.schema, spool, ckpt,
+      Seq(docs.where(col("doc_id") >= cut0 && col("doc_id") < cut1),
+        docs.where(col("doc_id") >= cut1)), killBetweenDays, body)
+    // partition discovery re-adds ingest_batch; the select drops it
     spark.read.parquet(outDir.getPath)
       .select("ingest_day", "doc_id", "source")
       .orderBy("ingest_day", "doc_id")
@@ -107,53 +179,85 @@ object IngestStreams {
     * into the running labels via [[Dedup.ccIncremental]] (CC over the
     * batch-sized quotient only), and appends ALL its signatures to the
     * index so later days can connect to it. Per-trigger cost is
-    * O(batch); the corpus is never rescanned and the labels are never
+    * O(batch) compute plus one state-sized swap write (the durability
+    * price — measured in PLANS.md; at 100 TB the deferred-relabel
+    * patch log noted in [[Dedup.ccIncremental]]'s scaladoc amortizes
+    * it). The corpus is never rescanned and the labels are never
     * recomputed. Cluster structure is ORDER-INDEPENDENT (CC over the
     * union of all discovered edges, which equals the full collision
     * graph: every colliding pair meets through the index), so the
     * oracle is simply the full-recompute cluster census — the green
     * row proves streaming-incremental ≡ batch-full end-to-end. */
-  def runClusterMaintenance(spark: SparkSession, dir: String, name: String,
-                            cut0: Long = 300, cut1: Long = 450): DataFrame = {
-    val docs = Tables.t(spark, dir, "documents")
+  /** The cluster-maintenance loop over EXPLICIT corpus/day frames — the
+    * core [[runClusterMaintenance]] (threshold cuts) and the 100×
+    * streaming probe (modular cuts, so the batch stays fixed-size while
+    * the corpus scales) share. Stages the corpus index, bootstraps the
+    * durable labels, drives the days, returns the state path.
+    * `batchSeconds` (probe hook) collects the wall of each APPLIED
+    * micro-batch body — the per-trigger cost the O(batch) contract is
+    * about. */
+  private[graft] def clusterLoop(spark: SparkSession, corpus: DataFrame,
+      days: Seq[DataFrame], name: String, killBetweenDays: Boolean,
+      batchSeconds: Option[scala.collection.mutable.Buffer[Double]] = None)
+      : String = {
     val idx = name + "_idx"
+    val statePath = s"target/ingest_state_$name"
     Staging.stageBucketed(
-      Dedup.lshIndexFrame(docs.where(col("doc_id") < cut0),
-        col("text"), col("doc_id")),
+      Dedup.lshIndexFrame(corpus, col("text"), col("doc_id")),
       idx, "lsh_key", 8)
-    val spool = spoolDays(name,
-      Seq(docs.where(col("doc_id") >= cut0 && col("doc_id") < cut1),
-        docs.where(col("doc_id") >= cut1)))
-    val ckpt = new java.io.File(s"target/ingest_ckpt_$name")
-    if (ckpt.exists()) rm(ckpt)
-    // running labels, carried across micro-batches on the driver as a
-    // localCheckpoint handle; superseded rounds free deterministically
-    var state = Dedup.connectedComponents(
-      Dedup.minhashStarEdges(docs.where(col("doc_id") < cut0),
-        col("text"), col("doc_id")))
-    val q = spark.readStream.schema(docs.schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(spool.getPath)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val ss = batch.sparkSession // cloned session: see runIngestDedup
-        val edges = Dedup.batchIngestEdges(batch, Staging.load(ss, idx),
-          col("text"), col("doc_id"))
-        val next = Dedup.ccIncremental(state, edges).localCheckpoint()
-        org.apache.spark.sql.graft.CheckpointUtils.unpersistCheckpoint(state)
-        state = next
-        // ALL batch signatures append (cluster maintenance keeps every
-        // doc, unlike the dedup loop's survivors-only append)
-        Staging.appendBucketed(
-          Dedup.lshIndexFrame(batch, col("text"), col("doc_id")),
-          idx, "lsh_key", 8)
-        ()
+    val (spool, ckpt) = freshPaths(name)
+    // day-0 bootstrap: commit the corpus labels as the initial durable
+    // state (marker -1, so streaming batch 0 still applies)
+    DurableState.destroy(statePath)
+    val scope0 = CkptScope()
+    try DurableState.commit(
+      Dedup.connectedComponents(
+        Dedup.minhashStarEdges(corpus, col("text"), col("doc_id")),
+        scope = scope0),
+      statePath, -1L)
+    finally scope0.freeAll()
+    val body = (batch: DataFrame, batchId: Long) => {
+      val ss = batch.sparkSession // cloned session: see runIngestDedup
+      DurableState.recover(statePath)
+      // exactly-once across retries: a re-delivered batch whose state
+      // swap already committed skips cleanly (its index append also
+      // already ran; see the class doc for why an append replay on a
+      // NOT-committed batch is inert)
+      if (batchId > DurableState.committedBatch(statePath)) {
+        val t0 = System.nanoTime()
+        val scope = CkptScope()
+        try {
+          val state = DurableState.load(ss, statePath)
+          // edges materialize (checkpoint) inside ccIncremental BEFORE
+          // the append below, so they read the pre-batch index state
+          val next = Dedup.ccIncremental(state,
+            Dedup.batchIngestEdges(batch, Staging.load(ss, idx),
+              col("text"), col("doc_id"), scope = scope), scope = scope)
+          // ALL batch signatures append (cluster maintenance keeps every
+          // doc, unlike the dedup loop's survivors-only append)
+          Staging.appendBucketed(
+            Dedup.lshIndexFrame(batch, col("text"), col("doc_id")),
+            idx, "lsh_key", 8)
+          DurableState.commit(next, statePath, batchId)
+        } finally scope.freeAll()
+        batchSeconds.foreach(_ += (System.nanoTime() - t0) / 1e9)
       }
-      .option("checkpointLocation", ckpt.getPath)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    state.groupBy(col("comp").as("cluster_id"))
+      ()
+    }
+    driveDays(spark, days.head.schema, spool, ckpt, days,
+      killBetweenDays, body)
+    statePath
+  }
+
+  def runClusterMaintenance(spark: SparkSession, dir: String, name: String,
+                            cut0: Long = 300, cut1: Long = 450,
+                            killBetweenDays: Boolean = false): DataFrame = {
+    val docs = Tables.t(spark, dir, "documents")
+    val statePath = clusterLoop(spark, docs.where(col("doc_id") < cut0),
+      Seq(docs.where(col("doc_id") >= cut0 && col("doc_id") < cut1),
+        docs.where(col("doc_id") >= cut1)), name, killBetweenDays)
+    DurableState.load(spark, statePath)
+      .groupBy(col("comp").as("cluster_id"))
       .agg(count(lit(1)).as("n_docs"),
         count(when(col("id") >= cut0, 1)).as("n_new"),
         max("id").as("max_doc_id"))
@@ -166,60 +270,67 @@ object IngestStreams {
     * splits via [[Dedup.splitStableAssign]] (old docs never move, new
     * docs inherit their merged component's min-old-member split,
     * fresh components hash), with the day's signatures appended so
-    * later days connect. The final census reports, per declared
-    * split: doc mass and the irreducible legacy conflicts (components
-    * whose members span ≥ 2 splits — merges forced them, history
-    * can't be reassigned). The oracle replays the SEQUENTIAL chain —
-    * three CC stages (corpus, corpus∪day1, all) and both inheritance
-    * steps — so the green row proves the day-after-day state
-    * composition equals the from-scratch sequential analysis. */
+    * later days connect. The assignment state is ORDER-DEPENDENT (day
+    * 2's inheritance depends on day 1's merges), which is exactly why
+    * it lives in [[DurableState]]: a driver restart that lost it could
+    * not reconstruct the sequential history. The final census reports,
+    * per declared split: doc mass and the irreducible legacy conflicts
+    * (components whose members span ≥ 2 splits — merges forced them,
+    * history can't be reassigned). The oracle replays the SEQUENTIAL
+    * chain — three CC stages (corpus, corpus∪day1, all) and both
+    * inheritance steps — so the green row proves the day-after-day
+    * state composition equals the from-scratch sequential analysis. */
   def runSplitStableIngest(spark: SparkSession, dir: String, name: String,
                            cut0: Long = 300, cut1: Long = 450,
-                           salt: String = "sss"): DataFrame = {
+                           salt: String = "sss",
+                           killBetweenDays: Boolean = false): DataFrame = {
     val docs = Tables.t(spark, dir, "documents")
     val idx = name + "_idx"
+    val statePath = s"target/ingest_state_$name"
     val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
     val corpus = docs.where(col("doc_id") < cut0)
     Staging.stageBucketed(
       Dedup.lshIndexFrame(corpus, col("text"), col("doc_id")),
       idx, "lsh_key", 8)
-    val labels0 = Dedup.connectedComponents(
-      Dedup.minhashStarEdges(corpus, col("text"), col("doc_id")))
-    var state = corpus.select(col("doc_id").cast("long").as("id"))
-      .join(labels0.withColumnRenamed("id", "__lid"),
-        col("id") === col("__lid"), "left")
-      .select(col("id"),
-        graft.Sampling.splitAssign(coalesce(col("comp"), col("id")), fr,
-          salt).as("split"),
-        col("comp"))
-      .localCheckpoint()
-    val spool = spoolDays(name,
-      Seq(docs.where(col("doc_id") >= cut0 && col("doc_id") < cut1),
-        docs.where(col("doc_id") >= cut1)))
-    val ckpt = new java.io.File(s"target/ingest_ckpt_$name")
-    if (ckpt.exists()) rm(ckpt)
-    val q = spark.readStream.schema(docs.schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(spool.getPath)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val ss = batch.sparkSession // cloned session: see runIngestDedup
-        val next = Dedup.splitStableAssign(state, Staging.load(ss, idx),
+    val (spool, ckpt) = freshPaths(name)
+    DurableState.destroy(statePath)
+    val scope0 = CkptScope()
+    try {
+      val labels0 = Dedup.connectedComponents(
+        Dedup.minhashStarEdges(corpus, col("text"), col("doc_id")),
+        scope = scope0)
+      DurableState.commit(
+        corpus.select(col("doc_id").cast("long").as("id"))
+          .join(labels0.withColumnRenamed("id", "__lid"),
+            col("id") === col("__lid"), "left")
+          .select(col("id"),
+            graft.Sampling.splitAssign(coalesce(col("comp"), col("id")), fr,
+              salt).as("split"),
+            col("comp")),
+        statePath, -1L)
+    } finally scope0.freeAll()
+    val body = (batch: DataFrame, batchId: Long) => {
+      val ss = batch.sparkSession // cloned session: see runIngestDedup
+      DurableState.recover(statePath)
+      if (batchId > DurableState.committedBatch(statePath)) {
+        val scope = CkptScope()
+        try {
+          val next = Dedup.splitStableAssign(
+            DurableState.load(ss, statePath), Staging.load(ss, idx),
             batch, col("text"), col("doc_id"),
-            c => graft.Sampling.splitAssign(c, fr, salt))
-          .localCheckpoint()
-        org.apache.spark.sql.graft.CheckpointUtils.unpersistCheckpoint(state)
-        state = next
-        Staging.appendBucketed(
-          Dedup.lshIndexFrame(batch, col("text"), col("doc_id")),
-          idx, "lsh_key", 8)
-        ()
+            c => graft.Sampling.splitAssign(c, fr, salt), scope = scope)
+          Staging.appendBucketed(
+            Dedup.lshIndexFrame(batch, col("text"), col("doc_id")),
+            idx, "lsh_key", 8)
+          DurableState.commit(next, statePath, batchId)
+        } finally scope.freeAll()
       }
-      .option("checkpointLocation", ckpt.getPath)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val fin = state.select(col("split"),
+      ()
+    }
+    driveDays(spark, docs.schema, spool, ckpt,
+      Seq(docs.where(col("doc_id") >= cut0 && col("doc_id") < cut1),
+        docs.where(col("doc_id") >= cut1)), killBetweenDays, body)
+    val fin = DurableState.load(spark, statePath).select(col("split"),
       coalesce(col("comp"), col("id")).as("comp"))
     val nsp = fin.groupBy("comp").agg(countDistinct("split").as("__nsp"))
     val confm = fin.select("comp", "split").distinct()

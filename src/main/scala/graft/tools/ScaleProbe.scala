@@ -32,16 +32,32 @@ object ScaleProbe {
   private def gen(spark: SparkSession, src: String, dst: String,
                   copies: Int): Unit = {
     def shifted(table: String, keys: Seq[String],
-                salt: Option[String] = None): DataFrame = {
+                salt: Option[String] = None,
+                perturb: Option[String] = None): DataFrame = {
       val base = spark.read.parquet(s"$src/$table.parquet")
       (0 until copies).map { i =>
         val off = i.toLong * Off
         val keyed = keys.foldLeft(base)((d, k) =>
           d.withColumn(k, col(k) + lit(off)))
-        salt match {
+        val salted = salt match {
           case Some(c) if i > 0 =>
             keyed.withColumn(c, concat(lit(s"zq$i "), col(c)))
           case _ => keyed
+        }
+        perturb match {
+          // deterministic hash-seeded jitter per (clone, vector, dim):
+          // the embedding analog of the text-prefix salt — clones stay
+          // NEAR the original (ANN cell structure survives) but stop
+          // being verbatim, so sf1 recall curves measure something
+          // (verbatim clones tie every top-k with the original and the
+          // fixed-seed recall reads 1.0 at every nProbe — r11 directive)
+          case Some(c) if i > 0 =>
+            salted.withColumn(c, transform(col(c), (x, j) =>
+              (x + lit(0.05f) *
+                ((pmod(hash(keys.map(col): _*) * lit(31) + j * lit(7) +
+                  lit(i * 13), lit(1000)).cast("float") / lit(1000f))
+                  - lit(0.5f))).cast("float")))
+          case _ => salted
         }
       }.reduce(_ unionByName _)
     }
@@ -56,7 +72,8 @@ object ScaleProbe {
         Seq("l_orderkey", "l_partkey", "l_suppkey")),
       "events" -> shifted("events", Seq("event_id", "user_id")),
       "documents" -> shifted("documents", Seq("doc_id"), salt = Some("text")),
-      "embeddings" -> shifted("embeddings", Seq("vec_id")))
+      "embeddings" -> shifted("embeddings", Seq("vec_id"),
+        perturb = Some("embedding")))
     plans.foreach { case (t, df) =>
       // mirror the fixture layout exactly: one flat FILE per table
       // (the streaming sources glob-filter on the file name

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{DurableState, IngestStreams}
+
+/** Durability pins for the streaming ingest loops (r12 directive 1):
+  * the cross-batch state lives in [[DurableState]] (the q327 crash-safe
+  * parquet swap), so a driver restart between micro-batches resumes from
+  * the last committed state — kill-and-resume must equal the
+  * uninterrupted run for BOTH the order-independent (q364) and
+  * order-dependent (q365) loops — and a re-delivered micro-batch must
+  * apply exactly once. */
+class DurabilitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def got(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+
+  test("DurableState: commit/load round-trips, the marker gates replays, " +
+      "and every crash point of the three-step swap recovers") {
+    val path = "target/t_dstate"
+    DurableState.destroy(path)
+    assert(!DurableState.exists(path))
+    assert(DurableState.committedBatch(path) === -1L)
+    DurableState.commit(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), path, -1L)
+    assert(DurableState.exists(path))
+    assert(DurableState.committedBatch(path) === -1L)
+    // a successor state whose plan READS the live dir (the reason the
+    // device writes .tmp first)
+    DurableState.commit(
+      DurableState.load(spark, path).withColumn("v", col("v") + 1), path, 0L)
+    assert(DurableState.committedBatch(path) === 0L)
+    def content(): Seq[(Long, Long)] = DurableState.load(spark, path)
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1))).sorted
+    val committed = content()
+    assert(committed === Seq((1L, 11L), (2L, 21L)))
+    // crash point A: leftover .tmp (incomplete write) — discarded
+    val tmp = new java.io.File(path + ".tmp")
+    tmp.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(tmp, "junk").toPath, "x")
+    DurableState.recover(path)
+    assert(!tmp.exists() && content() === committed)
+    // crash point B: crash between rename-aside and move-in (.old holds
+    // the only copy) — restored
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(path), java.nio.file.Paths.get(path + ".old"))
+    DurableState.recover(path)
+    assert(content() === committed)
+    assert(DurableState.committedBatch(path) === 0L)
+    // crash point C: crash before the final cleanup (.old beside a live
+    // dir) — the stale copy drops, the live dir wins
+    val old = new java.io.File(path + ".old")
+    old.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(old, "junk").toPath, "x")
+    DurableState.recover(path)
+    assert(!old.exists() && content() === committed)
+  }
+
+  test("q364 kill-and-resume: restarting the stream from its checkpoint " +
+      "after every day yields the same cluster census as the " +
+      "uninterrupted run (state resumes from the durable swap)") {
+    val uninterrupted = got(IngestStreams.runClusterMaintenance(
+      spark, sf, "t_kr364_u", cut0 = 200, cut1 = 350))
+    val resumed = got(IngestStreams.runClusterMaintenance(
+      spark, sf, "t_kr364_k", cut0 = 200, cut1 = 350,
+      killBetweenDays = true))
+    assert(resumed === uninterrupted)
+    assert(uninterrupted.nonEmpty)
+  }
+
+  test("q365 kill-and-resume: the ORDER-DEPENDENT split-stable state " +
+      "(day-2 inheritance depends on day-1 merges) survives a restart " +
+      "between days — census equals the uninterrupted run") {
+    val uninterrupted = got(IngestStreams.runSplitStableIngest(
+      spark, sf, "t_kr365_u", cut0 = 200, cut1 = 350, salt = "krs"))
+    val resumed = got(IngestStreams.runSplitStableIngest(
+      spark, sf, "t_kr365_k", cut0 = 200, cut1 = 350, salt = "krs",
+      killBetweenDays = true))
+    assert(resumed === uninterrupted)
+    // the pin is only meaningful if day 2 actually inherited through
+    // day-1 state: some new docs must exist in the census
+    assert(uninterrupted.map(_(1).asInstanceOf[Long]).sum > 200)
+  }
+
+  test("q358 kill-and-resume: the dedup loop's per-batch-directory " +
+      "output and index appends survive a restart between days") {
+    val uninterrupted = got(IngestStreams.runIngestDedup(
+      spark, sf, "t_kr358_u", cut0 = 200, cut1 = 350))
+    val resumed = got(IngestStreams.runIngestDedup(
+      spark, sf, "t_kr358_k", cut0 = 200, cut1 = 350,
+      killBetweenDays = true))
+    assert(resumed === uninterrupted)
+    assert(uninterrupted.count(_.head == 2) > 0)
+  }
+
+  test("indexWithoutIds: a replayed batch whose index append survived " +
+      "the crash still computes the original survivor set (and WITHOUT " +
+      "the exclusion it would wrongly dedup against itself)") {
+    val docs = Tables.t(spark, sf, "documents")
+    val corpus = docs.where(col("doc_id") < 200)
+    val batch = docs.where(col("doc_id") >= 200 && col("doc_id") < 350)
+    Staging.stageBucketed(
+      Dedup.lshIndexFrame(corpus, col("text"), col("doc_id")),
+      "t_replay_idx", "lsh_key", 4)
+    def survivors(): Seq[Long] = Dedup.minhashAgainstIndex(batch,
+        Dedup.indexWithoutIds(Staging.load(spark, "t_replay_idx"),
+          batch.select(col("doc_id").as("id"))),
+        col("text"), col("doc_id"))
+      .select("doc_id").orderBy("doc_id").collect().toSeq.map(_.getLong(0))
+    val firstDelivery = survivors()
+    assert(firstDelivery.nonEmpty)
+    // simulate the crashed attempt: its append reached the index, the
+    // streaming checkpoint didn't commit, the batch is re-delivered
+    Staging.appendBucketed(
+      Dedup.lshIndexFrame(
+        batch.where(col("doc_id").isin(firstDelivery.map(Long.box): _*)),
+        col("text"), col("doc_id")),
+      "t_replay_idx", "lsh_key", 4)
+    assert(survivors() === firstDelivery,
+      "replay with self-exclusion must reproduce the original survivors")
+    val naive = Dedup.minhashAgainstIndex(batch,
+        Staging.load(spark, "t_replay_idx"), col("text"), col("doc_id"))
+      .count()
+    assert(naive < firstDelivery.size,
+      "without exclusion the replay must self-collide — otherwise this " +
+        "pin isn't exercising the hazard")
+  }
+}

@@ -213,6 +213,10 @@ class PlanAuditSpec extends SparkSpec {
     "q356_split_stable_ingest" -> 4,
     // bounded eval-panel broadcast (the q362 recall-truth query panel)
     "q362_ivf_recall_curve" -> 1,
+    // the replay-idempotency self-exclusion (Dedup.indexWithoutIds): one
+    // broadcast of the micro-batch's own id column per spooled ingest
+    // day — batch-bounded by construction
+    "q358_stream_ingest_dedup" -> 2,
     // the ccIncremental contract (3 batch-bounded hints) once per
     // streaming micro-batch — two spooled ingest days
     "q364_stream_cluster_maintenance" -> 6,
