@@ -1197,6 +1197,50 @@ object PlanningQueries {
       |  max(id) AS max_doc_id
       |FROM lab GROUP BY comp ORDER BY cluster_id""".stripMargin))
 
+  /** [[graft.streaming.IngestStreams.runClusterPatchLog]]: q364's
+    * cluster maintenance with the DEFERRED-RELABEL state (q368 — the
+    * 100 TB durability shape): instead of swapping the full labels
+    * table every trigger (O(corpus) durable I/O), each micro-batch
+    * appends only its new endpoints' label rows and folds the
+    * batch-bounded patch into a terminal patch map
+    * ([[Dedup.ccIncrementalPatch]] / [[Dedup.composePatch]]); reads
+    * resolve lazily through one broadcast join. Same full-recompute
+    * oracle as q364 — the green row proves the patch-log composition
+    * ≡ batch-full — with per-trigger durable I/O independent of corpus
+    * size (measured vs the eager swap in IngestStreamProbe). */
+  private val q368 = QDef("q368_stream_cluster_patchlog",
+    (s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.streaming.IngestStreams.runClusterPatchLog(s, dir,
+        s"graft_spl_$tag", cut0 = 300, cut1 = 450)
+    },
+    Some(s"""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |      FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |        range(0, len(t) - 2),
+      |        i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+      |      FROM toks WHERE len(t) >= 3),
+      |hs AS (SELECT doc_id, list_transform(shingles, s ->
+      |        ('0x' || substr(md5(s), 1, 7))::BIGINT) AS hh
+      |      FROM sh WHERE len(shingles) > 0),
+      |sig AS (SELECT doc_id, $sigSql16 AS sig FROM hs),
+      |bands AS (SELECT doc_id, b, list_slice(sig, 4*b + 1, 4*b + 4)
+      |        AS bucket FROM sig, range(0, 4) AS r(b)),
+      |mp AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |      FROM bands a JOIN bands b
+      |      ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM mp
+      |          UNION ALL SELECT id_b, id_a FROM mp),
+      |reach(id, comp) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+      |lab AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+      |SELECT comp AS cluster_id, count(*) AS n_docs,
+      |  count(*) FILTER (WHERE id >= 300) AS n_new,
+      |  max(id) AS max_doc_id
+      |FROM lab GROUP BY comp ORDER BY cluster_id""".stripMargin))
+
   /** [[graft.streaming.IngestStreams.runSplitStableIngest]]: the ingest
     * END-STATE — split-stable assignment maintained under the stream
     * (q356's semantics applied day after day, state carried across
@@ -1308,7 +1352,24 @@ object PlanningQueries {
       |FROM spine LEFT JOIN nd USING (split) LEFT JOIN nc USING (split)
       |ORDER BY split""".stripMargin))
 
+  /** [[graft.streaming.IngestStreams.runSplitStablePatchLog]]: q365 on
+    * the PATCH-LOG state (q369) — the ORDER-DEPENDENT loop with
+    * O(batch)-per-trigger durable I/O: splits never move by contract,
+    * so the only corpus-wide effect of a batch is the comp relabel,
+    * deferred into the folded patch map
+    * ([[Dedup.splitStableAssignPatch]]); batch assignment rows append
+    * idempotently. Same sequential-chain oracle as q365 — the green
+    * row proves the deferred day-after-day composition equals the
+    * from-scratch sequential analysis. */
+  private val q369 = QDef("q369_stream_split_patchlog",
+    (s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.streaming.IngestStreams.runSplitStablePatchLog(s, dir,
+        s"graft_spp_$tag", cut0 = 300, cut1 = 450, salt = "sss")
+    },
+    q365.oracle)
+
   def all: Seq[QDef] = Seq(q336, q337, q338, q339, q340, q341, q342,
     q343, q344, q345, q346, q347, q348, q349, q350, q352, q353, q354, q355,
-    q356, q358, q364, q365)
+    q356, q358, q364, q365, q368, q369)
 }

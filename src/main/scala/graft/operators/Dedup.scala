@@ -1075,6 +1075,59 @@ object Dedup {
     relabeled.unionByName(freshLab)
   }
 
+  /** DEFERRED-RELABEL variant of [[ccIncremental]] — the 100 TB
+    * amortization its scaladoc promises, implemented: returns the
+    * batch-bounded label PATCH (old current-minimum → new minimum) and
+    * the labels of endpoints with no prior label, WITHOUT the
+    * corpus-sized relabel scan or any corpus-sized output. The caller
+    * keeps state as base labels + an append-only labels log + a FOLDED
+    * patch map, and resolves reads lazily (comp →
+    * coalesce(patch[comp], comp) — one broadcast join); per-trigger
+    * durable I/O is then O(batch + total-moves), independent of corpus
+    * size ([[graft.streaming.IngestStreams]] patch-log loop, q368;
+    * measured against the eager swap in IngestStreamProbe). The eager
+    * [[ccIncremental]] stays the right call when the state must be a
+    * plain materialized labels table. */
+  def ccIncrementalPatch(labels: DataFrame, newEdges: DataFrame,
+                         maxIter: Int = 20,
+                         scope: CkptScope = CkptScope.session)
+      : (DataFrame, DataFrame) = {
+    val l = labels.select(col("id").cast("long").as("id"),
+      col("comp").cast("long").as("comp"))
+    val (ends, lsub, remap) = ccContract(l, newEdges, maxIter, scope)
+    val fresh = ends.join(lsub.select("id"), Seq("id"), "left_anti")
+    val freshLab = fresh.join(broadcast(remap), fresh("id") === col("__old"), "left")
+      .select(fresh("id"), coalesce(col("__new"), fresh("id")).as("comp"))
+    (remap.select(col("__old").as("old"), col("__new").as("new")), freshLab)
+  }
+
+  /** Fold a new batch patch into the running TERMINAL patch map. The
+    * invariant both directions rely on: `folded` has no internal chains
+    * (every `new` is a live minimum), because this compose re-points
+    * any folded entry whose target just moved. New keys are disjoint
+    * from folded keys by the min-label algebra — a label that moved
+    * can never be a current minimum again (labels only decrease), so a
+    * plain union closes the fold. Size grows by ≤ |batch patch| per
+    * fold — proportional to total MOVES ever, never to the corpus; the
+    * periodic fold-into-base compaction
+    * ([[graft.streaming.IngestStreams.foldPatchLog]]) re-bounds it, the
+    * LSM trade a third time. */
+  def composePatch(folded: DataFrame, patch: DataFrame): DataFrame = {
+    val p = patch.select(col("old").as("__po"), col("new").as("__pn"))
+    folded.join(broadcast(p), folded("new") === col("__po"), "left")
+      .select(folded("old"), coalesce(col("__pn"), folded("new")).as("new"))
+      .unionByName(patch)
+  }
+
+  /** Resolve labels through a folded patch map: one broadcast join,
+    * comp → coalesce(patch[comp], comp). The read half of the
+    * patch-log contract ([[ccIncrementalPatch]]). */
+  def applyPatch(labels: DataFrame, folded: DataFrame): DataFrame = {
+    val p = folded.select(col("old").as("__po"), col("new").as("__pn"))
+    labels.join(broadcast(p), labels("comp") === col("__po"), "left")
+      .select(labels("id"), coalesce(col("__pn"), labels("comp")).as("comp"))
+  }
+
   /** The contraction + micro-CC core shared by [[ccIncremental]] and
     * [[splitStableIngest]]. Takes NORMALIZED labels (long id, long comp)
     * and returns (touched endpoints, their label subset, label patch):
@@ -1271,6 +1324,53 @@ object Dedup {
                         shingleSize: Int = 3, numPerm: Int = 16,
                         bands: Int = 4, maxIter: Int = 20,
                         scope: CkptScope = CkptScope.session): DataFrame = {
+    val (remap, newRows) = splitStableCore(oldAssign, corpusIndex, batch,
+      text, id, splitBy, shingleSize, numPerm, bands, maxIter, scope)
+    // old rows: splits NEVER move; comps patch through the broadcast
+    // map (untouched isolated docs keep their null comp, the day-0
+    // convention)
+    val oa = oldAssign.select(col("id").cast("long").as("id"),
+      col("split").as("__sp0"), col("comp").cast("long").as("__c0"))
+    val oldRows = oa.join(broadcast(remap),
+        coalesce(col("__c0"), col("id")) === col("__old"), "left")
+      .select(col("id"), col("__sp0").as("split"),
+        coalesce(col("__new"), col("__c0")).as("comp"))
+    oldRows.unionByName(newRows)
+  }
+
+  /** [[splitStableAssign]]'s DEFERRED-RELABEL twin (the
+    * [[ccIncrementalPatch]] treatment applied to the order-dependent
+    * split state, q369): returns the batch-bounded label PATCH and the
+    * batch docs' assignment rows (id, split, comp) WITHOUT touching the
+    * corpus-sized old assignment — old splits never move by contract,
+    * so the ONLY corpus-wide effect of a batch is the comp relabel,
+    * which is exactly what the folded patch map defers. Callers keep
+    * base assignment + per-batch appends + the folded patch
+    * ([[graft.streaming.IngestStreams]] q369 loop) and resolve reads
+    * with one broadcast join keyed on coalesce(comp, id) (the day-0
+    * null-comp convention). */
+  def splitStableAssignPatch(oldAssign: DataFrame, corpusIndex: DataFrame,
+                             batch: DataFrame, text: Column, id: Column,
+                             splitBy: Column => Column,
+                             shingleSize: Int = 3, numPerm: Int = 16,
+                             bands: Int = 4, maxIter: Int = 20,
+                             scope: CkptScope = CkptScope.session)
+      : (DataFrame, DataFrame) = {
+    val (remap, newRows) = splitStableCore(oldAssign, corpusIndex, batch,
+      text, id, splitBy, shingleSize, numPerm, bands, maxIter, scope)
+    (remap.select(col("__old").as("old"), col("__new").as("new")), newRows)
+  }
+
+  /** Shared merge + inheritance core of [[splitStableAssign]] /
+    * [[splitStableAssignPatch]]: (label remap, batch assignment rows).
+    * Every frame here is batch-bounded except the two broadcast-joined
+    * scans of `oldAssign` (endpoint subset inside [[ccContract]];
+    * touched-component inheritance). */
+  private def splitStableCore(oldAssign: DataFrame, corpusIndex: DataFrame,
+                              batch: DataFrame, text: Column, id: Column,
+                              splitBy: Column => Column, shingleSize: Int,
+                              numPerm: Int, bands: Int, maxIter: Int,
+                              scope: CkptScope): (DataFrame, DataFrame) = {
     val oa = oldAssign.select(col("id").cast("long").as("id"),
       col("split").as("__sp0"), col("comp").cast("long").as("__c0"))
     val labels0 = oa.where(col("__c0").isNotNull)
@@ -1295,14 +1395,7 @@ object Dedup {
       .select(col("id"),
         coalesce(col("__isp"), splitBy(col("__c1"))).as("split"),
         col("__c1").as("comp"))
-    // old rows: splits NEVER move; comps patch through the broadcast
-    // map (untouched isolated docs keep their null comp, the day-0
-    // convention)
-    val oldRows = oa.join(broadcast(remap),
-        coalesce(col("__c0"), col("id")) === col("__old"), "left")
-      .select(col("id"), col("__sp0").as("split"),
-        coalesce(col("__new"), col("__c0")).as("comp"))
-    oldRows.unionByName(newRows)
+    (remap, newRows)
   }
 
   // ------------------------------------------------------------------ bloom

@@ -256,12 +256,184 @@ object IngestStreams {
     val statePath = clusterLoop(spark, docs.where(col("doc_id") < cut0),
       Seq(docs.where(col("doc_id") >= cut0 && col("doc_id") < cut1),
         docs.where(col("doc_id") >= cut1)), name, killBetweenDays)
-    DurableState.load(spark, statePath)
-      .groupBy(col("comp").as("cluster_id"))
+    clusterCensus(DurableState.load(spark, statePath), cut0)
+  }
+
+  private def clusterCensus(labels: DataFrame, cut0: Long): DataFrame =
+    labels.groupBy(col("comp").as("cluster_id"))
       .agg(count(lit(1)).as("n_docs"),
         count(when(col("id") >= cut0, 1)).as("n_new"),
         max("id").as("max_doc_id"))
       .orderBy("cluster_id")
+
+  // ------------------------------------------------------- patch-log state
+
+  /** Resolved view of a patch-log cluster state: base labels ∪ the
+    * per-batch label appends NEWER than the base's fold marker, with
+    * comps re-pointed through the folded patch map ([[Dedup.applyPatch]]
+    * — one broadcast join). The marker filter (partition-pruned on the
+    * `ingest_batch` directory key) is what makes [[foldPatchLog]]
+    * crash-safe: appends the base already folded are ignored even if
+    * their cleanup didn't run. */
+  private[graft] def patchLogLabels(spark: SparkSession, statePath: String)
+      : DataFrame = {
+    val base = DurableState.load(spark, statePath + "_base")
+    val folded = DurableState.committedBatch(statePath + "_base")
+    val appDir = new java.io.File(statePath + "_labels")
+    val labs = if (appDir.isDirectory && appDir.listFiles().nonEmpty)
+      base.unionByName(
+        spark.read.parquet(appDir.getPath)
+          .where(col("ingest_batch") > folded)
+          .select("id", "comp"))
+    else base
+    Dedup.applyPatch(labs, DurableState.load(spark, statePath + "_patch"))
+  }
+
+  /** Fold-into-base compaction for a patch-log state: materialize the
+    * resolved view as the new base (one swap, marker = the patch's
+    * committed batch), clear the subsumed appends, reset the patch —
+    * the LSM compaction leg for the state itself, re-bounding the
+    * folded patch map (it grows with total moves). Resolved reads
+    * before and after are identical (pinned in DurabilitySpec), and
+    * every crash window is benign: appends the new base subsumes are
+    * marker-filtered out of reads ([[patchLogLabels]] /
+    * [[patchLogAssign]]), and a stale folded patch applied to fully-
+    * resolved rows is a no-op (its keys are superseded minima, which
+    * never appear as terminal comps) — steps 2 and 3 are size
+    * reclamation, not correctness. */
+  private def foldPatchState(spark: SparkSession, statePath: String,
+                             resolved: DataFrame, appends: String): Unit = {
+    val upTo = DurableState.committedBatch(statePath + "_patch")
+    DurableState.commit(resolved, statePath + "_base", upTo)
+    rm(new java.io.File(statePath + appends))
+    DurableState.commit(emptyPatch(spark), statePath + "_patch", upTo)
+  }
+
+  private[graft] def foldPatchLog(spark: SparkSession, statePath: String)
+      : Unit =
+    foldPatchState(spark, statePath, patchLogLabels(spark, statePath),
+      "_labels")
+
+  private[graft] def foldPatchAssign(spark: SparkSession, statePath: String)
+      : Unit =
+    foldPatchState(spark, statePath, patchLogAssign(spark, statePath),
+      "_assign")
+
+  /** Resolved view of a patch-log SPLIT-ASSIGNMENT state
+    * ([[patchLogLabels]]' 3-column sibling, q369): base assignment ∪
+    * newer appends, comps re-pointed through the folded patch keyed on
+    * coalesce(comp, id) — isolated day-0 docs carry a null comp (their
+    * implicit label is their own id), and a patch entry on that id
+    * means this batch merged them. Splits pass through untouched — the
+    * split-stability contract is exactly what makes the assignment
+    * patch-deferrable. */
+  private[graft] def patchLogAssign(spark: SparkSession, statePath: String)
+      : DataFrame = {
+    val base = DurableState.load(spark, statePath + "_base")
+    val folded = DurableState.committedBatch(statePath + "_base")
+    val appDir = new java.io.File(statePath + "_assign")
+    val rows = if (appDir.isDirectory && appDir.listFiles().nonEmpty)
+      base.unionByName(
+        spark.read.parquet(appDir.getPath)
+          .where(col("ingest_batch") > folded)
+          .select("id", "split", "comp"))
+    else base
+    val p = DurableState.load(spark, statePath + "_patch")
+      .select(col("old").as("__po"), col("new").as("__pn"))
+    rows.join(broadcast(p),
+        coalesce(rows("comp"), rows("id")) === col("__po"), "left")
+      .select(rows("id"), rows("split"),
+        coalesce(col("__pn"), rows("comp")).as("comp"))
+  }
+
+  private def emptyPatch(spark: SparkSession): DataFrame =
+    spark.range(0).select(col("id").as("old"), col("id").as("new"))
+
+  /** [[clusterLoop]]'s DEFERRED-RELABEL twin (q368) — the per-trigger
+    * cost shape a 100 TB deployment needs: where the eager loop swaps
+    * the full labels table every trigger (O(corpus) durable I/O — the
+    * price [[DurableState]] charged q364 for restart safety), this loop
+    * persists only the batch-bounded pieces: the new endpoints' label
+    * rows APPEND (idempotent per-batch directory) and the label PATCH
+    * folds into a terminal patch map ([[Dedup.ccIncrementalPatch]] /
+    * [[Dedup.composePatch]]) swapped with the commit marker. State
+    * reads resolve lazily ([[patchLogLabels]]); the patch map grows
+    * with total moves, never the corpus, and [[foldPatchLog]] re-bounds
+    * it periodically. Same recovery story as the eager loop: marker-
+    * gated exactly-once, kill-and-resume ≡ uninterrupted (pinned), and
+    * the q368 oracle replays the full recompute census. Measured
+    * against the eager loop across 1×/10×/100× corpora in
+    * IngestStreamProbe. */
+  private[graft] def clusterLoopDeferred(spark: SparkSession,
+      corpus: DataFrame, days: Seq[DataFrame], name: String,
+      killBetweenDays: Boolean,
+      batchSeconds: Option[scala.collection.mutable.Buffer[Double]] = None)
+      : String = {
+    val idx = name + "_idx"
+    val statePath = s"target/ingest_state_$name"
+    Staging.stageBucketed(
+      Dedup.lshIndexFrame(corpus, col("text"), col("doc_id")),
+      idx, "lsh_key", 8)
+    val (spool, ckpt) = freshPaths(name)
+    Seq("_base", "_patch").foreach(s => DurableState.destroy(statePath + s))
+    rm(new java.io.File(statePath + "_labels"))
+    val scope0 = CkptScope()
+    try {
+      DurableState.commit(
+        Dedup.connectedComponents(
+          Dedup.minhashStarEdges(corpus, col("text"), col("doc_id")),
+          scope = scope0),
+        statePath + "_base", -1L)
+      DurableState.commit(emptyPatch(spark), statePath + "_patch", -1L)
+    } finally scope0.freeAll()
+    val body = (batch: DataFrame, batchId: Long) => {
+      val ss = batch.sparkSession // cloned session: see runIngestDedup
+      val patchPath = statePath + "_patch"
+      DurableState.recover(patchPath)
+      if (batchId > DurableState.committedBatch(patchPath)) {
+        val t0 = System.nanoTime()
+        val scope = CkptScope()
+        try {
+          val labels = patchLogLabels(ss, statePath)
+          // patch + fresh labels checkpoint inside ccIncrementalPatch
+          // (via ccContract) BEFORE the append — pre-batch index state
+          val (patch, freshLab) = Dedup.ccIncrementalPatch(labels,
+            Dedup.batchIngestEdges(batch, Staging.load(ss, idx),
+              col("text"), col("doc_id"), scope = scope), scope = scope)
+          Staging.appendBucketed(
+            Dedup.lshIndexFrame(batch, col("text"), col("doc_id")),
+            idx, "lsh_key", 8)
+          // idempotent per-batch label append, then the marker-carrying
+          // patch swap as the commit point (replay overwrites the same
+          // label dir and recomputes the same fold)
+          freshLab.write.mode("overwrite").parquet(
+            s"${statePath}_labels/ingest_batch=$batchId")
+          DurableState.commit(
+            Dedup.composePatch(DurableState.load(ss, patchPath), patch),
+            patchPath, batchId)
+        } finally scope.freeAll()
+        batchSeconds.foreach(_ += (System.nanoTime() - t0) / 1e9)
+      }
+      ()
+    }
+    driveDays(spark, days.head.schema, spool, ckpt, days,
+      killBetweenDays, body)
+    statePath
+  }
+
+  /** q368: [[runClusterMaintenance]]'s census served from the
+    * patch-log state — streaming-incremental ≡ batch-full proven by
+    * the same full-recompute oracle, with per-trigger durable I/O
+    * independent of corpus size. */
+  def runClusterPatchLog(spark: SparkSession, dir: String, name: String,
+                         cut0: Long = 300, cut1: Long = 450,
+                         killBetweenDays: Boolean = false): DataFrame = {
+    val docs = Tables.t(spark, dir, "documents")
+    val statePath = clusterLoopDeferred(spark,
+      docs.where(col("doc_id") < cut0),
+      Seq(docs.where(col("doc_id") >= cut0 && col("doc_id") < cut1),
+        docs.where(col("doc_id") >= cut1)), name, killBetweenDays)
+    clusterCensus(patchLogLabels(spark, statePath), cut0)
   }
 
   /** The ingest END-STATE: split-stable assignment maintained under a
@@ -330,7 +502,15 @@ object IngestStreams {
     driveDays(spark, docs.schema, spool, ckpt,
       Seq(docs.where(col("doc_id") >= cut0 && col("doc_id") < cut1),
         docs.where(col("doc_id") >= cut1)), killBetweenDays, body)
-    val fin = DurableState.load(spark, statePath).select(col("split"),
+    splitCensus(spark, DurableState.load(spark, statePath))
+  }
+
+  /** The q365/q369 final census: per declared split, doc mass and the
+    * irreducible legacy conflicts (components whose members span ≥ 2
+    * splits). */
+  private def splitCensus(spark: SparkSession, assign: DataFrame)
+      : DataFrame = {
+    val fin = assign.select(col("split"),
       coalesce(col("comp"), col("id")).as("comp"))
     val nsp = fin.groupBy("comp").agg(countDistinct("split").as("__nsp"))
     val confm = fin.select("comp", "split").distinct()
@@ -347,5 +527,73 @@ object IngestStreams {
       .select(col("split"), coalesce(col("__nd"), lit(0L)).as("n_docs"),
         coalesce(col("__nc"), lit(0L)).as("n_conflict_components"))
       .orderBy("split")
+  }
+
+  /** q369: [[runSplitStableIngest]] on the PATCH-LOG state — the
+    * order-dependent loop gets the same O(batch)-per-trigger durable
+    * I/O as q368: splits never move (the operator's contract), so the
+    * only corpus-wide effect of a batch is the comp relabel, deferred
+    * into the folded patch map; batch assignment rows append
+    * idempotently per batch. Same sequential-chain oracle as q365 —
+    * the green row proves the deferred composition equals the
+    * from-scratch sequential analysis. */
+  def runSplitStablePatchLog(spark: SparkSession, dir: String, name: String,
+                             cut0: Long = 300, cut1: Long = 450,
+                             salt: String = "sss",
+                             killBetweenDays: Boolean = false): DataFrame = {
+    val docs = Tables.t(spark, dir, "documents")
+    val idx = name + "_idx"
+    val statePath = s"target/ingest_state_$name"
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val corpus = docs.where(col("doc_id") < cut0)
+    Staging.stageBucketed(
+      Dedup.lshIndexFrame(corpus, col("text"), col("doc_id")),
+      idx, "lsh_key", 8)
+    val (spool, ckpt) = freshPaths(name)
+    Seq("_base", "_patch").foreach(s => DurableState.destroy(statePath + s))
+    rm(new java.io.File(statePath + "_assign"))
+    val scope0 = CkptScope()
+    try {
+      val labels0 = Dedup.connectedComponents(
+        Dedup.minhashStarEdges(corpus, col("text"), col("doc_id")),
+        scope = scope0)
+      DurableState.commit(
+        corpus.select(col("doc_id").cast("long").as("id"))
+          .join(labels0.withColumnRenamed("id", "__lid"),
+            col("id") === col("__lid"), "left")
+          .select(col("id"),
+            graft.Sampling.splitAssign(coalesce(col("comp"), col("id")),
+              fr, salt).as("split"),
+            col("comp")),
+        statePath + "_base", -1L)
+      DurableState.commit(emptyPatch(spark), statePath + "_patch", -1L)
+    } finally scope0.freeAll()
+    val body = (batch: DataFrame, batchId: Long) => {
+      val ss = batch.sparkSession // cloned session: see runIngestDedup
+      val patchPath = statePath + "_patch"
+      DurableState.recover(patchPath)
+      if (batchId > DurableState.committedBatch(patchPath)) {
+        val scope = CkptScope()
+        try {
+          val (patch, newRows) = Dedup.splitStableAssignPatch(
+            patchLogAssign(ss, statePath), Staging.load(ss, idx),
+            batch, col("text"), col("doc_id"),
+            c => graft.Sampling.splitAssign(c, fr, salt), scope = scope)
+          Staging.appendBucketed(
+            Dedup.lshIndexFrame(batch, col("text"), col("doc_id")),
+            idx, "lsh_key", 8)
+          newRows.write.mode("overwrite").parquet(
+            s"${statePath}_assign/ingest_batch=$batchId")
+          DurableState.commit(
+            Dedup.composePatch(DurableState.load(ss, patchPath), patch),
+            patchPath, batchId)
+        } finally scope.freeAll()
+      }
+      ()
+    }
+    driveDays(spark, docs.schema, spool, ckpt,
+      Seq(docs.where(col("doc_id") >= cut0 && col("doc_id") < cut1),
+        docs.where(col("doc_id") >= cut1)), killBetweenDays, body)
+    splitCensus(spark, patchLogAssign(spark, statePath))
   }
 }

@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions._
   * ([[graft.streaming.DurableState]]) — which is O(corpus) I/O. The
   * per-batch wall therefore grows with corpus scale by exactly the
   * state write; the state row count is printed so PLANS.md can
-  * attribute it. At 100 TB the swap amortizes via the deferred-relabel
-  * patch log noted in [[graft.Dedup.ccIncremental]]'s scaladoc (persist
-  * the batch-bounded patch per trigger, fold into the base weekly). */
+  * attribute it. The `patch` mode rows run the SAME loop on the
+  * deferred-relabel patch-log state
+  * ([[graft.streaming.IngestStreams.clusterLoopDeferred]], q368) whose
+  * per-trigger durable I/O is batch-bounded — the claim those rows
+  * exist to verify is eager growing with corpus, patch staying flat. */
 object IngestStreamProbe {
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -50,26 +52,37 @@ object IngestStreamProbe {
         Seq("sf1" -> dst) else Nil) ++
       (if (new java.io.File(s"$d100/documents.parquet").isFile)
         Seq("sf10" -> d100) else Nil)
-    println(f"${"corpus"}%-8s ${"prep_s"}%8s ${"batch1_s"}%9s " +
-      f"${"batch2_s"}%9s ${"state_rows"}%11s")
+    println(f"${"corpus"}%-8s ${"mode"}%-8s ${"prep_s"}%8s " +
+      f"${"batch1_s"}%9s ${"batch2_s"}%9s ${"state_rows"}%11s")
     // one JIT warmup pass on the small corpus, then one measured pass
-    // per scale (the stream includes staging; two-pass min would double
-    // the 100× wall for no extra signal)
-    def run(tag: String, dir: String): Unit = {
+    // per (scale, mode) — the stream includes staging; two-pass min
+    // would double the 100× wall for no extra signal
+    def run(tag: String, dir: String, deferred: Boolean): Unit = {
       val corpus = Tables.t(spark, dir, "documents")
         .where(col("doc_id") % 10 < 8)
+      val mode = if (deferred) "patch" else "eager"
       val buf = scala.collection.mutable.Buffer.empty[Double]
       val t0 = System.nanoTime()
-      val statePath = IngestStreams.clusterLoop(spark, corpus,
-        Seq(day1, day2), s"probe_ism_$tag", killBetweenDays = false,
-        batchSeconds = Some(buf))
+      val name = s"probe_ism_${mode}_${tag.replaceAll("[^A-Za-z0-9]", "_")}"
+      val statePath =
+        if (deferred) IngestStreams.clusterLoopDeferred(spark, corpus,
+          Seq(day1, day2), name, killBetweenDays = false,
+          batchSeconds = Some(buf))
+        else IngestStreams.clusterLoop(spark, corpus,
+          Seq(day1, day2), name, killBetweenDays = false,
+          batchSeconds = Some(buf))
       val total = (System.nanoTime() - t0) / 1e9
-      val n = DurableState.load(spark, statePath).count()
-      println(f"$tag%-8s ${total - buf.sum}%8.2f ${buf(0)}%9.2f " +
-        f"${buf(1)}%9.2f $n%11d")
+      val n = (if (deferred) IngestStreams.patchLogLabels(spark, statePath)
+        else DurableState.load(spark, statePath)).count()
+      println(f"$tag%-8s $mode%-8s ${total - buf.sum}%8.2f " +
+        f"${buf(0)}%9.2f ${buf(1)}%9.2f $n%11d")
     }
-    run("warmup", src)
-    dirs.foreach { case (tag, dir) => run(tag, dir) }
+    run("warmup", src, deferred = false)
+    run("warmup", src, deferred = true)
+    dirs.foreach { case (tag, dir) =>
+      run(tag, dir, deferred = false)
+      run(tag, dir, deferred = true)
+    }
     spark.stop()
   }
 }

@@ -54,8 +54,9 @@ object ScaleProbe {
           case Some(c) if i > 0 =>
             salted.withColumn(c, transform(col(c), (x, j) =>
               (x + lit(0.05f) *
-                ((pmod(hash(keys.map(col): _*) * lit(31) + j * lit(7) +
-                  lit(i * 13), lit(1000)).cast("float") / lit(1000f))
+                ((pmod(hash(keys.map(col): _*).cast("long") * lit(31L) +
+                  j.cast("long") * lit(7L) + lit(i * 13L), lit(1000L))
+                  .cast("float") / lit(1000f))
                   - lit(0.5f))).cast("float")))
           case _ => salted
         }

@@ -96,6 +96,60 @@ class DurabilitySpec extends SparkSpec {
     assert(uninterrupted.count(_.head == 2) > 0)
   }
 
+  test("q368 patch-log state: census equals the eager-swap loop (same " +
+      "oracle semantics), kill-and-resume equals uninterrupted, and " +
+      "fold-into-base compaction leaves resolved reads identical") {
+    val eager = got(IngestStreams.runClusterMaintenance(
+      spark, sf, "t_pl_eager", cut0 = 200, cut1 = 350))
+    val deferred = got(IngestStreams.runClusterPatchLog(
+      spark, sf, "t_pl_def", cut0 = 200, cut1 = 350))
+    assert(deferred === eager)
+    val resumed = got(IngestStreams.runClusterPatchLog(
+      spark, sf, "t_pl_kr", cut0 = 200, cut1 = 350,
+      killBetweenDays = true))
+    assert(resumed === eager)
+    // the patch map must actually be in play for these pins to mean
+    // anything: some label moved after day 0
+    val statePath = "target/ingest_state_t_pl_def"
+    assert(graft.streaming.DurableState
+      .load(spark, statePath + "_patch").count() > 0,
+      "fixture produced no cross-batch merges — patch pins are vacuous")
+    // fold-into-base compaction: resolved reads identical, appends
+    // subsumed (marker-filtered), patch reset
+    val before = IngestStreams.patchLogLabels(spark, statePath)
+      .orderBy("id").collect().toSeq
+    IngestStreams.foldPatchLog(spark, statePath)
+    val after = IngestStreams.patchLogLabels(spark, statePath)
+      .orderBy("id").collect().toSeq
+    assert(after === before)
+    assert(graft.streaming.DurableState
+      .load(spark, statePath + "_patch").count() === 0)
+  }
+
+  test("q369 split patch-log: census equals the eager q365 loop, " +
+      "kill-and-resume equals uninterrupted (order-dependent state on " +
+      "batch-bounded durable writes), fold compaction read-invariant") {
+    val eager = got(IngestStreams.runSplitStableIngest(
+      spark, sf, "t_sp_eager", cut0 = 200, cut1 = 350, salt = "spp"))
+    val deferred = got(IngestStreams.runSplitStablePatchLog(
+      spark, sf, "t_sp_def", cut0 = 200, cut1 = 350, salt = "spp"))
+    assert(deferred === eager)
+    val resumed = got(IngestStreams.runSplitStablePatchLog(
+      spark, sf, "t_sp_kr", cut0 = 200, cut1 = 350, salt = "spp",
+      killBetweenDays = true))
+    assert(resumed === eager)
+    val statePath = "target/ingest_state_t_sp_def"
+    assert(graft.streaming.DurableState
+      .load(spark, statePath + "_patch").count() > 0,
+      "fixture produced no cross-batch merges — patch pins are vacuous")
+    val before = IngestStreams.patchLogAssign(spark, statePath)
+      .orderBy("id").collect().toSeq
+    IngestStreams.foldPatchAssign(spark, statePath)
+    val after = IngestStreams.patchLogAssign(spark, statePath)
+      .orderBy("id").collect().toSeq
+    assert(after === before)
+  }
+
   test("indexWithoutIds: a replayed batch whose index append survived " +
       "the crash still computes the original survivor set (and WITHOUT " +
       "the exclusion it would wrongly dedup against itself)") {

@@ -224,6 +224,19 @@ class PlanAuditSpec extends SparkSpec {
     // subset, remap, touched set, inheritance table) per micro-batch
     // — two spooled ingest days
     "q365_stream_split_stable" -> 10,
+    // the patch-log loop (deferred relabel): per micro-batch, the
+    // ccContract endpoint/patch broadcasts plus the folded-patch-map
+    // resolve and compose broadcasts — every one bounded by total
+    // MOVES (≤ accumulated batch edges), never the corpus; the
+    // fold-into-base compaction re-bounds the map (IngestStreams
+    // .foldPatchLog) — two spooled ingest days + the final census
+    // resolve
+    "q368_stream_cluster_patchlog" -> 9,
+    // q368's order-dependent sibling: splitStableAssignPatch's
+    // endpoint/remap/touched/inheritance broadcasts + the patch-map
+    // resolve and compose per micro-batch, + the final census resolve —
+    // all bounded by batch edges or total moves, never the corpus
+    "q369_stream_split_patchlog" -> 13,
     // documented small-by-contract reference sets
     "q122_fuzzy_names" -> 1, // reference name list (lookup-table side)
     "q210_jaro_winkler_pairs" -> 1, // reference name list
