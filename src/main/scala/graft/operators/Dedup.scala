@@ -264,6 +264,26 @@ object Dedup {
     * index's bucket count. The ingestion-time cost model at scale:
     * O(batch) signatures + one batch-side exchange, independent of
     * corpus size. */
+  /** Star edges recovered from an already-staged [[lshIndexFrame]] —
+    * the q350 one-tokenize lesson applied to the streaming bootstraps:
+    * an ingest loop that stages the corpus index AND seeds day-0
+    * cluster labels was tokenizing the corpus twice (once for the
+    * index, once inside [[minhashStarEdges]]), yet the index rows ARE
+    * the banded frame — per `lsh_key`, one (bucket-min → member) edge
+    * reproduces [[minhashStarEdges]]' exact edge set (pinned in the
+    * unit suite). Bonus at scale: the groupBy and join both key on the
+    * index's bucket column, so the bucketed scan satisfies them with
+    * ZERO Exchange where the tokenize path paid a full corpus
+    * shuffle. */
+  def starEdgesFromIndex(index: DataFrame): DataFrame = {
+    val roots = index.groupBy(col("lsh_key"))
+      .agg(min(col("corpus_id")).as("__root"))
+    index.join(roots, Seq("lsh_key"))
+      .where(col("corpus_id") =!= col("__root"))
+      .select(col("__root").as("id_a"), col("corpus_id").as("id_b"))
+      .distinct()
+  }
+
   /** Drop `ids`' own rows from a staged [[lshIndexFrame]] — the
     * replay-idempotency device for streaming ingest-dedup: a retried
     * micro-batch whose index APPEND survived a crash (sink write done,

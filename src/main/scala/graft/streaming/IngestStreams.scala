@@ -210,9 +210,12 @@ object IngestStreams {
     // state (marker -1, so streaming batch 0 still applies)
     DurableState.destroy(statePath)
     val scope0 = CkptScope()
+    // day-0 star edges come from the index just staged, not a second
+    // corpus tokenize (Dedup.starEdgesFromIndex — the q350 one-scan
+    // lesson; zero-Exchange on the bucketed layout)
     try DurableState.commit(
       Dedup.connectedComponents(
-        Dedup.minhashStarEdges(corpus, col("text"), col("doc_id")),
+        Dedup.starEdgesFromIndex(Staging.load(spark, idx)),
         scope = scope0),
       statePath, -1L)
     finally scope0.freeAll()
@@ -381,7 +384,7 @@ object IngestStreams {
     try {
       DurableState.commit(
         Dedup.connectedComponents(
-          Dedup.minhashStarEdges(corpus, col("text"), col("doc_id")),
+          Dedup.starEdgesFromIndex(Staging.load(spark, idx)),
           scope = scope0),
         statePath + "_base", -1L)
       DurableState.commit(emptyPatch(spark), statePath + "_patch", -1L)
@@ -469,7 +472,7 @@ object IngestStreams {
     val scope0 = CkptScope()
     try {
       val labels0 = Dedup.connectedComponents(
-        Dedup.minhashStarEdges(corpus, col("text"), col("doc_id")),
+        Dedup.starEdgesFromIndex(Staging.load(spark, idx)),
         scope = scope0)
       DurableState.commit(
         corpus.select(col("doc_id").cast("long").as("id"))
@@ -555,7 +558,7 @@ object IngestStreams {
     val scope0 = CkptScope()
     try {
       val labels0 = Dedup.connectedComponents(
-        Dedup.minhashStarEdges(corpus, col("text"), col("doc_id")),
+        Dedup.starEdgesFromIndex(Staging.load(spark, idx)),
         scope = scope0)
       DurableState.commit(
         corpus.select(col("doc_id").cast("long").as("id"))

@@ -479,6 +479,22 @@ class ScaleSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("starEdgesFromIndex: edge set identical to minhashStarEdges over " +
+      "the same corpus (the staged index IS the banded frame — r12 " +
+      "one-scan bootstrap)") {
+    val docs = Tables.t(spark, sf, "documents")
+    val corpus = docs.where(col("doc_id") < 300)
+    Staging.stageBucketed(
+      Dedup.lshIndexFrame(corpus, col("text"), col("doc_id")),
+      "t_sefi_idx", "lsh_key", 4)
+    val fromIndex = Dedup.starEdgesFromIndex(Staging.load(spark, "t_sefi_idx"))
+      .orderBy("id_a", "id_b").collect().toSeq
+    val fromText = Dedup.minhashStarEdges(corpus, col("text"), col("doc_id"))
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(fromIndex === fromText)
+    assert(fromIndex.nonEmpty)
+  }
+
   test("q350 fused cluster-safe split: exactly ONE MinhashSig tokenize " +
       "execution across construction + the final census (r10 directive 1)") {
     import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
