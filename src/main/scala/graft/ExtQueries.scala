@@ -577,8 +577,10 @@ object ExtQueries {
     * near-dup component labels) + `qual` (per-doc quality). The
     * representative-selection tail differs per flagship:
     * [[prepKeptCtes]] keeps the min-id member (q49/q351),
-    * [[prepKeptBestCtes]] the max-quality member (q366). */
-  private val prepFrontCtes =
+    * [[prepKeptBestCtes]] the max-quality member (q366). The gate
+    * prefix (through `filtered`) is [[gateCtes]], shared with the
+    * streaming prep-front loop (q370). */
+  private val gateCtes =
     s"""tq AS (SELECT doc_id, text, n_chars,
       |         string_split(text, ' ') AS tk,
       |         list_distinct(string_split(text, ' ')) AS dtk FROM documents),
@@ -608,7 +610,10 @@ object ExtQueries {
       | FROM qf),
       |filtered AS (SELECT t.doc_id, t.text, t.n_chars FROM tq t
       |  JOIN lang USING (doc_id) JOIN qual USING (doc_id)
-      |  WHERE lang.pred = 'en' AND qual.quality >= 0.5),
+      |  WHERE lang.pred = 'en' AND qual.quality >= 0.5)""".stripMargin
+
+  private val prepFrontCtes =
+    s"""$gateCtes,
       |dkeep AS (SELECT min(doc_id) AS doc_id FROM filtered GROUP BY md5(text)),
       |base AS (SELECT f.doc_id, f.text, f.n_chars
       |         FROM filtered f JOIN dkeep USING (doc_id)),
@@ -3453,6 +3458,59 @@ object ExtQueries {
       |SELECT qid, rank, id, round(cs, 4) AS cos_sim
       |FROM rk WHERE rank <= 3 ORDER BY qid, rank""".stripMargin))
 
+  /** [[graft.streaming.IngestStreams.runIngestPrep]]: the FULL
+    * training-prep front run as the ingest STREAM (q370) — q358's
+    * dedup loop composed with the q49/q351 gates: per micro-batch,
+    * language-ID + quality gate → within-batch exact dedup (min-id per
+    * text; corpus-side exact dups need no pass of their own — identical
+    * text collides in every LSH band, so the near-dup probe subsumes
+    * them) → near-dup drop against the staged GATED-corpus index →
+    * survivors' signatures append. The oracle replays the two-day
+    * sequential chain over the gated corpus — gates, per-day exact
+    * dedup, day-1 collision set, index growth, day-2 collision set. */
+  private val q370 = QDef("q370_stream_ingest_prep",
+    (s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.streaming.IngestStreams.runIngestPrep(s, dir,
+        s"graft_sip_$tag", cut0 = 300, cut1 = 450)
+    },
+    Some(s"""WITH $gateCtes,
+      |d1k AS (SELECT min(doc_id) AS doc_id FROM filtered
+      |        WHERE doc_id >= 300 AND doc_id < 450 GROUP BY md5(text)),
+      |d2k AS (SELECT min(doc_id) AS doc_id FROM filtered
+      |        WHERE doc_id >= 450 GROUP BY md5(text)),
+      |ftoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM filtered),
+      |fsh AS (SELECT doc_id, list_distinct(list_transform(
+      |          range(0, len(t) - 2),
+      |          i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+      |        FROM ftoks WHERE len(t) >= 3),
+      |fhs AS (SELECT doc_id, list_transform(shingles, s ->
+      |          ${hashSql("s", 7)}) AS hh
+      |        FROM fsh WHERE len(shingles) > 0),
+      |fsig AS (SELECT doc_id, $minhashSigSql AS sig FROM fhs),
+      |fb AS (SELECT doc_id, b, list_slice(sig, 4*b + 1, 4*b + 4) AS bucket
+      |       FROM fsig, range(0, 4) AS r(b)),
+      |hit1 AS (SELECT DISTINCT b.doc_id FROM fb b JOIN fb c
+      |         ON b.b = c.b AND b.bucket = c.bucket
+      |         AND b.doc_id IN (SELECT doc_id FROM d1k)
+      |         AND c.doc_id < 300),
+      |s1 AS (SELECT doc_id FROM d1k
+      |       WHERE doc_id NOT IN (SELECT doc_id FROM hit1)),
+      |idx2 AS (SELECT doc_id FROM filtered WHERE doc_id < 300
+      |         UNION ALL SELECT doc_id FROM s1),
+      |hit2 AS (SELECT DISTINCT b.doc_id FROM fb b JOIN fb c
+      |         ON b.b = c.b AND b.bucket = c.bucket
+      |         AND b.doc_id IN (SELECT doc_id FROM d2k)
+      |         AND c.doc_id IN (SELECT doc_id FROM idx2)),
+      |s2 AS (SELECT doc_id FROM d2k
+      |       WHERE doc_id NOT IN (SELECT doc_id FROM hit2))
+      |SELECT CAST(1 AS INTEGER) AS ingest_day, d.doc_id, d.source
+      |FROM documents d JOIN s1 USING (doc_id)
+      |UNION ALL
+      |SELECT CAST(2 AS INTEGER) AS ingest_day, d.doc_id, d.source
+      |FROM documents d JOIN s2 USING (doc_id)
+      |ORDER BY ingest_day, doc_id""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
@@ -3462,5 +3520,5 @@ object ExtQueries {
     q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
     q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q351,
-    q357, q361, q362, q363, q366, q367)
+    q357, q361, q362, q363, q366, q367, q370)
 }

@@ -172,6 +172,60 @@ object IngestStreams {
       .orderBy("ingest_day", "doc_id")
   }
 
+  /** The FULL training-prep front under the stream (q370): q358's
+    * ingest-dedup loop composed with the q49/q351 gates — per
+    * micro-batch, language-ID + quality gate → exact dedup WITHIN the
+    * batch (min-id per text; exact dups AGAINST the corpus need no
+    * separate pass — identical text collides in every LSH band, so the
+    * near-dup probe subsumes them) → near-dup drop against the staged
+    * index → survivors append their signatures. The corpus index holds
+    * only GATED docs (a real pipeline indexes what it would keep).
+    * Same retry-idempotency devices as q358 (per-batch output dirs +
+    * [[Dedup.indexWithoutIds]]); the oracle replays the two-day
+    * sequential chain over the gated corpus. */
+  def runIngestPrep(spark: SparkSession, dir: String, name: String,
+                    cut0: Long = 300, cut1: Long = 450,
+                    killBetweenDays: Boolean = false): DataFrame = {
+    val docs = Tables.t(spark, dir, "documents")
+    def gate(df: DataFrame): DataFrame = df.where(
+      graft.TextAnalysis.langId(col("text")) === lit("en") &&
+        round(graft.TextAnalysis.qualityScore(col("text")), 4) >= 0.5)
+    val idx = name + "_idx"
+    Staging.stageBucketed(
+      Dedup.lshIndexFrame(gate(docs.where(col("doc_id") < cut0)),
+        col("text"), col("doc_id")),
+      idx, "lsh_key", 8)
+    val (spool, ckpt) = freshPaths(name)
+    val outDir = new java.io.File(s"target/ingest_out_$name")
+    if (outDir.exists()) rm(outDir)
+    val body = (batch: DataFrame, batchId: Long) => {
+      val ss = batch.sparkSession // cloned session: see runIngestDedup
+      val scope = CkptScope()
+      try {
+        val kept = Dedup.exact(gate(batch), col("text"), col("doc_id"))
+        val idxSnap = Dedup.indexWithoutIds(Staging.load(ss, idx),
+          batch.select(col("doc_id").as("id")))
+        val surv = scope.ckpt(Dedup.minhashAgainstIndex(kept, idxSnap,
+          col("text"), col("doc_id")))
+        Staging.appendBucketed(
+          Dedup.lshIndexFrame(surv, col("text"), col("doc_id")),
+          idx, "lsh_key", 8)
+        surv.select(col("doc_id"), col("source"))
+          .withColumn("ingest_day",
+            when(col("doc_id") < cut1, 1).otherwise(2))
+          .write.mode("overwrite")
+          .parquet(new java.io.File(outDir, s"ingest_batch=$batchId").getPath)
+      } finally scope.freeAll()
+      ()
+    }
+    driveDays(spark, docs.schema, spool, ckpt,
+      Seq(docs.where(col("doc_id") >= cut0 && col("doc_id") < cut1),
+        docs.where(col("doc_id") >= cut1)), killBetweenDays, body)
+    spark.read.parquet(outDir.getPath)
+      .select("ingest_day", "doc_id", "source")
+      .orderBy("ingest_day", "doc_id")
+  }
+
   /** STREAMING dedup-cluster maintenance — q355's incremental CC
     * driven by the stream: each arriving day's micro-batch probes the
     * staged index for cross edges + its own star edges

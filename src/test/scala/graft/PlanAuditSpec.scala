@@ -217,6 +217,8 @@ class PlanAuditSpec extends SparkSpec {
     // broadcast of the micro-batch's own id column per spooled ingest
     // day — batch-bounded by construction
     "q358_stream_ingest_dedup" -> 2,
+    // same device in the prep-front composition loop
+    "q370_stream_ingest_prep" -> 2,
     // the ccIncremental contract (3 batch-bounded hints) once per
     // streaming micro-batch — two spooled ingest days
     "q364_stream_cluster_maintenance" -> 6,
