@@ -278,34 +278,48 @@ object StatQueries {
     * positions (gaps-and-islands), exactly the odd occurrences merge —
     * for s1 ≠ s2 runs have length 1 and every match merges, for
     * s1 = s2 this is the "aaaa" → [aa, aa] reference behavior. */
-  private def bpeIterCtes(i: Int): String = {
+  private def bpeIterCtes(i: Int): String = bpeIterCtesSfx(i, "")
+
+  /** `sfx` namespaces every CTE so one oracle can run several chains
+    * (q371 runs three). `ruleFrom` (q371's apply chain) replaces the
+    * argmax with an ALREADY-LEARNED rule table — the pair counts and
+    * selection CTEs drop away and the left-greedy apply machinery is
+    * reused verbatim. */
+  private def bpeIterCtesSfx(i: Int, sfx: String,
+                             ruleFrom: Option[String] = None): String = {
     val p = i - 1
-    s"""u$i AS MATERIALIZED (SELECT wid, cnt, unnest(range(1, len(syms))) AS j, syms
-       |      FROM w$p),
-       |pp$i AS MATERIALIZED (SELECT s1x, s2x, sum(cnt) AS c FROM
-       |      (SELECT cnt, syms[j] AS s1x, syms[j+1] AS s2x FROM u$i)
-       |      GROUP BY 1, 2),
-       |tp$i AS MATERIALIZED (SELECT s1x AS m1, s2x AS m2, c FROM pp$i
-       |      ORDER BY c DESC, s1x, s2x LIMIT 1),
-       |im$i AS MATERIALIZED (SELECT u.wid, u.j,
+    val tpDef = ruleFrom match {
+      case None =>
+        s"""pp$sfx$i AS MATERIALIZED (SELECT s1x, s2x, sum(cnt) AS c FROM
+           |      (SELECT cnt, syms[j] AS s1x, syms[j+1] AS s2x FROM u$sfx$i)
+           |      GROUP BY 1, 2),
+           |tp$sfx$i AS MATERIALIZED (SELECT s1x AS m1, s2x AS m2, c FROM pp$sfx$i
+           |      ORDER BY c DESC, s1x, s2x LIMIT 1)""".stripMargin
+      case Some(r) =>
+        s"""tp$sfx$i AS MATERIALIZED (SELECT m1, m2 FROM $r)"""
+    }
+    s"""u$sfx$i AS MATERIALIZED (SELECT wid, cnt, unnest(range(1, len(syms))) AS j, syms
+       |      FROM w$sfx$p),
+       |$tpDef,
+       |im$sfx$i AS MATERIALIZED (SELECT u.wid, u.j,
        |        u.j - row_number() OVER (PARTITION BY u.wid ORDER BY u.j)
        |          AS isl
-       |      FROM u$i u, tp$i t
+       |      FROM u$sfx$i u, tp$sfx$i t
        |      WHERE u.syms[u.j] = t.m1 AND u.syms[u.j+1] = t.m2),
-       |sel$i AS MATERIALIZED (SELECT wid, j FROM
+       |sel$sfx$i AS MATERIALIZED (SELECT wid, j FROM
        |      (SELECT wid, j, row_number() OVER (PARTITION BY wid, isl
-       |          ORDER BY j) AS rn FROM im$i)
+       |          ORDER BY j) AS rn FROM im$sfx$i)
        |      WHERE rn % 2 = 1),
-       |ps$i AS MATERIALIZED (SELECT wid, w, cnt, unnest(range(1, len(syms) + 1)) AS j,
-       |        syms FROM w$p),
-       |w$i AS MATERIALIZED (SELECT ps.wid, ps.w, ps.cnt,
+       |ps$sfx$i AS MATERIALIZED (SELECT wid, w, cnt, unnest(range(1, len(syms) + 1)) AS j,
+       |        syms FROM w$sfx$p),
+       |w$sfx$i AS MATERIALIZED (SELECT ps.wid, ps.w, ps.cnt,
        |        list(CASE WHEN sj.j IS NOT NULL
        |               THEN ps.syms[ps.j] || ps.syms[ps.j+1]
        |               ELSE ps.syms[ps.j] END ORDER BY ps.j)
        |          FILTER (WHERE sp.j IS NULL) AS syms
-       |      FROM ps$i ps
-       |      LEFT JOIN sel$i sj ON ps.wid = sj.wid AND ps.j = sj.j
-       |      LEFT JOIN sel$i sp ON ps.wid = sp.wid AND ps.j = sp.j + 1
+       |      FROM ps$sfx$i ps
+       |      LEFT JOIN sel$sfx$i sj ON ps.wid = sj.wid AND ps.j = sj.j
+       |      LEFT JOIN sel$sfx$i sp ON ps.wid = sp.wid AND ps.j = sp.j + 1
        |      GROUP BY ps.wid, ps.w, ps.cnt)""".stripMargin
   }
 
@@ -360,6 +374,56 @@ object StatQueries {
       |      FROM occ o JOIN sw s USING (w) GROUP BY o.source)
       |SELECT source, n_words, n_chars, n_subwords,
       |  ${Seal.sqlRatio4("n_chars", "n_subwords")} AS chars_per_subword
+      |FROM rep ORDER BY source""".stripMargin))
+
+  /** [[LanguageModel.bpeDriftReport]]: tokenizer drift under corpus
+    * growth (q371) — the maintenance measurement completing the set
+    * (dedup-index compaction q364, IVF recluster q367, CC-state fold
+    * q368): 6 merges trained on the src0 slice (yesterday's corpus was
+    * one source; today's crawl added the rest — the distribution-shift
+    * regime where a stale tokenizer actually decays) are APPLIED to
+    * the full grown corpus and reported per source next to a full
+    * retrain. The oracle replays all three chains — old-slice
+    * training, the learned rules applied rule-by-rule to the full
+    * vocabulary (same gaps-and-islands machinery, argmax replaced by
+    * the old chain's rule tables), and the full retrain. */
+  private val q371 = QDef("q371_bpe_drift",
+    (s, dir) => LanguageModel.bpeDriftReport(T(s, dir, "documents"),
+      col("text"), col("source"), col("source") === "src0", merges = 6),
+    Some(s"""WITH wrdo AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM
+      |      (SELECT unnest(string_split(text, ' ')) AS w FROM documents
+      |       WHERE source = 'src0')
+      |      WHERE len(w) >= 1 GROUP BY w),
+      |wo0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY w) AS wid, w, cnt,
+      |        list_transform(range(1, len(w) + 1),
+      |          q -> substr(w, q, 1)) AS syms
+      |      FROM wrdo),
+      |${(1 to 6).map(i => bpeIterCtesSfx(i, "o")).mkString(",\n")},
+      |wrd AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM
+      |      (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |      WHERE len(w) >= 1 GROUP BY w),
+      |wa0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY w) AS wid, w, cnt,
+      |        list_transform(range(1, len(w) + 1),
+      |          q -> substr(w, q, 1)) AS syms
+      |      FROM wrd),
+      |${(1 to 6).map(i =>
+        bpeIterCtesSfx(i, "a", ruleFrom = Some(s"tpo$i"))).mkString(",\n")},
+      |wn0 AS MATERIALIZED (SELECT * FROM wa0),
+      |${(1 to 6).map(i => bpeIterCtesSfx(i, "n")).mkString(",\n")},
+      |occ AS MATERIALIZED (SELECT source, w FROM
+      |      (SELECT source, unnest(string_split(text, ' ')) AS w
+      |       FROM documents) WHERE len(w) >= 1),
+      |swo AS MATERIALIZED (SELECT w, len(syms) AS nso FROM wa6),
+      |swn AS MATERIALIZED (SELECT w, len(syms) AS nsn FROM wn6),
+      |rep AS (SELECT o.source, CAST(count(*) AS BIGINT) AS n_words,
+      |        CAST(sum(len(o.w)) AS BIGINT) AS n_chars,
+      |        CAST(sum(so.nso) AS BIGINT) AS n_sub_stale,
+      |        CAST(sum(sn.nsn) AS BIGINT) AS n_sub_retrained
+      |      FROM occ o JOIN swo so USING (w) JOIN swn sn USING (w)
+      |      GROUP BY o.source)
+      |SELECT source, n_words, n_chars, n_sub_stale, n_sub_retrained,
+      |  ${Seal.sqlRatio4("n_chars", "n_sub_stale")} AS cps_stale,
+      |  ${Seal.sqlRatio4("n_chars", "n_sub_retrained")} AS cps_retrained
       |FROM rep ORDER BY source""".stripMargin))
 
   /** [[Trend.ksTest]]: distribution drift between two sources — the
@@ -2106,5 +2170,5 @@ object StatQueries {
     q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166,
     q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177,
     q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188,
-    q189, q190, q359, q360)
+    q189, q190, q359, q360, q371)
 }

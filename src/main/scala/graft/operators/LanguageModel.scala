@@ -223,31 +223,109 @@ object LanguageModel {
         val (s1, s2, c) = (top(0).getString(0), top(0).getString(1),
           top(0).getLong(2))
         learned += ((m, s1, s2, s1 + s2, c))
-        // left-greedy apply: (rebuilt, pending) fold; symbols are never
-        // empty strings, so '' is a safe no-pending sentinel
-        val applied = words.withColumn("syms", aggregate(
-          col("syms"),
-          struct(expr("CAST(array() AS ARRAY<STRING>)").as("res"),
-            lit("").as("pend")),
-          (acc, x) => {
-            val res = acc.getField("res")
-            val pend = acc.getField("pend")
-            when(pend === lit(""), struct(res.as("res"), x.as("pend")))
-              .when(pend === lit(s1) && x === lit(s2),
-                struct(concat(res, array(lit(s1 + s2))).as("res"),
-                  lit("").as("pend")))
-              .otherwise(struct(concat(res, array(pend)).as("res"),
-                x.as("pend")))
-          },
-          acc => when(acc.getField("pend") === lit(""), acc.getField("res"))
-            .otherwise(concat(acc.getField("res"),
-              array(acc.getField("pend")))))).localCheckpoint()
+        val applied = words.withColumn("syms",
+          applyMergeCol(col("syms"), s1, s2)).localCheckpoint()
         org.apache.spark.sql.graft.CheckpointUtils.unpersistCheckpoint(words)
         words = applied
         m += 1
       }
     }
     (learned.toSeq, words)
+  }
+
+  /** One LEFT-GREEDY merge rule applied to a symbol array: the
+    * (rebuilt, pending) fold — a codegen `aggregate` HOF, no UDF, no
+    * shuffle; symbols are never empty strings, so '' is a safe
+    * no-pending sentinel. Shared by training ([[bpeTrainCore]]) and
+    * the apply-learned-rules path ([[bpeApplyMerges]]). */
+  private def applyMergeCol(syms: Column, s1: String, s2: String): Column =
+    aggregate(
+      syms,
+      struct(expr("CAST(array() AS ARRAY<STRING>)").as("res"),
+        lit("").as("pend")),
+      (acc, x) => {
+        val res = acc.getField("res")
+        val pend = acc.getField("pend")
+        when(pend === lit(""), struct(res.as("res"), x.as("pend")))
+          .when(pend === lit(s1) && x === lit(s2),
+            struct(concat(res, array(lit(s1 + s2))).as("res"),
+              lit("").as("pend")))
+          .otherwise(struct(concat(res, array(pend)).as("res"),
+            x.as("pend")))
+      },
+      acc => when(acc.getField("pend") === lit(""), acc.getField("res"))
+        .otherwise(concat(acc.getField("res"),
+          array(acc.getField("pend")))))
+
+  /** ALREADY-LEARNED merge rules applied in priority order to a word
+    * table — the tokenizer-SERVING step [[bpeTrainCore]] never needs
+    * (training segments its own vocabulary as a side effect) but
+    * tokenizer MAINTENANCE does: q371 applies yesterday's rules to
+    * today's grown vocabulary to measure drift. One fold per rule over
+    * the vocab-sized table, checkpointed per step exactly like the
+    * training loop (the plan would otherwise nest `merges` aggregate
+    * HOFs). Caller frees the returned checkpoint. */
+  private def bpeApplyMerges(words0: DataFrame,
+                             rules: Seq[(String, String)]): DataFrame = {
+    var words = words0.localCheckpoint()
+    rules.foreach { case (s1, s2) =>
+      val applied = words.withColumn("syms",
+        applyMergeCol(col("syms"), s1, s2)).localCheckpoint()
+      org.apache.spark.sql.graft.CheckpointUtils.unpersistCheckpoint(words)
+      words = applied
+    }
+    words
+  }
+
+  /** Tokenizer DRIFT under corpus growth — the maintenance measurement
+    * the dedup index (q364 compaction), the IVF codebook (q367
+    * recluster), and the CC state (q368 fold) each already have: a
+    * tokenizer trained on yesterday's corpus (`oldFilter`) keeps
+    * getting served while the corpus grows, and its merges stop
+    * fitting. Per source, this reports the STALE tokenizer's subword
+    * count/compression on the grown corpus next to the RETRAINED
+    * one's — the retrained column is the recompaction (a full retrain;
+    * BPE merges don't compose incrementally, so unlike the other three
+    * this maintenance op is periodic-rebuild by nature, which is
+    * exactly why the drift number matters: it prices the rebuild).
+    *
+    * Scale shape: both trainings and the stale-rule application are
+    * word-table-sized (Zipf-sublinear); the corpus is touched twice
+    * (old-slice word table, full word table) plus the occurrence
+    * explode the report joins — all one-pass, shuffle keyed by word. */
+  def bpeDriftReport(df: DataFrame, text: Column, source: Column,
+                     oldFilter: Column, merges: Int): DataFrame = {
+    val (oldRules, wOldTrain) = bpeTrainCore(df.where(oldFilter), text, merges)
+    org.apache.spark.sql.graft.CheckpointUtils.unpersistCheckpoint(wOldTrain)
+    val fullWords = df.select(explode(split(text, " ")).as("w"))
+      .where(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(col("w"), expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .as("syms"), col("cnt"))
+    val stale = bpeApplyMerges(fullWords,
+      oldRules.map { case (_, s1, s2, _, _) => (s1, s2) })
+    val (_, retrained) = bpeTrainCore(df, text, merges)
+    val sub = stale.select(col("w"), size(col("syms")).as("__ns_stale"))
+      .join(retrained.select(col("w"), size(col("syms")).as("__ns_new")),
+        Seq("w"))
+    val occ = df.select(source.as("source"), explode(split(text, " ")).as("w"))
+      .where(length(col("w")) >= 1)
+    val report = occ.join(sub, Seq("w"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w")).cast("long")).as("n_chars"),
+        sum(col("__ns_stale").cast("long")).as("n_sub_stale"),
+        sum(col("__ns_new").cast("long")).as("n_sub_retrained"))
+      .select(col("source"), col("n_words"), col("n_chars"),
+        col("n_sub_stale"), col("n_sub_retrained"),
+        Seal.ratio4("n_chars", "n_sub_stale").as("cps_stale"),
+        Seal.ratio4("n_chars", "n_sub_retrained").as("cps_retrained"))
+      .orderBy("source")
+      .localCheckpoint() // source-cardinality-sized; frees the vocab tables
+    Seq(stale, retrained).foreach(
+      org.apache.spark.sql.graft.CheckpointUtils.unpersistCheckpoint)
+    report
   }
 
   /** Tokenizer compression eval — [[bpeTrain]]'s merges APPLIED
