@@ -3458,6 +3458,22 @@ object ExtQueries {
       |SELECT qid, rank, id, round(cs, 4) AS cos_sim
       |FROM rk WHERE rank <= 3 ORDER BY qid, rank""".stripMargin))
 
+  /** [[graft.streaming.IngestStreams.runAnnIngest]]: the IVF index
+    * maintained under the STREAM (q372) — each arriving day's
+    * embeddings assign under the fixed serving codebook and append to
+    * the staged index; the final kNN serve runs against corpus ∪ both
+    * days. Append ≡ rebuild under fixed centroids, so the oracle is
+    * q357's from-scratch chain; serving collapses duplicate candidates
+    * (replay tolerance — see the runner's scaladoc), which is a no-op
+    * on the duplicate-free index the oracle models. */
+  private val q372 = QDef("q372_stream_ann_ingest",
+    (s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.streaming.IngestStreams.runAnnIngest(s, dir,
+        s"graft_sai_$tag", cut0 = 300, cut1 = 400)
+    },
+    q357.oracle)
+
   /** [[graft.streaming.IngestStreams.runIngestPrep]]: the FULL
     * training-prep front run as the ingest STREAM (q370) — q358's
     * dedup loop composed with the q49/q351 gates: per micro-batch,
@@ -3520,5 +3536,5 @@ object ExtQueries {
     q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
     q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q351,
-    q357, q361, q362, q363, q366, q367, q370)
+    q357, q361, q362, q363, q366, q367, q370, q372)
 }

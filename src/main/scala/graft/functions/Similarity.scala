@@ -197,19 +197,31 @@ object Similarity {
     * assignment scan and join shuffle are gone — the bucketed scan
     * satisfies the join's distribution from the catalog, so only the
     * (small) query batch shuffles, sized by the index's bucket count. */
+  /** `dedupCandidates = true` collapses duplicate (qid, id) candidate
+    * rows before ranking — one extra aggregation on the CANDIDATE set
+    * (query-batch × probed-cells sized, never the index), which makes
+    * serving tolerant of duplicate index rows: a streaming ingest
+    * loop's crashed-and-replayed append (q372) leaves exact-duplicate
+    * rows in the staged index, and without the collapse a duplicated
+    * neighbor would occupy two of the top-k ranks. Default off — the
+    * batch-staged paths (q357/q361) build duplicate-free indexes. */
   def ivfKnnJoinIndex(index: DataFrame, queries: DataFrame, qEmb: Column,
                       qId: Column, k: Int,
                       centroids: Seq[(Long, Array[Double])],
-                      nProbe: Int = 4): DataFrame = {
+                      nProbe: Int = 4,
+                      dedupCandidates: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = queries.select(qId.as("qid"), qEmb.cast("array<double>").as("__q"))
       .withColumn("cell", explode(nearestCells(col("__q"), centroids, nProbe)))
       .withColumn("__qn", l2(col("__q")))
     val w = Window.partitionBy("qid").orderBy(desc("__cos"), col("id"))
-    index.join(q, "cell")
+    val cand0 = index.join(q, "cell")
       .select(col("qid"), col("id"),
         (dot(col("emb"), col("__q")) / (col("nrm") * col("__qn"))).as("__cos"))
-      .withColumn("rank", row_number().over(w))
+    val cand = if (dedupCandidates)
+      cand0.groupBy("qid", "id").agg(max(col("__cos")).as("__cos"))
+    else cand0
+    cand.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id"), col("__cos").as("cos_sim"))
   }

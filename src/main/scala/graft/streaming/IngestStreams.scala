@@ -226,6 +226,53 @@ object IngestStreams {
       .orderBy("ingest_day", "doc_id")
   }
 
+  /** STREAMING ANN index ingest (q372) — the IVF family's streaming
+    * leg (staged q357 → batch ingest q361 → recluster compaction q367
+    * → this): each arriving day's embeddings assign to their cells
+    * under the FIXED serving codebook and APPEND to the staged index
+    * (new bucket files only — the q361 maintenance trade; codebook
+    * drift is q367's business). Append ≡ rebuild exactly (per-row
+    * assignment under fixed centroids), so the oracle is the
+    * from-scratch q357 chain. Retry tolerance differs from the dedup
+    * loops: a replayed append leaves EXACT-DUPLICATE index rows, which
+    * are NOT inert for top-k serving (a duplicated neighbor would take
+    * two ranks) — serving therefore collapses duplicate (qid, id)
+    * candidates before ranking (`dedupCandidates`, candidate-set-sized,
+    * never an index-side shuffle), and the recluster compaction
+    * physically drops the duplicates. */
+  def runAnnIngest(spark: SparkSession, dir: String, name: String,
+                   cut0: Long = 300, cut1: Long = 400,
+                   killBetweenDays: Boolean = false): DataFrame = {
+    val e = Tables.t(spark, dir, "embeddings")
+    val cents = graft.Similarity.kmeansCentroids(e, col("embedding"),
+      col("vec_id"), c = 16, iters = 2)
+    val idx = name + "_idx"
+    Staging.stageBucketed(
+      graft.Similarity.ivfIndexFrame(e.where(col("vec_id") < cut0),
+        col("embedding"), col("vec_id"), cents),
+      idx, "cell", 8)
+    val (spool, ckpt) = freshPaths(name)
+    val body = (batch: DataFrame, _: Long) => {
+      Staging.appendBucketed(
+        graft.Similarity.ivfIndexFrame(batch, col("embedding"),
+          col("vec_id"), cents),
+        idx, "cell", 8)
+      ()
+    }
+    driveDays(spark, e.schema, spool, ckpt,
+      Seq(e.where(col("vec_id") >= cut0 && col("vec_id") < cut1),
+        e.where(col("vec_id") >= cut1)), killBetweenDays, body)
+    // the appends ran through the CLONED batch sessions; drop the outer
+    // session's cached relation so the serve scan re-lists the table
+    spark.catalog.refreshTable(idx)
+    graft.Similarity.ivfKnnJoinIndex(Staging.load(spark, idx),
+      e.filter(col("label") === 1), col("embedding"), col("vec_id"),
+      k = 3, centroids = cents, nProbe = 4, dedupCandidates = true)
+      .select(col("qid"), col("rank"), col("id"),
+        round(col("cos_sim"), 4).as("cos_sim"))
+      .orderBy("qid", "rank")
+  }
+
   /** STREAMING dedup-cluster maintenance — q355's incremental CC
     * driven by the stream: each arriving day's micro-batch probes the
     * staged index for cross edges + its own star edges

@@ -150,6 +150,39 @@ class DurabilitySpec extends SparkSpec {
     assert(after === before)
   }
 
+  test("q372 streaming ANN ingest: kill-and-resume equals uninterrupted, " +
+      "and a replayed (duplicate) index append leaves the served top-k " +
+      "unchanged — dedupCandidates tolerance, proven against the hazard") {
+    val eTbl = Tables.t(spark, sf, "embeddings")
+    val uninterrupted = got(IngestStreams.runAnnIngest(
+      spark, sf, "t_ann_u", cut0 = 200, cut1 = 350))
+    val resumed = got(IngestStreams.runAnnIngest(
+      spark, sf, "t_ann_k", cut0 = 200, cut1 = 350,
+      killBetweenDays = true))
+    assert(resumed === uninterrupted)
+    assert(uninterrupted.nonEmpty)
+    // simulate the crashed replay: day-2's rows append a second time
+    val cents = Similarity.kmeansCentroids(eTbl, col("embedding"),
+      col("vec_id"), c = 16, iters = 2)
+    Staging.appendBucketed(
+      Similarity.ivfIndexFrame(eTbl.where(col("vec_id") >= 350),
+        col("embedding"), col("vec_id"), cents),
+      "t_ann_u_idx", "cell", 8)
+    spark.catalog.refreshTable("t_ann_u_idx")
+    def serve(dedup: Boolean) = Similarity.ivfKnnJoinIndex(
+        Staging.load(spark, "t_ann_u_idx"),
+        eTbl.filter(col("label") === 1), col("embedding"), col("vec_id"),
+        k = 3, centroids = cents, nProbe = 4, dedupCandidates = dedup)
+      .select(col("qid"), col("rank"), col("id"),
+        round(col("cos_sim"), 4).as("cos_sim"))
+      .orderBy("qid", "rank").collect().toSeq.map(_.toSeq)
+    assert(serve(dedup = true) === uninterrupted,
+      "duplicate index rows must not change the served top-k")
+    assert(serve(dedup = false) !== uninterrupted,
+      "without the candidate collapse the duplicates must skew ranks — " +
+        "otherwise this pin isn't exercising the hazard")
+  }
+
   test("indexWithoutIds: a replayed batch whose index append survived " +
       "the crash still computes the original survivor set (and WITHOUT " +
       "the exclusion it would wrongly dedup against itself)") {
