@@ -3227,39 +3227,12 @@ object ExtQueries {
       |                    CAST(n * syy - sy * sy AS DOUBLE)), 0.0), 4) AS r
       |FROM su ORDER BY source""".stripMargin))
 
-  /** The round-10 verdict's directive 3: the training-prep flagship with
-    * CLUSTER-SAFE split assignment (the q350 device) in place of q49's
-    * doc_id hash split. Same prep front as q49 (language + quality gate,
-    * exact dedup, 3-shingle MinHash CC drop of non-representatives); the
-    * survivors are then split-assigned by their UNIGRAM MinHash
-    * component — the near-dups that survive the 3-shingle drop threshold
-    * (q349's leak regime) can no longer straddle splits — and the output
-    * is the q349 leak census of the query's OWN assignment plus
-    * per-split masses: the all-zero census rows are computed through the
-    * full candidate+verify path, not asserted, and n_docs_a/n_docs_b
-    * prove the assignment didn't degenerate into one split. */
-  private val q351 = QDef("q351_training_prep_v3",
-    (s, dir) => {
-      val d = T(s, dir, "documents")
-      val filtered = d.where(TextAnalysis.langId(col("text")) === lit("en") &&
-        round(TextAnalysis.qualityScore(col("text")), 4) >= 0.5)
-      val deduped = Dedup.exact(filtered, col("text"), col("doc_id"))
-        .localCheckpoint()
-      // star spine for the 3-shingle drop CC (identical components,
-      // linear edge list — see q45's scaladoc)
-      val stars3 = Dedup.minhashStarEdges(deduped, col("text"),
-        col("doc_id"), shingleSize = 3, numPerm = 16, bands = 4)
-      val drop = Dedup.connectedComponents(stars3)
-        .where(col("comp") =!= col("id")).select(col("id").as("doc_id"))
-      val kept = deduped.join(drop, Seq("doc_id"), "left_anti")
-      Dedup.clusterSafeSplitCensus(kept, col("text"), col("doc_id"),
-        comp => Sampling.splitAssign(comp,
-          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "csp"),
-        shingleSize = 1, numPerm = 16, bands = 4, minBin10 = 7,
-        splitSizes = true, spineSplits = Seq("train", "val", "test"))
-    },
-    Some(s"""WITH RECURSIVE $prepKeptCtes,
-      |${unigramPairCtesFrom("kept", "2")},
+  /** The q351/q366 census tail — unigram-component split assignment
+    * over `kept`, the q349 leak census of that assignment, per-split
+    * masses on the declared spine. ONE definition so the two flagships
+    * provably differ in exactly the representative policy. */
+  private val clusterSafeCensusTailSql: String =
+    s"""${unigramPairCtesFrom("kept", "2")},
       |${ccCtesFrom("rawpairs2", "2")},
       |d2 AS (SELECT doc_id, text,
       |        CASE WHEN hv < 800000 THEN 'train'
@@ -3309,7 +3282,41 @@ object ExtQueries {
       |FROM spine LEFT JOIN ag USING (split_a, split_b)
       |  LEFT JOIN szs sa ON sa.sp = spine.split_a
       |  LEFT JOIN szs sb ON sb.sp = spine.split_b
-      |ORDER BY split_a, split_b""".stripMargin))
+      |ORDER BY split_a, split_b""".stripMargin
+
+  /** The round-10 verdict's directive 3: the training-prep flagship with
+    * CLUSTER-SAFE split assignment (the q350 device) in place of q49's
+    * doc_id hash split. Same prep front as q49 (language + quality gate,
+    * exact dedup, 3-shingle MinHash CC drop of non-representatives); the
+    * survivors are then split-assigned by their UNIGRAM MinHash
+    * component — the near-dups that survive the 3-shingle drop threshold
+    * (q349's leak regime) can no longer straddle splits — and the output
+    * is the q349 leak census of the query's OWN assignment plus
+    * per-split masses: the all-zero census rows are computed through the
+    * full candidate+verify path, not asserted, and n_docs_a/n_docs_b
+    * prove the assignment didn't degenerate into one split. */
+  private val q351 = QDef("q351_training_prep_v3",
+    (s, dir) => {
+      val d = T(s, dir, "documents")
+      val filtered = d.where(TextAnalysis.langId(col("text")) === lit("en") &&
+        round(TextAnalysis.qualityScore(col("text")), 4) >= 0.5)
+      val deduped = Dedup.exact(filtered, col("text"), col("doc_id"))
+        .localCheckpoint()
+      // star spine for the 3-shingle drop CC (identical components,
+      // linear edge list — see q45's scaladoc)
+      val stars3 = Dedup.minhashStarEdges(deduped, col("text"),
+        col("doc_id"), shingleSize = 3, numPerm = 16, bands = 4)
+      val drop = Dedup.connectedComponents(stars3)
+        .where(col("comp") =!= col("id")).select(col("id").as("doc_id"))
+      val kept = deduped.join(drop, Seq("doc_id"), "left_anti")
+      Dedup.clusterSafeSplitCensus(kept, col("text"), col("doc_id"),
+        comp => Sampling.splitAssign(comp,
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "csp"),
+        shingleSize = 1, numPerm = 16, bands = 4, minBin10 = 7,
+        splitSizes = true, spineSplits = Seq("train", "val", "test"))
+    },
+    Some(s"""WITH RECURSIVE $prepKeptCtes,
+      |$clusterSafeCensusTailSql""".stripMargin))
 
   /** The r11 verdict's directive 6 resolved by COMPOSITION: q351's
     * cluster-safe flagship with [[Dedup.keepBestIds]] (q363) as the
@@ -3351,57 +3358,7 @@ object ExtQueries {
         splitSizes = true, spineSplits = Seq("train", "val", "test"))
     },
     Some(s"""WITH RECURSIVE $prepKeptBestCtes,
-      |${unigramPairCtesFrom("kept", "2")},
-      |${ccCtesFrom("rawpairs2", "2")},
-      |d2 AS (SELECT doc_id, text,
-      |        CASE WHEN hv < 800000 THEN 'train'
-      |             WHEN hv < 900000 THEN 'val' ELSE 'test' END AS sp
-      |      FROM (SELECT k.doc_id, k.text,
-      |        ('0x' || substr(md5(CAST(coalesce(l.comp, k.doc_id)
-      |            AS VARCHAR) || 'csp'), 1, 15))::BIGINT % 1000000 AS hv
-      |       FROM kept k LEFT JOIN lab2 l ON k.doc_id = l.id)),
-      |spb AS (SELECT bd2.doc_id, d2.sp, bd2.b, bd2.bucket
-      |      FROM bd2 JOIN d2 USING (doc_id)),
-      |cd AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      |      FROM spb a JOIN spb b ON a.b = b.b AND a.bucket = b.bucket
-      |        AND a.doc_id < b.doc_id AND a.sp <> b.sp),
-      |gr AS (SELECT doc_id, sp, list_distinct(string_split(text, ' '))
-      |        AS g FROM d2),
-      |vf AS (SELECT cd.id_a, cd.id_b, ga.sp AS sp_a, gb.sp AS sp_b,
-      |        CAST(len(list_intersect(ga.g, gb.g)) AS BIGINT) AS i,
-      |        CAST(len(ga.g) + len(gb.g)
-      |          - len(list_intersect(ga.g, gb.g)) AS BIGINT) AS u
-      |      FROM cd JOIN gr ga ON cd.id_a = ga.doc_id
-      |        JOIN gr gb ON cd.id_b = gb.doc_id),
-      |lab3 AS (SELECT least(sp_a, sp_b) AS split_a,
-      |        greatest(sp_a, sp_b) AS split_b,
-      |        CASE WHEN sp_a <= sp_b THEN id_a ELSE id_b END AS doc_a,
-      |        CASE WHEN sp_a <= sp_b THEN id_b ELSE id_a END AS doc_b,
-      |        CASE WHEN i * 10 >= u * 7 THEN 1 ELSE 0 END AS leak
-      |      FROM vf),
-      |ag AS (SELECT split_a, split_b,
-      |        CAST(count(*) AS BIGINT) AS n_candidates,
-      |        CAST(sum(leak) AS BIGINT) AS n_leaked,
-      |        CAST(count(DISTINCT CASE WHEN leak = 1 THEN doc_a END)
-      |          AS BIGINT) AS docs_leaked_a,
-      |        CAST(count(DISTINCT CASE WHEN leak = 1 THEN doc_b END)
-      |          AS BIGINT) AS docs_leaked_b
-      |      FROM lab3 GROUP BY 1, 2),
-      |sp3(sp) AS (VALUES ('test'), ('train'), ('val')),
-      |spine AS (SELECT x.sp AS split_a, y.sp AS split_b
-      |      FROM sp3 x JOIN sp3 y ON x.sp < y.sp),
-      |szs AS (SELECT sp, CAST(count(*) AS BIGINT) AS n FROM d2 GROUP BY sp)
-      |SELECT spine.split_a, spine.split_b,
-      |  coalesce(n_candidates, CAST(0 AS BIGINT)) AS n_candidates,
-      |  coalesce(n_leaked, CAST(0 AS BIGINT)) AS n_leaked,
-      |  coalesce(docs_leaked_a, CAST(0 AS BIGINT)) AS docs_leaked_a,
-      |  coalesce(docs_leaked_b, CAST(0 AS BIGINT)) AS docs_leaked_b,
-      |  coalesce(sa.n, CAST(0 AS BIGINT)) AS n_docs_a,
-      |  coalesce(sb.n, CAST(0 AS BIGINT)) AS n_docs_b
-      |FROM spine LEFT JOIN ag USING (split_a, split_b)
-      |  LEFT JOIN szs sa ON sa.sp = spine.split_a
-      |  LEFT JOIN szs sb ON sb.sp = spine.split_b
-      |ORDER BY split_a, split_b""".stripMargin))
+      |$clusterSafeCensusTailSql""".stripMargin))
 
   /** [[Similarity.ivfRecluster]]: q361's ingest loop CLOSED WITH ITS
     * COMPACTION LEG (r11 directive 4). Drift setup: the codebook trains

@@ -254,8 +254,14 @@ object Similarity {
                    into: String, c: Int, iters: Int = 2,
                    buckets: Int = 8): Seq[(Long, Array[Double])] = {
     val idx0 = graft.Staging.load(spark, from)
-    val src = if (into == from) idx0.select("id", "emb").localCheckpoint()
-      else idx0.select("id", "emb")
+    // drop exact-duplicate rows a crashed-and-replayed streaming append
+    // (q372) left behind: one id-keyed shuffle, amortized into the
+    // compaction's full-index rebuild — this is where "compaction
+    // physically drops the duplicates" becomes true, and it also
+    // protects the kmeans init (first-c-ids) from picking a duplicated
+    // low id twice, which would break retrain ≡ from-scratch
+    val rows = idx0.select("id", "emb").dropDuplicates("id")
+    val src = if (into == from) rows.localCheckpoint() else rows
     val cents = kmeansCentroids(src, col("emb"), col("id"), c, iters)
     // cluster by the bucket key before staging so each task owns exactly
     // one bucket → one file per bucket (bucketBy writes one file per

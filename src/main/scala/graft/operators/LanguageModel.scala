@@ -196,15 +196,21 @@ object LanguageModel {
     * (w, cnt, syms) — the post-merge subword segmentation per distinct
     * word, i.e. the trained tokenizer APPLIED to the whole vocabulary.
     * The caller owns the returned checkpoint. */
-  private def bpeTrainCore(df: DataFrame, text: Column, merges: Int)
-      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
-    var words = df.select(explode(split(text, " ")).as("w"))
+  /** The (word, char-symbols, count) vocabulary table every BPE path
+    * starts from — ONE definition so training ([[bpeTrainCore]]) and
+    * the stale-rule application ([[bpeDriftReport]]) can never diverge
+    * on the tokenization convention (split char, length floor). */
+  private def wordTable(df: DataFrame, text: Column): DataFrame =
+    df.select(explode(split(text, " ")).as("w"))
       .where(length(col("w")) >= 1)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .select(col("w"), expr(
         "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
         .as("syms"), col("cnt"))
-      .localCheckpoint()
+
+  private def bpeTrainCore(df: DataFrame, text: Column, merges: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    var words = wordTable(df, text).localCheckpoint()
     val learned = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
     var m = 1
     var exhausted = false
@@ -297,13 +303,7 @@ object LanguageModel {
                      oldFilter: Column, merges: Int): DataFrame = {
     val (oldRules, wOldTrain) = bpeTrainCore(df.where(oldFilter), text, merges)
     org.apache.spark.sql.graft.CheckpointUtils.unpersistCheckpoint(wOldTrain)
-    val fullWords = df.select(explode(split(text, " ")).as("w"))
-      .where(length(col("w")) >= 1)
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .select(col("w"), expr(
-        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
-        .as("syms"), col("cnt"))
-    val stale = bpeApplyMerges(fullWords,
+    val stale = bpeApplyMerges(wordTable(df, text),
       oldRules.map { case (_, s1, s2, _, _) => (s1, s2) })
     val (_, retrained) = bpeTrainCore(df, text, merges)
     val sub = stale.select(col("w"), size(col("syms")).as("__ns_stale"))

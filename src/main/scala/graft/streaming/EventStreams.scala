@@ -416,9 +416,13 @@ object EventStreams {
     * batch-order-wins). The state lives in [[DurableState]] — the
     * crash-safe three-step rename swap this operator originated (r12
     * extracted it so the ingest loops share the device): every crash
-    * point is recoverable, and the commit marker makes a re-delivered
-    * micro-batch skip instead of re-merging (the merge is idempotent
-    * by algebra anyway — latest-wins — so the gate only saves work).
+    * point is recoverable. Unlike the ingest loops, the merge is NOT
+    * gated on the commit marker: this query runs with a TEMP streaming
+    * checkpoint, so batch ids restart at 0 on every invocation and a
+    * marker gate would silently skip a resumed run's batches (pinned in
+    * the unit suite). Replay safety needs no gate here — the
+    * latest-wins merge is idempotent by algebra, re-merging the same
+    * events is a no-op.
     * An existing `statePath` is the bootstrap state (resume semantics —
     * the caller owns the state lifecycle); absent, the first batch
     * creates it. Returns the final state table. Unit-pinned: streamed
@@ -434,15 +438,13 @@ object EventStreams {
         .writeStream.outputMode("append")
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
           DurableState.recover(statePath)
-          if (batchId > DurableState.committedBatch(statePath)) {
-            val merged0 =
-              if (new java.io.File(statePath).isDirectory)
-                spark.read.parquet(statePath).unionByName(batch.toDF())
-              else batch.toDF()
-            DurableState.commit(
-              Dedup.latestSnapshot(merged0, Seq("k"), "ts", "event_id"),
-              statePath, batchId)
-          }
+          val merged0 =
+            if (new java.io.File(statePath).isDirectory)
+              spark.read.parquet(statePath).unionByName(batch.toDF())
+            else batch.toDF()
+          DurableState.commit(
+            Dedup.latestSnapshot(merged0, Seq("k"), "ts", "event_id"),
+            statePath, batchId)
           ()
         }
         .trigger(Trigger.AvailableNow()).queryName(name).start()

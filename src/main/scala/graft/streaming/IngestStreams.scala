@@ -38,12 +38,14 @@ import graft.{CkptScope, Dedup, Staging, Tables}
   *    excludes the batch's own ids ([[Dedup.indexWithoutIds]]), so a
   *    replay reads the same pre-batch index state even when the
   *    crashed attempt's append survived.
-  *  - Index appends are NOT rolled back on retry; a replayed append
-  *    only duplicates signature rows, which is semantically inert —
-  *    collision EXISTENCE (dedup) and per-bucket minima (edges) are
-  *    set-level properties — and the periodic compaction leg
-  *    (re-[[Staging.stageBucketed]], pinned in ScaleSpec) physically
-  *    drops the duplicates.
+  *  - Index appends are NOT rolled back on retry. For the LSH loops a
+  *    replayed append only duplicates signature rows, which is
+  *    semantically inert — collision EXISTENCE (dedup) and per-bucket
+  *    minima (edges) are set-level properties. For the ANN loop
+  *    (q372) duplicates are NOT inert for top-k serving, so serving
+  *    collapses duplicate candidates (`dedupCandidates`) and the
+  *    recluster compaction ([[graft.Similarity.ivfRecluster]])
+  *    physically drops them (both pinned).
   *
   * Per-batch checkpoint blocks are freed via a [[CkptScope]] once the
   * batch's durable output is committed — a long-running stream holds
@@ -112,24 +114,25 @@ object IngestStreams {
     (spool, ckpt)
   }
 
-  /** Stage docs `< cut0` as the corpus index, spool docs `[cut0, cut1)`
-    * and `[cut1, ∞)` as two "daily" arrival files, then run the
-    * streaming ingest-dedup loop over them (one micro-batch per day —
-    * `maxFilesPerTrigger = 1`, arrival order pinned by explicit file
-    * mtimes). Output: each day's survivors tagged by ingest day —
-    * exactly the q354 inline two-step semantics, which the oracle
-    * replays. Retry-idempotent without a commit marker: survivors
-    * write to a per-batch directory (a replay overwrites, never
-    * doubles) and the probe excludes the batch's own ids
-    * ([[Dedup.indexWithoutIds]]), so a replay after a surviving
-    * append still reads the pre-batch index state. */
-  def runIngestDedup(spark: SparkSession, dir: String, name: String,
-                     cut0: Long = 300, cut1: Long = 450,
-                     killBetweenDays: Boolean = false): DataFrame = {
+  /** The dedup-ingest loop core shared by [[runIngestDedup]] (q358,
+    * `prep` = identity) and [[runIngestPrep]] (q370, `prep` = gates +
+    * within-batch exact dedup): stage the PREPPED docs `< cut0` as the
+    * corpus index, spool docs `[cut0, cut1)` and `[cut1, ∞)` as two
+    * "daily" arrival files, then per micro-batch prep the batch, drop
+    * its near-dups against the index, append the survivors'
+    * signatures, and write the survivors to a per-batch output
+    * directory. Retry-idempotent without a commit marker: the
+    * per-batch output overwrites (a replay never doubles) and the
+    * probe excludes the batch's own ids ([[Dedup.indexWithoutIds]]),
+    * so a replay after a surviving append still reads the pre-batch
+    * index state. */
+  private def ingestDedupLoop(spark: SparkSession, dir: String,
+      name: String, cut0: Long, cut1: Long, killBetweenDays: Boolean,
+      prep: DataFrame => DataFrame): DataFrame = {
     val docs = Tables.t(spark, dir, "documents")
     val idx = name + "_idx"
     Staging.stageBucketed(
-      Dedup.lshIndexFrame(docs.where(col("doc_id") < cut0),
+      Dedup.lshIndexFrame(prep(docs.where(col("doc_id") < cut0)),
         col("text"), col("doc_id")),
       idx, "lsh_key", 8)
     val (spool, ckpt) = freshPaths(name)
@@ -145,12 +148,13 @@ object IngestStreams {
       val ss = batch.sparkSession
       val scope = CkptScope()
       try {
+        val kept = prep(batch)
         val idxSnap = Dedup.indexWithoutIds(Staging.load(ss, idx),
           batch.select(col("doc_id").as("id")))
         // survivors MUST materialize before the index append below —
         // the checkpoint is eager, so the anti-join reads the index
         // state as of this batch's start
-        val surv = scope.ckpt(Dedup.minhashAgainstIndex(batch, idxSnap,
+        val surv = scope.ckpt(Dedup.minhashAgainstIndex(kept, idxSnap,
           col("text"), col("doc_id")))
         Staging.appendBucketed(
           Dedup.lshIndexFrame(surv, col("text"), col("doc_id")),
@@ -172,59 +176,31 @@ object IngestStreams {
       .orderBy("ingest_day", "doc_id")
   }
 
-  /** The FULL training-prep front under the stream (q370): q358's
-    * ingest-dedup loop composed with the q49/q351 gates — per
-    * micro-batch, language-ID + quality gate → exact dedup WITHIN the
-    * batch (min-id per text; exact dups AGAINST the corpus need no
-    * separate pass — identical text collides in every LSH band, so the
-    * near-dup probe subsumes them) → near-dup drop against the staged
-    * index → survivors append their signatures. The corpus index holds
-    * only GATED docs (a real pipeline indexes what it would keep).
-    * Same retry-idempotency devices as q358 (per-batch output dirs +
-    * [[Dedup.indexWithoutIds]]); the oracle replays the two-day
-    * sequential chain over the gated corpus. */
+  /** The streaming ingest-dedup loop (q358): each day\u0027s survivors
+    * tagged by ingest day — exactly the q354 inline two-step
+    * semantics, which the oracle replays. See [[ingestDedupLoop]] for
+    * the retry-idempotency contract. */
+  def runIngestDedup(spark: SparkSession, dir: String, name: String,
+                     cut0: Long = 300, cut1: Long = 450,
+                     killBetweenDays: Boolean = false): DataFrame =
+    ingestDedupLoop(spark, dir, name, cut0, cut1, killBetweenDays,
+      identity)
+
+  /** The FULL training-prep front under the stream (q370): q358\u0027s
+    * loop with `prep` = the q49/q351 gates + within-batch exact dedup
+    * (min-id per text; exact dups AGAINST the corpus need no separate
+    * pass — identical text collides in every LSH band, so the near-dup
+    * probe subsumes them). The corpus index holds only GATED docs (a
+    * real pipeline indexes what it would keep); the oracle replays the
+    * gated two-day sequential chain. */
   def runIngestPrep(spark: SparkSession, dir: String, name: String,
                     cut0: Long = 300, cut1: Long = 450,
-                    killBetweenDays: Boolean = false): DataFrame = {
-    val docs = Tables.t(spark, dir, "documents")
-    def gate(df: DataFrame): DataFrame = df.where(
-      graft.TextAnalysis.langId(col("text")) === lit("en") &&
-        round(graft.TextAnalysis.qualityScore(col("text")), 4) >= 0.5)
-    val idx = name + "_idx"
-    Staging.stageBucketed(
-      Dedup.lshIndexFrame(gate(docs.where(col("doc_id") < cut0)),
-        col("text"), col("doc_id")),
-      idx, "lsh_key", 8)
-    val (spool, ckpt) = freshPaths(name)
-    val outDir = new java.io.File(s"target/ingest_out_$name")
-    if (outDir.exists()) rm(outDir)
-    val body = (batch: DataFrame, batchId: Long) => {
-      val ss = batch.sparkSession // cloned session: see runIngestDedup
-      val scope = CkptScope()
-      try {
-        val kept = Dedup.exact(gate(batch), col("text"), col("doc_id"))
-        val idxSnap = Dedup.indexWithoutIds(Staging.load(ss, idx),
-          batch.select(col("doc_id").as("id")))
-        val surv = scope.ckpt(Dedup.minhashAgainstIndex(kept, idxSnap,
-          col("text"), col("doc_id")))
-        Staging.appendBucketed(
-          Dedup.lshIndexFrame(surv, col("text"), col("doc_id")),
-          idx, "lsh_key", 8)
-        surv.select(col("doc_id"), col("source"))
-          .withColumn("ingest_day",
-            when(col("doc_id") < cut1, 1).otherwise(2))
-          .write.mode("overwrite")
-          .parquet(new java.io.File(outDir, s"ingest_batch=$batchId").getPath)
-      } finally scope.freeAll()
-      ()
-    }
-    driveDays(spark, docs.schema, spool, ckpt,
-      Seq(docs.where(col("doc_id") >= cut0 && col("doc_id") < cut1),
-        docs.where(col("doc_id") >= cut1)), killBetweenDays, body)
-    spark.read.parquet(outDir.getPath)
-      .select("ingest_day", "doc_id", "source")
-      .orderBy("ingest_day", "doc_id")
-  }
+                    killBetweenDays: Boolean = false): DataFrame =
+    ingestDedupLoop(spark, dir, name, cut0, cut1, killBetweenDays,
+      df => Dedup.exact(
+        df.where(graft.TextAnalysis.langId(col("text")) === lit("en") &&
+          round(graft.TextAnalysis.qualityScore(col("text")), 4) >= 0.5),
+        col("text"), col("doc_id")))
 
   /** STREAMING ANN index ingest (q372) — the IVF family's streaming
     * leg (staged q357 → batch ingest q361 → recluster compaction q367
@@ -373,24 +349,43 @@ object IngestStreams {
   // ------------------------------------------------------- patch-log state
 
   /** Resolved view of a patch-log cluster state: base labels ∪ the
-    * per-batch label appends NEWER than the base's fold marker, with
-    * comps re-pointed through the folded patch map ([[Dedup.applyPatch]]
-    * — one broadcast join). The marker filter (partition-pruned on the
-    * `ingest_batch` directory key) is what makes [[foldPatchLog]]
-    * crash-safe: appends the base already folded are ignored even if
-    * their cleanup didn't run. */
+    * COMMITTED per-batch label appends, with comps re-pointed through
+    * the folded patch map ([[Dedup.applyPatch]] — one broadcast join).
+    * The append window is bounded on BOTH sides (partition-pruned on
+    * the `ingest_batch` directory key):
+    *  - `> base fold marker` makes [[foldPatchLog]] crash-safe —
+    *    appends the base already folded are ignored even if their
+    *    cleanup didn't run;
+    *  - `≤ patch commit marker` makes the micro-batch REPLAY window
+    *    safe — a crashed attempt that wrote its label append but died
+    *    before the patch commit left an UNCOMMITTED dir, and reading it
+    *    back during the replay would make the batch's own docs look
+    *    already-labeled (their recompute would then drop or mislabel
+    *    them; the replay instead recomputes from the exact pre-batch
+    *    view and overwrites the leftover dir — pinned). */
   private[graft] def patchLogLabels(spark: SparkSession, statePath: String)
       : DataFrame = {
     val base = DurableState.load(spark, statePath + "_base")
-    val folded = DurableState.committedBatch(statePath + "_base")
-    val appDir = new java.io.File(statePath + "_labels")
-    val labs = if (appDir.isDirectory && appDir.listFiles().nonEmpty)
-      base.unionByName(
-        spark.read.parquet(appDir.getPath)
-          .where(col("ingest_batch") > folded)
-          .select("id", "comp"))
-    else base
+    val labs = committedAppends(spark, statePath, "_labels") match {
+      case Some(app) => base.unionByName(app.select("id", "comp"))
+      case None => base
+    }
     Dedup.applyPatch(labs, DurableState.load(spark, statePath + "_patch"))
+  }
+
+  /** The committed append window of a patch-log state (see
+    * [[patchLogLabels]] for the two-sided bound), or None when no
+    * appends exist. */
+  private def committedAppends(spark: SparkSession, statePath: String,
+                               suffix: String): Option[DataFrame] = {
+    val appDir = new java.io.File(statePath + suffix)
+    if (appDir.isDirectory && appDir.listFiles().nonEmpty) {
+      val folded = DurableState.committedBatch(statePath + "_base")
+      val committed = DurableState.committedBatch(statePath + "_patch")
+      Some(spark.read.parquet(appDir.getPath)
+        .where(col("ingest_batch") > folded &&
+          col("ingest_batch") <= committed))
+    } else None
   }
 
   /** Fold-into-base compaction for a patch-log state: materialize the
@@ -425,23 +420,20 @@ object IngestStreams {
 
   /** Resolved view of a patch-log SPLIT-ASSIGNMENT state
     * ([[patchLogLabels]]' 3-column sibling, q369): base assignment ∪
-    * newer appends, comps re-pointed through the folded patch keyed on
-    * coalesce(comp, id) — isolated day-0 docs carry a null comp (their
-    * implicit label is their own id), and a patch entry on that id
-    * means this batch merged them. Splits pass through untouched — the
-    * split-stability contract is exactly what makes the assignment
-    * patch-deferrable. */
+    * COMMITTED appends (two-sided marker bound — see
+    * [[patchLogLabels]]), comps re-pointed through the folded patch
+    * keyed on coalesce(comp, id) — isolated day-0 docs carry a null
+    * comp (their implicit label is their own id), and a patch entry on
+    * that id means this batch merged them. Splits pass through
+    * untouched — the split-stability contract is exactly what makes
+    * the assignment patch-deferrable. */
   private[graft] def patchLogAssign(spark: SparkSession, statePath: String)
       : DataFrame = {
     val base = DurableState.load(spark, statePath + "_base")
-    val folded = DurableState.committedBatch(statePath + "_base")
-    val appDir = new java.io.File(statePath + "_assign")
-    val rows = if (appDir.isDirectory && appDir.listFiles().nonEmpty)
-      base.unionByName(
-        spark.read.parquet(appDir.getPath)
-          .where(col("ingest_batch") > folded)
-          .select("id", "split", "comp"))
-    else base
+    val rows = committedAppends(spark, statePath, "_assign") match {
+      case Some(app) => base.unionByName(app.select("id", "split", "comp"))
+      case None => base
+    }
     val p = DurableState.load(spark, statePath + "_patch")
       .select(col("old").as("__po"), col("new").as("__pn"))
     rows.join(broadcast(p),

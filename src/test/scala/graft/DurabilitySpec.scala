@@ -150,6 +150,53 @@ class DurabilitySpec extends SparkSpec {
     assert(after === before)
   }
 
+  test("patch-log replay window: an UNCOMMITTED append (crashed attempt " +
+      "that died before its patch commit) is invisible to resolved " +
+      "reads — the replay recomputes from the exact pre-batch view") {
+    got(IngestStreams.runClusterPatchLog(
+      spark, sf, "t_pl_rw", cut0 = 200, cut1 = 350))
+    val statePath = "target/ingest_state_t_pl_rw"
+    val before = IngestStreams.patchLogLabels(spark, statePath)
+      .orderBy("id").collect().toSeq
+    // simulate the crash: a leftover label append one PAST the last
+    // committed batch, carrying rows that would corrupt a replay
+    val committed = graft.streaming.DurableState
+      .committedBatch(statePath + "_patch")
+    Seq((-777L, -777L)).toDF("id", "comp").write.mode("overwrite")
+      .parquet(s"${statePath}_labels/ingest_batch=${committed + 1}")
+    val after = IngestStreams.patchLogLabels(spark, statePath)
+      .orderBy("id").collect().toSeq
+    assert(after === before,
+      "uncommitted appends must be marker-filtered out of resolved reads")
+  }
+
+  test("CDC resume: the commit marker must NOT gate this temp-checkpoint " +
+      "query — batch ids restart at 0 per invocation, so a stale high " +
+      "marker would silently skip every batch of a resumed run") {
+    val statePath = "target/t_cdc_resume_state"
+    graft.streaming.DurableState.destroy(statePath)
+    // pre-seeded stale state (the documented resume semantics) PLUS a
+    // marker claiming batch 99 already committed — the incarnation that
+    // wrote it is gone, and the new run's ids restart at 0
+    val oneUser = Tables.t(spark, sf, "events")
+      .agg(org.apache.spark.sql.functions.min("user_id"))
+      .collect()(0).getLong(0)
+    Seq((oneUser, -1L, java.sql.Timestamp.valueOf("1990-01-01 00:00:00"),
+        -99.0))
+      .toDF("k", "event_id", "ts", "value")
+      .write.mode("overwrite").parquet(statePath)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(statePath, "_graft_commit"),
+      "99".getBytes("UTF-8"))
+    val got2 = EventStreams.runCdcApply(spark, sf, statePath)
+      .where(org.apache.spark.sql.functions.col("k") === oneUser)
+      .select("event_id").collect()
+    assert(got2.length === 1)
+    assert(got2(0).getLong(0) !== -1L,
+      "the resumed run must merge the streamed events over the stale " +
+        "seed — a marker gate would have skipped every batch")
+  }
+
   test("q372 streaming ANN ingest: kill-and-resume equals uninterrupted, " +
       "and a replayed (duplicate) index append leaves the served top-k " +
       "unchanged — dedupCandidates tolerance, proven against the hazard") {

@@ -265,6 +265,13 @@ class ScaleSpec extends SparkSpec {
     Staging.appendBucketed(
       Similarity.ivfIndexFrame(e.where(col("vec_id") >= 500),
         col("embedding"), col("vec_id"), stale), "t_ivf_rc", "cell", 4)
+    // a crashed-and-replayed streaming append (q372) leaves exact
+    // duplicates — compaction must drop them or the retrain ≡
+    // from-scratch equivalence below breaks (duplicate low ids skew
+    // the kmeans init; duplicate rows take two top-k ranks)
+    Staging.appendBucketed(
+      Similarity.ivfIndexFrame(e.where(col("vec_id") >= 500),
+        col("embedding"), col("vec_id"), stale), "t_ivf_rc", "cell", 4)
     val cents = Similarity.ivfRecluster(spark, "t_ivf_rc", "t_ivf_rc",
       c = 16, iters = 2, buckets = 4)
     // from-scratch twin: train on the full table, stage fresh
