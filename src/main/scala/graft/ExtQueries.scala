@@ -351,8 +351,11 @@ object ExtQueries {
     * why every step is integer-exact and therefore engine-identical. The
     * chain expects an `e(vec_id, emb DOUBLE[])` CTE before it and ends in
     * the codebook CTE `c(cid, cemb DOUBLE[])`. `dim` is the fixture's
-    * embedding width (64 at every SF). */
-  private def kmeansCtes(c: Int, dim: Int, iters: Int): String = {
+    * embedding width (64 at every SF). `src` names the training-input
+    * CTE (same (vec_id, emb) shape) — q372 trains on the day-0 slice
+    * (`etr`), not the full `e`. */
+  private def kmeansCtes(c: Int, dim: Int, iters: Int,
+                         src: String = "e"): String = {
     val steps = (1 to iters).map { i =>
       s"""a$i AS (SELECT vec_id, q, cid FROM (
          |  SELECT qv.vec_id, qv.q, k.cid,
@@ -366,7 +369,7 @@ object ExtQueries {
          |k$i AS (SELECT k.cid, coalesce(n$i.cq, k.cq) AS cq
          |       FROM k${i - 1} k LEFT JOIN n$i ON k.cid = n$i.cid)""".stripMargin
     }.mkString(",\n")
-    s"""qv AS (SELECT vec_id, list_transform(emb, x -> CAST(round(x*10000) AS BIGINT)) AS q FROM e),
+    s"""qv AS (SELECT vec_id, list_transform(emb, x -> CAST(round(x*10000) AS BIGINT)) AS q FROM $src),
        |k0 AS (SELECT vec_id AS cid, q AS cq FROM qv ORDER BY vec_id LIMIT $c),
        |$steps,
        |c AS (SELECT cid, CAST(cq AS DOUBLE[]) AS cemb FROM k$iters)""".stripMargin
@@ -3420,16 +3423,39 @@ object ExtQueries {
     * embeddings assign under the fixed serving codebook and append to
     * the staged index; the final kNN serve runs against corpus ∪ both
     * days. Append ≡ rebuild under fixed centroids, so the oracle is
-    * q357's from-scratch chain; serving collapses duplicate candidates
-    * (replay tolerance — see the runner's scaladoc), which is a no-op
-    * on the duplicate-free index the oracle models. */
+    * q357's from-scratch chain with the codebook trained on the DAY-0
+    * slice only (the deployable day-0 shape — a full-table codebook
+    * would time-travel over rows that have not arrived yet); serving
+    * collapses duplicate candidates (replay tolerance — see the
+    * runner's scaladoc), which is a no-op on the duplicate-free index
+    * the oracle models. */
   private val q372 = QDef("q372_stream_ann_ingest",
     (s, dir) => {
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       graft.streaming.IngestStreams.runAnnIngest(s, dir,
         s"graft_sai_$tag", cut0 = 300, cut1 = 400)
     },
-    q357.oracle)
+    Some(s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |etr AS (SELECT vec_id, emb FROM e WHERE vec_id < 300),
+      |${kmeansCtes(16, 64, 2, src = "etr")},
+      |a0 AS (SELECT e.vec_id, e.emb, c.cid,
+      |         row_number() OVER (PARTITION BY e.vec_id
+      |           ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC, c.cid) AS rn
+      |       FROM e, c),
+      |assign AS (SELECT vec_id, emb, cid AS cell FROM a0 WHERE rn = 1),
+      |q0 AS (SELECT e.vec_id AS qid, e.emb AS qemb, c.cid AS cell,
+      |         row_number() OVER (PARTITION BY e.vec_id
+      |           ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC, c.cid) AS rn
+      |       FROM e, c WHERE e.label = 1),
+      |q AS (SELECT qid, qemb, cell FROM q0 WHERE rn <= 4),
+      |cand AS (SELECT q.qid, a.vec_id AS id,
+      |           list_cosine_similarity(a.emb, q.qemb) AS cs
+      |         FROM assign a JOIN q ON a.cell = q.cell),
+      |rk AS (SELECT qid, id, cs,
+      |         row_number() OVER (PARTITION BY qid ORDER BY cs DESC, id) AS rank
+      |       FROM cand)
+      |SELECT qid, rank, id, round(cs, 4) AS cos_sim
+      |FROM rk WHERE rank <= 3 ORDER BY qid, rank""".stripMargin))
 
   /** [[graft.streaming.IngestStreams.runIngestPrep]]: the FULL
     * training-prep front run as the ingest STREAM (q370) — q358's

@@ -66,8 +66,14 @@ object DurableState {
   /** Swap `df` in as the new state, recording `batchId` as committed.
     * `df` may read the CURRENT state dir — it materializes fully into
     * `.tmp` before the live dir is touched. Use `batchId = -1` for the
-    * bootstrap (pre-stream) state so streaming batch 0 still applies. */
+    * bootstrap (pre-stream) state so streaming batch 0 still applies.
+    * Self-recovering: a stale `.old`/`.tmp` from a prior crash is
+    * repaired on entry (without it, the rename-aside below would throw
+    * FileAlreadyExistsException on a leftover `.old` — callers that
+    * commit a path they never load, e.g. the fold's base re-commit,
+    * would otherwise depend on someone else having recovered it). */
   def commit(df: DataFrame, statePath: String, batchId: Long): Unit = {
+    recover(statePath)
     val tmpPath = statePath + ".tmp"
     df.write.mode("overwrite").parquet(tmpPath)
     Files.write(Paths.get(tmpPath, Marker),
@@ -83,9 +89,13 @@ object DurableState {
   /** Read the live state. Path-based (not catalog) parquet reads list
     * files at DataFrame creation, so each micro-batch sees the latest
     * swap — no cloned-session relation-cache hazard (TESTDATA q358
-    * lesson applies to catalog tables only). */
-  def load(spark: SparkSession, statePath: String): DataFrame =
+    * lesson applies to catalog tables only). Self-recovering: a crash
+    * between rename-aside and move-in leaves only `.old`, which would
+    * fail this read until repaired. */
+  def load(spark: SparkSession, statePath: String): DataFrame = {
+    recover(statePath)
     spark.read.parquet(statePath)
+  }
 
   /** Drop the state (fresh-run initialization). */
   def destroy(statePath: String): Unit =

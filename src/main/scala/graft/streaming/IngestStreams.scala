@@ -38,10 +38,15 @@ import graft.{CkptScope, Dedup, Staging, Tables}
   *    excludes the batch's own ids ([[Dedup.indexWithoutIds]]), so a
   *    replay reads the same pre-batch index state even when the
   *    crashed attempt's append survived.
-  *  - Index appends are NOT rolled back on retry. For the LSH loops a
-  *    replayed append only duplicates signature rows, which is
-  *    semantically inert — collision EXISTENCE (dedup) and per-bucket
-  *    minima (edges) are set-level properties. For the ANN loop
+  *  - Index appends are NOT rolled back on retry. Every LSH loop
+  *    (dedup AND the stateful cluster/split loops) probes the index
+  *    through [[Dedup.indexWithoutIds]] so a replay reads exactly the
+  *    pre-batch index state. The exclusion is NOT optional for the
+  *    stateful loops: duplicate signature rows are inert for collision
+  *    EXISTENCE (dedup), but a replayed batch's own rows in the index
+  *    can win the cross-edge representative min(corpus_id) whenever
+  *    batch ids undercut corpus ids (modular-cut drives), silently
+  *    dropping the corpus-connecting edge (pinned). For the ANN loop
   *    (q372) duplicates are NOT inert for top-k serving, so serving
   *    collapses duplicate candidates (`dedupCandidates`) and the
   *    recluster compaction ([[graft.Similarity.ivfRecluster]])
@@ -220,7 +225,15 @@ object IngestStreams {
                    cut0: Long = 300, cut1: Long = 400,
                    killBetweenDays: Boolean = false): DataFrame = {
     val e = Tables.t(spark, dir, "embeddings")
-    val cents = graft.Similarity.kmeansCentroids(e, col("embedding"),
+    // the serving codebook trains on the DAY-0 slice only — the shape
+    // an actual deployment has available before the stream starts (a
+    // full-table codebook would time-travel: it would see day-1/day-2
+    // rows that have not arrived yet). The q372 oracle replays the
+    // same sliced training; drift of this frozen codebook as days
+    // accumulate is exactly what the recluster compaction (q367/q373)
+    // exists to heal
+    val cents = graft.Similarity.kmeansCentroids(
+      e.where(col("vec_id") < cut0), col("embedding"),
       col("vec_id"), c = 16, iters = 2)
     val idx = name + "_idx"
     Staging.stageBucketed(
@@ -309,9 +322,18 @@ object IngestStreams {
         try {
           val state = DurableState.load(ss, statePath)
           // edges materialize (checkpoint) inside ccIncremental BEFORE
-          // the append below, so they read the pre-batch index state
+          // the append below, so they read the pre-batch index state.
+          // The probe EXCLUDES the batch's own ids: a replay after a
+          // surviving append would otherwise see the batch's own
+          // signatures in the index, and the cross-edge representative
+          // min(corpus_id) could pick a batch doc over the corpus doc
+          // whenever batch ids undercut corpus ids (modular-cut
+          // drives), dropping the connecting edge — pinned in
+          // DurabilitySpec; a semantic no-op on first delivery
           val next = Dedup.ccIncremental(state,
-            Dedup.batchIngestEdges(batch, Staging.load(ss, idx),
+            Dedup.batchIngestEdges(batch,
+              Dedup.indexWithoutIds(Staging.load(ss, idx),
+                batch.select(col("doc_id").as("id"))),
               col("text"), col("doc_id"), scope = scope), scope = scope)
           // ALL batch signatures append (cluster maintenance keeps every
           // doc, unlike the dedup loop's survivors-only append)
@@ -492,9 +514,12 @@ object IngestStreams {
         try {
           val labels = patchLogLabels(ss, statePath)
           // patch + fresh labels checkpoint inside ccIncrementalPatch
-          // (via ccContract) BEFORE the append — pre-batch index state
+          // (via ccContract) BEFORE the append — pre-batch index state;
+          // self-exclusion for replay-after-append (see clusterLoop)
           val (patch, freshLab) = Dedup.ccIncrementalPatch(labels,
-            Dedup.batchIngestEdges(batch, Staging.load(ss, idx),
+            Dedup.batchIngestEdges(batch,
+              Dedup.indexWithoutIds(Staging.load(ss, idx),
+                batch.select(col("doc_id").as("id"))),
               col("text"), col("doc_id"), scope = scope), scope = scope)
           Staging.appendBucketed(
             Dedup.lshIndexFrame(batch, col("text"), col("doc_id")),
@@ -583,8 +608,11 @@ object IngestStreams {
       if (batchId > DurableState.committedBatch(statePath)) {
         val scope = CkptScope()
         try {
+          // self-exclusion for replay-after-append (see clusterLoop)
           val next = Dedup.splitStableAssign(
-            DurableState.load(ss, statePath), Staging.load(ss, idx),
+            DurableState.load(ss, statePath),
+            Dedup.indexWithoutIds(Staging.load(ss, idx),
+              batch.select(col("doc_id").as("id"))),
             batch, col("text"), col("doc_id"),
             c => graft.Sampling.splitAssign(c, fr, salt), scope = scope)
           Staging.appendBucketed(
@@ -671,8 +699,11 @@ object IngestStreams {
       if (batchId > DurableState.committedBatch(patchPath)) {
         val scope = CkptScope()
         try {
+          // self-exclusion for replay-after-append (see clusterLoop)
           val (patch, newRows) = Dedup.splitStableAssignPatch(
-            patchLogAssign(ss, statePath), Staging.load(ss, idx),
+            patchLogAssign(ss, statePath),
+            Dedup.indexWithoutIds(Staging.load(ss, idx),
+              batch.select(col("doc_id").as("id"))),
             batch, col("text"), col("doc_id"),
             c => graft.Sampling.splitAssign(c, fr, salt), scope = scope)
           Staging.appendBucketed(

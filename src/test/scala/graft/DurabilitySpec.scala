@@ -209,7 +209,9 @@ class DurabilitySpec extends SparkSpec {
     assert(resumed === uninterrupted)
     assert(uninterrupted.nonEmpty)
     // simulate the crashed replay: day-2's rows append a second time
-    val cents = Similarity.kmeansCentroids(eTbl, col("embedding"),
+    // (serving codebook = the day-0 slice the loop itself trains on)
+    val cents = Similarity.kmeansCentroids(
+      eTbl.where(col("vec_id") < 200), col("embedding"),
       col("vec_id"), c = 16, iters = 2)
     Staging.appendBucketed(
       Similarity.ivfIndexFrame(eTbl.where(col("vec_id") >= 350),
@@ -228,6 +230,41 @@ class DurabilitySpec extends SparkSpec {
     assert(serve(dedup = false) !== uninterrupted,
       "without the candidate collapse the duplicates must skew ranks — " +
         "otherwise this pin isn't exercising the hazard")
+  }
+
+  test("batchIngestEdges replay under MODULAR cuts (batch ids undercut " +
+      "corpus ids): after a surviving append, the raw index probe lets " +
+      "the batch's own rows win the cross-edge representative " +
+      "min(corpus_id) — self-exclusion restores the pre-batch edges") {
+    val docs = Tables.t(spark, sf, "documents")
+    // modular cuts: the batch's ids interleave BELOW most corpus ids,
+    // the IngestStreamProbe drive shape the threshold-cut queries mask
+    val corpus = docs.where(col("doc_id") % 10 < 8)
+    val batch = docs.where(col("doc_id") % 10 === 8)
+    Staging.stageBucketed(
+      Dedup.lshIndexFrame(corpus, col("text"), col("doc_id")),
+      "t_replay_mod_idx", "lsh_key", 4)
+    def edges(excludeSelf: Boolean): Seq[(Long, Long)] = {
+      val idx0 = Staging.load(spark, "t_replay_mod_idx")
+      val idx = if (excludeSelf)
+        Dedup.indexWithoutIds(idx0, batch.select(col("doc_id").as("id")))
+      else idx0
+      Dedup.batchIngestEdges(batch, idx, col("text"), col("doc_id"))
+        .collect().toSeq.map(r => (r.getLong(0), r.getLong(1))).sorted
+    }
+    val firstDelivery = edges(excludeSelf = true)
+    assert(firstDelivery === edges(excludeSelf = false),
+      "first delivery: the exclusion must be a semantic no-op")
+    // the crashed attempt's append reached the index; the batch replays
+    Staging.appendBucketed(
+      Dedup.lshIndexFrame(batch, col("text"), col("doc_id")),
+      "t_replay_mod_idx", "lsh_key", 4)
+    spark.catalog.refreshTable("t_replay_mod_idx")
+    assert(edges(excludeSelf = true) === firstDelivery,
+      "replay with self-exclusion must reproduce the pre-batch edges")
+    assert(edges(excludeSelf = false) !== firstDelivery,
+      "without exclusion the batch's own low ids must displace corpus " +
+        "representatives — otherwise this pin isn't exercising the hazard")
   }
 
   test("indexWithoutIds: a replayed batch whose index append survived " +
