@@ -3382,15 +3382,18 @@ object ExtQueries {
       val idx = s"graft_ivf_rc_$tag"
       val stale = Similarity.kmeansCentroids(e.where(col("vec_id") < 500),
         col("embedding"), col("vec_id"), c = 16, iters = 2)
-      Staging.stageBucketed(
+      // VStage logical table (r13): the compaction below swaps a new
+      // generation in atomically — a crash mid-recluster can no longer
+      // destroy the serving index (the r12 weak; drills in ScaleSpec)
+      VStage.init(
         Similarity.ivfIndexFrame(e.where(col("vec_id") < 500),
           col("embedding"), col("vec_id"), stale), idx, "cell", 8)
-      Staging.appendBucketed(
+      VStage.append(
         Similarity.ivfIndexFrame(e.where(col("vec_id") >= 500),
           col("embedding"), col("vec_id"), stale), idx, "cell", 8)
-      val cents = Similarity.ivfRecluster(s, idx, idx, c = 16, iters = 2,
+      val cents = Similarity.ivfRecluster(s, idx, c = 16, iters = 2,
         buckets = 8)
-      Similarity.ivfKnnJoinIndex(Staging.load(s, idx),
+      Similarity.ivfKnnJoinIndex(VStage.load(s, idx),
         e.filter(col("label") === 1), col("embedding"), col("vec_id"),
         k = 3, centroids = cents, nProbe = 4)
         .select(col("qid"), col("rank"), col("id"),

@@ -1,0 +1,172 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** CRASH-SAFE staged tables: [[Staging.stageBucketed]]'s serving-grade
+  * sibling (r12 judge directive 1). `stageBucketed` is fine for a
+  * build-from-scratch stage, but as a COMPACTION device it drops the
+  * live table and deletes its directory before rewriting — a driver
+  * crash mid-compaction destroys the only durable copy of a serving
+  * index. This object applies the [[graft.streaming.DurableState]]
+  * swap convention to catalog tables:
+  *
+  *  - the live content of logical table `base` is a GENERATION table
+  *    `base__gN` (an ordinary bucketed catalog table);
+  *  - the committed generation number lives in a pointer file
+  *    `<warehouse>/<base>._ptr`, written tmp-then-atomic-rename (the
+  *    single-file analog of DurableState's directory swap);
+  *  - [[compact]] rebuilds INTO generation N+1 while generation N
+  *    keeps serving, then swaps the pointer, then drops N — at every
+  *    instant the warehouse holds one complete committed generation.
+  *
+  * [[recover]] repairs any crash point from the pointer alone: a
+  * generation above the pointer is an incomplete build (drop), one
+  * below is a superseded copy whose cleanup didn't run (drop), a
+  * missing pointer means nothing committed (drop everything). Spark's
+  * in-memory catalog does not survive a driver restart — the pointer
+  * file and the generation directories are the durable truth, which is
+  * exactly why the pointer is a FILE and not a catalog property.
+  *
+  * Appends between compactions go to the live generation
+  * ([[Staging.appendBucketed]] semantics: new bucket files only), so
+  * the LSM trade is unchanged — this object only replaces the unsafe
+  * re-stage-over-the-live-table compaction leg. Kill-mid-compaction
+  * drills are pinned in the unit suite for both the LSH dedup index
+  * and the IVF recluster (q373 oracle-gates the recovery path).
+  */
+object VStage {
+  private def warehouse(spark: SparkSession): java.io.File =
+    new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath)
+
+  private def ptrFile(spark: SparkSession, base: String): java.io.File =
+    new java.io.File(warehouse(spark), base + "._ptr")
+
+  /** Generation-table name for `base` at generation `gen`. */
+  def genTable(base: String, gen: Long): String = s"${base}__g$gen"
+
+  /** The committed generation of `base`, or -1 when none committed.
+    * Reads the pointer file only — never the catalog (the catalog is
+    * not durable across driver restarts). */
+  def currentGen(spark: SparkSession, base: String): Long = {
+    val p = ptrFile(spark, base)
+    if (p.isFile) new String(Files.readAllBytes(p.toPath), "UTF-8").trim.toLong
+    else -1L
+  }
+
+  /** Atomically commit `gen` as the live generation (tmp + rename, the
+    * DurableState marker convention). */
+  private def commitPtr(spark: SparkSession, base: String, gen: Long): Unit = {
+    val p = ptrFile(spark, base)
+    p.getParentFile.mkdirs()
+    val tmp = new java.io.File(p.getPath + ".tmp")
+    Files.write(tmp.toPath, gen.toString.getBytes("UTF-8"))
+    Files.move(tmp.toPath, p.toPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** Drop a generation table: catalog entry AND directory (either may
+    * exist without the other after a crash). */
+  private def dropGen(spark: SparkSession, base: String, gen: Long): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `${genTable(base, gen)}`")
+    val d = new java.io.File(warehouse(spark), genTable(base, gen))
+    if (d.exists()) Staging.deleteRecursively(d)
+  }
+
+  /** Every generation number with a trace on disk or in the catalog. */
+  private def knownGens(spark: SparkSession, base: String): Seq[Long] = {
+    val re = (java.util.regex.Pattern.quote(base) + "__g(\\d+)").r
+    val dirs = Option(warehouse(spark).listFiles()).getOrElse(Array.empty)
+      .map(_.getName).toSeq
+    val cat = spark.catalog.listTables().collect().map(_.name).toSeq
+    (dirs ++ cat).flatMap {
+      case re(n) => Some(n.toLong)
+      case _ => None
+    }.distinct.sorted
+  }
+
+  /** Repair any crash point (idempotent; call before reads and at the
+    * top of every mutation): drop every generation other than the
+    * committed one — above the pointer is an incomplete build, below
+    * it a superseded copy — and clear a stale pointer-tmp. */
+  def recover(spark: SparkSession, base: String): Unit = {
+    val tmp = new java.io.File(ptrFile(spark, base).getPath + ".tmp")
+    if (tmp.exists()) { tmp.delete(); () }
+    val cur = currentGen(spark, base)
+    knownGens(spark, base).filter(_ != cur)
+      .foreach(g => dropGen(spark, base, g))
+  }
+
+  /** Whether a committed generation exists. */
+  def exists(spark: SparkSession, base: String): Boolean = {
+    recover(spark, base)
+    currentGen(spark, base) >= 0
+  }
+
+  /** Fresh start: drop every generation and the pointer, stage `df` as
+    * generation 0, commit the pointer. (Crash before the commit leaves
+    * no pointer → recover drops the partial g0 → `exists` is false —
+    * the caller's bootstrap re-runs, same as stageBucketed today.) */
+  def init(df: DataFrame, base: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    destroy(spark, base)
+    Staging.stageBucketed(df, genTable(base, 0), key, buckets)
+    commitPtr(spark, base, 0)
+  }
+
+  /** Append to the live generation ([[Staging.appendBucketed]] — new
+    * bucket files only, never a rewrite). */
+  def append(df: DataFrame, base: String, key: String, buckets: Int): Unit =
+    Staging.appendBucketed(df, genTable(base, currentGen(df.sparkSession, base)),
+      key, buckets)
+
+  /** Read the live generation. `refresh = true` drops the session's
+    * cached relation first — needed on the OUTER session after a
+    * cloned foreachBatch session appended (the q358/q372 lesson);
+    * within a session that did its own appends the cache is already
+    * invalidated. */
+  def load(spark: SparkSession, base: String,
+           refresh: Boolean = false): DataFrame = {
+    val t = genTable(base, currentGen(spark, base))
+    if (refresh) spark.catalog.refreshTable(t)
+    spark.table(t)
+  }
+
+  /** Crash-safe compaction: materialize `rebuild(live)` as generation
+    * N+1 (the live generation keeps serving — and keeps its durable
+    * files — throughout), atomically swap the pointer, drop N. No
+    * `localCheckpoint` read-before-replace is needed: the build reads
+    * generation N's directory while writing N+1's.
+    *
+    * `onStep` is the kill-drill hook (unit suite): it fires at
+    * `"staged"` (new generation fully written, pointer NOT yet moved —
+    * a crash here must leave the OLD generation serving) and at
+    * `"committed"` (pointer moved, old generation not yet dropped — a
+    * crash here must leave the NEW generation serving). */
+  def compact(spark: SparkSession, base: String, key: String, buckets: Int,
+              rebuild: DataFrame => DataFrame,
+              onStep: String => Unit = _ => ()): Unit = {
+    recover(spark, base)
+    val cur = currentGen(spark, base)
+    require(cur >= 0, s"no committed generation for '$base'")
+    val next = cur + 1
+    Staging.stageBucketed(rebuild(spark.table(genTable(base, cur))),
+      genTable(base, next), key, buckets)
+    onStep("staged")
+    commitPtr(spark, base, next)
+    onStep("committed")
+    dropGen(spark, base, cur)
+  }
+
+  /** Drop every generation and the pointer. */
+  def destroy(spark: SparkSession, base: String): Unit = {
+    knownGens(spark, base).foreach(g => dropGen(spark, base, g))
+    val p = ptrFile(spark, base)
+    if (p.exists()) { p.delete(); () }
+    val tmp = new java.io.File(p.getPath + ".tmp")
+    if (tmp.exists()) { tmp.delete(); () }
+  }
+}

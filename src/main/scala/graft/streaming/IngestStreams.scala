@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
-import graft.{CkptScope, Dedup, Staging, Tables}
+import graft.{CkptScope, Dedup, Staging, Tables, VStage}
 
 /** The ingestion trilogy (q353 staged index, q354 append loop, q355
   * incremental clusters) run as an actual STREAMING job — the shape a
@@ -136,7 +136,7 @@ object IngestStreams {
       prep: DataFrame => DataFrame): DataFrame = {
     val docs = Tables.t(spark, dir, "documents")
     val idx = name + "_idx"
-    Staging.stageBucketed(
+    VStage.init(
       Dedup.lshIndexFrame(prep(docs.where(col("doc_id") < cut0)),
         col("text"), col("doc_id")),
       idx, "lsh_key", 8)
@@ -154,14 +154,14 @@ object IngestStreams {
       val scope = CkptScope()
       try {
         val kept = prep(batch)
-        val idxSnap = Dedup.indexWithoutIds(Staging.load(ss, idx),
+        val idxSnap = Dedup.indexWithoutIds(VStage.load(ss, idx),
           batch.select(col("doc_id").as("id")))
         // survivors MUST materialize before the index append below —
         // the checkpoint is eager, so the anti-join reads the index
         // state as of this batch's start
         val surv = scope.ckpt(Dedup.minhashAgainstIndex(kept, idxSnap,
           col("text"), col("doc_id")))
-        Staging.appendBucketed(
+        VStage.append(
           Dedup.lshIndexFrame(surv, col("text"), col("doc_id")),
           idx, "lsh_key", 8)
         surv.select(col("doc_id"), col("source"))
@@ -236,13 +236,13 @@ object IngestStreams {
       e.where(col("vec_id") < cut0), col("embedding"),
       col("vec_id"), c = 16, iters = 2)
     val idx = name + "_idx"
-    Staging.stageBucketed(
+    VStage.init(
       graft.Similarity.ivfIndexFrame(e.where(col("vec_id") < cut0),
         col("embedding"), col("vec_id"), cents),
       idx, "cell", 8)
     val (spool, ckpt) = freshPaths(name)
     val body = (batch: DataFrame, _: Long) => {
-      Staging.appendBucketed(
+      VStage.append(
         graft.Similarity.ivfIndexFrame(batch, col("embedding"),
           col("vec_id"), cents),
         idx, "cell", 8)
@@ -251,10 +251,9 @@ object IngestStreams {
     driveDays(spark, e.schema, spool, ckpt,
       Seq(e.where(col("vec_id") >= cut0 && col("vec_id") < cut1),
         e.where(col("vec_id") >= cut1)), killBetweenDays, body)
-    // the appends ran through the CLONED batch sessions; drop the outer
-    // session's cached relation so the serve scan re-lists the table
-    spark.catalog.refreshTable(idx)
-    graft.Similarity.ivfKnnJoinIndex(Staging.load(spark, idx),
+    // the appends ran through the CLONED batch sessions; refresh = true
+    // drops the outer session's cached relation so the serve re-lists
+    graft.Similarity.ivfKnnJoinIndex(VStage.load(spark, idx, refresh = true),
       e.filter(col("label") === 1), col("embedding"), col("vec_id"),
       k = 3, centroids = cents, nProbe = 4, dedupCandidates = true)
       .select(col("qid"), col("rank"), col("id"),
@@ -292,7 +291,7 @@ object IngestStreams {
       : String = {
     val idx = name + "_idx"
     val statePath = s"target/ingest_state_$name"
-    Staging.stageBucketed(
+    VStage.init(
       Dedup.lshIndexFrame(corpus, col("text"), col("doc_id")),
       idx, "lsh_key", 8)
     val (spool, ckpt) = freshPaths(name)
@@ -305,7 +304,7 @@ object IngestStreams {
     // lesson; zero-Exchange on the bucketed layout)
     try DurableState.commit(
       Dedup.connectedComponents(
-        Dedup.starEdgesFromIndex(Staging.load(spark, idx)),
+        Dedup.starEdgesFromIndex(VStage.load(spark, idx)),
         scope = scope0),
       statePath, -1L)
     finally scope0.freeAll()
@@ -332,12 +331,12 @@ object IngestStreams {
           // DurabilitySpec; a semantic no-op on first delivery
           val next = Dedup.ccIncremental(state,
             Dedup.batchIngestEdges(batch,
-              Dedup.indexWithoutIds(Staging.load(ss, idx),
+              Dedup.indexWithoutIds(VStage.load(ss, idx),
                 batch.select(col("doc_id").as("id"))),
               col("text"), col("doc_id"), scope = scope), scope = scope)
           // ALL batch signatures append (cluster maintenance keeps every
           // doc, unlike the dedup loop's survivors-only append)
-          Staging.appendBucketed(
+          VStage.append(
             Dedup.lshIndexFrame(batch, col("text"), col("doc_id")),
             idx, "lsh_key", 8)
           DurableState.commit(next, statePath, batchId)
@@ -489,7 +488,7 @@ object IngestStreams {
       : String = {
     val idx = name + "_idx"
     val statePath = s"target/ingest_state_$name"
-    Staging.stageBucketed(
+    VStage.init(
       Dedup.lshIndexFrame(corpus, col("text"), col("doc_id")),
       idx, "lsh_key", 8)
     val (spool, ckpt) = freshPaths(name)
@@ -499,7 +498,7 @@ object IngestStreams {
     try {
       DurableState.commit(
         Dedup.connectedComponents(
-          Dedup.starEdgesFromIndex(Staging.load(spark, idx)),
+          Dedup.starEdgesFromIndex(VStage.load(spark, idx)),
           scope = scope0),
         statePath + "_base", -1L)
       DurableState.commit(emptyPatch(spark), statePath + "_patch", -1L)
@@ -518,10 +517,10 @@ object IngestStreams {
           // self-exclusion for replay-after-append (see clusterLoop)
           val (patch, freshLab) = Dedup.ccIncrementalPatch(labels,
             Dedup.batchIngestEdges(batch,
-              Dedup.indexWithoutIds(Staging.load(ss, idx),
+              Dedup.indexWithoutIds(VStage.load(ss, idx),
                 batch.select(col("doc_id").as("id"))),
               col("text"), col("doc_id"), scope = scope), scope = scope)
-          Staging.appendBucketed(
+          VStage.append(
             Dedup.lshIndexFrame(batch, col("text"), col("doc_id")),
             idx, "lsh_key", 8)
           // idempotent per-batch label append, then the marker-carrying
@@ -582,7 +581,7 @@ object IngestStreams {
     val statePath = s"target/ingest_state_$name"
     val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
     val corpus = docs.where(col("doc_id") < cut0)
-    Staging.stageBucketed(
+    VStage.init(
       Dedup.lshIndexFrame(corpus, col("text"), col("doc_id")),
       idx, "lsh_key", 8)
     val (spool, ckpt) = freshPaths(name)
@@ -590,7 +589,7 @@ object IngestStreams {
     val scope0 = CkptScope()
     try {
       val labels0 = Dedup.connectedComponents(
-        Dedup.starEdgesFromIndex(Staging.load(spark, idx)),
+        Dedup.starEdgesFromIndex(VStage.load(spark, idx)),
         scope = scope0)
       DurableState.commit(
         corpus.select(col("doc_id").cast("long").as("id"))
@@ -611,11 +610,11 @@ object IngestStreams {
           // self-exclusion for replay-after-append (see clusterLoop)
           val next = Dedup.splitStableAssign(
             DurableState.load(ss, statePath),
-            Dedup.indexWithoutIds(Staging.load(ss, idx),
+            Dedup.indexWithoutIds(VStage.load(ss, idx),
               batch.select(col("doc_id").as("id"))),
             batch, col("text"), col("doc_id"),
             c => graft.Sampling.splitAssign(c, fr, salt), scope = scope)
-          Staging.appendBucketed(
+          VStage.append(
             Dedup.lshIndexFrame(batch, col("text"), col("doc_id")),
             idx, "lsh_key", 8)
           DurableState.commit(next, statePath, batchId)
@@ -670,7 +669,7 @@ object IngestStreams {
     val statePath = s"target/ingest_state_$name"
     val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
     val corpus = docs.where(col("doc_id") < cut0)
-    Staging.stageBucketed(
+    VStage.init(
       Dedup.lshIndexFrame(corpus, col("text"), col("doc_id")),
       idx, "lsh_key", 8)
     val (spool, ckpt) = freshPaths(name)
@@ -679,7 +678,7 @@ object IngestStreams {
     val scope0 = CkptScope()
     try {
       val labels0 = Dedup.connectedComponents(
-        Dedup.starEdgesFromIndex(Staging.load(spark, idx)),
+        Dedup.starEdgesFromIndex(VStage.load(spark, idx)),
         scope = scope0)
       DurableState.commit(
         corpus.select(col("doc_id").cast("long").as("id"))
@@ -702,11 +701,11 @@ object IngestStreams {
           // self-exclusion for replay-after-append (see clusterLoop)
           val (patch, newRows) = Dedup.splitStableAssignPatch(
             patchLogAssign(ss, statePath),
-            Dedup.indexWithoutIds(Staging.load(ss, idx),
+            Dedup.indexWithoutIds(VStage.load(ss, idx),
               batch.select(col("doc_id").as("id"))),
             batch, col("text"), col("doc_id"),
             c => graft.Sampling.splitAssign(c, fr, salt), scope = scope)
-          Staging.appendBucketed(
+          VStage.append(
             Dedup.lshIndexFrame(batch, col("text"), col("doc_id")),
             idx, "lsh_key", 8)
           newRows.write.mode("overwrite").parquet(

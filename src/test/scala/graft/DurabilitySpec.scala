@@ -213,13 +213,12 @@ class DurabilitySpec extends SparkSpec {
     val cents = Similarity.kmeansCentroids(
       eTbl.where(col("vec_id") < 200), col("embedding"),
       col("vec_id"), c = 16, iters = 2)
-    Staging.appendBucketed(
+    VStage.append(
       Similarity.ivfIndexFrame(eTbl.where(col("vec_id") >= 350),
         col("embedding"), col("vec_id"), cents),
       "t_ann_u_idx", "cell", 8)
-    spark.catalog.refreshTable("t_ann_u_idx")
     def serve(dedup: Boolean) = Similarity.ivfKnnJoinIndex(
-        Staging.load(spark, "t_ann_u_idx"),
+        VStage.load(spark, "t_ann_u_idx", refresh = true),
         eTbl.filter(col("label") === 1), col("embedding"), col("vec_id"),
         k = 3, centroids = cents, nProbe = 4, dedupCandidates = dedup)
       .select(col("qid"), col("rank"), col("id"),

@@ -259,20 +259,19 @@ class ScaleSpec extends SparkSpec {
     // appends under it (the q361 ingest loop)
     val stale = Similarity.kmeansCentroids(e.where(col("vec_id") < 500),
       col("embedding"), col("vec_id"), c = 16, iters = 2)
-    Staging.stageBucketed(
+    VStage.init(
       Similarity.ivfIndexFrame(e.where(col("vec_id") < 500),
-        col("embedding"), col("vec_id"), stale), "t_ivf_rc", "cell", 4)
-    Staging.appendBucketed(
-      Similarity.ivfIndexFrame(e.where(col("vec_id") >= 500),
         col("embedding"), col("vec_id"), stale), "t_ivf_rc", "cell", 4)
     // a crashed-and-replayed streaming append (q372) leaves exact
     // duplicates — compaction must drop them or the retrain ≡
     // from-scratch equivalence below breaks (duplicate low ids skew
     // the kmeans init; duplicate rows take two top-k ranks)
-    Staging.appendBucketed(
-      Similarity.ivfIndexFrame(e.where(col("vec_id") >= 500),
-        col("embedding"), col("vec_id"), stale), "t_ivf_rc", "cell", 4)
-    val cents = Similarity.ivfRecluster(spark, "t_ivf_rc", "t_ivf_rc",
+    Seq(1, 2).foreach { _ =>
+      VStage.append(
+        Similarity.ivfIndexFrame(e.where(col("vec_id") >= 500),
+          col("embedding"), col("vec_id"), stale), "t_ivf_rc", "cell", 4)
+    }
+    val cents = Similarity.ivfRecluster(spark, "t_ivf_rc",
       c = 16, iters = 2, buckets = 4)
     // from-scratch twin: train on the full table, stage fresh
     val fresh = Similarity.kmeansCentroids(e, col("embedding"),
@@ -284,16 +283,159 @@ class ScaleSpec extends SparkSpec {
     Staging.stageBucketed(
       Similarity.ivfIndexFrame(e, col("embedding"), col("vec_id"), fresh),
       "t_ivf_fs", "cell", 4)
-    def serve(table: String, cs: Seq[(Long, Array[Double])]) =
-      Similarity.ivfKnnJoinIndex(Staging.load(spark, table),
+    def serve(idx: org.apache.spark.sql.DataFrame,
+              cs: Seq[(Long, Array[Double])]) =
+      Similarity.ivfKnnJoinIndex(idx,
         e.filter(col("label") === 1), col("embedding"), col("vec_id"),
         k = 3, centroids = cs, nProbe = 2)
         .orderBy("qid", "rank").collect().toSeq
-    assert(serve("t_ivf_rc", cents) === serve("t_ivf_fs", fresh))
+    assert(serve(VStage.load(spark, "t_ivf_rc"), cents) ===
+      serve(Staging.load(spark, "t_ivf_fs"), fresh))
     // don't assert on the pre-compaction file count (task-count
     // dependent — the advisor's r11 brittleness note): the durable
     // invariant is the compacted layout, exactly one file per bucket
-    assert(files("t_ivf_rc") === 4, "compacted = 1 file/bucket")
+    assert(files(VStage.genTable("t_ivf_rc",
+      VStage.currentGen(spark, "t_ivf_rc"))) === 4,
+      "compacted = 1 file/bucket")
+  }
+
+  test("VStage: init/append/load round-trips, and recover repairs every " +
+      "crash point of the generation swap (orphan build, stale old " +
+      "generation, pointer tmp)") {
+    import spark.implicits._
+    val b = "t_vstage"
+    VStage.destroy(spark, b)
+    assert(!VStage.exists(spark, b))
+    VStage.init(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), b, "k", 2)
+    assert(VStage.currentGen(spark, b) === 0L)
+    VStage.append(Seq((3L, "c")).toDF("k", "v"), b, "k", 2)
+    def content(): Seq[(Long, String)] = VStage.load(spark, b)
+      .collect().toSeq.map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(content() === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // crash point A: orphan NEXT generation (build finished or partial,
+    // pointer not moved) — dropped, old generation keeps serving
+    Staging.stageBucketed(Seq((9L, "x")).toDF("k", "v"),
+      VStage.genTable(b, 1), "k", 2)
+    VStage.recover(spark, b)
+    assert(VStage.currentGen(spark, b) === 0L)
+    assert(content() === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(!spark.catalog.tableExists(VStage.genTable(b, 1)))
+    // crash point B: pointer moved, superseded generation not dropped —
+    // recover drops it, the new generation serves
+    intercept[RuntimeException] {
+      VStage.compact(spark, b, "k", 2,
+        df => df.repartition(2, col("k")),
+        onStep = s => if (s == "committed") throw new RuntimeException("kill"))
+    }
+    // the injected kill left gen 0 behind
+    assert(new java.io.File(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath,
+      VStage.genTable(b, 0)).exists())
+    VStage.recover(spark, b)
+    assert(VStage.currentGen(spark, b) === 1L)
+    assert(content() === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(!spark.catalog.tableExists(VStage.genTable(b, 0)))
+    // crash point C: stale pointer tmp — cleared, pointer intact
+    val whp = new java.io.File(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath, b + "._ptr.tmp")
+    java.nio.file.Files.writeString(whp.toPath, "junk")
+    VStage.recover(spark, b)
+    assert(!whp.exists() && VStage.currentGen(spark, b) === 1L)
+  }
+
+  test("kill-mid-compaction drill (IVF recluster, the r12 weak): a crash " +
+      "BEFORE the pointer swap leaves the pre-compaction index serving " +
+      "the pre-compaction answer; a crash AFTER it serves the compacted " +
+      "one — no crash point loses the serving index") {
+    val e = Tables.t(spark, sf, "embeddings")
+    val b = "t_ivf_kill"
+    val stale = Similarity.kmeansCentroids(e.where(col("vec_id") < 500),
+      col("embedding"), col("vec_id"), c = 16, iters = 2)
+    VStage.init(
+      Similarity.ivfIndexFrame(e.where(col("vec_id") < 500),
+        col("embedding"), col("vec_id"), stale), b, "cell", 4)
+    VStage.append(
+      Similarity.ivfIndexFrame(e.where(col("vec_id") >= 500),
+        col("embedding"), col("vec_id"), stale), b, "cell", 4)
+    def serve(cs: Seq[(Long, Array[Double])]) =
+      Similarity.ivfKnnJoinIndex(VStage.load(spark, b),
+        e.filter(col("label") === 1), col("embedding"), col("vec_id"),
+        k = 3, centroids = cs, nProbe = 2)
+        .orderBy("qid", "rank").collect().toSeq
+    val preCompaction = serve(stale)
+    // kill 1: crash with the new generation fully staged but the
+    // pointer NOT moved — recovery must serve the PRE-compaction answer
+    intercept[RuntimeException] {
+      Similarity.ivfRecluster(spark, b, c = 16, iters = 2, buckets = 4,
+        onStep = s => if (s == "staged") throw new RuntimeException("kill"))
+    }
+    VStage.recover(spark, b)
+    assert(VStage.currentGen(spark, b) === 0L)
+    assert(serve(stale) === preCompaction,
+      "crash before the pointer swap must leave the old index serving")
+    // kill 2: crash after the pointer swap but before the old drop —
+    // recovery must serve the COMPACTED index under the retrained
+    // codebook, ≡ the from-scratch build
+    intercept[RuntimeException] {
+      Similarity.ivfRecluster(spark, b, c = 16, iters = 2, buckets = 4,
+        onStep = s => if (s == "committed") throw new RuntimeException("kill"))
+    }
+    VStage.recover(spark, b)
+    assert(VStage.currentGen(spark, b) === 1L)
+    val retrained = Similarity.kmeansCentroids(e, col("embedding"),
+      col("vec_id"), c = 16, iters = 2)
+    Staging.stageBucketed(
+      Similarity.ivfIndexFrame(e, col("embedding"), col("vec_id"),
+        retrained), "t_ivf_kill_fs", "cell", 4)
+    val fromScratch = Similarity.ivfKnnJoinIndex(
+        Staging.load(spark, "t_ivf_kill_fs"),
+        e.filter(col("label") === 1), col("embedding"), col("vec_id"),
+        k = 3, centroids = retrained, nProbe = 2)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(serve(retrained) === fromScratch,
+      "crash after the pointer swap must leave the compacted index " +
+        "serving, identical to a from-scratch build")
+  }
+
+  test("kill-mid-compaction drill (LSH dedup index): the re-stage " +
+      "compaction is content-preserving, so EVERY crash point must " +
+      "leave the index serving the same survivor set, and the completed " +
+      "compaction lands at one file per bucket") {
+    val docs = Tables.t(spark, sf, "documents")
+    val b = "t_lsh_kill"
+    VStage.init(
+      Dedup.lshIndexFrame(docs.where(col("doc_id") < 150),
+        col("text"), col("doc_id")), b, "lsh_key", 4)
+    Seq((150L, 250L), (250L, 350L)).foreach { case (lo, hi) =>
+      VStage.append(
+        Dedup.lshIndexFrame(
+          docs.where(col("doc_id") >= lo && col("doc_id") < hi),
+          col("text"), col("doc_id")), b, "lsh_key", 4)
+    }
+    val batch = docs.where(col("doc_id") >= 350)
+    def survivors() = Dedup.minhashAgainstIndex(batch,
+        VStage.load(spark, b), col("text"), col("doc_id"))
+      .select("doc_id").orderBy("doc_id").collect().toSeq
+    val before = survivors()
+    assert(before.nonEmpty)
+    val rebuild: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => df.dropDuplicates("lsh_key", "corpus_id")
+        .repartition(4, col("lsh_key"))
+    // crash before the pointer swap → old generation serves, unchanged
+    intercept[RuntimeException] {
+      VStage.compact(spark, b, "lsh_key", 4, rebuild,
+        onStep = s => if (s == "staged") throw new RuntimeException("kill"))
+    }
+    VStage.recover(spark, b)
+    assert(VStage.currentGen(spark, b) === 0L && survivors() === before)
+    // completed compaction → same survivors, one file per bucket
+    VStage.compact(spark, b, "lsh_key", 4, rebuild)
+    assert(VStage.currentGen(spark, b) === 1L && survivors() === before)
+    val wh = new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath
+    assert(new java.io.File(wh, VStage.genTable(b, 1)).listFiles()
+      .count(_.getName.endsWith(".parquet")) === 4,
+      "compacted = 1 file/bucket")
   }
 
   test("graph vertex broadcasts: hinted at fixture scale, and the " +
