@@ -170,6 +170,75 @@ class DurabilitySpec extends SparkSpec {
       "uncommitted appends must be marker-filtered out of resolved reads")
   }
 
+  test("q374 auto-fold: the size-triggered fold FIRES mid-stream on a " +
+      "4-day chain (base marker advances past the bootstrap) and the " +
+      "census equals the never-folding run — fold → merge → fold " +
+      "composes to the same resolved state") {
+    val cuts = Seq(150L, 250L, 350L, 450L)
+    val folded = got(IngestStreams.runClusterPatchLogMulti(
+      spark, sf, "t_af_on", cuts, foldFactor = 0.05))
+    val unfolded = got(IngestStreams.runClusterPatchLogMulti(
+      spark, sf, "t_af_off", cuts, foldFactor = Double.PositiveInfinity))
+    assert(folded === unfolded)
+    assert(folded.nonEmpty)
+    // the fold must actually have run mid-stream: a fold re-commits the
+    // base with the patch's then-committed batch id as its marker
+    assert(DurableState.committedBatch(
+      "target/ingest_state_t_af_on_base") > -1L,
+      "size trigger never fired — the auto-fold pin is vacuous")
+    assert(DurableState.committedBatch(
+      "target/ingest_state_t_af_off_base") === -1L,
+      "the ∞-factor baseline must never fold")
+    // and the fold is a real compaction: the on-run's patch is smaller
+    // than the off-run's accumulated one at end of stream
+    val pOn = DurableState.load(spark,
+      "target/ingest_state_t_af_on_patch").count()
+    val pOff = DurableState.load(spark,
+      "target/ingest_state_t_af_off_patch").count()
+    assert(pOn < pOff,
+      "folding must leave a smaller live patch than never folding")
+  }
+
+  test("multi-day micro-batch (order-INDEPENDENT loop): with " +
+      "maxFilesPerTrigger unset, both spooled days arrive in ONE " +
+      "micro-batch — the cluster census must equal the per-day run " +
+      "(CC over the union of discovered edges is batching-insensitive)") {
+    val docs = Tables.t(spark, sf, "documents")
+    val corpus = docs.where(col("doc_id") < 200)
+    val days = Seq(
+      docs.where(col("doc_id") >= 200 && col("doc_id") < 350),
+      docs.where(col("doc_id") >= 350))
+    def census(statePath: String) = DurableState.load(spark, statePath)
+      .groupBy("comp").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .orderBy("comp").collect().toSeq.map(_.toSeq)
+    val perDay = census(IngestStreams.clusterLoop(spark, corpus, days,
+      "t_mfb_perday", killBetweenDays = false))
+    val oneBatch = census(IngestStreams.clusterLoop(spark, corpus, days,
+      "t_mfb_onebatch", killBetweenDays = false,
+      maxFilesPerTrigger = None))
+    assert(oneBatch === perDay)
+    assert(perDay.nonEmpty)
+  }
+
+  test("one-day-per-trigger contract (order-DEPENDENT loop): a " +
+      "micro-batch carrying two spooled days must be REFUSED — the " +
+      "sequential inheritance semantics would be coarsened silently") {
+    val docs = Tables.t(spark, sf, "documents")
+    val ex = intercept[Exception] {
+      IngestStreams.splitLoop(spark, docs.where(col("doc_id") < 200),
+        Seq(docs.where(col("doc_id") >= 200 && col("doc_id") < 350),
+          docs.where(col("doc_id") >= 350)),
+        "t_odc", salt = "odc", killBetweenDays = false,
+        maxFilesPerTrigger = None)
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: chain(e.getCause))
+    assert(chain(ex).exists(m =>
+      m != null && m.contains("one spooled day per micro-batch")),
+      s"expected the contract assertion, got: ${chain(ex).mkString(" | ")}")
+  }
+
   test("CDC resume: the commit marker must NOT gate this temp-checkpoint " +
       "query — batch ids restart at 0 per invocation, so a stale high " +
       "marker would silently skip every batch of a resumed run") {
