@@ -153,6 +153,13 @@ object VStage {
     val cur = currentGen(spark, base)
     require(cur >= 0, s"no committed generation for '$base'")
     val next = cur + 1
+    // ALWAYS re-list the live generation's files before rebuilding:
+    // streaming appends run on CLONED foreachBatch sessions, so this
+    // (outer) session's relation cache can be stale (the q358 lesson)
+    // — without the refresh a mid-stream compaction silently rebuilds
+    // from the day-0 file listing and DROPS every appended signature
+    // (caught by the 10-day soak drill)
+    spark.catalog.refreshTable(genTable(base, cur))
     Staging.stageBucketed(rebuild(spark.table(genTable(base, cur))),
       genTable(base, next), key, buckets)
     onStep("staged")

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{DurableState, IngestStreams}
+
+/** The 10-DAY SOAK (r12 judge directive 2): every durable streaming
+  * loop driven over ten spooled arrival days with kills at three
+  * distinct points, at least one size-triggered FOLD and one index
+  * COMPACTION mid-run — the long-horizon composition the two-day
+  * durability pins cannot exercise (fold → merge → compact → kill →
+  * merge → fold …). End state must equal the uninterrupted run, and
+  * for the order-independent loops the from-scratch full recompute. */
+class SoakSpec extends SparkSpec {
+
+  private val docs = Tables.t(spark, sf, "documents")
+  // MODULAR cuts (the IngestStreamProbe drive shape): arriving ids
+  // interleave BELOW corpus ids, so merges move component minima —
+  // without that, threshold cuts never produce a patch row (new ids
+  // are always above the old minimum) and the fold pins would be
+  // vacuous. This is also exactly the regime the r13 replay fix
+  // (index self-exclusion) exists for.
+  private val corpus =
+    docs.where(col("doc_id") % 12 === 0 || col("doc_id") % 12 === 11)
+  private val days = (1 to 10).map(i =>
+    docs.where(col("doc_id") % 12 === i))
+
+  private val kills = Set(2, 5, 8)
+
+  /** Mid-run LSH index compaction (after day 5's segment): the VStage
+    * generation swap, content-preserving for an LSH index. */
+  private def compactAt(name: String)(day: Int): Unit =
+    if (day == 5)
+      VStage.compact(spark, name + "_idx", "lsh_key", 8,
+        df => df.dropDuplicates("lsh_key", "corpus_id")
+          .repartition(8, col("lsh_key")))
+
+  private def labelRows(df: org.apache.spark.sql.DataFrame) =
+    df.select("id", "comp").collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+
+  test("cluster soak: 10 days, kills after days 2/5/8, index compaction " +
+      "after day 5, auto-folds firing — eager-killed AND patch-log runs " +
+      "equal the uninterrupted run AND the from-scratch full recompute") {
+    val base = labelRows(DurableState.load(spark,
+      IngestStreams.clusterLoop(spark, corpus, days, "t_soak_c_u",
+        killBetweenDays = false)))
+    val eagerKilled = labelRows(DurableState.load(spark,
+      IngestStreams.clusterLoop(spark, corpus, days, "t_soak_c_k",
+        killBetweenDays = false, killAfterDays = kills,
+        afterSegment = compactAt("t_soak_c_k"))))
+    assert(eagerKilled === base)
+    val patchPath = IngestStreams.clusterLoopDeferred(spark, corpus, days,
+      "t_soak_c_p", killBetweenDays = false, foldFactor = 0.05,
+      killAfterDays = kills, afterSegment = compactAt("t_soak_c_p"))
+    assert(labelRows(IngestStreams.patchLogLabels(spark, patchPath))
+      === base)
+    // the soak must actually have folded and compacted mid-run
+    assert(DurableState.committedBatch(patchPath + "_base") > -1L,
+      "no fold fired — soak is vacuous on the fold axis")
+    assert(VStage.currentGen(spark, "t_soak_c_p_idx") > 0L,
+      "no index compaction ran — soak is vacuous on the compaction axis")
+    // order-independent ⇒ ≡ from-scratch full recompute over ALL docs
+    val full = labelRows(Dedup.connectedComponents(
+      Dedup.starEdgesFromIndex(
+        Dedup.lshIndexFrame(docs, col("text"), col("doc_id")))))
+    assert(base === full,
+      "10-day incremental composition must equal the full recompute")
+    assert(base.nonEmpty)
+  }
+
+  test("split soak: 10 days, kills after days 2/5/8, index compaction " +
+      "after day 5, auto-folds firing — the ORDER-DEPENDENT assignment " +
+      "state (eager-killed and patch-log) equals the uninterrupted run " +
+      "row for row") {
+    def assignRows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("split"),
+          coalesce(col("comp"), col("id")).as("comp"))
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    val base = assignRows(DurableState.load(spark,
+      IngestStreams.splitLoop(spark, corpus, days, "t_soak_s_u",
+        salt = "soak", killBetweenDays = false)))
+    val eagerKilled = assignRows(DurableState.load(spark,
+      IngestStreams.splitLoop(spark, corpus, days, "t_soak_s_k",
+        salt = "soak", killBetweenDays = false, killAfterDays = kills,
+        afterSegment = compactAt("t_soak_s_k"))))
+    assert(eagerKilled === base)
+    val patchPath = IngestStreams.splitLoopDeferred(spark, corpus, days,
+      "t_soak_s_p", salt = "soak", killBetweenDays = false,
+      foldFactor = 0.05, killAfterDays = kills,
+      afterSegment = compactAt("t_soak_s_p"))
+    assert(assignRows(IngestStreams.patchLogAssign(spark, patchPath))
+      === base)
+    assert(DurableState.committedBatch(patchPath + "_base") > -1L,
+      "no fold fired — soak is vacuous on the fold axis")
+    assert(VStage.currentGen(spark, "t_soak_s_p_idx") > 0L,
+      "no index compaction ran — soak is vacuous on the compaction axis")
+    // day-10 docs must be present in the final assignment (the long
+    // chain reached its last day)
+    assert(base.count(_._1 % 12 == 10) > 0)
+    assert(base.nonEmpty)
+  }
+}
