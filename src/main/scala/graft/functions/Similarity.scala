@@ -483,6 +483,79 @@ object Similarity {
       .orderBy(desc("cos_sim"), col("id")).limit(k)
   }
 
+  /** [[pqTopK]] for a query PANEL (the q362-style calibration shape,
+    * r12 directive 5): one corpus encode pass serves EVERY panel query.
+    *
+    *  - the corpus encodes once per config — m narrow nearestCells
+    *    expressions over inlined codebook literals, no shuffle — and
+    *    explodes to (id, subspace, code): m small rows per vector, the
+    *    PQ probe-table layout (m·log₂(codes) bits/vector at rest);
+    *  - the panel's ADC lookup tables land in ONE broadcast frame
+    *    (qid, subspace, code, v) — panel × m × codes rows, driver-built
+    *    from the same exact-integer rule as [[pqTopK]] (panel size is
+    *    calibration-bounded by contract, the q335 truth-side device);
+    *  - coarse score = one broadcast equi-join on (subspace, code) +
+    *    a map-side-combinable SUM per (qid, id) — m lookups per
+    *    (vector, query), the PQ serving promise, never a dim-wide dot;
+    *  - per-qid shortlist (window over the candidate set, qid-keyed),
+    *    then exact cosine re-rank of shortlist×1 rows to the final k.
+    *
+    * Per-query results ≡ [[pqTopK]] (pinned in the unit suite) — the
+    * probe's sweep numbers are the serving path's numbers. Output:
+    * (qid, rank, id, cos_sim). */
+  def pqTopKBatch(df: DataFrame, emb: Column, id: Column,
+                  queries: DataFrame, qEmb: Column, qId: Column, dim: Int,
+                  k: Int = 10, shortlist: Int = 50, m: Int = 4,
+                  codes: Int = 8,
+                  books: Seq[Seq[(Long, Array[Double])]] = null): DataFrame = {
+    require(m >= 1 && dim % m == 0, "m must divide dim")
+    val sub = dim / m
+    val cb = Option(books).getOrElse(pqCodebooks(df, emb, id, dim, m, codes))
+    require(cb.length == m && cb.forall(_.nonEmpty), "bad codebooks")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // panel + exact-integer luts on the driver (panel-bounded)
+    val panel = queries
+      .select(qId.cast("long").as("qid"), qEmb.cast("array<double>").as("q"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val lutRows = panel.toSeq.flatMap { case (qid, q) =>
+      require(q.length == dim, s"query dim ${q.length} != $dim")
+      cb.zipWithIndex.flatMap { case (cents, s) =>
+        cents.map { case (cid, ce) =>
+          (qid, s, cid, (0 until sub).map { i =>
+            math.round(q(s * sub + i) * 10000).toDouble * ce(i)
+          }.sum.toLong)
+        }
+      }
+    }
+    val lut = lutRows.toDF("qid", "__s", "__code", "__v")
+    val corpus = df.select(id.as("id"), emb.cast("array<double>").as("__vec"))
+    val codesDf = corpus.select(col("id"),
+        posexplode(array((0 until m).map { s =>
+          element_at(nearestCells(
+            slice(col("__vec"), s * sub + 1, sub), cb(s), 1), 1)
+        }: _*)))
+      .select(col("id"), col("pos").as("__s"), col("col").as("__code"))
+    val adc = codesDf.join(broadcast(lut), Seq("__s", "__code"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("__v")).as("__adc"))
+    import org.apache.spark.sql.expressions.Window
+    val wS = Window.partitionBy("qid").orderBy(desc("__adc"), col("id"))
+    val sl = adc.withColumn("__r", row_number().over(wS))
+      .where(col("__r") <= shortlist)
+      .select("qid", "id")
+    val qv = queries.select(qId.cast("long").as("qid"),
+      qEmb.cast("array<double>").as("__q"))
+    val wK = Window.partitionBy("qid").orderBy(desc("__cos"), col("id"))
+    sl.join(corpus, Seq("id"))
+      .join(broadcast(qv), Seq("qid"))
+      .select(col("qid"), col("id"),
+        cosine(col("__vec"), col("__q")).as("__cos"))
+      .withColumn("rank", row_number().over(wK))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("__cos").as("cos_sim"))
+  }
+
   /** Symmetric per-vector int8 quantization: q_i = round(x_i / scale · 127)
     * with scale = max|x_i| — the standard 4× memory/bandwidth compression
     * for embedding storage and ANN probe tables (dequantize ≈ q/127·scale,

@@ -171,14 +171,15 @@ object IngestStreams {
     * probe excludes the batch's own ids ([[Dedup.indexWithoutIds]]),
     * so a replay after a surviving append still reads the pre-batch
     * index state. */
-  private def ingestDedupLoop(spark: SparkSession, dir: String,
-      name: String, cut0: Long, cut1: Long, killBetweenDays: Boolean,
-      prep: DataFrame => DataFrame): DataFrame = {
-    val docs = Tables.t(spark, dir, "documents")
+  private[graft] def dedupLoop(spark: SparkSession, corpus: DataFrame,
+      days: Seq[DataFrame], name: String, killBetweenDays: Boolean,
+      prep: DataFrame => DataFrame,
+      batchSeconds: Option[scala.collection.mutable.Buffer[Double]] = None,
+      survRows: Option[scala.collection.mutable.Buffer[Long]] = None)
+      : DataFrame = {
     val idx = name + "_idx"
     VStage.init(
-      Dedup.lshIndexFrame(prep(docs.where(col("doc_id") < cut0)),
-        col("text"), col("doc_id")),
+      Dedup.lshIndexFrame(prep(corpus), col("text"), col("doc_id")),
       idx, "lsh_key", 8)
     val (spool, ckpt) = freshPaths(name)
     val outDir = new java.io.File(s"target/ingest_out_$name")
@@ -191,6 +192,7 @@ object IngestStreams {
       // outer session would read a stale file index and silently skip
       // prior survivors
       val ss = batch.sparkSession
+      val t0 = System.nanoTime()
       val scope = CkptScope()
       try {
         val kept = prep(batch)
@@ -205,20 +207,32 @@ object IngestStreams {
           Dedup.lshIndexFrame(surv, col("text"), col("doc_id")),
           idx, "lsh_key", 8)
         surv.select(col("doc_id"), col("source"))
-          .withColumn("ingest_day",
-            when(col("doc_id") < cut1, 1).otherwise(2))
+          // the arrival-day tag IS the micro-batch ordinal (one spooled
+          // day per trigger; ids continue across restarts via the
+          // checkpoint, so kill-and-resume tags identically)
+          .withColumn("ingest_day", lit((batchId + 1).toInt))
           .write.mode("overwrite")
           .parquet(new java.io.File(outDir, s"ingest_batch=$batchId").getPath)
+        survRows.foreach(_ += surv.count())
       } finally scope.freeAll()
+      batchSeconds.foreach(_ += (System.nanoTime() - t0) / 1e9)
       ()
     }
-    driveDays(spark, docs.schema, spool, ckpt,
-      Seq(docs.where(col("doc_id") >= cut0 && col("doc_id") < cut1),
-        docs.where(col("doc_id") >= cut1)), killBetweenDays, body)
+    driveDays(spark, days.head.schema, spool, ckpt, days,
+      killBetweenDays, body)
     // partition discovery re-adds ingest_batch; the select drops it
     spark.read.parquet(outDir.getPath)
       .select("ingest_day", "doc_id", "source")
       .orderBy("ingest_day", "doc_id")
+  }
+
+  private def ingestDedupLoop(spark: SparkSession, dir: String,
+      name: String, cut0: Long, cut1: Long, killBetweenDays: Boolean,
+      prep: DataFrame => DataFrame): DataFrame = {
+    val docs = Tables.t(spark, dir, "documents")
+    dedupLoop(spark, docs.where(col("doc_id") < cut0),
+      Seq(docs.where(col("doc_id") >= cut0 && col("doc_id") < cut1),
+        docs.where(col("doc_id") >= cut1)), name, killBetweenDays, prep)
   }
 
   /** The streaming ingest-dedup loop (q358): each day\u0027s survivors
@@ -261,10 +275,16 @@ object IngestStreams {
     * candidates before ranking (`dedupCandidates`, candidate-set-sized,
     * never an index-side shuffle), and the recluster compaction
     * physically drops the duplicates. */
-  def runAnnIngest(spark: SparkSession, dir: String, name: String,
-                   cut0: Long = 300, cut1: Long = 400,
-                   killBetweenDays: Boolean = false): DataFrame = {
-    val e = Tables.t(spark, dir, "embeddings")
+  /** [[runAnnIngest]]'s core over EXPLICIT corpus/day frames (the 100×
+    * probe drives it with modular cuts): stages the day-0 IVF index
+    * under a codebook trained on the day-0 slice, appends each arriving
+    * day's cell assignments. Returns the serving codebook; the staged
+    * index is `name + "_idx"` (a [[graft.VStage]] logical table). */
+  private[graft] def annLoop(spark: SparkSession, corpusVecs: DataFrame,
+      days: Seq[DataFrame], name: String, killBetweenDays: Boolean,
+      batchSeconds: Option[scala.collection.mutable.Buffer[Double]] = None,
+      appendRows: Option[scala.collection.mutable.Buffer[Long]] = None)
+      : Seq[(Long, Array[Double])] = {
     // the serving codebook trains on the DAY-0 slice only — the shape
     // an actual deployment has available before the stream starts (a
     // full-table codebook would time-travel: it would see day-1/day-2
@@ -273,24 +293,36 @@ object IngestStreams {
     // accumulate is exactly what the recluster compaction (q367/q373)
     // exists to heal
     val cents = graft.Similarity.kmeansCentroids(
-      e.where(col("vec_id") < cut0), col("embedding"),
-      col("vec_id"), c = 16, iters = 2)
+      corpusVecs, col("embedding"), col("vec_id"), c = 16, iters = 2)
     val idx = name + "_idx"
     VStage.init(
-      graft.Similarity.ivfIndexFrame(e.where(col("vec_id") < cut0),
+      graft.Similarity.ivfIndexFrame(corpusVecs,
         col("embedding"), col("vec_id"), cents),
       idx, "cell", 8)
     val (spool, ckpt) = freshPaths(name)
     val body = (batch: DataFrame, _: Long) => {
+      val t0 = System.nanoTime()
       VStage.append(
         graft.Similarity.ivfIndexFrame(batch, col("embedding"),
           col("vec_id"), cents),
         idx, "cell", 8)
+      appendRows.foreach(_ += batch.count())
+      batchSeconds.foreach(_ += (System.nanoTime() - t0) / 1e9)
       ()
     }
-    driveDays(spark, e.schema, spool, ckpt,
+    driveDays(spark, days.head.schema, spool, ckpt, days,
+      killBetweenDays, body)
+    cents
+  }
+
+  def runAnnIngest(spark: SparkSession, dir: String, name: String,
+                   cut0: Long = 300, cut1: Long = 400,
+                   killBetweenDays: Boolean = false): DataFrame = {
+    val e = Tables.t(spark, dir, "embeddings")
+    val idx = name + "_idx"
+    val cents = annLoop(spark, e.where(col("vec_id") < cut0),
       Seq(e.where(col("vec_id") >= cut0 && col("vec_id") < cut1),
-        e.where(col("vec_id") >= cut1)), killBetweenDays, body)
+        e.where(col("vec_id") >= cut1)), name, killBetweenDays)
     // the appends ran through the CLONED batch sessions; refresh = true
     // drops the outer session's cached relation so the serve re-lists
     graft.Similarity.ivfKnnJoinIndex(VStage.load(spark, idx, refresh = true),

@@ -215,6 +215,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(pq.toSeq === pq2.toSeq)
   }
 
+  test("pqTopKBatch ≡ pqTopK per panel query under shared codebooks — " +
+      "the calibration sweep measures exactly the serving path") {
+    val e = Tables.t(spark, sf, "embeddings")
+    val panel = e.orderBy("vec_id").limit(5)
+    val books = Similarity.pqCodebooks(e, col("embedding"), col("vec_id"),
+      dim = 64, m = 4, codes = 8)
+    val batch = Similarity.pqTopKBatch(e, col("embedding"), col("vec_id"),
+      panel, col("embedding"), col("vec_id"), dim = 64, k = 5,
+      shortlist = 30, m = 4, codes = 8, books = books)
+      .select("qid", "rank", "id").as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val qids = panel.select("vec_id").as[Long].collect().toSeq
+    assert(batch.keySet === qids.toSet)
+    qids.foreach { qid =>
+      val single = Similarity.pqTopK(e, col("embedding"), col("vec_id"),
+        panel.where(col("vec_id") === qid), col("embedding"), dim = 64,
+        k = 5, shortlist = 30, m = 4, codes = 8, books = books)
+        .select("id").as[Long].collect().toSeq
+      assert(batch(qid) === single, s"qid=$qid batch/single diverged")
+    }
+  }
+
   test("Dedup.removeSharedPassages: shared chunk scrubbed, tails kept, fully-shared docs vanish") {
     val docs = Seq(
       (1L, "a b c d e f g h"), // chunks "a b c","d e f", tail "g h"
