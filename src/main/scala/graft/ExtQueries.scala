@@ -355,24 +355,34 @@ object ExtQueries {
     * CTE (same (vec_id, emb) shape) — q372 trains on the day-0 slice
     * (`etr`), not the full `e`. */
   private def kmeansCtes(c: Int, dim: Int, iters: Int,
-                         src: String = "e"): String = {
+                         src: String = "e"): String =
+    kmeansCtesSfx(c, dim, iters, "", src)
+
+  /** [[kmeansCtes]] with every CTE name suffixed (the bpeIterCtesSfx
+    * convention) so several independent chains can coexist in one
+    * oracle — q375 trains one codebook per PQ subspace. Ends in
+    * `c$sfx(cid, cemb DOUBLE[])`; the integer-sum centroids stay
+    * reachable as `k<iters>$sfx(cid, cq BIGINT[])` for exact-integer
+    * ADC lookup tables. */
+  private def kmeansCtesSfx(c: Int, dim: Int, iters: Int, sfx: String,
+                            src: String = "e"): String = {
     val steps = (1 to iters).map { i =>
-      s"""a$i AS (SELECT vec_id, q, cid FROM (
+      s"""a$i$sfx AS (SELECT vec_id, q, cid FROM (
          |  SELECT qv.vec_id, qv.q, k.cid,
          |    row_number() OVER (PARTITION BY qv.vec_id ORDER BY
          |      list_cosine_similarity(CAST(qv.q AS DOUBLE[]), CAST(k.cq AS DOUBLE[])) DESC,
          |      k.cid) AS rn
-         |  FROM qv, k${i - 1} k) WHERE rn = 1),
-         |s$i AS (SELECT cid, i, CAST(sum(q[i+1]) AS BIGINT) AS sv
-         |       FROM a$i, range(0, $dim) r(i) GROUP BY 1, 2),
-         |n$i AS (SELECT cid, list(sv ORDER BY i) AS cq FROM s$i GROUP BY cid),
-         |k$i AS (SELECT k.cid, coalesce(n$i.cq, k.cq) AS cq
-         |       FROM k${i - 1} k LEFT JOIN n$i ON k.cid = n$i.cid)""".stripMargin
+         |  FROM qv$sfx qv, k${i - 1}$sfx k) WHERE rn = 1),
+         |s$i$sfx AS (SELECT cid, i, CAST(sum(q[i+1]) AS BIGINT) AS sv
+         |       FROM a$i$sfx, range(0, $dim) r(i) GROUP BY 1, 2),
+         |n$i$sfx AS (SELECT cid, list(sv ORDER BY i) AS cq FROM s$i$sfx GROUP BY cid),
+         |k$i$sfx AS (SELECT k.cid, coalesce(n.cq, k.cq) AS cq
+         |       FROM k${i - 1}$sfx k LEFT JOIN n$i$sfx n ON k.cid = n.cid)""".stripMargin
     }.mkString(",\n")
-    s"""qv AS (SELECT vec_id, list_transform(emb, x -> CAST(round(x*10000) AS BIGINT)) AS q FROM $src),
-       |k0 AS (SELECT vec_id AS cid, q AS cq FROM qv ORDER BY vec_id LIMIT $c),
+    s"""qv$sfx AS (SELECT vec_id, list_transform(emb, x -> CAST(round(x*10000) AS BIGINT)) AS q FROM $src),
+       |k0$sfx AS (SELECT vec_id AS cid, q AS cq FROM qv$sfx ORDER BY vec_id LIMIT $c),
        |$steps,
-       |c AS (SELECT cid, CAST(cq AS DOUBLE[]) AS cemb FROM k$iters)""".stripMargin
+       |c$sfx AS (SELECT cid, CAST(cq AS DOUBLE[]) AS cemb FROM k$iters$sfx)""".stripMargin
   }
 
   private val q39 = QDef("q39_ann_ivf",
@@ -3514,6 +3524,71 @@ object ExtQueries {
     },
     q367.oracle)
 
+  /** [[Similarity.pqTopKBatch]] (q375): PQ ADC serving for a QUERY
+    * PANEL — the shape an embedding-dedup or retrieval-eval job
+    * actually runs (q348's single-query chain × a panel, but ONE
+    * corpus encode pass and one broadcast-lut join serve every query).
+    * The oracle replays the whole chain exactly: four per-subspace
+    * kmeans codebooks (suffixed CTE chains over 16-dim slices),
+    * per-vector code assignment, EXACT-INTEGER ADC lookup tables
+    * (round(q·10⁴) ⋅ integer-sum centroid — no float in the coarse
+    * ranking key in either engine), per-query shortlist by
+    * (score desc, id), exact cosine re-rank to top-3. */
+  private val q375 = QDef("q375_pq_panel_topk",
+    (s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val books = Similarity.pqCodebooks(e, col("embedding"),
+        col("vec_id"), dim = 64, m = 4, codes = 8)
+      Similarity.pqTopKBatch(e, col("embedding"), col("vec_id"),
+        e.filter(col("label") === 1), col("embedding"), col("vec_id"),
+        dim = 64, k = 3, shortlist = 20, m = 4, codes = 8, books = books)
+        .select(col("qid"), col("rank"), col("id"),
+          round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy("qid", "rank")
+    },
+    Some {
+      val sub = 16
+      val slices = (0 until 4).map { sq =>
+        s"""e$sq AS (SELECT vec_id, list_slice(emb, ${sq * sub + 1}, ${(sq + 1) * sub}) AS emb FROM e),
+           |${kmeansCtesSfx(8, sub, 2, s"s$sq", s"e$sq")},
+           |cd$sq AS (SELECT vec_id, cid FROM (
+           |  SELECT v.vec_id, c.cid,
+           |    row_number() OVER (PARTITION BY v.vec_id
+           |      ORDER BY list_cosine_similarity(v.emb, c.cemb) DESC, c.cid) AS rn
+           |  FROM e$sq v, cs$sq c) WHERE rn = 1),
+           |lut$sq AS (SELECT q.qid, k.cid,
+           |    CAST(sum(CAST(round(q.emb[${sq * sub} + i + 1]*10000) AS BIGINT)
+           |      * k.cq[i+1]) AS BIGINT) AS v
+           |  FROM q, k2s$sq k, range(0, $sub) r(i)
+           |  GROUP BY q.qid, k.cid)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS qid, emb FROM e WHERE label = 1),
+        |$slices,
+        |vcodes AS (SELECT cd0.vec_id, cd0.cid AS c0, cd1.cid AS c1,
+        |    cd2.cid AS c2, cd3.cid AS c3
+        |  FROM cd0 JOIN cd1 USING (vec_id) JOIN cd2 USING (vec_id)
+        |  JOIN cd3 USING (vec_id)),
+        |adc AS (SELECT l0.qid, v.vec_id AS id,
+        |    l0.v + l1.v + l2.v + l3.v AS score
+        |  FROM vcodes v
+        |  JOIN lut0 l0 ON l0.cid = v.c0
+        |  JOIN lut1 l1 ON l1.cid = v.c1 AND l1.qid = l0.qid
+        |  JOIN lut2 l2 ON l2.cid = v.c2 AND l2.qid = l0.qid
+        |  JOIN lut3 l3 ON l3.cid = v.c3 AND l3.qid = l0.qid),
+        |sl AS (SELECT qid, id FROM (
+        |    SELECT qid, id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY score DESC, id) AS rs FROM adc) WHERE rs <= 20),
+        |rr AS (SELECT sl.qid, sl.id,
+        |    list_cosine_similarity(ev.emb, q.emb) AS cs
+        |  FROM sl JOIN e ev ON ev.vec_id = sl.id JOIN q ON q.qid = sl.qid),
+        |rk AS (SELECT qid, id, cs,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cs DESC, id) AS rank
+        |  FROM rr)
+        |SELECT qid, rank, id, round(cs, 4) AS cos_sim
+        |FROM rk WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+    })
+
   /** [[graft.streaming.IngestStreams.runIngestPrep]]: the FULL
     * training-prep front run as the ingest STREAM (q370) — q358's
     * dedup loop composed with the q49/q351 gates: per micro-batch,
@@ -3576,5 +3651,5 @@ object ExtQueries {
     q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
     q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q351,
-    q357, q361, q362, q363, q366, q367, q370, q372, q373)
+    q357, q361, q362, q363, q366, q367, q370, q372, q373, q375)
 }

@@ -362,7 +362,8 @@ object IngestStreams {
       batchSeconds: Option[scala.collection.mutable.Buffer[Double]] = None,
       killAfterDays: Set[Int] = Set.empty,
       afterSegment: Int => Unit = _ => (),
-      maxFilesPerTrigger: Option[Int] = Some(1))
+      maxFilesPerTrigger: Option[Int] = Some(1),
+      writeRows: Option[scala.collection.mutable.Buffer[Long]] = None)
       : String = {
     val idx = name + "_idx"
     val statePath = s"target/ingest_state_$name"
@@ -415,6 +416,9 @@ object IngestStreams {
             Dedup.lshIndexFrame(batch, col("text"), col("doc_id")),
             idx, "lsh_key", 8)
           DurableState.commit(next, statePath, batchId)
+          // probe hook: the eager swap rewrites the WHOLE state
+          writeRows.foreach(_ +=
+            DurableState.load(ss, statePath).count())
         } finally scope.freeAll()
         batchSeconds.foreach(_ += (System.nanoTime() - t0) / 1e9)
       }
@@ -564,7 +568,8 @@ object IngestStreams {
       foldFactor: Double = 1.0,
       killAfterDays: Set[Int] = Set.empty,
       afterSegment: Int => Unit = _ => (),
-      maxFilesPerTrigger: Option[Int] = Some(1))
+      maxFilesPerTrigger: Option[Int] = Some(1),
+      writeRows: Option[scala.collection.mutable.Buffer[Long]] = None)
       : String = {
     val idx = name + "_idx"
     val statePath = s"target/ingest_state_$name"
@@ -624,6 +629,10 @@ object IngestStreams {
           // benign (see foldPatchState)
           maybeFold(ss, statePath, patchPath, freshLab.count(),
             foldFactor, foldPatchLog)
+          // probe hook: durable rows this trigger (label append + the
+          // live patch after compose — the batch-bounded claim)
+          writeRows.foreach(_ += freshLab.count() +
+            DurableState.load(ss, patchPath).count())
         } finally scope.freeAll()
         batchSeconds.foreach(_ += (System.nanoTime() - t0) / 1e9)
       }
