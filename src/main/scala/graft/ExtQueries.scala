@@ -3470,6 +3470,44 @@ object ExtQueries {
       |SELECT qid, rank, id, round(cs, 4) AS cos_sim
       |FROM rk WHERE rank <= 3 ORDER BY qid, rank""".stripMargin))
 
+  /** [[graft.streaming.IngestStreams.runAnnIngestRecluster]] (q376):
+    * the FULL IVF lifecycle under one stream — stage (day-0 codebook)
+    * → day-1 append → MID-STREAM crash-safe recluster (retrain,
+    * reassign, generation swap) → day-2 append under the RETRAINED
+    * codebook → replay-tolerant serve. The recluster reassigns
+    * everything it holds and day 2 assigns under the same retrained
+    * codebook, so the final index ≡ a from-scratch build whose
+    * codebook trains on the `< 400` slice — the oracle replays exactly
+    * that chain. Green = compaction composes with live ingest on BOTH
+    * sides, codebook switched atomically with the index. */
+  private val q376 = QDef("q376_stream_ann_recluster",
+    (s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.streaming.IngestStreams.runAnnIngestRecluster(s, dir,
+        s"graft_sar_$tag", cut0 = 300, cut1 = 400)
+    },
+    Some(s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |etr AS (SELECT vec_id, emb FROM e WHERE vec_id < 400),
+      |${kmeansCtes(16, 64, 2, src = "etr")},
+      |a0 AS (SELECT e.vec_id, e.emb, c.cid,
+      |         row_number() OVER (PARTITION BY e.vec_id
+      |           ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC, c.cid) AS rn
+      |       FROM e, c),
+      |assign AS (SELECT vec_id, emb, cid AS cell FROM a0 WHERE rn = 1),
+      |q0 AS (SELECT e.vec_id AS qid, e.emb AS qemb, c.cid AS cell,
+      |         row_number() OVER (PARTITION BY e.vec_id
+      |           ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC, c.cid) AS rn
+      |       FROM e, c WHERE e.label = 1),
+      |q AS (SELECT qid, qemb, cell FROM q0 WHERE rn <= 4),
+      |cand AS (SELECT q.qid, a.vec_id AS id,
+      |           list_cosine_similarity(a.emb, q.qemb) AS cs
+      |         FROM assign a JOIN q ON a.cell = q.cell),
+      |rk AS (SELECT qid, id, cs,
+      |         row_number() OVER (PARTITION BY qid ORDER BY cs DESC, id) AS rank
+      |       FROM cand)
+      |SELECT qid, rank, id, round(cs, 4) AS cos_sim
+      |FROM rk WHERE rank <= 3 ORDER BY qid, rank""".stripMargin))
+
   /** KILL-MID-COMPACTION RECOVERY, oracle-gated (q373 — the r12 judge's
     * weak item closed end-to-end): q367's recluster with a driver crash
     * INJECTED between the new generation's build and the pointer swap
@@ -3651,5 +3689,5 @@ object ExtQueries {
     q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
     q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q351,
-    q357, q361, q362, q363, q366, q367, q370, q372, q373, q375)
+    q357, q361, q362, q363, q366, q367, q370, q372, q373, q375, q376)
 }

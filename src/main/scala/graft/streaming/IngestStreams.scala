@@ -280,10 +280,17 @@ object IngestStreams {
     * under a codebook trained on the day-0 slice, appends each arriving
     * day's cell assignments. Returns the serving codebook; the staged
     * index is `name + "_idx"` (a [[graft.VStage]] logical table). */
+  /** `reclusterAfterDay`: run the crash-safe IVF recluster compaction
+    * ([[graft.Similarity.ivfRecluster]]) between stream segments after
+    * the named day — the codebook RETRAINS on the index's own content
+    * and every later day assigns under the retrained codebook (the
+    * serving layer must switch codebooks atomically with the index,
+    * which is exactly what the returned centroids are). */
   private[graft] def annLoop(spark: SparkSession, corpusVecs: DataFrame,
       days: Seq[DataFrame], name: String, killBetweenDays: Boolean,
       batchSeconds: Option[scala.collection.mutable.Buffer[Double]] = None,
-      appendRows: Option[scala.collection.mutable.Buffer[Long]] = None)
+      appendRows: Option[scala.collection.mutable.Buffer[Long]] = None,
+      reclusterAfterDay: Option[Int] = None)
       : Seq[(Long, Array[Double])] = {
     // the serving codebook trains on the DAY-0 slice only — the shape
     // an actual deployment has available before the stream starts (a
@@ -292,7 +299,10 @@ object IngestStreams {
     // same sliced training; drift of this frozen codebook as days
     // accumulate is exactly what the recluster compaction (q367/q373)
     // exists to heal
-    val cents = graft.Similarity.kmeansCentroids(
+    // the live serving codebook: batches assign under whatever codebook
+    // is current — the initial day-0 training, then the retrained one
+    // once the mid-stream recluster swaps it in with the index
+    @volatile var cents = graft.Similarity.kmeansCentroids(
       corpusVecs, col("embedding"), col("vec_id"), c = 16, iters = 2)
     val idx = name + "_idx"
     VStage.init(
@@ -311,18 +321,50 @@ object IngestStreams {
       ()
     }
     driveDays(spark, days.head.schema, spool, ckpt, days,
-      killBetweenDays, body)
+      killBetweenDays, body,
+      // the recluster runs BETWEEN stream segments, so its day must be
+      // a segment boundary
+      killAfterDays = reclusterAfterDay.toSet,
+      afterSegment = day =>
+        if (reclusterAfterDay.contains(day))
+          cents = graft.Similarity.ivfRecluster(spark, idx, c = 16,
+            iters = 2, buckets = 8))
     cents
   }
 
   def runAnnIngest(spark: SparkSession, dir: String, name: String,
                    cut0: Long = 300, cut1: Long = 400,
-                   killBetweenDays: Boolean = false): DataFrame = {
+                   killBetweenDays: Boolean = false): DataFrame =
+    annIngest(spark, dir, name, cut0, cut1, killBetweenDays,
+      reclusterAfterDay = None)
+
+  /** q376: [[runAnnIngest]] with the RECLUSTER COMPACTION run
+    * mid-stream after day 1 — the full IVF lifecycle under one stream:
+    * day-0 staging (day-0-slice codebook) → day-1 appends under it →
+    * crash-safe generation-swap recluster (retrain on corpus ∪ day 1,
+    * reassign, one file/bucket) → day-2 appends under the RETRAINED
+    * codebook → serve. Because the recluster reassigns everything it
+    * holds and day 2 assigns under the same retrained codebook, the
+    * final index ≡ a from-scratch build with the `< cut1` codebook —
+    * the oracle replays exactly that (q357's chain, training sliced at
+    * cut1). Green = the compaction composes with LIVE ingest on both
+    * sides of it, with the codebook switched atomically with the
+    * index. */
+  def runAnnIngestRecluster(spark: SparkSession, dir: String, name: String,
+                            cut0: Long = 300, cut1: Long = 400,
+                            killBetweenDays: Boolean = false): DataFrame =
+    annIngest(spark, dir, name, cut0, cut1, killBetweenDays,
+      reclusterAfterDay = Some(1))
+
+  private def annIngest(spark: SparkSession, dir: String, name: String,
+                        cut0: Long, cut1: Long, killBetweenDays: Boolean,
+                        reclusterAfterDay: Option[Int]): DataFrame = {
     val e = Tables.t(spark, dir, "embeddings")
     val idx = name + "_idx"
     val cents = annLoop(spark, e.where(col("vec_id") < cut0),
       Seq(e.where(col("vec_id") >= cut0 && col("vec_id") < cut1),
-        e.where(col("vec_id") >= cut1)), name, killBetweenDays)
+        e.where(col("vec_id") >= cut1)), name, killBetweenDays,
+      reclusterAfterDay = reclusterAfterDay)
     // the appends ran through the CLONED batch sessions; refresh = true
     // drops the outer session's cached relation so the serve re-lists
     graft.Similarity.ivfKnnJoinIndex(VStage.load(spark, idx, refresh = true),

@@ -219,13 +219,15 @@ class PlanAuditSpec extends SparkSpec {
     "q358_stream_ingest_dedup" -> 2,
     // same device in the prep-front composition loop
     "q370_stream_ingest_prep" -> 2,
-    // the ccIncremental contract (3 batch-bounded hints) once per
-    // streaming micro-batch — two spooled ingest days
-    "q364_stream_cluster_maintenance" -> 6,
+    // the ccIncremental contract (3 batch-bounded hints) plus the
+    // replay self-exclusion broadcast (the micro-batch's own id
+    // column, r13) once per streaming micro-batch — two spooled
+    // ingest days
+    "q364_stream_cluster_maintenance" -> 8,
     // splitStableAssign's 5 batch-bounded hints (endpoints, label
-    // subset, remap, touched set, inheritance table) per micro-batch
-    // — two spooled ingest days
-    "q365_stream_split_stable" -> 10,
+    // subset, remap, touched set, inheritance table) plus the replay
+    // self-exclusion (r13) per micro-batch — two spooled ingest days
+    "q365_stream_split_stable" -> 12,
     // the patch-log loop (deferred relabel): per micro-batch, the
     // ccContract endpoint/patch broadcasts plus the folded-patch-map
     // resolve and compose broadcasts — every one bounded by total
@@ -239,6 +241,16 @@ class PlanAuditSpec extends SparkSpec {
     // resolve and compose per micro-batch, + the final census resolve —
     // all bounded by batch edges or total moves, never the corpus
     "q369_stream_split_patchlog" -> 13,
+    // the q368 patch-log contract over FOUR spooled days with the
+    // auto-fold live: per batch the ccContract endpoint/patch/
+    // self-exclusion broadcasts, plus the patch-map resolve/compose
+    // and the fold's own resolved read — every hinted frame bounded
+    // by batch edges or total moves, never the corpus
+    "q374_stream_autofold_patchlog" -> 17,
+    // the bounded eval-panel broadcast (q362's convention): the PQ
+    // panel's (qid, vector) rows — calibration-bounded by contract
+    // (the ADC lut frame is a LocalRelation the classifier proves)
+    "q375_pq_panel_topk" -> 1,
     // documented small-by-contract reference sets
     "q122_fuzzy_names" -> 1, // reference name list (lookup-table side)
     "q210_jaro_winkler_pairs" -> 1, // reference name list
