@@ -1156,6 +1156,25 @@ object PlanningQueries {
       |FROM documents d JOIN s2 USING (doc_id)
       |ORDER BY ingest_day, doc_id""".stripMargin))
 
+  /** [[graft.streaming.IngestStreams.runIngestDedupCompact]] (q377):
+    * q358's dedup-ingest stream with the crash-safe LSH index
+    * compaction (VStage generation swap) run MID-STREAM after day 1 —
+    * the LSM trade's both halves under one live stream: appends
+    * fragment the bucket files, the between-segments compaction
+    * re-bounds them (distinct signature rows, one file per bucket),
+    * and because the compaction is content-preserving, day 2's
+    * survivor set is EXACTLY q358's — the shared oracle proves the
+    * maintenance op is semantically invisible to the loop it
+    * maintains. Non-vacuity (generation advanced, file count
+    * re-bounded) is pinned in the unit suite. */
+  private val q377 = QDef("q377_stream_dedup_compact",
+    (s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.streaming.IngestStreams.runIngestDedupCompact(s, dir,
+        s"graft_sdc_$tag", cut0 = 300, cut1 = 450)
+    },
+    q358.oracle)
+
   /** [[graft.streaming.IngestStreams.runClusterMaintenance]]: q355's
     * incremental CC driven by the STREAM — per micro-batch, one
     * signature scan ([[Dedup.batchIngestEdges]]), a batch-sized
@@ -1372,5 +1391,5 @@ object PlanningQueries {
 
   def all: Seq[QDef] = Seq(q336, q337, q338, q339, q340, q341, q342,
     q343, q344, q345, q346, q347, q348, q349, q350, q352, q353, q354, q355,
-    q356, q358, q364, q365, q368, q369, q374)
+    q356, q358, q364, q365, q368, q369, q374, q377)
 }

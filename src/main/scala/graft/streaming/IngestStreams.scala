@@ -175,7 +175,8 @@ object IngestStreams {
       days: Seq[DataFrame], name: String, killBetweenDays: Boolean,
       prep: DataFrame => DataFrame,
       batchSeconds: Option[scala.collection.mutable.Buffer[Double]] = None,
-      survRows: Option[scala.collection.mutable.Buffer[Long]] = None)
+      survRows: Option[scala.collection.mutable.Buffer[Long]] = None,
+      compactAfterDay: Option[Int] = None)
       : DataFrame = {
     val idx = name + "_idx"
     VStage.init(
@@ -219,7 +220,17 @@ object IngestStreams {
       ()
     }
     driveDays(spark, days.head.schema, spool, ckpt, days,
-      killBetweenDays, body)
+      killBetweenDays, body,
+      // the LSH index compaction runs BETWEEN stream segments: one
+      // generation-swap re-stage (dedup rows, one file per bucket) —
+      // content-preserving, so the survivor semantics are unchanged
+      // (q377 oracle-gates exactly that under live ingest)
+      killAfterDays = compactAfterDay.toSet,
+      afterSegment = day =>
+        if (compactAfterDay.contains(day))
+          VStage.compact(spark, idx, "lsh_key", 8,
+            df => df.dropDuplicates("lsh_key", "corpus_id")
+              .repartition(8, col("lsh_key"))))
     // partition discovery re-adds ingest_batch; the select drops it
     spark.read.parquet(outDir.getPath)
       .select("ingest_day", "doc_id", "source")
@@ -228,11 +239,13 @@ object IngestStreams {
 
   private def ingestDedupLoop(spark: SparkSession, dir: String,
       name: String, cut0: Long, cut1: Long, killBetweenDays: Boolean,
-      prep: DataFrame => DataFrame): DataFrame = {
+      prep: DataFrame => DataFrame,
+      compactAfterDay: Option[Int] = None): DataFrame = {
     val docs = Tables.t(spark, dir, "documents")
     dedupLoop(spark, docs.where(col("doc_id") < cut0),
       Seq(docs.where(col("doc_id") >= cut0 && col("doc_id") < cut1),
-        docs.where(col("doc_id") >= cut1)), name, killBetweenDays, prep)
+        docs.where(col("doc_id") >= cut1)), name, killBetweenDays, prep,
+      compactAfterDay = compactAfterDay)
   }
 
   /** The streaming ingest-dedup loop (q358): each day\u0027s survivors
@@ -244,6 +257,21 @@ object IngestStreams {
                      killBetweenDays: Boolean = false): DataFrame =
     ingestDedupLoop(spark, dir, name, cut0, cut1, killBetweenDays,
       identity)
+
+  /** q377: [[runIngestDedup]] with the LSH index COMPACTION run
+    * mid-stream after day 1 — the VStage generation swap under live
+    * dedup ingest. The compaction is content-preserving (distinct
+    * signature rows, one file per bucket), so day 2's survivor set —
+    * and therefore the whole output — is EXACTLY q358's: the shared
+    * oracle proves the compaction is semantically invisible to the
+    * loop it maintains, while physically re-bounding the bucket file
+    * count the appends fragment (the LSM trade's both halves under one
+    * stream). */
+  def runIngestDedupCompact(spark: SparkSession, dir: String, name: String,
+                            cut0: Long = 300, cut1: Long = 450,
+                            killBetweenDays: Boolean = false): DataFrame =
+    ingestDedupLoop(spark, dir, name, cut0, cut1, killBetweenDays,
+      identity, compactAfterDay = Some(1))
 
   /** The FULL training-prep front under the stream (q370): q358\u0027s
     * loop with `prep` = the q49/q351 gates + within-batch exact dedup

@@ -170,6 +170,32 @@ class DurabilitySpec extends SparkSpec {
       "uncommitted appends must be marker-filtered out of resolved reads")
   }
 
+  test("q377 mid-stream compaction non-vacuity: the dedup loop's output " +
+      "equals the un-compacted run, the index generation advanced, and " +
+      "the compacted generation is back to one file per bucket") {
+    val plain = got(IngestStreams.runIngestDedup(
+      spark, sf, "t_sdc_plain", cut0 = 200, cut1 = 350))
+    val compacted = got(IngestStreams.runIngestDedupCompact(
+      spark, sf, "t_sdc_cmp", cut0 = 200, cut1 = 350))
+    assert(compacted === plain)
+    assert(plain.nonEmpty)
+    val gen = VStage.currentGen(spark, "t_sdc_cmp_idx")
+    assert(gen > 0L, "compaction never ran — the pin is vacuous")
+    val wh = new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath
+    // day-2 appended AFTER the compaction, so the live generation holds
+    // 8 compacted files + day-2's append files — strictly fewer than
+    // the un-compacted twin's accumulation
+    val live = new java.io.File(wh, VStage.genTable("t_sdc_cmp_idx", gen))
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val plainFiles = new java.io.File(wh,
+        VStage.genTable("t_sdc_plain_idx",
+          VStage.currentGen(spark, "t_sdc_plain_idx")))
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(live < plainFiles,
+      s"compaction must re-bound the file count ($live vs $plainFiles)")
+  }
+
   test("q374 auto-fold: the size-triggered fold FIRES mid-stream on a " +
       "4-day chain (base marker advances past the bootstrap) and the " +
       "census equals the never-folding run — fold → merge → fold " +
