@@ -3680,6 +3680,151 @@ object ExtQueries {
       |FROM documents d JOIN s2 USING (doc_id)
       |ORDER BY ingest_day, doc_id""".stripMargin))
 
+  /** CROSS-MODAL HYBRID RETRIEVAL (the RAG/curation serving path — the
+    * reference stops at single-modality ranking; a training-data
+    * pipeline retrieves with both): per query doc (the doc_id % 50
+    * panel, exploiting the fixture's 1:1 doc↔vec id linkage), a LEXICAL
+    * leg ranks all other docs by integer-tf-idf cosine
+    * ([[Curate.tfidfQueryTopK]] — q266's exact 1e-3 weight chain,
+    * directed: panel postings broadcast against ONE corpus postings
+    * pass) and a VECTOR leg by embedding cosine
+    * ([[Similarity.bruteKnnJoin]] — the exact baseline; the staged IVF
+    * index q357/q361 is the drop-in corpus side at scale), top 20 each;
+    * reciprocal-rank fusion (Cormack et al. 2009, k=60) merges them
+    * per query ([[Similarity.rrfFuseGroupedTopK]]) and keeps the fused
+    * top 10. Both legs stream the corpus exactly once with the panel
+    * broadcast; fusion and ranking run on candidate-sized data. The
+    * oracle replays both legs and the fusion arithmetic end-to-end. */
+  private val q378 = QDef("q378_hybrid_retrieval",
+    (s, dir) => {
+      val lex = Curate.tfidfQueryTopK(T(s, dir, "documents"),
+        col("doc_id"), col("text"), col("doc_id") % 50 === 0, kLex = 20)
+      val e = T(s, dir, "embeddings")
+      val vec = Similarity.bruteKnnJoin(e, col("embedding"), col("vec_id"),
+          e.where(col("vec_id") % 50 === 0), col("embedding"),
+          col("vec_id"), k = 20, excludeSelf = true)
+        .select(col("qid"), col("id"), col("rank"))
+      Similarity.rrfFuseGroupedTopK(lex, vec, kConst = 60, k = 10)
+        .orderBy("qid", "rank")
+    },
+    Some("""WITH tok AS (SELECT id, term, CAST(count(*) AS BIGINT) AS tf
+      |      FROM (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term
+      |            FROM documents WHERE doc_id IS NOT NULL)
+      |      GROUP BY 1, 2),
+      |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tok
+      |        GROUP BY 1),
+      |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+      |       FROM documents WHERE doc_id IS NOT NULL),
+      |w0 AS (SELECT id, term,
+      |        CAST(round(CAST(tf AS DOUBLE) *
+      |          ln(CAST(nd AS DOUBLE) / df) * 1000.0, 0) AS BIGINT) AS w3
+      |      FROM tok JOIN dft USING (term) CROSS JOIN nd),
+      |w AS (SELECT id, term, w3 FROM w0 WHERE w3 <> 0),
+      |nr AS (SELECT id, CAST(sum(w3 * w3) AS BIGINT) AS nrm FROM w
+      |       GROUP BY 1),
+      |dt AS (SELECT q.id AS qid, c.id AS id,
+      |        CAST(sum(q.w3 * c.w3) AS BIGINT) AS dot
+      |      FROM w q JOIN w c ON q.term = c.term AND c.id <> q.id
+      |      WHERE q.id % 50 = 0 GROUP BY 1, 2),
+      |lex0 AS (SELECT qid, dt.id AS id, CAST(dot AS DOUBLE) /
+      |          nullif(sqrt(CAST(nq.nrm AS DOUBLE) * nc.nrm), 0.0) AS cos
+      |        FROM dt JOIN nr nq ON nq.id = dt.qid
+      |        JOIN nr nc ON nc.id = dt.id),
+      |lex AS (SELECT qid, id, ra FROM (SELECT qid, id, row_number()
+      |          OVER (PARTITION BY qid ORDER BY cos DESC, id) AS ra
+      |        FROM lex0) WHERE ra <= 20),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      |      FROM embeddings),
+      |vc AS (SELECT q.vec_id AS qid, c.vec_id AS id,
+      |        list_cosine_similarity(c.emb, q.emb) AS cs
+      |      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+      |      WHERE q.vec_id % 50 = 0),
+      |vec AS (SELECT qid, id, rb FROM (SELECT qid, id, row_number()
+      |          OVER (PARTITION BY qid ORDER BY cs DESC, id) AS rb
+      |        FROM vc) WHERE rb <= 20),
+      |f AS (SELECT coalesce(l.qid, v.qid) AS qid,
+      |        coalesce(l.id, v.id) AS id,
+      |        round(CASE WHEN ra IS NULL THEN 0.0
+      |                ELSE 1.0 / (60 + ra) END +
+      |              CASE WHEN rb IS NULL THEN 0.0
+      |                ELSE 1.0 / (60 + rb) END, 6) AS rrf,
+      |        ra AS rank_a, rb AS rank_b
+      |      FROM lex l FULL OUTER JOIN vec v
+      |      ON l.qid = v.qid AND l.id = v.id)
+      |SELECT qid, rank, id, rrf, rank_a, rank_b
+      |FROM (SELECT qid, id, rrf, rank_a, rank_b, row_number()
+      |        OVER (PARTITION BY qid ORDER BY rrf DESC, id) AS rank
+      |      FROM f)
+      |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin))
+
+  /** [[graft.streaming.IngestStreams.runIngestPrepDecon]] (q379): the
+    * q370 streaming prep front with BENCHMARK DECONTAMINATION in the
+    * gate — lang + quality + 5-gram-overlap screen (q63's semantics,
+    * bench = the doc_id % 25 slice, fixed up front) + within-batch
+    * exact dedup, then the near-dup probe against the growing corpus
+    * index. The oracle replays the decontaminated gated two-day
+    * sequential chain end-to-end. */
+  private val q379 = QDef("q379_stream_ingest_decon",
+    (s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.streaming.IngestStreams.runIngestPrepDecon(s, dir,
+        s"graft_sid_$tag", cut0 = 300, cut1 = 450)
+    },
+    Some(s"""WITH $gateCtes,
+      |bt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |       WHERE doc_id % 25 = 0),
+      |bgr AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+      |          list_distinct(list_transform(range(0, len(t) - 4),
+      |            i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+      |                 t[i+4] || ' ' || t[i+5])),
+      |          s -> ${hashSql("s", 15)}))) AS h
+      |        FROM bt WHERE len(t) >= 5),
+      |ct AS (SELECT doc_id, string_split(text, ' ') AS t FROM filtered),
+      |cg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |          list_distinct(list_transform(range(0, len(t) - 4),
+      |            i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+      |                 t[i+4] || ' ' || t[i+5])),
+      |          s -> ${hashSql("s", 15)}))) AS h
+      |       FROM ct WHERE len(t) >= 5),
+      |contam AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bgr USING (h)),
+      |clean AS (SELECT doc_id, text, n_chars FROM filtered
+      |          WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+      |d1k AS (SELECT min(doc_id) AS doc_id FROM clean
+      |        WHERE doc_id >= 300 AND doc_id < 450 GROUP BY md5(text)),
+      |d2k AS (SELECT min(doc_id) AS doc_id FROM clean
+      |        WHERE doc_id >= 450 GROUP BY md5(text)),
+      |ftoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM clean),
+      |fsh AS (SELECT doc_id, list_distinct(list_transform(
+      |          range(0, len(t) - 2),
+      |          i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+      |        FROM ftoks WHERE len(t) >= 3),
+      |fhs AS (SELECT doc_id, list_transform(shingles, s ->
+      |          ${hashSql("s", 7)}) AS hh
+      |        FROM fsh WHERE len(shingles) > 0),
+      |fsig AS (SELECT doc_id, $minhashSigSql AS sig FROM fhs),
+      |fb AS (SELECT doc_id, b, list_slice(sig, 4*b + 1, 4*b + 4) AS bucket
+      |       FROM fsig, range(0, 4) AS r(b)),
+      |hit1 AS (SELECT DISTINCT b.doc_id FROM fb b JOIN fb c
+      |         ON b.b = c.b AND b.bucket = c.bucket
+      |         AND b.doc_id IN (SELECT doc_id FROM d1k)
+      |         AND c.doc_id < 300),
+      |s1 AS (SELECT doc_id FROM d1k
+      |       WHERE doc_id NOT IN (SELECT doc_id FROM hit1)),
+      |idx2 AS (SELECT doc_id FROM clean WHERE doc_id < 300
+      |         UNION ALL SELECT doc_id FROM s1),
+      |hit2 AS (SELECT DISTINCT b.doc_id FROM fb b JOIN fb c
+      |         ON b.b = c.b AND b.bucket = c.bucket
+      |         AND b.doc_id IN (SELECT doc_id FROM d2k)
+      |         AND c.doc_id IN (SELECT doc_id FROM idx2)),
+      |s2 AS (SELECT doc_id FROM d2k
+      |       WHERE doc_id NOT IN (SELECT doc_id FROM hit2))
+      |SELECT CAST(1 AS INTEGER) AS ingest_day, d.doc_id, d.source
+      |FROM documents d JOIN s1 USING (doc_id)
+      |UNION ALL
+      |SELECT CAST(2 AS INTEGER) AS ingest_day, d.doc_id, d.source
+      |FROM documents d JOIN s2 USING (doc_id)
+      |ORDER BY ingest_day, doc_id""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
@@ -3689,5 +3834,6 @@ object ExtQueries {
     q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
     q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q351,
-    q357, q361, q362, q363, q366, q367, q370, q372, q373, q375, q376)
+    q357, q361, q362, q363, q366, q367, q370, q372, q373, q375, q376, q378,
+    q379)
 }

@@ -33,6 +33,36 @@ object Similarity {
       .orderBy(desc("cos_sim"), col("id"))
       .limit(k)
 
+  /** Brute-force cosine kNN JOIN: exact top-k for EVERY query row at
+    * once — the panel twin of [[bruteForceTopK]] and the exact baseline
+    * [[ivfKnnJoin]] approximates (swap in the staged IVF index when the
+    * corpus outgrows one scan per batch). The query panel broadcasts
+    * with precomputed norms (the [[ivfKnnJoin]] precedent: per-pair
+    * work is ONE dot product), the corpus streams through a single
+    * narrow pass — no corpus-side shuffle at any scale; only the
+    * per-query window ranks, on corpus×panel candidate rows.
+    * `excludeSelf` drops qid = id pairs BEFORE ranking (a query drawn
+    * from the corpus trivially retrieves itself at rank 1). */
+  def bruteKnnJoin(corpus: DataFrame, cEmb: Column, cId: Column,
+                   queries: DataFrame, qEmb: Column, qId: Column, k: Int,
+                   excludeSelf: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(cId.as("id"), cEmb.cast("array<double>").as("__e"))
+      .withColumn("__n", l2(col("__e")))
+    val q = queries.select(qId.as("qid"), qEmb.cast("array<double>").as("__q"))
+      .withColumn("__qn", l2(col("__q")))
+    val w = Window.partitionBy("qid").orderBy(desc("__cos"), col("id"))
+    val pairs0 = c.crossJoin(broadcast(q))
+    val pairs = if (excludeSelf) pairs0.where(col("id") =!= col("qid"))
+    else pairs0
+    pairs
+      .select(col("qid"), col("id"),
+        (dot(col("__e"), col("__q")) / (col("__n") * col("__qn"))).as("__cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("__cos").as("cos_sim"))
+  }
+
   /** Deterministic Rademacher (±1) hyperplane for a plane index: one sign
     * per dimension from a fixed-seed hash. ±1 components (instead of
     * continuous pseudo-random ones) keep the hyperplane constants small
@@ -624,6 +654,34 @@ object Similarity {
     fa.join(fb, Seq("id"), "full_outer")
       .select(col("id"), round(term("ra") + term("rb"), 6).as("rrf"))
       .orderBy(desc("rrf"), col("id"))
+  }
+
+  /** Grouped [[rrfFuse]]: reciprocal-rank fusion of two PER-QUERY rank
+    * lists (`qid, id, rank` each) — the batch-serving shape of q152's
+    * single-list fusion, used by hybrid retrieval to merge a lexical
+    * and a vector leg. Full-outer on (qid, id) so a candidate ranked by
+    * only one leg still scores its one term; per-qid (rrf desc, id)
+    * row_number keeps k. Every step runs on candidate-sized data
+    * (panel × leg-k rows), never the corpus. Determinism is
+    * [[rrfFuse]]'s: two double divisions of identical integers, sealed
+    * with round(,6) before the rank window. */
+  def rrfFuseGroupedTopK(a: DataFrame, b: DataFrame, kConst: Int,
+                         k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(kConst >= 1, "kConst must be positive (typically 60)")
+    val fa = a.select(col("qid"), col("id"), col("rank").as("rank_a"))
+    val fb = b.select(col("qid"), col("id"), col("rank").as("rank_b"))
+    def term(r: String) = when(col(r).isNull, lit(0.0))
+      .otherwise(lit(1.0) / (lit(kConst) + col(r)))
+    val w = Window.partitionBy("qid").orderBy(desc("rrf"), col("id"))
+    fa.join(fb, Seq("qid", "id"), "full_outer")
+      .select(col("qid"), col("id"),
+        round(term("rank_a") + term("rank_b"), 6).as("rrf"),
+        col("rank_a"), col("rank_b"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("rrf"),
+        col("rank_a"), col("rank_b"))
   }
 
   /** Simplified (centroid-based) silhouette per label over an

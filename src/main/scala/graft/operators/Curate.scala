@@ -248,6 +248,63 @@ object Curate {
       .where(col("cos") >= minCos)
   }
 
+  /** DIRECTED tf-idf retrieval: per query doc, every OTHER doc ranked
+    * by cosine over the same integer tf-idf weights [[tfidfCosinePairs]]
+    * uses (identical 1e-3 fixed-point chain, corpus-wide df — one
+    * global vocabulary, no blocking: retrieval is corpus-global), top
+    * `kLex` kept per query. The lexical leg of hybrid retrieval (q378).
+    *
+    * Scale shape differs from the all-pairs op: the query panel is
+    * SMALL by construction (a retrieval batch, not the corpus), so its
+    * postings broadcast and the corpus postings stream through ONE
+    * term-keyed join — no corpus self-join, no corpus shuffle beyond
+    * the tf aggregation; the (qid, id) partial dots combine map-side.
+    * Exact-zero weights drop first (the df = N boilerplate postings
+    * dominate term fan-out and move nothing, the q266 lesson); the
+    * weights checkpoint once, repartitioned by doc id, for their three
+    * consumers (norms, panel slice, corpus side — the same AQE
+    * one-partition-coalesce trap [[tfidfCosinePairs]] documents). */
+  def tfidfQueryTopK(df: DataFrame, id: Column, text: Column,
+                     isQuery: Column, kLex: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(id.as("id"), isQuery.as("isq"),
+        explode(split(text, " ")).as("term"))
+      .where(col("id").isNotNull)
+      .groupBy("id", "isq", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tok.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = df.select(id.as("id")).where(col("id").isNotNull)
+      .agg(countDistinct("id").as("nd"))
+    val para = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val w = tok.join(dfT, "term").crossJoin(broadcast(nDocs))
+      .select(col("id"), col("isq"), col("term"),
+        round(col("tf").cast("double") *
+          log(col("nd").cast("double") / col("df")) * lit(1e3), 0)
+          .cast("long").as("w3"))
+      .where(col("w3") =!= 0)
+      .repartition(para, col("id"))
+      .localCheckpoint()
+    val norms = w.groupBy("id")
+      .agg(sum(col("w3") * col("w3")).as("nrm"))
+    val qw = w.where(col("isq"))
+      .select(col("id").as("qid"), col("term"), col("w3").as("qw3"))
+    val dots = w.as("c")
+      .join(broadcast(qw), col("c.term") === qw("term") &&
+        col("c.id") =!= col("qid"))
+      .groupBy(col("qid"), col("c.id").as("id"))
+      .agg(sum(col("c.w3") * col("qw3")).as("dot"))
+    val wnd = Window.partitionBy("qid").orderBy(desc("cos"), col("id"))
+    dots
+      .join(norms.select(col("id").as("qid"), col("nrm").as("nq")), "qid")
+      .join(norms.select(col("id"), col("nrm").as("nc")), "id")
+      .select(col("qid"), col("id"),
+        (col("dot").cast("double") /
+          nullif(sqrt(col("nq").cast("double") * col("nc")), lit(0.0)))
+          .as("cos"))
+      .withColumn("rank", row_number().over(wnd))
+      .where(col("rank") <= kLex)
+      .select(col("qid"), col("id"), col("rank"))
+  }
+
   /** Banded scale twin of [[tfidfCosinePairs]] (the q60/q61/q305/q326
     * convention — SAME oracle, the driver's gate pins bit-identical
     * output): Bayardo-style prefix-filtered candidates instead of the

@@ -289,6 +289,39 @@ object IngestStreams {
           round(graft.TextAnalysis.qualityScore(col("text")), 4) >= 0.5),
         col("text"), col("doc_id")))
 
+  /** q379: [[runIngestPrep]] with DECONTAMINATION in the gate — the
+    * missing production leg of the streaming prep front: every arriving
+    * day is screened against a FIXED benchmark n-gram set
+    * ([[graft.Decontaminate.decontaminate]], 5-gram hashes, the q63
+    * semantics) between the quality gates and the dedup probe, so
+    * benchmark-contaminated docs never reach the corpus index OR the
+    * training output. The benchmark is external and known up front (no
+    * time-travel: eval sets exist before training data arrives), here
+    * the doc_id % 25 fixture slice of the FULL table — benchmark text
+    * is never itself gated. Per batch the decon cost is one
+    * batch-sized shingle pass joined against the benchmark gram set
+    * (at scale: stage the benchmark grams once, or the q90 Bloom
+    * variant — the gram table is benchmark-sized, a broadcast). The
+    * oracle replays the gated + decontaminated two-day sequential
+    * chain. */
+  def runIngestPrepDecon(spark: SparkSession, dir: String, name: String,
+                         cut0: Long = 300, cut1: Long = 450,
+                         killBetweenDays: Boolean = false): DataFrame =
+    ingestDedupLoop(spark, dir, name, cut0, cut1, killBetweenDays,
+      df => {
+        // resolve the benchmark through the BATCH's session (foreachBatch
+        // frames live on a cloned session; a cross-session join is the
+        // stale-relation-cache hazard the loop body documents)
+        val bench = Tables.t(df.sparkSession, dir, "documents")
+          .where(col("doc_id") % 25 === 0)
+        Dedup.exact(
+          graft.Decontaminate.decontaminate(
+            df.where(graft.TextAnalysis.langId(col("text")) === lit("en") &&
+              round(graft.TextAnalysis.qualityScore(col("text")), 4) >= 0.5),
+            col("text"), col("doc_id"), bench, col("text"), n = 5),
+          col("text"), col("doc_id"))
+      })
+
   /** STREAMING ANN index ingest (q372) — the IVF family's streaming
     * leg (staged q357 → batch ingest q361 → recluster compaction q367
     * → this): each arriving day's embeddings assign to their cells

@@ -196,6 +196,33 @@ class DurabilitySpec extends SparkSpec {
       s"compaction must re-bound the file count ($live vs $plainFiles)")
   }
 
+  test("q379 decon-gated prep: kill-and-resume equals uninterrupted, no " +
+      "contaminated doc survives, and the gate is non-vacuous (q370's " +
+      "loop DOES pass contaminated docs on this fixture)") {
+    val plain = got(IngestStreams.runIngestPrep(
+      spark, sf, "t_dec_plain", cut0 = 200, cut1 = 350))
+    val decon = got(IngestStreams.runIngestPrepDecon(
+      spark, sf, "t_dec_u", cut0 = 200, cut1 = 350))
+    val resumed = got(IngestStreams.runIngestPrepDecon(
+      spark, sf, "t_dec_k", cut0 = 200, cut1 = 350,
+      killBetweenDays = true))
+    assert(resumed === decon)
+    assert(decon.nonEmpty)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val gated = docs.where(
+      graft.TextAnalysis.langId(col("text")) === lit("en") &&
+        round(graft.TextAnalysis.qualityScore(col("text")), 4) >= 0.5)
+    val contam = Decontaminate.overlaps(gated, col("text"), col("doc_id"),
+        docs.where(col("doc_id") % 25 === 0), col("text"), n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    val plainIds = plain.map(_(1).asInstanceOf[Long]).toSet
+    val deconIds = decon.map(_(1).asInstanceOf[Long]).toSet
+    assert(plainIds.exists(contam),
+      "fixture has no contaminated prep survivors — the decon pin is vacuous")
+    assert(deconIds.intersect(contam).isEmpty,
+      "a benchmark-contaminated doc reached the training output")
+  }
+
   test("q374 auto-fold: the size-triggered fold FIRES mid-stream on a " +
       "4-day chain (base marker advances past the bootstrap) and the " +
       "census equals the never-folding run — fold → merge → fold " +

@@ -209,6 +209,86 @@ class StatOpsSpec extends SparkSpec {
     assert(out === Seq((2L, 0.032522), (1L, 0.016393), (3L, 0.016129)))
   }
 
+  test("rrfFuseGroupedTopK: per-query fusion, one-leg candidates keep " +
+    "one term, k cuts per group") {
+    // q1: id2 in both legs beats both singles; q2 exercises the
+    // other-leg-null branch symmetric to q1's
+    val a = Seq((1L, 10L, 1L), (1L, 11L, 2L), (2L, 20L, 1L))
+      .toDF("qid", "id", "rank")
+    val b = Seq((1L, 10L, 2L), (1L, 12L, 1L), (2L, 21L, 1L))
+      .toDF("qid", "id", "rank")
+    val out = Similarity.rrfFuseGroupedTopK(a, b, kConst = 60, k = 2)
+      .as[(Long, Int, Long, Double, Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(out.sortBy(r => (r._1, r._2)) === Seq(
+      (1L, 1, 10L, 0.032522, Some(1L), Some(2L)),   // 1/61 + 1/62
+      (1L, 2, 12L, 0.016393, None, Some(1L)),       // vec-only, 1/61
+      (2L, 1, 20L, 0.016393, Some(1L), None),
+      (2L, 2, 21L, 0.016393, None, Some(1L))))
+  }
+
+  test("bruteKnnJoin: per-query results equal bruteForceTopK; " +
+    "excludeSelf drops the trivial rank-1 self hit") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val qids = Seq(0L, 7L)
+    val joined = Similarity.bruteKnnJoin(e, col("embedding"), col("vec_id"),
+      e.where(col("vec_id").isin(qids: _*)), col("embedding"),
+      col("vec_id"), k = 5)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    for (q <- qids) {
+      val single = Similarity.bruteForceTopK(e, col("embedding"),
+          col("vec_id"), e.where(col("vec_id") === q), col("embedding"),
+          k = 5)
+        .as[(Long, Double)].collect().toSeq
+      val grp = joined.filter(_._1 == q).sortBy(_._2)
+      assert(grp.map(r => (r._3, r._4)) === single)
+      // a corpus-drawn query's best hit is itself at cos 1.0
+      assert(grp.head._3 === q)
+    }
+    val noSelf = Similarity.bruteKnnJoin(e, col("embedding"), col("vec_id"),
+      e.where(col("vec_id").isin(qids: _*)), col("embedding"),
+      col("vec_id"), k = 5, excludeSelf = true)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    for (q <- qids) {
+      val grp = noSelf.filter(_._1 == q).sortBy(_._2)
+      assert(!grp.exists(_._3 == q))
+      // dropping the self row shifts everything up one rank and admits
+      // one new tail candidate: the with-self top-5 minus self (4 ids)
+      // must be a prefix of the no-self top-5
+      val shifted = joined.filter(_._1 == q).sortBy(_._2)
+        .map(_._3).filter(_ != q)
+      assert(grp.map(_._3).take(shifted.size) === shifted)
+      assert(grp.size === 5)
+    }
+  }
+
+  test("tfidfQueryTopK: directed cosines equal the all-pairs op's on " +
+    "shared pairs; self pairs excluded") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val directed = Curate.tfidfQueryTopK(docs, col("doc_id"), col("text"),
+      col("doc_id") % 10 === 0, kLex = 1000)
+    // all-pairs twin under one global block = the same corpus-wide df
+    val pairs = Curate.tfidfCosinePairs(docs, col("doc_id"), col("text"),
+        lit("g"), minCos = -1.0)
+      .as[(Long, Long, Double)].collect()
+      .flatMap { case (a, b, c) => Seq((a, b) -> c, (b, a) -> c) }.toMap
+    // rebuild the directed scores (rank is the op's output; recompute
+    // cos from the pair op for every ranked (qid, id))
+    val ranked = directed.as[(Long, Long, Int)].collect().toSeq
+    assert(ranked.nonEmpty)
+    assert(!ranked.exists(r => r._1 == r._2))
+    // ranks within each qid are dense from 1
+    for ((_, grp) <- ranked.groupBy(_._1))
+      assert(grp.map(_._3).sorted === (1 to grp.size))
+    // ordering agrees with the symmetric cosine values: for consecutive
+    // ranks, cos(rank i) >= cos(rank i+1)
+    for ((_, grp) <- ranked.groupBy(_._1)) {
+      val byRank = grp.sortBy(_._3)
+      val cs = byRank.map(r => pairs((r._1, r._2)))
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
   // --------------------------------------------------- mutual information
 
   test("mutualInformation: identical columns give ln(2); independence 0") {
