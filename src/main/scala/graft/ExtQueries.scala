@@ -3825,6 +3825,96 @@ object ExtQueries {
       |FROM documents d JOIN s2 USING (doc_id)
       |ORDER BY ingest_day, doc_id""".stripMargin))
 
+  /** q378's hybrid retrieval with the vector leg SERVED FROM THE STAGED
+    * IVF INDEX ([[Similarity.ivfKnnJoinIndex]] over a
+    * [[Similarity.ivfIndexFrame]] staged bucketed on `cell` — the
+    * q357 serving shape): the deployable 100 TB form of q378, where the
+    * corpus-side assignment scan is a one-time staging cost and each
+    * retrieval batch pays zero corpus-side Exchange. The vector leg is
+    * approximate (nProbe = 4 of 16 cells) but DETERMINISTIC — fixed
+    * seed init, fixed iterations, total tie-breaks — so the oracle
+    * replays the whole chain: kmeans codebook, cell assignment, probe
+    * set, candidate ranking with the self hit excluded BEFORE ranking,
+    * then the identical RRF fusion arithmetic over the lexical leg. */
+  private val q380 = QDef("q380_hybrid_retrieval_ivf",
+    (s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val lex = Curate.tfidfQueryTopK(T(s, dir, "documents"),
+        col("doc_id"), col("text"), col("doc_id") % 50 === 0, kLex = 20)
+      val e = T(s, dir, "embeddings")
+      val cents = trainedCodebook(s, dir, c = 16, iters = 2)
+      val idx = s"graft_ivf_hyb_$tag"
+      Staging.stageBucketed(
+        Similarity.ivfIndexFrame(e, col("embedding"), col("vec_id"), cents),
+        idx, "cell", 8)
+      val vec = Similarity.ivfKnnJoinIndex(Staging.load(s, idx),
+          e.where(col("vec_id") % 50 === 0), col("embedding"), col("vec_id"),
+          k = 20, centroids = cents, nProbe = 4, excludeSelf = true)
+        .select(col("qid"), col("id"), col("rank"))
+      Similarity.rrfFuseGroupedTopK(lex, vec, kConst = 60, k = 10)
+        .orderBy("qid", "rank")
+    },
+    Some(s"""WITH tok AS (SELECT id, term, CAST(count(*) AS BIGINT) AS tf
+      |      FROM (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term
+      |            FROM documents WHERE doc_id IS NOT NULL)
+      |      GROUP BY 1, 2),
+      |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tok
+      |        GROUP BY 1),
+      |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+      |       FROM documents WHERE doc_id IS NOT NULL),
+      |w0 AS (SELECT id, term,
+      |        CAST(round(CAST(tf AS DOUBLE) *
+      |          ln(CAST(nd AS DOUBLE) / df) * 1000.0, 0) AS BIGINT) AS w3
+      |      FROM tok JOIN dft USING (term) CROSS JOIN nd),
+      |w AS (SELECT id, term, w3 FROM w0 WHERE w3 <> 0),
+      |nr AS (SELECT id, CAST(sum(w3 * w3) AS BIGINT) AS nrm FROM w
+      |       GROUP BY 1),
+      |dt AS (SELECT q.id AS qid, c.id AS id,
+      |        CAST(sum(q.w3 * c.w3) AS BIGINT) AS dot
+      |      FROM w q JOIN w c ON q.term = c.term AND c.id <> q.id
+      |      WHERE q.id % 50 = 0 GROUP BY 1, 2),
+      |lex0 AS (SELECT qid, dt.id AS id, CAST(dot AS DOUBLE) /
+      |          nullif(sqrt(CAST(nq.nrm AS DOUBLE) * nc.nrm), 0.0) AS cos
+      |        FROM dt JOIN nr nq ON nq.id = dt.qid
+      |        JOIN nr nc ON nc.id = dt.id),
+      |lex AS (SELECT qid, id, ra FROM (SELECT qid, id, row_number()
+      |          OVER (PARTITION BY qid ORDER BY cos DESC, id) AS ra
+      |        FROM lex0) WHERE ra <= 20),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      |      FROM embeddings),
+      |${kmeansCtes(16, 64, 2)},
+      |a0 AS (SELECT e.vec_id, e.emb, c.cid,
+      |         row_number() OVER (PARTITION BY e.vec_id
+      |           ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC, c.cid) AS rn
+      |       FROM e, c),
+      |assign AS (SELECT vec_id, emb, cid AS cell FROM a0 WHERE rn = 1),
+      |q0 AS (SELECT e.vec_id AS qid, e.emb AS qemb, c.cid AS cell,
+      |         row_number() OVER (PARTITION BY e.vec_id
+      |           ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC, c.cid) AS rn
+      |       FROM e, c WHERE e.vec_id % 50 = 0),
+      |qp AS (SELECT qid, qemb, cell FROM q0 WHERE rn <= 4),
+      |cand AS (SELECT qp.qid, a.vec_id AS id,
+      |           list_cosine_similarity(a.emb, qp.qemb) AS cs
+      |         FROM assign a JOIN qp ON a.cell = qp.cell
+      |         WHERE a.vec_id <> qp.qid),
+      |vec AS (SELECT qid, id, rb FROM (SELECT qid, id, row_number()
+      |          OVER (PARTITION BY qid ORDER BY cs DESC, id) AS rb
+      |        FROM cand) WHERE rb <= 20),
+      |f AS (SELECT coalesce(l.qid, v.qid) AS qid,
+      |        coalesce(l.id, v.id) AS id,
+      |        round(CASE WHEN ra IS NULL THEN 0.0
+      |                ELSE 1.0 / (60 + ra) END +
+      |              CASE WHEN rb IS NULL THEN 0.0
+      |                ELSE 1.0 / (60 + rb) END, 6) AS rrf,
+      |        ra AS rank_a, rb AS rank_b
+      |      FROM lex l FULL OUTER JOIN vec v
+      |      ON l.qid = v.qid AND l.id = v.id)
+      |SELECT qid, rank, id, rrf, rank_a, rank_b
+      |FROM (SELECT qid, id, rrf, rank_a, rank_b, row_number()
+      |        OVER (PARTITION BY qid ORDER BY rrf DESC, id) AS rank
+      |      FROM f)
+      |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
@@ -3835,5 +3925,5 @@ object ExtQueries {
     q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q351,
     q357, q361, q362, q363, q366, q367, q370, q372, q373, q375, q376, q378,
-    q379)
+    q379, q380)
 }

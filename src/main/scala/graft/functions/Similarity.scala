@@ -239,13 +239,20 @@ object Similarity {
                       qId: Column, k: Int,
                       centroids: Seq[(Long, Array[Double])],
                       nProbe: Int = 4,
-                      dedupCandidates: Boolean = false): DataFrame = {
+                      dedupCandidates: Boolean = false,
+                      excludeSelf: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = queries.select(qId.as("qid"), qEmb.cast("array<double>").as("__q"))
       .withColumn("cell", explode(nearestCells(col("__q"), centroids, nProbe)))
       .withColumn("__qn", l2(col("__q")))
     val w = Window.partitionBy("qid").orderBy(desc("__cos"), col("id"))
-    val cand0 = index.join(q, "cell")
+    // excludeSelf drops qid = id pairs BEFORE ranking (the bruteKnnJoin
+    // contract): a corpus-drawn query must not spend a top-k rank on its
+    // trivial self hit
+    val cand00 = index.join(q, "cell")
+    val candJ = if (excludeSelf) cand00.where(col("id") =!= col("qid"))
+    else cand00
+    val cand0 = candJ
       .select(col("qid"), col("id"),
         (dot(col("emb"), col("__q")) / (col("nrm") * col("__qn"))).as("__cos"))
     val cand = if (dedupCandidates)
