@@ -3915,6 +3915,70 @@ object ExtQueries {
       |      FROM f)
       |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin))
 
+  /** [[Similarity.hardNegativeMine]] (q381): per anchor (the
+    * vec_id % 50 panel), the 10 highest-cosine vectors with a
+    * DIFFERENT label, near-dup screened (rounded cos < 0.98 — a
+    * too-close cross-label pair is a mislabeled duplicate, not
+    * training signal). The contrastive-learning data op. */
+  private val q381 = QDef("q381_hard_negatives",
+    (s, dir) => {
+      val e = T(s, dir, "embeddings")
+      Similarity.hardNegativeMine(e, col("embedding"), col("vec_id"),
+          col("label"), e.where(col("vec_id") % 50 === 0), col("embedding"),
+          col("vec_id"), col("label"), k = 10, dupCos = 0.98)
+        .select(col("qid"), col("rank"), col("id"), col("neg_label"),
+          round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy("qid", "rank")
+    },
+    Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |a AS (SELECT vec_id AS qid, label AS qlab, emb AS qemb FROM e
+      |      WHERE vec_id % 50 = 0),
+      |cand AS (SELECT a.qid, c.vec_id AS id, c.label AS neg_label,
+      |           list_cosine_similarity(c.emb, a.qemb) AS cs
+      |         FROM e c JOIN a ON c.label <> a.qlab
+      |         WHERE round(list_cosine_similarity(c.emb, a.qemb), 4) < 0.98),
+      |rk AS (SELECT qid, id, neg_label, cs,
+      |         row_number() OVER (PARTITION BY qid ORDER BY cs DESC, id) AS rank
+      |       FROM cand)
+      |SELECT qid, rank, id, neg_label, round(cs, 4) AS cos_sim
+      |FROM rk WHERE rank <= 10 ORDER BY qid, rank""".stripMargin))
+
+  /** [[Similarity.contrastiveTriplets]] (q382): training-ready
+    * (anchor, positive, hard-negative) rows — positive = nearest OTHER
+    * same-label vector (clones welcome), negatives = q381's screened
+    * top-3, flat one-row-per-negative with the positive repeated. */
+  private val q382 = QDef("q382_contrastive_triplets",
+    (s, dir) => Similarity.contrastiveTriplets(T(s, dir, "embeddings"),
+        col("embedding"), col("vec_id"), col("label"),
+        col("vec_id") % 50 === 0, nNeg = 3, dupCos = 0.98)
+      .select(col("qid"), col("anchor_label"), col("pos_id"),
+        round(col("pos_cos"), 4).as("pos_cos"), col("rank"), col("neg_id"),
+        col("neg_label"), round(col("neg_cos"), 4).as("neg_cos"))
+      .orderBy("qid", "rank"),
+    Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |a AS (SELECT vec_id AS qid, label AS qlab, emb AS qemb FROM e
+      |      WHERE vec_id % 50 = 0),
+      |p0 AS (SELECT a.qid, a.qlab, c.vec_id AS pos_id,
+      |         list_cosine_similarity(c.emb, a.qemb) AS cs,
+      |         row_number() OVER (PARTITION BY a.qid ORDER BY
+      |           list_cosine_similarity(c.emb, a.qemb) DESC, c.vec_id) AS rn
+      |       FROM e c JOIN a ON c.label = a.qlab AND c.vec_id <> a.qid),
+      |pos AS (SELECT qid, qlab AS anchor_label, pos_id, round(cs, 4) AS pos_cos
+      |        FROM p0 WHERE rn = 1),
+      |n0 AS (SELECT a.qid, c.vec_id AS neg_id, c.label AS neg_label,
+      |         list_cosine_similarity(c.emb, a.qemb) AS cs
+      |       FROM e c JOIN a ON c.label <> a.qlab
+      |       WHERE round(list_cosine_similarity(c.emb, a.qemb), 4) < 0.98),
+      |neg AS (SELECT qid, neg_id, neg_label, round(cs, 4) AS neg_cos, rank
+      |        FROM (SELECT qid, neg_id, neg_label, cs,
+      |                row_number() OVER (PARTITION BY qid
+      |                  ORDER BY cs DESC, neg_id) AS rank
+      |              FROM n0) WHERE rank <= 3)
+      |SELECT p.qid, p.anchor_label, p.pos_id, p.pos_cos,
+      |       n.rank, n.neg_id, n.neg_label, n.neg_cos
+      |FROM pos p JOIN neg n ON p.qid = n.qid
+      |ORDER BY p.qid, n.rank""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
@@ -3925,5 +3989,5 @@ object ExtQueries {
     q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q351,
     q357, q361, q362, q363, q366, q367, q370, q372, q373, q375, q376, q378,
-    q379, q380)
+    q379, q380, q381, q382)
 }

@@ -63,6 +63,83 @@ object Similarity {
       .select(col("qid"), col("rank"), col("id"), col("__cos").as("cos_sim"))
   }
 
+  /** HARD-NEGATIVE MINING for contrastive training data: per anchor
+    * (query row), the `k` highest-cosine corpus rows whose label
+    * DIFFERS from the anchor's — similar-looking but semantically
+    * distinct, the examples a contrastive objective learns most from
+    * (the in-batch-negatives literature's "hard" tier) — with a
+    * near-duplicate screen: a cross-label pair at cosine ≥ `dupCos`
+    * (compared on the 4-dp rounding both engines share, the q28
+    * convention) is far more likely a mislabeled duplicate than a hard
+    * negative, so it is dropped BEFORE ranking rather than served as
+    * training signal. Same scale shape as [[bruteKnnJoin]]: anchor
+    * panel broadcasts with precomputed norms, corpus streams once, no
+    * corpus-side shuffle; only candidates reach the rank window. At
+    * corpus scale the exact pass swaps for the staged IVF leg
+    * ([[ivfKnnJoinIndex]]) with the same label/dup filters on the
+    * candidate set. */
+  def hardNegativeMine(corpus: DataFrame, cEmb: Column, cId: Column,
+                       cLab: Column, queries: DataFrame, qEmb: Column,
+                       qId: Column, qLab: Column, k: Int,
+                       dupCos: Double = 0.98): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(cId.as("id"), cLab.as("neg_label"),
+        cEmb.cast("array<double>").as("__e"))
+      .withColumn("__n", l2(col("__e")))
+    val q = queries.select(qId.as("qid"), qLab.as("__qlab"),
+        qEmb.cast("array<double>").as("__q"))
+      .withColumn("__qn", l2(col("__q")))
+    val w = Window.partitionBy("qid").orderBy(desc("__cos"), col("id"))
+    c.crossJoin(broadcast(q))
+      .where(col("neg_label") =!= col("__qlab"))
+      .select(col("qid"), col("id"), col("neg_label"),
+        (dot(col("__e"), col("__q")) / (col("__n") * col("__qn"))).as("__cos"))
+      .where(round(col("__cos"), 4) < dupCos)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("neg_label"),
+        col("__cos").as("cos_sim"))
+  }
+
+  /** CONTRASTIVE TRIPLET ASSEMBLY: the training-ready (anchor,
+    * positive, hard-negative) rows an embedding-model data pipeline
+    * emits. Per anchor: positive = the nearest OTHER same-label row
+    * (a near-dup clone is the ideal positive, so no dup screen on this
+    * side), negatives = the top-`nNeg` [[hardNegativeMine]] rows
+    * (different label, near-dup screened). Output is flat — one row
+    * per (anchor, negative) with the positive repeated — keyed
+    * (qid, rank). Anchors with no same-label sibling drop (inner
+    * join): they cannot form a triplet. Two corpus passes total
+    * (positive leg + negative leg), each the [[bruteKnnJoin]] shape:
+    * anchor panel broadcast, corpus streamed once, no corpus-side
+    * shuffle. */
+  def contrastiveTriplets(corpus: DataFrame, emb: Column, id: Column,
+                          lab: Column, isAnchor: Column, nNeg: Int,
+                          dupCos: Double = 0.98): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(id.as("id"), lab.as("lab"),
+        emb.cast("array<double>").as("__e"))
+      .withColumn("__n", l2(col("__e")))
+    val anchors = corpus.where(isAnchor)
+    val q = anchors.select(id.as("qid"), lab.as("__qlab"),
+        emb.cast("array<double>").as("__q"))
+      .withColumn("__qn", l2(col("__q")))
+    val w = Window.partitionBy("qid").orderBy(desc("__cos"), col("id"))
+    val pos = c.crossJoin(broadcast(q))
+      .where(col("lab") === col("__qlab") && col("id") =!= col("qid"))
+      .select(col("qid"), col("__qlab").as("anchor_label"), col("id"),
+        (dot(col("__e"), col("__q")) / (col("__n") * col("__qn"))).as("__cos"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("qid"), col("anchor_label"), col("id").as("pos_id"),
+        col("__cos").as("pos_cos"))
+    val negs = hardNegativeMine(corpus, emb, id, lab,
+      anchors, emb, id, lab, k = nNeg, dupCos = dupCos)
+      .select(col("qid"), col("rank"), col("id").as("neg_id"),
+        col("neg_label"), col("cos_sim").as("neg_cos"))
+    pos.join(negs, "qid")
+  }
+
   /** Deterministic Rademacher (±1) hyperplane for a plane index: one sign
     * per dimension from a fixed-seed hash. ±1 components (instead of
     * continuous pseudo-random ones) keep the hyperplane constants small

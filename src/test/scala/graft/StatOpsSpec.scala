@@ -289,6 +289,46 @@ class StatOpsSpec extends SparkSpec {
     }
   }
 
+  test("hardNegativeMine: same-label rows never rank, the planted " +
+    "mislabeled clone (cos ~ 1, other label) is screened, true hard " +
+    "negative outranks the easy one") {
+    val df = Seq(
+      (0L, 0, Array(1.0, 0.0)),    // anchor
+      (1L, 0, Array(0.9, 0.1)),    // same label — excluded by definition
+      (2L, 1, Array(1.0, 0.001)),  // mislabeled clone — dup-screened
+      (3L, 1, Array(0.8, 0.6)),    // hard negative, cos 0.8
+      (4L, 1, Array(0.0, 1.0)))    // easy negative, cos 0
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.hardNegativeMine(df, col("embedding"),
+      col("vec_id"), col("label"), df.where(col("vec_id") === 0),
+      col("embedding"), col("vec_id"), col("label"), k = 5)
+      .select("qid", "rank", "id", "neg_label")
+      .as[(Long, Int, Long, Int)].collect().toSeq.sortBy(_._2)
+    assert(out === Seq((0L, 1, 3L, 1), (0L, 2, 4L, 1)))
+  }
+
+  test("contrastiveTriplets: positive = nearest same-label sibling, " +
+    "negatives = the screened hard-negative ranks, flat per-negative rows; " +
+    "anchors without a sibling drop") {
+    val df = Seq(
+      (0L, 0, Array(1.0, 0.0)),    // anchor with sibling
+      (1L, 0, Array(0.9, 0.1)),    // its positive
+      (2L, 1, Array(1.0, 0.001)),  // dup-screened
+      (3L, 1, Array(0.8, 0.6)),
+      (4L, 1, Array(0.0, 1.0)),
+      (5L, 2, Array(0.5, 0.5)))    // anchor WITHOUT a same-label sibling
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.contrastiveTriplets(df, col("embedding"),
+      col("vec_id"), col("label"), col("vec_id") === 0 || col("vec_id") === 5,
+      nNeg = 2)
+      .select("qid", "anchor_label", "pos_id", "rank", "neg_id", "neg_label")
+      .as[(Long, Int, Long, Int, Long, Int)].collect().toSeq.sortBy(_._4)
+    // anchor 5 has no label=2 sibling: no triplet rows for it at all
+    assert(out.forall(_._1 == 0L))
+    // negatives by cos: id3 (0.8, label 1) then id5 (0.707, label 2)
+    assert(out === Seq((0L, 0, 1L, 1, 3L, 1), (0L, 0, 1L, 2, 5L, 2)))
+  }
+
   // --------------------------------------------------- mutual information
 
   test("mutualInformation: identical columns give ln(2); independence 0") {
