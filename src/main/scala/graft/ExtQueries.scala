@@ -3979,6 +3979,69 @@ object ExtQueries {
       |FROM pos p JOIN neg n ON p.qid = n.qid
       |ORDER BY p.qid, n.rank""".stripMargin))
 
+  /** Unrolled greedy MMR steps for the DuckDB oracle (the kmeansCtes
+    * convention: a constant-step sequential algorithm replayed as k
+    * chained CTEs). Expects `cand(qid, id, rel)` (rel 4-dp rounded)
+    * and `ps(qid, ida, idb, sim)` (4-dp rounded pairwise candidate
+    * sims, both directions). Ends in `sel$k(qid, id, score, pick)`.
+    * The lambda literals interpolate at full double precision so both
+    * engines multiply identical constants. */
+  private def mmrStepCtes(k: Int, lambda: Double): String = {
+    val mu = 1.0 - lambda
+    val steps = (2 to k).map { n =>
+      s"""pick$n AS (SELECT qid, id, score, $n AS pick FROM (
+         |  SELECT c.qid, c.id,
+         |    round($lambda*c.rel - $mu*coalesce(m.ms, 0.0), 6) AS score,
+         |    row_number() OVER (PARTITION BY c.qid ORDER BY
+         |      round($lambda*c.rel - $mu*coalesce(m.ms, 0.0), 6) DESC, c.id) AS rn
+         |  FROM cand c
+         |  LEFT JOIN (SELECT ps.qid, ps.ida AS id, max(ps.sim) AS ms
+         |             FROM ps JOIN sel${n - 1} s ON ps.qid = s.qid AND ps.idb = s.id
+         |             GROUP BY 1, 2) m ON m.qid = c.qid AND m.id = c.id
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${n - 1} s
+         |                    WHERE s.qid = c.qid AND s.id = c.id))
+         |  WHERE rn = 1),
+         |sel$n AS (SELECT * FROM sel${n - 1} UNION ALL SELECT * FROM pick$n)""".stripMargin
+    }.mkString(",\n")
+    s"""sel1 AS (SELECT qid, id, round($lambda*rel - $mu*0.0, 6) AS score, 1 AS pick FROM (
+       |  SELECT qid, id, rel, row_number() OVER (PARTITION BY qid
+       |    ORDER BY round($lambda*rel - $mu*0.0, 6) DESC, id) AS rn FROM cand)
+       |  WHERE rn = 1),
+       |$steps""".stripMargin
+  }
+
+  /** [[Similarity.mmrDiversify]] (q383): MMR re-rank of each anchor's
+    * exact top-20 cosine shortlist — pick 5, lambda = 0.7. The greedy
+    * loop runs inside ONE higher-order expression per query row (one
+    * groupBy shuffle, zero iterative jobs); the oracle unrolls the
+    * five greedy steps. */
+  private val q383 = QDef("q383_mmr_diversify",
+    (s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val cands = Similarity.bruteKnnJoin(e, col("embedding"), col("vec_id"),
+          e.where(col("vec_id") % 50 === 0), col("embedding"), col("vec_id"),
+          k = 20, excludeSelf = true)
+        .join(e.select(col("vec_id").as("id"), col("embedding")), "id")
+      Similarity.mmrDiversify(cands, col("qid"), col("id"),
+          round(col("cos_sim"), 4), col("embedding"), k = 5, lambda = 0.7)
+        .orderBy("qid", "pick")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |a AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id % 50 = 0),
+      |c0 AS (SELECT a.qid, c.vec_id AS id, c.emb,
+      |         list_cosine_similarity(c.emb, a.qemb) AS cs
+      |       FROM e c JOIN a ON c.vec_id <> a.qid),
+      |cand0 AS (SELECT qid, id, emb, round(cs, 4) AS rel FROM (
+      |         SELECT qid, id, emb, cs, row_number() OVER (PARTITION BY qid
+      |           ORDER BY cs DESC, id) AS rn FROM c0) WHERE rn <= 20),
+      |cand AS (SELECT qid, id, rel FROM cand0),
+      |ps AS (SELECT x.qid, x.id AS ida, y.id AS idb,
+      |         round(list_cosine_similarity(x.emb, y.emb), 4) AS sim
+      |       FROM cand0 x JOIN cand0 y ON x.qid = y.qid AND x.id <> y.id),
+      |${mmrStepCtes(5, 0.7)}
+      |SELECT qid, pick, id, score AS mmr FROM sel5
+      |ORDER BY qid, pick""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
@@ -3989,5 +4052,5 @@ object ExtQueries {
     q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q351,
     q357, q361, q362, q363, q366, q367, q370, q372, q373, q375, q376, q378,
-    q379, q380, q381, q382)
+    q379, q380, q381, q382, q383)
 }

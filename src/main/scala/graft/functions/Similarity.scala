@@ -140,6 +140,67 @@ object Similarity {
     pos.join(negs, "qid")
   }
 
+  /** MAXIMAL MARGINAL RELEVANCE diversification (Carbonell & Goldstein
+    * 1998) over a per-query candidate list: greedily pick `k` items,
+    * each maximizing `lambda·rel − (1−lambda)·max_sim_to_already_picked`
+    * (ties to the lower id). The serving-side diversity op (don't show
+    * ten copies of the best hit) and the data-selection op (pick a
+    * diverse subset of a near-dup-heavy shortlist).
+    *
+    * Spark shape: MMR is sequential in k by definition, but the
+    * candidate list is SMALL by construction (a shortlist, not the
+    * corpus), so the whole greedy loop runs INSIDE one row — groupBy
+    * qid collects the ≤kCand candidate structs, then a single
+    * `aggregate(sequence(1,k), …)` higher-order expression performs
+    * the k picks with pairwise sims computed on demand (zip_with dot
+    * over the carried embeddings). ONE shuffle (the groupBy), zero
+    * iterative jobs, no driver-side loop — the 100 TB cost is the
+    * candidate generation, never this.
+    *
+    * Determinism: `rel` must arrive 4-dp rounded; internal sims round
+    * to 4 dp and scores to 6 dp before the argmax, so the DuckDB
+    * oracle (k unrolled greedy CTE steps) reproduces every pick
+    * bit-exactly. */
+  def mmrDiversify(cands: DataFrame, qid: Column, id: Column, rel: Column,
+                   emb: Column, k: Int, lambda: Double): DataFrame = {
+    val c = cands.select(qid.as("qid"), id.as("id"), rel.as("rel"),
+        emb.cast("array<double>").as("__e"))
+      .withColumn("__n", l2(col("__e")))
+    val g = c.groupBy("qid").agg(array_sort(collect_list(struct(
+      col("id"), col("rel"), col("__e").as("emb"), col("__n").as("nrm")))).as("cs"))
+    def sim(a: Column, b: Column, na: Column, nb: Column): Column =
+      round(aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0),
+        (s, x) => s + x) / (na * nb), 4)
+    // correctly-typed empty accumulator: a one-element array sliced to zero
+    val emptyAcc = slice(array(struct(lit(0).as("pick"), lit(0L).as("id"),
+      lit(0.0).as("score"), array(lit(0.0)).as("emb"), lit(0.0).as("nrm"))), 1, 0)
+    val sel = aggregate(sequence(lit(1), lit(k)), emptyAcc, (acc, i) => {
+      val remaining = filter(col("cs"),
+        cd => !exists(acc, a => a.getField("id") === cd.getField("id")))
+      val scored = transform(remaining, cd => {
+        val ms = coalesce(array_max(transform(acc, a =>
+          sim(cd.getField("emb"), a.getField("emb"),
+            cd.getField("nrm"), a.getField("nrm")))), lit(0.0))
+        struct(
+          round(lit(lambda) * cd.getField("rel") - lit(1.0 - lambda) * ms, 6)
+            .as("score"),
+          (-cd.getField("id")).as("nid"), // lexicographic max = score desc, id asc
+          cd.getField("id").as("id"),
+          cd.getField("emb").as("emb"),
+          cd.getField("nrm").as("nrm"))
+      })
+      val best = array_max(scored)
+      when(size(scored) > 0,
+        concat(acc, array(struct(i.cast("int").as("pick"),
+          best.getField("id").as("id"), best.getField("score").as("score"),
+          best.getField("emb").as("emb"), best.getField("nrm").as("nrm")))))
+        .otherwise(acc)
+    })
+    g.select(col("qid"), explode(sel).as("s"))
+      .select(col("qid"), col("s.pick").as("pick"), col("s.id").as("id"),
+        col("s.score").as("mmr"))
+  }
+
   /** Deterministic Rademacher (±1) hyperplane for a plane index: one sign
     * per dimension from a fixed-seed hash. ±1 components (instead of
     * continuous pseudo-random ones) keep the hyperplane constants small

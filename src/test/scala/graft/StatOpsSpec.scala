@@ -329,6 +329,24 @@ class StatOpsSpec extends SparkSpec {
     assert(out === Seq((0L, 0, 1L, 1, 3L, 1), (0L, 0, 1L, 2, 5L, 2)))
   }
 
+  test("mmrDiversify: pick-1's exact clone is deferred behind the diverse " +
+    "candidate; k beyond the candidate count stops gracefully") {
+    val s3 = math.sqrt(0.19)
+    // rel(id1)=rel(id2)=rel(id3)=0.9; sim(1,2)=1 (clone), sim(1,3)=0.62
+    val cands = Seq(
+      (7L, 1L, 0.9, Array(0.9, s3, 0.0)),
+      (7L, 2L, 0.9, Array(0.9, s3, 0.0)),
+      (7L, 3L, 0.9, Array(0.9, -s3, 0.0)))
+      .toDF("qid", "id", "rel", "emb")
+    val out = Similarity.mmrDiversify(cands, col("qid"), col("id"),
+      col("rel"), col("emb"), k = 5, lambda = 0.7)
+      .as[(Long, Int, Long, Double)].collect().toSeq.sortBy(_._2)
+    assert(out.map(_._2) === Seq(1, 2, 3)) // only 3 candidates despite k=5
+    assert(out.map(_._3) === Seq(1L, 3L, 2L)) // clone (id2) drops to last
+    // scores: 0.7*0.9 - 0.3*{0, 0.62, 1.0}
+    assert(out.map(_._4) === Seq(0.63, 0.444, 0.33))
+  }
+
   // --------------------------------------------------- mutual information
 
   test("mutualInformation: identical columns give ln(2); independence 0") {
