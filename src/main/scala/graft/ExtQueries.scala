@@ -4042,6 +4042,61 @@ object ExtQueries {
       |SELECT qid, pick, id, score AS mmr FROM sel5
       |ORDER BY qid, pick""".stripMargin))
 
+  /** FILTERED VECTOR SEARCH (q384): top-k among vectors whose linked
+    * document satisfies a metadata predicate — in this engine pure
+    * COMPOSITION, which is the point: the metadata column denormalizes
+    * into the staged IVF index at build time (one join per corpus
+    * build), so serving is `index.where(pred)` + the SAME
+    * [[Similarity.ivfKnnJoinIndex]] — a PRE-FILTER plan where the
+    * predicate pushes into the bucketed index scan (zero serving-time
+    * joins, no post-filter k-deficit: the rank window only ever sees
+    * qualifying rows). A dedicated vector DB grows a "filtered search"
+    * API; a relational engine already has one. */
+  private val q384 = QDef("q384_filtered_ann",
+    (s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val e = T(s, dir, "embeddings")
+      val docs = T(s, dir, "documents")
+      val cents = trainedCodebook(s, dir, c = 16, iters = 2)
+      val idx = s"graft_ivf_filt_$tag"
+      Staging.stageBucketed(
+        Similarity.ivfIndexFrame(e, col("embedding"), col("vec_id"), cents)
+          .join(docs.select(col("doc_id").as("id"), col("source")), "id"),
+        idx, "cell", 8)
+      Similarity.ivfKnnJoinIndex(
+          Staging.load(s, idx)
+            .where(col("source").isin("src0", "src1", "src2")),
+          e.where(col("vec_id") % 50 === 0), col("embedding"), col("vec_id"),
+          k = 5, centroids = cents, nProbe = 4, excludeSelf = true)
+        .join(docs.select(col("doc_id").as("id"), col("source")), "id")
+        .select(col("qid"), col("rank"), col("id"), col("source"),
+          round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy("qid", "rank")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |${kmeansCtes(16, 64, 2)},
+      |a0 AS (SELECT e.vec_id, e.emb, c.cid,
+      |         row_number() OVER (PARTITION BY e.vec_id
+      |           ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC, c.cid) AS rn
+      |       FROM e, c),
+      |assign AS (SELECT a0.vec_id, a0.emb, a0.cid AS cell, d.source
+      |           FROM a0 JOIN documents d ON d.doc_id = a0.vec_id
+      |           WHERE rn = 1 AND d.source IN ('src0', 'src1', 'src2')),
+      |q0 AS (SELECT e.vec_id AS qid, e.emb AS qemb, c.cid AS cell,
+      |         row_number() OVER (PARTITION BY e.vec_id
+      |           ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC, c.cid) AS rn
+      |       FROM e, c WHERE e.vec_id % 50 = 0),
+      |qp AS (SELECT qid, qemb, cell FROM q0 WHERE rn <= 4),
+      |cand AS (SELECT qp.qid, a.vec_id AS id, a.source,
+      |           list_cosine_similarity(a.emb, qp.qemb) AS cs
+      |         FROM assign a JOIN qp ON a.cell = qp.cell
+      |         WHERE a.vec_id <> qp.qid),
+      |rk AS (SELECT qid, id, source, cs,
+      |         row_number() OVER (PARTITION BY qid ORDER BY cs DESC, id) AS rank
+      |       FROM cand)
+      |SELECT qid, rank, id, source, round(cs, 4) AS cos_sim
+      |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
@@ -4052,5 +4107,5 @@ object ExtQueries {
     q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q351,
     q357, q361, q362, q363, q366, q367, q370, q372, q373, q375, q376, q378,
-    q379, q380, q381, q382, q383)
+    q379, q380, q381, q382, q383, q384)
 }

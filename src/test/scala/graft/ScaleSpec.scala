@@ -122,6 +122,44 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("filtered ANN (q384 shape): the metadata predicate pushes into " +
+      "the bucketed index scan, and pre-filtered serving equals the " +
+      "inline pre-filtered join") {
+    val e = Tables.t(spark, sf, "embeddings")
+    val docs = Tables.t(spark, sf, "documents")
+    val cents = Similarity.kmeansCentroids(e, col("embedding"),
+      col("vec_id"), c = 8, iters = 1)
+    Staging.stageBucketed(
+      Similarity.ivfIndexFrame(e, col("embedding"), col("vec_id"), cents)
+        .join(docs.select(col("doc_id").as("id"), col("source")), "id"),
+      "b_ivf_filt", "cell", 4)
+    val pred = col("source").isin("src0", "src1", "src2")
+    val queries = e.filter(col("label") === 1)
+    val served = Similarity.ivfKnnJoinIndex(
+      Staging.load(spark, "b_ivf_filt").where(pred),
+      queries, col("embedding"), col("vec_id"), k = 3,
+      centroids = cents, nProbe = 2)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"),
+      s"filtered index scan must stay bucketed:\n$plan")
+    assert(plan.contains("PushedFilters") && "In\\(source".r
+        .findFirstIn(plan).nonEmpty,
+      s"source predicate not pushed to the index scan:\n$plan")
+    // truth: pre-filter the corpus relationally, then the inline join
+    val corpusF = e
+      .join(docs.select(col("doc_id").as("vec_id"), col("source")), "vec_id")
+      .where(pred)
+    val inline = Similarity.ivfKnnJoin(corpusF, col("embedding"),
+      col("vec_id"), queries, col("embedding"), col("vec_id"), k = 3,
+      centroids = cents, nProbe = 2)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("qid"), col("rank"), col("id"),
+          round(col("cos_sim"), 6).as("c"))
+        .orderBy("qid", "rank").collect().toSeq
+    assert(canon(served) === canon(inline))
+    assert(canon(served).nonEmpty)
+  }
+
   test("ivfRecallCurve panelFrac: the deterministic panel subsample " +
       "equals the full computation on the pre-filtered panel") {
     val e = Tables.t(spark, sf, "embeddings")
