@@ -4097,6 +4097,140 @@ object ExtQueries {
       |SELECT qid, rank, id, source, round(cs, 4) AS cos_sim
       |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin))
 
+  /** STAGED INVERTED INDEX serving (q385): the lexical leg joins the
+    * LSH (q353) and IVF (q357) indexes in the staging symmetry — corpus
+    * tokenize-and-count runs once into postings bucketed by `term`
+    * ([[Curate.tokenPostings]]), a later arrival day APPENDS O(batch)
+    * posting rows (tf is per-document, so append ≡ rebuild EXACTLY),
+    * and serving ([[Curate.tfidfTopKFromPostings]]) starts from the
+    * bucketed scan: no tokenization at serve time, df/N one
+    * term-local agg satisfied by the bucket distribution. The oracle
+    * is the inline chain over the full corpus — the append ≡ rebuild
+    * proof, the q361 convention for text. */
+  private val q385 = QDef("q385_lexical_index_staged",
+    (s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val docs = T(s, dir, "documents")
+      val posts = s"graft_postings_$tag"
+      Staging.stageBucketed(
+        Curate.tokenPostings(docs.where(col("doc_id") < 300),
+          col("doc_id"), col("text")), posts, "term", 8)
+      Staging.appendBucketed(
+        Curate.tokenPostings(docs.where(col("doc_id") >= 300),
+          col("doc_id"), col("text")), posts, "term", 8)
+      Curate.tfidfTopKFromPostings(Staging.load(s, posts),
+          col("id") % 50 === 0, kLex = 10)
+        .orderBy("qid", "rank")
+    },
+    Some("""WITH tok AS (SELECT id, term, CAST(count(*) AS BIGINT) AS tf
+      |      FROM (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term
+      |            FROM documents WHERE doc_id IS NOT NULL)
+      |      GROUP BY 1, 2),
+      |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tok
+      |        GROUP BY 1),
+      |nd AS (SELECT CAST(count(DISTINCT id) AS BIGINT) AS nd FROM tok),
+      |w0 AS (SELECT id, term,
+      |        CAST(round(CAST(tf AS DOUBLE) *
+      |          ln(CAST(nd AS DOUBLE) / df) * 1000.0, 0) AS BIGINT) AS w3
+      |      FROM tok JOIN dft USING (term) CROSS JOIN nd),
+      |w AS (SELECT id, term, w3 FROM w0 WHERE w3 <> 0),
+      |nr AS (SELECT id, CAST(sum(w3 * w3) AS BIGINT) AS nrm FROM w
+      |       GROUP BY 1),
+      |dt AS (SELECT q.id AS qid, c.id AS id,
+      |        CAST(sum(q.w3 * c.w3) AS BIGINT) AS dot
+      |      FROM w q JOIN w c ON q.term = c.term AND c.id <> q.id
+      |      WHERE q.id % 50 = 0 GROUP BY 1, 2),
+      |lex0 AS (SELECT qid, dt.id AS id, CAST(dot AS DOUBLE) /
+      |          nullif(sqrt(CAST(nq.nrm AS DOUBLE) * nc.nrm), 0.0) AS cos
+      |        FROM dt JOIN nr nq ON nq.id = dt.qid
+      |        JOIN nr nc ON nc.id = dt.id)
+      |SELECT qid, id, rank FROM (SELECT qid, id, row_number()
+      |    OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank
+      |  FROM lex0) WHERE rank <= 10
+      |ORDER BY qid, rank""".stripMargin))
+
+  /** IDF-STALENESS pricing (q386, the q371/codebook-drift convention
+    * for the lexical index): serving the GROWN postings with df/N
+    * FROZEN at the day-0 snapshot (the production cadence — stats
+    * rebuild only at compaction; terms the snapshot never saw carry no
+    * weight) vs fresh stats, per query the top-10 lists compared as an
+    * overlap census. The oracle replays BOTH weight chains and the
+    * intersection arithmetic. */
+  private val q386 = QDef("q386_lexical_idf_drift",
+    (s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val docs = T(s, dir, "documents")
+      val posts = s"graft_postdrift_$tag"
+      Staging.stageBucketed(
+        Curate.tokenPostings(docs, col("doc_id"), col("text")),
+        posts, "term", 8)
+      val staged = Staging.load(s, posts)
+      val isQ = col("id") % 50 === 0
+      val fresh = Curate.tfidfTopKFromPostings(staged, isQ, kLex = 10)
+      val stale = Curate.tfidfTopKFromPostings(staged, isQ, kLex = 10,
+        statsPostings = Some(staged.where(col("id") < 300)))
+      fresh.select(col("qid"), col("id")).intersect(
+          stale.select(col("qid"), col("id")))
+        .groupBy("qid").agg(count(lit(1)).as("n_common"))
+        .join(fresh.groupBy("qid").agg(count(lit(1)).as("n_fresh")), "qid")
+        .join(stale.groupBy("qid").agg(count(lit(1)).as("n_stale")), "qid")
+        .select(col("qid"), col("n_fresh"), col("n_stale"), col("n_common"))
+        .orderBy("qid")
+    },
+    Some("""WITH tok AS (SELECT id, term, CAST(count(*) AS BIGINT) AS tf
+      |      FROM (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term
+      |            FROM documents WHERE doc_id IS NOT NULL)
+      |      GROUP BY 1, 2),
+      |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tok
+      |        GROUP BY 1),
+      |nd AS (SELECT CAST(count(DISTINCT id) AS BIGINT) AS nd FROM tok),
+      |sdft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tok
+      |         WHERE id < 300 GROUP BY 1),
+      |snd AS (SELECT CAST(count(DISTINCT id) AS BIGINT) AS nd FROM tok
+      |        WHERE id < 300),
+      |wf0 AS (SELECT id, term,
+      |         CAST(round(CAST(tf AS DOUBLE) *
+      |           ln(CAST(nd AS DOUBLE) / df) * 1000.0, 0) AS BIGINT) AS w3
+      |       FROM tok JOIN dft USING (term) CROSS JOIN nd),
+      |wf AS (SELECT id, term, w3 FROM wf0 WHERE w3 <> 0),
+      |ws0 AS (SELECT id, term,
+      |         CAST(round(CAST(tf AS DOUBLE) *
+      |           ln(CAST(nd AS DOUBLE) / df) * 1000.0, 0) AS BIGINT) AS w3
+      |       FROM tok JOIN sdft USING (term) CROSS JOIN snd),
+      |ws AS (SELECT id, term, w3 FROM ws0 WHERE w3 <> 0),
+      |nrf AS (SELECT id, CAST(sum(w3 * w3) AS BIGINT) AS nrm FROM wf
+      |        GROUP BY 1),
+      |nrs AS (SELECT id, CAST(sum(w3 * w3) AS BIGINT) AS nrm FROM ws
+      |        GROUP BY 1),
+      |dtf AS (SELECT q.id AS qid, c.id AS id,
+      |         CAST(sum(q.w3 * c.w3) AS BIGINT) AS dot
+      |       FROM wf q JOIN wf c ON q.term = c.term AND c.id <> q.id
+      |       WHERE q.id % 50 = 0 GROUP BY 1, 2),
+      |dts AS (SELECT q.id AS qid, c.id AS id,
+      |         CAST(sum(q.w3 * c.w3) AS BIGINT) AS dot
+      |       FROM ws q JOIN ws c ON q.term = c.term AND c.id <> q.id
+      |       WHERE q.id % 50 = 0 GROUP BY 1, 2),
+      |lf AS (SELECT qid, id FROM (SELECT qid, dtf.id AS id, row_number()
+      |          OVER (PARTITION BY qid ORDER BY CAST(dot AS DOUBLE) /
+      |            nullif(sqrt(CAST(nq.nrm AS DOUBLE) * nc.nrm), 0.0) DESC,
+      |            dtf.id) AS rank
+      |        FROM dtf JOIN nrf nq ON nq.id = dtf.qid
+      |        JOIN nrf nc ON nc.id = dtf.id) WHERE rank <= 10),
+      |ls AS (SELECT qid, id FROM (SELECT qid, dts.id AS id, row_number()
+      |          OVER (PARTITION BY qid ORDER BY CAST(dot AS DOUBLE) /
+      |            nullif(sqrt(CAST(nq.nrm AS DOUBLE) * nc.nrm), 0.0) DESC,
+      |            dts.id) AS rank
+      |        FROM dts JOIN nrs nq ON nq.id = dts.qid
+      |        JOIN nrs nc ON nc.id = dts.id) WHERE rank <= 10)
+      |SELECT f.qid, f.n_fresh, s.n_stale, c.n_common
+      |FROM (SELECT qid, count(*) AS n_fresh FROM lf GROUP BY 1) f
+      |JOIN (SELECT qid, count(*) AS n_stale FROM ls GROUP BY 1) s
+      |  ON f.qid = s.qid
+      |JOIN (SELECT qid, count(*) AS n_common FROM
+      |        (SELECT qid, id FROM lf INTERSECT SELECT qid, id FROM ls)
+      |      GROUP BY 1) c ON f.qid = c.qid
+      |ORDER BY f.qid""".stripMargin))
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
@@ -4107,5 +4241,5 @@ object ExtQueries {
     q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q351,
     q357, q361, q362, q363, q366, q367, q370, q372, q373, q375, q376, q378,
-    q379, q380, q381, q382, q383, q384)
+    q379, q380, q381, q382, q383, q384, q385, q386)
 }

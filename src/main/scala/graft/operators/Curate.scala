@@ -266,15 +266,61 @@ object Curate {
     * one-partition-coalesce trap [[tfidfCosinePairs]] documents). */
   def tfidfQueryTopK(df: DataFrame, id: Column, text: Column,
                      isQuery: Column, kLex: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // isQuery may reference any source column, so it resolves in the
+    // same select that still sees them (before the postings rename)
     val tok = df.select(id.as("id"), isQuery.as("isq"),
         explode(split(text, " ")).as("term"))
       .where(col("id").isNotNull)
       .groupBy("id", "isq", "term").agg(count(lit(1)).as("tf"))
-    val dfT = tok.groupBy("term").agg(count(lit(1)).as("df"))
-    val nDocs = df.select(id.as("id")).where(col("id").isNotNull)
-      .agg(countDistinct("id").as("nd"))
-    val para = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    tfidfRank(tok, tok, kLex)
+  }
+
+  /** Inverted-index POSTINGS for a text column: one `(id, term, tf)`
+    * row per (document, distinct term) — the staging unit of the
+    * lexical index ([[graft.Staging.stageBucketed]] keyed by `term`,
+    * the q353/q357 trade applied to retrieval's third leg): the
+    * corpus-wide tokenize-and-count runs ONCE per corpus build, appends
+    * are O(batch) new posting rows ([[graft.Staging.appendBucketed]] —
+    * tf is per-document, so append ≡ rebuild exactly), and every
+    * serving batch starts from the bucketed postings scan instead of
+    * re-exploding the full text column. isQuery is re-derivable from
+    * `id` at serve time, so the staged table needs no query flag. */
+  def tokenPostings(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("id"), explode(split(text, " ")).as("term"))
+      .where(col("id").isNotNull)
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+
+  /** [[tfidfQueryTopK]] served FROM STAGED POSTINGS: no tokenization at
+    * serve time — df/N recompute from the (bucketed) postings with one
+    * term-local aggregation (satisfied by the bucket distribution, zero
+    * corpus Exchange), weights join term-locally, and only the norms
+    * aggregation shuffles by doc id. `statsPostings` defaults to the
+    * serving postings (FRESH idf — exact, equals the inline op under
+    * the same oracle); passing an older snapshot serves with FROZEN
+    * idf (the production cadence when stats rebuild only at
+    * compaction), where terms unseen by the snapshot carry no weight
+    * (unknown vocabulary) — the lexical analog of IVF codebook drift,
+    * priced by q386. */
+  def tfidfTopKFromPostings(postings: DataFrame, isQuery: Column,
+                            kLex: Int,
+                            statsPostings: Option[DataFrame] = None)
+      : DataFrame = {
+    val tok = postings.select(col("id"), col("term"), col("tf"))
+      .withColumn("isq", isQuery)
+    val stats = statsPostings.getOrElse(tok)
+    tfidfRank(tok, stats, kLex)
+  }
+
+  /** Shared ranking body of [[tfidfQueryTopK]] /
+    * [[tfidfTopKFromPostings]]: `tok(id, isq, term, tf)` scored against
+    * df/N derived from `stats(id, term, …)`. One code path keeps the
+    * staged and inline forms oracle-identical by construction. */
+  private def tfidfRank(tok: DataFrame, stats: DataFrame,
+                        kLex: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dfT = stats.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = stats.agg(countDistinct("id").as("nd"))
+    val para = tok.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val w = tok.join(dfT, "term").crossJoin(broadcast(nDocs))
       .select(col("id"), col("isq"), col("term"),
         round(col("tf").cast("double") *

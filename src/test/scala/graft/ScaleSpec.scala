@@ -160,6 +160,33 @@ class ScaleSpec extends SparkSpec {
     assert(canon(served).nonEmpty)
   }
 
+  test("staged postings: tfidfTopKFromPostings equals the inline " +
+      "tfidfQueryTopK and reads the bucketed term scan") {
+    val docs = Tables.t(spark, sf, "documents")
+    Staging.stageBucketed(
+      Curate.tokenPostings(docs, col("doc_id"), col("text")),
+      "b_postings", "term", 4)
+    val staged = Curate.tfidfTopKFromPostings(
+      Staging.load(spark, "b_postings"), col("id") % 10 === 0, kLex = 5)
+    val inline = Curate.tfidfQueryTopK(docs, col("doc_id"), col("text"),
+      col("doc_id") % 10 === 0, kLex = 5)
+    // the serving body checkpoints its weights, so pin the bucketed
+    // claim on the fragment that reads the index: the term-keyed df
+    // aggregation must be satisfied by the bucket distribution — no
+    // Exchange between the scan and the agg
+    val dfAgg = Staging.load(spark, "b_postings")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val plan = dfAgg.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"),
+      s"postings scan should read buckets:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(term"),
+      s"term agg must not reshuffle the bucketed postings:\n$plan")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "rank").collect().toSeq
+    assert(canon(staged) === canon(inline))
+    assert(canon(staged).nonEmpty)
+  }
+
   test("ivfRecallCurve panelFrac: the deterministic panel subsample " +
       "equals the full computation on the pre-filtered panel") {
     val e = Tables.t(spark, sf, "embeddings")
