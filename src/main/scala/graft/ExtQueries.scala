@@ -4231,6 +4231,52 @@ object ExtQueries {
       |      GROUP BY 1) c ON f.qid = c.qid
       |ORDER BY f.qid""".stripMargin))
 
+  /** FULLY-STAGED hybrid retrieval (q387): q380 with the lexical leg
+    * ALSO served from its staged index — both legs now start from
+    * bucketed catalog scans (postings by term, IVF cells by cell), so
+    * a retrieval batch tokenizes nothing and shuffles no corpus data
+    * on either side. Shares q380's oracle verbatim: staged ≡ inline
+    * on both legs (q385's and q357's proofs), so the fused output is
+    * bit-identical — the green row IS the end-to-end proof. */
+  private val q387 = QDef("q387_hybrid_staged",
+    (s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val docs = T(s, dir, "documents")
+      val posts = s"graft_posthyb_$tag"
+      Staging.stageBucketed(
+        Curate.tokenPostings(docs, col("doc_id"), col("text")),
+        posts, "term", 8)
+      val lex = Curate.tfidfTopKFromPostings(Staging.load(s, posts),
+        col("id") % 50 === 0, kLex = 20)
+      val e = T(s, dir, "embeddings")
+      val cents = trainedCodebook(s, dir, c = 16, iters = 2)
+      val idx = s"graft_ivfhyb2_$tag"
+      Staging.stageBucketed(
+        Similarity.ivfIndexFrame(e, col("embedding"), col("vec_id"), cents),
+        idx, "cell", 8)
+      val vec = Similarity.ivfKnnJoinIndex(Staging.load(s, idx),
+          e.where(col("vec_id") % 50 === 0), col("embedding"), col("vec_id"),
+          k = 20, centroids = cents, nProbe = 4, excludeSelf = true)
+        .select(col("qid"), col("id"), col("rank"))
+      Similarity.rrfFuseGroupedTopK(lex, vec, kConst = 60, k = 10)
+        .orderBy("qid", "rank")
+    },
+    q380.oracle)
+
+  /** [[graft.streaming.IngestStreams.runLexicalIngest]] (q388): the
+    * lexical index under the stream — day-0 postings staged, each
+    * arriving day appends O(batch) rows, serve reads the grown index
+    * with fresh stats through the replay-tolerant duplicate collapse.
+    * Append ≡ rebuild exactly, so the oracle is q385's inline chain —
+    * streaming ≡ batch ≡ inline, the symmetry closer. */
+  private val q388 = QDef("q388_stream_lexical_ingest",
+    (s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.streaming.IngestStreams.runLexicalIngest(s, dir,
+        s"graft_lex_$tag", cut0 = 300, cut1 = 450)
+    },
+    q385.oracle)
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
@@ -4241,5 +4287,5 @@ object ExtQueries {
     q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q351,
     q357, q361, q362, q363, q366, q367, q370, q372, q373, q375, q376, q378,
-    q379, q380, q381, q382, q383, q384, q385, q386)
+    q379, q380, q381, q382, q383, q384, q385, q386, q387, q388)
 }

@@ -322,6 +322,58 @@ object IngestStreams {
           col("text"), col("doc_id"))
       })
 
+  /** STREAMING LEXICAL INDEX ingest (q388) — the postings family's
+    * streaming leg (staged q385 → this), completing the streaming
+    * symmetry with the LSH (q358) and IVF (q372) indexes: each arriving
+    * day's documents tokenize-and-count into posting rows
+    * ([[graft.Curate.tokenPostings]] — O(batch), tf is per-document)
+    * and APPEND to the [[graft.VStage]] postings index; the serve after
+    * the stream reads the grown index with FRESH df/N (one term-local
+    * agg — staleness is a policy choice priced by q386, not a
+    * correctness one). Retry tolerance is the q372 shape, not the
+    * dedup loops': a replayed append leaves EXACT-DUPLICATE posting
+    * rows, which are NOT inert for tf-idf (df counts rows and dots sum
+    * them — a duplicated doc would double its df contributions and
+    * norms), so serving collapses (id, term) duplicates FIRST with a
+    * groupBy whose clustering the term-bucketed layout already
+    * satisfies (term ⊆ {id, term} — zero extra Exchange, plan-pinned
+    * in the unit suite). Append ≡ rebuild exactly, so the oracle is
+    * q385's inline chain over the full corpus. */
+  def runLexicalIngest(spark: SparkSession, dir: String, name: String,
+                       cut0: Long = 300, cut1: Long = 450,
+                       killBetweenDays: Boolean = false): DataFrame = {
+    val docs = Tables.t(spark, dir, "documents")
+    val idx = name + "_idx"
+    VStage.init(
+      graft.Curate.tokenPostings(docs.where(col("doc_id") < cut0),
+        col("doc_id"), col("text")), idx, "term", 8)
+    val (spool, ckpt) = freshPaths(name)
+    val days = Seq(
+      docs.where(col("doc_id") >= cut0 && col("doc_id") < cut1),
+      docs.where(col("doc_id") >= cut1))
+    val body = (batch: DataFrame, _: Long) => {
+      VStage.append(
+        graft.Curate.tokenPostings(batch, col("doc_id"), col("text")),
+        idx, "term", 8)
+      ()
+    }
+    driveDays(spark, days.head.schema, spool, ckpt, days,
+      killBetweenDays, body)
+    graft.Curate.tfidfTopKFromPostings(
+        collapsePostings(VStage.load(spark, idx, refresh = true)),
+        col("id") % 50 === 0, kLex = 10)
+      .orderBy("qid", "rank")
+  }
+
+  /** Replay-tolerant postings read: collapse the exact-duplicate
+    * (id, term, tf) rows a crashed-and-replayed append leaves behind.
+    * The rows are identical by construction (tf is a pure function of
+    * the document), so max(tf) = tf; the grouping's clustering is
+    * satisfied by the term bucketing (grouping keys ⊇ bucket key), so
+    * this adds NO Exchange over the bucketed scan. */
+  private[graft] def collapsePostings(postings: DataFrame): DataFrame =
+    postings.groupBy("id", "term").agg(max(col("tf")).as("tf"))
+
   /** STREAMING ANN index ingest (q372) — the IVF family's streaming
     * leg (staged q357 → batch ingest q361 → recluster compaction q367
     * → this): each arriving day's embeddings assign to their cells

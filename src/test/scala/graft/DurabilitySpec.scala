@@ -223,6 +223,40 @@ class DurabilitySpec extends SparkSpec {
       "a benchmark-contaminated doc reached the training output")
   }
 
+  test("q388 lexical ingest: kill-and-resume equals uninterrupted; " +
+      "duplicated replay rows are NOT inert for tf-idf and the " +
+      "serving collapse makes them so, with zero extra Exchange") {
+    val plain = got(IngestStreams.runLexicalIngest(
+      spark, sf, "t_lex_u", cut0 = 200, cut1 = 350))
+    val resumed = got(IngestStreams.runLexicalIngest(
+      spark, sf, "t_lex_k", cut0 = 200, cut1 = 350,
+      killBetweenDays = true))
+    assert(resumed === plain)
+    assert(plain.nonEmpty)
+    // the replay hazard pinned both ways on a hand-duplicated index
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val posts = Curate.tokenPostings(docs, col("doc_id"), col("text"))
+    val day = Curate.tokenPostings(docs.where(col("doc_id") >= 350),
+      col("doc_id"), col("text"))
+    def serve(p: org.apache.spark.sql.DataFrame) =
+      Curate.tfidfTopKFromPostings(p, col("id") % 50 === 0, kLex = 10)
+        .orderBy("qid", "rank").collect().toSeq
+    val clean = serve(posts)
+    assert(serve(posts.unionByName(day)) !== clean,
+      "duplicate posting rows must NOT be inert — this pin is vacuous")
+    assert(serve(IngestStreams.collapsePostings(posts.unionByName(day)))
+      === clean)
+    // the collapse's grouping keys contain the bucket key, so over the
+    // term-bucketed scan it must add NO Exchange
+    Staging.stageBucketed(posts, "t_lex_plan", "term", 4)
+    val collapsed = IngestStreams.collapsePostings(
+      Staging.load(spark, "t_lex_plan"))
+    val plan = collapsed.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"), plan)
+    assert(!plan.contains("Exchange"),
+      s"postings collapse must not reshuffle the bucketed index:\n$plan")
+  }
+
   test("q374 auto-fold: the size-triggered fold FIRES mid-stream on a " +
       "4-day chain (base marker advances past the bootstrap) and the " +
       "census equals the never-folding run — fold → merge → fold " +

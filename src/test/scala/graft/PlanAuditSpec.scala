@@ -28,6 +28,13 @@ class PlanAuditSpec extends SparkSpec {
     // DESIGN over the curated query panel (an eval set is small by
     // contract; at real scale the truth side is what gets sampled,
     // the q335 truthSample precedent)
+    "q378_hybrid_retrieval", // exact vector leg: corpus × bounded
+    // retrieval batch BY DESIGN — the brute-force baseline whose
+    // staged-IVF replacement is the SAME query minus this join (q380)
+    "q381_hard_negatives", // corpus × bounded anchor panel (exact
+    // pass; the staged-IVF candidate swap is documented in the op)
+    "q382_contrastive_triplets", // the same two panel-broadcast passes
+    "q383_mmr_diversify", // candidate generation = the q378 exact leg
     "q314_neyman_allocation", // 1-row Σ N_h·S_h normalizer broadcast
     "q315_kruskal_wallis", // 1-row (N, k) + tie-total broadcasts
     "q316_moods_median", // 1-row global-median + margin broadcasts
@@ -251,6 +258,28 @@ class PlanAuditSpec extends SparkSpec {
     // panel's (qid, vector) rows — calibration-bounded by contract
     // (the ADC lut frame is a LocalRelation the classifier proves)
     "q375_pq_panel_topk" -> 1,
+    // q358's replay self-exclusion device under the mid-stream
+    // compaction twin (same loop body, shared oracle with q358)
+    "q377_stream_dedup_compact" -> 2,
+    // the prep loop's self-exclusion broadcasts plus the benchmark
+    // 5-gram set (the q63 decontamination convention: benchmark-sized
+    // by contract, never the corpus)
+    "q379_stream_ingest_decon" -> 3,
+    // retrieval-batch broadcasts (the q362/q375 panel convention): a
+    // serving batch is bounded by CONTRACT, independent of corpus size
+    // — the fixture derives the panel from doc_id % 50 only as a
+    // stand-in for an external query batch. Hinted frames: the panel's
+    // non-zero postings (lexical leg) and/or the panel's (vector,
+    // norm) rows (vector leg / candidate generator)
+    "q378_hybrid_retrieval" -> 2, // lexical panel postings + vector panel
+    "q380_hybrid_retrieval_ivf" -> 1, // lexical panel postings
+    "q381_hard_negatives" -> 1, // anchor panel (vectors + labels)
+    "q382_contrastive_triplets" -> 1, // anchor panel (both legs share it)
+    "q383_mmr_diversify" -> 1, // query panel of the candidate generator
+    "q385_lexical_index_staged" -> 1, // panel postings slice
+    "q386_lexical_idf_drift" -> 2, // panel postings, fresh + frozen serves
+    "q387_hybrid_staged" -> 1, // panel postings slice
+    "q388_stream_lexical_ingest" -> 1, // panel postings slice
     // documented small-by-contract reference sets
     "q122_fuzzy_names" -> 1, // reference name list (lookup-table side)
     "q210_jaro_winkler_pairs" -> 1, // reference name list
