@@ -4277,6 +4277,20 @@ object ExtQueries {
     },
     q385.oracle)
 
+  /** [[graft.streaming.IngestStreams.runLexicalIngestStats]] (q389):
+    * q388 with df/N maintained incrementally as a day-tagged delta log
+    * (exact — df/N are additive over day-disjoint ingest), resolving
+    * the staleness q386 priced at a per-trigger cost of one
+    * batch-vocabulary delta append. Shares q385's oracle: streaming +
+    * maintained stats ≡ the inline chain. */
+  private val q389 = QDef("q389_stream_lexical_stats",
+    (s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.streaming.IngestStreams.runLexicalIngestStats(s, dir,
+        s"graft_lexst_$tag", cut0 = 300, cut1 = 450)
+    },
+    q385.oracle)
+
   def all: Seq[QDef] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
@@ -4287,5 +4301,5 @@ object ExtQueries {
     q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q351,
     q357, q361, q362, q363, q366, q367, q370, q372, q373, q375, q376, q378,
-    q379, q380, q381, q382, q383, q384, q385, q386, q387, q388)
+    q379, q380, q381, q382, q383, q384, q385, q386, q387, q388, q389)
 }

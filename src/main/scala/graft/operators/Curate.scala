@@ -311,15 +311,34 @@ object Curate {
     tfidfRank(tok, stats, kLex)
   }
 
+  /** [[tfidfTopKFromPostings]] with EXPLICIT stats frames — the serving
+    * entry for MAINTAINED statistics (q389): `dfT(term, df)` and
+    * `nDocs` (one row, column `nd`) arrive precomputed instead of being
+    * derived from a postings scan. df and N are ADDITIVE over
+    * day-disjoint ingest (a doc arrives exactly once, so per-day
+    * distinct-doc term counts sum to the corpus df), which makes
+    * incremental maintenance EXACT — unlike the frozen-idf trade q386
+    * prices, maintained stats serve identically to recomputed ones. */
+  def tfidfTopKWithStats(postings: DataFrame, isQuery: Column, kLex: Int,
+                         dfT: DataFrame, nDocs: DataFrame): DataFrame = {
+    val tok = postings.select(col("id"), col("term"), col("tf"))
+      .withColumn("isq", isQuery)
+    tfidfRankStats(tok, dfT, nDocs, kLex)
+  }
+
   /** Shared ranking body of [[tfidfQueryTopK]] /
     * [[tfidfTopKFromPostings]]: `tok(id, isq, term, tf)` scored against
     * df/N derived from `stats(id, term, …)`. One code path keeps the
     * staged and inline forms oracle-identical by construction. */
   private def tfidfRank(tok: DataFrame, stats: DataFrame,
-                        kLex: Int): DataFrame = {
+                        kLex: Int): DataFrame =
+    tfidfRankStats(tok,
+      stats.groupBy("term").agg(count(lit(1)).as("df")),
+      stats.agg(countDistinct("id").as("nd")), kLex)
+
+  private def tfidfRankStats(tok: DataFrame, dfT: DataFrame,
+                             nDocs: DataFrame, kLex: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dfT = stats.groupBy("term").agg(count(lit(1)).as("df"))
-    val nDocs = stats.agg(countDistinct("id").as("nd"))
     val para = tok.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val w = tok.join(dfT, "term").crossJoin(broadcast(nDocs))
       .select(col("id"), col("isq"), col("term"),

@@ -374,6 +374,78 @@ object IngestStreams {
   private[graft] def collapsePostings(postings: DataFrame): DataFrame =
     postings.groupBy("id", "term").agg(max(col("tf")).as("tf"))
 
+  /** q389: [[runLexicalIngest]] with the df/N statistics MAINTAINED
+    * INCREMENTALLY instead of recomputed from the postings at serve
+    * time — the resolution of the tension q386 priced: df and N are
+    * ADDITIVE over day-disjoint ingest (a doc arrives exactly once, so
+    * per-day distinct-doc term counts sum to the corpus df), which
+    * makes the maintained stats EXACTLY equal to recomputed ones — no
+    * staleness, at a per-trigger cost of one batch-vocabulary-sized
+    * delta append instead of an index-wide aggregation per serve. The
+    * stats table is a patch log in the q368 sense (base + per-day
+    * deltas, read = sum), with each delta tagged by its micro-batch id:
+    * Structured Streaming REPLAYS a crashed batch under the SAME id, so
+    * a replayed append writes exact-duplicate (day, term, df) rows that
+    * the serve-side (day, term) collapse removes — the hazard is pinned
+    * both ways in the unit suite (stats deltas are NOT inert without
+    * the day tag: two days can legitimately contribute identical
+    * (term, df) rows). Shares q385's oracle: streaming + maintained
+    * stats ≡ the inline chain over the full corpus. */
+  def runLexicalIngestStats(spark: SparkSession, dir: String, name: String,
+                            cut0: Long = 300, cut1: Long = 450,
+                            killBetweenDays: Boolean = false): DataFrame = {
+    val docs = Tables.t(spark, dir, "documents")
+    val idx = name + "_idx"
+    val st = name + "_stats"
+    val p0 = graft.Curate.tokenPostings(docs.where(col("doc_id") < cut0),
+      col("doc_id"), col("text"))
+    VStage.init(p0, idx, "term", 8)
+    VStage.init(statsDelta(p0, -1L), st, "term", 8)
+    val (spool, ckpt) = freshPaths(name)
+    val days = Seq(
+      docs.where(col("doc_id") >= cut0 && col("doc_id") < cut1),
+      docs.where(col("doc_id") >= cut1))
+    val body = (batch: DataFrame, bid: Long) => {
+      // one tokenize pass feeds both appends
+      val p = graft.Curate.tokenPostings(batch, col("doc_id"), col("text"))
+        .localCheckpoint()
+      VStage.append(p, idx, "term", 8)
+      VStage.append(statsDelta(p, bid), st, "term", 8)
+      ()
+    }
+    driveDays(spark, days.head.schema, spool, ckpt, days,
+      killBetweenDays, body)
+    val (dfT, nd) = readStats(VStage.load(spark, st, refresh = true))
+    graft.Curate.tfidfTopKWithStats(
+        collapsePostings(VStage.load(spark, idx, refresh = true)),
+        col("id") % 50 === 0, kLex = 10, dfT, nd)
+      .orderBy("qid", "rank")
+  }
+
+  /** One day's stats delta from its postings: per-term distinct-doc
+    * count plus the distinct-doc total as a NULL-term sentinel row,
+    * tagged with the micro-batch id (replay collapse key). */
+  private[graft] def statsDelta(p: DataFrame, day: Long): DataFrame =
+    p.groupBy("term").agg(count(lit(1)).as("df"))
+      .select(lit(day).as("day"), col("term"), col("df"))
+      .unionByName(p.agg(countDistinct("id").as("df"))
+        .select(lit(day).as("day"), lit(null).cast("string").as("term"),
+          col("df")))
+
+  /** Serve-side read of the maintained stats log: collapse replayed
+    * duplicate deltas on (day, term) — max(df) since replay rows are
+    * exact duplicates — then fold the additive deltas with one sum.
+    * Both aggregations are stats-log-sized (vocabulary × days), never
+    * corpus-sized. */
+  private[graft] def readStats(statsLog: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val s = statsLog.groupBy("day", "term").agg(max(col("df")).as("df"))
+    (s.where(col("term").isNotNull)
+      .groupBy("term").agg(sum(col("df")).as("df")),
+      s.where(col("term").isNull)
+        .agg(sum(col("df")).as("nd")))
+  }
+
   /** STREAMING ANN index ingest (q372) — the IVF family's streaming
     * leg (staged q357 → batch ingest q361 → recluster compaction q367
     * → this): each arriving day's embeddings assign to their cells

@@ -257,6 +257,39 @@ class DurabilitySpec extends SparkSpec {
       s"postings collapse must not reshuffle the bucketed index:\n$plan")
   }
 
+  test("q389 stats-maintained lexical ingest: maintained stats serve " +
+      "exactly as recomputed (q388), kill-and-resume equals " +
+      "uninterrupted, and the day tag separates replayed deltas " +
+      "(collapse) from identical legitimate days (count twice)") {
+    val recomputed = got(IngestStreams.runLexicalIngest(
+      spark, sf, "t_lexst_r", cut0 = 200, cut1 = 350))
+    val plain = got(IngestStreams.runLexicalIngestStats(
+      spark, sf, "t_lexst_u", cut0 = 200, cut1 = 350))
+    val resumed = got(IngestStreams.runLexicalIngestStats(
+      spark, sf, "t_lexst_k", cut0 = 200, cut1 = 350,
+      killBetweenDays = true))
+    assert(plain === recomputed) // the q386 staleness tension, resolved
+    assert(resumed === plain)
+    assert(plain.nonEmpty)
+    // replay-vs-legitimate disambiguation on a hand-built delta log
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = Curate.tokenPostings(docs.where(col("doc_id") < 100),
+      col("doc_id"), col("text"))
+    val d5 = IngestStreams.statsDelta(p, 5L).localCheckpoint()
+    def totals(log: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val (dfT, nd) = IngestStreams.readStats(log)
+      (dfT.agg(sum("df")).as[Long].head, nd.as[Long].head)
+    }
+    val single = totals(d5)
+    // a crashed-and-replayed append re-writes the SAME day: collapses
+    assert(totals(d5.unionByName(d5)) === single)
+    // identical delta content arriving as a NEW day is legitimate
+    // corpus growth and must count twice — (term, df) rows alone are
+    // ambiguous; the day tag is what disambiguates
+    assert(totals(d5.unionByName(IngestStreams.statsDelta(p, 6L)))
+      === ((single._1 * 2, single._2 * 2)))
+  }
+
   test("q374 auto-fold: the size-triggered fold FIRES mid-stream on a " +
       "4-day chain (base marker advances past the bootstrap) and the " +
       "census equals the never-folding run — fold → merge → fold " +

@@ -280,6 +280,10 @@ class PlanAuditSpec extends SparkSpec {
     "q386_lexical_idf_drift" -> 2, // panel postings, fresh + frozen serves
     "q387_hybrid_staged" -> 1, // panel postings slice
     "q388_stream_lexical_ingest" -> 1, // panel postings slice
+    // panel postings + the 1-row maintained-N frame (a stats-log fold
+    // read — vocabulary × days sized — not a corpus aggregate, so the
+    // bounded() classifier can't prove it)
+    "q389_stream_lexical_stats" -> 2,
     // documented small-by-contract reference sets
     "q122_fuzzy_names" -> 1, // reference name list (lookup-table side)
     "q210_jaro_winkler_pairs" -> 1, // reference name list
