@@ -40,8 +40,21 @@ object Decontaminate {
     * benchmark document. Default n = 5: long enough that chance overlap
     * vanishes and only true (near-)copies of benchmark text match. */
   def overlaps(df: DataFrame, text: Column, id: Column,
-               bench: DataFrame, benchText: Column, n: Int = 5): DataFrame = {
-    val bg = bench.select(explode(gramHashes(benchText, n)).as("__h")).distinct()
+               bench: DataFrame, benchText: Column, n: Int = 5): DataFrame =
+    overlapsAgainst(df, text, id, benchGramSet(bench, benchText, n), n)
+
+  /** The benchmark side built ONCE: the distinct n-gram hash set as a
+    * one-column (`__h`) frame. A STREAMING decontamination gate computes
+    * (and pins) this before the stream starts so each micro-batch pays
+    * O(batch) probe work — re-deriving it per trigger re-scans the whole
+    * benchmark every micro-batch, which the 100× ingest probe showed
+    * growing with benchmark size while the batch stays fixed. */
+  def benchGramSet(bench: DataFrame, benchText: Column, n: Int = 5): DataFrame =
+    bench.select(explode(gramHashes(benchText, n)).as("__h")).distinct()
+
+  /** [[overlaps]] against a prebuilt [[benchGramSet]]. */
+  def overlapsAgainst(df: DataFrame, text: Column, id: Column,
+                      benchGrams: DataFrame, n: Int = 5): DataFrame = {
     // spread the raw (id, text) rows before shingling: a small corpus often
     // arrives as one file split, and the shingle+explode+probe work — the
     // whole cost of this operator — would otherwise run in a single task
@@ -49,7 +62,7 @@ object Decontaminate {
     df.select(id.as("doc_id"), text.as("__txt"))
       .repartition(parallelism, col("doc_id"))
       .select(col("doc_id"), explode(gramHashes(col("__txt"), n)).as("__h"))
-      .join(broadcast(bg), "__h")
+      .join(broadcast(benchGrams), "__h")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
   }
 
@@ -130,5 +143,13 @@ object Decontaminate {
   def decontaminate(df: DataFrame, text: Column, id: Column,
                     bench: DataFrame, benchText: Column, n: Int = 5): DataFrame =
     df.join(overlaps(df, text, id, bench, benchText, n).select(col("doc_id").as("__cid")),
+      id === col("__cid"), "left_anti")
+
+  /** [[decontaminate]] against a prebuilt [[benchGramSet]] — the
+    * streaming-gate shape (build the set once, probe it per batch). */
+  def decontaminateAgainst(df: DataFrame, text: Column, id: Column,
+                           benchGrams: DataFrame, n: Int = 5): DataFrame =
+    df.join(overlapsAgainst(df, text, id, benchGrams, n)
+        .select(col("doc_id").as("__cid")),
       id === col("__cid"), "left_anti")
 }

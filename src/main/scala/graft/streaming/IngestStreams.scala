@@ -306,21 +306,29 @@ object IngestStreams {
     * chain. */
   def runIngestPrepDecon(spark: SparkSession, dir: String, name: String,
                          cut0: Long = 300, cut1: Long = 450,
-                         killBetweenDays: Boolean = false): DataFrame =
+                         killBetweenDays: Boolean = false): DataFrame = {
+    // the benchmark gram set builds ONCE, before the stream starts — a
+    // benchmark is immutable during ingest, so re-deriving its distinct
+    // 5-gram hashes per micro-batch (the pre-r13c shape) paid an
+    // O(benchmark) scan per trigger for identical results; pinned as an
+    // RDD (localCheckpoint) and re-wrapped on each batch's cloned
+    // session (an RDD-backed frame has no relation cache to go stale —
+    // the q358 hazard is table reads, not checkpointed plans)
+    val bg = graft.Decontaminate.benchGramSet(
+      Tables.t(spark, dir, "documents").where(col("doc_id") % 25 === 0),
+      col("text"), n = 5).localCheckpoint()
     ingestDedupLoop(spark, dir, name, cut0, cut1, killBetweenDays,
       df => {
-        // resolve the benchmark through the BATCH's session (foreachBatch
-        // frames live on a cloned session; a cross-session join is the
-        // stale-relation-cache hazard the loop body documents)
-        val bench = Tables.t(df.sparkSession, dir, "documents")
-          .where(col("doc_id") % 25 === 0)
+        val ss = df.sparkSession
         Dedup.exact(
-          graft.Decontaminate.decontaminate(
+          graft.Decontaminate.decontaminateAgainst(
             df.where(graft.TextAnalysis.langId(col("text")) === lit("en") &&
               round(graft.TextAnalysis.qualityScore(col("text")), 4) >= 0.5),
-            col("text"), col("doc_id"), bench, col("text"), n = 5),
+            col("text"), col("doc_id"),
+            ss.createDataFrame(bg.rdd, bg.schema), n = 5),
           col("text"), col("doc_id"))
       })
+  }
 
   /** STREAMING LEXICAL INDEX ingest (q388) — the postings family's
     * streaming leg (staged q385 → this), completing the streaming
@@ -343,26 +351,68 @@ object IngestStreams {
                        cut0: Long = 300, cut1: Long = 450,
                        killBetweenDays: Boolean = false): DataFrame = {
     val docs = Tables.t(spark, dir, "documents")
+    lexicalLoop(spark, docs.where(col("doc_id") < cut0),
+      Seq(docs.where(col("doc_id") >= cut0 && col("doc_id") < cut1),
+        docs.where(col("doc_id") >= cut1)),
+      name, maintainStats = false, killBetweenDays)
+  }
+
+  /** [[runLexicalIngest]] / [[runLexicalIngestStats]]'s core over
+    * EXPLICIT corpus/day frames (the 100× probe drives it with modular
+    * cuts, the annLoop convention): stage day-0 postings, append each
+    * arriving day's postings (plus, with `maintainStats`, the q389
+    * day-tagged df/N delta), then serve panel top-k from the grown
+    * index. `appendRows` observes the per-trigger durable write volume
+    * (posting rows — batch-bounded by construction: tf is a pure
+    * per-document function). */
+  private[graft] def lexicalLoop(spark: SparkSession, corpus: DataFrame,
+      days: Seq[DataFrame], name: String, maintainStats: Boolean,
+      killBetweenDays: Boolean,
+      batchSeconds: Option[scala.collection.mutable.Buffer[Double]] = None,
+      appendRows: Option[scala.collection.mutable.Buffer[Long]] = None)
+      : DataFrame = {
     val idx = name + "_idx"
-    VStage.init(
-      graft.Curate.tokenPostings(docs.where(col("doc_id") < cut0),
-        col("doc_id"), col("text")), idx, "term", 8)
+    val st = name + "_stats"
+    val p0 = graft.Curate.tokenPostings(corpus, col("doc_id"), col("text"))
+    if (maintainStats) {
+      val pinned = p0.localCheckpoint()
+      VStage.init(pinned, idx, "term", 8)
+      VStage.init(statsDelta(pinned, -1L), st, "term", 8)
+    } else VStage.init(p0, idx, "term", 8)
     val (spool, ckpt) = freshPaths(name)
-    val days = Seq(
-      docs.where(col("doc_id") >= cut0 && col("doc_id") < cut1),
-      docs.where(col("doc_id") >= cut1))
-    val body = (batch: DataFrame, _: Long) => {
-      VStage.append(
-        graft.Curate.tokenPostings(batch, col("doc_id"), col("text")),
-        idx, "term", 8)
+    val body = (batch: DataFrame, bid: Long) => {
+      val t0 = System.nanoTime()
+      if (maintainStats) {
+        // one tokenize pass feeds both appends
+        val p = graft.Curate.tokenPostings(batch, col("doc_id"), col("text"))
+          .localCheckpoint()
+        VStage.append(p, idx, "term", 8)
+        VStage.append(statsDelta(p, bid), st, "term", 8)
+        appendRows.foreach(_ += p.count())
+      } else {
+        // pin only when the probe observes the write volume — the
+        // production body appends the lazy plan directly
+        val p0b = graft.Curate.tokenPostings(batch, col("doc_id"), col("text"))
+        val p = if (appendRows.isDefined) p0b.localCheckpoint() else p0b
+        VStage.append(p, idx, "term", 8)
+        appendRows.foreach(_ += p.count())
+      }
+      batchSeconds.foreach(_ += (System.nanoTime() - t0) / 1e9)
       ()
     }
     driveDays(spark, days.head.schema, spool, ckpt, days,
       killBetweenDays, body)
-    graft.Curate.tfidfTopKFromPostings(
-        collapsePostings(VStage.load(spark, idx, refresh = true)),
-        col("id") % 50 === 0, kLex = 10)
-      .orderBy("qid", "rank")
+    if (maintainStats) {
+      val (dfT, nd) = readStats(VStage.load(spark, st, refresh = true))
+      graft.Curate.tfidfTopKWithStats(
+          collapsePostings(VStage.load(spark, idx, refresh = true)),
+          col("id") % 50 === 0, kLex = 10, dfT, nd)
+        .orderBy("qid", "rank")
+    } else
+      graft.Curate.tfidfTopKFromPostings(
+          collapsePostings(VStage.load(spark, idx, refresh = true)),
+          col("id") % 50 === 0, kLex = 10)
+        .orderBy("qid", "rank")
   }
 
   /** Replay-tolerant postings read: collapse the exact-duplicate
@@ -395,31 +445,10 @@ object IngestStreams {
                             cut0: Long = 300, cut1: Long = 450,
                             killBetweenDays: Boolean = false): DataFrame = {
     val docs = Tables.t(spark, dir, "documents")
-    val idx = name + "_idx"
-    val st = name + "_stats"
-    val p0 = graft.Curate.tokenPostings(docs.where(col("doc_id") < cut0),
-      col("doc_id"), col("text"))
-    VStage.init(p0, idx, "term", 8)
-    VStage.init(statsDelta(p0, -1L), st, "term", 8)
-    val (spool, ckpt) = freshPaths(name)
-    val days = Seq(
-      docs.where(col("doc_id") >= cut0 && col("doc_id") < cut1),
-      docs.where(col("doc_id") >= cut1))
-    val body = (batch: DataFrame, bid: Long) => {
-      // one tokenize pass feeds both appends
-      val p = graft.Curate.tokenPostings(batch, col("doc_id"), col("text"))
-        .localCheckpoint()
-      VStage.append(p, idx, "term", 8)
-      VStage.append(statsDelta(p, bid), st, "term", 8)
-      ()
-    }
-    driveDays(spark, days.head.schema, spool, ckpt, days,
-      killBetweenDays, body)
-    val (dfT, nd) = readStats(VStage.load(spark, st, refresh = true))
-    graft.Curate.tfidfTopKWithStats(
-        collapsePostings(VStage.load(spark, idx, refresh = true)),
-        col("id") % 50 === 0, kLex = 10, dfT, nd)
-      .orderBy("qid", "rank")
+    lexicalLoop(spark, docs.where(col("doc_id") < cut0),
+      Seq(docs.where(col("doc_id") >= cut0 && col("doc_id") < cut1),
+        docs.where(col("doc_id") >= cut1)),
+      name, maintainStats = true, killBetweenDays)
   }
 
   /** One day's stats delta from its postings: per-term distinct-doc

@@ -7,7 +7,9 @@ import org.apache.spark.sql.SparkSession
 /** The CROSS-ROUND bench ruler (r12 judge directive 6): the driver
   * reseeds /root/testdata every round, which moved untouched queries
   * +11–23% round-over-round and forced per-query forensics. This tool
-  * freezes ONE copy of the sf0.1 fixture (`target/bench_frozen`,
+  * freezes ONE copy of the sf0.1 fixture (`bench_frozen/` at the repo
+  * root — git-ignored, and deliberately OUTSIDE target/ because the
+  * r13 full test suite cleaned target/ and silently re-based the ruler;
   * created on first run, regenerated only by deleting it) and times the
   * core24 suite on it with the Bench discipline (pinned tmp, untimed
   * warmup pass, two timed passes, min per query, noop sink) — a number
@@ -21,7 +23,7 @@ object FrozenBench {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val tag = sys.env.getOrElse("SPARK_GRAFT_ROUND", "r?")
-    val frozen = new java.io.File("target/bench_frozen")
+    val frozen = new java.io.File("bench_frozen")
     val meta = new java.io.File(frozen, "_frozen_meta.txt")
     if (!frozen.isDirectory || !meta.isFile) {
       graft.Staging.deleteRecursively(frozen)

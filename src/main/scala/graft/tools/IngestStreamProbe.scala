@@ -23,7 +23,19 @@ import org.apache.spark.sql.functions._
   *    output + index append volume, both batch-bounded).
   *  - `ann` (q372): streaming IVF index ingest — per-trigger wall +
   *    appended index rows (batch-bounded by construction: one row per
-  *    arriving vector). */
+  *    arriving vector).
+  *  - `decon` (q379): the prep front WITH benchmark decontamination in
+  *    the gate — per-trigger wall + survivor rows. The benchmark gram
+  *    set pins ONCE before the stream (the r13c fix this probe
+  *    motivated); the per-trigger broadcast of that set grows with the
+  *    BENCHMARK (fixed in production, corpus-proportional in this
+  *    fixture), not with the corpus scan.
+  *  - `lex` (q388) / `lexstats` (q389): streaming lexical (postings)
+  *    index ingest, without/with incrementally-maintained df/N stats —
+  *    per-trigger wall + appended posting rows (batch-bounded: tf is
+  *    per-document); state_rows = grown index size (resp. stats-log
+  *    size), which grows with the CORPUS but is only ever read at
+  *    serve time, never rewritten per trigger. */
 object IngestStreamProbe {
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -104,6 +116,34 @@ object IngestStreamProbe {
             killBetweenDays = false, batchSeconds = Some(buf),
             appendRows = Some(wrote))
           graft.VStage.load(spark, name + "_idx", refresh = true).count()
+        case "decon" =>
+          val corpus = Tables.t(spark, dir, "documents")
+            .where(col("doc_id") % 10 < 8)
+          // benchmark = the q379 fixture convention (doc_id % 25); its
+          // gram set pins once, before the stream
+          val bg = graft.Decontaminate.benchGramSet(
+            Tables.t(spark, dir, "documents").where(col("doc_id") % 25 === 0),
+            col("text"), n = 5).localCheckpoint()
+          val out = IngestStreams.dedupLoop(spark,
+            corpus, Seq(day1, day2), name, killBetweenDays = false,
+            prep = df => graft.Dedup.exact(
+              graft.Decontaminate.decontaminateAgainst(
+                df.where(graft.TextAnalysis.langId(col("text")) === lit("en") &&
+                  round(graft.TextAnalysis.qualityScore(col("text")), 4) >= 0.5),
+                col("text"), col("doc_id"),
+                df.sparkSession.createDataFrame(bg.rdd, bg.schema), n = 5),
+              col("text"), col("doc_id")),
+            batchSeconds = Some(buf), survRows = Some(wrote))
+          out.count()
+        case "lex" | "lexstats" =>
+          val corpus = Tables.t(spark, dir, "documents")
+            .where(col("doc_id") % 10 < 8)
+          IngestStreams.lexicalLoop(spark, corpus, Seq(day1, day2), name,
+            maintainStats = mode == "lexstats", killBetweenDays = false,
+            batchSeconds = Some(buf), appendRows = Some(wrote)).count()
+          graft.VStage.load(spark,
+            name + (if (mode == "lexstats") "_stats" else "_idx"),
+            refresh = true).count()
         case other => sys.error(s"unknown mode $other")
       }
       val total = (System.nanoTime() - t0) / 1e9
