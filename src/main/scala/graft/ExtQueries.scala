@@ -2755,18 +2755,23 @@ object ExtQueries {
   /** Equi-depth discretization: ntile(10) over (n_chars, doc_id) — the
     * quantile-binning step of feature preprocessing. Integer sums per bin;
     * the bin id itself is position-defined, so the total order under the
-    * window makes it engine-stable. */
+    * window makes it engine-stable. The tile computes from the
+    * distributed [[Ranked]] row_number + the closed-form ntile — no
+    * single-partition window over the corpus. */
   private val q124 = QDef("q124_ntile_bins",
-    (s, dir) => T(s, dir, "documents")
-      .select(col("doc_id"), col("n_chars"))
-      .withColumn("bin",
-        ntile(10).over(Window.orderBy(col("n_chars"), col("doc_id"))))
-      .groupBy("bin")
+    (s, dir) => {
+      val base = T(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      Ranked.withRowNumber(base, Seq(col("n_chars"), col("doc_id")), "__rn")
+        .crossJoin(broadcast(base.agg(count(lit(1)).as("__n"))))
+        .withColumn("bin",
+          Ranked.ntileOf(col("__rn"), col("__n"), 10).cast("int"))
+        .groupBy("bin")
       .agg(count(lit(1)).as("n_docs"), min("n_chars").as("min_chars"),
         max("n_chars").as("max_chars"), sum("n_chars").as("sc"))
       .select(col("bin"), col("n_docs"), col("min_chars"),
         col("max_chars"), Seal.ratio4("sc", "n_docs").as("avg_chars"))
-      .orderBy("bin"),
+      .orderBy("bin")
+    },
     Some("""WITH b AS (SELECT doc_id, n_chars,
       |         CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS INTEGER)
       |           AS bin

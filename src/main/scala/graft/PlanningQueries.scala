@@ -1389,7 +1389,209 @@ object PlanningQueries {
     },
     q365.oracle)
 
+  /** [[TrainOrder.shardAssign]]: the training-run OUTPUT order —
+    * documents permuted by a seeded md5 key and cut into contiguous
+    * 1000-token shards by the exclusive running token sum. The engine
+    * computes the global cumulative sum as a two-phase distributed
+    * prefix sum (per-hash-prefix-bucket windows + a 256-row bucket
+    * offset spine — no global window anywhere); the oracle verifies it
+    * against DuckDB's naive global running sum. */
+  private val q390 = QDef("q390_shard_assign",
+    (s, dir) => TrainOrder.shardAssign(
+      T(s, dir, "documents").where(col("text").isNotNull),
+      col("doc_id"), size(split(col("text"), " ")), seed = "s42",
+      shardTokens = 1000L),
+    Some("""WITH d AS (SELECT doc_id,
+      |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |        md5('s42:' || CAST(doc_id AS VARCHAR)) AS k
+      |      FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+      |o AS (SELECT doc_id, n_tok,
+      |        CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT)
+      |          AS global_pos,
+      |        CAST(sum(n_tok) OVER (ORDER BY k, doc_id
+      |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+      |      FROM d)
+      |SELECT doc_id, n_tok, global_pos, cum_tok,
+      |  (cum_tok - n_tok) // 1000 AS shard_id
+      |FROM o ORDER BY global_pos""".stripMargin))
+
+  /** [[TrainOrder.shardStats]]: the per-shard balance report over q390's
+    * assignment — every shard's token fill but the last lands within
+    * max-doc of shardTokens. */
+  private val q391 = QDef("q391_shard_stats",
+    (s, dir) => TrainOrder.shardStats(
+      T(s, dir, "documents").where(col("text").isNotNull),
+      col("doc_id"), size(split(col("text"), " ")), seed = "s42",
+      shardTokens = 1000L),
+    Some("""WITH d AS (SELECT doc_id,
+      |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |        md5('s42:' || CAST(doc_id AS VARCHAR)) AS k
+      |      FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+      |o AS (SELECT doc_id, n_tok,
+      |        CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT)
+      |          AS global_pos,
+      |        CAST(sum(n_tok) OVER (ORDER BY k, doc_id
+      |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+      |      FROM d)
+      |SELECT (cum_tok - n_tok) // 1000 AS shard_id,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS tokens,
+      |  CAST(min(global_pos) AS BIGINT) AS first_pos,
+      |  CAST(max(global_pos) AS BIGINT) AS last_pos
+      |FROM o GROUP BY 1 ORDER BY shard_id""".stripMargin))
+
+  /** [[TrainOrder.strideInterleave]]: deterministic proportional source
+    * interleave (stride scheduling at parts 3:2:2:1) — the actual
+    * training order a data loader walks. The engine computes each row's
+    * global position in CLOSED FORM (per-row integer arithmetic against
+    * a one-row per-source-count broadcast — zero global sorts); the
+    * oracle ranks the naive way with a global window. */
+  private val q392 = QDef("q392_stride_interleave",
+    (s, dir) => TrainOrder.strideInterleave(T(s, dir, "documents"),
+      col("doc_id"), col("source"),
+      Seq("src0" -> 3L, "src1" -> 2L, "src2" -> 2L, "src3" -> 1L),
+      seed = "s42"),
+    Some("""WITH d AS (SELECT doc_id, source,
+      |        md5('s42:' || CAST(doc_id AS VARCHAR)) AS k
+      |      FROM documents
+      |      WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+      |r AS (SELECT doc_id, source,
+      |        CAST(row_number() OVER (PARTITION BY source
+      |          ORDER BY k, doc_id) AS BIGINT) AS src_pos
+      |      FROM d),
+      |v AS (SELECT doc_id, source, src_pos,
+      |        src_pos * CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 3
+      |          WHEN 'src2' THEN 3 ELSE 6 END AS vt
+      |      FROM r)
+      |SELECT doc_id, source, src_pos, CAST(vt AS BIGINT) AS vt,
+      |  CAST(row_number() OVER (ORDER BY vt, source, src_pos) AS BIGINT)
+      |    AS global_pos
+      |FROM v ORDER BY global_pos""".stripMargin))
+
+  /** [[TrainOrder.cappedTokenBudgetPlan]]: q319's mixture plan under a
+    * per-source epoch cap (data-constrained water-filling, maxEpochs=2
+    * at a 10.5k budget tuned so the sf0.01 cascade is MULTI-round:
+    * src0 caps against the full denominator, the re-distributed budget
+    * then caps src1/src2 in round 2, and src3 absorbs the rest uncapped) —
+    * budget a capped source cannot absorb re-distributes over the
+    * uncapped parts. The oracle unrolls the ≤4 water-fill rounds as
+    * CTEs with exact HUGEINT compares. */
+  private val q393 = QDef("q393_capped_budget_plan",
+    (s, dir) => TrainOrder.cappedTokenBudgetPlan(
+      T(s, dir, "documents")
+        .select(col("source"), size(split(col("text"), " ")).as("nt")),
+      col("source"), col("nt"),
+      Seq("src0" -> 3L, "src1" -> 2L, "src2" -> 2L, "src3" -> 1L),
+      budget = 10500L, maxEpochs = 2L),
+    Some(s"""WITH d AS (SELECT source AS src,
+      |        CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+      |        CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2
+      |          WHEN 'src2' THEN 2 WHEN 'src3' THEN 1 ELSE 0 END AS p
+      |      FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
+      |per AS (SELECT src, p, CAST(count(*) AS BIGINT) AS n_docs,
+      |        CAST(sum(nt) AS BIGINT) AS tokens
+      |      FROM d WHERE p > 0 GROUP BY 1, 2),
+      |t1 AS (SELECT CAST(sum(CAST(p AS HUGEINT) * tokens) AS HUGEINT)
+      |          AS den, CAST(10500 AS HUGEINT) AS b FROM per),
+      |c1 AS (SELECT per.*, den > 0 AND CAST(p AS HUGEINT) * b > 2 * den
+      |          AS cap FROM per CROSS JOIN t1),
+      |t2 AS (SELECT CAST(sum(CASE WHEN NOT cap
+      |            THEN CAST(p AS HUGEINT) * tokens END) AS HUGEINT) AS den,
+      |        (SELECT b FROM t1) - coalesce(sum(CASE WHEN cap
+      |            THEN 2 * CAST(tokens AS HUGEINT) END), 0) AS b FROM c1),
+      |c2 AS (SELECT c1.src, c1.p, c1.n_docs, c1.tokens, c1.cap OR
+      |          (den > 0 AND CAST(c1.p AS HUGEINT) * b > 2 * den) AS cap
+      |        FROM c1 CROSS JOIN t2),
+      |t3 AS (SELECT CAST(sum(CASE WHEN NOT cap
+      |            THEN CAST(p AS HUGEINT) * tokens END) AS HUGEINT) AS den,
+      |        (SELECT b FROM t1) - coalesce(sum(CASE WHEN cap
+      |            THEN 2 * CAST(tokens AS HUGEINT) END), 0) AS b FROM c2),
+      |c3 AS (SELECT c2.src, c2.p, c2.n_docs, c2.tokens, c2.cap OR
+      |          (den > 0 AND CAST(c2.p AS HUGEINT) * b > 2 * den) AS cap
+      |        FROM c2 CROSS JOIN t3),
+      |t4 AS (SELECT CAST(sum(CASE WHEN NOT cap
+      |            THEN CAST(p AS HUGEINT) * tokens END) AS HUGEINT) AS den,
+      |        (SELECT b FROM t1) - coalesce(sum(CASE WHEN cap
+      |            THEN 2 * CAST(tokens AS HUGEINT) END), 0) AS b FROM c3),
+      |c4 AS (SELECT c3.src, c3.p, c3.n_docs, c3.tokens, c3.cap OR
+      |          (den > 0 AND CAST(c3.p AS HUGEINT) * b > 2 * den) AS cap
+      |        FROM c3 CROSS JOIN t4),
+      |t5 AS (SELECT CAST(sum(CASE WHEN NOT cap
+      |            THEN CAST(p AS HUGEINT) * tokens END) AS HUGEINT) AS den,
+      |        (SELECT b FROM t1) - coalesce(sum(CASE WHEN cap
+      |            THEN 2 * CAST(tokens AS HUGEINT) END), 0) AS b FROM c4)
+      |SELECT src AS source, n_docs, tokens, CAST(p AS BIGINT) AS mix_parts,
+      |  cap AS capped,
+      |  CASE WHEN cap THEN 2.0 ELSE
+      |    ${Seal.sqlRatio4("(CAST(p AS HUGEINT) * b)", "(nullif(den, 0))")}
+      |    END AS epochs,
+      |  CASE WHEN cap THEN CAST(2 * tokens AS DOUBLE) ELSE
+      |    ${Seal.sqlRatio4("(CAST(p AS HUGEINT) * tokens * b)",
+           "(nullif(den, 0))")}
+      |    END AS tokens_served
+      |FROM c4 CROSS JOIN t5 ORDER BY source""".stripMargin))
+
+  /** [[TrainOrder.rankResumePlan]]: the data-loader checkpoint/resume
+    * lookup — 8 ranks, each starting at token offset ⌊T·r/8⌋ of the
+    * q390 order; for each rank the document containing its offset, the
+    * shard, and the within-doc skip. The engine inverts the prefix sum
+    * in closed form (per-row rank-range + explode, zero corpus joins);
+    * the oracle does the naive rank-spine × corpus range join. */
+  private val q394 = QDef("q394_rank_resume",
+    (s, dir) => TrainOrder.rankResumePlan(
+      T(s, dir, "documents").where(col("text").isNotNull),
+      col("doc_id"), size(split(col("text"), " ")), seed = "s42",
+      shardTokens = 1000L, ranks = 8),
+    Some("""WITH d AS (SELECT doc_id,
+      |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |        md5('s42:' || CAST(doc_id AS VARCHAR)) AS k
+      |      FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+      |o AS (SELECT doc_id, n_tok,
+      |        CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT)
+      |          AS global_pos,
+      |        CAST(sum(n_tok) OVER (ORDER BY k, doc_id
+      |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+      |      FROM d),
+      |t AS (SELECT CAST(sum(n_tok) AS BIGINT) AS tt FROM d),
+      |r AS (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS rank),
+      |ro AS (SELECT rank, (tt * rank) // 8 AS start_offset
+      |       FROM r CROSS JOIN t)
+      |SELECT ro.rank, ro.start_offset, o.doc_id, o.global_pos,
+      |  (o.cum_tok - o.n_tok) // 1000 AS shard_id,
+      |  ro.start_offset - (o.cum_tok - o.n_tok) AS skip_tokens, o.n_tok
+      |FROM ro JOIN o ON ro.start_offset >= o.cum_tok - o.n_tok
+      |              AND ro.start_offset < o.cum_tok
+      |ORDER BY ro.rank""".stripMargin))
+
+  /** [[TrainOrder.epochDisplacement]]: proof the per-epoch reseed
+    * decorrelates — per decile of the epoch-A order, mean and max
+    * absolute displacement under epoch B (independent permutations ⇒
+    * mean ≈ n/3 everywhere; a broken reseed shows ~0). */
+  private val q395 = QDef("q395_epoch_displacement",
+    (s, dir) => TrainOrder.epochDisplacement(T(s, dir, "documents"),
+      col("doc_id"), seedA = "e0", seedB = "e1"),
+    Some(s"""WITH d AS (SELECT doc_id FROM documents
+      |       WHERE doc_id IS NOT NULL),
+      |a AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY
+      |        md5('e0:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+      |          AS pos_a FROM d),
+      |b AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY
+      |        md5('e1:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+      |          AS pos_b FROM d),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM d),
+      |j AS (SELECT ((a.pos_a - 1) * 10) // nn AS decile,
+      |        abs(a.pos_a - b.pos_b) AS dd
+      |      FROM a JOIN b USING (doc_id) CROSS JOIN n),
+      |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+      |        CAST(sum(dd) AS BIGINT) AS s,
+      |        CAST(max(dd) AS BIGINT) AS max_disp
+      |      FROM j GROUP BY 1)
+      |SELECT decile, n_docs,
+      |  ${Seal.sqlRatio4("s", "n_docs")} AS mean_abs_disp, max_disp
+      |FROM g ORDER BY decile""".stripMargin))
+
   def all: Seq[QDef] = Seq(q336, q337, q338, q339, q340, q341, q342,
     q343, q344, q345, q346, q347, q348, q349, q350, q352, q353, q354, q355,
-    q356, q358, q364, q365, q368, q369, q374, q377)
+    q356, q358, q364, q365, q368, q369, q374, q377, q390, q391, q392, q393,
+    q394, q395)
 }

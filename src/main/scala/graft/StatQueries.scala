@@ -480,21 +480,29 @@ object StatQueries {
       |  CAST(count(*) AS BIGINT) AS n_rows
       |FROM b GROUP BY bin, lo, hi ORDER BY 1""".stripMargin))
 
-  /** percent_rank + cume_dist of suppliers by total revenue — the global
-    * ranking runs on the SUPPLIER-sized aggregate (bounded cardinality),
-    * with the (rev, key) compound order making both window functions
-    * tie-free and deterministic. */
+  /** percent_rank + cume_dist of suppliers by total revenue. The
+    * supplier aggregate scales WITH the corpus (TPC-H suppliers grow
+    * with SF), so the rank comes from the distributed [[Ranked]] device
+    * and both statistics compute in closed form from (rn, n) — the
+    * (rev, key) compound order is tie-free, so rank = row_number,
+    * percent_rank = (rn−1)/(n−1), cume_dist = rn/n, the exact doubles
+    * the window functions produce. */
   private val q149 = QDef("q149_revenue_pct_rank",
     (s, dir) => {
       val rev = T(s, dir, "lineitem").groupBy("l_suppkey")
         .agg(sum(expr(
           "CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)"))
           .as("rev_cents"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy("rev_cents", "l_suppkey")
-      rev.select(col("l_suppkey"), col("rev_cents"),
-          round(percent_rank().over(w), 4).as("pct_rank"),
-          round(cume_dist().over(w), 4).as("cume"))
+      Ranked.withRowNumber(rev, Seq(col("rev_cents"), col("l_suppkey")),
+          "__rn")
+        .crossJoin(broadcast(rev.agg(count(lit(1)).as("__n"))))
+        .select(col("l_suppkey"), col("rev_cents"),
+          when(col("__n") > 1L,
+            round((col("__rn") - 1L).cast("double") /
+              (col("__n") - 1L).cast("double"), 4)).otherwise(0.0)
+            .as("pct_rank"),
+          round(col("__rn").cast("double") / col("__n").cast("double"), 4)
+            .as("cume"))
         .orderBy("l_suppkey")
     },
     Some("""WITH rev AS (SELECT l_suppkey,
@@ -806,10 +814,11 @@ object StatQueries {
     })
 
   /** Pareto concentration report: revenue share of the top 1% / 5% / 10%
-    * of suppliers. Rank and cumulative cents are windows over the
-    * SUPPLIER-sized aggregate; the three percentile markers are a 3-row
-    * broadcast; equality-matched at rn = ceil(p·n) (identical double
-    * ceil in both engines). */
+    * of suppliers. Rank and cumulative cents come from ONE distributed
+    * [[Ranked]] prefix pass over the supplier aggregate (suppliers
+    * scale with the corpus — never a single-partition window); the
+    * three percentile markers are a 3-row broadcast; equality-matched
+    * at rn = ceil(p·n) (identical double ceil in both engines). */
   private val q159 = QDef("q159_pareto_share",
     (s, dir) => {
       val spark = s; import spark.implicits._
@@ -817,11 +826,9 @@ object StatQueries {
         .agg(sum(expr(
           "CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)"))
           .as("cents"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(desc("cents"), col("l_suppkey"))
-      val ranked = rev.select(col("l_suppkey"), col("cents"),
-        row_number().over(w).as("rn"),
-        sum("cents").over(w.rowsBetween(Long.MinValue, 0)).as("cum_cents"))
+      val ranked = Ranked.withPrefix(rev,
+        Seq(desc("cents"), col("l_suppkey")),
+        Seq(col("cents") -> "cum_cents"), rnOut = Some("rn"))
       val tot = rev.agg(count(lit(1)).as("n"), sum("cents").as("tc"))
       val ps = broadcast(Seq(0.01, 0.05, 0.10).toDF("p"))
       ranked.crossJoin(broadcast(tot)).crossJoin(ps)

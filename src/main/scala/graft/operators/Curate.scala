@@ -521,13 +521,15 @@ object Curate {
     * sum. */
   def crawlDecay(df: DataFrame, id: Column, text: Column,
                  bands: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = split(text, " ")
-    df.select(id.as("doc_id"), size(toks).cast("long").as("nt"),
+    val base = df.select(id.as("doc_id"), size(toks).cast("long").as("nt"),
         size(array_distinct(toks)).cast("long").as("nd"))
       .where(col("doc_id").isNotNull && col("nt") > 0)
-      .withColumn("band", ntile(bands).over(Window.orderBy("doc_id"))
-        .cast("long"))
+    // crawl-order ntile via the distributed [[Ranked]] prefix device —
+    // never a single-partition window over the corpus
+    Ranked.withRowNumber(base, Seq(col("doc_id")), "__rn")
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("__n"))))
+      .withColumn("band", Ranked.ntileOf(col("__rn"), col("__n"), bands))
       .select(col("band"), col("nt"),
         round(col("nd").cast("double") / col("nt") * lit(1e6), 0)
           .cast("long").as("ttr6"))

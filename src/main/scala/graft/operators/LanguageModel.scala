@@ -577,7 +577,6 @@ object LanguageModel {
     * rows, the KS convention). β ≈ 0.5–0.7 for natural text; a crawl
     * gone circular shows β collapsing. */
   def heapsLaw(df: DataFrame, id: Column, text: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = df.select(id.as("doc_id"), split(text, " ").as("tk"))
       .where(col("doc_id").isNotNull)
       .select(col("doc_id"), size(col("tk")).cast("long").as("nt"),
@@ -585,13 +584,14 @@ object LanguageModel {
     val newTypes = toks.select(col("doc_id"), explode(col("dk")).as("g"))
       .groupBy("g").agg(min("doc_id").as("fd"))
       .groupBy(col("fd").as("doc_id")).agg(count(lit(1)).as("nv"))
-    val wCum = Window.orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val pts = toks.select(col("doc_id"), col("nt"))
-      .join(newTypes, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("nt"),
-        coalesce(col("nv"), lit(0L)).as("nv"))
-      .select(sum("nt").over(wCum).as("bn"), sum("nv").over(wCum).as("bv"))
+    // both running sums in ONE distributed-prefix pass (Ranked device)
+    // instead of a single-partition cumulative window over the corpus
+    val pts = Ranked.withPrefix(
+        toks.select(col("doc_id"), col("nt"))
+          .join(newTypes, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("nt"),
+            coalesce(col("nv"), lit(0L)).as("nv")),
+        Seq(col("doc_id")), Seq(col("nt") -> "bn", col("nv") -> "bv"))
       .where(col("bn") > 0 && col("bv") > 0)
       .select(round(log(col("bn").cast("double")) * lit(1e3), 0)
           .cast("long").as("x"),

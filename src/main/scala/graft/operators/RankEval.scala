@@ -16,13 +16,15 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the score spine (distinct score values / ranked units)
   * is what sorts, never raw events. [[aucRoc]] sorts the DISTINCT-score
-  * table in one global ordering window — fine to ~10⁷ distinct scores;
-  * past that, pre-bucket the cumulative pass exactly like
-  * [[Agg.weightedPercentileBucketed]] (the same monotone-threshold
-  * trick applies to rank sums bucket by bucket). [[topkMetrics]] /
-  * [[calibrationBins]] rank the UNIT table; at 10⁹ units swap the
-  * row_number window for a TakeOrdered top-k resp. pre-computed
-  * cut-point joins (the q141 quartile device).
+  * table in one global ordering window — fine to ~10⁷ distinct scores
+  * (the spine saturates at the quantized score domain, corpus-
+  * independent); past that, [[aucRocBucketed]] is the bit-identical
+  * scale twin. [[topkMetrics]] ranks the UNIT table but filters
+  * rk ≤ max(ks) directly above the window, so WindowGroupLimit bounds
+  * the single-partition sort input to max(ks) rows per map partition.
+  * [[calibrationBins]] / [[calibrationError]] / [[spearmanRho]] rank
+  * the unit table through the distributed [[Ranked]] prefix device —
+  * no single-partition unit sort anywhere.
   */
 object RankEval {
 
@@ -323,15 +325,17 @@ object RankEval {
   def calibrationError(df: DataFrame, score: Column, label: Column,
                        tie: Column, bins: Int = 10,
                        scoreScale: Long = 10000L): DataFrame = {
-    val w = Window.orderBy(desc("s"), col("id"))
     // the tie key joins the null drop: a NULL id would bin differently in
     // Spark (nulls first) vs the DuckDB oracle (nulls last) inside the
     // global ntile ordering — bin assignment must not depend on engine
     // null ordering
-    val binned = df.select(score.cast("long").as("s"),
+    val base = df.select(score.cast("long").as("s"),
         label.cast("long").as("y"), tie.as("id"))
       .where(col("s").isNotNull && col("y").isNotNull && col("id").isNotNull)
-      .withColumn("bin", ntile(bins).over(w).cast("long"))
+    // distributed ntile — the calibrationBins device
+    val binned = Ranked.withRowNumber(base, Seq(desc("s"), col("id")), "__rn")
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("__n"))))
+      .withColumn("bin", Ranked.ntileOf(col("__rn"), col("__n"), bins))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"), sum("y").as("np"), sum("s").as("ss"))
       .select(col("n"),
@@ -399,14 +403,19 @@ object RankEval {
   def spearmanRho(df: DataFrame, x: Column, y: Column): DataFrame = {
     val base = df.select(x.cast("long").as("x"), y.cast("long").as("y"))
       .where(col("x").isNotNull && col("y").isNotNull)
-    val wx = Window.orderBy("x")
-    val wy = Window.orderBy("y")
-    // 2·average-rank: min-rank from rank(), tie count from a same-value
-    // frame — rank() and the value-partitioned count share each sort
-    val ranked = base
-      .withColumn("rx", lit(2L) * rank().over(wx) +
+    // 2·average-rank = 2·rank_min + ties − 1, with rank_min recovered
+    // as min(distributed row_number) over the tie group: the device's
+    // in-tie order is arbitrary but a tie group never spans range
+    // partitions, so the min is the deterministic SQL rank(). Two
+    // device passes replace the two single-partition rank() windows.
+    val ranked = Ranked.withRowNumber(
+        Ranked.withRowNumber(base, Seq(col("x")), "__rnx"),
+        Seq(col("y")), "__rny")
+      .withColumn("rx", lit(2L) *
+        min("__rnx").over(Window.partitionBy("x")) +
         count(lit(1)).over(Window.partitionBy("x")) - 1L)
-      .withColumn("ry", lit(2L) * rank().over(wy) +
+      .withColumn("ry", lit(2L) *
+        min("__rny").over(Window.partitionBy("y")) +
         count(lit(1)).over(Window.partitionBy("y")) - 1L)
     ranked.agg(count(lit(1)).as("n"), sum("rx").as("sx"),
         sum("ry").as("sy"), sum(col("rx") * col("rx")).as("sxx"),
@@ -431,12 +440,16 @@ object RankEval {
   def calibrationBins(df: DataFrame, score: Column, label: Column,
                       tie: Column, bins: Int = 10): DataFrame = {
     require(bins >= 2, "bins must be >= 2")
-    val w = Window.orderBy(desc("s"), col("id"))
     // null scores/labels excluded — the family convention (see topkMetrics)
-    df.select(score.cast("long").as("s"), label.cast("long").as("y"),
-        tie.as("id"))
+    val base = df.select(score.cast("long").as("s"),
+        label.cast("long").as("y"), tie.as("id"))
       .where(col("s").isNotNull && col("y").isNotNull)
-      .withColumn("bin", ntile(bins).over(w).cast("long"))
+    // global ntile without the single-partition window: distributed
+    // row_number ([[Ranked.withPrefix]]) + the closed-form tile of
+    // (rn, n) — bit-identical to ntile() at any scale
+    Ranked.withRowNumber(base, Seq(desc("s"), col("id")), "__rn")
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("__n"))))
+      .withColumn("bin", Ranked.ntileOf(col("__rn"), col("__n"), bins))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
         sum("s").as("ssum"))

@@ -369,7 +369,9 @@ object IngestStreams {
       days: Seq[DataFrame], name: String, maintainStats: Boolean,
       killBetweenDays: Boolean,
       batchSeconds: Option[scala.collection.mutable.Buffer[Double]] = None,
-      appendRows: Option[scala.collection.mutable.Buffer[Long]] = None)
+      appendRows: Option[scala.collection.mutable.Buffer[Long]] = None,
+      killAfterDays: Set[Int] = Set.empty,
+      compactAfterDay: Option[Int] = None)
       : DataFrame = {
     val idx = name + "_idx"
     val st = name + "_stats"
@@ -401,7 +403,16 @@ object IngestStreams {
       ()
     }
     driveDays(spark, days.head.schema, spool, ckpt, days,
-      killBetweenDays, body)
+      killBetweenDays, body,
+      // postings compaction runs BETWEEN stream segments: collapse the
+      // exact-duplicate rows replayed appends left and re-bucket one
+      // file per term bucket — content ≡ collapsePostings, so serving
+      // semantics are unchanged (the retrieval soak pins exactly that)
+      killAfterDays = killAfterDays ++ compactAfterDay.toSet,
+      afterSegment = day =>
+        if (compactAfterDay.contains(day))
+          VStage.compact(spark, idx, "term", 8,
+            df => collapsePostings(df).repartition(8, col("term"))))
     if (maintainStats) {
       val (dfT, nd) = readStats(VStage.load(spark, st, refresh = true))
       graft.Curate.tfidfTopKWithStats(
@@ -504,7 +515,8 @@ object IngestStreams {
       days: Seq[DataFrame], name: String, killBetweenDays: Boolean,
       batchSeconds: Option[scala.collection.mutable.Buffer[Double]] = None,
       appendRows: Option[scala.collection.mutable.Buffer[Long]] = None,
-      reclusterAfterDay: Option[Int] = None)
+      reclusterAfterDay: Option[Int] = None,
+      killAfterDays: Set[Int] = Set.empty)
       : Seq[(Long, Array[Double])] = {
     // the serving codebook trains on the DAY-0 slice only — the shape
     // an actual deployment has available before the stream starts (a
@@ -538,7 +550,7 @@ object IngestStreams {
       killBetweenDays, body,
       // the recluster runs BETWEEN stream segments, so its day must be
       // a segment boundary
-      killAfterDays = reclusterAfterDay.toSet,
+      killAfterDays = killAfterDays ++ reclusterAfterDay.toSet,
       afterSegment = day =>
         if (reclusterAfterDay.contains(day))
           cents = graft.Similarity.ivfRecluster(spark, idx, c = 16,

@@ -16,6 +16,21 @@ class PlanAuditSpec extends SparkSpec {
     "q39_ann_ivf", "q49_training_prep", "q54_sql_native_fn",
     "q72_ann_quantized", "q80_tfidf_terms", "q83_length_curriculum",
     "q92_bm25_terms", // (N, avgdl) one-row stats broadcast, like q80's N
+    // 1-row per-source-count map broadcast (groupless agg of a
+    // source-keyed agg) — the closed-form global-position arithmetic
+    // reads counts from this single row (TrainOrder.strideInterleave)
+    "q392_stride_interleave",
+    // 1-row total-token broadcast: the closed-form inverse prefix sum
+    // reads T from it (TrainOrder.rankResumePlan)
+    "q394_rank_resume",
+    // 1-row corpus-count broadcast for the decile cut
+    // (TrainOrder.epochDisplacement)
+    "q395_epoch_displacement",
+    // 1-row count broadcasts feeding the closed-form ntile /
+    // percent_rank over the distributed Ranked row_number (r13: the
+    // single-partition-window fixes)
+    "q124_ntile_bins", "q149_revenue_pct_rank", "q193_calibration_bins",
+    "q286_calibration_error", "q295_crawl_decay",
     "q108_unigram_logprob", // 1-row total-token-count broadcast
     "q123_skew_report", // 1-row totals/gini/top10 broadcasts (r9 spine)
     "q126_pair_lift", // 1-row basket-census broadcast (lazy N, r8)
@@ -263,8 +278,11 @@ class PlanAuditSpec extends SparkSpec {
     "q377_stream_dedup_compact" -> 2,
     // the prep loop's self-exclusion broadcasts plus the benchmark
     // 5-gram set (the q63 decontamination convention: benchmark-sized
-    // by contract, never the corpus)
-    "q379_stream_ingest_decon" -> 3,
+    // by contract, never the corpus). The gram set now pins ONCE
+    // before the stream (a LogicalRDD the classifier can't prove) and
+    // is re-broadcast at day-0 staging + each of the two micro-batches
+    // — 3 gram-set hints + 2 replay self-exclusion hints
+    "q379_stream_ingest_decon" -> 5,
     // retrieval-batch broadcasts (the q362/q375 panel convention): a
     // serving batch is bounded by CONTRACT, independent of corpus size
     // — the fixture derives the panel from doc_id % 50 only as a
@@ -312,46 +330,89 @@ class PlanAuditSpec extends SparkSpec {
     "q326_ngram_containment_banded" -> 1,
     "q331_tfidf_cosine_banded" -> 1)
 
-  test("explicit broadcast() hints only on provably bounded builds or " +
-      "whitelisted bounded-domain tables — never a corpus-sized table") {
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST,
-      Join, LocalRelation, LogicalPlan, OneRowRelation, ResolvedHint, Union,
-      UnaryNode, Range => LRange}
-    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
-      LogicalRelation}
-    // fixed-cardinality TPC-H dimension scans: nation (25) / region (5)
-    def dimScan(p: LogicalPlan): Boolean = p match {
-      case lr: LogicalRelation => lr.relation match {
-        case fs: HadoopFsRelation =>
-          val paths = fs.location.rootPaths.map(_.toString)
-          paths.nonEmpty && paths.forall(s =>
-            s.contains("nation.parquet") || s.contains("region.parquet"))
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
+    GlobalLimit, Join, LocalRelation, LogicalPlan, OneRowRelation, Union,
+    UnaryNode, Range => LRange}
+  import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+    LogicalRelation}
+
+  // fixed-cardinality TPC-H dimension scans: nation (25) / region (5)
+  private def dimScan(p: LogicalPlan): Boolean = p match {
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation =>
+        val paths = fs.location.rootPaths.map(_.toString)
+        paths.nonEmpty && paths.forall(s =>
+          s.contains("nation.parquet") || s.contains("region.parquet"))
+      case _ => false
+    }
+    case _ => false
+  }
+  // provably LOW-CARDINALITY grouping expression, independent of corpus
+  // size: spark_partition_id() (≤ the configured shuffle-partition
+  // count — the Ranked-device spine) and short prefixes of a hex digest
+  // (≤ 16^len values — the TrainOrder.shardAssign spine). Attributes
+  // deref through the subtree's Alias definitions so groupBy("__b")
+  // proves even though the defining substring sits in a lower Project.
+  private def lowCardGrouping(a: Aggregate): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias,
+      AttributeReference, Cast, ExprId, Expression, Literal, Md5, Sha1,
+      Sha2, SparkPartitionID, Substring}
+    val defs: Map[ExprId, Expression] = a.child.collect { case n =>
+      n.expressions.flatMap(_.collect { case al: Alias =>
+        al.exprId -> al.child })
+    }.flatten.toMap
+    def deref(e: Expression, depth: Int = 0): Expression = e match {
+      case ar: AttributeReference if depth < 32 =>
+        defs.get(ar.exprId).map(deref(_, depth + 1)).getOrElse(ar)
+      case al: Alias => deref(al.child, depth + 1)
+      case c: Cast => deref(c.child, depth + 1)
+      case other => other
+    }
+    def isDigest(e: Expression): Boolean = deref(e) match {
+      case _: Md5 | _: Sha1 | _: Sha2 => true
+      case _ => false
+    }
+    a.groupingExpressions.nonEmpty && a.groupingExpressions.forall(g =>
+      deref(g) match {
+        case _: SparkPartitionID => true
+        case Substring(str, Literal(1, _), Literal(len: Int, _)) =>
+          len <= 4 && isDigest(str)
         case _ => false
-      }
-      case _ => false
-    }
-    // provably row-bounded regardless of input scale: global (1-row)
-    // aggregates, literal relations, small ranges, dim scans — closed
-    // under project/filter/window/generate-over-literal-spines, joins and
-    // unions of bounded sides, and grouped aggs over bounded children
-    def bounded(p: LogicalPlan): Boolean = p match {
-      case a: Aggregate => a.groupingExpressions.isEmpty || bounded(a.child)
-      case _: LocalRelation => true
-      case _: OneRowRelation => true
-      case r: LRange => r.numElements <= BigInt(100000)
-      case j: Join => bounded(j.left) && bounded(j.right)
-      case u: Union => u.children.forall(bounded)
-      case l if dimScan(l) => true
-      case u: UnaryNode => bounded(u.child)
-      case _ => false
-    }
-    // Operators that localCheckpoint internally EXECUTE those stages
-    // eagerly at construction time, truncating them out of the final
-    // DataFrame's analyzed plan — a corpus-sized broadcast could hide
-    // behind a checkpoint and this audit would never see it. Capture
-    // every construction-time execution via a QueryExecutionListener and
-    // audit those plans too (suites run sequentially in the forked test
-    // JVM, so the capture can't pick up foreign executions).
+      })
+  }
+
+  // provably row-bounded regardless of input scale: global (1-row)
+  // aggregates, aggregates grouped by provably-low-cardinality keys,
+  // literal relations, small ranges, literal-bounded limits, dim scans
+  // — closed under project/filter/window/generate-over-literal-spines,
+  // joins and unions of bounded sides, and grouped aggs over bounded
+  // children
+  private def bounded(p: LogicalPlan): Boolean = p match {
+    case a: Aggregate => a.groupingExpressions.isEmpty ||
+      bounded(a.child) || lowCardGrouping(a)
+    case _: LocalRelation => true
+    case _: OneRowRelation => true
+    case r: LRange => r.numElements <= BigInt(100000)
+    case g: GlobalLimit => g.maxRows.exists(_ <= 100000L) || bounded(g.child)
+    case j: Join => bounded(j.left) && bounded(j.right)
+    case u: Union => u.children.forall(bounded)
+    case l if dimScan(l) => true
+    case u: UnaryNode => bounded(u.child)
+    case _ => false
+  }
+
+  /** Analyzed plan of each query PLUS every construction-time execution.
+    * Operators that localCheckpoint internally EXECUTE those stages
+    * eagerly at construction time, truncating them out of the final
+    * DataFrame's analyzed plan — a corpus-sized broadcast (or window)
+    * could hide behind a checkpoint and a plain plan walk would never
+    * see it. Capture every construction-time execution via a
+    * QueryExecutionListener and audit those plans too (suites run
+    * sequentially in the forked test JVM, so the capture can't pick up
+    * foreign executions). Calls `audit(name, plans)` per query and
+    * returns the concatenated violations. */
+  private def auditAllQueryPlans(
+      audit: (String, Seq[LogicalPlan]) => Seq[String]): Seq[String] = {
     import org.apache.spark.sql.execution.QueryExecution
     import org.apache.spark.sql.util.QueryExecutionListener
     val captured = new java.util.concurrent.ConcurrentLinkedQueue[LogicalPlan]()
@@ -365,32 +426,110 @@ class PlanAuditSpec extends SparkSpec {
     def drain(): Unit =
       org.apache.spark.sql.graft.TestListenerBus.drain(spark.sparkContext)
     spark.listenerManager.register(listener)
-    val violations =
-      try SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-        case (name, fn) =>
-          drain(); captured.clear()
-          val analyzed =
-            try fn(spark, sf).queryExecution.analyzed
-            catch { case e: Throwable => fail(s"$name failed to analyze: $e") }
-          drain()
-          val plans = analyzed +:
-            scala.jdk.CollectionConverters.IteratorHasAsScala(
-              captured.iterator).asScala.toSeq
-          val hinted = plans.flatMap(_.collect {
-            case ResolvedHint(child, hints)
-              if hints.strategy.contains(BROADCAST) => child
-          })
-          // one hint SITE can appear many times across the analyzed trees
-          // (an un-deduplicated subtree referenced from several branches,
-          // or one checkpoint stage feeding another): count distinct
-          // canonical subtrees, not occurrences
-          val unproven = hinted.filterNot(bounded)
-            .groupBy(_.canonicalized).map(_._2.head).toSeq
-          if (unproven.size > hintOk.getOrElse(name, 0))
-            unproven.map(c => s"$name: broadcast hint on unproven " +
-              s"${c.nodeName}[${c.output.map(_.name).mkString(",")}]")
-          else Nil
-      } finally spark.listenerManager.unregister(listener)
+    try SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        drain(); captured.clear()
+        val analyzed =
+          try fn(spark, sf).queryExecution.analyzed
+          catch { case e: Throwable => fail(s"$name failed to analyze: $e") }
+        drain()
+        val plans = analyzed +:
+          scala.jdk.CollectionConverters.IteratorHasAsScala(
+            captured.iterator).asScala.toSeq
+        audit(name, plans)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("explicit broadcast() hints only on provably bounded builds or " +
+      "whitelisted bounded-domain tables — never a corpus-sized table") {
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST,
+      ResolvedHint}
+    val violations = auditAllQueryPlans { (name, plans) =>
+      val hinted = plans.flatMap(_.collect {
+        case ResolvedHint(child, hints)
+          if hints.strategy.contains(BROADCAST) => child
+      })
+      // one hint SITE can appear many times across the analyzed trees
+      // (an un-deduplicated subtree referenced from several branches,
+      // or one checkpoint stage feeding another): count distinct
+      // canonical subtrees, not occurrences
+      val unproven = hinted.filterNot(bounded)
+        .groupBy(_.canonicalized).map(_._2.head).toSeq
+      if (unproven.size > hintOk.getOrElse(name, 0))
+        unproven.map(c => s"$name: broadcast hint on unproven " +
+          s"${c.nodeName}[${c.output.map(_.name).mkString(",")}]")
+      else Nil
+    }
+    assert(violations.isEmpty, violations.mkString("\n"))
+  }
+
+  // queries whose plan legitimately carries an UNPARTITIONED window the
+  // bounded() classifier can't prove: each entry names the spine and
+  // why its row count is independent of (or saturating in) corpus
+  // size. Value = number of distinct canonical unproven global-window
+  // children allowed. NOT whitelisted (fixed instead, r13): the
+  // corpus-proportional windows — per-doc ntile (q124/q193/q286/q295),
+  // per-supplier rank/cumsum (q149/q159), per-unit Spearman ranks
+  // (q203), the doc-grain Heaps cumulative (q274) — all re-platformed
+  // onto the distributed Ranked prefix device, whose partition spine
+  // the classifier PROVES via its spark_partition_id grouping.
+  private val globalWinOk: Map[String, Int] = Map(
+    // day-grain spines: grouped by calendar day — bounded by the time
+    // domain (~2.4k days in the fixture window; thousands at any
+    // corpus size), not by rows
+    "q163_calendar_gap_fill" -> 1, "q164_rolling_corr" -> 1,
+    "q177_seasonal_decomp" -> 2, "q197_compaction_plan" -> 1,
+    "q211_cusum_changepoint" -> 2, "q250_hurst_rs" -> 1,
+    "q271_peak_detection" -> 4, "q277_runs_test" -> 1,
+    "q292_control_chart" -> 1, "q298_seasonal_index" -> 2,
+    "q325_sequential_monitor" -> 1,
+    // event-time spines (distinct event days of the survival tables) —
+    // the same calendar bound
+    "q176_kaplan_meier" -> 2, "q264_nelson_aalen" -> 2,
+    "q309_log_rank" -> 2,
+    // literal bin / band / decile spines: grouped by a bounded bucket
+    // expression (10–32 values by construction) — the classifier can't
+    // see the bucket arithmetic's range
+    "q166_emd_drift" -> 1, "q184_decile_lift" -> 1,
+    "q201_auc_bucketed" -> 1, "q223_qini_uplift" -> 4,
+    "q288_histogram_quantile" -> 1, "q336_t_closeness" -> 1,
+    // vocabulary spines — Zipf-sublinear in the corpus (the Graph
+    // broadcastVocab contract precedent)
+    "q134_zipf_fit" -> 1, "q173_vocab_coverage" -> 1,
+    // count-histogram spine (distinct key-count VALUES, which saturate
+    // far below key cardinality — Skew.keyDistribution's spine)
+    "q123_skew_report" -> 1,
+    // distinct-VALUE spines of quantized metrics: the window input
+    // saturates at the value domain (cents / 1e-4-quantized scores),
+    // corpus-independent; past ~10⁷ distinct values the documented
+    // bucketed decomposition (RankEval.aucRocBucketed, q201) is the
+    // scale path
+    "q147_ks_test" -> 1, "q191_auc_roc" -> 1, "q232_mann_whitney" -> 1,
+    "q312_wilcoxon_signed_rank" -> 1, "q315_kruskal_wallis" -> 1,
+    "q317_cliffs_delta" -> 1,
+    // WindowGroupLimit-bounded: the rk ≤ max(ks) filter sits directly
+    // above the row_number window, so the single-partition sort reads
+    // max(ks) rows per map partition, not the corpus (the rank-filter
+    // pushdown this suite pins above)
+    "q192_topk_precision_recall" -> 1,
+    // k-th-order-statistic tail: the window runs over the top-k rows
+    // selected by a bounded ordered take (k by contract)
+    "q299_hill_tail" -> 1)
+
+  test("unpartitioned Window (single-partition at scale) only over " +
+      "provably bounded or whitelisted spine frames — never the corpus") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val violations = auditAllQueryPlans { (name, plans) =>
+      val global = plans.flatMap(_.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w.child
+      })
+      val unproven = global.filterNot(bounded)
+        .groupBy(_.canonicalized).map(_._2.head).toSeq
+      if (unproven.size > globalWinOk.getOrElse(name, 0))
+        unproven.map(c => s"$name: unpartitioned window over unproven " +
+          s"${c.nodeName}[${c.output.map(_.name).mkString(",")}]")
+      else Nil
+    }
     assert(violations.isEmpty, violations.mkString("\n"))
   }
 

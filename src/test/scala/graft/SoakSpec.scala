@@ -101,4 +101,60 @@ class SoakSpec extends SparkSpec {
     assert(base.count(_._1 % 12 == 10) > 0)
     assert(base.nonEmpty)
   }
+
+  test("retrieval soak: BOTH hybrid legs (lexical postings + IVF) under " +
+      "10-day ingest with kills after days 2/5/8, a postings compaction " +
+      "and an IVF recluster after day 5 — the killed stack's hybrid " +
+      "serving equals the uninterrupted stack's row for row, and the " +
+      "lexical index equals the from-scratch rebuild") {
+    val vecs = Tables.t(spark, sf, "embeddings")
+    val vcorpus =
+      vecs.where(col("vec_id") % 12 === 0 || col("vec_id") % 12 === 11)
+    val vdays = (1 to 10).map(i => vecs.where(col("vec_id") % 12 === i))
+    val panelDocs = col("id") % 50 === 0
+    def serve(tag: String, kills: Set[Int]) = {
+      IngestStreams.lexicalLoop(spark, corpus, days, s"t_soak_hl_$tag",
+        maintainStats = false, killBetweenDays = false,
+        killAfterDays = kills, compactAfterDay = Some(5))
+      val cents = IngestStreams.annLoop(spark, vcorpus, vdays,
+        s"t_soak_hv_$tag", killBetweenDays = false,
+        killAfterDays = kills, reclusterAfterDay = Some(5))
+      val lex = Curate.tfidfTopKFromPostings(
+        IngestStreams.collapsePostings(
+          VStage.load(spark, s"t_soak_hl_${tag}_idx", refresh = true)),
+        panelDocs, kLex = 20)
+      val vec = Similarity.ivfKnnJoinIndex(
+          VStage.load(spark, s"t_soak_hv_${tag}_idx", refresh = true),
+          vecs.where(col("vec_id") % 50 === 0), col("embedding"),
+          col("vec_id"), k = 20, centroids = cents, nProbe = 4,
+          dedupCandidates = true, excludeSelf = true)
+        .select(col("qid"), col("id"), col("rank"))
+      Similarity.rrfFuseGroupedTopK(lex, vec, kConst = 60, k = 10)
+        .select("qid", "rank", "id").collect().toSeq
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    }
+    val base = serve("u", Set.empty)
+    val killed = serve("k", kills)
+    assert(killed === base,
+      "kills + replays must not change what the hybrid stack serves")
+    // both killed-run indexes actually compacted mid-run
+    assert(VStage.currentGen(spark, "t_soak_hl_k_idx") > 0L,
+      "no postings compaction ran — soak is vacuous on the lex axis")
+    assert(VStage.currentGen(spark, "t_soak_hv_k_idx") > 0L,
+      "no IVF recluster ran — soak is vacuous on the vector axis")
+    // the lexical leg's append ≡ rebuild contract held over 10 days +
+    // kills + compaction: the collapsed index equals a from-scratch
+    // tokenize of every document that ever arrived
+    val rebuilt = Curate.tokenPostings(
+        corpus.unionByName(days.reduce(_ unionByName _)),
+        col("doc_id"), col("text"))
+      .select("id", "term", "tf").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    val grown = IngestStreams.collapsePostings(
+        VStage.load(spark, "t_soak_hl_k_idx", refresh = true))
+      .select("id", "term", "tf").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    assert(grown === rebuilt)
+    assert(base.nonEmpty)
+  }
 }
