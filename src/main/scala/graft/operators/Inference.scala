@@ -547,9 +547,10 @@ object Inference {
         when(col("dd") > 0, 1L).otherwise(0L).as("pos"))
     val byV = d.groupBy("ad")
       .agg(count(lit(1)).as("m"), sum("pos").as("mp"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy("ad")
-      .rowsBetween(Long.MinValue, 0)
-    val ranked = byV.withColumn("cum", sum("m").over(w))
+    // cumulative tie-group count via the distributed Ranked prefix —
+    // no single-partition window over the |diff| spine
+    val ranked = Ranked.withPrefix(byV, Seq(col("ad")),
+        Seq(col("m") -> "cum"))
       // 2·W⁺ contribution of the tie group: mp positives × (2c − m + 1)
       .select(col("m"), col("mp"),
         (col("mp") * (lit(2L) * col("cum") - col("m") + 1L)).as("w2"),
@@ -578,9 +579,10 @@ object Inference {
     val d = df.select(group.as("g"), v.cast("long").as("x"))
       .where(col("g").isNotNull && col("x").isNotNull)
     val byV = d.groupBy("x").agg(count(lit(1)).as("m"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy("x")
-      .rowsBetween(Long.MinValue, 0)
-    val spine = byV.withColumn("cum", sum("m").over(w))
+    // cumulative count via the distributed Ranked prefix — no
+    // single-partition window over the value spine
+    val spine = Ranked.withPrefix(byV, Seq(col("x")),
+        Seq(col("m") -> "cum"))
       .select(col("x"), col("m"), col("cum"),
         (col("m") * col("m") * col("m") - col("m")).as("tc"))
     val perG = d.join(spine.select("x", "m", "cum"), "x")
@@ -650,9 +652,10 @@ object Inference {
     val byV = d.groupBy("x")
       .agg(count(lit(1)).as("m"),
         sum(when(col("g") === a, 1L).otherwise(0L)).as("ma"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy("x")
-      .rowsBetween(Long.MinValue, 0)
-    val terms = byV.withColumn("cum", sum("m").over(w))
+    // cumulative count via the distributed Ranked prefix — no
+    // single-partition window over the value spine
+    val terms = Ranked.withPrefix(byV, Seq(col("x")),
+        Seq(col("m") -> "cum"))
       .select(col("ma"), col("m"),
         (col("ma") * (lit(2L) * col("cum") - col("m") + 1L)).as("r2a"))
     terms.agg(sum("ma").as("na"), sum(col("m") - col("ma")).as("nb"),

@@ -15,16 +15,16 @@ import org.apache.spark.sql.functions._
   * final division sealed with round(,4) (FIXTURES.md).
   *
   * Scale shape: the score spine (distinct score values / ranked units)
-  * is what sorts, never raw events. [[aucRoc]] sorts the DISTINCT-score
-  * table in one global ordering window — fine to ~10⁷ distinct scores
-  * (the spine saturates at the quantized score domain, corpus-
-  * independent); past that, [[aucRocBucketed]] is the bit-identical
-  * scale twin. [[topkMetrics]] ranks the UNIT table but filters
-  * rk ≤ max(ks) directly above the window, so WindowGroupLimit bounds
-  * the single-partition sort input to max(ks) rows per map partition.
+  * is what sorts, never raw events — and no operator here sorts it
+  * through a single partition. [[aucRoc]]'s cumulative pass runs the
+  * distributed [[Ranked]] prefix over the distinct-score spine
+  * ([[aucRocBucketed]] remains the bit-identical value-bucketed twin
+  * whose prefix decomposition the device generalizes).
+  * [[topkMetrics]] ranks the UNIT table but filters rk ≤ max(ks)
+  * directly above the window, so WindowGroupLimit bounds the
+  * single-partition sort input to max(ks) rows per map partition.
   * [[calibrationBins]] / [[calibrationError]] / [[spearmanRho]] rank
-  * the unit table through the distributed [[Ranked]] prefix device —
-  * no single-partition unit sort anywhere.
+  * the unit table through the same device.
   */
 object RankEval {
 
@@ -59,9 +59,11 @@ object RankEval {
         label.cast("long").as("y"))
       .where(col("s").isNotNull && col("y").isNotNull)
       .groupBy("s").agg(count(lit(1)).as("n"), sum("y").as("np"))
-    val w = Window.orderBy("s")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val terms = byS.withColumn("cum", sum("n").over(w))
+    // cumulative count over the distinct-score spine via the
+    // distributed Ranked prefix — no single-partition window even when
+    // the score domain is large
+    val terms = Ranked
+      .withPrefix(byS, Seq(col("s")), Seq(col("n") -> "cum"))
       .select(col("n"), col("np"), rankTerm)
     sealAuc(terms.agg(sum("np").as("n_pos"),
       sum(col("n") - col("np")).as("n_neg"), sum("r2").as("r2p")), Nil)

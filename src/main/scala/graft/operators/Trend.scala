@@ -301,11 +301,11 @@ object Trend {
     *
     * Shape: one grouped count per distinct value (the corpus-scale pass,
     * map-side combinable), then cumulative sums over the DISTINCT-VALUE
-    * table — the deliberately pre-aggregated input that makes the
-    * unpartitioned window safe: its row count is the metric's cardinality
-    * (thousands), not the corpus size. Determinism: cumulative counts are
-    * exact longs; each F is one double division of identical longs; D is
-    * a max over identical doubles, sealed with round(,4). */
+    * table via the distributed [[Ranked]] prefix — parallel at any
+    * value-domain size, never a single-partition window. Determinism:
+    * cumulative counts are exact longs; each F is one double division
+    * of identical longs; D is a max over identical doubles, sealed with
+    * round(,4). */
   def ksTest(df: DataFrame, label: Column, v: Column,
              a: String, b: String): DataFrame = {
     val g = df.select(label.as("l"), v.cast("long").as("v"))
@@ -314,11 +314,14 @@ object Trend {
       sum(when(col("l") === a, 1L).otherwise(0L)).as("ca"),
       sum(when(col("l") === b, 1L).otherwise(0L)).as("cb"))
     val tot = cnt.agg(sum("ca").as("n_a"), sum("cb").as("n_b"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy("v")
     // D = max |cca/n_a − ccb/n_b| is an exact rational: take the max of
     // the integer numerator |cca·n_b − ccb·n_a| (same argmax — the
-    // denominator n_a·n_b is constant), then one integer-sealed division
-    cnt.select(sum("ca").over(w).as("cca"), sum("cb").over(w).as("ccb"))
+    // denominator n_a·n_b is constant), then one integer-sealed division.
+    // Both cumulative counts ride ONE distributed Ranked prefix pass
+    // over the value spine — no single-partition window at any domain
+    Ranked.withPrefix(cnt, Seq(col("v")),
+        Seq(col("ca") -> "cca", col("cb") -> "ccb"))
+      .select(col("cca"), col("ccb"))
       .crossJoin(broadcast(tot))
       .select(col("n_a"), col("n_b"),
         abs(col("cca") * col("n_b") - col("ccb") * col("n_a")).as("dn"))
@@ -911,10 +914,10 @@ object Trend {
     * with round(,4). NULL z when a group is empty or all values tie
     * (σ = 0).
     *
-    * Scale: the spine window is DISTINCT-VALUE-sized — choose discrete
-    * measures (quantities, day counts, ratings) and it's bounded
-    * regardless of row count; for continuous measures pre-bucket (the
-    * q201 rank-bucketing device). Everything else is two hash aggs. */
+    * Scale: the spine is DISTINCT-VALUE-sized and its cumulative pass
+    * runs the distributed [[Ranked]] prefix — parallel at any value
+    * cardinality, never a single-partition window. Everything else is
+    * two hash aggs. */
   def mannWhitneyU(df: DataFrame, group: Column, value: Column,
                    a: String, b: String): DataFrame = {
     val vals = df.select(group.as("g"), value.cast("long").as("v"))
@@ -923,10 +926,10 @@ object Trend {
       .agg(sum(when(col("g") === a, 1L).otherwise(0L)).as("na"),
         sum(when(col("g") === b, 1L).otherwise(0L)).as("nb"))
       .withColumn("t", col("na") + col("nb"))
-    val wCum = Window.orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    vals
-      .withColumn("below", sum("t").over(wCum) - col("t"))
+    // cumulative tie-group count from the distributed Ranked prefix —
+    // no single-partition window over the value spine
+    Ranked.withPrefix(vals, Seq(col("v")), Seq(col("t") -> "__cum"))
+      .withColumn("below", col("__cum") - col("t"))
       .select(col("na"), col("nb"), col("t"),
         (col("na") * (lit(2L) * col("below") + col("t") + 1L)).as("r2a"),
         (col("t") * col("t") * col("t") - col("t")).as("tcube"))

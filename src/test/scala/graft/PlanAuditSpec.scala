@@ -499,14 +499,6 @@ class PlanAuditSpec extends SparkSpec {
     // count-histogram spine (distinct key-count VALUES, which saturate
     // far below key cardinality — Skew.keyDistribution's spine)
     "q123_skew_report" -> 1,
-    // distinct-VALUE spines of quantized metrics: the window input
-    // saturates at the value domain (cents / 1e-4-quantized scores),
-    // corpus-independent; past ~10⁷ distinct values the documented
-    // bucketed decomposition (RankEval.aucRocBucketed, q201) is the
-    // scale path
-    "q147_ks_test" -> 1, "q191_auc_roc" -> 1, "q232_mann_whitney" -> 1,
-    "q312_wilcoxon_signed_rank" -> 1, "q315_kruskal_wallis" -> 1,
-    "q317_cliffs_delta" -> 1,
     // WindowGroupLimit-bounded: the rk ≤ max(ks) filter sits directly
     // above the row_number window, so the single-partition sort reads
     // max(ks) rows per map partition, not the corpus (the rank-filter
