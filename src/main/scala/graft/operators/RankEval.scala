@@ -396,12 +396,12 @@ object RankEval {
   /** Spearman rank correlation with average-rank tie handling: Pearson
     * over the doubled average ranks (2·r̄ = 2·rank_min + ties − 1 stays
     * in longs; doubling both vectors leaves the correlation unchanged).
-    * The rank windows order the UNIT spine (one global sort each — the
-    * aucRoc scale note applies); the correlation itself is five exact
-    * integer power sums and one sealed division. Long arithmetic bounds
-    * the exact path at Σ(2n)²·n = 4n³ < 2⁶³, i.e. ~1.3M units; past
-    * that, accumulate the power sums as doubles (or 128-bit decimals)
-    * and accept last-bit drift. One row: (n, spearman_rho). */
+    * Ranks come from the distributed [[Ranked]] prefix device (no
+    * single-partition window); the correlation itself is five exact
+    * integer power sums and one sealed division, carried in
+    * decimal(38,0) — the final n·s products reach 4n⁴, so the exact
+    * path holds to n ≈ 2·10⁹ units (longs died at ~55k — measured),
+    * mirroring the oracle's HUGEINT. One row: (n, spearman_rho). */
   def spearmanRho(df: DataFrame, x: Column, y: Column): DataFrame = {
     val base = df.select(x.cast("long").as("x"), y.cast("long").as("y"))
       .where(col("x").isNotNull && col("y").isNotNull)
@@ -419,18 +419,25 @@ object RankEval {
       .withColumn("ry", lit(2L) *
         min("__rny").over(Window.partitionBy("y")) +
         count(lit(1)).over(Window.partitionBy("y")) - 1L)
+    // power sums and the final n·s products go through decimal(38,0)
+    // (DuckDB's sum(BIGINT) is HUGEINT, so the oracle already computes
+    // 128-bit): per-term rx² fits a long to n ~ 2·10⁹, but the SUMS
+    // reach 4n³ and the products 4n⁴ — decimal keeps the exact path
+    // to n ≈ 2·10⁹ where longs died at ~55k (measured: the sf1 probe
+    // overflowed q203 at 200k parts)
+    def d38(c: Column) = c.cast("decimal(38,0)")
     ranked.agg(count(lit(1)).as("n"), sum("rx").as("sx"),
-        sum("ry").as("sy"), sum(col("rx") * col("rx")).as("sxx"),
-        sum(col("ry") * col("ry")).as("syy"),
-        sum(col("rx") * col("ry")).as("sxy"))
+        sum("ry").as("sy"), sum(d38(col("rx")) * col("rx")).as("sxx"),
+        sum(d38(col("ry")) * col("ry")).as("syy"),
+        sum(d38(col("rx")) * col("ry")).as("sxy"))
       .select(col("n"),
-        when((col("n") * col("sxx") - col("sx") * col("sx")) > 0 &&
-            (col("n") * col("syy") - col("sy") * col("sy")) > 0,
-          round((col("n") * col("sxy") - col("sx") * col("sy"))
+        when((d38(col("n")) * col("sxx") - d38(col("sx")) * col("sx")) > 0 &&
+            (d38(col("n")) * col("syy") - d38(col("sy")) * col("sy")) > 0,
+          round((d38(col("n")) * col("sxy") - d38(col("sx")) * col("sy"))
             .cast("double") /
-            sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            sqrt((d38(col("n")) * col("sxx") - d38(col("sx")) * col("sx"))
               .cast("double") *
-              (col("n") * col("syy") - col("sy") * col("sy"))
+              (d38(col("n")) * col("syy") - d38(col("sy")) * col("sy"))
                 .cast("double")), 4)).as("spearman_rho"))
   }
 
