@@ -1590,8 +1590,75 @@ object PlanningQueries {
       |  ${Seal.sqlRatio4("s", "n_docs")} AS mean_abs_disp, max_disp
       |FROM g ORDER BY decile""".stripMargin))
 
+  /** [[TrainOrder.curriculumOrder]]: the easy→hard loader order —
+    * stages = score deciles (distributed ntile), seeded shuffle INSIDE
+    * each stage so within-stage order leaks no ranking. Score = the
+    * ttr6 quality proxy (q295's convention). The oracle replays the
+    * two-rank chain with naive global windows. */
+  private val q396 = QDef("q396_curriculum_order",
+    (s, dir) => {
+      val toks = split(col("text"), " ")
+      TrainOrder.curriculumOrder(
+        T(s, dir, "documents").where(col("text").isNotNull),
+        col("doc_id"),
+        round(size(array_distinct(toks)).cast("double") / size(toks) *
+          lit(1e6), 0).cast("long"),
+        size(toks), stages = 10, seed = "c1")
+    },
+    Some("""WITH d AS (SELECT doc_id,
+      |        CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+      |        CAST(round(CAST(len(list_distinct(string_split(text, ' ')))
+      |          AS DOUBLE) / len(string_split(text, ' ')) * 1000000.0, 0)
+      |          AS BIGINT) AS score
+      |      FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+      |st AS (SELECT doc_id, score, nt,
+      |        CAST(ntile(10) OVER (ORDER BY score, doc_id) AS BIGINT)
+      |          AS stage,
+      |        md5('c1:' || CAST(doc_id AS VARCHAR)) AS k
+      |      FROM d)
+      |SELECT doc_id, score, nt AS n_tok, stage,
+      |  CAST(row_number() OVER (PARTITION BY stage ORDER BY k, doc_id)
+      |    AS BIGINT) AS stage_pos,
+      |  CAST(row_number() OVER (ORDER BY stage, k, doc_id) AS BIGINT)
+      |    AS global_pos
+      |FROM st ORDER BY global_pos""".stripMargin))
+
+  /** [[TrainOrder.curriculumPacing]]: per-stage doc/token volumes with
+    * the cumulative token count — where in the token stream each
+    * difficulty step lands. */
+  private val q397 = QDef("q397_curriculum_pacing",
+    (s, dir) => {
+      val toks = split(col("text"), " ")
+      TrainOrder.curriculumPacing(
+        T(s, dir, "documents").where(col("text").isNotNull),
+        col("doc_id"),
+        round(size(array_distinct(toks)).cast("double") / size(toks) *
+          lit(1e6), 0).cast("long"),
+        size(toks), stages = 10, seed = "c1")
+    },
+    Some("""WITH d AS (SELECT doc_id,
+      |        CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+      |        CAST(round(CAST(len(list_distinct(string_split(text, ' ')))
+      |          AS DOUBLE) / len(string_split(text, ' ')) * 1000000.0, 0)
+      |          AS BIGINT) AS score
+      |      FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+      |st AS (SELECT score, nt,
+      |        CAST(ntile(10) OVER (ORDER BY score, doc_id) AS BIGINT)
+      |          AS stage
+      |      FROM d),
+      |g AS (SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
+      |        CAST(sum(nt) AS BIGINT) AS tokens,
+      |        CAST(min(score) AS BIGINT) AS min_score,
+      |        CAST(max(score) AS BIGINT) AS max_score
+      |      FROM st GROUP BY 1)
+      |SELECT stage, n_docs, tokens,
+      |  CAST(sum(tokens) OVER (ORDER BY stage ROWS UNBOUNDED PRECEDING)
+      |    AS BIGINT) AS cum_tokens,
+      |  min_score, max_score
+      |FROM g ORDER BY stage""".stripMargin))
+
   def all: Seq[QDef] = Seq(q336, q337, q338, q339, q340, q341, q342,
     q343, q344, q345, q346, q347, q348, q349, q350, q352, q353, q354, q355,
     q356, q358, q364, q365, q368, q369, q374, q377, q390, q391, q392, q393,
-    q394, q395)
+    q394, q395, q396, q397)
 }

@@ -258,6 +258,58 @@ object TrainOrder {
       .orderBy("decile")
   }
 
+  /** Curriculum training order: documents staged easy→hard by score
+    * decile (equal-population stages — [[Ranked.ntileOf]] over the
+    * score order), with a SEEDED SHUFFLE inside each stage (the
+    * within-stage order must not leak the score ranking — adjacent
+    * difficulty ≠ adjacent content). Returns (doc_id, score, stage,
+    * stage_pos, global_pos, stage_tokens...) one row per doc, totally
+    * ordered by global_pos = position in the (stage, md5 key) order.
+    *
+    * Three bounded passes, no single-partition window: score rank via
+    * [[Ranked.withRowNumber]] (stage = closed-form ntile), global
+    * position via a second device pass ordered by (stage, key), and
+    * the within-stage position from a stage-partitioned window
+    * (parallel across stages). */
+  def curriculumOrder(df: DataFrame, id: Column, score: Column,
+                      tokens: Column, stages: Int, seed: String)
+      : DataFrame = {
+    require(stages >= 2, "stages must be >= 2")
+    val base = df.select(id.cast("long").as("doc_id"),
+        score.as("score"), tokens.cast("long").as("n_tok"))
+      .where(col("doc_id").isNotNull && col("score").isNotNull &&
+        col("n_tok").isNotNull)
+    val staged = Ranked
+      .withRowNumber(base, Seq(col("score"), col("doc_id")), "__sr")
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("__n"))))
+      .withColumn("stage", Ranked.ntileOf(col("__sr"), col("__n"), stages))
+      .withColumn("__k", orderKey(seed, col("doc_id")))
+    val wStage = Window.partitionBy("stage").orderBy("__k", "doc_id")
+    Ranked.withRowNumber(staged, Seq(col("stage"), col("__k"),
+        col("doc_id")), "global_pos")
+      .withColumn("stage_pos", row_number().over(wStage).cast("long"))
+      .select(col("doc_id"), col("score"), col("n_tok"), col("stage"),
+        col("stage_pos"), col("global_pos"))
+      .orderBy("global_pos")
+  }
+
+  /** The pacing report over [[curriculumOrder]]: per stage, how many
+    * documents and tokens the loader consumes before difficulty steps
+    * up, plus the stage's score envelope — the table a training run
+    * reads to set its curriculum boundaries in steps. */
+  def curriculumPacing(df: DataFrame, id: Column, score: Column,
+                       tokens: Column, stages: Int, seed: String)
+      : DataFrame =
+    Ranked.withPrefix(
+        curriculumOrder(df, id, score, tokens, stages, seed)
+          .groupBy("stage")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"),
+            min("score").as("min_score"), max("score").as("max_score")),
+        Seq(col("stage")), Seq(col("tokens") -> "cum_tokens"))
+      .select(col("stage"), col("n_docs"), col("tokens"),
+        col("cum_tokens"), col("min_score"), col("max_score"))
+      .orderBy("stage")
+
   /** Materialize the training order: write the corpus as parquet
     * partitioned by shard, ONE file per shard, rows in global_pos
     * order within each file — the bytes a data loader streams. The

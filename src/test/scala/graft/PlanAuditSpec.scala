@@ -31,6 +31,7 @@ class PlanAuditSpec extends SparkSpec {
     // single-partition-window fixes)
     "q124_ntile_bins", "q149_revenue_pct_rank", "q193_calibration_bins",
     "q286_calibration_error", "q295_crawl_decay",
+    "q396_curriculum_order", "q397_curriculum_pacing",
     "q108_unigram_logprob", // 1-row total-token-count broadcast
     "q123_skew_report", // 1-row totals/gini/top10 broadcasts (r9 spine)
     "q126_pair_lift", // 1-row basket-census broadcast (lazy N, r8)

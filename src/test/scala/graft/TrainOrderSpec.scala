@@ -5,6 +5,12 @@ import org.apache.spark.sql.functions._
 /** Hand-computed pins for the training-run output layer (q390–q393):
   * token-balanced shard cuts over the seeded shuffle, the closed-form
   * stride interleave, and the capped water-fill budget plan. */
+object TrainOrderSpecHelp {
+  def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+}
+
 class TrainOrderSpec extends SparkSpec {
   import spark.implicits._
 
@@ -169,6 +175,44 @@ class TrainOrderSpec extends SparkSpec {
       seedA = "e0", seedB = "e0").collect()
     assert(same.forall(_.getDouble(2) === 0.0))
     assert(same.forall(_.getLong(3) === 0L))
+  }
+
+  test("curriculumOrder: stages are monotone in score, stages " +
+       "concatenate in global order, and the within-stage order is the " +
+       "seeded shuffle, NOT the score order") {
+    val out = TrainOrder.curriculumOrder(docs, col("doc_id"),
+      col("nt") * 10L + pmod(col("doc_id"), lit(7L)), col("nt"),
+      stages = 5, seed = "c9").collect()
+    val n = out.length
+    assert(out.map(_.getLong(5)).toSet === (1L to n).toSet, "permutation")
+    val byStage = out.groupBy(_.getLong(3)).toSeq.sortBy(_._1)
+    assert(byStage.map(_._1) === (1L to 5L), "dense stages")
+    byStage.sliding(2).foreach { case Seq((_, a), (_, b)) =>
+      assert(a.map(_.getLong(1)).max <= b.map(_.getLong(1)).min,
+        "stage k's scores never exceed stage k+1's")
+      assert(a.map(_.getLong(5)).max < b.map(_.getLong(5)).min,
+        "stages concatenate in global_pos")
+    case _ => ()
+    }
+    byStage.foreach { case (_, rows) =>
+      val inOrder = rows.sortBy(_.getLong(4)).map(_.getLong(0)).toSeq
+      val keyOrder = rows.map(r => (TrainOrderSpecHelp.md5hex(
+          s"c9:${r.getLong(0)}"), r.getLong(0)))
+        .sortBy(identity).map(_._2).toSeq
+      assert(inOrder === keyOrder, "within-stage order is the md5 shuffle")
+      val scoreOrder = rows.sortBy(r => (r.getLong(1), r.getLong(0)))
+        .map(_.getLong(0)).toSeq
+      assert(inOrder !== scoreOrder,
+        "within-stage order must not leak the score ranking")
+    }
+    // pacing: cum_tokens is the running stage total and ends at the sum
+    val pace = TrainOrder.curriculumPacing(docs, col("doc_id"),
+      col("nt") * 10L + pmod(col("doc_id"), lit(7L)), col("nt"),
+      stages = 5, seed = "c9").collect()
+    assert(pace.map(_.getLong(1)).sum === n)
+    var cum = 0L
+    pace.foreach { r => cum += r.getLong(2)
+      assert(r.getLong(3) === cum, "cum_tokens is the running sum") }
   }
 
   test("writeShards: one parquet file per shard, rows inside each file " +
