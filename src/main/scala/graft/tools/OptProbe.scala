@@ -1,0 +1,113 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** r13 optimization scratch probe (dev tool, not a query): time named
+  * sub-stages of the expensive queries in isolation (noop sink, min of
+  * `reps` warm runs) to attribute their bench seconds to scan / per-row
+  * expression / shuffle / sort before changing anything — guide §1
+  * "measure first". Stages are added/removed freely during the round;
+  * nothing here is part of the driver contract. */
+object OptProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft._
+
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def time(name: String)(mk: => DataFrame): Unit = {
+      if (args.nonEmpty && !args.exists(name.startsWith)) return
+      // one untimed warm run, then min of reps
+      try {
+        noop(mk)
+        val ts = (1 to reps).map { _ =>
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
+          val t0 = System.nanoTime(); noop(mk); (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[opt] $name%-40s min=${ts.min}%7.3f  all=${ts.map(t => f"$t%.3f").mkString(",")}")
+      } catch { case e: Throwable =>
+        println(s"[opt] $name FAILED: ${e.getMessage}")
+      }
+    }
+
+    val docs = Tables.t(spark, sfDir, "documents")
+    val li = Tables.t(spark, sfDir, "lineitem")
+
+    // ---- q01 decomposition ----
+    time("q01_full") {
+      SparkEntry.queries("q01_scan_project_rename")(spark, sfDir)
+    }
+    time("q01_scan_only") { li.select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity") }
+    time("q01_project_nosort") {
+      li.select(
+        col("l_orderkey").as("order_id"), col("l_linenumber").as("line_no"),
+        col("l_returnflag").as("flag"),
+        expr("try_cast(CAST(CAST(l_quantity AS BIGINT) AS STRING) AS DOUBLE)").as("quantity"),
+        expr("try_cast(l_returnflag AS DOUBLE)").as("bad_parse"))
+    }
+    time("q01_sort_after_project") {
+      li.select(
+        col("l_orderkey").as("order_id"), col("l_linenumber").as("line_no"),
+        col("l_returnflag").as("flag"),
+        expr("try_cast(CAST(CAST(l_quantity AS BIGINT) AS STRING) AS DOUBLE)").as("quantity"),
+        expr("try_cast(l_returnflag AS DOUBLE)").as("bad_parse"))
+        .orderBy("order_id", "line_no")
+    }
+    time("q01_project_after_sort") {
+      li.select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+        .select(
+          col("l_orderkey").as("order_id"), col("l_linenumber").as("line_no"),
+          col("l_returnflag").as("flag"),
+          expr("try_cast(CAST(CAST(l_quantity AS BIGINT) AS STRING) AS DOUBLE)").as("quantity"),
+          expr("try_cast(l_returnflag AS DOUBLE)").as("bad_parse"))
+    }
+    time("q01_repart_project_after_sort") {
+      li.select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+        .repartition(cpus.toInt)
+        .orderBy("l_orderkey", "l_linenumber")
+        .select(
+          col("l_orderkey").as("order_id"), col("l_linenumber").as("line_no"),
+          col("l_returnflag").as("flag"),
+          expr("try_cast(CAST(CAST(l_quantity AS BIGINT) AS STRING) AS DOUBLE)").as("quantity"),
+          expr("try_cast(l_returnflag AS DOUBLE)").as("bad_parse"))
+    }
+
+    // ---- documents per-row expression cost: single-task vs fanned ----
+    time("docs_scan") { docs.select("doc_id", "text") }
+    time("docs_minhash_1task") {
+      docs.select(col("doc_id"),
+        org.apache.spark.sql.graft.MinhashExprs.signature(col("text"), 3, 16).as("sig"))
+    }
+    time("docs_minhash_fanned") {
+      docs.repartition(cpus.toInt).select(col("doc_id"),
+        org.apache.spark.sql.graft.MinhashExprs.signature(col("text"), 3, 16).as("sig"))
+    }
+    time("docs_gates_1task") {
+      docs.where(TextAnalysis.langId(col("text")) === lit("en") &&
+        round(TextAnalysis.qualityScore(col("text")), 4) >= 0.5)
+    }
+    time("docs_gates_fanned") {
+      docs.repartition(cpus.toInt)
+        .where(TextAnalysis.langId(col("text")) === lit("en") &&
+          round(TextAnalysis.qualityScore(col("text")), 4) >= 0.5)
+    }
+
+    // ---- flagship ----
+    time("q49_full") { SparkEntry.queries("q49_training_prep")(spark, sfDir) }
+    time("q351_full") { SparkEntry.queries("q351_training_prep_v3")(spark, sfDir) }
+
+    spark.stop()
+  }
+}
