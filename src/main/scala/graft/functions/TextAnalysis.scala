@@ -25,8 +25,21 @@ object TextAnalysis {
   private def toks(text: Column): Column = split(text, " ")
 
   /** Language-ID: per-language stopword hit-rate; argmax with deterministic
-    * tie-break on language code; "und" (undetermined) when nothing matches. */
-  def langId(text: Column): Column = {
+    * tie-break on language code; "und" (undetermined) when nothing matches.
+    *
+    * Computed by the native single-pass expression
+    * ([[org.apache.spark.sql.graft.LangIdSig]]) — the composable Column
+    * tree ([[langIdCols]]) re-evaluates `split`/`array_distinct` per
+    * reference inside Filter predicates (no CSE in FilterExec), which
+    * made the language+quality gate ~160 µs/doc (r13 measurement);
+    * bit-equality is pinned in TextGateParitySpec. */
+  def langId(text: Column): Column =
+    org.apache.spark.sql.graft.TextGateExprs.langId(text)
+
+  /** Composable-pipeline spelling of [[langId]] — the cross-
+    * implementation reference the parity pin compares the native
+    * expression against. */
+  def langIdCols(text: Column): Column = {
     val t = toks(text)
     // build (lang, score) pairs ordered so max_by is deterministic:
     // score desc, then lang asc — encode as struct(score, negLang) and use array_max
@@ -43,8 +56,18 @@ object TextAnalysis {
 
   /** Quality score in [0,1]: blend of length band, mean token length band,
     * type-token ratio, and stopword presence — the standard cheap heuristics
-    * (length/punct/stopword ratios) used for pretraining-data filtering. */
-  def qualityScore(text: Column): Column = {
+    * (length/punct/stopword ratios) used for pretraining-data filtering.
+    *
+    * Native single-pass expression
+    * ([[org.apache.spark.sql.graft.QualityScoreSig]]); see [[langId]] —
+    * bit-equality with [[qualityScoreCols]] pinned in
+    * TextGateParitySpec. */
+  def qualityScore(text: Column): Column =
+    org.apache.spark.sql.graft.TextGateExprs.qualityScore(text)
+
+  /** Composable-pipeline spelling of [[qualityScore]] (parity-pin
+    * reference). */
+  def qualityScoreCols(text: Column): Column = {
     val t = toks(text)
     val nTok = size(t).cast("double")
     val nChar = length(text).cast("double")

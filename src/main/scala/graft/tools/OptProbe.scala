@@ -108,6 +108,97 @@ object OptProbe {
     time("q49_full") { SparkEntry.queries("q49_training_prep")(spark, sfDir) }
     time("q351_full") { SparkEntry.queries("q351_training_prep_v3")(spark, sfDir) }
 
+    // ---- q49 decomposition ----
+    time("q49_gates_exact") {
+      Dedup.exact(docs.where(TextAnalysis.langId(col("text")) === lit("en") &&
+        round(TextAnalysis.qualityScore(col("text")), 4) >= 0.5),
+        col("text"), col("doc_id"))
+    }
+    time("q49_stars") {
+      val filtered = docs.where(TextAnalysis.langId(col("text")) === lit("en") &&
+        round(TextAnalysis.qualityScore(col("text")), 4) >= 0.5)
+      val deduped = Dedup.exact(filtered, col("text"), col("doc_id")).localCheckpoint()
+      Dedup.minhashStarEdges(deduped, col("text"), col("doc_id"), 3, 16, 4)
+    }
+    time("q49_cc") {
+      val filtered = docs.where(TextAnalysis.langId(col("text")) === lit("en") &&
+        round(TextAnalysis.qualityScore(col("text")), 4) >= 0.5)
+      val deduped = Dedup.exact(filtered, col("text"), col("doc_id")).localCheckpoint()
+      val stars = Dedup.minhashStarEdges(deduped, col("text"), col("doc_id"), 3, 16, 4)
+      Dedup.connectedComponents(stars)
+    }
+
+    // ---- streaming loop decomposition (q368 shape: runClusterPatchLog) ----
+    if (args.isEmpty || args.exists("stream".startsWith)) {
+      import graft.streaming.{DurableState, IngestStreams}
+      val d = docs
+      val corpus = d.where(col("doc_id") < 300)
+      val days = Seq(d.where(col("doc_id") >= 300 && col("doc_id") < 450),
+        d.where(col("doc_id") >= 450))
+      def phase[A](name: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[opt] stream_phase $name%-30s ${(System.nanoTime() - t0) / 1e9}%7.3f")
+        r
+      }
+      // piecewise costs of the loop's fixed overheads
+      phase("vstage_init") {
+        VStage.init(Dedup.lshIndexFrame(corpus, col("text"), col("doc_id")),
+          "graft_opt_probe_idx", "lsh_key", 8)
+      }
+      val scope0 = CkptScope()
+      val labels0 = phase("bootstrap_cc") {
+        Dedup.connectedComponents(
+          Dedup.starEdgesFromIndex(VStage.load(spark, "graft_opt_probe_idx")),
+          scope = scope0)
+      }
+      phase("bootstrap_commit") {
+        DurableState.commit(labels0, "target/opt_probe_state_base", -1L)
+      }
+      scope0.freeAll()
+      // body-piece costs against the staged probe index
+      val day1 = days.head
+      phase("body_append") {
+        VStage.append(Dedup.lshIndexFrame(day1, col("text"), col("doc_id")),
+          "graft_opt_probe_idx", "lsh_key", 8)
+      }
+      phase("body_append2") {
+        VStage.append(Dedup.lshIndexFrame(day1, col("text"), col("doc_id")),
+          "graft_opt_probe_idx", "lsh_key", 8)
+      }
+      val scope1 = CkptScope()
+      val edges = phase("body_edges") {
+        val e = Dedup.batchIngestEdges(day1,
+          Dedup.indexWithoutIds(VStage.load(spark, "graft_opt_probe_idx"),
+            day1.select(col("doc_id").as("id"))),
+          col("text"), col("doc_id"), scope = scope1)
+        noop(e); e
+      }
+      val lab = DurableState.load(spark, "target/opt_probe_state_base")
+      phase("body_ccIncPatch") {
+        val (p, f) = Dedup.ccIncrementalPatch(lab, edges, scope = scope1)
+        noop(p); noop(f)
+      }
+      phase("body_label_append_write") {
+        val (_, f) = Dedup.ccIncrementalPatch(lab, edges, scope = scope1)
+        f.write.mode("overwrite").parquet("target/opt_probe_labels/ingest_batch=0")
+      }
+      phase("body_patch_commit") {
+        val (p, _) = Dedup.ccIncrementalPatch(lab, edges, scope = scope1)
+        DurableState.commit(p, "target/opt_probe_state_patch", 0L)
+      }
+      scope1.freeAll()
+      // end-to-end loop with per-body seconds
+      (1 to 2).foreach { rep =>
+        val bs = scala.collection.mutable.Buffer[Double]()
+        val t0 = System.nanoTime()
+        IngestStreams.clusterLoopDeferred(spark, corpus, days,
+          s"graft_opt_probe_loop$rep", killBetweenDays = false,
+          batchSeconds = Some(bs))
+        val tot = (System.nanoTime() - t0) / 1e9
+        println(f"[opt] stream_loop_total rep$rep  $tot%7.3f  bodies=${bs.map(t => f"$t%.3f").mkString(",")} residual=${tot - bs.sum}%7.3f")
+      }
+    }
+
     spark.stop()
   }
 }
