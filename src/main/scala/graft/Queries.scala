@@ -28,22 +28,32 @@ object Queries {
   // ---------------------------------------------------------------- q01–q06
 
   private val q01 = QDef("q01_scan_project_rename",
-    (s, dir) => T(s, dir, "lineitem").select(
-      col("l_orderkey").as("order_id"),
-      col("l_linenumber").as("line_no"),
-      col("l_returnflag").as("flag"),
-      // string -> numeric coercion round-trip (S5/P2: errors="coerce" ->
-      // null). The textual form goes through BIGINT (quantities are
-      // integral by fixture construction, so the coerced DOUBLE value is
-      // identical); q01's residual cost is the 1.2M try_cast PARSES plus
-      // the total-order sort — the honest price of the coercion demo, not
-      // removable without changing its semantics
-      expr("try_cast(CAST(CAST(l_quantity AS BIGINT) AS STRING) AS DOUBLE)")
-        .as("quantity"),
-      expr("try_cast(l_returnflag AS DOUBLE)").as("bad_parse"))
-      // (order_id, line_no) is the lineitem primary key — already a total
-      // order; extra sort columns would only add comparator work
-      .orderBy("order_id", "line_no"),
+    (s, dir) => T(s, dir, "lineitem")
+      // narrow columns BELOW the sort, coercion ABOVE it (r13, guide
+      // §2.3/§1.4): a global orderBy's range-partitioner SAMPLES its
+      // child, so an expensive projection under the Sort is evaluated
+      // twice (sample pass + real pass) — and single-threaded, since the
+      // one-row-group fixture file scans as one task. Sorting the raw
+      // columns first and projecting the try_cast coercions after the
+      // exchange computes them exactly once, spread over the sort's
+      // output partitions: 2.80 s -> 0.89 s measured standalone, same
+      // rows in the same (order_id, line_no) primary-key total order —
+      // a row-wise projection above Sort cannot reorder rows.
+      .select(
+        col("l_orderkey").as("order_id"),
+        col("l_linenumber").as("line_no"),
+        col("l_returnflag").as("flag"),
+        col("l_quantity"))
+      .orderBy("order_id", "line_no")
+      .select(
+        col("order_id"), col("line_no"), col("flag"),
+        // string -> numeric coercion round-trip (S5/P2: errors="coerce"
+        // -> null). The textual form goes through BIGINT (quantities are
+        // integral by fixture construction, so the coerced DOUBLE value
+        // is identical)
+        expr("try_cast(CAST(CAST(l_quantity AS BIGINT) AS STRING) AS DOUBLE)")
+          .as("quantity"),
+        expr("try_cast(flag AS DOUBLE)").as("bad_parse")),
     Some("""SELECT l_orderkey AS order_id, l_linenumber AS line_no,
       | l_returnflag AS flag,
       | TRY_CAST(CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS DOUBLE)

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines.
@@ -999,6 +999,30 @@ object Dedup {
       .unionByName(edges
         .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
       .localCheckpoint()
+    // SMALL-GRAPH FAST PATH (r13 optimization): below the threshold, run
+    // union-find on the driver instead of the iterative join loop. The
+    // distributed loop costs ~4 Spark jobs per iteration (join + agg +
+    // checkpoint + convergence probe) — pure fixed overhead when the edge
+    // list is tiny, which it ALWAYS is for the ingest micro-CCs
+    // (ccContract's edge lists are batch-bounded BY CONTRACT and already
+    // flow through the driver as broadcasts) and usually is for star
+    // spines at bench scale. Collecting ≤ localEdgeLimit rows is the same
+    // driver envelope a broadcast of the same frame would use; the labels
+    // produced (comp = min reachable id) are exactly the loop's fixpoint,
+    // pinned distributed-vs-local in the unit suite. At 100 TB corpus
+    // edge lists exceed the threshold and take the iterative path
+    // unchanged (threshold via spark.graft.cc.localEdgeLimit, rows of the
+    // symmetrized list).
+    val localLimit = edges.sparkSession.conf
+      .getOption("spark.graft.cc.localEdgeLimit").map(_.toLong)
+      .getOrElse(200000L)
+    // cheap: sym is checkpointed, count() reads block metadata
+    if (sym.count() <= localLimit) {
+      val rows = sym.collect()
+      org.apache.spark.sql.graft.CheckpointUtils.unpersistCheckpoint(sym)
+      System.err.println(s"[cc] local union-find over ${rows.length} edge rows")
+      return localUnionFind(edges.sparkSession, rows)
+    }
     // compCk is always the RAW localCheckpoint handle (its plan is the
     // LogicalRDD leaf) — CheckpointUtils needs it to free blocks; comp is
     // the projected view iterated on.
@@ -1045,6 +1069,66 @@ object Dedup {
     scope.track(compCk)
     System.err.println(s"[cc] converged after $i rounds (maxIter $maxIter)")
     comp
+  }
+
+  /** Driver-side union-find over a collected symmetrized edge list —
+    * [[connectedComponents]]' small-graph leg. Path-halving + union by
+    * size, then per-root min member as the label: identical output to
+    * the distributed min-label fixpoint (one row per distinct endpoint,
+    * comp = min reachable id), deterministic regardless of edge order. */
+  private def localUnionFind(spark: SparkSession,
+                             rows: Array[org.apache.spark.sql.Row]): DataFrame = {
+    val idx = new java.util.HashMap[java.lang.Long, java.lang.Integer](rows.length * 2)
+    val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+    def nodeOf(id: Long): Int = {
+      val got = idx.get(java.lang.Long.valueOf(id))
+      if (got != null) got.intValue()
+      else { val n = ids.length; idx.put(id, n); ids += id; n }
+    }
+    val parent = new scala.collection.mutable.ArrayBuffer[Int]()
+    val size = new scala.collection.mutable.ArrayBuffer[Int]()
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    var i = 0
+    while (i < rows.length) {
+      val a = nodeOf(rows(i).getLong(0)); val b = nodeOf(rows(i).getLong(1))
+      while (parent.length < ids.length) { parent += parent.length; size += 1 }
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (size(ra) >= size(rb)) { parent(rb) = ra; size(ra) += size(rb) }
+        else { parent(ra) = rb; size(rb) += size(ra) }
+      }
+      i += 1
+    }
+    val minOf = new java.util.HashMap[java.lang.Integer, java.lang.Long]()
+    var j = 0
+    while (j < ids.length) {
+      val r = java.lang.Integer.valueOf(find(j))
+      val cur = minOf.get(r)
+      if (cur == null || ids(j) < cur.longValue()) minOf.put(r, ids(j))
+      j += 1
+    }
+    val out = new Array[org.apache.spark.sql.Row](ids.length)
+    j = 0
+    while (j < ids.length) {
+      out(j) = org.apache.spark.sql.Row(ids(j), minOf.get(find(j)).longValue())
+      j += 1
+    }
+    // sorted for deterministic (run-independent) materializations of the
+    // label table; consumers are order-insensitive either way
+    java.util.Arrays.sort(out, Ordering.by((r: org.apache.spark.sql.Row) => r.getLong(0)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("comp",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(java.util.Arrays.asList(out: _*), schema)
   }
 
   /** INCREMENTAL connected components — the ingestion-time twin of

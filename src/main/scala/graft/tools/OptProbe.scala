@@ -108,6 +108,29 @@ object OptProbe {
     time("q49_full") { SparkEntry.queries("q49_training_prep")(spark, sfDir) }
     time("q351_full") { SparkEntry.queries("q351_training_prep_v3")(spark, sfDir) }
 
+    // ---- tokenize fan-out (single-task scan -> explode -> partial agg) ----
+    def fan(df: DataFrame): DataFrame =
+      if (df.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
+        df.repartition(spark.sparkContext.defaultParallelism) else df
+    time("tok_1task") {
+      docs.select(col("doc_id").as("id"), col("source").as("blk"),
+          explode(split(col("text"), " ")).as("term0"))
+        .groupBy("id", "blk", "term0").agg(count(lit(1)).as("tf"))
+    }
+    time("tok_fanned") {
+      fan(docs).select(col("doc_id").as("id"), col("source").as("blk"),
+          explode(split(col("text"), " ")).as("term0"))
+        .groupBy("id", "blk", "term0").agg(count(lit(1)).as("tf"))
+    }
+    time("q305_full") { SparkEntry.queries("q305_weighted_jaccard_banded")(spark, sfDir) }
+    time("q331_full") { SparkEntry.queries("q331_tfidf_cosine_banded")(spark, sfDir) }
+    time("q326_full") { SparkEntry.queries("q326_ngram_containment_banded")(spark, sfDir) }
+    time("q174_full") { SparkEntry.queries("q174_xsplit_contamination")(spark, sfDir) }
+    time("q284_full") { SparkEntry.queries("q284_dag_layers")(spark, sfDir) }
+    time("q140_full") { SparkEntry.queries("q140_pagerank")(spark, sfDir) }
+    time("q346_full") { SparkEntry.queries("q346_stream_outer_join")(spark, sfDir) }
+    time("q78_full") { SparkEntry.queries("q78_stream_conversion_join")(spark, sfDir) }
+
     // ---- q49 decomposition ----
     time("q49_gates_exact") {
       Dedup.exact(docs.where(TextAnalysis.langId(col("text")) === lit("en") &&
@@ -187,15 +210,28 @@ object OptProbe {
         DurableState.commit(p, "target/opt_probe_state_patch", 0L)
       }
       scope1.freeAll()
-      // end-to-end loop with per-body seconds
+      // end-to-end loop with per-body seconds + job census
+      val nJobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val jobNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          nJobs.incrementAndGet(); starts.put(j.jobId, System.nanoTime()); ()
+        }
+        override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val s = starts.remove(j.jobId)
+          if (s != null) { jobNanos.addAndGet(System.nanoTime() - s); () }
+        }
+      })
       (1 to 2).foreach { rep =>
         val bs = scala.collection.mutable.Buffer[Double]()
+        nJobs.set(0); jobNanos.set(0L)
         val t0 = System.nanoTime()
         IngestStreams.clusterLoopDeferred(spark, corpus, days,
           s"graft_opt_probe_loop$rep", killBetweenDays = false,
           batchSeconds = Some(bs))
         val tot = (System.nanoTime() - t0) / 1e9
-        println(f"[opt] stream_loop_total rep$rep  $tot%7.3f  bodies=${bs.map(t => f"$t%.3f").mkString(",")} residual=${tot - bs.sum}%7.3f")
+        println(f"[opt] stream_loop_total rep$rep  $tot%7.3f  bodies=${bs.map(t => f"$t%.3f").mkString(",")} residual=${tot - bs.sum}%7.3f jobs=${nJobs.get()} jobWall=${jobNanos.get() / 1e9}%7.3f")
       }
     }
 
