@@ -164,7 +164,16 @@ object Bench {
     // the file — a subset run advertising a stale full map would send
     // bench_diff readers to another round's numbers
     val fullRef = if (args.isEmpty) "\"full\":\"bench_full.json\"," else ""
-    println(s"""{$head,"queries":$qs,"queries_are_top":$topN,$fullRef"failed":$failed,"sf":"$sfDir"}""")
-    spark.stop()
+    val line =
+      s"""{$head,"queries":$qs,"queries_are_top":$topN,$fullRef"failed":$failed,"sf":"$sfDir"}"""
+    // Stop Spark BEFORE printing the contract line (r13 driver finding):
+    // the streaming queries leave state-store maintenance threads whose
+    // shutdown stack traces (StateStoreCoordinator/RpcEnvStopped) can land
+    // on stdout AFTER the JSON and push it out of the driver's 2000-char
+    // tail capture — the r13 8-core scaling run lost its whole block that
+    // way. Printing after stop() makes the line the final stdout write.
+    try spark.stop()
+    catch { case e: Throwable => System.err.println(s"[bench] spark.stop failed: $e") }
+    println(line)
   }
 }

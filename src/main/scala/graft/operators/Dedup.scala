@@ -994,11 +994,10 @@ object Dedup {
     * early the first iteration no label improves. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20,
                           scope: CkptScope = CkptScope.session): DataFrame = {
-    val sym = edges
+    val symPlan = edges
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .unionByName(edges
         .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
-      .localCheckpoint()
     // SMALL-GRAPH FAST PATH (r13 optimization): below the threshold, run
     // union-find on the driver instead of the iterative join loop. The
     // distributed loop costs ~4 Spark jobs per iteration (join + agg +
@@ -1016,13 +1015,20 @@ object Dedup {
     val localLimit = edges.sparkSession.conf
       .getOption("spark.graft.cc.localEdgeLimit").map(_.toLong)
       .getOrElse(200000L)
-    // cheap: sym is checkpointed, count() reads block metadata
-    if (sym.count() <= localLimit) {
-      val rows = sym.collect()
-      org.apache.spark.sql.graft.CheckpointUtils.unpersistCheckpoint(sym)
-      System.err.println(s"[cc] local union-find over ${rows.length} edge rows")
-      return localUnionFind(edges.sparkSession, rows)
+    // PROBE-COLLECT gate (r14, guide §1.2): limit(n+1).collect() returns
+    // the COMPLETE symmetrized edge list whenever it has ≤ n rows — the
+    // fast path's checkpoint + count + collect (3 jobs per CC call, and
+    // every ingest micro-CC is a CC call) becomes one job with no block
+    // churn. Above the limit the probe stops early (CollectLimit scans
+    // partitions incrementally) and the iterative path checkpoints as
+    // before.
+    val probeCap = math.min(localLimit, Int.MaxValue.toLong - 2L).toInt
+    val probe = symPlan.limit(probeCap + 1).collect()
+    if (probe.length <= probeCap) {
+      System.err.println(s"[cc] local union-find over ${probe.length} edge rows")
+      return localUnionFind(edges.sparkSession, probe)
     }
+    val sym = symPlan.localCheckpoint()
     // compCk is always the RAW localCheckpoint handle (its plan is the
     // LogicalRDD leaf) — CheckpointUtils needs it to free blocks; comp is
     // the projected view iterated on.
@@ -1078,12 +1084,31 @@ object Dedup {
     * comp = min reachable id), deterministic regardless of edge order. */
   private def localUnionFind(spark: SparkSession,
                              rows: Array[org.apache.spark.sql.Row]): DataFrame = {
-    val idx = new java.util.HashMap[java.lang.Long, java.lang.Integer](rows.length * 2)
+    val pairs = unionFindPairs(rows.length,
+      i => rows(i).getLong(0), i => rows(i).getLong(1))
+    val out = pairs.map { case (i0, c0) => org.apache.spark.sql.Row(i0, c0) }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("comp",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(java.util.Arrays.asList(out: _*), schema)
+  }
+
+  /** Union-find core shared by [[localUnionFind]] and the driver-side
+    * [[ccContract]] fast path (r14): min reachable id per distinct
+    * endpoint of the `n` edges given by the two accessors — exactly the
+    * distributed min-label fixpoint. Path halving + union by size; the
+    * (id, comp) output is sorted by id for deterministic (run-
+    * independent) materializations. */
+  private def unionFindPairs(n: Int, edgeA: Int => Long,
+                             edgeB: Int => Long): Array[(Long, Long)] = {
+    val idx = new java.util.HashMap[java.lang.Long, java.lang.Integer](n * 2)
     val ids = new scala.collection.mutable.ArrayBuffer[Long]()
     def nodeOf(id: Long): Int = {
       val got = idx.get(java.lang.Long.valueOf(id))
       if (got != null) got.intValue()
-      else { val n = ids.length; idx.put(id, n); ids += id; n }
+      else { val m = ids.length; idx.put(id, m); ids += id; m }
     }
     val parent = new scala.collection.mutable.ArrayBuffer[Int]()
     val size = new scala.collection.mutable.ArrayBuffer[Int]()
@@ -1096,8 +1121,8 @@ object Dedup {
       x
     }
     var i = 0
-    while (i < rows.length) {
-      val a = nodeOf(rows(i).getLong(0)); val b = nodeOf(rows(i).getLong(1))
+    while (i < n) {
+      val a = nodeOf(edgeA(i)); val b = nodeOf(edgeB(i))
       while (parent.length < ids.length) { parent += parent.length; size += 1 }
       val ra = find(a); val rb = find(b)
       if (ra != rb) {
@@ -1114,21 +1139,14 @@ object Dedup {
       if (cur == null || ids(j) < cur.longValue()) minOf.put(r, ids(j))
       j += 1
     }
-    val out = new Array[org.apache.spark.sql.Row](ids.length)
+    val out = new Array[(Long, Long)](ids.length)
     j = 0
     while (j < ids.length) {
-      out(j) = org.apache.spark.sql.Row(ids(j), minOf.get(find(j)).longValue())
+      out(j) = (ids(j), minOf.get(find(j)).longValue())
       j += 1
     }
-    // sorted for deterministic (run-independent) materializations of the
-    // label table; consumers are order-insensitive either way
-    java.util.Arrays.sort(out, Ordering.by((r: org.apache.spark.sql.Row) => r.getLong(0)))
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("id",
-        org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("comp",
-        org.apache.spark.sql.types.LongType, nullable = false)))
-    spark.createDataFrame(java.util.Arrays.asList(out: _*), schema)
+    java.util.Arrays.sort(out, Ordering.by((p: (Long, Long)) => p._1))
+    out
   }
 
   /** INCREMENTAL connected components — the ingestion-time twin of
@@ -1254,9 +1272,83 @@ object Dedup {
                          maxIter: Int,
                          scope: CkptScope = CkptScope.session)
       : (DataFrame, DataFrame, DataFrame) = {
-    val e = scope.ckpt(newEdges
+    val spark = l.sparkSession
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val ePlan = newEdges
       .select(col("id_a").cast("long").as("__ea"),
-        col("id_b").cast("long").as("__eb")))
+        col("id_b").cast("long").as("__eb"))
+    // DRIVER-SIDE CONTRACTION (r14, guide §1.2 step 1 / §2.4): the edge
+    // list is batch-bounded BY CONTRACT (class doc below) and every
+    // derived frame here (ends, lsub, remap) was ALREADY driver-resident
+    // as a broadcast — but the r13 shape still paid a localCheckpoint job
+    // for e, one for lsub, a probe job inside the micro-CC and a
+    // broadcast-collect job per hint, ~6 jobs of fixed overhead per
+    // micro-batch for frames of a few hundred rows. Below the
+    // spark.graft.cc.localEdgeLimit threshold (same conf as the CC fast
+    // path; probe-collect, so an over-limit edge list stops early and
+    // takes the distributed path), the contraction + micro-CC now run on
+    // the driver in TWO jobs total: collect the batch edges, and collect
+    // the touched endpoints' labels (the one corpus scan this operator is
+    // allowed). Outputs are LocalRelations — identical rows (pinned in
+    // CCFastPathSpec / the oracle suite), and their downstream broadcasts
+    // launch no collect job at all.
+    val localLimit = spark.conf
+      .getOption("spark.graft.cc.localEdgeLimit").map(_.toLong)
+      .getOrElse(200000L)
+    val cap = math.min(localLimit, Int.MaxValue.toLong - 2L).toInt
+    val eProbe = ePlan.limit(cap + 1).collect()
+    if (eProbe.length <= cap) {
+      // distinct touched endpoints, sorted for deterministic output
+      val endsArr = {
+        val s = new java.util.TreeSet[java.lang.Long]()
+        eProbe.foreach { r => s.add(r.getLong(0)); s.add(r.getLong(1)); () }
+        scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
+          .asScala.map(_.longValue()).toArray
+      }
+      val idSchema = StructType(Seq(StructField("id", LongType, nullable = false)))
+      val ends = spark.createDataFrame(
+        java.util.Arrays.asList(endsArr.map(org.apache.spark.sql.Row(_)): _*),
+        idSchema)
+      // corpus scan 1: labels of TOUCHED endpoints only (batch-bounded
+      // output; `ends` ≤ 2·|newEdges| rows — a batch-size broadcast)
+      val lsubRows = l.join(broadcast(ends), Seq("id")).collect()
+      val compOf = new java.util.HashMap[java.lang.Long, java.lang.Long](
+        lsubRows.length * 2)
+      lsubRows.foreach { r =>
+        if (!r.isNullAt(1)) { compOf.put(r.getLong(0), r.getLong(1)); () }
+      }
+      def contract(x: Long): Long = {
+        val c = compOf.get(java.lang.Long.valueOf(x))
+        if (c == null) x else c.longValue()
+      }
+      // contracted graph (self-loops dropped) + micro-CC, all driver-side
+      val con = eProbe.iterator
+        .map(r => (contract(r.getLong(0)), contract(r.getLong(1))))
+        .filter(p => p._1 != p._2).toArray
+      val labels = unionFindPairs(con.length, i => con(i)._1, i => con(i)._2)
+      // the label PATCH: contracted nodes whose component minimum moved.
+      // Bounded by the contracted node count (≤ 2·|newEdges|), never by
+      // the corpus — the broadcast the whole operator exists to make legal.
+      val remapRows = labels.collect { case (i0, c0) if i0 != c0 =>
+        org.apache.spark.sql.Row(i0, c0) }
+      val remapSchema = StructType(Seq(
+        StructField("__old", LongType, nullable = false),
+        StructField("__new", LongType, nullable = false)))
+      val remap = spark.createDataFrame(
+        java.util.Arrays.asList(remapRows: _*), remapSchema)
+      val lsubSchema = StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("comp", LongType, nullable = true)))
+      val lsub = spark.createDataFrame(
+        java.util.Arrays.asList(lsubRows.map(r => org.apache.spark.sql.Row(
+          r.getLong(0),
+          if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1)))): _*),
+        lsubSchema)
+      return (ends, lsub, remap)
+    }
+    // AT-SCALE path — the r13 shape, unchanged: checkpointed batch-bounded
+    // frames, distributed micro-CC
+    val e = scope.track(ePlan.localCheckpoint())
     val ends = e.select(col("__ea").as("id"))
       .unionByName(e.select(col("__eb").as("id"))).distinct()
     // corpus scan 1: labels of TOUCHED endpoints only (batch-bounded
@@ -1271,11 +1363,17 @@ object Dedup {
         coalesce(col("__cb"), col("__eb")).as("id_b"))
       .where(col("id_a") =!= col("id_b"))
     val micro = connectedComponents(contracted, maxIter, scope)
-    // the label PATCH: contracted nodes whose component minimum moved.
-    // Bounded by the contracted node count (≤ 2·|newEdges|), never by
-    // the corpus — the broadcast the whole operator exists to make legal.
-    val remap = scope.ckpt(micro.where(col("id") =!= col("comp"))
-      .select(col("id").as("__old"), col("comp").as("__new")))
+    val remap0 = micro.where(col("id") =!= col("comp"))
+      .select(col("id").as("__old"), col("comp").as("__new"))
+    // a fast-path micro-CC returns a LocalRelation — already driver-
+    // resident, re-evaluated for free and broadcast without launching a
+    // job — so the defensive checkpoint (which exists to stop multi-
+    // consumer recompute) would only add a job (r14, guide §1.2)
+    val remap =
+      if (micro.queryExecution.analyzed
+          .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+        remap0
+      else scope.ckpt(remap0)
     (ends, lsub, remap)
   }
 

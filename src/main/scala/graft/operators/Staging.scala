@@ -42,7 +42,19 @@ object Staging {
     val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
     val loc = new java.io.File(warehouse, table)
     if (loc.exists()) deleteRecursively(loc)
-    df.write.mode(SaveMode.Overwrite).format("parquet")
+    // ONE FILE PER BUCKET (r14, guide §6 small-files): the bucketed writer
+    // splits every input task's rows by bucket id, so an N-partition input
+    // writes up to N files per bucket — a 32-partition index frame staged
+    // ~256 near-empty parquet files, and the committer/open fixed costs
+    // dominated both the stage and every later bucketed scan.
+    // repartition(buckets, key) routes rows with the same murmur3-pmod
+    // expression the bucket id uses, so each task holds exactly one
+    // bucket and writes exactly one file. Scale-adaptive by construction:
+    // `buckets` is the caller's scale knob (a 100 TB index passes a
+    // bucket count sized to its data; write parallelism = bucket count
+    // either way, since distinct files are the unit of parallel I/O).
+    df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+      .write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
   }
 

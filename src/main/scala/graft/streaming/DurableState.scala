@@ -71,11 +71,20 @@ object DurableState {
     * repaired on entry (without it, the rename-aside below would throw
     * FileAlreadyExistsException on a leftover `.old` — callers that
     * commit a path they never load, e.g. the fold's base re-commit,
-    * would otherwise depend on someone else having recovered it). */
-  def commit(df: DataFrame, statePath: String, batchId: Long): Unit = {
+    * would otherwise depend on someone else having recovered it).
+    *
+    * Returns the committed ROW COUNT, observed on the write itself
+    * (r14, guide §1.2: the patch-log loops' size-triggered fold needed
+    * the new state's cardinality and re-read the swapped parquet with a
+    * separate count() job per trigger; an [[Observation]] rides the
+    * write's own pass for free). */
+  def commit(df: DataFrame, statePath: String, batchId: Long): Long = {
     recover(statePath)
     val tmpPath = statePath + ".tmp"
-    df.write.mode("overwrite").parquet(tmpPath)
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs, org.apache.spark.sql.functions
+        .count(org.apache.spark.sql.functions.lit(1)).as("rows"))
+      .write.mode("overwrite").parquet(tmpPath)
     Files.write(Paths.get(tmpPath, Marker),
       batchId.toString.getBytes("UTF-8"))
     val live = new java.io.File(statePath)
@@ -83,7 +92,7 @@ object DurableState {
       Files.move(Paths.get(statePath), Paths.get(statePath + ".old"))
     Files.move(Paths.get(tmpPath), Paths.get(statePath))
     rm(new java.io.File(statePath + ".old"))
-    ()
+    obs.get("rows").asInstanceOf[Long]
   }
 
   /** Read the live state. Path-based (not catalog) parquet reads list

@@ -145,7 +145,14 @@ object IngestStreams {
     * edges) need no such contract: the multi-day-batch pin in the unit
     * suite proves their census is unchanged under coarser batching. */
   private def assertSingleFile(batch: DataFrame): Unit = {
-    val n = batch.select(input_file_name()).distinct().count()
+    // Dataset.inputFiles reads the micro-batch scan's file index on the
+    // driver — no Spark job (r14, guide §1.2: the distinct-count spelling
+    // scanned the whole batch once per trigger). Fall back to the scan
+    // only when the plan exposes no file-source leaf.
+    val files = batch.inputFiles
+    val n: Long =
+      if (files.nonEmpty) files.distinct.length.toLong
+      else batch.select(input_file_name()).distinct().count()
     require(n <= 1,
       s"order-dependent ingest loop requires one spooled day per " +
         s"micro-batch, got $n files — the per-day sequential semantics " +
@@ -683,10 +690,10 @@ object IngestStreams {
           VStage.append(
             Dedup.lshIndexFrame(batch, col("text"), col("doc_id")),
             idx, "lsh_key", 8)
-          DurableState.commit(next, statePath, batchId)
-          // probe hook: the eager swap rewrites the WHOLE state
-          writeRows.foreach(_ +=
-            DurableState.load(ss, statePath).count())
+          // probe hook rides the commit's own observed count — the eager
+          // swap rewrites the WHOLE state (no extra re-read job, r14)
+          val stateRows = DurableState.commit(next, statePath, batchId)
+          writeRows.foreach(_ += stateRows)
         } finally scope.freeAll()
         batchSeconds.foreach(_ += (System.nanoTime() - t0) / 1e9)
       }
@@ -878,10 +885,17 @@ object IngestStreams {
             idx, "lsh_key", 8)
           // idempotent per-batch label append, then the marker-carrying
           // patch swap as the commit point (replay overwrites the same
-          // label dir and recomputes the same fold)
-          freshLab.write.mode("overwrite").parquet(
-            s"${statePath}_labels/ingest_batch=$batchId")
-          DurableState.commit(
+          // label dir and recomputes the same fold). Both cardinalities
+          // the fold trigger and the probe hook need ride the two writes
+          // as Observations (r14, guide §1.2: the separate freshLab
+          // count re-ran its plan and the patch count re-read the swap —
+          // 3 extra jobs per trigger for numbers the writes already had)
+          val labObs = org.apache.spark.sql.Observation()
+          freshLab.observe(labObs, count(lit(1)).as("rows"))
+            .write.mode("overwrite").parquet(
+              s"${statePath}_labels/ingest_batch=$batchId")
+          val labRows = labObs.get("rows").asInstanceOf[Long]
+          val patchRows = DurableState.commit(
             Dedup.composePatch(DurableState.load(ss, patchPath), patch),
             patchPath, batchId)
           // SIZE-TRIGGERED FOLD (r12 judge directive 2): the folded
@@ -895,12 +909,11 @@ object IngestStreams {
           // Both counts are tiny frames (the patch is move-bounded, the
           // label rows batch-bounded); every fold crash window is
           // benign (see foldPatchState)
-          maybeFold(ss, statePath, patchPath, freshLab.count(),
+          maybeFold(ss, statePath, patchRows, labRows,
             foldFactor, foldPatchLog)
           // probe hook: durable rows this trigger (label append + the
           // live patch after compose — the batch-bounded claim)
-          writeRows.foreach(_ += freshLab.count() +
-            DurableState.load(ss, patchPath).count())
+          writeRows.foreach(_ += labRows + patchRows)
         } finally scope.freeAll()
         batchSeconds.foreach(_ += (System.nanoTime() - t0) / 1e9)
       }
@@ -914,13 +927,15 @@ object IngestStreams {
 
   /** Shared size-trigger for the patch-log loops: fold when the patch
     * map holds more rows than `foldFactor ×` this batch's appended
-    * rows. `foldFactor = ∞` disables (the A/B baseline). */
+    * rows. `foldFactor = ∞` disables (the A/B baseline). Both counts
+    * arrive observed from the trigger's own writes ([[DurableState.commit]]
+    * returns the swapped patch's cardinality) — the check itself runs
+    * zero jobs (r14). */
   private def maybeFold(ss: SparkSession, statePath: String,
-      patchPath: String, batchRows: Long, foldFactor: Double,
+      patchRows: Long, batchRows: Long, foldFactor: Double,
       fold: (SparkSession, String) => Unit): Unit =
     if (!foldFactor.isPosInfinity &&
-        DurableState.load(ss, patchPath).count() >
-          foldFactor * math.max(batchRows, 1L)) {
+        patchRows > foldFactor * math.max(batchRows, 1L)) {
       fold(ss, statePath)
     }
 
@@ -1142,13 +1157,18 @@ object IngestStreams {
           VStage.append(
             Dedup.lshIndexFrame(batch, col("text"), col("doc_id")),
             idx, "lsh_key", 8)
-          newRows.write.mode("overwrite").parquet(
-            s"${statePath}_assign/ingest_batch=$batchId")
-          DurableState.commit(
+          // counts observed on the trigger's own writes — see
+          // clusterLoopDeferred (r14)
+          val rowObs = org.apache.spark.sql.Observation()
+          newRows.observe(rowObs, count(lit(1)).as("rows"))
+            .write.mode("overwrite").parquet(
+              s"${statePath}_assign/ingest_batch=$batchId")
+          val newRowsN = rowObs.get("rows").asInstanceOf[Long]
+          val patchRows = DurableState.commit(
             Dedup.composePatch(DurableState.load(ss, patchPath), patch),
             patchPath, batchId)
           // size-triggered fold — see clusterLoopDeferred
-          maybeFold(ss, statePath, patchPath, newRows.count(),
+          maybeFold(ss, statePath, patchRows, newRowsN,
             foldFactor, foldPatchAssign)
         } finally scope.freeAll()
         batchSeconds.foreach(_ += (System.nanoTime() - t0) / 1e9)

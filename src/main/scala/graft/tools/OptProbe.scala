@@ -151,6 +151,58 @@ object OptProbe {
       Dedup.connectedComponents(stars)
     }
 
+    // ---- r14: q379 decon-prep decomposition ----
+    if (args.isEmpty || args.exists("q379".startsWith)) {
+      val day1 = docs.where(col("doc_id") >= 300 && col("doc_id") < 450)
+      val bg = Decontaminate.benchGramSet(
+        docs.where(col("doc_id") % 25 === 0), col("text"), n = 5)
+        .localCheckpoint()
+      def gated(df: DataFrame) =
+        df.where(TextAnalysis.langId(col("text")) === lit("en") &&
+          round(TextAnalysis.qualityScore(col("text")), 4) >= 0.5)
+      time("q379_benchgrams") {
+        Decontaminate.benchGramSet(
+          docs.where(col("doc_id") % 25 === 0), col("text"), n = 5)
+      }
+      time("q379_gates_day1") { gated(day1) }
+      time("q379_decon_day1") {
+        Decontaminate.decontaminateAgainst(gated(day1), col("text"),
+          col("doc_id"), bg, n = 5)
+      }
+      time("q379_prep_day1") {
+        Dedup.exact(Decontaminate.decontaminateAgainst(gated(day1),
+          col("text"), col("doc_id"), bg, n = 5), col("text"), col("doc_id"))
+      }
+      time("q379_full") { SparkEntry.queries("q379_stream_ingest_decon")(spark, sfDir) }
+      time("q374_full") { SparkEntry.queries("q374_stream_autofold_patchlog")(spark, sfDir) }
+      time("q368_full") { SparkEntry.queries("q368_stream_cluster_patchlog")(spark, sfDir) }
+      time("q369_full") { SparkEntry.queries("q369_stream_split_patchlog")(spark, sfDir) }
+      time("q364_full") { SparkEntry.queries("q364_stream_cluster_maintenance")(spark, sfDir) }
+      time("q365_full") { SparkEntry.queries("q365_stream_split_stable")(spark, sfDir) }
+    }
+
+    // ---- r14: retrieval-stack staging fixed costs ----
+    if (args.isEmpty || args.exists("stage".startsWith)) {
+      def phase[A](name: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[opt] stage_phase $name%-30s ${(System.nanoTime() - t0) / 1e9}%7.3f")
+        r
+      }
+      val postings = graft.Curate.tokenPostings(docs, col("doc_id"), col("text"))
+      phase("stage_postings_1") {
+        Staging.stageBucketed(postings, "graft_opt_probe_post", "term", 8)
+      }
+      phase("stage_postings_2") {
+        Staging.stageBucketed(postings, "graft_opt_probe_post", "term", 8)
+      }
+      println(s"[opt] staged file count = " +
+        new java.io.File(new java.net.URI(
+          spark.conf.get("spark.sql.warehouse.dir")).getPath,
+          "graft_opt_probe_post").listFiles().count(_.getName.endsWith(".parquet")))
+      time("q385_full") { SparkEntry.queries("q385_lexical_index_staged")(spark, sfDir) }
+      time("q380_full") { SparkEntry.queries("q380_hybrid_retrieval_ivf")(spark, sfDir) }
+    }
+
     // ---- streaming loop decomposition (q368 shape: runClusterPatchLog) ----
     if (args.isEmpty || args.exists("stream".startsWith)) {
       import graft.streaming.{DurableState, IngestStreams}
