@@ -181,6 +181,37 @@ object OptProbe {
       time("q365_full") { SparkEntry.queries("q365_stream_split_stable")(spark, sfDir) }
     }
 
+    // ---- r14: append decomposition ----
+    if (args.exists("append".startsWith)) {
+      def phase[A](name: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[opt] append_phase $name%-30s ${(System.nanoTime() - t0) / 1e9}%7.3f")
+        r
+      }
+      val day1 = docs.where(col("doc_id") >= 300 && col("doc_id") < 450)
+      val frame = Dedup.lshIndexFrame(day1, col("text"), col("doc_id"))
+        .localCheckpoint()
+      phase("init") {
+        VStage.init(Dedup.lshIndexFrame(docs.where(col("doc_id") < 300),
+          col("text"), col("doc_id")), "graft_opt_probe_app", "lsh_key", 8)
+      }
+      (1 to 4).foreach { i =>
+        phase(s"append_$i") {
+          VStage.append(frame, "graft_opt_probe_app", "lsh_key", 8)
+        }
+      }
+      (1 to 3).foreach { i =>
+        phase(s"plain_parquet_$i") {
+          frame.write.mode("overwrite").parquet(s"target/opt_probe_plain_$i")
+        }
+      }
+      (1 to 3).foreach { i =>
+        phase(s"load_count_$i") {
+          VStage.load(spark, "graft_opt_probe_app").count()
+        }
+      }
+    }
+
     // ---- r14: retrieval-stack staging fixed costs ----
     if (args.isEmpty || args.exists("stage".startsWith)) {
       def phase[A](name: String)(f: => A): A = {
